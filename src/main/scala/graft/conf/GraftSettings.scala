@@ -1,0 +1,66 @@
+package graft.conf
+
+/** Engine settings.
+  *
+  * Reproduces the reference's settings surface (ignitz/jibaro,
+  * `jibaro/settings/default.toml:3-16` + `jibaro/settings/settings.py:12-32`):
+  * the medallion layer -> bucket mapping, the control bucket holding streaming
+  * checkpoints and table history, and the compaction policy knobs. Expressed
+  * as a plain immutable case class instead of pydantic+TOML; callers pass it
+  * implicitly so library code never touches global state.
+  *
+  * Scale note: `compactTargetBytes` defaults to 128 MiB (a sane parquet file
+  * size for a large cluster). The reference's 1 MiB target
+  * (`jibaro/datalake/delta_handler.py:25`) is reproducible by setting it
+  * explicitly, but 1 MiB files at 100 TB would mean ~10^8 files — a
+  * metadata-layer denial of service — so the default is the scaled value.
+  */
+final case class GraftSettings(
+    protocol: String = "file",
+    rawBucket: String = "datalake-raw",
+    stagedBucket: String = "datalake-staged",
+    curatedBucket: String = "datalake-curated",
+    controlBucket: String = "spark-control",
+    /** Compact a table once it holds more live data files than this
+      * (reference `max_num_files_allowed`, `default.toml:16`). */
+    maxNumFilesAllowed: Int = 10000,
+    /** Target bytes per file when compacting. */
+    compactTargetBytes: Long = 128L * 1024 * 1024,
+    /** Run GC every N table versions (reference `cdc.py:264-268`). */
+    vacuumEveryNVersions: Int = 25,
+    /** Retain unreferenced files for this many hours before GC
+      * (reference `cdc.py:269`). */
+    vacuumRetentionHours: Int = 768
+) {
+  def bucketFor(layer: String): String = layer match {
+    case Layer.Raw     => rawBucket
+    case Layer.Staged  => stagedBucket
+    case Layer.Curated => curatedBucket
+    case other =>
+      throw new IllegalArgumentException(
+        s"unknown layer '$other' (expected one of ${Layer.all.mkString(", ")})")
+  }
+}
+
+object GraftSettings {
+  implicit val default: GraftSettings = GraftSettings()
+
+  /** Local-filesystem lake rooted at `root` — buckets become subdirectories.
+    * Used by tests and the file-backed MessageBus lab.
+    */
+  def local(root: String): GraftSettings = GraftSettings(
+    protocol = "file",
+    rawBucket = s"$root/datalake-raw",
+    stagedBucket = s"$root/datalake-staged",
+    curatedBucket = s"$root/datalake-curated",
+    controlBucket = s"$root/spark-control"
+  )
+}
+
+/** The three medallion layers (reference `jibaro/datalake/path.py:17-21`). */
+object Layer {
+  val Raw = "raw"
+  val Staged = "staged"
+  val Curated = "curated"
+  val all: Seq[String] = Seq(Raw, Staged, Curated)
+}

@@ -1,0 +1,434 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import QueryDsl._
+
+/** The relational operator inventory (SURVEY.md §2.B) expressed as runnable
+  * catalog queries over the driver test tables, each with a DuckDB oracle.
+  *
+  * Scale discipline (local[32] tests, 1000-executor target):
+  *  - dimension tables (part/nation/region/supplier/customer at this ratio)
+  *    are joined with explicit `broadcast()` hints — no shuffle of the fact
+  *    side beyond its aggregation keys;
+  *  - fact-fact joins (orders x lineitem) rely on sort-merge + AQE;
+  *  - aggregates go partial->final (map-side combine) automatically since
+  *    everything is expressed via groupBy/agg, never collect-side;
+  *  - money sums run through DECIMAL (see QueryDsl) — reproducible under
+  *    any partitioning.
+  */
+object RelationalQueries {
+
+  val all: Seq[CatalogQuery] = Seq(
+
+    // ---- aggregation core -------------------------------------------------
+    CatalogQuery(
+      "q01_pricing_summary",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        li.groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            dsum2(col("l_quantity")).as("sum_qty"),
+            dsum2(col("l_extendedprice")).as("sum_base_price"),
+            sum(revenue(col("l_extendedprice"), col("l_discount"))).cast("double").as("sum_disc_price"),
+            davg2(col("l_quantity")).as("avg_qty"),
+            davg2(col("l_discount")).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+        CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
+        count(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""")),
+
+    CatalogQuery(
+      "q02_top_orders",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+          .limit(10),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""")),
+
+    CatalogQuery(
+      "q03_priority_revenue",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val o = t(s, dir, "orders")
+        o.join(li, col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            countDistinct(col("o_orderkey")).as("n_orders"),
+            sum(revenue(col("l_extendedprice"), col("l_discount"))).cast("double").as("revenue"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority, count(DISTINCT o_orderkey) AS n_orders,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    CatalogQuery(
+      "q04_brand_volume",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val p = t(s, dir, "part")
+        li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"))
+          .agg(dsum2(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_items"))
+          .orderBy(col("p_brand"))
+      },
+      Some("""SELECT p_brand,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        count(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand ORDER BY p_brand""")),
+
+    CatalogQuery(
+      "q05_region_balance",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val n = t(s, dir, "nation")
+        val r = t(s, dir, "region")
+        c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"))
+          .agg(count(lit(1)).as("n_customers"), davg2(col("c_acctbal")).as("avg_bal"))
+          .orderBy(col("r_name"))
+      },
+      Some("""SELECT r_name, count(*) AS n_customers,
+        CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_bal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY r_name""")),
+
+    // ---- semi / anti joins ------------------------------------------------
+    CatalogQuery(
+      "q06_status_with_items",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val li = t(s, dir, "lineitem")
+        o.join(li, col("o_orderkey") === col("l_orderkey"), "left_semi")
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), dsum6(col("o_totalprice")).as("total"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        FROM orders WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    CatalogQuery(
+      "q07_customers_without_events",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val e = t(s, dir, "events")
+        c.join(e, col("c_custkey") === col("user_id"), "left_anti")
+          .select(col("c_custkey"), col("c_name"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM events WHERE user_id = c_custkey)
+        ORDER BY c_custkey""")),
+
+    // ---- set operations ---------------------------------------------------
+    CatalogQuery(
+      "q08_active_nations",
+      (s, dir) => {
+        val c = t(s, dir, "customer").select(col("c_nationkey").as("nk"))
+        val su = t(s, dir, "supplier").select(col("s_nationkey").as("nk"))
+        c.union(su).distinct().orderBy(col("nk"))
+      },
+      Some("""SELECT DISTINCT nk FROM (
+          SELECT c_nationkey AS nk FROM customer
+          UNION ALL SELECT s_nationkey AS nk FROM supplier) u
+        ORDER BY nk""")),
+
+    CatalogQuery(
+      "q09_flag_status_pairs",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_linestatus"))
+          .distinct()
+          .orderBy(col("l_returnflag"), col("l_linestatus")),
+      Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        ORDER BY l_returnflag, l_linestatus""")),
+
+    CatalogQuery(
+      "q19_users_never_purchased_except",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+        e.select(col("user_id"))
+          .except(e.filter(col("event_type") === "purchase").select(col("user_id")))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT * FROM (
+          SELECT user_id FROM events
+          EXCEPT SELECT user_id FROM events WHERE event_type = 'purchase') x
+        ORDER BY user_id""")),
+
+    CatalogQuery(
+      "q20_custkeys_with_orders_intersect",
+      (s, dir) =>
+        t(s, dir, "customer").select(col("c_custkey"))
+          .intersect(t(s, dir, "orders").select(col("o_custkey").as("c_custkey")))
+          .orderBy(col("c_custkey")),
+      Some("""SELECT * FROM (
+          SELECT c_custkey FROM customer INTERSECT SELECT o_custkey FROM orders) x
+        ORDER BY c_custkey""")),
+
+    // ---- window functions -------------------------------------------------
+    CatalogQuery(
+      "q10_latest_event_per_user",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        t(s, dir, "events")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_id"), col("event_type"), col("value"), col("ts"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id, event_id, event_type, value, ts FROM (
+          SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) x
+        WHERE rn = 1 ORDER BY user_id""")),
+
+    CatalogQuery(
+      "q11_user_running_total",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "events")
+          .select(
+            col("user_id"), col("event_id"),
+            sum(dec2(col("value"))).over(w).cast("double").as("running"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""SELECT user_id, event_id,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running
+        FROM events ORDER BY user_id, event_id""")),
+
+    CatalogQuery(
+      "q12_supplier_rank",
+      (s, dir) => {
+        val w = Window.partitionBy(col("s_nationkey"))
+          .orderBy(col("s_acctbal").desc, col("s_suppkey"))
+        t(s, dir, "supplier")
+          .select(col("s_nationkey"), col("s_suppkey"), col("s_acctbal"),
+            dense_rank().over(w).as("rnk"))
+          .orderBy(col("s_nationkey"), col("rnk"), col("s_suppkey"))
+      },
+      Some("""SELECT s_nationkey, s_suppkey, s_acctbal,
+        CAST(dense_rank() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey) AS INTEGER) AS rnk
+        FROM supplier ORDER BY s_nationkey, rnk, s_suppkey""")),
+
+    // ---- grouping sets ----------------------------------------------------
+    CatalogQuery(
+      "q13_rollup_volume",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"), dsum2(col("l_quantity")).as("sum_qty"))
+          .orderBy(asc_nulls_last("l_returnflag"), asc_nulls_last("l_linestatus")),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        ORDER BY l_returnflag ASC NULLS LAST, l_linestatus ASC NULLS LAST""")),
+
+    CatalogQuery(
+      "q14_cube_orders",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .cube(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), dsum6(col("o_totalprice")).as("total"))
+          .orderBy(asc_nulls_last("o_orderstatus"), asc_nulls_last("o_orderpriority")),
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus ASC NULLS LAST, o_orderpriority ASC NULLS LAST""")),
+
+    // ---- conditional aggregation -----------------------------------------
+    CatalogQuery(
+      "q15_conditional_agg",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            sum(when(col("l_discount") > 0.05, revenue(col("l_extendedprice"), col("l_discount"))))
+              .cast("double").as("disc_rev"),
+            count(when(col("l_tax") > 0.04, lit(1))).as("hi_tax_items"))
+          .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+        CAST(sum(CASE WHEN l_discount > 0.05
+          THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) END) AS DOUBLE) AS disc_rev,
+        count(CASE WHEN l_tax > 0.04 THEN 1 END) AS hi_tax_items
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- scalar functions -------------------------------------------------
+    CatalogQuery(
+      "q16_part_strings",
+      (s, dir) =>
+        t(s, dir, "part")
+          .select(
+            col("p_partkey"),
+            upper(substring(col("p_name"), 1, 8)).as("prefix"),
+            length(col("p_name")).as("name_len"),
+            concat(col("p_brand"), lit("#"), col("p_type")).as("brand_type"))
+          .orderBy(col("p_partkey")),
+      Some("""SELECT p_partkey, upper(substr(p_name, 1, 8)) AS prefix,
+        CAST(length(p_name) AS INTEGER) AS name_len,
+        concat(p_brand, '#', p_type) AS brand_type
+        FROM part ORDER BY p_partkey""")),
+
+    CatalogQuery(
+      "q17_orders_by_month",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .groupBy(
+            year(col("o_orderdate")).as("yr"),
+            month(col("o_orderdate")).as("mon"))
+          .agg(count(lit(1)).as("n_orders"), dsum6(col("o_totalprice")).as("total"))
+          .orderBy(col("yr"), col("mon")),
+      Some("""SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+        CAST(month(o_orderdate) AS INTEGER) AS mon,
+        count(*) AS n_orders,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        FROM orders GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    CatalogQuery(
+      "q18_event_time_buckets",
+      (s, dir) =>
+        t(s, dir, "events")
+          .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum2(col("value")).as("total_value"))
+          .select(col("window.start").as("bucket_start"), col("event_type"), col("n"), col("total_value"))
+          .orderBy(col("bucket_start"), col("event_type")),
+      Some("""SELECT time_bucket(INTERVAL '5 minutes', ts) AS bucket_start, event_type,
+        count(*) AS n,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ---- distinct aggregates / having ------------------------------------
+    CatalogQuery(
+      "q21_distinct_counts",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .agg(
+            countDistinct(col("l_partkey")).as("n_parts"),
+            countDistinct(col("l_suppkey")).as("n_supps"),
+            count(lit(1)).as("n_rows")),
+      Some("""SELECT count(DISTINCT l_partkey) AS n_parts,
+        count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows FROM lineitem""")),
+
+    CatalogQuery(
+      "q22_big_customers",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_orders"), dsum6(col("o_totalprice")).as("total"))
+          .filter(col("n_orders") >= 3)
+          .orderBy(col("o_custkey")),
+      Some("""SELECT o_custkey, count(*) AS n_orders,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        FROM orders GROUP BY o_custkey HAVING count(*) >= 3 ORDER BY o_custkey""")),
+
+    // ---- CDC materialization as a query (cdc.py:132-142 + op filter) ------
+    CatalogQuery(
+      "q23_cdc_current_state",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        t(s, dir, "events")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1 && col("event_type") =!= "error")
+          .select(
+            col("user_id"),
+            col("event_id").as("last_event_id"),
+            col("event_type").as("last_event_type"),
+            col("value").as("last_value"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+        value AS last_value FROM (
+          SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) x
+        WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id""")),
+
+    // ---- null-ordering sorts ---------------------------------------------
+    CatalogQuery(
+      "q24_nulls_last_sort",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .select(col("o_orderkey"), expr("nullif(o_orderpriority, '1-URGENT')").as("prio"))
+          .orderBy(col("prio").asc_nulls_last, col("o_orderkey"))
+          .limit(100),
+      Some("""SELECT o_orderkey, nullif(o_orderpriority, '1-URGENT') AS prio
+        FROM orders ORDER BY prio ASC NULLS LAST, o_orderkey LIMIT 100""")),
+
+    // ---- range (theta) join ----------------------------------------------
+    CatalogQuery(
+      "q25_shipped_within_30d",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val li = t(s, dir, "lineitem")
+        o.join(li,
+            col("l_orderkey") === col("o_orderkey") &&
+              col("l_shipdate") >= col("o_orderdate") &&
+              col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+          .groupBy(col("o_orderkey"))
+          .agg(count(lit(1)).as("n_quick"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, count(*) AS n_quick
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+          AND l_shipdate >= o_orderdate
+          AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
+        GROUP BY o_orderkey ORDER BY o_orderkey""")),
+
+    // ---- pivot ------------------------------------------------------------
+    CatalogQuery(
+      "q26_event_type_pivot",
+      (s, dir) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        t(s, dir, "events")
+          .groupBy(col("user_id"))
+          .pivot("event_type", types)
+          .count()
+          .na.fill(0L, types)
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id,
+        count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+        count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    // ---- date functions ---------------------------------------------------
+    CatalogQuery(
+      "q27_monthly_order_span",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .groupBy(date_trunc("month", col("o_orderdate")).as("mon_start"))
+          .agg(
+            min(col("o_orderdate")).as("first_order"),
+            max(col("o_orderdate")).as("last_order"),
+            count(lit(1)).as("n"))
+          .orderBy(col("mon_start")),
+      Some("""SELECT date_trunc('month', o_orderdate) AS mon_start,
+        min(o_orderdate) AS first_order, max(o_orderdate) AS last_order,
+        count(*) AS n
+        FROM orders GROUP BY 1 ORDER BY 1"""))
+  )
+}
