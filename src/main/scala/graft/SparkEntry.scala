@@ -9,7 +9,9 @@ object SparkEntry {
   /** Every implemented catalog query (relational inventory + training-data
     * operators), each paired with a DuckDB oracle when SQL-expressible. */
   def catalog: Seq[CatalogQuery] =
-    graft.operators.RelationalQueries.all
+    graft.operators.RelationalQueries.all ++
+      graft.operators.TextQueries.all ++
+      graft.operators.VectorQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,201 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators: exact, latest-per-key (the reference's CDC dedup,
+  * `jibaro/datalake/cdc.py:132-142`), MinHash+LSH near-dup, SimHash, and
+  * exact n-gram Jaccard verification.
+  *
+  * Scale design (100 TB):
+  *  - signatures (minhash/simhash) are computed per-row with array
+  *    expressions — NO explode, NO shuffle until the band/bucket join;
+  *  - candidate generation shuffles only (id, bandKey) pairs — a few
+  *    dozen bytes per doc, not the text;
+  *  - exact verification (Jaccard) runs only on LSH candidates;
+  *  - the window dedup shuffles once on the key, exactly like the
+  *    reference chose `row_number` over `drop_duplicates` for
+  *    partition-correctness (`avro_handler.py:29-30`).
+  */
+object Dedup {
+
+  /** Keep the newest row per key — `row_number() over (partition by keys
+    * order by ordering desc...) = 1`. Deterministic when `ordering` is a
+    * total order (pass a tiebreaker column). */
+  def latestPerKey(df: DataFrame, keys: Seq[String], ordering: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ordering: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Exact dedup on a fingerprint: one representative row per fingerprint
+    * value (the one with the smallest `idCol`). Hash-aggregation — a single
+    * shuffle on the fingerprint. */
+  def exactDedup(df: DataFrame, fingerprintCol: Column, idCol: String): DataFrame =
+    latestPerKey(
+      df.withColumn("__fp", fingerprintCol),
+      Seq("__fp"),
+      Seq(col(idCol).asc)
+    ).drop("__fp")
+
+  // ---------------------------------------------------------------- MinHash
+
+  /** Word `shingleSize`-grams of the normalized text (whole text as a single
+    * shingle when shorter). */
+  def wordShingles(text: Column, shingleSize: Int = 3): Column = {
+    val words = split(TextAnalysis.normalize(text), " ")
+    when(size(words) < shingleSize, array(concat_ws(" ", words)))
+      .otherwise(
+        transform(
+          sequence(lit(1), size(words) - (shingleSize - 1)),
+          i => concat_ws(" ", slice(words, i, lit(shingleSize)))))
+  }
+
+  /** MinHash signature: `numHashes` 64-bit minima over the shingle set,
+    * seeded hash per position. Per-row computation, no shuffle. */
+  def minhashSignature(text: Column, numHashes: Int = 64, shingleSize: Int = 3): Column = {
+    val shingles = wordShingles(text, shingleSize)
+    array((0 until numHashes).map { seed =>
+      aggregate(
+        shingles,
+        lit(Long.MaxValue),
+        (acc, s) => least(acc, xxhash64(s, lit(seed))))
+    }: _*)
+  }
+
+  /** Estimated Jaccard similarity between two signatures: fraction of equal
+    * positions. */
+  def estimatedJaccard(sigA: Column, sigB: Column): Column =
+    aggregate(
+      zip_with(sigA, sigB, (a, b) => when(a === b, 1).otherwise(0)),
+      lit(0),
+      (acc, x) => acc + x
+    ).cast("double") / size(sigA)
+
+  /** LSH banding: explode the signature into `bands` band keys. Each output
+    * row is (…, band, band_key); docs sharing any (band, band_key) are
+    * near-dup candidates. */
+  def lshBands(df: DataFrame, sigCol: String, bands: Int): DataFrame = {
+    val sig = col(sigCol)
+    val rowsPerBand = size(sig) / bands
+    df.withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
+      .withColumn("band_key",
+        xxhash64(slice(sig, col("band") * rowsPerBand + 1, rowsPerBand), col("band")))
+  }
+
+  /** Candidate near-dup pairs from MinHash+LSH, with their estimated
+    * Jaccard. `idCol` must be unique. Only candidates sharing an LSH bucket
+    * are compared — the cross-product never materializes. */
+  def minhashCandidatePairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleSize: Int = 3): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"),
+      minhashSignature(col(textCol), numHashes, shingleSize).as("sig"))
+    val banded = lshBands(sigs, "sig", bands).select("id", "sig", "band", "band_key")
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        estimatedJaccard(col("a.sig"), col("b.sig")).as("est_jaccard"))
+      .distinct()
+  }
+
+  /** Near-duplicate dedup: every doc mapped to a group representative (the
+    * min id among its LSH-candidate neighborhood above `threshold`; single
+    * min-propagation pass — star clustering, the standard first-order
+    * approximation of connected components). */
+  def minhashDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.7,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleSize: Int = 3): DataFrame = {
+    val pairs = minhashCandidatePairs(df, idCol, textCol, numHashes, bands, shingleSize)
+      .filter(col("est_jaccard") >= threshold)
+    val repFromPairs = pairs
+      .select(col("id_b").as("id"), col("id_a").as("candidate_rep"))
+      .groupBy("id").agg(min("candidate_rep").as("rep_candidate"))
+    df.join(repFromPairs, col(idCol) === col("id"), "left")
+      .withColumn("dup_group", least(coalesce(col("rep_candidate"), col(idCol)), col(idCol)))
+      .drop("id", "rep_candidate")
+  }
+
+  // ---------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash over word tokens: per-bit majority vote of token
+    * hashes. Per-row computation via array folds, no shuffle. */
+  def simhash64(text: Column): Column = {
+    val tokens = split(TextAnalysis.normalize(text), " ")
+    val bitIdx = sequence(lit(0), lit(63))
+    // per-token ±1 contribution per bit, folded into a 64-long counters array
+    val counters = aggregate(
+      tokens,
+      array_repeat(lit(0L), 64),
+      (acc, tkn) => {
+        val h = xxhash64(tkn)
+        zip_with(acc, bitIdx,
+          (a, i) => a + when(call_function("shiftright", h, i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+      })
+    // pack sign bits into one long
+    aggregate(
+      zip_with(counters, bitIdx, (c, i) => when(c > 0, call_function("shiftleft", lit(1L), i)).otherwise(0L)),
+      lit(0L),
+      (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup candidate pairs: band the 64 bits into 4 x 16-bit
+    * chunks; docs sharing any chunk are candidates (catches all pairs with
+    * hamming distance <= 3), then filter by exact hamming distance. */
+  def simhashCandidatePairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sim"))
+    val banded = sigs.withColumn("band", explode(sequence(lit(0), lit(3))))
+      .withColumn("band_key",
+        call_function("shiftright", col("sim"), col("band") * 16).bitwiseAND(lit(0xFFFFL)))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        hamming64(col("a.sim"), col("b.sim")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // ------------------------------------------------------- n-gram Jaccard
+
+  /** Distinct character n-grams of the raw text. */
+  def charNgrams(text: Column, n: Int = 5): Column =
+    array_distinct(
+      when(length(text) < n, array(text))
+        .otherwise(
+          transform(sequence(lit(1), length(text) - (n - 1)),
+            i => text.substr(i, lit(n)))))
+
+  /** Exact n-gram Jaccard similarity between two texts. Use on candidate
+    * pairs only — O(len_a * len_b) per pair. */
+  def ngramJaccard(a: Column, b: Column, n: Int = 5): Column = {
+    val ga = charNgrams(a, n)
+    val gb = charNgrams(b, n)
+    size(array_intersect(ga, gb)).cast("double") / size(array_union(ga, gb))
+  }
+}

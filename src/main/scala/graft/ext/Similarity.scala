@@ -1,0 +1,166 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Scale design (100 TB):
+  *  - the baseline is brute-force cosine top-k with the PROBE side
+  *    broadcast: the corpus is scanned once, partition-local, no corpus
+  *    shuffle, a per-partition top-k (window over probe) reduces before
+  *    the final merge;
+  *  - the scale path is hyperplane-LSH bucketing: each vector maps to a
+  *    small integer bucket; same-bucket (or multi-probe neighbor-bucket)
+  *    join restricts the candidate set, so the cross product never forms;
+  *  - all arithmetic is built-in array expressions (zip_with/aggregate) —
+  *    codegen-compatible, no UDF, no Python boundary.
+  */
+object Similarity {
+
+  /** Double-precision dot product of two float vectors. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity in double precision. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Quantized (fixed-point, 1e-12) dot product as a BIGINT sum — exactly
+    * reproducible regardless of partitioning/engine, because integer
+    * addition is associative where float addition is not. Used where
+    * results must verify bit-for-bit outside Spark; magnitudes up to
+    * |x*y| ~ 1e4 stay far from Long overflow at dim <= 1e3. */
+  def quantizedDot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b,
+        (x, y) => floor(x.cast("double") * y.cast("double") * lit(1e12)).cast("long")),
+      lit(0L),
+      (acc, v) => acc + v)
+
+  /** Cosine from quantized components — deterministic across engines. */
+  def quantizedCosine(a: Column, b: Column): Column =
+    quantizedDot(a, b).cast("double") /
+      sqrt(quantizedDot(a, a).cast("double") * quantizedDot(b, b).cast("double"))
+
+  /** Brute-force cosine top-k: for every probe row, the `k` nearest corpus
+    * rows. Probes are broadcast; ranking is deterministic (similarity desc,
+    * then corpus id). Self-matches (same id) are excluded.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      deterministic: Boolean = false): DataFrame = {
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("neighbor_vec"))
+    val sim =
+      if (deterministic) quantizedCosine(col("probe_vec"), col("neighbor_vec"))
+      else cosine(col("probe_vec"), col("neighbor_vec"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    c.join(broadcast(p), col("neighbor_id") =!= col("probe_id"))
+      .withColumn("sim", sim)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("probe_id", "neighbor_id", "rnk", "sim")
+  }
+
+  // ------------------------------------------------------ hyperplane LSH
+
+  /** Deterministic pseudo-random hyperplane component in {-1, +1} for
+    * (plane, dimension), derived from xxhash64 — no stored model. */
+  private def planeComponent(plane: Int, dimIdx: Column): Column =
+    when(xxhash64(lit(plane), dimIdx).bitwiseAND(1L) === 1L, lit(1.0)).otherwise(lit(-1.0))
+
+  /** Sign-bit LSH bucket id from `nPlanes` random hyperplanes; `seed`
+    * selects an independent plane family (one per hash table). */
+  def lshBucket(vec: Column, nPlanes: Int = 12, seed: Int = 0): Column = {
+    val dims = sequence(lit(0), size(vec) - 1)
+    val bits = (0 until nPlanes).map { plane =>
+      val proj = aggregate(
+        zip_with(vec, dims, (x, i) => x.cast("double") * planeComponent(seed * 1024 + plane, i)),
+        lit(0.0),
+        (acc, v) => acc + v)
+      when(proj > 0, shiftleft(lit(1), plane)).otherwise(lit(0))
+    }
+    bits.reduce(_.bitwiseOR(_)).cast("int")
+  }
+
+  /** One bucket per hash table: `nTables` independent sign-LSH codes. */
+  def lshBucketTables(vec: Column, nTables: Int, bitsPerTable: Int): Column =
+    array((0 until nTables).map(t => lshBucket(vec, bitsPerTable, seed = t + 1)): _*)
+
+  /** Approximate top-k via multi-table hyperplane LSH.
+    *
+    * Candidate recall for a neighbor at angle θ is
+    * 1 - (1 - p^b)^L with p = 1 - θ/π — tune (L=nTables, b=bitsPerTable)
+    * to the similarity level that matters; b should grow ~log2(corpus) so
+    * per-bucket candidate counts stay bounded as data scales.
+    *
+    * Plan shape at scale: corpus hashed once (narrow), shuffle carries only
+    * (id, table, bucket) pairs; candidate ids are deduped BEFORE vectors are
+    * re-attached, so wide embedding rows cross the network only for actual
+    * candidates; exact cosine + per-probe top-k windows finish the job.
+    */
+  def annTopK(
+      corpus: DataFrame,
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nTables: Int = 8,
+      bitsPerTable: Int = 4): DataFrame = {
+    val buckets = lshBucketTables(col(vecCol), nTables, bitsPerTable)
+    val c = corpus.select(col(idCol).as("neighbor_id"), posexplode(buckets).as(Seq("tbl", "bucket")))
+    val p = probes.select(col(idCol).as("probe_id"), posexplode(buckets).as(Seq("tbl", "bucket")))
+    val pairs = c.join(broadcast(p), Seq("tbl", "bucket"))
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .select("probe_id", "neighbor_id")
+      .distinct()
+    val withVecs = pairs
+      .join(broadcast(probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"))),
+        Seq("probe_id"))
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("neighbor_vec")),
+        Seq("neighbor_id"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    withVecs
+      .withColumn("sim", cosine(col("probe_vec"), col("neighbor_vec")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("probe_id", "neighbor_id", "rnk", "sim")
+  }
+
+  /** Embedding-cosine near-duplicate pairs above `threshold`: multi-table
+    * LSH candidate generation (ids only through the shuffle), then exact
+    * cosine on re-attached vectors. Same scale shape as `annTopK`. */
+  def cosineNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      nTables: Int = 8,
+      bitsPerTable: Int = 4): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val banded = v.select(col("id"),
+      posexplode(lshBucketTables(col("vec"), nTables, bitsPerTable)).as(Seq("tbl", "bucket")))
+    val pairs = banded.as("a")
+      .join(banded.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    pairs
+      .join(v.select(col("id").as("id_a"), col("vec").as("vec_a")), Seq("id_a"))
+      .join(v.select(col("id").as("id_b"), col("vec").as("vec_b")), Seq("id_b"))
+      .withColumn("cos", cosine(col("vec_a"), col("vec_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+}

@@ -1,0 +1,112 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM training-data pipelines: token counting,
+  * quality scoring, language-ID heuristics, document fingerprinting.
+  *
+  * Everything here is composed from built-in (codegen'd) expressions — no
+  * UDFs — so a 100 TB scan stays inside WholeStageCodegen and the parquet
+  * reader only materializes the text column. Each helper is a pure
+  * `Column -> Column` so callers keep full pushdown/pruning.
+  */
+object TextAnalysis {
+
+  /** Whitespace-delimited token count (0 for empty/blank). */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** Exact count of whole-word occurrences of `word` (case-insensitive).
+    *
+    * Space-doubling makes word boundaries non-overlapping, so a plain
+    * replace-and-measure is exact even for adjacent repeats ("the the").
+    */
+  def wordOccurrences(text: Column, word: String): Column = {
+    val doubled = concat(lit(" "), regexp_replace(lower(text), " ", "  "), lit(" "))
+    val target = s" $word "
+    ((length(doubled) - length(regexp_replace(doubled, target, ""))) / lit(target.length))
+      .cast("int")
+  }
+
+  /** Character-class ratio over total length (0.0 for empty text). */
+  private def classRatio(text: Column, charClassRegex: String): Column =
+    when(length(text) === 0, lit(0.0))
+      .otherwise(
+        length(regexp_replace(text, charClassRegex, "")).cast("double") / length(text))
+
+  def alphaRatio(text: Column): Column = classRatio(text, "[^A-Za-z]")
+  def digitRatio(text: Column): Column = classRatio(text, "[^0-9]")
+
+  /** Stopword profiles used by the language-ID heuristic. Deterministic
+    * tie-break order is the Seq order in `langid`. */
+  val StopwordProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "es" -> Seq("el", "los", "que", "una", "por")
+  )
+
+  /** Total stopword hits for one language profile. */
+  def stopwordHits(text: Column, lang: String): Column =
+    StopwordProfiles(lang).map(wordOccurrences(text, _)).reduce(_ + _)
+
+  /** Stopword density: profile hits per token. */
+  def stopwordDensity(text: Column, lang: String = "en"): Column =
+    stopwordHits(text, lang).cast("double") / greatest(tokenCount(text), lit(1))
+
+  /** Count of CJK ideographs — the zh signal for `langid`. */
+  def cjkCount(text: Column): Column =
+    length(regexp_replace(text, "[^\\x{4e00}-\\x{9fff}]", ""))
+
+  /** N-gram/stopword heuristic language ID over {en,de,fr,es,zh}.
+    * CJK presence wins outright; otherwise argmax of profile hits with
+    * deterministic tie-break en > de > fr > es. */
+  def langid(text: Column): Column = {
+    val en = stopwordHits(text, "en")
+    val de = stopwordHits(text, "de")
+    val fr = stopwordHits(text, "fr")
+    val es = stopwordHits(text, "es")
+    when(cjkCount(text) > 0, lit("zh"))
+      .when(en >= de && en >= fr && en >= es, lit("en"))
+      .when(de >= fr && de >= es, lit("de"))
+      .when(fr >= es, lit("fr"))
+      .otherwise(lit("es"))
+  }
+
+  /** Composite quality score in [0,1]-ish: rewards natural-language shape
+    * (alpha-heavy, stopword-bearing, mid-length tokens), penalizes digits.
+    * Weights are heuristic; the value is deterministic and engine-portable.
+    */
+  def qualityScore(text: Column): Column =
+    alphaRatio(text) * lit(0.5) +
+      least(stopwordDensity(text), lit(0.5)) * lit(0.8) +
+      when(tokenCount(text).between(20, 10000), lit(0.1)).otherwise(lit(0.0)) -
+      digitRatio(text) * lit(0.3)
+
+  /** Canonical text normalization used by fingerprints/dedup: lowercase,
+    * collapse all non-alphanumeric runs to single spaces, trim. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+
+  /** Content fingerprint: md5 of the normalized text. Identical modulo
+    * case/punctuation/whitespace => identical fingerprint. */
+  def fingerprint(text: Column): Column = md5(normalize(text))
+
+  /** Stable 60-bit positive hash from md5 — engine-portable (any engine
+    * with md5 + hex parsing reproduces it bit-for-bit), used where results
+    * must be verifiable outside Spark. Hot paths use xxhash64 instead. */
+  def portableHash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Attach the standard metric set to a DataFrame. */
+  def withTextMetrics(df: DataFrame, textCol: String): DataFrame = {
+    val c = col(textCol)
+    df.withColumn("n_tokens", tokenCount(c))
+      .withColumn("alpha_ratio", alphaRatio(c))
+      .withColumn("digit_ratio", digitRatio(c))
+      .withColumn("stop_density", stopwordDensity(c))
+      .withColumn("quality_score", qualityScore(c))
+  }
+}

@@ -1,0 +1,131 @@
+package graft.ext
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class ExtOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (1L, "the quick brown fox jumps over the lazy dog again and again tonight"), // near-dup of 0
+    (2L, "completely different content about spark catalyst optimizer internals"),
+    (3L, "the quick brown fox jumps over the lazy dog again and again today") // exact dup of 0
+  ).toDF("doc_id", "text")
+
+  test("wordOccurrences counts adjacent repeats exactly") {
+    val r = Seq(("x", "the the the end")).toDF("id", "text")
+      .select(TextAnalysis.wordOccurrences(col("text"), "the").as("n"))
+      .head().getInt(0)
+    assert(r === 3)
+  }
+
+  test("tokenCount handles empty and blank") {
+    val r = Seq("", "  ", "a b  c").toDF("text")
+      .select(TextAnalysis.tokenCount(col("text")).as("n"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(r === Seq(0, 0, 3))
+  }
+
+  test("fingerprint ignores case/punctuation/whitespace") {
+    val fps = Seq("Hello, World!", "hello   world", "hello worlds")
+      .toDF("text").select(TextAnalysis.fingerprint(col("text"))).collect().map(_.getString(0))
+    assert(fps(0) === fps(1))
+    assert(fps(0) !== fps(2))
+  }
+
+  test("simhash: identical texts equal, near-dups closer than unrelated") {
+    val sigs = docs.select(col("doc_id"), Dedup.simhash64(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(0L) === sigs(3L))
+    val near = java.lang.Long.bitCount(sigs(0L) ^ sigs(1L))
+    val far = java.lang.Long.bitCount(sigs(0L) ^ sigs(2L))
+    assert(near < far, s"near=$near far=$far")
+  }
+
+  test("minhash estimated jaccard: dup=1.0, near-dup high, unrelated low") {
+    val sig = Dedup.minhashSignature(col("text"), numHashes = 64)
+    val s = docs.select(col("doc_id"), sig.as("sig")).as("x")
+    val pairs = s.as("a").join(s.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        Dedup.estimatedJaccard(col("a.sig"), col("b.sig")).as("j"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((0L, 3L)) === 1.0)
+    assert(pairs((0L, 1L)) > 0.5)
+    assert(pairs((0L, 2L)) < 0.2)
+  }
+
+  test("minhashDedup groups exact+near dups under min id") {
+    val groups = Dedup.minhashDedup(docs, "doc_id", "text", threshold = 0.5)
+      .select("doc_id", "dup_group")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(groups(0L) === 0L)
+    assert(groups(3L) === 0L)
+    assert(groups(1L) === 0L) // near-dup joins group 0
+    assert(groups(2L) === 2L)
+  }
+
+  test("simhashCandidatePairs finds the near-dup pair") {
+    val pairs = Dedup.simhashCandidatePairs(docs, "doc_id", "text", maxHamming = 16)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 3L)))
+    assert(pairs.contains((0L, 1L)))
+  }
+
+  test("ngramJaccard exact on known strings") {
+    val j = Seq(("abcdefg", "abcdefg"), ("abcdefg", "zzzzzzz"))
+      .toDF("a", "b")
+      .select(Dedup.ngramJaccard(col("a"), col("b"), 5).as("j"))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(j(0) === 1.0)
+    assert(j(1) === 0.0)
+  }
+
+  test("annTopK recall vs brute force on real embeddings") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val probes = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, probes, "vec_id", "embedding", 5)
+      .select("probe_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.annTopK(emb, probes, "vec_id", "embedding", 5,
+      nTables = 8, bitsPerTable = 4)
+      .select("probe_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall=$recall")
+  }
+
+  test("quantizedCosine tracks cosine") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet").limit(20)
+    val a = emb.select(col("vec_id").as("ida"), col("embedding").as("va"))
+    val b = emb.select(col("vec_id").as("idb"), col("embedding").as("vb"))
+    val diffs = a.join(b, col("ida") < col("idb"))
+      .select(abs(Similarity.cosine(col("va"), col("vb")) -
+        Similarity.quantizedCosine(col("va"), col("vb"))).as("d"))
+      .agg(max("d")).head().getDouble(0)
+    assert(diffs < 1e-9)
+  }
+
+  test("joinAsOf: strict most-recent-prior semantics") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100L),
+      (1L, ts("2024-01-01 12:00:00"), 101L),
+      (2L, ts("2024-01-01 09:00:00"), 200L)
+    ).toDF("user_id", "ts", "event_id")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:30:00"), 900L),
+      (1L, ts("2024-01-01 10:00:00"), 901L), // equal ts: must NOT match e100 (strict)
+      (1L, ts("2024-01-01 11:00:00"), 902L),
+      (3L, ts("2024-01-01 08:00:00"), 903L)
+    ).toDF("user_id", "ts", "event_id")
+    val out = AsOf.joinAsOf(left, right, Seq("user_id"), "ts", "ts",
+        Seq("event_id"), "event_id")
+      .select("event_id", "asof_event_id")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(out(100L) === 900L) // 901 is same-instant -> excluded; 900 is prior
+    assert(out(101L) === 902L)
+    assert(out(200L) === -1L) // no prior click for user 2
+  }
+}
