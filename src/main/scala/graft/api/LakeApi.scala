@@ -22,7 +22,7 @@ object lake {
     * else (kafka, jdbc, ...) is non-path and handled by its own source
     * (reference whitelist at `readwriter.py:71`). */
   val PathFormats: Set[String] =
-    Set("parquet", "json", "orc", "csv", "text")
+    Set("parquet", "json", "orc", "csv", "text", "graft")
 
   implicit final class GraftSessionOps(private val spark: SparkSession) extends AnyVal {
 
@@ -33,7 +33,8 @@ object lake {
         options: Map[String, String] = Map.empty
     )(implicit s: GraftSettings): DataFrame = {
       require(PathFormats.contains(format), s"non-path format '$format': use spark.read.format(...).load() directly")
-      spark.read.options(options).format(format).load(LakePath.data(ref))
+      if (format == "graft") graft.tables.GraftTable(spark, LakePath.data(ref)).read()
+      else spark.read.options(options).format(format).load(LakePath.data(ref))
     }
 
     /** Streaming read by 4-tuple (reference `streaming.py:9-51`). File
@@ -61,7 +62,15 @@ object lake {
         mode: String = "overwrite",
         options: Map[String, String] = Map.empty
     )(implicit s: GraftSettings): Unit =
-      ds.write.mode(mode).options(options).format(format).save(LakePath.data(ref))
+      if (format == "graft") {
+        val table = graft.tables.GraftTable(ds.sparkSession, LakePath.data(ref))
+        mode match {
+          case "append"                          => table.append(ds.toDF())
+          case "overwrite"                       => table.overwrite(ds.toDF())
+          case other =>
+            throw new IllegalArgumentException(s"graft format supports append/overwrite, got '$other'")
+        }
+      } else ds.write.mode(mode).options(options).format(format).save(LakePath.data(ref))
   }
 
   implicit final class GraftStreamWriteOps[T](private val w: DataStreamWriter[T]) {

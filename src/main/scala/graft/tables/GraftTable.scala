@@ -1,0 +1,263 @@
+package graft.tables
+
+import graft.conf.GraftSettings
+import graft.lake.FsUtils
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import org.json4s.jackson.Serialization
+import java.util.UUID
+
+/** One table commit: which files became live/dead at this version.
+  *
+  * `dataChange = false` marks rewrites (compaction) that MUST NOT re-trigger
+  * incremental consumers — the reference relies on Delta's identical flag
+  * (`jibaro/datalake/delta_handler.py:30`).
+  */
+final case class Commit(
+    version: Long,
+    action: String,
+    dataChange: Boolean,
+    timestampMs: Long,
+    add: Seq[String],
+    remove: Seq[String],
+    schemaJson: String,
+    metrics: Map[String, String])
+
+/** A versioned parquet table — the engine's stand-in for the Delta tables
+  * the reference writes everything to (no delta jar in this environment).
+  *
+  * Layout:
+  * {{{
+  *   <path>/_graft_log/00000000000000000001.json   // one JSON commit per version
+  *   <path>/part-<uuid>-*.parquet                  // immutable data files
+  * }}}
+  *
+  * Concurrency: single-writer, like the reference's sequential pipelines
+  * (SURVEY.md §7 "hard parts"). Commits are made visible by an atomic
+  * rename of the version file; readers replay the log (driver-side, tiny)
+  * and read exactly the live file set — so reads never observe a partial
+  * write, and time travel is `readAt(version)`.
+  *
+  * Scale: the log holds file NAMES only (KBs per commit); data files are
+  * immutable parquet that Spark scans with full pushdown/pruning. Appends
+  * are O(batch); `upsert` is a join-based rewrite (see method doc);
+  * compaction targets `settings.compactTargetBytes` per file.
+  */
+final class GraftTable private (
+    val spark: SparkSession,
+    val path: String,
+    settings: GraftSettings) {
+
+  private implicit val fmts: Formats = DefaultFormats
+  private val logDir = s"$path/_graft_log"
+  private def fs = FsUtils.fs(spark, path)
+
+  // ------------------------------------------------------------------ log
+
+  def commits(): Seq[Commit] = {
+    val dir = new Path(logDir)
+    if (!fs.exists(dir)) return Seq.empty
+    fs.listStatus(dir).toSeq
+      .map(_.getPath)
+      .filter(_.getName.endsWith(".json"))
+      .sortBy(_.getName)
+      .map { p =>
+        val in = fs.open(p)
+        try JsonMethods.parse(in).extract[Commit]
+        finally in.close()
+      }
+  }
+
+  def version: Long = commits().lastOption.map(_.version).getOrElse(0L)
+
+  def exists: Boolean = commits().nonEmpty
+
+  /** Live data files at `asOf` (defaults to current). */
+  def liveFiles(asOf: Long = Long.MaxValue): Seq[String] = {
+    val live = scala.collection.mutable.LinkedHashSet.empty[String]
+    commits().filter(_.version <= asOf).foreach { c =>
+      c.remove.foreach(live -= _)
+      live ++= c.add
+    }
+    live.toSeq
+  }
+
+  private def writeCommit(c: Commit): Unit = {
+    fs.mkdirs(new Path(logDir))
+    val name = f"${c.version}%020d.json"
+    val tmp = new Path(logDir, s".$name.${UUID.randomUUID()}.tmp")
+    val out = fs.create(tmp, false)
+    try out.write(Serialization.write(c).getBytes("UTF-8"))
+    finally out.close()
+    val dst = new Path(logDir, name)
+    if (!fs.rename(tmp, dst)) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(
+        s"concurrent commit detected for version ${c.version} at $path")
+    }
+  }
+
+  // ----------------------------------------------------------------- read
+
+  /** Current table content. Schema-evolving tables are read with parquet
+    * mergeSchema so the result carries the union of all written columns. */
+  def read(): DataFrame = readAt(Long.MaxValue)
+
+  def readAt(asOf: Long): DataFrame = {
+    val files = liveFiles(asOf)
+    if (files.isEmpty) {
+      // empty table: produce an empty frame with the last known schema
+      val schemaJson = commits().filter(_.version <= asOf).lastOption.map(_.schemaJson)
+      schemaJson match {
+        case Some(sj) =>
+          val schema = org.apache.spark.sql.types.DataType.fromJson(sj)
+            .asInstanceOf[org.apache.spark.sql.types.StructType]
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        case None =>
+          throw new IllegalStateException(s"table does not exist: $path")
+      }
+    } else {
+      spark.read.option("mergeSchema", "true").parquet(files.map(f => s"$path/$f"): _*)
+    }
+  }
+
+  /** Data files added by dataChange commits in versions (`fromExclusive`,
+    * current] — the incremental-consumption contract (compactions are
+    * invisible, like Delta's dataChange=false). */
+  def changesSince(fromExclusive: Long): Seq[String] =
+    commits()
+      .filter(c => c.version > fromExclusive && c.dataChange)
+      .flatMap(_.add)
+      .map(f => s"$path/$f")
+
+  // ---------------------------------------------------------------- write
+
+  /** Stage `df` as parquet files inside the table dir, return file names. */
+  private def stage(df: DataFrame): Seq[String] = {
+    val stagingId = UUID.randomUUID().toString
+    val stagingDir = s"$path/_staging-$stagingId"
+    df.write.mode("overwrite").parquet(stagingDir)
+    val staged = FsUtils.dataFiles(spark, stagingDir).map(_.getPath)
+    val names = staged.map { p =>
+      val name = s"part-$stagingId-${p.getName.stripPrefix("part-")}"
+      if (!fs.rename(p, new Path(path, name)))
+        throw new IllegalStateException(s"failed to move staged file $p into $path")
+      name
+    }
+    fs.delete(new Path(stagingDir), true)
+    names
+  }
+
+  private def nextCommit(action: String, dataChange: Boolean, add: Seq[String],
+      remove: Seq[String], schemaJson: String, metrics: Map[String, String]): Commit = {
+    val c = Commit(version + 1, action, dataChange, System.currentTimeMillis(),
+      add, remove, schemaJson, metrics)
+    writeCommit(c)
+    c
+  }
+
+  def append(df: DataFrame): Commit = {
+    val add = stage(df)
+    nextCommit("append", dataChange = true, add, Seq.empty, df.schema.json,
+      Map("numOutputFiles" -> add.size.toString))
+  }
+
+  def overwrite(df: DataFrame): Commit = {
+    val old = liveFiles()
+    val add = stage(df)
+    nextCommit("overwrite", dataChange = true, add, old, df.schema.json,
+      Map("numOutputFiles" -> add.size.toString, "numRemovedFiles" -> old.size.toString))
+  }
+
+  /** CDC upsert reproducing the reference's Delta MERGE
+    * (`jibaro/datalake/cdc.py:203-217`):
+    *  - matched  + op != deleteOp -> update all columns
+    *  - unmatched + op != deleteOp -> insert all columns
+    *  - matched  + op == deleteOp -> delete
+    *
+    * `updates` must hold at most one row per key (callers dedup with
+    * `Dedup.latestPerKey` first, as the reference does at cdc.py:132-142).
+    *
+    * Implementation: keep current rows whose key has no update (left_anti),
+    * union the non-delete update images. Schema evolution: new update
+    * columns join the schema, old rows carry nulls (mergeSchema-on-read).
+    * The anti-join broadcasts the update KEYS when small — the usual CDC
+    * case — so the existing table is never shuffled; at 100 TB pair this
+    * with key-bucketed layout so only buckets containing updated keys are
+    * rewritten (single-writer rewrite here keeps v1 simple and correct).
+    */
+  def upsert(updates: DataFrame, keyCols: Seq[String], opCol: String,
+      deleteOp: String = "d", keepOpColumn: Boolean = false): Commit = {
+    require(keyCols.nonEmpty, "upsert requires key columns")
+    def project(df: DataFrame): DataFrame =
+      if (keepOpColumn) df else df.drop(opCol)
+    if (!exists) {
+      return overwrite(project(updates.filter(col(opCol) =!= deleteOp)))
+    }
+    val current = read()
+    val updateKeys = broadcast(updates.select(keyCols.map(col): _*).distinct())
+    val kept = current.join(updateKeys, keyCols, "left_anti")
+    val upserted = project(updates.filter(col(opCol) =!= deleteOp))
+    val merged = kept.unionByName(upserted, allowMissingColumns = true)
+    val old = liveFiles()
+    val add = stage(merged)
+    nextCommit("upsert", dataChange = true, add, old, merged.schema.json,
+      Map("numOutputFiles" -> add.size.toString))
+  }
+
+  /** Small-file compaction (reference `jibaro/datalake/delta_handler.py:9-35`):
+    * when the live file count exceeds `maxFiles`, rewrite to
+    * ceil(totalBytes / compactTargetBytes) files with dataChange=false so
+    * incremental consumers skip the rewrite. Returns the commit if run. */
+  def compactIfNeeded(
+      maxFiles: Int = settings.maxNumFilesAllowed): Option[Commit] = {
+    val files = liveFiles()
+    if (files.size <= maxFiles) return None
+    val totalBytes = files.map(f => fs.getFileStatus(new Path(path, f)).getLen).sum
+    val target = math.max(1, math.ceil(totalBytes.toDouble / settings.compactTargetBytes).toInt)
+    val df = read().repartition(target)
+    val add = stage(df)
+    Some(nextCommit("compact", dataChange = false, add, files, df.schema.json,
+      Map("numOutputFiles" -> add.size.toString,
+        "numRemovedFiles" -> files.size.toString,
+        "numCompactedBytes" -> totalBytes.toString)))
+  }
+
+  /** History as a DataFrame (reference reads `DESCRIBE HISTORY` +
+    * `numFiles`, `cdc.py:224-247`). */
+  def history(): DataFrame = {
+    import spark.implicits._
+    val live = liveFiles().size.toLong
+    commits().reverse
+      .map(c => (c.version, new java.sql.Timestamp(c.timestampMs), c.action,
+        c.dataChange, c.add.size.toLong, c.metrics))
+      .toDF("version", "timestamp", "operation", "dataChange", "numAddedFiles", "operationMetrics")
+      .withColumn("numFiles", lit(live))
+  }
+
+  /** GC files removed from the live set longer than `retentionHours` ago
+    * (reference vacuums 768h every 25 versions, `cdc.py:264-269`).
+    * Returns deleted file names. */
+  def vacuum(retentionHours: Double = settings.vacuumRetentionHours): Seq[String] = {
+    val cutoff = System.currentTimeMillis() - (retentionHours * 3600 * 1000).toLong
+    val live = liveFiles().toSet
+    // a file is GC-able when some commit removed it, it is not live now,
+    // and the REMOVING commit is older than the cutoff
+    val removable = commits()
+      .filter(_.timestampMs < cutoff)
+      .flatMap(c => c.remove)
+      .distinct
+      .filterNot(live)
+    removable.foreach(f => fs.delete(new Path(path, f), false))
+    removable
+  }
+}
+
+object GraftTable {
+  def apply(spark: SparkSession, path: String)(
+      implicit settings: GraftSettings = GraftSettings.default): GraftTable =
+    new GraftTable(spark, path, settings)
+}

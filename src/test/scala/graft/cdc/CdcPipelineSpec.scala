@@ -1,0 +1,121 @@
+package graft.cdc
+
+import graft.SparkSpecBase
+import graft.codec.{AvroExpressions, AvroSchemaConverter, ConfluentWireFormat, InMemorySchemaRegistry}
+import graft.conf.{GraftSettings, Layer}
+import graft.lake.{LakePath, TableRef}
+import graft.tables.GraftTable
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import java.nio.file.Files
+
+/** End-to-end medallion test: Debezium-shaped envelopes -> FileMessageBus ->
+  * kafka_to_raw -> raw_to_staged (Confluent-Avro decode) -> staged_to_curated
+  * (CDC apply) -> dataframe_to_kafka reverse path. The local-fs re-creation
+  * of the reference's lab (SURVEY.md §5).
+  */
+object CdcPipelineSpec {
+  case class Img(id: Int, name: String, weight: Double)
+  case class Key(id: Int)
+  case class Envelope(before: Option[Img], after: Option[Img], op: String, ts_ms: Long)
+  case class Msg(k: Key, v: Envelope)
+}
+
+class CdcPipelineSpec extends SparkSpecBase {
+  import spark.implicits._
+  import CdcPipelineSpec._
+
+  private val root = Files.createTempDirectory("graft-cdc-").toString
+  private implicit val settings: GraftSettings = GraftSettings.local(root)
+  private val bus = new FileMessageBus(s"$root/bus")
+  private val registry = new InMemorySchemaRegistry
+  private val topic = "dbserver1.inventory.products"
+  private val (project, database, table) = ("lakehouse", "inventory", "products")
+
+  private def publishEnvelopes(msgs: Seq[Msg]): Unit = {
+    val df = msgs.toDS().toDF()
+    val keyType = df.schema("k").dataType.asInstanceOf[StructType]
+    val valueType = df.schema("v").dataType.asInstanceOf[StructType]
+    val keySchema = AvroSchemaConverter.toAvroSchema(keyType, "ProductKey")
+    val valueSchema = AvroSchemaConverter.toAvroSchema(valueType, "ProductEnvelope")
+    val keyId = registry.register(s"$topic-key", keySchema.toString)
+    val valueId = registry.register(s"$topic-value", valueSchema.toString)
+    bus.publish(spark, topic, df.select(
+      ConfluentWireFormat.frame(
+        AvroExpressions.to_avro(col("k"), keySchema.toString), keyId).as("key"),
+      ConfluentWireFormat.frame(
+        AvroExpressions.to_avro(col("v"), valueSchema.toString), valueId).as("value")))
+  }
+
+  private def runAllStages(): Unit = {
+    CdcPipelines.kafkaToRaw(spark, bus, topic, project, database, table)
+    CdcPipelines.rawToStaged(spark, project, database, table, ConfluentAvroCodec, registry)
+    CdcPipelines.stagedToCurated(spark, project, database, table)
+  }
+
+  private def curated: GraftTable =
+    GraftTable(spark, LakePath.data(TableRef(Layer.Curated, project, database, table)))
+
+  test("full medallion flow applies CDC operations") {
+    publishEnvelopes(Seq(
+      Msg(Key(1), Envelope(None, Some(Img(1, "widget", 1.5)), "c", 1000L)),
+      Msg(Key(2), Envelope(None, Some(Img(2, "gadget", 2.5)), "c", 1001L)),
+      Msg(Key(3), Envelope(None, Some(Img(3, "doodad", 3.5)), "c", 1002L))))
+    publishEnvelopes(Seq(
+      Msg(Key(2), Envelope(Some(Img(2, "gadget", 2.5)), Some(Img(2, "gadget-v2", 2.7)), "u", 2000L)),
+      Msg(Key(3), Envelope(Some(Img(3, "doodad", 3.5)), None, "d", 2001L))))
+
+    runAllStages()
+
+    // raw: verbatim frames
+    val raw = spark.read.parquet(LakePath.data(TableRef(Layer.Raw, project, database, table)))
+    assert(raw.count() === 5)
+    assert(raw.columns.toSet === Set("key", "value", "topic", "partition", "offset", "timestamp", "timestampType"))
+
+    // staged: decoded envelopes + schema ids
+    val staged = GraftTable(spark, LakePath.data(TableRef(Layer.Staged, project, database, table))).read()
+    assert(staged.count() === 5)
+    assert(staged.select("value.op").as[String].collect().sorted.toSeq === Seq("c", "c", "c", "d", "u"))
+    assert(staged.select("keySchemaId").distinct().as[Int].head() > 0)
+
+    // curated: current state — id1 unchanged, id2 updated, id3 deleted
+    val state = curated.read().select("id", "name", "weight", "op")
+      .as[(Int, String, Double, String)].collect().toSet
+    assert(state === Set((1, "widget", 1.5, "c"), (2, "gadget-v2", 2.7, "u")))
+  }
+
+  test("incremental: new inserts flow through without reprocessing") {
+    val stagedBefore = GraftTable(spark,
+      LakePath.data(TableRef(Layer.Staged, project, database, table))).read().count()
+    publishEnvelopes(Seq(
+      Msg(Key(4), Envelope(None, Some(Img(4, "gizmo", 4.5)), "c", 3000L))))
+    runAllStages()
+    val staged = GraftTable(spark,
+      LakePath.data(TableRef(Layer.Staged, project, database, table))).read()
+    assert(staged.count() === stagedBefore + 1)
+    val ids = curated.read().select("id").as[Int].collect().toSet
+    assert(ids === Set(1, 2, 4))
+    // history table recorded each curated commit batch
+    val hist = GraftTable(spark, LakePath.history(TableRef(Layer.Curated, project, database, table)))
+    assert(hist.read().count() >= 2)
+  }
+
+  test("reverse path: curated -> framed kafka records -> decodable") {
+    val out = "outbound.products"
+    CdcPipelines.dataframeToKafka(spark, curated.read().select("id", "name", "weight"),
+      out, keyColumns = Seq("id"), registry, bus)
+    val frames = bus.readBatch(spark, out)
+    assert(frames.count() === 3)
+    val keyId = frames.select(ConfluentWireFormat.schemaId(col("key"))).distinct().as[Int].head()
+    val valueId = frames.select(ConfluentWireFormat.schemaId(col("value"))).distinct().as[Int].head()
+    val decoded = frames.select(
+      AvroExpressions.from_avro(ConfluentWireFormat.avroPayload(col("key")),
+        registry.getById(keyId).get.schema).as("k"),
+      AvroExpressions.from_avro(ConfluentWireFormat.avroPayload(col("value")),
+        registry.getById(valueId).get.schema).as("v"))
+      .select(col("k.id"), col("v.name"))
+    assert(decoded.as[(Int, String)].collect().toSet ===
+      Set((1, "widget"), (2, "gadget-v2"), (4, "gizmo")))
+  }
+}
