@@ -1,0 +1,80 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming operator surface beyond the reference's
+  * run-to-drain pipelines (the reference uses no watermarks/windows/state —
+  * SURVEY.md §2.B "Streaming semantics" — but a complete engine exposes
+  * them): event-time windowed aggregation, session windows, and custom
+  * keyed state via flatMapGroupsWithState.
+  *
+  * All helpers work identically on batch DataFrames (Spark unifies the
+  * plans), which is how the specs drive them deterministically.
+  */
+object StreamOps {
+
+  /** Tumbling/sliding event-time counts with a watermark bounding state. */
+  def windowedAgg(
+      events: DataFrame,
+      tsCol: String,
+      keyCol: String,
+      windowLength: String,
+      slide: Option[String] = None,
+      watermark: String = "10 minutes"): DataFrame = {
+    val withWm =
+      if (events.isStreaming) events.withWatermark(tsCol, watermark) else events
+    val win = slide match {
+      case Some(s) => window(col(tsCol), windowLength, s)
+      case None    => window(col(tsCol), windowLength)
+    }
+    withWm.groupBy(win, col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("window.end").as("window_end"),
+        col(keyCol), col("n"), col("total_value"))
+  }
+
+  /** Session windows: activity grouped per key with a gap timeout. */
+  def sessionize(
+      events: DataFrame,
+      tsCol: String,
+      keyCol: String,
+      gap: String = "30 minutes",
+      watermark: String = "10 minutes"): DataFrame = {
+    val withWm =
+      if (events.isStreaming) events.withWatermark(tsCol, watermark) else events
+    withWm.groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"), min(tsCol).as("first_event"), max(tsCol).as("last_event"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col(keyCol), col("n_events"), col("first_event"), col("last_event"))
+  }
+
+  // ------------------------------------------------- custom keyed state
+
+  case class KeyedEvent(key: Long, ts: java.sql.Timestamp, value: Double)
+  case class RunningState(n: Long, total: Double)
+  case class RunningOutput(key: Long, n: Long, total: Double)
+
+  /** Per-key running aggregate with explicit state — the
+    * `flatMapGroupsWithState` surface (custom state the reference keeps in
+    * Delta via foreachBatch instead; exposed natively here). */
+  def runningTotals(events: Dataset[KeyedEvent],
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout()): Dataset[RunningOutput] = {
+    implicit val outEnc: Encoder[RunningOutput] = Encoders.product[RunningOutput]
+    implicit val stateEnc: Encoder[RunningState] = Encoders.product[RunningState]
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[RunningState, RunningOutput](
+        OutputMode.Append(), timeout) {
+        (key: Long, rows: Iterator[KeyedEvent], state: GroupState[RunningState]) =>
+          val prev = state.getOption.getOrElse(RunningState(0L, 0.0))
+          var n = prev.n
+          var total = prev.total
+          rows.foreach { e => n += 1; total += e.value }
+          state.update(RunningState(n, total))
+          Iterator(RunningOutput(key, n, total))
+      }
+  }
+}
