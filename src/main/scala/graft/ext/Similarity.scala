@@ -97,6 +97,33 @@ object Similarity {
   def lshBucketTables(vec: Column, nTables: Int, bitsPerTable: Int): Column =
     array((0 until nTables).map(t => lshBucket(vec, bitsPerTable, seed = t + 1)): _*)
 
+  /** DataFrame-level multi-table bucket computation — the SCALE path.
+    * Vectors are exploded to (id, dim, x) and every plane projection is a
+    * plain `sum` aggregate, so the whole computation whole-stage-codegens
+    * with map-side combine (the shuffle carries one projection row per doc
+    * per partition, not the vectors). The Column-expression variant above
+    * folds arrays with higher-order functions, which Spark evaluates
+    * interpreted — measured ~4x slower; keep it for expression contexts.
+    * Returns (id, buckets array<int>), one bucket per table. */
+  def lshBucketsDf(df: DataFrame, idCol: String, vecCol: String,
+      nTables: Int, bitsPerTable: Int): DataFrame = {
+    val exploded = df.select(col(idCol).as("id"),
+      posexplode(col(vecCol)).as(Seq("i", "x")))
+    val projections = (0 until nTables * bitsPerTable).map { j =>
+      val seed = (j / bitsPerTable + 1) * 1024 + (j % bitsPerTable)
+      sum(col("x").cast("double") *
+        when(xxhash64(lit(seed), col("i")).bitwiseAND(1L) === 1L, 1.0).otherwise(-1.0))
+        .as(s"p$j")
+    }
+    exploded.groupBy("id")
+      .agg(projections.head, projections.tail: _*)
+      .select(col("id"), array((0 until nTables).map { t =>
+        (0 until bitsPerTable).map { b =>
+          when(col(s"p${t * bitsPerTable + b}") > 0, shiftleft(lit(1), b)).otherwise(lit(0))
+        }.reduce(_.bitwiseOR(_)).cast("int")
+      }: _*).as("buckets"))
+  }
+
   /** Approximate top-k via multi-table hyperplane LSH.
     *
     * Candidate recall for a neighbor at angle θ is
@@ -117,9 +144,10 @@ object Similarity {
       k: Int,
       nTables: Int = 8,
       bitsPerTable: Int = 4): DataFrame = {
-    val buckets = lshBucketTables(col(vecCol), nTables, bitsPerTable)
-    val c = corpus.select(col(idCol).as("neighbor_id"), posexplode(buckets).as(Seq("tbl", "bucket")))
-    val p = probes.select(col(idCol).as("probe_id"), posexplode(buckets).as(Seq("tbl", "bucket")))
+    val c = lshBucketsDf(corpus, idCol, vecCol, nTables, bitsPerTable)
+      .select(col("id").as("neighbor_id"), posexplode(col("buckets")).as(Seq("tbl", "bucket")))
+    val p = lshBucketsDf(probes, idCol, vecCol, nTables, bitsPerTable)
+      .select(col("id").as("probe_id"), posexplode(col("buckets")).as(Seq("tbl", "bucket")))
     val pairs = c.join(broadcast(p), Seq("tbl", "bucket"))
       .filter(col("neighbor_id") =!= col("probe_id"))
       .select("probe_id", "neighbor_id")
@@ -148,8 +176,8 @@ object Similarity {
       nTables: Int = 8,
       bitsPerTable: Int = 4): DataFrame = {
     val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    val banded = v.select(col("id"),
-      posexplode(lshBucketTables(col("vec"), nTables, bitsPerTable)).as(Seq("tbl", "bucket")))
+    val banded = lshBucketsDf(df, idCol, vecCol, nTables, bitsPerTable)
+      .select(col("id"), posexplode(col("buckets")).as(Seq("tbl", "bucket")))
     val pairs = banded.as("a")
       .join(banded.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&

@@ -74,7 +74,7 @@ object VectorQueries {
       (s, dir) =>
         Similarity.cosineNearDupPairs(
             t(s, dir, "embeddings"), "vec_id", "embedding",
-            threshold = 0.35, nTables = 8, bitsPerTable = 4)
+            threshold = 0.30, nTables = 8, bitsPerTable = 8)
           .orderBy(col("id_a"), col("id_b")),
       None)
   )

@@ -66,6 +66,14 @@ class ExtOpsSpec extends SparkSpecBase {
     assert(groups(2L) === 2L)
   }
 
+  test("simhashSignatures (codegen path) agrees with simhash64 expression") {
+    val expr = docs.select(col("doc_id").as("id"), Dedup.simhash64(col("text")).as("sim"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fast = Dedup.simhashSignatures(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(expr === fast)
+  }
+
   test("simhashCandidatePairs finds the near-dup pair") {
     val pairs = Dedup.simhashCandidatePairs(docs, "doc_id", "text", maxHamming = 16)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

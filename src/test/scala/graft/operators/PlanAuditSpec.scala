@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import graft.SparkEntry
+
+/** Physical-plan audits: the 100 TB discipline, asserted. A query that
+  * silently loses filter pushdown, column pruning, its broadcast hint, or
+  * whole-stage codegen fails HERE before it fails on a cluster.
+  */
+class PlanAuditSpec extends SparkSpecBase {
+
+  // audit STATIC plans: AQE wraps everything in AdaptiveSparkPlan and hides
+  // codegen/join structure until execution
+  private def planFor(name: String) = {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    SparkEntry.queries(name)(spark, sf()).queryExecution
+  }
+
+  private def plan(name: String): String =
+    planFor(name).explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("q01: shipdate filter reaches the parquet scan; schema pruned") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"filter not pushed:\n$p")
+    assert(!p.contains("l_orderkey"), "reads columns the query never uses")
+    val codegen = planFor("q01_pricing_summary")
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+    assert(codegen.matches("(?s)Found [1-9]\\d* WholeStageCodegen subtrees.*"),
+      "aggregation fell out of whole-stage codegen")
+  }
+
+  test("q04: dimension join is broadcast, fact side not shuffled for the join") {
+    val p = plan("q04_brand_volume")
+    assert(p.contains("BroadcastHashJoin"), s"part join must broadcast:\n$p")
+  }
+
+  test("q05: both dimension hops broadcast, none sort-merge") {
+    val p = plan("q05_region_balance")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"), p)
+  }
+
+  test("q07: anti join resolves without cartesian product") {
+    val p = plan("q07_customers_without_events")
+    assert(p.contains("LeftAnti"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q25: range join stays an equi-join on the key with range residual") {
+    val p = plan("q25_shipped_within_30d")
+    // the equality on orderkey must be the join key (hash/merge), the date
+    // range only a post-join condition — NOT a nested-loop over the range
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join degenerated:\n$p")
+  }
+
+  test("e01: probes broadcast; corpus scanned partition-local") {
+    val p = plan("e01_knn_brute")
+    assert(p.contains("BroadcastNestedLoopJoin"), s"probe side must broadcast:\n$p")
+  }
+
+  test("d01: exact dedup is a partial->final hash aggregate") {
+    val p = plan("d01_dedup_exact")
+    assert(p.contains("HashAggregate"), s"dedup must hash-aggregate:\n$p")
+  }
+
+  test("documents scan for metrics prunes to the used columns") {
+    val p = plan("d02_text_metrics")
+    assert(!p.contains("n_chars"), "reads columns the query never uses")
+  }
+}
