@@ -131,7 +131,8 @@ object CdcPipelines {
     * latest-per-key dedup -> per-schema-pair slices -> bootstrap overwrite
     * or MERGE-semantics upsert (after-images upserted, before-images of
     * deletes removed). */
-  private[cdc] def applyCdcBatch(batch: DataFrame, curated: GraftTable): Unit = {
+  private[cdc] def applyCdcBatch(batch: DataFrame, curated: GraftTable,
+      curatedBuckets: Int = 0): Unit = {
     if (batch.isEmpty) return
     // latest event per primary key; offset desc tie-break makes the result
     // deterministic where the reference relied on timestamp alone
@@ -152,7 +153,10 @@ object CdcPipelines {
 
       val keyFields = slice.schema("key").dataType.asInstanceOf[StructType].fieldNames.toSeq
       if (!curated.exists) {
-        // first write: only insertable images (`cdc.py:178-187`)
+        // first write: only insertable images (`cdc.py:178-187`); declare
+        // the bucketed layout on the PK so steady-state merges are
+        // bucket-pruned
+        if (curatedBuckets > 0) curated.setBucketSpec(keyFields, curatedBuckets)
         curated.overwrite(
           slice.filter("value.op != 'd'").select(col("value.after.*"), col("value.op")))
       } else {
@@ -184,7 +188,7 @@ object CdcPipelines {
     if (!curated.exists) IncrementalRunner.deleteCheckpoint(spark, checkpoint)
 
     IncrementalRunner.runOnce(spark, staged, checkpoint) { batch =>
-      applyCdcBatch(batch, curated)
+      applyCdcBatch(batch, curated, s.curatedBuckets)
       curated.compactIfNeeded()
       // history metrics for observability (`cdc.py:220-247`)
       val historyTable = GraftTable(spark, LakePath.history(curatedRef))

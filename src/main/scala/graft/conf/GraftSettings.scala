@@ -30,7 +30,11 @@ final case class GraftSettings(
     vacuumEveryNVersions: Int = 25,
     /** Retain unreferenced files for this many hours before GC
       * (reference `cdc.py:269`). */
-    vacuumRetentionHours: Int = 768
+    vacuumRetentionHours: Int = 768,
+    /** Hash buckets for curated tables (0 disables). Bucketing lets CDC
+      * upserts rewrite only the buckets holding updated keys; size it to
+      * ~(table size / executor-comfortable rewrite unit) on a cluster. */
+    curatedBuckets: Int = 16
 ) {
   def bucketFor(layer: String): String = layer match {
     case Layer.Raw     => rawBucket

@@ -26,6 +26,14 @@ final case class Commit(
     schemaJson: String,
     metrics: Map[String, String])
 
+/** Hash-bucketed layout: rows land in `pmod(xxhash64(keys), numBuckets)`
+  * and file names carry their bucket (`b<K>-...`). With a spec set, CDC
+  * upserts rewrite ONLY the buckets containing updated keys — at 100 TB
+  * the difference between an O(batch) and an O(table) merge. */
+final case class BucketSpec(keys: Seq[String], numBuckets: Int) {
+  require(keys.nonEmpty && numBuckets > 0, "bucket spec needs keys and buckets")
+}
+
 /** A versioned parquet table — the engine's stand-in for the Delta tables
   * the reference writes everything to (no delta jar in this environment).
   *
@@ -55,6 +63,42 @@ final class GraftTable private (
   private val logDir = s"$path/_graft_log"
   private def fs = FsUtils.fs(spark, path)
 
+  // ------------------------------------------------------------ bucketing
+
+  private val metaFile = new Path(logDir, "_meta.json")
+  private val BucketName = "^b(\\d+)-".r
+
+  def bucketSpec: Option[BucketSpec] = {
+    if (!fs.exists(metaFile)) return None
+    val in = fs.open(metaFile)
+    try Some(JsonMethods.parse(in).extract[BucketSpec])
+    finally in.close()
+  }
+
+  /** Declare the bucketed layout. Must happen before (or agree with) the
+    * first write; re-declaring an identical spec is a no-op. */
+  def setBucketSpec(keys: Seq[String], numBuckets: Int): Unit = {
+    val spec = BucketSpec(keys, numBuckets)
+    bucketSpec match {
+      case Some(existing) if existing != spec =>
+        throw new IllegalStateException(s"table already bucketed as $existing")
+      case Some(_) => ()
+      case None =>
+        require(!exists, "cannot bucket a table that already has data commits")
+        fs.mkdirs(new Path(logDir))
+        val out = fs.create(metaFile, false)
+        try out.write(Serialization.write(spec).getBytes("UTF-8"))
+        finally out.close()
+    }
+  }
+
+  /** Bucket id encoded in a data file's name, if any. */
+  private def bucketOf(fileName: String): Option[Int] =
+    BucketName.findFirstMatchIn(fileName).map(_.group(1).toInt)
+
+  private def bucketExpr(spec: BucketSpec): org.apache.spark.sql.Column =
+    pmod(xxhash64(spec.keys.map(col): _*), lit(spec.numBuckets)).cast("int")
+
   // ------------------------------------------------------------------ log
 
   def commits(): Seq[Commit] = {
@@ -62,7 +106,7 @@ final class GraftTable private (
     if (!fs.exists(dir)) return Seq.empty
     fs.listStatus(dir).toSeq
       .map(_.getPath)
-      .filter(_.getName.endsWith(".json"))
+      .filter(_.getName.matches("\\d{20}\\.json"))
       .sortBy(_.getName)
       .map { p =>
         val in = fs.open(p)
@@ -135,14 +179,28 @@ final class GraftTable private (
 
   // ---------------------------------------------------------------- write
 
-  /** Stage `df` as parquet files inside the table dir, return file names. */
+  /** Stage `df` as parquet files inside the table dir, return file names.
+    * With a bucket spec (and the keys present), rows are hash-routed and
+    * file names carry their bucket id. */
   private def stage(df: DataFrame): Seq[String] = {
     val stagingId = UUID.randomUUID().toString
     val stagingDir = s"$path/_staging-$stagingId"
-    df.write.mode("overwrite").parquet(stagingDir)
+    val spec = bucketSpec.filter(_.keys.forall(df.columns.contains))
+    spec match {
+      case Some(sp) =>
+        require(!df.columns.contains("graft_bucket"), "column name 'graft_bucket' is reserved")
+        df.withColumn("graft_bucket", bucketExpr(sp))
+          .repartition(col("graft_bucket"))
+          .write.mode("overwrite").partitionBy("graft_bucket").parquet(stagingDir)
+      case None =>
+        df.write.mode("overwrite").parquet(stagingDir)
+    }
     val staged = FsUtils.dataFiles(spark, stagingDir).map(_.getPath)
     val names = staged.map { p =>
-      val name = s"part-$stagingId-${p.getName.stripPrefix("part-")}"
+      val bucketPrefix = spec.flatMap { _ =>
+        "graft_bucket=(\\d+)".r.findFirstMatchIn(p.getParent.getName).map(m => s"b${m.group(1)}-")
+      }.getOrElse("")
+      val name = s"${bucketPrefix}part-$stagingId-${p.getName.stripPrefix("part-")}"
       if (!fs.rename(p, new Path(path, name)))
         throw new IllegalStateException(s"failed to move staged file $p into $path")
       name
@@ -197,15 +255,35 @@ final class GraftTable private (
     if (!exists) {
       return overwrite(project(updates.filter(col(opCol) =!= deleteOp)))
     }
-    val current = read()
     val updateKeys = broadcast(updates.select(keyCols.map(col): _*).distinct())
-    val kept = current.join(updateKeys, keyCols, "left_anti")
     val upserted = project(updates.filter(col(opCol) =!= deleteOp))
-    val merged = kept.unionByName(upserted, allowMissingColumns = true)
-    val old = liveFiles()
+
+    // bucket pruning: with a matching bucket spec only the buckets holding
+    // updated keys are read and rewritten — O(batch), not O(table)
+    val (oldFiles, current) = bucketSpec.filter(_.keys == keyCols) match {
+      case Some(sp) =>
+        val buckets = updates.select(bucketExpr(sp).as("b"))
+          .distinct().collect().map(_.getInt(0)).toSet
+        // files with no bucket in their name (legacy flat writes) are
+        // always treated as affected
+        val affected = liveFiles().filter(f => bucketOf(f).forall(buckets.contains))
+        val df =
+          if (affected.isEmpty) None
+          else Some(spark.read.option("mergeSchema", "true")
+            .parquet(affected.map(f => s"$path/$f"): _*))
+        (affected, df)
+      case _ => (liveFiles(), Some(read()))
+    }
+    val merged = current match {
+      case Some(df) =>
+        df.join(updateKeys, keyCols, "left_anti")
+          .unionByName(upserted, allowMissingColumns = true)
+      case None => upserted
+    }
     val add = stage(merged)
-    nextCommit("upsert", dataChange = true, add, old, merged.schema.json,
-      Map("numOutputFiles" -> add.size.toString))
+    nextCommit("upsert", dataChange = true, add, oldFiles, merged.schema.json,
+      Map("numOutputFiles" -> add.size.toString,
+        "numRewrittenFiles" -> oldFiles.size.toString))
   }
 
   /** Small-file compaction (reference `jibaro/datalake/delta_handler.py:9-35`):

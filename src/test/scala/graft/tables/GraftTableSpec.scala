@@ -80,6 +80,44 @@ class GraftTableSpec extends SparkSpecBase {
     assert(seen === 1)
   }
 
+  test("bucketed upsert rewrites only affected buckets") {
+    val dir = Files.createTempDirectory("graft-bucket-").toString
+    val t = GraftTable(spark, s"file://$dir/t")(GraftSettings.default)
+    t.setBucketSpec(Seq("id"), numBuckets = 8)
+    t.append((1 to 200).map(i => (i, s"v$i")).toDF("id", "v"))
+    val before = t.liveFiles()
+    assert(before.forall(_.startsWith("b")), s"files must carry buckets: $before")
+    assert(before.map(f => f.takeWhile(_ != '-')).distinct.size > 1, "expected multiple buckets")
+
+    // update exactly one key -> only that key's bucket may be rewritten
+    val c = t.upsert(Seq((7, "SEVEN", "u")).toDF("id", "v", "op"), Seq("id"), "op")
+    val rewrittenBuckets = c.remove.map(f => f.takeWhile(_ != '-')).distinct
+    assert(rewrittenBuckets.size === 1, s"rewrote buckets: $rewrittenBuckets")
+    // untouched files still live
+    assert((before.toSet -- c.remove.toSet).subsetOf(t.liveFiles().toSet))
+    // content correct
+    val got = t.read().as[(Int, String)].collect().toMap
+    assert(got.size === 200 && got(7) === "SEVEN" && got(8) === "v8")
+
+    // inserts into a fresh bucket don't touch existing files
+    val c2 = t.upsert(Seq((9999, "new", "c")).toDF("id", "v", "op"), Seq("id"), "op")
+    assert(c2.remove.map(f => f.takeWhile(_ != '-')).distinct.size <= 1)
+    assert(t.read().count() === 201)
+
+    // deletes shrink only their bucket
+    t.upsert(Seq((7, "x", "d")).toDF("id", "v", "op"), Seq("id"), "op")
+    assert(t.read().count() === 200)
+    assert(!t.read().as[(Int, String)].collect().toMap.contains(7))
+  }
+
+  test("bucket spec is immutable once declared") {
+    val dir = Files.createTempDirectory("graft-bucket2-").toString
+    val t = GraftTable(spark, s"file://$dir/t")(GraftSettings.default)
+    t.setBucketSpec(Seq("id"), 4)
+    t.setBucketSpec(Seq("id"), 4) // same spec: no-op
+    intercept[IllegalStateException](t.setBucketSpec(Seq("id"), 8))
+  }
+
   test("history exposes versions and operations") {
     val t = tmpTable()
     t.append(Seq((1, "a")).toDF("id", "v"))
