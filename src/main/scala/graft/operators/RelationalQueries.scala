@@ -415,6 +415,21 @@ object RelationalQueries {
         count(CASE WHEN event_type = 'view' THEN 1 END) AS view
         FROM events GROUP BY user_id ORDER BY user_id""")),
 
+    // ---- sketches ---------------------------------------------------------
+    // HLL sketch cardinalities: engine-specific estimators, so no
+    // cross-engine hash oracle — accuracy vs exact is asserted in
+    // SketchSpec (within 5%); the driver records a rows-only check.
+    CatalogQuery(
+      "q29_approx_distinct",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            approx_count_distinct(col("l_partkey")).as("approx_parts"),
+            hll_sketch_estimate(hll_sketch_agg(col("l_suppkey"))).as("hll_supps"))
+          .orderBy(col("l_returnflag")),
+      None),
+
     // ---- date functions ---------------------------------------------------
     CatalogQuery(
       "q27_monthly_order_span",
