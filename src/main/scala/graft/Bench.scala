@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
 
 /** Benchmark main (driver contract): run every catalog query on
   * SPARK_GRAFT_SF_DIR, print ONE JSON line with per-query seconds.
@@ -8,6 +9,12 @@ import org.apache.spark.sql.SparkSession
   * Two passes: an untimed warmup absorbs JVM/codegen/parquet-footer
   * warmup (otherwise the first query pays ~5s of cold-start that has
   * nothing to do with plan quality), then the timed pass.
+  *
+  * Failures are NOT swallowed: a query that throws is recorded with
+  * value -1 and its message lands in the "errors" map, so a regression
+  * can never masquerade as a fast success. The JSON line is printed as
+  * the final stdout line after spark.stop() and also written to
+  * BENCH_LOCAL.json for belt-and-braces parseability.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -24,22 +31,46 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    def esc(s: String): String = s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
     val names = SparkEntry.queries.keys.toSeq.sorted
-    // warmup: full pass, untimed
+    // warmup: full pass, untimed (errors surface in the timed pass)
     names.foreach { name =>
       try SparkEntry.queries(name)(spark, sfDir).count()
       catch { case _: Throwable => () }
     }
     // timed pass
+    var errors = Map.empty[String, String]
     val results = names.map { name =>
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir).count()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+        catch {
+          case e: Throwable =>
+            errors += name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+            false
+        }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errJson = errors.toSeq.sorted
+      .map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"${esc(sfDir)}"}"""
+    Files.writeString(Paths.get("BENCH_LOCAL.json"), line + "\n")
     spark.stop()
+    // last stdout line, after spark.stop() so no log noise can follow
+    println(line)
+    System.out.flush()
+    if (errors.nonEmpty) {
+      System.err.println(s"[bench] ${errors.size} queries FAILED: ${errors.keys.toSeq.sorted.mkString(", ")}")
+    }
   }
 }

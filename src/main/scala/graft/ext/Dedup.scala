@@ -85,19 +85,62 @@ object Dedup {
         xxhash64(slice(sig, col("band") * rowsPerBand + 1, rowsPerBand), col("band")))
   }
 
+  /** MinHash signatures as a DataFrame op — the SCALE path and the
+    * engine-portable path in one. Shingles are exploded and each signature
+    * position is a plain `min` aggregate, so the whole computation stays in
+    * WholeStageCodegen with map-side combine: the shuffle carries one
+    * numHashes-wide partial row per (partition, doc), not the shingles.
+    * `portable=true` hashes each shingle with the md5-derived 60-bit hash
+    * ("seed:shingle", exactly mirrorable in DuckDB — the d05 technique);
+    * otherwise xxhash64 (cheaper). Returns (id, sig array<long>). */
+  def minhashSignaturesDf(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 32,
+      shingleSize: Int = 3,
+      portable: Boolean = false): DataFrame = {
+    val shingles = df.select(col(idCol).as("id"),
+      explode(wordShingles(col(textCol), shingleSize)).as("sh"))
+    val mins = (0 until numHashes).map { seed =>
+      val h =
+        if (portable) TextAnalysis.portableHash60(concat(lit(s"$seed:"), col("sh")))
+        else xxhash64(col("sh"), lit(seed))
+      min(h).as(s"h$seed")
+    }
+    shingles.groupBy("id")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
   /** Candidate near-dup pairs from MinHash+LSH, with their estimated
     * Jaccard. `idCol` must be unique. Only candidates sharing an LSH bucket
-    * are compared — the cross-product never materializes. */
+    * are compared — the cross-product never materializes. With
+    * `portable=true`, signatures and band keys are engine-portable
+    * (md5-derived hashes; band key = the band's values joined with '|'),
+    * so the whole pipeline can be mirrored in SQL by the DuckDB oracle. */
   def minhashCandidatePairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       numHashes: Int = 64,
       bands: Int = 16,
-      shingleSize: Int = 3): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"),
-      minhashSignature(col(textCol), numHashes, shingleSize).as("sig"))
-    val banded = lshBands(sigs, "sig", bands).select("id", "sig", "band", "band_key")
+      shingleSize: Int = 3,
+      portable: Boolean = false): DataFrame = {
+    require(numHashes % bands == 0, s"numHashes=$numHashes not divisible by bands=$bands")
+    val rowsPerBand = numHashes / bands
+    val sigs = minhashSignaturesDf(df, idCol, textCol, numHashes, shingleSize, portable)
+    val bandKey =
+      if (portable)
+        concat_ws("|",
+          transform(slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand)),
+            _.cast("string")))
+      else
+        xxhash64(slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand)), col("band"))
+    val banded = sigs
+      .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
+      .withColumn("band_key", bandKey)
+      .select("id", "sig", "band", "band_key")
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b,
@@ -120,8 +163,9 @@ object Dedup {
       threshold: Double = 0.7,
       numHashes: Int = 64,
       bands: Int = 16,
-      shingleSize: Int = 3): DataFrame = {
-    val pairs = minhashCandidatePairs(df, idCol, textCol, numHashes, bands, shingleSize)
+      shingleSize: Int = 3,
+      portable: Boolean = false): DataFrame = {
+    val pairs = minhashCandidatePairs(df, idCol, textCol, numHashes, bands, shingleSize, portable)
       .filter(col("est_jaccard") >= threshold)
     val repFromPairs = pairs
       .select(col("id_b").as("id"), col("id_a").as("candidate_rep"))
@@ -160,37 +204,63 @@ object Dedup {
   /** SimHash signatures as a DataFrame op — the SCALE path. Tokens are
     * exploded and bit-vote sums use plain aggregates, so the whole thing
     * stays in WholeStageCodegen with map-side combine: the shuffle carries
-    * one 64-counter row per (partition, doc), NOT the tokens. (The
+    * one per-bit-counter row per (partition, doc), NOT the tokens. (The
     * `simhash64` Column variant computes identical values via array folds,
     * but Spark evaluates higher-order functions interpreted — measured 20x
-    * slower per doc; keep it for expression contexts only.) */
-  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * slower per doc; keep it for expression contexts only.)
+    *
+    * `portable=true` switches the token hash to the md5-derived 60-bit
+    * portable hash (60 vote bits: bits 0-59), so the signature — and
+    * everything downstream — is reproducible in any engine with md5
+    * (mirrored by the DuckDB oracle). Default is xxhash64 over 64 bits. */
+  def simhashSignatures(
+      df: DataFrame, idCol: String, textCol: String,
+      portable: Boolean = false): DataFrame = {
+    val nBits = simhashBits(portable)
     val tokens = df.select(col(idCol).as("id"),
       explode(split(TextAnalysis.normalize(col(textCol)), " ")).as("tkn"))
-    val h = xxhash64(col("tkn"))
-    val bitVotes = (0 until 64).map { i =>
+    val h =
+      if (portable) TextAnalysis.portableHash60(col("tkn"))
+      else xxhash64(col("tkn"))
+    val bitVotes = (0 until nBits).map { i =>
       sum(when(shiftright(h, i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"b$i")
     }
     tokens.groupBy("id")
       .agg(bitVotes.head, bitVotes.tail: _*)
       .select(col("id"),
-        (0 until 64).map(i =>
+        (0 until nBits).map(i =>
           when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
           .reduce(_.bitwiseOR(_)).as("sim"))
   }
 
-  /** SimHash near-dup candidate pairs: band the 64 bits into 4 x 16-bit
-    * chunks; docs sharing any chunk are candidates (catches all pairs with
-    * hamming distance <= 3), then filter by exact hamming distance. */
+  /** Signature width: 60 portable bits (15 md5 hex chars) vs 64 xxhash64
+    * bits — both band evenly into the chunk layouts below. */
+  private def simhashBits(portable: Boolean): Int = if (portable) 60 else 64
+
+  /** SimHash near-dup candidate pairs with a GUARANTEED recall contract:
+    * the signature is banded into `bands` equal chunks, and a pair within
+    * hamming distance `bands - 1` must agree on at least one chunk
+    * (pigeonhole), so banding loses NO pair with hamming <= bands-1.
+    * `maxHamming` is therefore capped at bands-1: 7 for the 64-bit/8-band
+    * default, 5 for the portable 60-bit/6-band layout. Candidates are then
+    * filtered by exact hamming distance. */
   def simhashCandidatePairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    val sigs = simhashSignatures(df, idCol, textCol)
-    val banded = sigs.withColumn("band", explode(sequence(lit(0), lit(3))))
+      maxHamming: Int = 3,
+      portable: Boolean = false): DataFrame = {
+    val nBits = simhashBits(portable)
+    val bands = if (portable) 6 else 8
+    val width = nBits / bands
+    require(maxHamming <= bands - 1,
+      s"banding into $bands chunks only guarantees recall for hamming <= ${bands - 1}; " +
+        s"got maxHamming=$maxHamming")
+    val sigs = simhashSignatures(df, idCol, textCol, portable)
+    val banded = sigs.withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
       .withColumn("band_key",
-        call_function("shiftright", col("sim"), col("band") * 16).bitwiseAND(lit(0xFFFFL)))
+        call_function("shiftright", col("sim"), col("band") * width)
+          .bitwiseAND(lit((1L << width) - 1)))
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b,

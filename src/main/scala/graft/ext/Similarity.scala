@@ -19,12 +19,12 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Double-precision dot product of two float vectors. */
+  /** Double-precision dot product of two float vectors — a native codegen'd
+    * expression (see [[graft.functions.DotProduct]]); identical left-to-right
+    * summation to the `aggregate`/`zip_with` fold it replaced, minus the
+    * interpreted higher-order-function overhead. */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, v) => acc + v)
+    graft.functions.VectorExpressions.dotProduct(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -35,13 +35,10 @@ object Similarity {
     * reproducible regardless of partitioning/engine, because integer
     * addition is associative where float addition is not. Used where
     * results must verify bit-for-bit outside Spark; magnitudes up to
-    * |x*y| ~ 1e4 stay far from Long overflow at dim <= 1e3. */
+    * |x*y| ~ 1e4 stay far from Long overflow at dim <= 1e3. Codegen'd
+    * (see [[graft.functions.QuantizedDotProduct]]). */
   def quantizedDot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b,
-        (x, y) => floor(x.cast("double") * y.cast("double") * lit(1e12)).cast("long")),
-      lit(0L),
-      (acc, v) => acc + v)
+    graft.functions.VectorExpressions.quantizedDotProduct(a, b)
 
   /** Cosine from quantized components — deterministic across engines. */
   def quantizedCosine(a: Column, b: Column): Column =
@@ -124,6 +121,57 @@ object Similarity {
       }: _*).as("buckets"))
   }
 
+  /** Bucket assignments as (id, tbl, bucket) rows — the form the candidate
+    * joins consume directly (no array materialization / re-explode).
+    *
+    * Projections are fixed-point: each component is quantized to
+    * `floor(x * 1e9)` BIGINT before the signed sum, so bucket ids are exact
+    * integer arithmetic — identical on any engine or partitioning (a double
+    * sum's rounding depends on order; an integer sum's doesn't). With
+    * `portable=true` the hyperplane sign matrix derives from md5 parity
+    * (reproducible in the DuckDB oracle); otherwise from xxhash64 (cheaper).
+    *
+    * Plan shape: the (plane, dim, sign) matrix is nPlanes x dim rows, built
+    * once and broadcast; vectors posexplode to (id, i, qx) and join it —
+    * all narrow, whole-stage-codegen'd, with map-side partial aggregation,
+    * so the only shuffle carries (id, plane, partialSum) rows: ~nPlanes
+    * small rows per vector, never the vectors themselves.
+    */
+  def lshBucketRows(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nTables: Int,
+      bitsPerTable: Int,
+      portable: Boolean = false): DataFrame = {
+    val spark = df.sparkSession
+    val dim = df.select(size(col(vecCol)).as("d")).head.getInt(0)
+    val nPlanes = nTables * bitsPerTable
+    val planeDim = spark.range(nPlanes.toLong).select(col("id").cast("int").as("p"))
+      .crossJoin(spark.range(dim.toLong).select(col("id").cast("int").as("i")))
+    val parityBit =
+      if (portable)
+        conv(substring(md5(concat(col("p").cast("string"), lit(":"), col("i").cast("string"))), 1, 1), 16, 10)
+          .cast("long") % 2L
+      else {
+        val seed = ((col("p") / lit(bitsPerTable)).cast("int") + 1) * 1024 +
+          pmod(col("p"), lit(bitsPerTable))
+        xxhash64(seed, col("i")).bitwiseAND(1L)
+      }
+    val signs = planeDim.select(col("p"), col("i"),
+      when(parityBit === 1L, 1L).otherwise(-1L).as("sgn"))
+    val exploded = df.select(col(idCol).as("id"), posexplode(col(vecCol)).as(Seq("i", "x")))
+      .withColumn("qx", floor(col("x").cast("double") * lit(1e9)).cast("long"))
+    exploded.join(broadcast(signs), Seq("i"))
+      .groupBy(col("id"), col("p"))
+      .agg(sum(col("sgn") * col("qx")).as("proj"))
+      .withColumn("tbl", (col("p") / lit(bitsPerTable)).cast("int"))
+      .withColumn("bit", pmod(col("p"), lit(bitsPerTable)).cast("int"))
+      .groupBy("id", "tbl")
+      .agg(sum(when(col("proj") > 0, call_function("shiftleft", lit(1L), col("bit")))
+        .otherwise(0L)).cast("int").as("bucket"))
+  }
+
   /** Approximate top-k via multi-table hyperplane LSH.
     *
     * Candidate recall for a neighbor at angle θ is
@@ -143,11 +191,12 @@ object Similarity {
       vecCol: String,
       k: Int,
       nTables: Int = 8,
-      bitsPerTable: Int = 4): DataFrame = {
-    val c = lshBucketsDf(corpus, idCol, vecCol, nTables, bitsPerTable)
-      .select(col("id").as("neighbor_id"), posexplode(col("buckets")).as(Seq("tbl", "bucket")))
-    val p = lshBucketsDf(probes, idCol, vecCol, nTables, bitsPerTable)
-      .select(col("id").as("probe_id"), posexplode(col("buckets")).as(Seq("tbl", "bucket")))
+      bitsPerTable: Int = 4,
+      portable: Boolean = false): DataFrame = {
+    val c = lshBucketRows(corpus, idCol, vecCol, nTables, bitsPerTable, portable)
+      .select(col("id").as("neighbor_id"), col("tbl"), col("bucket"))
+    val p = lshBucketRows(probes, idCol, vecCol, nTables, bitsPerTable, portable)
+      .select(col("id").as("probe_id"), col("tbl"), col("bucket"))
     val pairs = c.join(broadcast(p), Seq("tbl", "bucket"))
       .filter(col("neighbor_id") =!= col("probe_id"))
       .select("probe_id", "neighbor_id")
@@ -157,9 +206,12 @@ object Similarity {
         Seq("probe_id"))
       .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("neighbor_vec")),
         Seq("neighbor_id"))
+    val sim =
+      if (portable) quantizedCosine(col("probe_vec"), col("neighbor_vec"))
+      else cosine(col("probe_vec"), col("neighbor_vec"))
     val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("neighbor_id"))
     withVecs
-      .withColumn("sim", cosine(col("probe_vec"), col("neighbor_vec")))
+      .withColumn("sim", sim)
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select("probe_id", "neighbor_id", "rnk", "sim")
@@ -174,20 +226,23 @@ object Similarity {
       vecCol: String,
       threshold: Double,
       nTables: Int = 8,
-      bitsPerTable: Int = 4): DataFrame = {
+      bitsPerTable: Int = 4,
+      portable: Boolean = false): DataFrame = {
     val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    val banded = lshBucketsDf(df, idCol, vecCol, nTables, bitsPerTable)
-      .select(col("id"), posexplode(col("buckets")).as(Seq("tbl", "bucket")))
+    val banded = lshBucketRows(df, idCol, vecCol, nTables, bitsPerTable, portable)
     val pairs = banded.as("a")
       .join(banded.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+    val cos =
+      if (portable) quantizedCosine(col("vec_a"), col("vec_b"))
+      else cosine(col("vec_a"), col("vec_b"))
     pairs
       .join(v.select(col("id").as("id_a"), col("vec").as("vec_a")), Seq("id_a"))
       .join(v.select(col("id").as("id_b"), col("vec").as("vec_b")), Seq("id_b"))
-      .withColumn("cos", cosine(col("vec_a"), col("vec_b")))
+      .withColumn("cos", cos)
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
   }

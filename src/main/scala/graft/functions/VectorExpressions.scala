@@ -1,0 +1,125 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Native codegen'd vector arithmetic over `array<float>` / `array<double>`
+  * columns. Spark evaluates higher-order array functions
+  * (`aggregate`/`zip_with`) interpreted — measured 20x slower per row on
+  * signature hot paths — so the similarity operators' exact-scoring stage
+  * uses these expressions instead: a tight primitive loop inside
+  * WholeStageCodegen, no boxing, no lambda dispatch.
+  *
+  * Semantics match the expression forms they replace exactly:
+  *  - `DotProduct`: left-to-right `sum += (double)a[i] * (double)b[i]`.
+  *  - `QuantizedDotProduct`: `sum += (long)floor(a[i]*b[i]*1e12)` — the
+  *    fixed-point form whose integer addition is associative, making the
+  *    result bit-identical across engines/partitionings (the DuckDB oracle
+  *    mirrors it elementwise).
+  */
+object VectorExpressions {
+
+  def dotProduct(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def quantizedDotProduct(a: Column, b: Column): Column =
+    ColumnBridge.column(QuantizedDotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  private[functions] def elementAccessor(dt: DataType, arr: String, idx: String): String =
+    dt match {
+      case ArrayType(FloatType, _) => s"(double) $arr.getFloat($idx)"
+      case ArrayType(DoubleType, _) => s"$arr.getDouble($idx)"
+      case other => throw new IllegalArgumentException(
+        s"vector ops need array<float>/array<double>, got $other")
+    }
+
+  private[functions] def elementAt(dt: DataType, arr: ArrayData, i: Int): Double =
+    dt match {
+      case ArrayType(FloatType, _) => arr.getFloat(i).toDouble
+      case ArrayType(DoubleType, _) => arr.getDouble(i)
+      case other => throw new IllegalArgumentException(
+        s"vector ops need array<float>/array<double>, got $other")
+    }
+}
+
+/** Exact double dot product; null if either side is null. Arrays must be
+  * equal length with no null elements (embedding columns). */
+case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (xa, xb) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    var sum = 0.0
+    var i = 0
+    val n = xa.numElements()
+    while (i < n) {
+      sum += VectorExpressions.elementAt(left.dataType, xa, i) *
+        VectorExpressions.elementAt(right.dataType, xb, i)
+      i += 1
+    }
+    sum
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val sum = ctx.freshName("sum")
+      val xa = VectorExpressions.elementAccessor(left.dataType, a, i)
+      val xb = VectorExpressions.elementAccessor(right.dataType, b, i)
+      s"""
+         |double $sum = 0.0;
+         |int $n = $a.numElements();
+         |for (int $i = 0; $i < $n; $i++) { $sum += ($xa) * ($xb); }
+         |${ev.value} = $sum;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Fixed-point (1e-12) dot product as a BIGINT — order-independent integer
+  * accumulation, reproducible on any engine/partitioning. */
+case class QuantizedDotProduct(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (xa, xb) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    var sum = 0L
+    var i = 0
+    val n = xa.numElements()
+    while (i < n) {
+      sum += math.floor(VectorExpressions.elementAt(left.dataType, xa, i) *
+        VectorExpressions.elementAt(right.dataType, xb, i) * 1e12).toLong
+      i += 1
+    }
+    sum
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val sum = ctx.freshName("sum")
+      val xa = VectorExpressions.elementAccessor(left.dataType, a, i)
+      val xb = VectorExpressions.elementAccessor(right.dataType, b, i)
+      s"""
+         |long $sum = 0L;
+         |int $n = $a.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $sum += (long) Math.floor(($xa) * ($xb) * 1.0E12);
+         |}
+         |${ev.value} = $sum;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): QuantizedDotProduct =
+    copy(left = newLeft, right = newRight)
+}

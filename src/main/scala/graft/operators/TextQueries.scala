@@ -146,23 +146,82 @@ object TextQueries {
         FROM n a JOIN n b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
         ORDER BY id_a, id_b""")),
 
-    // xxhash64-based ops: Spark-native hot path, no cross-engine oracle —
-    // validated by unit tests + the driver's rows-only check.
+    // Portable simhash: 60-bit md5-derived token hashes, 6 x 10-bit bands
+    // (guaranteed recall for hamming <= 5 by pigeonhole), exact-hamming
+    // filter — mirrored step-for-step by the DuckDB oracle.
     CatalogQuery(
       "d07_simhash_neardup",
       (s, dir) =>
         Dedup.simhashCandidatePairs(
-            t(s, dir, "documents"), "doc_id", "text", maxHamming = 16)
+            t(s, dir, "documents"), "doc_id", "text", maxHamming = 5, portable = true)
           .orderBy(col("id_a"), col("id_b")),
-      None),
+      Some {
+        val bitSums = (0 until 60)
+          .map(i => s"SUM(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i")
+          .mkString(", ")
+        val pack = (0 until 60)
+          .map(i => s"(CASE WHEN b$i > 0 THEN (CAST(1 AS BIGINT) << $i) ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH base AS (
+          SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+          FROM documents),
+        tok AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS tkn FROM base),
+        h AS (SELECT doc_id, CAST(('0x' || substr(md5(tkn), 1, 15)) AS BIGINT) AS h FROM tok),
+        v AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id),
+        s AS (SELECT doc_id, $pack AS sim FROM v),
+        banded AS (SELECT doc_id, sim, bd, (sim >> (bd * 10)) & 1023 AS bk
+                   FROM s, (SELECT unnest(generate_series(0, 5)) AS bd)),
+        pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                    a.sim AS sim_a, b.sim AS sim_b
+                  FROM banded a JOIN banded b
+                    ON a.bd = b.bd AND a.bk = b.bk AND a.doc_id < b.doc_id)
+        SELECT id_a, id_b, CAST(bit_count(xor(sim_a, sim_b)) AS INTEGER) AS hamming
+        FROM pairs WHERE bit_count(xor(sim_a, sim_b)) <= 5
+        ORDER BY id_a, id_b"""
+      }),
 
+    // Portable minhash dedup: 32 md5-derived min-hashes, 8 bands of 4,
+    // est-Jaccard >= 0.5, star-clustering group representative (single
+    // min-propagation pass) — the full pipeline mirrored in DuckDB.
     CatalogQuery(
       "d08_minhash_dedup",
       (s, dir) =>
-        Dedup.minhashDedup(t(s, dir, "documents"), "doc_id", "text", threshold = 0.5)
+        Dedup.minhashDedup(t(s, dir, "documents"), "doc_id", "text",
+            threshold = 0.5, numHashes = 32, bands = 8, portable = true)
           .select(col("doc_id"), col("dup_group"))
           .orderBy(col("doc_id")),
-      None),
+      Some {
+        val hs = (0 until 32).map { seed =>
+          s"list_min([CAST(('0x' || substr(md5('$seed:' || s), 1, 15)) AS BIGINT) FOR s IN shingles]) AS h$seed"
+        }.mkString(", ")
+        val sigList = (0 until 32).map(i => s"h$i").mkString("[", ", ", "]")
+        val eq = (1 to 32)
+          .map(i => s"(CASE WHEN sig_a[$i] = sig_b[$i] THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH w AS (
+          SELECT doc_id,
+            string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS words
+          FROM documents),
+        sh AS (
+          SELECT doc_id,
+            CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+                 ELSE [array_to_string(words[i:i+2], ' ') FOR i IN generate_series(1, len(words) - 2)] END AS shingles
+          FROM w),
+        hs AS (SELECT doc_id, $hs FROM sh),
+        sig AS (SELECT doc_id, $sigList AS sig FROM hs),
+        banded AS (SELECT doc_id, sig, bd,
+                     array_to_string(sig[bd * 4 + 1 : bd * 4 + 4], '|') AS bk
+                   FROM sig, (SELECT unnest(generate_series(0, 7)) AS bd)),
+        pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                    a.sig AS sig_a, b.sig AS sig_b
+                  FROM banded a JOIN banded b
+                    ON a.bd = b.bd AND a.bk = b.bk AND a.doc_id < b.doc_id),
+        good AS (SELECT id_a, id_b FROM pairs
+                 WHERE CAST($eq AS DOUBLE) / 32 >= 0.5),
+        rep AS (SELECT id_b AS doc_id, min(id_a) AS rep FROM good GROUP BY 1)
+        SELECT d.doc_id, least(coalesce(r.rep, d.doc_id), d.doc_id) AS dup_group
+        FROM documents d LEFT JOIN rep r USING (doc_id) ORDER BY d.doc_id"""
+      }),
 
     // As-of join: most recent prior click for every purchase.
     CatalogQuery(

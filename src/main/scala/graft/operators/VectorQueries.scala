@@ -54,8 +54,10 @@ object VectorQueries {
       Some(s"""SELECT vec_id, label, ${qdotSql("embedding", "embedding")} AS qnorm
         FROM embeddings ORDER BY vec_id""")),
 
-    // Scale path: hyperplane-LSH bucketed ANN (xxhash-seeded planes — no
-    // cross-engine oracle; recall vs e01 asserted in unit tests).
+    // Scale path: hyperplane-LSH bucketed ANN, fully engine-portable —
+    // md5-parity sign matrix + fixed-point (1e9) integer projections mean
+    // bucket ids are exact integer math, and the candidate scoring uses the
+    // quantized cosine; DuckDB mirrors every step.
     CatalogQuery(
       "e03_ann_lsh",
       (s, dir) => {
@@ -64,18 +66,68 @@ object VectorQueries {
             corpus = emb,
             probes = emb.filter(col("vec_id") < 5),
             idCol = "vec_id", vecCol = "embedding", k = 5,
-            nTables = 8, bitsPerTable = 6)
+            nTables = 8, bitsPerTable = 6, portable = true)
           .orderBy(col("probe_id"), col("rnk"))
       },
-      None),
+      Some(s"""${bucketsSql(nTables = 8, bitsPerTable = 6)},
+        cand AS (SELECT DISTINCT c.vec_id AS neighbor_id, pr.vec_id AS probe_id
+                 FROM buck c JOIN buck pr ON c.tbl = pr.tbl AND c.bucket = pr.bucket
+                 WHERE pr.vec_id < 5 AND c.vec_id <> pr.vec_id),
+        wv AS (SELECT cand.probe_id, cand.neighbor_id, p.embedding AS pe, n.embedding AS ne
+               FROM cand JOIN embeddings p ON p.vec_id = cand.probe_id
+                         JOIN embeddings n ON n.vec_id = cand.neighbor_id),
+        r AS (SELECT probe_id, neighbor_id,
+                CAST(${qdotSql("pe", "ne")} AS DOUBLE)
+                  / sqrt(CAST(${qdotSql("pe", "pe")} AS DOUBLE) * CAST(${qdotSql("ne", "ne")} AS DOUBLE)) AS sim
+              FROM wv),
+        k AS (SELECT probe_id, neighbor_id, sim,
+                row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rn
+              FROM r)
+        SELECT probe_id, neighbor_id, CAST(rn AS INTEGER) AS rnk, sim
+        FROM k WHERE rn <= 5 ORDER BY probe_id, rnk""")),
 
     CatalogQuery(
       "e04_cosine_neardup",
       (s, dir) =>
         Similarity.cosineNearDupPairs(
             t(s, dir, "embeddings"), "vec_id", "embedding",
-            threshold = 0.30, nTables = 8, bitsPerTable = 8)
+            threshold = 0.30, nTables = 8, bitsPerTable = 8, portable = true)
           .orderBy(col("id_a"), col("id_b")),
-      None)
+      Some(s"""${bucketsSql(nTables = 8, bitsPerTable = 8)},
+        cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+                 FROM buck a JOIN buck b
+                   ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+        wv AS (SELECT cand.id_a, cand.id_b, x.embedding AS va, y.embedding AS vb
+               FROM cand JOIN embeddings x ON x.vec_id = cand.id_a
+                         JOIN embeddings y ON y.vec_id = cand.id_b),
+        r AS (SELECT id_a, id_b,
+                CAST(${qdotSql("va", "vb")} AS DOUBLE)
+                  / sqrt(CAST(${qdotSql("va", "va")} AS DOUBLE) * CAST(${qdotSql("vb", "vb")} AS DOUBLE)) AS cos
+              FROM wv)
+        SELECT id_a, id_b, cos FROM r WHERE cos >= 0.30 ORDER BY id_a, id_b"""))
   )
+
+  /** DuckDB mirror of `Similarity.lshBucketRows(portable = true)`: CTEs
+    * ending in `buck(vec_id, tbl, bucket)` over the embeddings table —
+    * md5-parity sign matrix, fixed-point 1e9 projections, sign-bit packing.
+    */
+  private def bucketsSql(nTables: Int, bitsPerTable: Int): String = {
+    val nPlanes = nTables * bitsPerTable
+    s"""WITH planes AS (
+        SELECT p, i,
+          CASE WHEN CAST(('0x' || substr(md5(CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 1)) AS BIGINT) % 2 = 1
+               THEN 1 ELSE -1 END AS sgn
+        FROM (SELECT unnest(generate_series(0, ${nPlanes - 1})) AS p),
+             (SELECT unnest(generate_series(0, 63)) AS i)),
+      ev AS (SELECT vec_id, unnest(generate_series(1, len(embedding))) AS ui, embedding
+             FROM embeddings),
+      qx AS (SELECT vec_id, ui - 1 AS i,
+               CAST(floor(CAST(embedding[ui] AS DOUBLE) * 1e9) AS BIGINT) AS qx
+             FROM ev),
+      proj AS (SELECT vec_id, p, SUM(sgn * qx) AS proj
+               FROM qx JOIN planes USING (i) GROUP BY 1, 2),
+      buck AS (SELECT vec_id, p // $bitsPerTable AS tbl,
+                 SUM(CASE WHEN proj > 0 THEN (1 << (p % $bitsPerTable)) ELSE 0 END) AS bucket
+               FROM proj GROUP BY 1, 2)"""
+  }
 }

@@ -75,10 +75,22 @@ class ExtOpsSpec extends SparkSpecBase {
   }
 
   test("simhashCandidatePairs finds the near-dup pair") {
-    val pairs = Dedup.simhashCandidatePairs(docs, "doc_id", "text", maxHamming = 16)
+    // maxHamming=7 is the guaranteed-recall cap for the 8x8-bit banding
+    val pairs = Dedup.simhashCandidatePairs(docs, "doc_id", "text", maxHamming = 7)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((0L, 3L)))
-    assert(pairs.contains((0L, 1L)))
+  }
+
+  test("simhashCandidatePairs portable path matches recall contract") {
+    val pairs = Dedup.simhashCandidatePairs(docs, "doc_id", "text",
+        maxHamming = 5, portable = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // every returned pair respects the hamming cap; banding guarantees none
+    // with hamming <= 5 are missed (pigeonhole over 6 bands)
+    assert(pairs.forall(_._3 <= 5))
+    assert(intercept[IllegalArgumentException] {
+      Dedup.simhashCandidatePairs(docs, "doc_id", "text", maxHamming = 6, portable = true)
+    }.getMessage.contains("hamming <= 5"))
   }
 
   test("ngramJaccard exact on known strings") {
