@@ -1,6 +1,6 @@
 package graft.cdc
 
-import graft.codec.{AvroExpressions, ConfluentWireFormat}
+import graft.codec.{AvroExpressions, ConfluentWireFormat, ProtobufExpressions}
 import org.apache.spark.sql.Column
 
 /** Wire-format payload codec strategy — the dispatch target of
@@ -22,18 +22,13 @@ object ConfluentAvroCodec extends PayloadCodec {
     AvroExpressions.from_avro(payload, schemaText)
 }
 
-/** Confluent-Protobuf codec slot: 6-byte header (extra message-index byte).
-  * Payload slicing and schema registration work today; binary DECODE needs
-  * a protobuf runtime, absent from this environment (SURVEY.md §7) — the
-  * reference's own protobuf path likewise requires Spark >= 3.4 + runtime
-  * protoc (`jibaro/datalake/protobuf_handler.py:136-180`). Supplying a
-  * decoder here is the single integration point once descriptors exist.
-  */
+/** Confluent-Protobuf codec: 6-byte header (extra message-index byte),
+  * proto3 payload decoded by the engine's pure-Scala wire codec against the
+  * registry's .proto text (`jibaro/datalake/protobuf_handler.py:30-133`) —
+  * no protobuf runtime jar needed. */
 object ConfluentProtobufCodec extends PayloadCodec {
   override def name: String = "protobuf"
   override def payload(framed: Column): Column = ConfluentWireFormat.protoPayload(framed)
   override def decode(payload: Column, schemaText: String): Column =
-    throw new UnsupportedOperationException(
-      "protobuf decode requires a protobuf runtime jar; register descriptors and " +
-        "plug a decoder into ConfluentProtobufCodec")
+    ProtobufExpressions.from_protobuf(payload, schemaText)
 }

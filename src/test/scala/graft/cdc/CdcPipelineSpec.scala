@@ -118,4 +118,42 @@ class CdcPipelineSpec extends SparkSpecBase {
     assert(decoded.as[(Int, String)].collect().toSet ===
       Set((1, "widget"), (2, "gadget-v2"), (4, "gizmo")))
   }
+
+  test("protobuf content-type: framed proto3 envelopes decode through raw_to_staged") {
+    val pbTopic = "dbserver1.inventory.products_pb"
+    val pbTable = "products_pb"
+    val msgs = Seq(
+      Msg(Key(1), Envelope(None, Some(Img(1, "widget", 1.5)), "c", 1000L)),
+      Msg(Key(2), Envelope(None, Some(Img(2, "gadget", 2.5)), "c", 1001L)),
+      Msg(Key(2), Envelope(Some(Img(2, "gadget", 2.5)), Some(Img(2, "gadget-v2", 2.7)), "u", 2000L)))
+    val df = msgs.toDS().toDF()
+    val keyType = df.schema("k").dataType.asInstanceOf[StructType]
+    val valueType = df.schema("v").dataType.asInstanceOf[StructType]
+    // register the generated .proto TEXT — what the protobuf handler stores
+    val keyId = registry.register(s"$pbTopic-key",
+      graft.codec.ProtoSchemaGen.protoFile(keyType, "ProductKey"))
+    val valueId = registry.register(s"$pbTopic-value",
+      graft.codec.ProtoSchemaGen.protoFile(valueType, "ProductEnvelope"))
+    bus.publish(spark, pbTopic, df.select(
+      ConfluentWireFormat.frame(
+        graft.codec.ProtobufExpressions.to_protobuf(col("k")), keyId, protobuf = true).as("key"),
+      ConfluentWireFormat.frame(
+        graft.codec.ProtobufExpressions.to_protobuf(col("v")), valueId, protobuf = true).as("value")))
+
+    CdcPipelines.kafkaToRaw(spark, bus, pbTopic, project, database, pbTable)
+    CdcPipelines.rawToStaged(spark, project, database, pbTable, ConfluentProtobufCodec, registry)
+    CdcPipelines.stagedToCurated(spark, project, database, pbTable)
+
+    val staged = GraftTable(spark,
+      LakePath.data(TableRef(Layer.Staged, project, database, pbTable))).read()
+    assert(staged.count() === 3)
+    assert(staged.select("value.op").as[String].collect().sorted.toSeq === Seq("c", "c", "u"))
+    assert(staged.select("key.id").as[Int].collect().toSet === Set(1, 2))
+
+    val state = GraftTable(spark,
+      LakePath.data(TableRef(Layer.Curated, project, database, pbTable))).read()
+      .select("id", "name", "weight", "op")
+      .as[(Int, String, Double, String)].collect().toSet
+    assert(state === Set((1, "widget", 1.5, "c"), (2, "gadget-v2", 2.7, "u")))
+  }
 }

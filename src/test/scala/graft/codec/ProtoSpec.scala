@@ -1,0 +1,126 @@
+package graft.codec
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class ProtoSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("proto text parser handles the ProtoSchemaGen subset") {
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("name", StringType),
+      StructField("scores", ArrayType(DoubleType)),
+      StructField("inner", StructType(Seq(
+        StructField("a", IntegerType), StructField("flag", BooleanType))))))
+    val text = ProtoSchemaGen.protoFile(schema, "Rec")
+    val msg = ProtoWire.messageFor(text)
+    assert(msg.name === "Rec")
+    assert(msg.fields.map(f => (f.name, f.number, f.repeated)) ===
+      Seq(("id", 1, false), ("name", 2, false), ("scores", 3, true), ("inner", 4, false)))
+    val inner = msg.fields.last.tpe.asInstanceOf[ProtoWire.ProtoMessageRef].message
+    assert(inner.fields.map(_.name) === Seq("a", "flag"))
+    // parsed message maps back to the source Catalyst types
+    assert(ProtoWire.toCatalyst(msg).map(_.dataType) ===
+      Seq(LongType, StringType, ArrayType(DoubleType, containsNull = false),
+        StructType(Seq(StructField("a", IntegerType), StructField("flag", BooleanType)))))
+  }
+
+  test("protobuf round trip: scalars, strings, bytes, repeated, nested") {
+    val df = Seq(
+      (1L, "hello", 2.5, 3.5f, true, Array[Byte](9, 8), Seq(1, 2, 3), (42, "in")),
+      (2L, "", 0.0, 0.0f, false, Array.empty[Byte], Seq.empty[Int], (0, "")),
+      (-3L, "neg", -1.25, -2.5f, true, Array[Byte](0), Seq(-1, 0, 7), (-5, "x"))
+    ).toDF("id", "name", "d", "f", "flag", "bin", "nums", "inner")
+    val packed = df.select(struct(df.columns.map(col): _*).as("v"))
+    val structType = packed.schema("v").dataType.asInstanceOf[StructType]
+    val protoText = ProtoSchemaGen.protoFile(structType, "Rec")
+
+    val decoded = packed
+      .select(ProtobufExpressions.to_protobuf(col("v")).as("b"))
+      .select(ProtobufExpressions.from_protobuf(col("b"), protoText).as("v"))
+      .select("v.*")
+
+    val orig = df.orderBy("id").collect()
+    val back = decoded.orderBy("id").collect()
+    orig.zip(back).foreach { case (a, b) =>
+      assert(a.toSeq.map {
+        case arr: Array[Byte] => arr.toSeq
+        case x => x
+      } === b.toSeq.map {
+        case arr: Array[Byte] => arr.toSeq
+        case x => x
+      })
+    }
+  }
+
+  test("proto3 decode semantics: absent fields default, unknown fields skip") {
+    // encode with a 2-field schema, decode with a 3-field superset schema
+    val narrow = StructType(Seq(StructField("a", IntegerType), StructField("s", StringType)))
+    val wide = """syntax = "proto3";
+      message Rec { int32 a = 1; string s = 2; int64 extra = 3; }"""
+    val df = Seq((7, "hi")).toDF("a", "s")
+      .select(struct(col("a"), col("s")).as("v"))
+    val row = df.select(ProtobufExpressions.to_protobuf(col("v")).as("b"))
+      .select(ProtobufExpressions.from_protobuf(col("b"), wide).as("v"))
+      .select("v.*").head()
+    assert(row.getInt(0) === 7 && row.getString(1) === "hi" && row.getLong(2) === 0L)
+
+    // reverse: encode wide (extra field set), decode narrow — unknown skipped
+    val wideDf = Seq((7, "hi", 99L)).toDF("a", "s", "extra")
+      .select(struct(col("a"), col("s"), col("extra")).as("v"))
+    val narrowText = ProtoSchemaGen.protoFile(narrow, "Rec")
+    val r2 = wideDf.select(ProtobufExpressions.to_protobuf(col("v")).as("b"))
+      .select(ProtobufExpressions.from_protobuf(col("b"), narrowText).as("v"))
+      .select("v.*").head()
+    assert(r2.getInt(0) === 7 && r2.getString(1) === "hi")
+  }
+
+  test("unpacked repeated scalars are accepted (proto2-style writers)") {
+    // hand-build: field 1 (repeated int32) written unpacked, one tag per element
+    val w = new ProtoWire.Writer()
+    Seq(10L, 20L, 30L).foreach { v => w.writeTag(1, ProtoWire.Varint); w.writeVarint(v) }
+    val bytes = w.toByteArray
+    val msg = ProtoWire.ProtoMessage("R", Seq(
+      ProtoWire.ProtoField("xs", 1, ProtoWire.ProtoScalar("int32"), repeated = true)))
+    val row = ProtoWire.decodeMessage(msg, bytes, 0, bytes.length)
+    assert(row.getArray(0).toIntArray().toSeq === Seq(10, 20, 30))
+  }
+
+  test("zigzag sint32/sint64 decode") {
+    val w = new ProtoWire.Writer()
+    w.writeTag(1, ProtoWire.Varint); w.writeVarint(ProtoWire.zigzagEncode(-5L))
+    w.writeTag(2, ProtoWire.Varint); w.writeVarint(ProtoWire.zigzagEncode(123456789012L))
+    val bytes = w.toByteArray
+    val msg = ProtoWire.ProtoMessage("R", Seq(
+      ProtoWire.ProtoField("a", 1, ProtoWire.ProtoScalar("sint32"), repeated = false),
+      ProtoWire.ProtoField("b", 2, ProtoWire.ProtoScalar("sint64"), repeated = false)))
+    val row = ProtoWire.decodeMessage(msg, bytes, 0, bytes.length)
+    assert(row.getInt(0) === -5 && row.getLong(1) === 123456789012L)
+  }
+
+  test("descriptor set round-trips through the engine's own decoder") {
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("tags", ArrayType(StringType)),
+      StructField("inner", StructType(Seq(StructField("a", IntegerType))))))
+    val bytes = ProtoDescriptorGen.forStructType(schema, "Rec", "rec.proto")
+    val set = ProtoDescriptorGen.decodeDescriptorSet(bytes)
+    val files = set.getArray(0)
+    assert(files.numElements() === 1)
+    val file = files.getStruct(0, 4)
+    assert(file.getUTF8String(0).toString === "rec.proto")
+    assert(file.getUTF8String(3).toString === "proto3")
+    val messages = file.getArray(2)
+    assert(messages.numElements() === 1)
+    val rec = messages.getStruct(0, 3)
+    assert(rec.getUTF8String(0).toString === "Rec")
+    val fields = rec.getArray(1)
+    assert(fields.numElements() === 3)
+    val f0 = fields.getStruct(0, 5)
+    assert(f0.getUTF8String(0).toString === "id" && f0.getInt(1) === 1)
+    // nested message emitted for the struct field
+    assert(rec.getArray(2).numElements() === 1)
+  }
+}
