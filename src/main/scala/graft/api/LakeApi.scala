@@ -26,16 +26,20 @@ object lake {
 
   implicit final class GraftSessionOps(private val spark: SparkSession) extends AnyVal {
 
-    /** Batch read by 4-tuple (reference `readwriter.py:57-117`). */
+    /** Batch read by 4-tuple (reference `readwriter.py:57-117`). Non-path
+      * formats (kafka, jdbc, ...) fall through to a plain `load()` with the
+      * caller's options, exactly as the reference does past its whitelist
+      * (`readwriter.py:57-81`) — the layer mount only applies to formats
+      * addressed by path. */
     def readLake(
         ref: TableRef,
         format: String = "parquet",
         options: Map[String, String] = Map.empty
-    )(implicit s: GraftSettings): DataFrame = {
-      require(PathFormats.contains(format), s"non-path format '$format': use spark.read.format(...).load() directly")
+    )(implicit s: GraftSettings): DataFrame =
       if (format == "graft") graft.tables.GraftTable(spark, LakePath.data(ref)).read()
-      else spark.read.options(options).format(format).load(LakePath.data(ref))
-    }
+      else if (PathFormats.contains(format))
+        spark.read.options(options).format(format).load(LakePath.data(ref))
+      else spark.read.options(options).format(format).load()
 
     /** Streaming read by 4-tuple (reference `streaming.py:9-51`). File
       * streams need an explicit schema in Spark; pass it via options-free
@@ -46,10 +50,11 @@ object lake {
         schema: Option[org.apache.spark.sql.types.StructType] = None,
         options: Map[String, String] = Map.empty
     )(implicit s: GraftSettings): DataFrame = {
-      require(PathFormats.contains(format), s"non-path format '$format'")
       val r0 = spark.readStream.options(options).format(format)
       val r = schema.map(r0.schema).getOrElse(r0)
-      r.load(LakePath.data(ref))
+      // non-path formats (kafka, rate, ...) fall through to a plain load()
+      // (reference `streaming.py:9-51` mirrors the batch whitelist)
+      if (PathFormats.contains(format)) r.load(LakePath.data(ref)) else r.load()
     }
   }
 

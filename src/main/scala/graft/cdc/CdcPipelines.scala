@@ -31,16 +31,22 @@ object CdcPipelines {
 
   /** Bus topic -> raw layer, verbatim frames (`cdc.py:15-51`). Streaming
     * with checkpoint in the control bucket; `AvailableNow` drains then
-    * stops, the incremental-batch model every reference pipeline uses. */
+    * stops, the incremental-batch model every reference pipeline uses.
+    *
+    * `options` are merged into the source, caller-wins — the reference
+    * merges `**kwargs` over its defaults the same way (`cdc.py:29-38`),
+    * and its `maxOffsetsPerTrigger=100000` rate cap maps to the bus's
+    * per-trigger cap here (`maxFilesPerTrigger` on the file-backed bus). */
   def kafkaToRaw(
       spark: SparkSession,
       bus: MessageBus,
       topic: String,
       project: String,
       database: String,
-      table: String)(implicit s: GraftSettings): Unit = {
+      table: String,
+      options: Map[String, String] = Map.empty)(implicit s: GraftSettings): Unit = {
     val ref = TableRef(Layer.Raw, project, database, table)
-    val q = bus.readStream(spark, topic)
+    val q = bus.readStream(spark, topic, options)
       .writeStream
       .format("parquet")
       .option("path", LakePath.data(ref))
@@ -60,7 +66,11 @@ object CdcPipelines {
       codec: PayloadCodec,
       registry: SchemaRegistryClient,
       staged: GraftTable): Unit = {
+    // Debezium emits tombstones (null value) after deletes for log
+    // compaction; they carry no envelope (the delete arrives as an op='d'
+    // record) and would NPE the schema-id extraction — drop them here.
     val withIds = batch
+      .filter(col("value").isNotNull)
       .withColumn("keySchemaId",
         when(col("key").isNull, lit(null).cast("int"))
           .otherwise(ConfluentWireFormat.schemaId(col("key"))))
@@ -87,7 +97,9 @@ object CdcPipelines {
 
       val keyCol = keyId match {
         case Some(id) => codec.decode(codec.payload(col("key")), schemaText(id)).as("key")
-        case None     => lit(null).as("key")
+        // keyless topic: a TYPED null (binary) — a NullType column would be
+        // unwritable as parquet
+        case None     => lit(null).cast("binary").as("key")
       }
       val decoded = slice.select(
         keyCol,
@@ -151,7 +163,11 @@ object CdcPipelines {
           (if (row.isNullAt(1)) col("valueSchemaId").isNull
            else col("valueSchemaId") === row.getInt(1)))
 
-      val keyFields = slice.schema("key").dataType.asInstanceOf[StructType].fieldNames.toSeq
+      val keyType = slice.schema("key").dataType
+      require(keyType.isInstanceOf[StructType],
+        s"CDC apply requires a keyed topic (struct key); got $keyType — keyless " +
+          "topics have no primary key to merge on")
+      val keyFields = keyType.asInstanceOf[StructType].fieldNames.toSeq
       if (!curated.exists) {
         // first write: only insertable images (`cdc.py:178-187`); declare
         // the bucketed layout on the PK so steady-state merges are
@@ -190,6 +206,8 @@ object CdcPipelines {
     IncrementalRunner.runOnce(spark, staged, checkpoint) { batch =>
       applyCdcBatch(batch, curated, s.curatedBuckets)
       curated.compactIfNeeded()
+      // external-reader manifest after every merge (`cdc.py:261-262`)
+      if (curated.exists) curated.writeManifest()
       // history metrics for observability (`cdc.py:220-247`)
       val historyTable = GraftTable(spark, LakePath.history(curatedRef))
       historyTable.append(curated.history().limit(1))

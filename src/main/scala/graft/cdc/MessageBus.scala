@@ -32,16 +32,25 @@ trait MessageBus {
   def publish(spark: SparkSession, topic: String, records: DataFrame): Unit
   /** Whole-topic batch read as the 7-column frame. */
   def readBatch(spark: SparkSession, topic: String): DataFrame
-  /** Streaming read as the 7-column frame. */
-  def readStream(spark: SparkSession, topic: String): DataFrame
+  /** Streaming read as the 7-column frame. `options` merge over the bus's
+    * defaults, caller-wins — the rate-cap knob (`maxOffsetsPerTrigger` on
+    * Kafka, `maxFilesPerTrigger` here) rides through this map, mirroring
+    * the reference's `**kwargs` merge (`cdc.py:29-38`). */
+  def readStream(spark: SparkSession, topic: String,
+      options: Map[String, String] = Map.empty): DataFrame
 }
 
-/** Parquet-directory-per-topic bus. Single partition (0); offsets are
-  * assigned monotonically at publish time. A TEST DOUBLE faithful to the
-  * frame contract — production swaps in the Kafka connector, nothing else
-  * changes (the pipelines only see the frame).
+/** Parquet-directory-per-topic bus, Kafka-faithful semantics: records are
+  * routed to `numPartitions` partitions by key hash (null keys to partition
+  * 0), and offsets are dense and monotone PER PARTITION — so per-key
+  * ordering holds exactly as on a real broker, and offset assignment
+  * parallelizes across partitions instead of funneling through one global
+  * sort. A TEST DOUBLE faithful to the frame contract — production swaps in
+  * the Kafka connector, nothing else changes (the pipelines only see the
+  * frame).
   */
-final class FileMessageBus(root: String) extends MessageBus {
+final class FileMessageBus(root: String, numPartitions: Int = 1) extends MessageBus {
+  require(numPartitions >= 1, "numPartitions must be >= 1")
 
   def topicPath(topic: String): String = s"$root/$topic"
 
@@ -49,22 +58,29 @@ final class FileMessageBus(root: String) extends MessageBus {
     require(records.columns.contains("key") && records.columns.contains("value"),
       "publish expects binary 'key' and 'value' columns")
     val path = topicPath(topic)
-    val startOffset =
+    // next offset per partition (tiny: one row per partition)
+    val startByPartition: Map[Int, Long] =
       if (graft.lake.FsUtils.pathExists(spark, path))
         spark.read.schema(MessageBus.FrameSchema).parquet(path)
-          .agg(max("offset")).head() match {
-            case r if r.isNullAt(0) => 0L
-            case r => r.getLong(0) + 1
-          }
-      else 0L
-    // global ordering window: acceptable for the test double (a real bus
-    // assigns offsets broker-side); keeps offsets dense + deterministic
-    val w = Window.orderBy(monotonically_increasing_id())
+          .groupBy("partition").agg(max("offset").as("m"))
+          .collect().map(r => r.getInt(0) -> (r.getLong(1) + 1)).toMap
+      else Map.empty
+    // key-hash partitioning (Kafka's default for keyed topics) keeps every
+    // key's records in one partition, preserving per-key order
+    val partCol =
+      if (numPartitions == 1) lit(0)
+      else when(col("key").isNull, lit(0))
+        .otherwise(pmod(xxhash64(col("key")), lit(numPartitions)).cast("int"))
+    // per-partition ordering window: numPartitions parallel reducers, not
+    // one global sort
+    val w = Window.partitionBy(col("partition")).orderBy(monotonically_increasing_id())
+    val startExpr = coalesce(
+      element_at(typedLit(startByPartition), col("partition")), lit(0L))
     val framed = records
       .select(col("key").cast("binary").as("key"), col("value").cast("binary").as("value"))
       .withColumn("topic", lit(topic))
-      .withColumn("partition", lit(0))
-      .withColumn("offset", row_number().over(w).cast("long") + lit(startOffset - 1))
+      .withColumn("partition", partCol)
+      .withColumn("offset", row_number().over(w).cast("long") + startExpr - 1)
       .withColumn("timestamp", current_timestamp())
       .withColumn("timestampType", lit(0))
     framed.write.mode("append").parquet(path)
@@ -73,8 +89,10 @@ final class FileMessageBus(root: String) extends MessageBus {
   override def readBatch(spark: SparkSession, topic: String): DataFrame =
     spark.read.schema(MessageBus.FrameSchema).parquet(topicPath(topic))
 
-  override def readStream(spark: SparkSession, topic: String): DataFrame =
+  override def readStream(spark: SparkSession, topic: String,
+      options: Map[String, String] = Map.empty): DataFrame =
     spark.readStream.schema(MessageBus.FrameSchema)
-      .option("maxFilesPerTrigger", "1000")
+      .option("maxFilesPerTrigger", "1000") // default rate cap; caller-overridable
+      .options(options)
       .parquet(topicPath(topic))
 }

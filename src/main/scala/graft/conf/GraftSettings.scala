@@ -34,7 +34,13 @@ final case class GraftSettings(
     /** Hash buckets for curated tables (0 disables). Bucketing lets CDC
       * upserts rewrite only the buckets holding updated keys; size it to
       * ~(table size / executor-comfortable rewrite unit) on a cluster. */
-    curatedBuckets: Int = 16
+    curatedBuckets: Int = 16,
+    /** Broadcast the update-key set during upsert only when the update
+      * batch's estimated size is at or below this (bytes). The usual CDC
+      * batch is tiny and broadcasting avoids shuffling the table; a bulk
+      * backfill batch above the threshold degrades to a shuffle join
+      * (AQE picks the strategy) instead of OOMing the driver. */
+    upsertBroadcastThresholdBytes: Long = 64L * 1024 * 1024
 ) {
   def bucketFor(layer: String): String = layer match {
     case Layer.Raw     => rawBucket

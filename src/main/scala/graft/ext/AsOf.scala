@@ -34,25 +34,27 @@ object AsOf {
       rightCols: Seq[String],
       rightTieBreak: String): DataFrame = {
     val leftCols = left.columns.toSeq
-    // side=1 for left, side=0 for right: at equal ts the right row sorts
-    // first, so a left row at ts T sees right rows with ts <= T... to make
-    // the match STRICT (< T) right rows at equal ts must sort AFTER left:
-    // side order left(0) before right(1) at equal ts.
+    // The right payload travels as ONE struct so the match is row-atomic:
+    // carrying each column separately with last(ignoreNulls) would let a
+    // null in one payload column fall back to an OLDER right row's value,
+    // mixing columns from different right rows.
+    val rStructType = org.apache.spark.sql.types.StructType(
+      rightCols.map(c => right.schema(c).copy(name = c)))
     val lTagged = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(0))
       .withColumn("__tie", lit(null).cast(right.schema(rightTieBreak).dataType))
       .select((keyCols.map(col) :+ col("__ts") :+ col("__side") :+ col("__tie")) ++
-        leftCols.filterNot(keyCols.contains).map(col) ++
-        rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
+        leftCols.filterNot(keyCols.contains).map(col) :+
+        lit(null).cast(rStructType).as("__r"): _*)
     val rTagged = right
       .withColumn("__ts", col(rightTs))
       .withColumn("__side", lit(1))
       .withColumn("__tie", col(rightTieBreak))
       .select((keyCols.map(col) :+ col("__ts") :+ col("__side") :+ col("__tie")) ++
         leftCols.filterNot(keyCols.contains)
-          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightCols.map(c => col(c).as(s"__r_$c")): _*)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(rightCols.map(col): _*).as("__r"): _*)
 
     // right rows must be visible to later left rows: order (ts, side desc?)
     // Strict `<`: a left row at ts T must NOT see right rows at ts == T, so
@@ -63,14 +65,12 @@ object AsOf {
       .orderBy(col("__ts").asc, col("__side").asc, col("__tie").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val carried = rightCols.foldLeft(lTagged.unionByName(rTagged)) { (d, c) =>
-      d.withColumn(s"__last_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
-    }
-    carried
+    lTagged.unionByName(rTagged)
+      .withColumn("__last", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__side") === 0)
       .select(
         (keyCols.map(col) ++
           leftCols.filterNot(keyCols.contains).map(col) ++
-          rightCols.map(c => col(s"__last_$c").as(s"asof_$c"))): _*)
+          rightCols.map(c => col(s"__last.$c").as(s"asof_$c"))): _*)
   }
 }

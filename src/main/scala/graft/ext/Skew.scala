@@ -56,6 +56,13 @@ object Skew {
       hotKeyMinCount: Long,
       salt: Int,
       joinType: String = "inner"): DataFrame = {
+    // correctness restriction: the hot/cold split semi-filters the small
+    // side, so right/full-outer results would lose unmatched small-side
+    // rows with hot keys — only big-side-preserving join types are sound
+    val normalized = joinType.toLowerCase.replace("_", "")
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti")(normalized),
+      s"skewAwareJoin supports inner/left/left_semi/left_anti, got '$joinType' " +
+        "(right/full outer would drop unmatched small-side rows with hot keys)")
     val hot = broadcast(hotKeys(big, keys, hotKeyMinCount))
     val bigHot = big.join(hot, keys, "left_semi")
     val bigCold = big.join(hot, keys, "left_anti")

@@ -45,22 +45,52 @@ object IncrementalRunner {
   def deleteCheckpoint(spark: SparkSession, checkpointPath: String): Unit =
     FsUtils.deletePath(spark, checkpointPath)
 
-  /** Process everything new since the checkpoint as ONE batch, then advance
-    * the checkpoint. Returns true when a batch ran. */
+  /** Process everything new since the checkpoint in bounded, checkpointed
+    * batches, committing the checkpoint after EACH batch. Returns true when
+    * at least one batch ran.
+    *
+    * `maxFilesPerBatch` mirrors the reference's deliberate rate caps
+    * (`maxFilesPerTrigger=1000`, `jibaro/datalake/protobuf_handler.py:157`;
+    * `maxOffsetsPerTrigger=100000`, `cdc.py:29`): a week of backlog at
+    * scale must NOT become one giant merge — it drains as a sequence of
+    * bounded batches, each individually recoverable. Batches always end on
+    * a commit-version boundary (a version's files are never split), so a
+    * crash replays whole versions into the idempotent batch function.
+    * `maxFilesPerBatch <= 0` disables the cap. */
   def runOnce(
       spark: SparkSession,
       table: GraftTable,
-      checkpointPath: String)(process: DataFrame => Unit): Boolean = {
+      checkpointPath: String,
+      maxFilesPerBatch: Int = 1000)(process: DataFrame => Unit): Boolean = {
     val from = lastProcessedVersion(spark, checkpointPath)
     val to = table.version
-    val newFiles = table.changesSince(from)
-    if (newFiles.isEmpty) {
+    val byVersion = table.changesByVersion(from)
+    if (byVersion.isEmpty) {
       if (to > from) writeCheckpoint(spark, checkpointPath, to)
       return false
     }
-    val batch = spark.read.option("mergeSchema", "true").parquet(newFiles: _*)
-    process(batch)
-    writeCheckpoint(spark, checkpointPath, to)
-    true
+    var ran = false
+    var chunkFiles = Vector.empty[String]
+    var chunkVersion = from
+    def flush(): Unit = if (chunkFiles.nonEmpty || chunkVersion > from) {
+      if (chunkFiles.nonEmpty) {
+        val batch = spark.read.option("mergeSchema", "true").parquet(chunkFiles: _*)
+        process(batch)
+        ran = true
+      }
+      writeCheckpoint(spark, checkpointPath, chunkVersion)
+      chunkFiles = Vector.empty
+    }
+    byVersion.foreach { case (version, files) =>
+      val wouldOverflow = maxFilesPerBatch > 0 && chunkFiles.nonEmpty &&
+        chunkFiles.size + files.size > maxFilesPerBatch
+      if (wouldOverflow) flush()
+      chunkFiles ++= files
+      chunkVersion = version
+    }
+    flush()
+    // trailing non-dataChange commits (e.g. compactions) advance the mark too
+    if (to > chunkVersion) writeCheckpoint(spark, checkpointPath, to)
+    ran
   }
 }

@@ -172,10 +172,14 @@ final class GraftTable private (
     * current] — the incremental-consumption contract (compactions are
     * invisible, like Delta's dataChange=false). */
   def changesSince(fromExclusive: Long): Seq[String] =
+    changesByVersion(fromExclusive).flatMap(_._2)
+
+  /** Same changes grouped per commit version, for consumers that bound
+    * batch sizes but must checkpoint on version boundaries. */
+  def changesByVersion(fromExclusive: Long): Seq[(Long, Seq[String])] =
     commits()
       .filter(c => c.version > fromExclusive && c.dataChange)
-      .flatMap(_.add)
-      .map(f => s"$path/$f")
+      .map(c => c.version -> c.add.map(f => s"$path/$f"))
 
   // ---------------------------------------------------------------- write
 
@@ -247,6 +251,17 @@ final class GraftTable private (
     * with key-bucketed layout so only buckets containing updated keys are
     * rewritten (single-writer rewrite here keeps v1 simple and correct).
     */
+  /** The distinct update-key set for the anti-join, broadcast-hinted only
+    * when the update batch's optimizer size estimate fits
+    * `settings.upsertBroadcastThresholdBytes` — a forced broadcast of a
+    * bulk backfill batch (millions of keys) would OOM the driver; above
+    * the threshold Spark/AQE picks the join strategy. */
+  private[tables] def updateKeysPlan(updates: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val keys = updates.select(keyCols.map(col): _*).distinct()
+    val estBytes = updates.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (estBytes <= BigInt(settings.upsertBroadcastThresholdBytes)) broadcast(keys) else keys
+  }
+
   def upsert(updates: DataFrame, keyCols: Seq[String], opCol: String,
       deleteOp: String = "d", keepOpColumn: Boolean = false): Commit = {
     require(keyCols.nonEmpty, "upsert requires key columns")
@@ -255,7 +270,7 @@ final class GraftTable private (
     if (!exists) {
       return overwrite(project(updates.filter(col(opCol) =!= deleteOp)))
     }
-    val updateKeys = broadcast(updates.select(keyCols.map(col): _*).distinct())
+    val updateKeys = updateKeysPlan(updates, keyCols)
     val upserted = project(updates.filter(col(opCol) =!= deleteOp))
 
     // bucket pruning: with a matching bucket spec only the buckets holding
@@ -302,6 +317,30 @@ final class GraftTable private (
       Map("numOutputFiles" -> add.size.toString,
         "numRemovedFiles" -> files.size.toString,
         "numCompactedBytes" -> totalBytes.toString)))
+  }
+
+  /** External-reader manifest (the reference generates Delta's
+    * `symlink_format_manifest` after every curated merge, `cdc.py:261-262`,
+    * consumed by Trino/Athena/Hive catalogs): one text file under
+    * `_symlink_format_manifest/` listing the absolute URI of every live
+    * data file at the current version, swapped in atomically. Engines that
+    * cannot replay the graft log read exactly the committed live set —
+    * never a partial write. Returns the listed paths. */
+  def writeManifest(): Seq[String] = {
+    val manifestDir = new Path(path, "_symlink_format_manifest")
+    fs.mkdirs(manifestDir)
+    val live = liveFiles().map(f => fs.makeQualified(new Path(path, f)).toString)
+    val tmp = new Path(manifestDir, s".manifest.${UUID.randomUUID()}.tmp")
+    val out = fs.create(tmp, false)
+    try out.write(live.map(_ + "\n").mkString.getBytes("UTF-8"))
+    finally out.close()
+    val dst = new Path(manifestDir, "manifest")
+    fs.delete(dst, false)
+    if (!fs.rename(tmp, dst)) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(s"failed to publish manifest at $dst")
+    }
+    live
   }
 
   /** History as a DataFrame (reference reads `DESCRIBE HISTORY` +

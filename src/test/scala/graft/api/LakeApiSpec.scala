@@ -36,10 +36,18 @@ class LakeApiSpec extends SparkSpecBase {
     assert(spark.readLake(ref, format = "graft").count() === 1)
   }
 
-  test("non-path formats are rejected with guidance") {
-    intercept[IllegalArgumentException] {
-      spark.readLake(TableRef("raw", "p", "db", "t"), format = "kafka")
-    }
+  test("non-path batch formats fall through to a pathless load() with options") {
+    val df = spark.readLake(TableRef("raw", "p", "db", "t"),
+      format = "graft.api.PathlessTestSource", options = Map("n" -> "5"))
+    assert(df.count() === 5)
+    assert(df.columns.toSeq === Seq("i"))
+  }
+
+  test("non-path streaming formats fall through (rate source)") {
+    val df = spark.readStreamLake(TableRef("raw", "p", "db", "t"),
+      format = "rate", options = Map("rowsPerSecond" -> "1"))
+    assert(df.isStreaming)
+    assert(df.columns.toSet === Set("timestamp", "value"))
   }
 
   test("startLake injects the control-bucket checkpoint") {

@@ -119,6 +119,69 @@ class CdcPipelineSpec extends SparkSpecBase {
       Set((1, "widget"), (2, "gadget-v2"), (4, "gizmo")))
   }
 
+  test("tombstones (null value) are dropped, not crashed on") {
+    val tTopic = "dbserver1.inventory.products_ts"
+    val tTable = "products_ts"
+    // one real envelope + one tombstone in the same batch
+    publishEnvelopesTo(tTopic, Seq(
+      Msg(Key(1), Envelope(None, Some(Img(1, "widget", 1.5)), "c", 1000L))))
+    val keySchema = AvroSchemaConverter.toAvroSchema(
+      Seq(Msg(Key(0), Envelope(None, None, "c", 0L))).toDS().toDF()
+        .schema("k").dataType.asInstanceOf[StructType], "ProductKey")
+    val keyId = registry.register(s"$tTopic-key", keySchema.toString)
+    bus.publish(spark, tTopic, Seq(Tuple1(1)).toDF("id").select(
+      ConfluentWireFormat.frame(
+        AvroExpressions.to_avro(struct(col("id")), keySchema.toString), keyId).as("key"),
+      lit(null).cast("binary").as("value")))
+
+    CdcPipelines.kafkaToRaw(spark, bus, tTopic, project, database, tTable)
+    CdcPipelines.rawToStaged(spark, project, database, tTable, ConfluentAvroCodec, registry)
+
+    val raw = spark.read.parquet(LakePath.data(TableRef(Layer.Raw, project, database, tTable)))
+    assert(raw.count() === 2) // tombstone lands in raw verbatim
+    val staged = GraftTable(spark,
+      LakePath.data(TableRef(Layer.Staged, project, database, tTable))).read()
+    assert(staged.count() === 1) // ...but is dropped at decode
+  }
+
+  private def publishEnvelopesTo(t: String, msgs: Seq[Msg]): Unit = {
+    val df = msgs.toDS().toDF()
+    val keyType = df.schema("k").dataType.asInstanceOf[StructType]
+    val valueType = df.schema("v").dataType.asInstanceOf[StructType]
+    val keySchema = AvroSchemaConverter.toAvroSchema(keyType, "ProductKey")
+    val valueSchema = AvroSchemaConverter.toAvroSchema(valueType, "ProductEnvelope")
+    val keyId = registry.register(s"$t-key", keySchema.toString)
+    val valueId = registry.register(s"$t-value", valueSchema.toString)
+    bus.publish(spark, t, df.select(
+      ConfluentWireFormat.frame(
+        AvroExpressions.to_avro(col("k"), keySchema.toString), keyId).as("key"),
+      ConfluentWireFormat.frame(
+        AvroExpressions.to_avro(col("v"), valueSchema.toString), valueId).as("value")))
+  }
+
+  test("multi-partition bus: key-hash routing, per-partition dense offsets") {
+    val mpBus = new FileMessageBus(s"$root/bus-mp", numPartitions = 4)
+    val recs = (1 to 40).map(i => (s"k${i % 8}".getBytes, s"v$i".getBytes))
+      .toDF("key", "value")
+    mpBus.publish(spark, "mp.topic", recs)
+    mpBus.publish(spark, "mp.topic", recs) // second batch continues offsets
+    val frames = mpBus.readBatch(spark, "mp.topic")
+    assert(frames.count() === 80)
+    // offsets dense per partition: max(offset) = count-1 within each
+    val perPart = frames.groupBy("partition")
+      .agg(count(lit(1)).as("n"), max("offset").as("mx"), min("offset").as("mn"))
+      .collect()
+    perPart.foreach { r =>
+      val (n, mx, mn) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(mn === 0L, "offsets start at 0")
+      assert(mx === n - 1, "offsets dense per partition")
+    }
+    // same key always lands in the same partition
+    val spread = frames.groupBy("key").agg(countDistinct("partition").as("p"))
+      .agg(max("p")).head().getLong(0)
+    assert(spread === 1L)
+  }
+
   test("protobuf content-type: framed proto3 envelopes decode through raw_to_staged") {
     val pbTopic = "dbserver1.inventory.products_pb"
     val pbTable = "products_pb"

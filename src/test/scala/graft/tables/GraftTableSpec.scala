@@ -80,6 +80,80 @@ class GraftTableSpec extends SparkSpecBase {
     assert(seen === 1)
   }
 
+  test("manifest lists exactly the live files after append/upsert/compact") {
+    val t = tmpTable()
+    def manifestNames(): Set[String] = {
+      val p = java.nio.file.Paths.get(
+        t.path.stripPrefix("file://") + "/_symlink_format_manifest/manifest")
+      val lines = scala.jdk.CollectionConverters.ListHasAsScala(
+        java.nio.file.Files.readAllLines(p)).asScala.toSet
+      assert(lines.forall(_.startsWith("file:")), "manifest entries are absolute URIs")
+      lines.map(_.split('/').last)
+    }
+
+    t.append(Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    t.writeManifest()
+    assert(manifestNames() === t.liveFiles().toSet)
+
+    t.upsert(Seq((2, "B", "u"), (3, "c", "c")).toDF("id", "v", "op"), Seq("id"), "op")
+    t.writeManifest()
+    assert(manifestNames() === t.liveFiles().toSet)
+
+    (1 to 3).foreach(i => t.append(Seq((10 + i, "x")).toDF("id", "v")))
+    assert(t.compactIfNeeded(maxFiles = 1).isDefined)
+    val listed = t.writeManifest()
+    assert(manifestNames() === t.liveFiles().toSet)
+    // external readers see the committed live set only — never removed files
+    assert(listed.forall(p => java.nio.file.Files.exists(
+      java.nio.file.Paths.get(java.net.URI.create(p)))))
+  }
+
+  test("bounded incremental: backlog drains in multiple checkpointed batches") {
+    val t = tmpTable()
+    // 6 commits of 1 file each (coalesce(1)) = backlog of 6 files
+    (1 to 6).foreach(i => t.append(Seq((i, s"v$i")).toDF("id", "v").coalesce(1)))
+    val ckpt = Files.createTempDirectory("graft-ckpt-").toString
+    var batches = 0
+    var total = 0L
+    IncrementalRunner.runOnce(spark, t, s"file://$ckpt/cp", maxFilesPerBatch = 2) { b =>
+      batches += 1; total += b.count()
+    }
+    assert(batches === 3) // 6 files / cap 2
+    assert(total === 6)
+    assert(IncrementalRunner.lastProcessedVersion(spark, s"file://$ckpt/cp") === t.version)
+    // nothing left
+    assert(!IncrementalRunner.runOnce(spark, t, s"file://$ckpt/cp")(_ => fail("drained")))
+    // a version's files are never split: 3-file commit with cap 2 = one batch
+    val t2 = tmpTable()
+    t2.append(Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v").repartition(3))
+    val ckpt2 = Files.createTempDirectory("graft-ckpt-").toString
+    var batches2 = 0
+    IncrementalRunner.runOnce(spark, t2, s"file://$ckpt2/cp", maxFilesPerBatch = 2)(_ => batches2 += 1)
+    assert(batches2 === 1)
+  }
+
+  test("upsert broadcast is gated on the update-batch size estimate") {
+    val small = tmpTable()
+    val updates = Seq((1, "one", "u"), (2, "two", "u")).toDF("id", "v", "op")
+    def hasBroadcastHint(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+          if h.hints.strategy.contains(
+            org.apache.spark.sql.catalyst.plans.logical.BROADCAST) => h
+      }.nonEmpty
+    assert(hasBroadcastHint(small.updateKeysPlan(updates, Seq("id"))))
+    // threshold 0 = never broadcast: bulk backfills must degrade to shuffle
+    val strict = GraftTable(spark,
+      s"file://${Files.createTempDirectory("graft-table-").toString}/t")(
+      GraftSettings.default.copy(upsertBroadcastThresholdBytes = 0L))
+    assert(!hasBroadcastHint(strict.updateKeysPlan(updates, Seq("id"))))
+    // and the un-hinted path still merges correctly
+    strict.append(Seq((1, "old", "c"), (3, "three", "c")).toDF("id", "v", "op").drop("op"))
+    strict.upsert(updates, Seq("id"), "op")
+    assert(strict.read().select("id", "v").as[(Int, String)].collect().toSet ===
+      Set((1, "one"), (2, "two"), (3, "three")))
+  }
+
   test("bucketed upsert rewrites only affected buckets") {
     val dir = Files.createTempDirectory("graft-bucket-").toString
     val t = GraftTable(spark, s"file://$dir/t")(GraftSettings.default)
