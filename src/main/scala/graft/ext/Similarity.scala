@@ -217,6 +217,89 @@ object Similarity {
       .select("probe_id", "neighbor_id", "rnk", "sim")
   }
 
+  // ----------------------------------------------------------------- IVF
+
+  /** Deterministic IVF coarse quantizer: the centroid set is the `nLists`
+    * corpus vectors ranked first by md5 of their id — a reproducible
+    * pseudo-random sample (any engine re-derives it), standing in for the
+    * k-means codebook a trained index would load. At 100 TB the codebook is
+    * tiny either way (nLists vectors) and travels as a broadcast.
+    */
+  def ivfCentroids(df: DataFrame, idCol: String, vecCol: String, nLists: Int): DataFrame =
+    df.select(col(idCol).as("list_src"), col(vecCol).as("cvec"))
+      .orderBy(md5(col("list_src").cast("string")), col("list_src"))
+      .limit(nLists)
+      .orderBy(col("list_src"))
+      .withColumn("list_id", (row_number().over(Window.orderBy(col("list_src"))) - 1).cast("int"))
+
+  /** Nearest-centroid assignment per vector: (id, list_id).
+    *
+    * Plan shape at scale: centroids broadcast, corpus scanned once — each
+    * vector emits nLists (id, list, score) rows that partial-aggregate
+    * map-side into one `max(struct(score, list))` row per id, so the only
+    * shuffle carries one tiny struct per vector, never embeddings. The
+    * quantized cosine makes the argmax exact integer/IEEE math — identical
+    * in any engine; ties break to the LOWEST list id. */
+  def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, topN: Int = 1): DataFrame = {
+    val scored = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .crossJoin(broadcast(centroids.select(col("list_id"), col("cvec"))))
+      .withColumn("score", quantizedCosine(col("vec"), col("cvec")))
+    if (topN == 1) {
+      scored
+        .groupBy("id")
+        .agg(max(struct(col("score"), (-col("list_id")).as("neg_list"))).as("best"))
+        .select(col("id"), (-col("best.neg_list")).cast("int").as("list_id"))
+    } else {
+      val w = Window.partitionBy(col("id")).orderBy(col("score").desc, col("list_id"))
+      scored
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= topN)
+        .select(col("id"), col("list_id"))
+    }
+  }
+
+  /** Approximate top-k via an IVF inverted index: corpus vectors are
+    * partitioned into `nLists` Voronoi cells of the coarse quantizer; each
+    * probe searches only its `nProbe` closest cells.
+    *
+    * Plan shape at scale: assignment shuffles one small row per vector
+    * (see `ivfAssign`); the candidate join is corpus-assignments ⨝
+    * broadcast(probe lists) on `list_id` — the corpus side would be
+    * list-partitioned storage in a persisted index, making this a pruned
+    * scan of nProbe/nLists of the data; vectors re-attach only for
+    * candidate ids. Recall tunes with nProbe/nLists independently of
+    * corpus size, the IVF trade-off LSH banding can't express. */
+  def ivfTopK(
+      corpus: DataFrame,
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nLists: Int = 8,
+      nProbe: Int = 3): DataFrame = {
+    val centroids = ivfCentroids(corpus, idCol, vecCol, nLists)
+    val corpusLists = ivfAssign(corpus, idCol, vecCol, centroids)
+      .select(col("id").as("neighbor_id"), col("list_id"))
+    val probeLists = ivfAssign(probes, idCol, vecCol, centroids, topN = nProbe)
+      .select(col("id").as("probe_id"), col("list_id"))
+    val pairs = corpusLists.join(broadcast(probeLists), Seq("list_id"))
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .select("probe_id", "neighbor_id")
+      .distinct()
+    val withVecs = pairs
+      .join(broadcast(probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"))),
+        Seq("probe_id"))
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("neighbor_vec")),
+        Seq("neighbor_id"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    withVecs
+      .withColumn("sim", quantizedCosine(col("probe_vec"), col("neighbor_vec")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("probe_id", "neighbor_id", "rnk", "sim")
+  }
+
   /** Embedding-cosine near-duplicate pairs above `threshold`: multi-table
     * LSH candidate generation (ids only through the shuffle), then exact
     * cosine on re-attached vectors. Same scale shape as `annTopK`. */

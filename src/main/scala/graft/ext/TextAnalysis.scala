@@ -18,6 +18,18 @@ object TextAnalysis {
     when(length(trim(text)) === 0, lit(0))
       .otherwise(size(split(trim(text), "\\s+")))
 
+  /** BPE-ish subword-budget token pattern: letter runs, short digit runs
+    * (1-3, the way modern BPE vocabularies chunk numbers), punctuation
+    * runs. RE2-safe (no lookarounds) so any engine tokenizes identically. */
+  val BpeTokenPattern: String = "[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\\s]+"
+
+  /** Approximate LLM-token count: matches of [[BpeTokenPattern]]. A cheap,
+    * deterministic stand-in for a real BPE vocabulary — counts letter runs,
+    * 1-3-digit chunks, and punctuation runs — used to budget token counts
+    * over a corpus without shipping a tokenizer model to executors. */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeTokenPattern), lit(0)))
+
   /** Exact count of whole-word occurrences of `word` (case-insensitive).
     *
     * Space-doubling makes word boundaries non-overlapping, so a plain

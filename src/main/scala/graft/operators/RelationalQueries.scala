@@ -444,6 +444,25 @@ object RelationalQueries {
       Some("""SELECT date_trunc('month', o_orderdate) AS mon_start,
         min(o_orderdate) AS first_order, max(o_orderdate) AS last_order,
         count(*) AS n
-        FROM orders GROUP BY 1 ORDER BY 1"""))
+        FROM orders GROUP BY 1 ORDER BY 1""")),
+
+    // ---- grouping sets ----------------------------------------------------
+    // Explicit GROUPING SETS (beyond rollup q13 / cube q14): chosen subsets
+    // only — (status, priority), (status), () — one pass, map-side combined.
+    CatalogQuery(
+      "q30_grouping_sets",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .groupingSets(
+            Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+              Seq(col("o_orderstatus")), Seq.empty),
+            col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), dsum2(col("o_totalprice")).as("total"))
+          .orderBy(asc_nulls_last("o_orderstatus"), asc_nulls_last("o_orderpriority")),
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        ORDER BY o_orderstatus NULLS LAST, o_orderpriority NULLS LAST"""))
   )
 }

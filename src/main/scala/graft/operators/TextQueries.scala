@@ -223,6 +223,47 @@ object TextQueries {
         FROM documents d LEFT JOIN rep r USING (doc_id) ORDER BY d.doc_id"""
       }),
 
+    // BPE-ish token budgeting: letter runs + 1-3-digit chunks + punct runs,
+    // with fertility (subword tokens per whitespace word).
+    CatalogQuery(
+      "d09_bpe_tokens",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            TextAnalysis.bpeTokenCount(col("text")).as("n_bpe"),
+            TextAnalysis.tokenCount(col("text")).as("n_words"))
+          .withColumn("fertility",
+            col("n_bpe").cast("double") / greatest(col("n_words"), lit(1)))
+          .orderBy(col("doc_id")),
+      Some("""WITH m AS (
+          SELECT doc_id,
+            CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]+')) AS INTEGER) AS n_bpe,
+            CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) END AS n_words
+          FROM documents)
+        SELECT doc_id, n_bpe, n_words,
+          CAST(n_bpe AS DOUBLE) / greatest(n_words, 1) AS fertility
+        FROM m ORDER BY doc_id""")),
+
+    // Corpus vocabulary: explode normalized tokens, top-50 by frequency
+    // (deterministic tie-break on the token) — the explode/lateral-view
+    // shape every corpus-stats pipeline runs.
+    CatalogQuery(
+      "d10_top_tokens",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(explode(split(TextAnalysis.normalize(col("text")), " ")).as("token"))
+          .filter(length(col("token")) > 0)
+          .groupBy("token")
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("token"))
+          .limit(50),
+      Some("""WITH tok AS (
+          SELECT unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS token
+          FROM documents)
+        SELECT token, count(*) AS n FROM tok WHERE length(token) > 0
+        GROUP BY token ORDER BY n DESC, token LIMIT 50""")),
+
     // As-of join: most recent prior click for every purchase.
     CatalogQuery(
       "q28_asof_prior_click",

@@ -86,6 +86,60 @@ object VectorQueries {
         SELECT probe_id, neighbor_id, CAST(rn AS INTEGER) AS rnk, sim
         FROM k WHERE rn <= 5 ORDER BY probe_id, rnk""")),
 
+    // IVF inverted-index ANN — the second scale path beside LSH: nearest-
+    // centroid cells from a deterministic md5-sampled codebook, probes
+    // search their nProbe closest cells. Fully engine-portable (quantized
+    // cosine everywhere), mirrored step-for-step in DuckDB.
+    CatalogQuery(
+      "e05_ivf_ann",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.ivfTopK(
+            corpus = emb,
+            probes = emb.filter(col("vec_id") < 5),
+            idCol = "vec_id", vecCol = "embedding", k = 5,
+            nLists = 8, nProbe = 3)
+          .orderBy(col("probe_id"), col("rnk"))
+      },
+      Some(s"""WITH cent AS (
+          SELECT vec_id AS list_src, embedding AS cvec
+          FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+        centn AS (
+          SELECT cvec, CAST(row_number() OVER (ORDER BY list_src) - 1 AS INTEGER) AS list_id
+          FROM cent),
+        scored AS (
+          SELECT e.vec_id AS id, c.list_id,
+            CAST(${qdotSql("e.embedding", "c.cvec")} AS DOUBLE)
+              / sqrt(CAST(${qdotSql("e.embedding", "e.embedding")} AS DOUBLE)
+                     * CAST(${qdotSql("c.cvec", "c.cvec")} AS DOUBLE)) AS score
+          FROM embeddings e, centn c),
+        corpus_assign AS (
+          SELECT id AS neighbor_id, list_id FROM (
+            SELECT id, list_id,
+              row_number() OVER (PARTITION BY id ORDER BY score DESC, list_id) AS rn
+            FROM scored) WHERE rn = 1),
+        probe_assign AS (
+          SELECT id AS probe_id, list_id FROM (
+            SELECT id, list_id,
+              row_number() OVER (PARTITION BY id ORDER BY score DESC, list_id) AS rn
+            FROM scored WHERE id < 5) WHERE rn <= 3),
+        cand AS (
+          SELECT DISTINCT probe_id, neighbor_id
+          FROM corpus_assign JOIN probe_assign USING (list_id)
+          WHERE neighbor_id <> probe_id),
+        wv AS (SELECT cand.probe_id, cand.neighbor_id, p.embedding AS pe, n.embedding AS ne
+               FROM cand JOIN embeddings p ON p.vec_id = cand.probe_id
+                         JOIN embeddings n ON n.vec_id = cand.neighbor_id),
+        r AS (SELECT probe_id, neighbor_id,
+                CAST(${qdotSql("pe", "ne")} AS DOUBLE)
+                  / sqrt(CAST(${qdotSql("pe", "pe")} AS DOUBLE) * CAST(${qdotSql("ne", "ne")} AS DOUBLE)) AS sim
+              FROM wv),
+        k AS (SELECT probe_id, neighbor_id, sim,
+                row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rn
+              FROM r)
+        SELECT probe_id, neighbor_id, CAST(rn AS INTEGER) AS rnk, sim
+        FROM k WHERE rn <= 5 ORDER BY probe_id, rnk""")),
+
     CatalogQuery(
       "e04_cosine_neardup",
       (s, dir) =>

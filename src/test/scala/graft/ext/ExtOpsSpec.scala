@@ -116,6 +116,30 @@ class ExtOpsSpec extends SparkSpecBase {
     assert(recall >= 0.5, s"recall=$recall")
   }
 
+  test("ivfTopK recall vs brute force; cells partition the corpus") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val probes = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, probes, "vec_id", "embedding", 5)
+      .select("probe_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfTopK(emb, probes, "vec_id", "embedding", 5,
+      nLists = 8, nProbe = 3)
+      .select("probe_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    // nProbe/nLists = 3/8 of the corpus searched; near-random embeddings
+    // (TESTDATA) make this a meaningful non-trivial bound
+    assert(recall >= 0.4, s"recall=$recall")
+
+    // every corpus vector lands in exactly one cell
+    val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", 8)
+    assert(cents.count() === 8)
+    val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding", cents)
+    assert(assigned.count() === emb.count())
+    assert(assigned.select("id").distinct().count() === emb.count())
+    assert(assigned.select("list_id").distinct().count() <= 8)
+  }
+
   test("quantizedCosine tracks cosine") {
     val emb = spark.read.parquet(s"${sf()}/embeddings.parquet").limit(20)
     val a = emb.select(col("vec_id").as("ida"), col("embedding").as("va"))
