@@ -40,7 +40,12 @@ final case class GraftSettings(
       * batch is tiny and broadcasting avoids shuffling the table; a bulk
       * backfill batch above the threshold degrades to a shuffle join
       * (AQE picks the strategy) instead of OOMing the driver. */
-    upsertBroadcastThresholdBytes: Long = 64L * 1024 * 1024
+    upsertBroadcastThresholdBytes: Long = 64L * 1024 * 1024,
+    /** Collect per-file min/max/null stats at commit time (one extra
+      * aggregation over the just-written files) to power
+      * `GraftTable.readWhere` data skipping. Disable for write-latency-
+      * critical paths that never run selective scans. */
+    collectFileStats: Boolean = true
 ) {
   def bucketFor(layer: String): String = layer match {
     case Layer.Raw     => rawBucket

@@ -24,7 +24,21 @@ final case class Commit(
     add: Seq[String],
     remove: Seq[String],
     schemaJson: String,
-    metrics: Map[String, String])
+    metrics: Map[String, String],
+    stats: Option[Map[String, FileStats]] = None)
+
+/** Per-column stats of one data file, in portable string form:
+  * numerics/strings/dates as their cast-to-string value, timestamps as
+  * epoch MICROS (decimal strings don't order lexicographically; micros
+  * do compare numerically). `None` min/max = all-null column. */
+final case class ColStats(min: Option[String], max: Option[String], nulls: Long)
+
+/** Row count + per-column stats of one data file — the data-skipping
+  * index. At 100 TB this is the difference between scanning a table and
+  * scanning the handful of files a selective predicate can touch; the
+  * log stays KB-sized because stats hold two scalars per column per FILE
+  * (files are ~128 MB). Delta/Iceberg keep the identical structure. */
+final case class FileStats(rows: Long, cols: Map[String, ColStats])
 
 /** Hash-bucketed layout: rows land in `pmod(xxhash64(keys), numBuckets)`
   * and file names carry their bucket (`b<K>-...`). With a spec set, CDC
@@ -168,6 +182,49 @@ final class GraftTable private (
     }
   }
 
+  /** Read with file-level data skipping: files whose min/max/null stats
+    * prove `predicate` can never hold are not scanned at all. The result is
+    * identical to `read().filter(predicate)` — the predicate is still
+    * applied to surviving files; stats only remove files, never rows.
+    *
+    * Skipping understands conjunctions of `=`, `<`, `<=`, `>`, `>=`,
+    * `isNull`, `isNotNull` between a column and a literal (numeric, string,
+    * date, timestamp, boolean); anything else is kept, so unsupported
+    * predicates degrade to a full scan, never to wrong results. Files
+    * written before stats existed (or with stats disabled) are never
+    * skipped. At 100 TB a selective predicate on an append-ordered column
+    * (event time, ingest date) turns an O(table) scan into O(matching
+    * files) — same mechanics as Delta/Iceberg data skipping. */
+  def readWhere(predicate: org.apache.spark.sql.Column): DataFrame = {
+    val files = prunedFiles(predicate)
+    if (files.isEmpty) {
+      val schemaJson = commits().lastOption.map(_.schemaJson)
+        .getOrElse(throw new IllegalStateException(s"table does not exist: $path"))
+      val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    } else {
+      spark.read.option("mergeSchema", "true")
+        .parquet(files.map(f => s"$path/$f"): _*)
+        .filter(predicate)
+    }
+  }
+
+  /** The live files `readWhere(predicate)` would scan (exposed for tests
+    * and observability). */
+  private[tables] def prunedFiles(predicate: org.apache.spark.sql.Column): Seq[String] = {
+    val statsByFile: Map[String, FileStats] =
+      commits().flatMap(_.stats.getOrElse(Map.empty)).toMap
+    val conjuncts =
+      org.apache.spark.sql.graftbridge.ColumnBridge.conjuncts(predicate)
+    liveFiles().filter { f =>
+      statsByFile.get(f) match {
+        case None     => true // no stats -> cannot prove anything -> keep
+        case Some(st) => conjuncts.forall(c => StatsPruning.mayHold(c, st))
+      }
+    }
+  }
+
   /** Data files added by dataChange commits in versions (`fromExclusive`,
     * current] — the incremental-consumption contract (compactions are
     * invisible, like Delta's dataChange=false). */
@@ -183,10 +240,55 @@ final class GraftTable private (
 
   // ---------------------------------------------------------------- write
 
-  /** Stage `df` as parquet files inside the table dir, return file names.
-    * With a bucket spec (and the keys present), rows are hash-routed and
-    * file names carry their bucket id. */
-  private def stage(df: DataFrame): Seq[String] = {
+  /** Columns eligible for file-level min/max stats. */
+  private def isStatType(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case _: org.apache.spark.sql.types.NumericType => true
+    case org.apache.spark.sql.types.StringType     => true
+    case org.apache.spark.sql.types.DateType       => true
+    case org.apache.spark.sql.types.TimestampType  => true
+    case org.apache.spark.sql.types.BooleanType    => true
+    case _                                          => false
+  }
+
+  /** Per-file stats of the freshly staged batch, keyed by STAGED leaf file
+    * name. One distributed aggregation over the just-written files (tiny
+    * relative to the write itself; `settings.collectFileStats` disables).
+    * Timestamps are stored as epoch micros — decimal strings don't order
+    * lexicographically, micros compare numerically. */
+  private def collectStats(stagingDir: String, df: DataFrame): Map[String, FileStats] = {
+    if (!settings.collectFileStats) return Map.empty
+    val statFields = df.schema.fields.filter(f => isStatType(f.dataType)).toSeq
+    val data = spark.read.parquet(stagingDir)
+    val aggs = statFields.flatMap { f =>
+      val c = col(f.name)
+      val (mn, mx) = f.dataType match {
+        case org.apache.spark.sql.types.TimestampType =>
+          (unix_micros(min(c)), unix_micros(max(c)))
+        case _ => (min(c), max(c))
+      }
+      Seq(mn.cast("string").as(s"__mn_${f.name}"),
+        mx.cast("string").as(s"__mx_${f.name}"),
+        count(when(c.isNull, 1)).as(s"__nl_${f.name}"))
+    }
+    data.groupBy(input_file_name().as("__file"))
+      .agg(count(lit(1)).as("__rows"), aggs: _*)
+      .collect()
+      .map { r =>
+        val fileName = r.getString(0).split('/').last
+        val cols = statFields.map { f =>
+          f.name -> ColStats(
+            Option(r.getAs[String](s"__mn_${f.name}")),
+            Option(r.getAs[String](s"__mx_${f.name}")),
+            r.getAs[Long](s"__nl_${f.name}"))
+        }.toMap
+        fileName -> FileStats(r.getAs[Long]("__rows"), cols)
+      }.toMap
+  }
+
+  /** Stage `df` as parquet files inside the table dir; returns final file
+    * names plus their collected stats. With a bucket spec (and the keys
+    * present), rows are hash-routed and file names carry their bucket id. */
+  private def stage(df: DataFrame): (Seq[String], Map[String, FileStats]) = {
     val stagingId = UUID.randomUUID().toString
     val stagingDir = s"$path/_staging-$stagingId"
     val spec = bucketSpec.filter(_.keys.forall(df.columns.contains))
@@ -199,39 +301,44 @@ final class GraftTable private (
       case None =>
         df.write.mode("overwrite").parquet(stagingDir)
     }
+    val statsByStaged = collectStats(stagingDir, df)
     val staged = FsUtils.dataFiles(spark, stagingDir).map(_.getPath)
-    val names = staged.map { p =>
+    val namesAndStats = staged.map { p =>
       val bucketPrefix = spec.flatMap { _ =>
         "graft_bucket=(\\d+)".r.findFirstMatchIn(p.getParent.getName).map(m => s"b${m.group(1)}-")
       }.getOrElse("")
       val name = s"${bucketPrefix}part-$stagingId-${p.getName.stripPrefix("part-")}"
       if (!fs.rename(p, new Path(path, name)))
         throw new IllegalStateException(s"failed to move staged file $p into $path")
-      name
+      name -> statsByStaged.get(p.getName)
     }
     fs.delete(new Path(stagingDir), true)
-    names
+    (namesAndStats.map(_._1),
+      namesAndStats.collect { case (n, Some(st)) => n -> st }.toMap)
   }
 
   private def nextCommit(action: String, dataChange: Boolean, add: Seq[String],
-      remove: Seq[String], schemaJson: String, metrics: Map[String, String]): Commit = {
+      remove: Seq[String], schemaJson: String, metrics: Map[String, String],
+      stats: Map[String, FileStats] = Map.empty): Commit = {
     val c = Commit(version + 1, action, dataChange, System.currentTimeMillis(),
-      add, remove, schemaJson, metrics)
+      add, remove, schemaJson, metrics,
+      if (stats.isEmpty) None else Some(stats))
     writeCommit(c)
     c
   }
 
   def append(df: DataFrame): Commit = {
-    val add = stage(df)
+    val (add, stats) = stage(df)
     nextCommit("append", dataChange = true, add, Seq.empty, df.schema.json,
-      Map("numOutputFiles" -> add.size.toString))
+      Map("numOutputFiles" -> add.size.toString), stats)
   }
 
   def overwrite(df: DataFrame): Commit = {
     val old = liveFiles()
-    val add = stage(df)
+    val (add, stats) = stage(df)
     nextCommit("overwrite", dataChange = true, add, old, df.schema.json,
-      Map("numOutputFiles" -> add.size.toString, "numRemovedFiles" -> old.size.toString))
+      Map("numOutputFiles" -> add.size.toString, "numRemovedFiles" -> old.size.toString),
+      stats)
   }
 
   /** CDC upsert reproducing the reference's Delta MERGE
@@ -295,10 +402,11 @@ final class GraftTable private (
           .unionByName(upserted, allowMissingColumns = true)
       case None => upserted
     }
-    val add = stage(merged)
+    val (add, stats) = stage(merged)
     nextCommit("upsert", dataChange = true, add, oldFiles, merged.schema.json,
       Map("numOutputFiles" -> add.size.toString,
-        "numRewrittenFiles" -> oldFiles.size.toString))
+        "numRewrittenFiles" -> oldFiles.size.toString),
+      stats)
   }
 
   /** Small-file compaction (reference `jibaro/datalake/delta_handler.py:9-35`):
@@ -312,11 +420,12 @@ final class GraftTable private (
     val totalBytes = files.map(f => fs.getFileStatus(new Path(path, f)).getLen).sum
     val target = math.max(1, math.ceil(totalBytes.toDouble / settings.compactTargetBytes).toInt)
     val df = read().repartition(target)
-    val add = stage(df)
+    val (add, stats) = stage(df)
     Some(nextCommit("compact", dataChange = false, add, files, df.schema.json,
       Map("numOutputFiles" -> add.size.toString,
         "numRemovedFiles" -> files.size.toString,
-        "numCompactedBytes" -> totalBytes.toString)))
+        "numCompactedBytes" -> totalBytes.toString),
+      stats))
   }
 
   /** External-reader manifest (the reference generates Delta's

@@ -3,6 +3,7 @@ package org.apache.spark.sql.graftbridge
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.internal
 
 /** Narrow bridge into `private[sql]` surface: wrap a raw Catalyst
   * `Expression` as a public `Column` (Spark 4 moved the Expression-backed
@@ -12,4 +13,58 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+  /** Flatten a predicate Column into conjunct atoms for data skipping.
+    *
+    * Walks the Spark-4 `ColumnNode` tree the DataFrame API builds
+    * (`col("x") > 5` is `UnresolvedFunction(">", attr, literal)`; the
+    * catalyst comparison classes only exist after analysis, which never
+    * runs for a predicate inspected driver-side). `ColumnNode` is
+    * `private[sql]`, hence this lives in the bridge. Unrecognized shapes
+    * come back as [[graft.tables.PredOpaque]] — the consumer treats them
+    * as un-prunable, so this conversion can never cause wrong skipping. */
+  def conjuncts(c: Column): Seq[graft.tables.PredAtom] = splitAnd(c.node)
+
+  private def splitAnd(n: internal.ColumnNode): Seq[graft.tables.PredAtom] = n match {
+    case f: internal.UnresolvedFunction if f.functionName == "and" =>
+      f.arguments.flatMap(splitAnd)
+    case other => Seq(atom(other))
+  }
+
+  private def attrName(n: internal.ColumnNode): Option[String] = n match {
+    case a: internal.UnresolvedAttribute => Some(a.nameParts.mkString("."))
+    case _                               => None
+  }
+
+  private def litValue(n: internal.ColumnNode): Option[Any] = n match {
+    case l: internal.Literal => Some(l.value)
+    case _                   => None
+  }
+
+  private val Flip = Map(">" -> "<", ">=" -> "<=", "<" -> ">", "<=" -> ">=", "=" -> "=")
+
+  private def atom(n: internal.ColumnNode): graft.tables.PredAtom = n match {
+    case f: internal.UnresolvedFunction =>
+      (normalizeOp(f.functionName), f.arguments) match {
+        case (Some(op), Seq(a, b)) =>
+          (attrName(a), litValue(b), attrName(b), litValue(a)) match {
+            case (Some(name), Some(v), _, _) => graft.tables.PredCmp(op, name, v)
+            case (_, _, Some(name), Some(v)) => graft.tables.PredCmp(Flip(op), name, v)
+            case _                           => graft.tables.PredOpaque
+          }
+        case (None, Seq(a)) if f.functionName == "isNull" =>
+          attrName(a).map(graft.tables.PredNull(_, isNull = true))
+            .getOrElse(graft.tables.PredOpaque)
+        case (None, Seq(a)) if f.functionName == "isNotNull" =>
+          attrName(a).map(graft.tables.PredNull(_, isNull = false))
+            .getOrElse(graft.tables.PredOpaque)
+        case _ => graft.tables.PredOpaque
+      }
+    case _ => graft.tables.PredOpaque
+  }
+
+  private def normalizeOp(fn: String): Option[String] = fn match {
+    case ">" | ">=" | "<" | "<=" | "=" => Some(fn)
+    case "=="                          => Some("=")
+    case _                             => None
+  }
 }

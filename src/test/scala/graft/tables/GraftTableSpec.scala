@@ -108,6 +108,59 @@ class GraftTableSpec extends SparkSpecBase {
       java.nio.file.Paths.get(java.net.URI.create(p)))))
   }
 
+  test("data skipping: readWhere prunes files by min/max stats, results exact") {
+    val t = tmpTable()
+    // three appends with disjoint id ranges -> three files with disjoint stats
+    t.append(Seq((1, "a", 10.5), (2, "b", 20.5)).toDF("id", "name", "amt"))
+    t.append(Seq((100, "c", 30.5), (200, "d", 40.5)).toDF("id", "name", "amt"))
+    t.append(Seq((1000, "e", 50.5), (2000, "f", 60.5)).toDF("id", "name", "amt"))
+    assert(t.liveFiles().size >= 3)
+
+    // numeric range: only the high file survives
+    val hi = t.prunedFiles(col("id") > 500)
+    assert(hi.size < t.liveFiles().size, "pruning must drop files")
+    assert(t.readWhere(col("id") > 500).as[(Int, String, Double)].collect().toSet ===
+      Set((1000, "e", 50.5), (2000, "f", 60.5)))
+
+    // equality: exactly one file may contain id = 100
+    assert(t.prunedFiles(col("id") === 100).size === 1)
+    assert(t.readWhere(col("id") === 100).count() === 1)
+
+    // conjunction with a string bound
+    val got = t.readWhere(col("id") >= 100 && col("name") <= "d")
+      .as[(Int, String, Double)].collect().toSet
+    assert(got === Set((100, "c", 30.5), (200, "d", 40.5)))
+
+    // impossible predicate: zero files scanned, empty result, schema kept
+    assert(t.prunedFiles(col("id") > 99999).isEmpty)
+    val empty = t.readWhere(col("id") > 99999)
+    assert(empty.count() === 0)
+    assert(empty.columns.toSeq === Seq("id", "name", "amt"))
+
+    // unsupported predicate shapes degrade to full scan, never wrong rows
+    assert(t.prunedFiles(col("id") % 2 === 0).size === t.liveFiles().size)
+    assert(t.readWhere(col("id") % 2 === 0).count() ===
+      t.read().filter(col("id") % 2 === 0).count())
+  }
+
+  test("data skipping: null stats drive isNull pruning; stats survive compaction") {
+    val t = tmpTable()
+    t.append(Seq((1, Some("a")), (2, Some("b"))).toDF("id", "v").coalesce(1))
+    t.append(Seq((3, None: Option[String]), (4, Some("d"))).toDF("id", "v").coalesce(1))
+    assert(t.liveFiles().size === 2)
+    // only the second file contains nulls
+    assert(t.prunedFiles(col("v").isNull).size === 1)
+    assert(t.readWhere(col("v").isNull).count() === 1)
+    assert(t.prunedFiles(col("v").isNotNull).size === 2)
+
+    // compaction rewrites files; stats are re-collected for the new files
+    (1 to 3).foreach(i => t.append(Seq((100 + i, Some("x"))).toDF("id", "v")))
+    assert(t.compactIfNeeded(maxFiles = 1).isDefined)
+    assert(t.readWhere(col("id") > 100).count() === 3)
+    val statsByFile = t.commits().flatMap(_.stats.getOrElse(Map.empty)).toMap
+    assert(t.liveFiles().forall(statsByFile.contains), "compacted files carry stats")
+  }
+
   test("bounded incremental: backlog drains in multiple checkpointed batches") {
     val t = tmpTable()
     // 6 commits of 1 file each (coalesce(1)) = backlog of 6 files
