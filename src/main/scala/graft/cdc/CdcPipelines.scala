@@ -220,7 +220,8 @@ object CdcPipelines {
 
   /** DataFrame -> registered-schema framed Kafka records -> bus
     * (`jibaro/datalake/kafka.py:22-119`): split columns into key/value
-    * structs, register Avro schemas, wire-format-frame the encoded
+    * structs, register schemas (Avro or Protobuf, like the reference's
+    * `type="AVRO"|"PROTOBUF"` switch), wire-format-frame the encoded
     * payloads, publish. */
   def dataframeToKafka(
       spark: SparkSession,
@@ -228,25 +229,37 @@ object CdcPipelines {
       topic: String,
       keyColumns: Seq[String],
       registry: SchemaRegistryClient,
-      bus: MessageBus): Unit = {
+      bus: MessageBus,
+      contentType: String = "avro"): Unit = {
     val valueColumns = source.columns.filterNot(keyColumns.contains).toSeq
     require(valueColumns.nonEmpty, "no value columns left after key split")
+    // record/message names must be bare identifiers; topics carry dots
+    val recName = topic.replaceAll("[^A-Za-z0-9_]", "_")
 
-    val valueType = StructType(valueColumns.map(c => source.schema(c)))
-    val valueSchema = AvroSchemaConverter.toAvroSchema(valueType, s"${topic}_value")
-    val valueId = registry.register(s"$topic-value", valueSchema.toString)
-    val valueCol = ConfluentWireFormat.frame(
-      AvroExpressions.to_avro(struct(valueColumns.map(col): _*), valueSchema.toString),
-      valueId)
-
-    val keyCol = if (keyColumns.isEmpty) lit(null).cast("binary").as("key") else {
-      val keyType = StructType(keyColumns.map(c => source.schema(c)))
-      val keySchema = AvroSchemaConverter.toAvroSchema(keyType, s"${topic}_key")
-      val keyId = registry.register(s"$topic-key", keySchema.toString)
-      ConfluentWireFormat.frame(
-        AvroExpressions.to_avro(struct(keyColumns.map(col): _*), keySchema.toString),
-        keyId).as("key")
+    def framed(cols: Seq[String], role: String): org.apache.spark.sql.Column = {
+      val structType = StructType(cols.map(c => source.schema(c)))
+      val structCol = struct(cols.map(col): _*)
+      contentType match {
+        case "avro" =>
+          val schema = AvroSchemaConverter.toAvroSchema(structType, s"${recName}_$role")
+          val id = registry.register(s"$topic-$role", schema.toString)
+          ConfluentWireFormat.frame(
+            AvroExpressions.to_avro(structCol, schema.toString), id)
+        case "protobuf" =>
+          val proto = graft.codec.ProtoSchemaGen.protoFile(structType, s"${recName}_$role")
+          val id = registry.register(s"$topic-$role", proto, schemaType = "PROTOBUF")
+          ConfluentWireFormat.frame(
+            graft.codec.ProtobufExpressions.to_protobuf(structCol), id, protobuf = true)
+        case other =>
+          throw new IllegalArgumentException(
+            s"contentType must be avro|protobuf, got '$other'")
+      }
     }
+
+    val valueCol = framed(valueColumns, "value")
+    val keyCol =
+      if (keyColumns.isEmpty) lit(null).cast("binary").as("key")
+      else framed(keyColumns, "key").as("key")
     bus.publish(spark, topic, source.select(keyCol, valueCol.as("value")))
   }
 }

@@ -119,6 +119,47 @@ class CdcPipelineSpec extends SparkSpecBase {
       Set((1, "widget"), (2, "gadget-v2"), (4, "gizmo")))
   }
 
+  test("reverse path: protobuf contentType registers .proto and frames proto3") {
+    val out = "outbound.products.pb"
+    CdcPipelines.dataframeToKafka(spark, curated.read().select("id", "name", "weight"),
+      out, keyColumns = Seq("id"), registry, bus, contentType = "protobuf")
+    val frames = bus.readBatch(spark, out)
+    assert(frames.count() === 3)
+    val keyId = frames.select(ConfluentWireFormat.schemaId(col("key"))).distinct().as[Int].head()
+    val valueId = frames.select(ConfluentWireFormat.schemaId(col("value"))).distinct().as[Int].head()
+    assert(registry.getById(valueId).get.schemaType === "PROTOBUF")
+    val decoded = frames.select(
+      graft.codec.ProtobufExpressions.from_protobuf(
+        ConfluentWireFormat.protoPayload(col("key")),
+        registry.getById(keyId).get.schema).as("k"),
+      graft.codec.ProtobufExpressions.from_protobuf(
+        ConfluentWireFormat.protoPayload(col("value")),
+        registry.getById(valueId).get.schema).as("v"))
+      .select(col("k.id"), col("v.name"))
+    assert(decoded.as[(Int, String)].collect().toSet ===
+      Set((1, "widget"), (2, "gadget-v2"), (4, "gizmo")))
+  }
+
+  test("kafkaToRaw caller options reach the source (rate cap -> multiple batches)") {
+    val topic = "dbserver1.inventory.ratecap"
+    val tbl = "ratecap"
+    // 4 single-file publishes = 4 source files
+    (1 to 4).foreach { i =>
+      bus.publish(spark, topic,
+        Seq((s"k$i".getBytes, s"v$i".getBytes)).toDF("key", "value").coalesce(1))
+    }
+    CdcPipelines.kafkaToRaw(spark, bus, topic, project, database, tbl,
+      options = Map("maxFilesPerTrigger" -> "1"))
+    val rawRef = TableRef(Layer.Raw, project, database, tbl)
+    val raw = spark.read.parquet(LakePath.data(rawRef))
+    assert(raw.count() === 4)
+    // AvailableNow + cap 1 => one sink commit per source file
+    val commits = new java.io.File(
+      java.net.URI.create(LakePath.data(rawRef) + "/_spark_metadata").getPath)
+      .listFiles().count(f => f.getName.matches("\\d+"))
+    assert(commits >= 4, s"expected >=4 micro-batch commits, saw $commits")
+  }
+
   test("tombstones (null value) are dropped, not crashed on") {
     val tTopic = "dbserver1.inventory.products_ts"
     val tTable = "products_ts"

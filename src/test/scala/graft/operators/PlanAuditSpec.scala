@@ -68,4 +68,18 @@ class PlanAuditSpec extends SparkSpecBase {
     val p = plan("d02_text_metrics")
     assert(!p.contains("n_chars"), "reads columns the query never uses")
   }
+
+  test("e05: IVF codebook and probe lists broadcast; no cartesian candidate join") {
+    val p = plan("e05_ivf_ann")
+    // centroid scoring + candidate join + probe-vector re-attach all ride
+    // broadcasts; the corpus side must never be the built/broadcast side
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"IVF must broadcast the small sides:\n$p")
+    assert(!p.contains("CartesianProduct"), s"candidate join degenerated:\n$p")
+  }
+
+  test("e03: LSH bucket join carries ids only until candidate re-attach") {
+    val p = plan("e03_ann_lsh")
+    assert(!p.contains("CartesianProduct"), s"bucket join degenerated:\n$p")
+  }
 }
