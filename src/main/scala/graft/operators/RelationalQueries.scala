@@ -463,6 +463,40 @@ object RelationalQueries {
           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         FROM orders
         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
-        ORDER BY o_orderstatus NULLS LAST, o_orderpriority NULLS LAST"""))
+        ORDER BY o_orderstatus NULLS LAST, o_orderpriority NULLS LAST""")),
+
+    // ---- skew mitigation (results must equal the plain equivalents) ------
+    // Two-path skew-aware join: hot user_ids ride the salted path, the
+    // tail joins normally — output is required to be IDENTICAL to a plain
+    // join, which is exactly what the oracle checks.
+    CatalogQuery(
+      "q31_skew_aware_join",
+      (s, dir) => {
+        val events = t(s, dir, "events").select(col("event_id"), col("user_id"))
+        val users = t(s, dir, "customer")
+          .select(col("c_custkey").as("user_id"), col("c_name"))
+        graft.ext.Skew.skewAwareJoin(events, users, Seq("user_id"),
+            hotKeyMinCount = 50, salt = 8)
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT e.event_id, e.user_id, c.c_name
+        FROM events e JOIN customer c ON c.c_custkey = e.user_id
+        ORDER BY e.event_id""")),
+
+    // Salted two-phase aggregation: partial on (key, salt), final on key —
+    // identical results to the single-phase GROUP BY the oracle runs.
+    CatalogQuery(
+      "q32_salted_agg",
+      (s, dir) =>
+        graft.ext.Skew.saltedAgg(
+            t(s, dir, "events").select(col("user_id"), col("value")),
+            Seq("user_id"), salt = 8)(
+            partial = Seq(count(lit(1)).as("pc"), sum(dec6(col("value"))).as("pv")),
+            finalAgg = Seq(sum(col("pc")).as("n"),
+              sum(col("pv")).cast("double").as("total_value")))
+          .orderBy(col("user_id")),
+      Some("""SELECT user_id, count(*) AS n,
+          CAST(sum(CAST("value" AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        FROM events GROUP BY user_id ORDER BY user_id"""))
   )
 }
