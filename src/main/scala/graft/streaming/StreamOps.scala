@@ -51,6 +51,42 @@ object StreamOps {
         col(keyCol), col("n_events"), col("first_event"), col("last_event"))
   }
 
+  /** Streaming deduplication bounded by event time: duplicates of an id
+    * arriving within the watermark horizon are dropped, and state for ids
+    * older than the watermark is evicted — the unbounded-state trap of a
+    * naive `dropDuplicates` on an infinite stream. Batch frames fall back
+    * to plain `dropDuplicates` (same result on finite data). */
+  def dedupWithinWatermark(
+      events: DataFrame,
+      idCols: Seq[String],
+      tsCol: String,
+      watermark: String = "10 minutes"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark(tsCol, watermark)
+        .dropDuplicatesWithinWatermark(idCols)
+    else events.dropDuplicates(idCols)
+
+  /** Stream-stream event-time interval join (the impressions⨝clicks
+    * shape): right rows must land in [left.ts, left.ts + `within`].
+    * Both sides carry watermarks so the join state is bounded — Spark
+    * evicts buffered rows once they can no longer match. Works identically
+    * on batch frames (the time condition is just a filter there). */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftTs: String,
+      rightTs: String,
+      within: String,
+      watermark: String = "10 minutes"): DataFrame = {
+    val l = (if (left.isStreaming) left.withWatermark(leftTs, watermark) else left).as("l")
+    val r = (if (right.isStreaming) right.withWatermark(rightTs, watermark) else right).as("r")
+    l.join(r,
+      col(s"l.$keyCol") === col(s"r.$keyCol") &&
+        col(s"r.$rightTs") >= col(s"l.$leftTs") &&
+        col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $within"))
+  }
+
   // ------------------------------------------------- custom keyed state
 
   case class KeyedEvent(key: Long, ts: java.sql.Timestamp, value: Double)

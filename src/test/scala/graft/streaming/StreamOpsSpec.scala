@@ -57,6 +57,57 @@ class StreamOpsSpec extends SparkSpecBase {
     assert(out(2L) === ((1L, 4.0)))
   }
 
+  test("dedupWithinWatermark: streaming duplicates dropped, state bounded by event time") {
+    val dir = Files.createTempDirectory("graft-dedupwm-").toString
+    val dupes = Seq(
+      (10L, ts("2024-01-01 10:00:00"), 1.0),
+      (10L, ts("2024-01-01 10:00:05"), 1.0), // dup within watermark
+      (11L, ts("2024-01-01 10:01:00"), 2.0)
+    ).toDF("key", "ts", "value")
+    dupes.write.mode("overwrite").parquet(s"$dir/in")
+    val q = StreamOps.dedupWithinWatermark(
+        spark.readStream.schema(dupes.schema).parquet(s"$dir/in"),
+        Seq("key"), "ts", watermark = "1 hour")
+      .writeStream.format("memory").queryName("dedup_wm_out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = spark.table("dedup_wm_out").select("key").as[Long].collect().sorted.toSeq
+    assert(out === Seq(10L, 11L))
+    // batch fallback: plain dropDuplicates semantics
+    assert(StreamOps.dedupWithinWatermark(dupes, Seq("key"), "ts").count() === 2)
+  }
+
+  test("intervalJoin: stream-stream click attribution within the window") {
+    val dir = Files.createTempDirectory("graft-ssjoin-").toString
+    val impressions = Seq(
+      (1L, ts("2024-01-01 10:00:00")),
+      (2L, ts("2024-01-01 10:05:00"))
+    ).toDF("ad", "imp_ts")
+    val clicks = Seq(
+      (1L, ts("2024-01-01 10:00:30")), // within 1 minute -> attributed
+      (1L, ts("2024-01-01 10:10:00")), // too late
+      (2L, ts("2024-01-01 10:04:00"))  // before the impression
+    ).toDF("ad", "click_ts")
+    impressions.write.mode("overwrite").parquet(s"$dir/imp")
+    clicks.write.mode("overwrite").parquet(s"$dir/clk")
+    val joined = StreamOps.intervalJoin(
+      spark.readStream.schema(impressions.schema).parquet(s"$dir/imp"),
+      spark.readStream.schema(clicks.schema).parquet(s"$dir/clk"),
+      keyCol = "ad", leftTs = "imp_ts", rightTs = "click_ts",
+      within = "1 MINUTE", watermark = "1 hour")
+    val q = joined.select(col("l.ad"), col("click_ts"))
+      .writeStream.format("memory").queryName("ssjoin_out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = spark.table("ssjoin_out").as[(Long, Timestamp)].collect().toSet
+    assert(out === Set((1L, ts("2024-01-01 10:00:30"))))
+    // batch parity: same three-row inputs, same single attribution
+    assert(StreamOps.intervalJoin(impressions, clicks, "ad", "imp_ts", "click_ts",
+      "1 MINUTE").count() === 1)
+  }
+
   private implicit class Tup3Ops(arr: Array[(Long, Long, Double)]) {
     def toMap2: Map[Long, (Long, Double)] = arr.map(t => t._1 -> ((t._2, t._3))).toMap
   }
