@@ -48,14 +48,103 @@ object Multimodal {
     def dim: Int
   }
 
-  /** Deterministic fake: hash-derived pseudo-features. Replace with an
-    * ImageIO/ffmpeg-backed implementation where those libraries exist —
-    * nothing else in the pipeline changes. */
+  /** Deterministic fake: hash-derived pseudo-features. Useful when results
+    * must be reproducible outside the JVM (no codec in the loop) and for
+    * modalities [[JdkMediaDecoder]] cannot parse (video containers). */
   final class StubDecoder(val dim: Int = 16) extends MediaDecoder {
     override def decode(modality: String, content: Array[Byte]): Array[Float] = {
       val seed = java.util.Arrays.hashCode(content) ^ modality.hashCode
       val rnd = new scala.util.Random(seed)
       Array.fill(dim)(rnd.nextFloat())
+    }
+  }
+
+  /** REAL byte-level decoder on JDK-native codecs — zero external
+    * dependencies: `javax.imageio` for images (PNG/JPEG/BMP/GIF),
+    * `javax.sound.sampled` for audio containers (WAV/AIFF/AU).
+    *
+    * Features are a fixed `grid x grid` vector: images -> mean luminance
+    * per cell in [0,1] (a tiny perceptual thumbnail — enough for exact and
+    * near-dup detection on re-encoded images); audio -> RMS energy per
+    * time segment of the first channel. Corrupt/unknown payloads decode to
+    * EMPTY features (callers filter on `size(features) > 0`) rather than
+    * failing the task — at 100 TB some payloads are always broken, and one
+    * bad row must not kill a 10k-task stage. Video containers need a
+    * demuxer the JDK lacks; pair [[sampleFramesExploded]] with an
+    * ffmpeg-backed [[MediaDecoder]] in environments that ship one. */
+  final class JdkMediaDecoder(grid: Int = 4) extends MediaDecoder {
+    override val dim: Int = grid * grid
+
+    override def decode(modality: String, content: Array[Byte]): Array[Float] =
+      try modality match {
+        case "image" => decodeImage(content)
+        case "audio" => decodeAudio(content)
+        case _       => Array.empty
+      } catch { case scala.util.control.NonFatal(_) => Array.empty }
+
+    private def decodeImage(bytes: Array[Byte]): Array[Float] = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null || img.getWidth == 0 || img.getHeight == 0) return Array.empty
+      val out = new Array[Float](dim)
+      var gy = 0
+      while (gy < grid) {
+        var gx = 0
+        while (gx < grid) {
+          val x0 = img.getWidth * gx / grid
+          val x1 = math.max(img.getWidth * (gx + 1) / grid, x0 + 1)
+          val y0 = img.getHeight * gy / grid
+          val y1 = math.max(img.getHeight * (gy + 1) / grid, y0 + 1)
+          var sum = 0.0; var n = 0
+          var y = y0
+          while (y < y1 && y < img.getHeight) {
+            var x = x0
+            while (x < x1 && x < img.getWidth) {
+              val rgb = img.getRGB(x, y)
+              val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+              sum += (0.299 * r + 0.587 * g + 0.114 * b) / 255.0
+              n += 1; x += 1
+            }
+            y += 1
+          }
+          out(gy * grid + gx) = if (n == 0) 0f else (sum / n).toFloat
+          gx += 1
+        }
+        gy += 1
+      }
+      out
+    }
+
+    private def decodeAudio(bytes: Array[Byte]): Array[Float] = {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        if (fmt.getSampleSizeInBits != 16) return Array.empty // PCM16 only
+        val raw = in.readAllBytes()
+        val frameSize = fmt.getFrameSize
+        val nFrames = raw.length / frameSize
+        if (nFrames == 0) return Array.empty
+        val out = new Array[Float](dim)
+        val big = fmt.isBigEndian
+        var seg = 0
+        while (seg < dim) {
+          val f0 = nFrames.toLong * seg / dim
+          val f1 = math.max(nFrames.toLong * (seg + 1) / dim, f0 + 1)
+          var sumSq = 0.0; var n = 0
+          var f = f0
+          while (f < f1 && f < nFrames) {
+            val i = (f * frameSize).toInt // first channel of the frame
+            val s =
+              if (big) ((raw(i) << 8) | (raw(i + 1) & 0xff)).toShort
+              else ((raw(i + 1) << 8) | (raw(i) & 0xff)).toShort
+            sumSq += (s / 32768.0) * (s / 32768.0)
+            n += 1; f += 1
+          }
+          out(seg) = if (n == 0) 0f else math.sqrt(sumSq / n).toFloat
+          seg += 1
+        }
+        out
+      } finally in.close()
     }
   }
 
@@ -89,9 +178,61 @@ object Multimodal {
     transform(sequence(lit(0), lit(dim - 1)),
       i => (pmod(xxhash64(content, i), lit(10000)).cast("double") / 10000.0).cast("float"))
 
+  /** REAL image resize via JDK Graphics2D, re-encoded as PNG, run
+    * partition-locally (narrow, no shuffle; payloads never leave their
+    * partition). `meta.width/height/mime` are updated for re-encoded rows;
+    * payloads ImageIO cannot parse pass through UNCHANGED — broken bytes
+    * cost nothing, never a task. */
+  def resizeImages(df: DataFrame, width: Int, height: Int,
+      contentCol: String = "content", metaCol: String = "meta"): DataFrame = {
+    implicit val enc: Encoder[Row] = Encoders.row(df.schema)
+    val ci = df.schema.fieldIndex(contentCol)
+    val mi = if (df.columns.contains(metaCol)) df.schema.fieldIndex(metaCol) else -1
+    val metaType =
+      if (mi >= 0) df.schema(mi).dataType.asInstanceOf[StructType] else null
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](ci)
+        val resized =
+          if (bytes == null) None
+          else try {
+            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            if (img == null) None
+            else {
+              val scaled = new java.awt.image.BufferedImage(
+                width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g = scaled.createGraphics()
+              try {
+                g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                  java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+                g.drawImage(img, 0, 0, width, height, null)
+              } finally g.dispose()
+              val baos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(scaled, "png", baos)
+              Some(baos.toByteArray)
+            }
+          } catch { case scala.util.control.NonFatal(_) => None }
+        resized match {
+          case Some(b) =>
+            var seq = r.toSeq.updated(ci, b)
+            if (mi >= 0 && !r.isNullAt(mi)) {
+              val m = r.getStruct(mi)
+              var ms = m.toSeq
+              ms = ms.updated(metaType.fieldIndex("width"), width)
+              ms = ms.updated(metaType.fieldIndex("height"), height)
+              ms = ms.updated(metaType.fieldIndex("mime"), "image/png")
+              seq = seq.updated(mi, Row.fromSeq(ms))
+            }
+            Row.fromSeq(seq)
+          case None => r
+        }
+      }
+    }
+  }
+
   /** "Resize" stub: records the target size in metadata and truncates the
-    * payload deterministically (a real impl re-encodes pixels; the
-    * metadata/columnar contract is identical). */
+    * payload deterministically — kept for payloads with no JDK codec
+    * (video); images use the real [[resizeImages]]. */
   def resizeStub(df: DataFrame, width: Int, height: Int,
       contentCol: String = "content"): DataFrame =
     df.withColumn("meta",

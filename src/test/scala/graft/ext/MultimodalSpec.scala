@@ -47,6 +47,83 @@ class MultimodalSpec extends SparkSpecBase {
     assert(sims.count() === 3)
   }
 
+  // --- real JDK codecs: generate a PNG and a WAV in-process ---
+
+  private def pngBytes(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h)
+      img.setRGB(x, y, if (x < w / 2) rgb else 0x000000) // left half colored, right black
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  private def wavBytes(nSamples: Int, loud: Boolean): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val pcm = new Array[Byte](nSamples * 2)
+    val amp = if (loud) 16000 else 100
+    for (i <- 0 until nSamples) {
+      val s = (math.sin(i * 0.3) * amp).toInt.toShort
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  test("JdkMediaDecoder: real PNG luminance grid and WAV RMS features") {
+    val rows = Seq(
+      Row(1L, "image", pngBytes(32, 32, 0xffffff), Row("image/png", 32, 32, null, null)),
+      Row(2L, "audio", wavBytes(8000, loud = true), Row("audio/wav", null, null, 8000, 1000L)),
+      Row(3L, "audio", wavBytes(8000, loud = false), Row("audio/wav", null, null, 8000, 1000L)),
+      Row(4L, "image", Array[Byte](1, 2, 3), Row("image/png", 1, 1, null, null)) // corrupt
+    )
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), Multimodal.MediaSchema)
+    val out = Multimodal.withDecodedFeatures(df, new Multimodal.JdkMediaDecoder(grid = 4))
+      .select("media_id", "features").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+
+    val img = out(1L)
+    assert(img.size === 16)
+    // left half white (lum ~1), right half black (~0): grid columns 0-1 vs 2-3
+    assert(img(0) > 0.9f && img(1) > 0.9f, s"left cells bright: $img")
+    assert(img(2) < 0.1f && img(3) < 0.1f, s"right cells dark: $img")
+
+    val loud = out(2L); val quiet = out(3L)
+    assert(loud.size === 16 && quiet.size === 16)
+    assert(loud.sum > quiet.sum * 10, "RMS tracks amplitude")
+
+    assert(out(4L).isEmpty, "corrupt payload -> empty features, not a crash")
+  }
+
+  test("resizeImages: real re-encode to target size, corrupt rows pass through") {
+    val rows = Seq(
+      Row(1L, "image", pngBytes(64, 48, 0x336699), Row("image/png", 64, 48, null, null)),
+      Row(2L, "image", Array[Byte](9, 9, 9), Row("image/png", 1, 1, null, null)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), Multimodal.MediaSchema)
+    val out = Multimodal.resizeImages(df, 16, 16).collect()
+      .map(r => r.getLong(0) -> r).toMap
+
+    val good = out(1L)
+    val decoded = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(good.getAs[Array[Byte]]("content")))
+    assert(decoded.getWidth === 16 && decoded.getHeight === 16)
+    val meta = good.getStruct(good.fieldIndex("meta"))
+    assert(meta.getInt(meta.fieldIndex("width")) === 16)
+    assert(meta.getString(meta.fieldIndex("mime")) === "image/png")
+
+    // corrupt payload untouched, meta untouched
+    assert(out(2L).getAs[Array[Byte]]("content").toSeq === Seq[Byte](9, 9, 9))
+    val m2 = out(2L).getStruct(out(2L).fieldIndex("meta"))
+    assert(m2.getInt(m2.fieldIndex("width")) === 1)
+  }
+
   test("resizeStub rewrites metadata and bounds payload") {
     val out = Multimodal.resizeStub(mediaDf.filter(col("content").isNotNull), 4, 2)
     val metas = out.select(col("meta.width"), col("meta.height"), length(col("content"))).collect()
