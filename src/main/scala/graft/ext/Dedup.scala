@@ -175,6 +175,77 @@ object Dedup {
       .drop("id", "rep_candidate")
   }
 
+  /** Connected components over an undirected edge list by iterated
+    * min-label propagation: every node converges to the MINIMUM id in its
+    * component. Converges in O(component diameter) rounds — near-dup
+    * graphs are shallow (dup clusters are dense), so a handful of rounds
+    * suffices where the worst-case bound would be `maxIter`.
+    *
+    * Scale shape: each round is one equi-join (labels ⨝ edges) + one
+    * min-aggregate — all key-partitioned shuffles, no driver data motion;
+    * `localCheckpoint` truncates lineage each round so plans don't grow;
+    * convergence is checked with an `isEmpty` probe (one tiny action per
+    * round). For graphs with pathological diameters see the large-star/
+    * small-star algorithm (Kiveris et al.) — same join primitives, fewer
+    * rounds; unnecessary for dedup clusters.
+    *
+    * Returns (id, component). Nodes absent from `pairs` are absent here —
+    * callers left-join and coalesce to the node's own id. */
+  def connectedComponents(
+      pairs: DataFrame,
+      idA: String = "id_a",
+      idB: String = "id_b",
+      maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("dst"), col("component").as("nc")), "dst")
+        .groupBy(col("src")).agg(min("nc").as("min_nc"))
+      val updated = labels
+        .join(neighborMin.select(col("src").as("id"), col("min_nc")), Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("min_nc"), col("component"))).as("component"))
+        .localCheckpoint(true)
+      converged = updated
+        .join(labels.withColumnRenamed("component", "old"), "id")
+        .filter(col("component") =!= col("old"))
+        .isEmpty
+      labels = updated
+      i += 1
+    }
+    labels
+  }
+
+  /** Near-duplicate dedup with TRANSITIVE closure: like [[minhashDedup]]
+    * but groups are true connected components of the candidate graph
+    * (A~B, B~C puts A,B,C in one group even when A,C never share a
+    * bucket), via [[connectedComponents]]. The star-clustering variant is
+    * one pass and engine-portable (the d08 oracle); this one is exact. */
+  def minhashDedupCC(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.7,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleSize: Int = 3,
+      portable: Boolean = false): DataFrame = {
+    val pairs = minhashCandidatePairs(df, idCol, textCol, numHashes, bands, shingleSize, portable)
+      .filter(col("est_jaccard") >= threshold)
+    val comps = connectedComponents(pairs, "id_a", "id_b")
+    df.join(comps, col(idCol) === col("id"), "left")
+      .withColumn("dup_group", coalesce(col("component"), col(idCol)))
+      .drop("id", "component")
+  }
+
   // ---------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash over word tokens: per-bit majority vote of token

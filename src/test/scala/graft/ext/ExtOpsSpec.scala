@@ -66,6 +66,28 @@ class ExtOpsSpec extends SparkSpecBase {
     assert(groups(2L) === 2L)
   }
 
+  test("connectedComponents: transitive closure via min-label propagation") {
+    // chain 1-2-3-4 (diameter 3, needs multiple rounds), island 10-11,
+    // self-contained pair 20-21
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (21L, 20L))
+      .toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps(1L) === 1L && comps(2L) === 1L && comps(3L) === 1L && comps(4L) === 1L)
+    assert(comps(10L) === 10L && comps(11L) === 10L)
+    assert(comps(20L) === 20L && comps(21L) === 20L)
+  }
+
+  test("minhashDedupCC groups transitively where star-clustering cannot") {
+    val comps = Dedup.minhashDedupCC(docs, "doc_id", "text", threshold = 0.5)
+      .select("doc_id", "dup_group")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // same clusters as minhashDedup on this corpus, plus isolated docs
+    // keep their own id
+    assert(comps(0L) === 0L && comps(3L) === 0L && comps(1L) === 0L)
+    assert(comps(2L) === 2L)
+  }
+
   test("simhashSignatures (codegen path) agrees with simhash64 expression") {
     val expr = docs.select(col("doc_id").as("id"), Dedup.simhash64(col("text")).as("sim"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
