@@ -84,6 +84,35 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("data skipping is sound: readWhere == read().filter for random data+predicates") {
+    val dataGen = Gen.listOfN(30, for {
+      id <- Gen.choose(-50, 50)
+      s <- Gen.oneOf("aa", "bb", "cc", "dd")
+      nullable <- Gen.option(Gen.choose(0, 9))
+    } yield (id, s, nullable))
+    val dfs = samples(dataGen, 6).filter(_.nonEmpty)
+    dfs.zipWithIndex.foreach { case (rows, i) =>
+      val t = graft.tables.GraftTable(spark,
+        java.nio.file.Files.createTempDirectory(s"graft-skip-$i-").toString + "/t")(
+        graft.conf.GraftSettings.default)
+      // several small appends -> several files with distinct stat ranges
+      rows.grouped(8).foreach(chunk => t.append(chunk.toDF("id", "s", "opt").coalesce(1)))
+
+      val predicates = Seq(
+        col("id") > 0, col("id") <= -10, col("id") === 7,
+        lit(25) < col("id"), // literal-first form
+        col("s") >= "bb", col("s") === "cc",
+        col("opt").isNull, col("opt").isNotNull,
+        col("id") > -5 && col("s") < "cc",
+        col("id") > 0 && col("opt").isNotNull && col("s") =!= "aa")
+      predicates.foreach { p =>
+        val expected = t.read().filter(p).collect().map(_.toSeq).toSet
+        val got = t.readWhere(p).collect().map(_.toSeq).toSet
+        assert(got === expected, s"predicate $p on rows=$rows")
+      }
+    }
+  }
+
   test("minhash estimate within tolerance of exact jaccard") {
     val base = "spark engine shuffles partitions across the cluster for wide operations " * 3
     val variants = (0 until 6).map(i => (i.toLong, base + (" extra" * i)))
