@@ -1,0 +1,51 @@
+package graft
+
+import graft.codec.{FromAvro, FromProtobuf, ToAvro, ToProtobuf}
+import graft.functions.{DotProduct, QuantizedDotProduct}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL-surface registration for the engine's native expressions — the
+  * idiomatic Spark extension point (`spark.sql.extensions=graft.GraftExtensions`
+  * or `.withExtensions(new GraftExtensions)`), so `spark.sql` users call
+  * the codec and vector functions without touching the Scala API:
+  *
+  * {{{
+  *   SELECT graft_from_avro(payload, '{"type":"record",...}') FROM raw
+  *   SELECT graft_dot(a.embedding, b.embedding) FROM ...
+  * }}}
+  *
+  * Every function maps 1:1 onto the same Catalyst expression the Column
+  * API builds — one implementation, two surfaces.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    register(ext, "graft_from_avro", "decode Avro binary with the given schema JSON",
+      args => { requireArgs(args, 2, "graft_from_avro"); FromAvro(args(0), args(1)) })
+    register(ext, "graft_to_avro", "encode a struct as Avro binary with the given schema JSON",
+      args => { requireArgs(args, 2, "graft_to_avro"); ToAvro(args(0), args(1)) })
+    register(ext, "graft_from_protobuf", "decode proto3 binary with the given .proto text",
+      args => { requireArgs(args, 2, "graft_from_protobuf"); FromProtobuf(args(0), args(1), None) })
+    register(ext, "graft_to_protobuf", "encode a struct as proto3 binary",
+      args => { requireArgs(args, 1, "graft_to_protobuf"); ToProtobuf(args(0)) })
+    register(ext, "graft_dot", "double-precision dot product of two float arrays",
+      args => { requireArgs(args, 2, "graft_dot"); DotProduct(args(0), args(1)) })
+    register(ext, "graft_qdot", "fixed-point (1e-12) integer dot product, engine-portable",
+      args => { requireArgs(args, 2, "graft_qdot"); QuantizedDotProduct(args(0), args(1)) })
+  }
+
+  private def requireArgs(args: Seq[Expression], n: Int, fn: String): Unit =
+    require(args.length == n, s"$fn expects $n arguments, got ${args.length}")
+
+  private def register(
+      ext: SparkSessionExtensions,
+      name: String,
+      usage: String,
+      builder: Seq[Expression] => Expression): Unit =
+    ext.injectFunction((
+      FunctionIdentifier(name),
+      new ExpressionInfo("graft", name, usage),
+      builder))
+}

@@ -1,0 +1,63 @@
+package graft
+
+import graft.codec.AvroSchemaConverter
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types.StructType
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SQL surface: a session built withExtensions(GraftExtensions) runs
+  * the engine's codec/vector functions from plain `spark.sql`. Uses its
+  * own session — extensions bind at session build time. */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    // getOrCreate returns any ACTIVE session and would silently skip the
+    // extensions when other suites ran first — force a fresh session (the
+    // SparkContext is still shared; extensions bind per-session)
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+  }
+
+  test("avro encode/decode round-trips through SQL") {
+    import spark.implicits._
+    val df = Seq((1, "a"), (2, "b")).toDF("id", "name")
+    df.createOrReplaceTempView("t")
+    val schema = AvroSchemaConverter.toAvroSchema(
+      df.schema.asInstanceOf[StructType], "Rec").toString.replace("'", "''")
+    val back = spark.sql(
+      s"""SELECT graft_from_avro(graft_to_avro(struct(id, name), '$schema'), '$schema') AS r
+         FROM t""")
+      .select("r.id", "r.name").as[(Int, String)].collect().toSet
+    assert(back === Set((1, "a"), (2, "b")))
+  }
+
+  test("protobuf encode/decode round-trips through SQL") {
+    import spark.implicits._
+    val df = Seq((7, 1.5), (8, 2.5)).toDF("id", "w")
+    df.createOrReplaceTempView("pb")
+    val proto = graft.codec.ProtoSchemaGen.protoFile(
+      df.schema.asInstanceOf[StructType], "Rec").replace("'", "''")
+    val back = spark.sql(
+      s"""SELECT graft_from_protobuf(graft_to_protobuf(struct(id, w)), '$proto') AS r
+         FROM pb""")
+      .select("r.id", "r.w").as[(Int, Double)].collect().toSet
+    assert(back === Set((7, 1.5), (8, 2.5)))
+  }
+
+  test("vector functions available in SQL; qdot matches the Column API") {
+    import spark.implicits._
+    Seq((Array(1f, 2f, 3f), Array(4f, 5f, 6f))).toDF("a", "b")
+      .createOrReplaceTempView("v")
+    val dot = spark.sql("SELECT graft_dot(a, b) AS d FROM v").as[Double].head()
+    assert(math.abs(dot - 32.0) < 1e-9)
+    val q = spark.sql("SELECT graft_qdot(a, b) AS q FROM v").as[Long].head()
+    assert(q === 32L * 1000000000000L)
+  }
+}
