@@ -288,11 +288,14 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       portable: Boolean = false): DataFrame = {
     val nBits = simhashBits(portable)
+    // the token hash is PROJECTED once per token before the aggregate —
+    // referencing the md5-derived expression from all 60 vote aggregates
+    // would otherwise re-hash each token once per bit
     val tokens = df.select(col(idCol).as("id"),
-      explode(split(TextAnalysis.normalize(col(textCol)), " ")).as("tkn"))
-    val h =
-      if (portable) TextAnalysis.portableHash60(col("tkn"))
-      else xxhash64(col("tkn"))
+        explode(split(TextAnalysis.normalize(col(textCol)), " ")).as("tkn"))
+      .withColumn("h",
+        if (portable) TextAnalysis.portableHash60(col("tkn")) else xxhash64(col("tkn")))
+    val h = col("h")
     val bitVotes = (0 until nBits).map { i =>
       sum(when(shiftright(h, i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"b$i")
     }
