@@ -143,19 +143,39 @@ final class GraftTable private (
     live.toSeq
   }
 
+  /** Publish one commit file atomically with real conflict detection.
+    *
+    * Rename alone cannot detect a version race: POSIX rename OVERWRITES an
+    * existing destination, so two writers renaming onto the same version
+    * file would silently lose one commit. Protocol: (1) claim the version
+    * with an O_EXCL create (atomic on local fs and HDFS) — the claim is a
+    * mutex for this version; (2) under the claim, check the version file
+    * doesn't already exist (a finished writer deletes its claim, but its
+    * commit file remains forever); (3) write-then-rename so readers never
+    * see partial content. Losers throw `concurrent commit` — append
+    * retries at the next version, read-modify-write callers fail fast. */
   private def writeCommit(c: Commit): Unit = {
     fs.mkdirs(new Path(logDir))
     val name = f"${c.version}%020d.json"
-    val tmp = new Path(logDir, s".$name.${UUID.randomUUID()}.tmp")
-    val out = fs.create(tmp, false)
-    try out.write(Serialization.write(c).getBytes("UTF-8"))
-    finally out.close()
     val dst = new Path(logDir, name)
-    if (!fs.rename(tmp, dst)) {
-      fs.delete(tmp, false)
-      throw new IllegalStateException(
-        s"concurrent commit detected for version ${c.version} at $path")
-    }
+    def conflict() = throw new IllegalStateException(
+      s"concurrent commit detected for version ${c.version} at $path")
+    val claim = new Path(logDir, s".$name.claim")
+    val claimed =
+      try { fs.create(claim, false).close(); true }
+      catch { case _: java.io.IOException => false }
+    if (!claimed) conflict()
+    try {
+      if (fs.exists(dst)) conflict()
+      val tmp = new Path(logDir, s".$name.${UUID.randomUUID()}.tmp")
+      val out = fs.create(tmp, false)
+      try out.write(Serialization.write(c).getBytes("UTF-8"))
+      finally out.close()
+      if (!fs.rename(tmp, dst)) {
+        fs.delete(tmp, false)
+        conflict()
+      }
+    } finally fs.delete(claim, false)
   }
 
   // ----------------------------------------------------------------- read
@@ -327,10 +347,29 @@ final class GraftTable private (
     c
   }
 
+  /** Appends COMMUTE, so a lost version race is retried: the staged files
+    * are already in place under unique names, and re-reading the log gives
+    * the next free version. Read-modify-write commits (overwrite/upsert/
+    * compact) must NOT retry — their file sets were computed against a
+    * snapshot — so they keep fail-fast conflict semantics. This makes
+    * concurrent multi-writer APPEND safe (the common ingest case) while
+    * mutation stays single-writer, like early Delta. */
   def append(df: DataFrame): Commit = {
     val (add, stats) = stage(df)
-    nextCommit("append", dataChange = true, add, Seq.empty, df.schema.json,
-      Map("numOutputFiles" -> add.size.toString), stats)
+    var attempt = 0
+    while (true) {
+      try return nextCommit("append", dataChange = true, add, Seq.empty, df.schema.json,
+        Map("numOutputFiles" -> add.size.toString), stats)
+      catch {
+        case e: IllegalStateException
+            if e.getMessage.contains("concurrent commit") && attempt < 10 =>
+          attempt += 1
+          // linear backoff: the competing writer needs time to publish its
+          // version file before our re-read can see it
+          Thread.sleep(20L * attempt)
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   def overwrite(df: DataFrame): Commit = {

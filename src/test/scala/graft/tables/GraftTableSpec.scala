@@ -161,6 +161,24 @@ class GraftTableSpec extends SparkSpecBase {
     assert(t.liveFiles().forall(statsByFile.contains), "compacted files carry stats")
   }
 
+  test("concurrent appends from two threads all commit and lose no rows") {
+    val t = tmpTable()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val writers = (0 until 2).map { w =>
+      Future {
+        (0 until 5).foreach { i =>
+          t.append(Seq((w * 100 + i, s"w$w-$i")).toDF("id", "v").coalesce(1))
+        }
+      }
+    }
+    Await.result(Future.sequence(writers), 120.seconds)
+    assert(t.commits().count(_.action == "append") === 10)
+    assert(t.commits().map(_.version) === (1L to 10L)) // dense, no gaps
+    assert(t.read().count() === 10)
+  }
+
   test("bounded incremental: backlog drains in multiple checkpointed batches") {
     val t = tmpTable()
     // 6 commits of 1 file each (coalesce(1)) = backlog of 6 files
