@@ -497,6 +497,30 @@ object RelationalQueries {
           .orderBy(col("user_id")),
       Some("""SELECT user_id, count(*) AS n,
           CAST(sum(CAST("value" AS DECIMAL(18,6))) AS DOUBLE) AS total_value
-        FROM events GROUP BY user_id ORDER BY user_id"""))
+        FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    // ---- full outer join --------------------------------------------------
+    // Users seen in orders vs users seen in events: both unmatched sides
+    // survive with nulls. Shuffle on the key both sides — the one join
+    // class where neither side can be discarded, so no broadcast/semi
+    // shortcut applies; AQE handles the merge.
+    CatalogQuery(
+      "q33_full_outer_activity",
+      (s, dir) => {
+        val buyers = t(s, dir, "orders")
+          .groupBy(col("o_custkey").as("user_id"))
+          .agg(count(lit(1)).as("n_orders"))
+        val actors = t(s, dir, "events")
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+        buyers.join(actors, Seq("user_id"), "full_outer")
+          .orderBy(asc_nulls_last("user_id"))
+      },
+      Some("""WITH b AS (SELECT o_custkey AS user_id, count(*) AS n_orders
+                 FROM orders GROUP BY 1),
+               a AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY 1)
+        SELECT coalesce(b.user_id, a.user_id) AS user_id, n_orders, n_events
+        FROM b FULL OUTER JOIN a ON b.user_id = a.user_id
+        ORDER BY user_id NULLS LAST"""))
   )
 }
