@@ -56,11 +56,15 @@ object Similarity {
       vecCol: String,
       k: Int,
       deterministic: Boolean = false): DataFrame = {
-    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("neighbor_vec"))
-    val sim =
-      if (deterministic) quantizedCosine(col("probe_vec"), col("neighbor_vec"))
-      else cosine(col("probe_vec"), col("neighbor_vec"))
+    // norms are attached per VECTOR (narrow projection, once per row), not
+    // recomputed per pair — at candidate-degree d that removes 2d of the
+    // 3d dot products; identical values, so oracles are unaffected
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"),
+      selfDot(col(vecCol), deterministic).as("probe_sq"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("neighbor_vec"),
+      selfDot(col(vecCol), deterministic).as("neighbor_sq"))
+    val sim = pairSim(col("probe_vec"), col("probe_sq"),
+      col("neighbor_vec"), col("neighbor_sq"), deterministic)
     val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("neighbor_id"))
     c.join(broadcast(p), col("neighbor_id") =!= col("probe_id"))
       .withColumn("sim", sim)
@@ -68,6 +72,19 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select("probe_id", "neighbor_id", "rnk", "sim")
   }
+
+  /** Squared self-norm in the scoring domain: quantized BIGINT when
+    * deterministic, plain double otherwise. */
+  private def selfDot(vec: Column, deterministic: Boolean): Column =
+    if (deterministic) quantizedDot(vec, vec) else dot(vec, vec)
+
+  /** Cosine from pre-attached squared norms — same value as
+    * `quantizedCosine`/`cosine`, one cross-dot per pair instead of three. */
+  private def pairSim(va: Column, qa: Column, vb: Column, qb: Column,
+      deterministic: Boolean): Column =
+    if (deterministic)
+      quantizedDot(va, vb).cast("double") / sqrt(qa.cast("double") * qb.cast("double"))
+    else dot(va, vb) / sqrt(qa * qb)
 
   // ------------------------------------------------------ hyperplane LSH
 
@@ -201,14 +218,14 @@ object Similarity {
       .filter(col("neighbor_id") =!= col("probe_id"))
       .select("probe_id", "neighbor_id")
       .distinct()
+    // norms attached per vector (once), not per candidate pair
     val withVecs = pairs
-      .join(broadcast(probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"))),
-        Seq("probe_id"))
-      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("neighbor_vec")),
-        Seq("neighbor_id"))
-    val sim =
-      if (portable) quantizedCosine(col("probe_vec"), col("neighbor_vec"))
-      else cosine(col("probe_vec"), col("neighbor_vec"))
+      .join(broadcast(probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"),
+        selfDot(col(vecCol), portable).as("probe_sq"))), Seq("probe_id"))
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("neighbor_vec"),
+        selfDot(col(vecCol), portable).as("neighbor_sq")), Seq("neighbor_id"))
+    val sim = pairSim(col("probe_vec"), col("probe_sq"),
+      col("neighbor_vec"), col("neighbor_sq"), portable)
     val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("neighbor_id"))
     withVecs
       .withColumn("sim", sim)
@@ -243,8 +260,11 @@ object Similarity {
   def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, topN: Int = 1): DataFrame = {
     val scored = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .crossJoin(broadcast(centroids.select(col("list_id"), col("cvec"))))
-      .withColumn("score", quantizedCosine(col("vec"), col("cvec")))
+      .withColumn("vsq", quantizedDot(col("vec"), col("vec"))) // once per vector
+      .crossJoin(broadcast(centroids.select(col("list_id"), col("cvec"))
+        .withColumn("csq", quantizedDot(col("cvec"), col("cvec"))))) // once per centroid
+      .withColumn("score", pairSim(col("vec"), col("vsq"),
+        col("cvec"), col("csq"), deterministic = true))
     if (topN == 1) {
       scored
         .groupBy("id")
@@ -287,14 +307,16 @@ object Similarity {
       .filter(col("neighbor_id") =!= col("probe_id"))
       .select("probe_id", "neighbor_id")
       .distinct()
+    // norms attached per vector (once), not per candidate pair
     val withVecs = pairs
-      .join(broadcast(probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"))),
-        Seq("probe_id"))
-      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("neighbor_vec")),
-        Seq("neighbor_id"))
+      .join(broadcast(probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"),
+        quantizedDot(col(vecCol), col(vecCol)).as("probe_sq"))), Seq("probe_id"))
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("neighbor_vec"),
+        quantizedDot(col(vecCol), col(vecCol)).as("neighbor_sq")), Seq("neighbor_id"))
     val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("neighbor_id"))
     withVecs
-      .withColumn("sim", quantizedCosine(col("probe_vec"), col("neighbor_vec")))
+      .withColumn("sim", pairSim(col("probe_vec"), col("probe_sq"),
+        col("neighbor_vec"), col("neighbor_sq"), deterministic = true))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select("probe_id", "neighbor_id", "rnk", "sim")
@@ -319,13 +341,15 @@ object Similarity {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    val cos =
-      if (portable) quantizedCosine(col("vec_a"), col("vec_b"))
-      else cosine(col("vec_a"), col("vec_b"))
+    // norms attached per vector (once), not per candidate pair
+    val vn = v.withColumn("sq", selfDot(col("vec"), portable))
     pairs
-      .join(v.select(col("id").as("id_a"), col("vec").as("vec_a")), Seq("id_a"))
-      .join(v.select(col("id").as("id_b"), col("vec").as("vec_b")), Seq("id_b"))
-      .withColumn("cos", cos)
+      .join(vn.select(col("id").as("id_a"), col("vec").as("vec_a"), col("sq").as("sq_a")),
+        Seq("id_a"))
+      .join(vn.select(col("id").as("id_b"), col("vec").as("vec_b"), col("sq").as("sq_b")),
+        Seq("id_b"))
+      .withColumn("cos",
+        pairSim(col("vec_a"), col("sq_a"), col("vec_b"), col("sq_b"), portable))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
   }
