@@ -113,6 +113,26 @@ object Dedup {
       .select(col("id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
   }
 
+  /** Explode a (id, sig) frame into LSH band rows (id, sig, band,
+    * band_key). With `portable=true` the band key is the band's signature
+    * values joined with '|' (mirrorable in SQL); otherwise an xxhash64 of
+    * the band slice. The building block shared by the one-shot candidate
+    * join and the persisted incremental index. */
+  def minhashBands(sigs: DataFrame, bands: Int, rowsPerBand: Int,
+      portable: Boolean = false): DataFrame = {
+    val bandKey =
+      if (portable)
+        concat_ws("|",
+          transform(slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand)),
+            _.cast("string")))
+      else
+        xxhash64(slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand)), col("band"))
+    sigs
+      .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
+      .withColumn("band_key", bandKey.cast("string"))
+      .select("id", "sig", "band", "band_key")
+  }
+
   /** Candidate near-dup pairs from MinHash+LSH, with their estimated
     * Jaccard. `idCol` must be unique. Only candidates sharing an LSH bucket
     * are compared — the cross-product never materializes. With
@@ -130,17 +150,7 @@ object Dedup {
     require(numHashes % bands == 0, s"numHashes=$numHashes not divisible by bands=$bands")
     val rowsPerBand = numHashes / bands
     val sigs = minhashSignaturesDf(df, idCol, textCol, numHashes, shingleSize, portable)
-    val bandKey =
-      if (portable)
-        concat_ws("|",
-          transform(slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand)),
-            _.cast("string")))
-      else
-        xxhash64(slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand)), col("band"))
-    val banded = sigs
-      .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
-      .withColumn("band_key", bandKey)
-      .select("id", "sig", "band", "band_key")
+    val banded = minhashBands(sigs, bands, rowsPerBand, portable)
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b,

@@ -88,6 +88,33 @@ class ExtOpsSpec extends SparkSpecBase {
     assert(comps(2L) === 2L)
   }
 
+  test("NearDupIndex: batches dedup against the persisted corpus incrementally") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ndi-").toString
+    val idx = new NearDupIndex(spark, s"$dir/idx")
+    val base = "the quick brown fox jumps over the lazy dog again and again in the field"
+    // batch 1: two unrelated docs -> no dups, index grows to 2
+    val b1 = Seq((1L, base), (2L, "completely different content about spark partitions and shuffles"))
+      .toDF("doc_id", "text")
+    assert(idx.detectAndAdd(b1, "doc_id", "text").count() === 0)
+    assert(idx.indexedCount === 2)
+    // batch 2: near-dup of doc 1 + a fresh doc -> one cross-batch match
+    val b2 = Seq((10L, base + " tonight"), (11L, "yet another unrelated piece of text entirely"))
+      .toDF("doc_id", "text")
+    val hits2 = idx.detectAndAdd(b2, "doc_id", "text")
+      .select("id_new", "id_matched").as[(Long, Long)].collect().toSet
+    assert(hits2 === Set((10L, 1L)))
+    assert(idx.indexedCount === 4)
+    // batch 3: exact dup of batch-2 doc + intra-batch dup pair
+    val b3 = Seq((20L, "yet another unrelated piece of text entirely"),
+      (21L, "fresh text nobody has seen before today"),
+      (22L, "fresh text nobody has seen before today"))
+      .toDF("doc_id", "text")
+    val hits3 = idx.detectAndAdd(b3, "doc_id", "text")
+      .select("id_new", "id_matched").as[(Long, Long)].collect().toSet
+    assert(hits3 === Set((20L, 11L), (22L, 21L)))
+    assert(idx.indexedCount === 7)
+  }
+
   test("simhashSignatures (codegen path) agrees with simhash64 expression") {
     val expr = docs.select(col("doc_id").as("id"), Dedup.simhash64(col("text")).as("sim"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
