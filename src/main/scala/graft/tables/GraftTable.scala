@@ -372,6 +372,25 @@ final class GraftTable private (
     throw new IllegalStateException("unreachable")
   }
 
+  /** Append range-CLUSTERED on `clusterCols`: rows are range-partitioned
+    * and sorted within partitions, so each output file covers a tight,
+    * mostly-disjoint range of the cluster columns — which is what makes
+    * `readWhere` data skipping selective (random layout gives every file
+    * the full min/max span and prunes nothing). The same idea as
+    * Delta/Iceberg cluster-by or Z-ordering's single-column case; at
+    * 100 TB, clustering on the dominant filter column (event time, ingest
+    * date) turns point/range queries into single-file reads. */
+  def appendClustered(df: DataFrame, clusterCols: Seq[String],
+      numFiles: Int = 0): Commit = {
+    require(clusterCols.nonEmpty, "appendClustered needs cluster columns")
+    val n = if (numFiles > 0) numFiles
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val clustered = df
+      .repartitionByRange(n, clusterCols.map(col): _*)
+      .sortWithinPartitions(clusterCols.map(col): _*)
+    append(clustered)
+  }
+
   def overwrite(df: DataFrame): Commit = {
     val old = liveFiles()
     val (add, stats) = stage(df)

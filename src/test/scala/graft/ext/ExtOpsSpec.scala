@@ -189,6 +189,28 @@ class ExtOpsSpec extends SparkSpecBase {
     assert(assigned.select("list_id").distinct().count() <= 8)
   }
 
+  test("AnnIndex: add-once query-many matches one-shot annTopK results") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-annidx-").toString
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val probes = emb.filter(col("vec_id") < 5)
+    // index built in two incremental halves
+    val idx = new AnnIndex(spark, s"$dir/idx", nTables = 8, bitsPerTable = 6,
+      portable = true)
+    idx.add(emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding")
+    idx.add(emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
+    assert(idx.indexedCount === emb.count())
+    val fromIndex = idx.query(probes, "vec_id", "embedding", k = 5)
+      .select("probe_id", "neighbor_id", "rnk")
+      .as[(Long, Long, Int)].collect().toSet
+    // identical hash family + scoring => identical results to the
+    // one-shot operator over the same corpus
+    val oneShot = Similarity.annTopK(emb, probes, "vec_id", "embedding", 5,
+        nTables = 8, bitsPerTable = 6, portable = true)
+      .select("probe_id", "neighbor_id", "rnk")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(fromIndex === oneShot)
+  }
+
   test("quantizedCosine tracks cosine") {
     val emb = spark.read.parquet(s"${sf()}/embeddings.parquet").limit(20)
     val a = emb.select(col("vec_id").as("ida"), col("embedding").as("va"))

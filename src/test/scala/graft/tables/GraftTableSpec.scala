@@ -161,6 +161,22 @@ class GraftTableSpec extends SparkSpecBase {
     assert(t.liveFiles().forall(statsByFile.contains), "compacted files carry stats")
   }
 
+  test("appendClustered: range layout makes point predicates prune to one file") {
+    val t = tmpTable()
+    val shuffled = new scala.util.Random(7).shuffle((1 to 400).toList)
+    t.appendClustered(shuffled.map(i => (i, s"v$i")).toDF("id", "v"), Seq("id"), numFiles = 4)
+    assert(t.liveFiles().size === 4)
+    // point lookup: exactly one file's [min,max] can contain id=57
+    assert(t.prunedFiles(col("id") === 57).size === 1)
+    // narrow range: at most two adjacent files
+    assert(t.prunedFiles(col("id") >= 95 && col("id") <= 105).size <= 2)
+    assert(t.readWhere(col("id") === 57).count() === 1)
+    // contrast: a RANDOM (unclustered) append of the same data prunes nothing
+    val t2 = tmpTable()
+    t2.append(shuffled.map(i => (i, s"v$i")).toDF("id", "v").repartition(4))
+    assert(t2.prunedFiles(col("id") === 57).size === t2.liveFiles().size)
+  }
+
   test("concurrent appends from two threads all commit and lose no rows") {
     val t = tmpTable()
     import scala.concurrent.{Await, Future}
