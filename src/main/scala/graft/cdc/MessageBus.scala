@@ -86,13 +86,23 @@ final class FileMessageBus(root: String, numPartitions: Int = 1) extends Message
     framed.write.mode("append").parquet(path)
   }
 
+  /** A topic nobody has published to yet is EMPTY, not an error — same as
+    * subscribing to a fresh Kafka topic. */
   override def readBatch(spark: SparkSession, topic: String): DataFrame =
-    spark.read.schema(MessageBus.FrameSchema).parquet(topicPath(topic))
+    if (!graft.lake.FsUtils.pathExists(spark, topicPath(topic)))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], MessageBus.FrameSchema)
+    else spark.read.schema(MessageBus.FrameSchema).parquet(topicPath(topic))
 
   override def readStream(spark: SparkSession, topic: String,
-      options: Map[String, String] = Map.empty): DataFrame =
+      options: Map[String, String] = Map.empty): DataFrame = {
+    // the file-stream source rejects a missing directory; an empty one is
+    // a valid zero-message topic
+    graft.lake.FsUtils.fs(spark, topicPath(topic))
+      .mkdirs(new org.apache.hadoop.fs.Path(topicPath(topic)))
     spark.readStream.schema(MessageBus.FrameSchema)
       .option("maxFilesPerTrigger", "1000") // default rate cap; caller-overridable
       .options(options)
       .parquet(topicPath(topic))
+  }
 }

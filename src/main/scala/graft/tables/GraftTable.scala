@@ -231,18 +231,48 @@ final class GraftTable private (
   }
 
   /** The live files `readWhere(predicate)` would scan (exposed for tests
-    * and observability). */
+    * and observability). Combines two independent pruners: per-file
+    * min/max/null stats, and — when the table is hash-bucketed and the
+    * predicate pins EVERY bucket key with an equality — the bucket id
+    * encoded in each file name (a point lookup on the PK of a bucketed
+    * CDC table touches exactly one bucket's files). */
   private[tables] def prunedFiles(predicate: org.apache.spark.sql.Column): Seq[String] = {
     val statsByFile: Map[String, FileStats] =
       commits().flatMap(_.stats.getOrElse(Map.empty)).toMap
     val conjuncts =
       org.apache.spark.sql.graftbridge.ColumnBridge.conjuncts(predicate)
+    val bucketFilter: String => Boolean = targetBucket(conjuncts) match {
+      case Some(b) => f => bucketOf(f).forall(_ == b) // unbucketed files kept
+      case None    => _ => true
+    }
     liveFiles().filter { f =>
-      statsByFile.get(f) match {
+      bucketFilter(f) && (statsByFile.get(f) match {
         case None     => true // no stats -> cannot prove anything -> keep
         case Some(st) => conjuncts.forall(c => StatsPruning.mayHold(c, st))
-      }
+      })
     }
+  }
+
+  /** The single bucket the predicate can touch, when a bucket spec exists
+    * and the conjuncts pin every bucket key with `=`. The literals are
+    * cast to the TABLE's column types before hashing — `xxhash64` of an
+    * int 5 and a long 5 differ, and the layout hashed column values. */
+  private def targetBucket(conjuncts: Seq[PredAtom]): Option[Int] = {
+    val spec = bucketSpec.getOrElse(return None)
+    val eq: Map[String, Any] = conjuncts.collect {
+      case PredCmp("=", name, v) => name -> v
+    }.toMap
+    if (!spec.keys.forall(eq.contains)) return None
+    val schemaJson = commits().lastOption.map(_.schemaJson).getOrElse(return None)
+    val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    if (!spec.keys.forall(schema.fieldNames.contains)) return None
+    // evaluate the same bucket expression the writer used, on one literal row
+    val litCols = spec.keys.map(k => lit(eq(k)).cast(schema(k).dataType))
+    val b = spark.range(1)
+      .select(pmod(xxhash64(litCols: _*), lit(spec.numBuckets)).cast("int").as("b"))
+      .head().getInt(0)
+    Some(b)
   }
 
   /** Data files added by dataChange commits in versions (`fromExclusive`,

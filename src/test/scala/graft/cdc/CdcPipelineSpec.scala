@@ -160,6 +160,17 @@ class CdcPipelineSpec extends SparkSpecBase {
     assert(commits >= 4, s"expected >=4 micro-batch commits, saw $commits")
   }
 
+  test("fresh topics read as empty, batch and streaming") {
+    assert(bus.readBatch(spark, "never.published").count() === 0)
+    val q = bus.readStream(spark, "never.published.stream")
+      .writeStream.format("memory").queryName("fresh_topic_out")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-fresh-").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.table("fresh_topic_out").count() === 0)
+  }
+
   test("tombstones (null value) are dropped, not crashed on") {
     val tTopic = "dbserver1.inventory.products_ts"
     val tTable = "products_ts"

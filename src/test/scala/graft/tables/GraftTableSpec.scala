@@ -177,6 +177,21 @@ class GraftTableSpec extends SparkSpecBase {
     assert(t2.prunedFiles(col("id") === 57).size === t2.liveFiles().size)
   }
 
+  test("bucket pruning in readWhere: PK equality touches one bucket's files") {
+    val t = tmpTable()
+    t.setBucketSpec(Seq("id"), 4)
+    t.append((1 to 200).map(i => (i.toLong, s"v$i")).toDF("id", "v"))
+    assert(t.liveFiles().size >= 4)
+    val hit = t.prunedFiles(col("id") === 57L)
+    // only files of id=57's bucket survive (bucket ids are in file names)
+    val buckets = hit.flatMap(f => "^b(\\d+)-".r.findFirstMatchIn(f).map(_.group(1))).toSet
+    assert(buckets.size === 1, s"expected one bucket, got $buckets from $hit")
+    assert(hit.size < t.liveFiles().size)
+    assert(t.readWhere(col("id") === 57L).count() === 1)
+    // a non-equality or partial-key predicate falls back to stats-only
+    assert(t.readWhere(col("id") > 100L).count() === 100)
+  }
+
   test("concurrent appends from two threads all commit and lose no rows") {
     val t = tmpTable()
     import scala.concurrent.{Await, Future}
