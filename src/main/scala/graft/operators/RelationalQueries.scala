@@ -521,6 +521,64 @@ object RelationalQueries {
                a AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY 1)
         SELECT coalesce(b.user_id, a.user_id) AS user_id, n_orders, n_events
         FROM b FULL OUTER JOIN a ON b.user_id = a.user_id
-        ORDER BY user_id NULLS LAST"""))
+        ORDER BY user_id NULLS LAST""")),
+
+    // ---- range-frame window ----------------------------------------------
+    // Trailing 1-hour event count per user: a RANGE (event-time interval)
+    // frame, not a ROWS frame — the sliding-window-by-time class.
+    CatalogQuery(
+      "q34_trailing_hour_window",
+      (s, dir) => {
+        t(s, dir, "events").createOrReplaceTempView("graft_q34_events")
+        s.sql("""SELECT user_id, event_id,
+            count(*) OVER (PARTITION BY user_id ORDER BY ts
+              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS n_last_hour
+          FROM graft_q34_events ORDER BY event_id""")
+      },
+      Some("""SELECT user_id, event_id,
+          count(*) OVER (PARTITION BY user_id ORDER BY ts
+            RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS n_last_hour
+        FROM events ORDER BY event_id""")),
+
+    // ---- lateral correlated subquery -------------------------------------
+    // Most expensive order per nation's customers via LATERAL — the
+    // correlated-subquery rewrite class (decorrelates to a join under
+    // Catalyst, stays a lateral loop join only if it must).
+    CatalogQuery(
+      "q35_lateral_top_order",
+      (s, dir) => {
+        t(s, dir, "customer").createOrReplaceTempView("graft_q35_customer")
+        t(s, dir, "orders").createOrReplaceTempView("graft_q35_orders")
+        s.sql("""SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+          FROM graft_q35_customer c,
+            LATERAL (SELECT o_orderkey, o_totalprice FROM graft_q35_orders
+                     WHERE o_custkey = c.c_custkey
+                     ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) o
+          ORDER BY c.c_custkey""")
+      },
+      Some("""SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM customer c,
+          LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+                   WHERE o_custkey = c.c_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) o
+        ORDER BY c.c_custkey""")),
+
+    // ---- scalar subqueries -----------------------------------------------
+    CatalogQuery(
+      "q36_above_avg_orders",
+      (s, dir) => {
+        t(s, dir, "orders").createOrReplaceTempView("graft_q36_orders")
+        s.sql("""SELECT o_orderkey,
+            CAST(o_totalprice AS DECIMAL(18,2)) AS price
+          FROM graft_q36_orders
+          WHERE o_totalprice > (SELECT avg(CAST(o_totalprice AS DECIMAL(18,2)) ) * 1.8
+                                FROM graft_q36_orders)
+          ORDER BY o_orderkey""")
+      },
+      Some("""SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        FROM orders
+        WHERE o_totalprice > (SELECT avg(CAST(o_totalprice AS DECIMAL(18,2))) * 1.8
+                              FROM orders)
+        ORDER BY o_orderkey"""))
   )
 }
