@@ -579,6 +579,30 @@ object RelationalQueries {
         FROM orders
         WHERE o_totalprice > (SELECT avg(CAST(o_totalprice AS DECIMAL(18,2))) * 1.8
                               FROM orders)
-        ORDER BY o_orderkey"""))
+        ORDER BY o_orderkey""")),
+
+    // ---- EXISTS / NOT EXISTS correlated subqueries -----------------------
+    CatalogQuery(
+      "q37_exists_urgent",
+      (s, dir) => {
+        t(s, dir, "customer").createOrReplaceTempView("graft_q37_customer")
+        t(s, dir, "orders").createOrReplaceTempView("graft_q37_orders")
+        s.sql("""SELECT c_custkey, c_name FROM graft_q37_customer c
+          WHERE EXISTS (SELECT 1 FROM graft_q37_orders o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderpriority = '1-URGENT')
+            AND NOT EXISTS (SELECT 1 FROM graft_q37_orders o
+                            WHERE o.o_custkey = c.c_custkey
+                              AND o.o_orderstatus = 'F')
+          ORDER BY c_custkey""")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderstatus = 'F')
+        ORDER BY c_custkey"""))
   )
 }

@@ -421,6 +421,48 @@ final class GraftTable private (
     append(clustered)
   }
 
+  /** Z-ORDERED append for multi-dimensional skipping: single-column range
+    * clustering ([[appendClustered]]) makes one column's ranges tight and
+    * leaves every other column's span full-width per file; interleaving
+    * the bit-planes of each column's quantile-bucket rank into one
+    * Z-value keeps EVERY cluster column's per-file range narrow, so
+    * predicates on any of them prune.
+    *
+    * Scale shape: per-column bucket boundaries come from one distributed
+    * `approxQuantile` pass (no global sort — the ntile alternative would
+    * funnel the table through one reducer); the Z-value is a pure
+    * projection; the write is a range partition on it. Numeric cluster
+    * columns only. */
+  def appendZOrdered(df: DataFrame, clusterCols: Seq[String],
+      bitsPerCol: Int = 8, numFiles: Int = 0): Commit = {
+    require(clusterCols.nonEmpty, "appendZOrdered needs cluster columns")
+    require(bitsPerCol >= 1 && bitsPerCol * clusterCols.size <= 62,
+      s"bitsPerCol=$bitsPerCol x ${clusterCols.size} cols exceeds a long")
+    val nBuckets = 1 << bitsPerCol
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+    val bucketCols = clusterCols.map { c =>
+      val cuts = df.stat.approxQuantile(c, probs, 0.001)
+      // rank bucket in [0, nBuckets): count of boundaries <= value
+      cuts.distinct.foldLeft(lit(0)) { (acc, cut) =>
+        acc + when(col(c) > lit(cut), 1).otherwise(0)
+      }
+    }
+    // interleave bit-planes: bit b of column i lands at position b*k + i
+    val k = clusterCols.size
+    val zValue = (0 until bitsPerCol).flatMap { b =>
+      bucketCols.zipWithIndex.map { case (bc, i) =>
+        (shiftright(bc, b).cast("long").bitwiseAND(1L)) * lit(1L << (b * k + i))
+      }
+    }.reduce(_ + _)
+    val n = if (numFiles > 0) numFiles
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val clustered = df.withColumn("__z", zValue)
+      .repartitionByRange(n, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+    append(clustered)
+  }
+
   def overwrite(df: DataFrame): Commit = {
     val old = liveFiles()
     val (add, stats) = stage(df)

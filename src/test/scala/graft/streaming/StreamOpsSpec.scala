@@ -108,6 +108,21 @@ class StreamOpsSpec extends SparkSpecBase {
       "1 MINUTE").count() === 1)
   }
 
+  test("stream-static join: streaming facts enrich against a static dimension") {
+    val dir = Files.createTempDirectory("graft-ss-static-").toString
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("key", "tier")
+    events.write.mode("overwrite").parquet(s"$dir/in")
+    val q = spark.readStream.schema(events.schema).parquet(s"$dir/in")
+      .join(dim, Seq("key")) // static side, no watermark needed
+      .writeStream.format("memory").queryName("ss_static_out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = spark.table("ss_static_out")
+      .groupBy("tier").count().as[(String, Long)].collect().toMap
+    assert(out === Map("gold" -> 3L, "basic" -> 1L))
+  }
+
   private implicit class Tup3Ops(arr: Array[(Long, Long, Double)]) {
     def toMap2: Map[Long, (Long, Double)] = arr.map(t => t._1 -> ((t._2, t._3))).toMap
   }

@@ -177,6 +177,27 @@ class GraftTableSpec extends SparkSpecBase {
     assert(t2.prunedFiles(col("id") === 57).size === t2.liveFiles().size)
   }
 
+  test("appendZOrdered: predicates on EITHER cluster column prune files") {
+    val rnd = new scala.util.Random(11)
+    val grid = rnd.shuffle(for { x <- 0 until 64; y <- 0 until 64 } yield (x, y))
+    // Z-order on (x, y) -> 16 files
+    val tz = tmpTable()
+    tz.appendZOrdered(grid.toDF("x", "y"), Seq("x", "y"), bitsPerCol = 4, numFiles = 16)
+    assert(tz.liveFiles().size === 16)
+    val total = tz.liveFiles().size
+    val xPruned = tz.prunedFiles(col("x") >= 0 && col("x") < 8).size
+    val yPruned = tz.prunedFiles(col("y") >= 0 && col("y") < 8).size
+    assert(xPruned <= total / 2, s"x-predicate kept $xPruned of $total")
+    assert(yPruned <= total / 2, s"y-predicate kept $yPruned of $total")
+    assert(tz.readWhere(col("x") < 8 && col("y") < 8).count() === 64)
+
+    // contrast: single-column clustering on x prunes x but NOT y
+    val tx = tmpTable()
+    tx.appendClustered(grid.toDF("x", "y"), Seq("x"), numFiles = 16)
+    assert(tx.prunedFiles(col("x") >= 0 && col("x") < 8).size <= total / 2)
+    assert(tx.prunedFiles(col("y") >= 0 && col("y") < 8).size === tx.liveFiles().size)
+  }
+
   test("bucket pruning in readWhere: PK equality touches one bucket's files") {
     val t = tmpTable()
     t.setBucketSpec(Seq("id"), 4)
