@@ -70,6 +70,39 @@ object GraftSettings {
     curatedBucket = s"$root/datalake-curated",
     controlBucket = s"$root/spark-control"
   )
+
+  /** Load settings from a Java-properties file (the reference loads the
+    * same surface from TOML via pydantic, `jibaro/settings/settings.py:12-32`
+    * + `default.toml`; properties is the zero-dependency JVM equivalent).
+    * Keys are the snake_case field names the reference uses; unknown keys
+    * are rejected loudly — a typo'd knob silently keeping its default is
+    * how prod configs rot. Missing keys keep defaults. */
+  def fromProperties(path: String): GraftSettings = {
+    val props = new java.util.Properties()
+    val in = java.nio.file.Files.newInputStream(java.nio.file.Paths.get(path))
+    try props.load(in) finally in.close()
+    val base = GraftSettings()
+    import scala.jdk.CollectionConverters._
+    props.stringPropertyNames().asScala.foldLeft(base) { (s, key) =>
+      val v = props.getProperty(key).trim
+      key match {
+        case "protocol"                          => s.copy(protocol = v)
+        case "raw_bucket"                        => s.copy(rawBucket = v)
+        case "staged_bucket"                     => s.copy(stagedBucket = v)
+        case "curated_bucket"                    => s.copy(curatedBucket = v)
+        case "control_bucket"                    => s.copy(controlBucket = v)
+        case "max_num_files_allowed"             => s.copy(maxNumFilesAllowed = v.toInt)
+        case "compact_target_bytes"              => s.copy(compactTargetBytes = v.toLong)
+        case "vacuum_every_n_versions"           => s.copy(vacuumEveryNVersions = v.toInt)
+        case "vacuum_retention_hours"            => s.copy(vacuumRetentionHours = v.toInt)
+        case "curated_buckets"                   => s.copy(curatedBuckets = v.toInt)
+        case "upsert_broadcast_threshold_bytes"  => s.copy(upsertBroadcastThresholdBytes = v.toLong)
+        case "collect_file_stats"                => s.copy(collectFileStats = v.toBoolean)
+        case other =>
+          throw new IllegalArgumentException(s"unknown setting '$other' in $path")
+      }
+    }
+  }
 }
 
 /** The three medallion layers (reference `jibaro/datalake/path.py:17-21`). */

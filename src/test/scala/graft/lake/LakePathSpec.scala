@@ -24,6 +24,28 @@ class LakePathSpec extends AnyFunSuite {
       === "file:///tmp/lake1/datalake-curated/p/d/t")
   }
 
+  test("settings load from a properties file; typos rejected, defaults kept") {
+    val f = java.nio.file.Files.createTempFile("graft-settings-", ".properties")
+    java.nio.file.Files.writeString(f,
+      """raw_bucket = my-raw
+        |compact_target_bytes = 1048576
+        |collect_file_stats = false
+        |""".stripMargin)
+    val s = GraftSettings.fromProperties(f.toString)
+    assert(s.rawBucket === "my-raw")
+    assert(s.compactTargetBytes === 1048576L)
+    assert(!s.collectFileStats)
+    assert(s.stagedBucket === "datalake-staged") // untouched default
+    assert(s.vacuumEveryNVersions === 25)
+
+    val bad = java.nio.file.Files.createTempFile("graft-settings-bad-", ".properties")
+    java.nio.file.Files.writeString(bad, "compact_trget_bytes = 5\n")
+    val e = intercept[IllegalArgumentException] {
+      GraftSettings.fromProperties(bad.toString)
+    }
+    assert(e.getMessage.contains("compact_trget_bytes"))
+  }
+
   test("unknown layer rejected") {
     implicit val s: GraftSettings = GraftSettings()
     intercept[IllegalArgumentException] {
