@@ -20,6 +20,10 @@ object CdcPipelineSpec {
   case class Key(id: Int)
   case class Envelope(before: Option[Img], after: Option[Img], op: String, ts_ms: Long)
   case class Msg(k: Key, v: Envelope)
+  // evolved (v2) envelope: `color` added mid-stream
+  case class ImgV2(id: Int, name: String, weight: Double, color: String)
+  case class EnvV2(before: Option[ImgV2], after: Option[ImgV2], op: String, ts_ms: Long)
+  case class MsgV2(k: Key, v: EnvV2)
 }
 
 class CdcPipelineSpec extends SparkSpecBase {
@@ -209,6 +213,40 @@ class CdcPipelineSpec extends SparkSpecBase {
         AvroExpressions.to_avro(col("k"), keySchema.toString), keyId).as("key"),
       ConfluentWireFormat.frame(
         AvroExpressions.to_avro(col("v"), valueSchema.toString), valueId).as("value")))
+  }
+
+  test("two value-schema versions in ONE raw batch decode via per-pair slices") {
+    // the reference's raison d'être: schema evolution mid-stream — v2 adds
+    // a `color` field; both versions land in the same micro-batch and must
+    // decode against THEIR OWN registry schema, then union with mergeSchema
+    val evoTopic = "dbserver1.inventory.products_evo"
+    val evoTable = "products_evo"
+    publishEnvelopesTo(evoTopic, Seq(
+      Msg(Key(1), Envelope(None, Some(Img(1, "widget", 1.5)), "c", 1000L))))
+    // second publish: SAME topic, evolved schema -> new registry id
+    val v2 = Seq(MsgV2(Key(2), EnvV2(None, Some(ImgV2(2, "gadget", 2.5, "red")), "c", 2000L))).toDS().toDF()
+    val kT = v2.schema("k").dataType.asInstanceOf[StructType]
+    val vT = v2.schema("v").dataType.asInstanceOf[StructType]
+    val kS = AvroSchemaConverter.toAvroSchema(kT, "ProductKey")
+    val vS = AvroSchemaConverter.toAvroSchema(vT, "ProductEnvelopeV2")
+    val kId = registry.register(s"$evoTopic-key", kS.toString)
+    val vId = registry.register(s"$evoTopic-value", vS.toString)
+    bus.publish(spark, evoTopic, v2.select(
+      ConfluentWireFormat.frame(AvroExpressions.to_avro(col("k"), kS.toString), kId).as("key"),
+      ConfluentWireFormat.frame(AvroExpressions.to_avro(col("v"), vS.toString), vId).as("value")))
+
+    CdcPipelines.kafkaToRaw(spark, bus, evoTopic, project, database, evoTable)
+    CdcPipelines.rawToStaged(spark, project, database, evoTable, ConfluentAvroCodec, registry)
+
+    val staged = GraftTable(spark,
+      LakePath.data(TableRef(Layer.Staged, project, database, evoTable))).read()
+    assert(staged.count() === 2)
+    assert(staged.select("valueSchemaId").distinct().count() === 2,
+      "both schema versions present")
+    // union schema: v1 rows carry null color, v2 row carries its value
+    val colors = staged.select(col("key.id"), col("value.after.color"))
+      .collect().map(r => r.getInt(0) -> Option(r.getString(1))).toMap
+    assert(colors === Map(1 -> None, 2 -> Some("red")))
   }
 
   test("multi-partition bus: key-hash routing, per-partition dense offsets") {

@@ -124,6 +124,39 @@ class MultimodalSpec extends SparkSpecBase {
     assert(m2.getInt(m2.fieldIndex("width")) === 1)
   }
 
+  test("multimodal features compose with similarity: re-encodes are near-dups") {
+    // two renditions of the same image (original + resized re-encode) and
+    // one inverted image: luminance-grid features feed cosine directly
+    val orig = pngBytes(64, 64, 0xcc8833) // left half colored, right black
+    val flipped = { // RIGHT half colored — orthogonal luminance layout
+      val img = new java.awt.image.BufferedImage(64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 64; y <- 0 until 64)
+        img.setRGB(x, y, if (x >= 32) 0xffffff else 0x000000)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    val rows = Seq(
+      Row(1L, "image", orig, Row("image/png", 64, 64, null, null)),
+      Row(3L, "image", flipped, Row("image/png", 64, 64, null, null)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+      Multimodal.MediaSchema)
+    // rendition 2 = real resize of the original through the real decoder
+    val resized = Multimodal.resizeImages(
+      df.filter(col("media_id") === 1L), 32, 32)
+      .withColumn("media_id", lit(2L))
+    val feats = Multimodal.withDecodedFeatures(
+        df.unionByName(resized), new Multimodal.JdkMediaDecoder(grid = 4))
+      .filter(size(col("features")) > 0)
+      .select(col("media_id"), col("features"))
+    val sims = feats.as("a").join(feats.as("b"), col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id"), col("b.media_id"),
+        Similarity.cosine(col("a.features"), col("b.features")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(sims((1L, 2L)) > 0.99, s"re-encode should match original: $sims")
+    assert(sims((1L, 3L)) < sims((1L, 2L)), s"unrelated image less similar: $sims")
+  }
+
   test("resizeStub rewrites metadata and bounds payload") {
     val out = Multimodal.resizeStub(mediaDf.filter(col("content").isNotNull), 4, 2)
     val metas = out.select(col("meta.width"), col("meta.height"), length(col("content"))).collect()
