@@ -603,6 +603,22 @@ object RelationalQueries {
           AND NOT EXISTS (SELECT 1 FROM orders o
                           WHERE o.o_custkey = c.c_custkey
                             AND o.o_orderstatus = 'F')
-        ORDER BY c_custkey"""))
+        ORDER BY c_custkey""")),
+
+    // ---- ordered string aggregation --------------------------------------
+    CatalogQuery(
+      "q38_nations_per_region",
+      (s, dir) => {
+        t(s, dir, "region").createOrReplaceTempView("graft_q38_region")
+        t(s, dir, "nation").createOrReplaceTempView("graft_q38_nation")
+        s.sql("""SELECT r.r_name,
+            listagg(n.n_name, ',') WITHIN GROUP (ORDER BY n.n_name) AS nations
+          FROM graft_q38_region r JOIN graft_q38_nation n ON n.n_regionkey = r.r_regionkey
+          GROUP BY r.r_name ORDER BY r.r_name""")
+      },
+      Some("""SELECT r.r_name,
+          string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations
+        FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name ORDER BY r.r_name"""))
   )
 }
