@@ -619,6 +619,25 @@ object RelationalQueries {
       Some("""SELECT r.r_name,
           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations
         FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
-        GROUP BY r.r_name ORDER BY r.r_name"""))
+        GROUP BY r.r_name ORDER BY r.r_name""")),
+
+    // ---- semi-structured (JSON) extraction -------------------------------
+    // events.props holds JSON; extract a field, aggregate it. The
+    // JSON-path evaluation happens inside the scan projection — no
+    // intermediate materialization of parsed structs.
+    CatalogQuery(
+      "q39_json_props",
+      (s, dir) =>
+        t(s, dir, "events")
+          .select(col("event_type"),
+            get_json_object(col("props"), "$.k").cast("int").as("k"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum(col("k").cast("long")).as("k_sum"),
+            max("k").as("k_max"))
+          .orderBy("event_type"),
+      Some("""SELECT event_type, count(*) AS n,
+          sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+          max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS k_max
+        FROM events GROUP BY event_type ORDER BY event_type"""))
   )
 }
