@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured-Streaming operator surface beyond the reference's
   * run-to-drain pipelines (the reference uses no watermarks/windows/state —
@@ -92,6 +92,41 @@ object StreamOps {
   case class KeyedEvent(key: Long, ts: java.sql.Timestamp, value: Double)
   case class RunningState(n: Long, total: Double)
   case class RunningOutput(key: Long, n: Long, total: Double)
+
+  /** Per-key running aggregate on the CURRENT arbitrary-state API
+    * (`transformWithState` + [[StatefulProcessor]] with typed
+    * [[ValueState]], Spark 4.x) — the successor to
+    * `flatMapGroupsWithState`: composable named state variables, timers,
+    * TTL, and the RocksDB state store underneath. Kept alongside the
+    * legacy surface below so both generations are exercised. */
+  class RunningTotalsProcessor
+      extends StatefulProcessor[Long, KeyedEvent, RunningOutput] {
+    @transient private var state: ValueState[RunningState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[RunningState]("running",
+        Encoders.product[RunningState], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[KeyedEvent],
+        timerValues: TimerValues): Iterator[RunningOutput] = {
+      val prev = if (state.exists()) state.get() else RunningState(0L, 0.0)
+      var n = prev.n
+      var total = prev.total
+      rows.foreach { e => n += 1; total += e.value }
+      state.update(RunningState(n, total))
+      Iterator.single(RunningOutput(key, n, total))
+    }
+  }
+
+  /** `runningTotals` on the transformWithState API. Requires the RocksDB
+    * state store provider (set
+    * `spark.sql.streaming.stateStore.providerClass` to
+    * `...state.RocksDBStateStoreProvider` on the session). */
+  def runningTotalsTws(events: Dataset[KeyedEvent]): Dataset[RunningOutput] = {
+    implicit val outEnc: Encoder[RunningOutput] = Encoders.product[RunningOutput]
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    events.groupByKey(_.key)
+      .transformWithState(new RunningTotalsProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
 
   /** Per-key running aggregate with explicit state — the
     * `flatMapGroupsWithState` surface (custom state the reference keeps in

@@ -108,6 +108,28 @@ class StreamOpsSpec extends SparkSpecBase {
       "1 MINUTE").count() === 1)
   }
 
+  test("runningTotalsTws: transformWithState over RocksDB state store") {
+    val dir = Files.createTempDirectory("graft-tws-").toString
+    events.write.mode("overwrite").parquet(s"$dir/in")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = spark.readStream.schema(events.schema).parquet(s"$dir/in")
+        .as[StreamOps.KeyedEvent]
+      val q = StreamOps.runningTotalsTws(stream)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("tws_out")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val out = spark.table("tws_out")
+        .groupBy("key").agg(max("n").as("n"), max("total").as("total"))
+        .as[(Long, Long, Double)].collect().toMap2
+      assert(out(1L) === ((3L, 6.0)))
+      assert(out(2L) === ((1L, 4.0)))
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("stream-static join: streaming facts enrich against a static dimension") {
     val dir = Files.createTempDirectory("graft-ss-static-").toString
     val dim = Seq((1L, "gold"), (2L, "basic")).toDF("key", "tier")
