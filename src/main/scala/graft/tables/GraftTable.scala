@@ -539,6 +539,48 @@ final class GraftTable private (
       stats)
   }
 
+  /** Roll the LIVE SET back to `asOf` as a NEW commit (Delta's RESTORE):
+    * history is never rewritten — the restore is itself a versioned,
+    * incremental-consumer-visible change, and the files it revives were
+    * still on disk (vacuum permitting). */
+  def restore(asOf: Long): Commit = {
+    require(commits().exists(_.version <= asOf), s"no commit at or before version $asOf")
+    val target = liveFiles(asOf)
+    val current = liveFiles()
+    val schemaJson = commits().filter(_.version <= asOf).last.schemaJson
+    target.filterNot(f => fs.exists(new Path(path, f))) match {
+      case missing if missing.nonEmpty =>
+        throw new IllegalStateException(
+          s"cannot restore to $asOf: files vacuumed: ${missing.take(3).mkString(", ")}")
+      case _ => ()
+    }
+    nextCommit("restore", dataChange = true,
+      add = target.filterNot(current.contains),
+      remove = current.filterNot(target.contains),
+      schemaJson, Map("restoredVersion" -> asOf.toString))
+  }
+
+  /** DELETE WHERE: remove matching rows by rewriting ONLY the files that
+    * can contain them — the stats/bucket pruner picks the affected files,
+    * so a delete keyed on a clustered or bucketed column is O(matching
+    * files), not O(table). Untouched files stay byte-identical (no
+    * recompression, no metrics churn). Returns None when the predicate
+    * provably matches nothing. */
+  def delete(predicate: org.apache.spark.sql.Column): Option[Commit] = {
+    val affected = prunedFiles(predicate)
+    if (affected.isEmpty) return None
+    // SQL DELETE semantics: remove rows where the predicate is TRUE; rows
+    // where it is NULL are kept (a bare !predicate would drop them)
+    val remaining = spark.read.option("mergeSchema", "true")
+      .parquet(affected.map(f => s"$path/$f"): _*)
+      .filter(!coalesce(predicate, lit(false)))
+    val (add, stats) = stage(remaining)
+    Some(nextCommit("delete", dataChange = true, add, affected,
+      remaining.schema.json,
+      Map("numRewrittenFiles" -> affected.size.toString,
+        "numOutputFiles" -> add.size.toString), stats))
+  }
+
   /** Small-file compaction (reference `jibaro/datalake/delta_handler.py:9-35`):
     * when the live file count exceeds `maxFiles`, rewrite to
     * ceil(totalBytes / compactTargetBytes) files with dataChange=false so

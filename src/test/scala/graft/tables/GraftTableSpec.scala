@@ -177,6 +177,40 @@ class GraftTableSpec extends SparkSpecBase {
     assert(t2.prunedFiles(col("id") === 57).size === t2.liveFiles().size)
   }
 
+  test("restore rolls the live set back as a new commit; history intact") {
+    val t = tmpTable()
+    t.append(Seq((1, "a")).toDF("id", "v"))
+    t.append(Seq((2, "b")).toDF("id", "v"))
+    t.overwrite(Seq((9, "z")).toDF("id", "v"))
+    assert(t.read().count() === 1)
+    val c = t.restore(2)
+    assert(c.action === "restore" && c.version === 4)
+    assert(t.read().as[(Int, String)].collect().toSet === Set((1, "a"), (2, "b")))
+    assert(t.readAt(3).count() === 1, "pre-restore version still time-travels")
+    // restore is itself restorable
+    t.restore(3)
+    assert(t.read().as[(Int, String)].collect().toSet === Set((9, "z")))
+  }
+
+  test("delete rewrites only affected files; null predicates keep rows") {
+    val t = tmpTable()
+    t.append(Seq((1, Some("a")), (2, Some("b"))).toDF("id", "v").coalesce(1))
+    t.append(Seq((100, None: Option[String]), (200, Some("d"))).toDF("id", "v").coalesce(1))
+    val before = t.liveFiles().toSet
+
+    val c = t.delete(col("id") === 1).get
+    assert(c.metrics("numRewrittenFiles") === "1", "only the low file rewritten")
+    assert(t.liveFiles().toSet.intersect(before).size === 1, "high file untouched")
+    assert(t.read().select("id").as[Int].collect().toSet === Set(2, 100, 200))
+
+    // predicate NULL on the null row -> row kept (SQL DELETE semantics)
+    t.delete(col("v") === "nope")
+    assert(t.read().count() === 3)
+
+    // provably-empty predicate: no commit at all
+    assert(t.delete(col("id") > 99999).isEmpty)
+  }
+
   test("appendZOrdered: predicates on EITHER cluster column prune files") {
     val rnd = new scala.util.Random(11)
     val grid = rnd.shuffle(for { x <- 0 until 64; y <- 0 until 64 } yield (x, y))
