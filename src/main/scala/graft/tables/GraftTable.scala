@@ -581,6 +581,29 @@ final class GraftTable private (
         "numOutputFiles" -> add.size.toString), stats))
   }
 
+  /** UPDATE SET: apply `assignments` to rows matching `predicate`, by the
+    * same pruned rewrite as [[delete]] — only files that can contain
+    * matches are touched. Rows where the predicate is NULL are unchanged
+    * (SQL semantics). Returns None when no file can contain a match. */
+  def update(predicate: org.apache.spark.sql.Column,
+      assignments: Map[String, org.apache.spark.sql.Column]): Option[Commit] = {
+    require(assignments.nonEmpty, "update requires assignments")
+    val affected = prunedFiles(predicate)
+    if (affected.isEmpty) return None
+    val cond = coalesce(predicate, lit(false))
+    val src = spark.read.option("mergeSchema", "true")
+      .parquet(affected.map(f => s"$path/$f"): _*)
+    val updated = assignments.foldLeft(src) { case (df, (name, value)) =>
+      require(df.columns.contains(name), s"unknown column '$name' in update")
+      df.withColumn(name, when(cond, value).otherwise(col(name)))
+    }
+    val (add, stats) = stage(updated)
+    Some(nextCommit("update", dataChange = true, add, affected,
+      updated.schema.json,
+      Map("numRewrittenFiles" -> affected.size.toString,
+        "numOutputFiles" -> add.size.toString), stats))
+  }
+
   /** Small-file compaction (reference `jibaro/datalake/delta_handler.py:9-35`):
     * when the live file count exceeds `maxFiles`, rewrite to
     * ceil(totalBytes / compactTargetBytes) files with dataChange=false so

@@ -211,6 +211,19 @@ class GraftTableSpec extends SparkSpecBase {
     assert(t.delete(col("id") > 99999).isEmpty)
   }
 
+  test("update rewrites only affected files, applies SET to matches only") {
+    val t = tmpTable()
+    t.append(Seq((1, "a", 10.0), (2, "b", 20.0)).toDF("id", "v", "amt").coalesce(1))
+    t.append(Seq((100, "c", 30.0), (200, "d", 40.0)).toDF("id", "v", "amt").coalesce(1))
+    val c = t.update(col("id") === 100,
+      Map("v" -> lit("UPDATED"), "amt" -> (col("amt") * 2))).get
+    assert(c.metrics("numRewrittenFiles") === "1")
+    val got = t.read().as[(Int, String, Double)].collect().toSet
+    assert(got === Set((1, "a", 10.0), (2, "b", 20.0),
+      (100, "UPDATED", 60.0), (200, "d", 40.0)))
+    assert(t.update(col("id") > 99999, Map("v" -> lit("x"))).isEmpty)
+  }
+
   test("appendZOrdered: predicates on EITHER cluster column prune files") {
     val rnd = new scala.util.Random(11)
     val grid = rnd.shuffle(for { x <- 0 until 64; y <- 0 until 64 } yield (x, y))
