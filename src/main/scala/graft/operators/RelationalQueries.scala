@@ -638,6 +638,29 @@ object RelationalQueries {
       Some("""SELECT event_type, count(*) AS n,
           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
           max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS k_max
-        FROM events GROUP BY event_type ORDER BY event_type"""))
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // ---- null-aware anti join (NOT IN) -----------------------------------
+    // NOT IN over a nullable subquery column is its own operator class
+    // (null-aware anti join): one NULL in the subquery empties the result,
+    // and Spark must plan NAAJ, not a plain LeftAnti. The subquery column
+    // here is made nullable-but-never-null via nullif so the semantics are
+    // exercised with a non-degenerate result.
+    CatalogQuery(
+      "q40_not_in_suppliers",
+      (s, dir) => {
+        t(s, dir, "supplier").createOrReplaceTempView("graft_q40_supplier")
+        t(s, dir, "lineitem").createOrReplaceTempView("graft_q40_lineitem")
+        s.sql("""SELECT s_suppkey, s_name FROM graft_q40_supplier
+          WHERE s_suppkey NOT IN
+            (SELECT nullif(l_suppkey, -1) FROM graft_q40_lineitem
+             WHERE l_returnflag = 'R' AND l_quantity > 49 AND l_discount > 0.05)
+          ORDER BY s_suppkey""")
+      },
+      Some("""SELECT s_suppkey, s_name FROM supplier
+        WHERE s_suppkey NOT IN
+          (SELECT nullif(l_suppkey, -1) FROM lineitem
+           WHERE l_returnflag = 'R' AND l_quantity > 49 AND l_discount > 0.05)
+        ORDER BY s_suppkey"""))
   )
 }

@@ -113,6 +113,35 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("CDC replay: random batched op sequences converge to the sequential model") {
+    // events (key, value, op) arrive in batches; within a batch only the
+    // LATEST event per key applies (Dedup.latestPerKey), across batches
+    // upserts merge — the final table must equal a sequential replay of
+    // the full event stream into a Map
+    val eventGen = Gen.listOfN(60, for {
+      key <- Gen.choose(1, 10)
+      v <- Gen.choose(0, 999)
+      op <- Gen.frequency(5 -> Gen.const("c"), 3 -> Gen.const("u"), 2 -> Gen.const("d"))
+    } yield (key, v, op))
+    samples(eventGen, 6).filter(_.nonEmpty).zipWithIndex.foreach { case (events, i) =>
+      val seqd = events.zipWithIndex.map { case ((k, v, op), seq) => (k, v, op, seq.toLong) }
+      val t = graft.tables.GraftTable(spark,
+        java.nio.file.Files.createTempDirectory(s"graft-cdc-prop-$i-").toString + "/t")(
+        graft.conf.GraftSettings.default)
+      seqd.grouped(13).foreach { batch =>
+        val deduped = Dedup.latestPerKey(
+          batch.toDF("key", "v", "op", "seq"), Seq("key"), Seq(col("seq").desc))
+        t.upsert(deduped.drop("seq"), Seq("key"), "op")
+      }
+      // sequential model: last op per key wins; 'd' removes
+      val model = seqd.foldLeft(Map.empty[Int, Int]) {
+        case (m, (k, v, op, _)) => if (op == "d") m - k else m + (k -> v)
+      }
+      val got = t.read().select("key", "v").as[(Int, Int)].collect().toMap
+      assert(got === model, s"events=$seqd")
+    }
+  }
+
   test("minhash estimate within tolerance of exact jaccard") {
     val base = "spark engine shuffles partitions across the cluster for wide operations " * 3
     val variants = (0 until 6).map(i => (i.toLong, base + (" extra" * i)))
