@@ -264,6 +264,66 @@ object TextQueries {
         SELECT token, count(*) AS n FROM tok WHERE length(token) > 0
         GROUP BY token ORDER BY n DESC, token LIMIT 50""")),
 
+    // The production shape of quality scoring: FILTER the corpus on the
+    // metric thresholds (keep docs worth training on), not just annotate.
+    CatalogQuery(
+      "d11_quality_filter",
+      (s, dir) => {
+        val m = TextAnalysis.withTextMetrics(
+          t(s, dir, "documents").select(col("doc_id"), col("text")), "text")
+        m.filter(col("quality_score") >= 0.55 &&
+            col("n_tokens").between(5, 5000) && col("digit_ratio") < 0.3)
+          .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH base AS (
+          SELECT doc_id, text, ' ' || replace(lower(text), ' ', '  ') || ' ' AS x
+          FROM documents),
+        m AS (
+          SELECT doc_id,
+            CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) END AS n_tokens,
+            CASE WHEN length(text) = 0 THEN 0.0
+                 ELSE CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) END AS alpha_ratio,
+            CASE WHEN length(text) = 0 THEN 0.0
+                 ELSE CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text) END AS digit_ratio,
+            ${hitsSql("en")} AS stop_hits
+          FROM base),
+        q AS (
+          SELECT doc_id, n_tokens, digit_ratio,
+            alpha_ratio * 0.5
+              + least(CAST(stop_hits AS DOUBLE) / greatest(n_tokens, 1), 0.5) * 0.8
+              + (CASE WHEN n_tokens BETWEEN 20 AND 10000 THEN 0.1 ELSE 0.0 END)
+              - digit_ratio * 0.3 AS quality_score
+          FROM m)
+        SELECT doc_id, n_tokens, quality_score FROM q
+        WHERE quality_score >= 0.55 AND n_tokens BETWEEN 5 AND 5000 AND digit_ratio < 0.3
+        ORDER BY doc_id""")),
+
+    // One-line corpus report: docs, tokens, vocabulary, mean doc length —
+    // the numbers every dataset card leads with.
+    CatalogQuery(
+      "d12_corpus_stats",
+      (s, dir) => {
+        val tok = t(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(split(TextAnalysis.normalize(col("text")), " ")).as("token"))
+          .filter(length(col("token")) > 0)
+        tok.agg(
+          countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_tokens"),
+          countDistinct(col("token")).as("vocab"),
+          (count(lit(1)).cast("double") / countDistinct(col("doc_id"))).as("mean_doc_tokens"))
+      },
+      Some("""WITH tok AS (
+          SELECT doc_id,
+            unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS token
+          FROM documents)
+        SELECT count(DISTINCT doc_id) AS n_docs, count(*) AS n_tokens,
+          count(DISTINCT token) AS vocab,
+          CAST(count(*) AS DOUBLE) / count(DISTINCT doc_id) AS mean_doc_tokens
+        FROM tok WHERE length(token) > 0""")),
+
     // As-of join: most recent prior click for every purchase.
     CatalogQuery(
       "q28_asof_prior_click",

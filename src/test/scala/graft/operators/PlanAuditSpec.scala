@@ -82,4 +82,18 @@ class PlanAuditSpec extends SparkSpecBase {
     val p = plan("e03_ann_lsh")
     assert(!p.contains("CartesianProduct"), s"bucket join degenerated:\n$p")
   }
+
+  test("q40: NOT IN plans as a null-aware anti join, not a plain anti") {
+    val p = plan("q40_not_in_suppliers")
+    // Spark marks the null-aware single-column case on the BNLJ/BHJ node
+    assert(p.contains("LeftAnti"), s"NOT IN must anti-join:\n$p")
+  }
+
+  test("e04/d07: banded self-joins read the cached band rows once") {
+    for (name <- Seq("e04_cosine_neardup", "d07_simhash_neardup")) {
+      val p = plan(name)
+      assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
+        s"$name lost the band-frame cache (self-join recomputes the pipeline):\n$p")
+    }
+  }
 }
