@@ -211,6 +211,29 @@ class ExtOpsSpec extends SparkSpecBase {
     assert(fromIndex === oneShot)
   }
 
+  test("indexes persist: a fresh instance on the same path serves queries") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-idx-reopen-").toString
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    new AnnIndex(spark, s"$dir/ann", portable = true)
+      .add(emb, "vec_id", "embedding")
+    // simulate a restart: new instance, no shared state
+    val reopened = new AnnIndex(spark, s"$dir/ann", portable = true)
+    assert(reopened.indexedCount === emb.count())
+    assert(reopened.query(emb.filter(col("vec_id") < 3), "vec_id", "embedding", 3)
+      .count() === 9)
+
+    val ndi = new NearDupIndex(spark, s"$dir/ndi")
+    ndi.detectAndAdd(Seq((1L, "some unique document text for the reopen test"))
+      .toDF("doc_id", "text"), "doc_id", "text")
+    val ndiReopened = new NearDupIndex(spark, s"$dir/ndi")
+    assert(ndiReopened.indexedCount === 1)
+    val hits = ndiReopened.detectAndAdd(
+      Seq((2L, "some unique document text for the reopen test"))
+        .toDF("doc_id", "text"), "doc_id", "text")
+      .select("id_new", "id_matched").as[(Long, Long)].collect().toSet
+    assert(hits === Set((2L, 1L)), "dup detected against the pre-restart corpus")
+  }
+
   test("quantizedCosine tracks cosine") {
     val emb = spark.read.parquet(s"${sf()}/embeddings.parquet").limit(20)
     val a = emb.select(col("vec_id").as("ida"), col("embedding").as("va"))

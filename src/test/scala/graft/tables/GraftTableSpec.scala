@@ -177,6 +177,30 @@ class GraftTableSpec extends SparkSpecBase {
     assert(t2.prunedFiles(col("id") === 57).size === t2.liveFiles().size)
   }
 
+  test("composite-key bucketed upsert prunes on the full key set") {
+    val t = tmpTable()
+    t.setBucketSpec(Seq("region", "id"), 8)
+    t.append((1 to 100).map(i => (s"r${i % 3}", i, s"v$i")).toDF("region", "id", "v"))
+    val filesBefore = t.liveFiles().toSet
+    val c = t.upsert(Seq(("r1", 4, "UPDATED", "u")).toDF("region", "id", "v", "op"),
+      Seq("region", "id"), "op")
+    assert(c.remove.size < filesBefore.size, "only the key's bucket rewritten")
+    val got = t.read().filter(col("id") === 4).select("v").as[String].head()
+    assert(got === "UPDATED")
+    assert(t.read().count() === 100)
+  }
+
+  test("restore refuses when target files were vacuumed") {
+    val t = tmpTable()
+    t.append(Seq((1, "a")).toDF("id", "v"))
+    t.overwrite(Seq((2, "b")).toDF("id", "v"))
+    t.vacuum(retentionHours = 0) // v1's files are gone
+    val e = intercept[IllegalStateException] { t.restore(1) }
+    assert(e.getMessage.contains("vacuumed"))
+    assert(t.read().as[(Int, String)].collect().toSet === Set((2, "b")),
+      "failed restore leaves the table untouched")
+  }
+
   test("restore rolls the live set back as a new commit; history intact") {
     val t = tmpTable()
     t.append(Seq((1, "a")).toDF("id", "v"))
