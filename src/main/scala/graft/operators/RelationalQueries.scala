@@ -661,6 +661,47 @@ object RelationalQueries {
         WHERE s_suppkey NOT IN
           (SELECT nullif(l_suppkey, -1) FROM lineitem
            WHERE l_returnflag = 'R' AND l_quantity > 49 AND l_discount > 0.05)
-        ORDER BY s_suppkey"""))
+        ORDER BY s_suppkey""")),
+
+    // ---- ntile bucketing --------------------------------------------------
+    // Quartile assignment within each priority class (deterministic: ties
+    // broken by orderkey so both engines agree on row order).
+    CatalogQuery(
+      "q41_price_quartiles",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .withColumn("quartile", ntile(4).over(
+            Window.partitionBy(col("o_orderpriority"))
+              .orderBy(col("o_totalprice"), col("o_orderkey"))))
+          .groupBy(col("o_orderpriority"), col("quartile"))
+          .agg(count(lit(1)).as("n"), dsum2(col("o_totalprice")).as("total"))
+          .orderBy(col("o_orderpriority"), col("quartile")),
+      Some("""WITH q AS (
+          SELECT o_orderpriority, o_totalprice,
+            ntile(4) OVER (PARTITION BY o_orderpriority
+              ORDER BY o_totalprice, o_orderkey) AS quartile
+          FROM orders)
+        SELECT o_orderpriority, quartile, count(*) AS n,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM q GROUP BY o_orderpriority, quartile
+        ORDER BY o_orderpriority, quartile""")),
+
+    // ---- lag / lead -------------------------------------------------------
+    // Previous and next event type per user (offset window functions).
+    CatalogQuery(
+      "q42_event_neighbors",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        t(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            lag(col("event_type"), 1).over(w).as("prev_type"),
+            lead(col("event_type"), 1).over(w).as("next_type"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT user_id, event_id, event_type,
+          lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+          lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        FROM events ORDER BY event_id"""))
   )
 }
