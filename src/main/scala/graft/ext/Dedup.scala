@@ -150,10 +150,12 @@ object Dedup {
     require(numHashes % bands == 0, s"numHashes=$numHashes not divisible by bands=$bands")
     val rowsPerBand = numHashes / bands
     val sigs = minhashSignaturesDf(df, idCol, textCol, numHashes, shingleSize, portable)
-    // cache: the self-join would otherwise evaluate the whole signature
-    // pipeline TWICE (no automatic subtree reuse across join aliases) —
-    // measured ~2x the operator's cost; band rows are (id, sig, keys) only
-    val banded = minhashBands(sigs, bands, rowsPerBand, portable).cache()
+    // materialize: the self-join would otherwise evaluate the whole
+    // signature pipeline TWICE (no automatic subtree reuse across join
+    // aliases) — measured ~2x the operator's cost. localCheckpoint over
+    // cache: checkpoint blocks free automatically (ContextCleaner) when
+    // the frame is unreferenced; CacheManager entries would accumulate
+    val banded = minhashBands(sigs, bands, rowsPerBand, portable).localCheckpoint(true)
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b,
@@ -344,13 +346,13 @@ object Dedup {
       s"banding into $bands chunks only guarantees recall for hamming <= ${bands - 1}; " +
         s"got maxHamming=$maxHamming")
     val sigs = simhashSignatures(df, idCol, textCol, portable)
-    // cache: see minhashCandidatePairs — the self-join evaluates the
-    // signature pipeline twice without it
+    // materialize: see minhashCandidatePairs — the self-join evaluates
+    // the signature pipeline twice without it
     val banded = sigs.withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
       .withColumn("band_key",
         call_function("shiftright", col("sim"), col("band") * width)
           .bitwiseAND(lit((1L << width) - 1)))
-      .cache()
+      .localCheckpoint(true)
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b,

@@ -78,8 +78,9 @@ final class NearDupIndex(
 
     // materialize results BEFORE mutating the index, so the returned frame
     // doesn't observe the batch's own rows as "already indexed"
-    val out = pairs.cache()
-    out.count()
+    // (localCheckpoint, not cache: checkpoint blocks are released by the
+    // ContextCleaner once unreferenced; CacheManager entries leak)
+    val out = pairs.localCheckpoint(true)
     bandsTable.append(newBands.select(col("id").as("doc_id"), col("band"), col("band_key")))
     sigsTable.append(sigs.select(col("id").as("doc_id"), col("sig")))
     out

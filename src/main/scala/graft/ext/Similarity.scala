@@ -334,8 +334,9 @@ object Similarity {
       bitsPerTable: Int = 4,
       portable: Boolean = false): DataFrame = {
     val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    // cache: the self-join would evaluate the bucket pipeline twice
-    val banded = lshBucketRows(df, idCol, vecCol, nTables, bitsPerTable, portable).cache()
+    // materialize (see Dedup.minhashCandidatePairs): the self-join would
+    // evaluate the bucket pipeline twice
+    val banded = lshBucketRows(df, idCol, vecCol, nTables, bitsPerTable, portable).localCheckpoint(true)
     val pairs = banded.as("a")
       .join(banded.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&

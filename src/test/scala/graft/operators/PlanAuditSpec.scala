@@ -89,11 +89,13 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(p.contains("LeftAnti"), s"NOT IN must anti-join:\n$p")
   }
 
-  test("e04/d07: banded self-joins read the cached band rows once") {
+  test("e04/d07: banded self-joins read materialized band rows, not the pipeline twice") {
     for (name <- Seq("e04_cosine_neardup", "d07_simhash_neardup")) {
       val p = plan(name)
-      assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
-        s"$name lost the band-frame cache (self-join recomputes the pipeline):\n$p")
+      // localCheckpoint surfaces as an ExistingRDD scan; the signature/
+      // bucket pipeline (posexplode + aggregates) must NOT appear twice
+      assert(p.contains("ExistingRDD"),
+        s"$name lost the band-frame materialization (self-join recomputes the pipeline):\n$p")
     }
   }
 }
