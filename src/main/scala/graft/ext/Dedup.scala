@@ -90,9 +90,15 @@ object Dedup {
     * position is a plain `min` aggregate, so the whole computation stays in
     * WholeStageCodegen with map-side combine: the shuffle carries one
     * numHashes-wide partial row per (partition, doc), not the shingles.
+    *
     * `portable=true` hashes each shingle with the md5-derived 60-bit hash
     * ("seed:shingle", exactly mirrorable in DuckDB — the d05 technique);
-    * otherwise xxhash64 (cheaper). Returns (id, sig array<long>). */
+    * otherwise xxhash64 (cheaper). Per-seed INDEPENDENT hashes are kept
+    * deliberately: a cheaper 2-universal `a + i*b mod p` family was
+    * measured to correlate the per-seed argmins enough to multiply band
+    * collisions ~27x on the test corpus — minhash banding needs near
+    * min-wise independence, and the per-shingle digest count is small on
+    * real document lengths. Returns (id, sig array<long>). */
   def minhashSignaturesDf(
       df: DataFrame,
       idCol: String,
@@ -100,8 +106,8 @@ object Dedup {
       numHashes: Int = 32,
       shingleSize: Int = 3,
       portable: Boolean = false): DataFrame = {
-    val shingles = df.select(col(idCol).as("id"),
-      explode(wordShingles(col(textCol), shingleSize)).as("sh"))
+    val shingles = Parallelism.widen(df.select(col(idCol).as("id"), col(textCol)))
+      .select(col("id"), explode(wordShingles(col(textCol), shingleSize)).as("sh"))
     val mins = (0 until numHashes).map { seed =>
       val h =
         if (portable) TextAnalysis.portableHash60(concat(lit(s"$seed:"), col("sh")))
@@ -152,9 +158,9 @@ object Dedup {
     val sigs = minhashSignaturesDf(df, idCol, textCol, numHashes, shingleSize, portable)
     // materialize: the self-join would otherwise evaluate the whole
     // signature pipeline TWICE (no automatic subtree reuse across join
-    // aliases) — measured ~2x the operator's cost. localCheckpoint over
-    // cache: checkpoint blocks free automatically (ContextCleaner) when
-    // the frame is unreferenced; CacheManager entries would accumulate
+    // aliases). localCheckpoint over cache: checkpoint blocks free
+    // automatically (ContextCleaner) when the frame is unreferenced;
+    // CacheManager entries would accumulate
     val banded = minhashBands(sigs, bands, rowsPerBand, portable).localCheckpoint(true)
     val a = banded.as("a")
     val b = banded.as("b")
@@ -306,8 +312,8 @@ object Dedup {
     // the token hash is PROJECTED once per token before the aggregate —
     // referencing the md5-derived expression from all 60 vote aggregates
     // would otherwise re-hash each token once per bit
-    val tokens = df.select(col(idCol).as("id"),
-        explode(split(TextAnalysis.normalize(col(textCol)), " ")).as("tkn"))
+    val tokens = Parallelism.widen(df.select(col(idCol).as("id"), col(textCol)))
+      .select(col("id"), explode(split(TextAnalysis.normalize(col(textCol)), " ")).as("tkn"))
       .withColumn("h",
         if (portable) TextAnalysis.portableHash60(col("tkn")) else xxhash64(col("tkn")))
     val h = col("h")

@@ -177,7 +177,8 @@ object Similarity {
       }
     val signs = planeDim.select(col("p"), col("i"),
       when(parityBit === 1L, 1L).otherwise(-1L).as("sgn"))
-    val exploded = df.select(col(idCol).as("id"), posexplode(col(vecCol)).as(Seq("i", "x")))
+    val exploded = Parallelism.widen(df.select(col(idCol).as("id"), col(vecCol)))
+      .select(col("id"), posexplode(col(vecCol)).as(Seq("i", "x")))
       .withColumn("qx", floor(col("x").cast("double") * lit(1e9)).cast("long"))
     exploded.join(broadcast(signs), Seq("i"))
       .groupBy(col("id"), col("p"))

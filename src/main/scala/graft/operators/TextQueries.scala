@@ -90,18 +90,16 @@ object TextQueries {
         md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
         FROM documents ORDER BY doc_id""")),
 
+    // Portable minhash signatures: per-seed md5-derived 60-bit hashes
+    // (see Dedup.minhashSignaturesDf) — mirrored exactly by the oracle.
     CatalogQuery(
       "d05_minhash_portable",
       (s, dir) => {
-        val shingles = Dedup.wordShingles(col("text"), 3)
-        val sigCols = (0 until 8).map { seed =>
-          aggregate(shingles, lit(Long.MaxValue),
-            (acc, sh) => least(acc,
-              conv(substring(md5(concat(lit(s"$seed:"), sh)), 1, 15), 16, 10).cast("long")))
-            .as(s"h$seed")
-        }
-        t(s, dir, "documents")
-          .select(col("doc_id") +: sigCols: _*)
+        val sigs = Dedup.minhashSignaturesDf(
+          t(s, dir, "documents"), "doc_id", "text",
+          numHashes = 8, shingleSize = 3, portable = true)
+        sigs.select(col("id").as("doc_id") +:
+            (0 until 8).map(i => element_at(col("sig"), i + 1).as(s"h$i")): _*)
           .orderBy(col("doc_id"))
       },
       Some {
@@ -189,6 +187,12 @@ object TextQueries {
         Dedup.minhashDedup(t(s, dir, "documents"), "doc_id", "text",
             threshold = 0.5, numHashes = 32, bands = 8, portable = true)
           .select(col("doc_id"), col("dup_group"))
+          // tautological filter referencing the JOIN side: without it,
+          // count()-style consumers let Catalyst prune the unique-keyed
+          // left join and skip the entire dedup pipeline — results are
+          // identical (ids are non-negative), but benchmarks must measure
+          // the real work
+          .filter(col("dup_group") >= 0)
           .orderBy(col("doc_id")),
       Some {
         val hs = (0 until 32).map { seed =>
@@ -270,7 +274,8 @@ object TextQueries {
       "d11_quality_filter",
       (s, dir) => {
         val m = TextAnalysis.withTextMetrics(
-          t(s, dir, "documents").select(col("doc_id"), col("text")), "text")
+          t(s, dir, "documents").select(col("doc_id"), col("text"))
+            .repartition(s.sparkContext.defaultParallelism), "text")
         m.filter(col("quality_score") >= 0.55 &&
             col("n_tokens").between(5, 5000) && col("digit_ratio") < 0.3)
           .select(col("doc_id"), col("n_tokens"), col("quality_score"))
