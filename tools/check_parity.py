@@ -15,19 +15,24 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
                 s = s.dt.tz_localize(None)
             except TypeError:
                 s = s.dt.tz_convert("UTC").dt.tz_localize(None)
-            df[c] = s
+            df[c] = s.astype("datetime64[us]")
     if len(df):
         df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
 
 def cells_equal(a, b):
+    # Driver-fidelity compare: NO cross-type coercion. A Decimal vs a float,
+    # or an int vs a float (DuckDB HUGEINT lands as float64 in pandas), must
+    # FAIL here exactly like the driver's hasher fails it — float() coercion
+    # previously masked that whole failure class (r2: q36/q39 green locally,
+    # red on the driver).
     if a is None and b is None: return True
     try:
-        if pd.isna(a) and pd.isna(b): return True
+        if pd.isna(a) and pd.isna(b): return type(a) is type(b)
     except (TypeError, ValueError): pass
-    if isinstance(a, float) or isinstance(b, float):
-        try: return float(a) == float(b) or (math.isnan(float(a)) and math.isnan(float(b)))
-        except (TypeError, ValueError): return False
+    if type(a) is not type(b): return False
+    if isinstance(a, float):
+        return a == b or (math.isnan(a) and math.isnan(b))
     return a == b
 
 def main(sf_dir: str, out_dir: str):
@@ -47,6 +52,10 @@ def main(sf_dir: str, out_dir: str):
             print(f"FAIL {name}: columns {list(got.columns)} vs {list(exp.columns)}"); bad += 1; continue
         if len(got) != len(exp):
             print(f"FAIL {name}: rows {len(got)} vs {len(exp)}"); bad += 1; continue
+        dt_bad = [(c, str(got[c].dtype), str(exp[c].dtype)) for c in got.columns
+                  if str(got[c].dtype) != str(exp[c].dtype)]
+        if dt_bad:
+            print(f"FAIL {name}: dtypes {dt_bad}"); bad += 1; continue
         diffs = []
         for c in got.columns:
             ga, ea = got[c].tolist(), exp[c].tolist()
