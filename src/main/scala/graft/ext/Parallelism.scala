@@ -13,7 +13,7 @@ import org.apache.spark.sql.DataFrame
   * files, so the repartition is a cheap no-op there (guarded below);
   * locally it spreads the narrow pre-explode rows across all cores.
   */
-private[ext] object Parallelism {
+private[graft] object Parallelism {
 
   /** Repartition `df` to the session's default parallelism when its scan
     * would otherwise run on far fewer partitions.

@@ -30,17 +30,33 @@ object TextAnalysis {
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit(BpeTokenPattern), lit(0)))
 
-  /** Exact count of whole-word occurrences of `word` (case-insensitive).
+  /** Space-doubled, lower-cased text with sentinel spaces: word boundaries
+    * become non-overlapping so a literal replace-and-measure word count is
+    * exact even for adjacent repeats ("the the").
     *
-    * Space-doubling makes word boundaries non-overlapping, so a plain
-    * replace-and-measure is exact even for adjacent repeats ("the the").
+    * This is the expensive per-row derivation shared by every stopword
+    * probe. Callers that probe more than one word should PROJECT it into a
+    * real column once and use the `*In` variants below: Catalyst's
+    * subexpression elimination skips conditionally-evaluated branches
+    * (CASE WHEN), so a `langid`-style expression tree would otherwise
+    * re-derive this once per stopword (~20 full-text regex passes/row).
     */
-  def wordOccurrences(text: Column, word: String): Column = {
-    val doubled = concat(lit(" "), regexp_replace(lower(text), " ", "  "), lit(" "))
+  def doubledText(text: Column): Column =
+    concat(lit(" "), regexp_replace(lower(text), " ", "  "), lit(" "))
+
+  /** Whole-word occurrence count against an already-doubled text (see
+    * [[doubledText]]). Literal (non-regex) replace — codegen'd, no NFA. */
+  def wordOccurrencesIn(doubled: Column, word: String): Column = {
     val target = s" $word "
-    ((length(doubled) - length(regexp_replace(doubled, target, ""))) / lit(target.length))
+    ((length(doubled) - length(replace(doubled, lit(target), lit("")))) / lit(target.length))
       .cast("int")
   }
+
+  /** Exact count of whole-word occurrences of `word` (case-insensitive).
+    * Convenience single-word form; multi-word callers use [[doubledText]]
+    * + [[wordOccurrencesIn]] to derive the doubled text once per row. */
+  def wordOccurrences(text: Column, word: String): Column =
+    wordOccurrencesIn(doubledText(text), word)
 
   /** Character-class ratio over total length (0.0 for empty text). */
   private def classRatio(text: Column, charClassRegex: String): Column =
@@ -60,26 +76,34 @@ object TextAnalysis {
     "es" -> Seq("el", "los", "que", "una", "por")
   )
 
+  /** Total stopword hits for one language profile, against a pre-projected
+    * doubled text. */
+  def stopwordHitsIn(doubled: Column, lang: String): Column =
+    StopwordProfiles(lang).map(wordOccurrencesIn(doubled, _)).reduce(_ + _)
+
   /** Total stopword hits for one language profile. */
   def stopwordHits(text: Column, lang: String): Column =
-    StopwordProfiles(lang).map(wordOccurrences(text, _)).reduce(_ + _)
+    stopwordHitsIn(doubledText(text), lang)
+
+  /** Stopword density against a pre-projected doubled text. */
+  def stopwordDensityIn(text: Column, doubled: Column, lang: String = "en"): Column =
+    stopwordHitsIn(doubled, lang).cast("double") / greatest(tokenCount(text), lit(1))
 
   /** Stopword density: profile hits per token. */
   def stopwordDensity(text: Column, lang: String = "en"): Column =
-    stopwordHits(text, lang).cast("double") / greatest(tokenCount(text), lit(1))
+    stopwordDensityIn(text, doubledText(text), lang)
 
   /** Count of CJK ideographs — the zh signal for `langid`. */
   def cjkCount(text: Column): Column =
     length(regexp_replace(text, "[^\\x{4e00}-\\x{9fff}]", ""))
 
-  /** N-gram/stopword heuristic language ID over {en,de,fr,es,zh}.
-    * CJK presence wins outright; otherwise argmax of profile hits with
-    * deterministic tie-break en > de > fr > es. */
-  def langid(text: Column): Column = {
-    val en = stopwordHits(text, "en")
-    val de = stopwordHits(text, "de")
-    val fr = stopwordHits(text, "fr")
-    val es = stopwordHits(text, "es")
+  /** [[langid]] against a pre-projected doubled text — the form hot paths
+    * use so the doubling runs once per row, not once per stopword. */
+  def langidIn(text: Column, doubled: Column): Column = {
+    val en = stopwordHitsIn(doubled, "en")
+    val de = stopwordHitsIn(doubled, "de")
+    val fr = stopwordHitsIn(doubled, "fr")
+    val es = stopwordHitsIn(doubled, "es")
     when(cjkCount(text) > 0, lit("zh"))
       .when(en >= de && en >= fr && en >= es, lit("en"))
       .when(de >= fr && de >= es, lit("de"))
@@ -87,15 +111,31 @@ object TextAnalysis {
       .otherwise(lit("es"))
   }
 
+  /** N-gram/stopword heuristic language ID over {en,de,fr,es,zh}.
+    * CJK presence wins outright; otherwise argmax of profile hits with
+    * deterministic tie-break en > de > fr > es. */
+  def langid(text: Column): Column = langidIn(text, doubledText(text))
+
+  /** The quality formula over already-computed metric columns — the form
+    * that reuses projected metrics instead of re-deriving them per term. */
+  def qualityFromMetrics(alpha: Column, stopDensity: Column, nTokens: Column,
+      digit: Column): Column =
+    alpha * lit(0.5) +
+      least(stopDensity, lit(0.5)) * lit(0.8) +
+      when(nTokens.between(20, 10000), lit(0.1)).otherwise(lit(0.0)) -
+      digit * lit(0.3)
+
+  /** [[qualityScore]] against a pre-projected doubled text. */
+  def qualityScoreIn(text: Column, doubled: Column): Column =
+    qualityFromMetrics(alphaRatio(text), stopwordDensityIn(text, doubled),
+      tokenCount(text), digitRatio(text))
+
   /** Composite quality score in [0,1]-ish: rewards natural-language shape
     * (alpha-heavy, stopword-bearing, mid-length tokens), penalizes digits.
     * Weights are heuristic; the value is deterministic and engine-portable.
     */
   def qualityScore(text: Column): Column =
-    alphaRatio(text) * lit(0.5) +
-      least(stopwordDensity(text), lit(0.5)) * lit(0.8) +
-      when(tokenCount(text).between(20, 10000), lit(0.1)).otherwise(lit(0.0)) -
-      digitRatio(text) * lit(0.3)
+    qualityScoreIn(text, doubledText(text))
 
   /** Canonical text normalization used by fingerprints/dedup: lowercase,
     * collapse all non-alphanumeric runs to single spaces, trim. */
@@ -112,13 +152,19 @@ object TextAnalysis {
   def portableHash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
-  /** Attach the standard metric set to a DataFrame. */
+  /** Attach the standard metric set to a DataFrame. The doubled text is
+    * projected into a scratch column once so stop_density and quality_score
+    * share one derivation per row instead of one per stopword probe. */
   def withTextMetrics(df: DataFrame, textCol: String): DataFrame = {
     val c = col(textCol)
-    df.withColumn("n_tokens", tokenCount(c))
+    val d = "__graft_doubled"
+    df.withColumn(d, doubledText(c))
+      .withColumn("n_tokens", tokenCount(c))
       .withColumn("alpha_ratio", alphaRatio(c))
       .withColumn("digit_ratio", digitRatio(c))
-      .withColumn("stop_density", stopwordDensity(c))
-      .withColumn("quality_score", qualityScore(c))
+      .withColumn("stop_density", stopwordDensityIn(c, col(d)))
+      .withColumn("quality_score", qualityFromMetrics(
+        col("alpha_ratio"), col("stop_density"), col("n_tokens"), col("digit_ratio")))
+      .drop(d)
   }
 }

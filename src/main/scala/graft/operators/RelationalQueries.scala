@@ -422,22 +422,35 @@ object RelationalQueries {
     // OWN estimator landed within 5% of its OWN exact. High-precision sketch
     // configs (rsd=0.01; lgConfigK=16 → ~0.6% 1-sigma) make 5% a many-sigma
     // bound, so the booleans are deterministically true in both engines.
+    // The exact countDistincts and the sketches are computed in SEPARATE
+    // aggregations joined on l_returnflag: combining them in one agg makes
+    // Catalyst plan the multi-distinct Expand with the HLL buffers keyed on
+    // (group, distinct-col, gid) — one ~13 KB sketch buffer PER DISTINCT KEY
+    // crossing the shuffle, which is an OOM at scale. Split, each side plans
+    // as a clean partial/final pair with one small row per group.
     CatalogQuery(
       "q29_approx_distinct",
-      (s, dir) =>
-        t(s, dir, "lineitem")
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val exact = li
           .groupBy(col("l_returnflag"))
           .agg(
             countDistinct(col("l_partkey")).as("exact_parts"),
-            countDistinct(col("l_suppkey")).as("exact_supps"),
+            countDistinct(col("l_suppkey")).as("exact_supps"))
+        val sketch = li
+          .groupBy(col("l_returnflag"))
+          .agg(
             approx_count_distinct(col("l_partkey"), 0.01).as("ap"),
             hll_sketch_estimate(hll_sketch_agg(col("l_suppkey"), 16)).as("hs"))
+        exact
+          .join(sketch, Seq("l_returnflag"))
           .select(col("l_returnflag"), col("exact_parts"), col("exact_supps"),
             (abs(col("ap") - col("exact_parts")) <= col("exact_parts") * 0.05)
               .as("parts_within_5pct"),
             (abs(col("hs") - col("exact_supps")) <= col("exact_supps") * 0.05)
               .as("supps_within_5pct"))
-          .orderBy(col("l_returnflag")),
+          .orderBy(col("l_returnflag"))
+      },
       Some("""SELECT l_returnflag,
           count(DISTINCT l_partkey) AS exact_parts,
           count(DISTINCT l_suppkey) AS exact_supps,

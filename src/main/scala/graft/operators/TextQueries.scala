@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.functions._
-import graft.ext.{AsOf, Dedup, TextAnalysis}
+import graft.ext.{AsOf, Dedup, Parallelism, TextAnalysis}
 import QueryDsl._
 
 /** Training-data text operators as catalog queries over `documents`.
@@ -32,7 +32,8 @@ object TextQueries {
       "d02_text_metrics",
       (s, dir) =>
         TextAnalysis.withTextMetrics(
-            t(s, dir, "documents").select(col("doc_id"), col("text")), "text")
+            Parallelism.widen(t(s, dir, "documents"))
+              .select(col("doc_id"), col("text")), "text")
           .drop("text")
           .orderBy(col("doc_id")),
       Some(s"""WITH base AS (
@@ -56,12 +57,18 @@ object TextQueries {
             - digit_ratio * 0.3 AS quality_score
         FROM m ORDER BY doc_id""")),
 
+    // The doubled text is projected ONCE and langid's 20 stopword probes
+    // run against that column — without the hoist every probe re-derives
+    // the space-doubled text (a full-text regex pass each), and CASE WHEN
+    // branches are excluded from Catalyst subexpression elimination.
     CatalogQuery(
       "d03_langid",
       (s, dir) =>
-        t(s, dir, "documents")
+        Parallelism.widen(t(s, dir, "documents"))
+          .select(col("doc_id"), col("lang"), col("text"),
+            TextAnalysis.doubledText(col("text")).as("__x"))
           .select(col("doc_id"), col("lang"),
-            TextAnalysis.langid(col("text")).as("lang_pred"))
+            TextAnalysis.langidIn(col("text"), col("__x")).as("lang_pred"))
           .orderBy(col("doc_id")),
       Some(s"""WITH base AS (
           SELECT doc_id, lang, text, ' ' || replace(lower(text), ' ', '  ') || ' ' AS x
