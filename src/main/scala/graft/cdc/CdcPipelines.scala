@@ -110,6 +110,54 @@ object CdcPipelines {
     }
   }
 
+  /** Decode one raw batch of Kafka-Connect JSON records (no Confluent
+    * header, no registry — the content type the reference's lab produces
+    * but `cdc.py:87-88` leaves `NotImplemented`).
+    *
+    * The Spark schema is INFERRED per micro-batch from the payload JSON
+    * itself (`spark.read.json` over the unwrapped strings — distributed,
+    * one extra scan of the micro-batch, the price of schemaless JSON).
+    * `dropFieldIfAllNull` keeps inference honest across batches: a CDC
+    * envelope column that is entirely null in this batch (e.g. `before`
+    * in an insert-only batch) would otherwise infer as STRING and then
+    * conflict with the later batch where it arrives as a real struct —
+    * dropped here, the staged table's schema merge adds it with its true
+    * type when it first carries data, and earlier rows read as null. */
+  private[cdc] def decodeJsonBatch(batch: DataFrame, staged: GraftTable): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    // Debezium tombstones (null value) carry no payload — drop, as the
+    // avro/proto path does
+    val events = batch.filter(col("value").isNotNull)
+    if (events.isEmpty) return
+    // consumed twice (schema inference + decode): materialize once
+    val unwrapped = events.select(
+      ConnectJsonCodec.unwrap(col("key")).as("__kjson"),
+      ConnectJsonCodec.unwrap(col("value")).as("__vjson"),
+      col("topic"), col("partition"), col("offset"), col("timestamp"),
+      col("timestampType")).localCheckpoint(true)
+
+    def infer(jsonCol: String): StructType =
+      spark.read.option("dropFieldIfAllNull", "true")
+        .json(unwrapped.select(jsonCol).as[String].filter(_ != null))
+        .schema
+
+    val valueSchema = infer("__vjson")
+    val keySchema = infer("__kjson")
+    val keyCol =
+      // keyless topic: a TYPED null, as the Confluent path writes
+      if (keySchema.isEmpty) lit(null).cast("binary").as("key")
+      else from_json(col("__kjson"), keySchema).as("key")
+    val decoded = unwrapped.select(
+      keyCol,
+      from_json(col("__vjson"), valueSchema).as("value"),
+      col("topic"), col("partition"), col("offset"), col("timestamp"),
+      col("timestampType"),
+      lit(null).cast("int").as("keySchemaId"),
+      lit(null).cast("int").as("valueSchemaId"))
+    staged.append(decoded)
+  }
+
   /** Raw layer -> staged table, incrementally (`cdc.py:54-88` dispatch +
     * `avro_handler.py:99-138` loop). Reads the raw parquet stream with a
     * file-source checkpoint, decodes per micro-batch. */
@@ -119,7 +167,41 @@ object CdcPipelines {
       database: String,
       table: String,
       codec: PayloadCodec,
+      registry: SchemaRegistryClient)(implicit s: GraftSettings): Unit =
+    runDecodeStream(spark, project, database, table) { (batch, staged) =>
+      codec match {
+        case ConnectJsonCodec => decodeJsonBatch(batch, staged)
+        case c                => decodeConfluentBatch(batch, c, registry, staged)
+      }
+    }
+
+  /** `content_type` string dispatch, mirroring the reference's
+    * `raw_to_staged(content_type=...)` (`cdc.py:54-88`) — plus `json`,
+    * which the reference declares but does not implement. `json` needs no
+    * registry. */
+  def rawToStaged(
+      spark: SparkSession,
+      project: String,
+      database: String,
+      table: String,
+      contentType: String,
       registry: SchemaRegistryClient)(implicit s: GraftSettings): Unit = {
+    val codec = contentType match {
+      case "avro"     => ConfluentAvroCodec
+      case "protobuf" => ConfluentProtobufCodec
+      case "json"     => ConnectJsonCodec
+      case other => throw new IllegalArgumentException(
+        s"contentType must be avro|protobuf|json, got '$other'")
+    }
+    rawToStaged(spark, project, database, table, codec, registry)
+  }
+
+  private def runDecodeStream(
+      spark: SparkSession,
+      project: String,
+      database: String,
+      table: String)(decode: (DataFrame, GraftTable) => Unit)(
+      implicit s: GraftSettings): Unit = {
     val rawRef = TableRef(Layer.Raw, project, database, table)
     val stagedRef = TableRef(Layer.Staged, project, database, table)
     val staged = GraftTable(spark, LakePath.data(stagedRef))
@@ -129,7 +211,7 @@ object CdcPipelines {
       .parquet(LakePath.data(rawRef))
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        decodeConfluentBatch(batch, codec, registry, staged)
+        decode(batch, staged)
       }
       .option("checkpointLocation", LakePath.checkpoint(stagedRef))
       .trigger(Trigger.AvailableNow())
@@ -168,20 +250,30 @@ object CdcPipelines {
         s"CDC apply requires a keyed topic (struct key); got $keyType — keyless " +
           "topics have no primary key to merge on")
       val keyFields = keyType.asInstanceOf[StructType].fieldNames.toSeq
+      // JSON-inferred slices may lack an image struct entirely when no
+      // record in the batch carried one (insert-only batch => no `before`,
+      // delete-only => no `after`); an absent image means zero such rows
+      val valueFields =
+        slice.schema("value").dataType.asInstanceOf[StructType].fieldNames.toSet
+      def image(img: String, opPredicate: String): Option[DataFrame] =
+        if (valueFields.contains(img))
+          Some(slice.filter(opPredicate).select(col(s"value.$img.*"), col("value.op")))
+        else None
+      val upserts = image("after", "value.op != 'd'")
       if (!curated.exists) {
         // first write: only insertable images (`cdc.py:178-187`); declare
         // the bucketed layout on the PK so steady-state merges are
         // bucket-pruned
-        if (curatedBuckets > 0) curated.setBucketSpec(keyFields, curatedBuckets)
-        curated.overwrite(
-          slice.filter("value.op != 'd'").select(col("value.after.*"), col("value.op")))
+        upserts.foreach { ins =>
+          if (curatedBuckets > 0) curated.setBucketSpec(keyFields, curatedBuckets)
+          curated.overwrite(ins)
+        }
       } else {
-        val upserts = slice.filter("value.op != 'd'")
-          .select(col("value.after.*"), col("value.op"))
-        val deletes = slice.filter("value.op = 'd'")
-          .select(col("value.before.*"), col("value.op"))
-        curated.upsert(upserts.unionByName(deletes), keyFields, "op",
-          deleteOp = "d", keepOpColumn = true)
+        val deletes = image("before", "value.op = 'd'")
+        val changes = (upserts.toSeq ++ deletes.toSeq)
+          .reduceOption(_.unionByName(_, allowMissingColumns = true))
+        changes.foreach(c =>
+          curated.upsert(c, keyFields, "op", deleteOp = "d", keepOpColumn = true))
       }
     }
   }
@@ -250,9 +342,18 @@ object CdcPipelines {
           val id = registry.register(s"$topic-$role", proto, schemaType = "PROTOBUF")
           ConfluentWireFormat.frame(
             graft.codec.ProtobufExpressions.to_protobuf(structCol), id, protobuf = true)
+        case "json" =>
+          // Kafka-Connect JsonConverter shape: plain JSON bytes, no
+          // Confluent header, no registry; the `{"schema":null,"payload":…}`
+          // envelope is what the Apache converter emits for a record it has
+          // no Connect schema for. `ignoreNullFields=false` keeps null
+          // columns visible, as the converter does.
+          to_json(
+            struct(lit(null).cast("string").as("schema"), structCol.as("payload")),
+            Map("ignoreNullFields" -> "false")).cast("binary")
         case other =>
           throw new IllegalArgumentException(
-            s"contentType must be avro|protobuf, got '$other'")
+            s"contentType must be avro|protobuf|json, got '$other'")
       }
     }
 
