@@ -241,11 +241,74 @@ object Multimodal {
         substring(col(contentCol), lit(1),
           least(length(col(contentCol)), lit(width * height))))
 
+  /** REAL container demux for multi-frame formats the JDK ships a reader
+    * for (animated GIF; TIFF stacks): decode up to `nFrames` frames sampled
+    * evenly across the container, re-encoded as PNG, exploded to a
+    * (media_id, frame_idx, frame) table — the same output shape as
+    * [[sampleFramesExploded]], with real pixels.
+    *
+    * Runs partition-local (`mapPartitions`, one reader per payload, no
+    * shuffle; payloads never leave their partition). Frames are decoded
+    * raw per index — GIF inter-frame disposal compositing is NOT applied,
+    * so delta-encoded GIFs yield the delta region only (full-frame GIFs,
+    * the common training-data case, are exact). Payloads with no JDK
+    * multi-frame reader or corrupt bytes yield ZERO rows rather than a
+    * failed task — at 100 TB some payloads are always broken. Containers
+    * needing a real demuxer (mp4/webm) still pair [[sampleFramesExploded]]
+    * with an ffmpeg-backed decoder. */
+  def demuxFramesExploded(df: DataFrame, nFrames: Int,
+      idCol: String = "media_id", contentCol: String = "content"): DataFrame = {
+    val outSchema = StructType(Seq(
+      df.schema(idCol),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("frame", BinaryType, nullable = false)))
+    implicit val enc: Encoder[Row] = Encoders.row(outSchema)
+    df.select(col(idCol), col(contentCol)).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        if (bytes == null) Iterator.empty
+        else demuxOne(bytes, nFrames).zipWithIndex.map { case (png, i) =>
+          Row(r.get(0), i, png)
+        }
+      }
+    }
+  }
+
+  /** Evenly-sampled decoded frames of one multi-frame payload, PNG bytes;
+    * empty on corrupt/unsupported input. */
+  private def demuxOne(bytes: Array[Byte], nFrames: Int): Seq[Array[Byte]] =
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return Seq.empty
+        val reader = readers.next()
+        reader.setInput(iis)
+        try {
+          val total = reader.getNumImages(true)
+          if (total <= 0) return Seq.empty
+          val picks = (0 until math.min(nFrames, total))
+            .map(i => total.toLong * i / math.min(nFrames, total))
+            .map(_.toInt).distinct
+          picks.flatMap { fi =>
+            try {
+              val img = reader.read(fi)
+              val baos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(img, "png", baos)
+              Some(baos.toByteArray)
+            } catch { case scala.util.control.NonFatal(_) => None }
+          }
+        } finally reader.dispose()
+      } finally if (iis != null) iis.close()
+    } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+
   /** Frame sampling stub for video payloads: split the byte stream into
     * `nFrames` equal slices and explode to a (media_id, frame_idx, frame)
     * table — the real impl swaps the slicer for a container-format
-    * demuxer; the exploded-frames layout, ids, and ordering are the
-    * production shape. */
+    * demuxer (see [[demuxFramesExploded]] for the JDK-native containers);
+    * the exploded-frames layout, ids, and ordering are the production
+    * shape. */
   def sampleFramesExploded(df: DataFrame, nFrames: Int,
       idCol: String = "media_id", contentCol: String = "content"): DataFrame = {
     val len = length(col(contentCol))

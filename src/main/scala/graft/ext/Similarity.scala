@@ -9,8 +9,11 @@ import org.apache.spark.sql.functions._
   * Scale design (100 TB):
   *  - the baseline is brute-force cosine top-k with the PROBE side
   *    broadcast: the corpus is scanned once, partition-local, no corpus
-  *    shuffle, a per-partition top-k (window over probe) reduces before
-  *    the final merge;
+  *    shuffle. The `row_number <= k` filter is planned as a TWO-PHASE
+  *    WindowGroupLimit (Catalyst's InferWindowGroupLimit rule): a partial
+  *    pass keeps only k candidates per probe per input partition BEFORE
+  *    the exchange, so the shuffle carries ~partitions*probes*k rows, not
+  *    every candidate pair — PlanAuditSpec pins both phases;
   *  - the scale path is hyperplane-LSH bucketing: each vector maps to a
   *    small integer bucket; same-bucket (or multi-probe neighbor-bucket)
   *    join restricts the candidate set, so the cross product never forms;

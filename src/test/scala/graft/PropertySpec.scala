@@ -142,6 +142,157 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  // ------------------------------------------------- proto wire conformance fuzz
+  //
+  // The pure-Scala proto3 codec is load-bearing for the protobuf CDC path
+  // (A11/A13) — fuzz it: random schemas round-trip bit-exactly; unknown
+  // higher-numbered fields of EVERY wire type skip cleanly (forward
+  // compat); fields added to the reader schema decode to proto3 defaults
+  // (backward compat); and the full Spark expression path round-trips via
+  // generated .proto text.
+
+  private case class FKind(dt: org.apache.spark.sql.types.DataType, gen: Gen[Any])
+
+  private val scalarKinds: Seq[FKind] = {
+    import org.apache.spark.sql.types._
+    Seq(
+      FKind(IntegerType, Gen.choose(Int.MinValue, Int.MaxValue)),
+      FKind(LongType, Gen.choose(Long.MinValue + 1, Long.MaxValue)),
+      FKind(StringType, Gen.asciiPrintableStr.map(_.take(12))),
+      FKind(BooleanType, Gen.oneOf(true, false)),
+      FKind(DoubleType, Gen.choose(-1e12, 1e12)),
+      FKind(FloatType, Gen.choose(-1e6, 1e6).map(_.toFloat)),
+      FKind(BinaryType,
+        Gen.listOfN(5, Gen.choose(-128, 127)).map(_.map(_.toByte).toArray: Any)))
+  }
+
+  private val compositeKinds: Seq[FKind] = {
+    import org.apache.spark.sql.types._
+    Seq(
+      FKind(ArrayType(IntegerType, containsNull = false),
+        Gen.listOfN(4, Gen.choose(-1000, 1000)).map(_.toSeq: Any)),
+      FKind(ArrayType(StringType, containsNull = false),
+        Gen.listOfN(3, Gen.alphaNumStr.map(_.take(6))).map(_.toSeq: Any)),
+      FKind(
+        StructType(Seq(StructField("a", IntegerType), StructField("b", StringType))),
+        for { a <- Gen.choose(-99, 99); b <- Gen.alphaNumStr.map(_.take(6)) }
+          yield org.apache.spark.sql.Row(a, b): Any))
+  }
+
+  private def rowGenFor(kinds: Seq[FKind]): Gen[org.apache.spark.sql.Row] =
+    kinds.foldLeft(Gen.const(Vector.empty[Any])) { (acc, k) =>
+      acc.flatMap(v => k.gen.map(v :+ _))
+    }.map(v => org.apache.spark.sql.Row.fromSeq(v))
+
+  private def schemaOf(kinds: Seq[FKind]): StructType =
+    StructType(kinds.zipWithIndex.map { case (k, i) =>
+      org.apache.spark.sql.types.StructField(s"f$i", k.dt)
+    })
+
+  private val fuzzCase: Gen[(Seq[FKind], org.apache.spark.sql.Row)] = for {
+    n <- Gen.choose(1, 4)
+    scalars <- Gen.listOfN(n, Gen.oneOf(scalarKinds))
+    extras <- Gen.someOf(compositeKinds)
+    kinds = scalars ++ extras
+    row <- rowGenFor(kinds)
+  } yield (kinds, row)
+
+  /** Structural value compare across Array[Byte]/Seq/Row representations. */
+  private def norm(v: Any): Any = v match {
+    case b: Array[Byte] => b.toSeq
+    case r: org.apache.spark.sql.Row => r.toSeq.map(norm)
+    case s: Seq[_] => s.map(norm)
+    case x => x
+  }
+
+  private def wireRoundTrip(schema: StructType,
+      row: org.apache.spark.sql.Row,
+      readerMsg: graft.codec.ProtoWire.ProtoMessage,
+      readerSchema: StructType): org.apache.spark.sql.Row = {
+    import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
+    val internal = CatalystTypeConverters.createToCatalystConverter(schema)(row)
+      .asInstanceOf[InternalRow]
+    val bytes = graft.codec.ProtoWire.encodeMessage(internal, schema)
+    val decoded = graft.codec.ProtoWire.decodeMessage(readerMsg, bytes, 0, bytes.length)
+    CatalystTypeConverters.createToScalaConverter(readerSchema)(decoded)
+      .asInstanceOf[org.apache.spark.sql.Row]
+  }
+
+  test("proto fuzz: random schemas round-trip bit-exactly through the wire codec") {
+    samples(fuzzCase, 60).foreach { case (kinds, row) =>
+      val schema = schemaOf(kinds)
+      val msg = graft.codec.ProtoWire.fromStructType(schema, "Fuzz")
+      val back = wireRoundTrip(schema, row, msg, schema)
+      assert(norm(back) === norm(row), s"schema=${schema.simpleString}")
+    }
+  }
+
+  test("proto fuzz: unknown higher-numbered fields of every wire type are skipped") {
+    import org.apache.spark.sql.types._
+    // appended extras cover all four proto3 wire types: varint (int64),
+    // I64 (double), I32 (float), LEN (string, bytes, nested message)
+    val extraKinds = Seq(
+      FKind(LongType, Gen.const(42L)),
+      FKind(DoubleType, Gen.const(3.14)),
+      FKind(FloatType, Gen.const(1.5f)),
+      FKind(StringType, Gen.const("future-field")),
+      FKind(BinaryType, Gen.const(Array[Byte](1, 2, 3): Any)),
+      FKind(StructType(Seq(StructField("x", LongType))),
+        Gen.const(org.apache.spark.sql.Row(7L): Any)))
+    samples(fuzzCase, 30).foreach { case (kinds, row) =>
+      val narrowSchema = schemaOf(kinds)
+      val extKinds = kinds ++ extraKinds
+      val extSchema = schemaOf(extKinds)
+      val extRow = org.apache.spark.sql.Row.fromSeq(
+        row.toSeq ++ Seq(42L, 3.14, 1.5f, "future-field", Array[Byte](1, 2, 3),
+          org.apache.spark.sql.Row(7L)))
+      // decode the WIDER payload against the NARROW message: a v1 reader
+      // consuming v2 records must see exactly its own fields
+      val narrowMsg = graft.codec.ProtoWire.fromStructType(narrowSchema, "FuzzV1")
+      val back = wireRoundTrip(extSchema, extRow, narrowMsg, narrowSchema)
+      assert(norm(back) === norm(row), s"schema=${narrowSchema.simpleString}")
+    }
+  }
+
+  test("proto fuzz: fields added to the reader schema decode to proto3 defaults") {
+    import org.apache.spark.sql.types._
+    samples(fuzzCase, 30).foreach { case (kinds, row) =>
+      val writerSchema = schemaOf(kinds)
+      // a v2 reader consuming v1 records: added fields take proto3
+      // defaults (0 / "" / false / empty), absent sub-messages are null
+      val addedKinds = Seq(
+        FKind(IntegerType, Gen.const(0)), FKind(StringType, Gen.const("")),
+        FKind(BooleanType, Gen.const(false)), FKind(DoubleType, Gen.const(0.0)),
+        FKind(ArrayType(LongType, containsNull = false), Gen.const(Seq.empty[Long]: Any)),
+        FKind(StructType(Seq(StructField("x", LongType))), Gen.const(null: Any)))
+      val widerKinds = kinds ++ addedKinds
+      val widerSchema = StructType(widerKinds.zipWithIndex.map { case (k, i) =>
+        StructField(s"f$i", k.dt)
+      })
+      val widerMsg = graft.codec.ProtoWire.fromStructType(widerSchema, "FuzzV2")
+      val back = wireRoundTrip(writerSchema, row, widerMsg, widerSchema)
+      val expected = row.toSeq ++ Seq(0, "", false, 0.0, Seq.empty[Long], null)
+      assert(norm(back) === norm(org.apache.spark.sql.Row.fromSeq(expected)),
+        s"schema=${writerSchema.simpleString}")
+    }
+  }
+
+  test("proto fuzz: Spark expression path round-trips via generated .proto text") {
+    import scala.jdk.CollectionConverters._
+    samples(fuzzCase, 8).foreach { case (kinds, row) =>
+      val schema = schemaOf(kinds)
+      val protoText = graft.codec.ProtoSchemaGen.protoFile(schema, "FuzzMsg")
+      val df = spark.createDataFrame(Seq(row).asJava, schema)
+      val back = df.select(
+        graft.codec.ProtobufExpressions.from_protobuf(
+          graft.codec.ProtobufExpressions.to_protobuf(
+            struct(df.columns.map(col).toSeq: _*)),
+          protoText).as("s"))
+        .select("s.*").collect().head
+      assert(norm(back) === norm(row), s"schema=${schema.simpleString}")
+    }
+  }
+
   test("minhash estimate within tolerance of exact jaccard") {
     val base = "spark engine shuffles partitions across the cluster for wide operations " * 3
     val variants = (0 until 6).map(i => (i.toLong, base + (" extra" * i)))

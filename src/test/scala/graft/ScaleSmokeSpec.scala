@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import scala.collection.concurrent.TrieMap
+
+/** 100x-scale rehearsal: the partition-starvation / narrow-stage bug class,
+  * asserted BEFORE the bench or a cluster finds it.
+  *
+  * Real clusters receive each table as MANY files; locally the sf dirs are
+  * single-file (single row group => one unsplittable scan partition), which
+  * is how two operators shipped with all their work serialized onto one
+  * core (d03/d02, round 3). This spec drives both shapes:
+  *
+  *  - a 16-file replica of each FACT table (dims stay 1x so joins scale
+  *    linearly, not quadratically): every stage that carries a meaningful
+  *    share of the runtime must run at least half as wide as the file
+  *    count — a structurally-narrow plan (coalesce(1), global window,
+  *    single-partition exchange) fails here at any data size;
+  *  - the same rows packed into ONE file: per-row-heavy text operators
+  *    must still run at least defaultParallelism/2 wide, i.e. their
+  *    explicit `Parallelism.widen`/repartition is present and effective.
+  *
+  * AQE is disabled and `openCostInBytes` raised so the assertions see the
+  * STATIC plan width — at test scale AQE would legally coalesce everything
+  * small, which is exactly the effect that does not generalize to 100 TB.
+  * Shuffle volumes per query are recorded to the test log (info) so a
+  * round-over-round diff shows which operator started moving more bytes.
+  */
+class ScaleSmokeSpec extends SparkSpecBase {
+
+  private val Copies = 16
+  private val factTables = Seq("documents", "embeddings", "lineitem", "events")
+  private val dimTables = Seq("customer", "orders", "supplier", "part", "nation", "region")
+
+  private final case class StageStat(numTasks: Int, runMs: Long, shuffleWrite: Long)
+  private val stages = TrieMap.empty[Int, StageStat]
+  private val listener = new SparkListener {
+    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+      val si = sc.stageInfo
+      stages.put(si.stageId, StageStat(
+        si.numTasks,
+        si.taskMetrics.executorRunTime,
+        si.taskMetrics.shuffleWriteMetrics.bytesWritten))
+    }
+  }
+
+  private lazy val scaledDir: String = {
+    val out = Files.createTempDirectory("graft-scale-")
+    factTables.foreach { tbl =>
+      val src = Paths.get(sf("sf0.01"), s"$tbl.parquet")
+      val dir = out.resolve(s"$tbl.parquet")
+      Files.createDirectories(dir)
+      (0 until Copies).foreach { i =>
+        Files.copy(src, dir.resolve(f"part-$i%05d.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    dimTables.foreach { tbl =>
+      val src = Paths.get(sf("sf0.01"), s"$tbl.parquet")
+      if (Files.exists(src)) {
+        val dir = out.resolve(s"$tbl.parquet")
+        Files.createDirectories(dir)
+        Files.copy(src, dir.resolve("part-00000.parquet"))
+      }
+    }
+    out.toString
+  }
+
+  /** The 16-file documents table packed into ONE file — the adversarial
+    * single-large-file shape that re-serializes un-widened per-row work. */
+  private lazy val singleFileDir: String = {
+    val out = Files.createTempDirectory("graft-scale1f-")
+    val docs = spark.read.parquet(s"$scaledDir/documents.parquet")
+    docs.coalesce(1).write.parquet(s"$out/documents.parquet")
+    out.toString
+  }
+
+  private def withScaleConfs[T](body: => T): T = {
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.shuffle.partitions",
+      "spark.sql.files.openCostInBytes").map(k => k -> conf.getOption(k))
+    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.shuffle.partitions", "32")
+    // one scan partition per file: emulates cluster-side parallelism that
+    // local file-packing (4 MiB open cost vs tiny test files) would hide
+    conf.set("spark.sql.files.openCostInBytes", (128L * 1024 * 1024).toString)
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
+  /** Run `df` to completion, then assert every heavy stage ran wide. */
+  private def assertWide(name: String, df: DataFrame, minWidth: Int): Unit = {
+    stages.clear()
+    val rows = df.queryExecution.toRdd.count()
+    assert(rows > 0, s"$name returned no rows at scale")
+    val all = stages.values.toSeq
+    val maxRun = all.map(_.runMs).maxOption.getOrElse(0L)
+    // a stage matters when it carries a real share of the work; sub-100ms
+    // stages are scheduling noise at this SF
+    val heavy = all.filter(s => s.runMs >= math.max(100L, maxRun / 3))
+    heavy.foreach { s =>
+      assert(s.numTasks >= minWidth,
+        s"$name: heavy stage ran ${s.numTasks}-wide (< $minWidth): " +
+          s"runMs=${s.runMs} of max $maxRun — a 100x input would serialize here")
+    }
+    info(f"$name%-28s stages=${all.size}%2d heavy=${heavy.size}%2d " +
+      f"shuffleWrite=${all.map(_.shuffleWrite).sum}%,d B")
+  }
+
+  private def q(name: String, dir: String): DataFrame =
+    SparkEntry.queries(name)(spark, dir)
+
+  override def withFixture(test: NoArgTest) = {
+    spark.sparkContext.addSparkListener(listener)
+    try super.withFixture(test)
+    finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("16-file facts: text, sketch, join, and vector queries all run wide") {
+    withScaleConfs {
+      val minWidth = Copies / 2
+      assertWide("d03_langid", q("d03_langid", scaledDir), minWidth)
+      assertWide("d11_quality_filter", q("d11_quality_filter", scaledDir), minWidth)
+      assertWide("q29_approx_distinct", q("q29_approx_distinct", scaledDir), minWidth)
+      assertWide("q31_skew_aware_join", q("q31_skew_aware_join", scaledDir), minWidth)
+      assertWide("e03_ann_lsh", q("e03_ann_lsh", scaledDir), minWidth)
+      assertWide("e04_cosine_neardup", q("e04_cosine_neardup", scaledDir), minWidth)
+    }
+  }
+
+  test("16-file facts: production minhash dedup runs wide end-to-end") {
+    withScaleConfs {
+      val docs = spark.read.parquet(s"$scaledDir/documents.parquet")
+        // replicated ids collide across copies; dedup needs distinct ids
+        .withColumn("doc_id", monotonically_increasing_id())
+      val deduped = graft.ext.Dedup.minhashDedup(
+        docs, "doc_id", "text", threshold = 0.5, numHashes = 32, bands = 8,
+        portable = false)
+      assertWide("d08x_minhash_dedup_prod", deduped, Copies / 2)
+    }
+  }
+
+  test("single large file: per-row-heavy operators still widen explicitly") {
+    withScaleConfs {
+      // one input file => scan is 1-wide by construction; the HEAVY stages
+      // (regex metrics, langid probes) must sit behind an explicit widen
+      val minWidth = spark.sparkContext.defaultParallelism / 2
+      assertWide("d02_text_metrics/1file", q("d02_text_metrics", singleFileDir), minWidth)
+      assertWide("d03_langid/1file", q("d03_langid", singleFileDir), minWidth)
+    }
+  }
+}

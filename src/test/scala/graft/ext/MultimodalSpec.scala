@@ -172,6 +172,60 @@ class MultimodalSpec extends SparkSpecBase {
     assert(collected.forall(_.getAs[Array[Byte]](2).length === 25))
   }
 
+  /** In-process animated GIF: `rgbs.length` full frames of solid color. */
+  private def animatedGifBytes(w: Int, h: Int, rgbs: Seq[Int]): Array[Byte] = {
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    rgbs.foreach { rgb =>
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      try { g.setColor(new java.awt.Color(rgb)); g.fillRect(0, 0, w, h) }
+      finally g.dispose()
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence()
+    writer.dispose()
+    ios.close()
+    baos.toByteArray
+  }
+
+  test("demuxFramesExploded: real animated-GIF frames decode with true pixels") {
+    // 6 solid-color frames; sample 3 — expect real, distinct pixel data
+    val colors = Seq(0x000000, 0x333333, 0x666666, 0x999999, 0xcccccc, 0xffffff)
+    val gif = animatedGifBytes(8, 8, colors)
+    val df = Seq((1L, "video", gif), (2L, "video", Array.empty[Byte]))
+      .toDF("media_id", "modality", "content")
+    val frames = Multimodal.demuxFramesExploded(df, nFrames = 3)
+      .orderBy("media_id", "frame_idx").collect()
+    // corrupt payload (id 2) yields zero rows, never a failed task
+    assert(frames.forall(_.getLong(0) === 1L))
+    assert(frames.map(_.getInt(1)).toSeq === Seq(0, 1, 2))
+    // each exploded frame is a REAL image: PNG-decodable at original size,
+    // mean luminance strictly increasing across the sampled frames
+    val lums = frames.map { r =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](2)))
+      assert(img.getWidth === 8 && img.getHeight === 8)
+      (img.getRGB(4, 4) & 0xff).toDouble
+    }
+    assert(lums.sliding(2).forall(p => p(0) < p(1)),
+      s"sampled frames should progress through the animation: ${lums.toSeq}")
+  }
+
+  test("demuxFramesExploded: single-frame PNG demuxes to one real frame") {
+    val df = Seq((7L, "image", pngBytes(6, 6, 0x336699)))
+      .toDF("media_id", "modality", "content")
+    val frames = Multimodal.demuxFramesExploded(df, nFrames = 4).collect()
+    assert(frames.length === 1 && frames.head.getInt(1) === 0)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(frames.head.getAs[Array[Byte]](2)))
+    assert((img.getRGB(1, 3) & 0xffffff) === 0x336699) // colored left half
+  }
+
   test("repartitionBySize keeps all rows and drops the helper column") {
     val out = Multimodal.repartitionBySize(mediaDf.filter(col("content").isNotNull), 4)
     assert(out.count() === 3)

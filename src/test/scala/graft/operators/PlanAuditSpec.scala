@@ -59,6 +59,18 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(p.contains("BroadcastNestedLoopJoin"), s"probe side must broadcast:\n$p")
   }
 
+  test("e01: partial top-k reduces candidates BEFORE the per-probe shuffle") {
+    // the rank<=k filter must become a two-phase WindowGroupLimit: a
+    // partial pass upstream of the exchange keeps only k rows per probe
+    // per input partition, so the shuffle carries ~partitions*probes*k
+    // rows instead of every candidate pair
+    val p = plan("e01_knn_brute")
+    val partial = p.indexOf("WindowGroupLimit")
+    assert(partial >= 0, s"rank filter not pushed into WindowGroupLimit:\n$p")
+    assert(p.indexOf("WindowGroupLimit", partial + 1) > partial,
+      s"only one WindowGroupLimit — partial (pre-shuffle) phase missing:\n$p")
+  }
+
   test("d01: exact dedup is a partial->final hash aggregate") {
     val p = plan("d01_dedup_exact")
     assert(p.contains("HashAggregate"), s"dedup must hash-aggregate:\n$p")
