@@ -87,13 +87,27 @@ object Bench {
         }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
+    // count()-mode pass: what the r1/r2 bench measured. Catalyst legally
+    // prunes projections and eliminates unconsumed joins under a count
+    // aggregate, so (force - count) per query is the "honesty tax" — a
+    // future force-mode slowdown whose count-mode time is unchanged is a
+    // plan that got MORE prunable work, not a slower engine. Emitted so
+    // regressions self-identify without an explain session.
+    val countResults = names.map { name =>
+      val t0 = System.nanoTime()
+      val ok =
+        try { catalog(name)(spark, sfDir).count(); true }
+        catch { case _: Throwable => false }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qsCount = countResults.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val errJson = errors.toSeq.sorted
       .map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"${esc(sfDir)}"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_count_mode":$qsCount,"errors":$errJson,"sf":"${esc(sfDir)}"}"""
     Files.writeString(Paths.get("BENCH_LOCAL.json"), line + "\n")
     spark.stop()
     // last stdout line, after spark.stop() so no log noise can follow

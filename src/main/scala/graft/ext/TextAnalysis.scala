@@ -137,6 +137,51 @@ object TextAnalysis {
   def qualityScore(text: Column): Column =
     qualityScoreIn(text, doubledText(text))
 
+  // -------------------------------------------------------------- PII
+
+  /** RE2-safe PII shapes (no lookarounds, engine-portable): email
+    * addresses, dotted-quad IPs, and NANP-style dashed phone numbers.
+    * Deliberately high-recall/simple — a scrub pass over 100 TB wants
+    * codegen'd regex, not entity models; anything smarter layers on top. */
+  val EmailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern: String = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhonePattern: String = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  /** Match count of one PII pattern. */
+  def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
+  /** Text with all three PII shapes replaced by typed placeholder tags.
+    * Email runs first: an address can embed digit runs the narrower
+    * patterns would otherwise half-redact. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, "<EMAIL>"),
+        Ipv4Pattern, "<IP>"),
+      PhonePattern, "<PHONE>")
+
+  /** Sliding-window token chunking: normalized tokens windowed into
+    * `chunkSize`-token chunks every `stride` tokens, exploded to
+    * (id, chunk_idx, chunk) — the context-window prep step between
+    * cleaning and tokenization. The interpreted transform/slice lambdas
+    * run once per CHUNK (tokens/stride rows), not per token, so the
+    * explode volume, not lambda overhead, dominates — same scaling shape
+    * as any corpus tokenize pass. Narrow (no shuffle). */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0, "chunkSize and stride must be positive")
+    val toks = split(normalize(col(textCol)), " ")
+    val nChunks = greatest(lit(1),
+      (ceil((size(toks) - lit(chunkSize)).cast("double") / stride) + 1).cast("int"))
+    df.filter(length(normalize(col(textCol))) > 0)
+      .select(col(idCol), toks.as("__toks"), nChunks.as("__n_chunks"))
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(0), col("__n_chunks") - 1),
+          i => concat_ws(" ", slice(col("__toks"), i * stride + 1, lit(chunkSize)))))
+          .as(Seq("chunk_idx", "chunk")))
+  }
+
   /** Canonical text normalization used by fingerprints/dedup: lowercase,
     * collapse all non-alphanumeric runs to single spaces, trim. */
   def normalize(text: Column): Column =

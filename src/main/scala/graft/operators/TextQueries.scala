@@ -330,6 +330,116 @@ object TextQueries {
           CAST(count(*) AS DOUBLE) / count(DISTINCT doc_id) AS mean_doc_tokens
         FROM tok WHERE length(token) > 0""")),
 
+    // PII scrub: per-doc match counts for each PII shape + the redacted
+    // text — the compliance pass every training corpus runs before
+    // anything else sees the bytes. Pure codegen'd regex, no UDF.
+    CatalogQuery(
+      "d13_pii_redaction",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            TextAnalysis.piiCount(col("text"), TextAnalysis.EmailPattern).as("n_emails"),
+            TextAnalysis.piiCount(col("text"), TextAnalysis.Ipv4Pattern).as("n_ips"),
+            TextAnalysis.piiCount(col("text"), TextAnalysis.PhonePattern).as("n_phones"),
+            TextAnalysis.redactPii(col("text")).as("redacted"))
+          .withColumn("has_pii", (col("n_emails") + col("n_ips") + col("n_phones")) > 0)
+          .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+          CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+          CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INTEGER) AS n_ips,
+          CAST(len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b')) AS INTEGER) AS n_phones,
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+              '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+            '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS redacted,
+          (CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER)
+            + CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INTEGER)
+            + CAST(len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b')) AS INTEGER)) > 0 AS has_pii
+        FROM documents ORDER BY doc_id""")),
+
+    // Sliding-window chunking: 64-token chunks, stride 48 — the context-
+    // window prep step between cleaning and tokenization. Chunk COUNT per
+    // doc is tokens/stride, so the interpreted transform/slice lambdas run
+    // once per CHUNK (cheap), not per token; the explode itself is the
+    // same posexplode shape as d10/d12.
+    CatalogQuery(
+      "d14_doc_chunks",
+      (s, dir) =>
+        TextAnalysis.chunkTokens(t(s, dir, "documents"), "doc_id", "text",
+            chunkSize = 64, stride = 48)
+          .orderBy(col("doc_id"), col("chunk_idx")),
+      Some("""WITH t AS (
+          SELECT doc_id,
+            string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
+          FROM documents
+          WHERE length(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) > 0),
+        n AS (
+          SELECT doc_id, toks,
+            greatest(1, CAST(ceil((len(toks) - 64)::DOUBLE / 48) + 1 AS INTEGER)) AS n_chunks
+          FROM t),
+        x AS (SELECT doc_id, toks, unnest(range(0, n_chunks)) AS i FROM n)
+        SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+          array_to_string(toks[i*48+1 : i*48+64], ' ') AS chunk
+        FROM x ORDER BY doc_id, chunk_idx""")),
+
+    // Deterministic stratified sampling: per-language rates via a
+    // portable hash bucket of the doc id — the same rows come back on
+    // every run, any engine, any partitioning; no shuffle, no RNG state.
+    // At 100 TB this is a pure scan+filter (sampling that repartitions or
+    // seeds per-task RNG is neither reproducible nor cheap).
+    CatalogQuery(
+      "d15_stratified_sample",
+      (s, dir) => {
+        val bucket = pmod(
+          TextAnalysis.portableHash60(col("doc_id").cast("string")), lit(1000))
+        val rateMille = when(col("lang") === "en", 100)
+          .when(col("lang") === "de", 500)
+          .when(col("lang") === "es", 250)
+          .otherwise(1000) // fr, zh: keep all
+        t(s, dir, "documents")
+          .filter(bucket < rateMille)
+          .select(col("doc_id"), col("lang"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, lang FROM documents
+        WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000
+          < CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 500 WHEN 'es' THEN 250 ELSE 1000 END
+        ORDER BY doc_id""")),
+
+    // Sequence packing: greedily pack docs into fixed token budgets per
+    // language stratum via a running-sum window — assigns every doc its
+    // training-sequence id without materializing the packed text. One
+    // keyed window (= one shuffle on lang), deterministic order.
+    CatalogQuery(
+      "d16_sequence_packing",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang")).orderBy(col("doc_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+          .withColumn("cum_before",
+            coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+          .select(col("doc_id"), col("lang"), col("n_tokens"),
+            floor(col("cum_before") / 2048.0).cast("int").as("pack_id"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH m AS (
+          SELECT doc_id, lang,
+            CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) END AS n_tokens
+          FROM documents),
+        c AS (
+          SELECT doc_id, lang, n_tokens,
+            COALESCE(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+          FROM m)
+        SELECT doc_id, lang, n_tokens,
+          CAST(floor(cum_before / 2048.0) AS INTEGER) AS pack_id
+        FROM c ORDER BY doc_id""")),
+
     // As-of join: most recent prior click for every purchase.
     CatalogQuery(
       "q28_asof_prior_click",

@@ -28,6 +28,44 @@ class ExtOpsSpec extends SparkSpecBase {
     assert(r === Seq(0, 0, 3))
   }
 
+  test("PII: counts and redaction find and replace every shape, leave clean text alone") {
+    val rows = Seq(
+      (0L, "contact bob.smith+x@example.co.uk or call 555-123-4567 now"),
+      (1L, "server at 10.0.0.1 and 192.168.1.255 rebooted"),
+      (2L, "no pii here, just 123 numbers and a-b-c dashes"))
+      .toDF("doc_id", "text")
+    val out = rows.select(col("doc_id"),
+      TextAnalysis.piiCount(col("text"), TextAnalysis.EmailPattern).as("e"),
+      TextAnalysis.piiCount(col("text"), TextAnalysis.Ipv4Pattern).as("i"),
+      TextAnalysis.piiCount(col("text"), TextAnalysis.PhonePattern).as("p"),
+      TextAnalysis.redactPii(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getInt(1) === 1 && out(0L).getInt(3) === 1)
+    assert(out(0L).getString(4) === "contact <EMAIL> or call <PHONE> now")
+    assert(out(1L).getInt(2) === 2)
+    assert(out(1L).getString(4) === "server at <IP> and <IP> rebooted")
+    assert(out(2L).getInt(1) + out(2L).getInt(2) + out(2L).getInt(3) === 0)
+    assert(out(2L).getString(4) === "no pii here, just 123 numbers and a-b-c dashes")
+  }
+
+  test("chunkTokens: sliding windows cover every token with the stride overlap") {
+    val text = (1 to 100).map(i => s"w$i").mkString(" ")
+    val chunks = TextAnalysis.chunkTokens(
+        Seq((7L, text)).toDF("doc_id", "text"), "doc_id", "text",
+        chunkSize = 64, stride = 48)
+      .orderBy("chunk_idx").collect()
+    assert(chunks.length === 2) // ceil((100-64)/48)+1
+    val c0 = chunks(0).getString(2).split(" ")
+    val c1 = chunks(1).getString(2).split(" ")
+    assert(c0.head === "w1" && c0.length === 64 && c0.last === "w64")
+    assert(c1.head === "w49" && c1.last === "w100" && c1.length === 52)
+    // a short doc still yields exactly one (partial) chunk
+    val one = TextAnalysis.chunkTokens(
+      Seq((8L, "only three tokens")).toDF("doc_id", "text"),
+      "doc_id", "text", 64, 48).collect()
+    assert(one.length === 1 && one.head.getString(2) === "only three tokens")
+  }
+
   test("fingerprint ignores case/punctuation/whitespace") {
     val fps = Seq("Hello, World!", "hello   world", "hello worlds")
       .toDF("text").select(TextAnalysis.fingerprint(col("text"))).collect().map(_.getString(0))
