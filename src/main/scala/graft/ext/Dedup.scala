@@ -267,6 +267,47 @@ object Dedup {
       .drop("id", "component")
   }
 
+  /** Benchmark decontamination: (corpus doc, eval doc) pairs sharing word
+    * n-grams — the check every training corpus runs against its eval
+    * suites before anything trains on it.
+    *
+    * Scale shape: both sides explode to (id, shingleHash) so only ids and
+    * 8-byte hashes cross the wire; the EVAL side is broadcast (an eval
+    * suite is KBs-MBs against a 100 TB corpus), so the corpus never
+    * shuffles at all — scan, hash, broadcast-join, partial-agg. Returns
+    * (corpus_id, eval_id, n_overlap, eval_frac) where eval_frac is the
+    * fraction of the eval doc's distinct n-grams found in the corpus doc
+    * (1.0 = the whole eval doc appears).
+    *
+    * `portable=true` hashes with the md5-derived 60-bit family so a
+    * DuckDB oracle reproduces it; production uses xxhash64. */
+  def ngramContamination(
+      corpus: DataFrame,
+      evalSet: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      minOverlap: Long = 1L,
+      portable: Boolean = false): DataFrame = {
+    def hashOf(c: Column): Column =
+      if (portable) TextAnalysis.portableHash60(c) else xxhash64(c)
+    def shingleHashes(df: DataFrame, outId: String): DataFrame =
+      Parallelism.widen(df)
+        .select(col(idCol).as(outId),
+          explode(array_distinct(wordShingles(col(textCol), shingleSize))).as("__s"))
+        .select(col(outId), hashOf(col("__s")).as("__h"))
+    val c = shingleHashes(corpus, "corpus_id")
+    val e = shingleHashes(evalSet, "eval_id")
+    val evalSizes = e.groupBy("eval_id").agg(count(lit(1)).as("__n_eval"))
+    c.join(broadcast(e), "__h")
+      .groupBy(col("corpus_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= minOverlap)
+      .join(broadcast(evalSizes), "eval_id")
+      .select(col("corpus_id"), col("eval_id"), col("n_overlap"),
+        (col("n_overlap").cast("double") / col("__n_eval")).as("eval_frac"))
+  }
+
   // ---------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash over word tokens: per-bit majority vote of token

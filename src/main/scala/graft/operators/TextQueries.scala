@@ -440,6 +440,92 @@ object TextQueries {
           CAST(floor(cum_before / 2048.0) AS INTEGER) AS pack_id
         FROM c ORDER BY doc_id""")),
 
+    // Benchmark decontamination: corpus docs sharing word 3-grams with a
+    // held-out "eval" slice (doc_id % 97 == 0 stands in for the benchmark
+    // table). Eval side broadcast; only (id, hash) crosses any wire.
+    CatalogQuery(
+      "d17_eval_contamination",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Dedup.ngramContamination(
+            corpus = docs.filter(col("doc_id") % 97 =!= 0),
+            evalSet = docs.filter(col("doc_id") % 97 === 0),
+            idCol = "doc_id", textCol = "text",
+            shingleSize = 3, minOverlap = 2L, portable = true)
+          .orderBy(col("corpus_id"), col("eval_id"))
+      },
+      Some("""WITH w AS (
+          SELECT doc_id,
+            string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS words
+          FROM documents),
+        sh AS (
+          SELECT doc_id,
+            list_distinct(CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+                 ELSE [array_to_string(words[i:i+2], ' ') FOR i IN generate_series(1, len(words) - 2)] END) AS shingles
+          FROM w),
+        u AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        h AS (SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h FROM u),
+        c AS (SELECT doc_id AS corpus_id, h FROM h WHERE doc_id % 97 <> 0),
+        e AS (SELECT doc_id AS eval_id, h FROM h WHERE doc_id % 97 = 0),
+        es AS (SELECT eval_id, count(*) AS n_eval FROM e GROUP BY 1),
+        ov AS (SELECT corpus_id, eval_id, count(*) AS n_overlap
+               FROM c JOIN e USING (h) GROUP BY 1, 2 HAVING count(*) >= 2)
+        SELECT corpus_id, eval_id, n_overlap,
+          CAST(n_overlap AS DOUBLE) / n_eval AS eval_frac
+        FROM ov JOIN es USING (eval_id)
+        ORDER BY corpus_id, eval_id""")),
+
+    // TRANSITIVE near-dup groups: true connected components of the LSH
+    // candidate graph (A~B, B~C puts A,C together even when they never
+    // share a bucket) — min-label propagation on the engine side, a
+    // recursive reachability CTE on the oracle side.
+    CatalogQuery(
+      "d18_minhash_dedup_cc",
+      (s, dir) =>
+        Dedup.minhashDedupCC(t(s, dir, "documents"), "doc_id", "text",
+            threshold = 0.5, numHashes = 32, bands = 8, portable = true)
+          .select(col("doc_id"), col("dup_group"))
+          .orderBy(col("doc_id")),
+      Some {
+        val hs = (0 until 32).map { seed =>
+          s"list_min([CAST(('0x' || substr(md5('$seed:' || s), 1, 15)) AS BIGINT) FOR s IN shingles]) AS h$seed"
+        }.mkString(", ")
+        val sigList = (0 until 32).map(i => s"h$i").mkString("[", ", ", "]")
+        val eq = (1 to 32)
+          .map(i => s"(CASE WHEN sig_a[$i] = sig_b[$i] THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH RECURSIVE w AS (
+          SELECT doc_id,
+            string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS words
+          FROM documents),
+        sh AS (
+          SELECT doc_id,
+            CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+                 ELSE [array_to_string(words[i:i+2], ' ') FOR i IN generate_series(1, len(words) - 2)] END AS shingles
+          FROM w),
+        hs AS (SELECT doc_id, $hs FROM sh),
+        sig AS (SELECT doc_id, $sigList AS sig FROM hs),
+        banded AS (SELECT doc_id, sig, bd,
+                     array_to_string(sig[bd * 4 + 1 : bd * 4 + 4], '|') AS bk
+                   FROM sig, (SELECT unnest(generate_series(0, 7)) AS bd)),
+        pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                    a.sig AS sig_a, b.sig AS sig_b
+                  FROM banded a JOIN banded b
+                    ON a.bd = b.bd AND a.bk = b.bk AND a.doc_id < b.doc_id),
+        good AS (SELECT id_a, id_b FROM pairs
+                 WHERE CAST($eq AS DOUBLE) / 32 >= 0.5),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM good
+                  UNION SELECT id_b, id_a FROM good),
+        reach AS (
+          SELECT src AS id, dst AS r FROM edges
+          UNION
+          SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src),
+        comp AS (SELECT id, least(id, min(r)) AS component FROM reach GROUP BY id)
+        SELECT d.doc_id, coalesce(c.component, d.doc_id) AS dup_group
+        FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+        ORDER BY d.doc_id"""
+      }),
+
     // As-of join: most recent prior click for every purchase.
     CatalogQuery(
       "q28_asof_prior_click",

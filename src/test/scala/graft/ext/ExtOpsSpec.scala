@@ -66,6 +66,26 @@ class ExtOpsSpec extends SparkSpecBase {
     assert(one.length === 1 && one.head.getString(2) === "only three tokens")
   }
 
+  test("ngramContamination: verbatim inclusion scores 1.0, disjoint text drops out") {
+    val evalSet = Seq((100L, "the secret benchmark question about spark joins"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      // embeds the eval doc verbatim
+      (1L, "intro text and then the secret benchmark question about spark joins appears here"),
+      // shares a couple of 3-grams only
+      (2L, "a benchmark question about cars not about joins at all"),
+      // disjoint
+      (3L, "completely unrelated prose concerning databases and storage engines"))
+      .toDF("doc_id", "text")
+    val out = Dedup.ngramContamination(corpus, evalSet, "doc_id", "text",
+        shingleSize = 3, minOverlap = 1L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    // eval doc has 7 tokens => 5 distinct 3-grams, all present in doc 1
+    assert(out(1L) === ((5L, 1.0)), s"verbatim inclusion must score 1.0: $out")
+    assert(out(2L)._1 === 1L && out(2L)._2 < 0.5, s"partial overlap stays partial: $out")
+    assert(!out.contains(3L), s"disjoint doc must not appear: $out")
+  }
+
   test("fingerprint ignores case/punctuation/whitespace") {
     val fps = Seq("Hello, World!", "hello   world", "hello worlds")
       .toDF("text").select(TextAnalysis.fingerprint(col("text"))).collect().map(_.getString(0))
