@@ -28,8 +28,12 @@ object TrainingDataDemo {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
 
     println("== text metrics + langid (first 5 docs):")
+    // project the doubled text ONCE and run langid against it — stacking
+    // the un-hoisted form on the metrics pushes the generated method past
+    // the 64 KB codegen limit (interpreted fallback, ~10x slower)
     TextAnalysis.withTextMetrics(docs.select(col("doc_id"), col("text"), col("lang")), "text")
-      .withColumn("lang_pred", TextAnalysis.langid(col("text")))
+      .withColumn("__x", TextAnalysis.doubledText(col("text")))
+      .withColumn("lang_pred", TextAnalysis.langidIn(col("text"), col("__x")))
       .select("doc_id", "lang", "lang_pred", "n_tokens", "alpha_ratio", "quality_score")
       .orderBy("doc_id").show(5, truncate = false)
 
@@ -61,6 +65,69 @@ object TrainingDataDemo {
       .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
     StreamOps.sessionize(events, "ts", "user_id").orderBy("user_id", "session_start").show(5)
 
+    println("== full corpus-prep pipeline: scrub -> quality -> dedup -> decontaminate -> sample -> chunk -> pack:")
+    val prepared = prepareCorpus(docs, evalSet = docs.filter(col("doc_id") % 97 === 0))
+    prepared.groupBy("lang").agg(
+      countDistinct("doc_id").as("docs"),
+      countDistinct("pack_id").as("packs"),
+      count(lit(1)).as("chunks")).orderBy("lang").show()
+
     spark.stop()
+  }
+
+  /** The canonical corpus-prep pipeline, every stage an operator from this
+    * library, in the order a production run applies them (cheap row-local
+    * filters first, the one shuffle-bearing stage — dedup — on the
+    * survivors only):
+    *
+    *  1. PII scrub (codegen regex, row-local)
+    *  2. quality + language filter (row-local)
+    *  3. near-dup removal, keeping each group's min id (one LSH pass)
+    *  4. benchmark decontamination against `evalSet` (broadcast join)
+    *  5. deterministic stratified sampling (scan+filter, no RNG state)
+    *  6. context-window chunking (explode)
+    *  7. sequence packing per language (one keyed window)
+    *
+    * Returns (doc_id, lang, chunk_idx, chunk, n_tokens, pack_id).
+    */
+  def prepareCorpus(docs: org.apache.spark.sql.DataFrame,
+      evalSet: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+
+    val scrubbed = docs
+      .withColumn("text", TextAnalysis.redactPii(col("text")))
+    // localCheckpoint: (a) the dedup self-join below consumes this frame
+    // TWICE — unmaterialized, every regex above would run twice; (b) it
+    // cuts the fused scrub+metrics+langid+shingle stage below the 64 KB
+    // codegen method limit (one giant stage falls back to interpreted)
+    val quality = TextAnalysis.withTextMetrics(scrubbed, "text")
+      .filter(col("quality_score") >= 0.3 && col("n_tokens") >= 5)
+      .withColumn("__x", TextAnalysis.doubledText(col("text")))
+      .withColumn("lang_pred", TextAnalysis.langidIn(col("text"), col("__x")))
+      .drop("__x")
+      .localCheckpoint(true)
+    val deduped = Dedup.minhashDedup(quality, "doc_id", "text",
+        threshold = 0.5, numHashes = 32, bands = 8)
+      .filter(col("dup_group") === col("doc_id")) // keep group representative
+      .drop("dup_group")
+    val contaminated = Dedup.ngramContamination(
+        deduped, evalSet, "doc_id", "text", shingleSize = 3, minOverlap = 5L)
+      .select(col("corpus_id").as("doc_id")).distinct()
+    val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+    val sampled = clean.filter(
+      pmod(TextAnalysis.portableHash60(col("doc_id").cast("string")), lit(1000)) <
+        when(col("lang_pred") === "en", 800).otherwise(1000))
+    val chunks = TextAnalysis.chunkTokens(sampled, "doc_id", "text",
+      chunkSize = 64, stride = 48)
+    val packed = chunks
+      .join(sampled.select(col("doc_id"), col("lang_pred").as("lang")), "doc_id")
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col("chunk")))
+      .withColumn("pack_id", floor(
+        coalesce(
+          sum(col("n_tokens")).over(Window.partitionBy("lang")
+            .orderBy("doc_id", "chunk_idx")
+            .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)) / 2048.0).cast("int"))
+    packed.select("doc_id", "lang", "chunk_idx", "chunk", "n_tokens", "pack_id")
   }
 }

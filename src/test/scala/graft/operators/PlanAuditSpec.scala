@@ -101,6 +101,34 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(p.contains("LeftAnti"), s"NOT IN must anti-join:\n$p")
   }
 
+  test("q29: sketch aggregates never sit on a multi-distinct Expand") {
+    // combining countDistinct + HLL sketches in ONE agg makes Catalyst key
+    // the sketch buffers on (group, distinct-col, gid): a ~13 KB HLL buffer
+    // PER DISTINCT KEY through the shuffle — OOM at scale. The split plan
+    // must keep every sketch aggregate's subtree Expand-free.
+    import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+    import org.apache.spark.sql.execution.ExpandExec
+    val exec = planFor("q29_approx_distinct").executedPlan
+    val sketchAggs = exec.collect {
+      case a: ObjectHashAggregateExec
+          if a.aggregateExpressions.exists(_.aggregateFunction.toString.contains("hll")) => a
+    }
+    assert(sketchAggs.nonEmpty, s"expected an HLL ObjectHashAggregate:\n$exec")
+    sketchAggs.foreach { a =>
+      assert(a.collect { case e: ExpandExec => e }.isEmpty,
+        s"sketch aggregate keyed on a distinct Expand — per-distinct-key buffers:\n$a")
+    }
+  }
+
+  test("catalog sweep: no query plans a CartesianProduct") {
+    // a cartesian anywhere is a 100 TB non-starter; sweep EVERY catalog
+    // entry so a new query can't sneak one in
+    for (name <- graft.SparkEntry.queries.keys.toSeq.sorted) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")
+    }
+  }
+
   test("e04/d07: banded self-joins read materialized band rows, not the pipeline twice") {
     for (name <- Seq("e04_cosine_neardup", "d07_simhash_neardup")) {
       val p = plan(name)
