@@ -174,7 +174,8 @@ object TextAnalysis {
     val toks = split(normalize(col(textCol)), " ")
     val nChunks = greatest(lit(1),
       (ceil((size(toks) - lit(chunkSize)).cast("double") / stride) + 1).cast("int"))
-    df.filter(length(normalize(col(textCol))) > 0)
+    Parallelism.widen(df) // explode amplification: widen a few-file scan
+      .filter(length(normalize(col(textCol))) > 0)
       .select(col(idCol), toks.as("__toks"), nChunks.as("__n_chunks"))
       .select(col(idCol),
         posexplode(transform(sequence(lit(0), col("__n_chunks") - 1),

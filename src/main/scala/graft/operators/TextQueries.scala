@@ -336,7 +336,7 @@ object TextQueries {
     CatalogQuery(
       "d13_pii_redaction",
       (s, dir) =>
-        t(s, dir, "documents")
+        Parallelism.widen(t(s, dir, "documents")) // 7 regex passes per row
           .select(col("doc_id"),
             TextAnalysis.piiCount(col("text"), TextAnalysis.EmailPattern).as("n_emails"),
             TextAnalysis.piiCount(col("text"), TextAnalysis.Ipv4Pattern).as("n_ips"),

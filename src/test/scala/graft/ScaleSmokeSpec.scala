@@ -155,6 +155,8 @@ class ScaleSmokeSpec extends SparkSpecBase {
       val minWidth = spark.sparkContext.defaultParallelism / 2
       assertWide("d02_text_metrics/1file", q("d02_text_metrics", singleFileDir), minWidth)
       assertWide("d03_langid/1file", q("d03_langid", singleFileDir), minWidth)
+      assertWide("d13_pii_redaction/1file", q("d13_pii_redaction", singleFileDir), minWidth)
+      assertWide("d14_doc_chunks/1file", q("d14_doc_chunks", singleFileDir), minWidth)
     }
   }
 }
