@@ -1,0 +1,86 @@
+package graft.streaming
+
+import graft.SparkSpecBase
+import graft.conf.GraftSettings
+import graft.ext.{NearDupIndex, TextAnalysis}
+import graft.tables.GraftTable
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+
+/** The streaming shape of the corpus-prep pipeline: documents arrive as a
+  * file stream, each micro-batch is scrubbed + quality-filtered, checked
+  * against the PERSISTED near-dup index (the corpus is hashed once, ever),
+  * and only novel survivors land in the curated table. Checkpointed
+  * run-to-drain, so a crashed ingest resumes without reprocessing.
+  */
+class StreamingCorpusIngestSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val root = Files.createTempDirectory("graft-ingest-").toString
+  private implicit val settings: GraftSettings = GraftSettings.local(root)
+  private val srcDir = s"$root/incoming"
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType)))
+
+  private lazy val idx = new NearDupIndex(spark, s"$root/idx")
+  private lazy val corpus = GraftTable(spark, s"$root/corpus")
+
+  private def arrive(docs: Seq[(Long, String)]): Unit =
+    docs.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(srcDir)
+
+  private def ingestOnce(): Unit = {
+    val q = spark.readStream.schema(docSchema).parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val scrubbed = batch.withColumn("text", TextAnalysis.redactPii(col("text")))
+        val quality = TextAnalysis.withTextMetrics(scrubbed, "text")
+          .filter(col("quality_score") >= 0.3 && col("n_tokens") >= 5)
+          .select("doc_id", "text")
+          .localCheckpoint(true) // consumed by index join AND the append
+        val dups = idx.detectAndAdd(quality, "doc_id", "text")
+          .select(col("id_new").as("doc_id")).distinct()
+        val novel = quality.join(dups, Seq("doc_id"), "left_anti")
+        if (!novel.isEmpty) corpus.append(novel)
+        ()
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  private def corpusIds: Set[Long] =
+    corpus.read().select("doc_id").as[Long].collect().toSet
+
+  test("batch 1: scrub + quality gate, uniques land in the curated table") {
+    arrive(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today contact alice@example.com"),
+      (2L, "a completely different story about the spark optimizer and the shuffle of the data today"),
+      (3L, "9999 8888 7777 6666 5555 4444"))) // low quality -> dropped
+    ingestOnce()
+    assert(corpusIds === Set(1L, 2L))
+    val t1 = corpus.read().filter(col("doc_id") === 1L).select("text").as[String].head()
+    assert(t1.contains("<EMAIL>") && !t1.contains("@example.com"), s"scrub failed: $t1")
+    assert(idx.indexedCount === 2)
+  }
+
+  test("batch 2: near-dups of the PERSISTED corpus are dropped without re-hashing it") {
+    arrive(Seq(
+      // near-dup of doc 1 (one word differs) -> dropped by the index
+      (4L, "the quick brown fox jumps over the lazy dog again and again tonight contact alice@example.com"),
+      (5L, "entirely novel prose describing the catalyst planner and the joins of the engine tonight")))
+    ingestOnce()
+    assert(corpusIds === Set(1L, 2L, 5L), s"got $corpusIds")
+    // the index grows with every quality survivor, dup or not
+    assert(idx.indexedCount === 4)
+  }
+
+  test("re-running with no new files is a checkpointed no-op") {
+    val before = corpus.version
+    ingestOnce()
+    assert(corpus.version === before)
+    assert(corpusIds === Set(1L, 2L, 5L))
+  }
+}
