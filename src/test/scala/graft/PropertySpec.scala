@@ -293,6 +293,52 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("chunkTokens reassembles to the original token stream") {
+    import graft.ext.TextAnalysis
+    val wordGen = Gen.listOfN(1, Gen.alphaLowerStr.map(s => if (s.isEmpty) "w" else s.take(5))).map(_.head)
+    val textGen = for {
+      n <- Gen.choose(1, 200)
+      ws <- Gen.listOfN(n, wordGen)
+    } yield ws.mkString(" ")
+    samples(Gen.listOfN(6, textGen), 8).foreach { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val chunks = TextAnalysis.chunkTokens(df, "doc_id", "text", chunkSize = 16, stride = 12)
+        .orderBy("doc_id", "chunk_idx").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(2)).toSeq).toMap
+      texts.zipWithIndex.foreach { case (t, i) =>
+        val toks = t.split(" ").toSeq
+        val cs = chunks(i.toLong)
+        // drop the stride-overlap from every chunk after the first; what
+        // remains must be exactly the original token stream
+        val rebuilt = cs.head.split(" ").toSeq ++
+          cs.tail.zipWithIndex.flatMap { case (c, k) =>
+            // chunk k+1 starts at (k+1)*stride; previous chunk ends at
+            // k*stride + 16 => overlap = 16 - 12 = 4 tokens (or fewer at tail)
+            c.split(" ").toSeq.drop(math.min(4, toks.length - (k + 1) * 12))
+          }
+        assert(rebuilt === toks, s"doc $i: chunks $cs do not cover '$t'")
+      }
+    }
+  }
+
+  test("redactPii is idempotent and never leaves a raw match behind") {
+    import graft.ext.TextAnalysis
+    val piiGen = Gen.oneOf(
+      Gen.const("bob@example.com"), Gen.const("10.20.30.40"),
+      Gen.const("555-123-4567"), Gen.alphaLowerStr.map(_.take(8)))
+    val lineGen = Gen.listOfN(8, piiGen).map(_.mkString(" "))
+    samples(Gen.listOfN(10, lineGen), 10).foreach { lines =>
+      val df = lines.toDF("text")
+      val once = df.select(TextAnalysis.redactPii(col("text")).as("r"))
+      val twice = once.select(TextAnalysis.redactPii(col("r")).as("r"))
+      val a = once.collect().map(_.getString(0)).toSeq
+      val b = twice.collect().map(_.getString(0)).toSeq
+      assert(a === b, "redaction must be idempotent")
+      assert(a.forall(s => !s.contains("@example.com") && !s.contains("10.20.30.40")
+        && !s.contains("555-123-4567")))
+    }
+  }
+
   test("minhash estimate within tolerance of exact jaccard") {
     val base = "spark engine shuffles partitions across the cluster for wide operations " * 3
     val variants = (0 until 6).map(i => (i.toLong, base + (" extra" * i)))

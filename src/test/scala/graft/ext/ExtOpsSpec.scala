@@ -324,4 +324,21 @@ class ExtOpsSpec extends SparkSpecBase {
     assert(out(101L) === 902L)
     assert(out(200L) === -1L) // no prior click for user 2
   }
+
+  test("joinAsOf: multi-column payload with nulls stays row-atomic") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    val left = Seq((1L, ts("2024-01-01 12:00:00"), 10L)).toDF("user_id", "ts", "lid")
+    // the matched (most recent prior) right row has price=null; a
+    // per-column ignoreNulls carry would fill price from the OLDER row,
+    // mixing values from two right rows — the struct carry must not
+    val right = Seq(
+      (1L, ts("2024-01-01 10:00:00"), Some(99.0), "old"),
+      (1L, ts("2024-01-01 11:00:00"), None: Option[Double], "new"))
+      .toDF("user_id", "ts", "price", "tag")
+    val r = AsOf.joinAsOf(left, right, Seq("user_id"), "ts", "ts",
+        Seq("price", "tag"), "tag")
+      .select("asof_price", "asof_tag").head()
+    assert(r.isNullAt(0), s"price must be the matched row's NULL, not the older 99.0: $r")
+    assert(r.getString(1) === "new")
+  }
 }
