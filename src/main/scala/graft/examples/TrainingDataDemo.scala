@@ -96,16 +96,19 @@ object TrainingDataDemo {
 
     val scrubbed = docs
       .withColumn("text", TextAnalysis.redactPii(col("text")))
-    // localCheckpoint: (a) the dedup self-join below consumes this frame
-    // TWICE — unmaterialized, every regex above would run twice; (b) it
-    // cuts the fused scrub+metrics+langid+shingle stage below the 64 KB
-    // codegen method limit (one giant stage falls back to interpreted)
-    val quality = TextAnalysis.withTextMetrics(scrubbed, "text")
-      .filter(col("quality_score") >= 0.3 && col("n_tokens") >= 5)
+    // annotate THEN checkpoint THEN filter: (a) filtering over the live
+    // projection would inline the whole metric tree into the pushed-down
+    // predicate (every regex twice per row — see qualityFiltered);
+    // (b) the dedup self-join below consumes the frame twice;
+    // (c) the barrier keeps the fused scrub+metrics+langid+shingle stage
+    // under the 64 KB codegen method limit (else: interpreted fallback)
+    val annotated = TextAnalysis.withTextMetrics(scrubbed, "text")
       .withColumn("__x", TextAnalysis.doubledText(col("text")))
       .withColumn("lang_pred", TextAnalysis.langidIn(col("text"), col("__x")))
       .drop("__x")
       .localCheckpoint(true)
+    val quality = annotated
+      .filter(col("quality_score") >= 0.3 && col("n_tokens") >= 5)
     val deduped = Dedup.minhashDedup(quality, "doc_id", "text",
         threshold = 0.5, numHashes = 32, bands = 8)
       .filter(col("dup_group") === col("doc_id")) // keep group representative

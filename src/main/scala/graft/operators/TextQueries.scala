@@ -273,15 +273,12 @@ object TextQueries {
     // metric thresholds (keep docs worth training on), not just annotate.
     CatalogQuery(
       "d11_quality_filter",
-      (s, dir) => {
-        val m = TextAnalysis.withTextMetrics(
-          t(s, dir, "documents").select(col("doc_id"), col("text"))
-            .repartition(s.sparkContext.defaultParallelism), "text")
-        m.filter(col("quality_score") >= 0.55 &&
-            col("n_tokens").between(5, 5000) && col("digit_ratio") < 0.3)
+      (s, dir) =>
+        TextAnalysis.qualityFiltered(
+            t(s, dir, "documents").select(col("doc_id"), col("text")), "text",
+            minScore = 0.55, minTokens = 5, maxTokens = 5000, maxDigitRatio = 0.3)
           .select(col("doc_id"), col("n_tokens"), col("quality_score"))
-          .orderBy(col("doc_id"))
-      },
+          .orderBy(col("doc_id")),
       Some(s"""WITH base AS (
           SELECT doc_id, text, ' ' || replace(lower(text), ' ', '  ') || ' ' AS x
           FROM documents),
