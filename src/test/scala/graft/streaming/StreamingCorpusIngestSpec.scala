@@ -68,8 +68,9 @@ class StreamingCorpusIngestSpec extends SparkSpecBase {
 
   test("batch 2: near-dups of the PERSISTED corpus are dropped without re-hashing it") {
     arrive(Seq(
-      // near-dup of doc 1 (one word differs) -> dropped by the index
-      (4L, "the quick brown fox jumps over the lazy dog again and again tonight contact alice@example.com"),
+      // near-dup of doc 1 (same text + one trailing word => jaccard ~0.93,
+      // far above the 0.5 threshold so the 32-hash estimate can't flake)
+      (4L, "the quick brown fox jumps over the lazy dog again and again today contact alice@example.com tonight"),
       (5L, "entirely novel prose describing the catalyst planner and the joins of the engine tonight")))
     ingestOnce()
     assert(corpusIds === Set(1L, 2L, 5L), s"got $corpusIds")
