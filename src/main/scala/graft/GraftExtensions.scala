@@ -34,6 +34,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       args => { requireArgs(args, 2, "graft_dot"); DotProduct(args(0), args(1)) })
     register(ext, "graft_qdot", "fixed-point (1e-12) integer dot product, engine-portable",
       args => { requireArgs(args, 2, "graft_qdot"); QuantizedDotProduct(args(0), args(1)) })
+    // text-analysis Column combinators, surfaced to SQL through the eager
+    // node->expression bridge (same builtin-composed trees, zero UDFs)
+    registerText(ext, "graft_langid", "n-gram/stopword language id over {en,de,fr,es,zh}",
+      graft.ext.TextAnalysis.langid)
+    registerText(ext, "graft_quality_score", "composite text-quality score",
+      graft.ext.TextAnalysis.qualityScore)
+    registerText(ext, "graft_redact_pii", "replace email/IPv4/phone shapes with typed tags",
+      graft.ext.TextAnalysis.redactPii)
+    registerText(ext, "graft_fingerprint", "md5 fingerprint of normalized text",
+      graft.ext.TextAnalysis.fingerprint)
+    registerText(ext, "graft_token_count", "whitespace token count",
+      graft.ext.TextAnalysis.tokenCount)
+    registerText(ext, "graft_bpe_tokens", "BPE-ish subword token count",
+      graft.ext.TextAnalysis.bpeTokenCount)
+  }
+
+  private def registerText(
+      ext: SparkSessionExtensions,
+      name: String,
+      usage: String,
+      f: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Unit = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    register(ext, name, usage, args => {
+      requireArgs(args, 1, name)
+      ColumnBridge.eagerExpression(f(ColumnBridge.column(args(0))))
+    })
   }
 
   private def requireArgs(args: Seq[Expression], n: Int, fn: String): Unit =

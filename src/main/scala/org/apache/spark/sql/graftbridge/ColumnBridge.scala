@@ -13,6 +13,15 @@ import org.apache.spark.sql.internal
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** EAGERLY convert a composed Column tree to a Catalyst `Expression` —
+    * what classic `Dataset.select` does internally. `expression(c)` wraps
+    * the node lazily (`ColumnNodeExpression`), which only resolves through
+    * Dataset API entry points; an expression returned from a
+    * `FunctionRegistry` builder never passes through them, so SQL-surface
+    * registration of Column-combinators needs the eager form. */
+  def eagerExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
   /** Flatten a predicate Column into conjunct atoms for data skipping.
     *
     * Walks the Spark-4 `ColumnNode` tree the DataFrame API builds

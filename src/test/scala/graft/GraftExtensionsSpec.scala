@@ -60,4 +60,28 @@ class GraftExtensionsSpec extends AnyFunSuite {
     val q = spark.sql("SELECT graft_qdot(a, b) AS q FROM v").as[Long].head()
     assert(q === 32L * 1000000000000L)
   }
+
+  test("text functions available in SQL and agree with the Column API") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat and the dog of the house mail bob@example.com"),
+      (2L, "der hund und die katze ist das"))
+      .toDF("id", "text")
+    df.createOrReplaceTempView("docs")
+    val viaSql = spark.sql(
+      """SELECT id, graft_langid(text) AS lang, graft_quality_score(text) AS q,
+        graft_redact_pii(text) AS red, graft_fingerprint(text) AS fp,
+        graft_token_count(text) AS n, graft_bpe_tokens(text) AS nb
+        FROM docs ORDER BY id""").collect()
+    import graft.ext.TextAnalysis._
+    import org.apache.spark.sql.functions.col
+    val viaCols = df.select(col("id"), langid(col("text")).as("lang"),
+        qualityScore(col("text")).as("q"), redactPii(col("text")).as("red"),
+        fingerprint(col("text")).as("fp"), tokenCount(col("text")).as("n"),
+        bpeTokenCount(col("text")).as("nb"))
+      .orderBy("id").collect()
+    assert(viaSql.toSeq === viaCols.toSeq)
+    assert(viaSql(0).getString(1) === "en" && viaSql(1).getString(1) === "de")
+    assert(viaSql(0).getString(3).contains("<EMAIL>"))
+  }
 }
