@@ -130,32 +130,62 @@ object CdcPipelines {
     // avro/proto path does
     val events = batch.filter(col("value").isNotNull)
     if (events.isEmpty) return
-    // consumed twice (schema inference + decode): materialize once
+    // consumed multiple times (schema pairs + inference + decode):
+    // materialize once
     val unwrapped = events.select(
       ConnectJsonCodec.unwrap(col("key")).as("__kjson"),
       ConnectJsonCodec.unwrap(col("value")).as("__vjson"),
+      get_json_object(col("key").cast("string"), "$.schema").as("__kschema"),
+      get_json_object(col("value").cast("string"), "$.schema").as("__vschema"),
       col("topic"), col("partition"), col("offset"), col("timestamp"),
       col("timestampType")).localCheckpoint(true)
 
-    def infer(jsonCol: String): StructType =
-      spark.read.option("dropFieldIfAllNull", "true")
-        .json(unwrapped.select(jsonCol).as[String].filter(_ != null))
-        .schema
+    // one decode slice per distinct embedded Connect schema pair — the
+    // JSON analogue of the avro path's per-(keySchemaId, valueSchemaId)
+    // slices (`cdc.py:151-176`): schema evolution mid-batch decodes each
+    // record against ITS OWN schema, and the staged schema merge unions
+    val pairs = unwrapped.select("__kschema", "__vschema").distinct()
+      .orderBy(asc_nulls_last("__kschema"), asc_nulls_last("__vschema"))
+      .collect()
 
-    val valueSchema = infer("__vjson")
-    val keySchema = infer("__kjson")
-    val keyCol =
-      // keyless topic: a TYPED null, as the Confluent path writes
-      if (keySchema.isEmpty) lit(null).cast("binary").as("key")
-      else from_json(col("__kjson"), keySchema).as("key")
-    val decoded = unwrapped.select(
-      keyCol,
-      from_json(col("__vjson"), valueSchema).as("value"),
-      col("topic"), col("partition"), col("offset"), col("timestamp"),
-      col("timestampType"),
-      lit(null).cast("int").as("keySchemaId"),
-      lit(null).cast("int").as("valueSchemaId"))
-    staged.append(decoded)
+    pairs.foreach { row =>
+      val kEmbedded = Option(row.getString(0))
+      val vEmbedded = Option(row.getString(1))
+      val slice = unwrapped.filter(
+        (kEmbedded match {
+          case Some(s) => col("__kschema") === s
+          case None    => col("__kschema").isNull
+        }) &&
+          (vEmbedded match {
+            case Some(s) => col("__vschema") === s
+            case None    => col("__vschema").isNull
+          }))
+
+      // embedded Connect schema when present (type-faithful: int32 stays
+      // INT); schemas.enable=false records fall back to Spark inference
+      def sparkSchema(embedded: Option[String], jsonCol: String): StructType =
+        embedded.flatMap(ConnectJsonCodec.connectSchemaToSpark)
+          .collect { case st: StructType => st }
+          .getOrElse(
+            spark.read.option("dropFieldIfAllNull", "true")
+              .json(slice.select(jsonCol).as[String].filter(_ != null))
+              .schema)
+
+      val valueSchema = sparkSchema(vEmbedded, "__vjson")
+      val keySchema = sparkSchema(kEmbedded, "__kjson")
+      val keyCol =
+        // keyless topic: a TYPED null, as the Confluent path writes
+        if (keySchema.isEmpty) lit(null).cast("binary").as("key")
+        else from_json(col("__kjson"), keySchema).as("key")
+      val decoded = slice.select(
+        keyCol,
+        from_json(col("__vjson"), valueSchema).as("value"),
+        col("topic"), col("partition"), col("offset"), col("timestamp"),
+        col("timestampType"),
+        lit(null).cast("int").as("keySchemaId"),
+        lit(null).cast("int").as("valueSchemaId"))
+      staged.append(decoded)
+    }
   }
 
   /** Raw layer -> staged table, incrementally (`cdc.py:54-88` dispatch +

@@ -73,4 +73,58 @@ object ConnectJsonCodec extends PayloadCodec {
         s"JSON decode schema must be a struct, got $other")
     }
   }
+
+  /** Map an embedded Kafka-Connect schema (the `schema` member the
+    * JsonConverter writes with `schemas.enable=true`) to a Spark type, so
+    * decode is TYPE-FAITHFUL (int32 stays INT) instead of inference-wide
+    * (every number a BIGINT). Returns None on null/absent/unrecognized
+    * input — callers fall back to Spark-side inference.
+    *
+    * Logical types ride their base encoding: Connect `Decimal` is base64
+    * bytes (→ BinaryType, which `from_json` base64-decodes), `Timestamp`/
+    * `Date`/`Time` are epoch int64/int32 (→ LongType/IntegerType), the
+    * same values Debezium consumers see. */
+  def connectSchemaToSpark(schemaJson: String): Option[DataType] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    def toSpark(j: JValue): Option[DataType] = j match {
+      case o: JObject =>
+        o \ "type" match {
+          case JString("int8")    => Some(org.apache.spark.sql.types.ByteType)
+          case JString("int16")   => Some(org.apache.spark.sql.types.ShortType)
+          case JString("int32")   => Some(org.apache.spark.sql.types.IntegerType)
+          case JString("int64")   => Some(org.apache.spark.sql.types.LongType)
+          case JString("float")   => Some(org.apache.spark.sql.types.FloatType)
+          case JString("double")  => Some(org.apache.spark.sql.types.DoubleType)
+          case JString("boolean") => Some(org.apache.spark.sql.types.BooleanType)
+          case JString("string")  => Some(org.apache.spark.sql.types.StringType)
+          case JString("bytes")   => Some(org.apache.spark.sql.types.BinaryType)
+          case JString("array") =>
+            toSpark(o \ "items").map(org.apache.spark.sql.types.ArrayType(_, true))
+          case JString("map") =>
+            for (k <- toSpark(o \ "keys"); v <- toSpark(o \ "values"))
+              yield org.apache.spark.sql.types.MapType(k, v, valueContainsNull = true)
+          case JString("struct") =>
+            o \ "fields" match {
+              case JArray(fs) =>
+                val fields = fs.map { f =>
+                  for {
+                    name <- (f \ "field") match {
+                      case JString(n) => Some(n); case _ => None
+                    }
+                    dt <- toSpark(f)
+                  } yield org.apache.spark.sql.types.StructField(name, dt, nullable = true)
+                }
+                if (fields.forall(_.isDefined))
+                  Some(StructType(fields.flatten))
+                else None
+              case _ => None
+            }
+          case _ => None
+        }
+      case _ => None
+    }
+    try toSpark(JsonMethods.parse(schemaJson))
+    catch { case scala.util.control.NonFatal(_) => None }
+  }
 }

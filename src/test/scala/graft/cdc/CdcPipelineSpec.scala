@@ -359,6 +359,54 @@ class CdcPipelineSpec extends SparkSpecBase {
     assert(state === Set((1L, "widget", 1.5, "c"), (2L, "gadget-v2", 2.7, "u")))
   }
 
+  test("json with embedded Connect schemas decodes type-faithfully (int32 stays INT)") {
+    val tTopic = "dbserver1.inventory.products_jsty"
+    val tTable = "products_jsty"
+    val keySchema = """{"type":"struct","fields":[
+      {"type":"int32","optional":false,"field":"id"}],"optional":false,"name":"Key"}"""
+      .replaceAll("\n\\s*", "")
+    val imgFields = """[
+      {"type":"int32","optional":false,"field":"id"},
+      {"type":"string","optional":false,"field":"name"},
+      {"type":"double","optional":false,"field":"weight"}]""".replaceAll("\n\\s*", "")
+    val valueSchema = (s"""{"type":"struct","fields":[
+      {"type":"struct","fields":$imgFields,"optional":true,"field":"before"},
+      {"type":"struct","fields":$imgFields,"optional":true,"field":"after"},
+      {"type":"string","optional":false,"field":"op"},
+      {"type":"int64","optional":false,"field":"ts_ms"}],
+      "optional":false,"name":"Envelope"}""").replaceAll("\n\\s*", "")
+    def rec(keyPayload: String, valuePayload: String): (Array[Byte], Array[Byte]) = (
+      s"""{"schema":$keySchema,"payload":$keyPayload}""".getBytes,
+      s"""{"schema":$valueSchema,"payload":$valuePayload}""".getBytes)
+    val rows = Seq(
+      rec("""{"id":1}""",
+        """{"before":null,"after":{"id":1,"name":"widget","weight":1.5},"op":"c","ts_ms":1000}"""),
+      rec("""{"id":2}""",
+        """{"before":null,"after":{"id":2,"name":"gadget","weight":2.5},"op":"c","ts_ms":1001}"""))
+    bus.publish(spark, tTopic, rows.toDF("key", "value"))
+
+    CdcPipelines.kafkaToRaw(spark, bus, tTopic, project, database, tTable)
+    CdcPipelines.rawToStaged(spark, project, database, tTable, "json", registry)
+    CdcPipelines.stagedToCurated(spark, project, database, tTable)
+
+    val staged = GraftTable(spark,
+      LakePath.data(TableRef(Layer.Staged, project, database, tTable))).read()
+    import org.apache.spark.sql.types._
+    val valueType = staged.schema("value").dataType.asInstanceOf[StructType]
+    assert(valueType("ts_ms").dataType === LongType)
+    assert(valueType("after").dataType.asInstanceOf[StructType]("id").dataType === IntegerType,
+      "embedded int32 must decode as INT, not inference-widened BIGINT")
+    assert(valueType("after").dataType.asInstanceOf[StructType]("weight").dataType === DoubleType)
+    assert(staged.schema("key").dataType.asInstanceOf[StructType]("id").dataType === IntegerType)
+    // schema-less batches existed in OTHER topics; this one decodes via its
+    // embedded schema and the curated CDC apply works on the typed key
+    val state = GraftTable(spark,
+      LakePath.data(TableRef(Layer.Curated, project, database, tTable))).read()
+      .select("id", "name", "weight")
+      .as[(Int, String, Double)].collect().toSet
+    assert(state === Set((1, "widget", 1.5), (2, "gadget", 2.5)))
+  }
+
   test("json tombstones are dropped at decode, like avro") {
     val tTopic = "dbserver1.inventory.products_jsts"
     val tTable = "products_jsts"
