@@ -161,6 +161,30 @@ object TextAnalysis {
         Ipv4Pattern, "<IP>"),
       PhonePattern, "<PHONE>")
 
+  /** Unigram negative-log-likelihood per document — the frequency-based
+    * quality signal ("how surprising is this doc under the corpus's own
+    * unigram LM"): gibberish and boilerplate both stand out. Two shuffles
+    * (token count, per-doc aggregate) + one token-keyed join. The
+    * frequency table is joined, NOT broadcast: at 100 TB the vocabulary
+    * is itself huge, and a token-keyed shuffle join scales where a forced
+    * broadcast OOMs — AQE still broadcasts it when it turns out small.
+    * The score is rounded to DECIMAL(18,6): double log/avg differ across
+    * engines in the last ulps, the rounded value is engine-portable. */
+  def unigramNll(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = Parallelism.widen(df)
+      .select(col(idCol), explode(split(normalize(col(textCol)), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    val freq = tok.groupBy("token").agg(count(lit(1)).as("__tok_n"))
+    val total = freq.agg(sum(col("__tok_n")).as("__corpus_n"))
+    tok.join(freq, "token")
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        (-avg(log(col("__tok_n").cast("double") / col("__corpus_n").cast("double"))))
+          .cast("decimal(18,6)").as("unigram_nll"))
+  }
+
   /** Metrics + threshold filter with the metric tree evaluated ONCE.
     *
     * The naive `withTextMetrics(df).filter(quality_score >= x)` shape is

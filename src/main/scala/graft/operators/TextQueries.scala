@@ -437,6 +437,27 @@ object TextQueries {
           CAST(floor(cum_before / 2048.0) AS INTEGER) AS pack_id
         FROM c ORDER BY doc_id""")),
 
+    // Frequency-based quality: per-doc negative log-likelihood under the
+    // corpus's own unigram LM — high = surprising (gibberish/rare-token
+    // soup), low = boilerplate. DECIMAL-rounded so double log/avg ulp
+    // differences across engines can't break the hash oracle.
+    CatalogQuery(
+      "d19_unigram_nll",
+      (s, dir) =>
+        TextAnalysis.unigramNll(t(s, dir, "documents"), "doc_id", "text")
+          .orderBy(col("doc_id")),
+      Some("""WITH tok AS (
+          SELECT doc_id,
+            unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS token
+          FROM documents),
+        t2 AS (SELECT doc_id, token FROM tok WHERE length(token) > 0),
+        freq AS (SELECT token, count(*) AS n FROM t2 GROUP BY 1),
+        tot AS (SELECT sum(n) AS N FROM freq)
+        SELECT doc_id, count(*) AS n_tokens,
+          CAST(-avg(ln(CAST(f.n AS DOUBLE) / CAST(t.N AS DOUBLE))) AS DECIMAL(18,6)) AS unigram_nll
+        FROM t2 JOIN freq f USING (token) CROSS JOIN tot t
+        GROUP BY doc_id ORDER BY doc_id""")),
+
     // Benchmark decontamination: corpus docs sharing word 3-grams with a
     // held-out "eval" slice (doc_id % 97 == 0 stands in for the benchmark
     // table). Eval side broadcast; only (id, hash) crosses any wire.
