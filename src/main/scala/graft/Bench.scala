@@ -97,7 +97,13 @@ object Bench {
       val t0 = System.nanoTime()
       val ok =
         try { catalog(name)(spark, sfDir).count(); true }
-        catch { case _: Throwable => false }
+        catch {
+          case e: Throwable =>
+            // same no-silent-failure contract as the force pass
+            errors += s"$name [count-mode]" ->
+              s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+            false
+        }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

@@ -162,24 +162,33 @@ object CdcPipelines {
           }))
 
       // embedded Connect schema when present (type-faithful: int32 stays
-      // INT); schemas.enable=false records fall back to Spark inference
-      def sparkSchema(embedded: Option[String], jsonCol: String): StructType =
-        embedded.flatMap(ConnectJsonCodec.connectSchemaToSpark)
+      // INT); schemas.enable=false records fall back to Spark inference.
+      // FAILFAST parity with the Avro/Proto codecs: inference marks
+      // malformed records with the corrupt-record column — refuse them
+      // here rather than letting them become silent null rows.
+      def sparkSchema(embedded: Option[String], jsonCol: String): StructType = {
+        val schema = embedded.flatMap(ConnectJsonCodec.connectSchemaToSpark)
           .collect { case st: StructType => st }
           .getOrElse(
             spark.read.option("dropFieldIfAllNull", "true")
               .json(slice.select(jsonCol).as[String].filter(_ != null))
               .schema)
+        val corrupt = spark.conf.get("spark.sql.columnNameOfCorruptRecord")
+        if (schema.fieldNames.contains(corrupt))
+          throw new IllegalStateException(
+            s"malformed JSON in raw batch ($jsonCol): inference produced '$corrupt'")
+        schema
+      }
 
       val valueSchema = sparkSchema(vEmbedded, "__vjson")
       val keySchema = sparkSchema(kEmbedded, "__kjson")
       val keyCol =
         // keyless topic: a TYPED null, as the Confluent path writes
         if (keySchema.isEmpty) lit(null).cast("binary").as("key")
-        else from_json(col("__kjson"), keySchema).as("key")
+        else from_json(col("__kjson"), keySchema, ConnectJsonCodec.FailfastOptions).as("key")
       val decoded = slice.select(
         keyCol,
-        from_json(col("__vjson"), valueSchema).as("value"),
+        from_json(col("__vjson"), valueSchema, ConnectJsonCodec.FailfastOptions).as("value"),
         col("topic"), col("partition"), col("offset"), col("timestamp"),
         col("timestampType"),
         lit(null).cast("int").as("keySchemaId"),

@@ -2,7 +2,7 @@ package graft.cdc
 
 import graft.codec.{AvroExpressions, ConfluentWireFormat, ProtobufExpressions}
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions.{coalesce, from_json, get_json_object}
+import org.apache.spark.sql.functions.{array, array_sort, from_json, get_json_object, json_object_keys, lit, when}
 import org.apache.spark.sql.types.{DataType, StructType}
 
 /** Wire-format payload codec strategy — the dispatch target of
@@ -53,15 +53,25 @@ object ConnectJsonCodec extends PayloadCodec {
   override def payload(framed: Column): Column = framed
 
   /** The payload JSON string, whether or not the Connect schema envelope
-    * wraps it. `get_json_object` returns null when `$.payload` is absent
-    * (schemas.enable=false), so the bare record falls through. */
+    * wraps it. A record is an envelope ONLY when its top-level keys are
+    * exactly {schema, payload} — testing mere `$.payload` presence would
+    * swallow any schemas.enable=false table with a column literally named
+    * `payload` (the whole record would silently collapse to that field).
+    * `json_object_keys` is null on malformed JSON, so those fall through
+    * to the raw string and FAILFAST decode reports them. */
   def unwrap(framed: Column): Column = {
     val s = framed.cast("string")
-    coalesce(get_json_object(s, "$.payload"), s)
+    val keys = array_sort(json_object_keys(s))
+    when(keys === array(lit("payload"), lit("schema")), get_json_object(s, "$.payload"))
+      .otherwise(s)
   }
 
   override def decode(payload: Column, schemaText: String): Column =
-    from_json(unwrap(payload), parseSchema(schemaText))
+    from_json(unwrap(payload), parseSchema(schemaText), FailfastOptions)
+
+  /** FAILFAST, like the Avro/Proto codecs: a malformed record must halt
+    * the stream, not become a silent all-null row. */
+  private[cdc] val FailfastOptions: Map[String, String] = Map("mode" -> "FAILFAST")
 
   private[cdc] def parseSchema(schemaText: String): StructType = {
     val parsed =

@@ -113,8 +113,12 @@ object TrainingDataDemo {
         threshold = 0.5, numHashes = 32, bands = 8)
       .filter(col("dup_group") === col("doc_id")) // keep group representative
       .drop("dup_group")
+    // the eval set must be scrubbed IDENTICALLY: the corpus side was
+    // redacted before shingling, so n-grams spanning a redacted span can
+    // only match an eval doc whose same spans are redacted too
+    val evalScrubbed = evalSet.withColumn("text", TextAnalysis.redactPii(col("text")))
     val contaminated = Dedup.ngramContamination(
-        deduped, evalSet, "doc_id", "text", shingleSize = 3, minOverlap = 5L)
+        deduped, evalScrubbed, "doc_id", "text", shingleSize = 3, minOverlap = 5L)
       .select(col("corpus_id").as("doc_id")).distinct()
     val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
     val sampled = clean.filter(

@@ -171,9 +171,13 @@ object TextAnalysis {
     * The score is rounded to DECIMAL(18,6): double log/avg differ across
     * engines in the last ulps, the rounded value is engine-portable. */
   def unigramNll(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // materialized once: the frame feeds BOTH the frequency aggregate and
+    // the join probe side, whose shuffles differ — without the barrier the
+    // full corpus tokenization (normalize regex + explode) runs twice
     val tok = Parallelism.widen(df)
       .select(col(idCol), explode(split(normalize(col(textCol)), " ")).as("token"))
       .filter(length(col("token")) > 0)
+      .localCheckpoint(true)
     val freq = tok.groupBy("token").agg(count(lit(1)).as("__tok_n"))
     val total = freq.agg(sum(col("__tok_n")).as("__corpus_n"))
     tok.join(freq, "token")
