@@ -74,9 +74,12 @@ object Bench {
       try force(catalog(name)(spark, sfDir))
       catch { case _: Throwable => () }
     }
-    // timed pass
+    // two timed passes, per-query MIN: single-pass numbers swing ±10%
+    // with JIT/GC/checkpoint-block churn, and a round-over-round compare
+    // on an outlier reads as a phantom regression. A query that fails in
+    // EITHER pass reports -1 (an intermittent failure is itself a signal).
     var errors = Map.empty[String, String]
-    val results = names.map { name =>
+    def timedPass(): Map[String, Double] = names.map { name =>
       val t0 = System.nanoTime()
       val ok =
         try { force(catalog(name)(spark, sfDir)); true }
@@ -86,6 +89,13 @@ object Bench {
             false
         }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    }.toMap
+    val pass1 = timedPass()
+    System.gc() // nudge ContextCleaner so freed checkpoint blocks don't tax pass 2
+    val pass2 = timedPass()
+    val results = names.map { name =>
+      val (a, b) = (pass1(name), pass2(name))
+      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
     // count()-mode pass: what the r1/r2 bench measured. Catalyst legally
     // prunes projections and eliminates unconsumed joins under a count
