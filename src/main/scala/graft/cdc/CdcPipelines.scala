@@ -135,8 +135,8 @@ object CdcPipelines {
     val unwrapped = events.select(
       ConnectJsonCodec.unwrap(col("key")).as("__kjson"),
       ConnectJsonCodec.unwrap(col("value")).as("__vjson"),
-      get_json_object(col("key").cast("string"), "$.schema").as("__kschema"),
-      get_json_object(col("value").cast("string"), "$.schema").as("__vschema"),
+      ConnectJsonCodec.envelopeSchema(col("key")).as("__kschema"),
+      ConnectJsonCodec.envelopeSchema(col("value")).as("__vschema"),
       col("topic"), col("partition"), col("offset"), col("timestamp"),
       col("timestampType")).localCheckpoint(true)
 

@@ -61,10 +61,29 @@ object ConnectJsonCodec extends PayloadCodec {
     * to the raw string and FAILFAST decode reports them. */
   def unwrap(framed: Column): Column = {
     val s = framed.cast("string")
-    val keys = array_sort(json_object_keys(s))
-    when(keys === array(lit("payload"), lit("schema")), get_json_object(s, "$.payload"))
-      .otherwise(s)
+    when(isEnvelope(s), get_json_object(s, "$.payload")).otherwise(s)
   }
+
+  /** The embedded Connect schema, or null when the record is NOT the
+    * exact envelope. Must share [[isEnvelope]] with [[unwrap]]: a bare
+    * `$.schema` probe on a schemas.enable=false record whose payload has
+    * a top-level field literally named `schema` would return non-null
+    * while unwrap (correctly) leaves the record whole — the full record
+    * would then decode against that inner field as if it were the Connect
+    * schema, and every real column would come back silently null
+    * (FAILFAST catches malformed JSON, not missing fields). */
+  def envelopeSchema(framed: Column): Column = {
+    val s = framed.cast("string")
+    when(isEnvelope(s), get_json_object(s, "$.schema"))
+      .otherwise(lit(null).cast("string"))
+  }
+
+  /** A record is a Connect envelope ONLY when its top-level keys are
+    * exactly {schema, payload}. `json_object_keys` is null on malformed
+    * JSON, so those records fall through to the raw string and FAILFAST
+    * decode reports them. */
+  private def isEnvelope(s: Column): Column =
+    array_sort(json_object_keys(s)) === array(lit("payload"), lit("schema"))
 
   override def decode(payload: Column, schemaText: String): Column =
     from_json(unwrap(payload), parseSchema(schemaText), FailfastOptions)

@@ -168,8 +168,18 @@ object TextAnalysis {
     * frequency table is joined, NOT broadcast: at 100 TB the vocabulary
     * is itself huge, and a token-keyed shuffle join scales where a forced
     * broadcast OOMs — AQE still broadcasts it when it turns out small.
-    * The score is rounded to DECIMAL(18,6): double log/avg differ across
-    * engines in the last ulps, the rounded value is engine-portable. */
+    *
+    * Portability: each per-token log-prob is quantized to integer
+    * micro-nats BEFORE aggregating, and the final avg is computed with
+    * round-half-up IN INTEGER ARITHMETIC — `(2m + c) DIV 2c` — then
+    * scale-shifted back to DECIMAL(18,6) by an exact decimal multiply.
+    * Rounding only a double avg is not enough (r4 hash-fail: summation
+    * order flips the 6th decimal), and even an exact decimal sum divided
+    * in double still breaks: sum/count lands EXACTLY on scale-6 midpoints
+    * (e.g. 81691212µ/24 = 3403800.5µ), where Spark's HALF_UP on the
+    * shortest double repr rounds down while DuckDB's scaled cast rounds
+    * up. Integer math makes the rounding the operator's own, not either
+    * engine's. */
   def unigramNll(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     // materialized once: the frame feeds BOTH the frequency aggregate and
     // the join probe side, whose shuffles differ — without the barrier the
@@ -182,11 +192,59 @@ object TextAnalysis {
     val total = freq.agg(sum(col("__tok_n")).as("__corpus_n"))
     tok.join(freq, "token")
       .crossJoin(broadcast(total))
+      .select(col(idCol),
+        // ln(n/N) < 0 always (n < N), so m = -sum is positive micro-nats
+        (log(col("__tok_n").cast("double") / col("__corpus_n").cast("double"))
+          .cast("decimal(28,6)") * lit(1000000)).cast("long").as("__lp_micro"))
       .groupBy(col(idCol))
-      .agg(
-        count(lit(1)).as("n_tokens"),
-        (-avg(log(col("__tok_n").cast("double") / col("__corpus_n").cast("double"))))
-          .cast("decimal(18,6)").as("unigram_nll"))
+      .agg(count(lit(1)).as("n_tokens"), (-sum(col("__lp_micro"))).as("__m"))
+      .select(col(idCol), col("n_tokens"),
+        expr("CAST(CAST((2 * __m + n_tokens) DIV (2 * n_tokens) AS DECIMAL(12,0))" +
+          " * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(18,6))").as("unigram_nll"))
+  }
+
+  /** Gopher-style repetition metrics — the signal that catches boilerplate
+    * and template spam exact dedup misses (a page repeating one nav bar
+    * 50× is unique as a document but worthless as training data):
+    *
+    *  - `distinct_frac`: distinct tokens / tokens (low = repetitive)
+    *  - `top_token_frac`: most-frequent token's share
+    *  - `dup_bigram_frac`: share of word-bigram occurrences beyond each
+    *    bigram's first (high = looping text)
+    *  - `top_bigram_frac`: most-frequent bigram's share
+    *
+    * Shape at 100 TB: one widened tokenize pass materialized ONCE (the
+    * frame feeds both the unigram aggregate and the bigram window — two
+    * different shuffles), unigram/bigram counts as two-level hash
+    * aggregates (map-side combine; no countDistinct Expand), bigrams from
+    * a per-doc `lead` window (docs are bounded, so one doc per partition
+    * slot is fine). Ratios via [[graft.operators.QueryDsl.ratio6]] exact
+    * integer rounding — engine-portable by construction. Docs with < 2
+    * tokens carry null bigram metrics. */
+  def repetitionMetrics(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.QueryDsl.ratio6
+    val tok = Parallelism.widen(df)
+      .select(col(idCol), posexplode(split(normalize(col(textCol)), " ")).as(Seq("__pos", "__tok")))
+      .filter(length(col("__tok")) > 0)
+      .localCheckpoint(true)
+    val uni = tok.groupBy(col(idCol), col("__tok")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__c")).as("n_tokens"), count(lit(1)).as("__nd"), max(col("__c")).as("__top"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+    val big = tok
+      .withColumn("__next", lead(col("__tok"), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .select(col(idCol), concat_ws(" ", col("__tok"), col("__next")).as("__big"))
+      .groupBy(col(idCol), col("__big")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__c")).as("__n_big"), count(lit(1)).as("__nd_big"), max(col("__c")).as("__top_big"))
+    uni.join(big, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        ratio6(col("__nd"), col("n_tokens")).as("distinct_frac"),
+        ratio6(col("__top"), col("n_tokens")).as("top_token_frac"),
+        ratio6(col("__n_big") - col("__nd_big"), col("__n_big")).as("dup_bigram_frac"),
+        ratio6(col("__top_big"), col("__n_big")).as("top_bigram_frac"))
   }
 
   /** Metrics + threshold filter with the metric tree evaluated ONCE.
@@ -219,6 +277,11 @@ object TextAnalysis {
   def chunkTokens(df: DataFrame, idCol: String, textCol: String,
       chunkSize: Int, stride: Int): DataFrame = {
     require(chunkSize > 0 && stride > 0, "chunkSize and stride must be positive")
+    // stride > chunkSize would silently drop the tokens between windows
+    // (positions chunkSize..stride-1 of every stride never land in any
+    // chunk) — reject rather than define gap semantics nobody wants
+    require(stride <= chunkSize,
+      s"stride ($stride) must be <= chunkSize ($chunkSize): larger strides leave token gaps no chunk covers")
     val toks = split(normalize(col(textCol)), " ")
     val nChunks = greatest(lit(1),
       (ceil((size(toks) - lit(chunkSize)).cast("double") / stride) + 1).cast("int"))

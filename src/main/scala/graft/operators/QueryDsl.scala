@@ -52,4 +52,23 @@ object QueryDsl {
   /** Revenue term `extendedprice * (1 - discount)` in exact decimal. */
   def revenue(price: Column, discount: Column): Column =
     dec2(price) * (lit(1) - dec2(discount))
+
+  /** Engine-portable `num/den` as DECIMAL(18,6), for NON-NEGATIVE integer
+    * columns: round-half-up computed in exact integer arithmetic —
+    * `(2·num·10⁶ + den) div (2·den)` — then scale-shifted by an exact
+    * decimal multiply. A double division rounds engine-specifically when
+    * the true quotient lands on a scale-6 midpoint (e.g. odd/128 =
+    * x.xxxxxx5 exactly — the d19 hash-fail class); integer math makes the
+    * rounding the operator's own. Positive-only because Spark's `div`
+    * truncates toward zero while DuckDB's `//` floors — they agree only
+    * on non-negative operands. */
+  def ratio6(num: Column, den: Column): Column =
+    (call_function("div", num * lit(2000000L) + den, den * lit(2L))
+      .cast(DecimalType(12, 0)) * expr("CAST(0.000001 AS DECIMAL(7,6))"))
+      .cast(DecimalType(18, 6))
+
+  /** DuckDB mirror of [[ratio6]]. */
+  def ratio6Sql(num: String, den: String): String =
+    s"CAST(CAST((2 * ($num) * 1000000 + ($den)) // (2 * ($den)) AS DECIMAL(12,0))" +
+      s" * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(18,6))"
 }

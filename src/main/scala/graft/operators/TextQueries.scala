@@ -439,8 +439,11 @@ object TextQueries {
 
     // Frequency-based quality: per-doc negative log-likelihood under the
     // corpus's own unigram LM — high = surprising (gibberish/rare-token
-    // soup), low = boilerplate. DECIMAL-rounded so double log/avg ulp
-    // differences across engines can't break the hash oracle.
+    // soup), low = boilerplate. Per-token log-probs quantize to integer
+    // micro-nats and the avg rounds half-up in INTEGER math — sum/count
+    // lands exactly on scale-6 midpoints, where Spark's and DuckDB's
+    // double→decimal casts round differently (r4 hash-fail; see
+    // TextAnalysis.unigramNll).
     CatalogQuery(
       "d19_unigram_nll",
       (s, dir) =>
@@ -452,11 +455,49 @@ object TextQueries {
           FROM documents),
         t2 AS (SELECT doc_id, token FROM tok WHERE length(token) > 0),
         freq AS (SELECT token, count(*) AS n FROM t2 GROUP BY 1),
-        tot AS (SELECT sum(n) AS N FROM freq)
-        SELECT doc_id, count(*) AS n_tokens,
-          CAST(-avg(ln(CAST(f.n AS DOUBLE) / CAST(t.N AS DOUBLE))) AS DECIMAL(18,6)) AS unigram_nll
-        FROM t2 JOIN freq f USING (token) CROSS JOIN tot t
-        GROUP BY doc_id ORDER BY doc_id""")),
+        tot AS (SELECT sum(n) AS N FROM freq),
+        per AS (
+          SELECT doc_id,
+            CAST(CAST(ln(CAST(f.n AS DOUBLE) / CAST(t.N AS DOUBLE)) AS DECIMAL(28,6))
+              * 1000000 AS BIGINT) AS lp_micro
+          FROM t2 JOIN freq f USING (token) CROSS JOIN tot t),
+        agg AS (SELECT doc_id, count(*) AS n_tokens, -sum(lp_micro) AS m FROM per GROUP BY 1)
+        SELECT doc_id, n_tokens,
+          CAST(CAST((2 * m + n_tokens) // (2 * n_tokens) AS DECIMAL(12,0))
+            * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(18,6)) AS unigram_nll
+        FROM agg ORDER BY doc_id""")),
+
+    // Gopher-style repetition metrics: the boilerplate/template-spam
+    // signal exact dedup misses. Unigram + bigram duplication shares per
+    // doc; ratios rounded half-up in exact integer math (ratio6) so both
+    // engines compute the identical DECIMAL.
+    CatalogQuery(
+      "d20_repetition",
+      (s, dir) =>
+        TextAnalysis.repetitionMetrics(t(s, dir, "documents"), "doc_id", "text")
+          .orderBy(col("doc_id")),
+      Some(s"""WITH tokl AS (
+          SELECT doc_id,
+            list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+              x -> length(x) > 0) AS l
+          FROM documents),
+        tok AS (SELECT doc_id, unnest(l) AS tok FROM tokl),
+        uni AS (
+          SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS nd, max(c) AS top
+          FROM (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2) GROUP BY 1),
+        bigl AS (
+          SELECT doc_id, [l[i] || ' ' || l[i + 1] FOR i IN generate_series(1, len(l) - 1)] AS bl
+          FROM tokl WHERE len(l) >= 2),
+        big AS (SELECT doc_id, unnest(bl) AS big FROM bigl),
+        bagg AS (
+          SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_big, count(*) AS nd_big, max(c) AS top_big
+          FROM (SELECT doc_id, big, count(*) AS c FROM big GROUP BY 1, 2) GROUP BY 1)
+        SELECT u.doc_id, u.n_tokens,
+          ${ratio6Sql("nd", "n_tokens")} AS distinct_frac,
+          ${ratio6Sql("top", "n_tokens")} AS top_token_frac,
+          ${ratio6Sql("n_big - nd_big", "n_big")} AS dup_bigram_frac,
+          ${ratio6Sql("top_big", "n_big")} AS top_bigram_frac
+        FROM uni u LEFT JOIN bagg b USING (doc_id) ORDER BY doc_id""")),
 
     // Benchmark decontamination: corpus docs sharing word 3-grams with a
     // held-out "eval" slice (doc_id % 97 == 0 stands in for the benchmark

@@ -421,6 +421,32 @@ class CdcPipelineSpec extends SparkSpecBase {
     assert(staged.count() === 1)
   }
 
+  test("json: a payload field literally named 'schema' is not mistaken for the envelope") {
+    // schemas.enable=false record whose top-level 'schema' field holds a
+    // VALID Connect schema. Detection asymmetry (bare $.schema probe vs
+    // unwrap's exact-envelope predicate) would decode the whole record
+    // against that inner schema — every real column silently null.
+    val tTopic = "dbserver1.inventory.products_jssf"
+    val tTable = "products_jssf"
+    val innerSchema = """{"type":"struct","fields":[
+      {"type":"string","optional":false,"field":"bogus"}],"optional":false}"""
+      .replaceAll("\n\\s*", "")
+    val value = s"""{"id":7,"schema":$innerSchema,"note":"keep"}"""
+    bus.publish(spark, tTopic, Seq(Tuple1("""{"kid":7}""")).toDF("k")
+      .select(col("k").cast("binary").as("key"), lit(value).cast("binary").as("value")))
+    CdcPipelines.kafkaToRaw(spark, bus, tTopic, project, database, tTable)
+    CdcPipelines.rawToStaged(spark, project, database, tTable, "json", registry)
+    val staged = GraftTable(spark,
+      LakePath.data(TableRef(Layer.Staged, project, database, tTable))).read()
+    assert(staged.count() === 1)
+    // the record decodes whole via inference, not against the inner schema
+    assert(staged.select("value.id").as[Long].head() === 7L)
+    assert(staged.select("value.note").as[String].head() === "keep")
+    assert(staged.select("key.kid").as[Long].head() === 7L)
+    // and nothing was recorded as an embedded envelope schema
+    assert(staged.filter(col("valueSchemaId").isNotNull).count() === 0)
+  }
+
   test("reverse path: json contentType emits header-less Connect envelopes") {
     val out = "outbound.products.js"
     CdcPipelines.dataframeToKafka(spark, curated.read().select("id", "name", "weight"),

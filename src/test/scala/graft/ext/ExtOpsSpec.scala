@@ -64,6 +64,13 @@ class ExtOpsSpec extends SparkSpecBase {
       Seq((8L, "only three tokens")).toDF("doc_id", "text"),
       "doc_id", "text", 64, 48).collect()
     assert(one.length === 1 && one.head.getString(2) === "only three tokens")
+    // stride > chunkSize would leave tokens no chunk covers — rejected
+    val ex = intercept[IllegalArgumentException] {
+      TextAnalysis.chunkTokens(
+        Seq((9L, text)).toDF("doc_id", "text"), "doc_id", "text",
+        chunkSize = 32, stride = 48)
+    }
+    assert(ex.getMessage.contains("stride"))
   }
 
   test("ngramContamination: verbatim inclusion scores 1.0, disjoint text drops out") {

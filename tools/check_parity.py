@@ -35,12 +35,15 @@ def cells_equal(a, b):
         return a == b or (math.isnan(a) and math.isnan(b))
     return a == b
 
-def main(sf_dir: str, out_dir: str):
+def main(sf_dir: str, out_dir: str, only: str = ""):
     con = duckdb.connect()
     for t in ["region","nation","customer","supplier","part","orders","lineitem",
               "events","documents","embeddings"]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if only:  # dev iteration: check a subset (matches Verify's 3rd arg)
+        names = set(only.split(","))
+        oracle = {k: v for k, v in oracle.items() if k in names}
     ok = bad = 0
     for name, sql in sorted(oracle.items()):
         try:
@@ -73,4 +76,5 @@ def main(sf_dir: str, out_dir: str):
 
 if __name__ == "__main__":
     sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01",
-                  sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"))
+                  sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out",
+                  sys.argv[3] if len(sys.argv) > 3 else ""))
