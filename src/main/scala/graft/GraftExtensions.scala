@@ -1,7 +1,7 @@
 package graft
 
 import graft.codec.{FromAvro, FromProtobuf, ToAvro, ToProtobuf}
-import graft.functions.{DotProduct, QuantizedDotProduct}
+import graft.functions.{ByteCodeL2, DotProduct, QuantizedDotProduct, SqEncodeBytes}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -34,6 +34,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       args => { requireArgs(args, 2, "graft_dot"); DotProduct(args(0), args(1)) })
     register(ext, "graft_qdot", "fixed-point (1e-12) integer dot product, engine-portable",
       args => { requireArgs(args, 2, "graft_qdot"); QuantizedDotProduct(args(0), args(1)) })
+    register(ext, "graft_sq_encode", "8-bit scalar-quantize a vector to binary codes (vec, mins, steps)",
+      args => { requireArgs(args, 3, "graft_sq_encode"); SqEncodeBytes(args(0), args(1), args(2)) })
+    register(ext, "graft_sq_l2", "squared L2 between two byte-code vectors as BIGINT",
+      args => { requireArgs(args, 2, "graft_sq_l2"); ByteCodeL2(args(0), args(1)) })
     // text-analysis Column combinators, surfaced to SQL through the eager
     // node->expression bridge (same builtin-composed trees, zero UDFs)
     registerText(ext, "graft_langid", "n-gram/stopword language id over {en,de,fr,es,zh}",

@@ -326,6 +326,129 @@ object Similarity {
       .select("probe_id", "neighbor_id", "rnk", "sim")
   }
 
+  // ------------------------------------------ 8-bit scalar quantization
+
+  /** Per-dimension quantization grid over the corpus: `(min, step)` with
+    * `step = (max - min)/256`. Collected driver-side — dimensions are
+    * bounded (64-4096) so this is a KB-sized model regardless of corpus
+    * size, the SQ analogue of the IVF codebook. Pure min/max — identical
+    * on any engine. */
+  def sqDimStats(corpus: DataFrame, vecCol: String): (Array[Double], Array[Double]) = {
+    val rows = corpus
+      .select(posexplode(col(vecCol)).as(Seq("i", "x")))
+      .groupBy(col("i"))
+      .agg(min(col("x").cast("double")).as("mn"), max(col("x").cast("double")).as("mx"))
+      .orderBy(col("i"))
+      .collect()
+    (rows.map(_.getDouble(1)), rows.map(r => (r.getDouble(2) - r.getDouble(1)) / 256.0))
+  }
+
+  /** 8-bit scalar-quantized codes: (id, codes BINARY) — one byte per
+    * dimension, 4× smaller than `array<float>` on disk and through every
+    * shuffle (16× vs Tungsten's 4-byte array elements). The codegen'd
+    * encode (see [[graft.functions.SqEncodeBytes]]) uses only IEEE double
+    * ops, so codes are engine-portable given the same grid. */
+  def sqEncode(df: DataFrame, idCol: String, vecCol: String,
+      mins: Array[Double], steps: Array[Double]): DataFrame =
+    df.select(col(idCol).as("id"),
+      graft.functions.VectorExpressions.sqEncodeBytes(col(vecCol),
+        array(mins.map(lit).toSeq: _*), array(steps.map(lit).toSeq: _*)).as("codes"))
+
+  /** Brute-force L2 top-k over SQ-compressed codes — the memory-reduction
+    * scale path: the corpus scan touches 1 byte/dim instead of 4, the
+    * probe side broadcasts codes not vectors, and scoring is exact integer
+    * arithmetic ([[graft.functions.ByteCodeL2]]), reproducible on any
+    * engine. `qdist` is squared L2 in code space (ascending = nearest);
+    * ranking ties break to the lowest neighbor id. Spark plans the
+    * rank<=k filter as a two-phase WindowGroupLimit, so the per-partition
+    * top-k reduces map-side before the per-probe shuffle. */
+  def sqTopK(
+      corpus: DataFrame,
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val (mins, steps) = sqDimStats(corpus, vecCol)
+    val c = sqEncode(corpus, idCol, vecCol, mins, steps)
+      .select(col("id").as("neighbor_id"), col("codes").as("neighbor_codes"))
+    val p = sqEncode(probes, idCol, vecCol, mins, steps)
+      .select(col("id").as("probe_id"), col("codes").as("probe_codes"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("qdist"), col("neighbor_id"))
+    c.join(broadcast(p), col("neighbor_id") =!= col("probe_id"))
+      .withColumn("qdist",
+        graft.functions.VectorExpressions.byteCodeL2(col("probe_codes"), col("neighbor_codes")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("probe_id", "neighbor_id", "rnk", "qdist")
+  }
+
+  // ------------------------------------------------------------- k-means
+
+  /** Deterministic, engine-portable Lloyd k-means over an embedding
+    * column: the semantic-clustering primitive behind SemDeDup-style
+    * dedup, stratified corpus mixing, and IVF codebook training. Returns
+    * `(id, cluster, qdist)` — the assignment under the centroids after
+    * `iters` update rounds, `qdist` the quantized squared-L2 to the won
+    * centroid.
+    *
+    * Portability is total, not probabilistic: init is the md5-ranked
+    * corpus sample (any engine re-derives it — same trick as
+    * [[ivfCentroids]]); distances are `sum(floor((x-c)²·1e12))` BIGINTs;
+    * centroid updates quantize member dims to integer micro-units, sum
+    * exactly, and round half-up via `floor((2S+n)/(2n))` — all IEEE
+    * double/integer ops with no transcendentals, so every iteration's
+    * centroids (and therefore the final assignment) are bit-identical on
+    * any engine. Ties break to the lowest cluster id.
+    *
+    * Plan shape at 100 TB: vectors explode ONCE to (id, dim, x, micro)
+    * and materialize (every iteration reuses the frame); each iteration
+    * is {broadcast centroid join → map-side partial-aggregated
+    * (id, cluster) distance sum → min-struct argmin (one tiny row per
+    * vector through the shuffle) → (cluster, dim) micro-sum}. Nothing
+    * wider than k·dims ever sits on the driver, and no iteration shuffles
+    * an embedding. */
+  def kmeansAssignments(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame = {
+    require(k > 0 && iters >= 0, "k must be positive, iters non-negative")
+    val ex = Parallelism.widen(df)
+      .select(col(idCol).as("id"), posexplode(col(vecCol)).as(Seq("i", "xr")))
+      .select(col("id"), col("i"), col("xr").cast("double").as("x"),
+        floor(col("xr").cast("double") * lit(1e6)).cast("long").as("micro"))
+      .localCheckpoint(true)
+    var cent: DataFrame = df
+      .select(col(idCol).as("cid"), col(vecCol).as("cv"))
+      .orderBy(md5(col("cid").cast("string")), col("cid"))
+      .limit(k)
+      .withColumn("cluster", (row_number().over(Window.orderBy(col("cid"))) - 1).cast("int"))
+      .select(col("cluster"), posexplode(col("cv")).as(Seq("i", "cr")))
+      .select(col("cluster"), col("i"), col("cr").cast("double").as("c"))
+    def assign(cent: DataFrame): DataFrame =
+      ex.join(broadcast(cent), Seq("i"))
+        .withColumn("d", col("x") - col("c"))
+        .withColumn("term", floor(col("d") * col("d") * lit(1e12)).cast("long"))
+        .groupBy(col("id"), col("cluster"))
+        .agg(sum(col("term")).as("dist"))
+        .groupBy(col("id"))
+        .agg(min(struct(col("dist"), col("cluster"))).as("best"))
+        .select(col("id"), col("best.cluster").as("cluster"), col("best.dist").as("qdist"))
+    for (_ <- 1 to iters) {
+      cent = assign(cent)
+        .join(ex, Seq("id"))
+        .groupBy(col("cluster"), col("i"))
+        .agg(sum(col("micro")).as("s"), count(lit(1)).as("n"))
+        // round-half-up(S/n) for any sign: floor((2S+n)/(2n)). Exact
+        // while 2S+n < 2^53 (true up to ~1e9 members/cluster at micro
+        // scale); beyond that the IEEE ops are still the same on every
+        // engine, so cross-engine parity holds even where the label
+        // "half-up" stops being exact.
+        .select(col("cluster"), col("i"),
+          (floor((col("s") * 2 + col("n")).cast("double") / (col("n") * 2).cast("double"))
+            .cast("double") / lit(1e6)).as("c"))
+        .localCheckpoint(true) // truncate per-iteration lineage
+    }
+    assign(cent)
+  }
+
   /** Embedding-cosine near-duplicate pairs above `threshold`: multi-table
     * LSH candidate generation (ids only through the shuffle), then exact
     * cosine on re-attached vectors. Same scale shape as `annTopK`. */

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -28,6 +28,13 @@ object VectorExpressions {
 
   def quantizedDotProduct(a: Column, b: Column): Column =
     ColumnBridge.column(QuantizedDotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def sqEncodeBytes(vec: Column, mins: Column, steps: Column): Column =
+    ColumnBridge.column(SqEncodeBytes(
+      ColumnBridge.expression(vec), ColumnBridge.expression(mins), ColumnBridge.expression(steps)))
+
+  def byteCodeL2(a: Column, b: Column): Column =
+    ColumnBridge.column(ByteCodeL2(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   private[functions] def elementAccessor(dt: DataType, arr: String, idx: String): String =
     dt match {
@@ -121,5 +128,102 @@ case class QuantizedDotProduct(left: Expression, right: Expression) extends Bina
     })
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): QuantizedDotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** 8-bit scalar quantization: `code[i] = clamp(floor((x[i]-min[i])/step[i]),
+  * 0, 255)` packed into BINARY — one byte per dimension, a 4× storage/
+  * shuffle reduction over `array<float>` (and 16× over Tungsten's 4-byte
+  * array elements). `step <= 0` (constant dimension) encodes 0. Pure IEEE
+  * double ops — no transcendentals — so codes are bit-identical on any
+  * engine given the same per-dimension stats. */
+case class SqEncodeBytes(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = children.exists(_.nullable)
+
+  override protected def nullSafeEval(v: Any, m: Any, s: Any): Any = {
+    val xv = v.asInstanceOf[ArrayData]
+    val xm = m.asInstanceOf[ArrayData]
+    val xs = s.asInstanceOf[ArrayData]
+    val n = xv.numElements()
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      val x = VectorExpressions.elementAt(first.dataType, xv, i)
+      val step = xs.getDouble(i)
+      val c =
+        if (step <= 0) 0
+        else math.min(255, math.max(0, math.floor((x - xm.getDouble(i)) / step).toInt))
+      out(i) = c.toByte
+      i += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, m, s) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val st = ctx.freshName("st")
+      val c = ctx.freshName("c")
+      val x = VectorExpressions.elementAccessor(first.dataType, v, i)
+      s"""
+         |int $n = $v.numElements();
+         |byte[] $out = new byte[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $st = $s.getDouble($i);
+         |  int $c = ($st <= 0) ? 0
+         |    : Math.min(255, Math.max(0, (int) Math.floor((($x) - $m.getDouble($i)) / $st)));
+         |  $out[$i] = (byte) $c;
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): SqEncodeBytes =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/** Squared L2 distance between two byte-code vectors (unsigned 0-255) as a
+  * BIGINT — exact integer arithmetic, reproducible on any engine and the
+  * scoring primitive for SQ-compressed similarity search. */
+case class ByteCodeL2(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (xa, xb) = (a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+    var sum = 0L
+    var i = 0
+    val n = xa.length
+    while (i < n) {
+      val d = (xa(i) & 0xff) - (xb(i) & 0xff)
+      sum += (d * d).toLong
+      i += 1
+    }
+    sum
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val sum = ctx.freshName("sum")
+      val d = ctx.freshName("d")
+      s"""
+         |long $sum = 0L;
+         |int $n = $a.length;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  int $d = ($a[$i] & 0xff) - ($b[$i] & 0xff);
+         |  $sum += (long) ($d * $d);
+         |}
+         |${ev.value} = $sum;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): ByteCodeL2 =
     copy(left = newLeft, right = newRight)
 }

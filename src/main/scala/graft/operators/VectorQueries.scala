@@ -140,6 +140,95 @@ object VectorQueries {
         SELECT probe_id, neighbor_id, CAST(rn AS INTEGER) AS rnk, sim
         FROM k WHERE rn <= 5 ORDER BY probe_id, rnk""")),
 
+    // 8-bit scalar-quantized brute-force L2 — the memory-reduction scale
+    // path: 1 byte/dim codes (4x smaller scans and shuffles), scoring in
+    // exact integer arithmetic. The quantization grid is pure min/max +
+    // IEEE double ops, so codes and distances are bit-identical in any
+    // engine — the whole output is integers, no float hashing risk.
+    CatalogQuery(
+      "e06_sq_ann",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.sqTopK(
+            corpus = emb,
+            probes = emb.filter(col("vec_id") < 5),
+            idCol = "vec_id", vecCol = "embedding", k = 5)
+          .orderBy(col("probe_id"), col("rnk"))
+      },
+      Some("""WITH ev AS (
+          SELECT vec_id, unnest(generate_series(1, len(embedding))) AS ui, embedding
+          FROM embeddings),
+        dx AS (SELECT vec_id, ui AS i, CAST(embedding[ui] AS DOUBLE) AS x FROM ev),
+        stats AS (
+          SELECT i, min(x) AS mn, (max(x) - min(x)) / 256.0 AS step FROM dx GROUP BY 1),
+        codes AS (
+          SELECT vec_id, i,
+            CASE WHEN step <= 0 THEN 0
+                 ELSE least(255, greatest(0, CAST(floor((x - mn) / step) AS INTEGER))) END AS c
+          FROM dx JOIN stats USING (i)),
+        pairs AS (
+          SELECT p.vec_id AS probe_id, n.vec_id AS neighbor_id,
+            CAST(sum((p.c - n.c) * (p.c - n.c)) AS BIGINT) AS qdist
+          FROM codes p JOIN codes n ON p.i = n.i
+          WHERE p.vec_id < 5 AND n.vec_id <> p.vec_id
+          GROUP BY 1, 2),
+        k AS (
+          SELECT probe_id, neighbor_id, qdist,
+            row_number() OVER (PARTITION BY probe_id ORDER BY qdist, neighbor_id) AS rn
+          FROM pairs)
+        SELECT probe_id, neighbor_id, CAST(rn AS INTEGER) AS rnk, qdist
+        FROM k WHERE rn <= 5 ORDER BY probe_id, rnk""")),
+
+    // Engine-portable k-means (one Lloyd update, k=8): semantic clustering
+    // for SemDeDup-style dedup and corpus stratification. md5-ranked init,
+    // integer-quantized distances, exact-integer centroid updates — the
+    // oracle unrolls the identical iteration in SQL and every cell matches
+    // bit-for-bit (assignments AND quantized distances).
+    CatalogQuery(
+      "e07_kmeans",
+      (s, dir) =>
+        Similarity.kmeansAssignments(
+            t(s, dir, "embeddings"), "vec_id", "embedding", k = 8, iters = 1)
+          .select(col("id").as("vec_id"), col("cluster"), col("qdist"))
+          .orderBy(col("vec_id")),
+      Some("""WITH cent0src AS (
+          SELECT vec_id AS cid, embedding AS cv FROM embeddings
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+        cent0 AS (
+          SELECT CAST(row_number() OVER (ORDER BY cid) - 1 AS INTEGER) AS cluster, cv
+          FROM cent0src),
+        c0 AS (
+          SELECT cluster, ui AS i, CAST(cv[ui] AS DOUBLE) AS c
+          FROM (SELECT cluster, unnest(generate_series(1, len(cv))) AS ui, cv FROM cent0)),
+        ex0 AS (
+          SELECT vec_id AS id, unnest(generate_series(1, len(embedding))) AS ui, embedding
+          FROM embeddings),
+        ex AS (
+          SELECT id, ui AS i, CAST(embedding[ui] AS DOUBLE) AS x,
+            CAST(floor(CAST(embedding[ui] AS DOUBLE) * 1000000.0) AS BIGINT) AS micro
+          FROM ex0),
+        d1 AS (
+          SELECT id, cluster,
+            CAST(sum(CAST(floor((x - c) * (x - c) * 1e12) AS BIGINT)) AS BIGINT) AS dist
+          FROM ex JOIN c0 USING (i) GROUP BY 1, 2),
+        a1 AS (
+          SELECT id, cluster FROM (
+            SELECT id, cluster, row_number() OVER (PARTITION BY id ORDER BY dist, cluster) AS rn
+            FROM d1) WHERE rn = 1),
+        c1 AS (
+          SELECT cluster, i,
+            CAST(floor(CAST(2 * s + n AS DOUBLE) / CAST(2 * n AS DOUBLE)) AS BIGINT) / 1000000.0 AS c
+          FROM (SELECT cluster, i, CAST(sum(micro) AS BIGINT) AS s, count(*) AS n
+                FROM a1 JOIN ex USING (id) GROUP BY 1, 2)),
+        d2 AS (
+          SELECT id, cluster,
+            CAST(sum(CAST(floor((x - c) * (x - c) * 1e12) AS BIGINT)) AS BIGINT) AS dist
+          FROM ex JOIN c1 USING (i) GROUP BY 1, 2)
+        SELECT id AS vec_id, cluster, dist AS qdist FROM (
+          SELECT id, cluster, dist,
+            row_number() OVER (PARTITION BY id ORDER BY dist, cluster) AS rn
+          FROM d2) WHERE rn = 1 ORDER BY vec_id""")),
+
     CatalogQuery(
       "e04_cosine_neardup",
       (s, dir) =>

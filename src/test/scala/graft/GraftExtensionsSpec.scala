@@ -59,6 +59,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(math.abs(dot - 32.0) < 1e-9)
     val q = spark.sql("SELECT graft_qdot(a, b) AS q FROM v").as[Long].head()
     assert(q === 32L * 1000000000000L)
+    // SQ codes: grid [0,8) step 8/256 -> code = floor(x/0.03125); L2 in code space
+    val sq = spark.sql(
+      """SELECT graft_sq_l2(
+           graft_sq_encode(a, array(0.0D, 0.0D, 0.0D), array(0.03125D, 0.03125D, 0.03125D)),
+           graft_sq_encode(b, array(0.0D, 0.0D, 0.0D), array(0.03125D, 0.03125D, 0.03125D))) AS s
+         FROM v""").as[Long].head()
+    // codes: (32,64,96) vs (128,160,192) -> 3 * 96^2
+    assert(sq === 3L * 96 * 96)
   }
 
   test("text functions available in SQL and agree with the Column API") {

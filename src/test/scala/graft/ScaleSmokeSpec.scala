@@ -179,6 +179,8 @@ class ScaleSmokeSpec extends SparkSpecBase {
         dominantOnly = true)
       assertWide("d14_doc_chunks/1file", q("d14_doc_chunks", singleFileDir), minWidth,
         dominantOnly = true)
+      assertWide("d20_repetition/1file", q("d20_repetition", singleFileDir), minWidth,
+        dominantOnly = true)
     }
   }
 }

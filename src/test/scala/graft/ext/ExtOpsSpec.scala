@@ -254,6 +254,52 @@ class ExtOpsSpec extends SparkSpecBase {
     assert(assigned.select("list_id").distinct().count() <= 8)
   }
 
+  test("sqTopK: 8-bit codes preserve L2 neighbors; codes are one byte/dim") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val probes = emb.filter(col("vec_id") < 10)
+    // exact float L2 top-5 baseline: ||p-n||^2 = <p,p> + <n,n> - 2<p,n>
+    val p = probes.select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id")).orderBy(col("d"), col("neighbor_id"))
+    val exact = c.join(broadcast(p), col("neighbor_id") =!= col("probe_id"))
+      .withColumn("d",
+        Similarity.dot(col("pv"), col("pv")) + Similarity.dot(col("nv"), col("nv"))
+          - lit(2.0) * Similarity.dot(col("pv"), col("nv")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .select("probe_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.sqTopK(emb, probes, "vec_id", "embedding", k = 5)
+      .select("probe_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 256 levels/dim quantization error is far below neighbor separation
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall=$recall")
+    // the compression claim is literal: one byte per dimension
+    val (mins, steps) = Similarity.sqDimStats(emb, "embedding")
+    val dims = emb.select(size(col("embedding"))).head().getInt(0)
+    val lens = Similarity.sqEncode(emb, "vec_id", "embedding", mins, steps)
+      .select(length(col("codes"))).distinct().collect().map(_.getInt(0)).toSeq
+    assert(lens === Seq(dims))
+  }
+
+  test("kmeansAssignments: deterministic, covers corpus, Lloyd updates cut cost") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val rows = Similarity.kmeansAssignments(emb, "vec_id", "embedding", k = 8, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows.length === emb.count())
+    assert(rows.map(_._2).toSet.subsetOf((0 until 8).toSet))
+    // bit-for-bit deterministic on re-run (no RNG, no order dependence)
+    val again = Similarity.kmeansAssignments(emb, "vec_id", "embedding", k = 8, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows.toSet === again.toSet)
+    // Lloyd monotonicity: cost under updated centroids <= under the init
+    def cost(iters: Int): Long =
+      Similarity.kmeansAssignments(emb, "vec_id", "embedding", k = 8, iters = iters)
+        .agg(sum(col("qdist"))).head().getLong(0)
+    assert(cost(2) <= cost(0))
+  }
+
   test("AnnIndex: add-once query-many matches one-shot annTopK results") {
     val dir = java.nio.file.Files.createTempDirectory("graft-annidx-").toString
     val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")

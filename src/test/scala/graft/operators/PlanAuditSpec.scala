@@ -95,6 +95,20 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"), s"bucket join degenerated:\n$p")
   }
 
+  test("e06: probe codes broadcast; partial top-k before the per-probe shuffle") {
+    val p = plan("e06_sq_ann")
+    assert(p.contains("BroadcastNestedLoopJoin"), s"probe side must broadcast:\n$p")
+    val partial = p.indexOf("WindowGroupLimit")
+    assert(partial >= 0 && p.indexOf("WindowGroupLimit", partial + 1) > partial,
+      s"rank<=k must reduce in two WindowGroupLimit phases:\n$p")
+  }
+
+  test("e07: k-means centroid joins broadcast; distance sums partial-aggregate") {
+    val p = plan("e07_kmeans")
+    assert(p.contains("BroadcastHashJoin"), s"centroids must broadcast:\n$p")
+    assert(p.contains("HashAggregate"), s"distance sums must hash-aggregate:\n$p")
+  }
+
   test("q40: NOT IN plans as a null-aware anti join, not a plain anti") {
     val p = plan("q40_not_in_suppliers")
     // Spark marks the null-aware single-column case on the BNLJ/BHJ node
