@@ -45,7 +45,16 @@ final case class GraftSettings(
       * aggregation over the just-written files) to power
       * `GraftTable.readWhere` data skipping. Disable for write-latency-
       * critical paths that never run selective scans. */
-    collectFileStats: Boolean = true
+    collectFileStats: Boolean = true,
+    /** Record row-level change data (Delta CDF-style) for DML commits —
+      * upsert/delete/update write their insert/update_preimage/
+      * update_postimage/delete rows under `_graft_changes/` so
+      * `GraftTable.readChanges` can serve incremental consumers without
+      * diffing snapshots. Append/overwrite/restore changes are synthesized
+      * from the commit log for free, so this knob only costs on rewrites.
+      * Off by default (one extra write per DML batch), like Delta's
+      * `enableChangeDataFeed` table property. */
+    changeDataFeed: Boolean = false
 ) {
   def bucketFor(layer: String): String = layer match {
     case Layer.Raw     => rawBucket
@@ -98,6 +107,7 @@ object GraftSettings {
         case "curated_buckets"                   => s.copy(curatedBuckets = v.toInt)
         case "upsert_broadcast_threshold_bytes"  => s.copy(upsertBroadcastThresholdBytes = v.toLong)
         case "collect_file_stats"                => s.copy(collectFileStats = v.toBoolean)
+        case "change_data_feed"                  => s.copy(changeDataFeed = v.toBoolean)
         case other =>
           throw new IllegalArgumentException(s"unknown setting '$other' in $path")
       }

@@ -25,7 +25,13 @@ final case class Commit(
     remove: Seq[String],
     schemaJson: String,
     metrics: Map[String, String],
-    stats: Option[Map[String, FileStats]] = None)
+    stats: Option[Map[String, FileStats]] = None,
+    /** Row-level change files under `_graft_changes/` (Delta CDF-style),
+      * recorded by DML commits when `settings.changeDataFeed` is on.
+      * `None` = not recorded (pre-CDF commit or feature off); `Some(Nil)`
+      * = recorded and the batch produced no change rows. Absent in older
+      * logs — json4s decodes the missing field as None. */
+    changes: Option[Seq[String]] = None)
 
 /** Per-column stats of one data file, in portable string form:
   * numerics/strings/dates as their cast-to-string value, timestamps as
@@ -369,12 +375,84 @@ final class GraftTable private (
 
   private def nextCommit(action: String, dataChange: Boolean, add: Seq[String],
       remove: Seq[String], schemaJson: String, metrics: Map[String, String],
-      stats: Map[String, FileStats] = Map.empty): Commit = {
+      stats: Map[String, FileStats] = Map.empty,
+      changes: Option[Seq[String]] = None): Commit = {
     val c = Commit(version + 1, action, dataChange, System.currentTimeMillis(),
       add, remove, schemaJson, metrics,
-      if (stats.isEmpty) None else Some(stats))
+      if (stats.isEmpty) None else Some(stats),
+      changes)
     writeCommit(c)
     c
+  }
+
+  // ------------------------------------------------------ change data feed
+
+  private val changesDir = "_graft_changes"
+
+  /** Write a change-row frame (table columns + `_change_type`) as parquet
+    * under `_graft_changes/` and return the file names (table-relative).
+    * Files are uniquely named, so a commit that later loses its version
+    * race just orphans them — readers only follow names recorded in a
+    * published [[Commit]]. */
+  private def stageChangeRows(df: DataFrame): Seq[String] = {
+    val stagingId = UUID.randomUUID().toString
+    val stagingDir = s"$path/$changesDir/.stage-$stagingId"
+    df.write.mode("overwrite").parquet(stagingDir)
+    val names = FsUtils.dataFiles(spark, stagingDir).map(_.getPath).map { p =>
+      val name = s"$changesDir/change-$stagingId-${p.getName.stripPrefix("part-")}"
+      if (!fs.rename(p, new Path(path, name)))
+        throw new IllegalStateException(s"failed to move change file $p into $path")
+      name
+    }
+    fs.delete(new Path(stagingDir), true)
+    names
+  }
+
+  private def tagged(df: DataFrame, changeType: String): DataFrame =
+    df.withColumn("_change_type", lit(changeType))
+
+  /** Row-level changes between versions `(fromExclusive, toInclusive]` as
+    * table columns + `_change_type` (insert / update_preimage /
+    * update_postimage / delete) + `_commit_version` — Delta CDF semantics,
+    * the contract downstream incremental consumers replay instead of
+    * diffing 100 TB snapshots.
+    *
+    * Appends, overwrites and restores synthesize their changes from the
+    * commit log (added files ARE the inserts, removed files the deletes —
+    * nothing is written twice). Rewrite commits (upsert/delete/update)
+    * need recorded change files: reading a range containing one written
+    * without `settings.changeDataFeed` fails loudly rather than invent
+    * delete+insert pairs for rows the rewrite merely copied. Compaction
+    * (`dataChange=false`) is invisible here, as incremental consumers
+    * require. */
+  def readChanges(fromExclusive: Long, toInclusive: Long = Long.MaxValue): DataFrame = {
+    val inRange = commits()
+      .filter(c => c.version > fromExclusive && c.version <= toInclusive && c.dataChange)
+    val frames = inRange.flatMap { c =>
+      def readFiles(names: Seq[String]): Option[DataFrame] =
+        if (names.isEmpty) None
+        else Some(spark.read.option("mergeSchema", "true")
+          .parquet(names.map(n => s"$path/$n"): _*))
+      val changed: Seq[DataFrame] = c.changes match {
+        case Some(files) => readFiles(files).toSeq
+        case None => c.action match {
+          case "upsert" | "delete" | "update" =>
+            throw new IllegalStateException(
+              s"version ${c.version} (${c.action}) has no recorded change data — " +
+                s"enable settings.changeDataFeed before running DML, or read snapshots")
+          case _ =>
+            // append/overwrite/restore: the file-level log IS the change set
+            readFiles(c.add).map(tagged(_, "insert")).toSeq ++
+              readFiles(c.remove).map(tagged(_, "delete")).toSeq
+        }
+      }
+      changed.map(_.withColumn("_commit_version", lit(c.version)))
+    }
+    frames match {
+      case Seq() =>
+        tagged(read().limit(0), "").withColumn("_commit_version", lit(0L))
+      case fr => fr.reduce(_.unionByName(_, allowMissingColumns = true))
+    }
   }
 
   /** Appends COMMUTE, so a lost version race is retried: the staged files
@@ -526,17 +604,38 @@ final class GraftTable private (
         (affected, df)
       case _ => (liveFiles(), Some(read()))
     }
-    val merged = current match {
+    // CDF: the affected-file snapshot and the update batch each feed the
+    // merge AND the change-row joins — materialize once, not per consumer
+    val snap = if (settings.changeDataFeed) current.map(_.localCheckpoint(true)) else current
+    val ups = if (settings.changeDataFeed) upserted.localCheckpoint(true) else upserted
+    val merged = snap match {
       case Some(df) =>
         df.join(updateKeys, keyCols, "left_anti")
-          .unionByName(upserted, allowMissingColumns = true)
-      case None => upserted
+          .unionByName(ups, allowMissingColumns = true)
+      case None => ups
     }
+    val changeFiles: Option[Seq[String]] =
+      if (!settings.changeDataFeed) None
+      else Some(stageChangeRows(snap match {
+        case Some(df) =>
+          val delKeys = updates.filter(col(opCol) === deleteOp)
+            .select(keyCols.map(col): _*).distinct()
+          val upsKeys = ups.select(keyCols.map(col): _*).distinct()
+          val existing = df.select(keyCols.map(col): _*).distinct()
+          tagged(df.join(delKeys, keyCols, "leftsemi"), "delete")
+            .unionByName(tagged(df.join(upsKeys, keyCols, "leftsemi"), "update_preimage"),
+              allowMissingColumns = true)
+            .unionByName(tagged(ups.join(existing, keyCols, "leftsemi"), "update_postimage"),
+              allowMissingColumns = true)
+            .unionByName(tagged(ups.join(existing, keyCols, "leftanti"), "insert"),
+              allowMissingColumns = true)
+        case None => tagged(ups, "insert")
+      }))
     val (add, stats) = stage(merged)
     nextCommit("upsert", dataChange = true, add, oldFiles, merged.schema.json,
       Map("numOutputFiles" -> add.size.toString,
         "numRewrittenFiles" -> oldFiles.size.toString),
-      stats)
+      stats, changes = changeFiles)
   }
 
   /** Roll the LIVE SET back to `asOf` as a NEW commit (Delta's RESTORE):
@@ -569,16 +668,22 @@ final class GraftTable private (
   def delete(predicate: org.apache.spark.sql.Column): Option[Commit] = {
     val affected = prunedFiles(predicate)
     if (affected.isEmpty) return None
+    val srcRaw = spark.read.option("mergeSchema", "true")
+      .parquet(affected.map(f => s"$path/$f"): _*)
+    // CDF consumes the source twice (remaining + deleted rows)
+    val src = if (settings.changeDataFeed) srcRaw.localCheckpoint(true) else srcRaw
     // SQL DELETE semantics: remove rows where the predicate is TRUE; rows
     // where it is NULL are kept (a bare !predicate would drop them)
-    val remaining = spark.read.option("mergeSchema", "true")
-      .parquet(affected.map(f => s"$path/$f"): _*)
-      .filter(!coalesce(predicate, lit(false)))
+    val remaining = src.filter(!coalesce(predicate, lit(false)))
+    val changeFiles =
+      if (settings.changeDataFeed)
+        Some(stageChangeRows(tagged(src.filter(coalesce(predicate, lit(false))), "delete")))
+      else None
     val (add, stats) = stage(remaining)
     Some(nextCommit("delete", dataChange = true, add, affected,
       remaining.schema.json,
       Map("numRewrittenFiles" -> affected.size.toString,
-        "numOutputFiles" -> add.size.toString), stats))
+        "numOutputFiles" -> add.size.toString), stats, changes = changeFiles))
   }
 
   /** UPDATE SET: apply `assignments` to rows matching `predicate`, by the
@@ -591,17 +696,26 @@ final class GraftTable private (
     val affected = prunedFiles(predicate)
     if (affected.isEmpty) return None
     val cond = coalesce(predicate, lit(false))
-    val src = spark.read.option("mergeSchema", "true")
+    val srcRaw = spark.read.option("mergeSchema", "true")
       .parquet(affected.map(f => s"$path/$f"): _*)
+    // CDF consumes the source three times (rewrite + pre/postimage)
+    val src = if (settings.changeDataFeed) srcRaw.localCheckpoint(true) else srcRaw
     val updated = assignments.foldLeft(src) { case (df, (name, value)) =>
       require(df.columns.contains(name), s"unknown column '$name' in update")
       df.withColumn(name, when(cond, value).otherwise(col(name)))
     }
+    val changeFiles =
+      if (settings.changeDataFeed)
+        Some(stageChangeRows(
+          tagged(src.filter(cond), "update_preimage")
+            .unionByName(tagged(updated.filter(cond), "update_postimage"),
+              allowMissingColumns = true)))
+      else None
     val (add, stats) = stage(updated)
     Some(nextCommit("update", dataChange = true, add, affected,
       updated.schema.json,
       Map("numRewrittenFiles" -> affected.size.toString,
-        "numOutputFiles" -> add.size.toString), stats))
+        "numOutputFiles" -> add.size.toString), stats, changes = changeFiles))
   }
 
   /** Small-file compaction (reference `jibaro/datalake/delta_handler.py:9-35`):

@@ -407,4 +407,69 @@ class GraftTableSpec extends SparkSpecBase {
     // contract as Delta after VACUUM
     intercept[Exception](t.readAt(1).collect())
   }
+
+  private def cdfTable(): GraftTable = {
+    val dir = Files.createTempDirectory("graft-cdf-").toString
+    GraftTable(spark, s"file://$dir/t")(GraftSettings.default.copy(changeDataFeed = true))
+  }
+
+  test("change data feed: DML records row-level changes; replay reconstructs state") {
+    val t = cdfTable()
+    t.append(Seq((1, "one", 10.0), (2, "two", 20.0), (3, "three", 30.0))
+      .toDF("id", "name", "amt")) // v1
+    t.upsert(Seq((2, "TWO", 22.0, "u"), (4, "four", 44.0, "c"), (3, "three", 30.0, "d"))
+      .toDF("id", "name", "amt", "op"), Seq("id"), "op") // v2
+    t.delete(col("id") === 4) // v3
+    t.update(col("id") === 1, Map("amt" -> lit(11.0))) // v4
+    val ch = t.readChanges(0)
+      .select("id", "name", "amt", "_change_type", "_commit_version")
+      .as[(Int, String, Double, String, Long)].collect()
+    // v1: appends synthesize inserts from the commit log, nothing written twice
+    assert(ch.filter(_._5 == 1).map(c => (c._1, c._4)).toSet ===
+      Set((1, "insert"), (2, "insert"), (3, "insert")))
+    // v2: the CDC merge split into all four change types
+    val v2 = ch.filter(_._5 == 2)
+    assert(v2.map(c => (c._1, c._4)).toSet ===
+      Set((2, "update_preimage"), (2, "update_postimage"), (4, "insert"), (3, "delete")))
+    assert(v2.find(_._4 == "update_postimage").get._2 === "TWO")
+    assert(ch.filter(_._5 == 3).map(c => (c._1, c._4)).toSeq === Seq((4, "delete")))
+    val v4 = ch.filter(_._5 == 4)
+    assert(v4.map(c => (c._1, c._4, c._3)).toSet ===
+      Set((1, "update_preimage", 10.0), (1, "update_postimage", 11.0)))
+    // the CDF contract: folding the feed over an empty state = the snapshot
+    val replayed = ch.sortBy(_._5)
+      .foldLeft(Map.empty[Int, (String, Double)]) { case (m, (id, name, amt, tpe, _)) =>
+        tpe match {
+          case "insert" | "update_postimage" => m + (id -> (name, amt))
+          case "delete"                      => m - id
+          case "update_preimage"             => m
+        }
+      }
+    val now = t.read().as[(Int, String, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(replayed === now)
+  }
+
+  test("change data feed: version ranges, overwrite synthesis, non-CDF DML refuses") {
+    val t = cdfTable()
+    t.append(Seq((1, "a")).toDF("id", "v"))         // v1
+    t.update(col("id") === 1, Map("v" -> lit("b"))) // v2
+    val r = t.readChanges(1, toInclusive = 2).select("_change_type").as[String].collect().sorted
+    assert(r.toSeq === Seq("update_postimage", "update_preimage"))
+    // overwrite needs no recorded changes: removed files ARE the deletes
+    t.overwrite(Seq((7, "z")).toDF("id", "v"))      // v3
+    val ov = t.readChanges(2).select("id", "_change_type").as[(Int, String)].collect().toSet
+    assert(ov === Set((1, "delete"), (7, "insert")))
+    // a table written without the setting refuses to invent change rows for
+    // a rewrite (it would report copied rows as delete+insert pairs)...
+    val dir = Files.createTempDirectory("graft-nocdf-").toString
+    val t2 = GraftTable(spark, s"file://$dir/t")(GraftSettings.default)
+    t2.append(Seq((1, "a")).toDF("id", "v"))
+    t2.update(col("id") === 1, Map("v" -> lit("b")))
+    val ex = intercept[IllegalStateException](t2.readChanges(0).collect())
+    assert(ex.getMessage.contains("change data"))
+    // ...but append-only ranges still synthesize
+    assert(t2.readChanges(0, toInclusive = 1)
+      .select("_change_type").as[String].head() === "insert")
+  }
 }
