@@ -402,4 +402,52 @@ object CdcPipelines {
       else framed(keyColumns, "key").as("key")
     bus.publish(spark, topic, source.select(keyCol, valueCol.as("value")))
   }
+
+  /** Incremental reverse CDC: publish a table's row-level CHANGES since
+    * the last run (`GraftTable.readChanges`) instead of its full state —
+    * the outbound analogue of `rawToStaged`'s inbound checkpointing. The
+    * last published version persists under the control bucket, so reruns
+    * resume where they left off and a restart never re-publishes.
+    * `update_preimage` rows are dropped (consumers get the Debezium-style
+    * postimage view); inserts/postimages/deletes go out tagged by the
+    * `_change_type` column. DML versions require the table to have been
+    * written with `settings.changeDataFeed` — `readChanges` refuses
+    * otherwise. Returns the new cursor version. */
+  def tableChangesToKafka(
+      spark: SparkSession,
+      table: GraftTable,
+      topic: String,
+      keyColumns: Seq[String],
+      registry: SchemaRegistryClient,
+      bus: MessageBus,
+      contentType: String = "avro")(implicit s: GraftSettings): Long = {
+    val cursorDir = s"${s.protocol}://${s.controlBucket}/_cdcout"
+    val cursorPath = new org.apache.hadoop.fs.Path(s"$cursorDir/$topic.version")
+    val fs = FsUtils.fs(spark, cursorDir)
+    val from =
+      if (!fs.exists(cursorPath)) 0L
+      else {
+        val in = fs.open(cursorPath)
+        try new String(in.readAllBytes(), "UTF-8").trim.toLong finally in.close()
+      }
+    val to = table.version
+    if (to > from) {
+      val changes = table.readChanges(from, to)
+        .filter(col("_change_type") =!= "update_preimage")
+        .drop("_commit_version")
+      if (!changes.isEmpty)
+        dataframeToKafka(spark, changes, topic, keyColumns, registry, bus, contentType)
+      // cursor write is atomic rename, so a crash mid-publish re-publishes
+      // (at-least-once, like any Kafka producer without transactions) but
+      // never records progress it didn't make
+      fs.mkdirs(cursorPath.getParent)
+      val tmp = new org.apache.hadoop.fs.Path(s"$cursorDir/.$topic.version.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(to.toString.getBytes("UTF-8")) finally out.close()
+      fs.delete(cursorPath, false)
+      if (!fs.rename(tmp, cursorPath))
+        throw new IllegalStateException(s"failed to advance cdc-out cursor for $topic")
+    }
+    math.max(from, to)
+  }
 }

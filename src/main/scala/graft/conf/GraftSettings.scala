@@ -46,6 +46,15 @@ final case class GraftSettings(
       * `GraftTable.readWhere` data skipping. Disable for write-latency-
       * critical paths that never run selective scans. */
     collectFileStats: Boolean = true,
+    /** Columns to write parquet BLOOM FILTERS for in every data file.
+      * Min/max stats prune range predicates but are useless for point
+      * lookups on high-cardinality keys with scattered values (every
+      * file's [min,max] spans the probe); a bloom filter answers
+      * "definitely not in this file/row-group" at ~10 bits/key. The
+      * filters live in the parquet footers — Spark's reader consumes them
+      * automatically on equality predicates, no engine-side pruning code
+      * and nothing added to the commit log. */
+    bloomFilterColumns: Seq[String] = Seq.empty,
     /** Record row-level change data (Delta CDF-style) for DML commits —
       * upsert/delete/update write their insert/update_preimage/
       * update_postimage/delete rows under `_graft_changes/` so
@@ -108,6 +117,8 @@ object GraftSettings {
         case "upsert_broadcast_threshold_bytes"  => s.copy(upsertBroadcastThresholdBytes = v.toLong)
         case "collect_file_stats"                => s.copy(collectFileStats = v.toBoolean)
         case "change_data_feed"                  => s.copy(changeDataFeed = v.toBoolean)
+        case "bloom_filter_columns" =>
+          s.copy(bloomFilterColumns = v.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
         case other =>
           throw new IllegalArgumentException(s"unknown setting '$other' in $path")
       }

@@ -348,14 +348,21 @@ final class GraftTable private (
     val stagingId = UUID.randomUUID().toString
     val stagingDir = s"$path/_staging-$stagingId"
     val spec = bucketSpec.filter(_.keys.forall(df.columns.contains))
+    // parquet-native bloom filters for the configured point-lookup
+    // columns: written into the file footers, consumed automatically by
+    // any parquet reader on equality predicates — the high-cardinality
+    // complement to the min/max stats (which only prune ranges)
+    def withBlooms(w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row]) =
+      settings.bloomFilterColumns.filter(df.columns.contains)
+        .foldLeft(w)((w, c) => w.option(s"parquet.bloom.filter.enabled#$c", "true"))
     spec match {
       case Some(sp) =>
         require(!df.columns.contains("graft_bucket"), "column name 'graft_bucket' is reserved")
-        df.withColumn("graft_bucket", bucketExpr(sp))
+        withBlooms(df.withColumn("graft_bucket", bucketExpr(sp))
           .repartition(col("graft_bucket"))
-          .write.mode("overwrite").partitionBy("graft_bucket").parquet(stagingDir)
+          .write.mode("overwrite")).partitionBy("graft_bucket").parquet(stagingDir)
       case None =>
-        df.write.mode("overwrite").parquet(stagingDir)
+        withBlooms(df.write.mode("overwrite")).parquet(stagingDir)
     }
     val statsByStaged = collectStats(stagingDir, df)
     val staged = FsUtils.dataFiles(spark, stagingDir).map(_.getPath)

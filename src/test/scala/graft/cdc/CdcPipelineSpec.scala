@@ -463,4 +463,36 @@ class CdcPipelineSpec extends SparkSpecBase {
     assert(decoded.as[(Int, String)].collect().toSet ===
       Set((1, "widget"), (2, "gadget-v2"), (4, "gizmo")))
   }
+
+  test("incremental reverse CDC: only changes since the cursor publish; reruns resume") {
+    val out = "outbound.cdf.products"
+    val dir = Files.createTempDirectory("graft-cdcout-").toString
+    val t = GraftTable(spark, s"file://$dir/t")(
+      settings.copy(changeDataFeed = true))
+    t.append(Seq((1, "a", 1.0), (2, "b", 2.0)).toDF("id", "name", "w")) // v1
+    val v1 = CdcPipelines.tableChangesToKafka(spark, t, out, Seq("id"), registry, bus,
+      contentType = "json")
+    assert(v1 === 1L)
+    def decoded() = bus.readBatch(spark, out).select(
+        ConnectJsonCodec.decode(col("value"),
+          "struct<name:string,w:double,_change_type:string>").as("v"),
+        ConnectJsonCodec.decode(col("key"), "struct<id:int>").as("k"))
+      .select(col("k.id"), col("v.name"), col("v._change_type"))
+      .as[(Int, String, String)].collect().toSeq
+    assert(decoded().toSet === Set((1, "a", "insert"), (2, "b", "insert")))
+    // nothing new: rerun is a no-op, cursor stays
+    assert(CdcPipelines.tableChangesToKafka(spark, t, out, Seq("id"), registry, bus,
+      contentType = "json") === 1L)
+    assert(decoded().size === 2)
+    // a CDC merge publishes postimage/insert/delete tags, never preimages
+    t.upsert(Seq((2, "B", 2.2, "u"), (3, "c", 3.0, "c"), (1, "a", 1.0, "d"))
+      .toDF("id", "name", "w", "op"), Seq("id"), "op") // v2
+    assert(CdcPipelines.tableChangesToKafka(spark, t, out, Seq("id"), registry, bus,
+      contentType = "json") === 2L)
+    val all = decoded()
+    assert(all.size === 5)
+    assert(all.toSet === Set(
+      (1, "a", "insert"), (2, "b", "insert"),                      // v1
+      (2, "B", "update_postimage"), (3, "c", "insert"), (1, "a", "delete"))) // v2
+  }
 }

@@ -408,6 +408,30 @@ class GraftTableSpec extends SparkSpecBase {
     intercept[Exception](t.readAt(1).collect())
   }
 
+  test("bloom filter columns land in the parquet footers; reads stay exact") {
+    val dir = Files.createTempDirectory("graft-bloom-").toString
+    val t = GraftTable(spark, s"file://$dir/t")(
+      GraftSettings.default.copy(bloomFilterColumns = Seq("id")))
+    t.append((1 to 1000).map(i => (i.toLong, s"v$i")).toDF("id", "v"))
+    // the footer of every data file carries a bloom for `id` and none for `v`
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sparkContext.hadoopConfiguration
+    t.liveFiles().foreach { f =>
+      val reader = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(s"$dir/t/$f"), conf))
+      try {
+        val cols = reader.getFooter.getBlocks.get(0).getColumns
+        import scala.jdk.CollectionConverters._
+        val byName = cols.asScala.map(c => c.getPath.toDotString -> c).toMap
+        assert(byName("id").getBloomFilterOffset >= 0, s"no bloom for id in $f")
+        assert(byName("v").getBloomFilterOffset < 0, s"unexpected bloom for v in $f")
+      } finally reader.close()
+    }
+    // point lookup still exact through readWhere
+    assert(t.readWhere(col("id") === 500L).select("v").as[String].collect().toSeq === Seq("v500"))
+  }
+
   private def cdfTable(): GraftTable = {
     val dir = Files.createTempDirectory("graft-cdf-").toString
     GraftTable(spark, s"file://$dir/t")(GraftSettings.default.copy(changeDataFeed = true))
