@@ -132,20 +132,24 @@ object Bench {
     // "parsed": null. stdout therefore gets a COMPACT variant: catalog
     // queries only (bench-only extras live in BENCH_LOCAL.json), seconds
     // to 2 decimals, numeric sf, errors only when nonempty.
-    def fmt(v: Double): String =
+    def fmt(v: Double, decimals: Int): String =
       if (v < 0) "-1"
       else {
-        val s = f"$v%.2f".reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
+        val s = s"%.${decimals}f".format(v).reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
         if (s.isEmpty) "0" else s
       }
     val catalogOnly = names.filterNot(extras.contains)
-    val qsCompact = catalogOnly
-      .map { k => "\"" + k + "\":" + fmt(results.toMap.apply(k)) }
-      .mkString("{", ",", "}")
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
     val errPart = if (errors.isEmpty) "" else s""","errors":$errJson"""
-    val compact =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsCompact$errPart,"sf":$sfNum}"""
+    def compactAt(decimals: Int): String = {
+      val qsCompact = catalogOnly
+        .map { k => "\"" + k + "\":" + fmt(results.toMap.apply(k), decimals) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qsCompact$errPart,"sf":$sfNum}"""
+    }
+    // degrade precision before overflowing the tail window: a parsed
+    // 1-decimal line beats an unparseable 2-decimal one
+    val compact = Seq(2, 1).map(compactAt).find(_.length <= 1900).getOrElse(compactAt(0))
     spark.stop()
     // last stdout line, after spark.stop() so no log noise can follow
     println(compact)

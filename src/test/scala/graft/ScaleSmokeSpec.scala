@@ -151,6 +151,7 @@ class ScaleSmokeSpec extends SparkSpecBase {
       assertWide("q31_skew_aware_join", q("q31_skew_aware_join", scaledDir), minWidth)
       assertWide("e03_ann_lsh", q("e03_ann_lsh", scaledDir), minWidth)
       assertWide("e04_cosine_neardup", q("e04_cosine_neardup", scaledDir), minWidth)
+      assertWide("e07_kmeans", q("e07_kmeans", scaledDir), minWidth)
     }
   }
 
