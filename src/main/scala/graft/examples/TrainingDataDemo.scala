@@ -65,7 +65,7 @@ object TrainingDataDemo {
       .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
     StreamOps.sessionize(events, "ts", "user_id").orderBy("user_id", "session_start").show(5)
 
-    println("== full corpus-prep pipeline: scrub -> quality -> dedup -> decontaminate -> sample -> chunk -> pack:")
+    println("== full corpus-prep pipeline: scrub -> quality -> derep -> dedup -> decontaminate -> sample -> chunk -> pack:")
     val prepared = prepareCorpus(docs, evalSet = docs.filter(col("doc_id") % 97 === 0))
     prepared.groupBy("lang").agg(
       countDistinct("doc_id").as("docs"),
@@ -82,11 +82,13 @@ object TrainingDataDemo {
     *
     *  1. PII scrub (codegen regex, row-local)
     *  2. quality + language filter (row-local)
-    *  3. near-dup removal, keeping each group's min id (one LSH pass)
-    *  4. benchmark decontamination against `evalSet` (broadcast join)
-    *  5. deterministic stratified sampling (scan+filter, no RNG state)
-    *  6. context-window chunking (explode)
-    *  7. sequence packing per language (one keyed window)
+    *  3. repetition gate — Gopher-style dup-bigram share: template and
+    *     boilerplate loops pass per-token quality but poison training
+    *  4. near-dup removal, keeping each group's min id (one LSH pass)
+    *  5. benchmark decontamination against `evalSet` (broadcast join)
+    *  6. deterministic stratified sampling (scan+filter, no RNG state)
+    *  7. context-window chunking (explode)
+    *  8. sequence packing per language (one keyed window)
     *
     * Returns (doc_id, lang, chunk_idx, chunk, n_tokens, pack_id).
     */
@@ -109,7 +111,14 @@ object TrainingDataDemo {
       .localCheckpoint(true)
     val quality = annotated
       .filter(col("quality_score") >= 0.3 && col("n_tokens") >= 5)
-    val deduped = Dedup.minhashDedup(quality, "doc_id", "text",
+    // repetition gate: docs whose bigram stream is mostly one loop
+    // (nav bars, keyword stuffing) — null metrics (sub-2-token docs) pass
+    val rep = TextAnalysis.repetitionMetrics(quality, "doc_id", "text")
+      .select(col("doc_id"), col("dup_bigram_frac"))
+    val unrepetitive = quality.join(rep, Seq("doc_id"), "left")
+      .filter(col("dup_bigram_frac").isNull || col("dup_bigram_frac") <= 0.6)
+      .drop("dup_bigram_frac")
+    val deduped = Dedup.minhashDedup(unrepetitive, "doc_id", "text",
         threshold = 0.5, numHashes = 32, bands = 8)
       .filter(col("dup_group") === col("doc_id")) // keep group representative
       .drop("dup_group")

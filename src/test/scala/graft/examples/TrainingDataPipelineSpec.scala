@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
 class TrainingDataPipelineSpec extends SparkSpecBase {
   import spark.implicits._
 
-  test("prepareCorpus: scrub, filter, dedup, decontaminate, sample, chunk, pack") {
+  test("prepareCorpus: scrub, filter, derep, dedup, decontaminate, sample, chunk, pack") {
     val goodA = "contact me at alice@example.com about the spark and the data of the pipeline work today"
     val goodB = "the quick brown fox and the lazy dog of the farm run through fields today happily"
     val evalText = "held out benchmark question answer pairs for evaluation purposes only"
@@ -24,7 +24,10 @@ class TrainingDataPipelineSpec extends SparkSpecBase {
       (6L, goodA),                             // exact dup of 2 -> dedup keeps min id 2
       (4L, s"prefix words then $evalText and more trailing text here"), // contaminated
       (9L, "9999 8888 7777 123 456 789"),      // low quality -> filtered
-      (10L, goodB))                            // survives everything
+      (10L, goodB),                            // survives everything
+      // passes per-token quality (all alpha, right length) but is one
+      // bigram looped — the repetition gate must drop it
+      (12L, Seq.fill(40)("spam").mkString(" ")))
       .toDF("doc_id", "text")
     val evalSet = Seq((1000L, evalText)).toDF("doc_id", "text")
 
