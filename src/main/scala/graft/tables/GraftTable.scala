@@ -793,8 +793,17 @@ final class GraftTable private (
       .flatMap(c => c.remove)
       .distinct
       .filterNot(live)
-    removable.foreach(f => fs.delete(new Path(path, f), false))
-    removable
+    // change-data files age out on the same clock: reading changes for a
+    // vacuumed-out version then fails like time travel does (Delta's CDF
+    // retention contract). The commit log keeps the names, so the failure
+    // is a missing file, never silently empty changes.
+    val agedChanges = commits()
+      .filter(_.timestampMs < cutoff)
+      .flatMap(_.changes.getOrElse(Seq.empty))
+      .distinct
+    val all = removable ++ agedChanges
+    all.foreach(f => fs.delete(new Path(path, f), false))
+    all
   }
 }
 

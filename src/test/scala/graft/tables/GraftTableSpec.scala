@@ -496,4 +496,18 @@ class GraftTableSpec extends SparkSpecBase {
     assert(t2.readChanges(0, toInclusive = 1)
       .select("_change_type").as[String].head() === "insert")
   }
+
+  test("vacuum ages out change-data files on the retention clock") {
+    val t = cdfTable()
+    t.append(Seq((1, "a")).toDF("id", "v"))          // v1
+    t.update(col("id") === 1, Map("v" -> lit("b")))  // v2: records change files
+    assert(t.readChanges(1).count() === 2)
+    assert(t.vacuum(retentionHours = 1.0).isEmpty)   // too young: kept
+    assert(t.readChanges(1).count() === 2)
+    val deleted = t.vacuum(retentionHours = 0.0)
+    assert(deleted.exists(_.startsWith("_graft_changes/")), s"no change files GC'd: $deleted")
+    // same contract as time travel after vacuum: loud failure, not empty
+    intercept[Exception](t.readChanges(1).count())
+    assert(t.read().count() === 1) // live data untouched
+  }
 }
