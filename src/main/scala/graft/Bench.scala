@@ -44,7 +44,17 @@ object Bench {
     "d08x_minhash_dedup_prod" -> ((s, dir) =>
       graft.ext.Dedup.minhashDedup(
         graft.operators.QueryDsl.t(s, dir, "documents"), "doc_id", "text",
-        threshold = 0.5, numHashes = 32, bands = 8, portable = false)))
+        threshold = 0.5, numHashes = 32, bands = 8, portable = false)),
+    "e03x_ann_lsh_prod" -> ((s, dir) => {
+      val emb = graft.operators.QueryDsl.t(s, dir, "embeddings")
+      graft.ext.Similarity.annTopK(emb, emb.filter(
+          org.apache.spark.sql.functions.col("vec_id") < 5),
+        "vec_id", "embedding", k = 5, nTables = 8, bitsPerTable = 6, portable = false)
+    }),
+    "e04x_cosine_neardup_prod" -> ((s, dir) =>
+      graft.ext.Similarity.cosineNearDupPairs(
+        graft.operators.QueryDsl.t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.30, nTables = 8, bitsPerTable = 8, portable = false)))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -81,6 +81,16 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!p.contains("n_chars"), "reads columns the query never uses")
   }
 
+  test("d20: repetition scan prunes to (doc_id, text); tokenize materialized once") {
+    val p = plan("d20_repetition")
+    assert(!p.contains("n_chars") && !p.contains("source"),
+      s"reads columns the query never uses:\n$p")
+    // the unigram aggregate and the bigram window must both read the
+    // checkpointed token frame, not re-run the tokenize pipeline
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+      s"token frame not materialized:\n$p")
+  }
+
   test("e05: IVF codebook and probe lists broadcast; no cartesian candidate join") {
     val p = plan("e05_ivf_ann")
     // centroid scoring + candidate join + probe-vector re-attach all ride
