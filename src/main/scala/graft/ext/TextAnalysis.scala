@@ -247,6 +247,43 @@ object TextAnalysis {
         ratio6(col("__top_big"), col("__n_big")).as("top_bigram_frac"))
   }
 
+  /** CCNet-style perplexity-band filtering: keep the docs whose
+    * unigram-LM NLL ([[unigramNll]]) sits in the middle half of the
+    * corpus — the low band is boilerplate, the high band gibberish; the
+    * middle is where trainable text lives.
+    *
+    * The band edges are ORDER STATISTICS (the k25-th / k75-th smallest
+    * micro-NLL, k = (n-1) div 4 and 3(n-1) div 4), not interpolated
+    * percentiles: interpolation arithmetic differs across engines in the
+    * last ulp and a threshold that moves one ulp flips boundary docs —
+    * the d19 hash-fail class all over again. Order statistics are pure
+    * integer selection, identical everywhere.
+    *
+    * Scale shape: NO global row sort or rank window — the selection runs
+    * on the (micro, count) HISTOGRAM, whose size is bounded by the
+    * micro-NLL grid (~tens of thousands of distinct values for real
+    * corpora), not the corpus; the running-sum window over it is a
+    * deliberately small single-partition step, and the two thresholds
+    * broadcast back into a codegen'd integer filter. */
+  def unigramNllBand(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = unigramNll(df, idCol, textCol)
+      .withColumn("__micro", (col("unigram_nll") * lit(1000000)).cast("long"))
+      .localCheckpoint(true) // feeds the histogram AND the final filter
+    val hist = scored.groupBy(col("__micro")).agg(count(lit(1)).as("__c"))
+    val cum = hist.withColumn("__cum",
+      sum(col("__c")).over(Window.orderBy(col("__micro"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val th = cum.crossJoin(cum.agg(sum(col("__c")).as("__n")).select(
+        expr("(__n - 1) DIV 4").as("__k25"), expr("(3 * (__n - 1)) DIV 4").as("__k75")))
+      .agg(
+        min(when(col("__cum") > col("__k25"), col("__micro"))).as("__v25"),
+        min(when(col("__cum") > col("__k75"), col("__micro"))).as("__v75"))
+    scored.crossJoin(broadcast(th))
+      .filter(col("__micro").between(col("__v25"), col("__v75")))
+      .select(col(idCol), col("n_tokens"), col("unigram_nll"))
+  }
+
   /** Metrics + threshold filter with the metric tree evaluated ONCE.
     *
     * The naive `withTextMetrics(df).filter(quality_score >= x)` shape is

@@ -467,6 +467,47 @@ object TextQueries {
             * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(18,6)) AS unigram_nll
         FROM agg ORDER BY doc_id""")),
 
+    // CCNet-style perplexity-band sampling: keep the middle-NLL half of
+    // the corpus (low = boilerplate, high = gibberish). Band edges are
+    // integer ORDER STATISTICS over the micro-NLL histogram — interpolated
+    // percentiles differ across engines in the last ulp and flip boundary
+    // docs (the d19 class); order statistics are exact everywhere.
+    CatalogQuery(
+      "d21_nll_band",
+      (s, dir) =>
+        TextAnalysis.unigramNllBand(t(s, dir, "documents"), "doc_id", "text")
+          .orderBy(col("doc_id")),
+      Some("""WITH tok AS (
+          SELECT doc_id,
+            unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS token
+          FROM documents),
+        t2 AS (SELECT doc_id, token FROM tok WHERE length(token) > 0),
+        freq AS (SELECT token, count(*) AS n FROM t2 GROUP BY 1),
+        tot AS (SELECT sum(n) AS N FROM freq),
+        per AS (
+          SELECT doc_id,
+            CAST(CAST(ln(CAST(f.n AS DOUBLE) / CAST(t.N AS DOUBLE)) AS DECIMAL(28,6))
+              * 1000000 AS BIGINT) AS lp_micro
+          FROM t2 JOIN freq f USING (token) CROSS JOIN tot t),
+        agg AS (SELECT doc_id, count(*) AS n_tokens, -sum(lp_micro) AS m FROM per GROUP BY 1),
+        nll AS (
+          SELECT doc_id, n_tokens,
+            CAST(CAST((2 * m + n_tokens) // (2 * n_tokens) AS DECIMAL(12,0))
+              * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(18,6)) AS unigram_nll
+          FROM agg),
+        mi AS (SELECT doc_id, n_tokens, unigram_nll,
+                 CAST(unigram_nll * 1000000 AS BIGINT) AS micro FROM nll),
+        h AS (SELECT micro, count(*) AS c FROM mi GROUP BY 1),
+        cu AS (SELECT micro,
+                 sum(c) OVER (ORDER BY micro ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+               FROM h),
+        nn AS (SELECT count(*) AS n FROM mi),
+        th AS (SELECT min(CASE WHEN cum > (n - 1) // 4 THEN micro END) AS v25,
+                      min(CASE WHEN cum > (3 * (n - 1)) // 4 THEN micro END) AS v75
+               FROM cu, nn)
+        SELECT doc_id, n_tokens, unigram_nll FROM mi, th
+        WHERE micro BETWEEN v25 AND v75 ORDER BY doc_id""")),
+
     // Gopher-style repetition metrics: the boilerplate/template-spam
     // signal exact dedup misses. Unigram + bigram duplication shares per
     // doc; ratios rounded half-up in exact integer math (ratio6) so both
