@@ -497,6 +497,25 @@ class GraftTableSpec extends SparkSpecBase {
       .select("_change_type").as[String].head() === "insert")
   }
 
+  test("change data feed on a bucketed table: pruned upsert records exact changes") {
+    val dir = Files.createTempDirectory("graft-cdf-bucket-").toString
+    val t = GraftTable(spark, s"file://$dir/t")(
+      GraftSettings.default.copy(changeDataFeed = true))
+    t.setBucketSpec(Seq("id"), numBuckets = 4)
+    t.append((1 to 50).map(i => (i, s"v$i")).toDF("id", "v")) // v1
+    // the change joins see only the AFFECTED buckets' snapshot — the
+    // existing-key split must still classify update-vs-insert correctly
+    val c = t.upsert(Seq((7, "SEVEN", "u"), (9999, "new", "c"), (13, "x", "d"))
+      .toDF("id", "v", "op"), Seq("id"), "op") // v2
+    assert(c.remove.nonEmpty && c.remove.size < t.commits().head.add.size + c.add.size,
+      "expected a pruned rewrite, not a full-table one")
+    val ch = t.readChanges(1).select("id", "v", "_change_type")
+      .as[(Int, String, String)].collect().toSet
+    assert(ch === Set(
+      (7, "v7", "update_preimage"), (7, "SEVEN", "update_postimage"),
+      (9999, "new", "insert"), (13, "v13", "delete")))
+  }
+
   test("vacuum ages out change-data files on the retention clock") {
     val t = cdfTable()
     t.append(Seq((1, "a")).toDF("id", "v"))          // v1
