@@ -230,16 +230,17 @@ object Dedup {
       val neighborMin = edges
         .join(labels.select(col("id").as("dst"), col("component").as("nc")), "dst")
         .groupBy(col("src")).agg(min("nc").as("min_nc"))
+      // the changed flag rides the update projection, so convergence is a
+      // filter over the just-checkpointed frame — not another full-table
+      // join+shuffle per round
       val updated = labels
         .join(neighborMin.select(col("src").as("id"), col("min_nc")), Seq("id"), "left")
         .select(col("id"),
-          least(col("component"), coalesce(col("min_nc"), col("component"))).as("component"))
+          least(col("component"), coalesce(col("min_nc"), col("component"))).as("component"),
+          (coalesce(col("min_nc"), col("component")) < col("component")).as("__changed"))
         .localCheckpoint(true)
-      converged = updated
-        .join(labels.withColumnRenamed("component", "old"), "id")
-        .filter(col("component") =!= col("old"))
-        .isEmpty
-      labels = updated
+      converged = updated.filter(col("__changed")).isEmpty
+      labels = updated.drop("__changed")
       i += 1
     }
     labels
