@@ -460,6 +460,56 @@ object RelationalQueries {
             <= count(DISTINCT l_suppkey) * 0.05 AS supps_within_5pct
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // The q29 invariant trick applied to the other big sketch family —
+    // quantiles: the EXACT median is an integer order statistic over
+    // cents (interpolated medians differ across engines in the last
+    // ulp — the d19/d21 class), and each engine's own quantile sketch
+    // (GK here, t-digest in DuckDB) must land within 1% of its own exact
+    // value. Exact medians hash-match; sketch accuracy rides as booleans.
+    CatalogQuery(
+      "q43_median_sketch",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val cents = t(s, dir, "lineitem")
+          .select(col("l_returnflag").as("flag"),
+            (dec2(col("l_extendedprice")) * 100).cast("long").as("cents"))
+        val hist = cents.groupBy(col("flag"), col("cents")).agg(count(lit(1)).as("c"))
+        val cum = hist.withColumn("cum",
+          sum(col("c")).over(Window.partitionBy(col("flag")).orderBy(col("cents"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val n = hist.groupBy(col("flag")).agg(sum(col("c")).as("n"))
+        val med = cum.join(broadcast(n), "flag")
+          .groupBy(col("flag"))
+          .agg(min(when(col("cum") > expr("(n - 1) DIV 2"), col("cents"))).as("med_cents"))
+        val approx = cents.groupBy(col("flag"))
+          .agg(percentile_approx(col("cents"), lit(0.5), lit(10000)).as("ap"))
+        med.join(approx, Seq("flag"))
+          .select(col("flag").as("l_returnflag"),
+            (col("med_cents").cast(org.apache.spark.sql.types.DecimalType(12, 0))
+              * expr("CAST(0.01 AS DECIMAL(3,2))"))
+              .cast(org.apache.spark.sql.types.DecimalType(18, 2)).as("median_price"),
+            (abs(col("ap") - col("med_cents")) <= col("med_cents") * 0.01)
+              .as("median_within_1pct"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""WITH cents AS (
+          SELECT l_returnflag AS flag,
+            CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+          FROM lineitem),
+        h AS (SELECT flag, cents, count(*) AS c FROM cents GROUP BY 1, 2),
+        cu AS (SELECT flag, cents,
+                 sum(c) OVER (PARTITION BY flag ORDER BY cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+               FROM h),
+        nn AS (SELECT flag, CAST(sum(c) AS BIGINT) AS n FROM h GROUP BY 1),
+        med AS (SELECT flag, min(CASE WHEN cum > (n - 1) // 2 THEN cents END) AS med_cents
+                FROM cu JOIN nn USING (flag) GROUP BY 1),
+        ap AS (SELECT flag, approx_quantile(cents, 0.5) AS ap FROM cents GROUP BY 1)
+        SELECT med.flag AS l_returnflag,
+          CAST(CAST(med_cents AS DECIMAL(12,0)) * CAST(0.01 AS DECIMAL(3,2)) AS DECIMAL(18,2)) AS median_price,
+          abs(ap - med_cents) <= med_cents * 0.01 AS median_within_1pct
+        FROM med JOIN ap USING (flag) ORDER BY 1""")),
+
     // ---- date functions ---------------------------------------------------
     CatalogQuery(
       "q27_monthly_order_span",
