@@ -179,16 +179,18 @@ object VectorQueries {
         SELECT probe_id, neighbor_id, CAST(rn AS INTEGER) AS rnk, qdist
         FROM k WHERE rn <= 5 ORDER BY probe_id, rnk""")),
 
-    // Engine-portable k-means (one Lloyd update, k=8): semantic clustering
-    // for SemDeDup-style dedup and corpus stratification. md5-ranked init,
-    // integer-quantized distances, exact-integer centroid updates — the
-    // oracle unrolls the identical iteration in SQL and every cell matches
-    // bit-for-bit (assignments AND quantized distances).
+    // Engine-portable k-means (TWO Lloyd updates, k=8): semantic
+    // clustering for SemDeDup-style dedup and corpus stratification.
+    // md5-ranked init, integer-quantized distances, exact-integer centroid
+    // updates — the oracle unrolls both iterations in SQL and every cell
+    // matches bit-for-bit (assignments AND quantized distances), proving
+    // the portability COMPOUNDS: iteration 2's centroids are built from
+    // iteration 1's cross-engine-identical assignments.
     CatalogQuery(
       "e07_kmeans",
       (s, dir) =>
         Similarity.kmeansAssignments(
-            t(s, dir, "embeddings"), "vec_id", "embedding", k = 8, iters = 1)
+            t(s, dir, "embeddings"), "vec_id", "embedding", k = 8, iters = 2)
           .select(col("id").as("vec_id"), col("cluster"), col("qdist"))
           .orderBy(col("vec_id")),
       Some("""WITH cent0src AS (
@@ -223,11 +225,24 @@ object VectorQueries {
         d2 AS (
           SELECT id, cluster,
             CAST(sum(CAST(floor((x - c) * (x - c) * 1e12) AS BIGINT)) AS BIGINT) AS dist
-          FROM ex JOIN c1 USING (i) GROUP BY 1, 2)
+          FROM ex JOIN c1 USING (i) GROUP BY 1, 2),
+        a2 AS (
+          SELECT id, cluster FROM (
+            SELECT id, cluster, row_number() OVER (PARTITION BY id ORDER BY dist, cluster) AS rn
+            FROM d2) WHERE rn = 1),
+        c2 AS (
+          SELECT cluster, i,
+            CAST(floor(CAST(2 * s + n AS DOUBLE) / CAST(2 * n AS DOUBLE)) AS BIGINT) / 1000000.0 AS c
+          FROM (SELECT cluster, i, CAST(sum(micro) AS BIGINT) AS s, count(*) AS n
+                FROM a2 JOIN ex USING (id) GROUP BY 1, 2)),
+        d3 AS (
+          SELECT id, cluster,
+            CAST(sum(CAST(floor((x - c) * (x - c) * 1e12) AS BIGINT)) AS BIGINT) AS dist
+          FROM ex JOIN c2 USING (i) GROUP BY 1, 2)
         SELECT id AS vec_id, cluster, dist AS qdist FROM (
           SELECT id, cluster, dist,
             row_number() OVER (PARTITION BY id ORDER BY dist, cluster) AS rn
-          FROM d2) WHERE rn = 1 ORDER BY vec_id""")),
+          FROM d3) WHERE rn = 1 ORDER BY vec_id""")),
 
     CatalogQuery(
       "e04_cosine_neardup",
