@@ -403,6 +403,22 @@ object CdcPipelines {
     bus.publish(spark, topic, source.select(keyCol, valueCol.as("value")))
   }
 
+  /** The consumer side of a change feed: apply a `readChanges`-shaped
+    * frame (table columns + `_change_type` + `_commit_version`) to a
+    * replica table — lake-to-lake replication without snapshot diffs.
+    * Preimages are ignored; the latest change per key wins (an insert at
+    * v1 followed by a delete at v3 must end deleted, whatever order the
+    * frame arrives in); inserts/postimages MERGE, deletes remove. A fresh
+    * replica bootstraps from the first applied feed. */
+  def applyChangeFeed(replica: GraftTable, changes: DataFrame, keyCols: Seq[String]): Unit = {
+    val ops = changes.filter(col("_change_type") =!= "update_preimage")
+    val latest = graft.ext.Dedup.latestPerKey(ops, keyCols, Seq(col("_commit_version").desc))
+    val tagged = latest
+      .withColumn("__op", when(col("_change_type") === "delete", lit("d")).otherwise(lit("u")))
+      .drop("_change_type", "_commit_version")
+    if (!tagged.isEmpty) { replica.upsert(tagged, keyCols, "__op"); () }
+  }
+
   /** Incremental reverse CDC: publish a table's row-level CHANGES since
     * the last run (`GraftTable.readChanges`) instead of its full state —
     * the outbound analogue of `rawToStaged`'s inbound checkpointing. The

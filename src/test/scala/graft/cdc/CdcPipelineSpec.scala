@@ -464,6 +464,28 @@ class CdcPipelineSpec extends SparkSpecBase {
       Set((1, "widget"), (2, "gadget-v2"), (4, "gizmo")))
   }
 
+  test("change-feed replication: applying the feed reproduces the source table") {
+    val dir = Files.createTempDirectory("graft-replica-").toString
+    val src = GraftTable(spark, s"file://$dir/src")(settings.copy(changeDataFeed = true))
+    val dst = GraftTable(spark, s"file://$dir/dst")(settings)
+    src.append(Seq((1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)).toDF("id", "name", "w")) // v1
+    src.upsert(Seq((2, "B", 2.2, "u"), (4, "d", 4.0, "c")).toDF("id", "name", "w", "op"),
+      Seq("id"), "op")                              // v2
+    src.delete(col("id") === 1)                     // v3
+    src.update(col("id") === 3, Map("w" -> lit(9.0))) // v4
+    // one catch-up apply: latest change per key must win (1 was inserted
+    // at v1 and deleted at v3 — it must NOT reappear)
+    CdcPipelines.applyChangeFeed(dst, src.readChanges(0), Seq("id"))
+    assert(dst.read().as[(Int, String, Double)].collect().toSet ===
+      src.read().as[(Int, String, Double)].collect().toSet)
+    // incremental apply of a later window converges too
+    src.upsert(Seq((4, "D", 4.4, "u"), (2, "b", 0.0, "d")).toDF("id", "name", "w", "op"),
+      Seq("id"), "op")                              // v5
+    CdcPipelines.applyChangeFeed(dst, src.readChanges(4), Seq("id"))
+    assert(dst.read().as[(Int, String, Double)].collect().toSet ===
+      src.read().as[(Int, String, Double)].collect().toSet)
+  }
+
   test("incremental reverse CDC: only changes since the cursor publish; reruns resume") {
     val out = "outbound.cdf.products"
     val dir = Files.createTempDirectory("graft-cdcout-").toString
