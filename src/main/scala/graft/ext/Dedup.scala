@@ -309,6 +309,71 @@ object Dedup {
         (col("n_overlap").cast("double") / col("__n_eval")).as("eval_frac"))
   }
 
+  /** Exact duplicate-SPAN detection (the substring-dedup of Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better"): every
+    * word `n`-gram occurring in ≥ 2 distinct documents is a duplicated
+    * span, and each document reports how many of its n-gram starts are
+    * duplicated and how many token positions those spans cover. MinHash
+    * (whole-document Jaccard) misses a boilerplate paragraph pasted into
+    * thousands of otherwise-unique pages; this catches exactly that.
+    *
+    * Returns (id, n_tokens, dup_ngrams, covered_tokens, covered_frac) —
+    * covered_frac engine-portable via [[graft.operators.QueryDsl.ratio6]].
+    *
+    * Scale shape (100 TB): after the one hash projection, only
+    * (id, pos, hash64) crosses any wire — never text. The duplicated-hash
+    * set is a distinct + partial-agg count; the join back is hash-keyed
+    * (both sides shuffle on the 8-byte hash, AQE handles skew from viral
+    * boilerplate). Coverage explodes dup starts ×n only (dup spans are a
+    * small fraction of a real corpus). The n-gram stream feeds two
+    * consumers, so it is materialized once (localCheckpoint) instead of
+    * re-tokenizing the corpus twice.
+    *
+    * `portable=true` hashes with the md5-derived 60-bit family so a
+    * DuckDB oracle reproduces it; production uses xxhash64. */
+  def dupSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 5,
+      portable: Boolean = false): DataFrame = {
+    require(n >= 2, s"n-gram size must be >= 2, got $n")
+    def hashOf(c: Column): Column =
+      if (portable) TextAnalysis.portableHash60(c) else xxhash64(c)
+    val words = split(TextAnalysis.normalize(col(textCol)), " ")
+    val base = df.select(
+      col(idCol),
+      when(length(TextAnalysis.normalize(col(textCol))) === 0, lit(0L))
+        .otherwise(size(words).cast("long")).as("n_tokens"))
+    // (id, 0-based ngram start, hash) — guarded so sequence() never sees a
+    // descending range on short docs
+    val ng = Parallelism.widen(df)
+      .select(col(idCol).as("__id"), words.as("__w"))
+      .filter(size(col("__w")) >= n)
+      .select(col("__id"),
+        posexplode(transform(
+          sequence(lit(1), size(col("__w")) - (n - 1)),
+          i => hashOf(concat_ws(" ", slice(col("__w"), i, lit(n)))))).as(Seq("__pos", "__h")))
+      .localCheckpoint(true)
+    val dupHashes = ng.select(col("__h"), col("__id")).distinct()
+      .groupBy(col("__h")).agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") >= 2).select(col("__h"))
+    val dupNg = ng.join(dupHashes, "__h")
+    val perDoc = dupNg.groupBy(col("__id")).agg(count(lit(1)).as("dup_ngrams"))
+    val covered = dupNg
+      .select(col("__id"), explode(sequence(col("__pos"), col("__pos") + (n - 1))).as("__p"))
+      .distinct()
+      .groupBy(col("__id")).agg(count(lit(1)).as("covered_tokens"))
+    base
+      .join(perDoc.withColumnRenamed("__id", idCol), Seq(idCol), "left")
+      .join(covered.withColumnRenamed("__id", idCol), Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("dup_ngrams"), lit(0L)).as("dup_ngrams"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        graft.operators.QueryDsl.ratio6(
+          coalesce(col("covered_tokens"), lit(0L)), col("n_tokens")).as("covered_frac"))
+  }
+
   // ---------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash over word tokens: per-bit majority vote of token

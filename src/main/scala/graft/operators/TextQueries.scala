@@ -540,6 +540,48 @@ object TextQueries {
           ${ratio6Sql("top_big", "n_big")} AS top_bigram_frac
         FROM uni u LEFT JOIN bagg b USING (doc_id) ORDER BY doc_id""")),
 
+    // Exact duplicate-span detection (Lee et al. substring dedup): word
+    // 5-grams occurring in >= 2 distinct docs, per-doc span coverage.
+    // Only (id, pos, hash) ever crosses a shuffle — never text.
+    CatalogQuery(
+      "d22_dup_spans",
+      (s, dir) =>
+        Dedup.dupSpans(t(s, dir, "documents"), "doc_id", "text",
+            n = 5, portable = true)
+          .orderBy(col("doc_id")),
+      Some(s"""WITH w AS (
+          SELECT doc_id,
+            string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS l
+          FROM documents),
+        base AS (
+          SELECT doc_id,
+            CAST(CASE WHEN len(l) = 1 AND l[1] = '' THEN 0 ELSE len(l) END AS BIGINT) AS n_tokens
+          FROM w),
+        ev AS (
+          SELECT doc_id, l, unnest(generate_series(1, len(l) - 4)) AS i
+          FROM w WHERE len(l) >= 5),
+        ng AS (
+          SELECT doc_id, i,
+            CAST(('0x' || substr(md5(array_to_string(l[i:i+4], ' ')), 1, 15)) AS BIGINT) AS h
+          FROM ev),
+        dup AS (
+          SELECT h FROM (SELECT h, doc_id FROM ng GROUP BY 1, 2)
+          GROUP BY h HAVING count(*) >= 2),
+        dng AS (SELECT doc_id, i FROM ng JOIN dup USING (h)),
+        per_doc AS (SELECT doc_id, count(*) AS dup_ngrams FROM dng GROUP BY 1),
+        cov AS (
+          SELECT doc_id, count(DISTINCT i + x) AS covered_tokens
+          FROM (SELECT doc_id, i, unnest(generate_series(0, 4)) AS x FROM dng)
+          GROUP BY 1)
+        SELECT b.doc_id, b.n_tokens,
+          coalesce(p.dup_ngrams, 0) AS dup_ngrams,
+          coalesce(c.covered_tokens, 0) AS covered_tokens,
+          ${ratio6Sql("coalesce(c.covered_tokens, 0)", "b.n_tokens")} AS covered_frac
+        FROM base b
+        LEFT JOIN per_doc p USING (doc_id)
+        LEFT JOIN cov c USING (doc_id)
+        ORDER BY b.doc_id""")),
+
     // Benchmark decontamination: corpus docs sharing word 3-grams with a
     // held-out "eval" slice (doc_id % 97 == 0 stands in for the benchmark
     // table). Eval side broadcast; only (id, hash) crosses any wire.
