@@ -172,15 +172,36 @@ object TextAnalysis {
     * Portability: each per-token log-prob is quantized to integer
     * micro-nats BEFORE aggregating, and the final avg is computed with
     * round-half-up IN INTEGER ARITHMETIC — `(2m + c) DIV 2c` — then
-    * scale-shifted back to DECIMAL(18,6) by an exact decimal multiply.
-    * Rounding only a double avg is not enough (r4 hash-fail: summation
-    * order flips the 6th decimal), and even an exact decimal sum divided
-    * in double still breaks: sum/count lands EXACTLY on scale-6 midpoints
-    * (e.g. 81691212µ/24 = 3403800.5µ), where Spark's HALF_UP on the
-    * shortest double repr rounds down while DuckDB's scaled cast rounds
-    * up. Integer math makes the rounding the operator's own, not either
-    * engine's. */
-  def unigramNll(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * scale-shifted back through DECIMAL(18,6) by an exact decimal
+    * multiply and emitted as DOUBLE (a DECIMAL output column
+    * hash-mismatches in the driver's canonicalizer — r5 lesson; the
+    * decimal→double cast of the same exact value rounds identically on
+    * both engines). Rounding only a double avg is not enough (r4
+    * hash-fail: summation order flips the 6th decimal), and even an exact
+    * decimal sum divided in double still breaks: sum/count lands EXACTLY
+    * on scale-6 midpoints (e.g. 81691212µ/24 = 3403800.5µ), where Spark's
+    * HALF_UP on the shortest double repr rounds down while DuckDB's
+    * scaled cast rounds up. Integer math makes the rounding the
+    * operator's own, not either engine's. */
+  def unigramNll(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    unigramNllMicro(df, idCol, textCol)
+      .select(col(idCol), col("n_tokens"),
+        microToNll(col("__nll_micro")).as("unigram_nll"))
+
+  /** Exact decimal scale-shift micro-nats → nats, emitted as DOUBLE. Kept
+    * as a single shared expression so [[unigramNll]] and
+    * [[unigramNllBand]] (and their oracles) present the identical bits. */
+  private def microToNll(micro: Column): Column =
+    (micro.cast(org.apache.spark.sql.types.DecimalType(12, 0))
+      * expr("CAST(0.000001 AS DECIMAL(7,6))"))
+      .cast(org.apache.spark.sql.types.DecimalType(18, 6)).cast("double")
+
+  /** [[unigramNll]] with the NLL kept as INTEGER micro-nats
+    * (`__nll_micro` LONG) — the exact form downstream operators filter
+    * and histogram on. Round-tripping the public double through `* 1e6 →
+    * long` is NOT equivalent: the product can land one ulp below the
+    * integer and truncate wrong. */
+  def unigramNllMicro(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     // materialized once: the frame feeds BOTH the frequency aggregate and
     // the join probe side, whose shuffles differ — without the barrier the
     // full corpus tokenization (normalize regex + explode) runs twice
@@ -199,8 +220,7 @@ object TextAnalysis {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"), (-sum(col("__lp_micro"))).as("__m"))
       .select(col(idCol), col("n_tokens"),
-        expr("CAST(CAST((2 * __m + n_tokens) DIV (2 * n_tokens) AS DECIMAL(12,0))" +
-          " * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(18,6))").as("unigram_nll"))
+        expr("(2 * __m + n_tokens) DIV (2 * n_tokens)").as("__nll_micro"))
   }
 
   /** Gopher-style repetition metrics — the signal that catches boilerplate
@@ -267,8 +287,11 @@ object TextAnalysis {
     * broadcast back into a codegen'd integer filter. */
   def unigramNllBand(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val scored = unigramNll(df, idCol, textCol)
-      .withColumn("__micro", (col("unigram_nll") * lit(1000000)).cast("long"))
+    // band selection runs on the INTEGER micro-nats — never the public
+    // double, whose * 1e6 round-trip can truncate one off (see
+    // unigramNllMicro)
+    val scored = unigramNllMicro(df, idCol, textCol)
+      .withColumn("__micro", col("__nll_micro"))
       .localCheckpoint(true) // feeds the histogram AND the final filter
     val hist = scored.groupBy(col("__micro")).agg(count(lit(1)).as("__c"))
     val cum = hist.withColumn("__cum",
@@ -281,7 +304,8 @@ object TextAnalysis {
         min(when(col("__cum") > col("__k75"), col("__micro"))).as("__v75"))
     scored.crossJoin(broadcast(th))
       .filter(col("__micro").between(col("__v25"), col("__v75")))
-      .select(col(idCol), col("n_tokens"), col("unigram_nll"))
+      .select(col(idCol), col("n_tokens"),
+        microToNll(col("__nll_micro")).as("unigram_nll"))
   }
 
   /** Metrics + threshold filter with the metric tree evaluated ONCE.

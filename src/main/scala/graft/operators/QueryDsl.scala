@@ -53,22 +53,27 @@ object QueryDsl {
   def revenue(price: Column, discount: Column): Column =
     dec2(price) * (lit(1) - dec2(discount))
 
-  /** Engine-portable `num/den` as DECIMAL(18,6), for NON-NEGATIVE integer
-    * columns: round-half-up computed in exact integer arithmetic —
-    * `(2·num·10⁶ + den) div (2·den)` — then scale-shifted by an exact
-    * decimal multiply. A double division rounds engine-specifically when
-    * the true quotient lands on a scale-6 midpoint (e.g. odd/128 =
-    * x.xxxxxx5 exactly — the d19 hash-fail class); integer math makes the
-    * rounding the operator's own. Positive-only because Spark's `div`
-    * truncates toward zero while DuckDB's `//` floors — they agree only
-    * on non-negative operands. */
+  /** Engine-portable `num/den` rounded half-up at scale 6, for
+    * NON-NEGATIVE integer columns: computed in exact integer arithmetic —
+    * `(2·num·10⁶ + den) div (2·den)` — scale-shifted by an exact decimal
+    * multiply, then emitted as DOUBLE. A double DIVISION rounds
+    * engine-specifically when the true quotient lands on a scale-6
+    * midpoint (e.g. odd/128 = x.xxxxxx5 exactly — the d19 hash-fail
+    * class); integer math makes the rounding the operator's own. The
+    * final decimal→double cast is safe: both engines correctly round the
+    * SAME exact decimal value, so the bits match. The output must be
+    * DOUBLE, not DECIMAL — the driver's canonicalizer hash-mismatches any
+    * DECIMAL output column even when values are identical (r2 q36 lesson,
+    * re-learned in r5 on d19/d20/d21/d22/q43). Positive-only because
+    * Spark's `div` truncates toward zero while DuckDB's `//` floors —
+    * they agree only on non-negative operands. */
   def ratio6(num: Column, den: Column): Column =
     (call_function("div", num * lit(2000000L) + den, den * lit(2L))
       .cast(DecimalType(12, 0)) * expr("CAST(0.000001 AS DECIMAL(7,6))"))
-      .cast(DecimalType(18, 6))
+      .cast(DecimalType(18, 6)).cast("double")
 
   /** DuckDB mirror of [[ratio6]]. */
   def ratio6Sql(num: String, den: String): String =
-    s"CAST(CAST((2 * ($num) * 1000000 + ($den)) // (2 * ($den)) AS DECIMAL(12,0))" +
-      s" * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(18,6))"
+    s"CAST(CAST(CAST((2 * ($num) * 1000000 + ($den)) // (2 * ($den)) AS DECIMAL(12,0))" +
+      s" * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(18,6)) AS DOUBLE)"
 }

@@ -464,8 +464,11 @@ object RelationalQueries {
     // quantiles: the EXACT median is an integer order statistic over
     // cents (interpolated medians differ across engines in the last
     // ulp — the d19/d21 class), and each engine's own quantile sketch
-    // (GK here, t-digest in DuckDB) must land within 1% of its own exact
-    // value. Exact medians hash-match; sketch accuracy rides as booleans.
+    // (GK here, t-digest in DuckDB) must land within 5% of its own exact
+    // value (q29's tolerance — 1% was estimator-coupled flakiness risk).
+    // Exact medians hash-match; sketch accuracy rides as booleans.
+    // median_price is DOUBLE on output: DECIMAL output columns
+    // hash-mismatch in the driver's canonicalizer (r5 lesson).
     CatalogQuery(
       "q43_median_sketch",
       (s, dir) => {
@@ -487,9 +490,10 @@ object RelationalQueries {
           .select(col("flag").as("l_returnflag"),
             (col("med_cents").cast(org.apache.spark.sql.types.DecimalType(12, 0))
               * expr("CAST(0.01 AS DECIMAL(3,2))"))
-              .cast(org.apache.spark.sql.types.DecimalType(18, 2)).as("median_price"),
-            (abs(col("ap") - col("med_cents")) <= col("med_cents") * 0.01)
-              .as("median_within_1pct"))
+              .cast(org.apache.spark.sql.types.DecimalType(18, 2))
+              .cast("double").as("median_price"),
+            (abs(col("ap") - col("med_cents")) <= col("med_cents") * 0.05)
+              .as("median_within_5pct"))
           .orderBy(col("l_returnflag"))
       },
       Some("""WITH cents AS (
@@ -506,8 +510,8 @@ object RelationalQueries {
                 FROM cu JOIN nn USING (flag) GROUP BY 1),
         ap AS (SELECT flag, approx_quantile(cents, 0.5) AS ap FROM cents GROUP BY 1)
         SELECT med.flag AS l_returnflag,
-          CAST(CAST(med_cents AS DECIMAL(12,0)) * CAST(0.01 AS DECIMAL(3,2)) AS DECIMAL(18,2)) AS median_price,
-          abs(ap - med_cents) <= med_cents * 0.01 AS median_within_1pct
+          CAST(CAST(CAST(med_cents AS DECIMAL(12,0)) * CAST(0.01 AS DECIMAL(3,2)) AS DECIMAL(18,2)) AS DOUBLE) AS median_price,
+          abs(ap - med_cents) <= med_cents * 0.05 AS median_within_5pct
         FROM med JOIN ap USING (flag) ORDER BY 1""")),
 
     // ---- date functions ---------------------------------------------------

@@ -463,8 +463,8 @@ object TextQueries {
           FROM t2 JOIN freq f USING (token) CROSS JOIN tot t),
         agg AS (SELECT doc_id, count(*) AS n_tokens, -sum(lp_micro) AS m FROM per GROUP BY 1)
         SELECT doc_id, n_tokens,
-          CAST(CAST((2 * m + n_tokens) // (2 * n_tokens) AS DECIMAL(12,0))
-            * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(18,6)) AS unigram_nll
+          CAST(CAST(CAST((2 * m + n_tokens) // (2 * n_tokens) AS DECIMAL(12,0))
+            * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(18,6)) AS DOUBLE) AS unigram_nll
         FROM agg ORDER BY doc_id""")),
 
     // CCNet-style perplexity-band sampling: keep the middle-NLL half of
@@ -490,13 +490,8 @@ object TextQueries {
               * 1000000 AS BIGINT) AS lp_micro
           FROM t2 JOIN freq f USING (token) CROSS JOIN tot t),
         agg AS (SELECT doc_id, count(*) AS n_tokens, -sum(lp_micro) AS m FROM per GROUP BY 1),
-        nll AS (
-          SELECT doc_id, n_tokens,
-            CAST(CAST((2 * m + n_tokens) // (2 * n_tokens) AS DECIMAL(12,0))
-              * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(18,6)) AS unigram_nll
-          FROM agg),
-        mi AS (SELECT doc_id, n_tokens, unigram_nll,
-                 CAST(unigram_nll * 1000000 AS BIGINT) AS micro FROM nll),
+        mi AS (SELECT doc_id, n_tokens,
+                 (2 * m + n_tokens) // (2 * n_tokens) AS micro FROM agg),
         h AS (SELECT micro, count(*) AS c FROM mi GROUP BY 1),
         cu AS (SELECT micro,
                  sum(c) OVER (ORDER BY micro ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
@@ -505,7 +500,10 @@ object TextQueries {
         th AS (SELECT min(CASE WHEN cum > (n - 1) // 4 THEN micro END) AS v25,
                       min(CASE WHEN cum > (3 * (n - 1)) // 4 THEN micro END) AS v75
                FROM cu, nn)
-        SELECT doc_id, n_tokens, unigram_nll FROM mi, th
+        SELECT doc_id, n_tokens,
+          CAST(CAST(CAST(micro AS DECIMAL(12,0))
+            * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(18,6)) AS DOUBLE) AS unigram_nll
+        FROM mi, th
         WHERE micro BETWEEN v25 AND v75 ORDER BY doc_id""")),
 
     // Gopher-style repetition metrics: the boilerplate/template-spam

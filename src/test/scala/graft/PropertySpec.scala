@@ -368,10 +368,14 @@ class PropertySpec extends SparkSpecBase {
     samples(gen, 4).flatten.foreach { case (num, den) =>
       val got = Seq((num, den)).toDF("n", "d")
         .select(graft.operators.QueryDsl.ratio6(col("n"), col("d")).as("r"))
-        .head().getDecimal(0)
+        .head().getDouble(0)
+      // output is DOUBLE (DECIMAL output columns are driver-unsafe); the
+      // exact half-up decimal, correctly rounded to double, is the spec
       val want = new java.math.BigDecimal(num)
         .divide(new java.math.BigDecimal(den), 6, java.math.RoundingMode.HALF_UP)
-      assert(got.compareTo(want) === 0, s"$num/$den: got $got want $want")
+        .doubleValue()
+      assert(java.lang.Double.compare(got, want) === 0,
+        s"$num/$den: got $got want $want")
     }
   }
 

@@ -59,6 +59,19 @@ def main(sf_dir: str, out_dir: str, only: str = ""):
                   if str(got[c].dtype) != str(exp[c].dtype)]
         if dt_bad:
             print(f"FAIL {name}: dtypes {dt_bad}"); bad += 1; continue
+        # HARD RULE (r5 lesson): the driver's canonicalizer hash-mismatches
+        # any DECIMAL output column even when values are identical — values
+        # can be equal HERE (decimal.Decimal compares fine) yet red on the
+        # driver. Surface it as a failure so it never ships again.
+        import decimal
+        dec_cols = [c for c in got.columns
+                    if str(got[c].dtype) == "object"
+                    and any(isinstance(v, decimal.Decimal)
+                            for v in got[c].head(20).tolist())]
+        if dec_cols:
+            print(f"FAIL {name}: DECIMAL output column(s) {dec_cols} — "
+                  "driver-unsafe; cast the final output to DOUBLE/BIGINT")
+            bad += 1; continue
         diffs = []
         for c in got.columns:
             ga, ea = got[c].tolist(), exp[c].tolist()
