@@ -412,10 +412,21 @@ object CdcPipelines {
     * replica bootstraps from the first applied feed. */
   def applyChangeFeed(replica: GraftTable, changes: DataFrame, keyCols: Seq[String]): Unit = {
     val ops = changes.filter(col("_change_type") =!= "update_preimage")
-    val latest = graft.ext.Dedup.latestPerKey(ops, keyCols, Seq(col("_commit_version").desc))
+    // Secondary ordering: an overwrite/restore commit synthesizes BOTH a
+    // delete (for each removed file's rows) and an insert (added file's
+    // rows) at the SAME _commit_version for any key present before and
+    // after — end-of-commit state wins, so a non-delete outranks a delete
+    // within one version. Without it row_number ties break arbitrarily and
+    // the replica nondeterministically drops live rows.
+    val latest = graft.ext.Dedup.latestPerKey(ops, keyCols,
+      Seq(col("_commit_version").desc,
+        when(col("_change_type") === "delete", 0).otherwise(1).desc))
     val tagged = latest
       .withColumn("__op", when(col("_change_type") === "delete", lit("d")).otherwise(lit("u")))
       .drop("_change_type", "_commit_version")
+      // barrier: the frame feeds BOTH the isEmpty probe and the upsert —
+      // without it the whole dedup-window pipeline runs twice
+      .localCheckpoint(true)
     if (!tagged.isEmpty) { replica.upsert(tagged, keyCols, "__op"); () }
   }
 
@@ -453,16 +464,17 @@ object CdcPipelines {
         .drop("_commit_version")
       if (!changes.isEmpty)
         dataframeToKafka(spark, changes, topic, keyColumns, registry, bus, contentType)
-      // cursor write is atomic rename, so a crash mid-publish re-publishes
-      // (at-least-once, like any Kafka producer without transactions) but
-      // never records progress it didn't make
+      // cursor advance is a single OVERWRITE rename — no delete-then-rename
+      // window where a crash loses the cursor and the next run re-publishes
+      // the table's whole history. A crash BEFORE the rename re-publishes
+      // just this window (at-least-once, like any Kafka producer without
+      // transactions) but never records progress it didn't make.
       fs.mkdirs(cursorPath.getParent)
       val tmp = new org.apache.hadoop.fs.Path(s"$cursorDir/.$topic.version.tmp")
       val out = fs.create(tmp, true)
       try out.write(to.toString.getBytes("UTF-8")) finally out.close()
-      fs.delete(cursorPath, false)
-      if (!fs.rename(tmp, cursorPath))
-        throw new IllegalStateException(s"failed to advance cdc-out cursor for $topic")
+      org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, spark.sparkContext.hadoopConfiguration)
+        .rename(tmp, cursorPath, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     }
     math.max(from, to)
   }

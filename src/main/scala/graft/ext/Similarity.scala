@@ -340,6 +340,14 @@ object Similarity {
       .agg(min(col("x").cast("double")).as("mn"), max(col("x").cast("double")).as("mx"))
       .orderBy(col("i"))
       .collect()
+    // the arrays are filled POSITIONALLY, so the dimension indices must be
+    // dense 0..d-1 — ragged vectors (a dimension missing from every row)
+    // would silently misalign the whole grid instead of failing
+    rows.iterator.zipWithIndex.foreach { case (r, idx) =>
+      require(r.getInt(0) == idx,
+        s"sqDimStats: non-contiguous dimension indices (expected $idx, " +
+          s"got ${r.getInt(0)}) — ragged vectors in '$vecCol'")
+    }
     (rows.map(_.getDouble(1)), rows.map(r => (r.getDouble(2) - r.getDouble(1)) / 256.0))
   }
 

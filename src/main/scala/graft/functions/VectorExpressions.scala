@@ -147,6 +147,11 @@ case class SqEncodeBytes(first: Expression, second: Expression, third: Expressio
     val xm = m.asInstanceOf[ArrayData]
     val xs = s.asInstanceOf[ArrayData]
     val n = xv.numElements()
+    // a ragged vector vs the grid would silently encode garbage dimensions
+    if (xm.numElements() != n || xs.numElements() != n)
+      throw new IllegalArgumentException(
+        s"sq_encode: vector has $n dims but grid has " +
+          s"${xm.numElements()} mins / ${xs.numElements()} steps")
     val out = new Array[Byte](n)
     var i = 0
     while (i < n) {
@@ -171,6 +176,11 @@ case class SqEncodeBytes(first: Expression, second: Expression, third: Expressio
       val x = VectorExpressions.elementAccessor(first.dataType, v, i)
       s"""
          |int $n = $v.numElements();
+         |if ($m.numElements() != $n || $s.numElements() != $n) {
+         |  throw new IllegalArgumentException(
+         |    "sq_encode: vector has " + $n + " dims but grid has "
+         |      + $m.numElements() + " mins / " + $s.numElements() + " steps");
+         |}
          |byte[] $out = new byte[$n];
          |for (int $i = 0; $i < $n; $i++) {
          |  double $st = $s.getDouble($i);
@@ -196,6 +206,11 @@ case class ByteCodeL2(left: Expression, right: Expression) extends BinaryExpress
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val (xa, xb) = (a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+    // ragged codes (or probe codes from a different grid) must fail loudly,
+    // not index out of bounds or silently drop b's trailing dims
+    if (xa.length != xb.length)
+      throw new IllegalArgumentException(
+        s"byte_l2: code lengths differ (${xa.length} vs ${xb.length})")
     var sum = 0L
     var i = 0
     val n = xa.length
@@ -214,6 +229,10 @@ case class ByteCodeL2(left: Expression, right: Expression) extends BinaryExpress
       val sum = ctx.freshName("sum")
       val d = ctx.freshName("d")
       s"""
+         |if ($a.length != $b.length) {
+         |  throw new IllegalArgumentException(
+         |    "byte_l2: code lengths differ (" + $a.length + " vs " + $b.length + ")");
+         |}
          |long $sum = 0L;
          |int $n = $a.length;
          |for (int $i = 0; $i < $n; $i++) {

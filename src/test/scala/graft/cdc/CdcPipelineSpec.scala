@@ -486,6 +486,26 @@ class CdcPipelineSpec extends SparkSpecBase {
       src.read().as[(Int, String, Double)].collect().toSet)
   }
 
+  test("change-feed replication survives an overwrite window (same-version delete+insert)") {
+    val dir = Files.createTempDirectory("graft-replica-ow-").toString
+    val src = GraftTable(spark, s"file://$dir/src")(settings.copy(changeDataFeed = true))
+    val dst = GraftTable(spark, s"file://$dir/dst")(settings)
+    src.append(Seq((1, "a", 1.0), (2, "b", 2.0)).toDF("id", "name", "w")) // v1
+    // an overwrite tags every removed file's rows delete and every added
+    // file's rows insert at the SAME version — key 1 survives the
+    // overwrite, so it arrives as a delete+insert TIE that must resolve to
+    // the insert (end-of-commit state), key 2 as a bare delete
+    src.overwrite(Seq((1, "A", 1.1), (3, "c", 3.0)).toDF("id", "name", "w")) // v2
+    CdcPipelines.applyChangeFeed(dst, src.readChanges(0), Seq("id"))
+    assert(dst.read().as[(Int, String, Double)].collect().toSet ===
+      Set((1, "A", 1.1), (3, "c", 3.0)))
+    // a restore back past the overwrite replays the same tie shape
+    src.restore(1)                                  // v3: back to v1 state
+    CdcPipelines.applyChangeFeed(dst, src.readChanges(2), Seq("id"))
+    assert(dst.read().as[(Int, String, Double)].collect().toSet ===
+      src.read().as[(Int, String, Double)].collect().toSet)
+  }
+
   test("incremental reverse CDC: only changes since the cursor publish; reruns resume") {
     val out = "outbound.cdf.products"
     val dir = Files.createTempDirectory("graft-cdcout-").toString
