@@ -457,6 +457,68 @@ object Similarity {
     assign(cent)
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication by k-means clustering + within-cluster cosine — the
+    * embedding-space analogue of MinHash dedup, catching paraphrases and
+    * template variants that share no n-grams. A row is a duplicate when a
+    * LOWER-id member of its cluster is cosine-similar above `threshold`;
+    * `dup_of` is the smallest such id (deterministic representative
+    * choice, like `exactDedup`'s min-id rule).
+    *
+    * Scale shape: the pair join is WITHIN clusters only — never all-pairs
+    * across the corpus. At 100 TB you size `k ≈ n / targetClusterSize`
+    * so each cluster is a bounded candidate set (the paper uses 50k
+    * clusters for 1.3e9 docs), and the join shuffles on the cluster id.
+    * Clustering itself is [[kmeansAssignments]] — broadcast centroids,
+    * nothing wider than k·dims on the driver; similarity is the
+    * quantized-integer cosine, so results are engine-portable. */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, threshold: Double): DataFrame = {
+    val withVec = kmeansAssignments(df, idCol, vecCol, k, iters)
+      .select(col("id"), col("cluster"))
+      .join(df.select(col(idCol).as("id"), col(vecCol).as("__v")), "id")
+      .withColumn("__q", quantizedDot(col("__v"), col("__v")))
+      .localCheckpoint(true) // feeds BOTH sides of the pair join + output
+    val a = withVec.select(col("cluster"), col("id").as("__ida"),
+      col("__v").as("__va"), col("__q").as("__qa"))
+    val b = withVec.select(col("cluster"), col("id").as("__idb"),
+      col("__v").as("__vb"), col("__q").as("__qb"))
+    val dupOf = a.join(b, "cluster")
+      .filter(col("__ida") < col("__idb"))
+      .withColumn("__sim", quantizedDot(col("__va"), col("__vb")).cast("double") /
+        sqrt(col("__qa").cast("double") * col("__qb").cast("double")))
+      .filter(col("__sim") >= threshold)
+      .groupBy(col("__idb")).agg(min(col("__ida")).as("dup_of"))
+      .withColumnRenamed("__idb", "id")
+    withVec.select(col("id"), col("cluster"))
+      .join(dupOf, Seq("id"), "left")
+      .select(col("id"), col("cluster"), col("dup_of"),
+        col("dup_of").isNotNull.as("is_dup"))
+  }
+
+  /** kNN majority-vote classification: label each probe with the most
+    * common label among its `k` nearest corpus rows (deterministic
+    * quantized cosine; ties break to the smallest label). The auto-
+    * labeling/weak-supervision primitive of a training-data pipeline —
+    * propagate curated labels onto an unlabeled corpus.
+    *
+    * Candidate generation is pluggable: this wraps [[bruteForceTopK]]
+    * (probes broadcast — right when the unlabeled batch is small); swap
+    * in [[annTopK]]/[[ivfTopK]] neighbors for corpus-scale probe sets
+    * and feed them to the same vote. */
+  def knnClassify(corpus: DataFrame, probes: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val nn = bruteForceTopK(corpus, probes, idCol, vecCol, k, deterministic = true)
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("votes").desc, col(labelCol))
+    nn.join(corpus.select(col(idCol).as("neighbor_id"), col(labelCol)), "neighbor_id")
+      .groupBy(col("probe_id"), col(labelCol))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("probe_id"), col(labelCol).as("pred_label"), col("votes"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above `threshold`: multi-table
     * LSH candidate generation (ids only through the shuffle), then exact
     * cosine on re-attached vectors. Same scale shape as `annTopK`. */

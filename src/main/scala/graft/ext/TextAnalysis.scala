@@ -355,6 +355,105 @@ object TextAnalysis {
           .as(Seq("chunk_idx", "chunk")))
   }
 
+  /** Per-document top-`topK` TF-IDF terms — the keyword/topic-tagging
+    * primitive (domain routing, index keys, cluster naming). IDF is
+    * `ln(N/df)` quantized to integer micro-units BEFORE multiplying by
+    * the term frequency (the [[unigramNll]] portability discipline — the
+    * raw double product is engine-rounding-dependent, the integer one is
+    * not), so `score_micro = tf · idf_micro` is exact BIGINT math.
+    *
+    * Shape at 100 TB: one tokenize pass materialized once (feeds the
+    * per-doc tf aggregate and the document-frequency aggregate — two
+    * different shuffles), df as a token-keyed aggregate over the tf
+    * frame (already one row per (doc, token) — no re-tokenization), the
+    * per-doc top-k window partitioned by doc (bounded by doc length,
+    * never a global sort). The token-keyed join is a shuffle join, not a
+    * broadcast: the vocabulary at corpus scale is itself huge. */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+      topK: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topK > 0, "topK must be positive")
+    val tf = Parallelism.widen(df)
+      .select(col(idCol), explode(split(normalize(col(textCol)), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true) // feeds BOTH the df aggregate and the join
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("__df"))
+    val total = df.agg(count(lit(1)).as("__n_docs"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score_micro").desc, col("token"))
+    tf.join(dfreq, "token")
+      .crossJoin(broadcast(total))
+      .select(col(idCol), col("token"),
+        (col("tf") *
+          (log(col("__n_docs").cast("double") / col("__df").cast("double"))
+            .cast("decimal(28,6)") * lit(1000000)).cast("long")).as("score_micro"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col(idCol), col("rnk"), col("token"), col("score_micro"))
+  }
+
+  /** Deterministic weighted mixture sampling: draw a sample whose strata
+    * (domain/source/language) hit target proportions `weightsPpm`
+    * (parts-per-million, exact integers) — the data-mixing step every
+    * pretraining recipe runs (e.g. The Pile / Dolma domain weights).
+    * The sample is as large as the scarcest stratum allows with NO
+    * oversampling: `T = min_g((n_g · 1e6) div w_g)` total rows,
+    * `keep_g = (w_g · T) div 1e6` from stratum g. Strata absent from
+    * `weightsPpm` are dropped. Selection within a stratum is by portable
+    * hash order of the id — reproducible on any engine, any
+    * partitioning, any corpus ordering.
+    *
+    * Scale shape: NO per-stratum global sort or full-partition rank
+    * window (a stratum is ~the whole corpus / #strata — a single-reducer
+    * sort at 100 TB). Selection runs on a bounded (stratum × 65536)
+    * bucket HISTOGRAM of the hash's top 16 bits — the [[unigramNllBand]]
+    * order-statistic trick: full buckets below the per-stratum boundary
+    * bucket pass with a codegen'd filter, and only the boundary bucket
+    * (≈ n_g/65536 rows) is rank-windowed. */
+  def mixtureSample(df: DataFrame, idCol: String, stratCol: String,
+      weightsPpm: Map[String, Long]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(weightsPpm.nonEmpty && weightsPpm.values.forall(_ > 0),
+      "weightsPpm must be non-empty with positive weights")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wdf = broadcast(weightsPpm.toSeq.sortBy(_._1).toDF(stratCol, "__w"))
+    val hashed = df
+      .join(wdf, stratCol) // inner: unweighted strata drop out
+      .select(col(idCol), col(stratCol), col("__w"),
+        portableHash60(concat_ws(":", lit("mix"), col(idCol).cast("string"))).as("__h"))
+      // top 16 of the 60 hash bits: (bucket, h) order == h order
+      .withColumn("__bkt", expr("__h DIV 17592186044416"))
+      .localCheckpoint(true) // feeds counts, histogram, and final filter
+    val counts = hashed.groupBy(col(stratCol), col("__w"))
+      .agg(count(lit(1)).as("__n"))
+    val t = counts.agg(min(expr("(__n * 1000000) DIV __w")).as("__t"))
+    val keep = counts.crossJoin(broadcast(t))
+      .select(col(stratCol), expr("(__w * __t) DIV 1000000").as("__keep"))
+    val cum = hashed.groupBy(col(stratCol), col("__bkt"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(
+        Window.partitionBy(col(stratCol)).orderBy(col("__bkt"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(keep), stratCol)
+    // boundary bucket: first where the running count reaches the quota;
+    // it owes keep - (rows in strictly-lower buckets)
+    val bound = broadcast(cum
+      .filter(col("__cum") >= col("__keep"))
+      .groupBy(col(stratCol))
+      .agg(min(struct(col("__bkt"), (col("__keep") - col("__cum") + col("__c")).as("__take"))).as("__b"))
+      .select(col(stratCol), col("__b.__bkt").as("__bstar"), col("__b.__take").as("__takeB")))
+    val joined = hashed.join(bound, stratCol)
+    val below = joined.filter(col("__bkt") < col("__bstar"))
+    val atBoundary = joined.filter(col("__bkt") === col("__bstar"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(stratCol)).orderBy(col("__h"), col(idCol))))
+      .filter(col("__rn") <= col("__takeB"))
+    below.select(col(idCol), col(stratCol))
+      .unionByName(atBoundary.select(col(idCol), col(stratCol)))
+  }
+
   /** Canonical text normalization used by fingerprints/dedup: lowercase,
     * collapse all non-alphanumeric runs to single spaces, trim. */
   def normalize(text: Column): Column =

@@ -688,6 +688,59 @@ object TextQueries {
                 row_number() OVER (PARTITION BY p.event_id ORDER BY c.ts DESC, c.event_id DESC) AS rn
               FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ts < p.ts)
         SELECT user_id, event_id, prior_click_id FROM j WHERE rn = 1
-        ORDER BY event_id"""))
+        ORDER BY event_id""")),
+
+    // Per-doc top-3 TF-IDF keywords (topic tagging / domain routing).
+    // IDF quantized to integer micro-units BEFORE the tf multiply — the
+    // d19 portability discipline — so score_micro is exact BIGINT math.
+    CatalogQuery(
+      "d24_tfidf_terms",
+      (s, dir) =>
+        TextAnalysis.tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text", topK = 3)
+          .orderBy(col("doc_id"), col("rnk")),
+      Some("""WITH tok AS (
+          SELECT doc_id,
+            unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS token
+          FROM documents),
+        t2 AS (SELECT doc_id, token FROM tok WHERE length(token) > 0),
+        tf AS (SELECT doc_id, token, count(*) AS tf FROM t2 GROUP BY 1, 2),
+        dfq AS (SELECT token, count(*) AS dfc FROM tf GROUP BY 1),
+        nn AS (SELECT count(*) AS n FROM documents),
+        sc AS (SELECT doc_id, token,
+                 tf * CAST(CAST(ln(CAST(n AS DOUBLE) / CAST(dfc AS DOUBLE)) AS DECIMAL(28,6))
+                   * 1000000 AS BIGINT) AS score_micro
+               FROM tf JOIN dfq USING (token) CROSS JOIN nn),
+        r AS (SELECT doc_id, token, score_micro,
+                row_number() OVER (PARTITION BY doc_id ORDER BY score_micro DESC, token) AS rn
+              FROM sc)
+        SELECT doc_id, CAST(rn AS INTEGER) AS rnk, token, score_micro
+        FROM r WHERE rn <= 3 ORDER BY doc_id, rnk""")),
+
+    // Deterministic domain-mixture sampling: hit target language weights
+    // exactly, sized by the scarcest stratum, selected by portable hash
+    // order. Engine side selects via a bounded bucket histogram (no
+    // per-stratum global rank); the oracle's per-stratum row_number is
+    // the same selection because the bucket is the hash's top 16 bits.
+    CatalogQuery(
+      "d23_domain_mixture",
+      (s, dir) =>
+        TextAnalysis.mixtureSample(t(s, dir, "documents"), "doc_id", "lang",
+            weightsPpm = Map("en" -> 400000L, "de" -> 150000L, "es" -> 150000L,
+              "fr" -> 150000L, "zh" -> 150000L))
+          .orderBy(col("doc_id")),
+      Some("""WITH w(lang, wppm) AS (VALUES
+            ('de', 150000), ('en', 400000), ('es', 150000), ('fr', 150000), ('zh', 150000)),
+        h AS (SELECT doc_id, lang,
+                CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+              FROM documents JOIN w USING (lang)),
+        cnt AS (SELECT lang, wppm, count(*) AS n
+                FROM documents JOIN w USING (lang) GROUP BY 1, 2),
+        tt AS (SELECT min((n * 1000000) // wppm) AS t FROM cnt),
+        k AS (SELECT lang, (wppm * t) // 1000000 AS keep FROM cnt, tt),
+        r AS (SELECT doc_id, lang,
+                row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
+              FROM h)
+        SELECT doc_id, lang FROM r JOIN k USING (lang) WHERE rn <= keep
+        ORDER BY doc_id"""))
   )
 }

@@ -262,7 +262,104 @@ object VectorQueries {
                 CAST(${qdotSql("va", "vb")} AS DOUBLE)
                   / sqrt(CAST(${qdotSql("va", "va")} AS DOUBLE) * CAST(${qdotSql("vb", "vb")} AS DOUBLE)) AS cos
               FROM wv)
-        SELECT id_a, id_b, cos FROM r WHERE cos >= 0.30 ORDER BY id_a, id_b"""))
+        SELECT id_a, id_b, cos FROM r WHERE cos >= 0.30 ORDER BY id_a, id_b""")),
+
+    // SemDeDup (Abbas et al. 2023): k-means cluster, then cosine dedup
+    // WITHIN clusters only — the embedding-space near-dup remover that
+    // catches paraphrases sharing no n-grams, without an all-pairs join.
+    // Oracle unrolls ONE Lloyd iteration (e07's two-iteration chain,
+    // truncated) and mirrors the min-lower-id duplicate rule.
+    CatalogQuery(
+      "e08_semdedup",
+      (s, dir) =>
+        Similarity.semDedup(
+            t(s, dir, "embeddings"), "vec_id", "embedding",
+            k = 8, iters = 1, threshold = 0.30)
+          .select(col("id").as("vec_id"), col("cluster"), col("dup_of"), col("is_dup"))
+          .orderBy(col("vec_id")),
+      Some(s"""WITH cent0src AS (
+          SELECT vec_id AS cid, embedding AS cv FROM embeddings
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+        cent0 AS (
+          SELECT CAST(row_number() OVER (ORDER BY cid) - 1 AS INTEGER) AS cluster, cv
+          FROM cent0src),
+        c0 AS (
+          SELECT cluster, ui AS i, CAST(cv[ui] AS DOUBLE) AS c
+          FROM (SELECT cluster, unnest(generate_series(1, len(cv))) AS ui, cv FROM cent0)),
+        ex0 AS (
+          SELECT vec_id AS id, unnest(generate_series(1, len(embedding))) AS ui, embedding
+          FROM embeddings),
+        ex AS (
+          SELECT id, ui AS i, CAST(embedding[ui] AS DOUBLE) AS x,
+            CAST(floor(CAST(embedding[ui] AS DOUBLE) * 1000000.0) AS BIGINT) AS micro
+          FROM ex0),
+        d1 AS (
+          SELECT id, cluster,
+            CAST(sum(CAST(floor((x - c) * (x - c) * 1e12) AS BIGINT)) AS BIGINT) AS dist
+          FROM ex JOIN c0 USING (i) GROUP BY 1, 2),
+        a1 AS (
+          SELECT id, cluster FROM (
+            SELECT id, cluster, row_number() OVER (PARTITION BY id ORDER BY dist, cluster) AS rn
+            FROM d1) WHERE rn = 1),
+        c1 AS (
+          SELECT cluster, i,
+            CAST(floor(CAST(2 * s + n AS DOUBLE) / CAST(2 * n AS DOUBLE)) AS BIGINT) / 1000000.0 AS c
+          FROM (SELECT cluster, i, CAST(sum(micro) AS BIGINT) AS s, count(*) AS n
+                FROM a1 JOIN ex USING (id) GROUP BY 1, 2)),
+        d2 AS (
+          SELECT id, cluster,
+            CAST(sum(CAST(floor((x - c) * (x - c) * 1e12) AS BIGINT)) AS BIGINT) AS dist
+          FROM ex JOIN c1 USING (i) GROUP BY 1, 2),
+        asg AS (
+          SELECT id, cluster FROM (
+            SELECT id, cluster, row_number() OVER (PARTITION BY id ORDER BY dist, cluster) AS rn
+            FROM d2) WHERE rn = 1),
+        m AS (SELECT asg.id, asg.cluster, e.embedding AS v
+              FROM asg JOIN embeddings e ON e.vec_id = asg.id),
+        pair AS (SELECT b.id AS idb, a.id AS ida,
+                   CAST(${qdotSql("a.v", "b.v")} AS DOUBLE)
+                     / sqrt(CAST(${qdotSql("a.v", "a.v")} AS DOUBLE)
+                          * CAST(${qdotSql("b.v", "b.v")} AS DOUBLE)) AS sim
+                 FROM m a JOIN m b ON a.cluster = b.cluster AND a.id < b.id),
+        dup AS (SELECT idb AS id, min(ida) AS dup_of FROM pair WHERE sim >= 0.30 GROUP BY 1)
+        SELECT m.id AS vec_id, m.cluster, dup.dup_of, dup.dup_of IS NOT NULL AS is_dup
+        FROM m LEFT JOIN dup USING (id) ORDER BY vec_id""")),
+
+    // kNN majority-vote auto-labeling: propagate curated labels onto a
+    // held-out "unlabeled" slice (vec_id % 10 = 0) via the 5 nearest
+    // labeled rows; ties break to the smallest label.
+    CatalogQuery(
+      "e09_knn_label",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.knnClassify(
+            corpus = emb.filter(col("vec_id") % 10 =!= 0),
+            probes = emb.filter(col("vec_id") % 10 === 0),
+            idCol = "vec_id", vecCol = "embedding", labelCol = "label", k = 5)
+          .select(col("probe_id").as("vec_id"), col("pred_label"), col("votes"))
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS pe
+                 FROM embeddings WHERE vec_id % 10 = 0),
+        c AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 10 <> 0),
+        d AS (SELECT probe_id, c.vec_id AS neighbor_id, c.label,
+                ${qdotSql("pe", "c.embedding")} AS qd,
+                ${qdotSql("pe", "pe")} AS qa,
+                ${qdotSql("c.embedding", "c.embedding")} AS qb
+              FROM p, c),
+        r AS (SELECT probe_id, neighbor_id, label,
+                CAST(qd AS DOUBLE) / sqrt(CAST(qa AS DOUBLE) * CAST(qb AS DOUBLE)) AS sim
+              FROM d),
+        k AS (SELECT probe_id, label FROM (
+                SELECT probe_id, label,
+                  row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rn
+                FROM r) WHERE rn <= 5),
+        v AS (SELECT probe_id, label, count(*) AS votes FROM k GROUP BY 1, 2),
+        b AS (SELECT probe_id, label, votes,
+                row_number() OVER (PARTITION BY probe_id ORDER BY votes DESC, label) AS rn
+              FROM v)
+        SELECT probe_id AS vec_id, label AS pred_label, votes
+        FROM b WHERE rn = 1 ORDER BY vec_id"""))
   )
 
   /** DuckDB mirror of `Similarity.lshBucketRows(portable = true)`: CTEs

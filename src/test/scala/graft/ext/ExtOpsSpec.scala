@@ -394,4 +394,74 @@ class ExtOpsSpec extends SparkSpecBase {
     assert(r.isNullAt(0), s"price must be the matched row's NULL, not the older 99.0: $r")
     assert(r.getString(1) === "new")
   }
+
+  test("tfidfTopTerms: rare terms outrank common ones; topK and rank ordering hold") {
+    val df = Seq(
+      (0L, "alpha alpha alpha shared"),
+      (1L, "beta shared shared"),
+      (2L, "gamma shared")).toDF("doc_id", "text")
+    val r = TextAnalysis.tfidfTopTerms(df, "doc_id", "text", topK = 2)
+      .collect().map(x => (x.getLong(0), x.getInt(1), x.getString(2), x.getLong(3)))
+    // 'shared' appears in all 3 docs -> idf 0 -> score 0; each doc's
+    // unique term must rank 1 with a positive score
+    val rank1 = r.filter(_._2 == 1).sortBy(_._1)
+    assert(rank1.map(_._3).toSeq === Seq("alpha", "beta", "gamma"))
+    assert(rank1.forall(_._4 > 0))
+    assert(r.filter(_._2 == 2).forall(_._4 == 0L)) // 'shared' rides second at 0
+    assert(r.groupBy(_._1).forall(_._2.length <= 2))
+  }
+
+  test("mixtureSample: exact quotas, determinism under repartition, unweighted strata drop") {
+    val df = (0L until 300L).map(i =>
+      (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "xx"))
+      .toDF("doc_id", "lang")
+    val w = Map("en" -> 600000L, "de" -> 400000L) // 60/40; "xx" unweighted
+    val r = TextAnalysis.mixtureSample(df, "doc_id", "lang", w)
+      .collect().map(x => (x.getLong(0), x.getString(1)))
+    // n_en = n_de = 100; T = min(100e6/600000, 100e6/400000) = 166
+    // keep_en = 600000*166 div 1e6 = 99; keep_de = 66
+    val byLang = r.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byLang === Map("en" -> 99, "de" -> 66), s"got $byLang")
+    // deterministic under a different physical layout
+    val r2 = TextAnalysis.mixtureSample(df.repartition(13), "doc_id", "lang", w)
+      .collect().map(x => (x.getLong(0), x.getString(1)))
+    assert(r.toSet === r2.toSet)
+  }
+
+  test("semDedup: duplicates point at a lower-id same-cluster row above threshold") {
+    val base = (0 until 8).map(_.toDouble / 10).toArray
+    val emb = Seq(
+      (0L, base.map(_.toFloat)),
+      (1L, base.map(x => (x + 0.001).toFloat)),        // near-dup of 0
+      (2L, base.map(x => (-x).toFloat)),                // far from everything
+      (3L, Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.semDedup(emb, "vec_id", "embedding", k = 2, iters = 1,
+        threshold = 0.99)
+      .collect().map(x => (x.getLong(0), x.getInt(1),
+        if (x.isNullAt(2)) -1L else x.getLong(2), x.getBoolean(3)))
+      .sortBy(_._1)
+    assert(r.length === 4)
+    val byId = r.map(x => x._1 -> x).toMap
+    assert(byId(1L)._4 && byId(1L)._3 === 0L, s"1 must dup onto 0: ${byId(1L)}")
+    assert(!byId(0L)._4 && !byId(2L)._4 && !byId(3L)._4)
+    // dup rows share a cluster with their representative
+    assert(byId(1L)._2 === byId(0L)._2)
+  }
+
+  test("knnClassify: majority of the k nearest wins; ties break low") {
+    // probes at the origin-ish corner; labeled corpus split into two
+    // tight groups, the nearer group (label 7) holding the 3-of-5 majority
+    def v(s: Double) = Array.tabulate(4)(i => (s + i * 0.01).toFloat)
+    val corpus = Seq(
+      (1L, v(1.0), 7), (2L, v(1.01), 7), (3L, v(0.99), 7),
+      (4L, v(-5.0), 2), (5L, v(-5.01), 2))
+      .toDF("vec_id", "embedding", "label")
+    val probes = Seq((100L, v(1.005), 0)).toDF("vec_id", "embedding", "label")
+    val r = Similarity.knnClassify(corpus, probes, "vec_id", "embedding", "label", k = 5)
+      .head()
+    assert(r.getLong(0) === 100L)
+    assert(r.getInt(1) === 7)
+    assert(r.getLong(2) === 3L)
+  }
 }
