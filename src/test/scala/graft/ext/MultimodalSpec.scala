@@ -231,4 +231,82 @@ class MultimodalSpec extends SparkSpecBase {
     assert(out.count() === 3)
     assert(!out.columns.contains("__size_bucket"))
   }
+
+  // ------------------------------------------------------- MP4 demux
+
+  /** Minimal valid ISO BMFF file: ftyp + mdat(samples) + moov carrying a
+    * vide trak whose stsz/stsc/stco describe the mdat layout. */
+  private def buildMp4(samples: Seq[Array[Byte]],
+      chunkSizes: Seq[Int]): Array[Byte] = {
+    import java.nio.ByteBuffer
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      ByteBuffer.allocate(payload.length + 8).putInt(payload.length + 8)
+        .put(typ.getBytes("ISO-8859-1")).put(payload).array()
+    def u32(vs: Seq[Long]): Array[Byte] = {
+      val b = ByteBuffer.allocate(4 * vs.length); vs.foreach(v => b.putInt(v.toInt)); b.array()
+    }
+    val ftyp = box("ftyp", "isom".getBytes ++ u32(Seq(0L)) ++ "isom".getBytes)
+    val mdat = box("mdat", samples.reduce(_ ++ _))
+    // chunk offsets: samples laid head-to-tail from the mdat payload start,
+    // split into chunks of chunkSizes samples
+    val mdatPayloadOff = ftyp.length + 8
+    val sampleOffsets = samples.scanLeft(mdatPayloadOff.toLong)(_ + _.length)
+    val chunkFirstSample = chunkSizes.scanLeft(0)(_ + _)
+    val chunkOffsets = chunkFirstSample.init.map(sampleOffsets(_))
+    val stsz = box("stsz", u32(Seq(0L, 0L, samples.length.toLong)) ++
+      u32(samples.map(_.length.toLong)))
+    val stsc = box("stsc", u32(Seq(0L, chunkSizes.length.toLong)) ++
+      u32(chunkSizes.zipWithIndex.flatMap { case (n, i) =>
+        Seq((i + 1).toLong, n.toLong, 1L) }))
+    val stco = box("stco", u32(Seq(0L, chunkOffsets.length.toLong)) ++
+      u32(chunkOffsets))
+    val hdlr = box("hdlr", u32(Seq(0L, 0L)) ++ "vide".getBytes ++
+      new Array[Byte](13))
+    val stbl = box("stbl", stsz ++ stsc ++ stco)
+    val minf = box("minf", stbl)
+    val mdia = box("mdia", hdlr ++ minf)
+    val trak = box("trak", mdia)
+    val moov = box("moov", trak)
+    ftyp ++ mdat ++ moov
+  }
+
+  test("Mp4Demux: sample table reconstructed across multi-chunk stsc runs") {
+    val samples = Seq(
+      Array.fill[Byte](3)(1), Array.fill[Byte](4)(2), Array.fill[Byte](5)(3),
+      Array.fill[Byte](6)(4), Array.fill[Byte](7)(5))
+    // 2 chunks: 3 samples then 2 — exercises the stsc run expansion
+    val mp4 = buildMp4(samples, chunkSizes = Seq(3, 2))
+    val t = Mp4Demux.parse(mp4).getOrElse(fail("parse returned None"))
+    assert(t.sampleCount === 5)
+    assert(t.sizes.toSeq === Seq(3L, 4L, 5L, 6L, 7L))
+    // every reconstructed range must slice out the original sample bytes
+    samples.zipWithIndex.foreach { case (s, i) =>
+      val got = mp4.slice(t.offsets(i).toInt, (t.offsets(i) + t.sizes(i)).toInt)
+      assert(got.toSeq === s.toSeq, s"sample $i bytes differ")
+    }
+  }
+
+  test("Mp4Demux.sampleBytes picks evenly and survives garbage") {
+    val samples = (0 until 5).map(i => Array.fill[Byte](4)((i + 1).toByte))
+    val mp4 = buildMp4(samples, chunkSizes = Seq(5))
+    val picked = Mp4Demux.sampleBytes(mp4, 3)
+    assert(picked.map(_._1) === Seq(0, 1, 3)) // floor(5i/3)
+    assert(picked.forall { case (i, b) => b.toSeq === samples(i).toSeq })
+    assert(Mp4Demux.sampleBytes(Array.fill[Byte](64)(0x42), 3).isEmpty)
+    assert(Mp4Demux.sampleBytes(Array.emptyByteArray, 3).isEmpty)
+  }
+
+  test("demuxMp4Exploded: real container samples out, corrupt rows drop") {
+    val samples = (0 until 4).map(i => Array.fill[Byte](8)((0x10 + i).toByte))
+    val df = Seq(
+      (1L, buildMp4(samples, chunkSizes = Seq(4))),
+      (2L, Array.fill[Byte](32)(0x7f))) // not BMFF -> zero rows
+      .toDF("media_id", "content")
+    val out = Multimodal.demuxMp4Exploded(df, nFrames = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getAs[Array[Byte]](2).toSeq, r.getLong(3)))
+      .sortBy(x => (x._1, x._2))
+    assert(out.map(x => (x._1, x._2)).toSeq === Seq((1L, 0), (1L, 2)))
+    assert(out.forall { case (_, si, bytes, sz) =>
+      bytes == samples(si).toSeq && sz == 8L })
+  }
 }
