@@ -296,6 +296,39 @@ class MultimodalSpec extends SparkSpecBase {
     assert(Mp4Demux.sampleBytes(Array.emptyByteArray, 3).isEmpty)
   }
 
+  // ------------------------------------------------------ WebM demux
+
+  /** Minimal Matroska: EBML header + Segment{Cluster{SimpleBlocks,
+    * BlockGroup{Block}}}. 1-byte sizes suffice for test payloads. */
+  private def buildWebm(frames: Seq[Array[Byte]]): Array[Byte] = {
+    def el(idBytes: Array[Byte], payload: Array[Byte]): Array[Byte] = {
+      require(payload.length < 127)
+      idBytes ++ Array((0x80 | payload.length).toByte) ++ payload
+    }
+    def simpleBlock(frame: Array[Byte]): Array[Byte] =
+      el(Array[Byte](0xA3.toByte), Array[Byte](0x81.toByte, 0, 0, 0x80.toByte) ++ frame)
+    val header = el(Array[Byte](0x1A, 0x45, 0xDF.toByte, 0xA3.toByte), Array[Byte](1))
+    val blockGroup = el(Array[Byte](0xA0.toByte),
+      el(Array[Byte](0xA1.toByte), Array[Byte](0x81.toByte, 0, 0, 0) ++ frames.last))
+    val cluster = el(Array[Byte](0x1F, 0x43, 0xB6.toByte, 0x75.toByte),
+      frames.init.flatMap(simpleBlock).toArray ++ blockGroup)
+    val segment = el(Array[Byte](0x18, 0x53, 0x80.toByte, 0x67.toByte), cluster)
+    header ++ segment
+  }
+
+  test("WebmDemux: SimpleBlocks and grouped Blocks extract in order") {
+    val frames = (0 until 4).map(i => Array.fill[Byte](5)((0x20 + i).toByte))
+    val webm = buildWebm(frames)
+    val got = WebmDemux.blocks(webm)
+    assert(got.length === 4)
+    assert(got.forall(_.trackNumber === 1L))
+    got.zip(frames).foreach { case (b, f) => assert(b.payload.toSeq === f.toSeq) }
+    val picked = WebmDemux.sampleBytes(webm, 2)
+    assert(picked.map(_._1) === Seq(0, 2))
+    assert(WebmDemux.blocks(Array.fill[Byte](40)(0x55)).isEmpty)
+    assert(WebmDemux.blocks(Array.emptyByteArray).isEmpty)
+  }
+
   test("demuxMp4Exploded: real container samples out, corrupt rows drop") {
     val samples = (0 until 4).map(i => Array.fill[Byte](8)((0x10 + i).toByte))
     val df = Seq(
