@@ -12,7 +12,19 @@ import org.apache.spark.sql.DataFrame
   * on the signature aggregates. On a real cluster inputs arrive as many
   * files, so the repartition is a cheap no-op there (guarded below);
   * locally it spreads the narrow pre-explode rows across all cores.
-  */
+  *
+  * CLUSTER FAULT-TOLERANCE NOTE — `localCheckpoint(true)`. Operators in
+  * this package materialize multi-consumer frames with eager
+  * `localCheckpoint` (tokenize-once, band-rows-once, etc. — each site
+  * comments why). Local checkpoints store blocks on EXECUTORS with no
+  * lineage fallback: on a real cluster, losing an executor mid-job kills
+  * the query instead of recomputing, unlike `cache()` (recompute) or
+  * reliable `checkpoint()` (HDFS-backed, slower). That trade is right for
+  * batch-with-retry pipelines (the driver rereuns the job; blocks are
+  * ContextCleaner-freed with the frame), but jobs that must survive
+  * executor loss WITHIN a run should swap these barriers for
+  * `persist(MEMORY_AND_DISK)` + an action, or reliable checkpoints, at
+  * ~2x the materialization cost. */
 private[graft] object Parallelism {
 
   /** Repartition `df` to the session's default parallelism when its scan
