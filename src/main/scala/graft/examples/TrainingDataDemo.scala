@@ -59,6 +59,27 @@ object TrainingDataDemo {
         round(Similarity.cosine(col("a.features"), col("b.features")), 4).as("cos"))
       .show()
 
+    println("== domain mixture to target lang weights (en 40%, rest 15% each):")
+    TextAnalysis.mixtureSample(docs, "doc_id", "lang",
+        Map("en" -> 400000L, "de" -> 150000L, "es" -> 150000L,
+          "fr" -> 150000L, "zh" -> 150000L))
+      .groupBy("lang").count().orderBy("lang").show()
+
+    println("== per-doc TF-IDF keywords (first 2 docs):")
+    TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", topK = 3)
+      .filter(col("doc_id") < 2).orderBy("doc_id", "rnk").show(truncate = false)
+
+    println("== SemDeDup: embedding near-dups within k-means clusters:")
+    Similarity.semDedup(emb, "vec_id", "embedding", k = 8, iters = 1, threshold = 0.3)
+      .filter(col("is_dup")).orderBy("id").show(5)
+
+    println("== kNN label propagation onto a held-out slice (vec_id % 10 = 0):")
+    Similarity.knnClassify(
+        corpus = emb.filter(col("vec_id") % 10 =!= 0),
+        probes = emb.filter(col("vec_id") % 10 === 0),
+        "vec_id", "embedding", "label", k = 5)
+      .orderBy("probe_id").show(5)
+
     println("== sessionized events (30 min gap):")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true") // events.ts is TIMESTAMP(NANOS)
     val events = spark.read.parquet(s"$dir/events.parquet")
