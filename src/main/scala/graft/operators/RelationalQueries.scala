@@ -793,6 +793,65 @@ object RelationalQueries {
       Some("""SELECT user_id, event_id, event_type,
           lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
           lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
-        FROM events ORDER BY event_id"""))
+        FROM events ORDER BY event_id""")),
+
+    // ---- distribution window functions ------------------------------------
+    // percent_rank / cume_dist plus framed first_value/last_value — the
+    // remaining analytic-window family q10-q12/q41/q42 don't cover. The
+    // ordering carries s_suppkey so rank positions (and the framed
+    // first/last picks) are total-ordered on both engines.
+    CatalogQuery(
+      "q44_window_distribution",
+      (s, dir) => {
+        val w = Window.partitionBy(col("s_nationkey"))
+          .orderBy(col("s_acctbal"), col("s_suppkey"))
+        val frame = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        t(s, dir, "supplier")
+          .select(col("s_nationkey"), col("s_suppkey"),
+            percent_rank().over(w).as("pr"),
+            cume_dist().over(w).as("cd"),
+            first(col("s_name")).over(frame).as("poorest"),
+            last(col("s_name")).over(frame).as("richest"))
+          .orderBy(col("s_suppkey"))
+      },
+      Some("""SELECT s_nationkey, s_suppkey,
+          percent_rank() OVER w AS pr,
+          cume_dist() OVER w AS cd,
+          first_value(s_name) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS poorest,
+          last_value(s_name) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS richest
+        FROM supplier
+        WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
+        ORDER BY s_suppkey""")),
+
+    // ---- array higher-order functions -------------------------------------
+    // Per-order quantity vector (ordered by line number) processed with
+    // HOFs: aggregate (fold), filter, element access — the semi-structured
+    // array family. Spark sorts a (linenumber, qty) struct list to get
+    // deterministic order; DuckDB's list() supports ORDER BY directly.
+    // The test generator does NOT keep l_linenumber unique per order, so
+    // the ordering carries l_quantity too — equal (ln, qty) ties collapse
+    // to identical array values, keeping the order total in effect.
+    CatalogQuery(
+      "q45_array_hof",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(expr(
+            "transform(array_sort(collect_list(struct(l_linenumber, l_quantity)))," +
+              " x -> CAST(x.l_quantity AS BIGINT))").as("qtys"))
+          .select(col("l_orderkey"),
+            expr("aggregate(qtys, 0L, (acc, x) -> acc + x)").as("total_qty"),
+            expr("CAST(size(filter(qtys, x -> x >= 25)) AS BIGINT)").as("n_big"),
+            expr("qtys[0] * 2").as("first_doubled"))
+          .orderBy(col("l_orderkey")),
+      Some("""WITH arr AS (
+          SELECT l_orderkey,
+            list(CAST(l_quantity AS BIGINT) ORDER BY l_linenumber, l_quantity) AS qtys
+          FROM lineitem GROUP BY 1)
+        SELECT l_orderkey,
+          CAST(list_sum(qtys) AS BIGINT) AS total_qty,
+          CAST(len(list_filter(qtys, x -> x >= 25)) AS BIGINT) AS n_big,
+          qtys[1] * 2 AS first_doubled
+        FROM arr ORDER BY l_orderkey"""))
   )
 }
