@@ -162,4 +162,40 @@ class PlanAuditSpec extends SparkSpecBase {
         s"$name lost the band-frame materialization (self-join recomputes the pipeline):\n$p")
     }
   }
+
+  test("e09: probe side broadcasts; no degenerate join anywhere") {
+    val p = plan("e09_knn_label")
+    assert(p.contains("BroadcastNestedLoopJoin"), s"probes must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("e08: within-cluster pair join is keyed, never a nested loop over the corpus") {
+    val p = plan("e08_semdedup")
+    // cluster id is the equi key; a.id < b.id rides as a residual. A BNLJ
+    // here would be the all-pairs shape SemDeDup exists to avoid.
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"pair join degenerated to all-pairs:\n$p")
+  }
+
+  test("d23: the rank window consumes only boundary-bucket rows, never a full stratum") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val exec = graft.ext.TextAnalysis.mixtureSample(docs, "doc_id", "lang",
+        Map("en" -> 500000L, "de" -> 500000L))
+      .queryExecution.executedPlan
+    val rankWindows = exec.collect {
+      case w: WindowExec if w.windowExpression.mkString.contains("row_number") => w
+    }
+    assert(rankWindows.nonEmpty, s"expected the boundary rank window:\n$exec")
+    rankWindows.foreach { w =>
+      // the __bkt = __bstar boundary constraint must bound the window's
+      // input — Catalyst rewrites the filter into the broadcast-join KEY
+      // (child joins on (__bkt, strat) = (__bstar, strat)), so accept the
+      // constraint as either a join key or a residual filter
+      assert(w.child.toString.contains("__bstar"),
+        s"rank window is not restricted to the boundary bucket — at scale this " +
+          s"is a single-reducer sort of a whole stratum:\n$w")
+    }
+  }
 }
