@@ -398,4 +398,28 @@ class PropertySpec extends SparkSpecBase {
       assert(got === floorHalf, s"$s/$n: got $got floorDiv ${floorHalf} (bd $want)")
     }
   }
+
+  test("container demuxers are total: random and truncated bytes never throw") {
+    // at 100 TB some payloads are ALWAYS garbage — a demuxer that throws
+    // on any byte sequence kills a 10k-task stage. Random bytes, valid
+    // magic + garbage tails, and every truncation prefix must all return
+    // cleanly (empty or partial, never an exception).
+    val gen = Gen.listOfN(30, for {
+      n <- Gen.choose(0, 512)
+      seed <- Gen.choose(Long.MinValue, Long.MaxValue)
+    } yield (n, seed))
+    samples(gen, 4).flatten.foreach { case (n, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val bytes = Array.fill[Byte](n)(rnd.nextInt().toByte)
+      assert(graft.ext.Mp4Demux.parse(bytes).forall(_.sampleCount >= 0))
+      assert(graft.ext.WebmDemux.blocks(bytes) != null)
+      // graft a valid magic onto garbage: parsers must reject the body,
+      // not trust the header
+      val mp4ish = Array[Byte](0, 0, 0, 16) ++ "ftypisom".getBytes("ISO-8859-1") ++ bytes
+      assert(graft.ext.Mp4Demux.parse(mp4ish).isEmpty)
+      val webmish = Array(0x1A.toByte, 0x45.toByte, 0xDF.toByte, 0xA3.toByte,
+        0x81.toByte, 0x00.toByte) ++ bytes
+      assert(graft.ext.WebmDemux.blocks(webmish) != null)
+    }
+  }
 }

@@ -152,6 +152,8 @@ class ScaleSmokeSpec extends SparkSpecBase {
       assertWide("e03_ann_lsh", q("e03_ann_lsh", scaledDir), minWidth)
       assertWide("e04_cosine_neardup", q("e04_cosine_neardup", scaledDir), minWidth)
       assertWide("e07_kmeans", q("e07_kmeans", scaledDir), minWidth)
+      assertWide("e08_semdedup", q("e08_semdedup", scaledDir), minWidth)
+      assertWide("d24_tfidf_terms", q("d24_tfidf_terms", scaledDir), minWidth)
     }
   }
 
