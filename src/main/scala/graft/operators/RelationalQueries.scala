@@ -852,6 +852,44 @@ object RelationalQueries {
           CAST(list_sum(qtys) AS BIGINT) AS total_qty,
           CAST(len(list_filter(qtys, x -> x >= 25)) AS BIGINT) AS n_big,
           qtys[1] * 2 AS first_doubled
-        FROM arr ORDER BY l_orderkey"""))
+        FROM arr ORDER BY l_orderkey""")),
+
+    // ---- gaps and islands -------------------------------------------------
+    // Batch sessionization: a new session opens after a >30 min silence;
+    // session ids are running sums of the boundary flags. The gap compare
+    // runs on integer MICROS on both engines — interval/second arithmetic
+    // truncates differently at sub-second boundaries. (The streaming
+    // equivalent is StreamOps.sessionize / session_window.)
+    CatalogQuery(
+      "q46_event_sessions",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        t(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("ts"),
+            lag(unix_micros(col("ts")), 1).over(w).as("__prev_us"))
+          .withColumn("__ns",
+            when(col("__prev_us").isNull ||
+              unix_micros(col("ts")) - col("__prev_us") > 1800000000L, 1L).otherwise(0L))
+          .withColumn("session_id", sum(col("__ns")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(count(lit(1)).as("n_events"),
+            min(col("ts")).as("session_start"), max(col("ts")).as("session_end"))
+          .orderBy(col("user_id"), col("session_id"))
+      },
+      Some("""WITH x AS (
+          SELECT user_id, event_id, ts,
+            lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+          FROM events),
+        s AS (SELECT user_id, event_id, ts,
+                CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000 THEN 1 ELSE 0 END AS ns
+              FROM x),
+        g AS (SELECT user_id, ts,
+                sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+              FROM s)
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+          count(*) AS n_events, min(ts) AS session_start, max(ts) AS session_end
+        FROM g GROUP BY 1, 2 ORDER BY user_id, session_id"""))
   )
 }
