@@ -496,6 +496,70 @@ object Similarity {
         col("dup_of").isNotNull.as("is_dup"))
   }
 
+  /** Product-quantization ANN (Jégou et al. 2011): split vectors into `m`
+    * subspaces, encode each subvector as its nearest sub-codebook
+    * centroid id (one SMALL int per subspace instead of dims floats), and
+    * score probes against CODES via asymmetric distance computation (ADC)
+    * — probe-to-centroid subdistances are computed once per (probe,
+    * subspace, centroid) and summed per code, so the corpus-side scan
+    * never touches a vector again after encoding.
+    *
+    * Engine-portable by the same discipline as [[kmeansAssignments]]:
+    * md5-ranked codebook sample, `floor((x-c)²·1e12)` BIGINT
+    * subdistances, ties to the lowest centroid/id. The codebook here is
+    * the md5 SAMPLE (k-means iters = 0) so a DuckDB oracle can reproduce
+    * it without per-subspace Lloyd unrolling; a production build trains
+    * each subspace with [[kmeansAssignments]] on the subvectors — same
+    * encode/ADC machinery, better recall.
+    *
+    * Scale shape: encode is one broadcast-codebook join + argmin per
+    * (row, subspace) — identical cost to one k-means assign step; ADC
+    * joins the m·codebookSize probe subdistance table (tiny, broadcast)
+    * to corpus CODES — m BIGINTs per row through the shuffle, never
+    * embeddings. */
+  def pqTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+      vecCol: String, k: Int, m: Int = 4, codebookSize: Int = 16): DataFrame = {
+    require(m > 0 && codebookSize > 0, "m and codebookSize must be positive")
+    // (id, subspace, dim, x): s = (i·m) div dims — contiguous dim blocks
+    def exploded(df: DataFrame): DataFrame = df
+      .select(col(idCol).as("id"), posexplode(col(vecCol)).as(Seq("i", "xr")),
+        size(col(vecCol)).as("__dims"))
+      .select(col("id"), col("i"), expr(s"(i * $m) DIV __dims").as("s"),
+        col("xr").cast("double").as("x"))
+    val cent = corpus
+      .select(col(idCol).as("cid"), col(vecCol).as("cv"))
+      .orderBy(md5(col("cid").cast("string")), col("cid"))
+      .limit(codebookSize)
+      .withColumn("c", (row_number().over(Window.orderBy(col("cid"))) - 1).cast("int"))
+      .select(col("c"), posexplode(col("cv")).as(Seq("i", "cxr")), size(col("cv")).as("__dims"))
+      .select(col("c"), col("i"), expr(s"(i * $m) DIV __dims").as("s"),
+        col("cxr").cast("double").as("cx"))
+    // per-(row, subspace, centroid) quantized subdistance
+    def subDists(df: DataFrame): DataFrame = exploded(df)
+      .join(broadcast(cent), Seq("i", "s"))
+      .withColumn("term", floor((col("x") - col("cx")) * (col("x") - col("cx")) * lit(1e12)).cast("long"))
+      .groupBy(col("id"), col("s"), col("c"))
+      .agg(sum(col("term")).as("d"))
+    val codes = subDists(corpus)
+      .groupBy(col("id"), col("s"))
+      .agg(min(struct(col("d"), col("c"))).as("best"))
+      .select(col("id"), col("s"), col("best.c").as("code"))
+    val probeSub = subDists(probes)
+      .select(col("id").as("probe_id"), col("s").as("__ps"),
+        col("c").as("__pc"), col("d"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("dist"), col("neighbor_id"))
+    codes
+      .join(broadcast(probeSub),
+        col("s") === col("__ps") && col("code") === col("__pc") &&
+          col("id") =!= col("probe_id"))
+      .groupBy(col("probe_id"), col("id"))
+      .agg(sum(col("d")).as("dist"))
+      .withColumnRenamed("id", "neighbor_id")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("neighbor_id"), col("rnk"), col("dist"))
+  }
+
   /** kNN majority-vote classification: label each probe with the most
     * common label among its `k` nearest corpus rows (deterministic
     * quantized cosine; ties break to the smallest label). The auto-

@@ -741,6 +741,47 @@ object TextQueries {
                 row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
               FROM h)
         SELECT doc_id, lang FROM r JOIN k USING (lang) WHERE rn <= keep
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // Count-min-sketch heavy hitters — the third sketch family (q29 HLL,
+    // q43 quantiles, here CMS). Exact top-10 token counts hash-match;
+    // Spark's CMS estimate must land within 5% of each exact count
+    // (CMS over-counts by <= eps*N w.h.p.; eps=1e-3 against top counts
+    // ~N/20 leaves 2.5x headroom, so the boolean is a sketch-quality
+    // canary, not a flake). DuckDB ships no CMS — its boolean is the
+    // trivial TRUE, same one-sided oracle shape as q29's HLL bound.
+    // The sketch collect is metadata-plane (one binary row); the
+    // estimate probe runs over exactly 10 rows.
+    CatalogQuery(
+      "d25_cms_heavy_hitters",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val tok = t(s, dir, "documents")
+          .select(explode(split(TextAnalysis.normalize(col("text")), " ")).as("token"))
+          .filter(length(col("token")) > 0)
+          .localCheckpoint(true) // feeds the exact counts AND the sketch
+        val exact = tok.groupBy(col("token")).agg(count(lit(1)).as("n"))
+          .withColumn("rnk", row_number().over(
+            Window.orderBy(col("n").desc, col("token"))))
+          .filter(col("rnk") <= 10)
+        val sketchBytes = tok
+          .agg(count_min_sketch(col("token"), lit(0.001), lit(0.01), lit(42)).as("s"))
+          .head().getAs[Array[Byte]](0)
+        val est = udf((t: String) =>
+          org.apache.spark.util.sketch.CountMinSketch.readFrom(
+            new java.io.ByteArrayInputStream(sketchBytes)).estimateCount(t))
+        exact.select(col("token"), col("n"), col("rnk"),
+            (est(col("token")) >= col("n") &&
+              est(col("token")) <= (col("n") * 1.05).cast("long")).as("cms_within_5pct"))
+          .orderBy(col("rnk"))
+      },
+      Some("""WITH tok AS (
+          SELECT unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS token
+          FROM documents),
+        t2 AS (SELECT token FROM tok WHERE length(token) > 0),
+        c AS (SELECT token, count(*) AS n FROM t2 GROUP BY 1),
+        r AS (SELECT token, n, row_number() OVER (ORDER BY n DESC, token) AS rn FROM c)
+        SELECT token, n, CAST(rn AS INTEGER) AS rnk, true AS cms_within_5pct
+        FROM r WHERE rn <= 10 ORDER BY rnk"""))
   )
 }

@@ -359,7 +359,57 @@ object VectorQueries {
                 row_number() OVER (PARTITION BY probe_id ORDER BY votes DESC, label) AS rn
               FROM v)
         SELECT probe_id AS vec_id, label AS pred_label, votes
-        FROM b WHERE rn = 1 ORDER BY vec_id"""))
+        FROM b WHERE rn = 1 ORDER BY vec_id""")),
+
+    // Product-quantization ANN (Jégou et al. 2011): m=4 subspaces, 16-entry
+    // sub-codebooks (md5-sampled, iters=0 so the oracle needs no Lloyd
+    // unrolling), asymmetric-distance scoring against CODES — corpus
+    // vectors never rejoin after encoding. The oracle reproduces encode
+    // and ADC generically via a subspace-keyed join, no per-subspace SQL.
+    CatalogQuery(
+      "e10_pq_ann",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.pqTopK(
+            corpus = emb, probes = emb.filter(col("vec_id") < 5),
+            idCol = "vec_id", vecCol = "embedding", k = 5,
+            m = 4, codebookSize = 16)
+          .select(col("probe_id"), col("neighbor_id"), col("rnk"), col("dist"))
+          .orderBy(col("probe_id"), col("rnk"))
+      },
+      Some("""WITH cent0src AS (
+          SELECT vec_id AS cid, embedding AS cv FROM embeddings
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        cent AS (
+          SELECT CAST(row_number() OVER (ORDER BY cid) - 1 AS INTEGER) AS c, cv
+          FROM cent0src),
+        cdim AS (
+          SELECT c, ui - 1 AS i, ((ui - 1) * 4) // len(cv) AS s, CAST(cv[ui] AS DOUBLE) AS cx
+          FROM (SELECT c, unnest(generate_series(1, len(cv))) AS ui, cv FROM cent)),
+        edim AS (
+          SELECT vec_id AS id, ui - 1 AS i, ((ui - 1) * 4) // len(embedding) AS s,
+            CAST(embedding[ui] AS DOUBLE) AS x
+          FROM (SELECT vec_id, unnest(generate_series(1, len(embedding))) AS ui, embedding
+                FROM embeddings)),
+        dsub AS (
+          SELECT id, s, c,
+            CAST(sum(CAST(floor((x - cx) * (x - cx) * 1e12) AS BIGINT)) AS BIGINT) AS d
+          FROM edim JOIN cdim USING (i, s) GROUP BY 1, 2, 3),
+        codes AS (
+          SELECT id, s, c AS code FROM (
+            SELECT id, s, c, row_number() OVER (PARTITION BY id, s ORDER BY d, c) AS rn
+            FROM dsub) WHERE rn = 1),
+        adc AS (
+          SELECT p.id AS probe_id, codes.id AS neighbor_id, CAST(sum(p.d) AS BIGINT) AS dist
+          FROM codes JOIN dsub p ON p.s = codes.s AND p.c = codes.code
+          WHERE p.id < 5 AND codes.id <> p.id
+          GROUP BY 1, 2),
+        k AS (
+          SELECT probe_id, neighbor_id, dist,
+            row_number() OVER (PARTITION BY probe_id ORDER BY dist, neighbor_id) AS rn
+          FROM adc)
+        SELECT probe_id, neighbor_id, CAST(rn AS INTEGER) AS rnk, dist
+        FROM k WHERE rn <= 5 ORDER BY probe_id, rnk"""))
   )
 
   /** DuckDB mirror of `Similarity.lshBucketRows(portable = true)`: CTEs

@@ -254,6 +254,25 @@ class ExtOpsSpec extends SparkSpecBase {
     assert(assigned.select("list_id").distinct().count() <= 8)
   }
 
+  test("pqTopK: codes cover every (row, subspace); ADC recall is meaningful") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val probes = emb.filter(col("vec_id") < 10)
+    val pq = Similarity.pqTopK(emb, probes, "vec_id", "embedding", k = 5,
+      m = 4, codebookSize = 16)
+    val got = pq.collect()
+    assert(got.length === 50) // 10 probes x 5
+    assert(got.forall(r => r.getLong(3) >= 0L), "ADC distances are BIGINT sums")
+    // recall against exact L2-ish ranking: an iters=0 codebook on random
+    // embeddings is the WEAKEST PQ config — the bound is intentionally
+    // loose; production trains sub-codebooks with kmeansAssignments
+    val exact = Similarity.bruteForceTopK(emb, probes, "vec_id", "embedding", 5)
+      .select("probe_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = got.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.05, s"recall=$recall — ADC must beat random (k/n = 0.01)")
+  }
+
   test("sqTopK: 8-bit codes preserve L2 neighbors; codes are one byte/dim") {
     val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
     val probes = emb.filter(col("vec_id") < 10)
