@@ -560,6 +560,32 @@ object Similarity {
       .select(col("probe_id"), col("neighbor_id"), col("rnk"), col("dist"))
   }
 
+  /** Hard-negative mining for contrastive training: for each probe, the
+    * `k` most-similar corpus rows carrying a DIFFERENT label — maximally
+    * confusable negatives, the pairs that actually move an embedding
+    * model (random negatives are trivially separable). Deterministic
+    * quantized cosine, ties to the smallest id; probes broadcast (swap in
+    * ANN candidates for corpus-scale probe sets, as with
+    * [[knnClassify]]). */
+  def hardNegatives(corpus: DataFrame, probes: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("__pv"),
+      col(labelCol).as("__plabel"), quantizedDot(col(vecCol), col(vecCol)).as("__pq"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__nv"),
+      col(labelCol).as("neighbor_label"),
+      quantizedDot(col(vecCol), col(vecCol)).as("__nq"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    c.join(broadcast(p),
+        col("neighbor_id") =!= col("probe_id") &&
+          col("neighbor_label") =!= col("__plabel"))
+      .withColumn("sim", quantizedDot(col("__pv"), col("__nv")).cast("double") /
+        sqrt(col("__pq").cast("double") * col("__nq").cast("double")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("neighbor_id"), col("neighbor_label"),
+        col("rnk"), col("sim"))
+  }
+
   /** kNN majority-vote classification: label each probe with the most
     * common label among its `k` nearest corpus rows (deterministic
     * quantized cosine; ties break to the smallest label). The auto-

@@ -409,6 +409,35 @@ object VectorQueries {
             row_number() OVER (PARTITION BY probe_id ORDER BY dist, neighbor_id) AS rn
           FROM adc)
         SELECT probe_id, neighbor_id, CAST(rn AS INTEGER) AS rnk, dist
+        FROM k WHERE rn <= 5 ORDER BY probe_id, rnk""")),
+
+    // Contrastive hard-negative mining: most-similar rows with a DIFFERENT
+    // label — the confusable negatives that actually train an embedding
+    // model. e01's scoring with a label-inequality pair filter.
+    CatalogQuery(
+      "e11_hard_negatives",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.hardNegatives(
+            corpus = emb, probes = emb.filter(col("vec_id") < 5),
+            idCol = "vec_id", vecCol = "embedding", labelCol = "label", k = 5)
+          .orderBy(col("probe_id"), col("rnk"))
+      },
+      Some(s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS pe, label AS plabel
+                 FROM embeddings WHERE vec_id < 5),
+        d AS (SELECT probe_id, e.vec_id AS neighbor_id, e.label AS neighbor_label,
+                ${qdotSql("pe", "e.embedding")} AS qd,
+                ${qdotSql("pe", "pe")} AS qa,
+                ${qdotSql("e.embedding", "e.embedding")} AS qb
+              FROM p, embeddings e
+              WHERE e.vec_id <> probe_id AND e.label <> plabel),
+        r AS (SELECT probe_id, neighbor_id, neighbor_label,
+                CAST(qd AS DOUBLE) / sqrt(CAST(qa AS DOUBLE) * CAST(qb AS DOUBLE)) AS sim
+              FROM d),
+        k AS (SELECT probe_id, neighbor_id, neighbor_label, sim,
+                row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rn
+              FROM r)
+        SELECT probe_id, neighbor_id, neighbor_label, CAST(rn AS INTEGER) AS rnk, sim
         FROM k WHERE rn <= 5 ORDER BY probe_id, rnk"""))
   )
 

@@ -468,6 +468,21 @@ class ExtOpsSpec extends SparkSpecBase {
     assert(byId(1L)._2 === byId(0L)._2)
   }
 
+  test("hardNegatives: only different-label rows, ranked by similarity") {
+    def v(s: Double) = Array.tabulate(4)(i => (s + i * 0.01).toFloat)
+    val corpus = Seq(
+      (1L, v(1.0), 7),    // same label as probe -> excluded
+      (2L, v(1.001), 2),  // different label, nearly identical -> rank 1
+      (3L, v(0.9), 2),    // different label, close -> rank 2
+      (4L, v(-3.0), 5))   // different label, far -> rank 3
+      .toDF("vec_id", "embedding", "label")
+    val probes = Seq((100L, v(1.0), 7)).toDF("vec_id", "embedding", "label")
+    val r = Similarity.hardNegatives(corpus, probes, "vec_id", "embedding", "label", k = 3)
+      .collect().map(x => (x.getInt(3), x.getLong(1), x.getInt(2))).sortBy(_._1)
+    assert(r.map(_._2).toSeq === Seq(2L, 3L, 4L), s"got ${r.toSeq}")
+    assert(r.forall(_._3 != 7), "a same-label row leaked into the negatives")
+  }
+
   test("knnClassify: majority of the k nearest wins; ties break low") {
     // probes at the origin-ish corner; labeled corpus split into two
     // tight groups, the nearer group (label 7) holding the 3-of-5 majority
