@@ -506,11 +506,13 @@ object Similarity {
     *
     * Engine-portable by the same discipline as [[kmeansAssignments]]:
     * md5-ranked codebook sample, `floor((x-c)²·1e12)` BIGINT
-    * subdistances, ties to the lowest centroid/id. The codebook here is
-    * the md5 SAMPLE (k-means iters = 0) so a DuckDB oracle can reproduce
-    * it without per-subspace Lloyd unrolling; a production build trains
-    * each subspace with [[kmeansAssignments]] on the subvectors — same
-    * encode/ADC machinery, better recall.
+    * subdistances, integer-exact micro-unit centroid updates, ties to
+    * the lowest centroid/id. `iters = 0` keeps the codebook at the md5
+    * sample (what the DuckDB oracle reproduces without Lloyd
+    * unrolling); `iters > 0` runs per-subspace Lloyd training — all m
+    * subspaces train in the SAME assign/update jobs, the subspace id is
+    * just a grouping key, so training m codebooks costs one k-means, not
+    * m of them.
     *
     * Scale shape: encode is one broadcast-codebook join + argmin per
     * (row, subspace) — identical cost to one k-means assign step; ADC
@@ -518,15 +520,22 @@ object Similarity {
     * to corpus CODES — m BIGINTs per row through the shuffle, never
     * embeddings. */
   def pqTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
-      vecCol: String, k: Int, m: Int = 4, codebookSize: Int = 16): DataFrame = {
-    require(m > 0 && codebookSize > 0, "m and codebookSize must be positive")
+      vecCol: String, k: Int, m: Int = 4, codebookSize: Int = 16,
+      iters: Int = 0): DataFrame = {
+    require(m > 0 && codebookSize > 0 && iters >= 0,
+      "m and codebookSize must be positive, iters non-negative")
     // (id, subspace, dim, x): s = (i·m) div dims — contiguous dim blocks
     def exploded(df: DataFrame): DataFrame = df
       .select(col(idCol).as("id"), posexplode(col(vecCol)).as(Seq("i", "xr")),
         size(col(vecCol)).as("__dims"))
       .select(col("id"), col("i"), expr(s"(i * $m) DIV __dims").as("s"),
         col("xr").cast("double").as("x"))
-    val cent = corpus
+    // corpus explodes ONCE (training iterations + encode reuse it); micro
+    // units feed the integer-exact centroid updates, as in kmeans
+    val exCorpus = exploded(corpus)
+      .withColumn("micro", floor(col("x") * lit(1e6)).cast("long"))
+      .localCheckpoint(true)
+    var cent: DataFrame = corpus
       .select(col(idCol).as("cid"), col(vecCol).as("cv"))
       .orderBy(md5(col("cid").cast("string")), col("cid"))
       .limit(codebookSize)
@@ -535,16 +544,31 @@ object Similarity {
       .select(col("c"), col("i"), expr(s"(i * $m) DIV __dims").as("s"),
         col("cxr").cast("double").as("cx"))
     // per-(row, subspace, centroid) quantized subdistance
-    def subDists(df: DataFrame): DataFrame = exploded(df)
-      .join(broadcast(cent), Seq("i", "s"))
+    def subDists(ex: DataFrame, cb: DataFrame): DataFrame = ex
+      .join(broadcast(cb), Seq("i", "s"))
       .withColumn("term", floor((col("x") - col("cx")) * (col("x") - col("cx")) * lit(1e12)).cast("long"))
       .groupBy(col("id"), col("s"), col("c"))
       .agg(sum(col("term")).as("d"))
-    val codes = subDists(corpus)
+    def assign(cb: DataFrame): DataFrame = subDists(exCorpus, cb)
       .groupBy(col("id"), col("s"))
       .agg(min(struct(col("d"), col("c"))).as("best"))
       .select(col("id"), col("s"), col("best.c").as("code"))
-    val probeSub = subDists(probes)
+    // per-subspace Lloyd: each subspace's codebook trains on its member
+    // subvectors independently — all m trainings ride ONE assign +
+    // ONE update job per iteration (subspace is just a grouping key)
+    for (_ <- 1 to iters) {
+      cent = assign(cent)
+        .join(exCorpus, Seq("id", "s"))
+        .groupBy(col("s"), col("code"), col("i"))
+        .agg(sum(col("micro")).as("__msum"), count(lit(1)).as("__n"))
+        .select(col("code").as("c"), col("i"), col("s"),
+          (floor((col("__msum") * 2 + col("__n")).cast("double") / (col("__n") * 2).cast("double"))
+            .cast("double") / lit(1e6)).as("cx"))
+        .localCheckpoint(true) // truncate per-iteration lineage
+    }
+    val codes = assign(cent)
+    def probeDists(df: DataFrame): DataFrame = subDists(exploded(df), cent)
+    val probeSub = probeDists(probes)
       .select(col("id").as("probe_id"), col("s").as("__ps"),
         col("c").as("__pc"), col("d"))
     val w = Window.partitionBy(col("probe_id")).orderBy(col("dist"), col("neighbor_id"))

@@ -273,6 +273,23 @@ class ExtOpsSpec extends SparkSpecBase {
     assert(recall >= 0.05, s"recall=$recall — ADC must beat random (k/n = 0.01)")
   }
 
+  test("pqTopK training: per-subspace Lloyd iterations cut total ADC self-distortion") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val probes = emb.filter(col("vec_id") < 20)
+    // self-ADC: each probe scored against the corpus containing itself;
+    // rank-1 distance measures how well codes reconstruct the probe's
+    // neighborhood. Summed over probes it must not increase with training
+    // (Lloyd: assignment min + mean update both minimize).
+    def cost(iters: Int): Long = Similarity.pqTopK(
+        emb, probes, "vec_id", "embedding", k = 1,
+        m = 4, codebookSize = 16, iters = iters)
+      .agg(sum(col("dist"))).head().getLong(0)
+    val untrained = cost(0)
+    val trained = cost(2)
+    assert(trained <= untrained,
+      s"training increased distortion: iters0=$untrained iters2=$trained")
+  }
+
   test("sqTopK: 8-bit codes preserve L2 neighbors; codes are one byte/dim") {
     val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
     val probes = emb.filter(col("vec_id") < 10)
