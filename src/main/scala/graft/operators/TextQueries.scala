@@ -782,6 +782,65 @@ object TextQueries {
         c AS (SELECT token, count(*) AS n FROM t2 GROUP BY 1),
         r AS (SELECT token, n, row_number() OVER (ORDER BY n DESC, token) AS rn FROM c)
         SELECT token, n, CAST(rn AS INTEGER) AS rnk, true AS cms_within_5pct
-        FROM r WHERE rn <= 10 ORDER BY rnk"""))
+        FROM r WHERE rn <= 10 ORDER BY rnk""")),
+
+    // The persisted-index dedup path: ingest the corpus in two batches
+    // (evens, then odds) through NearDupIndex — each batch detects against
+    // everything indexed so far plus itself, without re-hashing the
+    // corpus. The oracle derives the SAME pair set from d08's banded
+    // CTEs: a same-parity pair surfaces in its own batch (higher id is
+    // the newcomer), a mixed-parity pair surfaces in batch 2 (the odd id
+    // is the newcomer, whatever the id order).
+    CatalogQuery(
+      "d26_neardup_index",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val tmp = java.nio.file.Files.createTempDirectory("graft-d26-").toString
+        val idx = new graft.ext.NearDupIndex(s, s"file://$tmp",
+          numHashes = 32, bands = 8, shingleSize = 3, threshold = 0.5,
+          portable = true)
+        val first = idx.detectAndAdd(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+        val second = idx.detectAndAdd(docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text")
+        first.unionByName(second)
+          .orderBy(col("id_new"), col("id_matched"))
+      },
+      Some {
+        val hs = (0 until 32).map { seed =>
+          s"list_min([CAST(('0x' || substr(md5('$seed:' || s), 1, 15)) AS BIGINT) FOR s IN shingles]) AS h$seed"
+        }.mkString(", ")
+        val sigList = (0 until 32).map(i => s"h$i").mkString("[", ", ", "]")
+        val eq = (1 to 32)
+          .map(i => s"(CASE WHEN sig_a[$i] = sig_b[$i] THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH w AS (
+          SELECT doc_id,
+            string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS words
+          FROM documents),
+        sh AS (
+          SELECT doc_id,
+            CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+                 ELSE [array_to_string(words[i:i+2], ' ') FOR i IN generate_series(1, len(words) - 2)] END AS shingles
+          FROM w),
+        hs AS (SELECT doc_id, $hs FROM sh),
+        sig AS (SELECT doc_id, $sigList AS sig FROM hs),
+        banded AS (SELECT doc_id, sig, bd,
+                     array_to_string(sig[bd * 4 + 1 : bd * 4 + 4], '|') AS bk
+                   FROM sig, (SELECT unnest(generate_series(0, 7)) AS bd)),
+        pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                    a.sig AS sig_a, b.sig AS sig_b
+                  FROM banded a JOIN banded b
+                    ON a.bd = b.bd AND a.bk = b.bk AND a.doc_id < b.doc_id),
+        good AS (SELECT id_a, id_b, CAST($eq AS DOUBLE) / 32 AS est FROM pairs
+                 WHERE CAST($eq AS DOUBLE) / 32 >= 0.5),
+        dirn AS (SELECT
+                   CASE WHEN id_a % 2 = id_b % 2 THEN greatest(id_a, id_b)
+                        WHEN id_a % 2 = 1 THEN id_a ELSE id_b END AS id_new,
+                   CASE WHEN id_a % 2 = id_b % 2 THEN least(id_a, id_b)
+                        WHEN id_a % 2 = 1 THEN id_b ELSE id_a END AS id_matched,
+                   est AS est_jaccard
+                 FROM good)
+        SELECT id_new, id_matched, est_jaccard FROM dirn
+        ORDER BY id_new, id_matched"""
+      })
   )
 }

@@ -16,6 +16,26 @@ object VectorQueries {
     s"CAST(list_sum([CAST(floor(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) * 1e12) AS BIGINT) " +
       s"FOR i IN generate_series(1, len($a))]) AS BIGINT)"
 
+  // Shared by e03 (one-shot annTopK) and e12 (persisted AnnIndex): the
+  // index is REQUIRED to reproduce the one-shot result exactly.
+  private lazy val annLshOracle: String =
+    s"""${bucketsSql(nTables = 8, bitsPerTable = 6)},
+        cand AS (SELECT DISTINCT c.vec_id AS neighbor_id, pr.vec_id AS probe_id
+                 FROM buck c JOIN buck pr ON c.tbl = pr.tbl AND c.bucket = pr.bucket
+                 WHERE pr.vec_id < 5 AND c.vec_id <> pr.vec_id),
+        wv AS (SELECT cand.probe_id, cand.neighbor_id, p.embedding AS pe, n.embedding AS ne
+               FROM cand JOIN embeddings p ON p.vec_id = cand.probe_id
+                         JOIN embeddings n ON n.vec_id = cand.neighbor_id),
+        r AS (SELECT probe_id, neighbor_id,
+                CAST(${qdotSql("pe", "ne")} AS DOUBLE)
+                  / sqrt(CAST(${qdotSql("pe", "pe")} AS DOUBLE) * CAST(${qdotSql("ne", "ne")} AS DOUBLE)) AS sim
+              FROM wv),
+        k AS (SELECT probe_id, neighbor_id, sim,
+                row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rn
+              FROM r)
+        SELECT probe_id, neighbor_id, CAST(rn AS INTEGER) AS rnk, sim
+        FROM k WHERE rn <= 5 ORDER BY probe_id, rnk"""
+
   val all: Seq[CatalogQuery] = Seq(
 
     CatalogQuery(
@@ -69,22 +89,25 @@ object VectorQueries {
             nTables = 8, bitsPerTable = 6, portable = true)
           .orderBy(col("probe_id"), col("rnk"))
       },
-      Some(s"""${bucketsSql(nTables = 8, bitsPerTable = 6)},
-        cand AS (SELECT DISTINCT c.vec_id AS neighbor_id, pr.vec_id AS probe_id
-                 FROM buck c JOIN buck pr ON c.tbl = pr.tbl AND c.bucket = pr.bucket
-                 WHERE pr.vec_id < 5 AND c.vec_id <> pr.vec_id),
-        wv AS (SELECT cand.probe_id, cand.neighbor_id, p.embedding AS pe, n.embedding AS ne
-               FROM cand JOIN embeddings p ON p.vec_id = cand.probe_id
-                         JOIN embeddings n ON n.vec_id = cand.neighbor_id),
-        r AS (SELECT probe_id, neighbor_id,
-                CAST(${qdotSql("pe", "ne")} AS DOUBLE)
-                  / sqrt(CAST(${qdotSql("pe", "pe")} AS DOUBLE) * CAST(${qdotSql("ne", "ne")} AS DOUBLE)) AS sim
-              FROM wv),
-        k AS (SELECT probe_id, neighbor_id, sim,
-                row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rn
-              FROM r)
-        SELECT probe_id, neighbor_id, CAST(rn AS INTEGER) AS rnk, sim
-        FROM k WHERE rn <= 5 ORDER BY probe_id, rnk""")),
+      Some(annLshOracle)),
+
+    // The persisted-index path of the SAME computation: build an AnnIndex
+    // incrementally (two adds), query it — results must equal one-shot
+    // annTopK, so e03's oracle gates the index build/query machinery too
+    // (GraftTable-backed buckets+vectors, candidate join, exact rescore).
+    CatalogQuery(
+      "e12_ann_index_query",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val tmp = java.nio.file.Files.createTempDirectory("graft-e12-").toString
+        val idx = new graft.ext.AnnIndex(s, s"file://$tmp",
+          nTables = 8, bitsPerTable = 6, portable = true)
+        idx.add(emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding")
+        idx.add(emb.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding")
+        idx.query(emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5)
+          .orderBy(col("probe_id"), col("rnk"))
+      },
+      Some(annLshOracle)),
 
     // IVF inverted-index ANN — the second scale path beside LSH: nearest-
     // centroid cells from a deterministic md5-sampled codebook, probes
