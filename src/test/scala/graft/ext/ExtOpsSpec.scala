@@ -464,6 +464,19 @@ class ExtOpsSpec extends SparkSpecBase {
     assert(r.toSet === r2.toSet)
   }
 
+  test("mixtureSample: a vanishing weight yields a zero quota, not an error") {
+    val df = (0L until 100L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    // T = min(50e6/999999, 50e6/1) = 50; keep_en = floor(999999*50/1e6) = 49,
+    // keep_de = floor(1*50/1e6) = 0 — the de stratum contributes NOTHING
+    // (boundary bucket takes 0) rather than erroring or over-sampling
+    val r = TextAnalysis.mixtureSample(df, "doc_id", "lang",
+        Map("en" -> 999999L, "de" -> 1L))
+      .collect().map(x => (x.getLong(0), x.getString(1)))
+    val byLang = r.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byLang === Map("en" -> 49), s"got $byLang")
+  }
+
   test("semDedup: duplicates point at a lower-id same-cluster row above threshold") {
     val base = (0 until 8).map(_.toDouble / 10).toArray
     val emb = Seq(
