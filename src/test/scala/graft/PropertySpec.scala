@@ -399,6 +399,43 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("mixtureSample histogram selection == naive per-stratum rank selection") {
+    // the scale path (bounded bucket histogram + boundary-only rank
+    // window) must select EXACTLY the rows the obvious implementation
+    // (full per-stratum rank over (hash, id)) selects — the cleverness
+    // is an optimization, not a semantic
+    import org.apache.spark.sql.expressions.Window
+    val gen = for {
+      n <- Gen.choose(20, 150)
+      strata <- Gen.choose(2, 4)
+      ws <- Gen.listOfN(strata, Gen.choose(1L, 1000000L))
+    } yield (n, ws)
+    samples(gen, 6).foreach { case (n, ws) =>
+      val names = ws.indices.map(i => s"s$i")
+      val weights = names.zip(ws).toMap
+      val df = (0L until n.toLong).map(i => (i, names((i % names.size).toInt)))
+        .toDF("doc_id", "strat")
+      val got = graft.ext.TextAnalysis.mixtureSample(df, "doc_id", "strat", weights)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      // naive: T and keep via the same integer spec, then rank everything
+      val hashed = df.withColumn("__h", graft.ext.TextAnalysis.portableHash60(
+        concat_ws(":", lit("mix"), col("doc_id").cast("string"))))
+      val counts = hashed.groupBy("strat").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val t = counts.map { case (g, c) => c * 1000000L / weights(g) }.min
+      val keep = weights.map { case (g, w) => g -> w * t / 1000000L }
+      val naive = hashed
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col("strat")).orderBy(col("__h"), col("doc_id"))))
+        .collect()
+        .filter(r => r.getInt(r.fieldIndex("__rn")) <= keep(r.getString(1)))
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got === naive,
+        s"n=$n weights=$weights: histogram=${got.size} naive=${naive.size}, " +
+          s"diff=${(got diff naive) ++ (naive diff got)}")
+    }
+  }
+
   test("container demuxers are total: random and truncated bytes never throw") {
     // at 100 TB some payloads are ALWAYS garbage — a demuxer that throws
     // on any byte sequence kills a 10k-task stage. Random bytes, valid
