@@ -52,6 +52,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       graft.ext.TextAnalysis.tokenCount)
     registerText(ext, "graft_bpe_tokens", "BPE-ish subword token count",
       graft.ext.TextAnalysis.bpeTokenCount)
+    registerText(ext, "graft_simhash64", "64-bit SimHash of word tokens",
+      graft.ext.Dedup.simhash64)
+    registerText(ext, "graft_portable_hash", "md5-derived 60-bit hash, engine-portable",
+      graft.ext.TextAnalysis.portableHash60)
+    register(ext, "graft_hamming", "Hamming distance between two 64-bit fingerprints", args => {
+      requireArgs(args, 2, "graft_hamming")
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      ColumnBridge.eagerExpression(graft.ext.Dedup.hamming64(
+        ColumnBridge.column(args(0)), ColumnBridge.column(args(1))))
+    })
   }
 
   private def registerText(

@@ -92,4 +92,30 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(viaSql(0).getString(1) === "en" && viaSql(1).getString(1) === "de")
     assert(viaSql(0).getString(3).contains("<EMAIL>"))
   }
+
+  test("fingerprint/hash functions in SQL agree with the Column API") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"))
+      .toDF("id", "text")
+    df.createOrReplaceTempView("fp_docs")
+    val viaSql = spark.sql(
+      """SELECT id, graft_simhash64(text) AS sh, graft_portable_hash(text) AS ph
+        FROM fp_docs ORDER BY id""").collect()
+    import org.apache.spark.sql.functions.col
+    val viaCols = df.select(col("id"),
+        graft.ext.Dedup.simhash64(col("text")).as("sh"),
+        graft.ext.TextAnalysis.portableHash60(col("text")).as("ph"))
+      .orderBy("id").collect()
+    assert(viaSql.toSeq === viaCols.toSeq)
+    // near-dup texts: small but nonzero hamming distance via SQL
+    val ham = spark.sql(
+      """SELECT graft_hamming(a.sh, b.sh) FROM
+        (SELECT graft_simhash64(text) AS sh FROM fp_docs WHERE id = 1) a,
+        (SELECT graft_simhash64(text) AS sh FROM fp_docs WHERE id = 2) b""")
+      .head().getInt(0)
+    assert(ham > 0 && ham <= 16, s"near-dup simhash distance out of range: $ham")
+    assert(viaSql(0).getLong(2) >= 0L, "portable hash is non-negative")
+  }
 }
