@@ -473,8 +473,21 @@ object CdcPipelines {
       val tmp = new org.apache.hadoop.fs.Path(s"$cursorDir/.$topic.version.tmp")
       val out = fs.create(tmp, true)
       try out.write(to.toString.getBytes("UTF-8")) finally out.close()
-      org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, spark.sparkContext.hadoopConfiguration)
-        .rename(tmp, cursorPath, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      try
+        org.apache.hadoop.fs.FileContext
+          .getFileContext(fs.getUri, spark.sparkContext.hadoopConfiguration)
+          .rename(tmp, cursorPath, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      catch {
+        case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+          // connectors without an AbstractFileSystem binding (only
+          // file/hdfs/viewfs and the big-cloud schemes ship one) fall back
+          // to delete+rename: a small non-atomic window beats never
+          // advancing the cursor and re-publishing this window forever
+          fs.delete(cursorPath, false)
+          if (!fs.rename(tmp, cursorPath))
+            throw new IllegalStateException(
+              s"failed to advance cdc-out cursor for $topic")
+      }
     }
     math.max(from, to)
   }

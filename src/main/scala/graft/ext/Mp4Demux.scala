@@ -106,8 +106,13 @@ object Mp4Demux {
     val count = readU32(b, p + 8)
     if (count < 0 || count > Int.MaxValue) return None
     val n = count.toInt
-    if (uniform != 0) Some(Array.fill(n)(uniform))
-    else if (p + 12 + 4L * n > box.payloadEnd) None
+    if (uniform != 0) {
+      // bound the allocation by what the file could possibly hold — a
+      // corrupt count of 2^31-1 must not OOM the executor ("total, never
+      // throws" includes OutOfMemoryError, which NonFatal doesn't catch)
+      if (uniform * count > b.length.toLong) None
+      else Some(Array.fill(n)(uniform))
+    } else if (p + 12 + 4L * n > box.payloadEnd) None
     else Some(Array.tabulate(n)(i => readU32(b, p + 12 + 4 * i)))
   }
 
@@ -162,6 +167,14 @@ object Mp4Demux {
     else Some(SampleTable(offsets, sizes))
   }
 
+  /** `n` evenly-spaced pick indices out of `total` — the one sampling
+    * policy every container demuxer shares (see [[WebmDemux]]). */
+  private[ext] def evenPicks(total: Int, n: Int): Seq[Int] =
+    if (total <= 0 || n <= 0) Seq.empty
+    else (0 until math.min(n, total))
+      .map(i => (total.toLong * i / math.min(n, total)).toInt)
+      .distinct
+
   /** `n` evenly-spaced samples (by index) out of the payload — the frame-
     * sampling policy of [[Multimodal.sampleFramesExploded]], but on REAL
     * container samples. Empty on anything unparseable. */
@@ -169,16 +182,9 @@ object Mp4Demux {
     parse(payload) match {
       case None => Seq.empty
       case Some(t) =>
-        val total = t.sampleCount
-        if (total == 0 || n <= 0) Seq.empty
-        else {
-          val picks = (0 until math.min(n, total))
-            .map(i => (total.toLong * i / math.min(n, total)).toInt)
-            .distinct
-          picks.map { si =>
-            si -> java.util.Arrays.copyOfRange(
-              payload, t.offsets(si).toInt, (t.offsets(si) + t.sizes(si)).toInt)
-          }
+        evenPicks(t.sampleCount, n).map { si =>
+          si -> java.util.Arrays.copyOfRange(
+            payload, t.offsets(si).toInt, (t.offsets(si) + t.sizes(si)).toInt)
         }
     }
 }

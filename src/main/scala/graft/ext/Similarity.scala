@@ -524,6 +524,15 @@ object Similarity {
       iters: Int = 0): DataFrame = {
     require(m > 0 && codebookSize > 0 && iters >= 0,
       "m and codebookSize must be positive, iters non-negative")
+    // ragged vectors would silently drop dimensions from the (i, s)
+    // codebook join and bias every code/distance — fail loudly instead
+    // (same contract as sqDimStats/SqEncodeBytes). Column-pruned scans.
+    val cd = corpus.agg(min(size(col(vecCol))), max(size(col(vecCol)))).head()
+    require(!cd.isNullAt(0) && cd.getInt(0) == cd.getInt(1),
+      s"pqTopK: ragged corpus vectors in '$vecCol' (dims ${cd.get(0)}..${cd.get(1)})")
+    val pd = probes.agg(min(size(col(vecCol))), max(size(col(vecCol)))).head()
+    require(pd.isNullAt(0) || (pd.getInt(0) == cd.getInt(0) && pd.getInt(1) == cd.getInt(0)),
+      s"pqTopK: probe dims ${pd.get(0)}..${pd.get(1)} != corpus dims ${cd.get(0)}")
     // (id, subspace, dim, x): s = (i·m) div dims — contiguous dim blocks
     def exploded(df: DataFrame): DataFrame = df
       .select(col(idCol).as("id"), posexplode(col(vecCol)).as(Seq("i", "xr")),
@@ -622,10 +631,15 @@ object Similarity {
     * and feed them to the same vote. */
   def knnClassify(corpus: DataFrame, probes: DataFrame, idCol: String,
       vecCol: String, labelCol: String, k: Int): DataFrame = {
-    val nn = bruteForceTopK(corpus, probes, idCol, vecCol, k, deterministic = true)
+    // NULL-labeled rows can't vote — and Spark sorts NULL FIRST on the
+    // tie-break, so a null group would win ties and "classify" probes as
+    // NULL. They're excluded from neighbor SELECTION (not just the vote),
+    // so every probe still gets k real votes.
+    val labeled = corpus.filter(col(labelCol).isNotNull)
+    val nn = bruteForceTopK(labeled, probes, idCol, vecCol, k, deterministic = true)
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("votes").desc, col(labelCol))
-    nn.join(corpus.select(col(idCol).as("neighbor_id"), col(labelCol)), "neighbor_id")
+    nn.join(labeled.select(col(idCol).as("neighbor_id"), col(labelCol)), "neighbor_id")
       .groupBy(col("probe_id"), col(labelCol))
       .agg(count(lit(1)).as("votes"))
       .withColumn("__rn", row_number().over(w))

@@ -95,41 +95,55 @@ object WebmDemux {
         case Some((EbmlHeader, _)) => ()
         case _                     => return Seq.empty
       }
+      // an unknown-size Cluster (streamed captures) clamps to the segment
+      // end, so LATER clusters arrive as nested children of the first —
+      // recurse on Cluster ids at the block level or their frames vanish
+      def inCluster(cs: Int, ce: Int): Unit = walk(bytes, cs, ce) { (bid, bs, be) =>
+        if (bid == SimpleBlock) blockPayload(bytes, bs, be).foreach(out += _)
+        else if (bid == BlockGroup) walk(bytes, bs, be) { (gid, gs, ge) =>
+          if (gid == Block) blockPayload(bytes, gs, ge).foreach(out += _)
+        }
+        else if (bid == Cluster) inCluster(bs, be)
+      }
       walk(bytes, 0, bytes.length) { (id, s, e) =>
         if (id == Segment) walk(bytes, s, e) { (cid, cs, ce) =>
-          if (cid == Cluster) walk(bytes, cs, ce) { (bid, bs, be) =>
-            if (bid == SimpleBlock) blockPayload(bytes, bs, be).foreach(out += _)
-            else if (bid == BlockGroup) walk(bytes, bs, be) { (gid, gs, ge) =>
-              if (gid == Block) blockPayload(bytes, gs, ge).foreach(out += _)
-            }
-          }
+          if (cid == Cluster) inCluster(cs, ce)
         }
       }
       out.result()
     } catch { case scala.util.control.NonFatal(_) => Seq.empty }
   }
 
+  /** Track-number varint: same length-prefixed encoding as sizes but
+    * WITHOUT the all-ones-means-unknown rule — that convention applies
+    * only to element sizes, and treating track 127 (0xFF) as "unknown"
+    * would silently drop its blocks. */
+  private def readTrackNum(b: Array[Byte], p: Int, end: Int): Option[(Long, Int)] = {
+    if (p >= end) return None
+    val first = b(p) & 0xff
+    if (first == 0) return None
+    val len = Integer.numberOfLeadingZeros(first) - 24 + 1
+    if (len < 1 || len > 8 || p + len > end) return None
+    var v = (first & (0xff >>> len)).toLong
+    var i = 1
+    while (i < len) { v = (v << 8) | (b(p + i) & 0xffL); i += 1 }
+    Some((v, len))
+  }
+
   /** Block layout: [varint track][2-byte timecode][1-byte flags][frame
     * data]. Lacing (multiple frames per block) is rare in WebM video;
     * laced blocks are emitted whole rather than split. */
   private def blockPayload(b: Array[Byte], s: Int, e: Int): Option[MediaBlock] =
-    readSize(b, s, e).flatMap { case (track, tlen) =>
+    readTrackNum(b, s, e).flatMap { case (track, tlen) =>
       val dataStart = s + tlen + 3 // timecode (2) + flags (1)
-      if (track < 0 || dataStart > e) None
+      if (dataStart > e) None
       else Some(MediaBlock(track, java.util.Arrays.copyOfRange(b, dataStart, e)))
     }
 
   /** `n` evenly-spaced media blocks — [[Mp4Demux.sampleBytes]]'s policy
-    * for the Matroska family. */
+    * ([[Mp4Demux.evenPicks]]) for the Matroska family. */
   def sampleBytes(payload: Array[Byte], n: Int): Seq[(Int, Array[Byte])] = {
     val all = blocks(payload)
-    val total = all.length
-    if (total == 0 || n <= 0) Seq.empty
-    else {
-      val picks = (0 until math.min(n, total))
-        .map(i => (total.toLong * i / math.min(n, total)).toInt)
-        .distinct
-      picks.map(i => i -> all(i).payload)
-    }
+    Mp4Demux.evenPicks(all.length, n).map(i => i -> all(i).payload)
   }
 }

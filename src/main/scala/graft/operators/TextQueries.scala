@@ -796,11 +796,17 @@ object TextQueries {
       (s, dir) => {
         val docs = t(s, dir, "documents")
         val tmp = java.nio.file.Files.createTempDirectory("graft-d26-").toString
+        // throwaway index: no file stats (nothing ever data-skips it)
+        implicit val st: graft.conf.GraftSettings =
+          graft.conf.GraftSettings.default.copy(collectFileStats = false)
         val idx = new graft.ext.NearDupIndex(s, s"file://$tmp",
           numHashes = 32, bands = 8, shingleSize = 3, threshold = 0.5,
           portable = true)
+        // detectAndAdd localCheckpoints its result before returning, so
+        // the scratch index can be dropped once both batches ran
         val first = idx.detectAndAdd(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
         val second = idx.detectAndAdd(docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text")
+        graft.lake.FsUtils.deletePath(s, s"file://$tmp")
         first.unionByName(second)
           .orderBy(col("id_new"), col("id_matched"))
       },

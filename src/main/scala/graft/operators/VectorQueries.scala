@@ -100,12 +100,18 @@ object VectorQueries {
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
         val tmp = java.nio.file.Files.createTempDirectory("graft-e12-").toString
+        // throwaway index: no file stats (nothing ever data-skips it)
+        implicit val st: graft.conf.GraftSettings =
+          graft.conf.GraftSettings.default.copy(collectFileStats = false)
         val idx = new graft.ext.AnnIndex(s, s"file://$tmp",
           nTables = 8, bitsPerTable = 6, portable = true)
         idx.add(emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding")
         idx.add(emb.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding")
-        idx.query(emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5)
+        val out = idx.query(emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5)
           .orderBy(col("probe_id"), col("rnk"))
+          .localCheckpoint(true) // materialize, then drop the scratch index
+        graft.lake.FsUtils.deletePath(s, s"file://$tmp")
+        out
       },
       Some(annLshOracle)),
 

@@ -329,6 +329,31 @@ class MultimodalSpec extends SparkSpecBase {
     assert(WebmDemux.blocks(Array.emptyByteArray).isEmpty)
   }
 
+  test("WebmDemux: unknown-size cluster doesn't swallow followers; track 127 decodes") {
+    def el(id: Array[Byte], payload: Array[Byte]): Array[Byte] =
+      id ++ Array((0x80 | payload.length).toByte) ++ payload
+    val f1 = Array.fill[Byte](4)(0x61)
+    val f2 = Array.fill[Byte](4)(0x62)
+    // track 127 encodes as the all-ones 1-byte varint 0xFF — a SIZE would
+    // mean "unknown", but a track number must decode as 127
+    val sb1 = el(Array[Byte](0xA3.toByte),
+      Array[Byte](0xFF.toByte, 0, 0, 0) ++ f1)
+    val cluster2 = el(Array[Byte](0x1F, 0x43, 0xB6.toByte, 0x75.toByte),
+      el(Array[Byte](0xA3.toByte), Array[Byte](0x81.toByte, 0, 0, 0) ++ f2))
+    // cluster 1 with UNKNOWN size (0xFF): clamps to segment end, so
+    // cluster 2 arrives nested inside its range and must still demux
+    val cluster1 = Array[Byte](0x1F, 0x43, 0xB6.toByte, 0x75.toByte, 0xFF.toByte) ++
+      sb1 ++ cluster2
+    val header = el(Array[Byte](0x1A, 0x45, 0xDF.toByte, 0xA3.toByte), Array[Byte](1))
+    val segment = el(Array[Byte](0x18, 0x53, 0x80.toByte, 0x67.toByte), cluster1)
+    val got = WebmDemux.blocks(header ++ segment)
+    assert(got.length === 2, s"expected both clusters' blocks, got ${got.length}")
+    assert(got(0).trackNumber === 127L)
+    assert(got(0).payload.toSeq === f1.toSeq)
+    assert(got(1).trackNumber === 1L)
+    assert(got(1).payload.toSeq === f2.toSeq)
+  }
+
   test("demuxMp4Exploded: real container samples out, corrupt rows drop") {
     val samples = (0 until 4).map(i => Array.fill[Byte](8)((0x10 + i).toByte))
     val df = Seq(

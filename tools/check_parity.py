@@ -62,12 +62,14 @@ def main(sf_dir: str, out_dir: str, only: str = ""):
         # HARD RULE (r5 lesson): the driver's canonicalizer hash-mismatches
         # any DECIMAL output column even when values are identical — values
         # can be equal HERE (decimal.Decimal compares fine) yet red on the
-        # driver. Surface it as a failure so it never ships again.
+        # driver. Scan EVERY cell of BOTH frames (a nullable decimal whose
+        # leading rows are all NULL must not slip through), cheap at
+        # parity scale.
         import decimal
-        dec_cols = [c for c in got.columns
-                    if str(got[c].dtype) == "object"
-                    and any(isinstance(v, decimal.Decimal)
-                            for v in got[c].head(20).tolist())]
+        dec_cols = sorted({c for frame in (got, exp) for c in frame.columns
+                           if str(frame[c].dtype) == "object"
+                           and any(isinstance(v, decimal.Decimal)
+                                   for v in frame[c].tolist())})
         if dec_cols:
             print(f"FAIL {name}: DECIMAL output column(s) {dec_cols} — "
                   "driver-unsafe; cast the final output to DOUBLE/BIGINT")
