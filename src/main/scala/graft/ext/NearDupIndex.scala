@@ -45,9 +45,17 @@ final class NearDupIndex(
     * earlier id from the same batch. Re-ingesting an id is the caller's
     * concern (ids must be globally unique). */
   def detectAndAdd(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // materialize both derived frames: sigs feeds the band derivation,
+    // the candidate-confirm joins AND the sigs append; newBands feeds
+    // BOTH sides of the intra-batch self-join, the vs-index join and the
+    // bands append — unmaterialized, the md5 signature pipeline (the
+    // expensive part) re-runs for every consumer (measured 7s -> bench
+    // profile on d26; same lesson as the e04/d07 plan audit)
     val sigs = Dedup.minhashSignaturesDf(
-      docs, idCol, textCol, numHashes, shingleSize, portable)
+        docs, idCol, textCol, numHashes, shingleSize, portable)
+      .localCheckpoint(true)
     val newBands = Dedup.minhashBands(sigs, bands, rowsPerBand, portable)
+      .localCheckpoint(true)
 
     // candidates within the batch itself (earlier id wins the "matched" slot)
     val intra = newBands.as("a")
