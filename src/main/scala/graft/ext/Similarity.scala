@@ -552,6 +552,9 @@ object Similarity {
       .select(col("c"), posexplode(col("cv")).as(Seq("i", "cxr")), size(col("cv")).as("__dims"))
       .select(col("c"), col("i"), expr(s"(i * $m) DIV __dims").as("s"),
         col("cxr").cast("double").as("cx"))
+      // k·dims rows; unmaterialized, every consuming job re-runs the
+      // corpus-wide md5 top-k that derives it
+      .localCheckpoint(true)
     // per-(row, subspace, centroid) quantized subdistance
     def subDists(ex: DataFrame, cb: DataFrame): DataFrame = ex
       .join(broadcast(cb), Seq("i", "s"))
