@@ -155,7 +155,11 @@ object Mp4Demux {
       var off = chunkOffsets(chunk)
       var i = 0L
       while (i < perChunk && sample < sizes.length) {
-        if (off < 0 || off + sizes(sample) > fileLen) return None // corrupt table
+        // overflow-safe bound: `off + size > fileLen` wraps negative for
+        // huge co64 offsets and would let the corrupt range through to an
+        // uncaught copyOfRange in sampleBytes
+        if (off < 0 || sizes(sample) < 0 || off > fileLen - sizes(sample))
+          return None // corrupt table
         offsets(sample) = off
         off += sizes(sample)
         sample += 1

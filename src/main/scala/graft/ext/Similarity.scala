@@ -539,11 +539,13 @@ object Similarity {
         size(col(vecCol)).as("__dims"))
       .select(col("id"), col("i"), expr(s"(i * $m) DIV __dims").as("s"),
         col("xr").cast("double").as("x"))
-    // corpus explodes ONCE (training iterations + encode reuse it); micro
-    // units feed the integer-exact centroid updates, as in kmeans
-    val exCorpus = exploded(corpus)
+    // micro units feed the integer-exact centroid updates, as in kmeans.
+    // The explode materializes only when training will REUSE it (each
+    // iteration's assign + update, plus the final encode); at iters=0 the
+    // single consumer makes an eager corpus-wide checkpoint pure cost
+    val exCorpus0 = exploded(corpus)
       .withColumn("micro", floor(col("x") * lit(1e6)).cast("long"))
-      .localCheckpoint(true)
+    val exCorpus = if (iters > 0) exCorpus0.localCheckpoint(true) else exCorpus0
     var cent: DataFrame = corpus
       .select(col(idCol).as("cid"), col(vecCol).as("cv"))
       .orderBy(md5(col("cid").cast("string")), col("cid"))

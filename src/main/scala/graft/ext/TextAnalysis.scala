@@ -428,6 +428,16 @@ object TextAnalysis {
       .localCheckpoint(true) // feeds counts, histogram, and final filter
     val counts = hashed.groupBy(col(stratCol), col("__w"))
       .agg(count(lit(1)).as("__n"))
+    // a WEIGHTED stratum with zero rows would silently vanish from the
+    // min (counts comes from an inner join), letting every other stratum
+    // keep its full quota and skewing the mixture off-target with no
+    // signal — the scarcest-stratum rule says the sample is EMPTY then,
+    // so fail loudly instead
+    val present = counts.select(col(stratCol)).collect().map(_.getString(0)).toSet
+    val missing = weightsPpm.keySet.diff(present)
+    require(missing.isEmpty,
+      s"mixtureSample: weighted strata with no rows: ${missing.toSeq.sorted.mkString(", ")} — " +
+        "drop them from weightsPpm or fix the corpus")
     val t = counts.agg(min(expr("(__n * 1000000) DIV __w")).as("__t"))
     val keep = counts.crossJoin(broadcast(t))
       .select(col(stratCol), expr("(__w * __t) DIV 1000000").as("__keep"))

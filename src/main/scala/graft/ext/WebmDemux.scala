@@ -97,17 +97,21 @@ object WebmDemux {
       }
       // an unknown-size Cluster (streamed captures) clamps to the segment
       // end, so LATER clusters arrive as nested children of the first —
-      // recurse on Cluster ids at the block level or their frames vanish
-      def inCluster(cs: Int, ce: Int): Unit = walk(bytes, cs, ce) { (bid, bs, be) =>
-        if (bid == SimpleBlock) blockPayload(bytes, bs, be).foreach(out += _)
-        else if (bid == BlockGroup) walk(bytes, bs, be) { (gid, gs, ge) =>
-          if (gid == Block) blockPayload(bytes, gs, ge).foreach(out += _)
+      // recurse on Cluster ids at the block level or their frames vanish.
+      // Depth-capped: crafted Cluster-in-Cluster headers cost 5 bytes a
+      // level, and StackOverflowError is fatal (escapes NonFatal) — real
+      // streams nest a handful deep at most
+      def inCluster(cs: Int, ce: Int, depth: Int): Unit =
+        if (depth <= 64) walk(bytes, cs, ce) { (bid, bs, be) =>
+          if (bid == SimpleBlock) blockPayload(bytes, bs, be).foreach(out += _)
+          else if (bid == BlockGroup) walk(bytes, bs, be) { (gid, gs, ge) =>
+            if (gid == Block) blockPayload(bytes, gs, ge).foreach(out += _)
+          }
+          else if (bid == Cluster) inCluster(bs, be, depth + 1)
         }
-        else if (bid == Cluster) inCluster(bs, be)
-      }
       walk(bytes, 0, bytes.length) { (id, s, e) =>
         if (id == Segment) walk(bytes, s, e) { (cid, cs, ce) =>
-          if (cid == Cluster) inCluster(cs, ce)
+          if (cid == Cluster) inCluster(cs, ce, 0)
         }
       }
       out.result()

@@ -764,15 +764,22 @@ object TextQueries {
           .withColumn("rnk", row_number().over(
             Window.orderBy(col("n").desc, col("token"))))
           .filter(col("rnk") <= 10)
+        // args are (eps, CONFIDENCE, seed): confidence 0.99 -> depth 7
+        // hash rows (0.01 would mean depth 1 — a single row whose
+        // over-count bound holds only with probability ~1/2, flipping the
+        // boolean on unlucky distributions)
         val sketchBytes = tok
-          .agg(count_min_sketch(col("token"), lit(0.001), lit(0.01), lit(42)).as("s"))
+          .agg(count_min_sketch(col("token"), lit(0.001), lit(0.99), lit(42)).as("s"))
           .head().getAs[Array[Byte]](0)
-        val est = udf((t: String) =>
-          org.apache.spark.util.sketch.CountMinSketch.readFrom(
-            new java.io.ByteArrayInputStream(sketchBytes)).estimateCount(t))
-        exact.select(col("token"), col("n"), col("rnk"),
-            (est(col("token")) >= col("n") &&
-              est(col("token")) <= (col("n") * 1.05).cast("long")).as("cms_within_5pct"))
+        // deserialize ONCE; CountMinSketch is serializable, so the UDF
+        // closure ships the ready sketch, not bytes to re-parse per call
+        val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+          new java.io.ByteArrayInputStream(sketchBytes))
+        val est = udf((t: String) => cms.estimateCount(t))
+        exact.withColumn("__est", est(col("token")))
+          .select(col("token"), col("n"), col("rnk"),
+            (col("__est") >= col("n") &&
+              col("__est") <= (col("n") * 1.05).cast("long")).as("cms_within_5pct"))
           .orderBy(col("rnk"))
       },
       Some("""WITH tok AS (
