@@ -495,4 +495,80 @@ object Dedup {
     val gb = charNgrams(b, n)
     size(array_intersect(ga, gb)).cast("double") / size(array_union(ga, gb))
   }
+
+  // --------------------------------------------------- block-level dedup
+
+  /** Corpus-wide exact block dedup — the paragraph-granularity dedup of
+    * RefinedWeb/Dolma-style pretraining pipelines, with consecutive
+    * `blockWords`-word blocks standing in for paragraphs on newline-free
+    * corpora. Unlike [[dupSpans]] (which only MEASURES duplicated spans),
+    * this REMOVES them: each distinct block survives only at its globally
+    * first occurrence (minimal `(doc, pos)`); every later copy — in the
+    * same doc or any other — is dropped, and the per-doc output reports
+    * what remains: block/token keep counts, kept fraction, and an md5 of
+    * the reconstructed (kept-blocks-in-order) text.
+    *
+    * Scale (100 TB): the first-occurrence vote is a hash-aggregation on
+    * the 60/64-bit block hash alone — one shuffle moving hash + (doc,
+    * pos) per block, never text, and no per-key window. Block text
+    * crosses a shuffle exactly once, keyed by the doc id, for the
+    * ordered reconstruction — linear in corpus size. Nothing is
+    * all-pairs; skewed hashes cannot arise (hashes are uniform).
+    *
+    * `portable = true` switches xxhash64 to the md5-derived 60-bit hash
+    * so any engine reproduces the vote bit-for-bit (the oracle path).
+    */
+  def blockDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockWords: Int = 32,
+      portable: Boolean = false): DataFrame = {
+    require(blockWords >= 1, s"blockWords must be >= 1, got $blockWords")
+    def hashOf(c: Column): Column =
+      if (portable) TextAnalysis.portableHash60(c) else xxhash64(c)
+    val norm = TextAnalysis.normalize(col(textCol))
+    val words = split(norm, " ")
+    val base = df.select(
+      col(idCol),
+      when(length(norm) === 0, lit(0L))
+        .otherwise(size(words).cast("long")).as("n_tokens"))
+    // integer ceil-div block count; empty docs never reach the explode
+    val nBlocks =
+      call_function("div", size(col("__w")) + lit(blockWords - 1), lit(blockWords))
+    val blocks = Parallelism.widen(df)
+      .select(col(idCol).as("__id"), norm.as("__t"))
+      .filter(length(col("__t")) > 0)
+      .select(col("__id"), split(col("__t"), " ").as("__w"))
+      .select(col("__id"),
+        posexplode(transform(sequence(lit(0), nBlocks - 1),
+          i => concat_ws(" ", slice(col("__w"), i * blockWords + 1, lit(blockWords)))))
+          .as(Seq("__pos", "__blk")))
+      .withColumn("__h", hashOf(col("__blk")))
+      .localCheckpoint(true) // feeds the vote AND the reconstruction join
+    val winners = blocks.groupBy(col("__h"))
+      .agg(min(struct(col("__id"), col("__pos"))).as("__win"))
+      .select(col("__h"), col("__win.__id").as("__wid"), col("__win.__pos").as("__wpos"))
+    val perDoc = blocks.join(winners, Seq("__h"))
+      .withColumn("__keep", col("__id") === col("__wid") && col("__pos") === col("__wpos"))
+      .groupBy(col("__id"))
+      .agg(
+        count(lit(1)).as("n_blocks"),
+        sum(when(col("__keep"), lit(1L)).otherwise(lit(0L))).as("kept_blocks"),
+        sum(when(col("__keep"), size(split(col("__blk"), " ")).cast("long"))
+          .otherwise(lit(0L))).as("kept_tokens"),
+        md5(concat_ws(" ", transform(
+          array_sort(collect_list(when(col("__keep"), struct(col("__pos"), col("__blk"))))),
+          s => s.getField("__blk")))).as("kept_md5"))
+    base
+      .join(perDoc.withColumnRenamed("__id", idCol), Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_blocks"), lit(0L)).as("n_blocks"),
+        coalesce(col("kept_blocks"), lit(0L)).as("kept_blocks"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(graft.operators.QueryDsl.ratio6(
+            coalesce(col("kept_tokens"), lit(0L)), col("n_tokens"))).as("kept_frac"),
+        coalesce(col("kept_md5"), md5(lit(""))).as("kept_md5"))
+  }
 }

@@ -854,6 +854,58 @@ object TextQueries {
                  FROM good)
         SELECT id_new, id_matched, est_jaccard FROM dirn
         ORDER BY id_new, id_matched"""
-      })
+      }),
+
+    // Corpus-wide exact block dedup (paragraph dedup, RefinedWeb/Dolma
+    // style): each distinct 8-word block survives only at its globally
+    // first (doc, pos) occurrence; the per-doc output reconstructs what
+    // remains (kept counts + md5 of the surviving text). One hash-keyed
+    // vote shuffle + one doc-keyed reconstruction shuffle — never
+    // all-pairs, no per-key windows.
+    CatalogQuery(
+      "d27_block_dedup",
+      (s, dir) =>
+        Dedup.blockDedup(t(s, dir, "documents"), "doc_id", "text",
+            blockWords = 8, portable = true)
+          .orderBy(col("doc_id")),
+      Some(s"""WITH nw AS (
+          SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
+          FROM documents),
+        w AS (
+          SELECT doc_id, string_split(t, ' ') AS ws,
+            CAST(CASE WHEN len(t) = 0 THEN 0 ELSE len(string_split(t, ' ')) END AS BIGINT) AS n_tokens
+          FROM nw),
+        ev AS (
+          SELECT doc_id, ws, unnest(generate_series(0, (len(ws) + 7) // 8 - 1)) AS pos
+          FROM w WHERE n_tokens > 0),
+        b AS (
+          SELECT doc_id, pos, array_to_string(ws[(pos*8+1):(pos*8+8)], ' ') AS blk
+          FROM ev),
+        h AS (
+          SELECT doc_id, pos, blk,
+            CAST(('0x' || substr(md5(blk), 1, 15)) AS BIGINT) AS h
+          FROM b),
+        win AS (
+          SELECT h, min(struct_pack(i := doc_id, p := pos)) AS w FROM h GROUP BY h),
+        k AS (
+          SELECT h.doc_id, h.pos, h.blk,
+            (h.doc_id = win.w.i AND h.pos = win.w.p) AS keep
+          FROM h JOIN win USING (h)),
+        per_doc AS (
+          SELECT doc_id,
+            count(*) AS n_blocks,
+            sum(CASE WHEN keep THEN 1 ELSE 0 END) AS kept_blocks,
+            sum(CASE WHEN keep THEN len(string_split(blk, ' ')) ELSE 0 END) AS kept_tokens,
+            md5(coalesce(string_agg(blk, ' ' ORDER BY pos) FILTER (WHERE keep), '')) AS kept_md5
+          FROM k GROUP BY doc_id)
+        SELECT w.doc_id, w.n_tokens,
+          CAST(coalesce(p.n_blocks, 0) AS BIGINT) AS n_blocks,
+          CAST(coalesce(p.kept_blocks, 0) AS BIGINT) AS kept_blocks,
+          CAST(coalesce(p.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+          CASE WHEN w.n_tokens = 0 THEN 0.0
+               ELSE ${ratio6Sql("coalesce(p.kept_tokens, 0)", "w.n_tokens")} END AS kept_frac,
+          coalesce(p.kept_md5, md5('')) AS kept_md5
+        FROM w LEFT JOIN per_doc p USING (doc_id)
+        ORDER BY w.doc_id"""))
   )
 }

@@ -93,6 +93,35 @@ class ExtOpsSpec extends SparkSpecBase {
     assert(!out.contains(3L), s"disjoint doc must not appear: $out")
   }
 
+  test("blockDedup: later copies drop, first occurrence survives, md5 reconstructs") {
+    val df = Seq(
+      (10L, "a b c d e f g h i j"),  // blocks (4w): [a b c d][e f g h][i j]
+      (20L, "a b c d x y z w"),      // first block duplicates doc 10's — dropped
+      (30L, "a b c d e f g h i j")   // exact dup of 10 — everything dropped
+    ).toDF("doc_id", "text")
+    val r = Dedup.blockDedup(df, "doc_id", "text", blockWords = 4, portable = true)
+      .orderBy("doc_id").collect()
+    val byId = r.map(x => x.getLong(0) -> x).toMap
+    assert(byId(10L).getLong(2) === 3 && byId(10L).getLong(3) === 3) // all kept
+    assert(byId(10L).getLong(4) === 10 && byId(10L).getDouble(5) === 1.0)
+    assert(byId(20L).getLong(3) === 1 && byId(20L).getLong(4) === 4) // lost "a b c d"
+    assert(byId(30L).getLong(3) === 0 && byId(30L).getLong(4) === 0)
+    // doc 30 keeps nothing -> md5 of empty string
+    assert(byId(30L).getString(6) === "d41d8cd98f00b204e9800998ecf8427e")
+    // doc 20's reconstruction is exactly its second block
+    val md5xyzw = java.security.MessageDigest.getInstance("MD5")
+      .digest("x y z w".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(byId(20L).getString(6) === md5xyzw)
+    // within-doc duplicate blocks: only the first pos survives
+    val rep = Seq((1L, "p q r s p q r s")).toDF("doc_id", "text")
+    val r2 = Dedup.blockDedup(rep, "doc_id", "text", blockWords = 4).head()
+    assert(r2.getLong(2) === 2 && r2.getLong(3) === 1 && r2.getLong(4) === 4)
+    // empty doc: zero everything, no crash
+    val r3 = Dedup.blockDedup(Seq((5L, "  ")).toDF("doc_id", "text"),
+      "doc_id", "text", blockWords = 4).head()
+    assert(r3.getLong(1) === 0 && r3.getLong(2) === 0 && r3.getDouble(5) === 0.0)
+  }
+
   test("fingerprint ignores case/punctuation/whitespace") {
     val fps = Seq("Hello, World!", "hello   world", "hello worlds")
       .toDF("text").select(TextAnalysis.fingerprint(col("text"))).collect().map(_.getString(0))
