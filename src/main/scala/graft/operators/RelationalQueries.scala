@@ -891,5 +891,78 @@ object RelationalQueries {
         SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
           count(*) AS n_events, min(ts) AS session_start, max(ts) AS session_end
         FROM g GROUP BY 1, 2 ORDER BY user_id, session_id"""))
-  )
+  ) ++ Seq(statsAgg)
+
+  // ---- statistical aggregates ---------------------------------------------
+  // corr/covar/stddev/regression per group, engine-portable: the inputs are
+  // exact integers (quantity; price floored to whole dollars via exact cents
+  // DIV 100), the moments are EXACT decimal sums (order-independent under
+  // any partitioning — the 100 TB requirement), and the final statistics are
+  // one identical IEEE-754 double expression on both engines (+,-,*,/,sqrt
+  // are all correctly rounded, so same inputs + same tree = same bits).
+  // The built-in streaming corr (Welford-style co-moments, NOT reproducible
+  // bit-for-bit across engines or partitionings) is gated by a tolerance
+  // boolean instead of a value compare — the q29/q43 estimator-invariant
+  // trick applied to classical statistics.
+  private lazy val statsAgg: CatalogQuery = CatalogQuery(
+    "q47_stats_agg",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      def d38(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 0))
+      val base = t(s, dir, "lineitem").select(
+        col("l_returnflag"),
+        dec2(col("l_quantity")).cast("long").as("__x"),
+        call_function("div",
+          (dec2(col("l_extendedprice")) * lit(100)).cast("long"), lit(100L)).as("__y"))
+      val m = base.groupBy(col("l_returnflag")).agg(
+        count(lit(1)).as("n"),
+        sum(d38(col("__x"))).as("__sx"),
+        sum(d38(col("__y"))).as("__sy"),
+        sum(d38(col("__x") * col("__x"))).as("__sxx"),
+        sum(d38(col("__x") * col("__y"))).as("__sxy"),
+        sum(d38(col("__y") * col("__y"))).as("__syy"),
+        corr(col("__x").cast("double"), col("__y").cast("double")).as("__bcorr"))
+      val nd = col("n").cast("double")
+      val sx = col("__sx").cast("double"); val sy = col("__sy").cast("double")
+      val sxx = col("__sxx").cast("double"); val sxy = col("__sxy").cast("double")
+      val syy = col("__syy").cast("double")
+      val num = nd * sxy - sx * sy
+      val corrExact = num / (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy))
+      m.select(
+        col("l_returnflag"), col("n"),
+        corrExact.as("corr_qty_price"),
+        (num / (nd * (nd - lit(1.0)))).as("covar_qty_price"),
+        sqrt((nd * syy - sy * sy) / (nd * (nd - lit(1.0)))).as("stddev_price"),
+        (num / (nd * sxx - sx * sx)).as("regr_slope"),
+        ((sy - (num / (nd * sxx - sx * sx)) * sx) / nd).as("regr_intercept"),
+        (abs(col("__bcorr") - corrExact) < lit(1e-6)).as("builtin_corr_ok"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""WITH b AS (
+        SELECT l_returnflag,
+          CAST(CAST(l_quantity AS DECIMAL(18,2)) AS BIGINT) AS x,
+          CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 100 AS y
+        FROM lineitem),
+      m AS (
+        SELECT l_returnflag, count(*) AS n,
+          sum(CAST(x AS DECIMAL(38,0))) AS sx, sum(CAST(y AS DECIMAL(38,0))) AS sy,
+          sum(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+          sum(CAST(x * y AS DECIMAL(38,0))) AS sxy,
+          sum(CAST(y * y AS DECIMAL(38,0))) AS syy,
+          corr(CAST(x AS DOUBLE), CAST(y AS DOUBLE)) AS bcorr
+        FROM b GROUP BY 1),
+      d AS (
+        SELECT l_returnflag, n,
+          CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+          CAST(sxx AS DOUBLE) AS sxxd, CAST(sxy AS DOUBLE) AS sxyd, CAST(syy AS DOUBLE) AS syyd,
+          bcorr
+        FROM m)
+      SELECT l_returnflag, n,
+        (nd * sxyd - sxd * syd) / (sqrt(nd * sxxd - sxd * sxd) * sqrt(nd * syyd - syd * syd)) AS corr_qty_price,
+        (nd * sxyd - sxd * syd) / (nd * (nd - 1.0)) AS covar_qty_price,
+        sqrt((nd * syyd - syd * syd) / (nd * (nd - 1.0))) AS stddev_price,
+        (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) AS regr_slope,
+        (syd - ((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)) * sxd) / nd AS regr_intercept,
+        (abs(bcorr - ((nd * sxyd - sxd * syd) / (sqrt(nd * sxxd - sxd * sxd) * sqrt(nd * syyd - syd * syd)))) < 1e-6) AS builtin_corr_ok
+      FROM d ORDER BY l_returnflag"""))
 }
