@@ -891,7 +891,43 @@ object RelationalQueries {
         SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
           count(*) AS n_events, min(ts) AS session_start, max(ts) AS session_end
         FROM g GROUP BY 1, 2 ORDER BY user_id, session_id"""))
-  ) ++ Seq(statsAgg)
+  ) ++ Seq(statsAgg, recursiveCte)
+
+  // ---- recursive CTE ------------------------------------------------------
+  // Iterative queries via WITH RECURSIVE (Spark 4.x UnionLoopExec): walk the
+  // implicit binary-tree hierarchy over part keys (parent = key DIV 2),
+  // accumulating the ancestor-chain price in exact integer cents. Each
+  // recursion level is one hash join against part — the loop body is a
+  // full Catalyst plan, so filters/pushdown/broadcast apply per level, and
+  // depth is bounded by log2(max key), not row count. Money stays integer
+  // end-to-end: zero float portability surface.
+  private lazy val recursiveCte: CatalogQuery = CatalogQuery(
+    "q48_recursive_chain",
+    (s, dir) => {
+      t(s, dir, "part").createOrReplaceTempView("part")
+      s.sql("""WITH RECURSIVE chain AS (
+        SELECT p_partkey AS start_key, p_partkey AS cur, CAST(0 AS BIGINT) AS depth,
+               CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS chain_cents
+        FROM part WHERE p_partkey < 200
+        UNION ALL
+        SELECT c.start_key, c.cur DIV 2 AS cur, c.depth + 1,
+               c.chain_cents + CAST(CAST(p.p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        FROM chain c JOIN part p ON p.p_partkey = c.cur DIV 2
+        WHERE c.cur > 1)
+      SELECT start_key, max(depth) AS depth, max(chain_cents) AS chain_cents
+      FROM chain GROUP BY start_key ORDER BY start_key""")
+    },
+    Some("""WITH RECURSIVE chain AS (
+        SELECT p_partkey AS start_key, p_partkey AS cur, CAST(0 AS BIGINT) AS depth,
+               CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS chain_cents
+        FROM part WHERE p_partkey < 200
+        UNION ALL
+        SELECT c.start_key, c.cur // 2 AS cur, c.depth + 1,
+               c.chain_cents + CAST(CAST(p.p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        FROM chain c JOIN part p ON p.p_partkey = c.cur // 2
+        WHERE c.cur > 1)
+      SELECT start_key, max(depth) AS depth, max(chain_cents) AS chain_cents
+      FROM chain GROUP BY start_key ORDER BY start_key"""))
 
   // ---- statistical aggregates ---------------------------------------------
   // corr/covar/stddev/regression per group, engine-portable: the inputs are
