@@ -685,4 +685,94 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
   }
+
+  // --------------------------------------------- random projection (JL)
+
+  /** Johnson–Lindenstrauss random projection: reduce `array<float>`
+    * vectors to `outDims` dimensions with a deterministic ±1 sign matrix
+    * derived from md5 — engine-portable (any engine rebuilds the matrix
+    * from the same strings) and integer-exact (inputs quantize to micro
+    * units; each projection is a BIGINT dot). A dense sign matrix
+    * preserves pairwise distances within (1±ε) for outDims = O(ln n / ε²)
+    * (Achlioptas 2003, database-friendly random projections).
+    *
+    * Scale: the matrix is built ONCE driver-side (outDims × inDims longs,
+    * a few KiB) and ships as literals inside codegen'd array expressions —
+    * per row the work is outDims integer dots; no shuffle, no join, no
+    * per-row hashing. Use before ANN/clustering to cut vector bytes 4×+.
+    */
+  def randomProjection(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      inDims: Int,
+      outDims: Int = 16): DataFrame = {
+    require(outDims >= 1 && inDims >= 1, s"dims must be positive: $inDims -> $outDims")
+    val signs: Array[Seq[Long]] = Array.tabulate(outDims) { j =>
+      (0 until inDims).map { i =>
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"rp:$j:$i".getBytes("UTF-8"))
+        if (((h(0) >> 4) & 1) == 0) 1L else -1L // first hex nibble even -> +1
+      }
+    }
+    val micro = transform(col(vecCol), x => floor(x.cast("double") * lit(1e6)).cast("long"))
+    val projCols = (0 until outDims).map { j =>
+      aggregate(
+        zip_with(col("__m"), typedLit(signs(j)), (m, s2) => m * s2),
+        lit(0L), (acc, v) => acc + v).as(s"p$j")
+    }
+    df.withColumn("__m", micro)
+      .select(col(idCol) +: projCols: _*)
+  }
+
+  // ----------------------------------------- centroid-distance outliers
+
+  /** Embedding-space outlier detection for training-data curation: each
+    * vector's exact integer L2 distance to its own group's (label's)
+    * centroid, with the farthest `tailPpm` per group flagged. Vectors
+    * quantize to micro units; centroid means round half-up in a
+    * positive-SHIFTED space (Spark's integer `div` truncates toward zero
+    * while DuckDB's floors — shifting every operand positive puts the two
+    * in agreement); distances are exact integer sums. The per-group cutoff
+    * is an ORDER STATISTIC taken on the (group, distance) histogram — no
+    * global sort, no per-row rank window (the d21/d23 discipline), so the
+    * only full-width shuffles are the per-dimension centroid aggregation
+    * and the per-row distance aggregation, both hash-keyed.
+    */
+  def centroidOutliers(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      tailPpm: Long = 50000L): DataFrame = {
+    require(tailPpm >= 0 && tailPpm <= 1000000L, s"tailPpm out of range: $tailPpm")
+    val OFF = 1L << 24 // covers |component| <= 16.7 after micro quantization
+    val ex = Parallelism.widen(df)
+      .select(col(idCol).as("__id"), col(labelCol).as("__lbl"),
+        posexplode(transform(col(vecCol),
+          x => floor(x.cast("double") * lit(1e6)).cast("long"))).as(Seq("__i", "__x")))
+      .localCheckpoint(true) // feeds the centroid agg AND the distance join
+    val cent = ex.groupBy(col("__lbl"), col("__i"))
+      .agg(sum(col("__x") + lit(OFF)).as("__s"), count(lit(1)).as("__n"))
+      .select(col("__lbl"), col("__i"),
+        (call_function("div", col("__s") * lit(2L) + col("__n"), col("__n") * lit(2L))
+          - lit(OFF)).as("__c"))
+    val d2 = ex.join(cent, Seq("__lbl", "__i"))
+      .groupBy(col("__id"), col("__lbl"))
+      .agg(sum((col("__x") - col("__c")) * (col("__x") - col("__c"))).as("d2"))
+    val hist = d2.groupBy(col("__lbl"), col("d2")).agg(count(lit(1)).as("__c"))
+    val cum = hist.select(col("__lbl"), col("d2"), col("__c"),
+      sum(col("__c")).over(Window.partitionBy(col("__lbl")).orderBy(col("d2"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("__cum"))
+    val thresh = cum
+      .withColumn("__k", call_function("div",
+        sum(col("__c")).over(Window.partitionBy(col("__lbl")))
+          * lit(1000000L - tailPpm), lit(1000000L)))
+      .groupBy(col("__lbl"))
+      .agg(min(when(col("__cum") >= col("__k"), col("d2"))).as("__t"))
+    d2.join(thresh, Seq("__lbl"))
+      .select(col("__id"), col("__lbl").as(labelCol), col("d2"),
+        (col("d2") > col("__t")).as("is_outlier"))
+      .withColumnRenamed("__id", idCol)
+  }
 }

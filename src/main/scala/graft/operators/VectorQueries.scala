@@ -467,7 +467,74 @@ object VectorQueries {
                 row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rn
               FROM r)
         SELECT probe_id, neighbor_id, neighbor_label, CAST(rn AS INTEGER) AS rnk, sim
-        FROM k WHERE rn <= 5 ORDER BY probe_id, rnk"""))
+        FROM k WHERE rn <= 5 ORDER BY probe_id, rnk""")),
+
+    // Johnson–Lindenstrauss random projection 64 -> 16 dims: md5-derived
+    // ±1 sign matrix (built once driver-side, shipped as literals),
+    // integer-micro exact dots. The dimensionality-reduction front end for
+    // ANN/clustering at scale: 4x fewer vector bytes through every
+    // downstream shuffle.
+    CatalogQuery(
+      "e13_random_projection",
+      (s, dir) =>
+        Similarity.randomProjection(
+            t(s, dir, "embeddings"), "vec_id", "embedding",
+            inDims = 64, outDims = 16)
+          .orderBy(col("vec_id")),
+      Some {
+        val pivot = (0 until 16)
+          .map(j => s"CAST(max(CASE WHEN j = $j THEN pj END) AS BIGINT) AS p$j")
+          .mkString(", ")
+        s"""WITH s AS (
+          SELECT j, i,
+            CASE WHEN substr(md5('rp:' || CAST(j AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 1)
+                   IN ('0','2','4','6','8','a','c','e') THEN 1 ELSE -1 END AS sgn
+          FROM (SELECT unnest(generate_series(0, 15)) AS j),
+               (SELECT unnest(generate_series(0, 63)) AS i)),
+        m AS (
+          SELECT vec_id, i, CAST(floor(CAST(embedding[i+1] AS DOUBLE) * 1e6) AS BIGINT) AS micro
+          FROM embeddings, (SELECT unnest(generate_series(0, 63)) AS i)),
+        p AS (
+          SELECT vec_id, j, sum(sgn * micro) AS pj
+          FROM m JOIN s USING (i) GROUP BY 1, 2)
+        SELECT vec_id, $pivot
+        FROM p GROUP BY vec_id ORDER BY vec_id"""
+      }),
+
+    // Embedding-space outlier filter (training-data curation): exact
+    // integer L2 distance to the own-label centroid; farthest 5% per label
+    // flagged via a histogram order statistic — no global sort, no per-row
+    // rank window.
+    CatalogQuery(
+      "e14_centroid_outliers",
+      (s, dir) =>
+        Similarity.centroidOutliers(
+            t(s, dir, "embeddings"), "vec_id", "embedding", "label",
+            tailPpm = 50000L)
+          .orderBy(col("vec_id")),
+      Some("""WITH m AS (
+          SELECT vec_id, label, i,
+            CAST(floor(CAST(embedding[i+1] AS DOUBLE) * 1e6) AS BIGINT) AS x
+          FROM embeddings, (SELECT unnest(generate_series(0, 63)) AS i)),
+        cent AS (
+          SELECT label, i,
+            (CAST(sum(x + 16777216) AS BIGINT) * 2 + count(*)) // (count(*) * 2) - 16777216 AS c
+          FROM m GROUP BY 1, 2),
+        d AS (
+          SELECT m.vec_id, m.label,
+            CAST(sum((m.x - cent.c) * (m.x - cent.c)) AS BIGINT) AS d2
+          FROM m JOIN cent USING (label, i) GROUP BY 1, 2),
+        hist AS (SELECT label, d2, count(*) AS c FROM d GROUP BY 1, 2),
+        cum AS (SELECT label, d2, c,
+                  sum(c) OVER (PARTITION BY label ORDER BY d2
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumc,
+                  sum(c) OVER (PARTITION BY label) AS n
+                FROM hist),
+        th AS (SELECT label,
+                 min(CASE WHEN cumc >= (n * 950000) // 1000000 THEN d2 END) AS t
+               FROM cum GROUP BY label)
+        SELECT d.vec_id, d.label, d.d2, (d.d2 > th.t) AS is_outlier
+        FROM d JOIN th USING (label) ORDER BY vec_id"""))
   )
 
   /** DuckDB mirror of `Similarity.lshBucketRows(portable = true)`: CTEs

@@ -506,6 +506,55 @@ class ExtOpsSpec extends SparkSpecBase {
     assert(byLang === Map("en" -> 49), s"got $byLang")
   }
 
+  test("randomProjection: JL distance preservation on average; deterministic") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(60)
+    val proj = Similarity.randomProjection(emb, "vec_id", "embedding", inDims = 64, outDims = 16)
+    assert(proj.columns.toSeq === ("vec_id" +: (0 until 16).map(i => s"p$i")))
+    // deterministic: two runs agree exactly
+    val a = proj.orderBy("vec_id").collect().map(_.toSeq)
+    val b = Similarity.randomProjection(emb, "vec_id", "embedding", 64, 16)
+      .orderBy("vec_id").collect().map(_.toSeq)
+    assert(a.toSeq === b.toSeq)
+    // JL: squared distances in projected space scale ~ outDims relative
+    // to original micro space ON AVERAGE (each output coord has
+    // E[(s·x)^2] = ||x||^2 for +-1 signs, so E[||Sx||^2] = outDims *
+    // ||x||^2). Check the mean ratio over pairs lands within 3x.
+    val rows = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(x => math.floor(x * 1e6).toLong))
+      .toMap
+    val prows = a.map(s => s.head.asInstanceOf[Long] ->
+      s.tail.map(_.asInstanceOf[Long])).toMap
+    val ids = rows.keys.toSeq.sorted.take(20)
+    val ratios = for {
+      x <- ids; y <- ids if x < y
+      dOrig = rows(x).zip(rows(y)).map { case (u, v) => val d = (u - v).toDouble; d * d }.sum
+      if dOrig > 0
+      dProj = prows(x).zip(prows(y)).map { case (u, v) => val d = (u - v).toDouble; d * d }.sum
+    } yield dProj / (dOrig * 16.0)
+    val mean = ratios.sum / ratios.size
+    assert(mean > 1.0 / 3 && mean < 3.0, s"JL mean ratio off: $mean")
+  }
+
+  test("centroidOutliers: flags the planted far point, keeps the cluster") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("lbl", IntegerType),
+      StructField("v", ArrayType(FloatType))))
+    // 30 tight points + 1 far outlier in label 0; label 1 all tight
+    val rows = (0 until 30).map(i => Row(i.toLong, 0, Array.fill(4)(0.01f * (i % 3)))) ++
+      Seq(Row(99L, 0, Array.fill(4)(9.0f))) ++
+      (100 until 120).map(i => Row(i.toLong, 1, Array.fill(4)(0.02f * (i % 2))))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    val out = Similarity.centroidOutliers(df, "id", "v", "lbl", tailPpm = 50000L)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(out(99L), "planted far point must be flagged")
+    assert((0 until 30).forall(i => !out(i.toLong)), "tight cluster rows must not be flagged")
+    // 5% of 21 rows in label 1 -> floor keeps all but the strict-greater tail
+    assert(out.size === 51)
+  }
+
   test("semDedup: duplicates point at a lower-id same-cluster row above threshold") {
     val base = (0 until 8).map(_.toDouble / 10).toArray
     val emb = Seq(
