@@ -906,6 +906,36 @@ object TextQueries {
                ELSE ${ratio6Sql("coalesce(p.kept_tokens, 0)", "w.n_tokens")} END AS kept_frac,
           coalesce(p.kept_md5, md5('')) AS kept_md5
         FROM w LEFT JOIN per_doc p USING (doc_id)
-        ORDER BY w.doc_id"""))
+        ORDER BY w.doc_id""")),
+
+    // BPE tokenizer training, iteration 0: frequency-weighted adjacent
+    // symbol-pair counts (chars + '</w>' end-of-word symbol) over the
+    // DISTINCT-WORD vocabulary — the corpus is touched once by the word
+    // count; pair work is vocab-sized, as in real BPE trainers. Top-20
+    // merge candidates, deterministic tie-break.
+    CatalogQuery(
+      "d28_bpe_pairs",
+      (s, dir) =>
+        graft.ext.Bpe.pairCounts(t(s, dir, "documents"), "text", topK = 20)
+          .orderBy(col("rnk")),
+      Some("""WITH toks AS (
+          SELECT unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS w
+          FROM documents),
+        wc AS (SELECT w, count(*) AS wc FROM toks WHERE len(w) > 0 GROUP BY w),
+        inner_p AS (
+          SELECT substr(w, i, 1) AS left_sym, substr(w, i + 1, 1) AS right_sym, wc
+          FROM (SELECT w, wc, unnest(generate_series(1, len(w) - 1)) AS i
+                FROM wc WHERE len(w) >= 2)),
+        eow_p AS (
+          SELECT substr(w, len(w), 1) AS left_sym, '</w>' AS right_sym, wc FROM wc),
+        p AS (
+          SELECT left_sym, right_sym, CAST(sum(wc) AS BIGINT) AS pair_count
+          FROM (SELECT * FROM inner_p UNION ALL SELECT * FROM eow_p)
+          GROUP BY 1, 2),
+        k AS (SELECT left_sym, right_sym, pair_count,
+                row_number() OVER (ORDER BY pair_count DESC, left_sym, right_sym) AS rn
+              FROM p)
+        SELECT CAST(rn AS INTEGER) AS rnk, left_sym, right_sym, pair_count
+        FROM k WHERE rn <= 20 ORDER BY rnk"""))
   )
 }

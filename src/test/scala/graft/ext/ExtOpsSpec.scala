@@ -122,6 +122,31 @@ class ExtOpsSpec extends SparkSpecBase {
     assert(r3.getLong(1) === 0 && r3.getLong(2) === 0 && r3.getDouble(5) === 0.0)
   }
 
+  test("Bpe: applyMerge is greedy left-to-right; trainMerges learns the frequent pair") {
+    // greedy overlap: "aaa" under (a,a) -> [aa, a, </w>]
+    val s1 = Seq("aaa").toDF("word")
+      .select(Bpe.applyMerge(Bpe.toSymbols(col("word")), "a", "a").as("s"))
+      .head().getSeq[String](0)
+    assert(s1 === Seq("aa", "a", "</w>"))
+    // corpus where "lo" dominates: low x3, lower x2 -> top pair (l, o)
+    val docs = Seq("low low low lower lower the the the the").toDF("text")
+    val top = Bpe.pairCounts(docs, "text", topK = 3).collect()
+    assert(top.head.getInt(0) === 1)
+    // (l,o) appears 5x weighted; (e,</w>) 4x from "the"; (h,e) 4x; (t,h) 4x
+    assert((top.head.getString(1), top.head.getString(2)) === ("l", "o"))
+    assert(top.head.getLong(3) === 5L)
+    val merges = Bpe.trainMerges(docs, "text", nMerges = 2)
+    assert(merges.head._1 === "l" && merges.head._2 === "o" && merges.head._3 === 5L)
+    // merge 2 is (lo, w) — "low" appears 5x weighted after merge 1 — so
+    // segmentation applies both in training order: "lowest" -> low|e|s|t
+    assert((merges(1)._1, merges(1)._2) === ("lo", "w"))
+    val seg = Bpe.segment(Seq("lowest").toDF("w"), "w", merges.map(m => (m._1, m._2)))
+      .head().getSeq[String](1)
+    assert(seg === Seq("low", "e", "s", "t", "</w>"), s"got $seg")
+    // merge table is deterministic across runs
+    assert(Bpe.trainMerges(docs, "text", 2) === merges)
+  }
+
   test("fingerprint ignores case/punctuation/whitespace") {
     val fps = Seq("Hello, World!", "hello   world", "hello worlds")
       .toDF("text").select(TextAnalysis.fingerprint(col("text"))).collect().map(_.getString(0))
