@@ -154,6 +154,9 @@ class ScaleSmokeSpec extends SparkSpecBase {
       assertWide("e07_kmeans", q("e07_kmeans", scaledDir), minWidth)
       assertWide("e08_semdedup", q("e08_semdedup", scaledDir), minWidth)
       assertWide("d24_tfidf_terms", q("d24_tfidf_terms", scaledDir), minWidth)
+      assertWide("d27_block_dedup", q("d27_block_dedup", scaledDir), minWidth)
+      assertWide("d28_bpe_pairs", q("d28_bpe_pairs", scaledDir), minWidth)
+      assertWide("e14_centroid_outliers", q("e14_centroid_outliers", scaledDir), minWidth)
     }
   }
 
@@ -183,6 +186,8 @@ class ScaleSmokeSpec extends SparkSpecBase {
       assertWide("d14_doc_chunks/1file", q("d14_doc_chunks", singleFileDir), minWidth,
         dominantOnly = true)
       assertWide("d20_repetition/1file", q("d20_repetition", singleFileDir), minWidth,
+        dominantOnly = true)
+      assertWide("d27_block_dedup/1file", q("d27_block_dedup", singleFileDir), minWidth,
         dominantOnly = true)
     }
   }

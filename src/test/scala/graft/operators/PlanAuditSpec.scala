@@ -144,6 +144,34 @@ class PlanAuditSpec extends SparkSpecBase {
     }
   }
 
+  test("d27: block dedup votes by hash-aggregate, not a per-key window; scan prunes") {
+    val p = plan("d27_block_dedup")
+    assert(!p.contains("lang") && !p.contains("source"),
+      s"reads columns the query never uses:\n$p")
+    // first-occurrence vote = groupBy(hash).min(struct) — a rank window
+    // over every block would serialize hot keys at scale
+    assert(!p.contains("Window"), s"block vote fell back to a window:\n$p")
+    assert(p.contains("ExistingRDD"),
+      s"block frame not materialized (vote + reconstruction recompute the explode):\n$p")
+  }
+
+  test("q47: moment sums are one partial->final hash aggregate; scan prunes") {
+    val p = plan("q47_stats_agg")
+    assert(p.contains("HashAggregate"), s"moments must hash-aggregate:\n$p")
+    assert(!p.contains("l_orderkey") && !p.contains("l_shipdate"),
+      s"reads columns the query never uses:\n$p")
+    assert(!p.contains("Window"), s"unexpected window in a pure aggregation:\n$p")
+  }
+
+  test("e13: random projection is shuffle-free (matrix ships as literals)") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val p = graft.ext.Similarity.randomProjection(emb, "vec_id", "embedding", 64, 16)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("Exchange"), s"projection must be per-row narrow:\n$p")
+  }
+
   test("catalog sweep: no query plans a CartesianProduct") {
     // a cartesian anywhere is a 100 TB non-starter; sweep EVERY catalog
     // entry so a new query can't sneak one in
