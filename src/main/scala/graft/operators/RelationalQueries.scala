@@ -891,7 +891,37 @@ object RelationalQueries {
         SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
           count(*) AS n_events, min(ts) AS session_start, max(ts) AS session_end
         FROM g GROUP BY 1, 2 ORDER BY user_id, session_id"""))
-  ) ++ Seq(statsAgg, recursiveCte)
+  ) ++ Seq(statsAgg, recursiveCte, windowDistinct)
+
+  // ---- distinct + filtered window aggregates ------------------------------
+  // Running count-distinct over an ordered per-key frame (collect_set has no
+  // direct SQL-window analogue in Spark — size(collect_set() OVER) carries
+  // the same semantics as DuckDB's count(DISTINCT) OVER), plus a FILTERed
+  // running sum carried in exact DECIMAL (a running DOUBLE sum would depend
+  // on each engine's frame-evaluation association order — DuckDB's segment
+  // tree vs Spark's streaming fold). Frame state is bounded by event-type
+  // cardinality, not frame length, so hot users don't blow memory at scale.
+  private lazy val windowDistinct: CatalogQuery = CatalogQuery(
+    "q49_window_distinct",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .filter(col("user_id") < 200)
+        .select(col("user_id"), col("event_id"),
+          size(collect_set(col("event_type")).over(w)).as("dtypes"),
+          sum(dec2(when(col("event_type") === "purchase", col("value"))
+            .otherwise(lit(0.0)))).over(w).cast("double").as("purchase_spend"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+    Some("""SELECT user_id, event_id,
+        CAST(count(DISTINCT event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INTEGER) AS dtypes,
+        CAST(sum(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END AS DECIMAL(18,2)))
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS purchase_spend
+      FROM events WHERE user_id < 200
+      ORDER BY user_id, event_id"""))
 
   // ---- recursive CTE ------------------------------------------------------
   // Iterative queries via WITH RECURSIVE (Spark 4.x UnionLoopExec): walk the

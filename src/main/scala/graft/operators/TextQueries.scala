@@ -936,6 +936,46 @@ object TextQueries {
                 row_number() OVER (ORDER BY pair_count DESC, left_sym, right_sym) AS rn
               FROM p)
         SELECT CAST(rn AS INTEGER) AS rnk, left_sym, right_sym, pair_count
-        FROM k WHERE rn <= 20 ORDER BY rnk"""))
+        FROM k WHERE rn <= 20 ORDER BY rnk""")),
+
+    // Per-source curation dashboard — the standard pretraining per-domain
+    // report: volume, exact-dup rate (fingerprint), mean length, short-doc
+    // share. One scan, one hash aggregate; every ratio in exact integer
+    // math (ratio6).
+    CatalogQuery(
+      "d29_source_report",
+      (s, dir) =>
+        Parallelism.widen(t(s, dir, "documents"))
+          .select(col("source"),
+            TextAnalysis.fingerprint(col("text")).as("__fp"),
+            TextAnalysis.tokenCount(col("text")).cast("long").as("__nt"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("__fp")).as("n_unique"),
+            sum(col("__nt")).as("total_tokens"),
+            sum(when(col("__nt") < 20, lit(1L)).otherwise(lit(0L))).as("__nshort"))
+          .select(col("source"), col("n_docs"), col("n_unique"),
+            ratio6(col("n_docs") - col("n_unique"), col("n_docs")).as("dup_frac"),
+            col("total_tokens"),
+            ratio6(col("total_tokens"), col("n_docs")).as("mean_tokens"),
+            ratio6(col("__nshort"), col("n_docs")).as("short_frac"))
+          .orderBy(col("source")),
+      Some(s"""WITH m AS (
+          SELECT source,
+            md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
+            CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS BIGINT)
+                 ELSE CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) END AS nt
+          FROM documents),
+        a AS (
+          SELECT source, count(*) AS n_docs, count(DISTINCT fp) AS n_unique,
+            CAST(sum(nt) AS BIGINT) AS total_tokens,
+            CAST(sum(CASE WHEN nt < 20 THEN 1 ELSE 0 END) AS BIGINT) AS nshort
+          FROM m GROUP BY 1)
+        SELECT source, n_docs, n_unique,
+          ${ratio6Sql("n_docs - n_unique", "n_docs")} AS dup_frac,
+          total_tokens,
+          ${ratio6Sql("total_tokens", "n_docs")} AS mean_tokens,
+          ${ratio6Sql("nshort", "n_docs")} AS short_frac
+        FROM a ORDER BY source"""))
   )
 }
