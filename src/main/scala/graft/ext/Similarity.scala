@@ -686,6 +686,81 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
+  // ------------------------------------ MMR diversified re-ranking
+
+  /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein 1998):
+    * greedily select `k` results per probe, trading query relevance
+    * against redundancy with what is already selected —
+    * `score = λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s)` — the standard
+    * diversified-retrieval step after ANN candidate generation.
+    *
+    * Engine-portable: similarities are quantized cosine (exact integer
+    * components), λ enters as ppm divided in double the same way on every
+    * engine, and every argmax breaks ties on the candidate id.
+    *
+    * Scale: candidate PAIR similarities exist only within each probe's
+    * bounded pool (poolSize² pairs per probe) and each of the k−1
+    * selection steps is one window over pool rows — the rerank is
+    * O(probes · poolSize²) regardless of corpus size. Pool generation is
+    * pluggable; the default is [[bruteForceTopK]], swap in [[annTopK]] /
+    * [[ivfTopK]] output at scale.
+    */
+  def mmrRerank(
+      corpus: DataFrame,
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 3,
+      poolSize: Int = 10,
+      lambdaPpm: Long = 700000L): DataFrame = {
+    require(k >= 1 && poolSize >= k, s"need poolSize >= k >= 1, got k=$k pool=$poolSize")
+    require(lambdaPpm >= 0 && lambdaPpm <= 1000000L, s"lambdaPpm out of range: $lambdaPpm")
+    val lam = lit(lambdaPpm) / lit(1000000.0)
+    val mu = lit(1000000L - lambdaPpm) / lit(1000000.0)
+    val pool = bruteForceTopK(corpus, probes, idCol, vecCol, poolSize,
+        deterministic = true)
+      .select(col("probe_id"), col("neighbor_id"), col("sim"))
+      .localCheckpoint(true) // feeds pair sims + every selection step
+    // pairwise sims inside each probe's pool only (poolSize^2 bounded)
+    val vecs = corpus.select(col(idCol).as("__vid"), col(vecCol).as("__v"),
+      quantizedDot(col(vecCol), col(vecCol)).as("__q"))
+    val pairs = pool.select(col("probe_id"), col("neighbor_id").as("__a"))
+      .join(pool.select(col("probe_id"), col("neighbor_id").as("__b")), Seq("probe_id"))
+      .filter(col("__a") =!= col("__b"))
+      .join(vecs.select(col("__vid").as("__a"), col("__v").as("__va"), col("__q").as("__qa")), Seq("__a"))
+      .join(vecs.select(col("__vid").as("__b"), col("__v").as("__vb"), col("__q").as("__qb")), Seq("__b"))
+      .select(col("probe_id"), col("__a"), col("__b"),
+        (quantizedDot(col("__va"), col("__vb")).cast("double") /
+          sqrt(col("__qa").cast("double") * col("__qb").cast("double"))).as("__ps"))
+      .localCheckpoint(true)
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    var selected = pool
+      .withColumn("score", col("sim"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("probe_id"), col("neighbor_id"), lit(1).as("step"), col("score"))
+    var all = selected
+    var t = 2
+    while (t <= k) {
+      val cand = pool.join(all.select(col("probe_id"), col("neighbor_id")),
+        Seq("probe_id", "neighbor_id"), "left_anti")
+      val redundancy = cand
+        .join(pairs.withColumnRenamed("__a", "neighbor_id"), Seq("probe_id", "neighbor_id"))
+        .join(all.select(col("probe_id"), col("neighbor_id").as("__b")), Seq("probe_id", "__b"))
+        .groupBy(col("probe_id"), col("neighbor_id"))
+        .agg(max(col("__ps")).as("__mx"))
+      selected = cand.join(redundancy, Seq("probe_id", "neighbor_id"))
+        .withColumn("score", lam * col("sim") - mu * col("__mx"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("probe_id"), col("neighbor_id"), lit(t).as("step"), col("score"))
+      all = all.unionByName(selected).localCheckpoint(true)
+      t += 1
+    }
+    all
+  }
+
   // --------------------------------------------- random projection (JL)
 
   /** Johnson–Lindenstrauss random projection: reduce `array<float>`

@@ -534,7 +534,79 @@ object VectorQueries {
                  min(CASE WHEN cumc >= (n * 950000) // 1000000 THEN d2 END) AS t
                FROM cum GROUP BY label)
         SELECT d.vec_id, d.label, d.d2, (d.d2 > th.t) AS is_outlier
-        FROM d JOIN th USING (label) ORDER BY vec_id"""))
+        FROM d JOIN th USING (label) ORDER BY vec_id""")),
+
+    // MMR diversified re-ranking (Carbonell & Goldstein 1998): greedy
+    // k=3 selection from a 10-candidate pool per probe, score =
+    // 0.7·sim(q,d) − 0.3·max sim(d, selected). The oracle unrolls the
+    // three selection steps as CTEs (the e07/e08 unrolled-iteration
+    // trick); every argmax ties on the candidate id.
+    CatalogQuery(
+      "e15_mmr_rerank",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.mmrRerank(
+            corpus = emb, probes = emb.filter(col("vec_id") < 3),
+            idCol = "vec_id", vecCol = "embedding",
+            k = 3, poolSize = 10, lambdaPpm = 700000L)
+          .orderBy(col("probe_id"), col("step"))
+      },
+      Some(s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id < 3),
+        d AS (SELECT probe_id, e.vec_id AS neighbor_id,
+                ${qdotSql("pe", "e.embedding")} AS qd,
+                ${qdotSql("pe", "pe")} AS qa,
+                ${qdotSql("e.embedding", "e.embedding")} AS qb
+              FROM p, embeddings e WHERE e.vec_id <> probe_id),
+        r AS (SELECT probe_id, neighbor_id,
+                CAST(qd AS DOUBLE) / sqrt(CAST(qa AS DOUBLE) * CAST(qb AS DOUBLE)) AS sim
+              FROM d),
+        kk AS (SELECT probe_id, neighbor_id, sim,
+                row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rn
+              FROM r),
+        pool AS (SELECT probe_id, neighbor_id, sim FROM kk WHERE rn <= 10),
+        pv AS (SELECT pool.probe_id, pool.neighbor_id, e.embedding AS v
+               FROM pool JOIN embeddings e ON e.vec_id = pool.neighbor_id),
+        ps AS (SELECT a.probe_id, a.neighbor_id AS ida, b.neighbor_id AS idb,
+                 CAST(${qdotSql("a.v", "b.v")} AS DOUBLE)
+                   / sqrt(CAST(${qdotSql("a.v", "a.v")} AS DOUBLE) * CAST(${qdotSql("b.v", "b.v")} AS DOUBLE)) AS psim
+               FROM pv a JOIN pv b
+                 ON a.probe_id = b.probe_id AND a.neighbor_id <> b.neighbor_id),
+        s1 AS (SELECT probe_id, neighbor_id, 1 AS step, sim AS score
+               FROM kk WHERE rn = 1),
+        c2 AS (SELECT pool.probe_id, pool.neighbor_id, pool.sim, max(ps.psim) AS mx
+               FROM pool
+               JOIN s1 ON s1.probe_id = pool.probe_id AND pool.neighbor_id <> s1.neighbor_id
+               JOIN ps ON ps.probe_id = pool.probe_id AND ps.ida = pool.neighbor_id
+                      AND ps.idb = s1.neighbor_id
+               GROUP BY 1, 2, 3),
+        s2 AS (SELECT probe_id, neighbor_id, 2 AS step, score FROM (
+                 SELECT probe_id, neighbor_id,
+                   (700000 / 1000000.0) * sim - (300000 / 1000000.0) * mx AS score,
+                   row_number() OVER (PARTITION BY probe_id
+                     ORDER BY ((700000 / 1000000.0) * sim - (300000 / 1000000.0) * mx) DESC,
+                       neighbor_id) AS rn2
+                 FROM c2) x WHERE rn2 = 1),
+        sel12 AS (SELECT probe_id, neighbor_id FROM s1
+                  UNION ALL SELECT probe_id, neighbor_id FROM s2),
+        c3 AS (SELECT pool.probe_id, pool.neighbor_id, pool.sim, max(ps.psim) AS mx
+               FROM pool
+               LEFT JOIN sel12 x ON x.probe_id = pool.probe_id
+                                AND x.neighbor_id = pool.neighbor_id
+               JOIN ps ON ps.probe_id = pool.probe_id AND ps.ida = pool.neighbor_id
+               JOIN sel12 s ON s.probe_id = ps.probe_id AND s.neighbor_id = ps.idb
+               WHERE x.neighbor_id IS NULL
+               GROUP BY 1, 2, 3),
+        s3 AS (SELECT probe_id, neighbor_id, 3 AS step, score FROM (
+                 SELECT probe_id, neighbor_id,
+                   (700000 / 1000000.0) * sim - (300000 / 1000000.0) * mx AS score,
+                   row_number() OVER (PARTITION BY probe_id
+                     ORDER BY ((700000 / 1000000.0) * sim - (300000 / 1000000.0) * mx) DESC,
+                       neighbor_id) AS rn3
+                 FROM c3) x WHERE rn3 = 1)
+        SELECT probe_id, neighbor_id, step, score FROM s1
+        UNION ALL SELECT probe_id, neighbor_id, step, score FROM s2
+        UNION ALL SELECT probe_id, neighbor_id, step, score FROM s3
+        ORDER BY probe_id, step"""))
   )
 
   /** DuckDB mirror of `Similarity.lshBucketRows(portable = true)`: CTEs

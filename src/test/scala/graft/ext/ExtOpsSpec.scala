@@ -580,6 +580,40 @@ class ExtOpsSpec extends SparkSpecBase {
     assert(out.size === 51)
   }
 
+  test("mmrRerank: step-1 is the top hit; later steps trade relevance for diversity") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val probes = emb.filter(col("vec_id") < 2)
+    val mmr = Similarity.mmrRerank(emb, probes, "vec_id", "embedding",
+      k = 3, poolSize = 10, lambdaPpm = 700000L).collect()
+    val top = Similarity.bruteForceTopK(emb, probes, "vec_id", "embedding",
+      k = 10, deterministic = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    for (p <- Seq(0L, 1L)) {
+      val sel = mmr.filter(_.getLong(0) == p).sortBy(_.getInt(2))
+      assert(sel.length === 3)
+      assert(sel.map(_.getInt(2)).toSeq === Seq(1, 2, 3))
+      // step 1 == the plain top-1
+      val top1 = top.filter(t => t._1 == p && t._3 == 1).head
+      assert(sel.head.getLong(1) === top1._2)
+      assert(sel.head.getDouble(3) === top1._4)
+      // every selection comes from the pool, no repeats
+      val poolIds = top.filter(_._1 == p).map(_._2).toSet
+      val ids = sel.map(_.getLong(1))
+      assert(ids.distinct.length === 3 && ids.forall(poolIds))
+      // MMR scores at steps 2+ are penalized: strictly below the raw sim
+      // of the same doc (pool members here all have positive redundancy)
+      val simOf = top.filter(_._1 == p).map(t => t._2 -> t._4).toMap
+      sel.tail.foreach { r =>
+        assert(r.getDouble(3) < simOf(r.getLong(1)),
+          s"probe $p step ${r.getInt(2)}: score not redundancy-penalized")
+      }
+    }
+    // deterministic across runs
+    val again = Similarity.mmrRerank(emb, probes, "vec_id", "embedding", 3, 10, 700000L)
+      .collect().map(_.toSeq).toSet
+    assert(again === mmr.map(_.toSeq).toSet)
+  }
+
   test("semDedup: duplicates point at a lower-id same-cluster row above threshold") {
     val base = (0 until 8).map(_.toDouble / 10).toArray
     val emb = Seq(
