@@ -151,15 +151,31 @@ object Bench {
     val catalogOnly = names.filterNot(extras.contains)
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
     val errPart = if (errors.isEmpty) "" else s""","errors":$errJson"""
-    def compactAt(decimals: Int): String = {
+    // the stdout line pays ~16 chars per full query name; short keys
+    // ("d01" for "d01_dedup_exact" — the series prefixes are unique by
+    // construction) buy the precision back as the catalog grows. Full
+    // names always live in BENCH_LOCAL.json.
+    val shortKey: Map[String, String] = {
+      val cand = catalogOnly.map(n => n -> n.takeWhile(_ != '_')).toMap
+      if (cand.values.toSeq.distinct.size == catalogOnly.size) cand
+      else catalogOnly.map(n => n -> n).toMap // collision: keep full names
+    }
+    def compactAt(decimals: Int, short: Boolean): String = {
       val qsCompact = catalogOnly
-        .map { k => "\"" + k + "\":" + fmt(results.toMap.apply(k), decimals) }
+        .map { k =>
+          "\"" + (if (short) shortKey(k) else k) + "\":" +
+            fmt(results.toMap.apply(k), decimals)
+        }
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qsCompact$errPart,"sf":$sfNum}"""
     }
-    // degrade precision before overflowing the tail window: a parsed
-    // 1-decimal line beats an unparseable 2-decimal one
-    val compact = Seq(2, 1).map(compactAt).find(_.length <= 1900).getOrElse(compactAt(0))
+    // degrade stepwise before overflowing the tail window: full-name
+    // 2-decimal, then short-key 2-decimal, then short-key 1-decimal — a
+    // parsed coarse line beats an unparseable precise one
+    val compact = Seq((2, false), (2, true), (1, true))
+      .map { case (d, s) => compactAt(d, s) }
+      .find(_.length <= 1900)
+      .getOrElse(compactAt(0, short = true))
     spark.stop()
     // last stdout line, after spark.stop() so no log noise can follow
     println(compact)
