@@ -496,6 +496,41 @@ object Dedup {
     size(array_intersect(ga, gb)).cast("double") / size(array_union(ga, gb))
   }
 
+  // ------------------------------------------------- leakage-safe split
+
+  /** Deterministic train/val/test split assigned at the NEAR-DUP GROUP
+    * level: every document in a transitive near-dup group lands in the
+    * same split, so near-duplicates can never straddle a split boundary —
+    * the classic train/eval contamination leak that a per-document hash
+    * split silently commits. Assignment is a portable hash of the group
+    * representative, so re-running after new documents join the corpus
+    * never reassigns an existing group (splits are append-stable).
+    */
+  def leakageSafeSplit(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.5,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      trainPct: Int = 80,
+      valPct: Int = 10,
+      portable: Boolean = false): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
+      s"invalid split ratios: train=$trainPct val=$valPct")
+    val grouped = minhashDedupCC(df, idCol, textCol, threshold, numHashes, bands,
+        portable = portable)
+      .select(col(idCol), col("dup_group"))
+    grouped
+      .withColumn("__b", pmod(
+        TextAnalysis.portableHash60(concat(lit("split:"), col("dup_group").cast("string"))),
+        lit(100L)))
+      .select(col(idCol), col("dup_group"),
+        when(col("__b") < trainPct, lit("train"))
+          .when(col("__b") < trainPct + valPct, lit("val"))
+          .otherwise(lit("test")).as("split"))
+  }
+
   // --------------------------------------------------- block-level dedup
 
   /** Corpus-wide exact block dedup — the paragraph-granularity dedup of

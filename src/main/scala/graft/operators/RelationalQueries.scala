@@ -891,7 +891,33 @@ object RelationalQueries {
         SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
           count(*) AS n_events, min(ts) AS session_start, max(ts) AS session_end
         FROM g GROUP BY 1, 2 ORDER BY user_id, session_id"""))
-  ) ++ Seq(statsAgg, recursiveCte, windowDistinct)
+  ) ++ Seq(statsAgg, recursiveCte, windowDistinct, unpivotCharges)
+
+  // ---- UNPIVOT / melt -----------------------------------------------------
+  // Wide-to-long reshaping (Dataset.unpivot == SQL UNPIVOT): per-line
+  // charge columns melt into (charge_type, amount) rows. Amounts pass
+  // through exact DECIMAL before the DOUBLE emit, as everywhere.
+  private lazy val unpivotCharges: CatalogQuery = CatalogQuery(
+    "q50_unpivot_charges",
+    (s, dir) =>
+      t(s, dir, "lineitem").filter(col("l_orderkey") < 100)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          dec2(col("l_extendedprice")).cast("double").as("extendedprice"),
+          dec2(col("l_discount")).cast("double").as("discount"),
+          dec2(col("l_tax")).cast("double").as("tax"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("extendedprice"), col("discount"), col("tax")),
+          "charge_type", "amount")
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("charge_type")),
+    Some("""SELECT l_orderkey, l_linenumber, charge_type, amount FROM (
+        UNPIVOT (SELECT l_orderkey, l_linenumber,
+            CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS extendedprice,
+            CAST(CAST(l_discount AS DECIMAL(18,2)) AS DOUBLE) AS discount,
+            CAST(CAST(l_tax AS DECIMAL(18,2)) AS DOUBLE) AS tax
+          FROM lineitem WHERE l_orderkey < 100)
+        ON extendedprice, discount, tax INTO NAME charge_type VALUE amount) u
+      ORDER BY l_orderkey, l_linenumber, charge_type"""))
 
   // ---- distinct + filtered window aggregates ------------------------------
   // Running count-distinct over an ordered per-key frame (collect_set has no

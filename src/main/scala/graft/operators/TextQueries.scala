@@ -16,6 +16,47 @@ object TextQueries {
   private def hitsSql(lang: String): String =
     TextAnalysis.StopwordProfiles(lang).map(occSql).mkString(" + ")
 
+  // Recursive-reachability connected components over the banded-minhash
+  // candidate graph (threshold 0.5, 32 hashes, 8 bands) ending in
+  // `comp(id, component)` — the oracle for minhashDedupCC, shared by d18
+  // (groups) and d30 (leakage-safe split).
+  private lazy val ccOracleCtes: String = {
+    val hs = (0 until 32).map { seed =>
+      s"list_min([CAST(('0x' || substr(md5('$seed:' || s), 1, 15)) AS BIGINT) FOR s IN shingles]) AS h$seed"
+    }.mkString(", ")
+    val sigList = (0 until 32).map(i => s"h$i").mkString("[", ", ", "]")
+    val eq = (1 to 32)
+      .map(i => s"(CASE WHEN sig_a[$i] = sig_b[$i] THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH RECURSIVE w AS (
+          SELECT doc_id,
+            string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS words
+          FROM documents),
+        sh AS (
+          SELECT doc_id,
+            CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+                 ELSE [array_to_string(words[i:i+2], ' ') FOR i IN generate_series(1, len(words) - 2)] END AS shingles
+          FROM w),
+        hs AS (SELECT doc_id, $hs FROM sh),
+        sig AS (SELECT doc_id, $sigList AS sig FROM hs),
+        banded AS (SELECT doc_id, sig, bd,
+                     array_to_string(sig[bd * 4 + 1 : bd * 4 + 4], '|') AS bk
+                   FROM sig, (SELECT unnest(generate_series(0, 7)) AS bd)),
+        pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                    a.sig AS sig_a, b.sig AS sig_b
+                  FROM banded a JOIN banded b
+                    ON a.bd = b.bd AND a.bk = b.bk AND a.doc_id < b.doc_id),
+        good AS (SELECT id_a, id_b FROM pairs
+                 WHERE CAST($eq AS DOUBLE) / 32 >= 0.5),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM good
+                  UNION SELECT id_b, id_a FROM good),
+        reach AS (
+          SELECT src AS id, dst AS r FROM edges
+          UNION
+          SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src),
+        comp AS (SELECT id, least(id, min(r)) AS component FROM reach GROUP BY id)"""
+  }
+
   val all: Seq[CatalogQuery] = Seq(
 
     CatalogQuery(
@@ -626,45 +667,10 @@ object TextQueries {
             threshold = 0.5, numHashes = 32, bands = 8, portable = true)
           .select(col("doc_id"), col("dup_group"))
           .orderBy(col("doc_id")),
-      Some {
-        val hs = (0 until 32).map { seed =>
-          s"list_min([CAST(('0x' || substr(md5('$seed:' || s), 1, 15)) AS BIGINT) FOR s IN shingles]) AS h$seed"
-        }.mkString(", ")
-        val sigList = (0 until 32).map(i => s"h$i").mkString("[", ", ", "]")
-        val eq = (1 to 32)
-          .map(i => s"(CASE WHEN sig_a[$i] = sig_b[$i] THEN 1 ELSE 0 END)")
-          .mkString(" + ")
-        s"""WITH RECURSIVE w AS (
-          SELECT doc_id,
-            string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS words
-          FROM documents),
-        sh AS (
-          SELECT doc_id,
-            CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
-                 ELSE [array_to_string(words[i:i+2], ' ') FOR i IN generate_series(1, len(words) - 2)] END AS shingles
-          FROM w),
-        hs AS (SELECT doc_id, $hs FROM sh),
-        sig AS (SELECT doc_id, $sigList AS sig FROM hs),
-        banded AS (SELECT doc_id, sig, bd,
-                     array_to_string(sig[bd * 4 + 1 : bd * 4 + 4], '|') AS bk
-                   FROM sig, (SELECT unnest(generate_series(0, 7)) AS bd)),
-        pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-                    a.sig AS sig_a, b.sig AS sig_b
-                  FROM banded a JOIN banded b
-                    ON a.bd = b.bd AND a.bk = b.bk AND a.doc_id < b.doc_id),
-        good AS (SELECT id_a, id_b FROM pairs
-                 WHERE CAST($eq AS DOUBLE) / 32 >= 0.5),
-        edges AS (SELECT id_a AS src, id_b AS dst FROM good
-                  UNION SELECT id_b, id_a FROM good),
-        reach AS (
-          SELECT src AS id, dst AS r FROM edges
-          UNION
-          SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src),
-        comp AS (SELECT id, least(id, min(r)) AS component FROM reach GROUP BY id)
+      Some(s"""$ccOracleCtes
         SELECT d.doc_id, coalesce(c.component, d.doc_id) AS dup_group
         FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
-        ORDER BY d.doc_id"""
-      }),
+        ORDER BY d.doc_id""")),
 
     // As-of join: most recent prior click for every purchase.
     CatalogQuery(
@@ -976,6 +982,28 @@ object TextQueries {
           total_tokens,
           ${ratio6Sql("total_tokens", "n_docs")} AS mean_tokens,
           ${ratio6Sql("nshort", "n_docs")} AS short_frac
-        FROM a ORDER BY source"""))
+        FROM a ORDER BY source""")),
+
+    // Leakage-safe train/val/test split: the 80/10/10 assignment hashes
+    // the NEAR-DUP GROUP representative, so transitive near-duplicates
+    // can never straddle a split boundary — the eval-contamination leak
+    // a per-document hash split silently commits. Append-stable: new
+    // docs joining an existing group inherit its split.
+    CatalogQuery(
+      "d30_leakage_safe_split",
+      (s, dir) =>
+        Dedup.leakageSafeSplit(t(s, dir, "documents"), "doc_id", "text",
+            threshold = 0.5, numHashes = 32, bands = 8,
+            trainPct = 80, valPct = 10, portable = true)
+          .orderBy(col("doc_id")),
+      Some(s"""$ccOracleCtes,
+        g AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS dup_group
+              FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+        b AS (SELECT doc_id, dup_group,
+                CAST(('0x' || substr(md5('split:' || CAST(dup_group AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bk
+              FROM g)
+        SELECT doc_id, dup_group,
+          CASE WHEN bk < 80 THEN 'train' WHEN bk < 90 THEN 'val' ELSE 'test' END AS split
+        FROM b ORDER BY doc_id"""))
   )
 }

@@ -93,6 +93,23 @@ class ExtOpsSpec extends SparkSpecBase {
     assert(!out.contains(3L), s"disjoint doc must not appear: $out")
   }
 
+  test("leakageSafeSplit: near-dup groups never straddle a split boundary") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = Dedup.leakageSafeSplit(d, "doc_id", "text",
+      threshold = 0.5, numHashes = 32, bands = 8, portable = true).collect()
+    assert(out.length === d.count())
+    // group integrity: one split per dup_group
+    val perGroup = out.groupBy(_.getLong(1)).map { case (_, rs) =>
+      rs.map(_.getString(2)).distinct.length }
+    assert(perGroup.forall(_ === 1), "a dup group straddles splits")
+    // multi-doc groups exist in this corpus (the property is exercised)
+    assert(out.groupBy(_.getLong(1)).exists(_._2.length > 1))
+    // all three splits materialize and train dominates
+    val bySplit = out.groupBy(_.getString(2)).view.mapValues(_.length).toMap
+    assert(bySplit.keySet === Set("train", "val", "test"), s"got $bySplit")
+    assert(bySplit("train") > bySplit("val") && bySplit("train") > bySplit("test"))
+  }
+
   test("blockDedup: later copies drop, first occurrence survives, md5 reconstructs") {
     val df = Seq(
       (10L, "a b c d e f g h i j"),  // blocks (4w): [a b c d][e f g h][i j]
