@@ -36,12 +36,16 @@ object Bpe {
     concat(split(word, ""), array(lit("</w>")))
 
   /** Adjacent-pair occurrences of a symbol-array column, one struct row
-    * per position. */
+    * per position. Guarded: a fully-merged single-symbol word has no
+    * pairs, and `sequence(1, 0)` would otherwise produce the DESCENDING
+    * range [1, 0] whose element_at(…, 2)/(…, 0) probes throw under ANSI
+    * mode (the Dedup.dupSpans:348 lesson). */
   private def adjacentPairs(symbols: Column): Column =
-    transform(sequence(lit(1), size(symbols) - 1),
-      i => struct(
-        element_at(symbols, i).as("left_sym"),
-        element_at(symbols, i + lit(1)).as("right_sym")))
+    when(size(symbols) < 2, array().cast("array<struct<left_sym:string,right_sym:string>>"))
+      .otherwise(transform(sequence(lit(1), size(symbols) - 1),
+        i => struct(
+          element_at(symbols, i).as("left_sym"),
+          element_at(symbols, i + lit(1)).as("right_sym"))))
 
   /** Frequency-weighted adjacent-pair counts over a (symbols, wc) vocab
     * frame — the quantity BPE maximizes each iteration. */
@@ -109,10 +113,21 @@ object Bpe {
   }
 
   /** Segment words with a trained merge table: the inference half of BPE
-    * (apply merges in training order). Returns (word, symbols). */
-  def segment(words: DataFrame, wordCol: String, merges: Seq[(String, String)]): DataFrame =
-    merges.foldLeft(
+    * (apply merges in training order). Returns (word, symbols).
+    *
+    * The expression tree is flattened every `checkpointEvery` merges —
+    * an unbroken fold would nest one `aggregate` lambda per merge into a
+    * single column, and a production merge table (10k-50k merges) would
+    * stack-overflow Catalyst analysis long before execution. */
+  def segment(words: DataFrame, wordCol: String, merges: Seq[(String, String)],
+      checkpointEvery: Int = 16): DataFrame = {
+    require(checkpointEvery >= 1, s"checkpointEvery must be >= 1, got $checkpointEvery")
+    merges.grouped(checkpointEvery).foldLeft(
       words.select(col(wordCol).as("word"), toSymbols(col(wordCol)).as("symbols"))) {
-      case (df, (l, r)) => df.withColumn("symbols", applyMerge(col("symbols"), l, r))
+      case (df, chunk) =>
+        chunk.foldLeft(df) { case (d, (l, r)) =>
+          d.withColumn("symbols", applyMerge(col("symbols"), l, r))
+        }.localCheckpoint(true)
     }
+  }
 }

@@ -503,8 +503,12 @@ object Dedup {
     * same split, so near-duplicates can never straddle a split boundary —
     * the classic train/eval contamination leak that a per-document hash
     * split silently commits. Assignment is a portable hash of the group
-    * representative, so re-running after new documents join the corpus
-    * never reassigns an existing group (splits are append-stable).
+    * representative (the transitive minimum id), so a re-run after new
+    * documents ARRIVE keeps existing assignments — EXCEPT when a new
+    * document bridges two previously separate groups: the merged group
+    * takes the smaller representative and the other group's documents
+    * migrate with it (unavoidable — group unification forces one split).
+    * Diff the split column between runs to surface such migrations.
     */
   def leakageSafeSplit(
       df: DataFrame,

@@ -721,9 +721,15 @@ object Similarity {
         deterministic = true)
       .select(col("probe_id"), col("neighbor_id"), col("sim"))
       .localCheckpoint(true) // feeds pair sims + every selection step
-    // pairwise sims inside each probe's pool only (poolSize^2 bounded)
-    val vecs = corpus.select(col(idCol).as("__vid"), col(vecCol).as("__v"),
-      quantizedDot(col(vecCol), col(vecCol)).as("__q"))
+    // pairwise sims inside each probe's pool only (poolSize^2 bounded).
+    // Norms are computed AFTER a semi-join down to the pool ids — probing
+    // them on the raw corpus would rescan and re-norm every corpus row
+    // once per pair-join side
+    val vecs = corpus.select(col(idCol).as("__vid"), col(vecCol).as("__v"))
+      .join(pool.select(col("neighbor_id").as("__vid")).distinct(), Seq("__vid"), "left_semi")
+      .select(col("__vid"), col("__v"),
+        quantizedDot(col("__v"), col("__v")).as("__q"))
+      .localCheckpoint(true) // <= probes*poolSize rows; joined twice below
     val pairs = pool.select(col("probe_id"), col("neighbor_id").as("__a"))
       .join(pool.select(col("probe_id"), col("neighbor_id").as("__b")), Seq("probe_id"))
       .filter(col("__a") =!= col("__b"))
@@ -813,6 +819,11 @@ object Similarity {
     * global sort, no per-row rank window (the d21/d23 discipline), so the
     * only full-width shuffles are the per-dimension centroid aggregation
     * and the per-row distance aggregation, both hash-keyed.
+    *
+    * Overflow envelope: the shifted per-(label, dim) sum accumulates up to
+    * ~3.4e7 per row into a Long, so the rounding formula (`2·sum + n`)
+    * overflows past ~1.4e11 rows in ONE label — beyond that, split the
+    * label space or widen the sums to DECIMAL(38,0) (the q47 pattern).
     */
   def centroidOutliers(
       df: DataFrame,

@@ -897,6 +897,10 @@ object RelationalQueries {
   // Wide-to-long reshaping (Dataset.unpivot == SQL UNPIVOT): per-line
   // charge columns melt into (charge_type, amount) rows. Amounts pass
   // through exact DECIMAL before the DOUBLE emit, as everywhere.
+  // NULL semantics are PINNED to exclude-nulls: Spark unpivot keeps a
+  // (type, NULL) row where DuckDB's UNPIVOT drops it, so the Spark side
+  // filters explicitly — these columns are non-null today, but a copy of
+  // this shape onto a nullable column must not silently diverge.
   private lazy val unpivotCharges: CatalogQuery = CatalogQuery(
     "q50_unpivot_charges",
     (s, dir) =>
@@ -909,6 +913,7 @@ object RelationalQueries {
           Array(col("l_orderkey"), col("l_linenumber")),
           Array(col("extendedprice"), col("discount"), col("tax")),
           "charge_type", "amount")
+        .filter(col("amount").isNotNull)
         .orderBy(col("l_orderkey"), col("l_linenumber"), col("charge_type")),
     Some("""SELECT l_orderkey, l_linenumber, charge_type, amount FROM (
         UNPIVOT (SELECT l_orderkey, l_linenumber,

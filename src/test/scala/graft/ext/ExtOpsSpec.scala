@@ -162,6 +162,15 @@ class ExtOpsSpec extends SparkSpecBase {
     assert(seg === Seq("low", "e", "s", "t", "</w>"), s"got $seg")
     // merge table is deterministic across runs
     assert(Bpe.trainMerges(docs, "text", 2) === merges)
+    // a word collapsing to ONE symbol must not crash pair counting: "a"
+    // fully merges after ('a','</w>'); training past that point stops
+    // cleanly via the empty-pair-count branch
+    val tiny = Seq("a a a").toDF("text")
+    val m2 = Bpe.trainMerges(tiny, "text", nMerges = 5)
+    assert(m2 === Seq(("a", "</w>", 3L)), s"got $m2")
+    val segTiny = Bpe.segment(Seq("a").toDF("w"), "w", m2.map(m => (m._1, m._2)))
+      .head().getSeq[String](1)
+    assert(segTiny === Seq("a</w>"))
   }
 
   test("fingerprint ignores case/punctuation/whitespace") {
