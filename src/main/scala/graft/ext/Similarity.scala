@@ -686,6 +686,34 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
+  // --------------------------------------------- ANN recall evaluation
+
+  /** Recall@k of an ANN result against exact ground truth — the eval
+    * harness every production ANN deployment runs before trusting an
+    * index. Both inputs are (probe_id, neighbor_id, rnk) top-k frames
+    * (e.g. [[annTopK]] vs [[bruteForceTopK]]); the output is per-probe
+    * hit counts and exact-integer recall.
+    *
+    * Scale: one hash join on (probe_id, neighbor_id) between two
+    * probes×k-sized frames + one aggregation — independent of corpus
+    * size; run it on a sampled probe set.
+    */
+  def recallAtK(ann: DataFrame, truth: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val truthK = truth.filter(col("rnk") <= k)
+      .select(col("probe_id"), col("neighbor_id"))
+    val annK = ann.filter(col("rnk") <= k)
+      .select(col("probe_id"), col("neighbor_id"))
+    val hits = truthK.join(annK, Seq("probe_id", "neighbor_id"), "left_semi")
+      .groupBy(col("probe_id")).agg(count(lit(1)).as("hits"))
+    truthK.groupBy(col("probe_id")).agg(count(lit(1)).as("n_truth"))
+      .join(hits, Seq("probe_id"), "left")
+      .select(col("probe_id"), col("n_truth"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        graft.operators.QueryDsl.ratio6(
+          coalesce(col("hits"), lit(0L)), col("n_truth")).as("recall"))
+  }
+
   // ------------------------------------ MMR diversified re-ranking
 
   /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein 1998):

@@ -606,7 +606,61 @@ object VectorQueries {
         SELECT probe_id, neighbor_id, step, score FROM s1
         UNION ALL SELECT probe_id, neighbor_id, step, score FROM s2
         UNION ALL SELECT probe_id, neighbor_id, step, score FROM s3
-        ORDER BY probe_id, step"""))
+        ORDER BY probe_id, step""")),
+
+    // ANN recall@k evaluation: LSH ANN results scored against the exact
+    // brute-force ground truth — the eval every production index runs.
+    // Per-probe hits + exact-integer recall; corpus-size-independent
+    // (two probes*k frames, one semi join, one aggregate).
+    CatalogQuery(
+      "e16_ann_recall",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val probes = emb.filter(col("vec_id") < 5)
+        Similarity.recallAtK(
+            ann = Similarity.annTopK(emb, probes, "vec_id", "embedding",
+              k = 5, nTables = 8, bitsPerTable = 6, portable = true),
+            truth = Similarity.bruteForceTopK(emb, probes, "vec_id", "embedding",
+              k = 5, deterministic = true),
+            k = 5)
+          .orderBy(col("probe_id"))
+      },
+      Some(s"""${bucketsSql(nTables = 8, bitsPerTable = 6)},
+        cand AS (SELECT DISTINCT c.vec_id AS neighbor_id, pr.vec_id AS probe_id
+                 FROM buck c JOIN buck pr ON c.tbl = pr.tbl AND c.bucket = pr.bucket
+                 WHERE pr.vec_id < 5 AND c.vec_id <> pr.vec_id),
+        wv AS (SELECT cand.probe_id, cand.neighbor_id, p.embedding AS pe, n.embedding AS ne
+               FROM cand JOIN embeddings p ON p.vec_id = cand.probe_id
+                         JOIN embeddings n ON n.vec_id = cand.neighbor_id),
+        ar AS (SELECT probe_id, neighbor_id,
+                 CAST(${qdotSql("pe", "ne")} AS DOUBLE)
+                   / sqrt(CAST(${qdotSql("pe", "pe")} AS DOUBLE) * CAST(${qdotSql("ne", "ne")} AS DOUBLE)) AS sim
+               FROM wv),
+        ak AS (SELECT probe_id, neighbor_id,
+                 row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rn
+               FROM ar),
+        ann AS (SELECT probe_id, neighbor_id FROM ak WHERE rn <= 5),
+        p2 AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id < 5),
+        d2 AS (SELECT probe_id, e.vec_id AS neighbor_id,
+                 ${qdotSql("pe", "e.embedding")} AS qd,
+                 ${qdotSql("pe", "pe")} AS qa,
+                 ${qdotSql("e.embedding", "e.embedding")} AS qb
+               FROM p2, embeddings e WHERE e.vec_id <> probe_id),
+        r2 AS (SELECT probe_id, neighbor_id,
+                 CAST(qd AS DOUBLE) / sqrt(CAST(qa AS DOUBLE) * CAST(qb AS DOUBLE)) AS sim
+               FROM d2),
+        k2 AS (SELECT probe_id, neighbor_id,
+                 row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rn
+               FROM r2),
+        truth AS (SELECT probe_id, neighbor_id FROM k2 WHERE rn <= 5),
+        hits AS (SELECT t.probe_id, count(*) AS hits
+                 FROM truth t JOIN ann a USING (probe_id, neighbor_id) GROUP BY 1),
+        nt AS (SELECT probe_id, count(*) AS n_truth FROM truth GROUP BY 1)
+        SELECT nt.probe_id, nt.n_truth,
+          coalesce(hits.hits, CAST(0 AS BIGINT)) AS hits,
+          ${graft.operators.QueryDsl.ratio6Sql("coalesce(hits.hits, 0)", "nt.n_truth")} AS recall
+        FROM nt LEFT JOIN hits USING (probe_id)
+        ORDER BY nt.probe_id"""))
   )
 
   /** DuckDB mirror of `Similarity.lshBucketRows(portable = true)`: CTEs
