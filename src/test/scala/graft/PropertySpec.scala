@@ -37,6 +37,42 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("blockDedup == naive first-occurrence reference on random corpora") {
+    val vocab = Vector("a", "bb", "ccc", "dd", "e")
+    val docGen = Gen.listOfN(6, for {
+      n <- Gen.choose(0, 12)
+      ws <- Gen.listOfN(n, Gen.oneOf(vocab))
+    } yield ws.mkString(" "))
+    samples(docGen, 8).foreach { texts =>
+      val bw = 3
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = Dedup.blockDedup(df, "doc_id", "text", blockWords = bw, portable = true)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+        .toMap
+      // naive reference: first (doc, pos) per distinct block text wins
+      val blocks = texts.zipWithIndex.flatMap { case (t, i) =>
+        val ws = t.trim.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim match {
+          case "" => Array.empty[String]
+          case s  => s.split(" ")
+        }
+        ws.grouped(bw).zipWithIndex.map { case (b, p) => (i.toLong, p, b.mkString(" ")) }
+      }
+      val winner = blocks.groupBy(_._3).map { case (blk, occ) =>
+        blk -> occ.map(o => (o._1, o._2)).min }
+      texts.zipWithIndex.foreach { case (t, i) =>
+        val mine = blocks.filter(_._1 == i.toLong)
+        val kept = mine.filter(b => winner(b._3) == ((b._1, b._2)))
+        val keptTokens = kept.map(_._3.split(" ").length).sum.toLong
+        val (nTok, nBlk, keptBlk, keptTok) = got(i.toLong)
+        assert(nBlk === mine.size.toLong, s"doc $i n_blocks")
+        assert(keptBlk === kept.size.toLong, s"doc $i kept_blocks")
+        assert(keptTok === keptTokens, s"doc $i kept_tokens")
+        assert(nTok === mine.map(_._3.split(" ").length).sum.toLong, s"doc $i n_tokens")
+      }
+    }
+  }
+
   test("upsert last-writer-wins: applying the same batch twice == once") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-prop-").toString
     samples(Gen.listOfN(12, for {
