@@ -563,19 +563,32 @@ object Dedup {
       textCol: String,
       blockWords: Int = 32,
       portable: Boolean = false): DataFrame = {
+    val blocks = blockRows(df, idCol, textCol, blockWords, portable)
+      .localCheckpoint(true) // feeds the vote AND the reconstruction join
+    val winners = blockWinners(blocks)
+    val flagged = blocks.join(winners, Seq("__h"))
+      .withColumn("__keep", col("__id") === col("__wid") && col("__pos") === col("__wpos"))
+    blockStats(df, idCol, textCol, flagged)
+  }
+
+  /** Per-block rows (`__id`, `__pos`, `__blk`, `__h`) of consecutive
+    * `blockWords`-word blocks — the shared derivation behind
+    * [[blockDedup]] and [[BlockDedupIndex]]. Empty docs never reach the
+    * explode. */
+  private[ext] def blockRows(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockWords: Int,
+      portable: Boolean): DataFrame = {
     require(blockWords >= 1, s"blockWords must be >= 1, got $blockWords")
     def hashOf(c: Column): Column =
       if (portable) TextAnalysis.portableHash60(c) else xxhash64(c)
     val norm = TextAnalysis.normalize(col(textCol))
-    val words = split(norm, " ")
-    val base = df.select(
-      col(idCol),
-      when(length(norm) === 0, lit(0L))
-        .otherwise(size(words).cast("long")).as("n_tokens"))
-    // integer ceil-div block count; empty docs never reach the explode
+    // integer ceil-div block count
     val nBlocks =
       call_function("div", size(col("__w")) + lit(blockWords - 1), lit(blockWords))
-    val blocks = Parallelism.widen(df)
+    Parallelism.widen(df)
       .select(col(idCol).as("__id"), norm.as("__t"))
       .filter(length(col("__t")) > 0)
       .select(col("__id"), split(col("__t"), " ").as("__w"))
@@ -584,12 +597,28 @@ object Dedup {
           i => concat_ws(" ", slice(col("__w"), i * blockWords + 1, lit(blockWords)))))
           .as(Seq("__pos", "__blk")))
       .withColumn("__h", hashOf(col("__blk")))
-      .localCheckpoint(true) // feeds the vote AND the reconstruction join
-    val winners = blocks.groupBy(col("__h"))
+  }
+
+  /** First-occurrence vote: minimal (`__wid`, `__wpos`) per block hash —
+    * a hash aggregation, never a per-key window. */
+  private[ext] def blockWinners(blocks: DataFrame): DataFrame =
+    blocks.groupBy(col("__h"))
       .agg(min(struct(col("__id"), col("__pos"))).as("__win"))
       .select(col("__h"), col("__win.__id").as("__wid"), col("__win.__pos").as("__wpos"))
-    val perDoc = blocks.join(winners, Seq("__h"))
-      .withColumn("__keep", col("__id") === col("__wid") && col("__pos") === col("__wpos"))
+
+  /** Per-doc reconstruction stats over flagged block rows (`__keep`
+    * boolean): kept counts, kept fraction, md5 of the surviving text. */
+  private[ext] def blockStats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      flagged: DataFrame): DataFrame = {
+    val norm = TextAnalysis.normalize(col(textCol))
+    val base = df.select(
+      col(idCol),
+      when(length(norm) === 0, lit(0L))
+        .otherwise(size(split(norm, " ")).cast("long")).as("n_tokens"))
+    val perDoc = flagged
       .groupBy(col("__id"))
       .agg(
         count(lit(1)).as("n_blocks"),

@@ -57,6 +57,52 @@ object TextQueries {
         comp AS (SELECT id, least(id, min(r)) AS component FROM reach GROUP BY id)"""
   }
 
+  // Block-dedup oracle (first-occurrence winner per distinct block) —
+  // shared by d27 (one-shot) and d31 (incremental index: two-batch
+  // ingest in ascending id order must reproduce the one-shot result).
+  private def blockDedupOracle(blockWords: Int): String = {
+    val bw = blockWords
+    s"""WITH nw AS (
+          SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
+          FROM documents),
+        w AS (
+          SELECT doc_id, string_split(t, ' ') AS ws,
+            CAST(CASE WHEN len(t) = 0 THEN 0 ELSE len(string_split(t, ' ')) END AS BIGINT) AS n_tokens
+          FROM nw),
+        ev AS (
+          SELECT doc_id, ws, unnest(generate_series(0, (len(ws) + ${bw - 1}) // $bw - 1)) AS pos
+          FROM w WHERE n_tokens > 0),
+        b AS (
+          SELECT doc_id, pos, array_to_string(ws[(pos*$bw+1):(pos*$bw+$bw)], ' ') AS blk
+          FROM ev),
+        h AS (
+          SELECT doc_id, pos, blk,
+            CAST(('0x' || substr(md5(blk), 1, 15)) AS BIGINT) AS h
+          FROM b),
+        win AS (
+          SELECT h, min(struct_pack(i := doc_id, p := pos)) AS w FROM h GROUP BY h),
+        k AS (
+          SELECT h.doc_id, h.pos, h.blk,
+            (h.doc_id = win.w.i AND h.pos = win.w.p) AS keep
+          FROM h JOIN win USING (h)),
+        per_doc AS (
+          SELECT doc_id,
+            count(*) AS n_blocks,
+            sum(CASE WHEN keep THEN 1 ELSE 0 END) AS kept_blocks,
+            sum(CASE WHEN keep THEN len(string_split(blk, ' ')) ELSE 0 END) AS kept_tokens,
+            md5(coalesce(string_agg(blk, ' ' ORDER BY pos) FILTER (WHERE keep), '')) AS kept_md5
+          FROM k GROUP BY doc_id)
+        SELECT w.doc_id, w.n_tokens,
+          CAST(coalesce(p.n_blocks, 0) AS BIGINT) AS n_blocks,
+          CAST(coalesce(p.kept_blocks, 0) AS BIGINT) AS kept_blocks,
+          CAST(coalesce(p.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+          CASE WHEN w.n_tokens = 0 THEN 0.0
+               ELSE ${ratio6Sql("coalesce(p.kept_tokens, 0)", "w.n_tokens")} END AS kept_frac,
+          coalesce(p.kept_md5, md5('')) AS kept_md5
+        FROM w LEFT JOIN per_doc p USING (doc_id)
+        ORDER BY w.doc_id"""
+  }
+
   val all: Seq[CatalogQuery] = Seq(
 
     CatalogQuery(
@@ -874,45 +920,7 @@ object TextQueries {
         Dedup.blockDedup(t(s, dir, "documents"), "doc_id", "text",
             blockWords = 8, portable = true)
           .orderBy(col("doc_id")),
-      Some(s"""WITH nw AS (
-          SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
-          FROM documents),
-        w AS (
-          SELECT doc_id, string_split(t, ' ') AS ws,
-            CAST(CASE WHEN len(t) = 0 THEN 0 ELSE len(string_split(t, ' ')) END AS BIGINT) AS n_tokens
-          FROM nw),
-        ev AS (
-          SELECT doc_id, ws, unnest(generate_series(0, (len(ws) + 7) // 8 - 1)) AS pos
-          FROM w WHERE n_tokens > 0),
-        b AS (
-          SELECT doc_id, pos, array_to_string(ws[(pos*8+1):(pos*8+8)], ' ') AS blk
-          FROM ev),
-        h AS (
-          SELECT doc_id, pos, blk,
-            CAST(('0x' || substr(md5(blk), 1, 15)) AS BIGINT) AS h
-          FROM b),
-        win AS (
-          SELECT h, min(struct_pack(i := doc_id, p := pos)) AS w FROM h GROUP BY h),
-        k AS (
-          SELECT h.doc_id, h.pos, h.blk,
-            (h.doc_id = win.w.i AND h.pos = win.w.p) AS keep
-          FROM h JOIN win USING (h)),
-        per_doc AS (
-          SELECT doc_id,
-            count(*) AS n_blocks,
-            sum(CASE WHEN keep THEN 1 ELSE 0 END) AS kept_blocks,
-            sum(CASE WHEN keep THEN len(string_split(blk, ' ')) ELSE 0 END) AS kept_tokens,
-            md5(coalesce(string_agg(blk, ' ' ORDER BY pos) FILTER (WHERE keep), '')) AS kept_md5
-          FROM k GROUP BY doc_id)
-        SELECT w.doc_id, w.n_tokens,
-          CAST(coalesce(p.n_blocks, 0) AS BIGINT) AS n_blocks,
-          CAST(coalesce(p.kept_blocks, 0) AS BIGINT) AS kept_blocks,
-          CAST(coalesce(p.kept_tokens, 0) AS BIGINT) AS kept_tokens,
-          CASE WHEN w.n_tokens = 0 THEN 0.0
-               ELSE ${ratio6Sql("coalesce(p.kept_tokens, 0)", "w.n_tokens")} END AS kept_frac,
-          coalesce(p.kept_md5, md5('')) AS kept_md5
-        FROM w LEFT JOIN per_doc p USING (doc_id)
-        ORDER BY w.doc_id""")),
+      Some(blockDedupOracle(blockWords = 8))),
 
     // BPE tokenizer training, iteration 0: frequency-weighted adjacent
     // symbol-pair counts (chars + '</w>' end-of-word symbol) over the
@@ -1004,6 +1012,31 @@ object TextQueries {
               FROM g)
         SELECT doc_id, dup_group,
           CASE WHEN bk < 80 THEN 'train' WHEN bk < 90 THEN 'val' ELSE 'test' END AS split
-        FROM b ORDER BY doc_id"""))
+        FROM b ORDER BY doc_id""")),
+
+    // The persisted-index path of the SAME computation as d27: ingest the
+    // corpus as two batches (ascending id order) into a BlockDedupIndex —
+    // the combined per-doc output must reproduce the one-shot blockDedup
+    // result exactly, so d27's oracle gates the index build/probe/append
+    // machinery too (the d26/e12 pattern).
+    CatalogQuery(
+      "d31_block_dedup_index",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val tmp = java.nio.file.Files.createTempDirectory("graft-d31-").toString
+        // throwaway index: no file stats (nothing ever data-skips it)
+        implicit val st: graft.conf.GraftSettings =
+          graft.conf.GraftSettings.default.copy(collectFileStats = false)
+        val idx = new graft.ext.BlockDedupIndex(s, s"file://$tmp",
+          blockWords = 8, portable = true)
+        val out1 = idx.detectAndAdd(docs.filter(col("doc_id") < 250), "doc_id", "text")
+        val out2 = idx.detectAndAdd(docs.filter(col("doc_id") >= 250), "doc_id", "text")
+        val out = out1.unionByName(out2)
+          .orderBy(col("doc_id"))
+          .localCheckpoint(true) // materialize, then drop the scratch index
+        graft.lake.FsUtils.deletePath(s, s"file://$tmp")
+        out
+      },
+      Some(blockDedupOracle(blockWords = 8)))
   )
 }

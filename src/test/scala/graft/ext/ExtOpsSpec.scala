@@ -110,6 +110,28 @@ class ExtOpsSpec extends SparkSpecBase {
     assert(bySplit("train") > bySplit("val") && bySplit("train") > bySplit("test"))
   }
 
+  test("BlockDedupIndex: persists across instances; later batches drop known blocks") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bdi-").toString
+    implicit val st: graft.conf.GraftSettings =
+      graft.conf.GraftSettings.default.copy(collectFileStats = false)
+    val b1 = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")
+    val idx = new BlockDedupIndex(spark, s"file://$tmp", blockWords = 4, portable = true)
+    val r1 = idx.detectAndAdd(b1, "doc_id", "text").head()
+    assert(r1.getLong(3) === 2 && r1.getLong(4) === 8) // everything new
+    assert(idx.indexedCount === 2)
+    // a FRESH instance on the same path sees the ingested hashes
+    val idx2 = new BlockDedupIndex(spark, s"file://$tmp", blockWords = 4, portable = true)
+    val b2 = Seq((2L, "a b c d x y z w"), (3L, "x y z w")).toDF("doc_id", "text")
+    val r2 = idx2.detectAndAdd(b2, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // doc 2: first block known from batch 1, second is the batch-internal
+    // first occurrence of "x y z w"; doc 3 repeats it -> drops
+    assert(r2(2L).getLong(3) === 1 && r2(2L).getLong(4) === 4)
+    assert(r2(3L).getLong(3) === 0 && r2(3L).getLong(4) === 0)
+    assert(idx2.indexedCount === 3) // only the one new hash appended
+    graft.lake.FsUtils.deletePath(spark, s"file://$tmp")
+  }
+
   test("blockDedup: later copies drop, first occurrence survives, md5 reconstructs") {
     val df = Seq(
       (10L, "a b c d e f g h i j"),  // blocks (4w): [a b c d][e f g h][i j]
