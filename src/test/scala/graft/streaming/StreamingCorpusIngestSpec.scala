@@ -84,4 +84,39 @@ class StreamingCorpusIngestSpec extends SparkSpecBase {
     assert(corpus.version === before)
     assert(corpusIds === Set(1L, 2L, 5L))
   }
+
+  test("streaming block dedup: later batches keep only never-seen blocks") {
+    // separate source/index/checkpoint: this pipeline dedups at BLOCK
+    // (paragraph) granularity via the persisted BlockDedupIndex
+    val src2 = s"$root/incoming-blocks"
+    val bIdx = new graft.ext.BlockDedupIndex(spark, s"$root/blkidx",
+      blockWords = 4, portable = false)
+    val kept = GraftTable(spark, s"$root/blk-kept")
+    def ingestBlocks(): Unit = {
+      val q = spark.readStream.schema(docSchema).parquet(src2)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val stats = bIdx.detectAndAdd(batch, "doc_id", "text")
+          kept.append(stats.select("doc_id", "kept_blocks", "kept_tokens"))
+          ()
+        }
+        .option("checkpointLocation", s"$root/blk-ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    Seq((10L, "alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(src2)
+    ingestBlocks()
+    // batch 2: doc 11 repeats doc 10's first block + adds a new one;
+    // doc 12 is entirely a repeat of material now in the index
+    Seq((11L, "alpha beta gamma delta one two three four"),
+        (12L, "one two three four alpha beta gamma delta")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(src2)
+    ingestBlocks()
+    val rows = kept.read().collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows(10L) === ((2L, 8L)), s"got ${rows(10L)}")
+    assert(rows(11L) === ((1L, 4L)), s"got ${rows(11L)}")
+    assert(rows(12L) === ((0L, 0L)), s"got ${rows(12L)}")
+  }
 }
