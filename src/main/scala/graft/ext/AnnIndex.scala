@@ -11,13 +11,18 @@ import org.apache.spark.sql.functions._
   * not re-bucketing 100 TB of embeddings per query batch.
   *
   * Layout: two [[GraftTable]]s under `path` — `buckets` (vec_id, tbl,
-  * bucket) from multi-table hyperplane LSH, and `vectors` (vec_id, vec,
-  * sq) with the pre-quantized squared norm. `add` hashes only the new
-  * batch and appends; `query` hashes only the probes, joins their bucket
-  * rows against the stored buckets (ids-only through the shuffle),
-  * dedups candidates, re-attaches vectors for exact scoring, and top-ks
-  * per probe. Incremental growth and querying compose: a crawl pipeline
-  * alternates add/query freely.
+  * bucket, tb) from multi-table hyperplane LSH, range-CLUSTERED on the
+  * composite key `tb = tbl << 32 | bucket` so each data file covers a
+  * tight bucket range, and `vectors` (vec_id, vec, sq) with the
+  * pre-quantized squared norm. `add` hashes only
+  * the new batch and appends; `query` hashes only the probes, collects
+  * their bounded bucket-key set (|probes| × nTables values), and
+  * file-prunes the stored buckets with `readWhere(tb IN ...)` — the
+  * scan is O(files that can hold a probed bucket), not O(index). The
+  * probe rows are broadcast into the candidate join and the candidate
+  * ids are broadcast-semi-joined into the vectors scan, so neither
+  * stored table ever shuffles. Incremental growth and querying compose:
+  * a crawl pipeline alternates add/query freely.
   */
 final class AnnIndex(
     spark: SparkSession,
@@ -27,18 +32,37 @@ final class AnnIndex(
     portable: Boolean = false)(implicit settings: GraftSettings = GraftSettings.default) {
 
   private[ext] val bucketsTable = GraftTable(spark, s"$path/buckets")
-  private[ext] val vectorsTable = GraftTable(spark, s"$path/vectors")
+  // no file stats for vectors: query() reaches them through a broadcast
+  // semi-join on candidate ids (never a pruned read), so a stats pass
+  // would re-read the full embedding payload per append for nothing
+  private[ext] val vectorsTable = GraftTable(spark, s"$path/vectors")(
+    settings.copy(collectFileStats = false))
 
   def indexedCount: Long = if (vectorsTable.exists) vectorsTable.read().count() else 0L
+
+  /** Composite bucket key: table id in the high 32 bits, bucket id in the
+    * low — one orderable long, so range clustering + min/max file stats
+    * prune a multi-point probe (a two-column (tbl, bucket) pair can't
+    * carry joint per-file stats; the composite can). */
+  private def tbExpr = col("tbl").cast("long") * lit(1L << 32) + col("bucket").cast("long")
 
   /** Hash and append a batch of (id, vector) rows. Ids must be globally
     * unique across adds. */
   def add(df: DataFrame, idCol: String, vecCol: String): Unit = {
+    // materialize before clustering: repartitionByRange SAMPLES its child
+    // to pick range bounds, so an unmaterialized hash pipeline would run
+    // twice (sample pass + write pass)
     val buckets = Similarity.lshBucketRows(df, idCol, vecCol, nTables, bitsPerTable, portable)
       .select(col("id").as("vec_id"), col("tbl"), col("bucket"))
+      .withColumn("tb", tbExpr)
+      .localCheckpoint(true)
     val vectors = df.select(col(idCol).as("vec_id"), col(vecCol).as("vec"),
       Similarity.quantizedDot(col(vecCol), col(vecCol)).as("sq"))
-    bucketsTable.append(buckets)
+    // buckets are range-clustered on the composite bucket key so the probe
+    // predicate file-prunes; vectors append FLAT — they are consumed via a
+    // candidate-id semi-join, and range-shuffling the full embedding
+    // payload per batch would buy nothing
+    bucketsTable.appendClustered(buckets, Seq("tb"))
     vectorsTable.append(vectors)
   }
 
@@ -47,20 +71,36 @@ final class AnnIndex(
     * indexed vector exclude that self-match. */
   def query(probes: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
     require(bucketsTable.exists, s"empty ANN index at $path")
+    // probe batches are small by contract (they broadcast below): hashing
+    // them twice (key-set collect + candidate join) beats a barrier job
     val probeBuckets = Similarity.lshBucketRows(
         probes, idCol, vecCol, nTables, bitsPerTable, portable)
       .select(col("id").as("probe_id"), col("tbl"), col("bucket"))
-    val candidates = bucketsTable.read()
+    // bounded driver-side set (|probes| x nTables); IN-pruning the
+    // clustered buckets table reads only files whose [min,max] tb range
+    // can hold a probed bucket — never the whole index
+    val probeKeys = probeBuckets.select(tbExpr.as("tb")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    require(probeKeys.nonEmpty, "query needs at least one probe row")
+    val candidates = bucketsTable.readWhere(col("tb").isin(probeKeys: _*))
       .join(broadcast(probeBuckets), Seq("tbl", "bucket"))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("neighbor_id"))
       .distinct()
+      .localCheckpoint(true) // feeds the id-set semi-join AND the rescore join
     val probeVecs = probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"),
       Similarity.quantizedDot(col(vecCol), col(vecCol)).as("probe_sq"))
+    // candidate ids broadcast into the vectors scan: the stored vectors
+    // stream through a semi-join (scan, zero shuffle) and only actual
+    // candidates' embeddings survive into the rescore
+    val neighborVecs = vectorsTable.read()
+      .select(col("vec_id").as("neighbor_id"), col("vec").as("neighbor_vec"),
+        col("sq").as("neighbor_sq"))
+      .join(broadcast(candidates.select("neighbor_id").distinct()),
+        Seq("neighbor_id"), "left_semi")
     val withVecs = candidates
       .join(broadcast(probeVecs), Seq("probe_id"))
-      .join(vectorsTable.read().select(col("vec_id").as("neighbor_id"),
-        col("vec").as("neighbor_vec"), col("sq").as("neighbor_sq")), Seq("neighbor_id"))
+      .join(neighborVecs, Seq("neighbor_id"))
     val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("neighbor_id"))
     withVecs
       .withColumn("sim",

@@ -100,9 +100,8 @@ object VectorQueries {
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
         val tmp = java.nio.file.Files.createTempDirectory("graft-e12-").toString
-        // throwaway index: no file stats (nothing ever data-skips it)
-        implicit val st: graft.conf.GraftSettings =
-          graft.conf.GraftSettings.default.copy(collectFileStats = false)
+        // stats stay ON: query() IN-prunes the clustered buckets table by
+        // the probes' bucket keys, which needs per-file min/max stats
         val idx = new graft.ext.AnnIndex(s, s"file://$tmp",
           nTables = 8, bitsPerTable = 6, portable = true)
         idx.add(emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding")

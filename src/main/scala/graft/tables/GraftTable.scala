@@ -242,7 +242,7 @@ final class GraftTable private (
     * predicate pins EVERY bucket key with an equality — the bucket id
     * encoded in each file name (a point lookup on the PK of a bucketed
     * CDC table touches exactly one bucket's files). */
-  private[tables] def prunedFiles(predicate: org.apache.spark.sql.Column): Seq[String] = {
+  private[graft] def prunedFiles(predicate: org.apache.spark.sql.Column): Seq[String] = {
     val statsByFile: Map[String, FileStats] =
       commits().flatMap(_.stats.getOrElse(Map.empty)).toMap
     val conjuncts =

@@ -7,6 +7,8 @@ package graft.tables
 sealed trait PredAtom
 /** `col <op> value` with op in > >= < <= = (column-on-the-left form). */
 final case class PredCmp(op: String, col: String, value: Any) extends PredAtom
+/** `col IN (values)` — the multi-point probe shape (`Column.isin`). */
+final case class PredIn(col: String, values: Seq[Any]) extends PredAtom
 final case class PredNull(col: String, isNull: Boolean) extends PredAtom
 case object PredOpaque extends PredAtom
 
@@ -68,6 +70,11 @@ private[tables] object StatsPruning {
   /** Can any row of a file with stats `st` satisfy conjunct `p`? */
   def mayHold(p: PredAtom, st: FileStats): Boolean = p match {
     case PredCmp(op, name, v)  => bound(name, v, op, st)
+    // IN prunes when NO listed value can fall inside [min, max] — the
+    // decisive shape for multi-point probes (an ANN query's bucket set
+    // against a bucket-clustered index): each file keeps only the values
+    // its range could hold, everything else is skipped.
+    case PredIn(name, vs)      => vs.exists(v => bound(name, v, "=", st))
     case PredNull(name, true)  => st.cols.get(name).forall(_.nulls > 0)
     case PredNull(name, false) => st.cols.get(name).forall(_.nulls < st.rows)
     case PredOpaque            => true

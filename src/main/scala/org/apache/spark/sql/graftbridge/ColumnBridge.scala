@@ -60,6 +60,14 @@ object ColumnBridge {
             case (_, _, Some(name), Some(v)) => graft.tables.PredCmp(Flip(op), name, v)
             case _                           => graft.tables.PredOpaque
           }
+        case (None, args) if f.functionName == "in" && args.length >= 2 =>
+          // Column.isin builds fn("in", attr, lit, lit, ...); any
+          // non-literal element (e.g. a column) makes the atom opaque
+          (attrName(args.head), args.tail.map(litValue)) match {
+            case (Some(name), vs) if vs.forall(_.isDefined) =>
+              graft.tables.PredIn(name, vs.map(_.get))
+            case _ => graft.tables.PredOpaque
+          }
         case (None, Seq(a)) if f.functionName == "isNull" =>
           attrName(a).map(graft.tables.PredNull(_, isNull = true))
             .getOrElse(graft.tables.PredOpaque)

@@ -460,6 +460,38 @@ class ExtOpsSpec extends SparkSpecBase {
     assert(fromIndex === oneShot)
   }
 
+  test("AnnIndex: query file-prunes the clustered buckets table") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-annprune-").toString
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val idx = new AnnIndex(spark, s"$dir/idx", nTables = 8, bitsPerTable = 6,
+      portable = true)
+    // two commits -> many tb-clustered files with tight min/max stats
+    // (appendClustered files = shuffle partitions; the suite default of 4
+    // gives files so wide no probe set could prune them)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      idx.add(emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding")
+      idx.add(emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    val total = idx.bucketsTable.liveFiles().size
+    // replicate query()'s pruning predicate for the same probe set
+    val probes = emb.filter(col("vec_id") < 2)
+    val keys = Similarity.lshBucketRows(probes, "vec_id", "embedding", 8, 6, portable = true)
+      .select((col("tbl").cast("long") * lit(1L << 32) + col("bucket").cast("long")).as("tb"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val scanned = idx.bucketsTable.prunedFiles(col("tb").isin(keys: _*)).size
+    assert(scanned < total,
+      s"IN-pruning must skip files: scanned $scanned of $total")
+    // and the pruned query is still exactly the one-shot result
+    val fromIndex = idx.query(probes, "vec_id", "embedding", k = 5)
+      .select("probe_id", "neighbor_id", "rnk").as[(Long, Long, Int)].collect().toSet
+    val oneShot = Similarity.annTopK(emb, probes, "vec_id", "embedding", 5,
+        nTables = 8, bitsPerTable = 6, portable = true)
+      .select("probe_id", "neighbor_id", "rnk").as[(Long, Long, Int)].collect().toSet
+    assert(fromIndex === oneShot)
+  }
+
   test("indexes persist: a fresh instance on the same path serves queries") {
     val dir = java.nio.file.Files.createTempDirectory("graft-idx-reopen-").toString
     val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")

@@ -141,6 +141,15 @@ class GraftTableSpec extends SparkSpecBase {
     assert(t.prunedFiles(col("id") % 2 === 0).size === t.liveFiles().size)
     assert(t.readWhere(col("id") % 2 === 0).count() ===
       t.read().filter(col("id") % 2 === 0).count())
+
+    // IN: a multi-point probe keeps only files whose range can hold a value
+    assert(t.prunedFiles(col("id").isin(2, 1000)).size === 2)
+    assert(t.readWhere(col("id").isin(2, 1000)).as[(Int, String, Double)]
+      .collect().toSet === Set((2, "b", 20.5), (1000, "e", 50.5)))
+    assert(t.prunedFiles(col("id").isin(55555, 66666)).isEmpty)
+    // IN over a column (non-literal element) is opaque -> full scan, exact rows
+    assert(t.prunedFiles(col("id").isin(lit(2), col("amt"))).size ===
+      t.liveFiles().size)
   }
 
   test("data skipping: null stats drive isNull pruning; stats survive compaction") {
