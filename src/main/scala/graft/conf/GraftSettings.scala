@@ -55,6 +55,23 @@ final case class GraftSettings(
       * automatically on equality predicates, no engine-side pruning code
       * and nothing added to the commit log. */
     bloomFilterColumns: Seq[String] = Seq.empty,
+    /** Broadcast a batch/probe frame into a join against a PERSISTED
+      * index store (NearDupIndex / BlockDedupIndex / AnnIndex candidate
+      * sets) only when its estimated size is at or below this (bytes).
+      * Under the threshold the stored side streams through a broadcast
+      * join — a scan with ZERO stored-side shuffle; above it the join
+      * degrades to a shuffle (AQE picks the strategy) instead of OOMing
+      * the driver on an oversized ingest batch. */
+    probeBroadcastThresholdBytes: Long = 64L * 1024 * 1024,
+    /** How multi-consumer intermediate frames are materialized inside
+      * operators (the barrier that stops a shared subplan re-running per
+      * consumer — see [[graft.ext.Parallelism.materialize]]):
+      * `localCheckpoint` (default) stores blocks on executors with no
+      * lineage — fastest, but an executor loss mid-job kills the query;
+      * `persist` uses MEMORY_AND_DISK with lineage, ~2x materialization
+      * cost but recomputable, for cluster runs that must survive executor
+      * loss within a job. */
+    barrierMode: String = "localCheckpoint",
     /** Record row-level change data (Delta CDF-style) for DML commits —
       * upsert/delete/update write their insert/update_preimage/
       * update_postimage/delete rows under `_graft_changes/` so
@@ -115,6 +132,8 @@ object GraftSettings {
         case "vacuum_retention_hours"            => s.copy(vacuumRetentionHours = v.toInt)
         case "curated_buckets"                   => s.copy(curatedBuckets = v.toInt)
         case "upsert_broadcast_threshold_bytes"  => s.copy(upsertBroadcastThresholdBytes = v.toLong)
+        case "probe_broadcast_threshold_bytes"   => s.copy(probeBroadcastThresholdBytes = v.toLong)
+        case "barrier_mode"                      => s.copy(barrierMode = v)
         case "collect_file_stats"                => s.copy(collectFileStats = v.toBoolean)
         case "change_data_feed"                  => s.copy(changeDataFeed = v.toBoolean)
         case "bloom_filter_columns" =>

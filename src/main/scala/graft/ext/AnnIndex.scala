@@ -55,7 +55,7 @@ final class AnnIndex(
     val buckets = Similarity.lshBucketRows(df, idCol, vecCol, nTables, bitsPerTable, portable)
       .select(col("id").as("vec_id"), col("tbl"), col("bucket"))
       .withColumn("tb", tbExpr)
-      .localCheckpoint(true)
+      .transform(Parallelism.materialize(_))
     val vectors = df.select(col(idCol).as("vec_id"), col(vecCol).as("vec"),
       Similarity.quantizedDot(col(vecCol), col(vecCol)).as("sq"))
     // buckets are range-clustered on the composite bucket key so the probe
@@ -87,7 +87,7 @@ final class AnnIndex(
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("neighbor_id"))
       .distinct()
-      .localCheckpoint(true) // feeds the id-set semi-join AND the rescore join
+      .transform(Parallelism.materialize(_)) // feeds the id-set semi-join AND the rescore join
     val probeVecs = probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"),
       Similarity.quantizedDot(col(vecCol), col(vecCol)).as("probe_sq"))
     // candidate ids broadcast into the vectors scan: the stored vectors

@@ -87,11 +87,11 @@ object Bpe {
   /** Train `nMerges` BPE merges. Returns the ordered merge table
     * (left, right, pair_count at selection time). One corpus pass, then
     * vocab-sized iterations; each selection collects a single row. */
-  def trainMerges(docs: DataFrame, textCol: String, nMerges: Int): Seq[(String, String, Long)] = {
+  def trainMerges(docs: DataFrame, textCol: String, nMerges: Int)(implicit settings: graft.conf.GraftSettings = graft.conf.GraftSettings.default): Seq[(String, String, Long)] = {
     require(nMerges >= 0, s"nMerges must be >= 0, got $nMerges")
     var syms = vocab(docs, textCol)
       .select(toSymbols(col("word")).as("symbols"), col("wc"))
-      .localCheckpoint(true) // corpus pass runs once; iterations reuse
+      .transform(Parallelism.materialize(_)) // corpus pass runs once; iterations reuse
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     var i = 0
     while (i < nMerges) {
@@ -105,7 +105,7 @@ object Bpe {
         // narrow per-row fold; eager checkpoint keeps lineage flat across
         // iterations (vocab-sized, cheap)
         syms = syms.select(applyMerge(col("symbols"), l, r).as("symbols"), col("wc"))
-          .localCheckpoint(true)
+          .transform(Parallelism.materialize(_))
         i += 1
       }
     }
@@ -120,14 +120,14 @@ object Bpe {
     * single column, and a production merge table (10k-50k merges) would
     * stack-overflow Catalyst analysis long before execution. */
   def segment(words: DataFrame, wordCol: String, merges: Seq[(String, String)],
-      checkpointEvery: Int = 16): DataFrame = {
+      checkpointEvery: Int = 16)(implicit settings: graft.conf.GraftSettings = graft.conf.GraftSettings.default): DataFrame = {
     require(checkpointEvery >= 1, s"checkpointEvery must be >= 1, got $checkpointEvery")
     merges.grouped(checkpointEvery).foldLeft(
       words.select(col(wordCol).as("word"), toSymbols(col(wordCol)).as("symbols"))) {
       case (df, chunk) =>
         chunk.foldLeft(df) { case (d, (l, r)) =>
           d.withColumn("symbols", applyMerge(col("symbols"), l, r))
-        }.localCheckpoint(true)
+        }.transform(Parallelism.materialize(_))
     }
   }
 }

@@ -152,7 +152,7 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16,
       shingleSize: Int = 3,
-      portable: Boolean = false): DataFrame = {
+      portable: Boolean = false)(implicit settings: graft.conf.GraftSettings = graft.conf.GraftSettings.default): DataFrame = {
     require(numHashes % bands == 0, s"numHashes=$numHashes not divisible by bands=$bands")
     val rowsPerBand = numHashes / bands
     val sigs = minhashSignaturesDf(df, idCol, textCol, numHashes, shingleSize, portable)
@@ -161,7 +161,7 @@ object Dedup {
     // aliases). localCheckpoint over cache: checkpoint blocks free
     // automatically (ContextCleaner) when the frame is unreferenced;
     // CacheManager entries would accumulate
-    val banded = minhashBands(sigs, bands, rowsPerBand, portable).localCheckpoint(true)
+    val banded = minhashBands(sigs, bands, rowsPerBand, portable).transform(Parallelism.materialize(_))
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b,
@@ -216,14 +216,14 @@ object Dedup {
       pairs: DataFrame,
       idA: String = "id_a",
       idB: String = "id_b",
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20)(implicit settings: graft.conf.GraftSettings = graft.conf.GraftSettings.default): DataFrame = {
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct()
-      .localCheckpoint(true)
+      .transform(Parallelism.materialize(_))
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
-      .localCheckpoint(true)
+      .transform(Parallelism.materialize(_))
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -238,7 +238,7 @@ object Dedup {
         .select(col("id"),
           least(col("component"), coalesce(col("min_nc"), col("component"))).as("component"),
           (coalesce(col("min_nc"), col("component")) < col("component")).as("__changed"))
-        .localCheckpoint(true)
+        .transform(Parallelism.materialize(_))
       converged = updated.filter(col("__changed")).isEmpty
       labels = updated.drop("__changed")
       i += 1
@@ -336,7 +336,7 @@ object Dedup {
       idCol: String,
       textCol: String,
       n: Int = 5,
-      portable: Boolean = false): DataFrame = {
+      portable: Boolean = false)(implicit settings: graft.conf.GraftSettings = graft.conf.GraftSettings.default): DataFrame = {
     require(n >= 2, s"n-gram size must be >= 2, got $n")
     def hashOf(c: Column): Column =
       if (portable) TextAnalysis.portableHash60(c) else xxhash64(c)
@@ -354,7 +354,7 @@ object Dedup {
         posexplode(transform(
           sequence(lit(1), size(col("__w")) - (n - 1)),
           i => hashOf(concat_ws(" ", slice(col("__w"), i, lit(n)))))).as(Seq("__pos", "__h")))
-      .localCheckpoint(true)
+      .transform(Parallelism.materialize(_))
     val dupHashes = ng.select(col("__h"), col("__id")).distinct()
       .groupBy(col("__h")).agg(count(lit(1)).as("__nd"))
       .filter(col("__nd") >= 2).select(col("__h"))
@@ -451,7 +451,7 @@ object Dedup {
       idCol: String,
       textCol: String,
       maxHamming: Int = 3,
-      portable: Boolean = false): DataFrame = {
+      portable: Boolean = false)(implicit settings: graft.conf.GraftSettings = graft.conf.GraftSettings.default): DataFrame = {
     val nBits = simhashBits(portable)
     val bands = if (portable) 6 else 8
     val width = nBits / bands
@@ -465,7 +465,7 @@ object Dedup {
       .withColumn("band_key",
         call_function("shiftright", col("sim"), col("band") * width)
           .bitwiseAND(lit((1L << width) - 1)))
-      .localCheckpoint(true)
+      .transform(Parallelism.materialize(_))
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b,
@@ -562,9 +562,9 @@ object Dedup {
       idCol: String,
       textCol: String,
       blockWords: Int = 32,
-      portable: Boolean = false): DataFrame = {
+      portable: Boolean = false)(implicit settings: graft.conf.GraftSettings = graft.conf.GraftSettings.default): DataFrame = {
     val blocks = blockRows(df, idCol, textCol, blockWords, portable)
-      .localCheckpoint(true) // feeds the vote AND the reconstruction join
+      .transform(Parallelism.materialize(_)) // feeds the vote AND the reconstruction join
     val winners = blockWinners(blocks)
     val flagged = blocks.join(winners, Seq("__h"))
       .withColumn("__keep", col("__id") === col("__wid") && col("__pos") === col("__wpos"))

@@ -11,12 +11,25 @@ import org.apache.spark.sql.functions._
   *
   * Layout: two [[GraftTable]]s under `path` —
   * `bands` (doc_id, band, band_key) and `sigs` (doc_id, sig array<long>).
-  * Ingesting a batch (a) minhashes only the batch, (b) joins the batch's
-  * band rows against the stored band rows on (band, band_key) — at scale
-  * the stored side is bucketed by band_key, so this is a co-located join
-  * of the batch against only the matching buckets, never a corpus scan —
-  * (c) confirms candidates with the signature estimate, (d) appends the
-  * batch's bands+sigs. The corpus is hashed exactly once, ever.
+  * Ingesting a batch (a) minhashes only the batch, (b) probes the
+  * stored band rows with the batch's bands on (band, band_key) — the
+  * batch side broadcasts (gated by
+  * `settings.probeBroadcastThresholdBytes`), so the stored side is ONE
+  * SCAN with zero shuffle, never a re-shuffled corpus. File pruning
+  * cannot bite here (probe band keys are hash-uniform, so every file may
+  * hold one — the win is scan-not-shuffle, not skipped files). Then
+  * (c) candidates are confirmed with the signature estimate, joining only
+  * the CANDIDATE ids' signatures (candidate ids broadcast-semi-join into
+  * the stored sigs scan — again no stored-side shuffle), (d) the batch's
+  * bands+sigs append. The corpus is hashed exactly once, ever.
+  *
+  * `storeBuckets > 0` opts the bands store into a hash-bucketed layout
+  * on band_key (stable per-bucket files across batches) — useful when an
+  * external partitioning-aware reader or per-bucket maintenance consumes
+  * the store. It does NOT change this class's probe plan (broadcast
+  * probes already stream the store), so the default keeps appends flat
+  * rather than paying a routing shuffle + per-bucket small files on
+  * every batch.
   *
   * Scale notes: shuffle volume per batch is O(batch bands + matched
   * candidates); signatures join back only for candidate ids; the band
@@ -30,12 +43,17 @@ final class NearDupIndex(
     bands: Int = 8,
     shingleSize: Int = 3,
     threshold: Double = 0.5,
-    portable: Boolean = false)(implicit settings: GraftSettings = GraftSettings.default) {
+    portable: Boolean = false,
+    storeBuckets: Int = 0)(implicit settings: GraftSettings = GraftSettings.default) {
   require(numHashes % bands == 0, s"numHashes=$numHashes not divisible by bands=$bands")
   private val rowsPerBand = numHashes / bands
 
   private[ext] val bandsTable = GraftTable(spark, s"$path/bands")
   private[ext] val sigsTable = GraftTable(spark, s"$path/sigs")
+  // bucket the stored bands by band_key before the first write; an index
+  // created by an older (unbucketed) version keeps its flat layout
+  if (storeBuckets > 0 && !bandsTable.exists && bandsTable.bucketSpec.isEmpty)
+    bandsTable.setBucketSpec(Seq("band_key"), storeBuckets)
 
   def indexedCount: Long = if (sigsTable.exists) sigsTable.read().count() else 0L
 
@@ -47,15 +65,14 @@ final class NearDupIndex(
   def detectAndAdd(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     // materialize both derived frames: sigs feeds the band derivation,
     // the candidate-confirm joins AND the sigs append; newBands feeds
-    // BOTH sides of the intra-batch self-join, the vs-index join and the
+    // BOTH sides of the intra-batch self-join, the vs-index probe and the
     // bands append — unmaterialized, the md5 signature pipeline (the
     // expensive part) re-runs for every consumer (measured 7s -> bench
     // profile on d26; same lesson as the e04/d07 plan audit)
-    val sigs = Dedup.minhashSignaturesDf(
-        docs, idCol, textCol, numHashes, shingleSize, portable)
-      .localCheckpoint(true)
-    val newBands = Dedup.minhashBands(sigs, bands, rowsPerBand, portable)
-      .localCheckpoint(true)
+    val sigs = Parallelism.materialize(Dedup.minhashSignaturesDf(
+      docs, idCol, textCol, numHashes, shingleSize, portable))
+    val newBands = Parallelism.materialize(
+      Dedup.minhashBands(sigs, bands, rowsPerBand, portable))
 
     // candidates within the batch itself (earlier id wins the "matched" slot)
     val intra = newBands.as("a")
@@ -64,11 +81,15 @@ final class NearDupIndex(
           col("a.id") > col("b.id"))
       .select(col("a.id").as("id_new"), col("b.id").as("id_matched"))
 
-    // candidates vs the already-indexed corpus
+    // candidates vs the already-indexed corpus: the batch's bands broadcast
+    // into the stored scan — the store streams, nothing re-shuffles
     val vsIndex =
       if (!bandsTable.exists) intra.limit(0) // first batch: same-typed empty frame
-      else newBands.select(col("id").as("id_new"), col("band"), col("band_key"))
-        .join(bandsTable.read().select(col("doc_id").as("id_matched"), col("band"), col("band_key")),
+      else bandsTable.read()
+        .select(col("doc_id").as("id_matched"), col("band"), col("band_key"))
+        .join(Parallelism.maybeBroadcast(
+            newBands.select(col("id").as("id_new"), col("band"), col("band_key")),
+            settings.probeBroadcastThresholdBytes),
           Seq("band", "band_key"))
         .select("id_new", "id_matched")
 
@@ -77,18 +98,28 @@ final class NearDupIndex(
         sigs.select(col("id").as("doc_id"), col("sig")).unionByName(sigsTable.read())
       else sigs.select(col("id").as("doc_id"), col("sig"))
 
-    val pairs = vsIndex.unionByName(intra).distinct()
-      .join(allSigs.select(col("doc_id").as("id_new"), col("sig").as("sig_new")), Seq("id_new"))
-      .join(allSigs.select(col("doc_id").as("id_matched"), col("sig").as("sig_old")), Seq("id_matched"))
+    // candidate pairs once (bounded: matched bands only), then attach
+    // signatures for ONLY the candidate ids — the id set broadcast-semi-
+    // joins into the stored sigs scan, so the 100 TB sig store is never
+    // shuffled for a batch-sized probe
+    val cand = Parallelism.materialize(vsIndex.unionByName(intra).distinct())
+    val neededIds = cand.select(col("id_new").as("doc_id"))
+      .unionByName(cand.select(col("id_matched").as("doc_id"))).distinct()
+    val candSigs = Parallelism.materialize(
+      allSigs.join(
+        Parallelism.maybeBroadcast(neededIds, settings.probeBroadcastThresholdBytes),
+        Seq("doc_id"), "left_semi"))
+
+    val pairs = cand
+      .join(candSigs.select(col("doc_id").as("id_new"), col("sig").as("sig_new")), Seq("id_new"))
+      .join(candSigs.select(col("doc_id").as("id_matched"), col("sig").as("sig_old")), Seq("id_matched"))
       .withColumn("est_jaccard", Dedup.estimatedJaccard(col("sig_new"), col("sig_old")))
       .filter(col("est_jaccard") >= threshold)
       .select("id_new", "id_matched", "est_jaccard")
 
     // materialize results BEFORE mutating the index, so the returned frame
     // doesn't observe the batch's own rows as "already indexed"
-    // (localCheckpoint, not cache: checkpoint blocks are released by the
-    // ContextCleaner once unreferenced; CacheManager entries leak)
-    val out = pairs.localCheckpoint(true)
+    val out = Parallelism.materialize(pairs)
     bandsTable.append(newBands.select(col("id").as("doc_id"), col("band"), col("band_key")))
     sigsTable.append(sigs.select(col("id").as("doc_id"), col("sig")))
     out

@@ -13,18 +13,18 @@ import org.apache.spark.sql.DataFrame
   * files, so the repartition is a cheap no-op there (guarded below);
   * locally it spreads the narrow pre-explode rows across all cores.
   *
-  * CLUSTER FAULT-TOLERANCE NOTE — `localCheckpoint(true)`. Operators in
-  * this package materialize multi-consumer frames with eager
-  * `localCheckpoint` (tokenize-once, band-rows-once, etc. — each site
-  * comments why). Local checkpoints store blocks on EXECUTORS with no
-  * lineage fallback: on a real cluster, losing an executor mid-job kills
-  * the query instead of recomputing, unlike `cache()` (recompute) or
-  * reliable `checkpoint()` (HDFS-backed, slower). That trade is right for
-  * batch-with-retry pipelines (the driver rereuns the job; blocks are
-  * ContextCleaner-freed with the frame), but jobs that must survive
-  * executor loss WITHIN a run should swap these barriers for
-  * `persist(MEMORY_AND_DISK)` + an action, or reliable checkpoints, at
-  * ~2x the materialization cost. */
+  * CLUSTER FAULT-TOLERANCE NOTE — barriers. Operators in this package
+  * materialize multi-consumer frames through [[materialize]]
+  * (tokenize-once, band-rows-once, etc. — each site comments why),
+  * switched by `settings.barrierMode`. The default (`localCheckpoint`)
+  * stores blocks on EXECUTORS with no lineage fallback: on a real
+  * cluster, losing an executor mid-job kills the query instead of
+  * recomputing, unlike `cache()` (recompute) or reliable `checkpoint()`
+  * (HDFS-backed, slower). That trade is right for batch-with-retry
+  * pipelines (the driver reruns the job; blocks are ContextCleaner-freed
+  * with the frame); jobs that must survive executor loss WITHIN a run
+  * set `barrierMode = persist` (MEMORY_AND_DISK + lineage, ~2x the
+  * materialization cost) — a settings flip, no code edits. */
 private[graft] object Parallelism {
 
   /** Repartition `df` to the session's default parallelism when its scan
@@ -43,4 +43,32 @@ private[graft] object Parallelism {
     val files = df.inputFiles.length
     if (files > 0 && files * 2 < target) df.repartition(target) else df
   }
+
+  /** Broadcast-hint `df` only when its optimizer size estimate fits
+    * `thresholdBytes` — the probe side of an index join is usually a small
+    * batch (broadcast = stored side never shuffles), but a bulk backfill
+    * above the threshold degrades to a shuffle join (AQE picks) instead
+    * of OOMing the driver. Same gate as GraftTable.updateKeysPlan. */
+  def maybeBroadcast(df: DataFrame, thresholdBytes: Long): DataFrame = {
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est <= BigInt(thresholdBytes)) org.apache.spark.sql.functions.broadcast(df) else df
+  }
+
+  /** Eagerly materialize a multi-consumer frame per
+    * `settings.barrierMode` (see the class note above for the trade):
+    * `localCheckpoint` — executor blocks, no lineage, fastest;
+    * `persist` — MEMORY_AND_DISK with lineage, survives executor loss,
+    * ~2x the materialization cost (the returned frame stays registered
+    * with the CacheManager for the session's lifetime). */
+  def materialize(df: DataFrame)(implicit settings: graft.conf.GraftSettings): DataFrame =
+    settings.barrierMode match {
+      case "localCheckpoint" => df.localCheckpoint(true)
+      case "persist" =>
+        val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        p.count() // eager, like localCheckpoint(true): a barrier, not a hint
+        p
+      case other =>
+        throw new IllegalArgumentException(
+          s"unknown barrierMode '$other' (expected localCheckpoint | persist)")
+    }
 }

@@ -416,13 +416,13 @@ object Similarity {
     * wider than k·dims ever sits on the driver, and no iteration shuffles
     * an embedding. */
   def kmeansAssignments(df: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int): DataFrame = {
+      k: Int, iters: Int)(implicit settings: graft.conf.GraftSettings = graft.conf.GraftSettings.default): DataFrame = {
     require(k > 0 && iters >= 0, "k must be positive, iters non-negative")
     val ex = Parallelism.widen(df)
       .select(col(idCol).as("id"), posexplode(col(vecCol)).as(Seq("i", "xr")))
       .select(col("id"), col("i"), col("xr").cast("double").as("x"),
         floor(col("xr").cast("double") * lit(1e6)).cast("long").as("micro"))
-      .localCheckpoint(true)
+      .transform(Parallelism.materialize(_))
     var cent: DataFrame = df
       .select(col(idCol).as("cid"), col(vecCol).as("cv"))
       .orderBy(md5(col("cid").cast("string")), col("cid"))
@@ -452,7 +452,7 @@ object Similarity {
         .select(col("cluster"), col("i"),
           (floor((col("s") * 2 + col("n")).cast("double") / (col("n") * 2).cast("double"))
             .cast("double") / lit(1e6)).as("c"))
-        .localCheckpoint(true) // truncate per-iteration lineage
+        .transform(Parallelism.materialize(_)) // truncate per-iteration lineage
     }
     assign(cent)
   }
@@ -473,12 +473,12 @@ object Similarity {
     * nothing wider than k·dims on the driver; similarity is the
     * quantized-integer cosine, so results are engine-portable. */
   def semDedup(df: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int, threshold: Double): DataFrame = {
+      k: Int, iters: Int, threshold: Double)(implicit settings: graft.conf.GraftSettings = graft.conf.GraftSettings.default): DataFrame = {
     val withVec = kmeansAssignments(df, idCol, vecCol, k, iters)
       .select(col("id"), col("cluster"))
       .join(df.select(col(idCol).as("id"), col(vecCol).as("__v")), "id")
       .withColumn("__q", quantizedDot(col("__v"), col("__v")))
-      .localCheckpoint(true) // feeds BOTH sides of the pair join + output
+      .transform(Parallelism.materialize(_)) // feeds BOTH sides of the pair join + output
     val a = withVec.select(col("cluster"), col("id").as("__ida"),
       col("__v").as("__va"), col("__q").as("__qa"))
     val b = withVec.select(col("cluster"), col("id").as("__idb"),
@@ -521,7 +521,7 @@ object Similarity {
     * embeddings. */
   def pqTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
       vecCol: String, k: Int, m: Int = 4, codebookSize: Int = 16,
-      iters: Int = 0): DataFrame = {
+      iters: Int = 0)(implicit settings: graft.conf.GraftSettings = graft.conf.GraftSettings.default): DataFrame = {
     require(m > 0 && codebookSize > 0 && iters >= 0,
       "m and codebookSize must be positive, iters non-negative")
     // ragged vectors would silently drop dimensions from the (i, s)
@@ -545,7 +545,7 @@ object Similarity {
     // single consumer makes an eager corpus-wide checkpoint pure cost
     val exCorpus0 = exploded(corpus)
       .withColumn("micro", floor(col("x") * lit(1e6)).cast("long"))
-    val exCorpus = if (iters > 0) exCorpus0.localCheckpoint(true) else exCorpus0
+    val exCorpus = if (iters > 0) exCorpus0.transform(Parallelism.materialize(_)) else exCorpus0
     var cent: DataFrame = corpus
       .select(col(idCol).as("cid"), col(vecCol).as("cv"))
       .orderBy(md5(col("cid").cast("string")), col("cid"))
@@ -556,7 +556,7 @@ object Similarity {
         col("cxr").cast("double").as("cx"))
       // k·dims rows; unmaterialized, every consuming job re-runs the
       // corpus-wide md5 top-k that derives it
-      .localCheckpoint(true)
+      .transform(Parallelism.materialize(_))
     // per-(row, subspace, centroid) quantized subdistance
     def subDists(ex: DataFrame, cb: DataFrame): DataFrame = ex
       .join(broadcast(cb), Seq("i", "s"))
@@ -578,7 +578,7 @@ object Similarity {
         .select(col("code").as("c"), col("i"), col("s"),
           (floor((col("__msum") * 2 + col("__n")).cast("double") / (col("__n") * 2).cast("double"))
             .cast("double") / lit(1e6)).as("cx"))
-        .localCheckpoint(true) // truncate per-iteration lineage
+        .transform(Parallelism.materialize(_)) // truncate per-iteration lineage
     }
     val codes = assign(cent)
     def probeDists(df: DataFrame): DataFrame = subDists(exploded(df), cent)
@@ -662,11 +662,11 @@ object Similarity {
       threshold: Double,
       nTables: Int = 8,
       bitsPerTable: Int = 4,
-      portable: Boolean = false): DataFrame = {
+      portable: Boolean = false)(implicit settings: graft.conf.GraftSettings = graft.conf.GraftSettings.default): DataFrame = {
     val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
     // materialize (see Dedup.minhashCandidatePairs): the self-join would
     // evaluate the bucket pipeline twice
-    val banded = lshBucketRows(df, idCol, vecCol, nTables, bitsPerTable, portable).localCheckpoint(true)
+    val banded = lshBucketRows(df, idCol, vecCol, nTables, bitsPerTable, portable).transform(Parallelism.materialize(_))
     val pairs = banded.as("a")
       .join(banded.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
@@ -740,7 +740,7 @@ object Similarity {
       vecCol: String,
       k: Int = 3,
       poolSize: Int = 10,
-      lambdaPpm: Long = 700000L): DataFrame = {
+      lambdaPpm: Long = 700000L)(implicit settings: graft.conf.GraftSettings = graft.conf.GraftSettings.default): DataFrame = {
     require(k >= 1 && poolSize >= k, s"need poolSize >= k >= 1, got k=$k pool=$poolSize")
     require(lambdaPpm >= 0 && lambdaPpm <= 1000000L, s"lambdaPpm out of range: $lambdaPpm")
     val lam = lit(lambdaPpm) / lit(1000000.0)
@@ -748,7 +748,7 @@ object Similarity {
     val pool = bruteForceTopK(corpus, probes, idCol, vecCol, poolSize,
         deterministic = true)
       .select(col("probe_id"), col("neighbor_id"), col("sim"))
-      .localCheckpoint(true) // feeds pair sims + every selection step
+      .transform(Parallelism.materialize(_)) // feeds pair sims + every selection step
     // pairwise sims inside each probe's pool only (poolSize^2 bounded).
     // Norms are computed AFTER a semi-join down to the pool ids — probing
     // them on the raw corpus would rescan and re-norm every corpus row
@@ -757,7 +757,7 @@ object Similarity {
       .join(pool.select(col("neighbor_id").as("__vid")).distinct(), Seq("__vid"), "left_semi")
       .select(col("__vid"), col("__v"),
         quantizedDot(col("__v"), col("__v")).as("__q"))
-      .localCheckpoint(true) // <= probes*poolSize rows; joined twice below
+      .transform(Parallelism.materialize(_)) // <= probes*poolSize rows; joined twice below
     val pairs = pool.select(col("probe_id"), col("neighbor_id").as("__a"))
       .join(pool.select(col("probe_id"), col("neighbor_id").as("__b")), Seq("probe_id"))
       .filter(col("__a") =!= col("__b"))
@@ -766,7 +766,7 @@ object Similarity {
       .select(col("probe_id"), col("__a"), col("__b"),
         (quantizedDot(col("__va"), col("__vb")).cast("double") /
           sqrt(col("__qa").cast("double") * col("__qb").cast("double"))).as("__ps"))
-      .localCheckpoint(true)
+      .transform(Parallelism.materialize(_))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("score").desc, col("neighbor_id"))
     var selected = pool
@@ -789,7 +789,7 @@ object Similarity {
         .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1)
         .select(col("probe_id"), col("neighbor_id"), lit(t).as("step"), col("score"))
-      all = all.unionByName(selected).localCheckpoint(true)
+      all = all.unionByName(selected).transform(Parallelism.materialize(_))
       t += 1
     }
     all
@@ -858,14 +858,14 @@ object Similarity {
       idCol: String,
       vecCol: String,
       labelCol: String,
-      tailPpm: Long = 50000L): DataFrame = {
+      tailPpm: Long = 50000L)(implicit settings: graft.conf.GraftSettings = graft.conf.GraftSettings.default): DataFrame = {
     require(tailPpm >= 0 && tailPpm <= 1000000L, s"tailPpm out of range: $tailPpm")
     val OFF = 1L << 24 // covers |component| <= 16.7 after micro quantization
     val ex = Parallelism.widen(df)
       .select(col(idCol).as("__id"), col(labelCol).as("__lbl"),
         posexplode(transform(col(vecCol),
           x => floor(x.cast("double") * lit(1e6)).cast("long"))).as(Seq("__i", "__x")))
-      .localCheckpoint(true) // feeds the centroid agg AND the distance join
+      .transform(Parallelism.materialize(_)) // feeds the centroid agg AND the distance join
     val cent = ex.groupBy(col("__lbl"), col("__i"))
       .agg(sum(col("__x") + lit(OFF)).as("__s"), count(lit(1)).as("__n"))
       .select(col("__lbl"), col("__i"),

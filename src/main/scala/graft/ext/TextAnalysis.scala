@@ -201,14 +201,14 @@ object TextAnalysis {
     * and histogram on. Round-tripping the public double through `* 1e6 →
     * long` is NOT equivalent: the product can land one ulp below the
     * integer and truncate wrong. */
-  def unigramNllMicro(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def unigramNllMicro(df: DataFrame, idCol: String, textCol: String)(implicit settings: graft.conf.GraftSettings = graft.conf.GraftSettings.default): DataFrame = {
     // materialized once: the frame feeds BOTH the frequency aggregate and
     // the join probe side, whose shuffles differ — without the barrier the
     // full corpus tokenization (normalize regex + explode) runs twice
     val tok = Parallelism.widen(df)
       .select(col(idCol), explode(split(normalize(col(textCol)), " ")).as("token"))
       .filter(length(col("token")) > 0)
-      .localCheckpoint(true)
+      .transform(Parallelism.materialize(_))
     val freq = tok.groupBy("token").agg(count(lit(1)).as("__tok_n"))
     val total = freq.agg(sum(col("__tok_n")).as("__corpus_n"))
     tok.join(freq, "token")
@@ -241,13 +241,13 @@ object TextAnalysis {
     * slot is fine). Ratios via [[graft.operators.QueryDsl.ratio6]] exact
     * integer rounding — engine-portable by construction. Docs with < 2
     * tokens carry null bigram metrics. */
-  def repetitionMetrics(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def repetitionMetrics(df: DataFrame, idCol: String, textCol: String)(implicit settings: graft.conf.GraftSettings = graft.conf.GraftSettings.default): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.operators.QueryDsl.ratio6
     val tok = Parallelism.widen(df)
       .select(col(idCol), posexplode(split(normalize(col(textCol)), " ")).as(Seq("__pos", "__tok")))
       .filter(length(col("__tok")) > 0)
-      .localCheckpoint(true)
+      .transform(Parallelism.materialize(_))
     val uni = tok.groupBy(col(idCol), col("__tok")).agg(count(lit(1)).as("__c"))
       .groupBy(col(idCol))
       .agg(sum(col("__c")).as("n_tokens"), count(lit(1)).as("__nd"), max(col("__c")).as("__top"))
@@ -285,14 +285,14 @@ object TextAnalysis {
     * corpora), not the corpus; the running-sum window over it is a
     * deliberately small single-partition step, and the two thresholds
     * broadcast back into a codegen'd integer filter. */
-  def unigramNllBand(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def unigramNllBand(df: DataFrame, idCol: String, textCol: String)(implicit settings: graft.conf.GraftSettings = graft.conf.GraftSettings.default): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // band selection runs on the INTEGER micro-nats — never the public
     // double, whose * 1e6 round-trip can truncate one off (see
     // unigramNllMicro)
     val scored = unigramNllMicro(df, idCol, textCol)
       .withColumn("__micro", col("__nll_micro"))
-      .localCheckpoint(true) // feeds the histogram AND the final filter
+      .transform(Parallelism.materialize(_)) // feeds the histogram AND the final filter
     val hist = scored.groupBy(col("__micro")).agg(count(lit(1)).as("__c"))
     val cum = hist.withColumn("__cum",
       sum(col("__c")).over(Window.orderBy(col("__micro"))
@@ -321,9 +321,9 @@ object TextAnalysis {
     * checkpoint blocks are ContextCleaner-freed with the frame. */
   def qualityFiltered(df: DataFrame, textCol: String,
       minScore: Double, minTokens: Int, maxTokens: Int,
-      maxDigitRatio: Double): DataFrame =
+      maxDigitRatio: Double)(implicit settings: graft.conf.GraftSettings = graft.conf.GraftSettings.default): DataFrame =
     withTextMetrics(Parallelism.widen(df), textCol)
-      .localCheckpoint(true)
+      .transform(Parallelism.materialize(_))
       .filter(col("quality_score") >= minScore &&
         col("n_tokens").between(minTokens, maxTokens) &&
         col("digit_ratio") < maxDigitRatio)
@@ -370,14 +370,14 @@ object TextAnalysis {
     * never a global sort). The token-keyed join is a shuffle join, not a
     * broadcast: the vocabulary at corpus scale is itself huge. */
   def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
-      topK: Int = 3): DataFrame = {
+      topK: Int = 3)(implicit settings: graft.conf.GraftSettings = graft.conf.GraftSettings.default): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(topK > 0, "topK must be positive")
     val tf = Parallelism.widen(df)
       .select(col(idCol), explode(split(normalize(col(textCol)), " ")).as("token"))
       .filter(length(col("token")) > 0)
       .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true) // feeds BOTH the df aggregate and the join
+      .transform(Parallelism.materialize(_)) // feeds BOTH the df aggregate and the join
     val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("__df"))
     val total = df.agg(count(lit(1)).as("__n_docs"))
     val w = Window.partitionBy(col(idCol))
@@ -412,7 +412,7 @@ object TextAnalysis {
     * bucket pass with a codegen'd filter, and only the boundary bucket
     * (≈ n_g/65536 rows) is rank-windowed. */
   def mixtureSample(df: DataFrame, idCol: String, stratCol: String,
-      weightsPpm: Map[String, Long]): DataFrame = {
+      weightsPpm: Map[String, Long])(implicit settings: graft.conf.GraftSettings = graft.conf.GraftSettings.default): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(weightsPpm.nonEmpty && weightsPpm.values.forall(_ > 0),
       "weightsPpm must be non-empty with positive weights")
@@ -425,7 +425,7 @@ object TextAnalysis {
         portableHash60(concat_ws(":", lit("mix"), col(idCol).cast("string"))).as("__h"))
       // top 16 of the 60 hash bits: (bucket, h) order == h order
       .withColumn("__bkt", expr("__h DIV 17592186044416"))
-      .localCheckpoint(true) // feeds counts, histogram, and final filter
+      .transform(Parallelism.materialize(_)) // feeds counts, histogram, and final filter
     val counts = hashed.groupBy(col(stratCol), col("__w"))
       .agg(count(lit(1)).as("__n"))
     // a WEIGHTED stratum with zero rows would silently vanish from the

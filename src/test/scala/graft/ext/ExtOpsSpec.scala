@@ -132,6 +132,108 @@ class ExtOpsSpec extends SparkSpecBase {
     graft.lake.FsUtils.deletePath(spark, s"file://$tmp")
   }
 
+  test("BlockDedupIndex: ingestToken makes at-least-once replays idempotent") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bdi-replay-").toString
+    implicit val st: graft.conf.GraftSettings =
+      graft.conf.GraftSettings.default.copy(collectFileStats = false)
+    val idx = new BlockDedupIndex(spark, s"file://$tmp", blockWords = 4, portable = true)
+    val b1 = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")
+    val first = idx.detectAndAdd(b1, "doc_id", "text", ingestToken = Some("t1"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    assert(first(1L) === ((2L, 8L)))
+    val countAfterFirst = idx.indexedCount
+    // replay of the SAME token (foreachBatch crash-retry): identical stats,
+    // not the kept=0 corruption of probing a store holding our own hashes
+    val replay = idx.detectAndAdd(b1, "doc_id", "text", ingestToken = Some("t1"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    assert(replay === first, s"replayed stats must equal the original: $replay vs $first")
+    assert(idx.indexedCount === countAfterFirst, "replay must not grow the index")
+    // a LATER batch lands normally...
+    val b2 = Seq((2L, "a b c d x y z w")).toDF("doc_id", "text")
+    val second = idx.detectAndAdd(b2, "doc_id", "text", ingestToken = Some("t2"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    assert(second(2L) === ((1L, 4L)))
+    // ...and a replay of the FIRST token after it still time-travels to the
+    // pre-t1 snapshot, returning the original result
+    val lateReplay = idx.detectAndAdd(b1, "doc_id", "text", ingestToken = Some("t1"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    assert(lateReplay === first)
+    graft.lake.FsUtils.deletePath(spark, s"file://$tmp")
+  }
+
+  test("index stores are hash-bucketed; probe joins scan the store with no Exchange") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-idx-bucketed-").toString
+    // NearDupIndex: bands bucketed on band_key at creation (opt-in layout)
+    val ndi = new NearDupIndex(spark, s"$dir/ndi", storeBuckets = 32)
+    ndi.detectAndAdd(Seq((1L, "the quick brown fox jumps over the lazy dog in the field"))
+      .toDF("doc_id", "text"), "doc_id", "text")
+    ndi.detectAndAdd(Seq((2L, "a second batch with completely different words about spark shuffles"))
+      .toDF("doc_id", "text"), "doc_id", "text")
+    assert(ndi.bandsTable.bucketSpec.exists(_.keys == Seq("band_key")))
+    assert(ndi.bandsTable.liveFiles().nonEmpty &&
+      ndi.bandsTable.liveFiles().forall(_.matches("^b\\d+-.*")),
+      s"band files must carry bucket ids: ${ndi.bandsTable.liveFiles().take(3)}")
+    // BlockDedupIndex: blocks bucketed on h at creation (opt-in layout)
+    val bdi = new BlockDedupIndex(spark, s"$dir/bdi", blockWords = 4, storeBuckets = 32)
+    bdi.detectAndAdd(Seq((1L, "a b c d e f g h")).toDF("doc_id", "text"), "doc_id", "text")
+    bdi.detectAndAdd(Seq((2L, "a b c d p q r s")).toDF("doc_id", "text"), "doc_id", "text")
+    assert(bdi.blocksTable.bucketSpec.exists(_.keys == Seq("h")))
+    assert(bdi.blocksTable.liveFiles().forall(_.matches("^b\\d+-.*")))
+    // plan audit: the probe join shape over the stored side is a broadcast
+    // join — the store streams (scan), it is never re-shuffled
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val batch = Seq((3L, "a third batch of text to probe with today"))
+        .toDF("doc_id", "text")
+      val sigs = Dedup.minhashSignaturesDf(batch, "doc_id", "text", 32, 3, portable = false)
+      val newBands = Dedup.minhashBands(sigs, 8, 4, portable = false).localCheckpoint(true)
+      val probe = ndi.bandsTable.read()
+        .select(col("doc_id").as("id_matched"), col("band"), col("band_key"))
+        .join(broadcast(newBands.select(col("id").as("id_new"), col("band"), col("band_key"))),
+          Seq("band", "band_key"))
+      val p = probe.queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastHashJoin"), s"probe must broadcast:\n$p")
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"stored side must not re-shuffle:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    graft.lake.FsUtils.deletePath(spark, s"file://$dir")
+  }
+
+  test("settings.barrierMode: persist barriers replace localCheckpoint, same results") {
+    val df = spark.range(100).toDF("x")
+    // default: lineage-free executor blocks, not registered with the cache
+    val ck = Parallelism.materialize(df)(graft.conf.GraftSettings.default)
+    assert(ck.storageLevel === org.apache.spark.storage.StorageLevel.NONE)
+    assert(ck.count() === 100)
+    // persist: recompute-capable barrier for cluster fault tolerance
+    val persistSettings = graft.conf.GraftSettings.default.copy(barrierMode = "persist")
+    val p = Parallelism.materialize(df)(persistSettings)
+    assert(p.storageLevel === org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assert(p.count() === 100)
+    p.unpersist()
+    intercept[IllegalArgumentException] {
+      Parallelism.materialize(df)(graft.conf.GraftSettings.default.copy(barrierMode = "nope"))
+    }
+    // end-to-end: an index ingest under persist barriers returns the same
+    // stats as under the default mode
+    val tmp = java.nio.file.Files.createTempDirectory("graft-barrier-").toString
+    val b = Seq((1L, "a b c d e f g h"), (2L, "a b c d x y z w")).toDF("doc_id", "text")
+    val viaPersist = {
+      implicit val st: graft.conf.GraftSettings = persistSettings
+      new BlockDedupIndex(spark, s"file://$tmp/p", blockWords = 4)
+        .detectAndAdd(b, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    }
+    val viaCheckpoint = {
+      new BlockDedupIndex(spark, s"file://$tmp/c", blockWords = 4)
+        .detectAndAdd(b, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    }
+    assert(viaPersist === viaCheckpoint)
+    graft.lake.FsUtils.deletePath(spark, s"file://$tmp")
+  }
+
   test("blockDedup: later copies drop, first occurrence survives, md5 reconstructs") {
     val df = Seq(
       (10L, "a b c d e f g h i j"),  // blocks (4w): [a b c d][e f g h][i j]

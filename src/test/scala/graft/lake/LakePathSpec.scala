@@ -30,11 +30,15 @@ class LakePathSpec extends AnyFunSuite {
       """raw_bucket = my-raw
         |compact_target_bytes = 1048576
         |collect_file_stats = false
+        |barrier_mode = persist
+        |probe_broadcast_threshold_bytes = 1024
         |""".stripMargin)
     val s = GraftSettings.fromProperties(f.toString)
     assert(s.rawBucket === "my-raw")
     assert(s.compactTargetBytes === 1048576L)
     assert(!s.collectFileStats)
+    assert(s.barrierMode === "persist")
+    assert(s.probeBroadcastThresholdBytes === 1024L)
     assert(s.stagedBucket === "datalake-staged") // untouched default
     assert(s.vacuumEveryNVersions === 25)
 

@@ -95,8 +95,12 @@ class StreamingCorpusIngestSpec extends SparkSpecBase {
     def ingestBlocks(): Unit = {
       val q = spark.readStream.schema(docSchema).parquet(src2)
         .writeStream
-        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-          val stats = bIdx.detectAndAdd(batch, "doc_id", "text")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          // the batchId is the ingest token: foreachBatch is at-least-once,
+          // and the token makes a replayed batch return its original stats
+          // instead of seeing its own hashes as already-known
+          val stats = bIdx.detectAndAdd(batch, "doc_id", "text",
+            ingestToken = Some(s"blk-$batchId"))
           kept.append(stats.select("doc_id", "kept_blocks", "kept_tokens"))
           ()
         }
