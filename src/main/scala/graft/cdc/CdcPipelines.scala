@@ -336,12 +336,26 @@ object CdcPipelines {
 
     IncrementalRunner.runOnce(spark, staged, checkpoint) { batch =>
       applyCdcBatch(batch, curated, s.curatedBuckets)
-      curated.compactIfNeeded()
+      val compacted = curated.compactIfNeeded()
       // external-reader manifest after every merge (`cdc.py:261-262`)
       if (curated.exists) curated.writeManifest()
-      // history metrics for observability (`cdc.py:220-247`)
+      // history metrics for observability (`cdc.py:220-247`): when the
+      // batch triggered a compaction, the reference appends the last TWO
+      // history rows with numFiles patched — the compaction version
+      // carries the post-compaction file count, the data version the
+      // pre-compaction count (`cdc.py:228-243`); otherwise one row with
+      // the current count (`cdc.py:244-247`)
       val historyTable = GraftTable(spark, LakePath.history(curatedRef))
-      historyTable.append(curated.history().limit(1))
+      val histRows = compacted match {
+        case Some(c) =>
+          val before = c.metrics.getOrElse("numRemovedFiles", "0").toLong
+          val after = c.metrics.getOrElse("numOutputFiles", "0").toLong
+          curated.history().limit(2)
+            .withColumn("numFiles",
+              when(col("version") === c.version, lit(after)).otherwise(lit(before)))
+        case None => curated.history().limit(1)
+      }
+      historyTable.append(histRows)
       // vacuum every Nth version (`cdc.py:264-269`)
       if (curated.version % s.vacuumEveryNVersions == 0) curated.vacuum()
     }

@@ -360,10 +360,24 @@ object Dedup {
       .filter(col("__nd") >= 2).select(col("__h"))
     val dupNg = ng.join(dupHashes, "__h")
     val perDoc = dupNg.groupBy(col("__id")).agg(count(lit(1)).as("dup_ngrams"))
+    // covered tokens by interval merge, NOT by exploding each span to its
+    // n member positions and distinct-ing (an n-fold row amplification
+    // before the dedup shuffle). Each dup n-gram covers [pos, pos+n-1];
+    // with spans sorted by start per doc, a running max of prior span
+    // ends tells how much of the current span is new — summing those
+    // contributions is exactly the merged-interval length. One window
+    // over (id, pos) rows, no amplification. (ng has one row per (id,
+    // pos) by construction, so no same-start ties arise.)
+    val wSpans = Window.partitionBy(col("__id")).orderBy(col("__pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
     val covered = dupNg
-      .select(col("__id"), explode(sequence(col("__pos"), col("__pos") + (n - 1))).as("__p"))
-      .distinct()
-      .groupBy(col("__id")).agg(count(lit(1)).as("covered_tokens"))
+      .select(col("__id"), col("__pos").cast("long").as("__pos"))
+      .withColumn("__end", col("__pos") + (n - 1))
+      .withColumn("__prev_end", max(col("__end")).over(wSpans))
+      .withColumn("__new_from",
+        greatest(col("__pos"), coalesce(col("__prev_end") + 1L, col("__pos"))))
+      .withColumn("__contrib", greatest(lit(0L), col("__end") - col("__new_from") + 1L))
+      .groupBy(col("__id")).agg(sum(col("__contrib")).as("covered_tokens"))
     base
       .join(perDoc.withColumnRenamed("__id", idCol), Seq(idCol), "left")
       .join(covered.withColumnRenamed("__id", idCol), Seq(idCol), "left")

@@ -305,6 +305,35 @@ object Multimodal {
     }
   }
 
+  /** REAL WebM/Matroska demux via the pure-JVM EBML parser
+    * ([[WebmDemux]]): up to `nFrames` evenly-sampled media BLOCKS (codec
+    * payloads — e.g. VP8/VP9 frames, Opus packets) extracted from the
+    * container's cluster tree, exploded to the same output shape as
+    * [[demuxMp4Exploded]] (media_id, sample_idx, sample_bytes,
+    * sample_size) so downstream decode plumbing is container-agnostic.
+    *
+    * Same scale shape as the other demuxers: partition-local
+    * mapPartitions, payloads never shuffled, corrupt/non-EBML payloads
+    * yield zero rows rather than failed tasks. */
+  def demuxWebmExploded(df: DataFrame, nFrames: Int,
+      idCol: String = "media_id", contentCol: String = "content"): DataFrame = {
+    val outSchema = StructType(Seq(
+      df.schema(idCol),
+      StructField("sample_idx", IntegerType, nullable = false),
+      StructField("sample_bytes", BinaryType, nullable = false),
+      StructField("sample_size", LongType, nullable = false)))
+    implicit val enc: Encoder[Row] = Encoders.row(outSchema)
+    df.select(col(idCol), col(contentCol)).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        if (bytes == null) Iterator.empty
+        else WebmDemux.sampleBytes(bytes, nFrames).map { case (si, sample) =>
+          Row(r.get(0), si, sample, sample.length.toLong)
+        }
+      }
+    }
+  }
+
   /** Evenly-sampled decoded frames of one multi-frame payload, PNG bytes;
     * empty on corrupt/unsupported input. */
   private def demuxOne(bytes: Array[Byte], nFrames: Int): Seq[Array[Byte]] =

@@ -732,6 +732,13 @@ object Similarity {
     * O(probes · poolSize²) regardless of corpus size. Pool generation is
     * pluggable; the default is [[bruteForceTopK]], swap in [[annTopK]] /
     * [[ivfTopK]] output at scale.
+    *
+    * Short pools: a probe whose candidate pool holds fewer than `k`
+    * rows (corpus smaller than poolSize, or an ANN pool that came back
+    * thin) emits one row per AVAILABLE candidate and stops — steps are
+    * numbered 1..pool size, never padded. Downstream consumers must not
+    * read fewer-than-k steps as data loss; count rows per probe_id when
+    * exactly-k batches are required.
     */
   def mmrRerank(
       corpus: DataFrame,
@@ -817,6 +824,12 @@ object Similarity {
       inDims: Int,
       outDims: Int = 16): DataFrame = {
     require(outDims >= 1 && inDims >= 1, s"dims must be positive: $inDims -> $outDims")
+    // fail loudly on ragged/mismatched vectors (the pqTopK contract): a
+    // short vector would zip_with-pad with nulls and turn the whole
+    // projection NULL; a long one would silently drop dimensions
+    val vd = df.agg(min(size(col(vecCol))), max(size(col(vecCol)))).head()
+    require(vd.isNullAt(0) || (vd.getInt(0) == inDims && vd.getInt(1) == inDims),
+      s"randomProjection: vector dims ${vd.get(0)}..${vd.get(1)} in '$vecCol' != inDims=$inDims")
     val signs: Array[Seq[Long]] = Array.tabulate(outDims) { j =>
       (0 until inDims).map { i =>
         val h = java.security.MessageDigest.getInstance("MD5")

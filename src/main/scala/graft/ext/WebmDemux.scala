@@ -77,8 +77,14 @@ object WebmDemux {
         case None    => return
       }
       val payloadStart = p + id._2 + sz._2
+      // a DECLARED size overflowing the enclosing range is corruption —
+      // stop the walk rather than clamp (a clamp would emit trailing
+      // garbage bytes as a frame payload; same reject-on-overflow rule as
+      // Mp4Demux.children). Only the unknown-size marker legitimately
+      // extends to the range end (streamed segments).
+      if (sz._1 >= 0 && payloadStart + sz._1 > end) return
       val payloadEnd =
-        if (sz._1 < 0 || payloadStart + sz._1 > end) end
+        if (sz._1 < 0) end
         else (payloadStart + sz._1).toInt
       f(id._1, payloadStart, payloadEnd)
       if (payloadEnd <= p) return // no forward progress: corrupt

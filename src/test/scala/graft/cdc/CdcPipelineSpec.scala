@@ -37,15 +37,15 @@ class CdcPipelineSpec extends SparkSpecBase {
   private val topic = "dbserver1.inventory.products"
   private val (project, database, table) = ("lakehouse", "inventory", "products")
 
-  private def publishEnvelopes(msgs: Seq[Msg]): Unit = {
+  private def publishEnvelopes(msgs: Seq[Msg], to: String = topic): Unit = {
     val df = msgs.toDS().toDF()
     val keyType = df.schema("k").dataType.asInstanceOf[StructType]
     val valueType = df.schema("v").dataType.asInstanceOf[StructType]
     val keySchema = AvroSchemaConverter.toAvroSchema(keyType, "ProductKey")
     val valueSchema = AvroSchemaConverter.toAvroSchema(valueType, "ProductEnvelope")
-    val keyId = registry.register(s"$topic-key", keySchema.toString)
-    val valueId = registry.register(s"$topic-value", valueSchema.toString)
-    bus.publish(spark, topic, df.select(
+    val keyId = registry.register(s"$to-key", keySchema.toString)
+    val valueId = registry.register(s"$to-value", valueSchema.toString)
+    bus.publish(spark, to, df.select(
       ConfluentWireFormat.frame(
         AvroExpressions.to_avro(col("k"), keySchema.toString), keyId).as("key"),
       ConfluentWireFormat.frame(
@@ -103,6 +103,35 @@ class CdcPipelineSpec extends SparkSpecBase {
     // history table recorded each curated commit batch
     val hist = GraftTable(spark, LakePath.history(TableRef(Layer.Curated, project, database, table)))
     assert(hist.read().count() >= 2)
+  }
+
+  test("compaction batch appends two history rows with patched numFiles") {
+    // dedicated table whose every batch compacts (maxNumFilesAllowed = 0),
+    // reproducing the reference's need_compact branch (cdc.py:228-243):
+    // history gets the last TWO versions, numFiles patched to the
+    // post-compaction count on the compaction row and the pre-compaction
+    // count on the data row
+    val table2 = "products_compact"
+    val topic2 = "dbserver1.inventory.products_compact"
+    implicit val settings: GraftSettings =
+      GraftSettings.local(root).copy(maxNumFilesAllowed = 0)
+    publishEnvelopes(Seq(
+      Msg(Key(1), Envelope(None, Some(Img(1, "widget", 1.5)), "c", 1000L)),
+      Msg(Key(2), Envelope(None, Some(Img(2, "gadget", 2.5)), "c", 1001L))), topic2)
+    CdcPipelines.kafkaToRaw(spark, bus, topic2, project, database, table2)
+    CdcPipelines.rawToStaged(spark, project, database, table2, ConfluentAvroCodec, registry)
+    CdcPipelines.stagedToCurated(spark, project, database, table2)
+
+    val cur = GraftTable(spark, LakePath.data(TableRef(Layer.Curated, project, database, table2)))
+    val compact = cur.commits().filter(_.action == "compact").last
+    val preCount = compact.metrics("numRemovedFiles").toLong
+    val postCount = compact.metrics("numOutputFiles").toLong
+    val hist = GraftTable(spark, LakePath.history(TableRef(Layer.Curated, project, database, table2)))
+    val rows = hist.read().select("version", "operation", "numFiles")
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(rows.length === 2, s"compaction batch must append two rows: ${rows.toSeq}")
+    assert(rows.last === ((compact.version, "compact", postCount)))
+    assert(rows.head._3 === preCount, s"data row must carry the pre-compaction count: ${rows.toSeq}")
   }
 
   test("reverse path: curated -> framed kafka records -> decodable") {

@@ -234,6 +234,40 @@ class ExtOpsSpec extends SparkSpecBase {
     graft.lake.FsUtils.deletePath(spark, s"file://$tmp")
   }
 
+  test("dupSpans: interval-merged coverage equals naive position-set coverage") {
+    val n = 5
+    val docsDf = spark.read.parquet(s"${sf()}/documents.parquet")
+    val got = Dedup.dupSpans(docsDf, "doc_id", "text", n = n, portable = true)
+      .select("doc_id", "covered_tokens").as[(Long, Long)].collect().toMap
+    // naive reference: explode every duplicated n-gram span to its member
+    // positions, distinct, count — the shape the operator used to compute
+    // (and the shape the DuckDB oracle still computes)
+    val words = split(TextAnalysis.normalize(col("text")), " ")
+    val ng = docsDf
+      .select(col("doc_id").as("__id"), words.as("__w"))
+      .filter(size(col("__w")) >= n)
+      .select(col("__id"),
+        posexplode(transform(
+          sequence(lit(1), size(col("__w")) - (n - 1)),
+          i => TextAnalysis.portableHash60(concat_ws(" ", slice(col("__w"), i, lit(n))))))
+          .as(Seq("__pos", "__h")))
+    val dupHashes = ng.select(col("__h"), col("__id")).distinct()
+      .groupBy(col("__h")).agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") >= 2).select(col("__h"))
+    val naive = ng.join(dupHashes, "__h")
+      .select(col("__id"), explode(sequence(col("__pos"), col("__pos") + (n - 1))).as("__p"))
+      .distinct()
+      .groupBy(col("__id")).agg(count(lit(1)).as("covered_tokens"))
+      .as[(Long, Long)].collect().toMap
+    assert(naive.nonEmpty, "fixture must contain duplicated spans")
+    naive.foreach { case (id, cov) =>
+      assert(got.getOrElse(id, 0L) === cov, s"doc $id")
+    }
+    // docs absent from the naive map have zero coverage
+    got.filterNot { case (id, _) => naive.contains(id) }
+      .foreach { case (id, cov) => assert(cov === 0L, s"doc $id") }
+  }
+
   test("blockDedup: later copies drop, first occurrence survives, md5 reconstructs") {
     val df = Seq(
       (10L, "a b c d e f g h i j"),  // blocks (4w): [a b c d][e f g h][i j]

@@ -367,4 +367,36 @@ class MultimodalSpec extends SparkSpecBase {
     assert(out.forall { case (_, si, bytes, sz) =>
       bytes == samples(si).toSeq && sz == 8L })
   }
+
+  test("demuxWebmExploded: real container blocks out, corrupt rows drop") {
+    val frames = (0 until 4).map(i => Array.fill[Byte](5)((0x30 + i).toByte))
+    val df = Seq(
+      (1L, buildWebm(frames)),
+      (2L, Array.fill[Byte](32)(0x7f))) // not EBML -> zero rows
+      .toDF("media_id", "content")
+    val out = Multimodal.demuxWebmExploded(df, nFrames = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getAs[Array[Byte]](2).toSeq, r.getLong(3)))
+      .sortBy(x => (x._1, x._2))
+    // same output shape as demuxMp4Exploded: (media_id, sample_idx,
+    // sample_bytes, sample_size), even picks over the block sequence
+    assert(out.map(x => (x._1, x._2)).toSeq === Seq((1L, 0), (1L, 2)))
+    assert(out.forall { case (_, si, bytes, sz) =>
+      bytes == frames(si).toSeq && sz == 5L })
+  }
+
+  test("WebmDemux: declared size overflowing its range is rejected, not clamped") {
+    def el(id: Array[Byte], payload: Array[Byte]): Array[Byte] =
+      id ++ Array((0x80 | payload.length).toByte) ++ payload
+    val f1 = Array.fill[Byte](4)(0x61)
+    val good = el(Array[Byte](0xA3.toByte), Array[Byte](0x81.toByte, 0, 0, 0) ++ f1)
+    // a SimpleBlock declaring 0x40 payload bytes with only garbage left in
+    // the cluster: a clamp would emit the trailing bytes as a frame
+    val truncated = Array[Byte](0xA3.toByte, (0x80 | 0x40).toByte, 0x7f, 0x7f, 0x7f)
+    val cluster = el(Array[Byte](0x1F, 0x43, 0xB6.toByte, 0x75.toByte), good ++ truncated)
+    val header = el(Array[Byte](0x1A, 0x45, 0xDF.toByte, 0xA3.toByte), Array[Byte](1))
+    val segment = el(Array[Byte](0x18, 0x53, 0x80.toByte, 0x67.toByte), cluster)
+    val got = WebmDemux.blocks(header ++ segment)
+    assert(got.length === 1, s"truncated block must be dropped, got ${got.length}")
+    assert(got(0).payload.toSeq === f1.toSeq)
+  }
 }
