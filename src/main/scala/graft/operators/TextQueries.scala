@@ -1038,5 +1038,43 @@ object TextQueries {
         out
       },
       Some(blockDedupOracle(blockWords = 8)))
+  ,
+
+    // WARC ingestion — the crawl-archive source format. Fixture: each
+    // documents partition serializes to one gzip-per-record WARC blob
+    // (the Common Crawl layout) via Warc.write; the OPERATOR under test
+    // is Warc.recordsExploded, a partition-local explode of archive
+    // bytes into records (no shuffle of payloads). Round-tripping
+    // through real container bytes gates header parsing, multi-member
+    // gzip, Content-Length framing and payload integrity (md5). The
+    // oracle derives the same (uri, md5, length) rows straight from the
+    // documents table.
+    CatalogQuery(
+      "d32_warc_ingest",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val warcFiles = docs
+          .select(concat(lit("http://example.com/doc/"),
+            col("doc_id").cast("string")).as("uri"), col("text"))
+          .as[(String, String)]
+          .mapPartitions { it =>
+            Iterator.single(graft.ext.Warc.write(it.map { case (uri, text) =>
+              graft.ext.Warc.WarcRecord("response", s"<urn:doc:$uri>", uri,
+                "text/plain", "2026-01-01T00:00:00Z",
+                text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            }))
+          }
+          .toDF("content")
+          .withColumn("file_id", monotonically_increasing_id())
+        graft.ext.Warc.recordsExploded(warcFiles)
+          .select(col("target_uri"), md5(col("payload")).as("payload_md5"),
+            col("payload_len"))
+          .orderBy(col("target_uri"))
+      },
+      Some("""SELECT 'http://example.com/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
+        md5(text) AS payload_md5,
+        CAST(octet_length(encode(text)) AS BIGINT) AS payload_len
+        FROM documents ORDER BY target_uri"""))
   )
 }
