@@ -64,6 +64,13 @@ final class AnnIndex(
     // payload per batch would buy nothing
     bucketsTable.appendClustered(buckets, Seq("tb"))
     vectorsTable.append(vectors)
+    // store maintenance: a crawl ingesting thousands of batches would
+    // otherwise accumulate unbounded small files. The buckets table
+    // compacts CLUSTERED so the tb ranges stay tight and query-time
+    // IN-pruning survives the rewrite; dataChange=false keeps the
+    // compactions invisible to incremental consumers.
+    bucketsTable.compactClusteredIfNeeded(Seq("tb"))
+    vectorsTable.compactIfNeeded()
   }
 
   /** Approximate top-k against everything added so far. Returns

@@ -123,6 +123,9 @@ final class BlockDedupIndex(
     }
     if (replayOf.isEmpty) blocksTable.append(fresh)
     else if (fresh.limit(1).count() > 0) blocksTable.append(fresh)
+    // file-count maintenance across a long-running crawl (bounded by
+    // settings.maxNumFilesAllowed; dataChange=false)
+    blocksTable.compactIfNeeded()
     out
   }
 }

@@ -55,14 +55,40 @@ final class NearDupIndex(
   if (storeBuckets > 0 && !bandsTable.exists && bandsTable.bucketSpec.isEmpty)
     bandsTable.setBucketSpec(Seq("band_key"), storeBuckets)
 
+  private[ext] val appliedTable = GraftTable(spark, s"$path/applied")
+
   def indexedCount: Long = if (sigsTable.exists) sigsTable.read().count() else 0L
+
+  /** The store versions a previously applied token observed, if any. */
+  private def appliedVersions(token: String): Option[(Long, Long)] = {
+    if (!appliedTable.exists) return None
+    appliedTable.read().filter(col("token") === token)
+      .select("bands_pre", "sigs_pre").collect().headOption
+      .map(r => (r.getLong(0), r.getLong(1)))
+  }
 
   /** Detect near-dups of `docs` against the index AND within the batch,
     * then add the batch to the index. Returns (id_new, id_matched,
     * est_jaccard) where `id_matched` is an already-indexed doc or an
-    * earlier id from the same batch. Re-ingesting an id is the caller's
-    * concern (ids must be globally unique). */
-  def detectAndAdd(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * earlier id from the same batch. Ids must be globally unique across
+    * batches.
+    *
+    * Replay safety (the [[BlockDedupIndex]] contract): pass `ingestToken`
+    * (e.g. the foreachBatch batchId) to make ingestion IDEMPOTENT under
+    * at-least-once delivery. A replayed token probes the PRE-INGEST store
+    * snapshot (time travel), so it returns the original pair set instead
+    * of matching the batch against its own first attempt, and the append
+    * side anti-joins the current store so nothing is double-inserted.
+    * Without a token, a replayed batch self-matches every doc. */
+  def detectAndAdd(docs: DataFrame, idCol: String, textCol: String,
+      ingestToken: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    val replayOf = ingestToken.flatMap(appliedVersions)
+    val (bandsPre, sigsPre) = replayOf.getOrElse((bandsTable.version, sigsTable.version))
+    def bandsSnapshot: DataFrame = bandsTable.readAt(bandsPre)
+    def sigsSnapshot: DataFrame = sigsTable.readAt(sigsPre)
+    val bandsExist = bandsTable.exists && bandsPre > 0
+    val sigsExist = sigsTable.exists && sigsPre > 0
     // materialize both derived frames: sigs feeds the band derivation,
     // the candidate-confirm joins AND the sigs append; newBands feeds
     // BOTH sides of the intra-batch self-join, the vs-index probe and the
@@ -81,11 +107,13 @@ final class NearDupIndex(
           col("a.id") > col("b.id"))
       .select(col("a.id").as("id_new"), col("b.id").as("id_matched"))
 
-    // candidates vs the already-indexed corpus: the batch's bands broadcast
-    // into the stored scan — the store streams, nothing re-shuffles
+    // candidates vs the already-indexed corpus (as of the probe snapshot —
+    // current store on a normal ingest, the pre-ingest version on replay):
+    // the batch's bands broadcast into the stored scan — the store
+    // streams, nothing re-shuffles
     val vsIndex =
-      if (!bandsTable.exists) intra.limit(0) // first batch: same-typed empty frame
-      else bandsTable.read()
+      if (!bandsExist) intra.limit(0) // first batch: same-typed empty frame
+      else bandsSnapshot
         .select(col("doc_id").as("id_matched"), col("band"), col("band_key"))
         .join(Parallelism.maybeBroadcast(
             newBands.select(col("id").as("id_new"), col("band"), col("band_key")),
@@ -94,8 +122,8 @@ final class NearDupIndex(
         .select("id_new", "id_matched")
 
     val allSigs =
-      if (sigsTable.exists)
-        sigs.select(col("id").as("doc_id"), col("sig")).unionByName(sigsTable.read())
+      if (sigsExist)
+        sigs.select(col("id").as("doc_id"), col("sig")).unionByName(sigsSnapshot)
       else sigs.select(col("id").as("doc_id"), col("sig"))
 
     // candidate pairs once (bounded: matched bands only), then attach
@@ -120,8 +148,36 @@ final class NearDupIndex(
     // materialize results BEFORE mutating the index, so the returned frame
     // doesn't observe the batch's own rows as "already indexed"
     val out = Parallelism.materialize(pairs)
-    bandsTable.append(newBands.select(col("id").as("doc_id"), col("band"), col("band_key")))
-    sigsTable.append(sigs.select(col("id").as("doc_id"), col("sig")))
+    // token recorded BEFORE the appends (the BlockDedupIndex ordering): a
+    // crash between leaves a gap the replay path fills idempotently
+    ingestToken.filter(_ => replayOf.isEmpty).foreach { t =>
+      appliedTable.append(Seq((t, bandsPre, sigsPre)).toDF("token", "bands_pre", "sigs_pre"))
+    }
+    val (bandRows, sigRows) = replayOf match {
+      // normal ingest: ids are globally unique, so the whole batch is new
+      case None =>
+        (newBands.select(col("id").as("doc_id"), col("band"), col("band_key")),
+          sigs.select(col("id").as("doc_id"), col("sig")))
+      // replay: append only ids missing from the CURRENT store (fills a
+      // crash gap, never double-inserts after a completed first attempt)
+      case Some(_) =>
+        val have = sigsTable.read().select(col("doc_id"))
+        val missing = sigs.select(col("id").as("doc_id"))
+          .join(have, Seq("doc_id"), "left_anti")
+        (newBands.select(col("id").as("doc_id"), col("band"), col("band_key"))
+            .join(missing, Seq("doc_id"), "left_semi"),
+          sigs.select(col("id").as("doc_id"), col("sig"))
+            .join(missing, Seq("doc_id"), "left_semi"))
+    }
+    val mustAppend = replayOf.isEmpty || sigRows.limit(1).count() > 0
+    if (mustAppend) {
+      bandsTable.append(bandRows)
+      sigsTable.append(sigRows)
+      // file-count maintenance across a long-running crawl (bounded by
+      // settings.maxNumFilesAllowed; dataChange=false)
+      bandsTable.compactIfNeeded()
+      sigsTable.compactIfNeeded()
+    }
     out
   }
 }

@@ -730,12 +730,36 @@ final class GraftTable private (
     * ceil(totalBytes / compactTargetBytes) files with dataChange=false so
     * incremental consumers skip the rewrite. Returns the commit if run. */
   def compactIfNeeded(
+      maxFiles: Int = settings.maxNumFilesAllowed): Option[Commit] =
+    compactWith(maxFiles, (df, target) => df.repartition(target))
+
+  /** [[compactIfNeeded]] for range-CLUSTERED tables: rewrites through
+    * `repartitionByRange` + in-partition sort on `clusterCols`, so the
+    * compacted files keep tight, mostly-disjoint key ranges and
+    * `readWhere` data skipping stays selective. A plain `repartition`
+    * compaction would hand every output file the full key span and
+    * silently destroy pruning — the failure mode this exists to avoid
+    * for stores written with [[appendClustered]] (e.g. an ANN index's
+    * bucket table maintained across thousands of ingest batches). */
+  def compactClusteredIfNeeded(clusterCols: Seq[String],
       maxFiles: Int = settings.maxNumFilesAllowed): Option[Commit] = {
+    require(clusterCols.nonEmpty, "compactClusteredIfNeeded needs cluster columns")
+    compactWith(maxFiles, (df, target) =>
+      df.repartitionByRange(target, clusterCols.map(col): _*)
+        .sortWithinPartitions(clusterCols.map(col): _*))
+  }
+
+  /** Small-file compaction core (reference `jibaro/datalake/delta_handler
+    * .py:9-35`): when the live file count exceeds `maxFiles`, rewrite to
+    * ceil(totalBytes / compactTargetBytes) files with dataChange=false so
+    * incremental consumers skip the rewrite. */
+  private def compactWith(maxFiles: Int,
+      rewrite: (DataFrame, Int) => DataFrame): Option[Commit] = {
     val files = liveFiles()
     if (files.size <= maxFiles) return None
     val totalBytes = files.map(f => fs.getFileStatus(new Path(path, f)).getLen).sum
     val target = math.max(1, math.ceil(totalBytes.toDouble / settings.compactTargetBytes).toInt)
-    val df = read().repartition(target)
+    val df = rewrite(read(), target)
     val (add, stats) = stage(df)
     Some(nextCommit("compact", dataChange = false, add, files, df.schema.json,
       Map("numOutputFiles" -> add.size.toString,

@@ -161,6 +161,37 @@ class ExtOpsSpec extends SparkSpecBase {
     graft.lake.FsUtils.deletePath(spark, s"file://$tmp")
   }
 
+  test("NearDupIndex: ingestToken makes at-least-once replays idempotent") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ndi-replay-").toString
+    val idx = new NearDupIndex(spark, s"$dir/idx")
+    val base = "the quick brown fox jumps over the lazy dog again and again in the field"
+    val b1 = Seq((1L, base), (2L, "completely different content about spark partitions and shuffles"))
+      .toDF("doc_id", "text")
+    val first = idx.detectAndAdd(b1, "doc_id", "text", ingestToken = Some("t1"))
+      .select("id_new", "id_matched").as[(Long, Long)].collect().toSet
+    assert(first === Set.empty[(Long, Long)])
+    assert(idx.indexedCount === 2)
+    // replay: without the token each doc would match its own first attempt;
+    // with it, the original (empty) pair set returns and the index is unchanged
+    val replay = idx.detectAndAdd(b1, "doc_id", "text", ingestToken = Some("t1"))
+      .select("id_new", "id_matched").as[(Long, Long)].collect().toSet
+    assert(replay === first, s"replay must reproduce the original result: $replay")
+    assert(idx.indexedCount === 2, "replay must not grow the index")
+    // a later batch matches the FIRST batch's docs normally...
+    val b2 = Seq((10L, base + " tonight")).toDF("doc_id", "text")
+    val second = idx.detectAndAdd(b2, "doc_id", "text", ingestToken = Some("t2"))
+      .select("id_new", "id_matched").as[(Long, Long)].collect().toSet
+    assert(second === Set((10L, 1L)))
+    assert(idx.indexedCount === 3)
+    // ...and replaying the first token afterwards still time-travels to the
+    // empty pre-t1 store, returning the original empty pair set
+    val lateReplay = idx.detectAndAdd(b1, "doc_id", "text", ingestToken = Some("t1"))
+      .select("id_new", "id_matched").as[(Long, Long)].collect().toSet
+    assert(lateReplay === first)
+    assert(idx.indexedCount === 3)
+    graft.lake.FsUtils.deletePath(spark, s"file://$dir")
+  }
+
   test("index stores are hash-bucketed; probe joins scan the store with no Exchange") {
     val dir = java.nio.file.Files.createTempDirectory("graft-idx-bucketed-").toString
     // NearDupIndex: bands bucketed on band_key at creation (opt-in layout)
@@ -626,6 +657,33 @@ class ExtOpsSpec extends SparkSpecBase {
         nTables = 8, bitsPerTable = 6, portable = true)
       .select("probe_id", "neighbor_id", "rnk").as[(Long, Long, Int)].collect().toSet
     assert(fromIndex === oneShot)
+  }
+
+  test("AnnIndex: store maintenance bounds files across many adds, query unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann-compact-").toString
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    // aggressive maintenance: compact whenever a store exceeds 4 files
+    implicit val st: graft.conf.GraftSettings =
+      graft.conf.GraftSettings.default.copy(maxNumFilesAllowed = 4)
+    val idx = new AnnIndex(spark, s"$dir/idx", nTables = 8, bitsPerTable = 6,
+      portable = true)
+    // eight adds — unmaintained this would be 8 x files-per-add
+    (0 until 8).foreach(i =>
+      idx.add(emb.filter(col("vec_id") % 8 === i), "vec_id", "embedding"))
+    assert(idx.indexedCount === emb.count())
+    val bucketFiles = idx.bucketsTable.liveFiles().size
+    assert(bucketFiles <= 4 + spark.sessionState.conf.numShufflePartitions,
+      s"maintenance must bound the buckets store, got $bucketFiles files")
+    assert(idx.vectorsTable.liveFiles().size <= 4 + spark.sessionState.conf.numShufflePartitions)
+    // compaction was clustered: results still match the one-shot operator
+    val probes = emb.filter(col("vec_id") < 3)
+    val fromIndex = idx.query(probes, "vec_id", "embedding", k = 5)
+      .select("probe_id", "neighbor_id", "rnk").as[(Long, Long, Int)].collect().toSet
+    val oneShot = Similarity.annTopK(emb, probes, "vec_id", "embedding", 5,
+        nTables = 8, bitsPerTable = 6, portable = true)
+      .select("probe_id", "neighbor_id", "rnk").as[(Long, Long, Int)].collect().toSet
+    assert(fromIndex === oneShot)
+    graft.lake.FsUtils.deletePath(spark, s"file://$dir")
   }
 
   test("indexes persist: a fresh instance on the same path serves queries") {

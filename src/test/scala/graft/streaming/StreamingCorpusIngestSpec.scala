@@ -33,13 +33,16 @@ class StreamingCorpusIngestSpec extends SparkSpecBase {
   private def ingestOnce(): Unit = {
     val q = spark.readStream.schema(docSchema).parquet(srcDir)
       .writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
         val scrubbed = batch.withColumn("text", TextAnalysis.redactPii(col("text")))
         val quality = TextAnalysis.withTextMetrics(scrubbed, "text")
           .filter(col("quality_score") >= 0.3 && col("n_tokens") >= 5)
           .select("doc_id", "text")
           .localCheckpoint(true) // consumed by index join AND the append
-        val dups = idx.detectAndAdd(quality, "doc_id", "text")
+        // batchId as ingest token: foreachBatch is at-least-once, and a
+        // replayed batch must not self-match against its first attempt
+        val dups = idx.detectAndAdd(quality, "doc_id", "text",
+          ingestToken = Some(s"ndi-$batchId"))
           .select(col("id_new").as("doc_id")).distinct()
         val novel = quality.join(dups, Seq("doc_id"), "left_anti")
         if (!novel.isEmpty) corpus.append(novel)

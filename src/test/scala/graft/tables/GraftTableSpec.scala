@@ -152,6 +152,27 @@ class GraftTableSpec extends SparkSpecBase {
       t.liveFiles().size)
   }
 
+  test("clustered compaction keeps readWhere pruning selective") {
+    // tiny compaction target so the rewrite yields SEVERAL files — the
+    // interesting case for layout preservation
+    val dir = Files.createTempDirectory("graft-cluster-compact-").toString
+    val t = GraftTable(spark, s"file://$dir/t")(
+      GraftSettings.default.copy(compactTargetBytes = 2048))
+    // six single-row appends across a wide id range -> six tiny files
+    (1 to 6).foreach(i => t.append(Seq((i * 1000, s"v$i")).toDF("id", "v")))
+    assert(t.liveFiles().size === 6)
+    val c = t.compactClusteredIfNeeded(Seq("id"), maxFiles = 2)
+    assert(c.exists(!_.dataChange), "compaction must be dataChange=false")
+    assert(t.liveFiles().size < 6)
+    assert(t.read().count() === 6)
+    // the rewrite kept ranges tight: a point probe scans a strict subset
+    // (a plain repartition compaction would give every file the full span)
+    if (t.liveFiles().size > 1)
+      assert(t.prunedFiles(col("id") === 1000).size < t.liveFiles().size,
+        s"pruning died after compaction: ${t.liveFiles()}")
+    assert(t.readWhere(col("id") === 1000).count() === 1)
+  }
+
   test("data skipping: null stats drive isNull pruning; stats survive compaction") {
     val t = tmpTable()
     t.append(Seq((1, Some("a")), (2, Some("b"))).toDF("id", "v").coalesce(1))
