@@ -223,6 +223,85 @@ object TextAnalysis {
         expr("(2 * __m + n_tokens) DIV (2 * n_tokens)").as("__nll_micro"))
   }
 
+  /** HTML → text extraction (WET-style): the step between [[Warc]] crawl
+    * ingestion and every text operator in this package — Common Crawl
+    * pipelines run exactly this shape at archive scale. Heuristic, not a
+    * DOM parse (the right trade for 100 TB of mostly-broken markup):
+    * script/style blocks and comments drop wholesale, remaining tags
+    * become spaces, the five standard entities (+nbsp) decode, and
+    * whitespace collapses. Pure codegen'd string expressions — no UDF,
+    * no per-row allocation beyond the result — and engine-portable: the
+    * regexes stay inside the RE2 subset so a DuckDB/Trino mirror of the
+    * same chain is bit-identical (gated by d34). Entity decode runs
+    * AFTER tag stripping (entities never form tags) and `&amp;` decodes
+    * LAST (so `&amp;lt;` yields the literal `&lt;`, not `<`). */
+  def htmlToText(html: Column): Column = {
+    val noScript = regexp_replace(html,
+      "(?is)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    val noComment = regexp_replace(noScript, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]*>", " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (ent, ch)) => replace(c, lit(ent), lit(ch)) }
+    trim(regexp_replace(decoded, "[ \t\r\n]+", " "))
+  }
+
+  /** Bigram-LM negative log-likelihood per doc — the next-order language
+    * model signal after [[unigramNll]]: MLE conditional transitions
+    * `P(w_i | w_{i-1}) = count(w_{i-1} w_i) / count(w_{i-1} ·)` over the
+    * corpus itself, scored per doc as the mean transition NLL. Repeated
+    * boilerplate (predictable transitions) scores near 0, incoherent
+    * token soup scores high — separating the two failure modes a unigram
+    * model conflates (both can have ordinary word frequencies).
+    * Self-scoring MLE needs no smoothing: every observed bigram has
+    * count >= 1. Docs with < 2 tokens have no transitions and are absent
+    * (the d19 empty-doc convention).
+    *
+    * Portability (the d19 discipline): each transition's ln() is the one
+    * IEEE double op, immediately frozen to integer micro-nats via a
+    * DECIMAL(28,6) cast; sums and the half-up mean are exact BIGINT
+    * math, so any engine reproduces the bits.
+    *
+    * Scale: bigrams derive from one array transform + explode (no per-doc
+    * window), materialized once to feed the two count aggregates AND the
+    * probe side; both counts are map-side-combined hash aggregates keyed
+    * by short strings; nothing is ever collected. */
+  def bigramNll(df: DataFrame, idCol: String, textCol: String)(
+      implicit settings: graft.conf.GraftSettings = graft.conf.GraftSettings.default): DataFrame =
+    bigramNllMicro(df, idCol, textCol)
+      .select(col(idCol), col("n_bigrams"),
+        microToNll(col("__nll_micro")).as("bigram_nll"))
+
+  /** [[bigramNll]] with the NLL kept as INTEGER micro-nats. */
+  def bigramNllMicro(df: DataFrame, idCol: String, textCol: String)(
+      implicit settings: graft.conf.GraftSettings = graft.conf.GraftSettings.default): DataFrame = {
+    val words = filter(split(normalize(col(textCol)), " "), t => length(t) > 0)
+    // (id, prev, cur) transition rows; materialized once — feeds the
+    // bigram counts, the prefix counts AND the per-doc probe
+    val big = Parallelism.widen(df)
+      .select(col(idCol), words.as("__w"))
+      .filter(size(col("__w")) >= 2)
+      .select(col(idCol), explode(transform(
+        sequence(lit(1), size(col("__w")) - 1),
+        i => struct(element_at(col("__w"), i).as("__prev"),
+          element_at(col("__w"), i + 1).as("__cur")))).as("__bg"))
+      .select(col(idCol), col("__bg.__prev").as("__prev"), col("__bg.__cur").as("__cur"))
+      .transform(Parallelism.materialize(_))
+    val bgFreq = big.groupBy("__prev", "__cur").agg(count(lit(1)).as("__bg_n"))
+    val prevFreq = big.groupBy("__prev").agg(count(lit(1)).as("__prev_n"))
+    big.join(bgFreq, Seq("__prev", "__cur"))
+      .join(prevFreq, Seq("__prev"))
+      .select(col(idCol),
+        // ln(n/pn) <= 0 always (n <= pn), so m = -sum is non-negative
+        (log(col("__bg_n").cast("double") / col("__prev_n").cast("double"))
+          .cast("decimal(28,6)") * lit(1000000)).cast("long").as("__lp_micro"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), (-sum(col("__lp_micro"))).as("__m"))
+      .select(col(idCol), col("n_bigrams"),
+        expr("(2 * __m + n_bigrams) DIV (2 * n_bigrams)").as("__nll_micro"))
+  }
+
   /** Gopher-style repetition metrics — the signal that catches boilerplate
     * and template spam exact dedup misses (a page repeating one nav bar
     * 50× is unique as a document but worthless as training data):

@@ -1075,6 +1075,87 @@ object TextQueries {
       Some("""SELECT 'http://example.com/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
         md5(text) AS payload_md5,
         CAST(octet_length(encode(text)) AS BIGINT) AS payload_len
-        FROM documents ORDER BY target_uri"""))
+        FROM documents ORDER BY target_uri""")),
+
+    // Bigram-LM NLL — the next-order LM signal after d19: MLE conditional
+    // transition probabilities over the corpus itself, per-doc mean
+    // transition NLL in exact integer micro-nats (one ln() per distinct
+    // transition is the only floating op, frozen immediately — the d19
+    // portability discipline). Boilerplate (predictable transitions)
+    // scores near 0, token soup scores high.
+    CatalogQuery(
+      "d33_bigram_nll",
+      (s, dir) =>
+        graft.ext.TextAnalysis.bigramNll(t(s, dir, "documents"), "doc_id", "text")
+          .orderBy(col("doc_id")),
+      Some("""WITH w AS (
+          SELECT doc_id,
+            list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+              t -> length(t) > 0) AS ws
+          FROM documents),
+        big0 AS (
+          SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+          FROM w WHERE len(ws) >= 2),
+        big AS (SELECT doc_id, ws[i] AS prev, ws[i + 1] AS cur FROM big0),
+        bgf AS (SELECT prev, cur, count(*) AS n FROM big GROUP BY 1, 2),
+        pf AS (SELECT prev, count(*) AS pn FROM big GROUP BY 1),
+        per AS (
+          SELECT doc_id,
+            CAST(CAST(ln(CAST(f.n AS DOUBLE) / CAST(p.pn AS DOUBLE)) AS DECIMAL(28,6))
+              * 1000000 AS BIGINT) AS lp_micro
+          FROM big JOIN bgf f USING (prev, cur) JOIN pf p USING (prev)),
+        agg AS (SELECT doc_id, count(*) AS n_bigrams, -sum(lp_micro) AS m FROM per GROUP BY 1)
+        SELECT doc_id, n_bigrams,
+          CAST(CAST(CAST((2 * m + n_bigrams) // (2 * n_bigrams) AS DECIMAL(12,0))
+            * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(18,6)) AS DOUBLE) AS bigram_nll
+        FROM agg ORDER BY doc_id""")),
+
+    // HTML -> text extraction (WET generation) — the step between WARC
+    // ingestion (d32) and the text operators. Fixture: each doc's text is
+    // entity-escaped and wrapped in markup with script/style/comment
+    // noise; the operator must strip structure, decode entities and
+    // collapse whitespace. Both engines build the SAME fixture and run
+    // the SAME extraction chain, so the oracle gates each regex/replace
+    // step bit-for-bit.
+    CatalogQuery(
+      "d34_html_to_text",
+      (s, dir) => {
+        val esc = replace(replace(replace(col("text"),
+          lit("&"), lit("&amp;")), lit("<"), lit("&lt;")), lit(">"), lit("&gt;"))
+        val html = concat(
+          lit("<html><head><title>t</title><style>p { color: red }</style>" +
+            "<script>var x = 1 < 2;</script></head><body><!-- boilerplate --><p>"),
+          esc,
+          lit("</p><br><div>nav &amp; footer</div></body></html>"))
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            graft.ext.TextAnalysis.htmlToText(html).as("extracted"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH fixture AS (
+          SELECT doc_id,
+            '<html><head><title>t</title><style>p { color: red }</style>' ||
+            '<script>var x = 1 < 2;</script></head><body><!-- boilerplate --><p>' ||
+            replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;') ||
+            '</p><br><div>nav &amp; footer</div></body></html>' AS html
+          FROM documents),
+        stripped AS (
+          SELECT doc_id,
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(html,
+                  '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'),
+                '(?s)<!--.*?-->', ' ', 'g'),
+              '<[^>]*>', ' ', 'g') AS s
+          FROM fixture),
+        decoded AS (
+          SELECT doc_id,
+            replace(replace(replace(replace(replace(replace(s,
+              '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+              '&#39;', CHR(39)), '&nbsp;', ' '), '&amp;', '&') AS s
+          FROM stripped)
+        SELECT doc_id,
+          trim(regexp_replace(s, '[ \t\r\n]+', ' ', 'g')) AS extracted
+        FROM decoded ORDER BY doc_id"""))
   )
 }
