@@ -37,8 +37,13 @@ final class AnnIndex(
   // would re-read the full embedding payload per append for nothing
   private[ext] val vectorsTable = GraftTable(spark, s"$path/vectors")(
     settings.copy(collectFileStats = false))
+  private[ext] val appliedTable = GraftTable(spark, s"$path/applied")
 
   def indexedCount: Long = if (vectorsTable.exists) vectorsTable.read().count() else 0L
+
+  private def tokenApplied(token: String): Boolean =
+    appliedTable.exists &&
+      appliedTable.read().filter(col("token") === token).limit(1).count() > 0
 
   /** Composite bucket key: table id in the high 32 bits, bucket id in the
     * low — one orderable long, so range clustering + min/max file stats
@@ -47,23 +52,52 @@ final class AnnIndex(
   private def tbExpr = col("tbl").cast("long") * lit(1L << 32) + col("bucket").cast("long")
 
   /** Hash and append a batch of (id, vector) rows. Ids must be globally
-    * unique across adds. */
-  def add(df: DataFrame, idCol: String, vecCol: String): Unit = {
+    * unique across adds.
+    *
+    * Replay safety (the [[NearDupIndex]]/[[BlockDedupIndex]] contract):
+    * pass `ingestToken` (e.g. the foreachBatch batchId) to make ingestion
+    * IDEMPOTENT under at-least-once delivery — a replayed add would
+    * otherwise DOUBLE-INSERT its rows, and duplicate vector rows turn
+    * into duplicate rescore rows in every later `query`. A replayed
+    * token appends only the batch rows missing from each store (filling
+    * a crash gap between the two appends without double-inserting). */
+  def add(df: DataFrame, idCol: String, vecCol: String,
+      ingestToken: Option[String] = None): Unit = {
+    import spark.implicits._
+    val replay = ingestToken.exists(tokenApplied)
     // materialize before clustering: repartitionByRange SAMPLES its child
     // to pick range bounds, so an unmaterialized hash pipeline would run
     // twice (sample pass + write pass)
-    val buckets = Similarity.lshBucketRows(df, idCol, vecCol, nTables, bitsPerTable, portable)
+    val buckets0 = Similarity.lshBucketRows(df, idCol, vecCol, nTables, bitsPerTable, portable)
       .select(col("id").as("vec_id"), col("tbl"), col("bucket"))
       .withColumn("tb", tbExpr)
       .transform(Parallelism.materialize(_))
-    val vectors = df.select(col(idCol).as("vec_id"), col(vecCol).as("vec"),
+    val vectors0 = df.select(col(idCol).as("vec_id"), col(vecCol).as("vec"),
       Similarity.quantizedDot(col(vecCol), col(vecCol)).as("sq"))
+    // token recorded BEFORE the appends (the shared index ordering): a
+    // crash in between leaves a gap the replay path fills idempotently
+    ingestToken.filter(_ => !replay).foreach { t =>
+      appliedTable.append(Seq(Tuple1(t)).toDF("token"))
+    }
+    val (buckets, vectors) =
+      if (!replay) (buckets0, vectors0)
+      else {
+        // rare path: per-store anti-join against the CURRENT content, so a
+        // completed first attempt re-appends nothing and a crash gap only
+        // its missing rows
+        def missingFrom(t: GraftTable, rows: DataFrame): DataFrame =
+          if (!t.exists) rows
+          else rows.join(t.read().select(col("vec_id")), Seq("vec_id"), "left_anti")
+        (missingFrom(bucketsTable, buckets0), missingFrom(vectorsTable, vectors0))
+      }
     // buckets are range-clustered on the composite bucket key so the probe
     // predicate file-prunes; vectors append FLAT — they are consumed via a
     // candidate-id semi-join, and range-shuffling the full embedding
     // payload per batch would buy nothing
-    bucketsTable.appendClustered(buckets, Seq("tb"))
-    vectorsTable.append(vectors)
+    if (!replay || buckets.limit(1).count() > 0)
+      bucketsTable.appendClustered(buckets, Seq("tb"))
+    if (!replay || vectors.limit(1).count() > 0)
+      vectorsTable.append(vectors)
     // store maintenance: a crawl ingesting thousands of batches would
     // otherwise accumulate unbounded small files. The buckets table
     // compacts CLUSTERED so the tb ranges stay tight and query-time

@@ -706,6 +706,31 @@ class ExtOpsSpec extends SparkSpecBase {
     assert(fromIndex === oneShot)
   }
 
+  test("AnnIndex: ingestToken makes at-least-once replays idempotent") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann-replay-").toString
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val idx = new AnnIndex(spark, s"$dir/idx", nTables = 8, bitsPerTable = 6,
+      portable = true)
+    val half = emb.filter(col("vec_id") % 2 === 0)
+    idx.add(half, "vec_id", "embedding", ingestToken = Some("b0"))
+    val count = idx.indexedCount
+    val bucketRows = idx.bucketsTable.read().count()
+    // replay: without the token this would double-insert every row and
+    // every later query would emit duplicate rescore rows
+    idx.add(half, "vec_id", "embedding", ingestToken = Some("b0"))
+    assert(idx.indexedCount === count)
+    assert(idx.bucketsTable.read().count() === bucketRows)
+    // queries after the replay equal the one-shot operator over the half
+    val probes = emb.filter(col("vec_id") < 3)
+    val fromIndex = idx.query(probes, "vec_id", "embedding", k = 3)
+      .select("probe_id", "neighbor_id", "rnk").as[(Long, Long, Int)].collect().toSet
+    val oneShot = Similarity.annTopK(half, probes, "vec_id", "embedding", 3,
+        nTables = 8, bitsPerTable = 6, portable = true)
+      .select("probe_id", "neighbor_id", "rnk").as[(Long, Long, Int)].collect().toSet
+    assert(fromIndex === oneShot)
+    graft.lake.FsUtils.deletePath(spark, s"file://$dir")
+  }
+
   test("AnnIndex: store maintenance bounds files across many adds, query unchanged") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ann-compact-").toString
     val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")

@@ -91,6 +91,27 @@ class PlanAuditSpec extends SparkSpecBase {
       s"token frame not materialized:\n$p")
   }
 
+  test("d34: html extraction prunes the scan and stays in whole-stage codegen") {
+    val p = plan("d34_html_to_text")
+    assert(!p.contains("n_chars") && !p.contains("lang"),
+      s"reads columns the query never uses:\n$p")
+    // the whole strip/decode/collapse chain is string expressions — it
+    // must compile into a codegen stage, never fall to interpreted eval
+    val codegen = planFor("d34_html_to_text")
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+    assert(codegen.matches("(?s)Found [1-9]\\d* WholeStageCodegen subtrees.*"),
+      "extraction fell out of whole-stage codegen")
+  }
+
+  test("d33: bigram derivation materialized once; counts hash-aggregate") {
+    val p = plan("d33_bigram_nll")
+    // the transition frame feeds two count aggregates and the probe side —
+    // it must be read from the checkpoint, not re-derived per consumer
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+      s"bigram frame not materialized:\n$p")
+    assert(p.contains("HashAggregate"), s"counts must hash-aggregate:\n$p")
+  }
+
   test("e05: IVF codebook and probe lists broadcast; no cartesian candidate join") {
     val p = plan("e05_ivf_ann")
     // centroid scoring + candidate join + probe-vector re-attach all ride

@@ -126,4 +126,45 @@ class StreamingCorpusIngestSpec extends SparkSpecBase {
     assert(rows(11L) === ((1L, 4L)), s"got ${rows(11L)}")
     assert(rows(12L) === ((0L, 0L)), s"got ${rows(12L)}")
   }
+
+  test("streaming ANN ingest: embedding batches index incrementally, then serve") {
+    // embeddings arrive as a file stream; each micro-batch hashes only
+    // itself into the persisted AnnIndex (batchId as the idempotence
+    // token), and the index serves queries between batches — the
+    // hash-once/query-many crawl pattern in its streaming form
+    val src = s"$root/incoming-vecs"
+    val vecSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val aIdx = new graft.ext.AnnIndex(spark, s"$root/annidx",
+      nTables = 8, bitsPerTable = 4, portable = true)
+    def ingestVecs(): Unit = {
+      val q = spark.readStream.schema(vecSchema).parquet(src)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          aIdx.add(batch, "vec_id", "embedding", ingestToken = Some(s"ann-$batchId"))
+          ()
+        }
+        .option("checkpointLocation", s"$root/ann-ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val all = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    all.filter(col("vec_id") < 250).write.mode("append").parquet(src)
+    ingestVecs()
+    val afterFirst = aIdx.indexedCount
+    all.filter(col("vec_id") >= 250).write.mode("append").parquet(src)
+    ingestVecs()
+    assert(aIdx.indexedCount === all.count())
+    assert(afterFirst < aIdx.indexedCount)
+    // the incrementally-built index answers exactly like the one-shot op
+    val probes = all.filter(col("vec_id") < 3)
+    val got = aIdx.query(probes, "vec_id", "embedding", k = 3)
+      .select("probe_id", "neighbor_id", "rnk").as[(Long, Long, Int)].collect().toSet
+    val want = graft.ext.Similarity.annTopK(all, probes, "vec_id", "embedding", 3,
+        nTables = 8, bitsPerTable = 4, portable = true)
+      .select("probe_id", "neighbor_id", "rnk").as[(Long, Long, Int)].collect().toSet
+    assert(got === want)
+  }
 }
