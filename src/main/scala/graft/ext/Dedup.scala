@@ -388,6 +388,85 @@ object Dedup {
           coalesce(col("covered_tokens"), lit(0L)), col("n_tokens")).as("covered_frac"))
   }
 
+  /** Duplicate-SPAN REMOVAL with reconstruction — the enforcement side of
+    * [[dupSpans]] (which only measures): every occurrence of a duplicated
+    * n-gram except the globally FIRST one (minimal `(doc, pos)`, the
+    * [[blockDedup]] winner rule, intra-doc copies included) is removed
+    * token-by-token, and the per-doc output reports what survives:
+    * (id, n_tokens, kept_tokens, kept_frac, kept_md5 of the reconstructed
+    * kept-tokens-in-order text). Lee et al. 2022 substring dedup at
+    * n-gram granularity.
+    *
+    * Coverage is computed by a SWEEP LINE, not by exploding each losing
+    * span to its n member positions: each loser span contributes +1 at
+    * its start and −1 one past its end, and a running sum over the doc's
+    * token positions yields the per-token covering-span depth (kept ⇔
+    * depth 0). Shuffle volume is O(tokens + loser spans) — never n×.
+    *
+    * `portable=true` uses the md5-derived 60-bit hash (DuckDB-mirrorable);
+    * production uses xxhash64. */
+  def removeDupSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 5,
+      portable: Boolean = false)(implicit settings: graft.conf.GraftSettings = graft.conf.GraftSettings.default): DataFrame = {
+    require(n >= 2, s"n-gram size must be >= 2, got $n")
+    def hashOf(c: Column): Column =
+      if (portable) TextAnalysis.portableHash60(c) else xxhash64(c)
+    val norm = TextAnalysis.normalize(col(textCol))
+    val words = split(norm, " ")
+    val base = df.select(
+      col(idCol),
+      when(length(norm) === 0, lit(0L))
+        .otherwise(size(words).cast("long")).as("n_tokens"))
+    // (id, 0-based ngram start, hash); materialized once — feeds the
+    // winner vote AND the join back for loser spans
+    val ng = Parallelism.widen(df)
+      .select(col(idCol).as("__id"), words.as("__w"))
+      .filter(size(col("__w")) >= n)
+      .select(col("__id"),
+        posexplode(transform(
+          sequence(lit(1), size(col("__w")) - (n - 1)),
+          i => hashOf(concat_ws(" ", slice(col("__w"), i, lit(n)))))).as(Seq("__pos", "__h")))
+      .transform(Parallelism.materialize(_))
+    // first-occurrence vote: hash aggregation, never a per-key window
+    val winners = ng.groupBy(col("__h"))
+      .agg(min(struct(col("__id"), col("__pos"))).as("__win"), count(lit(1)).as("__occ"))
+      .filter(col("__occ") >= 2) // unique spans have no losers
+      .select(col("__h"), col("__win.__id").as("__wid"), col("__win.__pos").as("__wpos"))
+    val losers = ng.join(winners, Seq("__h"))
+      .filter(!(col("__id") === col("__wid") && col("__pos") === col("__wpos")))
+      .select(col("__id"), col("__pos"))
+    // sweep-line events, pre-aggregated per (doc, position)
+    val events = losers.select(col("__id"), col("__pos").as("__p"), lit(1L).as("__d"))
+      .unionByName(losers.select(col("__id"), (col("__pos") + n).as("__p"), lit(-1L).as("__d")))
+      .groupBy(col("__id"), col("__p")).agg(sum(col("__d")).as("__d"))
+    val toks = df
+      .select(col(idCol).as("__id"), norm.as("__t"))
+      .filter(length(col("__t")) > 0)
+      .select(col("__id"), posexplode(split(col("__t"), " ")).as(Seq("__pos", "__tok")))
+    val wCov = Window.partitionBy(col("__id")).orderBy(col("__pos"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val flagged = toks
+      .join(events.withColumnRenamed("__p", "__pos"), Seq("__id", "__pos"), "left")
+      .withColumn("__cov", sum(coalesce(col("__d"), lit(0L))).over(wCov))
+      .withColumn("__keep", col("__cov") === 0L)
+    val perDoc = flagged.groupBy(col("__id")).agg(
+      sum(when(col("__keep"), lit(1L)).otherwise(lit(0L))).as("kept_tokens"),
+      md5(concat_ws(" ", transform(
+        array_sort(collect_list(when(col("__keep"), struct(col("__pos"), col("__tok"))))),
+        s => s.getField("__tok")))).as("kept_md5"))
+    base
+      .join(perDoc.withColumnRenamed("__id", idCol), Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(graft.operators.QueryDsl.ratio6(
+            coalesce(col("kept_tokens"), lit(0L)), col("n_tokens"))).as("kept_frac"),
+        coalesce(col("kept_md5"), md5(lit(""))).as("kept_md5"))
+  }
+
   // ---------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash over word tokens: per-bit majority vote of token

@@ -1156,6 +1156,69 @@ object TextQueries {
           FROM stripped)
         SELECT doc_id,
           trim(regexp_replace(s, '[ \t\r\n]+', ' ', 'g')) AS extracted
-        FROM decoded ORDER BY doc_id"""))
+        FROM decoded ORDER BY doc_id""")),
+
+    // Duplicate-span REMOVAL (Lee et al. substring dedup, enforcement
+    // side of d22): every occurrence of a duplicated 5-gram except the
+    // globally first (min (doc,pos), intra-doc copies included) is
+    // removed token-by-token; per-doc kept counts + md5 of the
+    // reconstructed text. Coverage via the sweep-line (+1/-1 events +
+    // running sum), never an n-fold position explode. The oracle mirrors
+    // the full pipeline including the reconstruction md5.
+    CatalogQuery(
+      "d35_span_removal",
+      (s, dir) =>
+        graft.ext.Dedup.removeDupSpans(t(s, dir, "documents"), "doc_id", "text",
+          n = 5, portable = true)
+          .orderBy(col("doc_id")),
+      Some {
+        val N = 5
+        s"""WITH nw AS (
+          SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
+          FROM documents),
+        w AS (
+          SELECT doc_id, string_split(t, ' ') AS ws,
+            CAST(CASE WHEN len(t) = 0 THEN 0 ELSE len(string_split(t, ' ')) END AS BIGINT) AS n_tokens
+          FROM nw),
+        ng0 AS (
+          SELECT doc_id, ws, unnest(generate_series(0, len(ws) - $N)) AS pos
+          FROM w WHERE n_tokens >= $N),
+        ng AS (
+          SELECT doc_id, pos,
+            CAST(('0x' || substr(md5(array_to_string(ws[(pos+1):(pos+$N)], ' ')), 1, 15)) AS BIGINT) AS h
+          FROM ng0),
+        win AS (
+          SELECT h, min(struct_pack(i := doc_id, p := pos)) AS w, count(*) AS occ
+          FROM ng GROUP BY h),
+        losers AS (
+          SELECT ng.doc_id, ng.pos FROM ng JOIN win USING (h)
+          WHERE win.occ >= 2 AND NOT (ng.doc_id = win.w.i AND ng.pos = win.w.p)),
+        ev AS (
+          SELECT doc_id, p, sum(d) AS d FROM (
+            SELECT doc_id, pos AS p, 1 AS d FROM losers
+            UNION ALL SELECT doc_id, pos + $N AS p, -1 AS d FROM losers) u
+          GROUP BY 1, 2),
+        tok0 AS (
+          SELECT doc_id, ws, unnest(generate_series(0, len(ws) - 1)) AS pos
+          FROM w WHERE n_tokens > 0),
+        tok AS (SELECT doc_id, pos, ws[pos + 1] AS tk FROM tok0),
+        cov AS (
+          SELECT t.doc_id, t.pos, t.tk,
+            sum(coalesce(e.d, 0)) OVER (PARTITION BY t.doc_id ORDER BY t.pos
+              ROWS UNBOUNDED PRECEDING) AS c
+          FROM tok t LEFT JOIN ev e ON t.doc_id = e.doc_id AND t.pos = e.p),
+        per_doc AS (
+          SELECT doc_id,
+            sum(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS kept_tokens,
+            md5(coalesce(string_agg(tk, ' ' ORDER BY pos) FILTER (WHERE c = 0), '')) AS kept_md5
+          FROM cov GROUP BY doc_id)
+        SELECT w.doc_id, w.n_tokens,
+          CAST(coalesce(p.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+          CASE WHEN w.n_tokens = 0 THEN 0.0
+               ELSE ${graft.operators.QueryDsl.ratio6Sql("coalesce(p.kept_tokens, 0)", "w.n_tokens")} END AS kept_frac,
+          coalesce(p.kept_md5, md5('')) AS kept_md5
+        FROM w LEFT JOIN per_doc p USING (doc_id)
+        ORDER BY w.doc_id"""
+      })
   )
 }

@@ -346,6 +346,26 @@ class ExtOpsSpec extends SparkSpecBase {
       .foreach { case (id, cov) => assert(cov === 0L, s"doc $id") }
   }
 
+  test("removeDupSpans: later span copies drop, winner survives, md5 reconstructs") {
+    val df = Seq(
+      (10L, "a b c d e f"),   // winner of the shared 5-grams
+      (20L, "a b c d e x"),   // span (a b c d e) is a loser -> keeps only "x"
+      (30L, "a b c d e f"),   // exact dup of 10 -> everything covered
+      (40L, "totally unrelated words here now"),  // unique -> untouched
+      (50L, "tiny")           // < n tokens -> no spans, all kept
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDupSpans(df, "doc_id", "text", n = 5, portable = true)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(4)))).toMap
+    def md5Of(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(10L) === ((6L, 6L, md5Of("a b c d e f"))))
+    assert(out(20L) === ((6L, 1L, md5Of("x"))))
+    assert(out(30L) === ((6L, 0L, md5Of(""))))
+    assert(out(40L) === ((5L, 5L, md5Of("totally unrelated words here now"))))
+    assert(out(50L) === ((1L, 1L, md5Of("tiny"))))
+  }
+
   test("blockDedup: later copies drop, first occurrence survives, md5 reconstructs") {
     val df = Seq(
       (10L, "a b c d e f g h i j"),  // blocks (4w): [a b c d][e f g h][i j]
