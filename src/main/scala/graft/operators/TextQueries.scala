@@ -1053,7 +1053,9 @@ object TextQueries {
       "d32_warc_ingest",
       (s, dir) => {
         import s.implicits._
-        val docs = t(s, dir, "documents")
+        // widen: gzip-compressing one WARC member per record is per-row
+        // heavy, and a single-file input would serialize the build
+        val docs = graft.ext.Parallelism.widen(t(s, dir, "documents"))
         val warcFiles = docs
           .select(concat(lit("http://example.com/doc/"),
             col("doc_id").cast("string")).as("uri"), col("text"))
@@ -1127,7 +1129,9 @@ object TextQueries {
             "<script>var x = 1 < 2;</script></head><body><!-- boilerplate --><p>"),
           esc,
           lit("</p><br><div>nav &amp; footer</div></body></html>"))
-        t(s, dir, "documents")
+        // widen: four regex passes per row are the heavy stage — a
+        // single-file input must not serialize them onto one core
+        graft.ext.Parallelism.widen(t(s, dir, "documents"))
           .select(col("doc_id"),
             graft.ext.TextAnalysis.htmlToText(html).as("extracted"))
           .orderBy(col("doc_id"))

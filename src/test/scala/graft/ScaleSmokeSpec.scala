@@ -157,6 +157,8 @@ class ScaleSmokeSpec extends SparkSpecBase {
       assertWide("d27_block_dedup", q("d27_block_dedup", scaledDir), minWidth)
       assertWide("d28_bpe_pairs", q("d28_bpe_pairs", scaledDir), minWidth)
       assertWide("e14_centroid_outliers", q("e14_centroid_outliers", scaledDir), minWidth)
+      assertWide("d33_bigram_nll", q("d33_bigram_nll", scaledDir), minWidth)
+      assertWide("d35_span_removal", q("d35_span_removal", scaledDir), minWidth)
     }
   }
 
@@ -188,6 +190,12 @@ class ScaleSmokeSpec extends SparkSpecBase {
       assertWide("d20_repetition/1file", q("d20_repetition", singleFileDir), minWidth,
         dominantOnly = true)
       assertWide("d27_block_dedup/1file", q("d27_block_dedup", singleFileDir), minWidth,
+        dominantOnly = true)
+      // four regex passes per row (strip/decode/collapse) — must widen
+      assertWide("d34_html_to_text/1file", q("d34_html_to_text", singleFileDir), minWidth,
+        dominantOnly = true)
+      // per-record gzip members — the WARC build must widen
+      assertWide("d32_warc_ingest/1file", q("d32_warc_ingest", singleFileDir), minWidth,
         dominantOnly = true)
     }
   }
