@@ -129,11 +129,16 @@ final class NearDupIndex(
     // candidate pairs once (bounded: matched bands only), then attach
     // signatures for ONLY the candidate ids — the id set broadcast-semi-
     // joins into the stored sigs scan, so the 100 TB sig store is never
-    // shuffled for a batch-sized probe
-    val cand = Parallelism.materialize(vsIndex.unionByName(intra).distinct())
+    // shuffled for a batch-sized probe. The two barriers exist to stop
+    // the STORE being re-scanned per consumer; on the first batch there
+    // is no store and every input below is already materialized, so
+    // recomputation is an in-memory join and the barriers are pure cost.
+    def barrierIfStored(frame: DataFrame): DataFrame =
+      if (bandsExist) Parallelism.materialize(frame) else frame
+    val cand = barrierIfStored(vsIndex.unionByName(intra).distinct())
     val neededIds = cand.select(col("id_new").as("doc_id"))
       .unionByName(cand.select(col("id_matched").as("doc_id"))).distinct()
-    val candSigs = Parallelism.materialize(
+    val candSigs = barrierIfStored(
       allSigs.join(
         Parallelism.maybeBroadcast(neededIds, settings.probeBroadcastThresholdBytes),
         Seq("doc_id"), "left_semi"))
