@@ -51,6 +51,14 @@ final class AnnIndex(
     * carry joint per-file stats; the composite can). */
   private def tbExpr = col("tbl").cast("long") * lit(1L << 32) + col("bucket").cast("long")
 
+  /** Whether the persisted buckets store carries the `tb` column. An
+    * index written by the pre-`tb` layout must keep its flat shape —
+    * mixing would leave tb NULL on old files, and the pruning filter
+    * would silently drop every pre-upgrade row from results. A fresh
+    * store always adopts the clustered layout. */
+  private def storeHasTb: Boolean =
+    !bucketsTable.exists || bucketsTable.read().columns.contains("tb")
+
   /** Hash and append a batch of (id, vector) rows. Ids must be globally
     * unique across adds.
     *
@@ -65,12 +73,13 @@ final class AnnIndex(
       ingestToken: Option[String] = None): Unit = {
     import spark.implicits._
     val replay = ingestToken.exists(tokenApplied)
+    val clustered = storeHasTb
     // materialize before clustering: repartitionByRange SAMPLES its child
     // to pick range bounds, so an unmaterialized hash pipeline would run
     // twice (sample pass + write pass)
-    val buckets0 = Similarity.lshBucketRows(df, idCol, vecCol, nTables, bitsPerTable, portable)
+    val hashed = Similarity.lshBucketRows(df, idCol, vecCol, nTables, bitsPerTable, portable)
       .select(col("id").as("vec_id"), col("tbl"), col("bucket"))
-      .withColumn("tb", tbExpr)
+    val buckets0 = (if (clustered) hashed.withColumn("tb", tbExpr) else hashed)
       .transform(Parallelism.materialize(_))
     val vectors0 = df.select(col(idCol).as("vec_id"), col(vecCol).as("vec"),
       Similarity.quantizedDot(col(vecCol), col(vecCol)).as("sq"))
@@ -91,11 +100,14 @@ final class AnnIndex(
         (missingFrom(bucketsTable, buckets0), missingFrom(vectorsTable, vectors0))
       }
     // buckets are range-clustered on the composite bucket key so the probe
-    // predicate file-prunes; vectors append FLAT — they are consumed via a
-    // candidate-id semi-join, and range-shuffling the full embedding
-    // payload per batch would buy nothing
-    if (!replay || buckets.limit(1).count() > 0)
-      bucketsTable.appendClustered(buckets, Seq("tb"))
+    // predicate file-prunes (flat append on a legacy pre-tb store);
+    // vectors append FLAT — they are consumed via a candidate-id
+    // semi-join, and range-shuffling the full embedding payload per batch
+    // would buy nothing
+    if (!replay || buckets.limit(1).count() > 0) {
+      if (clustered) bucketsTable.appendClustered(buckets, Seq("tb"))
+      else bucketsTable.append(buckets)
+    }
     if (!replay || vectors.limit(1).count() > 0)
       vectorsTable.append(vectors)
     // store maintenance: a crawl ingesting thousands of batches would
@@ -103,7 +115,8 @@ final class AnnIndex(
     // compacts CLUSTERED so the tb ranges stay tight and query-time
     // IN-pruning survives the rewrite; dataChange=false keeps the
     // compactions invisible to incremental consumers.
-    bucketsTable.compactClusteredIfNeeded(Seq("tb"))
+    if (clustered) bucketsTable.compactClusteredIfNeeded(Seq("tb"))
+    else bucketsTable.compactIfNeeded()
     vectorsTable.compactIfNeeded()
   }
 
@@ -112,6 +125,13 @@ final class AnnIndex(
     * indexed vector exclude that self-match. */
   def query(probes: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
     require(bucketsTable.exists, s"empty ANN index at $path")
+    // empty probe frame: empty result, same schema (empty-in/empty-out —
+    // the hash derivation itself needs at least one row to size vectors)
+    if (probes.isEmpty)
+      return probes
+        .select(col(idCol).as("probe_id"), col(idCol).as("neighbor_id"))
+        .withColumn("rnk", lit(1)).withColumn("sim", lit(0.0))
+        .limit(0)
     // probe batches are small by contract (they broadcast below): hashing
     // them twice (key-set collect + candidate join) beats a barrier job
     val probeBuckets = Similarity.lshBucketRows(
@@ -119,11 +139,15 @@ final class AnnIndex(
       .select(col("id").as("probe_id"), col("tbl"), col("bucket"))
     // bounded driver-side set (|probes| x nTables); IN-pruning the
     // clustered buckets table reads only files whose [min,max] tb range
-    // can hold a probed bucket — never the whole index
+    // can hold a probed bucket — never the whole index. A legacy pre-tb
+    // store has no composite key and falls back to the full scan (still
+    // a broadcast join — no stored-side shuffle, just no file pruning).
     val probeKeys = probeBuckets.select(tbExpr.as("tb")).distinct()
       .collect().map(_.getLong(0)).toSeq
-    require(probeKeys.nonEmpty, "query needs at least one probe row")
-    val candidates = bucketsTable.readWhere(col("tb").isin(probeKeys: _*))
+    val stored =
+      if (storeHasTb) bucketsTable.readWhere(col("tb").isin(probeKeys: _*))
+      else bucketsTable.read()
+    val candidates = stored
       .join(broadcast(probeBuckets), Seq("tbl", "bucket"))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("neighbor_id"))
@@ -133,11 +157,15 @@ final class AnnIndex(
       Similarity.quantizedDot(col(vecCol), col(vecCol)).as("probe_sq"))
     // candidate ids broadcast into the vectors scan: the stored vectors
     // stream through a semi-join (scan, zero shuffle) and only actual
-    // candidates' embeddings survive into the rescore
+    // candidates' embeddings survive into the rescore. Gated like every
+    // store probe: an oversized candidate set (giant probe batch against
+    // a dense index) degrades to a shuffle join instead of OOMing the
+    // driver.
     val neighborVecs = vectorsTable.read()
       .select(col("vec_id").as("neighbor_id"), col("vec").as("neighbor_vec"),
         col("sq").as("neighbor_sq"))
-      .join(broadcast(candidates.select("neighbor_id").distinct()),
+      .join(Parallelism.maybeBroadcast(candidates.select("neighbor_id").distinct(),
+          settings.probeBroadcastThresholdBytes),
         Seq("neighbor_id"), "left_semi")
     val withVecs = candidates
       .join(broadcast(probeVecs), Seq("probe_id"))

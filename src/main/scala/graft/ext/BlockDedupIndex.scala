@@ -95,7 +95,8 @@ final class BlockDedupIndex(
           settings.probeBroadcastThresholdBytes),
         Seq("__h"), "left_semi"))
     val flagged = blocks.join(winners, Seq("__h"))
-      .join(broadcast(hits.withColumn("__known", lit(true))), Seq("__h"), "left")
+      .join(Parallelism.maybeBroadcast(hits.withColumn("__known", lit(true)),
+        settings.probeBroadcastThresholdBytes), Seq("__h"), "left")
       .withColumn("__keep",
         col("__id") === col("__wid") && col("__pos") === col("__wpos") &&
           col("__known").isNull)
@@ -114,7 +115,8 @@ final class BlockDedupIndex(
       // yet stored" — derived from the already-materialized overlap, the
       // store is never scanned a second time
       case None => winners.select(col("__h").as("h"))
-        .join(broadcast(hits.select(col("__h").as("h"))), Seq("h"), "left_anti")
+        .join(Parallelism.maybeBroadcast(hits.select(col("__h").as("h")),
+          settings.probeBroadcastThresholdBytes), Seq("h"), "left_anti")
       // replay: the store moved since the snapshot (our own first attempt
       // and/or later batches) — dedup against the CURRENT store so a
       // crash-gap is filled but nothing is ever double-inserted

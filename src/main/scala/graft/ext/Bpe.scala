@@ -104,8 +104,8 @@ object Bpe {
         merges += ((l, r, c))
         // narrow per-row fold; eager checkpoint keeps lineage flat across
         // iterations (vocab-sized, cheap)
-        syms = syms.select(applyMerge(col("symbols"), l, r).as("symbols"), col("wc"))
-          .transform(Parallelism.materialize(_))
+        syms = Parallelism.rematerialize(
+          syms.select(applyMerge(col("symbols"), l, r).as("symbols"), col("wc")), syms)
         i += 1
       }
     }
@@ -125,9 +125,10 @@ object Bpe {
     merges.grouped(checkpointEvery).foldLeft(
       words.select(col(wordCol).as("word"), toSymbols(col(wordCol)).as("symbols"))) {
       case (df, chunk) =>
-        chunk.foldLeft(df) { case (d, (l, r)) =>
-          d.withColumn("symbols", applyMerge(col("symbols"), l, r))
-        }.transform(Parallelism.materialize(_))
+        Parallelism.rematerialize(
+          chunk.foldLeft(df) { case (d, (l, r)) =>
+            d.withColumn("symbols", applyMerge(col("symbols"), l, r))
+          }, df)
     }
   }
 }

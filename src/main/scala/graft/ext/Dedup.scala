@@ -233,12 +233,12 @@ object Dedup {
       // the changed flag rides the update projection, so convergence is a
       // filter over the just-checkpointed frame — not another full-table
       // join+shuffle per round
-      val updated = labels
+      val updated = Parallelism.rematerialize(labels
         .join(neighborMin.select(col("src").as("id"), col("min_nc")), Seq("id"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("min_nc"), col("component"))).as("component"),
-          (coalesce(col("min_nc"), col("component")) < col("component")).as("__changed"))
-        .transform(Parallelism.materialize(_))
+          (coalesce(col("min_nc"), col("component")) < col("component")).as("__changed")),
+        labels)
       converged = updated.filter(col("__changed")).isEmpty
       labels = updated.drop("__changed")
       i += 1

@@ -287,23 +287,8 @@ object Multimodal {
     * mapPartitions, payloads never shuffled, corrupt/non-BMFF payloads
     * yield zero rows rather than failed tasks. */
   def demuxMp4Exploded(df: DataFrame, nFrames: Int,
-      idCol: String = "media_id", contentCol: String = "content"): DataFrame = {
-    val outSchema = StructType(Seq(
-      df.schema(idCol),
-      StructField("sample_idx", IntegerType, nullable = false),
-      StructField("sample_bytes", BinaryType, nullable = false),
-      StructField("sample_size", LongType, nullable = false)))
-    implicit val enc: Encoder[Row] = Encoders.row(outSchema)
-    df.select(col(idCol), col(contentCol)).mapPartitions { rows =>
-      rows.flatMap { r =>
-        val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
-        if (bytes == null) Iterator.empty
-        else Mp4Demux.sampleBytes(bytes, nFrames).map { case (si, sample) =>
-          Row(r.get(0), si, sample, sample.length.toLong)
-        }
-      }
-    }
-  }
+      idCol: String = "media_id", contentCol: String = "content"): DataFrame =
+    demuxSamplesExploded(df, idCol, contentCol, Mp4Demux.sampleBytes(_, nFrames))
 
   /** REAL WebM/Matroska demux via the pure-JVM EBML parser
     * ([[WebmDemux]]): up to `nFrames` evenly-sampled media BLOCKS (codec
@@ -316,7 +301,15 @@ object Multimodal {
     * mapPartitions, payloads never shuffled, corrupt/non-EBML payloads
     * yield zero rows rather than failed tasks. */
   def demuxWebmExploded(df: DataFrame, nFrames: Int,
-      idCol: String = "media_id", contentCol: String = "content"): DataFrame = {
+      idCol: String = "media_id", contentCol: String = "content"): DataFrame =
+    demuxSamplesExploded(df, idCol, contentCol, WebmDemux.sampleBytes(_, nFrames))
+
+  /** Shared container-demux explode: one row per sampled codec payload,
+    * (id, sample_idx, sample_bytes, sample_size). Partition-local;
+    * null/corrupt payloads (sampler returns empty) yield zero rows. */
+  private def demuxSamplesExploded(df: DataFrame, idCol: String,
+      contentCol: String,
+      sampler: Array[Byte] => Seq[(Int, Array[Byte])]): DataFrame = {
     val outSchema = StructType(Seq(
       df.schema(idCol),
       StructField("sample_idx", IntegerType, nullable = false),
@@ -327,7 +320,7 @@ object Multimodal {
       rows.flatMap { r =>
         val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
         if (bytes == null) Iterator.empty
-        else WebmDemux.sampleBytes(bytes, nFrames).map { case (si, sample) =>
+        else sampler(bytes).map { case (si, sample) =>
           Row(r.get(0), si, sample, sample.length.toLong)
         }
       }

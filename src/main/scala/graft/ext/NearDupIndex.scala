@@ -163,26 +163,30 @@ final class NearDupIndex(
       case None =>
         (newBands.select(col("id").as("doc_id"), col("band"), col("band_key")),
           sigs.select(col("id").as("doc_id"), col("sig")))
-      // replay: append only ids missing from the CURRENT store (fills a
-      // crash gap, never double-inserts after a completed first attempt)
+      // replay: append only ids missing from EACH store — the crash gap
+      // can sit between the two appends (bands landed, sigs didn't), so
+      // a single-store membership test would double-insert the other
       case Some(_) =>
-        val have = sigsTable.read().select(col("doc_id"))
-        val missing = sigs.select(col("id").as("doc_id"))
-          .join(have, Seq("doc_id"), "left_anti")
-        (newBands.select(col("id").as("doc_id"), col("band"), col("band_key"))
-            .join(missing, Seq("doc_id"), "left_semi"),
-          sigs.select(col("id").as("doc_id"), col("sig"))
-            .join(missing, Seq("doc_id"), "left_semi"))
+        def missingFrom(t: GraftTable, rows: DataFrame): DataFrame =
+          if (!t.exists) rows
+          else rows.join(t.read().select(col("doc_id")).distinct(),
+            Seq("doc_id"), "left_anti")
+        (missingFrom(bandsTable,
+            newBands.select(col("id").as("doc_id"), col("band"), col("band_key"))),
+          missingFrom(sigsTable, sigs.select(col("id").as("doc_id"), col("sig"))))
     }
-    val mustAppend = replayOf.isEmpty || sigRows.limit(1).count() > 0
-    if (mustAppend) {
+    if (replayOf.isEmpty) {
       bandsTable.append(bandRows)
       sigsTable.append(sigRows)
-      // file-count maintenance across a long-running crawl (bounded by
-      // settings.maxNumFilesAllowed; dataChange=false)
-      bandsTable.compactIfNeeded()
-      sigsTable.compactIfNeeded()
+    } else {
+      // per-store: only the store with a gap gets its fill appended
+      if (bandRows.limit(1).count() > 0) bandsTable.append(bandRows)
+      if (sigRows.limit(1).count() > 0) sigsTable.append(sigRows)
     }
+    // file-count maintenance across a long-running crawl (bounded by
+    // settings.maxNumFilesAllowed; dataChange=false)
+    bandsTable.compactIfNeeded()
+    sigsTable.compactIfNeeded()
     out
   }
 }

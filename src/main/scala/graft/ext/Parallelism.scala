@@ -71,4 +71,18 @@ private[graft] object Parallelism {
         throw new IllegalArgumentException(
           s"unknown barrierMode '$other' (expected localCheckpoint | persist)")
     }
+
+  /** [[materialize]] for ITERATIVE operators replacing a frame per round
+    * (k-means centroids, CC labels, MMR selections, BPE vocab): the
+    * superseded barrier is released eagerly. localCheckpoint blocks are
+    * ContextCleaner-freed once unreferenced, but persist-mode entries
+    * live in the CacheManager for the session — a 10k-iteration trainer
+    * would otherwise pin thousands of dead cached frames and evict
+    * useful blocks. `previous` must not be consumed again afterwards. */
+  def rematerialize(next: DataFrame, previous: DataFrame)(
+      implicit settings: graft.conf.GraftSettings): DataFrame = {
+    val m = materialize(next)
+    if (settings.barrierMode == "persist") previous.unpersist(blocking = false)
+    m
+  }
 }

@@ -440,7 +440,9 @@ object Similarity {
         .agg(min(struct(col("dist"), col("cluster"))).as("best"))
         .select(col("id"), col("best.cluster").as("cluster"), col("best.dist").as("qdist"))
     for (_ <- 1 to iters) {
-      cent = assign(cent)
+      // rematerialize: barrier truncates per-iteration lineage AND (in
+      // persist mode) releases the superseded centroid frame
+      cent = Parallelism.rematerialize(assign(cent)
         .join(ex, Seq("id"))
         .groupBy(col("cluster"), col("i"))
         .agg(sum(col("micro")).as("s"), count(lit(1)).as("n"))
@@ -451,8 +453,7 @@ object Similarity {
         // "half-up" stops being exact.
         .select(col("cluster"), col("i"),
           (floor((col("s") * 2 + col("n")).cast("double") / (col("n") * 2).cast("double"))
-            .cast("double") / lit(1e6)).as("c"))
-        .transform(Parallelism.materialize(_)) // truncate per-iteration lineage
+            .cast("double") / lit(1e6)).as("c")), cent)
     }
     assign(cent)
   }
@@ -571,14 +572,15 @@ object Similarity {
     // subvectors independently — all m trainings ride ONE assign +
     // ONE update job per iteration (subspace is just a grouping key)
     for (_ <- 1 to iters) {
-      cent = assign(cent)
+      // rematerialize: lineage barrier + persist-mode release of the
+      // superseded per-subspace codebook
+      cent = Parallelism.rematerialize(assign(cent)
         .join(exCorpus, Seq("id", "s"))
         .groupBy(col("s"), col("code"), col("i"))
         .agg(sum(col("micro")).as("__msum"), count(lit(1)).as("__n"))
         .select(col("code").as("c"), col("i"), col("s"),
           (floor((col("__msum") * 2 + col("__n")).cast("double") / (col("__n") * 2).cast("double"))
-            .cast("double") / lit(1e6)).as("cx"))
-        .transform(Parallelism.materialize(_)) // truncate per-iteration lineage
+            .cast("double") / lit(1e6)).as("cx")), cent)
     }
     val codes = assign(cent)
     def probeDists(df: DataFrame): DataFrame = subDists(exploded(df), cent)
@@ -796,7 +798,7 @@ object Similarity {
         .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1)
         .select(col("probe_id"), col("neighbor_id"), lit(t).as("step"), col("score"))
-      all = all.unionByName(selected).transform(Parallelism.materialize(_))
+      all = Parallelism.rematerialize(all.unionByName(selected), all)
       t += 1
     }
     all

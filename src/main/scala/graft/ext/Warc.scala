@@ -59,6 +59,10 @@ object Warc {
         val gz = new GZIPOutputStream(out)
         gz.write(recordBytes)
         gz.finish()
+        // close() releases the native Deflater deterministically (finish()
+        // alone leaves it to GC — a native-memory leak at millions of
+        // records per task); closing the shared BAOS underneath is a no-op
+        gz.close()
       } else out.write(recordBytes)
     }
     out.toByteArray
@@ -68,7 +72,11 @@ object Warc {
 
   private def gunzipAll(bytes: Array[Byte]): Array[Byte] = {
     val in = new GZIPInputStream(new ByteArrayInputStream(bytes), 64 * 1024)
-    val out = new ByteArrayOutputStream(bytes.length * 4)
+    // size HINT only (BAOS grows): the long math + cap avoids the Int
+    // overflow a `length * 4` would hit on ~512 MB+ archives (a negative
+    // capacity throws, and records() would silently drop the whole file)
+    val out = new ByteArrayOutputStream(
+      math.min(bytes.length.toLong * 4, 64L * 1024 * 1024).toInt)
     val buf = new Array[Byte](64 * 1024)
     try {
       var n = in.read(buf)

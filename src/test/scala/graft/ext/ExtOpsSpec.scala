@@ -751,6 +751,51 @@ class ExtOpsSpec extends SparkSpecBase {
     graft.lake.FsUtils.deletePath(spark, s"file://$dir")
   }
 
+  test("AnnIndex: legacy pre-tb stores still serve and stay flat on new adds") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann-legacy-").toString
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val half = emb.filter(col("vec_id") % 2 === 0)
+    // simulate an index written by the pre-tb layout: raw stores without
+    // the composite key column
+    graft.tables.GraftTable(spark, s"$dir/idx/buckets").append(
+      Similarity.lshBucketRows(half, "vec_id", "embedding", 8, 6, portable = true)
+        .select(col("id").as("vec_id"), col("tbl"), col("bucket")))
+    graft.tables.GraftTable(spark, s"$dir/idx/vectors").append(
+      half.select(col("vec_id"), col("embedding").as("vec"),
+        Similarity.quantizedDot(col("embedding"), col("embedding")).as("sq")))
+    val idx = new AnnIndex(spark, s"$dir/idx", nTables = 8, bitsPerTable = 6,
+      portable = true)
+    val probes = emb.filter(col("vec_id") < 3)
+    // pre-upgrade rows must NOT be dropped (tb filter would NULL them out)
+    val got = idx.query(probes, "vec_id", "embedding", k = 3)
+      .select("probe_id", "neighbor_id", "rnk").as[(Long, Long, Int)].collect().toSet
+    val want = Similarity.annTopK(half, probes, "vec_id", "embedding", 3,
+        nTables = 8, bitsPerTable = 6, portable = true)
+      .select("probe_id", "neighbor_id", "rnk").as[(Long, Long, Int)].collect().toSet
+    assert(got === want)
+    // a new add keeps the store homogeneous (flat, no tb mixing)
+    idx.add(emb.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding")
+    assert(!idx.bucketsTable.read().columns.contains("tb"))
+    val gotAll = idx.query(probes, "vec_id", "embedding", k = 3)
+      .select("probe_id", "neighbor_id", "rnk").as[(Long, Long, Int)].collect().toSet
+    val wantAll = Similarity.annTopK(emb, probes, "vec_id", "embedding", 3,
+        nTables = 8, bitsPerTable = 6, portable = true)
+      .select("probe_id", "neighbor_id", "rnk").as[(Long, Long, Int)].collect().toSet
+    assert(gotAll === wantAll)
+    graft.lake.FsUtils.deletePath(spark, s"file://$dir")
+  }
+
+  test("AnnIndex: empty probe frame returns an empty typed result") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann-empty-").toString
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val idx = new AnnIndex(spark, s"$dir/idx", portable = true)
+    idx.add(emb, "vec_id", "embedding")
+    val out = idx.query(emb.filter(col("vec_id") < 0), "vec_id", "embedding", k = 3)
+    assert(out.columns.toSeq === Seq("probe_id", "neighbor_id", "rnk", "sim"))
+    assert(out.count() === 0)
+    graft.lake.FsUtils.deletePath(spark, s"file://$dir")
+  }
+
   test("AnnIndex: store maintenance bounds files across many adds, query unchanged") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ann-compact-").toString
     val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
