@@ -1223,6 +1223,96 @@ object TextQueries {
           coalesce(p.kept_md5, md5('')) AS kept_md5
         FROM w LEFT JOIN per_doc p USING (doc_id)
         ORDER BY w.doc_id"""
-      })
+      }),
+
+    // The composed crawl->corpus WET pipeline: markup-wrapped docs are
+    // serialized into real per-partition WARC archives, re-ingested
+    // through recordsExploded, text-extracted from the payload bytes and
+    // quality-gated — the d32 + d34 + d11 operators chained end-to-end.
+    // The oracle SKIPS the container (d32 already proves the WARC
+    // round-trip is byte-preserving) and mirrors wrap -> extract ->
+    // metrics -> gate, so a hash match proves the WHOLE chain, container
+    // framing included, is lossless.
+    CatalogQuery(
+      "d36_crawl_wet_pipeline",
+      (s, dir) => {
+        import s.implicits._
+        val esc = replace(replace(replace(col("text"),
+          lit("&"), lit("&amp;")), lit("<"), lit("&lt;")), lit(">"), lit("&gt;"))
+        val html = concat(
+          lit("<html><head><title>t</title><style>p { color: red }</style>" +
+            "<script>var x = 1 < 2;</script></head><body><!-- boilerplate --><p>"),
+          esc,
+          lit("</p><br><div>nav &amp; footer</div></body></html>"))
+        val warcFiles = graft.ext.Parallelism.widen(t(s, dir, "documents"))
+          .select(concat(lit("http://example.com/doc/"),
+            col("doc_id").cast("string")).as("uri"), html.as("html"))
+          .as[(String, String)]
+          .mapPartitions { it =>
+            Iterator.single(graft.ext.Warc.write(it.map { case (uri, page) =>
+              graft.ext.Warc.WarcRecord("response", s"<urn:doc:$uri>", uri,
+                "text/html", "2026-01-01T00:00:00Z",
+                page.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            }))
+          }
+          .toDF("content")
+          .withColumn("file_id", monotonically_increasing_id())
+        val extracted = graft.ext.Warc.recordsExploded(warcFiles)
+          .select(col("target_uri"),
+            graft.ext.TextAnalysis.htmlToText(col("payload").cast("string")).as("text"))
+        graft.ext.TextAnalysis.qualityFiltered(extracted, "text",
+            minScore = 0.55, minTokens = 5, maxTokens = 5000, maxDigitRatio = 0.3)
+          .select(col("target_uri"), col("n_tokens"), col("quality_score"))
+          .orderBy(col("target_uri"))
+      },
+      Some(s"""WITH fixture AS (
+          SELECT 'http://example.com/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
+            '<html><head><title>t</title><style>p { color: red }</style>' ||
+            '<script>var x = 1 < 2;</script></head><body><!-- boilerplate --><p>' ||
+            replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;') ||
+            '</p><br><div>nav &amp; footer</div></body></html>' AS html
+          FROM documents),
+        stripped AS (
+          SELECT target_uri,
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(html,
+                  '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'),
+                '(?s)<!--.*?-->', ' ', 'g'),
+              '<[^>]*>', ' ', 'g') AS s
+          FROM fixture),
+        decoded AS (
+          SELECT target_uri,
+            replace(replace(replace(replace(replace(replace(s,
+              '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+              '&#39;', CHR(39)), '&nbsp;', ' '), '&amp;', '&') AS s
+          FROM stripped),
+        extracted AS (
+          SELECT target_uri,
+            trim(regexp_replace(s, '[ \t\r\n]+', ' ', 'g')) AS text
+          FROM decoded),
+        base AS (
+          SELECT target_uri, text, ' ' || replace(lower(text), ' ', '  ') || ' ' AS x
+          FROM extracted),
+        m AS (
+          SELECT target_uri,
+            CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) END AS n_tokens,
+            CASE WHEN length(text) = 0 THEN 0.0
+                 ELSE CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) END AS alpha_ratio,
+            CASE WHEN length(text) = 0 THEN 0.0
+                 ELSE CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text) END AS digit_ratio,
+            ${hitsSql("en")} AS stop_hits
+          FROM base),
+        q AS (
+          SELECT target_uri, n_tokens, digit_ratio,
+            alpha_ratio * 0.5
+              + least(CAST(stop_hits AS DOUBLE) / greatest(n_tokens, 1), 0.5) * 0.8
+              + (CASE WHEN n_tokens BETWEEN 20 AND 10000 THEN 0.1 ELSE 0.0 END)
+              - digit_ratio * 0.3 AS quality_score
+          FROM m)
+        SELECT target_uri, n_tokens, quality_score FROM q
+        WHERE quality_score >= 0.55 AND n_tokens BETWEEN 5 AND 5000 AND digit_ratio < 0.3
+        ORDER BY target_uri"""))
   )
 }
