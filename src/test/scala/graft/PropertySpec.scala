@@ -73,6 +73,65 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("removeDupSpans == naive winner-rule reference on random corpora") {
+    val vocab = Vector("a", "bb", "ccc", "dd", "e")
+    val docGen = Gen.listOfN(6, for {
+      n <- Gen.choose(0, 14)
+      ws <- Gen.listOfN(n, Gen.oneOf(vocab))
+    } yield ws.mkString(" "))
+    samples(docGen, 8).foreach { texts =>
+      val n = 3
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = graft.ext.Dedup.removeDupSpans(df, "doc_id", "text", n = n, portable = true)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      // naive reference: spans = n-grams; losers = every occurrence of an
+      // n-gram after the global minimal (doc, pos); covered = union of
+      // loser intervals; kept = tokens outside
+      val toks: Map[Long, Array[String]] = texts.zipWithIndex.map { case (t, i) =>
+        val norm = t.trim.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+        i.toLong -> (if (norm.isEmpty) Array.empty[String] else norm.split(" "))
+      }.toMap
+      val occ = toks.toSeq.flatMap { case (id, ws) =>
+        (0 to ws.length - n).map(p => (ws.slice(p, p + n).mkString(" "), id, p))
+      }
+      val winners = occ.groupBy(_._1).map { case (g, os) =>
+        g -> os.map(o => (o._2, o._3)).min
+      }
+      val losers = occ.filter { case (g, id, p) => winners(g) != ((id, p)) && occ.count(_._1 == g) >= 2 }
+      val coveredByDoc = losers.groupBy(_._2).map { case (id, ls) =>
+        id -> ls.flatMap { case (_, _, p) => p until (p + n) }.toSet
+      }
+      toks.foreach { case (id, ws) =>
+        val covered = coveredByDoc.getOrElse(id, Set.empty)
+        val expectKept = ws.indices.count(!covered.contains(_)).toLong
+        val (gotTokens, gotKept) = got(id)
+        assert(gotTokens === ws.length.toLong, s"doc $id n_tokens")
+        assert(gotKept === expectKept, s"doc $id kept (texts=$texts)")
+      }
+    }
+  }
+
+  test("warc round-trip: arbitrary headers and binary payloads survive both framings") {
+    val recGen = Gen.listOfN(5, for {
+      uri <- Gen.alphaNumStr.map(s => s"http://x/${s.take(12)}")
+      wtype <- Gen.oneOf("response", "request", "resource", "warcinfo")
+      nBytes <- Gen.choose(0, 200)
+      payload <- Gen.listOfN(nBytes, Gen.choose(Byte.MinValue, Byte.MaxValue))
+    } yield graft.ext.Warc.WarcRecord(wtype, s"<urn:$uri>", uri, "text/plain",
+      "2026-01-01T00:00:00Z", payload.toArray))
+    samples(recGen, 10).foreach { recs =>
+      for (gz <- Seq(true, false)) {
+        val back = graft.ext.Warc.records(
+          graft.ext.Warc.write(recs.iterator, gzipPerRecord = gz))
+        assert(back.length === recs.length)
+        back.zip(recs).foreach { case (b, o) =>
+          assert(b.warcType === o.warcType && b.targetUri === o.targetUri &&
+            b.payload.toSeq === o.payload.toSeq)
+        }
+      }
+    }
+  }
+
   test("upsert last-writer-wins: applying the same batch twice == once") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-prop-").toString
     samples(Gen.listOfN(12, for {

@@ -127,6 +127,46 @@ class StreamingCorpusIngestSpec extends SparkSpecBase {
     assert(rows(12L) === ((0L, 0L)), s"got ${rows(12L)}")
   }
 
+  test("streaming WARC ingest: archives arrive as binary files, records land curated") {
+    // crawl archives land in a directory; each micro-batch explodes its
+    // records partition-locally and appends them to a curated table —
+    // the ingestion front of the WET pipeline in streaming form
+    val src = s"$root/incoming-warcs"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+    val recordsTable = GraftTable(spark, s"$root/warc-records")
+    def ingestWarcs(): Unit = {
+      val q = spark.readStream.format("binaryFile")
+        .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+        .load(src)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val recs = graft.ext.Warc.recordsExploded(
+            batch.select(col("path").as("file_id"), col("content")))
+          if (!recs.isEmpty)
+            recordsTable.append(recs.select("target_uri", "payload_len"))
+          ()
+        }
+        .option("checkpointLocation", s"$root/warc-ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def writeArchive(name: String, docs: Seq[(String, String)]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$src/$name"),
+        graft.ext.Warc.write(docs.iterator.map { case (uri, text) =>
+          graft.ext.Warc.WarcRecord("response", s"<urn:$uri>", uri, "text/plain",
+            "2026-01-01T00:00:00Z", text.getBytes("UTF-8"))
+        }))
+    writeArchive("a.warc.gz", Seq(("http://a/1", "alpha beta"), ("http://a/2", "gamma")))
+    ingestWarcs()
+    assert(recordsTable.read().count() === 2)
+    // a second archive arrives; the checkpoint resumes without re-ingesting
+    writeArchive("b.warc.gz", Seq(("http://b/1", "delta epsilon zeta")))
+    ingestWarcs()
+    val rows = recordsTable.read().as[(String, Long)].collect().toSet
+    assert(rows === Set(("http://a/1", 10L), ("http://a/2", 5L), ("http://b/1", 18L)))
+  }
+
   test("streaming ANN ingest: embedding batches index incrementally, then serve") {
     // embeddings arrive as a file stream; each micro-batch hashes only
     // itself into the persisted AnnIndex (batchId as the idempotence
