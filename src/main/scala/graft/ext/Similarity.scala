@@ -238,6 +238,55 @@ object Similarity {
       .select("probe_id", "neighbor_id", "rnk", "sim")
   }
 
+  /** [[annTopK]] with MULTIPROBE: each probe searches its exact bucket
+    * AND every 1-bit perturbation of it, per table — the standard
+    * recall/latency knob (Lv et al. 2007, multi-probe LSH): near
+    * neighbors that land one sign-bit away are recovered WITHOUT adding
+    * hash tables (more tables = more stored index; more probes = only
+    * more query-side candidates). Candidate volume grows by at most
+    * (bitsPerTable + 1)x on the probe side — the corpus side is
+    * untouched, so at 100 TB the index neither grows nor re-shuffles.
+    * The candidate set is a superset of [[annTopK]]'s, so recall@k is
+    * non-decreasing. */
+  def annTopKMultiprobe(
+      corpus: DataFrame,
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nTables: Int = 8,
+      bitsPerTable: Int = 4,
+      portable: Boolean = false): DataFrame = {
+    val c = lshBucketRows(corpus, idCol, vecCol, nTables, bitsPerTable, portable)
+      .select(col("id").as("neighbor_id"), col("tbl"), col("bucket"))
+    // probe buckets expand to {bucket} ∪ {bucket XOR 2^b}: flip 0 keeps
+    // the exact bucket, so the expansion strictly contains the
+    // single-probe candidate set
+    val flips = lit(0) +: (0 until bitsPerTable).map(b => lit(1 << b))
+    val p = lshBucketRows(probes, idCol, vecCol, nTables, bitsPerTable, portable)
+      .select(col("id").as("probe_id"), col("tbl"), col("bucket"))
+      .withColumn("__flip", explode(array(flips: _*)))
+      .withColumn("bucket", col("bucket").bitwiseXOR(col("__flip")).cast("int"))
+      .drop("__flip")
+    val pairs = c.join(broadcast(p), Seq("tbl", "bucket"))
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .select("probe_id", "neighbor_id")
+      .distinct()
+    val withVecs = pairs
+      .join(broadcast(probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"),
+        selfDot(col(vecCol), portable).as("probe_sq"))), Seq("probe_id"))
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("neighbor_vec"),
+        selfDot(col(vecCol), portable).as("neighbor_sq")), Seq("neighbor_id"))
+    val sim = pairSim(col("probe_vec"), col("probe_sq"),
+      col("neighbor_vec"), col("neighbor_sq"), portable)
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    withVecs
+      .withColumn("sim", sim)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("probe_id", "neighbor_id", "rnk", "sim")
+  }
+
   // ----------------------------------------------------------------- IVF
 
   /** Deterministic IVF coarse quantizer: the centroid set is the `nLists`

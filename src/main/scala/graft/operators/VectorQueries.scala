@@ -659,7 +659,43 @@ object VectorQueries {
           coalesce(hits.hits, CAST(0 AS BIGINT)) AS hits,
           ${graft.operators.QueryDsl.ratio6Sql("coalesce(hits.hits, 0)", "nt.n_truth")} AS recall
         FROM nt LEFT JOIN hits USING (probe_id)
-        ORDER BY nt.probe_id"""))
+        ORDER BY nt.probe_id""")),
+
+    // Multi-probe LSH (Lv et al. 2007): each probe also searches every
+    // 1-bit perturbation of its bucket per table — the recall knob that
+    // costs only query-side candidates, never index size. Candidates are
+    // a superset of e03's, so recall@k is non-decreasing at identical
+    // stored-index cost.
+    CatalogQuery(
+      "e17_ann_multiprobe",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.annTopKMultiprobe(
+            corpus = emb,
+            probes = emb.filter(col("vec_id") < 5),
+            idCol = "vec_id", vecCol = "embedding", k = 5,
+            nTables = 8, bitsPerTable = 6, portable = true)
+          .orderBy(col("probe_id"), col("rnk"))
+      },
+      Some(s"""${bucketsSql(nTables = 8, bitsPerTable = 6)},
+        pb AS (SELECT vec_id, tbl, xor(bucket, f) AS bucket
+               FROM buck, (SELECT unnest([0, 1, 2, 4, 8, 16, 32]) AS f)
+               WHERE vec_id < 5),
+        cand AS (SELECT DISTINCT c.vec_id AS neighbor_id, pr.vec_id AS probe_id
+                 FROM buck c JOIN pb pr ON c.tbl = pr.tbl AND c.bucket = pr.bucket
+                 WHERE c.vec_id <> pr.vec_id),
+        wv AS (SELECT cand.probe_id, cand.neighbor_id, p.embedding AS pe, n.embedding AS ne
+               FROM cand JOIN embeddings p ON p.vec_id = cand.probe_id
+                         JOIN embeddings n ON n.vec_id = cand.neighbor_id),
+        r AS (SELECT probe_id, neighbor_id,
+                CAST(${qdotSql("pe", "ne")} AS DOUBLE)
+                  / sqrt(CAST(${qdotSql("pe", "pe")} AS DOUBLE) * CAST(${qdotSql("ne", "ne")} AS DOUBLE)) AS sim
+              FROM wv),
+        k AS (SELECT probe_id, neighbor_id, sim,
+                row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rn
+              FROM r)
+        SELECT probe_id, neighbor_id, CAST(rn AS INTEGER) AS rnk, sim
+        FROM k WHERE rn <= 5 ORDER BY probe_id, rnk"""))
   )
 
   /** DuckDB mirror of `Similarity.lshBucketRows(portable = true)`: CTEs

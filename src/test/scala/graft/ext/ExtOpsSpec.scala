@@ -751,6 +751,23 @@ class ExtOpsSpec extends SparkSpecBase {
     graft.lake.FsUtils.deletePath(spark, s"file://$dir")
   }
 
+  test("annTopKMultiprobe: recall never below single-probe at equal index cost") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val probes = emb.filter(col("vec_id") < 5)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val truth = pairs(Similarity.bruteForceTopK(emb, probes, "vec_id", "embedding",
+      k = 5, deterministic = true))
+    val single = pairs(Similarity.annTopK(emb, probes, "vec_id", "embedding", 5,
+      nTables = 4, bitsPerTable = 6, portable = true))
+    val multi = pairs(Similarity.annTopKMultiprobe(emb, probes, "vec_id", "embedding", 5,
+      nTables = 4, bitsPerTable = 6, portable = true))
+    // candidate superset => recall@k cannot drop
+    assert((multi & truth).size >= (single & truth).size,
+      s"multiprobe recall ${(multi & truth).size} < single ${(single & truth).size}")
+    assert(multi.nonEmpty)
+  }
+
   test("AnnIndex: legacy pre-tb stores still serve and stay flat on new adds") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ann-legacy-").toString
     val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
