@@ -63,6 +63,14 @@ final case class GraftSettings(
       * degrades to a shuffle (AQE picks the strategy) instead of OOMing
       * the driver on an oversized ingest batch. */
     probeBroadcastThresholdBytes: Long = 64L * 1024 * 1024,
+    /** Max distinct bucket keys an [[graft.ext.AnnIndex]] query will plant
+      * in its file-pruning IN predicate. Under the cap, the probes' bucket
+      * keys prune the clustered buckets store to O(matched files); past it
+      * (a bulk probe batch) the query degrades to the full-scan broadcast-
+      * join path — Catalyst evaluates the IN list per file, so past a few
+      * thousand literals the expression overhead beats the pruning win,
+      * and the cap also bounds the driver-side key collect. */
+    annPruneMaxKeys: Int = 2048,
     /** How multi-consumer intermediate frames are materialized inside
       * operators (the barrier that stops a shared subplan re-running per
       * consumer — see [[graft.ext.Parallelism.materialize]]):
@@ -133,6 +141,7 @@ object GraftSettings {
         case "curated_buckets"                   => s.copy(curatedBuckets = v.toInt)
         case "upsert_broadcast_threshold_bytes"  => s.copy(upsertBroadcastThresholdBytes = v.toLong)
         case "probe_broadcast_threshold_bytes"   => s.copy(probeBroadcastThresholdBytes = v.toLong)
+        case "ann_prune_max_keys"                => s.copy(annPruneMaxKeys = v.toInt)
         case "barrier_mode"                      => s.copy(barrierMode = v)
         case "collect_file_stats"                => s.copy(collectFileStats = v.toBoolean)
         case "change_data_feed"                  => s.copy(changeDataFeed = v.toBoolean)

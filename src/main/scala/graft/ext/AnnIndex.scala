@@ -39,6 +39,9 @@ final class AnnIndex(
     settings.copy(collectFileStats = false))
   private[ext] val appliedTable = GraftTable(spark, s"$path/applied")
 
+  // crash-injection points for the replay-contract specs (no-op unless armed)
+  private[ext] val failpoints = new Failpoints
+
   def indexedCount: Long = if (vectorsTable.exists) vectorsTable.read().count() else 0L
 
   private def tokenApplied(token: String): Boolean =
@@ -88,6 +91,7 @@ final class AnnIndex(
     ingestToken.filter(_ => !replay).foreach { t =>
       appliedTable.append(Seq(Tuple1(t)).toDF("token"))
     }
+    failpoints.hit("after-token")
     val (buckets, vectors) =
       if (!replay) (buckets0, vectors0)
       else {
@@ -108,6 +112,7 @@ final class AnnIndex(
       if (clustered) bucketsTable.appendClustered(buckets, Seq("tb"))
       else bucketsTable.append(buckets)
     }
+    failpoints.hit("after-buckets")
     if (!replay || vectors.limit(1).count() > 0)
       vectorsTable.append(vectors)
     // store maintenance: a crawl ingesting thousands of batches would
@@ -122,9 +127,24 @@ final class AnnIndex(
 
   /** Approximate top-k against everything added so far. Returns
     * (probe_id, neighbor_id, rnk, sim). Probes sharing an id with an
-    * indexed vector exclude that self-match. */
-  def query(probes: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    * indexed vector exclude that self-match.
+    *
+    * `probePerturbations` is the multi-probe recall knob (Lv et al. 2007 —
+    * the same expansion as [[Similarity.annTopKMultiprobe]]): each probe
+    * also searches every bucket reachable by flipping one of the LOW
+    * `probePerturbations` sign bits, per table. The candidate set strictly
+    * contains the plain query's, so recall@k is non-decreasing — at the
+    * cost of query-side candidates ONLY. The stored index neither grows
+    * nor re-shuffles, which is the whole point at 100 TB: recall is tuned
+    * per QUERY, not per (re)build. The expansion happens before the `tb`
+    * IN-prune below, so file pruning covers the perturbed buckets too.
+    * `probePerturbations = bitsPerTable` reproduces the one-shot
+    * multiprobe operator exactly. */
+  def query(probes: DataFrame, idCol: String, vecCol: String, k: Int,
+      probePerturbations: Int = 0): DataFrame = {
     require(bucketsTable.exists, s"empty ANN index at $path")
+    require(probePerturbations >= 0 && probePerturbations <= bitsPerTable,
+      s"probePerturbations=$probePerturbations outside [0, bitsPerTable=$bitsPerTable]")
     // empty probe frame: empty result, same schema (empty-in/empty-out —
     // the hash derivation itself needs at least one row to size vectors)
     if (probes.isEmpty)
@@ -134,18 +154,39 @@ final class AnnIndex(
         .limit(0)
     // probe batches are small by contract (they broadcast below): hashing
     // them twice (key-set collect + candidate join) beats a barrier job
-    val probeBuckets = Similarity.lshBucketRows(
+    val exactBuckets = Similarity.lshBucketRows(
         probes, idCol, vecCol, nTables, bitsPerTable, portable)
       .select(col("id").as("probe_id"), col("tbl"), col("bucket"))
-    // bounded driver-side set (|probes| x nTables); IN-pruning the
-    // clustered buckets table reads only files whose [min,max] tb range
-    // can hold a probed bucket — never the whole index. A legacy pre-tb
-    // store has no composite key and falls back to the full scan (still
-    // a broadcast join — no stored-side shuffle, just no file pruning).
-    val probeKeys = probeBuckets.select(tbExpr.as("tb")).distinct()
-      .collect().map(_.getLong(0)).toSeq
+    // multi-probe expansion: {bucket} ∪ {bucket XOR 2^b}; flip 0 keeps the
+    // exact bucket, so the expansion strictly contains the plain candidates
+    val probeBuckets =
+      if (probePerturbations == 0) exactBuckets
+      else {
+        val flips = lit(0) +: (0 until probePerturbations).map(b => lit(1 << b))
+        exactBuckets
+          .withColumn("__flip", explode(array(flips: _*)))
+          .withColumn("bucket", col("bucket").bitwiseXOR(col("__flip")).cast("int"))
+          .drop("__flip")
+      }
+    // bounded driver-side set (|probes| x nTables x (perturbations+1));
+    // IN-pruning the clustered buckets table reads only files whose
+    // [min,max] tb range can hold a probed bucket — never the whole index.
+    // A legacy pre-tb store has no composite key and falls back to the
+    // full scan (still a broadcast join — no stored-side shuffle, just no
+    // file pruning). Past `settings.annPruneMaxKeys` distinct keys the
+    // same full-scan path takes over: a giant probe batch would otherwise
+    // plant an isin with ~|probes| x nTables literals in the plan, and
+    // Catalyst's per-file expression evaluation overhead overtakes the
+    // pruning win long before the driver felt the collect — the limit
+    // also caps that collect at maxKeys+1 rows.
+    val maxKeys = settings.annPruneMaxKeys
+    val probeKeys =
+      if (!storeHasTb) Array.empty[Long]
+      else probeBuckets.select(tbExpr.as("tb")).distinct()
+        .limit(maxKeys + 1).collect().map(_.getLong(0))
     val stored =
-      if (storeHasTb) bucketsTable.readWhere(col("tb").isin(probeKeys: _*))
+      if (storeHasTb && probeKeys.length <= maxKeys)
+        bucketsTable.readWhere(col("tb").isin(probeKeys.toSeq: _*))
       else bucketsTable.read()
     val candidates = stored
       .join(broadcast(probeBuckets), Seq("tbl", "bucket"))

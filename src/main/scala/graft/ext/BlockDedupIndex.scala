@@ -50,6 +50,9 @@ final class BlockDedupIndex(
 
   private[ext] val blocksTable = GraftTable(spark, s"$path/blocks")
   private[ext] val appliedTable = GraftTable(spark, s"$path/applied")
+
+  // crash-injection point for the replay-contract specs (no-op unless armed)
+  private[ext] val failpoints = new Failpoints
   if (storeBuckets > 0 && !blocksTable.exists && blocksTable.bucketSpec.isEmpty)
     blocksTable.setBucketSpec(Seq("h"), storeBuckets)
 
@@ -110,6 +113,7 @@ final class BlockDedupIndex(
     ingestToken.filter(_ => replayOf.isEmpty).foreach { t =>
       appliedTable.append(Seq((t, preVersion)).toDF("token", "pre_version"))
     }
+    failpoints.hit("after-token")
     val fresh = replayOf match {
       // normal ingest: snapshot == current store, so "not in hits" IS "not
       // yet stored" — derived from the already-materialized overlap, the
@@ -119,9 +123,12 @@ final class BlockDedupIndex(
           settings.probeBroadcastThresholdBytes), Seq("h"), "left_anti")
       // replay: the store moved since the snapshot (our own first attempt
       // and/or later batches) — dedup against the CURRENT store so a
-      // crash-gap is filled but nothing is ever double-inserted
-      case Some(_) => winners.select(col("__h").as("h"))
+      // crash-gap is filled but nothing is ever double-inserted; a crash
+      // before the FIRST append leaves no store at all, so the whole
+      // batch is the gap
+      case Some(_) if blocksTable.exists => winners.select(col("__h").as("h"))
         .join(blocksTable.read().select(col("h")), Seq("h"), "left_anti")
+      case Some(_) => winners.select(col("__h").as("h"))
     }
     if (replayOf.isEmpty) blocksTable.append(fresh)
     else if (fresh.limit(1).count() > 0) blocksTable.append(fresh)

@@ -57,6 +57,9 @@ final class NearDupIndex(
 
   private[ext] val appliedTable = GraftTable(spark, s"$path/applied")
 
+  // crash-injection points for the replay-contract specs (no-op unless armed)
+  private[ext] val failpoints = new Failpoints
+
   def indexedCount: Long = if (sigsTable.exists) sigsTable.read().count() else 0L
 
   /** The store versions a previously applied token observed, if any. */
@@ -158,6 +161,7 @@ final class NearDupIndex(
     ingestToken.filter(_ => replayOf.isEmpty).foreach { t =>
       appliedTable.append(Seq((t, bandsPre, sigsPre)).toDF("token", "bands_pre", "sigs_pre"))
     }
+    failpoints.hit("after-token")
     val (bandRows, sigRows) = replayOf match {
       // normal ingest: ids are globally unique, so the whole batch is new
       case None =>
@@ -177,6 +181,7 @@ final class NearDupIndex(
     }
     if (replayOf.isEmpty) {
       bandsTable.append(bandRows)
+      failpoints.hit("after-bands")
       sigsTable.append(sigRows)
     } else {
       // per-store: only the store with a gap gets its fill appended

@@ -36,6 +36,73 @@ object VectorQueries {
         SELECT probe_id, neighbor_id, CAST(rn AS INTEGER) AS rnk, sim
         FROM k WHERE rn <= 5 ORDER BY probe_id, rnk"""
 
+  // Shared by e17 (one-shot annTopKMultiprobe) and e18 (persisted AnnIndex
+  // queried with probePerturbations = bitsPerTable): the index's multiprobe
+  // path is REQUIRED to reproduce the one-shot expansion exactly.
+  private lazy val annMultiprobeOracle: String =
+    s"""${bucketsSql(nTables = 8, bitsPerTable = 6)},
+        pb AS (SELECT vec_id, tbl, xor(bucket, f) AS bucket
+               FROM buck, (SELECT unnest([0, 1, 2, 4, 8, 16, 32]) AS f)
+               WHERE vec_id < 5),
+        cand AS (SELECT DISTINCT c.vec_id AS neighbor_id, pr.vec_id AS probe_id
+                 FROM buck c JOIN pb pr ON c.tbl = pr.tbl AND c.bucket = pr.bucket
+                 WHERE c.vec_id <> pr.vec_id),
+        wv AS (SELECT cand.probe_id, cand.neighbor_id, p.embedding AS pe, n.embedding AS ne
+               FROM cand JOIN embeddings p ON p.vec_id = cand.probe_id
+                         JOIN embeddings n ON n.vec_id = cand.neighbor_id),
+        r AS (SELECT probe_id, neighbor_id,
+                CAST(${qdotSql("pe", "ne")} AS DOUBLE)
+                  / sqrt(CAST(${qdotSql("pe", "pe")} AS DOUBLE) * CAST(${qdotSql("ne", "ne")} AS DOUBLE)) AS sim
+              FROM wv),
+        k AS (SELECT probe_id, neighbor_id, sim,
+                row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rn
+              FROM r)
+        SELECT probe_id, neighbor_id, CAST(rn AS INTEGER) AS rnk, sim
+        FROM k WHERE rn <= 5 ORDER BY probe_id, rnk"""
+
+  // Shared by e05 (one-shot ivfTopK) and e19 (persisted IvfIndex trained on
+  // the same corpus): the incremental index must reproduce the one-shot
+  // cell search exactly.
+  private lazy val ivfOracle: String =
+    s"""WITH cent AS (
+          SELECT vec_id AS list_src, embedding AS cvec
+          FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+        centn AS (
+          SELECT cvec, CAST(row_number() OVER (ORDER BY list_src) - 1 AS INTEGER) AS list_id
+          FROM cent),
+        scored AS (
+          SELECT e.vec_id AS id, c.list_id,
+            CAST(${qdotSql("e.embedding", "c.cvec")} AS DOUBLE)
+              / sqrt(CAST(${qdotSql("e.embedding", "e.embedding")} AS DOUBLE)
+                     * CAST(${qdotSql("c.cvec", "c.cvec")} AS DOUBLE)) AS score
+          FROM embeddings e, centn c),
+        corpus_assign AS (
+          SELECT id AS neighbor_id, list_id FROM (
+            SELECT id, list_id,
+              row_number() OVER (PARTITION BY id ORDER BY score DESC, list_id) AS rn
+            FROM scored) WHERE rn = 1),
+        probe_assign AS (
+          SELECT id AS probe_id, list_id FROM (
+            SELECT id, list_id,
+              row_number() OVER (PARTITION BY id ORDER BY score DESC, list_id) AS rn
+            FROM scored WHERE id < 5) WHERE rn <= 3),
+        cand AS (
+          SELECT DISTINCT probe_id, neighbor_id
+          FROM corpus_assign JOIN probe_assign USING (list_id)
+          WHERE neighbor_id <> probe_id),
+        wv AS (SELECT cand.probe_id, cand.neighbor_id, p.embedding AS pe, n.embedding AS ne
+               FROM cand JOIN embeddings p ON p.vec_id = cand.probe_id
+                         JOIN embeddings n ON n.vec_id = cand.neighbor_id),
+        r AS (SELECT probe_id, neighbor_id,
+                CAST(${qdotSql("pe", "ne")} AS DOUBLE)
+                  / sqrt(CAST(${qdotSql("pe", "pe")} AS DOUBLE) * CAST(${qdotSql("ne", "ne")} AS DOUBLE)) AS sim
+              FROM wv),
+        k AS (SELECT probe_id, neighbor_id, sim,
+                row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rn
+              FROM r)
+        SELECT probe_id, neighbor_id, CAST(rn AS INTEGER) AS rnk, sim
+        FROM k WHERE rn <= 5 ORDER BY probe_id, rnk"""
+
   val all: Seq[CatalogQuery] = Seq(
 
     CatalogQuery(
@@ -114,6 +181,29 @@ object VectorQueries {
       },
       Some(annLshOracle)),
 
+    // The persisted index's RECALL KNOB: the same incrementally-built
+    // AnnIndex queried with probePerturbations = bitsPerTable must equal
+    // the one-shot multiprobe operator (e17) — so the oracle gates the
+    // production path a crawl deploys: tune recall per query against a
+    // stored index that never re-shuffles or grows.
+    CatalogQuery(
+      "e18_ann_index_multiprobe",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val tmp = java.nio.file.Files.createTempDirectory("graft-e18-").toString
+        val idx = new graft.ext.AnnIndex(s, s"file://$tmp",
+          nTables = 8, bitsPerTable = 6, portable = true)
+        idx.add(emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding")
+        idx.add(emb.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding")
+        val out = idx.query(emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+            k = 5, probePerturbations = 6)
+          .orderBy(col("probe_id"), col("rnk"))
+          .localCheckpoint(true) // materialize, then drop the scratch index
+        graft.lake.FsUtils.deletePath(s, s"file://$tmp")
+        out
+      },
+      Some(annMultiprobeOracle)),
+
     // IVF inverted-index ANN — the second scale path beside LSH: nearest-
     // centroid cells from a deterministic md5-sampled codebook, probes
     // search their nProbe closest cells. Fully engine-portable (quantized
@@ -129,44 +219,30 @@ object VectorQueries {
             nLists = 8, nProbe = 3)
           .orderBy(col("probe_id"), col("rnk"))
       },
-      Some(s"""WITH cent AS (
-          SELECT vec_id AS list_src, embedding AS cvec
-          FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
-        centn AS (
-          SELECT cvec, CAST(row_number() OVER (ORDER BY list_src) - 1 AS INTEGER) AS list_id
-          FROM cent),
-        scored AS (
-          SELECT e.vec_id AS id, c.list_id,
-            CAST(${qdotSql("e.embedding", "c.cvec")} AS DOUBLE)
-              / sqrt(CAST(${qdotSql("e.embedding", "e.embedding")} AS DOUBLE)
-                     * CAST(${qdotSql("c.cvec", "c.cvec")} AS DOUBLE)) AS score
-          FROM embeddings e, centn c),
-        corpus_assign AS (
-          SELECT id AS neighbor_id, list_id FROM (
-            SELECT id, list_id,
-              row_number() OVER (PARTITION BY id ORDER BY score DESC, list_id) AS rn
-            FROM scored) WHERE rn = 1),
-        probe_assign AS (
-          SELECT id AS probe_id, list_id FROM (
-            SELECT id, list_id,
-              row_number() OVER (PARTITION BY id ORDER BY score DESC, list_id) AS rn
-            FROM scored WHERE id < 5) WHERE rn <= 3),
-        cand AS (
-          SELECT DISTINCT probe_id, neighbor_id
-          FROM corpus_assign JOIN probe_assign USING (list_id)
-          WHERE neighbor_id <> probe_id),
-        wv AS (SELECT cand.probe_id, cand.neighbor_id, p.embedding AS pe, n.embedding AS ne
-               FROM cand JOIN embeddings p ON p.vec_id = cand.probe_id
-                         JOIN embeddings n ON n.vec_id = cand.neighbor_id),
-        r AS (SELECT probe_id, neighbor_id,
-                CAST(${qdotSql("pe", "ne")} AS DOUBLE)
-                  / sqrt(CAST(${qdotSql("pe", "pe")} AS DOUBLE) * CAST(${qdotSql("ne", "ne")} AS DOUBLE)) AS sim
-              FROM wv),
-        k AS (SELECT probe_id, neighbor_id, sim,
-                row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rn
-              FROM r)
-        SELECT probe_id, neighbor_id, CAST(rn AS INTEGER) AS rnk, sim
-        FROM k WHERE rn <= 5 ORDER BY probe_id, rnk""")),
+      Some(ivfOracle)),
+
+    // The persisted-index path of the SAME cell search: train the coarse
+    // quantizer once on the corpus, ingest in two incremental adds (cells
+    // range-clustered on list_id), query nProbe cells through the pruned
+    // store — results must equal one-shot ivfTopK, so e05's oracle gates
+    // the stored codebook + clustered-cells machinery too.
+    CatalogQuery(
+      "e19_ivf_index_query",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val tmp = java.nio.file.Files.createTempDirectory("graft-e19-").toString
+        val idx = new graft.ext.IvfIndex(s, s"file://$tmp")
+        idx.train(emb, "vec_id", "embedding", nLists = 8)
+        idx.add(emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding")
+        idx.add(emb.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding")
+        val out = idx.query(emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+            k = 5, nProbe = 3)
+          .orderBy(col("probe_id"), col("rnk"))
+          .localCheckpoint(true) // materialize, then drop the scratch index
+        graft.lake.FsUtils.deletePath(s, s"file://$tmp")
+        out
+      },
+      Some(ivfOracle)),
 
     // 8-bit scalar-quantized brute-force L2 — the memory-reduction scale
     // path: 1 byte/dim codes (4x smaller scans and shuffles), scoring in
@@ -677,25 +753,7 @@ object VectorQueries {
             nTables = 8, bitsPerTable = 6, portable = true)
           .orderBy(col("probe_id"), col("rnk"))
       },
-      Some(s"""${bucketsSql(nTables = 8, bitsPerTable = 6)},
-        pb AS (SELECT vec_id, tbl, xor(bucket, f) AS bucket
-               FROM buck, (SELECT unnest([0, 1, 2, 4, 8, 16, 32]) AS f)
-               WHERE vec_id < 5),
-        cand AS (SELECT DISTINCT c.vec_id AS neighbor_id, pr.vec_id AS probe_id
-                 FROM buck c JOIN pb pr ON c.tbl = pr.tbl AND c.bucket = pr.bucket
-                 WHERE c.vec_id <> pr.vec_id),
-        wv AS (SELECT cand.probe_id, cand.neighbor_id, p.embedding AS pe, n.embedding AS ne
-               FROM cand JOIN embeddings p ON p.vec_id = cand.probe_id
-                         JOIN embeddings n ON n.vec_id = cand.neighbor_id),
-        r AS (SELECT probe_id, neighbor_id,
-                CAST(${qdotSql("pe", "ne")} AS DOUBLE)
-                  / sqrt(CAST(${qdotSql("pe", "pe")} AS DOUBLE) * CAST(${qdotSql("ne", "ne")} AS DOUBLE)) AS sim
-              FROM wv),
-        k AS (SELECT probe_id, neighbor_id, sim,
-                row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rn
-              FROM r)
-        SELECT probe_id, neighbor_id, CAST(rn AS INTEGER) AS rnk, sim
-        FROM k WHERE rn <= 5 ORDER BY probe_id, rnk"""))
+      Some(annMultiprobeOracle))
   )
 
   /** DuckDB mirror of `Similarity.lshBucketRows(portable = true)`: CTEs

@@ -114,16 +114,21 @@ class ScaleSmokeSpec extends SparkSpecBase {
     org.apache.spark.graftbridge.ListenerBusBridge.drain(spark.sparkContext)
     val all = stages.values.toSeq
     val maxRun = all.map(_.runMs).maxOption.getOrElse(0L)
-    // a stage matters when it carries a real share of the work; sub-100ms
-    // stages are scheduling noise at this SF. With `dominantOnly` just the
-    // top stage is audited: in the single-file layout the 1-wide scan
-    // stage legitimately exists (one unsplittable row group — a 100x file
-    // has many and splits), and under CI load its read+exchange can creep
-    // over a time fraction; the un-widened bug always makes the fused
-    // scan DOMINANT, which is exactly what this still catches.
+    // a stage matters when it carries a real share of the work AND at
+    // least half a second of it: the old 100ms floor let a sub-second
+    // AQE-coalesced/short exchange stage count as "heavy" under CI load
+    // and fail the width assert 1-wide (the r7 q31 flake) — a genuinely
+    // serialized heavy stage at this SF runs far above 500ms, so the
+    // floor removes the noise class without weakening the bug class.
+    // With `dominantOnly` just the top stage is audited: in the
+    // single-file layout the 1-wide scan stage legitimately exists (one
+    // unsplittable row group — a 100x file has many and splits), and
+    // under CI load its read+exchange can creep over a time fraction;
+    // the un-widened bug always makes the fused scan DOMINANT, which is
+    // exactly what this still catches.
     val heavy =
-      if (dominantOnly) all.filter(_.runMs == maxRun)
-      else all.filter(s => s.runMs >= math.max(100L, maxRun / 3))
+      if (dominantOnly) all.filter(s => s.runMs == maxRun && s.runMs >= 500L)
+      else all.filter(s => s.runMs >= math.max(500L, maxRun / 3))
     heavy.foreach { s =>
       assert(s.numTasks >= minWidth,
         s"$name: heavy stage ran ${s.numTasks}-wide (< $minWidth): " +
@@ -159,6 +164,10 @@ class ScaleSmokeSpec extends SparkSpecBase {
       assertWide("e14_centroid_outliers", q("e14_centroid_outliers", scaledDir), minWidth)
       assertWide("d33_bigram_nll", q("d33_bigram_nll", scaledDir), minWidth)
       assertWide("d35_span_removal", q("d35_span_removal", scaledDir), minWidth)
+      // the COMPOSED crawl pipeline (WARC build → record explode → WET
+      // text extraction → quality gate): the chain must stay wide end to
+      // end — a single narrow link re-serializes everything downstream
+      assertWide("d36_crawl_wet_pipeline", q("d36_crawl_wet_pipeline", scaledDir), minWidth)
     }
   }
 

@@ -1093,4 +1093,175 @@ class ExtOpsSpec extends SparkSpecBase {
     assert(r.getInt(1) === 7)
     assert(r.getLong(2) === 3L)
   }
+
+  test("AnnIndex: multiprobe query equals the one-shot multiprobe operator") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-annmp-").toString
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val probes = emb.filter(col("vec_id") < 5)
+    val idx = new AnnIndex(spark, s"$dir/idx", nTables = 8, bitsPerTable = 6,
+      portable = true)
+    idx.add(emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding")
+    idx.add(emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
+    // probePerturbations = bitsPerTable reproduces the one-shot expansion
+    val fromIndex = idx.query(probes, "vec_id", "embedding", k = 5,
+        probePerturbations = 6)
+      .select("probe_id", "neighbor_id", "rnk").as[(Long, Long, Int)].collect().toSet
+    val oneShot = Similarity.annTopKMultiprobe(emb, probes, "vec_id", "embedding", 5,
+        nTables = 8, bitsPerTable = 6, portable = true)
+      .select("probe_id", "neighbor_id", "rnk").as[(Long, Long, Int)].collect().toSet
+    assert(fromIndex === oneShot)
+    graft.lake.FsUtils.deletePath(spark, s"file://$dir")
+  }
+
+  test("AnnIndex: multiprobe recall never below the plain query on the same index") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-annmp-recall-").toString
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val probes = emb.filter(col("vec_id") < 5)
+    // few tables so single-probe recall has room to be beaten
+    val idx = new AnnIndex(spark, s"$dir/idx", nTables = 4, bitsPerTable = 6,
+      portable = true)
+    idx.add(emb, "vec_id", "embedding")
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val truth = pairs(Similarity.bruteForceTopK(emb, probes, "vec_id", "embedding",
+      k = 5, deterministic = true))
+    val single = pairs(idx.query(probes, "vec_id", "embedding", k = 5))
+    val multi = pairs(idx.query(probes, "vec_id", "embedding", k = 5,
+      probePerturbations = 6))
+    // candidate superset => recall@k cannot drop — the knob a production
+    // deployment turns instead of rebuilding the stored index
+    assert((multi & truth).size >= (single & truth).size,
+      s"multiprobe recall ${(multi & truth).size} < single ${(single & truth).size}")
+    assert(multi.nonEmpty)
+    graft.lake.FsUtils.deletePath(spark, s"file://$dir")
+  }
+
+  test("AnnIndex: oversized probe key sets degrade to the full-scan path, same results") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-anndegrade-").toString
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    // cap the IN-prune at 16 keys: every multi-probe batch overflows it,
+    // so the query must take the full-scan broadcast-join path — results
+    // must not change, and no thousand-literal isin enters any plan
+    implicit val st: graft.conf.GraftSettings =
+      graft.conf.GraftSettings.default.copy(annPruneMaxKeys = 16)
+    val idx = new AnnIndex(spark, s"$dir/idx", nTables = 8, bitsPerTable = 6,
+      portable = true)
+    idx.add(emb, "vec_id", "embedding")
+    // 100 probes x 8 tables >> 16 keys — the pre-degrade code would plant
+    // an ~800-literal IN expression; the degrade path plants none
+    val probes = emb.filter(col("vec_id") < 100)
+    val fromIndex = idx.query(probes, "vec_id", "embedding", k = 3)
+      .select("probe_id", "neighbor_id", "rnk").as[(Long, Long, Int)].collect().toSet
+    val oneShot = Similarity.annTopK(emb, probes, "vec_id", "embedding", 3,
+        nTables = 8, bitsPerTable = 6, portable = true)
+      .select("probe_id", "neighbor_id", "rnk").as[(Long, Long, Int)].collect().toSet
+    assert(fromIndex === oneShot)
+    // multiprobe composes with the degrade (7x the key set, same fallback)
+    val mp = idx.query(emb.filter(col("vec_id") < 20), "vec_id", "embedding", k = 3,
+        probePerturbations = 6)
+      .select("probe_id", "neighbor_id", "rnk").as[(Long, Long, Int)].collect().toSet
+    val mpOneShot = Similarity.annTopKMultiprobe(emb, emb.filter(col("vec_id") < 20),
+        "vec_id", "embedding", 3, nTables = 8, bitsPerTable = 6, portable = true)
+      .select("probe_id", "neighbor_id", "rnk").as[(Long, Long, Int)].collect().toSet
+    assert(mp === mpOneShot)
+    graft.lake.FsUtils.deletePath(spark, s"file://$dir")
+  }
+
+  test("IvfIndex: train-once incremental adds match one-shot ivfTopK") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfidx-").toString
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val probes = emb.filter(col("vec_id") < 5)
+    val idx = new IvfIndex(spark, s"$dir/idx")
+    idx.train(emb, "vec_id", "embedding", nLists = 8)
+    idx.add(emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding")
+    idx.add(emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
+    assert(idx.indexedCount === emb.count())
+    val fromIndex = idx.query(probes, "vec_id", "embedding", k = 5, nProbe = 3)
+      .select("probe_id", "neighbor_id", "rnk").as[(Long, Long, Int)].collect().toSet
+    val oneShot = Similarity.ivfTopK(emb, probes, "vec_id", "embedding", 5,
+        nLists = 8, nProbe = 3)
+      .select("probe_id", "neighbor_id", "rnk").as[(Long, Long, Int)].collect().toSet
+    assert(fromIndex === oneShot)
+    // a fresh instance on the same path serves identically (codebook and
+    // cells both persisted)
+    val reopened = new IvfIndex(spark, s"$dir/idx")
+    assert(reopened.isTrained)
+    val again = reopened.query(probes, "vec_id", "embedding", k = 5, nProbe = 3)
+      .select("probe_id", "neighbor_id", "rnk").as[(Long, Long, Int)].collect().toSet
+    assert(again === oneShot)
+    graft.lake.FsUtils.deletePath(spark, s"file://$dir")
+  }
+
+  test("IvfIndex: query file-prunes the cell-clustered store") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfprune-").toString
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val idx = new IvfIndex(spark, s"$dir/idx")
+    idx.train(emb, "vec_id", "embedding", nLists = 8)
+    // many shuffle partitions -> one file per cell range with tight
+    // min/max list_id stats (the suite default of 4 packs cells together)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      idx.add(emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding")
+      idx.add(emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    val total = idx.cellsTable.liveFiles().size
+    // replicate query()'s pruning predicate for a 1-probe cell set
+    val probes = emb.filter(col("vec_id") < 1)
+    val cents = idx.centroidsTable.read().select("list_id", "cvec")
+    val lists = Similarity.ivfAssign(probes, "vec_id", "embedding", cents, topN = 3)
+      .select("list_id").distinct().as[Int].collect()
+    val scanned = idx.cellsTable.prunedFiles(col("list_id").isin(lists.toSeq: _*)).size
+    assert(scanned < total,
+      s"IN-pruning must skip files: scanned $scanned of $total")
+    // and the pruned query is still exactly the one-shot result
+    val fromIndex = idx.query(probes, "vec_id", "embedding", k = 5, nProbe = 3)
+      .select("probe_id", "neighbor_id", "rnk").as[(Long, Long, Int)].collect().toSet
+    val oneShot = Similarity.ivfTopK(emb, probes, "vec_id", "embedding", 5,
+        nLists = 8, nProbe = 3)
+      .select("probe_id", "neighbor_id", "rnk").as[(Long, Long, Int)].collect().toSet
+    assert(fromIndex === oneShot)
+    graft.lake.FsUtils.deletePath(spark, s"file://$dir")
+  }
+
+  test("IvfIndex: ingestToken makes at-least-once replays idempotent") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-replay-").toString
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val idx = new IvfIndex(spark, s"$dir/idx")
+    idx.train(emb, "vec_id", "embedding", nLists = 8)
+    val half = emb.filter(col("vec_id") % 2 === 0)
+    idx.add(half, "vec_id", "embedding", ingestToken = Some("b0"))
+    val count = idx.indexedCount
+    idx.add(half, "vec_id", "embedding", ingestToken = Some("b0"))
+    assert(idx.indexedCount === count, "replayed token must not double-insert")
+    // queries after the replay equal a never-replayed twin (same codebook)
+    val clean = new IvfIndex(spark, s"$dir/clean")
+    clean.train(emb, "vec_id", "embedding", nLists = 8)
+    clean.add(half, "vec_id", "embedding")
+    val probes = emb.filter(col("vec_id") < 3)
+    val fromIndex = idx.query(probes, "vec_id", "embedding", k = 3, nProbe = 3)
+      .select("probe_id", "neighbor_id", "rnk").as[(Long, Long, Int)].collect().toSet
+    val want = clean.query(probes, "vec_id", "embedding", k = 3, nProbe = 3)
+      .select("probe_id", "neighbor_id", "rnk").as[(Long, Long, Int)].collect().toSet
+    assert(fromIndex === want)
+    graft.lake.FsUtils.deletePath(spark, s"file://$dir")
+  }
+
+  test("IvfIndex: empty probe frame and untrained/empty guards") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-guards-").toString
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val idx = new IvfIndex(spark, s"$dir/idx")
+    intercept[IllegalArgumentException] {
+      idx.add(emb, "vec_id", "embedding") // untrained
+    }
+    idx.train(emb, "vec_id", "embedding", nLists = 8)
+    intercept[IllegalArgumentException] {
+      idx.train(emb, "vec_id", "embedding", nLists = 8) // double-train
+    }
+    idx.add(emb, "vec_id", "embedding")
+    val out = idx.query(emb.filter(col("vec_id") < 0), "vec_id", "embedding", k = 3)
+    assert(out.columns.toSeq === Seq("probe_id", "neighbor_id", "rnk", "sim"))
+    assert(out.count() === 0)
+    graft.lake.FsUtils.deletePath(spark, s"file://$dir")
+  }
 }

@@ -1,0 +1,139 @@
+package graft.ext
+
+import graft.SparkSpecBase
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import scala.collection.concurrent.TrieMap
+
+/** 100x rehearsal for the persisted-index INGEST path — the ScaleSmokeSpec
+  * discipline applied to the stateful operators: a two-batch [[AnnIndex]]
+  * build over a 16-file embeddings table must (a) run its heavy hash/write
+  * stages wide (a narrow link here serializes every crawl batch forever),
+  * and (b) keep the stored side of the query's candidate join free of any
+  * Exchange — the store streams through a broadcast join over a file-pruned
+  * scan, which is the property that makes the index O(matched files) per
+  * query instead of O(index) at 100 TB.
+  */
+class IndexScaleSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val Copies = 16
+
+  private final case class StageStat(numTasks: Int, runMs: Long)
+  private val stages = TrieMap.empty[Int, StageStat]
+  private val listener = new SparkListener {
+    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+      val si = sc.stageInfo
+      stages.put(si.stageId, StageStat(si.numTasks, si.taskMetrics.executorRunTime))
+    }
+  }
+
+  override def withFixture(test: NoArgTest) = {
+    spark.sparkContext.addSparkListener(listener)
+    try super.withFixture(test)
+    finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  /** 16-file replica of the sf0.01 embeddings table, vec_ids remapped to
+    * stay globally unique (the AnnIndex id contract), materialized so the
+    * remap is stable across every consumer. */
+  private lazy val scaledEmb: DataFrame = {
+    val out = Files.createTempDirectory("graft-idxscale-")
+    val src = Paths.get(sf("sf0.01"), "embeddings.parquet")
+    val dir = out.resolve("embeddings.parquet")
+    Files.createDirectories(dir)
+    (0 until Copies).foreach { i =>
+      Files.copy(src, dir.resolve(f"part-$i%05d.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    spark.read.parquet(dir.toString)
+      .select(monotonically_increasing_id().as("vec_id"), col("embedding"))
+      .localCheckpoint(true)
+  }
+
+  private def withScaleConfs[T](body: => T): T = {
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.shuffle.partitions",
+      "spark.sql.files.openCostInBytes").map(k => k -> conf.getOption(k))
+    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.shuffle.partitions", "32")
+    conf.set("spark.sql.files.openCostInBytes", (128L * 1024 * 1024).toString)
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
+  /** Run `body` to completion, then assert every heavy stage (>=500ms and
+    * a third of the max — the ScaleSmokeSpec heuristic) ran wide. */
+  private def assertWideAction(name: String, minWidth: Int)(body: => Unit): Unit = {
+    org.apache.spark.graftbridge.ListenerBusBridge.drain(spark.sparkContext)
+    stages.clear()
+    body
+    org.apache.spark.graftbridge.ListenerBusBridge.drain(spark.sparkContext)
+    val all = stages.values.toSeq
+    val maxRun = all.map(_.runMs).maxOption.getOrElse(0L)
+    val heavy = all.filter(s => s.runMs >= math.max(500L, maxRun / 3))
+    heavy.foreach { s =>
+      assert(s.numTasks >= minWidth,
+        s"$name: heavy stage ran ${s.numTasks}-wide (< $minWidth): " +
+          s"runMs=${s.runMs} of max $maxRun — a 100x input would serialize here")
+    }
+    info(f"$name%-28s stages=${all.size}%2d heavy=${heavy.size}%2d")
+  }
+
+  test("two-batch AnnIndex ingest runs wide; query's stored side plans with zero Exchange") {
+    withScaleConfs {
+      val dir = Files.createTempDirectory("graft-idxscale-ann-").toString
+      val idx = new AnnIndex(spark, s"file://$dir/idx", nTables = 4, bitsPerTable = 6)
+      val minWidth = Copies / 2
+      // incremental crawl shape: two adds, each hashing ONLY its batch —
+      // the signature pipeline and the clustered write must both be wide
+      assertWideAction("annindex.add batch 1", minWidth) {
+        idx.add(scaledEmb.filter(pmod(col("vec_id"), lit(2)) === 0),
+          "vec_id", "embedding", ingestToken = Some("b0"))
+      }
+      assertWideAction("annindex.add batch 2", minWidth) {
+        idx.add(scaledEmb.filter(pmod(col("vec_id"), lit(2)) === 1),
+          "vec_id", "embedding", ingestToken = Some("b1"))
+      }
+      assert(idx.indexedCount === scaledEmb.count())
+      // the query itself completes against the two-batch store and its
+      // heavy stages run wide (light pruned-scan stages sit under the
+      // 500ms floor — they are the POINT of the pruning)
+      val probes = scaledEmb.filter(col("vec_id") < 5)
+      assertWideAction("annindex.query", minWidth) {
+        assert(idx.query(probes, "vec_id", "embedding", k = 5).count() > 0)
+      }
+      // zero stored-side Exchange, asserted on the exact candidate-join
+      // shape query() plans: pruned store scan ⨝ broadcast probe buckets
+      val probeBuckets = Similarity.lshBucketRows(
+          probes, "vec_id", "embedding", 4, 6, portable = false)
+        .select(col("id").as("probe_id"), col("tbl"), col("bucket"))
+        .localCheckpoint(true)
+      val keys = probeBuckets
+        .select((col("tbl").cast("long") * lit(1L << 32) + col("bucket").cast("long")).as("tb"))
+        .distinct().as[Long].collect()
+      // the clustered layout prunes: a probe's bucket set touches a strict
+      // subset of the store's files
+      val total = idx.bucketsTable.liveFiles().size
+      val scanned = idx.bucketsTable.prunedFiles(col("tb").isin(keys.toSeq: _*)).size
+      assert(scanned < total, s"IN-pruning must skip files: scanned $scanned of $total")
+      val cand = idx.bucketsTable.readWhere(col("tb").isin(keys.toSeq: _*))
+        .join(broadcast(probeBuckets), Seq("tbl", "bucket"))
+      val p = cand.queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastHashJoin"), s"probe must broadcast:\n$p")
+      // BroadcastExchange (the probe side) is the design; a partitioning
+      // exchange anywhere means the stored side re-shuffled
+      assert(!p.contains("Exchange hashpartitioning") &&
+        !p.contains("Exchange rangepartitioning"),
+        s"stored side must not shuffle:\n$p")
+      graft.lake.FsUtils.deletePath(spark, s"file://$dir")
+    }
+  }
+}
