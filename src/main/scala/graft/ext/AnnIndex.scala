@@ -38,11 +38,19 @@ final class AnnIndex(
   private[ext] val vectorsTable = GraftTable(spark, s"$path/vectors")(
     settings.copy(collectFileStats = false))
   private[ext] val appliedTable = GraftTable(spark, s"$path/applied")
+  private[ext] val removedTable = GraftTable(spark, s"$path/removed")
 
   // crash-injection points for the replay-contract specs (no-op unless armed)
   private[ext] val failpoints = new Failpoints
 
-  def indexedCount: Long = if (vectorsTable.exists) vectorsTable.read().count() else 0L
+  /** Live tombstones (vec_id), or None when none were ever recorded. */
+  private def tombstones: Option[DataFrame] =
+    if (removedTable.exists) Some(removedTable.read().select("vec_id")) else None
+
+  def indexedCount: Long =
+    if (!vectorsTable.exists) 0L
+    else tombstones.fold(vectorsTable.read())(r =>
+      vectorsTable.read().join(r, Seq("vec_id"), "left_anti")).count()
 
   private def tokenApplied(token: String): Boolean =
     appliedTable.exists &&
@@ -125,6 +133,47 @@ final class AnnIndex(
     vectorsTable.compactIfNeeded()
   }
 
+  /** Tombstone `ids`: they vanish from every later [[query]] and from
+    * [[indexedCount]] immediately, at the cost of one tombstone row each —
+    * NO store rewrite (at 100 TB an inline delete may not rewrite the
+    * clustered store; this is the Lucene/FAISS soft-delete shape, the
+    * maintenance op a recrawl or right-to-erasure request needs). Physical
+    * removal happens at [[purge]]. Idempotent: re-removing appends
+    * nothing. Contract: a removed id must not be re-added before a
+    * [[purge]] — the tombstone would hide the re-added rows too. */
+  def remove(ids: DataFrame, idCol: String): Unit = {
+    val rows = ids.select(col(idCol).as("vec_id")).distinct()
+    val fresh = tombstones.fold(rows)(r => rows.join(r, Seq("vec_id"), "left_anti"))
+    if (fresh.limit(1).count() > 0) removedTable.append(fresh)
+  }
+
+  /** Physically rewrite the stores without the tombstoned rows and clear
+    * the tombstones. Inherently a rewrite of every file holding a removed
+    * row — tombstoned ids are scattered across the bucket-clustered
+    * layout, so file stats cannot prune them; run at maintenance cadence
+    * (with [[graft.tables.GraftTable.vacuum]]), never per delete. The
+    * buckets rewrite re-clusters on `tb` so query-time IN-pruning
+    * survives the purge (the compactClusteredIfNeeded lesson). */
+  def purge(): Unit = tombstones.foreach { r0 =>
+    val r = Parallelism.materialize(r0)
+    if (r.limit(1).count() > 0) {
+      val rb = Parallelism.maybeBroadcast(r, settings.probeBroadcastThresholdBytes)
+      if (bucketsTable.exists) {
+        val kept = Parallelism.materialize(
+          bucketsTable.read().join(rb, Seq("vec_id"), "left_anti"))
+        if (storeHasTb)
+          bucketsTable.overwrite(
+            kept.repartitionByRange(math.max(1, bucketsTable.liveFiles().size),
+              col("tb")).sortWithinPartitions("tb"))
+        else bucketsTable.overwrite(kept)
+      }
+      if (vectorsTable.exists)
+        vectorsTable.overwrite(
+          vectorsTable.read().join(rb, Seq("vec_id"), "left_anti"))
+    }
+    removedTable.overwrite(r.limit(0))
+  }
+
   /** Approximate top-k against everything added so far. Returns
     * (probe_id, neighbor_id, rnk, sim). Probes sharing an id with an
     * indexed vector exclude that self-match.
@@ -188,11 +237,20 @@ final class AnnIndex(
       if (storeHasTb && probeKeys.length <= maxKeys)
         bucketsTable.readWhere(col("tb").isin(probeKeys.toSeq: _*))
       else bucketsTable.read()
-    val candidates = stored
+    val candidates0 = stored
       .join(broadcast(probeBuckets), Seq("tbl", "bucket"))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("neighbor_id"))
       .distinct()
+    // tombstoned ids drop out BEFORE ranking, so lower-ranked live
+    // candidates fill in — the result a store physically without those
+    // rows would return. Tombstone sets are bounded between purges, so
+    // the anti-join broadcasts (gated like every probe).
+    val candidates = tombstones.fold(candidates0)(r =>
+        candidates0.join(
+          Parallelism.maybeBroadcast(r.select(col("vec_id").as("neighbor_id")),
+            settings.probeBroadcastThresholdBytes),
+          Seq("neighbor_id"), "left_anti"))
       .transform(Parallelism.materialize(_)) // feeds the id-set semi-join AND the rescore join
     val probeVecs = probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"),
       Similarity.quantizedDot(col(vecCol), col(vecCol)).as("probe_sq"))

@@ -40,6 +40,14 @@ import org.apache.spark.sql.functions._
   * anti-joins the CURRENT store so nothing is double-inserted. Without a
   * token, a replayed batch corrupts its own stats — only omit it for
   * exactly-once callers.
+  *
+  * No `remove`/`purge` here, unlike the other persisted indexes
+  * ([[AnnIndex.remove]]): a block hash is SHARED by every doc containing
+  * that block, so un-claiming a removed doc's hashes would re-admit
+  * duplicates that other retained docs still legitimately suppress.
+  * Correct deletion needs per-hash refcounts (count per ingest, decrement
+  * on remove, drop at zero) — a deliberate seam left out of the 8-byte
+  * store until a caller needs it.
   */
 final class BlockDedupIndex(
     spark: SparkSession,

@@ -46,13 +46,21 @@ final class IvfIndex(
   private[ext] val centroidsTable = GraftTable(spark, s"$path/centroids")
   private[ext] val cellsTable = GraftTable(spark, s"$path/cells")
   private[ext] val appliedTable = GraftTable(spark, s"$path/applied")
+  private[ext] val removedTable = GraftTable(spark, s"$path/removed")
 
   // crash-injection point for the replay-contract specs (no-op unless armed)
   private[ext] val failpoints = new Failpoints
 
   def isTrained: Boolean = centroidsTable.exists
 
-  def indexedCount: Long = if (cellsTable.exists) cellsTable.read().count() else 0L
+  /** Live tombstones (vec_id), or None when none were ever recorded. */
+  private def tombstones: Option[DataFrame] =
+    if (removedTable.exists) Some(removedTable.read().select("vec_id")) else None
+
+  def indexedCount: Long =
+    if (!cellsTable.exists) 0L
+    else tombstones.fold(cellsTable.read())(r =>
+      cellsTable.read().join(r, Seq("vec_id"), "left_anti")).count()
 
   private def tokenApplied(token: String): Boolean =
     appliedTable.exists &&
@@ -112,6 +120,33 @@ final class IvfIndex(
     cellsTable.compactClusteredIfNeeded(Seq("list_id"))
   }
 
+  /** Tombstone `ids` (the [[AnnIndex.remove]] contract): gone from every
+    * later [[query]]/[[indexedCount]] immediately, no store rewrite;
+    * physical removal at [[purge]]. Idempotent. A removed id must not be
+    * re-added before a [[purge]]. */
+  def remove(ids: DataFrame, idCol: String): Unit = {
+    val rows = ids.select(col(idCol).as("vec_id")).distinct()
+    val fresh = tombstones.fold(rows)(r => rows.join(r, Seq("vec_id"), "left_anti"))
+    if (fresh.limit(1).count() > 0) removedTable.append(fresh)
+  }
+
+  /** Physically rewrite the cells store without the tombstoned rows and
+    * clear the tombstones; re-clusters on `list_id` so query-time cell
+    * pruning survives the purge. Maintenance-cadence, never per delete. */
+  def purge(): Unit = tombstones.foreach { r0 =>
+    val r = Parallelism.materialize(r0)
+    if (r.limit(1).count() > 0 && cellsTable.exists) {
+      val kept = Parallelism.materialize(
+        cellsTable.read().join(
+          Parallelism.maybeBroadcast(r, settings.probeBroadcastThresholdBytes),
+          Seq("vec_id"), "left_anti"))
+      cellsTable.overwrite(
+        kept.repartitionByRange(math.max(1, cellsTable.liveFiles().size),
+          col("list_id")).sortWithinPartitions("list_id"))
+    }
+    removedTable.overwrite(r.limit(0))
+  }
+
   /** Approximate top-k against everything added so far, searching each
     * probe's `nProbe` closest cells. Returns (probe_id, neighbor_id, rnk,
     * sim). Probes sharing an id with an indexed vector exclude that
@@ -139,9 +174,15 @@ final class IvfIndex(
     // probe cell-memberships broadcast into the pruned scan; the payload
     // co-locates with the cell id, so candidates carry their vectors out
     // of the SAME scan — no second stored-side join, zero stored shuffle
-    val cand = stored
+    val cand0 = stored
       .join(broadcast(probeLists), Seq("list_id"))
       .filter(col("vec_id") =!= col("probe_id"))
+    // tombstoned ids drop out BEFORE ranking (the AnnIndex.remove
+    // semantics); tombstone sets are bounded between purges → broadcast
+    val cand = tombstones.fold(cand0)(r =>
+        cand0.join(
+          Parallelism.maybeBroadcast(r, settings.probeBroadcastThresholdBytes),
+          Seq("vec_id"), "left_anti"))
       .select(col("probe_id"), col("vec_id").as("neighbor_id"),
         col("vec").as("neighbor_vec"), col("sq").as("neighbor_sq"))
     val probeVecs = probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"),

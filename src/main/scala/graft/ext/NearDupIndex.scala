@@ -56,11 +56,27 @@ final class NearDupIndex(
     bandsTable.setBucketSpec(Seq("band_key"), storeBuckets)
 
   private[ext] val appliedTable = GraftTable(spark, s"$path/applied")
+  private[ext] val removedTable = GraftTable(spark, s"$path/removed")
 
   // crash-injection points for the replay-contract specs (no-op unless armed)
   private[ext] val failpoints = new Failpoints
 
-  def indexedCount: Long = if (sigsTable.exists) sigsTable.read().count() else 0L
+  /** Live tombstones (doc_id), or None when none were ever recorded. */
+  private def tombstones: Option[DataFrame] =
+    if (removedTable.exists) Some(removedTable.read().select("doc_id")) else None
+
+  /** Stored-side rows minus tombstoned docs — every probe of the stored
+    * bands/sigs goes through this, so a removed doc stops matching new
+    * batches immediately (tombstone sets are bounded between purges →
+    * the anti-join broadcasts, the store still streams). */
+  private def alive(df: DataFrame): DataFrame =
+    tombstones.fold(df)(r =>
+      df.join(Parallelism.maybeBroadcast(r, settings.probeBroadcastThresholdBytes),
+        Seq("doc_id"), "left_anti"))
+
+  def indexedCount: Long =
+    if (!sigsTable.exists) 0L
+    else alive(sigsTable.read()).count()
 
   /** The store versions a previously applied token observed, if any. */
   private def appliedVersions(token: String): Option[(Long, Long)] = {
@@ -116,7 +132,7 @@ final class NearDupIndex(
     // streams, nothing re-shuffles
     val vsIndex =
       if (!bandsExist) intra.limit(0) // first batch: same-typed empty frame
-      else bandsSnapshot
+      else alive(bandsSnapshot)
         .select(col("doc_id").as("id_matched"), col("band"), col("band_key"))
         .join(Parallelism.maybeBroadcast(
             newBands.select(col("id").as("id_new"), col("band"), col("band_key")),
@@ -126,7 +142,7 @@ final class NearDupIndex(
 
     val allSigs =
       if (sigsExist)
-        sigs.select(col("id").as("doc_id"), col("sig")).unionByName(sigsSnapshot)
+        sigs.select(col("id").as("doc_id"), col("sig")).unionByName(alive(sigsSnapshot))
       else sigs.select(col("id").as("doc_id"), col("sig"))
 
     // candidate pairs once (bounded: matched bands only), then attach
@@ -193,5 +209,32 @@ final class NearDupIndex(
     bandsTable.compactIfNeeded()
     sigsTable.compactIfNeeded()
     out
+  }
+
+  /** Tombstone `ids` (the [[AnnIndex.remove]] contract): removed docs stop
+    * matching later batches immediately — no store rewrite; physical
+    * removal at [[purge]]. Idempotent. A removed id must not be re-added
+    * before a [[purge]] (recrawled snapshots get fresh ids, so this only
+    * constrains deliberate id reuse). */
+  def remove(ids: DataFrame, idCol: String): Unit = {
+    val rows = ids.select(col(idCol).as("doc_id")).distinct()
+    val fresh = tombstones.fold(rows)(r => rows.join(r, Seq("doc_id"), "left_anti"))
+    if (fresh.limit(1).count() > 0) removedTable.append(fresh)
+  }
+
+  /** Physically rewrite bands+sigs without the tombstoned docs and clear
+    * the tombstones ([[GraftTable.overwrite]] re-stages through the
+    * configured bucket spec, so a `storeBuckets` layout survives).
+    * Maintenance-cadence, never per delete. */
+  def purge(): Unit = tombstones.foreach { r0 =>
+    val r = Parallelism.materialize(r0)
+    if (r.limit(1).count() > 0) {
+      val rb = Parallelism.maybeBroadcast(r, settings.probeBroadcastThresholdBytes)
+      Seq(bandsTable, sigsTable).filter(_.exists).foreach { t =>
+        t.overwrite(Parallelism.materialize(
+          t.read().join(rb, Seq("doc_id"), "left_anti")))
+      }
+    }
+    removedTable.overwrite(r.limit(0))
   }
 }

@@ -136,4 +136,47 @@ class IndexScaleSpec extends SparkSpecBase {
       graft.lake.FsUtils.deletePath(spark, s"file://$dir")
     }
   }
+
+  test("two-batch IvfIndex ingest runs wide; query's stored side plans with zero Exchange") {
+    withScaleConfs {
+      val dir = Files.createTempDirectory("graft-idxscale-ivf-").toString
+      val idx = new IvfIndex(spark, s"file://$dir/idx")
+      val minWidth = Copies / 2
+      idx.train(scaledEmb, "vec_id", "embedding", nLists = 16)
+      // incremental crawl shape: two adds, each assigning ONLY its batch —
+      // the centroid-score pipeline and the clustered write must be wide
+      assertWideAction("ivfindex.add batch 1", minWidth) {
+        idx.add(scaledEmb.filter(pmod(col("vec_id"), lit(2)) === 0),
+          "vec_id", "embedding", ingestToken = Some("b0"))
+      }
+      assertWideAction("ivfindex.add batch 2", minWidth) {
+        idx.add(scaledEmb.filter(pmod(col("vec_id"), lit(2)) === 1),
+          "vec_id", "embedding", ingestToken = Some("b1"))
+      }
+      assert(idx.indexedCount === scaledEmb.count())
+      val probes = scaledEmb.filter(col("vec_id") < 5)
+      assertWideAction("ivfindex.query", minWidth) {
+        assert(idx.query(probes, "vec_id", "embedding", k = 5, nProbe = 3).count() > 0)
+      }
+      // cell pruning bites on the clustered store...
+      val cents = idx.centroidsTable.read().select("list_id", "cvec")
+      val lists = Similarity.ivfAssign(probes, "vec_id", "embedding", cents, topN = 3)
+        .select("list_id").distinct().as[Int].collect()
+      val total = idx.cellsTable.liveFiles().size
+      val scanned = idx.cellsTable.prunedFiles(col("list_id").isin(lists.toSeq: _*)).size
+      assert(scanned < total, s"cell pruning must skip files: scanned $scanned of $total")
+      // ...and the candidate join the query plans is broadcast-only on the
+      // stored side: pruned scan ⨝ broadcast probe cell-memberships
+      val probeLists = Similarity.ivfAssign(probes, "vec_id", "embedding", cents, topN = 3)
+        .select(col("id").as("probe_id"), col("list_id")).localCheckpoint(true)
+      val cand = idx.cellsTable.readWhere(col("list_id").isin(lists.toSeq: _*))
+        .join(broadcast(probeLists), Seq("list_id"))
+      val p = cand.queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastHashJoin"), s"probe must broadcast:\n$p")
+      assert(!p.contains("Exchange hashpartitioning") &&
+        !p.contains("Exchange rangepartitioning"),
+        s"stored side must not shuffle:\n$p")
+      graft.lake.FsUtils.deletePath(spark, s"file://$dir")
+    }
+  }
 }
