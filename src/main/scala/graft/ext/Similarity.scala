@@ -583,19 +583,53 @@ object Similarity {
     val pd = probes.agg(min(size(col(vecCol))), max(size(col(vecCol)))).head()
     require(pd.isNullAt(0) || (pd.getInt(0) == cd.getInt(0) && pd.getInt(1) == cd.getInt(0)),
       s"pqTopK: probe dims ${pd.get(0)}..${pd.get(1)} != corpus dims ${cd.get(0)}")
-    // (id, subspace, dim, x): s = (i·m) div dims — contiguous dim blocks
-    def exploded(df: DataFrame): DataFrame = df
-      .select(col(idCol).as("id"), posexplode(col(vecCol)).as(Seq("i", "xr")),
-        size(col(vecCol)).as("__dims"))
-      .select(col("id"), col("i"), expr(s"(i * $m) DIV __dims").as("s"),
-        col("xr").cast("double").as("x"))
     // micro units feed the integer-exact centroid updates, as in kmeans.
     // The explode materializes only when training will REUSE it (each
     // iteration's assign + update, plus the final encode); at iters=0 the
     // single consumer makes an eager corpus-wide checkpoint pure cost
-    val exCorpus0 = exploded(corpus)
+    val exCorpus0 = pqExplode(corpus, idCol, vecCol, m)
       .withColumn("micro", floor(col("x") * lit(1e6)).cast("long"))
     val exCorpus = if (iters > 0) exCorpus0.transform(Parallelism.materialize(_)) else exCorpus0
+    val cent = pqTrainCentroids(corpus, exCorpus, idCol, vecCol, m, codebookSize, iters)
+    val codes = pqAssign(exCorpus, cent)
+    val probeSub = pqProbeSubDists(probes, idCol, vecCol, m, cent)
+    pqAdcTopK(codes, probeSub, k)
+  }
+
+  /** (id, dim, subspace, x) explode for PQ: s = (i·m) div dims —
+    * contiguous dim blocks (shared by [[pqTopK]] and [[PqIndex]]). */
+  private[ext] def pqExplode(df: DataFrame, idCol: String, vecCol: String,
+      m: Int): DataFrame = df
+    .select(col(idCol).as("id"), posexplode(col(vecCol)).as(Seq("i", "xr")),
+      size(col(vecCol)).as("__dims"))
+    .select(col("id"), col("i"), expr(s"(i * $m) DIV __dims").as("s"),
+      col("xr").cast("double").as("x"))
+
+  /** Per-(row, subspace, centroid) quantized subdistance of an exploded
+    * frame against a (c, i, s, cx) codebook (broadcast — KB-sized). */
+  private[ext] def pqSubDists(ex: DataFrame, cb: DataFrame): DataFrame = ex
+    .join(broadcast(cb), Seq("i", "s"))
+    .withColumn("term", floor((col("x") - col("cx")) * (col("x") - col("cx")) * lit(1e12)).cast("long"))
+    .groupBy(col("id"), col("s"), col("c"))
+    .agg(sum(col("term")).as("d"))
+
+  /** PQ encode: nearest sub-codebook centroid per (row, subspace) —
+    * (id, s, code), ties to the lowest centroid id. */
+  private[ext] def pqAssign(ex: DataFrame, cb: DataFrame): DataFrame =
+    pqSubDists(ex, cb)
+      .groupBy(col("id"), col("s"))
+      .agg(min(struct(col("d"), col("c"))).as("best"))
+      .select(col("id"), col("s"), col("best.c").as("code"))
+
+  /** The (c, i, s, cx) sub-codebooks: md5-ranked corpus sample, then
+    * `iters` rounds of per-subspace Lloyd — each subspace's codebook
+    * trains on its member subvectors independently, all m trainings
+    * riding ONE assign + ONE update job per iteration (subspace is just
+    * a grouping key). `exCorpus` must carry the `micro` column and be
+    * materialized by the caller when iters > 0 (it is consumed 2×/iter). */
+  private[ext] def pqTrainCentroids(corpus: DataFrame, exCorpus: DataFrame,
+      idCol: String, vecCol: String, m: Int, codebookSize: Int,
+      iters: Int)(implicit settings: graft.conf.GraftSettings): DataFrame = {
     var cent: DataFrame = corpus
       .select(col(idCol).as("cid"), col(vecCol).as("cv"))
       .orderBy(md5(col("cid").cast("string")), col("cid"))
@@ -607,23 +641,10 @@ object Similarity {
       // k·dims rows; unmaterialized, every consuming job re-runs the
       // corpus-wide md5 top-k that derives it
       .transform(Parallelism.materialize(_))
-    // per-(row, subspace, centroid) quantized subdistance
-    def subDists(ex: DataFrame, cb: DataFrame): DataFrame = ex
-      .join(broadcast(cb), Seq("i", "s"))
-      .withColumn("term", floor((col("x") - col("cx")) * (col("x") - col("cx")) * lit(1e12)).cast("long"))
-      .groupBy(col("id"), col("s"), col("c"))
-      .agg(sum(col("term")).as("d"))
-    def assign(cb: DataFrame): DataFrame = subDists(exCorpus, cb)
-      .groupBy(col("id"), col("s"))
-      .agg(min(struct(col("d"), col("c"))).as("best"))
-      .select(col("id"), col("s"), col("best.c").as("code"))
-    // per-subspace Lloyd: each subspace's codebook trains on its member
-    // subvectors independently — all m trainings ride ONE assign +
-    // ONE update job per iteration (subspace is just a grouping key)
     for (_ <- 1 to iters) {
       // rematerialize: lineage barrier + persist-mode release of the
       // superseded per-subspace codebook
-      cent = Parallelism.rematerialize(assign(cent)
+      cent = Parallelism.rematerialize(pqAssign(exCorpus, cent)
         .join(exCorpus, Seq("id", "s"))
         .groupBy(col("s"), col("code"), col("i"))
         .agg(sum(col("micro")).as("__msum"), count(lit(1)).as("__n"))
@@ -631,11 +652,23 @@ object Similarity {
           (floor((col("__msum") * 2 + col("__n")).cast("double") / (col("__n") * 2).cast("double"))
             .cast("double") / lit(1e6)).as("cx")), cent)
     }
-    val codes = assign(cent)
-    def probeDists(df: DataFrame): DataFrame = subDists(exploded(df), cent)
-    val probeSub = probeDists(probes)
+    cent
+  }
+
+  /** Probe-side ADC table: subdistance of each probe to EVERY centroid of
+    * every subspace, renamed for [[pqAdcTopK]]'s code join. Tiny
+    * (|probes| × m × codebookSize rows) — always broadcast. */
+  private[ext] def pqProbeSubDists(probes: DataFrame, idCol: String,
+      vecCol: String, m: Int, cent: DataFrame): DataFrame =
+    pqSubDists(pqExplode(probes, idCol, vecCol, m), cent)
       .select(col("id").as("probe_id"), col("s").as("__ps"),
         col("c").as("__pc"), col("d"))
+
+  /** ADC scoring: each corpus code row picks up its assigned centroid's
+    * probe subdistance, summed per (probe, id) — corpus vectors never
+    * rejoin after encoding; m BIGINTs per row through the aggregation. */
+  private[ext] def pqAdcTopK(codes: DataFrame, probeSub: DataFrame,
+      k: Int): DataFrame = {
     val w = Window.partitionBy(col("probe_id")).orderBy(col("dist"), col("neighbor_id"))
     codes
       .join(broadcast(probeSub),

@@ -103,6 +103,44 @@ object VectorQueries {
         SELECT probe_id, neighbor_id, CAST(rn AS INTEGER) AS rnk, sim
         FROM k WHERE rn <= 5 ORDER BY probe_id, rnk"""
 
+  // Shared by e10 (one-shot pqTopK) and e20 (persisted PqIndex trained on
+  // the same corpus): the incremental index must reproduce the one-shot
+  // encode + ADC exactly.
+  private lazy val pqOracle: String =
+    """WITH cent0src AS (
+          SELECT vec_id AS cid, embedding AS cv FROM embeddings
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        cent AS (
+          SELECT CAST(row_number() OVER (ORDER BY cid) - 1 AS INTEGER) AS c, cv
+          FROM cent0src),
+        cdim AS (
+          SELECT c, ui - 1 AS i, ((ui - 1) * 4) // len(cv) AS s, CAST(cv[ui] AS DOUBLE) AS cx
+          FROM (SELECT c, unnest(generate_series(1, len(cv))) AS ui, cv FROM cent)),
+        edim AS (
+          SELECT vec_id AS id, ui - 1 AS i, ((ui - 1) * 4) // len(embedding) AS s,
+            CAST(embedding[ui] AS DOUBLE) AS x
+          FROM (SELECT vec_id, unnest(generate_series(1, len(embedding))) AS ui, embedding
+                FROM embeddings)),
+        dsub AS (
+          SELECT id, s, c,
+            CAST(sum(CAST(floor((x - cx) * (x - cx) * 1e12) AS BIGINT)) AS BIGINT) AS d
+          FROM edim JOIN cdim USING (i, s) GROUP BY 1, 2, 3),
+        codes AS (
+          SELECT id, s, c AS code FROM (
+            SELECT id, s, c, row_number() OVER (PARTITION BY id, s ORDER BY d, c) AS rn
+            FROM dsub) WHERE rn = 1),
+        adc AS (
+          SELECT p.id AS probe_id, codes.id AS neighbor_id, CAST(sum(p.d) AS BIGINT) AS dist
+          FROM codes JOIN dsub p ON p.s = codes.s AND p.c = codes.code
+          WHERE p.id < 5 AND codes.id <> p.id
+          GROUP BY 1, 2),
+        k AS (
+          SELECT probe_id, neighbor_id, dist,
+            row_number() OVER (PARTITION BY probe_id ORDER BY dist, neighbor_id) AS rn
+          FROM adc)
+        SELECT probe_id, neighbor_id, CAST(rn AS INTEGER) AS rnk, dist
+        FROM k WHERE rn <= 5 ORDER BY probe_id, rnk"""
+
   val all: Seq[CatalogQuery] = Seq(
 
     CatalogQuery(
@@ -481,39 +519,30 @@ object VectorQueries {
           .select(col("probe_id"), col("neighbor_id"), col("rnk"), col("dist"))
           .orderBy(col("probe_id"), col("rnk"))
       },
-      Some("""WITH cent0src AS (
-          SELECT vec_id AS cid, embedding AS cv FROM embeddings
-          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
-        cent AS (
-          SELECT CAST(row_number() OVER (ORDER BY cid) - 1 AS INTEGER) AS c, cv
-          FROM cent0src),
-        cdim AS (
-          SELECT c, ui - 1 AS i, ((ui - 1) * 4) // len(cv) AS s, CAST(cv[ui] AS DOUBLE) AS cx
-          FROM (SELECT c, unnest(generate_series(1, len(cv))) AS ui, cv FROM cent)),
-        edim AS (
-          SELECT vec_id AS id, ui - 1 AS i, ((ui - 1) * 4) // len(embedding) AS s,
-            CAST(embedding[ui] AS DOUBLE) AS x
-          FROM (SELECT vec_id, unnest(generate_series(1, len(embedding))) AS ui, embedding
-                FROM embeddings)),
-        dsub AS (
-          SELECT id, s, c,
-            CAST(sum(CAST(floor((x - cx) * (x - cx) * 1e12) AS BIGINT)) AS BIGINT) AS d
-          FROM edim JOIN cdim USING (i, s) GROUP BY 1, 2, 3),
-        codes AS (
-          SELECT id, s, c AS code FROM (
-            SELECT id, s, c, row_number() OVER (PARTITION BY id, s ORDER BY d, c) AS rn
-            FROM dsub) WHERE rn = 1),
-        adc AS (
-          SELECT p.id AS probe_id, codes.id AS neighbor_id, CAST(sum(p.d) AS BIGINT) AS dist
-          FROM codes JOIN dsub p ON p.s = codes.s AND p.c = codes.code
-          WHERE p.id < 5 AND codes.id <> p.id
-          GROUP BY 1, 2),
-        k AS (
-          SELECT probe_id, neighbor_id, dist,
-            row_number() OVER (PARTITION BY probe_id ORDER BY dist, neighbor_id) AS rn
-          FROM adc)
-        SELECT probe_id, neighbor_id, CAST(rn AS INTEGER) AS rnk, dist
-        FROM k WHERE rn <= 5 ORDER BY probe_id, rnk""")),
+      Some(pqOracle)),
+
+    // The persisted-index path of the SAME ADC search: train the
+    // sub-codebooks once on the corpus, encode in two incremental adds,
+    // query through the stored codes — results must equal one-shot
+    // pqTopK, so e10's oracle gates the stored codebook + codes
+    // machinery too (the FAISS IndexPQ workflow: codes are ~4× smaller
+    // than vectors, so the per-query scan I/O shrinks by the same factor).
+    CatalogQuery(
+      "e20_pq_index_query",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val tmp = java.nio.file.Files.createTempDirectory("graft-e20-").toString
+        val idx = new graft.ext.PqIndex(s, s"file://$tmp", m = 4, codebookSize = 16)
+        idx.train(emb, "vec_id", "embedding")
+        idx.add(emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding")
+        idx.add(emb.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding")
+        val out = idx.query(emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5)
+          .orderBy(col("probe_id"), col("rnk"))
+          .localCheckpoint(true) // materialize, then drop the scratch index
+        graft.lake.FsUtils.deletePath(s, s"file://$tmp")
+        out
+      },
+      Some(pqOracle)),
 
     // Contrastive hard-negative mining: most-similar rows with a DIFFERENT
     // label — the confusable negatives that actually train an embedding

@@ -1150,7 +1150,13 @@ class ExtOpsSpec extends SparkSpecBase {
     // 100 probes x 8 tables >> 16 keys — the pre-degrade code would plant
     // an ~800-literal IN expression; the degrade path plants none
     val probes = emb.filter(col("vec_id") < 100)
-    val fromIndex = idx.query(probes, "vec_id", "embedding", k = 3)
+    val fromIndexDf = idx.query(probes, "vec_id", "embedding", k = 3)
+    // the degraded plan carries NO probe-key IN set at all (Catalyst
+    // renders large isin lists as INSET): plan size stays bounded no
+    // matter how large the probe batch grows
+    val plan = fromIndexDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("INSET"), s"degrade path must not plant an IN set:\n$plan")
+    val fromIndex = fromIndexDf
       .select("probe_id", "neighbor_id", "rnk").as[(Long, Long, Int)].collect().toSet
     val oneShot = Similarity.annTopK(emb, probes, "vec_id", "embedding", 3,
         nTables = 8, bitsPerTable = 6, portable = true)
@@ -1244,6 +1250,76 @@ class ExtOpsSpec extends SparkSpecBase {
     val want = clean.query(probes, "vec_id", "embedding", k = 3, nProbe = 3)
       .select("probe_id", "neighbor_id", "rnk").as[(Long, Long, Int)].collect().toSet
     assert(fromIndex === want)
+    graft.lake.FsUtils.deletePath(spark, s"file://$dir")
+  }
+
+  test("PqIndex: train-once incremental adds match one-shot pqTopK") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pqidx-").toString
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val probes = emb.filter(col("vec_id") < 5)
+    val idx = new PqIndex(spark, s"$dir/idx", m = 4, codebookSize = 16)
+    idx.train(emb, "vec_id", "embedding")
+    idx.add(emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding")
+    idx.add(emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
+    assert(idx.indexedCount === emb.count())
+    val fromIndex = idx.query(probes, "vec_id", "embedding", k = 5)
+      .select("probe_id", "neighbor_id", "rnk").as[(Long, Long, Int)].collect().toSet
+    val oneShot = Similarity.pqTopK(emb, probes, "vec_id", "embedding", 5,
+        m = 4, codebookSize = 16)
+      .select("probe_id", "neighbor_id", "rnk").as[(Long, Long, Int)].collect().toSet
+    assert(fromIndex === oneShot)
+    // a fresh instance on the same path serves identically (codebooks and
+    // codes both persisted)
+    val reopened = new PqIndex(spark, s"$dir/idx", m = 4, codebookSize = 16)
+    assert(reopened.isTrained)
+    val again = reopened.query(probes, "vec_id", "embedding", k = 5)
+      .select("probe_id", "neighbor_id", "rnk").as[(Long, Long, Int)].collect().toSet
+    assert(again === oneShot)
+    graft.lake.FsUtils.deletePath(spark, s"file://$dir")
+  }
+
+  test("PqIndex: ingestToken makes at-least-once replays idempotent") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-replay-").toString
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val idx = new PqIndex(spark, s"$dir/idx")
+    idx.train(emb, "vec_id", "embedding")
+    val half = emb.filter(col("vec_id") % 2 === 0)
+    idx.add(half, "vec_id", "embedding", ingestToken = Some("b0"))
+    val count = idx.indexedCount
+    idx.add(half, "vec_id", "embedding", ingestToken = Some("b0"))
+    assert(idx.indexedCount === count, "replayed token must not double-insert")
+    val clean = new PqIndex(spark, s"$dir/clean")
+    clean.train(emb, "vec_id", "embedding")
+    clean.add(half, "vec_id", "embedding")
+    val probes = emb.filter(col("vec_id") < 3)
+    val fromIndex = idx.query(probes, "vec_id", "embedding", k = 3)
+      .select("probe_id", "neighbor_id", "rnk").as[(Long, Long, Int)].collect().toSet
+    val want = clean.query(probes, "vec_id", "embedding", k = 3)
+      .select("probe_id", "neighbor_id", "rnk").as[(Long, Long, Int)].collect().toSet
+    assert(fromIndex === want)
+    graft.lake.FsUtils.deletePath(spark, s"file://$dir")
+  }
+
+  test("PqIndex: empty probe frame, dims mismatch and untrained guards") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-guards-").toString
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val idx = new PqIndex(spark, s"$dir/idx")
+    intercept[IllegalArgumentException] {
+      idx.add(emb, "vec_id", "embedding") // untrained
+    }
+    idx.train(emb, "vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      idx.train(emb, "vec_id", "embedding") // double-train
+    }
+    idx.add(emb, "vec_id", "embedding")
+    intercept[IllegalArgumentException] { // trained at 64 dims, probed at 3
+      idx.query(emb.limit(3).select(col("vec_id"),
+        array(lit(1f), lit(2f), lit(3f)).as("embedding")),
+        "vec_id", "embedding", k = 3)
+    }
+    val out = idx.query(emb.filter(col("vec_id") < 0), "vec_id", "embedding", k = 3)
+    assert(out.columns.toSeq === Seq("probe_id", "neighbor_id", "rnk", "dist"))
+    assert(out.count() === 0)
     graft.lake.FsUtils.deletePath(spark, s"file://$dir")
   }
 

@@ -91,6 +91,27 @@ class IndexMaintenanceSpec extends SparkSpecBase {
     graft.lake.FsUtils.deletePath(spark, s"file://$dir")
   }
 
+  test("PqIndex: remove ≡ never-added under the same codebook; purge preserves answers") {
+    val dir = Files.createTempDirectory("graft-pq-rm-").toString
+    // SAME codebook on both sides (the IvfIndex twin rule): the twin
+    // models "this index, had those vectors never been ingested"
+    val idx = new PqIndex(spark, s"$dir/idx")
+    val twin = new PqIndex(spark, s"$dir/twin")
+    idx.train(emb, "vec_id", "embedding")
+    twin.train(emb, "vec_id", "embedding")
+    idx.add(emb, "vec_id", "embedding")
+    twin.add(kept, "vec_id", "embedding")
+    idx.remove(removedDf, "vec_id")
+    assert(idx.indexedCount === twin.indexedCount)
+    val want = pairs(twin.query(probes, "vec_id", "embedding", k = 5))
+    assert(pairs(idx.query(probes, "vec_id", "embedding", k = 5)) === want)
+    idx.purge()
+    assert(idx.removedTable.read().count() === 0)
+    assert(idx.codesTable.read().filter(col("vec_id").isin(removedIdSeq: _*)).count() === 0)
+    assert(pairs(idx.query(probes, "vec_id", "embedding", k = 5)) === want)
+    graft.lake.FsUtils.deletePath(spark, s"file://$dir")
+  }
+
   test("NearDupIndex: removed docs stop matching new batches; purge ≡ never-indexed") {
     val dir = Files.createTempDirectory("graft-ndi-rm-").toString
     val corpus = Seq(
