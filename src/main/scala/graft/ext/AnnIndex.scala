@@ -29,7 +29,8 @@ final class AnnIndex(
     path: String,
     nTables: Int = 8,
     bitsPerTable: Int = 6,
-    portable: Boolean = false)(implicit settings: GraftSettings = GraftSettings.default) {
+    portable: Boolean = false)(implicit settings: GraftSettings = GraftSettings.default)
+  extends Tombstoned {
 
   private[ext] val bucketsTable = GraftTable(spark, s"$path/buckets")
   // no file stats for vectors: query() reaches them through a broadcast
@@ -39,18 +40,15 @@ final class AnnIndex(
     settings.copy(collectFileStats = false))
   private[ext] val appliedTable = GraftTable(spark, s"$path/applied")
   private[ext] val removedTable = GraftTable(spark, s"$path/removed")
+  protected def tombstoneIdCol: String = "vec_id"
+  protected def tombstoneSettings: GraftSettings = settings
 
   // crash-injection points for the replay-contract specs (no-op unless armed)
   private[ext] val failpoints = new Failpoints
 
-  /** Live tombstones (vec_id), or None when none were ever recorded. */
-  private def tombstones: Option[DataFrame] =
-    if (removedTable.exists) Some(removedTable.read().select("vec_id")) else None
-
   def indexedCount: Long =
     if (!vectorsTable.exists) 0L
-    else tombstones.fold(vectorsTable.read())(r =>
-      vectorsTable.read().join(r, Seq("vec_id"), "left_anti")).count()
+    else withoutTombstoned(vectorsTable.read(), "vec_id").count()
 
   private def tokenApplied(token: String): Boolean =
     appliedTable.exists &&
@@ -85,14 +83,21 @@ final class AnnIndex(
     import spark.implicits._
     val replay = ingestToken.exists(tokenApplied)
     val clustered = storeHasTb
+    // tombstoned ids never (re-)enter the index: a late or replayed batch
+    // carrying an id removed in the meantime must not resurrect it
+    val in = withoutTombstoned(df, idCol)
+    // empty batch (streaming no-op delivery, or fully tombstoned): nothing
+    // to hash — and the hash derivation needs a row to size vectors. An
+    // unrecorded token just re-noops on redelivery.
+    if (in.isEmpty) return
     // materialize before clustering: repartitionByRange SAMPLES its child
     // to pick range bounds, so an unmaterialized hash pipeline would run
     // twice (sample pass + write pass)
-    val hashed = Similarity.lshBucketRows(df, idCol, vecCol, nTables, bitsPerTable, portable)
+    val hashed = Similarity.lshBucketRows(in, idCol, vecCol, nTables, bitsPerTable, portable)
       .select(col("id").as("vec_id"), col("tbl"), col("bucket"))
     val buckets0 = (if (clustered) hashed.withColumn("tb", tbExpr) else hashed)
       .transform(Parallelism.materialize(_))
-    val vectors0 = df.select(col(idCol).as("vec_id"), col(vecCol).as("vec"),
+    val vectors0 = in.select(col(idCol).as("vec_id"), col(vecCol).as("vec"),
       Similarity.quantizedDot(col(vecCol), col(vecCol)).as("sq"))
     // token recorded BEFORE the appends (the shared index ordering): a
     // crash in between leaves a gap the replay path fills idempotently
@@ -133,45 +138,25 @@ final class AnnIndex(
     vectorsTable.compactIfNeeded()
   }
 
-  /** Tombstone `ids`: they vanish from every later [[query]] and from
-    * [[indexedCount]] immediately, at the cost of one tombstone row each —
-    * NO store rewrite (at 100 TB an inline delete may not rewrite the
-    * clustered store; this is the Lucene/FAISS soft-delete shape, the
-    * maintenance op a recrawl or right-to-erasure request needs). Physical
-    * removal happens at [[purge]]. Idempotent: re-removing appends
-    * nothing. Contract: a removed id must not be re-added before a
-    * [[purge]] — the tombstone would hide the re-added rows too. */
-  def remove(ids: DataFrame, idCol: String): Unit = {
-    val rows = ids.select(col(idCol).as("vec_id")).distinct()
-    val fresh = tombstones.fold(rows)(r => rows.join(r, Seq("vec_id"), "left_anti"))
-    if (fresh.limit(1).count() > 0) removedTable.append(fresh)
-  }
-
-  /** Physically rewrite the stores without the tombstoned rows and clear
-    * the tombstones. Inherently a rewrite of every file holding a removed
-    * row — tombstoned ids are scattered across the bucket-clustered
-    * layout, so file stats cannot prune them; run at maintenance cadence
-    * (with [[graft.tables.GraftTable.vacuum]]), never per delete. The
+  /** [[Tombstoned.purge]]'s store rewrite: inherently touches every file
+    * holding a removed row — tombstoned ids are scattered across the
+    * bucket-clustered layout, so file stats cannot prune them. The
     * buckets rewrite re-clusters on `tb` so query-time IN-pruning
     * survives the purge (the compactClusteredIfNeeded lesson). */
-  def purge(): Unit = tombstones.foreach { r0 =>
-    val r = Parallelism.materialize(r0)
-    if (r.limit(1).count() > 0) {
-      val rb = Parallelism.maybeBroadcast(r, settings.probeBroadcastThresholdBytes)
-      if (bucketsTable.exists) {
-        val kept = Parallelism.materialize(
-          bucketsTable.read().join(rb, Seq("vec_id"), "left_anti"))
-        if (storeHasTb)
-          bucketsTable.overwrite(
-            kept.repartitionByRange(math.max(1, bucketsTable.liveFiles().size),
-              col("tb")).sortWithinPartitions("tb"))
-        else bucketsTable.overwrite(kept)
-      }
-      if (vectorsTable.exists)
-        vectorsTable.overwrite(
-          vectorsTable.read().join(rb, Seq("vec_id"), "left_anti"))
+  protected def purgeRewrite(removedIds: DataFrame): Unit = {
+    val rb = Parallelism.maybeBroadcast(removedIds, settings.probeBroadcastThresholdBytes)
+    if (bucketsTable.exists) {
+      val kept = Parallelism.materialize(
+        bucketsTable.read().join(rb, Seq("vec_id"), "left_anti"))
+      if (storeHasTb)
+        bucketsTable.overwrite(
+          kept.repartitionByRange(math.max(1, bucketsTable.liveFiles().size),
+            col("tb")).sortWithinPartitions("tb"))
+      else bucketsTable.overwrite(kept)
     }
-    removedTable.overwrite(r.limit(0))
+    if (vectorsTable.exists)
+      vectorsTable.overwrite(
+        vectorsTable.read().join(rb, Seq("vec_id"), "left_anti"))
   }
 
   /** Approximate top-k against everything added so far. Returns
@@ -237,8 +222,13 @@ final class AnnIndex(
       if (storeHasTb && probeKeys.length <= maxKeys)
         bucketsTable.readWhere(col("tb").isin(probeKeys.toSeq: _*))
       else bucketsTable.read()
+    // probe joins are size-gated like every store probe: a bulk batch that
+    // overflowed the IN-prune cap above would force-broadcast |probes| ×
+    // nTables × (perturbations+1) rows — past the threshold AQE picks the
+    // strategy instead of OOMing the driver
     val candidates0 = stored
-      .join(broadcast(probeBuckets), Seq("tbl", "bucket"))
+      .join(Parallelism.maybeBroadcast(probeBuckets,
+        settings.probeBroadcastThresholdBytes), Seq("tbl", "bucket"))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("neighbor_id"))
       .distinct()
@@ -246,11 +236,7 @@ final class AnnIndex(
     // candidates fill in — the result a store physically without those
     // rows would return. Tombstone sets are bounded between purges, so
     // the anti-join broadcasts (gated like every probe).
-    val candidates = tombstones.fold(candidates0)(r =>
-        candidates0.join(
-          Parallelism.maybeBroadcast(r.select(col("vec_id").as("neighbor_id")),
-            settings.probeBroadcastThresholdBytes),
-          Seq("neighbor_id"), "left_anti"))
+    val candidates = withoutTombstoned(candidates0, "neighbor_id")
       .transform(Parallelism.materialize(_)) // feeds the id-set semi-join AND the rescore join
     val probeVecs = probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"),
       Similarity.quantizedDot(col(vecCol), col(vecCol)).as("probe_sq"))
@@ -267,7 +253,8 @@ final class AnnIndex(
           settings.probeBroadcastThresholdBytes),
         Seq("neighbor_id"), "left_semi")
     val withVecs = candidates
-      .join(broadcast(probeVecs), Seq("probe_id"))
+      .join(Parallelism.maybeBroadcast(probeVecs,
+        settings.probeBroadcastThresholdBytes), Seq("probe_id"))
       .join(neighborVecs, Seq("neighbor_id"))
     val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("neighbor_id"))
     withVecs

@@ -41,26 +41,24 @@ import org.apache.spark.sql.functions._
   */
 final class IvfIndex(
     spark: SparkSession,
-    path: String)(implicit settings: GraftSettings = GraftSettings.default) {
+    path: String)(implicit settings: GraftSettings = GraftSettings.default)
+  extends Tombstoned {
 
   private[ext] val centroidsTable = GraftTable(spark, s"$path/centroids")
   private[ext] val cellsTable = GraftTable(spark, s"$path/cells")
   private[ext] val appliedTable = GraftTable(spark, s"$path/applied")
   private[ext] val removedTable = GraftTable(spark, s"$path/removed")
+  protected def tombstoneIdCol: String = "vec_id"
+  protected def tombstoneSettings: GraftSettings = settings
 
   // crash-injection point for the replay-contract specs (no-op unless armed)
   private[ext] val failpoints = new Failpoints
 
   def isTrained: Boolean = centroidsTable.exists
 
-  /** Live tombstones (vec_id), or None when none were ever recorded. */
-  private def tombstones: Option[DataFrame] =
-    if (removedTable.exists) Some(removedTable.read().select("vec_id")) else None
-
   def indexedCount: Long =
     if (!cellsTable.exists) 0L
-    else tombstones.fold(cellsTable.read())(r =>
-      cellsTable.read().join(r, Seq("vec_id"), "left_anti")).count()
+    else withoutTombstoned(cellsTable.read(), "vec_id").count()
 
   private def tokenApplied(token: String): Boolean =
     appliedTable.exists &&
@@ -68,6 +66,25 @@ final class IvfIndex(
 
   private def centroids(): DataFrame =
     centroidsTable.read().select(col("list_id"), col("cvec"))
+
+  /** The trained dimensionality — one metadata-plane row off the KB-sized
+    * codebook. */
+  private def trainedDims(): Int =
+    centroids().agg(max(size(col("cvec")))).head().getInt(0)
+
+  /** Mismatched or ragged vectors against the trained codebook would
+    * silently corrupt cell assignments (the quantized dot iterates the
+    * LEFT array's length, so a longer batch vector reads past the
+    * centroid and a shorter one truncates — garbage cells, no error) —
+    * fail loudly instead (the [[Similarity.pqTopK]] contract). */
+  private def requireDims(df: DataFrame, vecCol: String, what: String,
+      expect: Option[Int]): Unit = {
+    val d = df.agg(min(size(col(vecCol))), max(size(col(vecCol)))).head()
+    require(!d.isNullAt(0) && d.getInt(0) == d.getInt(1),
+      s"IvfIndex: ragged $what vectors (dims ${d.get(0)}..${d.get(1)})")
+    expect.foreach(e => require(d.getInt(0) == e,
+      s"IvfIndex: $what dims ${d.getInt(0)} != trained dims $e"))
+  }
 
   /** Fit the coarse quantizer: `nLists` deterministic md5-sampled corpus
     * vectors (see [[Similarity.ivfCentroids]]) persisted as the codebook.
@@ -77,6 +94,7 @@ final class IvfIndex(
     * quantizer means rebuilding the index). */
   def train(corpus: DataFrame, idCol: String, vecCol: String, nLists: Int): Unit = {
     require(!isTrained, s"IvfIndex at $path is already trained")
+    requireDims(corpus, vecCol, "corpus", None)
     centroidsTable.append(
       Similarity.ivfCentroids(corpus, idCol, vecCol, nLists)
         .select(col("list_id"), col("cvec")))
@@ -96,13 +114,19 @@ final class IvfIndex(
     import spark.implicits._
     require(isTrained, s"IvfIndex at $path is untrained — call train() first")
     val replay = ingestToken.exists(tokenApplied)
-    val assigned = Similarity.ivfAssign(df, idCol, vecCol, centroids())
+    // tombstoned ids never (re-)enter the index; empty batches (streaming
+    // no-op delivery, or fully tombstoned) are a no-op — an unrecorded
+    // token just re-noops on redelivery
+    val in = withoutTombstoned(df, idCol)
+    if (in.isEmpty) return
+    requireDims(in, vecCol, "batch", Some(trainedDims()))
+    val assigned = Similarity.ivfAssign(in, idCol, vecCol, centroids())
       .select(col("id").as("vec_id"), col("list_id"))
     // materialize before clustering: repartitionByRange SAMPLES its child
     // to pick range bounds, so an unmaterialized assignment pipeline would
     // run twice (sample pass + write pass)
     val rows0 = Parallelism.materialize(
-      df.select(col(idCol).as("vec_id"), col(vecCol).as("vec"),
+      in.select(col(idCol).as("vec_id"), col(vecCol).as("vec"),
           Similarity.quantizedDot(col(vecCol), col(vecCol)).as("sq"))
         .join(assigned, Seq("vec_id")))
     ingestToken.filter(_ => !replay).foreach { t =>
@@ -120,32 +144,18 @@ final class IvfIndex(
     cellsTable.compactClusteredIfNeeded(Seq("list_id"))
   }
 
-  /** Tombstone `ids` (the [[AnnIndex.remove]] contract): gone from every
-    * later [[query]]/[[indexedCount]] immediately, no store rewrite;
-    * physical removal at [[purge]]. Idempotent. A removed id must not be
-    * re-added before a [[purge]]. */
-  def remove(ids: DataFrame, idCol: String): Unit = {
-    val rows = ids.select(col(idCol).as("vec_id")).distinct()
-    val fresh = tombstones.fold(rows)(r => rows.join(r, Seq("vec_id"), "left_anti"))
-    if (fresh.limit(1).count() > 0) removedTable.append(fresh)
-  }
-
-  /** Physically rewrite the cells store without the tombstoned rows and
-    * clear the tombstones; re-clusters on `list_id` so query-time cell
-    * pruning survives the purge. Maintenance-cadence, never per delete. */
-  def purge(): Unit = tombstones.foreach { r0 =>
-    val r = Parallelism.materialize(r0)
-    if (r.limit(1).count() > 0 && cellsTable.exists) {
+  /** [[Tombstoned.purge]]'s store rewrite: re-clusters on `list_id` so
+    * query-time cell pruning survives the purge. */
+  protected def purgeRewrite(removedIds: DataFrame): Unit =
+    if (cellsTable.exists) {
       val kept = Parallelism.materialize(
         cellsTable.read().join(
-          Parallelism.maybeBroadcast(r, settings.probeBroadcastThresholdBytes),
+          Parallelism.maybeBroadcast(removedIds, settings.probeBroadcastThresholdBytes),
           Seq("vec_id"), "left_anti"))
       cellsTable.overwrite(
         kept.repartitionByRange(math.max(1, cellsTable.liveFiles().size),
           col("list_id")).sortWithinPartitions("list_id"))
     }
-    removedTable.overwrite(r.limit(0))
-  }
 
   /** Approximate top-k against everything added so far, searching each
     * probe's `nProbe` closest cells. Returns (probe_id, neighbor_id, rnk,
@@ -161,8 +171,10 @@ final class IvfIndex(
         .select(col(idCol).as("probe_id"), col(idCol).as("neighbor_id"))
         .withColumn("rnk", lit(1)).withColumn("sim", lit(0.0))
         .limit(0)
-    // probe batches are small by contract (they broadcast below): assigning
-    // them twice (cell-set collect + candidate join) beats a barrier job
+    requireDims(probes, vecCol, "probe", Some(trainedDims()))
+    // probe batches are usually small (they broadcast below, size-gated):
+    // assigning them twice (cell-set collect + candidate join) beats a
+    // barrier job
     val probeLists = Similarity.ivfAssign(probes, idCol, vecCol, centroids(), topN = nProbe)
       .select(col("id").as("probe_id"), col("list_id"))
     // bounded driver-side set (≤ nLists values — the codebook is tiny by
@@ -175,20 +187,19 @@ final class IvfIndex(
     // co-locates with the cell id, so candidates carry their vectors out
     // of the SAME scan — no second stored-side join, zero stored shuffle
     val cand0 = stored
-      .join(broadcast(probeLists), Seq("list_id"))
+      .join(Parallelism.maybeBroadcast(probeLists,
+        settings.probeBroadcastThresholdBytes), Seq("list_id"))
       .filter(col("vec_id") =!= col("probe_id"))
     // tombstoned ids drop out BEFORE ranking (the AnnIndex.remove
     // semantics); tombstone sets are bounded between purges → broadcast
-    val cand = tombstones.fold(cand0)(r =>
-        cand0.join(
-          Parallelism.maybeBroadcast(r, settings.probeBroadcastThresholdBytes),
-          Seq("vec_id"), "left_anti"))
+    val cand = withoutTombstoned(cand0, "vec_id")
       .select(col("probe_id"), col("vec_id").as("neighbor_id"),
         col("vec").as("neighbor_vec"), col("sq").as("neighbor_sq"))
     val probeVecs = probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"),
       Similarity.quantizedDot(col(vecCol), col(vecCol)).as("probe_sq"))
     val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("neighbor_id"))
-    cand.join(broadcast(probeVecs), Seq("probe_id"))
+    cand.join(Parallelism.maybeBroadcast(probeVecs,
+        settings.probeBroadcastThresholdBytes), Seq("probe_id"))
       .withColumn("sim",
         Similarity.quantizedDot(col("probe_vec"), col("neighbor_vec")).cast("double") /
           sqrt(col("probe_sq").cast("double") * col("neighbor_sq").cast("double")))

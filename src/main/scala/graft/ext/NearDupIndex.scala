@@ -44,7 +44,8 @@ final class NearDupIndex(
     shingleSize: Int = 3,
     threshold: Double = 0.5,
     portable: Boolean = false,
-    storeBuckets: Int = 0)(implicit settings: GraftSettings = GraftSettings.default) {
+    storeBuckets: Int = 0)(implicit settings: GraftSettings = GraftSettings.default)
+  extends Tombstoned {
   require(numHashes % bands == 0, s"numHashes=$numHashes not divisible by bands=$bands")
   private val rowsPerBand = numHashes / bands
 
@@ -57,22 +58,17 @@ final class NearDupIndex(
 
   private[ext] val appliedTable = GraftTable(spark, s"$path/applied")
   private[ext] val removedTable = GraftTable(spark, s"$path/removed")
+  protected def tombstoneIdCol: String = "doc_id"
+  protected def tombstoneSettings: GraftSettings = settings
 
   // crash-injection points for the replay-contract specs (no-op unless armed)
   private[ext] val failpoints = new Failpoints
-
-  /** Live tombstones (doc_id), or None when none were ever recorded. */
-  private def tombstones: Option[DataFrame] =
-    if (removedTable.exists) Some(removedTable.read().select("doc_id")) else None
 
   /** Stored-side rows minus tombstoned docs — every probe of the stored
     * bands/sigs goes through this, so a removed doc stops matching new
     * batches immediately (tombstone sets are bounded between purges →
     * the anti-join broadcasts, the store still streams). */
-  private def alive(df: DataFrame): DataFrame =
-    tombstones.fold(df)(r =>
-      df.join(Parallelism.maybeBroadcast(r, settings.probeBroadcastThresholdBytes),
-        Seq("doc_id"), "left_anti"))
+  private def alive(df: DataFrame): DataFrame = withoutTombstoned(df, "doc_id")
 
   def indexedCount: Long =
     if (!sigsTable.exists) 0L
@@ -99,9 +95,12 @@ final class NearDupIndex(
     * of matching the batch against its own first attempt, and the append
     * side anti-joins the current store so nothing is double-inserted.
     * Without a token, a replayed batch self-matches every doc. */
-  def detectAndAdd(docs: DataFrame, idCol: String, textCol: String,
+  def detectAndAdd(docs0: DataFrame, idCol: String, textCol: String,
       ingestToken: Option[String] = None): DataFrame = {
     import spark.implicits._
+    // tombstoned ids never (re-)enter the index: a late or replayed batch
+    // carrying a doc removed in the meantime must not resurrect it
+    val docs = withoutTombstoned(docs0, idCol)
     val replayOf = ingestToken.flatMap(appliedVersions)
     val (bandsPre, sigsPre) = replayOf.getOrElse((bandsTable.version, sigsTable.version))
     def bandsSnapshot: DataFrame = bandsTable.readAt(bandsPre)
@@ -162,12 +161,30 @@ final class NearDupIndex(
         Parallelism.maybeBroadcast(neededIds, settings.probeBroadcastThresholdBytes),
         Seq("doc_id"), "left_semi"))
 
-    val pairs = cand
+    val pairs0 = cand
       .join(candSigs.select(col("doc_id").as("id_new"), col("sig").as("sig_new")), Seq("id_new"))
       .join(candSigs.select(col("doc_id").as("id_matched"), col("sig").as("sig_old")), Seq("id_matched"))
       .withColumn("est_jaccard", Dedup.estimatedJaccard(col("sig_new"), col("sig_old")))
       .filter(col("est_jaccard") >= threshold)
       .select("id_new", "id_matched", "est_jaccard")
+
+    // replay probes a PRE-INGEST snapshot, and a remove+purge may have
+    // physically erased docs between the crash and the redelivery — with
+    // the tombstones purge cleared, alive() can no longer filter them, so
+    // the replayed stats must drop pairs whose matched doc exists nowhere
+    // NOW (neither the current store nor this batch): an erased doc must
+    // not leak back through redelivered match results. Rare path — the
+    // extra store scan prices only replays.
+    val pairs = replayOf match {
+      case None => pairs0
+      case Some(_) =>
+        val liveIds =
+          (if (sigsTable.exists) alive(sigsTable.read()).select(col("doc_id"))
+           else sigs.select(col("id").as("doc_id")).limit(0))
+            .unionByName(sigs.select(col("id").as("doc_id")))
+            .withColumnRenamed("doc_id", "id_matched")
+        pairs0.join(liveIds.distinct(), Seq("id_matched"), "left_semi")
+    }
 
     // materialize results BEFORE mutating the index, so the returned frame
     // doesn't observe the batch's own rows as "already indexed"
@@ -211,30 +228,14 @@ final class NearDupIndex(
     out
   }
 
-  /** Tombstone `ids` (the [[AnnIndex.remove]] contract): removed docs stop
-    * matching later batches immediately — no store rewrite; physical
-    * removal at [[purge]]. Idempotent. A removed id must not be re-added
-    * before a [[purge]] (recrawled snapshots get fresh ids, so this only
-    * constrains deliberate id reuse). */
-  def remove(ids: DataFrame, idCol: String): Unit = {
-    val rows = ids.select(col(idCol).as("doc_id")).distinct()
-    val fresh = tombstones.fold(rows)(r => rows.join(r, Seq("doc_id"), "left_anti"))
-    if (fresh.limit(1).count() > 0) removedTable.append(fresh)
-  }
-
-  /** Physically rewrite bands+sigs without the tombstoned docs and clear
-    * the tombstones ([[GraftTable.overwrite]] re-stages through the
-    * configured bucket spec, so a `storeBuckets` layout survives).
-    * Maintenance-cadence, never per delete. */
-  def purge(): Unit = tombstones.foreach { r0 =>
-    val r = Parallelism.materialize(r0)
-    if (r.limit(1).count() > 0) {
-      val rb = Parallelism.maybeBroadcast(r, settings.probeBroadcastThresholdBytes)
-      Seq(bandsTable, sigsTable).filter(_.exists).foreach { t =>
-        t.overwrite(Parallelism.materialize(
-          t.read().join(rb, Seq("doc_id"), "left_anti")))
-      }
+  /** [[Tombstoned.purge]]'s store rewrite: bands+sigs minus the tombstoned
+    * docs ([[GraftTable.overwrite]] re-stages through the configured
+    * bucket spec, so a `storeBuckets` layout survives). */
+  protected def purgeRewrite(removedIds: DataFrame): Unit = {
+    val rb = Parallelism.maybeBroadcast(removedIds, settings.probeBroadcastThresholdBytes)
+    Seq(bandsTable, sigsTable).filter(_.exists).foreach { t =>
+      t.overwrite(Parallelism.materialize(
+        t.read().join(rb, Seq("doc_id"), "left_anti")))
     }
-    removedTable.overwrite(r.limit(0))
   }
 }

@@ -36,28 +36,26 @@ final class PqIndex(
     spark: SparkSession,
     path: String,
     m: Int = 4,
-    codebookSize: Int = 16)(implicit settings: GraftSettings = GraftSettings.default) {
+    codebookSize: Int = 16)(implicit settings: GraftSettings = GraftSettings.default)
+  extends Tombstoned {
   require(m > 0 && codebookSize > 0, "m and codebookSize must be positive")
 
   private[ext] val centroidsTable = GraftTable(spark, s"$path/centroids")
   private[ext] val codesTable = GraftTable(spark, s"$path/codes")
   private[ext] val appliedTable = GraftTable(spark, s"$path/applied")
   private[ext] val removedTable = GraftTable(spark, s"$path/removed")
+  protected def tombstoneIdCol: String = "vec_id"
+  protected def tombstoneSettings: GraftSettings = settings
 
   // crash-injection point for the replay-contract specs (no-op unless armed)
   private[ext] val failpoints = new Failpoints
 
   def isTrained: Boolean = centroidsTable.exists
 
-  /** Live tombstones (vec_id), or None when none were ever recorded. */
-  private def tombstones: Option[DataFrame] =
-    if (removedTable.exists) Some(removedTable.read().select("vec_id")) else None
-
   def indexedCount: Long =
     if (!codesTable.exists) 0L
-    else tombstones.fold(codesTable.read().select("vec_id").distinct())(r =>
-      codesTable.read().select("vec_id").distinct()
-        .join(r, Seq("vec_id"), "left_anti")).count()
+    else withoutTombstoned(codesTable.read().select("vec_id").distinct(), "vec_id")
+      .count()
 
   private def tokenApplied(token: String): Boolean =
     appliedTable.exists &&
@@ -66,10 +64,20 @@ final class PqIndex(
   private def centroids(): DataFrame =
     centroidsTable.read().select(col("c"), col("i"), col("s"), col("cx"))
 
-  /** The trained dimensionality (max dim index + 1) — one metadata-plane
-    * row off the KB-sized codebook. */
-  private def trainedDims(): Int =
-    centroids().agg(max(col("i"))).head().getInt(0) + 1
+  /** The trained dimensionality (max dim index + 1), VALIDATING this
+    * instance's `m` against the persisted codebook (max subspace + 1) —
+    * reopening a trained index with a different m would otherwise
+    * silently mis-split every vector: the (i, s) codebook join drops the
+    * mismatched subspaces and corrupts codes/distances with no error.
+    * One metadata-plane row off the KB-sized codebook. */
+  private def trainedDims(): Int = {
+    val r = centroids()
+      .agg(max(col("i")).cast("int"), max(col("s")).cast("int")).head()
+    val storedM = r.getInt(1) + 1
+    require(storedM == m,
+      s"PqIndex at $path was trained with m=$storedM, opened with m=$m")
+    r.getInt(0) + 1
+  }
 
   /** Ragged/mismatched vectors would silently drop dimensions from the
     * (i, s) codebook join and bias every code — fail loudly instead (the
@@ -112,10 +120,16 @@ final class PqIndex(
       ingestToken: Option[String] = None): Unit = {
     import spark.implicits._
     require(isTrained, s"PqIndex at $path is untrained — call train() first")
-    requireDims(df, vecCol, "batch", Some(trainedDims()))
     val replay = ingestToken.exists(tokenApplied)
+    // tombstoned ids never (re-)enter the index; empty batches (streaming
+    // no-op delivery, or fully tombstoned) are a no-op — an unrecorded
+    // token just re-noops on redelivery (and requireDims on an empty
+    // frame would throw a misleading "ragged" error)
+    val in = withoutTombstoned(df, idCol)
+    if (in.isEmpty) return
+    requireDims(in, vecCol, "batch", Some(trainedDims()))
     val codes0 = Similarity.pqAssign(
-        Similarity.pqExplode(df, idCol, vecCol, m), centroids())
+        Similarity.pqExplode(in, idCol, vecCol, m), centroids())
       .select(col("id").as("vec_id"), col("s"), col("code"))
     ingestToken.filter(_ => !replay).foreach { t =>
       appliedTable.append(Seq(Tuple1(t)).toDF("token"))
@@ -145,39 +159,26 @@ final class PqIndex(
         .withColumn("rnk", lit(1)).withColumn("dist", lit(0L))
         .limit(0)
     requireDims(probes, vecCol, "probe", Some(trainedDims()))
-    val probeSub = Similarity.pqProbeSubDists(probes, idCol, vecCol, m, centroids())
+    // the probe-subdistance table is usually tiny (|probes| × m ×
+    // codebookSize) and broadcasts — size-gated so a bulk probe batch
+    // degrades to a shuffle join instead of OOMing the driver
+    val probeSub = Parallelism.maybeBroadcast(
+      Similarity.pqProbeSubDists(probes, idCol, vecCol, m, centroids()),
+      settings.probeBroadcastThresholdBytes)
     // tombstoned ids drop out of the scan BEFORE scoring (the
     // AnnIndex.remove semantics); bounded between purges → broadcast
-    val stored0 = codesTable.read()
-      .select(col("vec_id").as("id"), col("s"), col("code"))
-    val stored = tombstones.fold(stored0)(r =>
-      stored0.join(
-        Parallelism.maybeBroadcast(r.select(col("vec_id").as("id")),
-          settings.probeBroadcastThresholdBytes),
-        Seq("id"), "left_anti"))
+    val stored = withoutTombstoned(
+        codesTable.read().select(col("vec_id"), col("s"), col("code")), "vec_id")
+      .withColumnRenamed("vec_id", "id")
     Similarity.pqAdcTopK(stored, probeSub, k)
   }
 
-  /** Tombstone `ids` (the [[AnnIndex.remove]] contract): gone from every
-    * later [[query]]/[[indexedCount]] immediately, no store rewrite;
-    * physical removal at [[purge]]. Idempotent. A removed id must not be
-    * re-added before a [[purge]]. */
-  def remove(ids: DataFrame, idCol: String): Unit = {
-    val rows = ids.select(col(idCol).as("vec_id")).distinct()
-    val fresh = tombstones.fold(rows)(r => rows.join(r, Seq("vec_id"), "left_anti"))
-    if (fresh.limit(1).count() > 0) removedTable.append(fresh)
-  }
-
-  /** Physically rewrite the codes store without the tombstoned rows and
-    * clear the tombstones (flat rewrite — the store was never clustered,
-    * so there is no layout to preserve). Maintenance-cadence. */
-  def purge(): Unit = tombstones.foreach { r0 =>
-    val r = Parallelism.materialize(r0)
-    if (r.limit(1).count() > 0 && codesTable.exists)
+  /** [[Tombstoned.purge]]'s store rewrite: flat — the codes store was
+    * never clustered, so there is no layout to preserve. */
+  protected def purgeRewrite(removedIds: DataFrame): Unit =
+    if (codesTable.exists)
       codesTable.overwrite(Parallelism.materialize(
         codesTable.read().join(
-          Parallelism.maybeBroadcast(r, settings.probeBroadcastThresholdBytes),
+          Parallelism.maybeBroadcast(removedIds, settings.probeBroadcastThresholdBytes),
           Seq("vec_id"), "left_anti")))
-    removedTable.overwrite(r.limit(0))
-  }
 }

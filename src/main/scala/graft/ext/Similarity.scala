@@ -592,7 +592,9 @@ object Similarity {
     val exCorpus = if (iters > 0) exCorpus0.transform(Parallelism.materialize(_)) else exCorpus0
     val cent = pqTrainCentroids(corpus, exCorpus, idCol, vecCol, m, codebookSize, iters)
     val codes = pqAssign(exCorpus, cent)
-    val probeSub = pqProbeSubDists(probes, idCol, vecCol, m, cent)
+    // probes are small by this operator's contract → force-broadcast;
+    // PqIndex.query passes a size-gated hint instead
+    val probeSub = broadcast(pqProbeSubDists(probes, idCol, vecCol, m, cent))
     pqAdcTopK(codes, probeSub, k)
   }
 
@@ -666,12 +668,14 @@ object Similarity {
 
   /** ADC scoring: each corpus code row picks up its assigned centroid's
     * probe subdistance, summed per (probe, id) — corpus vectors never
-    * rejoin after encoding; m BIGINTs per row through the aggregation. */
+    * rejoin after encoding; m BIGINTs per row through the aggregation.
+    * The caller decides the probe-side join hint (broadcast for the
+    * one-shot small-probe contract, size-gated for the persisted index). */
   private[ext] def pqAdcTopK(codes: DataFrame, probeSub: DataFrame,
       k: Int): DataFrame = {
     val w = Window.partitionBy(col("probe_id")).orderBy(col("dist"), col("neighbor_id"))
     codes
-      .join(broadcast(probeSub),
+      .join(probeSub,
         col("s") === col("__ps") && col("code") === col("__pc") &&
           col("id") =!= col("probe_id"))
       .groupBy(col("probe_id"), col("id"))

@@ -112,6 +112,51 @@ class IndexMaintenanceSpec extends SparkSpecBase {
     graft.lake.FsUtils.deletePath(spark, s"file://$dir")
   }
 
+  test("tombstoned ids cannot be re-added; shape mismatches fail loudly; empty adds no-op") {
+    val dir = Files.createTempDirectory("graft-rm-guards-").toString
+    // AnnIndex: a late batch carrying tombstoned ids must not resurrect
+    // them — only its live ids enter the index
+    val ann = new AnnIndex(spark, s"$dir/ann", nTables = 4, bitsPerTable = 5)
+    ann.add(kept.filter(col("vec_id") =!= 100), "vec_id", "embedding")
+    ann.remove(removedDf, "vec_id")
+    ann.add(emb.filter(col("vec_id").isin(removedIdSeq :+ 100L: _*)), "vec_id", "embedding")
+    assert(ann.indexedCount === kept.count(),
+      "re-added tombstoned ids must be dropped, live ids indexed")
+    val twin = new AnnIndex(spark, s"$dir/twin", nTables = 4, bitsPerTable = 5)
+    twin.add(kept, "vec_id", "embedding")
+    assert(pairs(ann.query(probes, "vec_id", "embedding", k = 5)) ===
+      pairs(twin.query(probes, "vec_id", "embedding", k = 5)))
+    // a batch of ONLY tombstoned ids — and a genuinely empty batch — are
+    // silent no-ops (streaming delivers empty batches; they must not kill
+    // the query with a misleading error)
+    ann.add(emb.filter(col("vec_id").isin(removedIdSeq: _*)), "vec_id", "embedding")
+    ann.add(emb.filter(col("vec_id") < 0), "vec_id", "embedding")
+    assert(ann.indexedCount === kept.count())
+    // PqIndex: reopening a trained index with a different m is silent
+    // code corruption — must fail loudly instead
+    val pq = new PqIndex(spark, s"$dir/pq", m = 4)
+    pq.train(emb, "vec_id", "embedding")
+    pq.add(emb, "vec_id", "embedding")
+    val wrongM = new PqIndex(spark, s"$dir/pq", m = 8)
+    intercept[IllegalArgumentException] {
+      wrongM.query(probes, "vec_id", "embedding", k = 3)
+    }
+    intercept[IllegalArgumentException] {
+      wrongM.add(emb, "vec_id", "embedding")
+    }
+    pq.add(emb.filter(col("vec_id") < 0), "vec_id", "embedding") // empty no-op
+    // IvfIndex: a batch whose dims mismatch the trained codebook would be
+    // assigned to garbage cells with no error — must fail loudly
+    val ivf = new IvfIndex(spark, s"$dir/ivf")
+    ivf.train(emb, "vec_id", "embedding", nLists = 4)
+    intercept[IllegalArgumentException] {
+      ivf.add(emb.select(col("vec_id"),
+        array(lit(1f), lit(2f)).as("embedding")), "vec_id", "embedding")
+    }
+    ivf.add(emb.filter(col("vec_id") < 0), "vec_id", "embedding") // empty no-op
+    graft.lake.FsUtils.deletePath(spark, s"file://$dir")
+  }
+
   test("NearDupIndex: removed docs stop matching new batches; purge ≡ never-indexed") {
     val dir = Files.createTempDirectory("graft-ndi-rm-").toString
     val corpus = Seq(

@@ -179,4 +179,45 @@ class IndexScaleSpec extends SparkSpecBase {
       graft.lake.FsUtils.deletePath(spark, s"file://$dir")
     }
   }
+
+  test("two-batch PqIndex ingest runs wide; ADC scan side plans with zero Exchange") {
+    withScaleConfs {
+      val dir = Files.createTempDirectory("graft-idxscale-pq-").toString
+      val idx = new PqIndex(spark, s"file://$dir/idx")
+      val minWidth = Copies / 2
+      idx.train(scaledEmb, "vec_id", "embedding")
+      // incremental crawl shape: two adds, each ENCODING only its batch —
+      // the subdistance/argmin pipeline and the write must be wide
+      assertWideAction("pqindex.add batch 1", minWidth) {
+        idx.add(scaledEmb.filter(pmod(col("vec_id"), lit(2)) === 0),
+          "vec_id", "embedding", ingestToken = Some("b0"))
+      }
+      assertWideAction("pqindex.add batch 2", minWidth) {
+        idx.add(scaledEmb.filter(pmod(col("vec_id"), lit(2)) === 1),
+          "vec_id", "embedding", ingestToken = Some("b1"))
+      }
+      assert(idx.indexedCount === scaledEmb.count())
+      val probes = scaledEmb.filter(col("vec_id") < 5)
+      assertWideAction("pqindex.query", minWidth) {
+        assert(idx.query(probes, "vec_id", "embedding", k = 5).count() > 0)
+      }
+      // the codes store is consumed by ONE scan joined to the broadcast
+      // probe-subdistance table — no partitioning Exchange below the ADC
+      // aggregation's own shuffle of (probe, id) partials
+      val probeSub = Similarity.pqProbeSubDists(probes, "vec_id", "embedding", 4,
+        idx.centroidsTable.read().select("c", "i", "s", "cx")).localCheckpoint(true)
+      val adcJoin = idx.codesTable.read()
+        .select(col("vec_id").as("id"), col("s"), col("code"))
+        .join(broadcast(probeSub),
+          col("s") === col("__ps") && col("code") === col("__pc") &&
+            col("id") =!= col("probe_id"))
+      val p = adcJoin.queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+        s"probe subdistances must broadcast:\n$p")
+      assert(!p.contains("Exchange hashpartitioning") &&
+        !p.contains("Exchange rangepartitioning"),
+        s"stored side must not shuffle:\n$p")
+      graft.lake.FsUtils.deletePath(spark, s"file://$dir")
+    }
+  }
 }
