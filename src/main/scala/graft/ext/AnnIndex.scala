@@ -50,6 +50,26 @@ final class AnnIndex(
     if (!vectorsTable.exists) 0L
     else withoutTombstoned(vectorsTable.read(), "vec_id").count()
 
+  /** Dimensionality of the stored vectors (one row), or None on an empty
+    * index. */
+  private def storedDims(): Option[Int] =
+    if (!vectorsTable.exists) None
+    else vectorsTable.read().limit(1).select(size(col("vec")))
+      .collect().headOption.map(_.getInt(0))
+
+  /** The LSH hyperplanes are sized from the input's own dimensionality,
+    * so a batch (or probe set) whose dims differ from the store's would
+    * hash against a DIFFERENT hyperplane set — incompatible buckets that
+    * silently never match. Fail loudly instead (the [[IvfIndex]] /
+    * [[PqIndex]] contract). */
+  private def requireDims(df: DataFrame, vecCol: String, what: String): Unit = {
+    val d = df.agg(min(size(col(vecCol))), max(size(col(vecCol)))).head()
+    require(!d.isNullAt(0) && d.getInt(0) == d.getInt(1),
+      s"AnnIndex: ragged $what vectors (dims ${d.get(0)}..${d.get(1)})")
+    storedDims().foreach(e => require(d.getInt(0) == e,
+      s"AnnIndex: $what dims ${d.getInt(0)} != indexed dims $e"))
+  }
+
   private def tokenApplied(token: String): Boolean =
     appliedTable.exists &&
       appliedTable.read().filter(col("token") === token).limit(1).count() > 0
@@ -90,6 +110,7 @@ final class AnnIndex(
     // to hash — and the hash derivation needs a row to size vectors. An
     // unrecorded token just re-noops on redelivery.
     if (in.isEmpty) return
+    requireDims(in, vecCol, "batch")
     // materialize before clustering: repartitionByRange SAMPLES its child
     // to pick range bounds, so an unmaterialized hash pipeline would run
     // twice (sample pass + write pass)
@@ -186,6 +207,7 @@ final class AnnIndex(
         .select(col(idCol).as("probe_id"), col(idCol).as("neighbor_id"))
         .withColumn("rnk", lit(1)).withColumn("sim", lit(0.0))
         .limit(0)
+    requireDims(probes, vecCol, "probe")
     // probe batches are small by contract (they broadcast below): hashing
     // them twice (key-set collect + candidate join) beats a barrier job
     val exactBuckets = Similarity.lshBucketRows(

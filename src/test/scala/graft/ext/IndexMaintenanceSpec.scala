@@ -145,6 +145,17 @@ class IndexMaintenanceSpec extends SparkSpecBase {
       wrongM.add(emb, "vec_id", "embedding")
     }
     pq.add(emb.filter(col("vec_id") < 0), "vec_id", "embedding") // empty no-op
+    // AnnIndex: a batch or probe set whose dims mismatch the store would
+    // hash against a different hyperplane set and silently never match
+    intercept[IllegalArgumentException] {
+      ann.add(emb.filter(col("vec_id") < 0 || col("vec_id") === 100)
+        .select(col("vec_id"), array(lit(1f), lit(2f)).as("embedding")),
+        "vec_id", "embedding")
+    }
+    intercept[IllegalArgumentException] {
+      ann.query(probes.select(col("vec_id"),
+        array(lit(1f), lit(2f)).as("embedding")), "vec_id", "embedding", k = 3)
+    }
     // IvfIndex: a batch whose dims mismatch the trained codebook would be
     // assigned to garbage cells with no error — must fail loudly
     val ivf = new IvfIndex(spark, s"$dir/ivf")
