@@ -44,7 +44,7 @@ final class AnnIndex(
   protected def tombstoneSettings: GraftSettings = settings
 
   // crash-injection points for the replay-contract specs (no-op unless armed)
-  private[ext] val failpoints = new Failpoints
+  private[graft] val failpoints = new Failpoints
 
   def indexedCount: Long =
     if (!vectorsTable.exists) 0L

@@ -60,7 +60,7 @@ final class BlockDedupIndex(
   private[ext] val appliedTable = GraftTable(spark, s"$path/applied")
 
   // crash-injection point for the replay-contract specs (no-op unless armed)
-  private[ext] val failpoints = new Failpoints
+  private[graft] val failpoints = new Failpoints
   if (storeBuckets > 0 && !blocksTable.exists && blocksTable.bucketSpec.isEmpty)
     blocksTable.setBucketSpec(Seq("h"), storeBuckets)
 

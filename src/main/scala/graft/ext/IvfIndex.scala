@@ -52,7 +52,7 @@ final class IvfIndex(
   protected def tombstoneSettings: GraftSettings = settings
 
   // crash-injection point for the replay-contract specs (no-op unless armed)
-  private[ext] val failpoints = new Failpoints
+  private[graft] val failpoints = new Failpoints
 
   def isTrained: Boolean = centroidsTable.exists
 

@@ -62,7 +62,7 @@ final class NearDupIndex(
   protected def tombstoneSettings: GraftSettings = settings
 
   // crash-injection points for the replay-contract specs (no-op unless armed)
-  private[ext] val failpoints = new Failpoints
+  private[graft] val failpoints = new Failpoints
 
   /** Stored-side rows minus tombstoned docs — every probe of the stored
     * bands/sigs goes through this, so a removed doc stops matching new

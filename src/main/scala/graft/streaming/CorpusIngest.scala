@@ -1,0 +1,106 @@
+package graft.streaming
+
+import graft.conf.GraftSettings
+import graft.ext.{BlockDedupIndex, NearDupIndex, TextAnalysis}
+import graft.tables.GraftTable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+
+/** The assembled training-corpus ingestion pipeline — the production
+  * composition of the pieces the operator catalog proves individually:
+  * per micro-batch, documents are PII-scrubbed ([[TextAnalysis.redactPii]]),
+  * quality-gated ([[TextAnalysis.withTextMetrics]]), optionally dropped
+  * when they carry no never-seen word-block ([[BlockDedupIndex]] — the
+  * RefinedWeb "exact substring" pass), checked against the PERSISTED
+  * near-dup index ([[NearDupIndex]] — the corpus is minhashed once,
+  * ever), and only novel survivors land in the curated [[GraftTable]].
+  *
+  * Crash safety end to end: the runner is a checkpointed AvailableNow
+  * stream (a re-run with no new files is a no-op; a crashed run resumes
+  * at the uncommitted batch), and every index mutation carries the
+  * batchId as its ingest token, so an at-least-once redelivery neither
+  * self-matches nor double-inserts (the [[graft.ext.Tombstoned]] /
+  * replay contract, crash-injected end-to-end in CrashReplaySpec).
+  *
+  * Contracts inherited from the indexes: doc ids globally unique and
+  * arriving in ascending order across batches (the dedup winner rule);
+  * one writer. Embedding-side indexing ([[graft.ext.AnnIndex]] /
+  * [[graft.ext.IvfIndex]] / [[graft.ext.PqIndex]]) stays a separate
+  * entry point — embeddings come from a model, not from this text
+  * pipeline.
+  *
+  * Scale shape per batch: every stage is scan-plus-broadcast against the
+  * batch (the stored index sides never shuffle — see the index
+  * scaladocs); the only corpus-sized frames ever touched are the index
+  * stores, each scanned at most once per batch.
+  */
+final class CorpusIngest(
+    spark: SparkSession,
+    root: String,
+    idCol: String = "doc_id",
+    textCol: String = "text",
+    minQuality: Double = 0.3,
+    minTokens: Int = 5,
+    scrubPii: Boolean = true,
+    blockWords: Int = 0)(implicit settings: GraftSettings = GraftSettings.default) {
+
+  val corpusTable: GraftTable = GraftTable(spark, s"$root/corpus")
+  val nearDupIndex: NearDupIndex = new NearDupIndex(spark, s"$root/neardup")
+  /** Block-level dedup stage, enabled by `blockWords > 0`. */
+  val blockIndex: Option[BlockDedupIndex] =
+    if (blockWords > 0) Some(new BlockDedupIndex(spark, s"$root/blocks", blockWords))
+    else None
+
+  /** One batch through the full pipeline (also the foreachBatch body —
+    * callable directly for non-streaming backfills; pass a unique
+    * `token` per batch for at-least-once safety). */
+  def ingestBatch(batch: DataFrame, token: String): Unit = {
+    val scrubbed =
+      if (scrubPii) batch.withColumn(textCol, TextAnalysis.redactPii(col(textCol)))
+      else batch
+    // consumed by every downstream stage AND the final append: barrier so
+    // the scrub+metrics pipeline runs once, not once per consumer
+    val quality = graft.ext.Parallelism.materialize(
+      TextAnalysis.withTextMetrics(scrubbed, textCol)
+        .filter(col("quality_score") >= minQuality && col("n_tokens") >= minTokens)
+        .select(col(idCol), col(textCol)))
+    if (quality.isEmpty) return
+    // block pass first (cheaper store: 8 bytes/distinct block): a doc
+    // whose every word-block was already ingested is an exact-substring
+    // composite of the corpus — drop it before paying the minhash
+    val afterBlocks = blockIndex match {
+      case None => quality
+      case Some(bIdx) =>
+        val stats = bIdx.detectAndAdd(quality, idCol, textCol,
+          ingestToken = Some(s"blk-$token"))
+        quality.join(
+          stats.filter(col("kept_blocks") > 0).select(col(idCol)),
+          Seq(idCol), "left_semi")
+          .transform(graft.ext.Parallelism.materialize(_))
+    }
+    if (afterBlocks.isEmpty) return
+    // near-dup pass: novel docs are those matching nothing stored and
+    // nothing earlier in the batch
+    val dups = nearDupIndex.detectAndAdd(afterBlocks, idCol, textCol,
+        ingestToken = Some(s"ndi-$token"))
+      .select(col("id_new").as(idCol)).distinct()
+    val novel = afterBlocks.join(dups, Seq(idCol), "left_anti")
+    if (!novel.isEmpty) corpusTable.append(novel)
+  }
+
+  /** Checkpointed run-to-drain over a parquet document directory: each
+    * AvailableNow pass ingests only files the checkpoint has not seen. */
+  def runOnce(srcDir: String, schema: StructType): Unit = {
+    val q = spark.readStream.schema(schema).parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatch(batch, batchId.toString); ()
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}

@@ -1,0 +1,97 @@
+package graft.streaming
+
+import graft.SparkSpecBase
+import graft.conf.GraftSettings
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+
+/** The assembled [[CorpusIngest]] pipeline, end to end: scrub → quality →
+  * block dedup → near-dup dedup → curated append, through the real
+  * checkpointed runner — including a crash injected INSIDE a stage and
+  * replayed through the checkpoint, which must converge to the exact
+  * never-crashed state (the whole-pipeline version of CrashReplaySpec).
+  */
+class CorpusIngestSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType)))
+
+  private def arrive(dir: String, docs: Seq[(Long, String)]): Unit =
+    docs.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(dir)
+
+  private val batch1 = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again today contact alice@example.com"),
+    (2L, "a completely different story about the spark optimizer and the shuffle of the data today"),
+    (3L, "9999 8888 7777 6666 5555 4444")) // low quality -> dropped
+  private val batch2 = Seq(
+    // near-dup of doc 1 (one trailing word -> jaccard far above threshold)
+    (4L, "the quick brown fox jumps over the lazy dog again and again today contact alice@example.com tonight"),
+    (5L, "entirely novel prose describing the catalyst planner and the joins of the engine tonight"))
+
+  private def ids(p: CorpusIngest): Set[Long] =
+    p.corpusTable.read().select("doc_id").as[Long].collect().toSet
+
+  test("full pipeline: scrub, gate, dedup against the persisted corpus, resume") {
+    val root = Files.createTempDirectory("graft-ci-").toString
+    implicit val settings: GraftSettings = GraftSettings.local(root)
+    val p = new CorpusIngest(spark, s"$root/p")
+    arrive(s"$root/in", batch1)
+    p.runOnce(s"$root/in", docSchema)
+    assert(ids(p) === Set(1L, 2L))
+    val t1 = p.corpusTable.read().filter(col("doc_id") === 1)
+      .select("text").as[String].head()
+    assert(t1.contains("<EMAIL>") && !t1.contains("@example.com"), s"scrub failed: $t1")
+    arrive(s"$root/in", batch2)
+    p.runOnce(s"$root/in", docSchema)
+    assert(ids(p) === Set(1L, 2L, 5L))
+    assert(p.nearDupIndex.indexedCount === 4) // every quality survivor indexed
+    // no new files: checkpointed no-op
+    val v = p.corpusTable.version
+    p.runOnce(s"$root/in", docSchema)
+    assert(p.corpusTable.version === v)
+  }
+
+  test("block stage drops docs composed entirely of already-ingested blocks") {
+    val root = Files.createTempDirectory("graft-ci-blk-").toString
+    implicit val settings: GraftSettings = GraftSettings.local(root)
+    val p = new CorpusIngest(spark, s"$root/p", blockWords = 4)
+    arrive(s"$root/in", Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu")))
+    p.runOnce(s"$root/in", docSchema)
+    assert(ids(p) === Set(1L))
+    arrive(s"$root/in", Seq(
+      // pure recombination of doc 1's word-blocks: every block seen -> drop
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      // carries never-seen blocks -> kept (and not a near-dup)
+      (3L, "totally fresh sentence about columnar shuffles and broadcast joins in spark engines")))
+    p.runOnce(s"$root/in", docSchema)
+    assert(ids(p) === Set(1L, 3L), s"got ${ids(p)}")
+  }
+
+  test("a crash inside a stage replays through the checkpoint to the clean state") {
+    val root = Files.createTempDirectory("graft-ci-crash-").toString
+    implicit val settings: GraftSettings = GraftSettings.local(root)
+    def build(name: String): CorpusIngest = new CorpusIngest(spark, s"$root/$name")
+    val clean = build("clean")
+    val crashed = build("crashed")
+    arrive(s"$root/in", batch1 ++ batch2)
+    clean.runOnce(s"$root/in", docSchema)
+    // kill the crashed twin between the near-dup index's token append and
+    // its store appends — the worst window — then let the checkpoint
+    // redeliver the batch
+    crashed.nearDupIndex.failpoints.arm("after-token")
+    intercept[Exception] { crashed.runOnce(s"$root/in", docSchema) }
+    crashed.runOnce(s"$root/in", docSchema)
+    assert(ids(crashed) === ids(clean))
+    assert(crashed.nearDupIndex.indexedCount === clean.nearDupIndex.indexedCount)
+    // and the pipelines keep agreeing on the NEXT batch
+    arrive(s"$root/in", Seq(
+      (6L, "entirely novel prose describing the catalyst planner and the joins of the engine this evening"),
+      (7L, "some genuinely new writing about watermarks and stateful aggregation in streams")))
+    clean.runOnce(s"$root/in", docSchema)
+    crashed.runOnce(s"$root/in", docSchema)
+    assert(ids(crashed) === ids(clean))
+  }
+}
