@@ -87,7 +87,16 @@ final class CorpusIngest(
         ingestToken = Some(s"ndi-$token"))
       .select(col("id_new").as(idCol)).distinct()
     val novel = afterBlocks.join(dups, Seq(idCol), "left_anti")
-    if (!novel.isEmpty) corpusTable.append(novel)
+    // the curated append is idempotent too: a crash between this append
+    // and the checkpoint commit redelivers the batch, and the index
+    // stages replay to their original answers — without this anti-join
+    // the replayed survivors would land in the corpus TWICE. One
+    // column-pruned id scan of the curated table per batch, the same
+    // cost class as the index probes.
+    val fresh =
+      if (!corpusTable.exists) novel
+      else novel.join(corpusTable.read().select(col(idCol)), Seq(idCol), "left_anti")
+    if (!fresh.isEmpty) corpusTable.append(fresh)
   }
 
   /** Checkpointed run-to-drain over a parquet document directory: each

@@ -94,4 +94,21 @@ class CorpusIngestSpec extends SparkSpecBase {
     crashed.runOnce(s"$root/in", docSchema)
     assert(ids(crashed) === ids(clean))
   }
+
+  test("a redelivered batch (crash AFTER the curated append) does not duplicate docs") {
+    val root = Files.createTempDirectory("graft-ci-redeliver-").toString
+    implicit val settings: GraftSettings = GraftSettings.local(root)
+    val p = new CorpusIngest(spark, s"$root/p")
+    val batch = batch1.toDF("doc_id", "text")
+    // the direct-backfill path with the same token twice models the worst
+    // redelivery: the first attempt completed EVERYTHING except the
+    // checkpoint commit — indexes replay to their original answers and
+    // the curated append must be a no-op, not a double insert
+    p.ingestBatch(batch, "t0")
+    val rows = p.corpusTable.read().count()
+    assert(ids(p) === Set(1L, 2L))
+    p.ingestBatch(batch, "t0")
+    assert(p.corpusTable.read().count() === rows, "redelivery duplicated corpus rows")
+    assert(ids(p) === Set(1L, 2L))
+  }
 }
