@@ -42,7 +42,7 @@ import org.apache.spark.sql.functions._
   * exactly-once callers.
   *
   * No `remove`/`purge` here, unlike the other persisted indexes
-  * ([[AnnIndex.remove]]): a block hash is SHARED by every doc containing
+  * ([[Tombstoned]]): a block hash is SHARED by every doc containing
   * that block, so un-claiming a removed doc's hashes would re-admit
   * duplicates that other retained docs still legitimately suppress.
   * Correct deletion needs per-hash refcounts (count per ingest, decrement
