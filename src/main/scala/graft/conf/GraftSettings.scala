@@ -80,6 +80,15 @@ final case class GraftSettings(
       * cost but recomputable, for cluster runs that must survive executor
       * loss within a job. */
     barrierMode: String = "localCheckpoint",
+    /** Write a log CHECKPOINT (full replayed table state: live files,
+      * schema, file stats) every N commits, so opening the table costs
+      * O(interval) log-file reads instead of O(versions) — the same
+      * mechanism as Delta's `_last_checkpoint`. A long-running ingest
+      * commits thousands of times; without checkpoints every read of a
+      * 10k-commit table re-opens 10k JSON files driver-side, which on an
+      * object store is seconds of pure metadata latency per query.
+      * 0 disables (full log replay, the pre-checkpoint behavior). */
+    logCheckpointInterval: Int = 20,
     /** Record row-level change data (Delta CDF-style) for DML commits —
       * upsert/delete/update write their insert/update_preimage/
       * update_postimage/delete rows under `_graft_changes/` so

@@ -54,6 +54,23 @@ final case class BucketSpec(keys: Seq[String], numBuckets: Int) {
   require(keys.nonEmpty && numBuckets > 0, "bucket spec needs keys and buckets")
 }
 
+/** The fully-replayed table state as of `version` — what a reader needs to
+  * serve CURRENT-state queries without touching any earlier commit file.
+  * Persisted as `<version>.checkpoint.json` every
+  * `settings.logCheckpointInterval` commits (Delta's checkpoint mechanism):
+  * opening a table then costs O(interval) log reads instead of O(versions),
+  * which is the difference between milliseconds and seconds of driver-side
+  * metadata latency once an ingest has committed thousands of times against
+  * an object store. `stats` is trimmed to LIVE files so the checkpoint stays
+  * proportional to the table, not its history. Commit files are never
+  * deleted, so history reads (time travel below the checkpoint, CDF, vacuum
+  * accounting) replay the raw log exactly as before. */
+final case class LogCheckpoint(
+    version: Long,
+    live: Seq[String],
+    schemaJson: Option[String],
+    stats: Map[String, FileStats])
+
 /** A versioned parquet table — the engine's stand-in for the Delta tables
   * the reference writes everything to (no delta jar in this environment).
   *
@@ -121,33 +138,96 @@ final class GraftTable private (
 
   // ------------------------------------------------------------------ log
 
-  def commits(): Seq[Commit] = {
+  /** One listing of the log dir: (commit files, checkpoint files), each
+    * sorted by version. A single listStatus RPC — the expensive part of
+    * log replay is the per-file OPEN+parse, which [[snapshot]] bounds. */
+  private def listLog(): (Seq[Path], Seq[Path]) = {
     val dir = new Path(logDir)
-    if (!fs.exists(dir)) return Seq.empty
-    fs.listStatus(dir).toSeq
-      .map(_.getPath)
-      .filter(_.getName.matches("\\d{20}\\.json"))
-      .sortBy(_.getName)
-      .map { p =>
-        val in = fs.open(p)
-        try JsonMethods.parse(in).extract[Commit]
-        finally in.close()
-      }
+    if (!fs.exists(dir)) return (Seq.empty, Seq.empty)
+    val all = fs.listStatus(dir).toSeq.map(_.getPath)
+    (all.filter(_.getName.matches("\\d{20}\\.json")).sortBy(_.getName),
+      all.filter(_.getName.matches("\\d{20}\\.checkpoint\\.json")).sortBy(_.getName))
   }
 
-  def version: Long = commits().lastOption.map(_.version).getOrElse(0L)
+  private def versionOf(p: Path): Long = p.getName.take(20).toLong
 
-  def exists: Boolean = commits().nonEmpty
+  private def parseCommit(p: Path): Commit = {
+    val in = fs.open(p)
+    try JsonMethods.parse(in).extract[Commit]
+    finally in.close()
+  }
+
+  /** Every commit, oldest first — the full-history read used by consumers
+    * that need PER-COMMIT detail (time travel audit, CDF, vacuum, history
+    * metrics). Current-state reads go through [[snapshot]] instead, which
+    * parses only the latest checkpoint plus the commits after it. */
+  def commits(): Seq[Commit] = listLog()._1.map(parseCommit)
+
+  /** Replayed state at `asOf`: the newest checkpoint at or below `asOf`
+    * plus only the commit files after it. With no usable checkpoint (none
+    * written yet, `asOf` below the oldest one, or an unreadable file) the
+    * raw log replays in full — correctness never depends on a checkpoint
+    * existing. */
+  private[tables] def snapshot(asOf: Long = Long.MaxValue): LogCheckpoint = {
+    val (commitFiles, ckptFiles) = listLog()
+    val base = ckptFiles.filter(versionOf(_) <= asOf).lastOption.flatMap { p =>
+      try {
+        val in = fs.open(p)
+        try Some(JsonMethods.parse(in).extract[LogCheckpoint])
+        finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }.getOrElse(LogCheckpoint(0L, Seq.empty, None, Map.empty))
+    val live = scala.collection.mutable.LinkedHashSet.empty[String]
+    live ++= base.live
+    var schemaJson = base.schemaJson
+    var stats = base.stats
+    var v = base.version
+    commitFiles
+      .filter(p => { val pv = versionOf(p); pv > base.version && pv <= asOf })
+      .foreach { p =>
+        val c = parseCommit(p)
+        c.remove.foreach(live -= _)
+        live ++= c.add
+        schemaJson = Some(c.schemaJson)
+        stats = stats ++ c.stats.getOrElse(Map.empty)
+        v = c.version
+      }
+    LogCheckpoint(v, live.toSeq, schemaJson, stats)
+  }
+
+  /** Persist [[snapshot]] as `<version>.checkpoint.json` when the version
+    * hits the configured cadence. Best-effort: a checkpoint is an
+    * optimization, so any failure (a concurrent writer already published
+    * it, a transient fs error) is swallowed — readers fall back to the
+    * commits themselves. */
+  private def maybeWriteCheckpoint(version: Long): Unit = {
+    val interval = settings.logCheckpointInterval
+    if (interval <= 0 || version % interval != 0) return
+    try {
+      val snap = snapshot(version)
+      val liveSet = snap.live.toSet
+      val trimmed = snap.copy(stats = snap.stats.filter { case (f, _) => liveSet(f) })
+      val name = f"$version%020d.checkpoint.json"
+      val tmp = new Path(logDir, s".$name.${UUID.randomUUID()}.tmp")
+      val out = fs.create(tmp, false)
+      try out.write(Serialization.write(trimmed).getBytes("UTF-8"))
+      finally out.close()
+      if (!fs.rename(tmp, new Path(logDir, name))) fs.delete(tmp, false)
+      // superseded checkpoints are pure redundancy (every commit file is
+      // retained forever) — keep the newest two so a reader holding a
+      // just-taken listing never loses the file it picked, drop the rest
+      listLog()._2.dropRight(2).foreach(p => fs.delete(p, false))
+    } catch { case scala.util.control.NonFatal(_) => () }
+  }
+
+  /** Current version off the commit FILE NAMES — no JSON parse at all. */
+  def version: Long =
+    listLog()._1.lastOption.map(versionOf).getOrElse(0L)
+
+  def exists: Boolean = listLog()._1.nonEmpty
 
   /** Live data files at `asOf` (defaults to current). */
-  def liveFiles(asOf: Long = Long.MaxValue): Seq[String] = {
-    val live = scala.collection.mutable.LinkedHashSet.empty[String]
-    commits().filter(_.version <= asOf).foreach { c =>
-      c.remove.foreach(live -= _)
-      live ++= c.add
-    }
-    live.toSeq
-  }
+  def liveFiles(asOf: Long = Long.MaxValue): Seq[String] = snapshot(asOf).live
 
   /** Publish one commit file atomically with real conflict detection.
     *
@@ -191,11 +271,11 @@ final class GraftTable private (
   def read(): DataFrame = readAt(Long.MaxValue)
 
   def readAt(asOf: Long): DataFrame = {
-    val files = liveFiles(asOf)
+    val snap = snapshot(asOf)
+    val files = snap.live
     if (files.isEmpty) {
       // empty table: produce an empty frame with the last known schema
-      val schemaJson = commits().filter(_.version <= asOf).lastOption.map(_.schemaJson)
-      schemaJson match {
+      snap.schemaJson match {
         case Some(sj) =>
           val schema = org.apache.spark.sql.types.DataType.fromJson(sj)
             .asInstanceOf[org.apache.spark.sql.types.StructType]
@@ -222,9 +302,10 @@ final class GraftTable private (
     * (event time, ingest date) turns an O(table) scan into O(matching
     * files) — same mechanics as Delta/Iceberg data skipping. */
   def readWhere(predicate: org.apache.spark.sql.Column): DataFrame = {
-    val files = prunedFiles(predicate)
+    val snap = snapshot()
+    val files = prunedFilesOf(snap, predicate)
     if (files.isEmpty) {
-      val schemaJson = commits().lastOption.map(_.schemaJson)
+      val schemaJson = snap.schemaJson
         .getOrElse(throw new IllegalStateException(s"table does not exist: $path"))
       val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
         .asInstanceOf[org.apache.spark.sql.types.StructType]
@@ -242,16 +323,19 @@ final class GraftTable private (
     * predicate pins EVERY bucket key with an equality — the bucket id
     * encoded in each file name (a point lookup on the PK of a bucketed
     * CDC table touches exactly one bucket's files). */
-  private[graft] def prunedFiles(predicate: org.apache.spark.sql.Column): Seq[String] = {
-    val statsByFile: Map[String, FileStats] =
-      commits().flatMap(_.stats.getOrElse(Map.empty)).toMap
+  private[graft] def prunedFiles(predicate: org.apache.spark.sql.Column): Seq[String] =
+    prunedFilesOf(snapshot(), predicate)
+
+  private def prunedFilesOf(snap: LogCheckpoint,
+      predicate: org.apache.spark.sql.Column): Seq[String] = {
+    val statsByFile = snap.stats
     val conjuncts =
       org.apache.spark.sql.graftbridge.ColumnBridge.conjuncts(predicate)
-    val bucketFilter: String => Boolean = targetBucket(conjuncts) match {
+    val bucketFilter: String => Boolean = targetBucket(conjuncts, snap.schemaJson) match {
       case Some(b) => f => bucketOf(f).forall(_ == b) // unbucketed files kept
       case None    => _ => true
     }
-    liveFiles().filter { f =>
+    snap.live.filter { f =>
       bucketFilter(f) && (statsByFile.get(f) match {
         case None     => true // no stats -> cannot prove anything -> keep
         case Some(st) => conjuncts.forall(c => StatsPruning.mayHold(c, st))
@@ -263,13 +347,14 @@ final class GraftTable private (
     * and the conjuncts pin every bucket key with `=`. The literals are
     * cast to the TABLE's column types before hashing — `xxhash64` of an
     * int 5 and a long 5 differ, and the layout hashed column values. */
-  private def targetBucket(conjuncts: Seq[PredAtom]): Option[Int] = {
+  private def targetBucket(conjuncts: Seq[PredAtom],
+      schemaJsonOpt: Option[String]): Option[Int] = {
     val spec = bucketSpec.getOrElse(return None)
     val eq: Map[String, Any] = conjuncts.collect {
       case PredCmp("=", name, v) => name -> v
     }.toMap
     if (!spec.keys.forall(eq.contains)) return None
-    val schemaJson = commits().lastOption.map(_.schemaJson).getOrElse(return None)
+    val schemaJson = schemaJsonOpt.getOrElse(return None)
     val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
     if (!spec.keys.forall(schema.fieldNames.contains)) return None
@@ -389,6 +474,7 @@ final class GraftTable private (
       if (stats.isEmpty) None else Some(stats),
       changes)
     writeCommit(c)
+    maybeWriteCheckpoint(c.version)
     c
   }
 
@@ -462,6 +548,49 @@ final class GraftTable private (
     }
   }
 
+  /** Column-path type conflicts between the table's current schema and an
+    * incoming append. Additive evolution (new columns at any nesting
+    * level, missing columns) is NOT a conflict — that's the mergeSchema
+    * contract the reference relies on (`avro_handler.py:87`). A same-name
+    * column whose type differs IS: parquet mergeSchema cannot reconcile
+    * it, so the append would succeed and every later read() would throw
+    * "failed to merge incompatible data types" — at 100 TB that is one
+    * poisoned batch making the whole table unreadable until someone
+    * hand-archaeologies which file did it. Nullability differences are
+    * ignored (parquet merges them). */
+  private def schemaConflicts(
+      cur: org.apache.spark.sql.types.DataType,
+      in: org.apache.spark.sql.types.DataType,
+      at: String): Seq[String] = {
+    import org.apache.spark.sql.types._
+    (cur, in) match {
+      case (a: StructType, b: StructType) =>
+        val byName = a.fields.map(f => f.name -> f.dataType).toMap
+        b.fields.toSeq.flatMap(f =>
+          byName.get(f.name).toSeq.flatMap(t =>
+            schemaConflicts(t, f.dataType, s"$at${f.name}.")))
+      case (a: ArrayType, b: ArrayType) =>
+        schemaConflicts(a.elementType, b.elementType, s"${at}element.")
+      case (a: MapType, b: MapType) =>
+        schemaConflicts(a.keyType, b.keyType, s"${at}key.") ++
+          schemaConflicts(a.valueType, b.valueType, s"${at}value.")
+      case (a, b) if a == b => Seq.empty
+      case (a, b) =>
+        Seq(s"${at.stripSuffix(".")}: table has ${a.simpleString}, append has ${b.simpleString}")
+    }
+  }
+
+  private def requireCompatibleSchema(df: DataFrame): Unit = {
+    val sj = snapshot().schemaJson.getOrElse(return)
+    val cur = org.apache.spark.sql.types.DataType.fromJson(sj)
+    val conflicts = schemaConflicts(cur, df.schema, "")
+    if (conflicts.nonEmpty)
+      throw new IllegalStateException(
+        s"append schema incompatible with table $path — " +
+          s"rejected at WRITE time (a merged write would poison every later read): " +
+          conflicts.mkString("; "))
+  }
+
   /** Appends COMMUTE, so a lost version race is retried: the staged files
     * are already in place under unique names, and re-reading the log gives
     * the next free version. Read-modify-write commits (overwrite/upsert/
@@ -470,6 +599,7 @@ final class GraftTable private (
     * concurrent multi-writer APPEND safe (the common ingest case) while
     * mutation stays single-writer, like early Delta. */
   def append(df: DataFrame): Commit = {
+    requireCompatibleSchema(df)
     val (add, stats) = stage(df)
     var attempt = 0
     while (true) {
@@ -650,10 +780,11 @@ final class GraftTable private (
     * incremental-consumer-visible change, and the files it revives were
     * still on disk (vacuum permitting). */
   def restore(asOf: Long): Commit = {
-    require(commits().exists(_.version <= asOf), s"no commit at or before version $asOf")
-    val target = liveFiles(asOf)
+    val snap = snapshot(asOf)
+    require(snap.version > 0, s"no commit at or before version $asOf")
+    val target = snap.live
     val current = liveFiles()
-    val schemaJson = commits().filter(_.version <= asOf).last.schemaJson
+    val schemaJson = snap.schemaJson.get
     target.filterNot(f => fs.exists(new Path(path, f))) match {
       case missing if missing.nonEmpty =>
         throw new IllegalStateException(

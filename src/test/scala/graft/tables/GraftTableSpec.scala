@@ -58,6 +58,27 @@ class GraftTableSpec extends SparkSpecBase {
     assert(got(1).getString(got(1).fieldIndex("v2")) === "extra")
   }
 
+  test("append rejects type conflicts at write time; additive evolution still lands") {
+    val t = tmpTable()
+    t.append(Seq((1, 10L, Seq(1.0f))).toDF("id", "amount", "emb"))
+    // additive: a new column is the mergeSchema contract — allowed
+    t.append(Seq((2, 20L, Seq(2.0f), "extra")).toDF("id", "amount", "emb", "note"))
+    assert(t.read().columns.toSet === Set("id", "amount", "emb", "note"))
+    // same-name column, different type: parquet mergeSchema could never
+    // reconcile it — the append itself must fail, not every later read
+    val conflict = intercept[IllegalStateException] {
+      t.append(Seq((3, "not-a-long", Seq(3.0f))).toDF("id", "amount", "emb"))
+    }
+    assert(conflict.getMessage.contains("amount"))
+    // nested conflict (array element type) is caught with its path
+    val nested = intercept[IllegalStateException] {
+      t.append(Seq((4, 40L, Seq(4.0))).toDF("id", "amount", "emb"))
+    }
+    assert(nested.getMessage.contains("emb"))
+    // the poisoned batches never landed: the table still reads clean
+    assert(t.read().count() === 2)
+  }
+
   test("compaction rewrites files with dataChange=false; incremental consumers skip it") {
     val t = tmpTable()
     (1 to 5).foreach(i => t.append(Seq((i, s"v$i")).toDF("id", "v")))
