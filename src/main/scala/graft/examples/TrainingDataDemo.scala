@@ -1,6 +1,7 @@
 package graft.examples
 
 import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.QueryDsl
 import graft.streaming.StreamOps
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.functions._
@@ -81,9 +82,7 @@ object TrainingDataDemo {
       .orderBy("probe_id").show(5)
 
     println("== sessionized events (30 min gap):")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true") // events.ts is TIMESTAMP(NANOS)
-    val events = spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val events = QueryDsl.t(spark, dir, "events") // normalizes ts across driver layouts
     StreamOps.sessionize(events, "ts", "user_id").orderBy("user_id", "session_start").show(5)
 
     println("== full corpus-prep pipeline: scrub -> quality -> derep -> dedup -> decontaminate -> sample -> chunk -> pack:")

@@ -18,16 +18,26 @@ object QueryDsl {
 
   /** Load a driver-provided test table (TESTDATA.md layout).
     *
-    * `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects; read it as nanos-since-epoch (legacy conf)
-    * and rebuild a micros TimestampType — truncation, matching how
+    * `events.parquet` has shipped `ts` in two physical layouts across
+    * driver releases: parquet TIMESTAMP(NANOS) — which Spark's vectorized
+    * reader rejects, so it is read as nanos-since-epoch via the legacy
+    * conf — and plain TIMESTAMP(MICROS) with isAdjustedToUTC=false, which
+    * Spark reads as TIMESTAMP_NTZ. Normalize both to the session-zoned
+    * micros TimestampType (session TZ is UTC everywhere in this repo, so
+    * the NTZ cast is a value-preserving reinterpretation), matching how
     * micro-precision engines (e.g. the DuckDB oracle) read the same file.
     */
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+        case _: org.apache.spark.sql.types.TimestampNTZType =>
+          df.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => df
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 
