@@ -11,7 +11,8 @@ object SparkEntry {
   def catalog: Seq[CatalogQuery] =
     graft.operators.RelationalQueries.all ++
       graft.operators.TextQueries.all ++
-      graft.operators.VectorQueries.all
+      graft.operators.VectorQueries.all ++
+      graft.operators.WebQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

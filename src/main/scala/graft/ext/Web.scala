@@ -1,0 +1,171 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Crawl/web curation operators: URL canonicalization, registered-domain
+  * extraction, per-domain document capping, and domain-blocklist filtering.
+  *
+  * The reference curates CDC streams (`jibaro/datalake/cdc.py`), not crawls,
+  * but a 100 TB training corpus starts at a crawl, and these are the standard
+  * pre-dedup stages (URL-level exact dedup keys, domain mixing caps,
+  * spam/ads blocklists — the CCNet / RefinedWeb / Dolma pipeline front end).
+  * They compose with [[Warc]] (d32/d36 ingestion) and [[Dedup]] downstream.
+  *
+  * Scale discipline: everything here is codegen'd built-ins
+  * (`regexp_extract`, array HOFs) — no UDFs, no driver-side data motion, and
+  * the only shuffles are the per-domain aggregations that define the
+  * operators' semantics. All outputs are engine-portable (any engine with
+  * md5 + regex reproduces them bit-for-bit — the d15/d19 discipline), which
+  * is what lets DuckDB oracle them.
+  */
+object Web {
+
+  /** Tracking query parameters dropped during canonicalization: the
+    * campaign/click identifiers that make otherwise-identical URLs distinct
+    * (and would defeat URL-level exact dedup). `utm_*` is matched by
+    * prefix; the rest exactly.
+    */
+  val TrackingParamPrefix: String = "utm_"
+  val TrackingParams: Seq[String] =
+    Seq("fbclid", "gclid", "msclkid", "mc_cid", "mc_eid", "igshid", "ref")
+
+  /** Second-level public suffixes recognized by [[registeredDomain]]. A
+    * production deployment swaps in the full Mozilla Public Suffix List;
+    * the heuristic (two labels, or three when the last two are a known
+    * second-level suffix) is the standard fallback and is exact on the
+    * suffixes listed here.
+    */
+  val MultiPartTlds: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "co.jp", "co.kr", "co.in",
+    "co.nz", "co.za", "com.au", "com.br", "com.cn", "com.mx", "com.tr",
+    "com.ar", "com.sg")
+
+  private def hostPort(url: Column): Column =
+    lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+
+  /** Lowercased scheme, or '' for scheme-less input. */
+  def scheme(url: Column): Column =
+    lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+
+  /** Bare lowercased host: userinfo, port, and a leading `www.` stripped.
+    * '' when the input has no `scheme://host` shape.
+    */
+  def host(url: Column): Column = {
+    val noUser = regexp_replace(hostPort(url), "^[^@]*@", "")
+    regexp_replace(regexp_replace(noUser, ":[0-9]+$", ""), "^www\\.", "")
+  }
+
+  /** Canonical form for URL-level exact dedup: lowercased scheme/host,
+    * userinfo and `www.` dropped, default port dropped (`:80` for http,
+    * `:443` for https; other ports are meaningful and kept), trailing
+    * path slashes trimmed, fragment dropped, query params de-tracked
+    * (see [[TrackingParams]]) and sorted. Path/query case is preserved —
+    * it is significant on most servers. NULL for inputs without a
+    * `scheme://host` shape.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val sch = scheme(url)
+    val hp = regexp_replace(hostPort(url), "^[^@]*@", "")
+    val hpNoDefault = when(sch === "http", regexp_replace(hp, ":80$", ""))
+      .when(sch === "https", regexp_replace(hp, ":443$", ""))
+      .otherwise(hp)
+    val h = regexp_replace(hpNoDefault, "^www\\.", "")
+    val path = regexp_replace(
+      regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1),
+      "/+$", "")
+    val rawQ = regexp_extract(url, "\\?([^#]*)", 1)
+    val kept = filter(split(rawQ, "&"), p => {
+      val name = lower(element_at(split(p, "="), 1))
+      length(p) > lit(0) &&
+        !name.startsWith(TrackingParamPrefix) &&
+        !name.isin(TrackingParams: _*)
+    })
+    val q = array_join(array_sort(kept), "&")
+    when(length(sch) === 0 || length(h) === 0, lit(null).cast("string"))
+      .otherwise(concat(sch, lit("://"), h, path,
+        when(length(q) > 0, concat(lit("?"), q)).otherwise(lit(""))))
+  }
+
+  /** Registered (pay-level) domain of a bare host: last two labels, or
+    * last three when the last two are a known second-level public suffix
+    * ([[MultiPartTlds]]). Hosts with fewer than two labels pass through.
+    */
+  def registeredDomain(hostCol: Column): Column = {
+    val labels = split(hostCol, "\\.")
+    val n = size(labels)
+    val last2 = concat_ws(".", element_at(labels, -2), element_at(labels, -1))
+    val last3 = concat_ws(".",
+      element_at(labels, -3), element_at(labels, -2), element_at(labels, -1))
+    when(n >= 3 && last2.isin(MultiPartTlds: _*), last3)
+      .when(n >= 2, last2)
+      .otherwise(hostCol)
+  }
+
+  /** All dot-suffixes of a host, most-specific first:
+    * `a.b.c` → `[a.b.c, b.c, c]`. Bounded by the host's label count, so an
+    * explode over it is O(labels) per row, never quadratic.
+    */
+  def hostSuffixes(hostCol: Column): Column = {
+    val labels = split(hostCol, "\\.")
+    val n = size(labels)
+    transform(sequence(lit(1), n), i => array_join(slice(labels, i, n - i + 1), "."))
+  }
+
+  /** Keep at most `cap` rows per domain, deterministically: rows are ranked
+    * within their domain by an engine-portable md5 hash of the id (so the
+    * kept subset is reproducible on any engine and any partitioning — no
+    * RNG state), ties broken by id.
+    *
+    * Skew shape for 100 TB: the per-domain rank window only ever runs over
+    * rows of OVER-cap domains. The over-cap domain list is an aggregate on
+    * the domain key (bounded by rows/cap by pigeonhole, in practice tiny —
+    * crawl domain histograms are zipfian) and is broadcast; under-cap rows
+    * — the vast majority — pass through a broadcast anti-join without a
+    * rank, so one mega-domain cannot serialize the corpus behind one
+    * window partition... the window it does pay is exactly over the rows
+    * being discarded anyway.
+    */
+  def domainCap(df: DataFrame, domainCol: String, idCol: String, cap: Int): DataFrame = {
+    require(cap > 0, s"cap must be positive, got $cap")
+    val over = df.groupBy(col(domainCol)).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > cap).select(col(domainCol))
+    val under = df.join(broadcast(over), Seq(domainCol), "left_anti")
+    val h = TextAnalysis.portableHash60(
+      concat_ws(":", lit("cap"), col(idCol).cast("string")))
+    val w = Window.partitionBy(col(domainCol)).orderBy(h.asc, col(idCol).asc)
+    val capped = df.join(broadcast(over), Seq(domainCol), "left_semi")
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= cap).drop("__rk")
+    under.unionByName(capped.select(under.columns.map(col).toSeq: _*))
+  }
+
+  /** Drop rows whose host equals, or is a subdomain of, any blocked domain
+    * (`ads.x.com` is blocked by `x.com`; `notx.com` is not). A curated
+    * blocklist is small, so it compiles to a literal array and the whole
+    * filter is a zero-shuffle codegen'd scan — `arrays_overlap` against the
+    * row's bounded suffix set.
+    */
+  def blocklistFilter(df: DataFrame, hostCol: String, blocked: Seq[String]): DataFrame = {
+    require(blocked.nonEmpty, "empty blocklist")
+    val lit_ = array(blocked.map(b => lit(b.toLowerCase)): _*)
+    df.filter(!arrays_overlap(hostSuffixes(col(hostCol)), lit_))
+  }
+
+  /** Blocklist filtering against a blocklist TABLE (too big or too dynamic
+    * for literals): explode each host's bounded suffix set, equi-join the
+    * blocklist to collect blocked ids, anti-join them back out. The
+    * blocklist side is broadcast; the blocked-id anti-join is left to AQE
+    * (broadcast when small, shuffled otherwise) — either way the corpus
+    * text crosses no wire, only (id, suffix) pairs do.
+    */
+  def blocklistFilterDf(df: DataFrame, hostCol: String, idCol: String,
+      blocklist: DataFrame, blockedCol: String): DataFrame = {
+    val blockedIds = df
+      .select(col(idCol), explode(hostSuffixes(col(hostCol))).as("__s"))
+      .join(broadcast(blocklist.select(lower(col(blockedCol)).as("__s"))), "__s")
+      .select(col(idCol)).distinct()
+    df.join(blockedIds, Seq(idCol), "left_anti")
+  }
+}
