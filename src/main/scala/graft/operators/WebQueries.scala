@@ -171,6 +171,47 @@ object WebQueries {
         SELECT doc_id, host FROM d
         WHERE NOT (host = 'tracker.net' OR host LIKE '%.tracker.net'
                 OR host = 'spam.example' OR host LIKE '%.spam.example')
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // Persisted URL-level exact dedup: two-batch SeenKeyIndex ingest on
+    // the canonical-URL hash == one-shot first-doc-per-canonical-URL
+    // (batches arrive in ascending doc-id order — the index sequencing
+    // contract, same oracle pattern as d26/d31/e12). The fixture URL
+    // varies only in case, www, tracking params, and fragment within a
+    // canonical group, so the equivalence also re-proves canonicalization
+    // as the dedup key.
+    CatalogQuery(
+      "d40_url_dedup_index",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select(col("doc_id"),
+          concat(lit("HTTPS://WWW.S"), (col("doc_id") % 300).cast("string"),
+            lit(".Example.COM/page?utm_c="), col("doc_id").cast("string"),
+            lit("#top")).as("url"))
+          .withColumn("url_canon", Web.canonicalizeUrl(col("url")))
+        val tmp = java.nio.file.Files.createTempDirectory("graft-d40-").toString
+        // throwaway index: no file stats (nothing ever data-skips it)
+        implicit val st: graft.conf.GraftSettings =
+          graft.conf.GraftSettings.default.copy(collectFileStats = false)
+        val idx = new graft.ext.SeenKeyIndex(s, s"file://$tmp")
+        def key = when(col("url_canon").isNotNull, xxhash64(col("url_canon")))
+        val out1 = idx.filterNovel(docs.filter(col("doc_id") < 250), "doc_id", key)
+        val out2 = idx.filterNovel(docs.filter(col("doc_id") >= 250), "doc_id", key)
+        val out = out1.unionByName(out2)
+          .select(col("doc_id"), col("url_canon"))
+          .orderBy(col("doc_id"))
+          .localCheckpoint(true) // materialize, then drop the scratch index
+        graft.lake.FsUtils.deletePath(s, s"file://$tmp")
+        out
+      },
+      Some("""WITH u AS (
+          SELECT doc_id,
+            'https://s' || CAST(doc_id % 300 AS VARCHAR) || '.example.com/page'
+              AS url_canon
+          FROM documents),
+        w AS (
+          SELECT doc_id, url_canon,
+            row_number() OVER (PARTITION BY url_canon ORDER BY doc_id) AS rk
+          FROM u)
+        SELECT doc_id, url_canon FROM w WHERE rk = 1 ORDER BY doc_id"""))
   )
 }

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.conf.GraftSettings
-import graft.ext.{BlockDedupIndex, NearDupIndex, TextAnalysis}
+import graft.ext.{BlockDedupIndex, NearDupIndex, SeenKeyIndex, TextAnalysis, Web}
 import graft.tables.GraftTable
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -10,7 +10,10 @@ import org.apache.spark.sql.types.StructType
 
 /** The assembled training-corpus ingestion pipeline — the production
   * composition of the pieces the operator catalog proves individually:
-  * per micro-batch, documents are PII-scrubbed ([[TextAnalysis.redactPii]]),
+  * per micro-batch, documents optionally pass the crawl front end
+  * (domain blocklist + URL-level exact dedup on the canonical URL —
+  * [[Web]] + [[SeenKeyIndex]] — the cheapest rejections first, before
+  * any text is touched), are PII-scrubbed ([[TextAnalysis.redactPii]]),
   * quality-gated ([[TextAnalysis.withTextMetrics]]), optionally dropped
   * when they carry no never-seen word-block ([[BlockDedupIndex]] — the
   * RefinedWeb "exact substring" pass), checked against the PERSISTED
@@ -44,7 +47,10 @@ final class CorpusIngest(
     minQuality: Double = 0.3,
     minTokens: Int = 5,
     scrubPii: Boolean = true,
-    blockWords: Int = 0)(implicit settings: GraftSettings = GraftSettings.default) {
+    blockWords: Int = 0,
+    urlCol: Option[String] = None,
+    blockedDomains: Seq[String] = Nil)(
+    implicit settings: GraftSettings = GraftSettings.default) {
 
   val corpusTable: GraftTable = GraftTable(spark, s"$root/corpus")
   val nearDupIndex: NearDupIndex = new NearDupIndex(spark, s"$root/neardup")
@@ -52,14 +58,37 @@ final class CorpusIngest(
   val blockIndex: Option[BlockDedupIndex] =
     if (blockWords > 0) Some(new BlockDedupIndex(spark, s"$root/blocks", blockWords))
     else None
+  /** URL-level exact-dedup store, enabled by `urlCol`. */
+  val urlIndex: Option[SeenKeyIndex] =
+    urlCol.map(_ => new SeenKeyIndex(spark, s"$root/urls"))
 
   /** One batch through the full pipeline (also the foreachBatch body —
     * callable directly for non-streaming backfills; pass a unique
     * `token` per batch for at-least-once safety). */
   def ingestBatch(batch: DataFrame, token: String): Unit = {
+    // crawl front end first — metadata-only rejections, no text touched:
+    // blocklisted hosts dropped by a zero-shuffle literal filter, then
+    // URL-level exact dedup on the canonical URL (docs without a
+    // parseable URL carry no URL identity and pass through)
+    val routed = (urlCol, urlIndex) match {
+      case (Some(u), Some(uIdx)) =>
+        val unblocked =
+          if (blockedDomains.isEmpty) batch
+          else Web.blocklistFilter(
+            batch.withColumn("__host", Web.host(col(u))), "__host", blockedDomains)
+            .drop("__host")
+        // xxhash64 is null-safe (hash-of-nothing, a CONSTANT) — guard it,
+        // or every unparseable URL would share one key and dedup to a
+        // single survivor; NULL means "no URL identity, pass through"
+        val canon = Web.canonicalizeUrl(col(u))
+        uIdx.filterNovel(unblocked, idCol,
+          when(canon.isNotNull, xxhash64(canon)),
+          ingestToken = Some(s"url-$token"))
+      case _ => batch
+    }
     val scrubbed =
-      if (scrubPii) batch.withColumn(textCol, TextAnalysis.redactPii(col(textCol)))
-      else batch
+      if (scrubPii) routed.withColumn(textCol, TextAnalysis.redactPii(col(textCol)))
+      else routed
     // consumed by every downstream stage AND the final append: barrier so
     // the scrub+metrics pipeline runs once, not once per consumer
     val quality = graft.ext.Parallelism.materialize(

@@ -95,6 +95,36 @@ class CorpusIngestSpec extends SparkSpecBase {
     assert(ids(crashed) === ids(clean))
   }
 
+  test("crawl front end: blocklist, canonical-URL dedup across batches, URL-less pass-through") {
+    val root = Files.createTempDirectory("graft-ci-url-").toString
+    implicit val settings: GraftSettings = GraftSettings.local(root)
+    val urlSchema = StructType(docSchema.fields :+ StructField("url", StringType))
+    val p = new CorpusIngest(spark, s"$root/p",
+      urlCol = Some("url"), blockedDomains = Seq("spam.example"))
+    def arriveU(docs: Seq[(Long, String, String)]): Unit =
+      docs.toDF("doc_id", "text", "url").coalesce(1)
+        .write.mode("append").parquet(s"$root/in")
+    val prose1 = "a completely different story about the spark optimizer and the shuffle of the data today"
+    val prose2 = "entirely novel prose describing the catalyst planner and the joins of the engine tonight"
+    val prose3 = "some genuinely new writing about watermarks and stateful aggregation in streams today"
+    val prose4 = "fresh paragraph on partition pruning and adaptive execution in the planner tonight"
+    arriveU(Seq(
+      (1L, prose1, "HTTP://WWW.News.COM/a?utm_s=x"),
+      (2L, prose2, "http://news.com/a"),             // same canonical URL as 1 -> dropped
+      (3L, prose3, "http://ads.spam.example/z"),     // blocked host -> dropped
+      (4L, prose4, "not a url")))                    // no URL identity -> passes
+    p.runOnce(s"$root/in", urlSchema)
+    assert(ids(p) === Set(1L, 4L), s"got ${ids(p)}")
+    // across batches: the canonical URL seen in batch 1 stays seen
+    // (default port + tracking param + www all collapse onto it)
+    arriveU(Seq(
+      (5L, "brand new essay on codegen stages and whole stage compilation in the engine", "http://www.news.com:80/a?utm_z=1"),
+      (6L, "unrelated final piece about bloom filters and dynamic partition pruning today", "https://other.org/b")))
+    p.runOnce(s"$root/in", urlSchema)
+    assert(ids(p) === Set(1L, 4L, 6L), s"got ${ids(p)}")
+    assert(p.urlIndex.get.indexedCount === 2) // http://news.com/a, https://other.org/b
+  }
+
   test("a redelivered batch (crash AFTER the curated append) does not duplicate docs") {
     val root = Files.createTempDirectory("graft-ci-redeliver-").toString
     implicit val settings: GraftSettings = GraftSettings.local(root)
