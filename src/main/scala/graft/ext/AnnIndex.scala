@@ -62,12 +62,17 @@ final class AnnIndex(
     * hash against a DIFFERENT hyperplane set — incompatible buckets that
     * silently never match. Fail loudly instead (the [[IvfIndex]] /
     * [[PqIndex]] contract). */
-  private def requireDims(df: DataFrame, vecCol: String, what: String): Unit = {
+  /** Validates dims, returning false when `df` is EMPTY — the aggregate
+    * that sizes the vectors doubles as the emptiness probe, so callers
+    * skip a separate `isEmpty` job per ingest/query. */
+  private def checkDims(df: DataFrame, vecCol: String, what: String): Boolean = {
     val d = df.agg(min(size(col(vecCol))), max(size(col(vecCol)))).head()
-    require(!d.isNullAt(0) && d.getInt(0) == d.getInt(1),
+    if (d.isNullAt(0)) return false
+    require(d.getInt(0) == d.getInt(1),
       s"AnnIndex: ragged $what vectors (dims ${d.get(0)}..${d.get(1)})")
     storedDims().foreach(e => require(d.getInt(0) == e,
       s"AnnIndex: $what dims ${d.getInt(0)} != indexed dims $e"))
+    true
   }
 
   private def tokenApplied(token: String): Boolean =
@@ -109,8 +114,7 @@ final class AnnIndex(
     // empty batch (streaming no-op delivery, or fully tombstoned): nothing
     // to hash — and the hash derivation needs a row to size vectors. An
     // unrecorded token just re-noops on redelivery.
-    if (in.isEmpty) return
-    requireDims(in, vecCol, "batch")
+    if (!checkDims(in, vecCol, "batch")) return
     // materialize before clustering: repartitionByRange SAMPLES its child
     // to pick range bounds, so an unmaterialized hash pipeline would run
     // twice (sample pass + write pass)
@@ -202,12 +206,11 @@ final class AnnIndex(
       s"probePerturbations=$probePerturbations outside [0, bitsPerTable=$bitsPerTable]")
     // empty probe frame: empty result, same schema (empty-in/empty-out —
     // the hash derivation itself needs at least one row to size vectors)
-    if (probes.isEmpty)
+    if (!checkDims(probes, vecCol, "probe"))
       return probes
         .select(col(idCol).as("probe_id"), col(idCol).as("neighbor_id"))
         .withColumn("rnk", lit(1)).withColumn("sim", lit(0.0))
         .limit(0)
-    requireDims(probes, vecCol, "probe")
     // probe batches are small by contract (they broadcast below): hashing
     // them twice (key-set collect + candidate join) beats a barrier job
     val exactBuckets = Similarity.lshBucketRows(

@@ -77,13 +77,18 @@ final class IvfIndex(
     * LEFT array's length, so a longer batch vector reads past the
     * centroid and a shorter one truncates — garbage cells, no error) —
     * fail loudly instead (the [[Similarity.pqTopK]] contract). */
-  private def requireDims(df: DataFrame, vecCol: String, what: String,
-      expect: Option[Int]): Unit = {
+  /** Validates dims, returning false when `df` is EMPTY — the aggregate
+    * that sizes the vectors doubles as the emptiness probe, so callers
+    * skip a separate `isEmpty` job per ingest/query. */
+  private def checkDims(df: DataFrame, vecCol: String, what: String,
+      expect: Option[Int]): Boolean = {
     val d = df.agg(min(size(col(vecCol))), max(size(col(vecCol)))).head()
-    require(!d.isNullAt(0) && d.getInt(0) == d.getInt(1),
+    if (d.isNullAt(0)) return false
+    require(d.getInt(0) == d.getInt(1),
       s"IvfIndex: ragged $what vectors (dims ${d.get(0)}..${d.get(1)})")
     expect.foreach(e => require(d.getInt(0) == e,
       s"IvfIndex: $what dims ${d.getInt(0)} != trained dims $e"))
+    true
   }
 
   /** Fit the coarse quantizer: `nLists` deterministic md5-sampled corpus
@@ -94,7 +99,8 @@ final class IvfIndex(
     * quantizer means rebuilding the index). */
   def train(corpus: DataFrame, idCol: String, vecCol: String, nLists: Int): Unit = {
     require(!isTrained, s"IvfIndex at $path is already trained")
-    requireDims(corpus, vecCol, "corpus", None)
+    require(checkDims(corpus, vecCol, "corpus", None),
+      s"IvfIndex: empty training corpus")
     centroidsTable.append(
       Similarity.ivfCentroids(corpus, idCol, vecCol, nLists)
         .select(col("list_id"), col("cvec")))
@@ -118,8 +124,7 @@ final class IvfIndex(
     // no-op delivery, or fully tombstoned) are a no-op — an unrecorded
     // token just re-noops on redelivery
     val in = withoutTombstoned(df, idCol)
-    if (in.isEmpty) return
-    requireDims(in, vecCol, "batch", Some(trainedDims()))
+    if (!checkDims(in, vecCol, "batch", Some(trainedDims()))) return
     val assigned = Similarity.ivfAssign(in, idCol, vecCol, centroids())
       .select(col("id").as("vec_id"), col("list_id"))
     // materialize before clustering: repartitionByRange SAMPLES its child
@@ -166,12 +171,11 @@ final class IvfIndex(
     require(cellsTable.exists, s"empty IVF index at $path")
     // empty probe frame: empty result, same schema (the assignment itself
     // needs at least one row to size vectors)
-    if (probes.isEmpty)
+    if (!checkDims(probes, vecCol, "probe", Some(trainedDims())))
       return probes
         .select(col(idCol).as("probe_id"), col(idCol).as("neighbor_id"))
         .withColumn("rnk", lit(1)).withColumn("sim", lit(0.0))
         .limit(0)
-    requireDims(probes, vecCol, "probe", Some(trainedDims()))
     // probe batches are usually small (they broadcast below, size-gated):
     // assigning them twice (cell-set collect + candidate join) beats a
     // barrier job

@@ -82,14 +82,18 @@ final class PqIndex(
   /** Ragged/mismatched vectors would silently drop dimensions from the
     * (i, s) codebook join and bias every code — fail loudly instead (the
     * [[Similarity.pqTopK]] contract). */
-  private def requireDims(df: DataFrame, vecCol: String, what: String,
-      expect: Option[Int]): Int = {
+  /** Validates dims, returning false when `df` is EMPTY — the aggregate
+    * that sizes the vectors doubles as the emptiness probe, so callers
+    * skip a separate `isEmpty` job per ingest/query. */
+  private def checkDims(df: DataFrame, vecCol: String, what: String,
+      expect: Option[Int]): Boolean = {
     val d = df.agg(min(size(col(vecCol))), max(size(col(vecCol)))).head()
-    require(!d.isNullAt(0) && d.getInt(0) == d.getInt(1),
+    if (d.isNullAt(0)) return false
+    require(d.getInt(0) == d.getInt(1),
       s"PqIndex: ragged $what vectors (dims ${d.get(0)}..${d.get(1)})")
     expect.foreach(e => require(d.getInt(0) == e,
       s"PqIndex: $what dims ${d.getInt(0)} != trained dims $e"))
-    d.getInt(0)
+    true
   }
 
   /** Fit the per-subspace sub-codebooks (md5-ranked sample + `iters`
@@ -102,7 +106,8 @@ final class PqIndex(
   def train(corpus: DataFrame, idCol: String, vecCol: String,
       iters: Int = 0): Unit = {
     require(!isTrained, s"PqIndex at $path is already trained")
-    requireDims(corpus, vecCol, "corpus", None)
+    require(checkDims(corpus, vecCol, "corpus", None),
+      s"PqIndex: empty training corpus")
     val ex0 = Similarity.pqExplode(corpus, idCol, vecCol, m)
       .withColumn("micro", floor(col("x") * lit(1e6)).cast("long"))
     val ex = if (iters > 0) ex0.transform(Parallelism.materialize(_)) else ex0
@@ -123,11 +128,9 @@ final class PqIndex(
     val replay = ingestToken.exists(tokenApplied)
     // tombstoned ids never (re-)enter the index; empty batches (streaming
     // no-op delivery, or fully tombstoned) are a no-op — an unrecorded
-    // token just re-noops on redelivery (and requireDims on an empty
-    // frame would throw a misleading "ragged" error)
+    // token just re-noops on redelivery
     val in = withoutTombstoned(df, idCol)
-    if (in.isEmpty) return
-    requireDims(in, vecCol, "batch", Some(trainedDims()))
+    if (!checkDims(in, vecCol, "batch", Some(trainedDims()))) return
     val codes0 = Similarity.pqAssign(
         Similarity.pqExplode(in, idCol, vecCol, m), centroids())
       .select(col("id").as("vec_id"), col("s"), col("code"))
@@ -153,12 +156,11 @@ final class PqIndex(
   def query(probes: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
     require(codesTable.exists, s"empty PQ index at $path")
     // empty probe frame: empty result, same schema
-    if (probes.isEmpty)
+    if (!checkDims(probes, vecCol, "probe", Some(trainedDims())))
       return probes
         .select(col(idCol).as("probe_id"), col(idCol).as("neighbor_id"))
         .withColumn("rnk", lit(1)).withColumn("dist", lit(0L))
         .limit(0)
-    requireDims(probes, vecCol, "probe", Some(trainedDims()))
     // the probe-subdistance table is usually tiny (|probes| × m ×
     // codebookSize) and broadcasts — size-gated so a bulk probe batch
     // degrades to a shuffle join instead of OOMing the driver

@@ -59,7 +59,10 @@ object WebQueries {
     CatalogQuery(
       "d37_url_canonicalize",
       (s, dir) => {
-        val withUrl = t(s, dir, "documents").withColumn("url", fixtureUrl)
+        // widen: ~15 regex/HOF passes per row are the heavy stage — a
+        // single-file local read must not serialize them onto one core
+        val withUrl = graft.ext.Parallelism.widen(t(s, dir, "documents"))
+          .withColumn("url", fixtureUrl)
         val h = Web.host(col("url"))
         withUrl.select(
           col("doc_id"),

@@ -168,6 +168,10 @@ class ScaleSmokeSpec extends SparkSpecBase {
       // text extraction → quality gate): the chain must stay wide end to
       // end — a single narrow link re-serializes everything downstream
       assertWide("d36_crawl_wet_pipeline", q("d36_crawl_wet_pipeline", scaledDir), minWidth)
+      // crawl front end: URL canonicalization (regex/HOF-heavy projection)
+      // and the skew-aware domain cap (vote + over-cap-only window)
+      assertWide("d37_url_canonicalize", q("d37_url_canonicalize", scaledDir), minWidth)
+      assertWide("d38_domain_cap", q("d38_domain_cap", scaledDir), minWidth)
     }
   }
 
@@ -205,6 +209,9 @@ class ScaleSmokeSpec extends SparkSpecBase {
         dominantOnly = true)
       // per-record gzip members — the WARC build must widen
       assertWide("d32_warc_ingest/1file", q("d32_warc_ingest", singleFileDir), minWidth,
+        dominantOnly = true)
+      // ~15 regex/HOF passes per row — URL canonicalization must widen
+      assertWide("d37_url_canonicalize/1file", q("d37_url_canonicalize", singleFileDir), minWidth,
         dominantOnly = true)
     }
   }
