@@ -127,13 +127,18 @@ object Bench {
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // both raw passes, not just the min: round-over-round adjudication
+    // needs to separate plan regressions (both passes move together) from
+    // machine-load noise (passes disagree) without a re-run
+    val qsPass1 = names.map(k => "\"" + k + "\":" + pass1(k)).mkString("{", ",", "}")
+    val qsPass2 = names.map(k => "\"" + k + "\":" + pass2(k)).mkString("{", ",", "}")
     val qsCount = countResults.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val errJson = errors.toSeq.sorted
       .map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_count_mode":$qsCount,"errors":$errJson,"sf":"${esc(sfDir)}"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_pass1":$qsPass1,"queries_pass2":$qsPass2,"queries_count_mode":$qsCount,"errors":$errJson,"sf":"${esc(sfDir)}"}"""
     Files.writeString(Paths.get("BENCH_LOCAL.json"), line + "\n")
     // The driver captures only the LAST 2000 chars of stdout and parses
     // the JSON line out of that window; sbt's "[success] Total time"

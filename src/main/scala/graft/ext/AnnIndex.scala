@@ -66,8 +66,14 @@ final class AnnIndex(
     * that sizes the vectors doubles as the emptiness probe, so callers
     * skip a separate `isEmpty` job per ingest/query. */
   private def checkDims(df: DataFrame, vecCol: String, what: String): Boolean = {
-    val d = df.agg(min(size(col(vecCol))), max(size(col(vecCol)))).head()
-    if (d.isNullAt(0)) return false
+    val d = df.agg(min(size(col(vecCol))), max(size(col(vecCol))),
+      count(lit(1)), count(col(vecCol))).head()
+    if (d.getLong(2) == 0L) return false
+    // min/max skip NULLs, so an all-NULL (or partly-NULL) vector column in a
+    // NON-empty frame must not masquerade as emptiness — that would silently
+    // no-op the ingest / empty the query instead of failing loudly
+    require(d.getLong(3) == d.getLong(2),
+      s"AnnIndex: ${d.getLong(2) - d.getLong(3)} NULL $what vectors")
     require(d.getInt(0) == d.getInt(1),
       s"AnnIndex: ragged $what vectors (dims ${d.get(0)}..${d.get(1)})")
     storedDims().foreach(e => require(d.getInt(0) == e,

@@ -87,8 +87,13 @@ final class PqIndex(
     * skip a separate `isEmpty` job per ingest/query. */
   private def checkDims(df: DataFrame, vecCol: String, what: String,
       expect: Option[Int]): Boolean = {
-    val d = df.agg(min(size(col(vecCol))), max(size(col(vecCol)))).head()
-    if (d.isNullAt(0)) return false
+    val d = df.agg(min(size(col(vecCol))), max(size(col(vecCol))),
+      count(lit(1)), count(col(vecCol))).head()
+    if (d.getLong(2) == 0L) return false
+    // min/max skip NULLs: a NULL-vector row in a non-empty frame must fail
+    // loudly, not masquerade as an empty (no-op) batch
+    require(d.getLong(3) == d.getLong(2),
+      s"PqIndex: ${d.getLong(2) - d.getLong(3)} NULL $what vectors")
     require(d.getInt(0) == d.getInt(1),
       s"PqIndex: ragged $what vectors (dims ${d.get(0)}..${d.get(1)})")
     expect.foreach(e => require(d.getInt(0) == e,

@@ -75,7 +75,9 @@ object Web {
     val path = regexp_replace(
       regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1),
       "/+$", "")
-    val rawQ = regexp_extract(url, "\\?([^#]*)", 1)
+    // anchor before '#': a '?' first appearing inside the fragment is NOT a
+    // query ('https://a.io/p#f?x=1' has no query string)
+    val rawQ = regexp_extract(url, "^[^#]*\\?([^#]*)", 1)
     val kept = filter(split(rawQ, "&"), p => {
       val name = lower(element_at(split(p, "="), 1))
       length(p) > lit(0) &&
@@ -150,7 +152,12 @@ object Web {
   def blocklistFilter(df: DataFrame, hostCol: String, blocked: Seq[String]): DataFrame = {
     require(blocked.nonEmpty, "empty blocklist")
     val lit_ = array(blocked.map(b => lit(b.toLowerCase)): _*)
-    df.filter(!arrays_overlap(hostSuffixes(col(hostCol)), lit_))
+    // coalesce: a NULL host (no parseable URL) has nothing to match a domain
+    // blocklist — it passes through rather than being silently dropped by
+    // the three-valued !NULL. Host is lowercased so callers that didn't go
+    // through [[host]] still match the lowercased blocklist.
+    df.filter(!coalesce(
+      arrays_overlap(hostSuffixes(lower(col(hostCol))), lit_), lit(false)))
   }
 
   /** Blocklist filtering against a blocklist TABLE (too big or too dynamic
@@ -163,7 +170,7 @@ object Web {
   def blocklistFilterDf(df: DataFrame, hostCol: String, idCol: String,
       blocklist: DataFrame, blockedCol: String): DataFrame = {
     val blockedIds = df
-      .select(col(idCol), explode(hostSuffixes(col(hostCol))).as("__s"))
+      .select(col(idCol), explode(hostSuffixes(lower(col(hostCol)))).as("__s"))
       .join(broadcast(blocklist.select(lower(col(blockedCol)).as("__s"))), "__s")
       .select(col(idCol)).distinct()
     df.join(blockedIds, Seq(idCol), "left_anti")

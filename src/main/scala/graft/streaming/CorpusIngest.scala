@@ -119,12 +119,20 @@ final class CorpusIngest(
     // the curated append is idempotent too: a crash between this append
     // and the checkpoint commit redelivers the batch, and the index
     // stages replay to their original answers — without this anti-join
-    // the replayed survivors would land in the corpus TWICE. One
-    // column-pruned id scan of the curated table per batch, the same
-    // cost class as the index probes.
+    // the replayed survivors would land in the corpus TWICE. Ids ascend
+    // across batches (the pipeline contract), so only files written by a
+    // crashed attempt of THIS batch can overlap the novel ids: the min-id
+    // lower bound lets per-file stats prune the replay anti-join to the
+    // crash-window files instead of a full corpus id scan per micro-batch
+    // — the difference between O(batch) and O(corpus) at 100 TB.
     val fresh =
       if (!corpusTable.exists) novel
-      else novel.join(corpusTable.read().select(col(idCol)), Seq(idCol), "left_anti")
+      else {
+        val batchMin = quality.agg(min(col(idCol))).head().get(0)
+        novel.join(
+          corpusTable.readWhere(col(idCol) >= lit(batchMin)).select(col(idCol)),
+          Seq(idCol), "left_anti")
+      }
     if (!fresh.isEmpty) corpusTable.append(fresh)
   }
 

@@ -140,21 +140,68 @@ final class GraftTable private (
 
   /** One listing of the log dir: (commit files, checkpoint files), each
     * sorted by version. A single listStatus RPC — the expensive part of
-    * log replay is the per-file OPEN+parse, which [[snapshot]] bounds. */
+    * log replay is the per-file OPEN+parse, which [[snapshot]] bounds.
+    *
+    * CACHED per table instance, revalidated on EVERY access with one
+    * existence probe of the next version's commit file: versions are dense
+    * ([[nextCommit]] publishes `version + 1` under the O_EXCL claim mutex,
+    * so no version is ever skipped), which makes "v+1 absent" a proof that
+    * the cached listing is still current. An external writer's commit is
+    * therefore visible immediately — there is NO stale-read window, unlike
+    * a TTL cache — while the steady state costs one HEAD-class RPC instead
+    * of a LIST plus k opens. On an object store, where every log RPC is
+    * 10-50ms, this is what keeps a multi-table ingest's per-batch fixed
+    * cost flat: an ingest touches each of its tables' logs many times
+    * (exists/version/read/append), and only genuine commits pay a re-list. */
   private def listLog(): (Seq[Path], Seq[Path]) = {
+    val cached = listingCache
+    if (cached != null) {
+      val nextV = cached._1.lastOption.map(versionOf).getOrElse(0L) + 1L
+      if (!fs.exists(new Path(logDir, f"$nextV%020d.json"))) return cached
+    }
     val dir = new Path(logDir)
-    if (!fs.exists(dir)) return (Seq.empty, Seq.empty)
-    val all = fs.listStatus(dir).toSeq.map(_.getPath)
-    (all.filter(_.getName.matches("\\d{20}\\.json")).sortBy(_.getName),
-      all.filter(_.getName.matches("\\d{20}\\.checkpoint\\.json")).sortBy(_.getName))
+    val fresh =
+      if (!fs.exists(dir)) (Seq.empty[Path], Seq.empty[Path])
+      else {
+        val all = fs.listStatus(dir).toSeq.map(_.getPath)
+        (all.filter(_.getName.matches("\\d{20}\\.json")).sortBy(_.getName),
+          all.filter(_.getName.matches("\\d{20}\\.checkpoint\\.json")).sortBy(_.getName))
+      }
+    listingCache = fresh
+    fresh
   }
+
+  @volatile private var listingCache: (Seq[Path], Seq[Path]) = null
+
+  /** Drop the cached listing — called after every local mutation of the
+    * log (commit publish, checkpoint write/trim), and available to force a
+    * re-list. Correctness never depends on calling it: the next-version
+    * probe in [[listLog]] detects foreign commits on its own. */
+  private def invalidateListing(): Unit = listingCache = null
 
   private def versionOf(p: Path): Long = p.getName.take(20).toLong
 
+  /** Newest parsed checkpoint, keyed by file name (write-once files). */
+  @volatile private var ckptCache: (String, LogCheckpoint) = null
+
+  /** Parsed-commit cache: commit files are immutable once published (the
+    * claim protocol in [[writeCommit]] means a name is written exactly
+    * once, ever), so parses are cacheable indefinitely. Keyed by file
+    * name; cleared wholesale if it ever grows past a bound so a
+    * long-history table can't pin unbounded driver memory. */
+  private val commitCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Commit]()
+
   private def parseCommit(p: Path): Commit = {
+    val name = p.getName
+    val hit = commitCache.get(name)
+    if (hit != null) return hit
     val in = fs.open(p)
-    try JsonMethods.parse(in).extract[Commit]
+    val c = try JsonMethods.parse(in).extract[Commit]
     finally in.close()
+    if (commitCache.size > 4096) commitCache.clear()
+    commitCache.put(name, c)
+    c
   }
 
   /** Every commit, oldest first — the full-history read used by consumers
@@ -171,10 +218,14 @@ final class GraftTable private (
   private[tables] def snapshot(asOf: Long = Long.MaxValue): LogCheckpoint = {
     val (commitFiles, ckptFiles) = listLog()
     val base = ckptFiles.filter(versionOf(_) <= asOf).lastOption.flatMap { p =>
-      try {
+      val cached = ckptCache
+      if (cached != null && cached._1 == p.getName) Some(cached._2)
+      else try {
         val in = fs.open(p)
-        try Some(JsonMethods.parse(in).extract[LogCheckpoint])
+        val parsed = try JsonMethods.parse(in).extract[LogCheckpoint]
         finally in.close()
+        ckptCache = (p.getName, parsed) // checkpoint files are write-once too
+        Some(parsed)
       } catch { case scala.util.control.NonFatal(_) => None }
     }.getOrElse(LogCheckpoint(0L, Seq.empty, None, Map.empty))
     val live = scala.collection.mutable.LinkedHashSet.empty[String]
@@ -213,10 +264,12 @@ final class GraftTable private (
       try out.write(Serialization.write(trimmed).getBytes("UTF-8"))
       finally out.close()
       if (!fs.rename(tmp, new Path(logDir, name))) fs.delete(tmp, false)
+      invalidateListing() // the listing gained a checkpoint file
       // superseded checkpoints are pure redundancy (every commit file is
       // retained forever) — keep the newest two so a reader holding a
       // just-taken listing never loses the file it picked, drop the rest
       listLog()._2.dropRight(2).foreach(p => fs.delete(p, false))
+      invalidateListing() // ...and may have lost some
     } catch { case scala.util.control.NonFatal(_) => () }
   }
 
@@ -261,7 +314,12 @@ final class GraftTable private (
         fs.delete(tmp, false)
         conflict()
       }
-    } finally fs.delete(claim, false)
+    } finally {
+      fs.delete(claim, false)
+      // whether we published or lost the race, the log changed (or is
+      // about to): drop the cached listing so the next read re-lists
+      invalidateListing()
+    }
   }
 
   // ----------------------------------------------------------------- read

@@ -165,6 +165,17 @@ class IndexMaintenanceSpec extends SparkSpecBase {
         array(lit(1f), lit(2f)).as("embedding")), "vec_id", "embedding")
     }
     ivf.add(emb.filter(col("vec_id") < 0), "vec_id", "embedding") // empty no-op
+    // a NON-empty batch whose vectors are NULL must fail loudly, not
+    // masquerade as emptiness (min/max skip NULLs) and silently no-op the
+    // ingest / empty the query
+    val nullVecs = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id"), lit(null).cast("array<float>").as("embedding"))
+    intercept[IllegalArgumentException] { ann.add(nullVecs, "vec_id", "embedding") }
+    intercept[IllegalArgumentException] {
+      ann.query(nullVecs, "vec_id", "embedding", k = 3)
+    }
+    intercept[IllegalArgumentException] { ivf.add(nullVecs, "vec_id", "embedding") }
+    intercept[IllegalArgumentException] { pq.add(nullVecs, "vec_id", "embedding") }
     graft.lake.FsUtils.deletePath(spark, s"file://$dir")
   }
 

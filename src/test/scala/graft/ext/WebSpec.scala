@@ -24,6 +24,10 @@ class WebSpec extends SparkSpecBase {
     assert(canon("https://A.io?b=UP") === Some("https://a.io?b=UP"))
     // scheme-less input has no canonical form
     assert(canon("example.com/x") === None)
+    // a '?' first appearing inside the fragment is NOT a query — fragment
+    // content must not resurrect as a query string
+    assert(canon("https://a.io/p#f?x=1") === Some("https://a.io/p"))
+    assert(canon("https://a.io/p?a=1#f?x=2") === Some("https://a.io/p?a=1"))
   }
 
   test("registeredDomain: plain and second-level public suffixes") {
@@ -75,6 +79,23 @@ class WebSpec extends SparkSpecBase {
       blocked.toDF("domain"), "domain")
       .select("id").as[Long].collect().sorted.toSeq
     assert(tbl === lit)
+  }
+
+  test("blocklistFilter: NULL hosts pass through; mixed-case hosts still block") {
+    val hosts = Seq(
+      (1L, null.asInstanceOf[String]), (2L, "Ads.Tracker.NET"), (3L, "good.org"))
+      .toDF("id", "host")
+    val blocked = Seq("tracker.net")
+    // NULL host = no parseable URL: the doc passes through rather than being
+    // silently dropped by three-valued !NULL; case-insensitive matching for
+    // callers that didn't lowercase via Web.host
+    val lit = Web.blocklistFilter(hosts, "host", blocked)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(lit === Seq(1L, 3L))
+    val tbl = Web.blocklistFilterDf(hosts, "host", "id",
+      blocked.toDF("domain"), "domain")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(tbl === Seq(1L, 3L))
   }
 
   test("blocklistFilter literal path plans zero exchanges (pure scan+filter)") {

@@ -123,6 +123,31 @@ class CorpusIngestSpec extends SparkSpecBase {
     p.runOnce(s"$root/in", urlSchema)
     assert(ids(p) === Set(1L, 4L, 6L), s"got ${ids(p)}")
     assert(p.urlIndex.get.indexedCount === 2) // http://news.com/a, https://other.org/b
+    // a NULL url has no host: it must pass the blocklist (not be dropped
+    // by three-valued !NULL) and carry no URL identity
+    arriveU(Seq(
+      (7L, "closing paragraph about vectorized readers and columnar batch execution", null)))
+    p.runOnce(s"$root/in", urlSchema)
+    assert(ids(p) === Set(1L, 4L, 6L, 7L), s"got ${ids(p)}")
+  }
+
+  test("curated replay anti-join stat-prunes to the crash-window files, not the whole corpus") {
+    val root = Files.createTempDirectory("graft-ci-prune-").toString
+    implicit val settings: GraftSettings = GraftSettings.local(root)
+    val p = new CorpusIngest(spark, s"$root/p")
+    p.ingestBatch(batch1.toDF("doc_id", "text"), "t0")
+    p.ingestBatch(batch2.toDF("doc_id", "text"), "t1")
+    val total = p.corpusTable.prunedFiles(lit(true)).size
+    assert(total >= 2, s"expected one curated file per batch, got $total")
+    // ids ascend across batches, so a later batch's replay probe
+    // (id >= its min) must skip every earlier batch's file on stats
+    assert(p.corpusTable.prunedFiles(col("doc_id") >= 6L).isEmpty,
+      "min-id probe failed to stat-prune earlier batches' files")
+    assert(p.corpusTable.prunedFiles(col("doc_id") >= 4L).size < total)
+    // and the pruned anti-join still keeps redelivery a no-op
+    val rows = p.corpusTable.read().count()
+    p.ingestBatch(batch2.toDF("doc_id", "text"), "t1")
+    assert(p.corpusTable.read().count() === rows, "redelivery duplicated corpus rows")
   }
 
   test("a redelivered batch (crash AFTER the curated append) does not duplicate docs") {

@@ -25,6 +25,39 @@ class GraftTableSpec extends SparkSpecBase {
     assert(t.readAt(2).count() === 3) // time travel before the overwrite
   }
 
+  test("log listing cache: a second instance's commit is visible immediately (no stale reads)") {
+    val dir = Files.createTempDirectory("graft-table-cache-").toString
+    val path = s"file://$dir/t"
+    val writer = GraftTable(spark, path)(GraftSettings.default)
+    val reader = GraftTable(spark, path)(GraftSettings.default)
+    writer.append(Seq((1, "a")).toDF("id", "v"))
+    // prime the reader's listing cache
+    assert(reader.version === 1)
+    assert(reader.read().count() === 1)
+    // EXTERNAL commit (different instance, same log): the reader's cached
+    // listing must not serve a stale version/live-set — the next-version
+    // existence probe has to detect the foreign commit at once
+    writer.append(Seq((2, "b")).toDF("id", "v"))
+    assert(reader.version === 2, "cached listing served a stale version")
+    assert(reader.read().count() === 2, "cached listing served stale live files")
+    assert(reader.exists)
+    // and the reverse: the writer (whose cache self-invalidated on commit)
+    // also sees a commit made through the reader instance
+    reader.append(Seq((3, "c")).toDF("id", "v"))
+    assert(writer.version === 3)
+    assert(writer.read().count() === 3)
+    // repeated cached reads with no new commits stay correct
+    assert(reader.version === 3 && reader.read().count() === 3)
+    // an externally created table becomes visible to an instance that
+    // cached its absence
+    val ghost = GraftTable(spark, s"file://$dir/g")(GraftSettings.default)
+    assert(!ghost.exists)
+    GraftTable(spark, s"file://$dir/g")(GraftSettings.default)
+      .append(Seq((1, "x")).toDF("id", "v"))
+    assert(ghost.exists, "cached empty listing hid an externally created table")
+    assert(ghost.read().count() === 1)
+  }
+
   test("upsert applies CDC merge semantics (update/insert/delete)") {
     val t = tmpTable()
     t.append(Seq((1, "one", 10.0), (2, "two", 20.0), (3, "three", 30.0))
