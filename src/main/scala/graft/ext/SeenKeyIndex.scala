@@ -14,7 +14,17 @@ import org.apache.spark.sql.functions._
   *
   * Layout: one [[GraftTable]] at `path/keys` holding the distinct seen
   * keys (`k` LONG) — 8 bytes per distinct key, row text never enters the
-  * index. Per batch: (a) vote the batch-internal winner per key (min id —
+  * index. With `trackOwners = true` each key also records the WINNING
+  * row's id (`owner_id` LONG — 16 bytes/key), which is what makes
+  * deletion expressible: [[remove]] tombstones owner ids, their keys stop
+  * counting as seen (a later batch re-admits them with a new winner), and
+  * [[purge]] physically drops the released rows at maintenance cadence —
+  * the recrawl / right-to-erasure path the other persisted indexes
+  * already have. An ownerless store keeps the 8-byte layout and refuses
+  * remove/purge loudly (un-claiming without knowing the owner would
+  * re-admit rows the policy already rejected on someone's behalf).
+  *
+  * Per batch: (a) vote the batch-internal winner per key (min id —
   * ids are assumed globally unique and ascending across batches, the
   * shared index sequencing contract), (b) probe the stored keys with the
   * batch's key set — the probe side broadcasts (gated by
@@ -29,25 +39,43 @@ import org.apache.spark.sql.functions._
   * SNAPSHOT (time travel) so the batch's own keys don't mask its result,
   * and the append anti-joins the CURRENT store so a crash gap between the
   * token append and the key append is filled without double-inserting.
-  *
-  * No `remove`/`purge` ([[Tombstoned]]): like a block hash, a seen key is
-  * a claim ("this key's winner is already in the corpus") that later
-  * batches have relied on; un-claiming would re-admit rows the policy
-  * already rejected. Deletion needs the owning row's id alongside the key
-  * — a seam deliberately left out of the 8-byte store until needed.
   */
 final class SeenKeyIndex(
     spark: SparkSession,
-    path: String)(implicit settings: GraftSettings = GraftSettings.default) {
+    path: String,
+    trackOwners: Boolean = false)(
+    implicit settings: GraftSettings = GraftSettings.default)
+  extends Tombstoned {
 
   private[ext] val keysTable = GraftTable(spark, s"$path/keys")
   private[ext] val appliedTable = GraftTable(spark, s"$path/applied")
+  private[ext] val removedTable = GraftTable(spark, s"$path/removed")
+  protected def tombstoneIdCol: String = "owner_id"
+  protected def tombstoneSettings: GraftSettings = settings
 
   // crash-injection point for the replay-contract specs (no-op unless armed)
   private[graft] val failpoints = new Failpoints
 
-  /** Distinct keys seen so far. */
-  def indexedCount: Long = if (keysTable.exists) keysTable.read().count() else 0L
+  /** Whether the persisted store carries owner ids. An existing store's
+    * layout wins over the constructor flag — mixing row shapes within one
+    * table would leave owner_id NULL on old rows and silently exempt them
+    * from deletion. */
+  def tracksOwners: Boolean = storeHasOwners
+
+  private def storeHasOwners: Boolean =
+    if (keysTable.exists) keysTable.read().columns.contains("owner_id")
+    else trackOwners
+
+  /** Stored rows whose owner is not tombstoned — the only rows that count
+    * as "seen". Ownerless stores have no tombstones by construction
+    * ([[remove]] refuses), so this is the identity there. */
+  private def aliveKeys(df: DataFrame): DataFrame =
+    if (storeHasOwners) withoutTombstoned(df, "owner_id") else df
+
+  /** Distinct keys currently claimed (tombstoned owners excluded). */
+  def indexedCount: Long =
+    if (!keysTable.exists) 0L
+    else aliveKeys(keysTable.read()).select("k").distinct().count()
 
   private def appliedVersion(token: String): Option[Long] = {
     if (!appliedTable.exists) return None
@@ -64,6 +92,7 @@ final class SeenKeyIndex(
   def filterNovel(batch: DataFrame, idCol: String, key: Column,
       ingestToken: Option[String] = None): DataFrame = {
     import spark.implicits._
+    val withOwners = storeHasOwners
     val replayOf = ingestToken.flatMap(appliedVersion)
     val preVersion = replayOf.getOrElse(keysTable.version)
     // keyed once: feeds the vote and the final row selection. Row TEXT
@@ -76,7 +105,7 @@ final class SeenKeyIndex(
         .groupBy(col("__k")).agg(min(col(idCol)).as("__wid")))
     val known =
       if (keysTable.exists && preVersion > 0)
-        keysTable.readAt(preVersion).select(col("k").as("__k"))
+        aliveKeys(keysTable.readAt(preVersion)).select(col("k").as("__k"))
       else votes.select(col("__k")).limit(0)
     // store ∩ batch overlap: bounded by the batch, computed with the batch
     // side broadcast into the single stored scan
@@ -94,11 +123,14 @@ final class SeenKeyIndex(
       appliedTable.append(Seq((t, preVersion)).toDF("token", "pre_version"))
     }
     failpoints.hit("after-token")
+    def keyRows(df: DataFrame): DataFrame =
+      if (withOwners) df.select(col("__k").as("k"), col("__wid").as("owner_id"))
+      else df.select(col("__k").as("k"))
     val fresh = replayOf match {
-      case None => novelIds.select(col("__k").as("k"))
-      case Some(_) if keysTable.exists => novelIds.select(col("__k").as("k"))
-        .join(keysTable.read().select(col("k")), Seq("k"), "left_anti")
-      case Some(_) => novelIds.select(col("__k").as("k"))
+      case None => keyRows(novelIds)
+      case Some(_) if keysTable.exists => keyRows(novelIds)
+        .join(aliveKeys(keysTable.read()).select(col("k")), Seq("k"), "left_anti")
+      case Some(_) => keyRows(novelIds)
     }
     if (replayOf.isEmpty) keysTable.append(fresh)
     else if (fresh.limit(1).count() > 0) keysTable.append(fresh)
@@ -109,5 +141,25 @@ final class SeenKeyIndex(
       Seq(idCol), "left_semi")
       .drop("__k")
       .unionByName(keyless)
+  }
+
+  /** Tombstone the given winner ids, releasing every key they own: from
+    * the next batch on, those keys count as unseen and a new winner may
+    * claim them. Requires an owner-tracking store. */
+  override def remove(ids: DataFrame, idCol: String): Unit = {
+    require(storeHasOwners,
+      s"SeenKeyIndex at $path stores keys without owner ids — " +
+        "deletion needs trackOwners=true from the first ingest")
+    super.remove(ids, idCol)
+  }
+
+  /** [[Tombstoned.purge]]'s store rewrite: drop the rows of tombstoned
+    * owners (their keys were already invisible; this reclaims the bytes). */
+  protected def purgeRewrite(removedIds: DataFrame): Unit = {
+    if (keysTable.exists) {
+      val rb = Parallelism.maybeBroadcast(removedIds, settings.probeBroadcastThresholdBytes)
+      keysTable.overwrite(Parallelism.materialize(
+        keysTable.read().join(rb, Seq("owner_id"), "left_anti")))
+    }
   }
 }

@@ -31,16 +31,44 @@ object Web {
   val TrackingParams: Seq[String] =
     Seq("fbclid", "gclid", "msclkid", "mc_cid", "mc_eid", "igshid", "ref")
 
-  /** Second-level public suffixes recognized by [[registeredDomain]]. A
-    * production deployment swaps in the full Mozilla Public Suffix List;
-    * the heuristic (two labels, or three when the last two are a known
-    * second-level suffix) is the standard fallback and is exact on the
-    * suffixes listed here.
+  /** Second-level public suffixes recognized by the HEURISTIC fallback of
+    * [[registeredDomain]] (two labels, or three when the last two are a
+    * known second-level suffix) — used only when the vendored Public
+    * Suffix List resource is absent from the classpath. The heuristic is
+    * exact on the suffixes listed here and wrong on anything it doesn't
+    * know (`github.io`, wildcard and exception rules).
     */
   val MultiPartTlds: Seq[String] = Seq(
     "co.uk", "org.uk", "ac.uk", "gov.uk", "co.jp", "co.kr", "co.in",
     "co.nz", "co.za", "com.au", "com.br", "com.cn", "com.mx", "com.tr",
     "com.ar", "com.sg")
+
+  /** Parsed Mozilla Public Suffix List (https://publicsuffix.org — MPL-2.0,
+    * vendored verbatim under resources). Three rule classes:
+    * `normal` plain suffix rules (`com`, `co.uk`, `github.io`),
+    * `wildcardBases` the base of each `*.base` rule (any single extra
+    * label under the base is a public suffix), and `exceptions` the target
+    * of each `!rule` (the exception itself IS a registrable domain,
+    * overriding the wildcard that would otherwise swallow it). */
+  final case class PslRules(
+      normal: Seq[String], wildcardBases: Seq[String], exceptions: Seq[String])
+
+  /** The vendored PSL snapshot, or None when the resource is missing
+    * (then [[registeredDomain]] degrades to the [[MultiPartTlds]]
+    * heuristic). Loaded once per JVM — the rule sets become broadcast
+    * `InSet` literals inside the column expressions, so lookup is a
+    * per-row hash probe, not a scan, and no UDF is involved. */
+  lazy val pslRules: Option[PslRules] = {
+    val in = getClass.getResourceAsStream("/graft/public_suffix_list.dat")
+    if (in == null) None
+    else try {
+      val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("//")).toVector
+      val (exc, rest) = lines.partition(_.startsWith("!"))
+      val (wild, normal) = rest.partition(_.startsWith("*."))
+      Some(PslRules(normal, wild.map(_.stripPrefix("*.")), exc.map(_.stripPrefix("!"))))
+    } finally in.close()
+  }
 
   private def hostPort(url: Column): Column =
     lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
@@ -90,11 +118,51 @@ object Web {
         when(length(q) > 0, concat(lit("?"), q)).otherwise(lit(""))))
   }
 
-  /** Registered (pay-level) domain of a bare host: last two labels, or
-    * last three when the last two are a known second-level public suffix
-    * ([[MultiPartTlds]]). Hosts with fewer than two labels pass through.
+  /** Registered (pay-level) domain of a bare lowercase host, by the full
+    * Public Suffix List algorithm when the vendored snapshot is on the
+    * classpath ([[pslRules]]), falling back to the [[MultiPartTlds]]
+    * heuristic otherwise. Hosts that ARE a public suffix (or have no
+    * matching rule and a single label) pass through unchanged — the
+    * pre-PSL behavior, which keeps domain-cap/blocklist grouping stable.
+    *
+    * Scale shape: pure codegen'd column expression — the rule sets are
+    * `isin` literals that the optimizer turns into `InSet` hash probes
+    * (O(1) per suffix, ≤ label-count suffixes per row), zero shuffle,
+    * no UDF. The same shape any engine with array HOFs can mirror, which
+    * is how the d37 oracle stays expressible.
     */
-  def registeredDomain(hostCol: Column): Column = {
+  def registeredDomain(hostCol: Column): Column = pslRules match {
+    case None => registeredDomainHeuristic(hostCol)
+    case Some(rules) =>
+      val suffixes = hostSuffixes(hostCol) // most-specific first
+      val n = size(suffixes)
+      // exception rules first: `!www.ck` means www.ck is itself the
+      // registrable domain (it cancels `*.ck` for itself and everything
+      // under it) — the longest matching exception wins outright
+      val excHit = filter(suffixes, s => s.isin(rules.exceptions: _*))
+      // a suffix is a public suffix when it matches a plain rule, or its
+      // parent is a wildcard base (the dot guard keeps a single-label
+      // suffix from matching itself after the no-op regexp_replace)
+      val matched = filter(suffixes, s =>
+        s.isin(rules.normal: _*) ||
+          (instr(s, ".") > 0 &&
+            regexp_replace(s, "^[^.]*\\.", "").isin(rules.wildcardBases: _*)))
+      // prevailing public suffix: longest matching rule, else the default
+      // '*' rule (the host's last label). try_element_at: an empty matched
+      // array must yield NULL for the coalesce, not an ANSI index error.
+      val ps = coalesce(try_element_at(matched, lit(1)), element_at(suffixes, -1))
+      val psLabels = size(split(ps, "\\."))
+      // registered domain = public suffix + one label = the suffix whose
+      // index in the most-specific-first array is n - psLabels
+      when(hostCol.isNull, lit(null).cast("string"))
+        .when(size(excHit) > 0, element_at(excHit, 1))
+        .when(n > psLabels, element_at(suffixes, n - psLabels))
+        .otherwise(hostCol)
+  }
+
+  /** The pre-PSL fallback: last two labels, or last three when the last
+    * two are in [[MultiPartTlds]]. Exact only on that 16-entry set. */
+  private[ext] def registeredDomainHeuristic(hostCol: Column): Column = {
     val labels = split(hostCol, "\\.")
     val n = size(labels)
     val last2 = concat_ws(".", element_at(labels, -2), element_at(labels, -1))

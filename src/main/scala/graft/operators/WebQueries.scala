@@ -26,7 +26,9 @@ object WebQueries {
       concat(lit("schemeless.example.com"), tail))
       .otherwise(concat(
         lit("HTTPS://WWW.Src"), (col("doc_id") % 20).cast("string"),
-        when(col("doc_id") % 7 === 0, lit(".CO.UK")).otherwise(lit(".Example.COM")),
+        when(col("doc_id") % 13 === 0, lit(".GitHub.IO")) // PSL private suffix
+          .when(col("doc_id") % 7 === 0, lit(".CO.UK"))
+          .otherwise(lit(".Example.COM")),
         when(col("doc_id") % 3 === 0, lit(":443"))
           .when(col("doc_id") % 3 === 1, lit(":8443"))
           .otherwise(lit("")),
@@ -36,7 +38,8 @@ object WebQueries {
   private val fixtureUrlSql: String = """
       CASE WHEN doc_id % 19 = 0 THEN 'schemeless.example.com' ELSE
         'HTTPS://WWW.Src' || CAST(doc_id % 20 AS VARCHAR)
-        || CASE WHEN doc_id % 7 = 0 THEN '.CO.UK' ELSE '.Example.COM' END
+        || CASE WHEN doc_id % 13 = 0 THEN '.GitHub.IO'
+                WHEN doc_id % 7 = 0 THEN '.CO.UK' ELSE '.Example.COM' END
         || CASE WHEN doc_id % 3 = 0 THEN ':443'
                 WHEN doc_id % 3 = 1 THEN ':8443' ELSE '' END
       END
@@ -109,7 +112,12 @@ object WebQueries {
                  || CASE WHEN length(q) > 0 THEN '?' || q ELSE '' END
           END AS url_canon,
           host,
-          CASE WHEN len(labels) >= 3
+          -- mirrors the PSL result on the fixture's domain universe:
+          -- github.io is a PSL (private-section) public suffix, so the
+          -- registered domain keeps the user label; the remaining arms
+          -- reproduce the com/co.uk outcomes the generic list shares
+          CASE WHEN host LIKE '%.github.io' THEN host
+               WHEN len(labels) >= 3
                  AND (labels[-2] || '.' || labels[-1]) IN $multiTldSql
                  THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
                WHEN len(labels) >= 2 THEN labels[-2] || '.' || labels[-1]
@@ -215,6 +223,45 @@ object WebQueries {
           SELECT doc_id, url_canon,
             row_number() OVER (PARTITION BY url_canon ORDER BY doc_id) AS rk
           FROM u)
-        SELECT doc_id, url_canon FROM w WHERE rk = 1 ORDER BY doc_id"""))
+        SELECT doc_id, url_canon FROM w WHERE rk = 1 ORDER BY doc_id""")),
+
+    // Owner-tracked URL dedup with deletion: batch 1 claims keys, the
+    // winners divisible by 10 are erased (recrawl / right-to-erasure),
+    // and batch 2 re-admits exactly the released keys with new winners —
+    // still-owned keys keep rejecting. The oracle replays the same policy
+    // with window logic: batch-1 winners, minus released, gate batch 2.
+    CatalogQuery(
+      "d41_url_dedup_release",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), (col("doc_id") % 100).as("k"))
+        val tmp = java.nio.file.Files.createTempDirectory("graft-d41-").toString
+        // throwaway index: no file stats (nothing ever data-skips it)
+        implicit val st: graft.conf.GraftSettings =
+          graft.conf.GraftSettings.default.copy(collectFileStats = false)
+        val idx = new graft.ext.SeenKeyIndex(s, s"file://$tmp", trackOwners = true)
+        val out1 = idx.filterNovel(docs.filter(col("doc_id") < 250), "doc_id", col("k"))
+          .localCheckpoint(true)
+        idx.remove(out1.filter(col("doc_id") % 10 === 0).select("doc_id"), "doc_id")
+        val out2 = idx.filterNovel(docs.filter(col("doc_id") >= 250), "doc_id", col("k"))
+        val out = out1.unionByName(out2)
+          .select(col("doc_id"), col("k"))
+          .orderBy(col("doc_id"))
+          .localCheckpoint(true) // materialize, then drop the scratch index
+        graft.lake.FsUtils.deletePath(s, s"file://$tmp")
+        out
+      },
+      Some("""WITH k1 AS (
+          SELECT doc_id, doc_id % 100 AS k FROM documents WHERE doc_id < 250),
+        w1 AS (SELECT k, min(doc_id) AS doc_id FROM k1 GROUP BY k),
+        k2 AS (
+          SELECT doc_id, doc_id % 100 AS k FROM documents WHERE doc_id >= 250),
+        w2 AS (SELECT k, min(doc_id) AS doc_id FROM k2 GROUP BY k),
+        out2 AS (
+          SELECT doc_id, k FROM w2
+          WHERE k NOT IN (SELECT k FROM w1 WHERE doc_id % 10 <> 0))
+        SELECT doc_id, k FROM w1
+        UNION ALL SELECT doc_id, k FROM out2
+        ORDER BY doc_id"""))
   )
 }

@@ -32,7 +32,7 @@ import org.apache.spark.sql.types.StructType
   * one writer. Embedding-side indexing ([[graft.ext.AnnIndex]] /
   * [[graft.ext.IvfIndex]] / [[graft.ext.PqIndex]]) stays a separate
   * entry point — embeddings come from a model, not from this text
-  * pipeline.
+  * pipeline; [[EmbeddingIngest]] is its assembled sibling.
   *
   * Scale shape per batch: every stage is scan-plus-broadcast against the
   * batch (the stored index sides never shuffle — see the index
@@ -49,7 +49,8 @@ final class CorpusIngest(
     scrubPii: Boolean = true,
     blockWords: Int = 0,
     urlCol: Option[String] = None,
-    blockedDomains: Seq[String] = Nil)(
+    blockedDomains: Seq[String] = Nil,
+    urlTrackOwners: Boolean = false)(
     implicit settings: GraftSettings = GraftSettings.default) {
 
   val corpusTable: GraftTable = GraftTable(spark, s"$root/corpus")
@@ -58,9 +59,11 @@ final class CorpusIngest(
   val blockIndex: Option[BlockDedupIndex] =
     if (blockWords > 0) Some(new BlockDedupIndex(spark, s"$root/blocks", blockWords))
     else None
-  /** URL-level exact-dedup store, enabled by `urlCol`. */
+  /** URL-level exact-dedup store, enabled by `urlCol`; with
+    * `urlTrackOwners` each URL claim records its winning doc id, which is
+    * what lets [[eraseDocs]] release erased docs' URLs for recrawl. */
   val urlIndex: Option[SeenKeyIndex] =
-    urlCol.map(_ => new SeenKeyIndex(spark, s"$root/urls"))
+    urlCol.map(_ => new SeenKeyIndex(spark, s"$root/urls", trackOwners = urlTrackOwners))
 
   /** One batch through the full pipeline (also the foreachBatch body —
     * callable directly for non-streaming backfills; pass a unique
@@ -134,6 +137,42 @@ final class CorpusIngest(
           Seq(idCol), "left_anti")
       }
     if (!fresh.isEmpty) corpusTable.append(fresh)
+  }
+
+  /** Right-to-erasure / recrawl across the assembled pipeline: delete the
+    * docs from the curated corpus (pruned file rewrite), tombstone them in
+    * the near-dup index (so their minhash rows stop matching new batches —
+    * physical removal at `nearDupIndex.purge()` maintenance cadence), and
+    * — when the URL front end tracks owners ([[urlTrackOwners]]) — release
+    * their canonical-URL claims so a recrawl can re-admit those URLs with
+    * a new (higher-id) winner. Block hashes (`blockWords > 0`) stay by
+    * design: an 8-byte block claim is shared with retained docs, releasing
+    * it would re-admit duplicates they still suppress, and keeping it
+    * leaks no text (the [[BlockDedupIndex]] refcount seam).
+    *
+    * Erasure sets are maintenance-bounded (thousands, not corpus-scale):
+    * the ids are collected so the corpus delete carries a min/max range
+    * conjunct the file-stats pruner understands — the delete rewrites only
+    * files that can contain an erased id. Run with no ingest in flight
+    * (the [[graft.ext.Tombstoned]] purge contract). */
+  def eraseDocs(ids: DataFrame): Unit = {
+    val idRows = ids.select(col(idCol)).distinct().collect()
+    require(idRows.length <= 100000,
+      s"eraseDocs: ${idRows.length} ids — erasure is a bounded maintenance " +
+        "operation; run larger sets in chunks")
+    if (idRows.isEmpty) return
+    val idVals = idRows.map(_.get(0)).toSeq
+    nearDupIndex.remove(ids.select(col(idCol)), idCol)
+    urlIndex.filter(_.tracksOwners).foreach(_.remove(ids.select(col(idCol)), idCol))
+    if (corpusTable.exists) {
+      val b = ids.select(col(idCol)).agg(min(col(idCol)), max(col(idCol))).head()
+      // the range conjuncts make the delete's file pruning bite on the
+      // id-clustered-by-append corpus; isin keeps the row match exact
+      val pred = col(idCol) >= lit(b.get(0)) && col(idCol) <= lit(b.get(1)) &&
+        col(idCol).isin(idVals: _*)
+      corpusTable.delete(pred)
+      ()
+    }
   }
 
   /** Checkpointed run-to-drain over a parquet document directory: each

@@ -1,0 +1,90 @@
+package graft.streaming
+
+import graft.conf.GraftSettings
+import graft.ext.{AnnIndex, IvfIndex, PqIndex}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+
+/** The assembled embedding-side ingestion pipeline — [[CorpusIngest]]'s
+  * sibling for vectors: a checkpointed AvailableNow stream feeds each
+  * enabled persisted vector index ([[AnnIndex]] always; [[IvfIndex]] /
+  * [[PqIndex]] when configured) batch by batch, so an embedding corpus
+  * becomes queryable incrementally without ever re-hashing / re-encoding
+  * what's already indexed. Embeddings come from a model upstream; this
+  * pipeline owns only the indexing side.
+  *
+  * Quantizer lifecycle: IVF/PQ need a trained codebook before their first
+  * add, and retraining means rebuilding the index (their documented
+  * contract), so the FIRST non-empty batch doubles as the training sample
+  * — the production pattern of fitting the coarse quantizer on an early
+  * sample and keeping it fixed. A crash between `train` and the first
+  * `add` replays safely: `isTrained` gates the re-train, and every add
+  * carries the batchId as its ingest token, so at-least-once redelivery
+  * fills crash gaps without double-inserting (the [[graft.ext.Tombstoned]]
+  * replay contract, crash-injected in EmbeddingIngestSpec).
+  *
+  * Scale shape per batch: each index's add is scan-plus-broadcast against
+  * the batch (stored sides never shuffle — see the index scaladocs); the
+  * batch is hashed/assigned/encoded once per index, and the only
+  * corpus-sized frames touched are the index stores, scanned at most once
+  * per batch each.
+  */
+final class EmbeddingIngest(
+    spark: SparkSession,
+    root: String,
+    idCol: String = "vec_id",
+    vecCol: String = "embedding",
+    annTables: Int = 8,
+    annBits: Int = 6,
+    ivfLists: Int = 0,
+    pqM: Int = 0)(
+    implicit settings: GraftSettings = GraftSettings.default) {
+
+  val annIndex: AnnIndex =
+    new AnnIndex(spark, s"$root/ann", nTables = annTables, bitsPerTable = annBits)
+  /** IVF cells stage, enabled by `ivfLists > 0`. */
+  val ivfIndex: Option[IvfIndex] =
+    if (ivfLists > 0) Some(new IvfIndex(spark, s"$root/ivf")) else None
+  /** PQ codes stage, enabled by `pqM > 0`. */
+  val pqIndex: Option[PqIndex] =
+    if (pqM > 0) Some(new PqIndex(spark, s"$root/pq", m = pqM)) else None
+
+  /** One batch through every enabled index (also the foreachBatch body —
+    * callable directly for non-streaming backfills; pass a unique `token`
+    * per batch for at-least-once safety). */
+  def ingestBatch(batch: DataFrame, token: String): Unit = {
+    // one narrow projection, materialized once: every index consumes the
+    // same (id, vec) frame, and the upstream source (a join against a
+    // feature store, a decode) must not re-run per index
+    val in = graft.ext.Parallelism.materialize(
+      batch.select(col(idCol), col(vecCol)))
+    if (in.isEmpty) return
+    annIndex.add(in, idCol, vecCol, ingestToken = Some(s"ann-$token"))
+    ivfIndex.foreach { ivf =>
+      // first non-empty batch trains the coarse quantizer; isTrained gates
+      // the replay (train() refuses a second training by contract)
+      if (!ivf.isTrained) ivf.train(in, idCol, vecCol, nLists = ivfLists)
+      ivf.add(in, idCol, vecCol, ingestToken = Some(s"ivf-$token"))
+    }
+    pqIndex.foreach { pq =>
+      if (!pq.isTrained) pq.train(in, idCol, vecCol)
+      pq.add(in, idCol, vecCol, ingestToken = Some(s"pq-$token"))
+    }
+  }
+
+  /** Checkpointed run-to-drain over a parquet embedding directory: each
+    * AvailableNow pass ingests only files the checkpoint has not seen. */
+  def runOnce(srcDir: String, schema: StructType): Unit = {
+    val q = spark.readStream.schema(schema).parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatch(batch, batchId.toString); ()
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}

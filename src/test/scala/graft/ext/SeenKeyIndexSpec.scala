@@ -68,6 +68,53 @@ class SeenKeyIndexSpec extends SparkSpecBase {
     assert(again === Set(2L, 3L) && idx.indexedCount === 3)
   }
 
+  test("owner tracking: remove releases keys for re-admission; purge reclaims; ownerless refuses") {
+    val idx = new SeenKeyIndex(spark, s"$root/owners", trackOwners = true)
+    val b1 = idx.filterNovel(df(1L -> "a", 2L -> "a", 3L -> "b", 4L -> "c"), "id", key)
+    assert(ids(b1) === Set(1L, 3L, 4L))
+    assert(idx.indexedCount === 3)
+    // erase winner 1 (owner of key "a") and winner 4 (owner of "c")
+    idx.remove(Seq(1L, 4L).toDF("id"), "id")
+    assert(idx.indexedCount === 1, "released keys must stop counting as seen")
+    // a later batch re-admits the released keys with NEW winners; the
+    // still-owned key "b" keeps rejecting
+    val b2 = idx.filterNovel(df(5L -> "a", 6L -> "b", 7L -> "c", 8L -> "a"), "id", key)
+    assert(ids(b2) === Set(5L, 7L), "released keys must be re-admittable")
+    assert(idx.indexedCount === 3)
+    // purge physically drops the tombstoned owners' rows; answers unchanged
+    idx.purge()
+    assert(idx.removedTable.read().count() === 0)
+    assert(idx.keysTable.read().count() === 3, "purge must reclaim released rows")
+    val b3 = idx.filterNovel(df(9L -> "a", 10L -> "d"), "id", key)
+    assert(ids(b3) === Set(10L), "post-purge store must answer like never-removed")
+    // an ownerless store cannot un-claim: fail loudly, not silently no-op
+    val plain = new SeenKeyIndex(spark, s"$root/ownerless")
+    plain.filterNovel(df(1L -> "a"), "id", key)
+    intercept[IllegalArgumentException] { plain.remove(Seq(1L).toDF("id"), "id") }
+    // and an owner-tracking handle on an ownerless STORE refuses too (the
+    // persisted layout wins over the constructor flag)
+    val relabeled = new SeenKeyIndex(spark, s"$root/ownerless", trackOwners = true)
+    intercept[IllegalArgumentException] { relabeled.remove(Seq(1L).toDF("id"), "id") }
+  }
+
+  test("owner tracking: crash replay fills the gap with owner rows intact") {
+    val idx = new SeenKeyIndex(spark, s"$root/owners-crash", trackOwners = true)
+    idx.filterNovel(df(1L -> "a"), "id", key, ingestToken = Some("b0"))
+    idx.failpoints.arm("after-token")
+    intercept[RuntimeException] {
+      idx.filterNovel(df(2L -> "b", 3L -> "c"), "id", key, ingestToken = Some("b1"))
+    }
+    assert(idx.indexedCount === 1)
+    val replay = ids(idx.filterNovel(df(2L -> "b", 3L -> "c"), "id", key,
+      ingestToken = Some("b1")))
+    assert(replay === Set(2L, 3L))
+    assert(idx.indexedCount === 3, "gap filled, nothing double-inserted")
+    // owner rows landed correctly: removing the replayed winner releases its key
+    idx.remove(Seq(2L).toDF("id"), "id")
+    assert(idx.indexedCount === 2)
+    assert(ids(idx.filterNovel(df(9L -> "b"), "id", key)) === Set(9L))
+  }
+
   test("batch text never shuffles: rows return via broadcast semi-join on winner ids") {
     val idx = new SeenKeyIndex(spark, s"$root/plan")
     idx.filterNovel(df(1L -> "a"), "id", key) // create the store

@@ -38,6 +38,36 @@ class WebSpec extends SparkSpecBase {
       "example.com", "localhost"))
   }
 
+  test("registeredDomain: full PSL — private suffixes, multi-part, wildcard, exception rules") {
+    assert(Web.pslRules.nonEmpty, "vendored PSL resource must be on the classpath")
+    def reg(hosts: String*): Seq[String] =
+      hosts.toDF("h").select(Web.registeredDomain(col("h"))).as[String].collect().toSeq
+    // private-section suffix the heuristic can't know: github.io pages
+    // are distinct sites, so the pay-level domain keeps the user label
+    assert(reg("user.github.io", "deep.user.github.io") ===
+      Seq("user.github.io", "user.github.io"))
+    // multi-part ICANN suffixes incl. ones outside the heuristic's 16
+    assert(reg("shop.com.au", "a.shop.com.au", "x.co.id", "gov.uk", "agency.gov.uk") ===
+      Seq("shop.com.au", "shop.com.au", "x.co.id", "gov.uk", "agency.gov.uk"))
+    // wildcard rule *.bd: any single label under bd is itself a public
+    // suffix (no registrable domain), one more label is registrable
+    assert(reg("example.bd", "foo.example.bd", "deep.foo.example.bd") ===
+      Seq("example.bd", "foo.example.bd", "foo.example.bd"))
+    // exception rules: !www.ck (under *.ck) and !city.kawasaki.jp (under
+    // *.kawasaki.jp) are registrable themselves
+    assert(reg("www.ck", "sub.www.ck", "other.ck", "a.other.ck") ===
+      Seq("www.ck", "www.ck", "other.ck", "a.other.ck"))
+    assert(reg("city.kawasaki.jp", "foo.city.kawasaki.jp", "bar.kawasaki.jp", "a.bar.kawasaki.jp") ===
+      Seq("city.kawasaki.jp", "city.kawasaki.jp", "bar.kawasaki.jp", "a.bar.kawasaki.jp"))
+    // no-rule hosts and bare suffixes pass through (pre-PSL behavior)
+    assert(reg("localhost", "com", "co.uk", "bd") ===
+      Seq("localhost", "com", "co.uk", "bd"))
+    // NULL host stays NULL
+    val n = Seq[Option[String]](None).toDF("h")
+      .select(Web.registeredDomain(col("h"))).as[Option[String]].head()
+    assert(n.isEmpty)
+  }
+
   test("hostSuffixes: most-specific first, bounded by label count") {
     val got = Seq("a.b.c").toDF("h")
       .select(Web.hostSuffixes(col("h"))).as[Seq[String]].head()

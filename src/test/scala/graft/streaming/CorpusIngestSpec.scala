@@ -150,6 +150,52 @@ class CorpusIngestSpec extends SparkSpecBase {
     assert(p.corpusTable.read().count() === rows, "redelivery duplicated corpus rows")
   }
 
+  test("eraseDocs: corpus delete + near-dup release + URL release, recrawl re-admits") {
+    val root = Files.createTempDirectory("graft-ci-erase-").toString
+    implicit val settings: GraftSettings = GraftSettings.local(root)
+    val urlSchema = StructType(docSchema.fields :+ StructField("url", StringType))
+    val p = new CorpusIngest(spark, s"$root/p",
+      urlCol = Some("url"), urlTrackOwners = true)
+    def arriveU(docs: Seq[(Long, String, String)]): Unit =
+      docs.toDF("doc_id", "text", "url").coalesce(1)
+        .write.mode("append").parquet(s"$root/in")
+    val prose1 = "the quick brown fox jumps over the lazy dog again and again this very day"
+    val prose2 = "a completely different story about the spark optimizer and the shuffle of the data today"
+    arriveU(Seq(
+      (1L, prose1, "https://news.com/a"),
+      (2L, prose2, "https://news.com/b")))
+    p.runOnce(s"$root/in", urlSchema)
+    assert(ids(p) === Set(1L, 2L))
+    // erase doc 1: gone from the corpus, its near-dup rows stop matching,
+    // its URL claim is released
+    p.eraseDocs(Seq(1L).toDF("doc_id"))
+    assert(ids(p) === Set(2L), "erased doc must leave the curated corpus")
+    assert(p.urlIndex.get.indexedCount === 1)
+    // a recrawl of (near-identical text, same URL) under a NEW id is
+    // re-admitted — neither the tombstoned minhash rows nor the released
+    // URL claim may reject it; doc 2's claim still rejects its own URL
+    arriveU(Seq(
+      (3L, prose1 + " tonight", "https://news.com/a"),
+      (4L, "some genuinely new writing about watermarks and stateful aggregation", "https://news.com/b")))
+    p.runOnce(s"$root/in", urlSchema)
+    assert(ids(p) === Set(2L, 3L), s"got ${ids(p)}")
+    // the erase delete is a PRUNED rewrite: erasing doc 3 (batch-2 file)
+    // must not rewrite batch-1's file — the range conjunct + file stats
+    // keep it O(matching files)
+    val before = p.corpusTable.prunedFiles(lit(true)).size
+    p.eraseDocs(Seq(3L).toDF("doc_id"))
+    assert(ids(p) === Set(2L))
+    val h = p.corpusTable.history()
+      .select("operation", "operationMetrics").head() // newest first
+    assert(h.getString(0) === "delete")
+    val rewritten = h.getMap[String, String](1)("numRewrittenFiles").toInt
+    assert(rewritten < before,
+      s"erase delete must prune files: rewrote $rewritten of $before live files")
+    // erasure of a never-matched id set is a no-op, not an error
+    p.eraseDocs(spark.emptyDataFrame.select(lit(0L).as("doc_id")).limit(0))
+    assert(ids(p) === Set(2L))
+  }
+
   test("a redelivered batch (crash AFTER the curated append) does not duplicate docs") {
     val root = Files.createTempDirectory("graft-ci-redeliver-").toString
     implicit val settings: GraftSettings = GraftSettings.local(root)

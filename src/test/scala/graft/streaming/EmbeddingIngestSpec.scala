@@ -1,0 +1,100 @@
+package graft.streaming
+
+import graft.SparkSpecBase
+import graft.conf.GraftSettings
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+
+/** The assembled [[EmbeddingIngest]] pipeline, end to end: a checkpointed
+  * AvailableNow stream feeding AnnIndex + IvfIndex + PqIndex — including
+  * a crash injected INSIDE an index's token window and replayed through
+  * the checkpoint, which must converge to the exact never-crashed state
+  * (the vector-side twin of CorpusIngestSpec's crash test).
+  */
+class EmbeddingIngestSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val embSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType))))
+
+  private lazy val emb =
+    spark.read.parquet(s"${sf()}/embeddings.parquet").filter(col("vec_id") < 120)
+
+  private def arrive(dir: String, pred: org.apache.spark.sql.Column): Unit =
+    emb.filter(pred).select("vec_id", "embedding")
+      .coalesce(1).write.mode("append").parquet(dir)
+
+  private def pairs(df: DataFrame): Set[(Long, Long, Int)] =
+    df.select("probe_id", "neighbor_id", "rnk").as[(Long, Long, Int)].collect().toSet
+
+  private def probes: DataFrame = emb.filter(col("vec_id") < 3)
+
+  test("streamed two-batch ingest answers every index like a one-shot build") {
+    val root = Files.createTempDirectory("graft-ei-").toString
+    implicit val settings: GraftSettings = GraftSettings.local(root)
+    val p = new EmbeddingIngest(spark, s"$root/p", ivfLists = 4, pqM = 4)
+    arrive(s"$root/in", col("vec_id") < 60)
+    p.runOnce(s"$root/in", embSchema)
+    arrive(s"$root/in", col("vec_id") >= 60)
+    p.runOnce(s"$root/in", embSchema)
+    assert(p.annIndex.indexedCount === emb.count())
+    // the one-shot twin: same params, everything in one add — and for
+    // IVF/PQ the same TRAINING SAMPLE (the codebook contract: batch 1)
+    val twin = new EmbeddingIngest(spark, s"$root/twin", ivfLists = 4, pqM = 4)
+    twin.ingestBatch(emb.filter(col("vec_id") < 60), "b0")
+    twin.ingestBatch(emb.filter(col("vec_id") >= 60), "b1")
+    assert(pairs(p.annIndex.query(probes, "vec_id", "embedding", k = 5)) ===
+      pairs(twin.annIndex.query(probes, "vec_id", "embedding", k = 5)))
+    assert(pairs(p.ivfIndex.get.query(probes, "vec_id", "embedding", k = 5, nProbe = 2)) ===
+      pairs(twin.ivfIndex.get.query(probes, "vec_id", "embedding", k = 5, nProbe = 2)))
+    assert(pairs(p.pqIndex.get.query(probes, "vec_id", "embedding", k = 5)) ===
+      pairs(twin.pqIndex.get.query(probes, "vec_id", "embedding", k = 5)))
+    // no new files: checkpointed no-op (no index gains rows)
+    val n = p.annIndex.indexedCount
+    p.runOnce(s"$root/in", embSchema)
+    assert(p.annIndex.indexedCount === n)
+  }
+
+  test("a crash inside an index's token window replays through the checkpoint to the clean state") {
+    val root = Files.createTempDirectory("graft-ei-crash-").toString
+    implicit val settings: GraftSettings = GraftSettings.local(root)
+    def build(name: String) =
+      new EmbeddingIngest(spark, s"$root/$name", ivfLists = 4, pqM = 4)
+    val clean = build("clean")
+    val crashed = build("crashed")
+    arrive(s"$root/in", col("vec_id") < 120)
+    clean.runOnce(s"$root/in", embSchema)
+    // kill the crashed twin between the ANN index's token append and its
+    // store appends — the worst window — then let the checkpoint redeliver
+    crashed.annIndex.failpoints.arm("after-token")
+    intercept[Exception] { crashed.runOnce(s"$root/in", embSchema) }
+    crashed.runOnce(s"$root/in", embSchema)
+    assert(crashed.annIndex.indexedCount === clean.annIndex.indexedCount)
+    assert(pairs(crashed.annIndex.query(probes, "vec_id", "embedding", k = 5)) ===
+      pairs(clean.annIndex.query(probes, "vec_id", "embedding", k = 5)))
+    // the downstream indexes never saw the crashed attempt twice either
+    assert(pairs(crashed.ivfIndex.get.query(probes, "vec_id", "embedding", k = 5, nProbe = 2)) ===
+      pairs(clean.ivfIndex.get.query(probes, "vec_id", "embedding", k = 5, nProbe = 2)))
+    assert(pairs(crashed.pqIndex.get.query(probes, "vec_id", "embedding", k = 5)) ===
+      pairs(clean.pqIndex.get.query(probes, "vec_id", "embedding", k = 5)))
+  }
+
+  test("a crash between IVF training and its first add replays without retraining") {
+    val root = Files.createTempDirectory("graft-ei-train-").toString
+    implicit val settings: GraftSettings = GraftSettings.local(root)
+    val p = new EmbeddingIngest(spark, s"$root/p", ivfLists = 4)
+    arrive(s"$root/in", col("vec_id") < 60)
+    // crash inside the IVF add (after its token) — training already landed
+    p.ivfIndex.get.failpoints.arm("after-token")
+    intercept[Exception] { p.runOnce(s"$root/in", embSchema) }
+    assert(p.ivfIndex.get.isTrained, "training must have committed before the crash")
+    p.runOnce(s"$root/in", embSchema) // replay: no second train(), gap filled
+    val twin = new EmbeddingIngest(spark, s"$root/twin", ivfLists = 4)
+    twin.ingestBatch(emb.filter(col("vec_id") < 60), "b0")
+    assert(pairs(p.ivfIndex.get.query(probes, "vec_id", "embedding", k = 5, nProbe = 2)) ===
+      pairs(twin.ivfIndex.get.query(probes, "vec_id", "embedding", k = 5, nProbe = 2)))
+  }
+}
