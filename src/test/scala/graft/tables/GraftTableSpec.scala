@@ -600,6 +600,41 @@ class GraftTableSpec extends SparkSpecBase {
       (9999, "new", "insert"), (13, "v13", "delete")))
   }
 
+  test("concurrent appends through separate instances lose nothing (listing cache under contention)") {
+    // Four writer instances race 5 appends each against one log. The claim
+    // protocol must serialize the 20 commits with zero loss, and every
+    // instance's CACHED listing must converge on the full log — the
+    // next-version existence probe is what keeps a cache correct while
+    // other instances are publishing versions at full speed.
+    val dir = Files.createTempDirectory("graft-table-race-").toString
+    val path = s"file://$dir/t"
+    val writers = (0 until 4).map(_ => GraftTable(spark, path)(GraftSettings.default))
+    val perWriter = 5
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = writers.zipWithIndex.map { case (w, wi) =>
+      new Thread(() => {
+        try {
+          (0 until perWriter).foreach { i =>
+            w.append(Seq((wi * perWriter + i, s"w$wi-$i")).toDF("id", "v"))
+          }
+        } catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    assert(errs.isEmpty, s"writer failed: ${Option(errs.peek()).map(_.toString)}")
+    // every instance (all of which hold a now-stale cached listing from
+    // their own last commit) must see the complete final state
+    writers.foreach { w =>
+      assert(w.version === 20L, "an instance's cached listing missed foreign commits")
+      assert(w.read().count() === 20L)
+    }
+    val ids = writers.head.read().select("id").as[Int].collect().toSet
+    assert(ids === (0 until 20).toSet, "a concurrent append was lost or duplicated")
+    // the log itself must be dense: versions 1..20, no gaps, no orphans
+    val log = writers.head.commits().map(_.version)
+    assert(log === (1L to 20L), s"non-dense version chain: $log")
+  }
+
   test("vacuum ages out change-data files on the retention clock") {
     val t = cdfTable()
     t.append(Seq((1, "a")).toDF("id", "v"))          // v1
