@@ -66,7 +66,18 @@ object Web {
         .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("//")).toVector
       val (exc, rest) = lines.partition(_.startsWith("!"))
       val (wild, normal) = rest.partition(_.startsWith("*."))
-      Some(PslRules(normal, wild.map(_.stripPrefix("*.")), exc.map(_.stripPrefix("!"))))
+      // The PSL publishes IDN rules in UNICODE (`公司.cn`), but hosts on the
+      // wire are PUNYCODE (`xn--55qx5d.cn`) — without the ASCII form a
+      // punycode host under a multi-label IDN suffix silently gets the
+      // wrong registered domain (`xn--55qx5d.cn` instead of
+      // `foo.xn--55qx5d.cn`). Index BOTH forms of every rule; rules the
+      // JDK encoder rejects keep their unicode form only.
+      def withAscii(rules: Seq[String]): Seq[String] = rules.flatMap { r =>
+        val a = try java.net.IDN.toASCII(r) catch { case _: Exception => r }
+        if (a == r) Seq(r) else Seq(r, a)
+      }
+      Some(PslRules(withAscii(normal), withAscii(wild.map(_.stripPrefix("*."))),
+        withAscii(exc.map(_.stripPrefix("!")))))
     } finally in.close()
   }
 

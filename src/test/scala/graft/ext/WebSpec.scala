@@ -62,6 +62,12 @@ class WebSpec extends SparkSpecBase {
     // no-rule hosts and bare suffixes pass through (pre-PSL behavior)
     assert(reg("localhost", "com", "co.uk", "bd") ===
       Seq("localhost", "com", "co.uk", "bd"))
+    // IDN rules published in unicode must match PUNYCODE hosts: 公司.cn is
+    // a multi-label public suffix, so foo.xn--55qx5d.cn keeps its label
+    // (without the ASCII-form rules it would collapse to xn--55qx5d.cn);
+    // unicode-form hosts match too
+    assert(reg("foo.xn--55qx5d.cn", "a.foo.xn--55qx5d.cn", "foo.公司.cn") ===
+      Seq("foo.xn--55qx5d.cn", "foo.xn--55qx5d.cn", "foo.公司.cn"))
     // NULL host stays NULL
     val n = Seq[Option[String]](None).toDF("h")
       .select(Web.registeredDomain(col("h"))).as[Option[String]].head()
