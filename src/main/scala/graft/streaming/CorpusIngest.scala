@@ -53,6 +53,14 @@ final class CorpusIngest(
     urlTrackOwners: Boolean = false)(
     implicit settings: GraftSettings = GraftSettings.default) {
 
+  // the crawl front end hangs off urlCol: a blocklist (or owner tracking)
+  // without it would be silently ignored — misconfiguration must be loud,
+  // not a pipeline that quietly ingests blocked domains
+  require(blockedDomains.isEmpty || urlCol.nonEmpty,
+    "blockedDomains requires urlCol (the blocklist filters on the URL's host)")
+  require(!urlTrackOwners || urlCol.nonEmpty,
+    "urlTrackOwners requires urlCol (owners are tracked in the URL dedup index)")
+
   val corpusTable: GraftTable = GraftTable(spark, s"$root/corpus")
   val nearDupIndex: NearDupIndex = new NearDupIndex(spark, s"$root/neardup")
   /** Block-level dedup stage, enabled by `blockWords > 0`. */

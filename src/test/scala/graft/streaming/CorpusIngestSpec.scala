@@ -129,6 +129,13 @@ class CorpusIngestSpec extends SparkSpecBase {
       (7L, "closing paragraph about vectorized readers and columnar batch execution", null)))
     p.runOnce(s"$root/in", urlSchema)
     assert(ids(p) === Set(1L, 4L, 6L, 7L), s"got ${ids(p)}")
+    // front-end options without urlCol are misconfiguration, loudly
+    intercept[IllegalArgumentException] {
+      new CorpusIngest(spark, s"$root/bad1", blockedDomains = Seq("x.com"))
+    }
+    intercept[IllegalArgumentException] {
+      new CorpusIngest(spark, s"$root/bad2", urlTrackOwners = true)
+    }
   }
 
   test("curated replay anti-join stat-prunes to the crash-window files, not the whole corpus") {
