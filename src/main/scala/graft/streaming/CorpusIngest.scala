@@ -1,12 +1,12 @@
 package graft.streaming
 
 import graft.conf.GraftSettings
-import graft.ext.{BlockDedupIndex, NearDupIndex, SeenKeyIndex, TextAnalysis, Web}
+import graft.ext.{BlockDedupIndex, NearDupIndex, SeenKeyIndex, TextAnalysis, Warc, Web}
 import graft.tables.GraftTable
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{BinaryType, LongType, StringType, StructField, StructType, TimestampType}
 
 /** The assembled training-corpus ingestion pipeline — the production
   * composition of the pieces the operator catalog proves individually:
@@ -101,11 +101,16 @@ final class CorpusIngest(
       if (scrubPii) routed.withColumn(textCol, TextAnalysis.redactPii(col(textCol)))
       else routed
     // consumed by every downstream stage AND the final append: barrier so
-    // the scrub+metrics pipeline runs once, not once per consumer
+    // the scrub+metrics pipeline runs once, not once per consumer. The
+    // crawl URL (when configured) rides through to the curated corpus —
+    // provenance is part of a training corpus, and re-deriving it later
+    // would need a second pass over the raw crawl.
+    val kept = col(idCol) +: col(textCol) +:
+      urlCol.filter(scrubbed.columns.contains).map(col).toSeq
     val quality = graft.ext.Parallelism.materialize(
       TextAnalysis.withTextMetrics(scrubbed, textCol)
         .filter(col("quality_score") >= minQuality && col("n_tokens") >= minTokens)
-        .select(col(idCol), col(textCol)))
+        .select(kept: _*))
     if (quality.isEmpty) return
     // block pass first (cheaper store: 8 bytes/distinct block): a doc
     // whose every word-block was already ingested is an exact-substring
@@ -195,5 +200,79 @@ final class CorpusIngest(
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+  }
+
+  /** Checkpointed run-to-drain over a directory of WARC crawl archives —
+    * the pipeline's front door for raw crawls: each micro-batch of
+    * `binaryFile` rows (one archive per row; the source's 2 GiB/file cap
+    * is the crawl standard's ~1 GiB archive size) explodes to records
+    * partition-locally ([[Warc.recordsExploded]] — archive bytes never
+    * shuffle), keeps response/conversion records, extracts text
+    * ([[TextAnalysis.htmlToText]] unless `htmlPayloads=false`), and runs
+    * the full [[ingestBatch]] pipeline, with `target_uri` feeding the
+    * crawl front end when `urlCol` is set.
+    *
+    * Doc ids are synthesized to honor the pipeline's ascending-id
+    * contract AND redeliver identically on replay: a bit-pack of
+    * (batchId, file index in the batch's sorted path list, record index
+    * in the archive) — 18/20/25 bits. All three are deterministic for a
+    * redelivered batch (the checkpoint pins the file set, paths sort,
+    * record order is physical), so a crash replays to byte-identical
+    * ids, which is what the index tokens and the curated anti-join key
+    * on. Bounds checked loudly; 2^25 records/archive exceeds what the
+    * source's 2 GiB file cap can physically hold. */
+  def runOnceWarc(srcDir: String, pathGlob: String = "*.warc*",
+      htmlPayloads: Boolean = true): Unit = {
+    // binaryFile's schema is FIXED by the source; the streaming reader
+    // still demands it explicitly
+    val binarySchema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("modificationTime", TimestampType),
+      StructField("length", LongType),
+      StructField("content", BinaryType)))
+    val q = spark.readStream.format("binaryFile")
+      .schema(binarySchema)
+      .option("pathGlobFilter", pathGlob)
+      .load(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatch(warcBatchToDocs(batch, batchId, htmlPayloads), batchId.toString); ()
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** One binaryFile micro-batch of WARC archives → the (idCol, textCol
+    * [, urlCol]) doc frame [[ingestBatch]] expects. The batch's path list
+    * is driver-side metadata (bounded by files-per-trigger), everything
+    * row-sized stays on executors. */
+  private[streaming] def warcBatchToDocs(batch: DataFrame, batchId: Long,
+      htmlPayloads: Boolean): DataFrame = {
+    require(batchId < (1L << 18),
+      s"runOnceWarc: batchId $batchId exceeds the 18-bit id budget")
+    // metadata-plane collect: file PATHS only (the reference's own driver
+    // loops collect schema-level metadata the same way, cdc.py:83)
+    val paths = batch.select("path").distinct().collect().map(_.getString(0)).sorted
+    require(paths.length < (1 << 20),
+      s"runOnceWarc: ${paths.length} archives in one batch exceeds the " +
+        "20-bit id budget — cap files per trigger")
+    val spark0 = batch.sparkSession
+    import spark0.implicits._
+    val fileIdx = paths.zipWithIndex.toSeq.toDF("path", "__file_idx")
+    val recs = Warc.recordsExploded(
+        batch.join(broadcast(fileIdx), Seq("path")).select(col("__file_idx"), col("content")),
+        "__file_idx", "content")
+      .filter(col("warc_type").isin("response", "conversion"))
+    val id = (lit(batchId) * lit(1L << 45)) +
+      (col("__file_idx").cast("long") * lit(1L << 25)) + col("record_idx")
+    val text0 = col("payload").cast("string") // UTF-8 decode
+    val text = if (htmlPayloads) TextAnalysis.htmlToText(text0) else text0
+    val base = recs.select(id.as(idCol), text.as(textCol), col("target_uri"))
+    urlCol match {
+      case Some(u) => base.withColumnRenamed("target_uri", u)
+      case None    => base.drop("target_uri")
+    }
   }
 }

@@ -138,6 +138,53 @@ class CorpusIngestSpec extends SparkSpecBase {
     }
   }
 
+  test("WARC front door: a directory of crawl archives streams into the curated corpus") {
+    val root = Files.createTempDirectory("graft-ci-warc-").toString
+    implicit val settings: GraftSettings = GraftSettings.local(root)
+    val p = new CorpusIngest(spark, s"$root/p",
+      urlCol = Some("url"), minQuality = 0.0, minTokens = 3)
+    Files.createDirectories(java.nio.file.Paths.get(s"$root/in"))
+    def writeArchive(name: String, recs: Seq[(String, String)]): Unit = {
+      val bytes = graft.ext.Warc.write(recs.iterator.map { case (uri, prose) =>
+        graft.ext.Warc.WarcRecord("response", s"<urn:$uri>", uri, "text/html",
+          "2026-01-01T00:00:00Z",
+          s"<html><body><!-- nav --><p>$prose</p><script>var x=1;</script></body></html>"
+            .getBytes("UTF-8"))
+      }, gzipPerRecord = true)
+      Files.write(java.nio.file.Paths.get(s"$root/in/$name"), bytes)
+    }
+    val prose1 = "a completely different story about the spark optimizer and the shuffle of the data today"
+    val prose2 = "entirely novel prose describing the catalyst planner and the joins of the engine tonight"
+    val prose3 = "some genuinely new writing about watermarks and stateful aggregation in streams today"
+    writeArchive("a.warc.gz", Seq(
+      ("http://www.one.com/x?utm_s=f", prose1),
+      ("http://one.com/x", prose2))) // same canonical URL -> URL-deduped
+    writeArchive("b.warc.gz", Seq(("https://two.org/y", prose3)))
+    p.runOnceWarc(s"$root/in")
+    val got1 = p.corpusTable.read().select("doc_id", "text", "url")
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    // 3 records, minus the in-batch canonical-URL dup of file a's record 0
+    assert(got1.length === 2, s"got ${got1.toSeq}")
+    // ids are the deterministic (batch, file, record) bit-pack: batch 0,
+    // sorted paths put a.warc.gz at file 0 and b.warc.gz at file 1
+    assert(got1.map(_._1).toSeq === Seq(0L, 1L << 25), s"got ${got1.toSeq}")
+    // HTML was stripped to prose and the crawl URL rode along
+    assert(got1(0)._2 === prose1 && got1(0)._3 === "http://www.one.com/x?utm_s=f")
+    assert(got1(1)._2 === prose3)
+    // a later crawl: the canonical URL from batch 0 stays seen, new ones land
+    writeArchive("c.warc.gz", Seq(
+      ("http://www.one.com/x", prose2 + " extended with fresh material"),
+      ("https://three.net/z",
+        "fresh paragraph on partition pruning and adaptive execution in the planner tonight")))
+    p.runOnceWarc(s"$root/in")
+    val got2 = p.corpusTable.read().select("doc_id").as[Long].collect().toSet
+    assert(got2 === Set(0L, 1L << 25, (1L << 45) + 1L), s"got $got2")
+    // checkpointed redelivery with no new archives: a pure no-op
+    val v = p.corpusTable.version
+    p.runOnceWarc(s"$root/in")
+    assert(p.corpusTable.version === v)
+  }
+
   test("curated replay anti-join stat-prunes to the crash-window files, not the whole corpus") {
     val root = Files.createTempDirectory("graft-ci-prune-").toString
     implicit val settings: GraftSettings = GraftSettings.local(root)
