@@ -183,6 +183,26 @@ class CorpusIngestSpec extends SparkSpecBase {
     val v = p.corpusTable.version
     p.runOnceWarc(s"$root/in")
     assert(p.corpusTable.version === v)
+    // crash replay: the synthesized ids must come back BYTE-IDENTICAL on
+    // redelivery (the whole design premise — the URL-index token and the
+    // curated anti-join key on them). Crash a twin pipeline inside the
+    // URL stage's worst window, let the checkpoint redeliver, and demand
+    // the exact clean-run state.
+    // both twins drain all three archives in ONE batch (unlike p's two),
+    // so their ids must agree with each other, crash or no crash
+    def twin(name: String): CorpusIngest = new CorpusIngest(spark, s"$root/$name",
+      urlCol = Some("url"), minQuality = 0.0, minTokens = 3)
+    val clean = twin("clean")
+    clean.runOnceWarc(s"$root/in")
+    val crashed = twin("crashed")
+    crashed.urlIndex.get.failpoints.arm("after-token")
+    intercept[Exception] { crashed.runOnceWarc(s"$root/in") }
+    crashed.runOnceWarc(s"$root/in")
+    val cr = crashed.corpusTable.read().select("doc_id", "url")
+      .as[(Long, String)].collect().toSet
+    val cl = clean.corpusTable.read().select("doc_id", "url")
+      .as[(Long, String)].collect().toSet
+    assert(cr === cl, s"crashed twin diverged: $cr vs $cl")
   }
 
   test("curated replay anti-join stat-prunes to the crash-window files, not the whole corpus") {
