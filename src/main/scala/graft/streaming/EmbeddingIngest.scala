@@ -74,6 +74,23 @@ final class EmbeddingIngest(
     }
   }
 
+  /** Right-to-erasure / re-embed across every enabled index — the vector
+    * side of [[CorpusIngest.eraseDocs]]: tombstone the ids in each index
+    * so they vanish from queries immediately and cannot be resurrected by
+    * a late or replayed batch; physical removal happens at each index's
+    * `purge()` maintenance cadence (the shared [[graft.ext.Tombstoned]]
+    * contract). Bounded maintenance sets only; run with no ingest in
+    * flight. */
+  def eraseVectors(ids: DataFrame): Unit = {
+    require(ids.limit(100001).count() <= 100000,
+      "eraseVectors: erasure is a bounded maintenance operation; " +
+        "run larger sets in chunks")
+    val idOnly = ids.select(col(idCol))
+    annIndex.remove(idOnly, idCol)
+    ivfIndex.foreach(_.remove(idOnly, idCol))
+    pqIndex.foreach(_.remove(idOnly, idCol))
+  }
+
   /** Checkpointed run-to-drain over a parquet embedding directory: each
     * AvailableNow pass ingests only files the checkpoint has not seen. */
   def runOnce(srcDir: String, schema: StructType): Unit = {

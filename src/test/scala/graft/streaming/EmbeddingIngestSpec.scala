@@ -82,6 +82,35 @@ class EmbeddingIngestSpec extends SparkSpecBase {
       pairs(clean.pqIndex.get.query(probes, "vec_id", "embedding", k = 5)))
   }
 
+  test("eraseVectors tombstones every enabled index; purge reclaims and re-admission works") {
+    val root = Files.createTempDirectory("graft-ei-erase-").toString
+    implicit val settings: GraftSettings = GraftSettings.local(root)
+    val p = new EmbeddingIngest(spark, s"$root/p", ivfLists = 4, pqM = 4)
+    arrive(s"$root/in", col("vec_id") < 120)
+    p.runOnce(s"$root/in", embSchema)
+    val before = pairs(p.annIndex.query(probes, "vec_id", "embedding", k = 5))
+    val victims = before.map(_._2).take(2)
+    assert(victims.nonEmpty)
+    p.eraseVectors(victims.toSeq.toDF("vec_id"))
+    // every index answers as if the victims never existed (lower-ranked
+    // live candidates fill in)
+    for (q <- Seq(
+        pairs(p.annIndex.query(probes, "vec_id", "embedding", k = 5)),
+        pairs(p.ivfIndex.get.query(probes, "vec_id", "embedding", k = 5, nProbe = 2)),
+        pairs(p.pqIndex.get.query(probes, "vec_id", "embedding", k = 5))))
+      assert(q.forall(t => !victims.contains(t._2)), s"erased id still returned: $q")
+    // a late batch re-delivering a victim cannot resurrect it pre-purge
+    p.ingestBatch(emb.filter(col("vec_id").isin(victims.toSeq: _*)), "late")
+    assert(pairs(p.annIndex.query(probes, "vec_id", "embedding", k = 5))
+      .forall(t => !victims.contains(t._2)))
+    // purge physically reclaims; a FRESH add then re-admits
+    p.annIndex.purge(); p.ivfIndex.get.purge(); p.pqIndex.get.purge()
+    p.ingestBatch(emb.filter(col("vec_id").isin(victims.toSeq: _*)), "readd")
+    assert(pairs(p.annIndex.query(probes, "vec_id", "embedding", k = 5))
+      .exists(t => victims.contains(t._2)),
+      "purged then re-added ids must be queryable again")
+  }
+
   test("a crash between IVF training and its first add replays without retraining") {
     val root = Files.createTempDirectory("graft-ei-train-").toString
     implicit val settings: GraftSettings = GraftSettings.local(root)
