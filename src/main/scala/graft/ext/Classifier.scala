@@ -1,0 +1,197 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Model-based corpus filtering — the "train a cheap classifier, score
+  * every document" stage that modern pretraining pipelines run between
+  * heuristic quality gates and expensive near-dup work (FineWeb-Edu and
+  * DCLM both select their corpora this way; DSIR — Xie et al. 2023,
+  * "Data Selection for Language Models via Importance Resampling" —
+  * is the hashed-feature variant). The reference engine has no model
+  * stage at all; this is north-star surface.
+  *
+  * Two scale shapes, deliberately contrasted:
+  *
+  *  - [[nbTrain]]/[[nbScore]] — multinomial Naive Bayes over unigrams.
+  *    The model is VOCABULARY-sized, so scoring joins it token-keyed
+  *    (shuffle join, AQE broadcasts when it turns out small) — the same
+  *    reasoning as `TextAnalysis.unigramNll`: at 100 TB the vocabulary
+  *    itself is huge and a forced broadcast OOMs.
+  *  - [[dsirWeights]] — DSIR importance log-ratios over HASHED unigram
+  *    buckets. The model is B rows by construction (B = `buckets`,
+  *    default 1024), so it broadcasts unconditionally: scoring is a
+  *    zero-shuffle-on-the-model map-side join no matter how large the
+  *    corpus. That bounded-feature trick is exactly why DSIR scales to
+  *    full-corpus selection.
+  *
+  * Both training passes are one explode + one groupBy (map-side partial
+  * aggregation); neither ever collects data to the driver.
+  *
+  * Portability discipline (shared with the NLL family): every log is
+  * quantized to integer micro-nats BEFORE any arithmetic that could
+  * differ across engines — each `ln` is quantized separately and
+  * combined in LONG arithmetic, so the only floating-point op an engine
+  * performs is `ln(double/double)` itself, which is bit-stable across
+  * the JVM and C libms this repo oracles against (gated since d19). The
+  * public score is scale-shifted back through DECIMAL(18,6) → DOUBLE.
+  * Scores are plain SUMS of per-token micro-weights (no division), so
+  * there is no rounding step at all.
+  */
+object Classifier {
+
+  /** A trained token-weight model: `weights` is `(token, w_micro LONG)`,
+    * one row per training-vocabulary token; `scalars` is exactly one row
+    * `(prior_micro LONG, unseen_micro LONG)`. Both are plain DataFrames
+    * so a model persists to any table/format and reloads cluster-wide —
+    * there is no driver-side state. */
+  final case class NbModel(weights: DataFrame, scalars: DataFrame)
+
+  private def tokens(df: DataFrame, textCol: String, keep: Column*): DataFrame =
+    Parallelism.widen(df)
+      .select(keep :+ explode(split(TextAnalysis.normalize(col(textCol)), " ")).as("token"): _*)
+      .filter(length(col("token")) > 0)
+
+  /** `ln(num/den)` quantized to micro-nats as LONG — the d19 quantizer. */
+  private def lnMicro(num: Column, den: Column): Column =
+    (log(num.cast("double") / den.cast("double"))
+      .cast("decimal(28,6)") * lit(1000000)).cast("long")
+
+  /** Train a multinomial Naive Bayes quality model.
+    *
+    * `labelCol` must be BOOLEAN (true = positive / keep-worthy class).
+    * Per-token weight is the smoothed class log-odds
+    * `ln((n_pos+1)/(N_pos+V)) - ln((n_neg+1)/(N_neg+V))` (Laplace over
+    * the joint vocabulary V); `prior_micro` is the document-count prior
+    * log-odds and `unseen_micro` the weight of a token absent from
+    * training (both classes' smoothing floor). Training with an empty
+    * class is a model that can only parrot its prior — that is a caller
+    * bug, and it fails LOUDLY via `raise_error` rather than emitting
+    * NULL weights from `ln(0)`.
+    *
+    * One explode + one token groupBy (shuffle) + two single-row
+    * aggregates that cross-join broadcast into the projection. */
+  def nbTrain(df: DataFrame, textCol: String, labelCol: String): NbModel = {
+    val tok = tokens(df, textCol, col(labelCol).cast("boolean").as("__y"))
+    val perTok = tok.groupBy("token").agg(
+      sum(when(col("__y"), 1L).otherwise(0L)).as("__np"),
+      sum(when(!col("__y"), 1L).otherwise(0L)).as("__nn"))
+    val totals = perTok.agg(
+      sum(col("__np")).as("__tp"), sum(col("__nn")).as("__tn"),
+      count(lit(1)).as("__v"))
+    val docs = df.agg(
+      sum(when(col(labelCol).cast("boolean"), 1L).otherwise(0L)).as("__dp"),
+      sum(when(!col(labelCol).cast("boolean"), 1L).otherwise(0L)).as("__dn"))
+    val guard = when(col("__dp") > 0 && col("__dn") > 0, lit(true))
+      .otherwise(raise_error(lit(
+        "nbTrain: both classes must be non-empty (labelCol must take both values)")))
+    val weights = perTok.crossJoin(broadcast(totals))
+      .select(col("token"),
+        (lnMicro(col("__np") + 1, col("__tp") + col("__v"))
+          - lnMicro(col("__nn") + 1, col("__tn") + col("__v"))).as("w_micro"))
+    val scalars = totals.crossJoin(docs)
+      .where(guard)
+      .select(
+        (lnMicro(col("__dp"), col("__dp") + col("__dn"))
+          - lnMicro(col("__dn"), col("__dp") + col("__dn"))).as("prior_micro"),
+        (lnMicro(lit(1), col("__tp") + col("__v"))
+          - lnMicro(lit(1), col("__tn") + col("__v"))).as("unseen_micro"))
+    NbModel(weights, scalars)
+  }
+
+  /** Score every document under a trained model: `nb_score_micro` =
+    * prior + Σ per-token log-odds (unseen tokens contribute the model's
+    * smoothing floor), `nb_score` its DECIMAL-shifted double form, and
+    * `keep` = score > 0 (positive class more likely). Documents that
+    * normalize to zero tokens are absent from the output — same contract
+    * as the NLL family.
+    *
+    * The weight join is token-keyed (model is vocab-sized — see class
+    * note); the one-row scalars frame broadcasts. */
+  def nbScore(df: DataFrame, idCol: String, textCol: String, model: NbModel): DataFrame =
+    tokens(df, textCol, col(idCol))
+      .join(model.weights, Seq("token"), "left")
+      .crossJoin(broadcast(model.scalars))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        (first(col("prior_micro"))
+          + sum(coalesce(col("w_micro"), col("unseen_micro")))).as("nb_score_micro"))
+      .select(col(idCol), col("n_tokens"), col("nb_score_micro"),
+        microShift(col("nb_score_micro")).as("nb_score"),
+        (col("nb_score_micro") > 0).as("keep"))
+
+  /** Persist a trained model as two parquet directories (`weights/`,
+    * `scalars/`). A model is an immutable training ARTIFACT, not a
+    * mutating store, so plain parquet (not a versioned table) is the
+    * right weight: reload is a bare scan, and republishing a model is
+    * writing a new path. */
+  def saveModel(model: NbModel, path: String): Unit = {
+    model.scalars.write.mode("overwrite").parquet(s"$path/scalars")
+    // vocab-sized: keep parallel writer output (no coalesce(1) — a 100 TB
+    // corpus's vocabulary is itself a big frame)
+    model.weights.write.mode("overwrite").parquet(s"$path/weights")
+  }
+
+  /** Reload a [[saveModel]] artifact. */
+  def loadModel(spark: org.apache.spark.sql.SparkSession, path: String): NbModel =
+    NbModel(
+      weights = spark.read.parquet(s"$path/weights"),
+      scalars = spark.read.parquet(s"$path/scalars"))
+
+  /** Exact micro-nats → nats scale shift, emitted as DOUBLE (DECIMAL
+    * output columns hash-mismatch in the driver's canonicalizer). */
+  private def microShift(micro: Column): Column =
+    (micro.cast(org.apache.spark.sql.types.DecimalType(20, 0))
+      * expr("CAST(0.000001 AS DECIMAL(7,6))"))
+      .cast(org.apache.spark.sql.types.DecimalType(26, 6)).cast("double")
+
+  /** DSIR importance weights over hashed unigram features.
+    *
+    * `targetCol` (BOOLEAN) marks the documents whose distribution the
+    * selection should move toward; the RAW distribution is the whole
+    * input frame — DSIR's own setup (raw = the corpus being selected
+    * from). Each token hashes to one of `buckets` buckets
+    * (`portableHash60 % B` — engine-portable, verifiable outside Spark);
+    * per-bucket importance is the smoothed log-ratio
+    * `ln((n_target+1)/(N_target+B)) - ln((n_raw+1)/(N_raw+B))`, and a
+    * document's weight is the sum over its tokens. `keep` = weight > 0
+    * (document looks more target-like than corpus-average) — the
+    * threshold form of DSIR selection; callers wanting top-k resampling
+    * rank on `dsir_weight_micro` with their own budget.
+    *
+    * Scale: the bucket table is AT MOST B rows regardless of corpus
+    * size, so it broadcasts unconditionally and scoring never shuffles
+    * the model — the contrast with [[nbScore]] is the point (see class
+    * note). One explode + one bucket groupBy for training, one explode +
+    * map-side join + doc groupBy for scoring. */
+  def dsirWeights(df: DataFrame, idCol: String, textCol: String,
+      targetCol: String, buckets: Int = 1024): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val b = lit(buckets.toLong)
+    val tok = tokens(df, textCol, col(idCol), col(targetCol).cast("boolean").as("__t"))
+      .withColumn("bucket",
+        pmod(TextAnalysis.portableHash60(col("token")), b))
+    val perBucket = tok.groupBy("bucket").agg(
+      sum(when(col("__t"), 1L).otherwise(0L)).as("__nt"),
+      count(lit(1)).as("__nr"))
+    val totals = perBucket.agg(sum(col("__nt")).as("__tt"), sum(col("__nr")).as("__tr"))
+    val ratios = perBucket.crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        (lnMicro(col("__nt") + 1, col("__tt") + b)
+          - lnMicro(col("__nr") + 1, col("__tr") + b)).as("lr_micro"))
+    // smoothing floor for buckets unseen at train time (only reachable when
+    // scoring a different frame than the training corpus) — a one-row
+    // scalar, NOT a ratios column: a join miss would NULL a per-row floor
+    val floor = totals.select(
+      (lnMicro(lit(1), col("__tt") + b)
+        - lnMicro(lit(1), col("__tr") + b)).as("__floor_micro"))
+    tok.join(broadcast(ratios), Seq("bucket"), "left")
+      .crossJoin(broadcast(floor))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("lr_micro"), col("__floor_micro"))).as("dsir_weight_micro"))
+      .select(col(idCol), col("n_tokens"), col("dsir_weight_micro"),
+        microShift(col("dsir_weight_micro")).as("dsir_weight"),
+        (col("dsir_weight_micro") > 0).as("keep"))
+  }
+}

@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.functions._
-import graft.ext.{AsOf, Dedup, Parallelism, TextAnalysis}
+import graft.ext.{AsOf, Classifier, Dedup, Parallelism, TextAnalysis}
 import QueryDsl._
 
 /** Training-data text operators as catalog queries over `documents`.
@@ -9,6 +9,14 @@ import QueryDsl._
   * regex flag — DuckDB replaces first-match by default, Spark replaces all).
   */
 object TextQueries {
+
+  // DuckDB fragments mirroring Classifier's micro-nats quantization:
+  // ln(x) quantized to integer micro-nats, and the exact decimal scale
+  // shift back to a DOUBLE (same shapes as Classifier.lnMicro/microShift).
+  private def qMicroSql(x: String): String =
+    s"CAST(CAST(ln($x) AS DECIMAL(28,6)) * 1000000 AS BIGINT)"
+  private def shiftSql(m: String): String =
+    s"CAST(CAST(CAST($m AS DECIMAL(20,0)) * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(26,6)) AS DOUBLE)"
 
   // DuckDB fragment: whole-word-occurrence count via space doubling.
   private def occSql(w: String): String =
@@ -1313,6 +1321,102 @@ object TextQueries {
           FROM m)
         SELECT target_uri, n_tokens, quality_score FROM q
         WHERE quality_score >= 0.55 AND n_tokens BETWEEN 5 AND 5000 AND digit_ratio < 0.3
-        ORDER BY target_uri"""))
+        ORDER BY target_uri""")),
+
+    // Model-based quality filtering (FineWeb-Edu/DCLM shape): train a
+    // multinomial Naive Bayes on a deterministic labeled third of the
+    // corpus (label: lang='en' — the only supervised signal the fixture
+    // tables carry), score EVERY document under the trained log-odds.
+    // Every ln is quantized to integer micro-nats before any cross-token
+    // arithmetic (the d19 portability discipline); the score is a plain
+    // long sum, no division, no rounding step. The vocab-sized model
+    // joins token-keyed (AQE broadcasts when small); only the one-row
+    // prior/unseen scalars broadcast by hint.
+    CatalogQuery(
+      "d42_nb_quality",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val model = Classifier.nbTrain(
+          docs.filter(col("doc_id") % 3 === 0)
+            .withColumn("is_en", col("lang") === "en"),
+          "text", "is_en")
+        Classifier.nbScore(docs, "doc_id", "text", model).orderBy(col("doc_id"))
+      },
+      Some(s"""WITH ltok AS (
+          SELECT doc_id, (lang = 'en') AS y,
+            unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS token
+          FROM documents WHERE doc_id % 3 = 0),
+        lt2 AS (SELECT doc_id, y, token FROM ltok WHERE length(token) > 0),
+        per AS (SELECT token,
+            sum(CASE WHEN y THEN 1 ELSE 0 END) AS np,
+            sum(CASE WHEN y THEN 0 ELSE 1 END) AS nn
+          FROM lt2 GROUP BY 1),
+        tot AS (SELECT CAST(sum(np) AS BIGINT) AS tp, CAST(sum(nn) AS BIGINT) AS tn,
+            count(*) AS v FROM per),
+        docs AS (SELECT CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS dp,
+            CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS dn
+          FROM documents WHERE doc_id % 3 = 0),
+        w AS (SELECT token,
+            ${qMicroSql("CAST(np + 1 AS DOUBLE) / CAST(tp + v AS DOUBLE)")}
+              - ${qMicroSql("CAST(nn + 1 AS DOUBLE) / CAST(tn + v AS DOUBLE)")} AS w_micro
+          FROM per CROSS JOIN tot),
+        sc AS (SELECT
+            ${qMicroSql("CAST(dp AS DOUBLE) / CAST(dp + dn AS DOUBLE)")}
+              - ${qMicroSql("CAST(dn AS DOUBLE) / CAST(dp + dn AS DOUBLE)")} AS prior_micro,
+            ${qMicroSql("CAST(1 AS DOUBLE) / CAST(tp + v AS DOUBLE)")}
+              - ${qMicroSql("CAST(1 AS DOUBLE) / CAST(tn + v AS DOUBLE)")} AS unseen_micro
+          FROM tot CROSS JOIN docs),
+        stok AS (
+          SELECT doc_id,
+            unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS token
+          FROM documents),
+        st2 AS (SELECT doc_id, token FROM stok WHERE length(token) > 0),
+        agg AS (SELECT doc_id, count(*) AS n_tokens,
+            CAST(min(prior_micro) + sum(coalesce(w_micro, unseen_micro)) AS BIGINT) AS m
+          FROM st2 LEFT JOIN w USING (token) CROSS JOIN sc GROUP BY 1)
+        SELECT doc_id, n_tokens, m AS nb_score_micro, ${shiftSql("m")} AS nb_score,
+          m > 0 AS keep
+        FROM agg ORDER BY doc_id""")),
+
+    // DSIR importance weighting (Xie et al. 2023) over hashed unigram
+    // buckets: the model is AT MOST 512 rows regardless of corpus size —
+    // the deliberate scale contrast with d42's vocab-sized model (the
+    // bucket table broadcasts unconditionally; scoring never shuffles
+    // the model). Target distribution: lang='en'; raw: the whole corpus
+    // (DSIR's own setup). Same micro-nats quantization discipline.
+    CatalogQuery(
+      "d43_dsir_weights",
+      (s, dir) =>
+        Classifier.dsirWeights(
+          t(s, dir, "documents").withColumn("is_en", col("lang") === "en"),
+          "doc_id", "text", "is_en", buckets = 512)
+          .orderBy(col("doc_id")),
+      Some(s"""WITH tok AS (
+          SELECT doc_id, (lang = 'en') AS tgt,
+            unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS token
+          FROM documents),
+        t2 AS (SELECT doc_id, tgt, token FROM tok WHERE length(token) > 0),
+        tb AS (SELECT doc_id, tgt,
+            CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT) % 512 AS bucket
+          FROM t2),
+        per AS (SELECT bucket,
+            CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+            count(*) AS nr
+          FROM tb GROUP BY 1),
+        tot AS (SELECT CAST(sum(nt) AS BIGINT) AS tt, CAST(sum(nr) AS BIGINT) AS tr FROM per),
+        r AS (SELECT bucket,
+            ${qMicroSql("CAST(nt + 1 AS DOUBLE) / CAST(tt + 512 AS DOUBLE)")}
+              - ${qMicroSql("CAST(nr + 1 AS DOUBLE) / CAST(tr + 512 AS DOUBLE)")} AS lr_micro
+          FROM per CROSS JOIN tot),
+        fl AS (SELECT
+            ${qMicroSql("CAST(1 AS DOUBLE) / CAST(tt + 512 AS DOUBLE)")}
+              - ${qMicroSql("CAST(1 AS DOUBLE) / CAST(tr + 512 AS DOUBLE)")} AS floor_micro
+          FROM tot),
+        agg AS (SELECT doc_id, count(*) AS n_tokens,
+            CAST(sum(coalesce(lr_micro, floor_micro)) AS BIGINT) AS m
+          FROM tb LEFT JOIN r USING (bucket) CROSS JOIN fl GROUP BY 1)
+        SELECT doc_id, n_tokens, m AS dsir_weight_micro, ${shiftSql("m")} AS dsir_weight,
+          m > 0 AS keep
+        FROM agg ORDER BY doc_id"""))
   )
 }

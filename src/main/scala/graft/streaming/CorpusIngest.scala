@@ -14,7 +14,9 @@ import org.apache.spark.sql.types.{BinaryType, LongType, StringType, StructField
   * (domain blocklist + URL-level exact dedup on the canonical URL —
   * [[Web]] + [[SeenKeyIndex]] — the cheapest rejections first, before
   * any text is touched), are PII-scrubbed ([[TextAnalysis.redactPii]]),
-  * quality-gated ([[TextAnalysis.withTextMetrics]]), optionally dropped
+  * quality-gated ([[TextAnalysis.withTextMetrics]], then optionally a
+  * trained [[graft.ext.Classifier]] NB model — the FineWeb-Edu/DCLM
+  * model-based-filtering stage), optionally dropped
   * when they carry no never-seen word-block ([[BlockDedupIndex]] — the
   * RefinedWeb "exact substring" pass), checked against the PERSISTED
   * near-dup index ([[NearDupIndex]] — the corpus is minhashed once,
@@ -50,7 +52,9 @@ final class CorpusIngest(
     blockWords: Int = 0,
     urlCol: Option[String] = None,
     blockedDomains: Seq[String] = Nil,
-    urlTrackOwners: Boolean = false)(
+    urlTrackOwners: Boolean = false,
+    nbModelPath: Option[String] = None,
+    nbThresholdMicro: Long = 0L)(
     implicit settings: GraftSettings = GraftSettings.default) {
 
   // the crawl front end hangs off urlCol: a blocklist (or owner tracking)
@@ -72,6 +76,15 @@ final class CorpusIngest(
     * what lets [[eraseDocs]] release erased docs' URLs for recrawl. */
   val urlIndex: Option[SeenKeyIndex] =
     urlCol.map(_ => new SeenKeyIndex(spark, s"$root/urls", trackOwners = urlTrackOwners))
+  /** Model-based quality stage (FineWeb-Edu/DCLM shape), enabled by
+    * `nbModelPath`: a [[graft.ext.Classifier]] NB artifact loaded ONCE
+    * per pipeline instance (not per batch — two extra scans per
+    * micro-batch forever would be the same fixed-cost mistake the log
+    * listing cache fixed) and applied after the heuristic gate. The
+    * model frames are plain parquet scans, so executors fetch them like
+    * any other input; only the one-row scalars frame broadcasts. */
+  val nbModel: Option[graft.ext.Classifier.NbModel] =
+    nbModelPath.map(graft.ext.Classifier.loadModel(spark, _))
 
   /** One batch through the full pipeline (also the foreachBatch body —
     * callable directly for non-streaming backfills; pass a unique
@@ -112,15 +125,32 @@ final class CorpusIngest(
         .filter(col("quality_score") >= minQuality && col("n_tokens") >= minTokens)
         .select(kept: _*))
     if (quality.isEmpty) return
+    // model-based quality stage: heuristic survivors are scored under the
+    // trained log-odds and must clear the threshold. Semi-join keeps the
+    // batch's columns untouched; the score aggregate is the stage's one
+    // shuffle (the vocab join is token-keyed — see Classifier's scaladoc).
+    // Stateless and deterministic, so it sits OUTSIDE the replay-token
+    // contract: a redelivered batch re-scores to the identical keep set.
+    val modelKept = nbModel match {
+      case None => quality
+      case Some(m) =>
+        quality.join(
+          graft.ext.Classifier.nbScore(quality, idCol, textCol, m)
+            .filter(col("nb_score_micro") > nbThresholdMicro)
+            .select(col(idCol)),
+          Seq(idCol), "left_semi")
+          .transform(graft.ext.Parallelism.materialize(_))
+    }
+    if (modelKept.isEmpty) return
     // block pass first (cheaper store: 8 bytes/distinct block): a doc
     // whose every word-block was already ingested is an exact-substring
     // composite of the corpus — drop it before paying the minhash
     val afterBlocks = blockIndex match {
-      case None => quality
+      case None => modelKept
       case Some(bIdx) =>
-        val stats = bIdx.detectAndAdd(quality, idCol, textCol,
+        val stats = bIdx.detectAndAdd(modelKept, idCol, textCol,
           ingestToken = Some(s"blk-$token"))
-        quality.join(
+        modelKept.join(
           stats.filter(col("kept_blocks") > 0).select(col(idCol)),
           Seq(idCol), "left_semi")
           .transform(graft.ext.Parallelism.materialize(_))

@@ -53,6 +53,31 @@ class CorpusIngestSpec extends SparkSpecBase {
     assert(p.corpusTable.version === v)
   }
 
+  test("model stage: a trained NB artifact gates the pipeline; redelivery stays idempotent") {
+    val root = Files.createTempDirectory("graft-ci-nb-").toString
+    implicit val settings: GraftSettings = GraftSettings.local(root)
+    // train offline on a labeled fixture, persist the artifact
+    val labeled = Seq(
+      ("the quiet library holds many careful essays about science and history for readers", true),
+      ("readers enjoy thoughtful writing about the catalyst planner and careful argument", true),
+      ("buy cheap pills now click here free offer buy now cheap cheap pills offer", false),
+      ("free free offer click buy pills cheap now click offer offer cheap buy", false))
+      .toDF("text", "y")
+    graft.ext.Classifier.saveModel(
+      graft.ext.Classifier.nbTrain(labeled, "text", "y"), s"$root/model")
+    val p = new CorpusIngest(spark, s"$root/p", nbModelPath = Some(s"$root/model"))
+    arrive(s"$root/in", Seq(
+      (1L, "a careful essay about history and science written for thoughtful readers today"),
+      (2L, "click now buy cheap free pills offer click buy now cheap offer today please")))
+    p.runOnce(s"$root/in", docSchema)
+    assert(ids(p) === Set(1L), "the model stage must drop the spam doc and keep the prose doc")
+    // redelivery through a fresh checkpoint replays the same keep set and
+    // the curated anti-join keeps the append idempotent
+    graft.lake.FsUtils.deletePath(spark, s"$root/p/ckpt")
+    p.runOnce(s"$root/in", docSchema)
+    assert(ids(p) === Set(1L))
+  }
+
   test("block stage drops docs composed entirely of already-ingested blocks") {
     val root = Files.createTempDirectory("graft-ci-blk-").toString
     implicit val settings: GraftSettings = GraftSettings.local(root)
