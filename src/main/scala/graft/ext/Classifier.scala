@@ -120,6 +120,61 @@ object Classifier {
         microShift(col("nb_score_micro")).as("nb_score"),
         (col("nb_score_micro") > 0).as("keep"))
 
+  /** Global top-k selection by an integer weight column — the DSIR
+    * RESAMPLING step ([[dsirWeights]] scores; this selects the budget),
+    * deterministic under ties via `(weight desc, id asc)`.
+    *
+    * Two regimes, switched on k:
+    *
+    *  - `k <= exactLimitThreshold`: `orderBy.limit(k)` — Spark plans
+    *    TakeOrderedAndProject (per-partition heap + driver merge of
+    *    k·partitions rows), already a distributed top-k, NOT a global
+    *    sort. Right up to ~100k rows of driver merge.
+    *  - larger k (a 100 TB corpus selecting a billion-doc budget):
+    *    driver-merging k·partitions rows is the scale-killer, so prune
+    *    by a COARSE WEIGHT HISTOGRAM instead: bin counts (one map-side
+    *    aggregate over ~hundreds of bins — the histogram is
+    *    range-bounded, not corpus-bounded), find the threshold bin on
+    *    the driver from bin COUNTS only, pass every row strictly above
+    *    it through un-sorted (they are all in the top-k regardless of
+    *    order), and rank only the ONE boundary bin for the remainder.
+    *    Wall-clock = two scans + a sort of one bin's rows; no stage
+    *    ever sees k rows in one place.
+    *
+    * The histogram collect is bin counts, not rows — bounded by the
+    * weight RANGE over `binWidth` (guarded loudly), independent of
+    * corpus size. */
+  def topKByWeight(df: DataFrame, idCol: String, weightCol: String, k: Int,
+      exactLimitThreshold: Int = 100000, binWidth: Long = 1L << 20): DataFrame = {
+    require(k >= 0, s"k must be non-negative, got $k")
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    if (k == 0) return df.limit(0)
+    val ord = Seq(col(weightCol).desc, col(idCol).asc)
+    if (k <= exactLimitThreshold) return df.orderBy(ord: _*).limit(k)
+    // floor-division bin: same weight => same bin, so boundary ties never
+    // straddle bins and only the threshold bin needs exact ranking
+    val bin = floor(col(weightCol).cast("double") / binWidth.toDouble).cast("long")
+    val hist = df.groupBy(bin.as("__bin")).agg(count(lit(1)).as("__n"))
+      .orderBy(col("__bin").desc).collect()
+    require(hist.length <= (1 << 20),
+      s"topKByWeight: ${hist.length} histogram bins — widen binWidth (the " +
+        "bin count must stay driver-metadata-sized)")
+    var cum = 0L
+    var i = 0
+    while (i < hist.length && cum + hist(i).getLong(1) < k) {
+      cum += hist(i).getLong(1); i += 1
+    }
+    if (i >= hist.length) return df // k >= total rows: everything selected
+    val tBin = hist(i).getLong(0)
+    val above = df.filter(bin > tBin)
+    // degenerate guard: if the distribution collapses into one bin the
+    // boundary rank IS a plain top-(k-cum) again — callers with spiky
+    // weight ranges shrink binWidth rather than silently driver-merging
+    val boundary = df.filter(bin === tBin)
+      .orderBy(ord: _*).limit((k - cum).toInt)
+    above.unionByName(boundary)
+  }
+
   /** Persist a trained model as two parquet directories (`weights/`,
     * `scalars/`). A model is an immutable training ARTIFACT, not a
     * mutating store, so plain parquet (not a versioned table) is the

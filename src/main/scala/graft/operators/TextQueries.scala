@@ -1391,7 +1391,39 @@ object TextQueries {
           t(s, dir, "documents").withColumn("is_en", col("lang") === "en"),
           "doc_id", "text", "is_en", buckets = 512)
           .orderBy(col("doc_id")),
-      Some(s"""WITH tok AS (
+      Some(s"""$dsirCtesSql
+        SELECT doc_id, n_tokens, m AS dsir_weight_micro, ${shiftSql("m")} AS dsir_weight,
+          m > 0 AS keep
+        FROM agg ORDER BY doc_id""")),
+
+    // DSIR RESAMPLING: select the top-100 importance-weighted docs via
+    // the histogram-pruned top-k (exactLimitThreshold=0 forces the
+    // billion-k scale path at toy scale: bin counts -> threshold bin ->
+    // only the boundary bin is ranked). The oracle is the semantic spec
+    // — ORDER BY weight DESC, doc_id LIMIT 100 — which the histogram
+    // path must reproduce EXACTLY (deterministic tie-break).
+    CatalogQuery(
+      "d44_dsir_topk",
+      (s, dir) => {
+        val w = Classifier.dsirWeights(
+          t(s, dir, "documents").withColumn("is_en", col("lang") === "en"),
+          "doc_id", "text", "is_en", buckets = 512)
+        Classifier.topKByWeight(w, "doc_id", "dsir_weight_micro", 100,
+            exactLimitThreshold = 0, binWidth = 1L << 17)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""$dsirCtesSql,
+        top AS (
+          SELECT doc_id, n_tokens, m FROM agg
+          ORDER BY m DESC, doc_id LIMIT 100)
+        SELECT doc_id, n_tokens, m AS dsir_weight_micro, ${shiftSql("m")} AS dsir_weight,
+          m > 0 AS keep
+        FROM top ORDER BY doc_id"""))
+  )
+
+  // Shared DuckDB CTE chain for the DSIR family (d43 weights, d44 top-k):
+  // hashed buckets -> smoothed per-bucket log-ratios -> per-doc micro sums.
+  private lazy val dsirCtesSql: String = s"""WITH tok AS (
           SELECT doc_id, (lang = 'en') AS tgt,
             unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS token
           FROM documents),
@@ -1414,9 +1446,5 @@ object TextQueries {
           FROM tot),
         agg AS (SELECT doc_id, count(*) AS n_tokens,
             CAST(sum(coalesce(lr_micro, floor_micro)) AS BIGINT) AS m
-          FROM tb LEFT JOIN r USING (bucket) CROSS JOIN fl GROUP BY 1)
-        SELECT doc_id, n_tokens, m AS dsir_weight_micro, ${shiftSql("m")} AS dsir_weight,
-          m > 0 AS keep
-        FROM agg ORDER BY doc_id"""))
-  )
+          FROM tb LEFT JOIN r USING (bucket) CROSS JOIN fl GROUP BY 1)"""
 }

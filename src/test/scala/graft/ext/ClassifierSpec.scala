@@ -86,6 +86,28 @@ class ClassifierSpec extends SparkSpecBase {
     assert(out.count() === 3)
   }
 
+  test("topKByWeight: histogram path == exact path across boundary positions") {
+    val rows = (0L until 500L).map(i => (i, (i * 7919L) % 997L - 498L)) // signed, collisions
+    val df = rows.toDF("id", "w").repartition(4)
+    for (k <- Seq(1, 37, 250, 499, 500, 600)) {
+      val exact = Classifier.topKByWeight(df, "id", "w", k)
+        .select("id").as[Long].collect().toSet
+      val hist = Classifier.topKByWeight(df, "id", "w", k,
+        exactLimitThreshold = 0, binWidth = 64L)
+        .select("id").as[Long].collect().toSet
+      assert(hist === exact, s"k=$k: histogram path diverged from exact path")
+      assert(hist.size === math.min(k, 500))
+    }
+  }
+
+  test("topKByWeight: deterministic tie-break on (weight desc, id asc)") {
+    val df = Seq((5L, 10L), (1L, 10L), (3L, 10L), (2L, 99L)).toDF("id", "w")
+    val got = Classifier.topKByWeight(df, "id", "w", 2,
+      exactLimitThreshold = 0, binWidth = 4L)
+      .select("id").as[Long].collect().toSet
+    assert(got === Set(2L, 1L)) // 99 first, then lowest id among the 10s
+  }
+
   test("dsirWeights rejects a non-positive bucket count") {
     val df = corpus.withColumnRenamed("truth", "is_target")
     intercept[IllegalArgumentException] {
