@@ -193,6 +193,70 @@ object Classifier {
       weights = spark.read.parquet(s"$path/weights"),
       scalars = spark.read.parquet(s"$path/scalars"))
 
+  /** Exact ROC AUC of an integer score against a boolean truth — the
+    * metric that decides whether a trained filter is worth deploying,
+    * computed distributed and EXACTLY (no sampling, no trapezoid
+    * approximation): AUC is the Mann-Whitney statistic
+    * `P(score_pos > score_neg) + ½·P(score_pos = score_neg)`, which over
+    * per-score class counts is `Σ_s p_s·(2·negBelow_s + n_s) / (2·P·N)`.
+    * `negBelow` is a global cumulative sum — the classic single-task
+    * window trap — computed via [[Prefix.cumSum]] over the DISTINCT
+    * per-score aggregate instead (two bounded shuffles, nothing
+    * corpus-sized in one task; ties exact by construction since tied
+    * rows collapse into one aggregate row first).
+    *
+    * All arithmetic is exact LONG until the single final IEEE division
+    * (the q47 discipline), so the emitted double is bit-identical on any
+    * engine. Returns one row: `(p_total, n_total, auc)`. */
+  def aucExact(scored: DataFrame, scoreCol: String, labelCol: String)(
+      implicit settings: graft.conf.GraftSettings = graft.conf.GraftSettings.default): DataFrame = {
+    val perScore = scored.groupBy(col(scoreCol).as("__s")).agg(
+      sum(when(col(labelCol).cast("boolean"), 1L).otherwise(0L)).as("__p"),
+      sum(when(!col(labelCol).cast("boolean"), 1L).otherwise(0L)).as("__n"))
+    Prefix.cumSum(perScore, "__s", Seq("__n"))
+      .select(col("__p"), col("__n"),
+        (col("__p") * (lit(2L) * (col("cum___n") - col("__n")) + col("__n"))).as("__u2"))
+      .agg(sum(col("__p")).as("p_total"), sum(col("__n")).as("n_total"),
+        sum(col("__u2")).as("__u2s"))
+      .select(col("p_total"), col("n_total"),
+        (col("__u2s").cast("double")
+          / (lit(2L) * col("p_total") * col("n_total")).cast("double")).as("auc"))
+  }
+
+  /** Operating-point sweep for a scored corpus: per candidate threshold,
+    * exact confusion counts and the derived precision/recall/F1 — what a
+    * pipeline owner reads to pick `nbThresholdMicro`. The thresholds are
+    * a bounded literal list (dozens), exploded per row and aggregated in
+    * one map-side-combining pass — corpus scanned once for the whole
+    * sweep, counts exact LONGs, ratios single IEEE divisions. Rows with
+    * `score > threshold` are predicted positive (the [[nbScore]] keep
+    * convention). */
+  def evalThresholds(scored: DataFrame, scoreCol: String, labelCol: String,
+      thresholds: Seq[Long]): DataFrame = {
+    require(thresholds.nonEmpty && thresholds.size <= 10000,
+      s"thresholds must be a bounded non-empty list, got ${thresholds.size}")
+    val f1den = lit(2L) * col("tp") + col("fp") + col("fn")
+    scored
+      .select(col(scoreCol).as("__s"), col(labelCol).cast("boolean").as("__y"),
+        explode(lit(thresholds.distinct.sorted.toArray)).as("threshold"))
+      .groupBy(col("threshold"))
+      .agg(
+        sum(when(col("__s") > col("threshold") && col("__y"), 1L).otherwise(0L)).as("tp"),
+        sum(when(col("__s") > col("threshold") && !col("__y"), 1L).otherwise(0L)).as("fp"),
+        sum(when(col("__s") <= col("threshold") && col("__y"), 1L).otherwise(0L)).as("fn"),
+        sum(when(col("__s") <= col("threshold") && !col("__y"), 1L).otherwise(0L)).as("tn"))
+      .select(col("threshold"), col("tp"), col("fp"), col("fn"), col("tn"),
+        when(col("tp") + col("fp") === 0L, lit(0.0))
+          .otherwise(col("tp").cast("double") / (col("tp") + col("fp")).cast("double"))
+          .as("precision"),
+        when(col("tp") + col("fn") === 0L, lit(0.0))
+          .otherwise(col("tp").cast("double") / (col("tp") + col("fn")).cast("double"))
+          .as("recall"),
+        when(f1den === 0L, lit(0.0))
+          .otherwise((lit(2L) * col("tp")).cast("double") / f1den.cast("double"))
+          .as("f1"))
+  }
+
   /** Exact micro-nats → nats scale shift, emitted as DOUBLE (DECIMAL
     * output columns hash-mismatch in the driver's canonicalizer). */
   private def microShift(micro: Column): Column =

@@ -1342,41 +1342,83 @@ object TextQueries {
           "text", "is_en")
         Classifier.nbScore(docs, "doc_id", "text", model).orderBy(col("doc_id"))
       },
-      Some(s"""WITH ltok AS (
-          SELECT doc_id, (lang = 'en') AS y,
-            unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS token
-          FROM documents WHERE doc_id % 3 = 0),
-        lt2 AS (SELECT doc_id, y, token FROM ltok WHERE length(token) > 0),
-        per AS (SELECT token,
-            sum(CASE WHEN y THEN 1 ELSE 0 END) AS np,
-            sum(CASE WHEN y THEN 0 ELSE 1 END) AS nn
-          FROM lt2 GROUP BY 1),
-        tot AS (SELECT CAST(sum(np) AS BIGINT) AS tp, CAST(sum(nn) AS BIGINT) AS tn,
-            count(*) AS v FROM per),
-        docs AS (SELECT CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS dp,
-            CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS dn
-          FROM documents WHERE doc_id % 3 = 0),
-        w AS (SELECT token,
-            ${qMicroSql("CAST(np + 1 AS DOUBLE) / CAST(tp + v AS DOUBLE)")}
-              - ${qMicroSql("CAST(nn + 1 AS DOUBLE) / CAST(tn + v AS DOUBLE)")} AS w_micro
-          FROM per CROSS JOIN tot),
-        sc AS (SELECT
-            ${qMicroSql("CAST(dp AS DOUBLE) / CAST(dp + dn AS DOUBLE)")}
-              - ${qMicroSql("CAST(dn AS DOUBLE) / CAST(dp + dn AS DOUBLE)")} AS prior_micro,
-            ${qMicroSql("CAST(1 AS DOUBLE) / CAST(tp + v AS DOUBLE)")}
-              - ${qMicroSql("CAST(1 AS DOUBLE) / CAST(tn + v AS DOUBLE)")} AS unseen_micro
-          FROM tot CROSS JOIN docs),
-        stok AS (
-          SELECT doc_id,
-            unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS token
-          FROM documents),
-        st2 AS (SELECT doc_id, token FROM stok WHERE length(token) > 0),
-        agg AS (SELECT doc_id, count(*) AS n_tokens,
-            CAST(min(prior_micro) + sum(coalesce(w_micro, unseen_micro)) AS BIGINT) AS m
-          FROM st2 LEFT JOIN w USING (token) CROSS JOIN sc GROUP BY 1)
+      Some(s"""$nbCtesSql
         SELECT doc_id, n_tokens, m AS nb_score_micro, ${shiftSql("m")} AS nb_score,
           m > 0 AS keep
         FROM agg ORDER BY doc_id""")),
+
+    // Operating-point sweep over the trained NB model: per candidate
+    // threshold (bounded literal list), exact confusion counts against
+    // the lang='en' truth plus precision/recall/F1 — the report a
+    // pipeline owner reads to pick CorpusIngest's nbThresholdMicro. One
+    // corpus scan for the whole sweep (explode by threshold, map-side
+    // combine); counts exact LONGs, ratios single IEEE divisions.
+    CatalogQuery(
+      "d45_classifier_eval",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val model = Classifier.nbTrain(
+          docs.filter(col("doc_id") % 3 === 0)
+            .withColumn("is_en", col("lang") === "en"),
+          "text", "is_en")
+        val scored = Classifier.nbScore(docs, "doc_id", "text", model)
+          .join(docs.select(col("doc_id"), (col("lang") === "en").as("y")), "doc_id")
+        Classifier.evalThresholds(scored, "nb_score_micro", "y", EvalThresholds)
+          .orderBy(col("threshold"))
+      },
+      Some(s"""$nbCtesSql,
+        lbl AS (SELECT a.doc_id, a.m, (d.lang = 'en') AS y
+          FROM agg a JOIN documents d USING (doc_id)),
+        thr AS (SELECT CAST(x AS BIGINT) AS threshold
+          FROM (VALUES ${EvalThresholds.map(v => s"($v)").mkString(", ")}) t(x)),
+        e AS (SELECT threshold,
+            CAST(sum(CASE WHEN m > threshold AND y THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+            CAST(sum(CASE WHEN m > threshold AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+            CAST(sum(CASE WHEN m <= threshold AND y THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+            CAST(sum(CASE WHEN m <= threshold AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS tn
+          FROM lbl CROSS JOIN thr GROUP BY 1)
+        SELECT threshold, tp, fp, fn, tn,
+          CASE WHEN tp + fp = 0 THEN 0.0
+               ELSE CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS precision,
+          CASE WHEN tp + fn = 0 THEN 0.0
+               ELSE CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS recall,
+          CASE WHEN 2 * tp + fp + fn = 0 THEN 0.0
+               ELSE CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE) END AS f1
+        FROM e ORDER BY threshold""")),
+
+    // Exact ROC AUC of the NB score against the truth — Mann-Whitney
+    // over per-score class counts, with the global cumulative computed
+    // by the DISTRIBUTED prefix sum (Prefix.cumSum: range exchange +
+    // per-partition windows + a partition-count-sized offsets window —
+    // never the single-task Window.orderBy trap). Integer-exact up to
+    // the one final IEEE division (the q47 discipline); ties exact.
+    CatalogQuery(
+      "d46_nb_auc",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val model = Classifier.nbTrain(
+          docs.filter(col("doc_id") % 3 === 0)
+            .withColumn("is_en", col("lang") === "en"),
+          "text", "is_en")
+        val scored = Classifier.nbScore(docs, "doc_id", "text", model)
+          .join(docs.select(col("doc_id"), (col("lang") === "en").as("y")), "doc_id")
+        Classifier.aucExact(scored, "nb_score_micro", "y")
+      },
+      Some(s"""$nbCtesSql,
+        lbl AS (SELECT a.m, (d.lang = 'en') AS y
+          FROM agg a JOIN documents d USING (doc_id)),
+        byscore AS (SELECT m AS s,
+            CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS p,
+            CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS n
+          FROM lbl GROUP BY 1),
+        cwin AS (SELECT p, n,
+            CAST(sum(n) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cn
+          FROM byscore),
+        tt AS (SELECT CAST(sum(p) AS BIGINT) AS pt, CAST(sum(n) AS BIGINT) AS nt,
+            CAST(sum(p * (2 * (cn - n) + n)) AS BIGINT) AS u2 FROM cwin)
+        SELECT pt AS p_total, nt AS n_total,
+          CAST(u2 AS DOUBLE) / CAST(2 * pt * nt AS DOUBLE) AS auc
+        FROM tt""")),
 
     // DSIR importance weighting (Xie et al. 2023) over hashed unigram
     // buckets: the model is AT MOST 512 rows regardless of corpus size —
@@ -1420,6 +1462,48 @@ object TextQueries {
           m > 0 AS keep
         FROM top ORDER BY doc_id"""))
   )
+
+  // Candidate nbThresholdMicro operating points for d45 (micro-nats).
+  // lazy: referenced from `all`'s initializer, which runs first
+  private lazy val EvalThresholds: Seq[Long] =
+    Seq(-2000000L, -1000000L, -500000L, -200000L, 0L, 200000L, 500000L, 1000000L, 2000000L)
+
+  // Shared DuckDB CTE chain for the NB classifier family (d42 score,
+  // d45 threshold sweep, d46 AUC): train on the labeled third
+  // (doc_id % 3 = 0, label lang='en'), score all docs; ends in
+  // `agg(doc_id, n_tokens, m)` where m is the micro-nats log-odds sum.
+  private lazy val nbCtesSql: String = s"""WITH ltok AS (
+          SELECT doc_id, (lang = 'en') AS y,
+            unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS token
+          FROM documents WHERE doc_id % 3 = 0),
+        lt2 AS (SELECT doc_id, y, token FROM ltok WHERE length(token) > 0),
+        per AS (SELECT token,
+            sum(CASE WHEN y THEN 1 ELSE 0 END) AS np,
+            sum(CASE WHEN y THEN 0 ELSE 1 END) AS nn
+          FROM lt2 GROUP BY 1),
+        tot AS (SELECT CAST(sum(np) AS BIGINT) AS tp, CAST(sum(nn) AS BIGINT) AS tn,
+            count(*) AS v FROM per),
+        docs AS (SELECT CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS dp,
+            CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS dn
+          FROM documents WHERE doc_id % 3 = 0),
+        w AS (SELECT token,
+            ${qMicroSql("CAST(np + 1 AS DOUBLE) / CAST(tp + v AS DOUBLE)")}
+              - ${qMicroSql("CAST(nn + 1 AS DOUBLE) / CAST(tn + v AS DOUBLE)")} AS w_micro
+          FROM per CROSS JOIN tot),
+        sc AS (SELECT
+            ${qMicroSql("CAST(dp AS DOUBLE) / CAST(dp + dn AS DOUBLE)")}
+              - ${qMicroSql("CAST(dn AS DOUBLE) / CAST(dp + dn AS DOUBLE)")} AS prior_micro,
+            ${qMicroSql("CAST(1 AS DOUBLE) / CAST(tp + v AS DOUBLE)")}
+              - ${qMicroSql("CAST(1 AS DOUBLE) / CAST(tn + v AS DOUBLE)")} AS unseen_micro
+          FROM tot CROSS JOIN docs),
+        stok AS (
+          SELECT doc_id,
+            unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS token
+          FROM documents),
+        st2 AS (SELECT doc_id, token FROM stok WHERE length(token) > 0),
+        agg AS (SELECT doc_id, count(*) AS n_tokens,
+            CAST(min(prior_micro) + sum(coalesce(w_micro, unseen_micro)) AS BIGINT) AS m
+          FROM st2 LEFT JOIN w USING (token) CROSS JOIN sc GROUP BY 1)"""
 
   // Shared DuckDB CTE chain for the DSIR family (d43 weights, d44 top-k):
   // hashed buckets -> smoothed per-bucket log-ratios -> per-doc micro sums.
