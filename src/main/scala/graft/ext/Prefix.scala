@@ -23,20 +23,30 @@ import org.apache.spark.sql.functions._
 object Prefix {
 
   /** Append inclusive prefix sums `cum_<v>` of each `valueCols` column,
-    * taken in ascending `orderCol` order.
+    * taken in ascending `orderCol` order. Single-key convenience form of
+    * [[cumSumBy]]. */
+  def cumSum(df: DataFrame, orderCol: String, valueCols: Seq[String])(
+      implicit settings: graft.conf.GraftSettings = graft.conf.GraftSettings.default): DataFrame =
+    cumSumBy(df, Seq(col(orderCol).asc), valueCols)
+
+  /** Append inclusive prefix sums `cum_<v>` of each `valueCols` column,
+    * taken in `orderCols` order (any mix of asc/desc sort expressions).
     *
-    * `orderCol` values MUST be unique per row (pre-aggregate ties first
-    * — every caller here does): rows tied on the order key would get an
+    * The order-key tuple MUST be unique per row (pre-aggregate ties
+    * first, or append a unique id as the last key — every caller here
+    * does one of the two): rows tied on the full key would get an
     * arbitrary intra-tie cumulative split. The frame is materialized
     * once after the range exchange because `repartitionByRange` SAMPLES
     * its child to pick boundaries — the partition id must be the same
     * frozen value for the totals pass and the join-back pass. */
-  def cumSum(df: DataFrame, orderCol: String, valueCols: Seq[String])(
+  def cumSumBy(df: DataFrame, orderCols: Seq[org.apache.spark.sql.Column],
+      valueCols: Seq[String])(
       implicit settings: graft.conf.GraftSettings = graft.conf.GraftSettings.default): DataFrame = {
-    require(valueCols.nonEmpty, "cumSum needs at least one value column")
+    require(orderCols.nonEmpty, "cumSumBy needs at least one order column")
+    require(valueCols.nonEmpty, "cumSumBy needs at least one value column")
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
     val ranged = Parallelism.materialize(
-      df.repartitionByRange(parts, col(orderCol).asc)
+      df.repartitionByRange(parts, orderCols: _*)
         .withColumn("__pid", spark_partition_id()))
     val aggs = valueCols.map(v => sum(col(v)).as(s"__t_$v"))
     val totals = ranged.groupBy(col("__pid")).agg(aggs.head, aggs.tail: _*)
@@ -47,7 +57,7 @@ object Prefix {
       col("__pid") +:
         valueCols.map(v =>
           coalesce(sum(col(s"__t_$v")).over(prevW), lit(0L)).as(s"__o_$v")): _*)
-    val localW = Window.partitionBy(col("__pid")).orderBy(col(orderCol))
+    val localW = Window.partitionBy(col("__pid")).orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ranged.join(broadcast(offsets), "__pid")
       .select(

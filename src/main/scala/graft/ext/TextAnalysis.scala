@@ -543,6 +543,63 @@ object TextAnalysis {
       .unionByName(atBoundary.select(col(idCol), col(stratCol)))
   }
 
+  /** Token-budget corpus fill — "spend a B-token budget on the
+    * best-scoring documents": the greedy prefix of the corpus in
+    * `(score desc, id asc)` order whose cumulative `tokensCol` stays
+    * within `budgetTokens`. The first document that would overflow the
+    * budget is EXCLUDED (strict prefix — a training run can't read half
+    * a document). This is how pretraining recipes cut a scored pool down
+    * to the tokens they will actually consume.
+    *
+    * The global cumulative runs through [[Prefix.cumSumBy]] (range
+    * exchange + parallel partition windows), not a partition-less
+    * window — the selection stays distributed at any corpus size. Output
+    * = input columns + `cum_<tokensCol>`. */
+  def tokenBudgetFill(df: DataFrame, idCol: String, tokensCol: String,
+      scoreCol: String, budgetTokens: Long)(
+      implicit settings: graft.conf.GraftSettings = graft.conf.GraftSettings.default): DataFrame = {
+    require(budgetTokens >= 0, s"budgetTokens must be non-negative, got $budgetTokens")
+    Prefix.cumSumBy(df, Seq(col(scoreCol).desc, col(idCol).asc), Seq(tokensCol))
+      .filter(col(s"cum_$tokensCol") <= budgetTokens)
+  }
+
+  /** Epoch-mixing plan — the repetition schedule of a training recipe
+    * ("wiki ×3.5, books ×2, web ×0.25"): emits one `(row, epoch)` pair
+    * per planned pass over each document. `epochsPpm` maps a domain to
+    * its epoch count in parts-per-million (3500000 = 3.5 epochs);
+    * unmapped domains default to exactly one epoch. Whole epochs
+    * replicate every document; the fractional remainder admits each
+    * document INDEPENDENTLY with probability `rem/1e6` by portable md5
+    * hash — deterministic across engines/partitionings, and at corpus
+    * scale the realized token share converges to the recipe's target
+    * (the law-of-large-numbers sampling the recipes themselves rely on).
+    *
+    * Pure map-side work: a broadcast join against the bounded recipe
+    * map and a per-row `sequence` explode (max fan-out = ⌈max epochs⌉,
+    * a recipe constant) — no shuffle at all. */
+  def epochPlan(df: DataFrame, idCol: String, domainCol: String,
+      epochsPpm: Map[String, Long]): DataFrame = {
+    require(epochsPpm.nonEmpty && epochsPpm.values.forall(_ >= 0),
+      "epochsPpm must be non-empty with non-negative epoch counts")
+    require(epochsPpm.values.forall(_ <= 1000L * 1000000L),
+      "epochsPpm above 1000 epochs is a recipe bug, not a plan")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val recipe = broadcast(epochsPpm.toSeq.sortBy(_._1).toDF(domainCol, "__ppm"))
+    df.join(recipe, Seq(domainCol), "left")
+      .withColumn("__ppm", coalesce(col("__ppm"), lit(1000000L)))
+      .withColumn("__n",
+        (expr("__ppm DIV 1000000")
+          + when(
+            pmod(portableHash60(concat_ws(":", lit("epoch"), col(idCol).cast("string"))),
+              lit(1000000L)) < col("__ppm") % 1000000L, 1L)
+            .otherwise(0L)).cast("int"))
+      .withColumn("epoch",
+        explode(when(col("__n") >= 1, sequence(lit(1), col("__n")))
+          .otherwise(array().cast("array<int>"))))
+      .drop("__ppm", "__n")
+  }
+
   /** Canonical text normalization used by fingerprints/dedup: lowercase,
     * collapse all non-alphanumeric runs to single spaces, trim. */
   def normalize(text: Column): Column =

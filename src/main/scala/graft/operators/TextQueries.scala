@@ -1460,8 +1460,86 @@ object TextQueries {
           ORDER BY m DESC, doc_id LIMIT 100)
         SELECT doc_id, n_tokens, m AS dsir_weight_micro, ${shiftSql("m")} AS dsir_weight,
           m > 0 AS keep
-        FROM top ORDER BY doc_id"""))
+        FROM top ORDER BY doc_id""")),
+
+    // Token-budget corpus fill: the greedy best-scoring prefix whose
+    // cumulative token count fits a 20k budget — how a scored pool is
+    // cut to the tokens a run will actually consume. The cumulative is
+    // Prefix.cumSumBy (distributed prefix sum), oracled against the
+    // plain window-cumsum semantic spec. Heuristic quality_score as the
+    // ranking signal (its SQL mirror is the d11 chain).
+    CatalogQuery(
+      "d47_token_budget",
+      (s, dir) => {
+        val m = TextAnalysis.withTextMetrics(
+          t(s, dir, "documents").select(col("doc_id"), col("text")), "text")
+          .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+        TextAnalysis.tokenBudgetFill(m, "doc_id", "n_tokens", "quality_score", 20000L)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH base AS (
+          SELECT doc_id, text, ' ' || replace(lower(text), ' ', '  ') || ' ' AS x
+          FROM documents),
+        m AS (
+          SELECT doc_id,
+            CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) END AS n_tokens,
+            CASE WHEN length(text) = 0 THEN 0.0
+                 ELSE CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) END AS alpha_ratio,
+            CASE WHEN length(text) = 0 THEN 0.0
+                 ELSE CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text) END AS digit_ratio,
+            ${hitsSql("en")} AS stop_hits
+          FROM base),
+        q AS (
+          SELECT doc_id, n_tokens,
+            alpha_ratio * 0.5
+              + least(CAST(stop_hits AS DOUBLE) / greatest(n_tokens, 1), 0.5) * 0.8
+              + (CASE WHEN n_tokens BETWEEN 20 AND 10000 THEN 0.1 ELSE 0.0 END)
+              - digit_ratio * 0.3 AS quality_score
+          FROM m),
+        c AS (
+          SELECT doc_id, n_tokens, quality_score,
+            CAST(sum(n_tokens) OVER (
+              ORDER BY quality_score DESC, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+              AS cum_n_tokens
+          FROM q)
+        SELECT doc_id, n_tokens, quality_score, cum_n_tokens
+        FROM c WHERE cum_n_tokens <= 20000 ORDER BY doc_id""")),
+
+    // Epoch-mixing plan: the repetition schedule of a training recipe
+    // (src0 x3.5, src1 x2, src2 x0.25, everything else x1) — one
+    // (doc, epoch) row per planned pass; whole epochs replicate, the
+    // fractional remainder admits docs by portable hash. Zero-shuffle
+    // (broadcast recipe + sequence explode); the oracle mirrors the
+    // hash admission and generate_series expansion exactly.
+    CatalogQuery(
+      "d48_epoch_plan",
+      (s, dir) =>
+        TextAnalysis.epochPlan(
+          t(s, dir, "documents").select(col("doc_id"), col("source")),
+          "doc_id", "source", EpochRecipe.toMap)
+          .select(col("doc_id"), col("source"), col("epoch"))
+          .orderBy(col("doc_id"), col("epoch")),
+      Some(s"""WITH recipe AS (
+          SELECT x AS source, CAST(ppm AS BIGINT) AS ppm
+          FROM (VALUES ${EpochRecipe.map { case (k, v) => s"('$k', $v)" }.mkString(", ")}) t(x, ppm)),
+        j AS (
+          SELECT d.doc_id, d.source, coalesce(r.ppm, 1000000) AS ppm
+          FROM documents d LEFT JOIN recipe r USING (source)),
+        n AS (
+          SELECT doc_id, source,
+            CAST(ppm // 1000000
+              + CASE WHEN CAST(('0x' || substr(md5('epoch:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                          % 1000000 < ppm % 1000000
+                     THEN 1 ELSE 0 END AS INTEGER) AS n_epochs
+          FROM j)
+        SELECT doc_id, source, CAST(unnest(generate_series(1, n_epochs)) AS INTEGER) AS epoch
+        FROM n WHERE n_epochs >= 1 ORDER BY doc_id, epoch"""))
   )
+
+  // d48 recipe: epochs in ppm (3.5x, 2x, 0.25x; unmapped sources 1x).
+  private lazy val EpochRecipe: Seq[(String, Long)] =
+    Seq("src0" -> 3500000L, "src1" -> 2000000L, "src2" -> 250000L)
 
   // Candidate nbThresholdMicro operating points for d45 (micro-nats).
   // lazy: referenced from `all`'s initializer, which runs first

@@ -1340,4 +1340,44 @@ class ExtOpsSpec extends SparkSpecBase {
     assert(out.count() === 0)
     graft.lake.FsUtils.deletePath(spark, s"file://$dir")
   }
+
+  test("tokenBudgetFill: strict best-scoring prefix within the budget, overflow doc excluded") {
+    import spark.implicits._
+    val pool = Seq(
+      (1L, 10, 90L), (2L, 10, 80L), (3L, 10, 70L), (4L, 10, 60L), (5L, 3, 60L))
+      .toDF("doc_id", "n_tokens", "score")
+    // budget 25: docs 1,2 fit (20); doc 3 would overflow to 30 -> cut there,
+    // and NOTHING after the cut sneaks in even if it would fit (strict prefix)
+    val got = TextAnalysis.tokenBudgetFill(pool, "doc_id", "n_tokens", "score", 25L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got === Set(1L, 2L))
+    // ties broken by doc_id: 4 (ties 5 on score, lower id... 4 < 5) first
+    val tied = TextAnalysis.tokenBudgetFill(pool, "doc_id", "n_tokens", "score", 43L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(tied === Set(1L, 2L, 3L, 4L, 5L)) // 10+10+10+10+3
+  }
+
+  test("epochPlan: whole epochs replicate, fractional admits by hash, unmapped default 1x") {
+    import spark.implicits._
+    val docs = (0L until 200L).map(i => (i, if (i < 100) "wiki" else "web"))
+      .toDF("doc_id", "domain")
+    val plan = TextAnalysis.epochPlan(docs, "doc_id", "domain",
+      Map("wiki" -> 2500000L)) // 2.5 epochs; web unmapped -> 1
+    val perDoc = plan.groupBy("doc_id", "domain").count().collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(perDoc.filter(_._2 == "web").forall(_._3 == 1L))
+    val wiki = perDoc.filter(_._2 == "wiki")
+    assert(wiki.forall(d => d._3 == 2L || d._3 == 3L))
+    val three = wiki.count(_._3 == 3L)
+    assert(three > 20 && three < 80, s"fractional admission off: $three/100 at 3 epochs")
+    // epochs numbered 1..n
+    val eps = plan.filter($"domain" === "wiki").groupBy("doc_id")
+      .agg(min("epoch").as("lo"), max("epoch").as("hi")).collect()
+    assert(eps.forall(r => r.getInt(1) === 1 && r.getInt(2) >= 2))
+    // deterministic: second invocation identical
+    val again = TextAnalysis.epochPlan(docs, "doc_id", "domain", Map("wiki" -> 2500000L))
+      .groupBy("doc_id", "domain").count().collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(again === perDoc.toSet)
+  }
 }
