@@ -50,6 +50,11 @@ final class AnnIndex(
     if (!vectorsTable.exists) 0L
     else withoutTombstoned(vectorsTable.read(), "vec_id").count()
 
+  /** Whether any batch has been indexed yet — a log probe (cached
+    * listing), NOT a data scan; the pre-first-batch guard for callers
+    * that query before adding (e.g. ingest-time semantic dedup). */
+  def hasStore: Boolean = bucketsTable.exists
+
   /** Dimensionality of the stored vectors (one row), or None on an empty
     * index. */
   private def storedDims(): Option[Int] =
@@ -205,8 +210,15 @@ final class AnnIndex(
     * IN-prune below, so file pruning covers the perturbed buckets too.
     * `probePerturbations = bitsPerTable` reproduces the one-shot
     * multiprobe operator exactly. */
+  /** `excludeNeighbors`: optional one-column id frame whose rows are
+    * dropped from the CANDIDATES before ranking (lower-ranked live
+    * candidates fill in, like tombstones). The ingest-time dedup stage
+    * passes the current batch's ids so a redelivered batch never matches
+    * its own crashed-attempt rows — which is what makes that stage replay
+    * to the clean-run answer exactly. */
   def query(probes: DataFrame, idCol: String, vecCol: String, k: Int,
-      probePerturbations: Int = 0): DataFrame = {
+      probePerturbations: Int = 0,
+      excludeNeighbors: Option[DataFrame] = None): DataFrame = {
     require(bucketsTable.exists, s"empty ANN index at $path")
     require(probePerturbations >= 0 && probePerturbations <= bitsPerTable,
       s"probePerturbations=$probePerturbations outside [0, bitsPerTable=$bitsPerTable]")
@@ -267,7 +279,17 @@ final class AnnIndex(
     // candidates fill in — the result a store physically without those
     // rows would return. Tombstone sets are bounded between purges, so
     // the anti-join broadcasts (gated like every probe).
-    val candidates = withoutTombstoned(candidates0, "neighbor_id")
+    val candidates1 = excludeNeighbors match {
+      case None => candidates0
+      case Some(ex) =>
+        // exclusion sets are batch-bounded: broadcast-gated like probes
+        candidates0.join(
+          Parallelism.maybeBroadcast(
+            ex.select(col(ex.columns.head).as("neighbor_id")),
+            settings.probeBroadcastThresholdBytes),
+          Seq("neighbor_id"), "left_anti")
+    }
+    val candidates = withoutTombstoned(candidates1, "neighbor_id")
       .transform(Parallelism.materialize(_)) // feeds the id-set semi-join AND the rescore join
     val probeVecs = probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"),
       Similarity.quantizedDot(col(vecCol), col(vecCol)).as("probe_sq"))

@@ -39,8 +39,11 @@ final class EmbeddingIngest(
     annTables: Int = 8,
     annBits: Int = 6,
     ivfLists: Int = 0,
-    pqM: Int = 0)(
+    pqM: Int = 0,
+    dedupCosine: Double = 0.0)(
     implicit settings: GraftSettings = GraftSettings.default) {
+
+  require(dedupCosine <= 1.0, s"dedupCosine must be <= 1.0, got $dedupCosine")
 
   val annIndex: AnnIndex =
     new AnnIndex(spark, s"$root/ann", nTables = annTables, bitsPerTable = annBits)
@@ -61,16 +64,50 @@ final class EmbeddingIngest(
     val in = graft.ext.Parallelism.materialize(
       batch.select(col(idCol), col(vecCol)))
     if (in.isEmpty) return
-    annIndex.add(in, idCol, vecCol, ingestToken = Some(s"ann-$token"))
+    // persisted SemDedup at ingest (dedupCosine > 0): only vectors with no
+    // near-twin already indexed — and none earlier in the batch — reach
+    // the indexes, so an embedding corpus dedups INCREMENTALLY without
+    // ever re-pairing what's stored. Intra-batch first (LSH-bucketed
+    // pairs WITHIN the batch, higher id drops — deterministic, so replay
+    // re-derives the same survivors), then one AnnIndex probe per
+    // survivor against the store with the WHOLE batch's ids excluded from
+    // the candidates: a redelivered batch therefore never matches its own
+    // crashed-attempt rows — not at any rank — and the replayed novel set
+    // equals the clean run's exactly (the index adds then fill any crash
+    // gap under their tokens). Recall is the index's LSH recall (e04
+    // semantics) — a miss means a rare surviving near-dup, never a lost
+    // vector.
+    val novel =
+      if (dedupCosine <= 0) in
+      else {
+        val intraDrops = graft.ext.Similarity.cosineNearDupPairs(
+            in, idCol, vecCol, dedupCosine, annTables, annBits, portable = true)
+          .select(col("id_b").as(idCol)).distinct()
+        val intra = in.join(intraDrops, Seq(idCol), "left_anti")
+        val cross =
+          if (!annIndex.hasStore) intra
+          else {
+            val hits = annIndex.query(intra, idCol, vecCol, k = 1,
+                excludeNeighbors = Some(in.select(col(idCol))))
+              .filter(col("sim") >= dedupCosine)
+              .select(col("probe_id").as(idCol)).distinct()
+            intra.join(hits, Seq(idCol), "left_anti")
+          }
+        graft.ext.Parallelism.materialize(cross)
+      }
+    if (novel.isEmpty) return
+    annIndex.add(novel, idCol, vecCol, ingestToken = Some(s"ann-$token"))
     ivfIndex.foreach { ivf =>
       // first non-empty batch trains the coarse quantizer; isTrained gates
-      // the replay (train() refuses a second training by contract)
-      if (!ivf.isTrained) ivf.train(in, idCol, vecCol, nLists = ivfLists)
-      ivf.add(in, idCol, vecCol, ingestToken = Some(s"ivf-$token"))
+      // the replay (train() refuses a second training by contract).
+      // Trained and fed on the NOVEL set so every index holds the same ids
+      // (and replay re-derives the identical set — dedup is deterministic)
+      if (!ivf.isTrained) ivf.train(novel, idCol, vecCol, nLists = ivfLists)
+      ivf.add(novel, idCol, vecCol, ingestToken = Some(s"ivf-$token"))
     }
     pqIndex.foreach { pq =>
-      if (!pq.isTrained) pq.train(in, idCol, vecCol)
-      pq.add(in, idCol, vecCol, ingestToken = Some(s"pq-$token"))
+      if (!pq.isTrained) pq.train(novel, idCol, vecCol)
+      pq.add(novel, idCol, vecCol, ingestToken = Some(s"pq-$token"))
     }
   }
 

@@ -111,6 +111,47 @@ class EmbeddingIngestSpec extends SparkSpecBase {
       "purged then re-added ids must be queryable again")
   }
 
+  test("ingest-time semantic dedup: near-twins drop intra-batch and cross-batch; replay converges") {
+    val root = Files.createTempDirectory("graft-ei-dedup-").toString
+    implicit val settings: GraftSettings = GraftSettings.local(root)
+    // base vectors plus EXACT twins under new ids: cosine 1.0, so LSH
+    // recall cannot miss them (same buckets by construction)
+    val base = emb.filter(col("vec_id") < 40).select("vec_id", "embedding")
+    def twinsOf(df: DataFrame, offset: Long): DataFrame =
+      df.select((col("vec_id") + offset).as("vec_id"), col("embedding"))
+    val p = new EmbeddingIngest(spark, s"$root/p", dedupCosine = 0.99)
+    // batch 1: base + intra-batch twins -> only one of each pair indexed
+    arrive2(s"$root/in", base.unionByName(twinsOf(base, 1000)))
+    p.runOnce(s"$root/in", embSchema)
+    assert(p.annIndex.indexedCount === 40,
+      "intra-batch twins must collapse to one survivor per pair")
+    // lower id must be the survivor
+    val ids1 = p.annIndex.query(base.limit(0), "vec_id", "embedding", k = 1) // schema probe only
+    assert(ids1.columns.toSeq === Seq("probe_id", "neighbor_id", "rnk", "sim"))
+    // batch 2: cross-batch twins of already-indexed vectors + genuinely new
+    val fresh = emb.filter(col("vec_id") >= 60 && col("vec_id") < 80)
+      .select("vec_id", "embedding")
+    arrive2(s"$root/in", twinsOf(base, 2000).unionByName(fresh))
+    p.runOnce(s"$root/in", embSchema)
+    assert(p.annIndex.indexedCount === 60,
+      "cross-batch twins must be rejected by the index probe; fresh vectors admitted")
+    // crash-replay twin: same two batches, crash inside the ANN token
+    // window on batch 1, replay must converge to the same state
+    val crashed = new EmbeddingIngest(spark, s"$root/c", dedupCosine = 0.99)
+    arrive2(s"$root/cin", base.unionByName(twinsOf(base, 1000)))
+    crashed.annIndex.failpoints.arm("after-token")
+    intercept[Exception] { crashed.runOnce(s"$root/cin", embSchema) }
+    crashed.runOnce(s"$root/cin", embSchema)
+    arrive2(s"$root/cin", twinsOf(base, 2000).unionByName(fresh))
+    crashed.runOnce(s"$root/cin", embSchema)
+    assert(crashed.annIndex.indexedCount === p.annIndex.indexedCount)
+    assert(pairs(crashed.annIndex.query(probes, "vec_id", "embedding", k = 5)) ===
+      pairs(p.annIndex.query(probes, "vec_id", "embedding", k = 5)))
+  }
+
+  private def arrive2(dir: String, df: DataFrame): Unit =
+    df.coalesce(1).write.mode("append").parquet(dir)
+
   test("a crash between IVF training and its first add replays without retraining") {
     val root = Files.createTempDirectory("graft-ei-train-").toString
     implicit val settings: GraftSettings = GraftSettings.local(root)
