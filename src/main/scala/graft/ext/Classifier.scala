@@ -143,7 +143,8 @@ object Classifier {
     *
     * The histogram collect is bin counts, not rows — bounded by the
     * weight RANGE over `binWidth` (guarded loudly), independent of
-    * corpus size. */
+    * corpus size. `weightCol` must be non-null ([[dsirWeights]] /
+    * [[nbScore]] guarantee it); a NULL weight cannot be ranked. */
   def topKByWeight(df: DataFrame, idCol: String, weightCol: String, k: Int,
       exactLimitThreshold: Int = 100000, binWidth: Long = 1L << 20): DataFrame = {
     require(k >= 0, s"k must be non-negative, got $k")
