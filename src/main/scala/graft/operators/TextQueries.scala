@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.functions._
-import graft.ext.{AsOf, Classifier, Dedup, Parallelism, TextAnalysis}
+import graft.ext.{AsOf, Classifier, Dedup, Drift, Parallelism, TextAnalysis}
 import QueryDsl._
 
 /** Training-data text operators as catalog queries over `documents`.
@@ -1534,8 +1534,87 @@ object TextQueries {
                      THEN 1 ELSE 0 END AS INTEGER) AS n_epochs
           FROM j)
         SELECT doc_id, source, CAST(unnest(generate_series(1, n_epochs)) AS INTEGER) AS epoch
-        FROM n WHERE n_epochs >= 1 ORDER BY doc_id, epoch"""))
+        FROM n WHERE n_epochs >= 1 ORDER BY doc_id, epoch""")),
+
+    // Two-sample KS drift between corpus snapshots (even vs odd doc_id
+    // halves, scored under the shared NB fixture): empirical CDFs via
+    // the DISTRIBUTED prefix sum, gap compared as exact integer
+    // cross-products |c1*n2 - c2*n1|, one final IEEE division. The
+    // monitoring check a pipeline runs when a new crawl lands.
+    CatalogQuery(
+      "d49_ks_drift",
+      (s, dir) => {
+        val scored = nbScoredDocs(s, dir)
+        Drift.ksStatistic(
+          scored.filter(col("doc_id") % 2 === 0),
+          scored.filter(col("doc_id") % 2 === 1),
+          "nb_score_micro")
+      },
+      Some(s"""$nbCtesSql,
+        c1 AS (SELECT m AS v, count(*) AS c1 FROM agg WHERE doc_id % 2 = 0 GROUP BY 1),
+        c2 AS (SELECT m AS v, count(*) AS c2 FROM agg WHERE doc_id % 2 = 1 GROUP BY 1),
+        mg AS (SELECT coalesce(c1.v, c2.v) AS v,
+            coalesce(c1, 0) AS c1, coalesce(c2, 0) AS c2
+          FROM c1 FULL OUTER JOIN c2 ON c1.v = c2.v),
+        ktot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2 FROM mg),
+        cw AS (SELECT
+            CAST(sum(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS k1,
+            CAST(sum(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS k2
+          FROM mg),
+        d AS (SELECT CAST(max(abs(k1 * n2 - k2 * n1)) AS BIGINT) AS dd
+          FROM cw CROSS JOIN ktot)
+        SELECT n1, n2, CAST(dd AS DOUBLE) / CAST(n1 * n2 AS DOUBLE) AS ks
+        FROM d CROSS JOIN ktot""")),
+
+    // PSI drift over equal-width bins of the same score (bin = floored
+    // v/2^19 ~ half a nat), add-one smoothing for empty bins; shares as
+    // exact ppm integers, each ln micro-quantized before multiplication,
+    // terms exact longs at scale 1e12, one final IEEE division.
+    CatalogQuery(
+      "d50_psi_drift",
+      (s, dir) => {
+        val scored = nbScoredDocs(s, dir)
+        Drift.psi(
+          scored.filter(col("doc_id") % 2 === 0),
+          scored.filter(col("doc_id") % 2 === 1),
+          "nb_score_micro", binWidth = 1L << 19)
+      },
+      Some(s"""$nbCtesSql,
+        b1 AS (SELECT CAST(floor(CAST(m AS DOUBLE) / 524288.0) AS BIGINT) AS b,
+            count(*) AS c1 FROM agg WHERE doc_id % 2 = 0 GROUP BY 1),
+        b2 AS (SELECT CAST(floor(CAST(m AS DOUBLE) / 524288.0) AS BIGINT) AS b,
+            count(*) AS c2 FROM agg WHERE doc_id % 2 = 1 GROUP BY 1),
+        mg AS (SELECT coalesce(b1.b, b2.b) AS b,
+            CAST(coalesce(c1, 0) + 1 AS BIGINT) AS s1,
+            CAST(coalesce(c2, 0) + 1 AS BIGINT) AS s2
+          FROM b1 FULL OUTER JOIN b2 ON b1.b = b2.b),
+        ptot AS (SELECT CAST(sum(s1) AS BIGINT) AS t1, CAST(sum(s2) AS BIGINT) AS t2,
+            count(*) AS n_bins FROM mg),
+        terms AS (SELECT
+            CAST((s1 * 1000000 // t1 - s2 * 1000000 // t2)
+              * ${qMicroSql("CAST(s1 * t2 AS DOUBLE) / CAST(s2 * t1 AS DOUBLE)")}
+              AS BIGINT) AS term
+          FROM mg CROSS JOIN ptot),
+        ps AS (SELECT CAST(sum(term) AS BIGINT) AS psi12 FROM terms)
+        SELECT t1 - n_bins AS n1, t2 - n_bins AS n2, n_bins,
+          CAST(psi12 AS DOUBLE) / 1000000000000.0 AS psi
+        FROM ps CROSS JOIN ptot"""))
   )
+
+  /** Shared d49/d50 fixture: every doc scored under the d42 NB model —
+    * materialized because BOTH snapshot halves consume it (without the
+    * barrier the train+score pipeline runs twice). */
+  private def nbScoredDocs(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val docs = t(s, dir, "documents")
+    val model = Classifier.nbTrain(
+      docs.filter(col("doc_id") % 3 === 0).withColumn("is_en", col("lang") === "en"),
+      "text", "is_en")
+    Parallelism.materialize(
+      Classifier.nbScore(docs, "doc_id", "text", model)
+        .select(col("doc_id"), col("nb_score_micro")))(
+      graft.conf.GraftSettings.default)
+  }
 
   // d48 recipe: epochs in ppm (3.5x, 2x, 0.25x; unmapped sources 1x).
   private lazy val EpochRecipe: Seq[(String, Long)] =
