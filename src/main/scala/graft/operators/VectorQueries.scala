@@ -782,8 +782,105 @@ object VectorQueries {
             nTables = 8, bitsPerTable = 6, portable = true)
           .orderBy(col("probe_id"), col("rnk"))
       },
-      Some(annMultiprobeOracle))
+      Some(annMultiprobeOracle)),
+
+    // IVF probe-budget sweep — the vector-side operating-point report
+    // (d45's sibling): recall@5 vs exact truth at nProbe in {1,2,4},
+    // the curve an ANN deployment reads to pick its latency/recall
+    // trade. Monotone non-decreasing in nProbe by construction (probe
+    // sets nest). The truth frame is materialized once and shared by
+    // all three budgets; each budget's candidate generation is the
+    // audited e05 cell-join shape.
+    CatalogQuery(
+      "e21_ivf_probe_sweep",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val probes = emb.filter(col("vec_id") < 5)
+        val truth = graft.ext.Parallelism.materialize(
+          Similarity.bruteForceTopK(emb, probes, "vec_id", "embedding",
+            k = 5, deterministic = true))(graft.conf.GraftSettings.default)
+        Seq(1, 2, 4).map { np =>
+          Similarity.recallAtK(
+              Similarity.ivfTopK(emb, probes, "vec_id", "embedding",
+                k = 5, nLists = 8, nProbe = np),
+              truth, k = 5)
+            .withColumn("probe_budget", lit(np))
+        }.reduce(_.unionByName(_))
+          .select(col("probe_budget"), col("probe_id"), col("n_truth"),
+            col("hits"), col("recall"))
+          .orderBy(col("probe_budget"), col("probe_id"))
+      },
+      Some(ivfSweepOracle))
   )
+
+  /** DuckDB mirror of the e21 sweep: the shared IVF assignment CTEs, the
+    * brute-force truth, then one candidate→rank→recall chain per probe
+    * budget, unioned. */
+  private lazy val ivfSweepOracle: String = {
+    val shared = s"""WITH cent AS (
+          SELECT vec_id AS list_src, embedding AS cvec
+          FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+        centn AS (
+          SELECT cvec, CAST(row_number() OVER (ORDER BY list_src) - 1 AS INTEGER) AS list_id
+          FROM cent),
+        scored AS (
+          SELECT e.vec_id AS id, c.list_id,
+            CAST(${qdotSql("e.embedding", "c.cvec")} AS DOUBLE)
+              / sqrt(CAST(${qdotSql("e.embedding", "e.embedding")} AS DOUBLE)
+                     * CAST(${qdotSql("c.cvec", "c.cvec")} AS DOUBLE)) AS score
+          FROM embeddings e, centn c),
+        corpus_assign AS (
+          SELECT id AS neighbor_id, list_id FROM (
+            SELECT id, list_id,
+              row_number() OVER (PARTITION BY id ORDER BY score DESC, list_id) AS rn
+            FROM scored) WHERE rn = 1),
+        pt AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id < 5),
+        dt AS (SELECT probe_id, e.vec_id AS neighbor_id,
+                 ${qdotSql("pe", "e.embedding")} AS qd,
+                 ${qdotSql("pe", "pe")} AS qa,
+                 ${qdotSql("e.embedding", "e.embedding")} AS qb
+               FROM pt, embeddings e WHERE e.vec_id <> probe_id),
+        rt AS (SELECT probe_id, neighbor_id,
+                 CAST(qd AS DOUBLE) / sqrt(CAST(qa AS DOUBLE) * CAST(qb AS DOUBLE)) AS sim
+               FROM dt),
+        kt AS (SELECT probe_id, neighbor_id,
+                 row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rn
+               FROM rt),
+        truth AS (SELECT probe_id, neighbor_id FROM kt WHERE rn <= 5),
+        nt AS (SELECT probe_id, count(*) AS n_truth FROM truth GROUP BY 1)"""
+    val budgets = Seq(1, 2, 4)
+    val perBudget = budgets.map { np =>
+      s""",
+        pa$np AS (SELECT id AS probe_id, list_id FROM (
+            SELECT id, list_id,
+              row_number() OVER (PARTITION BY id ORDER BY score DESC, list_id) AS rn
+            FROM scored WHERE id < 5) WHERE rn <= $np),
+        cand$np AS (SELECT DISTINCT probe_id, neighbor_id
+          FROM corpus_assign JOIN pa$np USING (list_id)
+          WHERE neighbor_id <> probe_id),
+        wv$np AS (SELECT cand$np.probe_id, cand$np.neighbor_id,
+            p.embedding AS pe, n.embedding AS ne
+          FROM cand$np JOIN embeddings p ON p.vec_id = cand$np.probe_id
+                       JOIN embeddings n ON n.vec_id = cand$np.neighbor_id),
+        r$np AS (SELECT probe_id, neighbor_id,
+            CAST(${qdotSql("pe", "ne")} AS DOUBLE)
+              / sqrt(CAST(${qdotSql("pe", "pe")} AS DOUBLE) * CAST(${qdotSql("ne", "ne")} AS DOUBLE)) AS sim
+          FROM wv$np),
+        k$np AS (SELECT probe_id, neighbor_id,
+            row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rn
+          FROM r$np),
+        ann$np AS (SELECT probe_id, neighbor_id FROM k$np WHERE rn <= 5),
+        h$np AS (SELECT t.probe_id, count(*) AS hits
+          FROM truth t JOIN ann$np a USING (probe_id, neighbor_id) GROUP BY 1)"""
+    }.mkString
+    val selects = budgets.map { np =>
+      s"""SELECT $np AS probe_budget, nt.probe_id, nt.n_truth,
+          coalesce(h$np.hits, CAST(0 AS BIGINT)) AS hits,
+          ${graft.operators.QueryDsl.ratio6Sql(s"coalesce(h$np.hits, 0)", "nt.n_truth")} AS recall
+        FROM nt LEFT JOIN h$np USING (probe_id)"""
+    }.mkString("\n        UNION ALL\n        ")
+    s"$shared$perBudget\n        $selects\n        ORDER BY probe_budget, probe_id"
+  }
 
   /** DuckDB mirror of `Similarity.lshBucketRows(portable = true)`: CTEs
     * ending in `buck(vec_id, tbl, bucket)` over the embeddings table —
