@@ -786,6 +786,32 @@ object Similarity {
     * probes×k-sized frames + one aggregation — independent of corpus
     * size; run it on a sampled probe set.
     */
+  /** Exact re-rank of a candidate frame — stage two of the standard
+    * two-stage retrieval path (coarse ANN/ADC candidates, then true
+    * cosine on the shortlist): `candidates` is any `(probe_id,
+    * neighbor_id)` frame (e.g. [[pqTopK]] at a widened k); the output is
+    * the exact-similarity top-`k` per probe in the [[bruteForceTopK]]
+    * schema. Cost is O(candidates) — probes×k' pairs, never corpus-sized:
+    * the two vector attachments are broadcast-gated id joins and the
+    * window runs per probe over its bounded shortlist. */
+  def exactRerank(candidates: DataFrame, corpus: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, k: Int, deterministic: Boolean = true): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"),
+      selfDot(col(vecCol), deterministic).as("probe_sq"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("neighbor_vec"),
+      selfDot(col(vecCol), deterministic).as("neighbor_sq"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    candidates.select(col("probe_id"), col("neighbor_id")).distinct()
+      .join(broadcast(p), Seq("probe_id"))
+      .join(c, Seq("neighbor_id"))
+      .withColumn("sim", pairSim(col("probe_vec"), col("probe_sq"),
+        col("neighbor_vec"), col("neighbor_sq"), deterministic))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("probe_id", "neighbor_id", "rnk", "sim")
+  }
+
   def recallAtK(ann: DataFrame, truth: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val truthK = truth.filter(col("rnk") <= k)

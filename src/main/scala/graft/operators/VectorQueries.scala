@@ -107,6 +107,14 @@ object VectorQueries {
   // the same corpus): the incremental index must reproduce the one-shot
   // encode + ADC exactly.
   private lazy val pqOracle: String =
+    s"""$pqCtes
+        SELECT probe_id, neighbor_id, CAST(rn AS INTEGER) AS rnk, dist
+        FROM k WHERE rn <= 5 ORDER BY probe_id, rnk"""
+
+  // The PQ encode + ADC chain up to the ranked candidates `k(probe_id,
+  // neighbor_id, dist, rn)` — shared by e10/e20 (top-5 by ADC) and e22
+  // (top-20 ADC shortlist re-ranked exactly).
+  private lazy val pqCtes: String =
     """WITH cent0src AS (
           SELECT vec_id AS cid, embedding AS cv FROM embeddings
           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
@@ -137,9 +145,7 @@ object VectorQueries {
         k AS (
           SELECT probe_id, neighbor_id, dist,
             row_number() OVER (PARTITION BY probe_id ORDER BY dist, neighbor_id) AS rn
-          FROM adc)
-        SELECT probe_id, neighbor_id, CAST(rn AS INTEGER) AS rnk, dist
-        FROM k WHERE rn <= 5 ORDER BY probe_id, rnk"""
+          FROM adc)"""
 
   val all: Seq[CatalogQuery] = Seq(
 
@@ -810,7 +816,39 @@ object VectorQueries {
             col("hits"), col("recall"))
           .orderBy(col("probe_budget"), col("probe_id"))
       },
-      Some(ivfSweepOracle))
+      Some(ivfSweepOracle)),
+
+    // Two-stage retrieval: PQ/ADC shortlist (k'=20 — the compressed-
+    // domain coarse pass) re-ranked by EXACT quantized cosine on the
+    // shortlist only — the standard serving path that buys back ADC's
+    // approximation error for O(probes x k') exact work, never a corpus
+    // rescan. Final order is true-similarity order; the oracle composes
+    // the shared PQ chain with the exact rescore.
+    CatalogQuery(
+      "e22_pq_rerank",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val probes = emb.filter(col("vec_id") < 5)
+        val shortlist = Similarity.pqTopK(emb, probes, "vec_id", "embedding",
+          k = 20, m = 4, codebookSize = 16)
+        Similarity.exactRerank(shortlist, emb, probes, "vec_id", "embedding", k = 5)
+          .orderBy(col("probe_id"), col("rnk"))
+      },
+      Some(s"""$pqCtes,
+        cand AS (SELECT probe_id, neighbor_id FROM k WHERE rn <= 20),
+        wv AS (SELECT cand.probe_id, cand.neighbor_id,
+            p.embedding AS pe, n.embedding AS ne
+          FROM cand JOIN embeddings p ON p.vec_id = cand.probe_id
+                    JOIN embeddings n ON n.vec_id = cand.neighbor_id),
+        rx AS (SELECT probe_id, neighbor_id,
+            CAST(${qdotSql("pe", "ne")} AS DOUBLE)
+              / sqrt(CAST(${qdotSql("pe", "pe")} AS DOUBLE) * CAST(${qdotSql("ne", "ne")} AS DOUBLE)) AS sim
+          FROM wv),
+        kx AS (SELECT probe_id, neighbor_id, sim,
+            row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rn
+          FROM rx)
+        SELECT probe_id, neighbor_id, CAST(rn AS INTEGER) AS rnk, sim
+        FROM kx WHERE rn <= 5 ORDER BY probe_id, rnk"""))
   )
 
   /** DuckDB mirror of the e21 sweep: the shared IVF assignment CTEs, the
