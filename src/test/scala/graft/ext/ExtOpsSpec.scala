@@ -1341,6 +1341,21 @@ class ExtOpsSpec extends SparkSpecBase {
     graft.lake.FsUtils.deletePath(spark, s"file://$dir")
   }
 
+  test("exactRerank over a full-width shortlist reproduces brute-force top-k") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet").filter(col("vec_id") < 60)
+    val probes = emb.filter(col("vec_id") < 3)
+    val brute = Similarity.bruteForceTopK(emb, probes, "vec_id", "embedding",
+      k = 5, deterministic = true)
+    val wide = Similarity.bruteForceTopK(emb, probes, "vec_id", "embedding",
+      k = 60, deterministic = true) // shortlist = everything
+    val reranked = Similarity.exactRerank(wide, emb, probes, "vec_id", "embedding", k = 5)
+    val a = brute.select("probe_id", "neighbor_id", "rnk").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val b = reranked.select("probe_id", "neighbor_id", "rnk").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(a === b)
+  }
+
   test("tokenBudgetFill: strict best-scoring prefix within the budget, overflow doc excluded") {
     import spark.implicits._
     val pool = Seq(
