@@ -342,7 +342,20 @@ object Similarity {
     * list-partitioned storage in a persisted index, making this a pruned
     * scan of nProbe/nLists of the data; vectors re-attach only for
     * candidate ids. Recall tunes with nProbe/nLists independently of
-    * corpus size, the IVF trade-off LSH banding can't express. */
+    * corpus size, the IVF trade-off LSH banding can't express.
+    *
+    * `corpusFilter` is hybrid (filtered) search in its PRE-filter shape:
+    * the predicate restricts the corpus side BEFORE assignment, candidate
+    * generation, and ranking, so the top-k is computed among survivors —
+    * every probe still gets k results when k survivors share its cells,
+    * where post-filtering a k-list would return fewer (or none) under a
+    * selective predicate. The codebook stays trained on the FULL corpus:
+    * an index is built once, query-time predicates are not known at build
+    * time, and cell geometry must not shift per query. At scale the
+    * predicate is a plain column filter that reaches the parquet scan
+    * (PushedFilters / row-group stats pruning) of the cell-pruned files —
+    * metadata-selective queries skip both non-probed cells AND
+    * non-matching row groups without touching a vector. */
   def ivfTopK(
       corpus: DataFrame,
       probes: DataFrame,
@@ -350,9 +363,11 @@ object Similarity {
       vecCol: String,
       k: Int,
       nLists: Int = 8,
-      nProbe: Int = 3): DataFrame = {
+      nProbe: Int = 3,
+      corpusFilter: Option[Column] = None): DataFrame = {
     val centroids = ivfCentroids(corpus, idCol, vecCol, nLists)
-    val corpusLists = ivfAssign(corpus, idCol, vecCol, centroids)
+    val candidates = corpusFilter.map(corpus.filter).getOrElse(corpus)
+    val corpusLists = ivfAssign(candidates, idCol, vecCol, centroids)
       .select(col("id").as("neighbor_id"), col("list_id"))
     val probeLists = ivfAssign(probes, idCol, vecCol, centroids, topN = nProbe)
       .select(col("id").as("probe_id"), col("list_id"))
@@ -364,7 +379,7 @@ object Similarity {
     val withVecs = pairs
       .join(broadcast(probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"),
         quantizedDot(col(vecCol), col(vecCol)).as("probe_sq"))), Seq("probe_id"))
-      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("neighbor_vec"),
+      .join(candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("neighbor_vec"),
         quantizedDot(col(vecCol), col(vecCol)).as("neighbor_sq")), Seq("neighbor_id"))
     val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("neighbor_id"))
     withVecs

@@ -848,7 +848,66 @@ object VectorQueries {
             row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rn
           FROM rx)
         SELECT probe_id, neighbor_id, CAST(rn AS INTEGER) AS rnk, sim
-        FROM kx WHERE rn <= 5 ORDER BY probe_id, rnk"""))
+        FROM kx WHERE rn <= 5 ORDER BY probe_id, rnk""")),
+
+    // Hybrid (filtered) vector search, PRE-filter shape: the metadata
+    // predicate (label IN (1,3,5)) restricts the corpus side BEFORE cell
+    // candidate generation and ranking, so every probe's top-k is over
+    // predicate survivors — post-filtering a k-list would return short
+    // (or empty) lists under a selective predicate. Codebook trained on
+    // the FULL corpus (an index is built before query predicates exist;
+    // cell geometry must not shift per query). At scale the predicate is
+    // a plain pushed-down column filter over the cell-pruned scan.
+    CatalogQuery(
+      "e23_filtered_ivf",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.ivfTopK(
+            corpus = emb,
+            probes = emb.filter(col("vec_id") < 5),
+            idCol = "vec_id", vecCol = "embedding", k = 5,
+            nLists = 8, nProbe = 3,
+            corpusFilter = Some(col("label").isin(1, 3, 5)))
+          .orderBy(col("probe_id"), col("rnk"))
+      },
+      Some(s"""WITH cent AS (
+          SELECT vec_id AS list_src, embedding AS cvec
+          FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+        centn AS (
+          SELECT cvec, CAST(row_number() OVER (ORDER BY list_src) - 1 AS INTEGER) AS list_id
+          FROM cent),
+        scored AS (
+          SELECT e.vec_id AS id, e.label, c.list_id,
+            CAST(${qdotSql("e.embedding", "c.cvec")} AS DOUBLE)
+              / sqrt(CAST(${qdotSql("e.embedding", "e.embedding")} AS DOUBLE)
+                     * CAST(${qdotSql("c.cvec", "c.cvec")} AS DOUBLE)) AS score
+          FROM embeddings e, centn c),
+        corpus_assign AS (
+          SELECT id AS neighbor_id, list_id FROM (
+            SELECT id, list_id,
+              row_number() OVER (PARTITION BY id ORDER BY score DESC, list_id) AS rn
+            FROM scored WHERE label IN (1, 3, 5)) WHERE rn = 1),
+        probe_assign AS (
+          SELECT id AS probe_id, list_id FROM (
+            SELECT id, list_id,
+              row_number() OVER (PARTITION BY id ORDER BY score DESC, list_id) AS rn
+            FROM scored WHERE id < 5) WHERE rn <= 3),
+        cand AS (
+          SELECT DISTINCT probe_id, neighbor_id
+          FROM corpus_assign JOIN probe_assign USING (list_id)
+          WHERE neighbor_id <> probe_id),
+        wv AS (SELECT cand.probe_id, cand.neighbor_id, p.embedding AS pe, n.embedding AS ne
+               FROM cand JOIN embeddings p ON p.vec_id = cand.probe_id
+                         JOIN embeddings n ON n.vec_id = cand.neighbor_id),
+        r AS (SELECT probe_id, neighbor_id,
+                CAST(${qdotSql("pe", "ne")} AS DOUBLE)
+                  / sqrt(CAST(${qdotSql("pe", "pe")} AS DOUBLE) * CAST(${qdotSql("ne", "ne")} AS DOUBLE)) AS sim
+              FROM wv),
+        k AS (SELECT probe_id, neighbor_id, sim,
+                row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rn
+              FROM r)
+        SELECT probe_id, neighbor_id, CAST(rn AS INTEGER) AS rnk, sim
+        FROM k WHERE rn <= 5 ORDER BY probe_id, rnk"""))
   )
 
   /** DuckDB mirror of the e21 sweep: the shared IVF assignment CTEs, the

@@ -590,6 +590,40 @@ class ExtOpsSpec extends SparkSpecBase {
     assert(assigned.select("list_id").distinct().count() <= 8)
   }
 
+  test("ivfTopK corpusFilter: pre-filter hybrid search ranks among survivors only") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val probes = emb.filter(col("vec_id") < 10)
+    val pred = col("label").isin(1, 3, 5)
+    val filtered = Similarity.ivfTopK(emb, probes, "vec_id", "embedding", 5,
+      nLists = 8, nProbe = 3, corpusFilter = Some(pred)).cache()
+
+    // every neighbor satisfies the predicate
+    val allowed = emb.filter(pred).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val neighbors = filtered.select("neighbor_id").collect().map(_.getLong(0))
+    assert(neighbors.nonEmpty && neighbors.forall(allowed))
+
+    // full k per probe (141/500 survivors share cells at this budget) with
+    // dense ranks — the pre-filter guarantee a post-filtered k-list breaks
+    val perProbe = filtered.groupBy("probe_id")
+      .agg(count(lit(1)).as("n"), max(col("rnk")).as("maxr"))
+      .collect()
+    assert(perProbe.length === 10)
+    perProbe.foreach(r => assert(r.getLong(1) === 5L && r.getInt(2) === 5))
+
+    // pre-filter genuinely re-ranks: the filtered top-5 contains survivors
+    // the unfiltered top-5 never surfaced (post-filtering it would lose them)
+    val unfiltered = Similarity.ivfTopK(emb, probes, "vec_id", "embedding", 5,
+        nLists = 8, nProbe = 3)
+      .select("probe_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val extra = filtered.select("probe_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .count(p => !unfiltered(p))
+    assert(extra > 0, "filtered top-k should surface survivors the unfiltered top-k ranked out")
+    filtered.unpersist()
+  }
+
   test("pqTopK: codes cover every (row, subspace); ADC recall is meaningful") {
     val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
     val probes = emb.filter(col("vec_id") < 10)
