@@ -701,6 +701,82 @@ object Similarity {
       .select(col("probe_id"), col("neighbor_id"), col("rnk"), col("dist"))
   }
 
+  /** IVF-PQ with residual encoding + ADC — the FAISS `IVFADC` shape, the
+    * standard billion-scale serving index: coarse-quantize each vector to
+    * its IVF cell, PQ-encode the RESIDUAL (vector − cell centroid), and
+    * at query time ADC-score probe residuals against the codes of the
+    * probed cells only. Residual encoding is what makes PQ codebooks
+    * sharable across cells: residuals are centered near zero regardless
+    * of which cell a vector landed in, so one m×codebookSize codebook
+    * covers the whole corpus where raw-vector PQ would need per-cell
+    * books or lose precision to cell offsets.
+    *
+    * Plan shape at 100 TB: the coarse codebook and PQ codebook are both
+    * KB-sized broadcasts; the build pays ONE shuffle join re-attaching
+    * cell assignments to vectors (the residual computation — same cost
+    * class as `IvfIndex.add`); query-side traffic is codes (m BIGINTs per
+    * row) joined against a broadcast probe-residual ADC table keyed by
+    * (list_id, s, c), so only probed cells' codes are touched and no
+    * embedding moves after encoding. Residual arithmetic runs in DOUBLE
+    * (float subtraction would round differently per engine); distances
+    * are the usual floor(…·1e12) BIGINT sums — bit-identical anywhere.
+    * Ties: dist asc, then neighbor id asc. */
+  def ivfPqTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+      vecCol: String, k: Int, nLists: Int = 8, nProbe: Int = 3,
+      m: Int = 4, codebookSize: Int = 16,
+      iters: Int = 0)(implicit settings: graft.conf.GraftSettings = graft.conf.GraftSettings.default): DataFrame = {
+    require(nLists > 0 && nProbe > 0 && m > 0 && codebookSize > 0 && iters >= 0,
+      "nLists, nProbe, m, codebookSize must be positive, iters non-negative")
+    val coarse = ivfCentroids(corpus, idCol, vecCol, nLists)
+    val coarseB = broadcast(
+      coarse.select(col("list_id"), col("cvec").cast("array<double>").as("__cv")))
+    // the one corpus-wide shuffle: cell assignment rejoins its vector so
+    // the residual can be taken; materialized because three consumers
+    // (PQ sample, encode, code→cell join) would otherwise re-run it
+    val assign = ivfAssign(corpus, idCol, vecCol, coarse)
+    val residuals = Parallelism.materialize(
+      corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("__v"))
+        .join(assign, Seq("id"))
+        .join(coarseB, Seq("list_id"))
+        .select(col("id"), col("list_id"),
+          zip_with(col("__v"), col("__cv"), (x, c) => x - c).as("rvec")))
+    val exCorpus0 = pqExplode(residuals, "id", "rvec", m)
+      .withColumn("micro", floor(col("x") * lit(1e6)).cast("long"))
+    // materialized only when Lloyd training will consume it twice per
+    // iteration (same policy as pqTopK)
+    val exCorpus =
+      if (iters > 0) exCorpus0.transform(Parallelism.materialize(_)) else exCorpus0
+    val cent = pqTrainCentroids(residuals, exCorpus, "id", "rvec", m,
+      codebookSize, iters)
+    val codes = pqAssign(exCorpus, cent)
+      .join(residuals.select(col("id"), col("list_id")), Seq("id"))
+    // probe residual is PER PROBED CELL (probe − that cell's centroid) —
+    // nProbe small rows per probe, the ADC table stays broadcast-sized
+    val probeLists = ivfAssign(probes, idCol, vecCol, coarse, topN = nProbe)
+      .select(col("id").as("probe_id"), col("list_id"))
+    val probeRes = probes
+      .select(col(idCol).as("probe_id"), col(vecCol).cast("array<double>").as("__pv"))
+      .join(probeLists, Seq("probe_id"))
+      .join(coarseB, Seq("list_id"))
+      .select(struct(col("probe_id"), col("list_id")).as("__pid"),
+        zip_with(col("__pv"), col("__cv"), (x, c) => x - c).as("prvec"))
+    val probeSub = broadcast(
+      pqSubDists(pqExplode(probeRes, "__pid", "prvec", m), cent)
+        .select(col("id.probe_id").as("probe_id"), col("id.list_id").as("__pl"),
+          col("s").as("__ps"), col("c").as("__pc"), col("d")))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("dist"), col("neighbor_id"))
+    codes
+      .join(probeSub,
+        col("list_id") === col("__pl") && col("s") === col("__ps") &&
+          col("code") === col("__pc") && col("id") =!= col("probe_id"))
+      .groupBy(col("probe_id"), col("id"))
+      .agg(sum(col("d")).as("dist"))
+      .withColumnRenamed("id", "neighbor_id")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("neighbor_id"), col("rnk"), col("dist"))
+  }
+
   /** Hard-negative mining for contrastive training: for each probe, the
     * `k` most-similar corpus rows carrying a DIFFERENT label — maximally
     * confusable negatives, the pairs that actually move an embedding

@@ -907,7 +907,94 @@ object VectorQueries {
                 row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rn
               FROM r)
         SELECT probe_id, neighbor_id, CAST(rn AS INTEGER) AS rnk, sim
-        FROM k WHERE rn <= 5 ORDER BY probe_id, rnk"""))
+        FROM k WHERE rn <= 5 ORDER BY probe_id, rnk""")),
+
+    // Residual IVF-PQ + ADC (the FAISS IVFADC shape): coarse-assign each
+    // vector to its IVF cell, PQ-encode the residual (vector − centroid,
+    // DOUBLE arithmetic — float subtraction would round differently per
+    // engine), then ADC-score probe residuals against the probed cells'
+    // codes only. One shared residual codebook covers every cell; the
+    // oracle rebuilds the whole chain — coarse assign → residuals →
+    // md5-sampled codebook → encode → per-(probe,cell) ADC — in SQL.
+    CatalogQuery(
+      "e24_ivfpq_adc",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.ivfPqTopK(
+            corpus = emb,
+            probes = emb.filter(col("vec_id") < 5),
+            idCol = "vec_id", vecCol = "embedding", k = 5,
+            nLists = 8, nProbe = 3, m = 4, codebookSize = 16)
+          .orderBy(col("probe_id"), col("rnk"))
+      },
+      Some(s"""WITH cent AS (
+          SELECT vec_id AS list_src, embedding AS cvec
+          FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+        centn AS (
+          SELECT cvec, CAST(row_number() OVER (ORDER BY list_src) - 1 AS INTEGER) AS list_id
+          FROM cent),
+        scored AS (
+          SELECT e.vec_id AS id, c.list_id,
+            CAST(${qdotSql("e.embedding", "c.cvec")} AS DOUBLE)
+              / sqrt(CAST(${qdotSql("e.embedding", "e.embedding")} AS DOUBLE)
+                     * CAST(${qdotSql("c.cvec", "c.cvec")} AS DOUBLE)) AS score
+          FROM embeddings e, centn c),
+        corpus_assign AS (
+          SELECT id AS neighbor_id, list_id FROM (
+            SELECT id, list_id,
+              row_number() OVER (PARTITION BY id ORDER BY score DESC, list_id) AS rn
+            FROM scored) WHERE rn = 1),
+        probe_assign AS (
+          SELECT id AS probe_id, list_id FROM (
+            SELECT id, list_id,
+              row_number() OVER (PARTITION BY id ORDER BY score DESC, list_id) AS rn
+            FROM scored WHERE id < 5) WHERE rn <= 3),
+        gdim AS (
+          SELECT list_id, ui - 1 AS i, CAST(cvec[ui] AS DOUBLE) AS gx
+          FROM (SELECT list_id, unnest(generate_series(1, len(cvec))) AS ui, cvec FROM centn)),
+        edim AS (
+          SELECT t.vec_id AS id, ca.list_id, t.ui - 1 AS i,
+            ((t.ui - 1) * 4) // len(t.embedding) AS s,
+            CAST(t.embedding[t.ui] AS DOUBLE) AS x0
+          FROM (SELECT vec_id, unnest(generate_series(1, len(embedding))) AS ui, embedding
+                FROM embeddings) t
+          JOIN corpus_assign ca ON ca.neighbor_id = t.vec_id),
+        rdim AS (SELECT id, list_id, i, s, x0 - gx AS x FROM edim JOIN gdim USING (list_id, i)),
+        pqsrc AS (SELECT vec_id AS sid FROM embeddings
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        pqcent AS (SELECT CAST(row_number() OVER (ORDER BY sid) - 1 AS INTEGER) AS c, sid
+          FROM pqsrc),
+        cdim AS (SELECT p.c, r.i, r.s, r.x AS cx FROM pqcent p JOIN rdim r ON r.id = p.sid),
+        dsub AS (SELECT r.id, r.s, cd.c,
+            CAST(sum(CAST(floor((r.x - cd.cx) * (r.x - cd.cx) * 1e12) AS BIGINT)) AS BIGINT) AS d
+          FROM rdim r JOIN cdim cd USING (i, s) GROUP BY 1, 2, 3),
+        codes AS (SELECT id, s, c AS code FROM (
+            SELECT id, s, c, row_number() OVER (PARTITION BY id, s ORDER BY d, c) AS rn
+            FROM dsub) WHERE rn = 1),
+        codesl AS (SELECT codes.id, ca.list_id, codes.s, codes.code
+          FROM codes JOIN corpus_assign ca ON ca.neighbor_id = codes.id),
+        pdim AS (
+          SELECT t.vec_id AS probe_id, pa.list_id, t.ui - 1 AS i,
+            ((t.ui - 1) * 4) // len(t.embedding) AS s,
+            CAST(t.embedding[t.ui] AS DOUBLE) AS x0
+          FROM (SELECT vec_id, unnest(generate_series(1, len(embedding))) AS ui, embedding
+                FROM embeddings WHERE vec_id < 5) t
+          JOIN probe_assign pa ON pa.probe_id = t.vec_id),
+        prdim AS (SELECT probe_id, list_id, i, s, x0 - gx AS x
+          FROM pdim JOIN gdim USING (list_id, i)),
+        pdsub AS (SELECT probe_id, list_id, s, cd.c,
+            CAST(sum(CAST(floor((x - cd.cx) * (x - cd.cx) * 1e12) AS BIGINT)) AS BIGINT) AS d
+          FROM prdim JOIN cdim cd USING (i, s) GROUP BY 1, 2, 3, 4),
+        adc AS (SELECT p.probe_id, cl.id AS neighbor_id, CAST(sum(p.d) AS BIGINT) AS dist
+          FROM codesl cl JOIN pdsub p
+            ON p.list_id = cl.list_id AND p.s = cl.s AND p.c = cl.code
+          WHERE cl.id <> p.probe_id
+          GROUP BY 1, 2),
+        kf AS (SELECT probe_id, neighbor_id, dist,
+            row_number() OVER (PARTITION BY probe_id ORDER BY dist, neighbor_id) AS rn
+          FROM adc)
+        SELECT probe_id, neighbor_id, CAST(rn AS INTEGER) AS rnk, dist
+        FROM kf WHERE rn <= 5 ORDER BY probe_id, rnk"""))
   )
 
   /** DuckDB mirror of the e21 sweep: the shared IVF assignment CTEs, the
