@@ -728,18 +728,11 @@ object Similarity {
     require(nLists > 0 && nProbe > 0 && m > 0 && codebookSize > 0 && iters >= 0,
       "nLists, nProbe, m, codebookSize must be positive, iters non-negative")
     val coarse = ivfCentroids(corpus, idCol, vecCol, nLists)
-    val coarseB = broadcast(
-      coarse.select(col("list_id"), col("cvec").cast("array<double>").as("__cv")))
     // the one corpus-wide shuffle: cell assignment rejoins its vector so
     // the residual can be taken; materialized because three consumers
     // (PQ sample, encode, code→cell join) would otherwise re-run it
-    val assign = ivfAssign(corpus, idCol, vecCol, coarse)
     val residuals = Parallelism.materialize(
-      corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("__v"))
-        .join(assign, Seq("id"))
-        .join(coarseB, Seq("list_id"))
-        .select(col("id"), col("list_id"),
-          zip_with(col("__v"), col("__cv"), (x, c) => x - c).as("rvec")))
+      ivfResiduals(corpus, idCol, vecCol, coarse))
     val exCorpus0 = pqExplode(residuals, "id", "rvec", m)
       .withColumn("micro", floor(col("x") * lit(1e6)).cast("long"))
     // materialized only when Lloyd training will consume it twice per
@@ -750,8 +743,35 @@ object Similarity {
       codebookSize, iters)
     val codes = pqAssign(exCorpus, cent)
       .join(residuals.select(col("id"), col("list_id")), Seq("id"))
-    // probe residual is PER PROBED CELL (probe − that cell's centroid) —
-    // nProbe small rows per probe, the ADC table stays broadcast-sized
+    val probeSub = broadcast(
+      ivfPqProbeSub(probes, idCol, vecCol, m, coarse, cent, nProbe))
+    ivfPqAdcTopK(codes, probeSub, k)
+  }
+
+  /** (id, list_id, rvec) residual frame: each vector's IVF cell plus its
+    * DOUBLE-precision residual against that cell's centroid (shared by
+    * [[ivfPqTopK]] and [[IvfPqIndex]]). One shuffle join rejoins the
+    * assignment to its vector; the coarse codebook broadcasts. */
+  private[ext] def ivfResiduals(df: DataFrame, idCol: String, vecCol: String,
+      coarse: DataFrame): DataFrame = {
+    val coarseB = broadcast(
+      coarse.select(col("list_id"), col("cvec").cast("array<double>").as("__cv")))
+    df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("__v"))
+      .join(ivfAssign(df, idCol, vecCol, coarse), Seq("id"))
+      .join(coarseB, Seq("list_id"))
+      .select(col("id"), col("list_id"),
+        zip_with(col("__v"), col("__cv"), (x, c) => x - c).as("rvec"))
+  }
+
+  /** Probe-side IVFADC table: each probe's residual is taken PER PROBED
+    * CELL (probe − that cell's centroid), sub-distanced against the
+    * residual codebook — (probe_id, __pl, __ps, __pc, d), nProbe × m ×
+    * codebookSize rows per probe. The caller picks the broadcast hint. */
+  private[ext] def ivfPqProbeSub(probes: DataFrame, idCol: String,
+      vecCol: String, m: Int, coarse: DataFrame, cent: DataFrame,
+      nProbe: Int): DataFrame = {
+    val coarseB = broadcast(
+      coarse.select(col("list_id"), col("cvec").cast("array<double>").as("__cv")))
     val probeLists = ivfAssign(probes, idCol, vecCol, coarse, topN = nProbe)
       .select(col("id").as("probe_id"), col("list_id"))
     val probeRes = probes
@@ -760,10 +780,17 @@ object Similarity {
       .join(coarseB, Seq("list_id"))
       .select(struct(col("probe_id"), col("list_id")).as("__pid"),
         zip_with(col("__pv"), col("__cv"), (x, c) => x - c).as("prvec"))
-    val probeSub = broadcast(
-      pqSubDists(pqExplode(probeRes, "__pid", "prvec", m), cent)
-        .select(col("id.probe_id").as("probe_id"), col("id.list_id").as("__pl"),
-          col("s").as("__ps"), col("c").as("__pc"), col("d")))
+    pqSubDists(pqExplode(probeRes, "__pid", "prvec", m), cent)
+      .select(col("id.probe_id").as("probe_id"), col("id.list_id").as("__pl"),
+        col("s").as("__ps"), col("c").as("__pc"), col("d"))
+  }
+
+  /** IVFADC scoring: codes (id, list_id, s, code) join the probe table on
+    * (cell, subspace, codeword) — a corpus row scores only when its OWN
+    * cell is among the probe's probed cells, so non-probed lists
+    * contribute nothing (and in [[IvfPqIndex]] are never even scanned). */
+  private[ext] def ivfPqAdcTopK(codes: DataFrame, probeSub: DataFrame,
+      k: Int): DataFrame = {
     val w = Window.partitionBy(col("probe_id")).orderBy(col("dist"), col("neighbor_id"))
     codes
       .join(probeSub,

@@ -927,7 +927,36 @@ object VectorQueries {
             nLists = 8, nProbe = 3, m = 4, codebookSize = 16)
           .orderBy(col("probe_id"), col("rnk"))
       },
-      Some(s"""WITH cent AS (
+      Some(ivfPqOracle)),
+
+    // The persisted-index path of the SAME residual-ADC search: train
+    // both quantizers once, ingest in two incremental adds (codes
+    // range-clustered on list_id), query nProbe cells through the pruned
+    // store — results must equal one-shot ivfPqTopK, so e24's oracle
+    // gates the stored codebooks + clustered-codes machinery too.
+    CatalogQuery(
+      "e25_ivfpq_index_query",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val tmp = java.nio.file.Files.createTempDirectory("graft-e25-").toString
+        val idx = new graft.ext.IvfPqIndex(s, s"file://$tmp", m = 4, codebookSize = 16)
+        idx.train(emb, "vec_id", "embedding", nLists = 8)
+        idx.add(emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding")
+        idx.add(emb.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding")
+        val out = idx.query(emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+            k = 5, nProbe = 3)
+          .orderBy(col("probe_id"), col("rnk"))
+          .localCheckpoint(true) // materialize, then drop the scratch index
+        graft.lake.FsUtils.deletePath(s, s"file://$tmp")
+        out
+      },
+      Some(ivfPqOracle))
+  )
+
+  // Shared by e24 (one-shot ivfPqTopK) and e25 (persisted IvfPqIndex
+  // trained on the same corpus): the incremental index must reproduce the
+  // one-shot residual-encode + ADC chain exactly.
+  private lazy val ivfPqOracle: String = s"""WITH cent AS (
           SELECT vec_id AS list_src, embedding AS cvec
           FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
         centn AS (
@@ -994,8 +1023,7 @@ object VectorQueries {
             row_number() OVER (PARTITION BY probe_id ORDER BY dist, neighbor_id) AS rn
           FROM adc)
         SELECT probe_id, neighbor_id, CAST(rn AS INTEGER) AS rnk, dist
-        FROM kf WHERE rn <= 5 ORDER BY probe_id, rnk"""))
-  )
+        FROM kf WHERE rn <= 5 ORDER BY probe_id, rnk"""
 
   /** DuckDB mirror of the e21 sweep: the shared IVF assignment CTEs, the
     * brute-force truth, then one candidate→rank→recall chain per probe

@@ -176,6 +176,32 @@ class CrashReplaySpec extends SparkSpecBase {
     assert(q(crashed) === q(clean))
   }
 
+  test("IvfPqIndex: token-append crash replays to the clean codes store") {
+    val base = s"$root/ivfpq"
+    vecs.coalesce(1).write.parquet(s"$base/src")
+    def run(idx: IvfPqIndex, ckpt: String): Option[Throwable] =
+      ingestPass(s"$base/src", ckpt, vecSchema) { (b, id) =>
+        idx.add(b, "vec_id", "embedding", ingestToken = Some(s"t-$id"))
+      }
+    val clean = new IvfPqIndex(spark, s"$base/clean")
+    clean.train(vecs, "vec_id", "embedding", nLists = 4)
+    assert(run(clean, s"$base/ckpt-clean").isEmpty)
+    val crashed = new IvfPqIndex(spark, s"$base/crashed")
+    crashed.train(vecs, "vec_id", "embedding", nLists = 4)
+    crashed.failpoints.arm("after-token")
+    assert(run(crashed, s"$base/ckpt-crash").isDefined,
+      "the failpoint must kill the first attempt")
+    assert(crashed.appliedTable.exists, "token must precede the append")
+    assert(!crashed.codesTable.exists, "crash must precede the codes append")
+    assert(run(crashed, s"$base/ckpt-crash").isEmpty, "replay must succeed")
+    assert(rowSet(crashed.codesTable, "vec_id", "list_id", "s", "code") ===
+      rowSet(clean.codesTable, "vec_id", "list_id", "s", "code"))
+    val probes = vecs.filter(col("vec_id") < 3)
+    def q(i: IvfPqIndex) = i.query(probes, "vec_id", "embedding", k = 3)
+      .select("probe_id", "neighbor_id", "rnk").as[(Long, Long, Int)].collect().toSet
+    assert(q(crashed) === q(clean))
+  }
+
   test("IvfIndex: token-append crash replays to the clean cells store") {
     val base = s"$root/ivf"
     vecs.coalesce(1).write.parquet(s"$base/src")

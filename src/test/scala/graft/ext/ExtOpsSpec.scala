@@ -1308,6 +1308,58 @@ class ExtOpsSpec extends SparkSpecBase {
     graft.lake.FsUtils.deletePath(spark, s"file://$dir")
   }
 
+  test("IvfPqIndex: train-once incremental adds match one-shot ivfPqTopK; reopen; replay; pruning") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpqidx-").toString
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val probes = emb.filter(col("vec_id") < 5)
+    val idx = new IvfPqIndex(spark, s"$dir/idx", m = 4, codebookSize = 16)
+    idx.train(emb, "vec_id", "embedding", nLists = 8)
+    // many shuffle partitions -> one file per cell range with tight
+    // min/max list_id stats (the suite default of 4 packs cells together)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      idx.add(emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+        ingestToken = Some("b0"))
+      idx.add(emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding",
+        ingestToken = Some("b1"))
+      // replayed token: no-op, not a double-insert
+      idx.add(emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+        ingestToken = Some("b0"))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert(idx.indexedCount === emb.count())
+    assert(idx.codesTable.read().count() === emb.count() * 4,
+      "m code rows per vector, exactly once despite the replayed token")
+    val fromIndex = idx.query(probes, "vec_id", "embedding", k = 5, nProbe = 3)
+      .select("probe_id", "neighbor_id", "rnk").as[(Long, Long, Int)].collect().toSet
+    val oneShot = Similarity.ivfPqTopK(emb, probes, "vec_id", "embedding",
+        k = 5, nLists = 8, nProbe = 3, m = 4, codebookSize = 16)
+      .select("probe_id", "neighbor_id", "rnk").as[(Long, Long, Int)].collect().toSet
+    assert(fromIndex === oneShot)
+    // a fresh instance on the same path serves identically (both
+    // codebooks and the clustered codes all persisted)
+    val reopened = new IvfPqIndex(spark, s"$dir/idx", m = 4, codebookSize = 16)
+    assert(reopened.isTrained)
+    val again = reopened.query(probes, "vec_id", "embedding", k = 5, nProbe = 3)
+      .select("probe_id", "neighbor_id", "rnk").as[(Long, Long, Int)].collect().toSet
+    assert(again === oneShot)
+    // reopening with a different m fails loudly (the PqIndex guard)
+    val wrongM = new IvfPqIndex(spark, s"$dir/idx", m = 8)
+    intercept[IllegalArgumentException] {
+      wrongM.add(emb.limit(1), "vec_id", "embedding")
+    }
+    // the cell-clustered codes store file-prunes a 1-probe query's cells
+    val total = idx.codesTable.liveFiles().size
+    val one = emb.filter(col("vec_id") < 1)
+    val cb = idx.coarseTable.read().select("list_id", "cvec")
+    val lists = Similarity.ivfAssign(one, "vec_id", "embedding", cb, topN = 3)
+      .select("list_id").distinct().as[Int].collect()
+    val scanned = idx.codesTable.prunedFiles(col("list_id").isin(lists.toSeq: _*)).size
+    assert(scanned < total,
+      s"IN-pruning must skip files: scanned $scanned of $total")
+    graft.lake.FsUtils.deletePath(spark, s"file://$dir")
+  }
+
   test("IvfIndex: ingestToken makes at-least-once replays idempotent") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf-replay-").toString
     val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")

@@ -112,6 +112,29 @@ class IndexMaintenanceSpec extends SparkSpecBase {
     graft.lake.FsUtils.deletePath(spark, s"file://$dir")
   }
 
+  test("IvfPqIndex: remove ≡ never-added under the same codebooks; purge preserves answers") {
+    val dir = Files.createTempDirectory("graft-ivfpq-rm-").toString
+    // SAME codebooks on both sides (the IvfIndex twin rule): the twin
+    // models "this index, had those vectors never been ingested" — both
+    // the coarse quantizer AND the residual sub-codebooks train on the
+    // full corpus, since retraining either is an index rebuild
+    val idx = new IvfPqIndex(spark, s"$dir/idx")
+    val twin = new IvfPqIndex(spark, s"$dir/twin")
+    idx.train(emb, "vec_id", "embedding", nLists = 8)
+    twin.train(emb, "vec_id", "embedding", nLists = 8)
+    idx.add(emb, "vec_id", "embedding")
+    twin.add(kept, "vec_id", "embedding")
+    idx.remove(removedDf, "vec_id")
+    assert(idx.indexedCount === twin.indexedCount)
+    val want = pairs(twin.query(probes, "vec_id", "embedding", k = 5, nProbe = 3))
+    assert(pairs(idx.query(probes, "vec_id", "embedding", k = 5, nProbe = 3)) === want)
+    idx.purge()
+    assert(idx.removedTable.read().count() === 0)
+    assert(idx.codesTable.read().filter(col("vec_id").isin(removedIdSeq: _*)).count() === 0)
+    assert(pairs(idx.query(probes, "vec_id", "embedding", k = 5, nProbe = 3)) === want)
+    graft.lake.FsUtils.deletePath(spark, s"file://$dir")
+  }
+
   test("tombstoned ids cannot be re-added; shape mismatches fail loudly; empty adds no-op") {
     val dir = Files.createTempDirectory("graft-rm-guards-").toString
     // AnnIndex: a late batch carrying tombstoned ids must not resurrect
