@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.conf.GraftSettings
-import graft.ext.{AnnIndex, IvfIndex, PqIndex}
+import graft.ext.{AnnIndex, IvfIndex, IvfPqIndex, PqIndex}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -40,6 +40,7 @@ final class EmbeddingIngest(
     annBits: Int = 6,
     ivfLists: Int = 0,
     pqM: Int = 0,
+    ivfPqM: Int = 0,
     dedupCosine: Double = 0.0)(
     implicit settings: GraftSettings = GraftSettings.default) {
 
@@ -53,6 +54,13 @@ final class EmbeddingIngest(
   /** PQ codes stage, enabled by `pqM > 0`. */
   val pqIndex: Option[PqIndex] =
     if (pqM > 0) Some(new PqIndex(spark, s"$root/pq", m = pqM)) else None
+  /** Residual IVF-PQ stage (the billion-scale serving index), enabled by
+    * `ivfPqM > 0`; shares `ivfLists` as its coarse-cell count. */
+  val ivfPqIndex: Option[IvfPqIndex] =
+    if (ivfPqM > 0) {
+      require(ivfLists > 0, "ivfPqM > 0 needs ivfLists > 0 (coarse cell count)")
+      Some(new IvfPqIndex(spark, s"$root/ivfpq", m = ivfPqM))
+    } else None
 
   /** One batch through every enabled index (also the foreachBatch body —
     * callable directly for non-streaming backfills; pass a unique `token`
@@ -109,6 +117,10 @@ final class EmbeddingIngest(
       if (!pq.isTrained) pq.train(novel, idCol, vecCol)
       pq.add(novel, idCol, vecCol, ingestToken = Some(s"pq-$token"))
     }
+    ivfPqIndex.foreach { ivfpq =>
+      if (!ivfpq.isTrained) ivfpq.train(novel, idCol, vecCol, nLists = ivfLists)
+      ivfpq.add(novel, idCol, vecCol, ingestToken = Some(s"ivfpq-$token"))
+    }
   }
 
   /** Right-to-erasure / re-embed across every enabled index — the vector
@@ -126,6 +138,7 @@ final class EmbeddingIngest(
     annIndex.remove(idOnly, idCol)
     ivfIndex.foreach(_.remove(idOnly, idCol))
     pqIndex.foreach(_.remove(idOnly, idCol))
+    ivfPqIndex.foreach(_.remove(idOnly, idCol))
   }
 
   /** Checkpointed run-to-drain over a parquet embedding directory: each

@@ -35,7 +35,7 @@ class EmbeddingIngestSpec extends SparkSpecBase {
   test("streamed two-batch ingest answers every index like a one-shot build") {
     val root = Files.createTempDirectory("graft-ei-").toString
     implicit val settings: GraftSettings = GraftSettings.local(root)
-    val p = new EmbeddingIngest(spark, s"$root/p", ivfLists = 4, pqM = 4)
+    val p = new EmbeddingIngest(spark, s"$root/p", ivfLists = 4, pqM = 4, ivfPqM = 4)
     arrive(s"$root/in", col("vec_id") < 60)
     p.runOnce(s"$root/in", embSchema)
     arrive(s"$root/in", col("vec_id") >= 60)
@@ -43,7 +43,7 @@ class EmbeddingIngestSpec extends SparkSpecBase {
     assert(p.annIndex.indexedCount === emb.count())
     // the one-shot twin: same params, everything in one add — and for
     // IVF/PQ the same TRAINING SAMPLE (the codebook contract: batch 1)
-    val twin = new EmbeddingIngest(spark, s"$root/twin", ivfLists = 4, pqM = 4)
+    val twin = new EmbeddingIngest(spark, s"$root/twin", ivfLists = 4, pqM = 4, ivfPqM = 4)
     twin.ingestBatch(emb.filter(col("vec_id") < 60), "b0")
     twin.ingestBatch(emb.filter(col("vec_id") >= 60), "b1")
     assert(pairs(p.annIndex.query(probes, "vec_id", "embedding", k = 5)) ===
@@ -52,6 +52,8 @@ class EmbeddingIngestSpec extends SparkSpecBase {
       pairs(twin.ivfIndex.get.query(probes, "vec_id", "embedding", k = 5, nProbe = 2)))
     assert(pairs(p.pqIndex.get.query(probes, "vec_id", "embedding", k = 5)) ===
       pairs(twin.pqIndex.get.query(probes, "vec_id", "embedding", k = 5)))
+    assert(pairs(p.ivfPqIndex.get.query(probes, "vec_id", "embedding", k = 5, nProbe = 2)) ===
+      pairs(twin.ivfPqIndex.get.query(probes, "vec_id", "embedding", k = 5, nProbe = 2)))
     // no new files: checkpointed no-op (no index gains rows)
     val n = p.annIndex.indexedCount
     p.runOnce(s"$root/in", embSchema)
@@ -62,7 +64,7 @@ class EmbeddingIngestSpec extends SparkSpecBase {
     val root = Files.createTempDirectory("graft-ei-crash-").toString
     implicit val settings: GraftSettings = GraftSettings.local(root)
     def build(name: String) =
-      new EmbeddingIngest(spark, s"$root/$name", ivfLists = 4, pqM = 4)
+      new EmbeddingIngest(spark, s"$root/$name", ivfLists = 4, pqM = 4, ivfPqM = 4)
     val clean = build("clean")
     val crashed = build("crashed")
     arrive(s"$root/in", col("vec_id") < 120)
@@ -80,12 +82,14 @@ class EmbeddingIngestSpec extends SparkSpecBase {
       pairs(clean.ivfIndex.get.query(probes, "vec_id", "embedding", k = 5, nProbe = 2)))
     assert(pairs(crashed.pqIndex.get.query(probes, "vec_id", "embedding", k = 5)) ===
       pairs(clean.pqIndex.get.query(probes, "vec_id", "embedding", k = 5)))
+    assert(pairs(crashed.ivfPqIndex.get.query(probes, "vec_id", "embedding", k = 5, nProbe = 2)) ===
+      pairs(clean.ivfPqIndex.get.query(probes, "vec_id", "embedding", k = 5, nProbe = 2)))
   }
 
   test("eraseVectors tombstones every enabled index; purge reclaims and re-admission works") {
     val root = Files.createTempDirectory("graft-ei-erase-").toString
     implicit val settings: GraftSettings = GraftSettings.local(root)
-    val p = new EmbeddingIngest(spark, s"$root/p", ivfLists = 4, pqM = 4)
+    val p = new EmbeddingIngest(spark, s"$root/p", ivfLists = 4, pqM = 4, ivfPqM = 4)
     arrive(s"$root/in", col("vec_id") < 120)
     p.runOnce(s"$root/in", embSchema)
     val before = pairs(p.annIndex.query(probes, "vec_id", "embedding", k = 5))
@@ -97,7 +101,8 @@ class EmbeddingIngestSpec extends SparkSpecBase {
     for (q <- Seq(
         pairs(p.annIndex.query(probes, "vec_id", "embedding", k = 5)),
         pairs(p.ivfIndex.get.query(probes, "vec_id", "embedding", k = 5, nProbe = 2)),
-        pairs(p.pqIndex.get.query(probes, "vec_id", "embedding", k = 5))))
+        pairs(p.pqIndex.get.query(probes, "vec_id", "embedding", k = 5)),
+        pairs(p.ivfPqIndex.get.query(probes, "vec_id", "embedding", k = 5, nProbe = 2))))
       assert(q.forall(t => !victims.contains(t._2)), s"erased id still returned: $q")
     // a late batch re-delivering a victim cannot resurrect it pre-purge
     p.ingestBatch(emb.filter(col("vec_id").isin(victims.toSeq: _*)), "late")
@@ -105,6 +110,7 @@ class EmbeddingIngestSpec extends SparkSpecBase {
       .forall(t => !victims.contains(t._2)))
     // purge physically reclaims; a FRESH add then re-admits
     p.annIndex.purge(); p.ivfIndex.get.purge(); p.pqIndex.get.purge()
+    p.ivfPqIndex.get.purge()
     p.ingestBatch(emb.filter(col("vec_id").isin(victims.toSeq: _*)), "readd")
     assert(pairs(p.annIndex.query(probes, "vec_id", "embedding", k = 5))
       .exists(t => victims.contains(t._2)),
