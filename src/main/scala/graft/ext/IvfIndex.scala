@@ -120,8 +120,14 @@ final class IvfIndex(
     * BEFORE the append, so a crash in between leaves a gap a replayed
     * token fills by appending only the batch rows missing from the store,
     * never double-inserting. */
+  /** `attrCols` persists metadata columns (e.g. a label, a language, a
+    * quality tier) alongside each vector, enabling [[query]]'s
+    * `corpusFilter` — hybrid (filtered) search against the index. Every
+    * add must carry the SAME attr set (the store's schema is fixed by the
+    * first add; a mismatch fails loudly at append). */
   def add(df: DataFrame, idCol: String, vecCol: String,
-      ingestToken: Option[String] = None): Unit = {
+      ingestToken: Option[String] = None,
+      attrCols: Seq[String] = Nil): Unit = {
     import spark.implicits._
     require(isTrained, s"IvfIndex at $path is untrained — call train() first")
     val replay = ingestToken.exists(tokenApplied)
@@ -130,14 +136,23 @@ final class IvfIndex(
     // token just re-noops on redelivery
     val in = withoutTombstoned(df, idCol)
     if (!checkDims(in, vecCol, "batch", Some(trainedDims()))) return
+    // attr drift guard: the lake layer tolerates a MISSING column (reads
+    // as NULL), which here would silently hide the row from every filtered
+    // query — require the exact persisted attr set instead
+    if (cellsTable.exists) {
+      val stored = cellsTable.read().columns.toSet -- Set("vec_id", "vec", "sq", "list_id")
+      require(stored == attrCols.toSet,
+        s"IvfIndex: attrCols ${attrCols.toSet} != persisted attr columns $stored")
+    }
     val assigned = Similarity.ivfAssign(in, idCol, vecCol, centroids())
       .select(col("id").as("vec_id"), col("list_id"))
     // materialize before clustering: repartitionByRange SAMPLES its child
     // to pick range bounds, so an unmaterialized assignment pipeline would
     // run twice (sample pass + write pass)
     val rows0 = Parallelism.materialize(
-      in.select(col(idCol).as("vec_id"), col(vecCol).as("vec"),
-          Similarity.quantizedDot(col(vecCol), col(vecCol)).as("sq"))
+      in.select((Seq(col(idCol).as("vec_id"), col(vecCol).as("vec"),
+          Similarity.quantizedDot(col(vecCol), col(vecCol)).as("sq")) ++
+          attrCols.map(col)): _*)
         .join(assigned, Seq("vec_id")))
     ingestToken.filter(_ => !replay).foreach { t =>
       appliedTable.append(Seq(Tuple1(t)).toDF("token"))
@@ -171,8 +186,15 @@ final class IvfIndex(
     * probe's `nProbe` closest cells. Returns (probe_id, neighbor_id, rnk,
     * sim). Probes sharing an id with an indexed vector exclude that
     * self-match. */
+  /** `corpusFilter` is hybrid (filtered) search in its PRE-filter shape
+    * (see [[Similarity.ivfTopK]]): a predicate over `attrCols` persisted
+    * at [[add]] time, applied to the cell-pruned scan BEFORE candidate
+    * ranking — so top-k ranks among survivors, and the predicate reaches
+    * the parquet scan (PushedFilters / row-group stats) of the pruned
+    * files: metadata-selective queries skip non-probed cells AND
+    * non-matching row groups without touching a vector. */
   def query(probes: DataFrame, idCol: String, vecCol: String, k: Int,
-      nProbe: Int = 3): DataFrame = {
+      nProbe: Int = 3, corpusFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     require(cellsTable.exists, s"empty IVF index at $path")
     // empty probe frame: empty result, same schema (the assignment itself
     // needs at least one row to size vectors)
@@ -191,7 +213,8 @@ final class IvfIndex(
     // pruned read scans only files whose [min,max] list range can hold a
     // probed cell, never the whole index
     val lists = probeLists.select("list_id").distinct().collect().map(_.getInt(0))
-    val stored = cellsTable.readWhere(col("list_id").isin(lists.toSeq: _*))
+    val stored0 = cellsTable.readWhere(col("list_id").isin(lists.toSeq: _*))
+    val stored = corpusFilter.map(stored0.filter).getOrElse(stored0)
     // probe cell-memberships broadcast into the pruned scan; the payload
     // co-locates with the cell id, so candidates carry their vectors out
     // of the SAME scan — no second stored-side join, zero stored shuffle

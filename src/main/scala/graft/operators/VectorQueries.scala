@@ -870,44 +870,33 @@ object VectorQueries {
             corpusFilter = Some(col("label").isin(1, 3, 5)))
           .orderBy(col("probe_id"), col("rnk"))
       },
-      Some(s"""WITH cent AS (
-          SELECT vec_id AS list_src, embedding AS cvec
-          FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
-        centn AS (
-          SELECT cvec, CAST(row_number() OVER (ORDER BY list_src) - 1 AS INTEGER) AS list_id
-          FROM cent),
-        scored AS (
-          SELECT e.vec_id AS id, e.label, c.list_id,
-            CAST(${qdotSql("e.embedding", "c.cvec")} AS DOUBLE)
-              / sqrt(CAST(${qdotSql("e.embedding", "e.embedding")} AS DOUBLE)
-                     * CAST(${qdotSql("c.cvec", "c.cvec")} AS DOUBLE)) AS score
-          FROM embeddings e, centn c),
-        corpus_assign AS (
-          SELECT id AS neighbor_id, list_id FROM (
-            SELECT id, list_id,
-              row_number() OVER (PARTITION BY id ORDER BY score DESC, list_id) AS rn
-            FROM scored WHERE label IN (1, 3, 5)) WHERE rn = 1),
-        probe_assign AS (
-          SELECT id AS probe_id, list_id FROM (
-            SELECT id, list_id,
-              row_number() OVER (PARTITION BY id ORDER BY score DESC, list_id) AS rn
-            FROM scored WHERE id < 5) WHERE rn <= 3),
-        cand AS (
-          SELECT DISTINCT probe_id, neighbor_id
-          FROM corpus_assign JOIN probe_assign USING (list_id)
-          WHERE neighbor_id <> probe_id),
-        wv AS (SELECT cand.probe_id, cand.neighbor_id, p.embedding AS pe, n.embedding AS ne
-               FROM cand JOIN embeddings p ON p.vec_id = cand.probe_id
-                         JOIN embeddings n ON n.vec_id = cand.neighbor_id),
-        r AS (SELECT probe_id, neighbor_id,
-                CAST(${qdotSql("pe", "ne")} AS DOUBLE)
-                  / sqrt(CAST(${qdotSql("pe", "pe")} AS DOUBLE) * CAST(${qdotSql("ne", "ne")} AS DOUBLE)) AS sim
-              FROM wv),
-        k AS (SELECT probe_id, neighbor_id, sim,
-                row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rn
-              FROM r)
-        SELECT probe_id, neighbor_id, CAST(rn AS INTEGER) AS rnk, sim
-        FROM k WHERE rn <= 5 ORDER BY probe_id, rnk""")),
+      Some(filteredIvfOracle)),
+
+    // The persisted-index path of the SAME hybrid search: label persisted
+    // as an attribute column beside each vector at add time, the query
+    // predicate applied to the cell-pruned scan (PushedFilters + row-group
+    // stats) before ranking — must equal the one-shot filtered ivfTopK,
+    // so e23's oracle gates the attr-column machinery too.
+    CatalogQuery(
+      "e26_filtered_ivf_index",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val tmp = java.nio.file.Files.createTempDirectory("graft-e26-").toString
+        val idx = new graft.ext.IvfIndex(s, s"file://$tmp")
+        idx.train(emb, "vec_id", "embedding", nLists = 8)
+        idx.add(emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+          attrCols = Seq("label"))
+        idx.add(emb.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding",
+          attrCols = Seq("label"))
+        val out = idx.query(emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+            k = 5, nProbe = 3,
+            corpusFilter = Some(col("label").isin(1, 3, 5)))
+          .orderBy(col("probe_id"), col("rnk"))
+          .localCheckpoint(true) // materialize, then drop the scratch index
+        graft.lake.FsUtils.deletePath(s, s"file://$tmp")
+        out
+      },
+      Some(filteredIvfOracle)),
 
     // Residual IVF-PQ + ADC (the FAISS IVFADC shape): coarse-assign each
     // vector to its IVF cell, PQ-encode the residual (vector − centroid,
@@ -952,6 +941,48 @@ object VectorQueries {
       },
       Some(ivfPqOracle))
   )
+
+  // Shared by e23 (one-shot filtered ivfTopK) and e26 (persisted IvfIndex
+  // with a label attribute column): the index's pre-filter path must
+  // reproduce the one-shot hybrid search exactly.
+  private lazy val filteredIvfOracle: String = s"""WITH cent AS (
+          SELECT vec_id AS list_src, embedding AS cvec
+          FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+        centn AS (
+          SELECT cvec, CAST(row_number() OVER (ORDER BY list_src) - 1 AS INTEGER) AS list_id
+          FROM cent),
+        scored AS (
+          SELECT e.vec_id AS id, e.label, c.list_id,
+            CAST(${qdotSql("e.embedding", "c.cvec")} AS DOUBLE)
+              / sqrt(CAST(${qdotSql("e.embedding", "e.embedding")} AS DOUBLE)
+                     * CAST(${qdotSql("c.cvec", "c.cvec")} AS DOUBLE)) AS score
+          FROM embeddings e, centn c),
+        corpus_assign AS (
+          SELECT id AS neighbor_id, list_id FROM (
+            SELECT id, list_id,
+              row_number() OVER (PARTITION BY id ORDER BY score DESC, list_id) AS rn
+            FROM scored WHERE label IN (1, 3, 5)) WHERE rn = 1),
+        probe_assign AS (
+          SELECT id AS probe_id, list_id FROM (
+            SELECT id, list_id,
+              row_number() OVER (PARTITION BY id ORDER BY score DESC, list_id) AS rn
+            FROM scored WHERE id < 5) WHERE rn <= 3),
+        cand AS (
+          SELECT DISTINCT probe_id, neighbor_id
+          FROM corpus_assign JOIN probe_assign USING (list_id)
+          WHERE neighbor_id <> probe_id),
+        wv AS (SELECT cand.probe_id, cand.neighbor_id, p.embedding AS pe, n.embedding AS ne
+               FROM cand JOIN embeddings p ON p.vec_id = cand.probe_id
+                         JOIN embeddings n ON n.vec_id = cand.neighbor_id),
+        r AS (SELECT probe_id, neighbor_id,
+                CAST(${qdotSql("pe", "ne")} AS DOUBLE)
+                  / sqrt(CAST(${qdotSql("pe", "pe")} AS DOUBLE) * CAST(${qdotSql("ne", "ne")} AS DOUBLE)) AS sim
+              FROM wv),
+        k AS (SELECT probe_id, neighbor_id, sim,
+                row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rn
+              FROM r)
+        SELECT probe_id, neighbor_id, CAST(rn AS INTEGER) AS rnk, sim
+        FROM k WHERE rn <= 5 ORDER BY probe_id, rnk"""
 
   // Shared by e24 (one-shot ivfPqTopK) and e25 (persisted IvfPqIndex
   // trained on the same corpus): the incremental index must reproduce the

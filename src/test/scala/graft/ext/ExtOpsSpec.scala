@@ -1360,6 +1360,32 @@ class ExtOpsSpec extends SparkSpecBase {
     graft.lake.FsUtils.deletePath(spark, s"file://$dir")
   }
 
+  test("IvfIndex: attr columns + corpusFilter reproduce one-shot filtered ivfTopK") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-attr-").toString
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val probes = emb.filter(col("vec_id") < 5)
+    val pred = col("label").isin(1, 3, 5)
+    val idx = new IvfIndex(spark, s"$dir/idx")
+    idx.train(emb, "vec_id", "embedding", nLists = 8)
+    idx.add(emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+      attrCols = Seq("label"))
+    idx.add(emb.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding",
+      attrCols = Seq("label"))
+    val fromIndex = idx.query(probes, "vec_id", "embedding", k = 5, nProbe = 3,
+        corpusFilter = Some(pred))
+      .select("probe_id", "neighbor_id", "rnk").as[(Long, Long, Int)].collect().toSet
+    val oneShot = Similarity.ivfTopK(emb, probes, "vec_id", "embedding", 5,
+        nLists = 8, nProbe = 3, corpusFilter = Some(pred))
+      .select("probe_id", "neighbor_id", "rnk").as[(Long, Long, Int)].collect().toSet
+    assert(fromIndex === oneShot)
+    // an add whose attr set mismatches the store's schema fails loudly
+    intercept[Exception] {
+      idx.add(emb.limit(1).withColumn("vec_id", col("vec_id") + 100000),
+        "vec_id", "embedding") // no attrCols
+    }
+    graft.lake.FsUtils.deletePath(spark, s"file://$dir")
+  }
+
   test("IvfIndex: ingestToken makes at-least-once replays idempotent") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf-replay-").toString
     val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")

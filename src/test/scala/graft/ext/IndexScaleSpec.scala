@@ -180,6 +180,53 @@ class IndexScaleSpec extends SparkSpecBase {
     }
   }
 
+  test("two-batch IvfPqIndex ingest runs wide; pruned ADC scan plans with zero Exchange") {
+    withScaleConfs {
+      val dir = Files.createTempDirectory("graft-idxscale-ivfpq-").toString
+      val idx = new IvfPqIndex(spark, s"file://$dir/idx")
+      val minWidth = Copies / 2
+      idx.train(scaledEmb, "vec_id", "embedding", nLists = 16)
+      // incremental crawl shape: two adds, each assigning + residual-
+      // encoding ONLY its batch — the pipeline and clustered write wide
+      assertWideAction("ivfpqindex.add batch 1", minWidth) {
+        idx.add(scaledEmb.filter(pmod(col("vec_id"), lit(2)) === 0),
+          "vec_id", "embedding", ingestToken = Some("b0"))
+      }
+      assertWideAction("ivfpqindex.add batch 2", minWidth) {
+        idx.add(scaledEmb.filter(pmod(col("vec_id"), lit(2)) === 1),
+          "vec_id", "embedding", ingestToken = Some("b1"))
+      }
+      assert(idx.indexedCount === scaledEmb.count())
+      val probes = scaledEmb.filter(col("vec_id") < 5)
+      assertWideAction("ivfpqindex.query", minWidth) {
+        assert(idx.query(probes, "vec_id", "embedding", k = 5, nProbe = 3).count() > 0)
+      }
+      // cell pruning bites on the clustered CODES store (the layout raw
+      // PQ cannot have)...
+      val cb = idx.coarseTable.read().select("list_id", "cvec")
+      val lists = Similarity.ivfAssign(probes, "vec_id", "embedding", cb, topN = 3)
+        .select("list_id").distinct().as[Int].collect()
+      val total = idx.codesTable.liveFiles().size
+      val scanned = idx.codesTable.prunedFiles(col("list_id").isin(lists.toSeq: _*)).size
+      assert(scanned < total, s"cell pruning must skip files: scanned $scanned of $total")
+      // ...and the pruned ADC join is broadcast-only on the stored side
+      val probeSub = Similarity.ivfPqProbeSub(probes, "vec_id", "embedding", 4,
+        cb, idx.centroidsTable.read().select("c", "i", "s", "cx"), nProbe = 3)
+        .localCheckpoint(true)
+      val adcJoin = idx.codesTable.readWhere(col("list_id").isin(lists.toSeq: _*))
+        .withColumnRenamed("vec_id", "id")
+        .join(broadcast(probeSub),
+          col("list_id") === col("__pl") && col("s") === col("__ps") &&
+            col("code") === col("__pc") && col("id") =!= col("probe_id"))
+      val p = adcJoin.queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastHashJoin"), s"ADC table must broadcast:\n$p")
+      assert(!p.contains("Exchange hashpartitioning") &&
+        !p.contains("Exchange rangepartitioning"),
+        s"stored side must not shuffle:\n$p")
+      graft.lake.FsUtils.deletePath(spark, s"file://$dir")
+    }
+  }
+
   test("two-batch PqIndex ingest runs wide; ADC scan side plans with zero Exchange") {
     withScaleConfs {
       val dir = Files.createTempDirectory("graft-idxscale-pq-").toString
