@@ -939,7 +939,46 @@ object VectorQueries {
         graft.lake.FsUtils.deletePath(s, s"file://$tmp")
         out
       },
-      Some(ivfPqOracle))
+      Some(ivfPqOracle)),
+
+    // The full production serving path, composed end to end: a persisted
+    // IVF-PQ index answers a k'=20 ADC shortlist through its cell-pruned
+    // compressed scan, then exactRerank buys back the approximation error
+    // with O(probes x k') exact quantized-cosine work — never a corpus
+    // rescan. The oracle composes the shared IVFADC chain with the exact
+    // rescore chain.
+    CatalogQuery(
+      "e27_ivfpq_rerank",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val probes = emb.filter(col("vec_id") < 5)
+        val tmp = java.nio.file.Files.createTempDirectory("graft-e27-").toString
+        val idx = new graft.ext.IvfPqIndex(s, s"file://$tmp", m = 4, codebookSize = 16)
+        idx.train(emb, "vec_id", "embedding", nLists = 8)
+        idx.add(emb, "vec_id", "embedding")
+        val shortlist = idx.query(probes, "vec_id", "embedding", k = 20, nProbe = 3)
+        val out = Similarity.exactRerank(shortlist, emb, probes,
+            "vec_id", "embedding", k = 5)
+          .orderBy(col("probe_id"), col("rnk"))
+          .localCheckpoint(true) // materialize, then drop the scratch index
+        graft.lake.FsUtils.deletePath(s, s"file://$tmp")
+        out
+      },
+      Some(s"""$ivfPqCtes,
+        cand2 AS (SELECT probe_id, neighbor_id FROM kf WHERE rn <= 20),
+        wv2 AS (SELECT cand2.probe_id, cand2.neighbor_id,
+            p.embedding AS pe, n.embedding AS ne
+          FROM cand2 JOIN embeddings p ON p.vec_id = cand2.probe_id
+                     JOIN embeddings n ON n.vec_id = cand2.neighbor_id),
+        rx AS (SELECT probe_id, neighbor_id,
+            CAST(${qdotSql("pe", "ne")} AS DOUBLE)
+              / sqrt(CAST(${qdotSql("pe", "pe")} AS DOUBLE) * CAST(${qdotSql("ne", "ne")} AS DOUBLE)) AS sim
+          FROM wv2),
+        kx AS (SELECT probe_id, neighbor_id, sim,
+            row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rn
+          FROM rx)
+        SELECT probe_id, neighbor_id, CAST(rn AS INTEGER) AS rnk, sim
+        FROM kx WHERE rn <= 5 ORDER BY probe_id, rnk"""))
   )
 
   // Shared by e23 (one-shot filtered ivfTopK) and e26 (persisted IvfIndex
@@ -987,7 +1026,14 @@ object VectorQueries {
   // Shared by e24 (one-shot ivfPqTopK) and e25 (persisted IvfPqIndex
   // trained on the same corpus): the incremental index must reproduce the
   // one-shot residual-encode + ADC chain exactly.
-  private lazy val ivfPqOracle: String = s"""WITH cent AS (
+  private lazy val ivfPqOracle: String = s"""$ivfPqCtes
+        SELECT probe_id, neighbor_id, CAST(rn AS INTEGER) AS rnk, dist
+        FROM kf WHERE rn <= 5 ORDER BY probe_id, rnk"""
+
+  // The residual-encode + per-(probe,cell) ADC chain up to the ranked
+  // candidates `kf(probe_id, neighbor_id, dist, rn)` — shared by e24/e25
+  // (top-5 by ADC) and e27 (top-20 ADC shortlist re-ranked exactly).
+  private lazy val ivfPqCtes: String = s"""WITH cent AS (
           SELECT vec_id AS list_src, embedding AS cvec
           FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
         centn AS (
@@ -1052,9 +1098,7 @@ object VectorQueries {
           GROUP BY 1, 2),
         kf AS (SELECT probe_id, neighbor_id, dist,
             row_number() OVER (PARTITION BY probe_id ORDER BY dist, neighbor_id) AS rn
-          FROM adc)
-        SELECT probe_id, neighbor_id, CAST(rn AS INTEGER) AS rnk, dist
-        FROM kf WHERE rn <= 5 ORDER BY probe_id, rnk"""
+          FROM adc)"""
 
   /** DuckDB mirror of the e21 sweep: the shared IVF assignment CTEs, the
     * brute-force truth, then one candidate→rank→recall chain per probe
