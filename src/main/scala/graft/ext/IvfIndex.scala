@@ -130,6 +130,16 @@ final class IvfIndex(
       attrCols: Seq[String] = Nil): Unit = {
     import spark.implicits._
     require(isTrained, s"IvfIndex at $path is untrained — call train() first")
+    // attr names must not shadow the store's internal columns (or the
+    // id/vec inputs): on the FIRST add a collision would silently produce
+    // a duplicate/ambiguous column (the drift guard's set-subtraction then
+    // hides it), surfacing later as confusing resolution errors
+    val reserved = Set("vec_id", "vec", "sq", "list_id", idCol, vecCol)
+    val clash = attrCols.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"IvfIndex: attrCols ${clash.mkString(", ")} collide with reserved/input columns $reserved")
+    require(attrCols.distinct == attrCols,
+      s"IvfIndex: duplicate attrCols in ${attrCols.mkString(", ")}")
     val replay = ingestToken.exists(tokenApplied)
     // tombstoned ids never (re-)enter the index; empty batches (streaming
     // no-op delivery, or fully tombstoned) are a no-op — an unrecorded

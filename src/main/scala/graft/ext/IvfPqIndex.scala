@@ -140,7 +140,12 @@ final class IvfPqIndex(
     // tombstoned ids never (re-)enter the index; empty batches are a no-op
     val in = withoutTombstoned(df, idCol)
     if (!checkDims(in, vecCol, "batch", Some(trainedDims()))) return
-    val residuals = Similarity.ivfResiduals(in, idCol, vecCol, coarse())
+    // materialized: the residual frame (one shuffle join) feeds BOTH the
+    // pqExplode encode and the list_id re-join below — unmaterialized it
+    // would run its assignment join twice per add (same policy as
+    // ivfPqTopK; deterministic, so a cost issue, not correctness)
+    val residuals = Parallelism.materialize(
+      Similarity.ivfResiduals(in, idCol, vecCol, coarse()))
     // materialize before clustering: repartitionByRange SAMPLES its child
     // to pick range bounds, so an unmaterialized encode pipeline would run
     // twice (sample pass + write pass)

@@ -743,8 +743,13 @@ object Similarity {
       codebookSize, iters)
     val codes = pqAssign(exCorpus, cent)
       .join(residuals.select(col("id"), col("list_id")), Seq("id"))
-    val probeSub = broadcast(
-      ivfPqProbeSub(probes, idCol, vecCol, m, coarse, cent, nProbe))
+    // size-gated like IvfPqIndex.query: the probe ADC table is
+    // nProbe×m×codebookSize rows PER PROBE, so a bulk probe batch can
+    // exceed the broadcast limit — degrade to a shuffle join instead of
+    // OOMing the driver
+    val probeSub = Parallelism.maybeBroadcast(
+      ivfPqProbeSub(probes, idCol, vecCol, m, coarse, cent, nProbe),
+      settings.probeBroadcastThresholdBytes)
     ivfPqAdcTopK(codes, probeSub, k)
   }
 
@@ -913,14 +918,21 @@ object Similarity {
     * the two vector attachments are broadcast-gated id joins and the
     * window runs per probe over its bounded shortlist. */
   def exactRerank(candidates: DataFrame, corpus: DataFrame, probes: DataFrame,
-      idCol: String, vecCol: String, k: Int, deterministic: Boolean = true): DataFrame = {
+      idCol: String, vecCol: String, k: Int, deterministic: Boolean = true)(
+      implicit settings: graft.conf.GraftSettings = graft.conf.GraftSettings.default): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"),
       selfDot(col(vecCol), deterministic).as("probe_sq"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("neighbor_vec"),
       selfDot(col(vecCol), deterministic).as("neighbor_sq"))
     val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("neighbor_id"))
-    candidates.select(col("probe_id"), col("neighbor_id")).distinct()
+    // The shortlist is often an unmaterialized index-query DAG (an IVF-PQ
+    // cell-pruned ADC scan); without a barrier every downstream action on
+    // the rerank result re-executes that whole upstream query — a
+    // corpus-index rescan per consumer at serving scale. The shortlist is
+    // probes×k' rows, so the barrier is cheap.
+    Parallelism.materialize(
+        candidates.select(col("probe_id"), col("neighbor_id")).distinct())
       .join(broadcast(p), Seq("probe_id"))
       .join(c, Seq("neighbor_id"))
       .withColumn("sim", pairSim(col("probe_vec"), col("probe_sq"),

@@ -250,7 +250,18 @@ final class CorpusIngest(
     * record order is physical), so a crash replays to byte-identical
     * ids, which is what the index tokens and the curated anti-join key
     * on. Bounds checked loudly; 2^25 records/archive exceeds what the
-    * source's 2 GiB file cap can physically hold. */
+    * source's 2 GiB file cap can physically hold.
+    *
+    * OPERATING ASSUMPTION — the 18-bit batch-id budget: one checkpoint
+    * lineage supports 262,144 micro-batches. This front door is sized for
+    * the batch-drop crawl model (one crawl dump = one `runOnceWarc`
+    * drain, a handful of AvailableNow batches per drain — CommonCrawl
+    * cadence is ~monthly), NOT a years-long continuous per-file trigger.
+    * A deployment that would exceed the budget rotates checkpoints: start
+    * a new `CorpusIngest` root per crawl epoch — the persisted indexes
+    * carry the dedup state forward, so a fresh lineage loses nothing.
+    * The guard in [[warcBatchToDocs]] fails loudly (never wraps) at the
+    * boundary. */
   def runOnceWarc(srcDir: String, pathGlob: String = "*.warc*",
       htmlPayloads: Boolean = true): Unit = {
     // binaryFile's schema is FIXED by the source; the streaming reader

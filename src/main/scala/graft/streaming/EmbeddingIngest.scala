@@ -41,6 +41,7 @@ final class EmbeddingIngest(
     ivfLists: Int = 0,
     pqM: Int = 0,
     ivfPqM: Int = 0,
+    ivfPqLists: Int = 0,
     dedupCosine: Double = 0.0)(
     implicit settings: GraftSettings = GraftSettings.default) {
 
@@ -55,10 +56,15 @@ final class EmbeddingIngest(
   val pqIndex: Option[PqIndex] =
     if (pqM > 0) Some(new PqIndex(spark, s"$root/pq", m = pqM)) else None
   /** Residual IVF-PQ stage (the billion-scale serving index), enabled by
-    * `ivfPqM > 0`; shares `ivfLists` as its coarse-cell count. */
+    * `ivfPqM > 0`. Its coarse-cell count is `ivfPqLists`, defaulting to
+    * `ivfLists` — but the two stages are INDEPENDENT: an IVF-PQ-only
+    * pipeline (`ivfLists = 0, ivfPqLists > 0`) persists only compressed
+    * codes, never a second full-vector copy. */
+  private val ivfPqListsEff: Int = if (ivfPqLists > 0) ivfPqLists else ivfLists
   val ivfPqIndex: Option[IvfPqIndex] =
     if (ivfPqM > 0) {
-      require(ivfLists > 0, "ivfPqM > 0 needs ivfLists > 0 (coarse cell count)")
+      require(ivfPqListsEff > 0,
+        "ivfPqM > 0 needs a coarse cell count: set ivfPqLists (or ivfLists) > 0")
       Some(new IvfPqIndex(spark, s"$root/ivfpq", m = ivfPqM))
     } else None
 
@@ -118,7 +124,7 @@ final class EmbeddingIngest(
       pq.add(novel, idCol, vecCol, ingestToken = Some(s"pq-$token"))
     }
     ivfPqIndex.foreach { ivfpq =>
-      if (!ivfpq.isTrained) ivfpq.train(novel, idCol, vecCol, nLists = ivfLists)
+      if (!ivfpq.isTrained) ivfpq.train(novel, idCol, vecCol, nLists = ivfPqListsEff)
       ivfpq.add(novel, idCol, vecCol, ingestToken = Some(s"ivfpq-$token"))
     }
   }

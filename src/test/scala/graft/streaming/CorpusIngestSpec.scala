@@ -230,6 +230,19 @@ class CorpusIngestSpec extends SparkSpecBase {
     assert(cr === cl, s"crashed twin diverged: $cr vs $cl")
   }
 
+  test("WARC id pack fails loudly (never wraps) at the 18-bit batch budget") {
+    val root = Files.createTempDirectory("graft-ci-warcbound-").toString
+    implicit val settings: GraftSettings = GraftSettings.local(root)
+    val p = new CorpusIngest(spark, s"$root/p")
+    val fake = Seq(("x.warc", Array[Byte]())).toDF("path", "content")
+    // last in-budget batch id passes the guard; the next one refuses
+    p.warcBatchToDocs(fake, (1L << 18) - 1, htmlPayloads = false)
+    val ex = intercept[IllegalArgumentException] {
+      p.warcBatchToDocs(fake, 1L << 18, htmlPayloads = false)
+    }
+    assert(ex.getMessage.contains("18-bit"), ex.getMessage)
+  }
+
   test("curated replay anti-join stat-prunes to the crash-window files, not the whole corpus") {
     val root = Files.createTempDirectory("graft-ci-prune-").toString
     implicit val settings: GraftSettings = GraftSettings.local(root)

@@ -58,6 +58,35 @@ class GraftTableSpec extends SparkSpecBase {
     assert(ghost.read().count() === 1)
   }
 
+  test("log listing cache: a second PROCESS's commit is visible immediately") {
+    // The instance-level test above still shares a JVM (and Hadoop's
+    // FileSystem cache) between writer and reader. Here the new commit is
+    // published by an OS subprocess (`cp`), so NO in-process code path can
+    // have invalidated the reader's cache — only the next-version
+    // existence probe can detect it. Pins the d26 fix against refactors
+    // that would tie invalidation to in-JVM write paths.
+    import scala.sys.process._
+    val dir = Files.createTempDirectory("graft-table-xproc-").toString
+    val path = s"file://$dir/t"
+    GraftTable(spark, path)(GraftSettings.default)
+      .append(Seq((1, "a")).toDF("id", "v"))
+    val reader = GraftTable(spark, path)(GraftSettings.default)
+    // prime the reader's listing cache
+    assert(reader.version === 1 && reader.read().count() === 1)
+    // stage the foreign commit: clone the table dir, append version 2 to
+    // the CLONE (file names are table-relative, so its commit is portable)
+    assert(Seq("cp", "-r", s"$dir/t", s"$dir/stage").! === 0)
+    GraftTable(spark, s"file://$dir/stage")(GraftSettings.default)
+      .append(Seq((2, "b")).toDF("id", "v"))
+    // external publication: a subprocess copies only the files the clone
+    // added (no-clobber), exactly what a second writer process leaves
+    assert(Seq("bash", "-c", s"cp -rn '$dir/stage/.' '$dir/t/'").! === 0)
+    assert(reader.version === 2,
+      "cached listing served a stale version after a foreign-process commit")
+    assert(reader.read().count() === 2,
+      "cached listing served stale live files after a foreign-process commit")
+  }
+
   test("upsert applies CDC merge semantics (update/insert/delete)") {
     val t = tmpTable()
     t.append(Seq((1, "one", 10.0), (2, "two", 20.0), (3, "three", 30.0))
