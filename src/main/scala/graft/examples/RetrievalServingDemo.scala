@@ -17,17 +17,28 @@ import java.nio.file.Files
   *  2. serving: the IVF-PQ index answers a k′=20 ADC shortlist through
   *     its cell-pruned compressed scan, and `exactRerank` buys back the
   *     approximation error with O(probes × k′) exact work (e27's shape);
-  *  3. hybrid search: a metadata predicate rides the cell-pruned scan of
+  *  3. filtered search: a metadata predicate rides the cell-pruned scan of
   *     the attribute-carrying [[graft.ext.IvfIndex]] (e26's shape);
-  *  4. right-to-erasure: `eraseVectors` tombstones every index at once.
+  *  4. TRUE hybrid search: a persisted BM25 [[graft.ext.LexIndex]] over
+  *     the document text answers a lexical shortlist, fused with the
+  *     ANN shortlist by reciprocal-rank fusion
+  *     ([[Similarity.rrfFuse]], e28's shape) — rank-only, so pico-BM25
+  *     and cosine need no score calibration;
+  *  5. right-to-erasure: `eraseVectors` tombstones every index at once.
   *
   * {{{ sbt "runMain graft.examples.RetrievalServingDemo" }}}
   */
 object RetrievalServingDemo {
 
-  /** Core path, callable from the spec: returns (rerankedTop5, filteredTop5). */
-  def run(spark: SparkSession, root: String, emb: DataFrame)(
-      implicit settings: GraftSettings): (DataFrame, DataFrame) = {
+  /** The demo's serving answers, plus the two hybrid-input shortlists so
+    * the spec can verify the fusion independently. */
+  final case class Served(reranked: DataFrame, filtered: DataFrame,
+      fused: DataFrame, vecTop: DataFrame, lexTop: DataFrame)
+
+  /** Core path, callable from the spec. `docs` is the text side of the
+    * same corpus (doc_id aligned with vec_id). */
+  def run(spark: SparkSession, root: String, emb: DataFrame, docs: DataFrame)(
+      implicit settings: GraftSettings): Served = {
     // 1. stream the corpus in (two arrivals -> two checkpointed batches)
     val ingest = new EmbeddingIngest(spark, s"$root/pipe",
       ivfLists = 8, ivfPqM = 4)
@@ -56,7 +67,18 @@ object RetrievalServingDemo {
     val filtered = hybrid.query(probes, "vec_id", "embedding", k = 5,
       nProbe = 3, corpusFilter = Some(col("label").isin(1, 3, 5)))
 
-    (reranked, filtered)
+    // 4. true hybrid: BM25 lexical shortlist (persisted inverted index
+    //    over the text side) ⊕ ANN shortlist, reciprocal-rank fused
+    val lex = new graft.ext.LexIndex(spark, s"$root/lex")
+    lex.add(docs, "doc_id", "text")
+    val lexTop = lex.search(docs.filter(col("doc_id") < 3), "doc_id", "text",
+        k = 10, excludeSelf = true)
+      .select(col("query_id").as("probe_id"), col("doc_id").as("neighbor_id"), col("rnk"))
+    val vecTop = ingest.annIndex.query(probes, "vec_id", "embedding", k = 10)
+      .select("probe_id", "neighbor_id", "rnk")
+    val fused = Similarity.rrfFuse(Seq(vecTop, lexTop), k = 5)
+
+    Served(reranked, filtered, fused, vecTop, lexTop)
   }
 
   def main(args: Array[String]): Unit = {
@@ -70,13 +92,16 @@ object RetrievalServingDemo {
     spark.sparkContext.setLogLevel("WARN")
     val root = Files.createTempDirectory("graft-retrieval-demo-").toString
     implicit val settings: GraftSettings = GraftSettings.local(root)
-    val emb = spark.read.parquet(
-      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001") + "/embeddings.parquet")
-    val (reranked, filtered) = run(spark, root, emb)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val served = run(spark, root, emb, docs)
     println("— two-stage (IVF-PQ shortlist + exact rerank) top-5 —")
-    reranked.orderBy(col("probe_id"), col("rnk")).show(15, truncate = false)
-    println("— hybrid (label IN (1,3,5)) top-5 —")
-    filtered.orderBy(col("probe_id"), col("rnk")).show(15, truncate = false)
+    served.reranked.orderBy(col("probe_id"), col("rnk")).show(15, truncate = false)
+    println("— filtered (label IN (1,3,5)) top-5 —")
+    served.filtered.orderBy(col("probe_id"), col("rnk")).show(15, truncate = false)
+    println("— hybrid (BM25 ⊕ ANN, reciprocal-rank fused) top-5 —")
+    served.fused.orderBy(col("probe_id"), col("rnk")).show(15, truncate = false)
     graft.lake.FsUtils.deletePath(spark, s"file://$root")
     spark.stop()
   }

@@ -1,0 +1,287 @@
+package graft.ext
+
+import graft.conf.GraftSettings
+import graft.tables.GraftTable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Persisted BM25 inverted index — the lexical side of a retrieval tier,
+  * completing the serving stack next to the vector indexes ([[AnnIndex]],
+  * [[IvfIndex]], [[PqIndex]], [[IvfPqIndex]]): tokenize the corpus ONCE
+  * at ingest, query many times by keyword, fuse with an ANN shortlist via
+  * [[Similarity.rrfFuse]] for hybrid search.
+  *
+  * Layout: three [[GraftTable]]s under `path` —
+  *  - `postings` (th, doc_id, tf, dl): one row per (token, document),
+  *    keyed by the token's xxhash64 `th` and range-CLUSTERED on it, so a
+  *    query's bounded term set IN-prunes the scan to the files whose
+  *    [min,max] th range can hold a probed term — O(files holding probed
+  *    terms), never O(index). The document length `dl` is DENORMALIZED
+  *    into each posting (Lucene's norms-with-postings shape, +4 bytes a
+  *    row): BM25's length normalization then needs NO corpus-sized join
+  *    at query time.
+  *  - `docs` (doc_id, dl): one slim row per ingested document, including
+  *    zero-token docs — the doc-length store that lets erasure adjust the
+  *    corpus stats exactly (tombstone sets are bounded between purges, so
+  *    the adjustment is a broadcast semi-join against this table).
+  *  - `stats` (token, n_docs, sum_dl): ONE row per ingest batch. Corpus
+  *    totals (N, avgdl) at query time are a sum over #batches rows — a
+  *    metadata-plane aggregate, never a corpus scan.
+  * plus the shared `applied` (ingest tokens) and `removed` (tombstones)
+  * tables of the [[Tombstoned]] contract.
+  *
+  * Document frequency is NOT a maintained table: df(t) is counted from
+  * the live postings of the probed terms themselves — the pruned scan
+  * already holds exactly one row per (term, doc), so `count per th` IS
+  * df, always current under adds and tombstones, with nothing to keep in
+  * sync (the reason the classic "df table" drifts in incremental
+  * deployments).
+  *
+  * Scoring is the d19/d24 integer-micro portability discipline: each
+  * idf and tf-normalization factor is computed in IEEE double, frozen to
+  * micro units through a DECIMAL(28,6) cast, and the per-term products
+  * are summed as exact BIGINTs (1e-12 units) — bit-identical on any
+  * engine, hash-safe against a DuckDB mirror.
+  *
+  * Tokenization is [[TextAnalysis.normalize]] + whitespace split (the
+  * d10 corpus-vocabulary contract), so the index, the corpus-stats
+  * queries, and the BPE machinery all agree on what a token is.
+  */
+final class LexIndex(
+    spark: SparkSession,
+    path: String)(implicit settings: GraftSettings = GraftSettings.default)
+  extends Tombstoned {
+
+  private[ext] val postingsTable = GraftTable(spark, s"$path/postings")
+  // no file stats for docs/stats: both are consumed whole (totals, or a
+  // bounded tombstone semi-join) — never through a pruned read
+  private[ext] val docsTable = GraftTable(spark, s"$path/docs")(
+    settings.copy(collectFileStats = false))
+  private[ext] val statsTable = GraftTable(spark, s"$path/stats")(
+    settings.copy(collectFileStats = false))
+  private[ext] val appliedTable = GraftTable(spark, s"$path/applied")
+  private[ext] val removedTable = GraftTable(spark, s"$path/removed")
+  protected def tombstoneIdCol: String = "doc_id"
+  protected def tombstoneSettings: GraftSettings = settings
+
+  // crash-injection points for the replay-contract specs (no-op unless armed)
+  private[graft] val failpoints = new Failpoints
+
+  /** Whether any batch has been indexed yet — a log probe (cached
+    * listing), NOT a data scan. */
+  def hasStore: Boolean = docsTable.exists
+
+  def indexedCount: Long =
+    if (!docsTable.exists) 0L
+    else withoutTombstoned(docsTable.read(), "doc_id").count()
+
+  /** Normalized non-empty token array of `textCol` — the d10 contract. */
+  private def tokArr(textCol: String) =
+    filter(split(TextAnalysis.normalize(col(textCol)), " "), t => length(t) > 0)
+
+  private def tokenApplied(token: String): Boolean =
+    appliedTable.exists &&
+      appliedTable.read().filter(col("token") === token).limit(1).count() > 0
+
+  /** Tokenize and append a batch of (id, text) rows. Ids must be globally
+    * unique across adds; zero-token documents still count toward N.
+    *
+    * Replay safety (the [[AnnIndex]]/[[IvfIndex]] contract): pass
+    * `ingestToken` (e.g. the foreachBatch batchId) to make ingestion
+    * IDEMPOTENT under at-least-once delivery — the token is recorded
+    * BEFORE the appends, and a replayed token appends only the batch rows
+    * missing from each store (each append is one atomic commit, so a
+    * crash leaves whole-table gaps the anti-join fill closes exactly,
+    * never double-counting a posting or a stats row). */
+  def add(df: DataFrame, idCol: String, textCol: String,
+      ingestToken: Option[String] = None): Unit = {
+    import spark.implicits._
+    val replay = ingestToken.exists(tokenApplied)
+    // tombstoned ids never (re-)enter the index: a late or replayed batch
+    // carrying an id removed in the meantime must not resurrect it
+    val in = withoutTombstoned(df, idCol)
+    // one tokenization pass, materialized: postings AND docs both derive
+    // from it (the explode must not re-run the normalize regex per store)
+    val base = Parallelism.materialize(
+      in.select(col(idCol).as("doc_id"), tokArr(textCol).as("__toks")))
+    // empty batch (streaming no-op delivery, or fully tombstoned): nothing
+    // to index — an unrecorded token just re-noops on redelivery
+    if (base.isEmpty) return
+    val docs0 = base.select(col("doc_id"), size(col("__toks")).cast("int").as("dl"))
+    // (doc_id, token, tf, dl) in ONE aggregation: dl is functionally
+    // dependent on doc_id, so carrying it through the groupBy keys is free
+    // — no second shuffle to re-attach document lengths
+    val postings0 = Parallelism.materialize( // appendClustered's range sampler would re-run the explode
+      base.select(col("doc_id"), size(col("__toks")).cast("int").as("dl"),
+          explode(col("__toks")).as("__tok"))
+        .groupBy(col("doc_id"), col("dl"), col("__tok"))
+        .agg(count(lit(1)).cast("int").as("tf"))
+        .select(xxhash64(col("__tok")).as("th"), col("doc_id"), col("tf"), col("dl")))
+    // batch stats: ONE driver-side row (metadata-plane, like every index's
+    // schema probe) — the totals store that keeps N/avgdl off the corpus
+    val s0 = docs0.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
+    val stats0 = Seq((ingestToken.orNull, s0.getLong(0), s0.getLong(1)))
+      .toDF("token", "n_docs", "sum_dl")
+    // token recorded BEFORE the appends (the shared index ordering): a
+    // crash in between leaves a gap the replay path fills idempotently
+    ingestToken.filter(_ => !replay).foreach { t =>
+      appliedTable.append(Seq(Tuple1(t)).toDF("token"))
+    }
+    failpoints.hit("after-token")
+    val (postings, docs, statsMissing) =
+      if (!replay) (postings0, docs0, true)
+      else {
+        // rare path: per-store anti-join against CURRENT content — a
+        // completed first attempt re-appends nothing, a crash gap only its
+        // missing rows (appends are atomic commits, so gaps are per-table)
+        def missingFrom(t: GraftTable, rows: DataFrame): DataFrame =
+          if (!t.exists) rows
+          else rows.join(t.read().select(col("doc_id")).distinct(),
+            Seq("doc_id"), "left_anti")
+        val sm = !statsTable.exists || ingestToken.forall { tk =>
+          statsTable.read().filter(col("token") === tk).limit(1).count() == 0
+        }
+        (missingFrom(postingsTable, postings0), missingFrom(docsTable, docs0), sm)
+      }
+    // postings range-clustered on th so query-time IN-pruning works; docs
+    // and stats append flat (consumed whole, never pruned)
+    if (!replay || postings.limit(1).count() > 0)
+      postingsTable.appendClustered(postings, Seq("th"))
+    failpoints.hit("after-postings")
+    if (!replay || docs.limit(1).count() > 0)
+      docsTable.append(docs)
+    failpoints.hit("after-docs")
+    if (statsMissing) statsTable.append(stats0)
+    // store maintenance: thousands of ingest batches must not accumulate
+    // unbounded small files; the postings compaction re-clusters so the
+    // th ranges stay tight and IN-pruning survives the rewrite
+    postingsTable.compactClusteredIfNeeded(Seq("th"))
+    docsTable.compactIfNeeded()
+    statsTable.compactIfNeeded()
+  }
+
+  /** Live corpus totals (N, sum dl): the stats-table sum, minus the
+    * tombstoned docs' contribution (bounded between purges — a broadcast
+    * semi-join against the slim docs table, never a postings scan). */
+  private def liveTotals(): (Long, Long) = {
+    val t0 = statsTable.read()
+      .agg(coalesce(sum(col("n_docs")), lit(0L)), coalesce(sum(col("sum_dl")), lit(0L)))
+      .head()
+    val (n0, s0) = (t0.getLong(0), t0.getLong(1))
+    tombstones.fold((n0, s0)) { r =>
+      val a = docsTable.read()
+        .join(Parallelism.maybeBroadcast(
+            r.withColumnRenamed(tombstoneIdCol, "doc_id"),
+            settings.probeBroadcastThresholdBytes),
+          Seq("doc_id"), "left_semi")
+        .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
+      (n0 - a.getLong(0), s0 - a.getLong(1))
+    }
+  }
+
+  /** BM25 top-`k` against everything added so far. `queries` is any
+    * (id, text) frame; its DISTINCT normalized tokens are the query terms
+    * (query-side tf is deliberately ignored — the short-query standard).
+    * Returns (query_id, doc_id, rnk, score_pico) where `score_pico` is
+    * the exact-BIGINT BM25 score in 1e-12 units:
+    * Σ_t micro(ln(1 + (N−df+0.5)/(df+0.5))) · micro(tf·(k1+1) / (tf +
+    * k1·(1−b+b·dl/avgdl))), ties broken on doc_id.
+    *
+    * Scale shape: the query batch's bounded term set is collected
+    * driver-side (capped at `settings.annPruneMaxKeys`, past which a
+    * degrade path scans the postings without the isin-literal plan cost),
+    * IN-prunes the clustered postings scan, and broadcasts into the
+    * candidate join — the stored side never shuffles, df comes from the
+    * pruned rows themselves, and dl rides the postings, so NO corpus-
+    * sized frame is touched beyond the pruned scan.
+    *
+    * `excludeSelf` drops candidates whose doc_id equals the query id
+    * BEFORE ranking (more-like-this retrieval, where queries are corpus
+    * documents) — lower-ranked docs fill in, like tombstones. */
+  def search(queries: DataFrame, idCol: String, textCol: String, k: Int,
+      excludeSelf: Boolean = false,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(postingsTable.exists, s"empty lexical index at $path")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val qTerms0 = queries
+      .select(col(idCol).as("query_id"), explode(tokArr(textCol)).as("__tok"))
+      .distinct()
+      .withColumn("th", xxhash64(col("__tok")))
+      .drop("__tok")
+    // consumed twice (key-set collect + candidate join): query batches are
+    // probe-sized by contract, so the barrier is cheap
+    val qTerms = Parallelism.materialize(qTerms0)
+    // bounded driver-side key set; past the cap the full-scan path takes
+    // over (still a broadcast candidate join — no stored-side shuffle,
+    // just no file pruning), same trade as AnnIndex.query
+    val maxKeys = settings.annPruneMaxKeys
+    val probeKeys = qTerms.select(col("th")).distinct()
+      .limit(maxKeys + 1).collect().map(_.getLong(0))
+    val stored0 =
+      if (probeKeys.length <= maxKeys)
+        postingsTable.readWhere(col("th").isin(probeKeys.toSeq: _*))
+      else postingsTable.read()
+    // tombstoned docs drop BEFORE df counting and ranking, so both the
+    // scores and the top-k equal a store physically without those rows.
+    // Materialized: the pruned slice (only probed terms' postings) feeds
+    // TWO consumers — the df count and the candidate join.
+    val stored = Parallelism.materialize(withoutTombstoned(stored0, "doc_id"))
+    // df per probed term from the pruned rows themselves: one row per
+    // (term, doc) makes count == document frequency, always current
+    val dfs = stored.groupBy(col("th")).agg(count(lit(1)).as("df"))
+    val (n, sumDl) = liveTotals()
+    require(n > 0, s"lexical index at $path holds no live documents")
+    val avgdl = sumDl.toDouble / n
+    val joined0 = stored
+      .join(Parallelism.maybeBroadcast(qTerms,
+        settings.probeBroadcastThresholdBytes), Seq("th"))
+    val joined = if (excludeSelf) joined0.filter(col("doc_id") =!= col("query_id")) else joined0
+    // the d24 freeze: each factor double -> DECIMAL(28,6) -> micro BIGINT,
+    // products and sums exact integer math from here on
+    def micro(x: org.apache.spark.sql.Column) =
+      (x.cast("decimal(28,6)") * lit(1000000)).cast("long")
+    val idf = micro(log(lit(1.0) +
+      (lit(n.toDouble) - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5))))
+    val tfn = micro((col("tf").cast("double") * lit(k1 + 1.0)) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / lit(avgdl)))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_pico").desc, col("doc_id"))
+    joined
+      // df is #probed-terms rows — broadcast into the scoring join
+      .join(broadcast(dfs), Seq("th"))
+      .withColumn("__term_pico", idf * tfn)
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("__term_pico")).as("score_pico"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("query_id", "doc_id", "rnk", "score_pico")
+  }
+
+  /** [[Tombstoned.purge]]'s store rewrite: drops the removed docs'
+    * postings (re-clustered on th so IN-pruning survives), their docs
+    * rows, and rewrites the stats table to ONE consolidated row re-derived
+    * from the kept docs — totals stay exact across any number of
+    * purge/add cycles. */
+  protected def purgeRewrite(removedIds: DataFrame): Unit = {
+    import spark.implicits._
+    val rb = Parallelism.maybeBroadcast(removedIds, settings.probeBroadcastThresholdBytes)
+    if (postingsTable.exists) {
+      val kept = Parallelism.materialize(
+        postingsTable.read().join(rb, Seq("doc_id"), "left_anti"))
+      postingsTable.overwrite(
+        kept.repartitionByRange(math.max(1, postingsTable.liveFiles().size),
+          col("th")).sortWithinPartitions("th"))
+    }
+    if (docsTable.exists) {
+      val kept = Parallelism.materialize(
+        docsTable.read().join(rb, Seq("doc_id"), "left_anti"))
+      docsTable.overwrite(kept)
+      val s = kept.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
+      statsTable.overwrite(
+        Seq(("purged", s.getLong(0), s.getLong(1))).toDF("token", "n_docs", "sum_dl"))
+    }
+  }
+}

@@ -942,6 +942,41 @@ object Similarity {
       .select("probe_id", "neighbor_id", "rnk", "sim")
   }
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of several top-k
+    * shortlists — the standard lexical⊕vector hybrid-search merge: each
+    * list contributes `1/(k0 + rank)` per item, summed across lists, so
+    * fusion needs NO score calibration between BM25 pico-units and cosine
+    * similarities (rank is the only input — the reason RRF beats linear
+    * score mixing across heterogeneous retrievers). Every input frame
+    * must carry (probe_id, neighbor_id, rnk) — e.g. [[LexIndex.search]]
+    * renamed, [[AnnIndex.query]] as-is. `k0 = 60` is the paper's
+    * constant.
+    *
+    * Engine-portable: each reciprocal is frozen to micro units through
+    * the d24 DECIMAL(28,6) discipline before the exact-BIGINT sum; ties
+    * break on neighbor_id.
+    *
+    * Scale: inputs are probes×k-sized shortlists — the union + one
+    * aggregation + per-probe window are all bounded by the shortlists,
+    * never corpus-sized. */
+  def rrfFuse(lists: Seq[DataFrame], k: Int, k0: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one shortlist")
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(k0 >= 0, s"k0 must be >= 0, got $k0")
+    val terms = lists.map(_.select(col("probe_id"), col("neighbor_id"),
+        ((lit(1.0) / (lit(k0).cast("double") + col("rnk").cast("double")))
+          .cast("decimal(28,6)") * lit(1000000)).cast("long").as("__rrf")))
+      .reduce(_ unionByName _)
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("rrf_micro").desc, col("neighbor_id"))
+    terms
+      .groupBy(col("probe_id"), col("neighbor_id"))
+      .agg(sum(col("__rrf")).as("rrf_micro"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("probe_id", "neighbor_id", "rnk", "rrf_micro")
+  }
+
   def recallAtK(ann: DataFrame, truth: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val truthK = truth.filter(col("rnk") <= k)

@@ -86,4 +86,42 @@ object QueryDsl {
   def ratio6Sql(num: String, den: String): String =
     s"CAST(CAST(CAST((2 * ($num) * 1000000 + ($den)) // (2 * ($den)) AS DECIMAL(12,0))" +
       s" * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(18,6)) AS DOUBLE)"
+
+  /** DuckDB CTE chain mirroring [[graft.ext.LexIndex]]'s BM25 search over
+    * `documents` in more-like-this mode (query docs `doc_id <
+    * maxQueryId`, self excluded, k1 = 1.2, b = 0.75, distinct query
+    * terms): defines `bm` = (query_id, doc_id, score_pico, rn) with `rn`
+    * the per-query BM25 rank. Returned WITHOUT the leading `WITH` so it
+    * composes into a larger chain (e28 fuses it with the LSH CTEs); CTE
+    * names are l-prefixed to avoid collisions. Shared by d51 and e28 —
+    * the index result must equal this corpus-level recomputation, so the
+    * oracle gates the whole postings/stats/pruning machinery. Every
+    * fractional factor freezes to micro units through DECIMAL(28,6) (the
+    * d24 discipline) before the exact-BIGINT product/sum. */
+  def bm25CtesSql(maxQueryId: Int): String =
+    s"""ltok AS (SELECT doc_id,
+          unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS token
+        FROM documents),
+      lt2 AS (SELECT doc_id, token FROM ltok WHERE length(token) > 0),
+      ltf AS (SELECT doc_id, token, count(*) AS tf FROM lt2 GROUP BY 1, 2),
+      ldl AS (SELECT d.doc_id, coalesce(x.dl, 0) AS dl
+              FROM documents d LEFT JOIN
+                (SELECT doc_id, count(*) AS dl FROM lt2 GROUP BY 1) x USING (doc_id)),
+      lst AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM ldl),
+      ldf AS (SELECT token, count(*) AS df FROM ltf GROUP BY 1),
+      lq AS (SELECT DISTINCT doc_id AS query_id, token FROM lt2 WHERE doc_id < $maxQueryId),
+      lsc AS (SELECT lq.query_id, ltf.doc_id,
+                CAST(CAST(ln(1.0 + (CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                    / (CAST(df AS DOUBLE) + 0.5)) AS DECIMAL(28,6)) * 1000000 AS BIGINT)
+                * CAST(CAST((CAST(tf AS DOUBLE) * (1.2 + 1.0))
+                    / (CAST(tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))
+                    AS DECIMAL(28,6)) * 1000000 AS BIGINT) AS term_pico
+              FROM lq JOIN ltf USING (token) JOIN ldf USING (token)
+                   JOIN ldl ON ltf.doc_id = ldl.doc_id CROSS JOIN lst
+              WHERE ltf.doc_id <> lq.query_id),
+      lagg AS (SELECT query_id, doc_id, CAST(sum(term_pico) AS BIGINT) AS score_pico
+               FROM lsc GROUP BY 1, 2),
+      bm AS (SELECT query_id, doc_id, score_pico,
+               row_number() OVER (PARTITION BY query_id ORDER BY score_pico DESC, doc_id) AS rn
+             FROM lagg)"""
 }

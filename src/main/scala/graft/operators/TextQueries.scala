@@ -1598,7 +1598,35 @@ object TextQueries {
         ps AS (SELECT CAST(sum(term) AS BIGINT) AS psi12 FROM terms)
         SELECT t1 - n_bins AS n1, t2 - n_bins AS n2, n_bins,
           CAST(psi12 AS DOUBLE) / 1000000000000.0 AS psi
-        FROM ps CROSS JOIN ptot"""))
+        FROM ps CROSS JOIN ptot""")),
+
+    // Persisted BM25 lexical retrieval — the keyword side of the serving
+    // stack (the vector side is e12-e27): a LexIndex built INCREMENTALLY
+    // (two adds) over the corpus, queried more-like-this with the first
+    // five documents, must equal a corpus-level BM25 recomputation — so
+    // the oracle gates the inverted-index machinery end-to-end (clustered
+    // postings, IN-pruned scan, live-df counting, stats-table totals,
+    // integer-micro scoring).
+    CatalogQuery(
+      "d51_bm25_topk",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val tmp = java.nio.file.Files.createTempDirectory("graft-d51-").toString
+        // stats stay ON: search() IN-prunes the clustered postings by the
+        // query-term hash set, which needs per-file min/max stats
+        val idx = new graft.ext.LexIndex(s, s"file://$tmp")
+        idx.add(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+        idx.add(docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text")
+        val out = idx.search(docs.filter(col("doc_id") < 5), "doc_id", "text",
+            k = 10, excludeSelf = true)
+          .orderBy(col("query_id"), col("rnk"))
+          .localCheckpoint(true) // materialize, then drop the scratch index
+        graft.lake.FsUtils.deletePath(s, s"file://$tmp")
+        out
+      },
+      Some(s"""WITH ${QueryDsl.bm25CtesSql(maxQueryId = 5)}
+        SELECT query_id, doc_id, CAST(rn AS INTEGER) AS rnk, score_pico
+        FROM bm WHERE rn <= 10 ORDER BY query_id, rnk"""))
   )
 
   /** Shared d49/d50 fixture: every doc scored under the d42 NB model —

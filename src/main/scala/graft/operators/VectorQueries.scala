@@ -978,7 +978,68 @@ object VectorQueries {
             row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rn
           FROM rx)
         SELECT probe_id, neighbor_id, CAST(rn AS INTEGER) AS rnk, sim
-        FROM kx WHERE rn <= 5 ORDER BY probe_id, rnk"""))
+        FROM kx WHERE rn <= 5 ORDER BY probe_id, rnk""")),
+
+    // TRUE hybrid search — the serving capstone: a persisted BM25 lexical
+    // shortlist (LexIndex over documents, d51 machinery) fused with a
+    // persisted ANN shortlist (AnnIndex over embeddings, e12 machinery)
+    // by reciprocal-rank fusion. Rank-only fusion needs no calibration
+    // between pico-BM25 and cosine — and is exactly reproducible, so the
+    // oracle recomputes BOTH retrievers corpus-level and the same RRF
+    // merge. (e26 is FILTERED vector search; this is lexical⊕vector.)
+    CatalogQuery(
+      "e28_hybrid_rrf",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val docs = t(s, dir, "documents")
+        val tmp = java.nio.file.Files.createTempDirectory("graft-e28-").toString
+        val ann = new graft.ext.AnnIndex(s, s"file://$tmp/ann",
+          nTables = 8, bitsPerTable = 6, portable = true)
+        ann.add(emb, "vec_id", "embedding")
+        val lex = new graft.ext.LexIndex(s, s"file://$tmp/lex")
+        lex.add(docs, "doc_id", "text")
+        val vecTop = ann.query(emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+        val lexTop = lex.search(docs.filter(col("doc_id") < 5), "doc_id", "text",
+            k = 10, excludeSelf = true)
+          .select(col("query_id").as("probe_id"), col("doc_id").as("neighbor_id"), col("rnk"))
+        val out = Similarity.rrfFuse(Seq(vecTop, lexTop), k = 10)
+          .orderBy(col("probe_id"), col("rnk"))
+          .localCheckpoint(true) // materialize, then drop the scratch indexes
+        graft.lake.FsUtils.deletePath(s, s"file://$tmp")
+        out
+      },
+      Some(s"""${bucketsSql(nTables = 8, bitsPerTable = 6)},
+        vcand AS (SELECT DISTINCT c.vec_id AS neighbor_id, pr.vec_id AS probe_id
+                  FROM buck c JOIN buck pr ON c.tbl = pr.tbl AND c.bucket = pr.bucket
+                  WHERE pr.vec_id < 5 AND c.vec_id <> pr.vec_id),
+        vwv AS (SELECT vcand.probe_id, vcand.neighbor_id, p.embedding AS pe, n.embedding AS ne
+                FROM vcand JOIN embeddings p ON p.vec_id = vcand.probe_id
+                           JOIN embeddings n ON n.vec_id = vcand.neighbor_id),
+        vr AS (SELECT probe_id, neighbor_id,
+                 CAST(${qdotSql("pe", "ne")} AS DOUBLE)
+                   / sqrt(CAST(${qdotSql("pe", "pe")} AS DOUBLE) * CAST(${qdotSql("ne", "ne")} AS DOUBLE)) AS sim
+               FROM vwv),
+        vtop AS (SELECT probe_id, neighbor_id, rn FROM (
+                   SELECT probe_id, neighbor_id,
+                     row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rn
+                   FROM vr) WHERE rn <= 10),
+        ${QueryDsl.bm25CtesSql(maxQueryId = 5)},
+        ltop AS (SELECT query_id AS probe_id, doc_id AS neighbor_id, rn
+                 FROM bm WHERE rn <= 10),
+        u AS (SELECT probe_id, neighbor_id,
+                CAST(CAST(1.0 / (60 + rn) AS DECIMAL(28,6)) * 1000000 AS BIGINT) AS rrf
+              FROM vtop
+              UNION ALL
+              SELECT probe_id, neighbor_id,
+                CAST(CAST(1.0 / (60 + rn) AS DECIMAL(28,6)) * 1000000 AS BIGINT) AS rrf
+              FROM ltop),
+        fa AS (SELECT probe_id, neighbor_id, CAST(sum(rrf) AS BIGINT) AS rrf_micro
+               FROM u GROUP BY 1, 2),
+        fr AS (SELECT probe_id, neighbor_id, rrf_micro,
+                 row_number() OVER (PARTITION BY probe_id ORDER BY rrf_micro DESC, neighbor_id) AS rn
+               FROM fa)
+        SELECT probe_id, neighbor_id, CAST(rn AS INTEGER) AS rnk, rrf_micro
+        FROM fr WHERE rn <= 10 ORDER BY probe_id, rnk"""))
   )
 
   // Shared by e23 (one-shot filtered ivfTopK) and e26 (persisted IvfIndex

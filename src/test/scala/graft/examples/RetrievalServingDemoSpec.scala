@@ -15,8 +15,10 @@ class RetrievalServingDemoSpec extends SparkSpecBase {
     val root = Files.createTempDirectory("graft-demo-spec-").toString
     implicit val settings: GraftSettings = GraftSettings.local(root)
     val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
     val probes = emb.filter(col("vec_id") < 3)
-    val (reranked, filtered) = RetrievalServingDemo.run(spark, root, emb)
+    val served = RetrievalServingDemo.run(spark, root, emb, docs)
+    val (reranked, filtered) = (served.reranked, served.filtered)
 
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.select("probe_id", "neighbor_id", "rnk")
@@ -51,6 +53,22 @@ class RetrievalServingDemoSpec extends SparkSpecBase {
       k = 5, nLists = 8, nProbe = 3,
       corpusFilter = Some(col("label").isin(1, 3, 5))))
     assert(pairs(filtered) === wantFiltered)
+
+    // true hybrid: the fused top-5 must equal a hand-computed RRF of the
+    // two shortlists the demo returns — an INDEPENDENT recomputation of
+    // the fusion formula (plain Scala, not rrfFuse), so the demo's claim
+    // about what "hybrid" means is checked, not just echoed
+    val lists = Seq(served.vecTop, served.lexTop).map(pairs)
+    val rrf = lists.flatMap(_.toSeq)
+      .groupBy(t => (t._1, t._2))
+      .map { case ((p, n), rows) =>
+        (p, n, rows.map(t => math.floor(1.0e6 / (60 + t._3) + 0.5).toLong).sum)
+      }.toSeq
+    val want = rrf.groupBy(_._1).flatMap { case (_, rows) =>
+      rows.sortBy(t => (-t._3, t._2)).take(5).zipWithIndex
+        .map { case ((p, n, _), i) => (p, n, i + 1) }
+    }.toSet
+    assert(pairs(served.fused) === want, "fused shortlist is not the RRF of its inputs")
     graft.lake.FsUtils.deletePath(spark, s"file://$root")
   }
 }

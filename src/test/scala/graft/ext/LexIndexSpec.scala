@@ -1,0 +1,153 @@
+package graft.ext
+
+import graft.SparkSpecBase
+import graft.conf.GraftSettings
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Contract tests for the persisted BM25 inverted index: incremental
+  * builds equal one-shot builds, ingest-token crash replay converges to
+  * the clean run, the probe-term key set file-prunes the postings scan,
+  * and remove/purge make erased docs vanish from BOTH the ranking and the
+  * corpus statistics (score-identical to an index that never held them).
+  * The DuckDB oracle side of the same machinery is d51/e28.
+  */
+class LexIndexSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val root = Files.createTempDirectory("graft-lex-").toString
+  private implicit val settings: GraftSettings = GraftSettings.local(root)
+
+  private def docs(): DataFrame =
+    spark.read.parquet(s"${sf("sf0.01")}/documents.parquet")
+      .select(col("doc_id"), col("text"))
+
+  private def results(idx: LexIndex, q: DataFrame, k: Int = 10): Set[(Long, Long, Int, Long)] =
+    idx.search(q, "doc_id", "text", k, excludeSelf = true)
+      .as[(Long, Long, Int, Long)].collect().toSet
+
+  test("incremental adds equal a one-shot build (df, totals, ranking)") {
+    val d = docs()
+    val one = new LexIndex(spark, s"$root/one")
+    one.add(d, "doc_id", "text")
+    val inc = new LexIndex(spark, s"$root/inc")
+    inc.add(d.filter(col("doc_id") % 3 === 0), "doc_id", "text")
+    inc.add(d.filter(col("doc_id") % 3 === 1), "doc_id", "text")
+    inc.add(d.filter(col("doc_id") % 3 === 2), "doc_id", "text")
+    val q = d.filter(col("doc_id") < 5)
+    val a = results(one, q)
+    assert(a.nonEmpty)
+    assert(results(inc, q) === a, "incremental build diverged from one-shot")
+    assert(inc.indexedCount === d.count())
+  }
+
+  test("search is a pruned scan: probe-term keys skip non-matching postings files") {
+    val d = docs()
+    val idx = new LexIndex(spark, s"$root/prune")
+    // several clustered appends so the store holds multiple files with
+    // tight th ranges
+    (0 until 4).foreach { i =>
+      idx.add(d.filter(col("doc_id") % 4 === i), "doc_id", "text",
+        ingestToken = Some(s"b$i"))
+    }
+    // a SHORT query is the serving shape: its handful of term hashes hits
+    // a handful of th ranges. (A whole-document query over this tiny
+    // synthetic vocabulary touches almost every range — pruning is a
+    // selectivity win, not a guarantee.)
+    val q = Seq((999L, "hash join")).toDF("doc_id", "text")
+    val keys = q.select(explode(filter(split(TextAnalysis.normalize(col("text")), " "),
+        t => length(t) > 0)).as("tok"))
+      .select(xxhash64(col("tok")).as("th")).distinct().as[Long].collect()
+    val total = idx.postingsTable.liveFiles().size
+    val scanned = idx.postingsTable.prunedFiles(col("th").isin(keys.toSeq: _*)).size
+    assert(scanned < total, s"IN-pruning must skip files: scanned $scanned of $total")
+    assert(idx.search(q, "doc_id", "text", k = 5).count() > 0)
+  }
+
+  test("crash replay: every crash window converges to the clean run") {
+    val d = docs().filter(col("doc_id") < 60)
+    val b0 = d.filter(col("doc_id") < 30)
+    val b1 = d.filter(col("doc_id") >= 30)
+    val clean = new LexIndex(spark, s"$root/clean")
+    clean.add(b0, "doc_id", "text", ingestToken = Some("t0"))
+    clean.add(b1, "doc_id", "text", ingestToken = Some("t1"))
+    val q = d.filter(col("doc_id") < 3)
+    val want = results(clean, q)
+    assert(want.nonEmpty)
+    Seq("after-token", "after-postings", "after-docs").foreach { fp =>
+      val idx = new LexIndex(spark, s"$root/crash-$fp")
+      idx.add(b0, "doc_id", "text", ingestToken = Some("t0"))
+      idx.failpoints.arm(fp)
+      intercept[Exception] { idx.add(b1, "doc_id", "text", ingestToken = Some("t1")) }
+      // at-least-once redelivery of the same batch under the same token
+      idx.add(b1, "doc_id", "text", ingestToken = Some("t1"))
+      assert(results(idx, q) === want, s"crash window $fp diverged")
+      // no double-counted postings or stats under the replay
+      assert(idx.postingsTable.read().groupBy("th", "doc_id").count()
+        .filter(col("count") > 1).isEmpty, s"$fp duplicated postings")
+      assert(idx.statsTable.read().filter(col("token") === "t1").count() === 1,
+        s"$fp duplicated the batch stats row")
+    }
+  }
+
+  test("remove adjusts ranking AND corpus stats; purge rewrites; re-add re-admits") {
+    val d = docs().filter(col("doc_id") < 80)
+    val full = new LexIndex(spark, s"$root/full")
+    full.add(d, "doc_id", "text")
+    val never = new LexIndex(spark, s"$root/never")
+    never.add(d.filter(col("doc_id") =!= 7L), "doc_id", "text")
+    val q = d.filter(col("doc_id") < 3)
+    full.remove(Seq(Tuple1(7L)).toDF("doc_id"), "doc_id")
+    // scores must equal an index that NEVER held doc 7: df, N, and avgdl
+    // all adjust, not just the candidate list
+    assert(results(full, q) === results(never, q),
+      "tombstoned doc still influences df/N/avgdl")
+    val filesBefore = full.postingsTable.read().count()
+    full.purge()
+    assert(full.postingsTable.read().count() < filesBefore)
+    assert(full.postingsTable.read().filter(col("doc_id") === 7L).isEmpty)
+    assert(full.docsTable.read().filter(col("doc_id") === 7L).isEmpty)
+    assert(results(full, q) === results(never, q), "purge changed results")
+    // post-purge re-admission: the tombstone is gone, so the doc indexes
+    // again and results return to the full-corpus ranking
+    full.add(d.filter(col("doc_id") === 7L), "doc_id", "text")
+    val fresh = new LexIndex(spark, s"$root/fresh")
+    fresh.add(d, "doc_id", "text")
+    assert(results(full, q) === results(fresh, q), "re-added doc not restored")
+  }
+
+  test("zero-token docs count toward N and avgdl; empty queries return empty") {
+    val base = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta something else entirely"),
+      (3L, "gamma delta epsilon zeta"))
+    val punct = (4L, "!!! ??? ...") // normalizes to zero tokens
+    val withZero = new LexIndex(spark, s"$root/zero")
+    withZero.add((base :+ punct).toDF("doc_id", "text"), "doc_id", "text")
+    assert(withZero.indexedCount === 4L)
+    val without = new LexIndex(spark, s"$root/nozero")
+    without.add(base.toDF("doc_id", "text"), "doc_id", "text")
+    val q = Seq((100L, "alpha gamma")).toDF("doc_id", "text")
+    val a = withZero.search(q, "doc_id", "text", k = 5).as[(Long, Long, Int, Long)].collect().toSet
+    val b = without.search(q, "doc_id", "text", k = 5).as[(Long, Long, Int, Long)].collect().toSet
+    // same candidates and ranks, but N=4 vs N=3 changes idf — the
+    // zero-token doc must be IN the statistics
+    assert(a.map(t => (t._1, t._2, t._3)) === b.map(t => (t._1, t._2, t._3)))
+    assert(a !== b, "zero-token doc must still count toward N/avgdl")
+    // empty query frame: empty result, stable schema
+    val empty = withZero.search(q.limit(0), "doc_id", "text", k = 5)
+    assert(empty.columns.toSeq === Seq("query_id", "doc_id", "rnk", "score_pico"))
+    assert(empty.isEmpty)
+  }
+
+  test("rrfFuse: exact micro sums, rank-only, ties on neighbor_id") {
+    val l1 = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("probe_id", "neighbor_id", "rnk")
+    val l2 = Seq((1L, 11L, 1), (1L, 12L, 2)).toDF("probe_id", "neighbor_id", "rnk")
+    val got = Similarity.rrfFuse(Seq(l1, l2), k = 10)
+      .as[(Long, Long, Int, Long)].collect().toSet
+    // micro(1/61)=16393, micro(1/62)=16129
+    assert(got === Set((1L, 11L, 1, 16393L + 16129L), (1L, 10L, 2, 16393L),
+      (1L, 12L, 3, 16129L)))
+  }
+}
