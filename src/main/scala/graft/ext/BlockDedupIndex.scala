@@ -41,31 +41,57 @@ import org.apache.spark.sql.functions._
   * token, a replayed batch corrupts its own stats — only omit it for
   * exactly-once callers.
   *
-  * No `remove`/`purge` here, unlike the other persisted indexes
-  * ([[Tombstoned]]): a block hash is SHARED by every doc containing
-  * that block, so un-claiming a removed doc's hashes would re-admit
-  * duplicates that other retained docs still legitimately suppress.
-  * Correct deletion needs per-hash refcounts (count per ingest, decrement
-  * on remove, drop at zero) — a deliberate seam left out of the 8-byte
-  * store until a caller needs it.
+  * Deletion: a block hash is SHARED by every doc containing that block,
+  * so a [[Tombstoned]]-style un-claim of a removed doc's hashes would
+  * re-admit duplicates that other retained docs still legitimately
+  * suppress. The default 8-byte store therefore has NO remove. Opting
+  * into `trackClaims = true` switches the store to per-hash REFCOUNTS:
+  * `claims` rows (h, d, token) where `d` is a claim-count delta — each
+  * ingest appends +{docs in batch containing h}, [[remove]] recomputes
+  * an erased doc's hashes FROM ITS TEXT and appends the matching
+  * negative deltas, and a hash suppresses duplicates only while its live
+  * count `sum(d)` stays positive — a block whose every claimant was
+  * erased re-admits, a shared block stays suppressed. Append-only deltas
+  * keep the replay contract intact (a batch's claim rows carry its
+  * ingest token, so a replayed append is skipped whole); the history
+  * compacts back to ≤ one row per live hash at [[consolidateClaims]]
+  * cadence. The cost of erasability is the delta history plus 4 bytes of
+  * count per row — callers without a right-to-erasure requirement keep
+  * the flat 8-byte store.
   */
 final class BlockDedupIndex(
     spark: SparkSession,
     path: String,
     blockWords: Int = 32,
     portable: Boolean = false,
-    storeBuckets: Int = 0)(implicit settings: GraftSettings = GraftSettings.default) {
+    storeBuckets: Int = 0,
+    trackClaims: Boolean = false)(implicit settings: GraftSettings = GraftSettings.default) {
 
   private[ext] val blocksTable = GraftTable(spark, s"$path/blocks")
+  private[ext] val claimsTable = GraftTable(spark, s"$path/claims")
   private[ext] val appliedTable = GraftTable(spark, s"$path/applied")
+
+  /** Whether this store refcounts block claims (erasure-capable). */
+  def tracksClaims: Boolean = trackClaims
+
+  /** The store the version/snapshot machinery tracks: claims when
+    * refcounting, the flat hash set otherwise. */
+  private def store: GraftTable = if (trackClaims) claimsTable else blocksTable
 
   // crash-injection point for the replay-contract specs (no-op unless armed)
   private[graft] val failpoints = new Failpoints
   if (storeBuckets > 0 && !blocksTable.exists && blocksTable.bucketSpec.isEmpty)
     blocksTable.setBucketSpec(Seq("h"), storeBuckets)
 
-  /** Distinct block hashes ingested so far. */
-  def indexedCount: Long = if (blocksTable.exists) blocksTable.read().count() else 0L
+  /** Distinct LIVE block hashes: in claims mode, hashes whose refcount is
+    * still positive; otherwise the flat store's row count. */
+  def indexedCount: Long =
+    if (trackClaims)
+      if (!claimsTable.exists) 0L
+      else claimsTable.read().groupBy(col("h"))
+        .agg(sum(col("d")).as("__n")).filter(col("__n") > 0).count()
+    else if (blocksTable.exists) blocksTable.read().count()
+    else 0L
 
   /** The store version a previously applied token observed, if any. */
   private def appliedVersion(token: String): Option[Long] = {
@@ -86,16 +112,28 @@ final class BlockDedupIndex(
     // token re-reads the PRE-INGEST version so its own hashes (appended
     // by the first attempt) don't count as "already known"
     val replayOf = ingestToken.flatMap(appliedVersion)
-    val preVersion = replayOf.getOrElse(blocksTable.version)
+    val preVersion = replayOf.getOrElse(store.version)
     // materialized once: feeds the vote, the index probe, the stats
     // aggregation AND the append
     val blocks = Parallelism.materialize(
       Dedup.blockRows(docs, idCol, textCol, blockWords, portable))
     val winners = Dedup.blockWinners(blocks)
+    // "known" = hashes that suppress duplicates at the snapshot: every
+    // stored hash in the flat mode; hashes with a POSITIVE live refcount
+    // in claims mode (a fully-erased block no longer suppresses — the
+    // whole point of the refcounts)
     val known =
-      if (blocksTable.exists && preVersion > 0)
-        blocksTable.readAt(preVersion).select(col("h").as("__h"))
-      else blocks.select(col("__h")).limit(0)
+      if (!store.exists || preVersion <= 0) blocks.select(col("__h")).limit(0)
+      else if (trackClaims)
+        store.readAt(preVersion)
+          .join(Parallelism.maybeBroadcast(
+              winners.select(col("__h").as("h")),
+              settings.probeBroadcastThresholdBytes),
+            Seq("h"), "left_semi")
+          .groupBy(col("h")).agg(sum(col("d")).as("__n"))
+          .filter(col("__n") > 0)
+          .select(col("h").as("__h"))
+      else store.readAt(preVersion).select(col("h").as("__h"))
     // the batch's hash set broadcasts into the stored scan (one row per
     // distinct hash — `winners` is already per-hash); `hits` is the
     // store∩batch overlap, bounded by the batch, and feeds the keep-flag
@@ -122,27 +160,91 @@ final class BlockDedupIndex(
       appliedTable.append(Seq((t, preVersion)).toDF("token", "pre_version"))
     }
     failpoints.hit("after-token")
-    val fresh = replayOf match {
-      // normal ingest: snapshot == current store, so "not in hits" IS "not
-      // yet stored" — derived from the already-materialized overlap, the
-      // store is never scanned a second time
-      case None => winners.select(col("__h").as("h"))
-        .join(Parallelism.maybeBroadcast(hits.select(col("__h").as("h")),
-          settings.probeBroadcastThresholdBytes), Seq("h"), "left_anti")
-      // replay: the store moved since the snapshot (our own first attempt
-      // and/or later batches) — dedup against the CURRENT store so a
-      // crash-gap is filled but nothing is ever double-inserted; a crash
-      // before the FIRST append leaves no store at all, so the whole
-      // batch is the gap
-      case Some(_) if blocksTable.exists => winners.select(col("__h").as("h"))
-        .join(blocksTable.read().select(col("h")), Seq("h"), "left_anti")
-      case Some(_) => winners.select(col("__h").as("h"))
+    if (trackClaims) {
+      // claims mode: EVERY hash the batch contains claims once per
+      // containing doc (+count deltas) — known hashes increment their
+      // refcount, new hashes open one. The delta append is atomic and
+      // carries the ingest token, so a replayed batch skips it whole (a
+      // crash in the token window left no claims row with this token)
+      val applied = replayOf.nonEmpty && claimsTable.exists &&
+        ingestToken.exists(t =>
+          claimsTable.read().filter(col("token") === t).limit(1).count() > 0)
+      if (!applied) {
+        val deltas = blocks.select(col("__id"), col("__h")).distinct()
+          .groupBy(col("__h")).agg(count(lit(1)).as("d"))
+          .select(col("__h").as("h"), col("d"),
+            lit(ingestToken.orNull).cast("string").as("token"))
+        claimsTable.append(deltas)
+      }
+      claimsTable.compactIfNeeded()
+    } else {
+      val fresh = replayOf match {
+        // normal ingest: snapshot == current store, so "not in hits" IS
+        // "not yet stored" — derived from the already-materialized
+        // overlap, the store is never scanned a second time
+        case None => winners.select(col("__h").as("h"))
+          .join(Parallelism.maybeBroadcast(hits.select(col("__h").as("h")),
+            settings.probeBroadcastThresholdBytes), Seq("h"), "left_anti")
+        // replay: the store moved since the snapshot (our own first
+        // attempt and/or later batches) — dedup against the CURRENT store
+        // so a crash-gap is filled but nothing is ever double-inserted; a
+        // crash before the FIRST append leaves no store at all, so the
+        // whole batch is the gap
+        case Some(_) if blocksTable.exists => winners.select(col("__h").as("h"))
+          .join(blocksTable.read().select(col("h")), Seq("h"), "left_anti")
+        case Some(_) => winners.select(col("__h").as("h"))
+      }
+      if (replayOf.isEmpty) blocksTable.append(fresh)
+      else if (fresh.limit(1).count() > 0) blocksTable.append(fresh)
+      // file-count maintenance across a long-running crawl (bounded by
+      // settings.maxNumFilesAllowed; dataChange=false)
+      blocksTable.compactIfNeeded()
     }
-    if (replayOf.isEmpty) blocksTable.append(fresh)
-    else if (fresh.limit(1).count() > 0) blocksTable.append(fresh)
-    // file-count maintenance across a long-running crawl (bounded by
-    // settings.maxNumFilesAllowed; dataChange=false)
-    blocksTable.compactIfNeeded()
     out
+  }
+
+  /** Release the claims an erased doc set held: each doc's distinct block
+    * hashes are RECOMPUTED FROM ITS TEXT (the index stores no text — the
+    * erasure caller still holds the rows it is about to delete) and
+    * appended as negative deltas. A hash whose live count reaches zero
+    * stops suppressing and re-admits on the next ingest; hashes other
+    * retained docs also claimed stay suppressed.
+    *
+    * CONTRACT (loud, because the store cannot verify it): pass each
+    * ingested doc at most once, with its ORIGINAL ingested text — a
+    * double-remove or an edited text under-/mis-decrements shared counts.
+    * `removeToken` makes a re-run of the same erasure a no-op (pass one;
+    * [[graft.streaming.CorpusIngest.eraseDocs]] derives it from the id
+    * set), the same idempotence the ingest side gets from its token. */
+  def remove(docs: DataFrame, idCol: String, textCol: String,
+      removeToken: Option[String] = None): Unit = {
+    require(trackClaims,
+      s"BlockDedupIndex at $path was built without trackClaims=true — " +
+        "the flat 8-byte store cannot release shared block claims")
+    if (!claimsTable.exists) return
+    val applied = removeToken.exists(t =>
+      claimsTable.read().filter(col("token") === t).limit(1).count() > 0)
+    if (applied) return
+    val deltas = Dedup.blockRows(docs, idCol, textCol, blockWords, portable)
+      .select(col("__id"), col("__h")).distinct()
+      .groupBy(col("__h")).agg((count(lit(1)) * lit(-1L)).as("d"))
+      .select(col("__h").as("h"), col("d"),
+        lit(removeToken.orNull).cast("string").as("token"))
+    if (deltas.limit(1).count() > 0) claimsTable.append(deltas)
+  }
+
+  /** Compact the claim-delta history to ≤ one row per LIVE hash (zero and
+    * negative counts drop out physically). Run from the maintenance
+    * window with no ingest in flight — consolidation folds away the
+    * per-batch token markers a crashed ingest's replay would check. */
+  def consolidateClaims(): Unit = {
+    require(trackClaims, s"BlockDedupIndex at $path does not track claims")
+    if (!claimsTable.exists) return
+    val live = Parallelism.materialize(
+      claimsTable.read().groupBy(col("h")).agg(sum(col("d")).as("d"))
+        .filter(col("d") > 0)
+        .select(col("h"), col("d"), lit(null).cast("string").as("token")))
+    claimsTable.overwrite(live)
+    ()
   }
 }

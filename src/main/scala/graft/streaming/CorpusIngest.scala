@@ -50,6 +50,7 @@ final class CorpusIngest(
     minTokens: Int = 5,
     scrubPii: Boolean = true,
     blockWords: Int = 0,
+    blockTrackClaims: Boolean = false,
     urlCol: Option[String] = None,
     blockedDomains: Seq[String] = Nil,
     urlTrackOwners: Boolean = false,
@@ -67,9 +68,16 @@ final class CorpusIngest(
 
   val corpusTable: GraftTable = GraftTable(spark, s"$root/corpus")
   val nearDupIndex: NearDupIndex = new NearDupIndex(spark, s"$root/neardup")
-  /** Block-level dedup stage, enabled by `blockWords > 0`. */
+  require(!blockTrackClaims || blockWords > 0,
+    "blockTrackClaims requires blockWords > 0 (there is no block index to refcount)")
+
+  /** Block-level dedup stage, enabled by `blockWords > 0`; with
+    * `blockTrackClaims` the store refcounts per-hash claims, which is
+    * what lets [[eraseDocs]] release erased docs' block claims (solely-
+    * owned blocks re-admit, shared blocks stay suppressed). */
   val blockIndex: Option[BlockDedupIndex] =
-    if (blockWords > 0) Some(new BlockDedupIndex(spark, s"$root/blocks", blockWords))
+    if (blockWords > 0) Some(new BlockDedupIndex(spark, s"$root/blocks", blockWords,
+      trackClaims = blockTrackClaims))
     else None
   /** URL-level exact-dedup store, enabled by `urlCol`; with
     * `urlTrackOwners` each URL claim records its winning doc id, which is
@@ -188,10 +196,16 @@ final class CorpusIngest(
     * physical removal at `nearDupIndex.purge()` maintenance cadence), and
     * — when the URL front end tracks owners ([[urlTrackOwners]]) — release
     * their canonical-URL claims so a recrawl can re-admit those URLs with
-    * a new (higher-id) winner. Block hashes (`blockWords > 0`) stay by
-    * design: an 8-byte block claim is shared with retained docs, releasing
-    * it would re-admit duplicates they still suppress, and keeping it
-    * leaks no text (the [[BlockDedupIndex]] refcount seam).
+    * a new (higher-id) winner. Block hashes (`blockWords > 0`) depend on
+    * the store mode: with [[blockTrackClaims]] the erased docs' block
+    * claims are released from their refcounts BEFORE the corpus delete
+    * (the text is the hash source, and this is its last read) — blocks
+    * solely claimed by erased docs re-admit, shared blocks stay
+    * suppressed, and the release is idempotent under a re-run (the remove
+    * token derives from the id set). Without claim tracking the 8-byte
+    * hashes stay by design: a flat block claim is shared with retained
+    * docs, releasing it would re-admit duplicates they still suppress,
+    * and keeping it leaks no text.
     *
     * Erasure sets are maintenance-bounded (thousands, not corpus-scale):
     * the ids are collected so the corpus delete carries a min/max range
@@ -213,6 +227,19 @@ final class CorpusIngest(
       // id-clustered-by-append corpus; isin keeps the row match exact
       val pred = col(idCol) >= lit(b.get(0)) && col(idCol) <= lit(b.get(1)) &&
         col(idCol).isin(idVals: _*)
+      // block-claim release reads the erased docs' TEXT (the hash source)
+      // through the same pruned predicate, so it must run BEFORE the
+      // delete destroys it; the id-set-derived token makes a re-run after
+      // a crash between release and delete a no-op instead of a
+      // double-decrement
+      blockIndex.filter(_.tracksClaims).foreach { bi =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val tok = "erase-" + md.digest(
+            idVals.map(String.valueOf).sorted.mkString(",").getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        bi.remove(corpusTable.readWhere(pred).select(col(idCol), col(textCol)),
+          idCol, textCol, removeToken = Some(tok))
+      }
       corpusTable.delete(pred)
       ()
     }

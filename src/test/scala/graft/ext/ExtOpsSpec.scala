@@ -161,6 +161,86 @@ class ExtOpsSpec extends SparkSpecBase {
     graft.lake.FsUtils.deletePath(spark, s"file://$tmp")
   }
 
+  test("BlockDedupIndex(trackClaims): sole-claim erasure re-admits, shared claims stay") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bdi-claims-").toString
+    implicit val st: graft.conf.GraftSettings =
+      graft.conf.GraftSettings.default.copy(collectFileStats = false)
+    val idx = new BlockDedupIndex(spark, s"file://$tmp", blockWords = 4,
+      portable = true, trackClaims = true)
+    // block A is claimed by docs 1 AND 2 (shared), B only by doc 1, C only
+    // by doc 2
+    val b1 = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"), // A + B
+      (2L, "alpha beta gamma delta iota kappa lambda mu"))   // A + C
+      .toDF("doc_id", "text")
+    val r1 = idx.detectAndAdd(b1, "doc_id", "text", ingestToken = Some("t1"))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(r1 === Map(1L -> 2L, 2L -> 1L)) // doc 2's A is the in-batch dup
+    assert(idx.indexedCount === 3)
+    // erase doc 1 with its ORIGINAL text: B's only claim is released
+    // (count 1 -> 0), A keeps doc 2's claim (2 -> 1)
+    idx.remove(Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text"), "doc_id", "text", removeToken = Some("rm1"))
+    assert(idx.indexedCount === 2, "sole claim must release, shared must stay")
+    // re-running the SAME erasure is a no-op (the remove token)
+    idx.remove(Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text"), "doc_id", "text", removeToken = Some("rm1"))
+    assert(idx.indexedCount === 2, "double-remove must not double-decrement")
+    // recrawl: B (released) re-admits, A (still claimed by doc 2) stays
+    // suppressed
+    val b2 = Seq((3L, "epsilon zeta eta theta alpha beta gamma delta")) // B + A
+      .toDF("doc_id", "text")
+    val r2 = idx.detectAndAdd(b2, "doc_id", "text", ingestToken = Some("t2")).head()
+    assert(r2.getLong(3) === 1L, "released block must re-admit, shared must suppress")
+    assert(idx.indexedCount === 3) // A, C, and B re-claimed by doc 3
+    // consolidation compacts the delta history to one row per live hash
+    // and preserves semantics
+    idx.consolidateClaims()
+    assert(idx.claimsTable.read().count() === 3)
+    assert(idx.indexedCount === 3)
+    val r3 = idx.detectAndAdd(
+      Seq((4L, "alpha beta gamma delta")).toDF("doc_id", "text"),
+      "doc_id", "text", ingestToken = Some("t3")).head()
+    assert(r3.getLong(3) === 0L, "consolidation must not forget live claims")
+    graft.lake.FsUtils.deletePath(spark, s"file://$tmp")
+  }
+
+  test("BlockDedupIndex(trackClaims): replay contract intact (stats + refcounts)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bdi-claims-rp-").toString
+    implicit val st: graft.conf.GraftSettings =
+      graft.conf.GraftSettings.default.copy(collectFileStats = false)
+    val idx = new BlockDedupIndex(spark, s"file://$tmp", blockWords = 4,
+      portable = true, trackClaims = true)
+    val b1 = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")
+    val first = idx.detectAndAdd(b1, "doc_id", "text", ingestToken = Some("t1"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    assert(first(1L) === ((2L, 8L)))
+    val rowsAfterFirst = idx.claimsTable.read().count()
+    // replay: identical stats (snapshot time travel), NO new delta rows —
+    // a double-increment would wrongly survive a later sole-claim erasure
+    val replay = idx.detectAndAdd(b1, "doc_id", "text", ingestToken = Some("t1"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    assert(replay === first)
+    assert(idx.claimsTable.read().count() === rowsAfterFirst,
+      "replay must not append claim deltas")
+    // crash in the token window: replay fills the claims gap exactly once
+    val idx2 = new BlockDedupIndex(spark, s"file://$tmp/crash", blockWords = 4,
+      portable = true, trackClaims = true)
+    idx2.failpoints.arm("after-token")
+    intercept[Exception] {
+      idx2.detectAndAdd(b1, "doc_id", "text", ingestToken = Some("t1"))
+    }
+    val after = idx2.detectAndAdd(b1, "doc_id", "text", ingestToken = Some("t1"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    assert(after === first)
+    assert(idx2.indexedCount === 2)
+    // the refcounts are exactly one claim each: erasing the one claimant
+    // empties the index — a crash double-count would leave residue
+    idx2.remove(b1, "doc_id", "text", removeToken = Some("rm"))
+    assert(idx2.indexedCount === 0, "crash replay must not double-count claims")
+    graft.lake.FsUtils.deletePath(spark, s"file://$tmp")
+  }
+
   test("NearDupIndex: ingestToken makes at-least-once replays idempotent") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ndi-replay-").toString
     val idx = new NearDupIndex(spark, s"$dir/idx")

@@ -308,6 +308,36 @@ class CorpusIngestSpec extends SparkSpecBase {
     assert(ids(p) === Set(2L))
   }
 
+  test("eraseDocs(blockTrackClaims): sole block claims release, shared stay") {
+    val root = Files.createTempDirectory("graft-ci-erase-blk-").toString
+    implicit val settings: GraftSettings = GraftSettings.local(root)
+    val p = new CorpusIngest(spark, s"$root/p", minQuality = 0.0, minTokens = 3,
+      blockWords = 4, blockTrackClaims = true)
+    def arrive(docs: Seq[(Long, String)]): Unit =
+      docs.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(s"$root/in")
+    // doc 10 claims blocks A+B; doc 11 claims A (shared) + D
+    arrive(Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (11L, "alpha beta gamma delta iota kappa lambda mu")))
+    p.runOnce(s"$root/in", docSchema)
+    assert(ids(p) === Set(10L, 11L))
+    assert(p.blockIndex.get.indexedCount === 3)
+    // erase doc 10: B's sole claim releases, shared A keeps doc 11's claim
+    p.eraseDocs(Seq(10L).toDF("doc_id"))
+    assert(ids(p) === Set(11L))
+    assert(p.blockIndex.get.indexedCount === 2,
+      "erasure must release the sole claim and keep the shared one")
+    // recrawl: a doc made ENTIRELY of the released block re-admits; a doc
+    // made entirely of the still-claimed block is a composite of retained
+    // content and stays out
+    arrive(Seq(
+      (20L, "epsilon zeta eta theta"),  // B only — re-admits
+      (21L, "alpha beta gamma delta"))) // A only — still suppressed
+    p.runOnce(s"$root/in", docSchema)
+    assert(ids(p) === Set(11L, 20L), s"got ${ids(p)}")
+  }
+
   test("a redelivered batch (crash AFTER the curated append) does not duplicate docs") {
     val root = Files.createTempDirectory("graft-ci-redeliver-").toString
     implicit val settings: GraftSettings = GraftSettings.local(root)
