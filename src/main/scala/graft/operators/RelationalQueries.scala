@@ -891,7 +891,90 @@ object RelationalQueries {
         SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
           count(*) AS n_events, min(ts) AS session_start, max(ts) AS session_end
         FROM g GROUP BY 1, 2 ORDER BY user_id, session_id"""))
-  ) ++ Seq(statsAgg, recursiveCte, windowDistinct, unpivotCharges)
+  ) ++ Seq(statsAgg, recursiveCte, windowDistinct, unpivotCharges, medallionCdc)
+
+  // ---- medallion pipeline end-to-end --------------------------------------
+  // The jibaro API surface (A8→A12) exercised as ONE oracled query, not
+  // just specs: events become Debezium-shaped Avro envelopes published to
+  // the FileMessageBus in two drops, each drained through kafka_to_raw →
+  // raw_to_staged(avro) → staged_to_curated (checkpointed incremental
+  // streams, Confluent wire format, per-schema-pair decode, latest-per-key
+  // dedup, first-write overwrite then MERGE with deletes). The DuckDB
+  // oracle replays the same envelopes relationally: last event per user
+  // per drop, drop-1 survivors inserted, drop-2 upserts/deletes merged.
+  // Determinism: envelopes are published pre-sorted by (ts, event_id) in
+  // ONE partition, so bus offsets follow that order and the pipeline's
+  // (timestamp, offset) dedup equals the oracle's (ts, event_id) window.
+  private lazy val medallionCdc: CatalogQuery = CatalogQuery(
+    "q51_medallion_cdc",
+    (s, dir) => {
+      import graft.cdc._
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q51-").toString
+      implicit val st: graft.conf.GraftSettings = graft.conf.GraftSettings.local(tmp)
+      val bus = new FileMessageBus(s"$tmp/bus")
+      val registry = new graft.codec.InMemorySchemaRegistry
+      val topic = "cdc.events.user_state"
+      val (project, database, table) = ("bench", "events", "user_state")
+      val ev = t(s, dir, "events")
+        .withColumn("op",
+          when(col("event_type") === "error", lit("d")).otherwise(lit("u")))
+      val img = struct(col("user_id"), col("event_id"), col("event_type"), col("value"))
+      def publish(b: Int): Unit = {
+        val batch = ev.filter(pmod(col("event_id"), lit(2)) === b)
+          .orderBy(col("ts"), col("event_id"))
+          .select(struct(col("user_id")).as("k"),
+            struct(
+              when(col("op") === "d", img).otherwise(lit(null)).as("before"),
+              when(col("op") =!= "d", img).otherwise(lit(null)).as("after"),
+              col("op")).as("v"))
+          .coalesce(1)
+        def avro(c: String, name: String) = graft.codec.AvroSchemaConverter
+          .toAvroSchema(batch.schema(c).dataType
+            .asInstanceOf[org.apache.spark.sql.types.StructType], name).toString
+        val (ks, vs) = (avro("k", "UserKey"), avro("v", "UserEnvelope"))
+        val (keyId, valueId) =
+          (registry.register(s"$topic-key", ks), registry.register(s"$topic-value", vs))
+        bus.publish(s, topic, batch.select(
+          graft.codec.ConfluentWireFormat.frame(
+            graft.codec.AvroExpressions.to_avro(col("k"), ks), keyId).as("key"),
+          graft.codec.ConfluentWireFormat.frame(
+            graft.codec.AvroExpressions.to_avro(col("v"), vs), valueId).as("value")))
+      }
+      (0 to 1).foreach { b =>
+        publish(b)
+        CdcPipelines.kafkaToRaw(s, bus, topic, project, database, table)
+        CdcPipelines.rawToStaged(s, project, database, table, ConfluentAvroCodec, registry)
+        CdcPipelines.stagedToCurated(s, project, database, table)
+      }
+      val curated = graft.tables.GraftTable(s, graft.lake.LakePath.data(
+        graft.lake.TableRef(graft.conf.Layer.Curated, project, database, table)))
+      val out = curated.read()
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("event_type").as("last_event_type"), col("value").as("last_value"))
+        .orderBy(col("user_id"))
+        .localCheckpoint(true) // materialize, then drop the scratch lake
+      graft.lake.FsUtils.deletePath(s, s"file://$tmp")
+      out
+    },
+    Some("""WITH ev AS (
+        SELECT user_id, event_id, event_type, value,
+          CASE WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op, ts,
+          event_id % 2 AS b
+        FROM events),
+      s1 AS (SELECT user_id, event_id, event_type, value, op FROM (
+               SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+               FROM ev WHERE b = 0) WHERE rn = 1),
+      s2 AS (SELECT user_id, event_id, event_type, value, op FROM (
+               SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+               FROM ev WHERE b = 1) WHERE rn = 1),
+      t1 AS (SELECT user_id, event_id, event_type, value FROM s1 WHERE op <> 'd'),
+      fin AS (
+        SELECT * FROM t1 WHERE user_id NOT IN (SELECT user_id FROM s2)
+        UNION ALL
+        SELECT user_id, event_id, event_type, value FROM s2 WHERE op <> 'd')
+      SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+        value AS last_value
+      FROM fin ORDER BY user_id"""))
 
   // ---- UNPIVOT / melt -----------------------------------------------------
   // Wide-to-long reshaping (Dataset.unpivot == SQL UNPIVOT): per-line

@@ -65,6 +65,28 @@ class LexIndexSpec extends SparkSpecBase {
     assert(idx.search(q, "doc_id", "text", k = 5).count() > 0)
   }
 
+  test("search plan: probe terms broadcast, stored postings never shuffle") {
+    val d = docs()
+    val idx = new LexIndex(spark, s"$root/plan")
+    idx.add(d, "doc_id", "text")
+    val q = Seq((999L, "hash join value")).toDF("doc_id", "text")
+    // the candidate join up to the scoring aggregate: pruned postings scan
+    // ⨝ broadcast query terms — any partitioning Exchange there means the
+    // stored side re-shuffled per query (the O(index) failure at 100 TB)
+    val qTerms = q.select(explode(filter(split(TextAnalysis.normalize(col("text")), " "),
+        t => length(t) > 0)).as("tok"))
+      .select(lit(999L).as("query_id"), xxhash64(col("tok")).as("th"))
+      .localCheckpoint(true)
+    val keys = qTerms.select("th").distinct().as[Long].collect()
+    val cand = idx.postingsTable.readWhere(col("th").isin(keys.toSeq: _*))
+      .join(broadcast(qTerms), Seq("th"))
+    val p = cand.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"probe terms must broadcast:\n$p")
+    assert(!p.contains("Exchange hashpartitioning") &&
+      !p.contains("Exchange rangepartitioning"),
+      s"stored postings must not shuffle:\n$p")
+  }
+
   test("crash replay: every crash window converges to the clean run") {
     val d = docs().filter(col("doc_id") < 60)
     val b0 = d.filter(col("doc_id") < 30)
