@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.conf.GraftSettings
-import graft.ext.{BlockDedupIndex, NearDupIndex, SeenKeyIndex, TextAnalysis, Warc, Web}
+import graft.ext.{BlockDedupIndex, LexIndex, NearDupIndex, SeenKeyIndex, TextAnalysis, Warc, Web}
 import graft.tables.GraftTable
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -55,7 +55,8 @@ final class CorpusIngest(
     blockedDomains: Seq[String] = Nil,
     urlTrackOwners: Boolean = false,
     nbModelPath: Option[String] = None,
-    nbThresholdMicro: Long = 0L)(
+    nbThresholdMicro: Long = 0L,
+    buildLexIndex: Boolean = false)(
     implicit settings: GraftSettings = GraftSettings.default) {
 
   // the crawl front end hangs off urlCol: a blocklist (or owner tracking)
@@ -93,6 +94,14 @@ final class CorpusIngest(
     * any other input; only the one-row scalars frame broadcasts. */
   val nbModel: Option[graft.ext.Classifier.NbModel] =
     nbModelPath.map(graft.ext.Classifier.loadModel(spark, _))
+  /** Serving-side BM25 index maintained AT INGEST (`buildLexIndex`): every
+    * batch's final survivors — exactly the rows appended to the curated
+    * corpus — are tokenized once into the [[LexIndex]], so the corpus is
+    * keyword-searchable (and hybrid-fusable with an ANN shortlist via
+    * [[graft.ext.Similarity.rrfFuse]]) the moment a batch lands, without
+    * ever re-tokenizing what's already indexed. */
+  val lexIndex: Option[LexIndex] =
+    if (buildLexIndex) Some(new LexIndex(spark, s"$root/lex")) else None
 
   /** One batch through the full pipeline (also the foreachBatch body —
     * callable directly for non-streaming backfills; pass a unique
@@ -179,7 +188,7 @@ final class CorpusIngest(
     // lower bound lets per-file stats prune the replay anti-join to the
     // crash-window files instead of a full corpus id scan per micro-batch
     // — the difference between O(batch) and O(corpus) at 100 TB.
-    val fresh =
+    val fresh0 =
       if (!corpusTable.exists) novel
       else {
         val batchMin = quality.agg(min(col(idCol))).head().get(0)
@@ -187,7 +196,15 @@ final class CorpusIngest(
           corpusTable.readWhere(col(idCol) >= lit(batchMin)).select(col(idCol)),
           Seq(idCol), "left_anti")
       }
+    // with the lexical stage on, the survivors feed THREE consumers
+    // (emptiness probe, corpus append, lex tokenize) — barrier it
+    val fresh = if (lexIndex.isDefined) graft.ext.Parallelism.materialize(fresh0) else fresh0
     if (!fresh.isEmpty) corpusTable.append(fresh)
+    // lexical index AFTER the curated append (corpus is the source of
+    // truth); its own ingest token replays idempotently, so a crash in
+    // either order converges — this order just means a searcher can never
+    // retrieve a doc the corpus doesn't hold yet
+    lexIndex.foreach(_.add(fresh, idCol, textCol, ingestToken = Some(s"lex-$token")))
   }
 
   /** Right-to-erasure / recrawl across the assembled pipeline: delete the
@@ -221,6 +238,10 @@ final class CorpusIngest(
     val idVals = idRows.map(_.get(0)).toSeq
     nearDupIndex.remove(ids.select(col(idCol)), idCol)
     urlIndex.filter(_.tracksOwners).foreach(_.remove(ids.select(col(idCol)), idCol))
+    // lexical tombstones drop the docs from every BM25 ranking at once
+    // (df, N, and avgdl adjust — see LexIndex); physical removal at its
+    // purge() maintenance cadence
+    lexIndex.foreach(_.remove(ids.select(col(idCol)), idCol))
     if (corpusTable.exists) {
       val b = ids.select(col(idCol)).agg(min(col(idCol)), max(col(idCol))).head()
       // the range conjuncts make the delete's file pruning bite on the

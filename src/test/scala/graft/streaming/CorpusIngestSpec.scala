@@ -308,6 +308,44 @@ class CorpusIngestSpec extends SparkSpecBase {
     assert(ids(p) === Set(2L))
   }
 
+  test("buildLexIndex: streamed BM25 mirrors the curated corpus, erasure included") {
+    val root = Files.createTempDirectory("graft-ci-lex-").toString
+    implicit val settings: GraftSettings = GraftSettings.local(root)
+    val p = new CorpusIngest(spark, s"$root/p", minQuality = 0.0, minTokens = 3,
+      buildLexIndex = true)
+    def arrive(docs: Seq[(Long, String)]): Unit =
+      docs.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(s"$root/in")
+    arrive(Seq(
+      (1L, "spark shuffles data between stages when keys move"),
+      (2L, "the optimizer prunes columns and pushes filters"),
+      (3L, "the optimizer prunes columns and pushes filters"))) // near-dup drops
+    p.runOnce(s"$root/in", docSchema)
+    arrive(Seq(
+      (4L, "broadcast joins avoid shuffling the large fact side"),
+      (5L, "stateful streams keep watermarks to bound their state")))
+    p.runOnce(s"$root/in", docSchema)
+    val q = Seq((100L, "shuffles the fact side")).toDF("doc_id", "text")
+    def hits(idx: graft.ext.LexIndex) =
+      idx.search(q, "doc_id", "text", k = 10)
+        .as[(Long, Long, Int, Long)].collect().toSet
+    // the streamed index must equal a one-shot index over the CURATED
+    // corpus — same docs, same df/N/avgdl, same scores
+    def oneShot(name: String): graft.ext.LexIndex = {
+      val o = new graft.ext.LexIndex(spark, s"$root/$name")
+      o.add(p.corpusTable.read().select(col("doc_id"), col("text")), "doc_id", "text")
+      o
+    }
+    val streamed = hits(p.lexIndex.get)
+    assert(streamed.nonEmpty)
+    assert(streamed === hits(oneShot("one")), "streamed lex index diverged from corpus")
+    // erasure drops the doc from the ranking AND the statistics
+    p.eraseDocs(Seq(1L).toDF("doc_id"))
+    assert(hits(p.lexIndex.get) === hits(oneShot("two")),
+      "post-erasure lex index diverged from the erased corpus")
+    assert(!hits(p.lexIndex.get).exists(_._2 == 1L))
+  }
+
   test("eraseDocs(blockTrackClaims): sole block claims release, shared stay") {
     val root = Files.createTempDirectory("graft-ci-erase-blk-").toString
     implicit val settings: GraftSettings = GraftSettings.local(root)
