@@ -54,9 +54,11 @@ final class LexIndex(
   extends Tombstoned {
 
   private[ext] val postingsTable = GraftTable(spark, s"$path/postings")
-  // no file stats for docs/stats: both are consumed whole (totals, or a
-  // bounded tombstone semi-join) — never through a pruned read
+  // no file stats for docs/stats/common: all consumed whole (totals, or a
+  // bounded broadcast probe) — never through a pruned read
   private[ext] val docsTable = GraftTable(spark, s"$path/docs")(
+    settings.copy(collectFileStats = false))
+  private[ext] val commonTable = GraftTable(spark, s"$path/common")(
     settings.copy(collectFileStats = false))
   private[ext] val statsTable = GraftTable(spark, s"$path/stats")(
     settings.copy(collectFileStats = false))
@@ -102,9 +104,11 @@ final class LexIndex(
     // carrying an id removed in the meantime must not resurrect it
     val in = withoutTombstoned(df, idCol)
     // one tokenization pass, materialized: postings AND docs both derive
-    // from it (the explode must not re-run the normalize regex per store)
+    // from it (the explode must not re-run the normalize regex per store).
+    // Widened first — a batch delivered as few fat files would otherwise
+    // run the normalize regex + explode on as few cores
     val base = Parallelism.materialize(
-      in.select(col(idCol).as("doc_id"), tokArr(textCol).as("__toks")))
+      Parallelism.widen(in).select(col(idCol).as("doc_id"), tokArr(textCol).as("__toks")))
     // empty batch (streaming no-op delivery, or fully tombstoned): nothing
     // to index — an unrecorded token just re-noops on redelivery
     if (base.isEmpty) return
@@ -180,6 +184,40 @@ final class LexIndex(
     }
   }
 
+  /** Refresh the high-document-frequency term list — the stopword scale
+    * guard: the pruned-scan bound of [[search]] is O(files holding probed
+    * terms), which a STOP WORD breaks (its postings are a constant
+    * fraction of the corpus — scanning them costs a corpus-sized read for
+    * a term whose idf contributes ≈ ln(1 + ~0) ≈ nothing to the ranking).
+    * This maintenance pass scans the postings ONCE, persists every term
+    * hash whose live df ≥ `minDfPpm` parts-per-million of N (a bounded
+    * list: natural-language vocabularies hold a few hundred such terms —
+    * guarded loudly at 65,536), and `search(skipCommon = true)` then
+    * drops those terms from the query BEFORE the key-set collect, so
+    * their postings are never scanned. Semantics are exact and explicit:
+    * skipping a query term equals searching a query without it — N,
+    * avgdl, and every other term's df are untouched. Re-run at the same
+    * cadence as [[Tombstoned.purge]]; staleness only moves terms across
+    * the df boundary, never corrupts a score. */
+  def refreshCommonTerms(minDfPpm: Long = 10000L): Unit = {
+    require(minDfPpm > 0, s"minDfPpm must be positive, got $minDfPpm")
+    require(postingsTable.exists, s"empty lexical index at $path")
+    val (n, _) = liveTotals()
+    require(n > 0, s"lexical index at $path holds no live documents")
+    val floor = math.max(1L, minDfPpm * n / 1000000L)
+    val common = Parallelism.materialize(
+      withoutTombstoned(postingsTable.read(), "doc_id")
+        .groupBy(col("th")).agg(count(lit(1)).as("df"))
+        .filter(col("df") >= floor))
+    val rows = common.limit(65537).count()
+    require(rows <= 65536,
+      s"refreshCommonTerms: $rows terms above $minDfPpm ppm df — raise the " +
+        "threshold; a common-term list this size means the tokenizer is " +
+        "degenerate, not that the corpus has 65k stop words")
+    commonTable.overwrite(common)
+    ()
+  }
+
   /** BM25 top-`k` against everything added so far. `queries` is any
     * (id, text) frame; its DISTINCT normalized tokens are the query terms
     * (query-side tf is deliberately ignored — the short-query standard).
@@ -198,17 +236,31 @@ final class LexIndex(
     *
     * `excludeSelf` drops candidates whose doc_id equals the query id
     * BEFORE ranking (more-like-this retrieval, where queries are corpus
-    * documents) — lower-ranked docs fill in, like tombstones. */
+    * documents) — lower-ranked docs fill in, like tombstones.
+    *
+    * `skipCommon` drops query terms on the [[refreshCommonTerms]] list
+    * before the term-set collect and the pruned scan — exactly equal to
+    * querying without those words, and the reason a stop-word-laden query
+    * stays O(rare-term files) instead of O(corpus). */
   def search(queries: DataFrame, idCol: String, textCol: String, k: Int,
-      excludeSelf: Boolean = false,
+      excludeSelf: Boolean = false, skipCommon: Boolean = false,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(postingsTable.exists, s"empty lexical index at $path")
     require(k >= 1, s"k must be >= 1, got $k")
-    val qTerms0 = queries
+    val qTerms1 = queries
       .select(col(idCol).as("query_id"), explode(tokArr(textCol)).as("__tok"))
       .distinct()
       .withColumn("th", xxhash64(col("__tok")))
       .drop("__tok")
+    val qTerms0 =
+      if (!skipCommon) qTerms1
+      else {
+        require(commonTable.exists,
+          s"skipCommon needs refreshCommonTerms() to have run for $path")
+        // the common list is bounded (≤65,536 rows) — broadcast anti-join
+        qTerms1.join(broadcast(commonTable.read().select(col("th"))),
+          Seq("th"), "left_anti")
+      }
     // consumed twice (key-set collect + candidate join): query batches are
     // probe-sized by contract, so the barrier is cheap
     val qTerms = Parallelism.materialize(qTerms0)

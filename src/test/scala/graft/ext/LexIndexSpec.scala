@@ -87,6 +87,43 @@ class LexIndexSpec extends SparkSpecBase {
       s"stored postings must not shuffle:\n$p")
   }
 
+  test("skipCommon: equals querying without the stop words; list is df-exact") {
+    val d = docs()
+    val idx = new LexIndex(spark, s"$root/common")
+    idx.add(d, "doc_id", "text")
+    // terms in ≥50% of docs are "common" for this corpus (the synthetic
+    // vocabulary is 31 tokens at ~75-80% df each, plus 'dup' at ~5%)
+    idx.refreshCommonTerms(minDfPpm = 500000L)
+    // independent recomputation of the same floor from the raw corpus
+    val n = d.count()
+    val wantCommon = d
+      .select(col("doc_id"), explode(filter(split(TextAnalysis.normalize(col("text")), " "),
+        t => length(t) > 0)).as("tok"))
+      .distinct()
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= math.max(1L, 500000L * n / 1000000L))
+      .select(col("tok")).as[String].collect().toSet
+    assert(wantCommon.contains("key") && !wantCommon.contains("dup"),
+      s"unexpected df shape: $wantCommon")
+    val gotCommon = idx.commonTable.read().select("th").as[Long].collect().toSet
+    assert(gotCommon === wantCommon.map(t =>
+      Seq(t).toDF("t").select(xxhash64(col("t"))).as[Long].head()))
+    // a query mixing common and rare terms, skipCommon on, must equal the
+    // query with the common words REMOVED, skipCommon off
+    val full = Seq((500L, "key agg dup")).toDF("doc_id", "text")
+    val reduced = Seq((500L, "dup")).toDF("doc_id", "text")
+    val a = idx.search(full, "doc_id", "text", k = 10, skipCommon = true)
+      .as[(Long, Long, Int, Long)].collect().toSet
+    val b = idx.search(reduced, "doc_id", "text", k = 10)
+      .as[(Long, Long, Int, Long)].collect().toSet
+    assert(a === b, "skipCommon must equal querying without the common words")
+    // and it genuinely changes the ranking vs the unskipped query (the
+    // skip is real, not a no-op)
+    val c = idx.search(full, "doc_id", "text", k = 10)
+      .as[(Long, Long, Int, Long)].collect().toSet
+    assert(a !== c)
+  }
+
   test("crash replay: every crash window converges to the clean run") {
     val d = docs().filter(col("doc_id") < 60)
     val b0 = d.filter(col("doc_id") < 30)
