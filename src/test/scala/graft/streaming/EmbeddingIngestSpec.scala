@@ -158,6 +158,27 @@ class EmbeddingIngestSpec extends SparkSpecBase {
   private def arrive2(dir: String, df: DataFrame): Unit =
     df.coalesce(1).write.mode("append").parquet(dir)
 
+  test("IVF-PQ-only pipeline: compressed codes without a full-vector IvfIndex copy") {
+    val root = Files.createTempDirectory("graft-ei-pqonly-").toString
+    implicit val settings: GraftSettings = GraftSettings.local(root)
+    // ivfLists = 0: no uncompressed IVF stage — the vector payload is
+    // persisted once (AnnIndex) + compressed codes, never a third copy
+    val p = new EmbeddingIngest(spark, s"$root/p", ivfPqM = 4, ivfPqLists = 4)
+    assert(p.ivfIndex.isEmpty, "IVF-PQ-only must not force the IvfIndex stage")
+    arrive(s"$root/in", col("vec_id") < 60)
+    p.runOnce(s"$root/in", embSchema)
+    arrive(s"$root/in", col("vec_id") >= 60)
+    p.runOnce(s"$root/in", embSchema)
+    // answers like a twin that trained/ingested the same batches
+    val twin = new EmbeddingIngest(spark, s"$root/twin", ivfPqM = 4, ivfPqLists = 4)
+    twin.ingestBatch(emb.filter(col("vec_id") < 60), "b0")
+    twin.ingestBatch(emb.filter(col("vec_id") >= 60), "b1")
+    val got = pairs(p.ivfPqIndex.get.query(probes, "vec_id", "embedding", k = 5, nProbe = 2))
+    assert(got.nonEmpty)
+    assert(got === pairs(
+      twin.ivfPqIndex.get.query(probes, "vec_id", "embedding", k = 5, nProbe = 2)))
+  }
+
   test("a crash between IVF training and its first add replays without retraining") {
     val root = Files.createTempDirectory("graft-ei-train-").toString
     implicit val settings: GraftSettings = GraftSettings.local(root)
