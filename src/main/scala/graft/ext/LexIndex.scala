@@ -48,9 +48,17 @@ import org.apache.spark.sql.functions._
   * d10 corpus-vocabulary contract), so the index, the corpus-stats
   * queries, and the BPE machinery all agree on what a token is.
   */
+/** @param positions persist each term's in-document positions beside its
+  *   posting (Lucene's positional-index shape, the price of PHRASE
+  *   queries: the pos arrays add O(dl) ints per doc where the flat index
+  *   stores O(distinct terms)). The layout is decided by the store's FIRST
+  *   add — reopening an index inherits what is on disk, and a mismatch
+  *   fails loudly instead of silently writing a mixed store
+  *   ([[AnnIndex]]'s `storeHasTb` lesson). */
 final class LexIndex(
     spark: SparkSession,
-    path: String)(implicit settings: GraftSettings = GraftSettings.default)
+    path: String,
+    positions: Boolean = false)(implicit settings: GraftSettings = GraftSettings.default)
   extends Tombstoned {
 
   private[ext] val postingsTable = GraftTable(spark, s"$path/postings")
@@ -81,6 +89,21 @@ final class LexIndex(
   /** Normalized non-empty token array of `textCol` — the d10 contract. */
   private def tokArr(textCol: String) =
     filter(split(TextAnalysis.normalize(col(textCol)), " "), t => length(t) > 0)
+
+  /** Whether the persisted postings carry position arrays. A fresh store
+    * adopts the constructor's `positions`; an existing one keeps its disk
+    * layout, and a constructor mismatch is a loud error — a mixed store
+    * would leave `pos` NULL on old files and silently drop their docs
+    * from every phrase query. */
+  private def storeHasPos: Boolean =
+    if (!postingsTable.exists) positions
+    else {
+      val has = postingsTable.read().columns.contains("pos")
+      require(has == positions,
+        s"LexIndex at $path was built with positions=$has; reopen it with " +
+          s"the same flag (got positions=$positions)")
+      has
+    }
 
   private def tokenApplied(token: String): Boolean =
     appliedTable.exists &&
@@ -113,15 +136,27 @@ final class LexIndex(
     // to index — an unrecorded token just re-noops on redelivery
     if (base.isEmpty) return
     val docs0 = base.select(col("doc_id"), size(col("__toks")).cast("int").as("dl"))
-    // (doc_id, token, tf, dl) in ONE aggregation: dl is functionally
+    // (doc_id, token, tf, dl[, pos]) in ONE aggregation: dl is functionally
     // dependent on doc_id, so carrying it through the groupBy keys is free
-    // — no second shuffle to re-attach document lengths
+    // — no second shuffle to re-attach document lengths. Positional mode
+    // swaps explode for posexplode and collects each term's sorted
+    // in-document offsets (O(dl) ints per doc — the phrase-query price).
+    val withPos = storeHasPos
     val postings0 = Parallelism.materialize( // appendClustered's range sampler would re-run the explode
-      base.select(col("doc_id"), size(col("__toks")).cast("int").as("dl"),
-          explode(col("__toks")).as("__tok"))
-        .groupBy(col("doc_id"), col("dl"), col("__tok"))
-        .agg(count(lit(1)).cast("int").as("tf"))
-        .select(xxhash64(col("__tok")).as("th"), col("doc_id"), col("tf"), col("dl")))
+      if (withPos)
+        base.select(col("doc_id"), size(col("__toks")).cast("int").as("dl"),
+            posexplode(col("__toks")).as(Seq("__pos", "__tok")))
+          .groupBy(col("doc_id"), col("dl"), col("__tok"))
+          .agg(count(lit(1)).cast("int").as("tf"),
+            sort_array(collect_list(col("__pos").cast("int"))).as("pos"))
+          .select(xxhash64(col("__tok")).as("th"), col("doc_id"), col("tf"),
+            col("dl"), col("pos"))
+      else
+        base.select(col("doc_id"), size(col("__toks")).cast("int").as("dl"),
+            explode(col("__toks")).as("__tok"))
+          .groupBy(col("doc_id"), col("dl"), col("__tok"))
+          .agg(count(lit(1)).cast("int").as("tf"))
+          .select(xxhash64(col("__tok")).as("th"), col("doc_id"), col("tf"), col("dl")))
     // batch stats: ONE driver-side row (metadata-plane, like every index's
     // schema probe) — the totals store that keeps N/avgdl off the corpus
     val s0 = docs0.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
@@ -264,21 +299,11 @@ final class LexIndex(
     // consumed twice (key-set collect + candidate join): query batches are
     // probe-sized by contract, so the barrier is cheap
     val qTerms = Parallelism.materialize(qTerms0)
-    // bounded driver-side key set; past the cap the full-scan path takes
-    // over (still a broadcast candidate join — no stored-side shuffle,
-    // just no file pruning), same trade as AnnIndex.query
-    val maxKeys = settings.annPruneMaxKeys
-    val probeKeys = qTerms.select(col("th")).distinct()
-      .limit(maxKeys + 1).collect().map(_.getLong(0))
-    val stored0 =
-      if (probeKeys.length <= maxKeys)
-        postingsTable.readWhere(col("th").isin(probeKeys.toSeq: _*))
-      else postingsTable.read()
     // tombstoned docs drop BEFORE df counting and ranking, so both the
     // scores and the top-k equal a store physically without those rows.
     // Materialized: the pruned slice (only probed terms' postings) feeds
     // TWO consumers — the df count and the candidate join.
-    val stored = Parallelism.materialize(withoutTombstoned(stored0, "doc_id"))
+    val stored = prunedLivePostings(qTerms)
     // df per probed term from the pruned rows themselves: one row per
     // (term, doc) makes count == document frequency, always current
     val dfs = stored.groupBy(col("th")).agg(count(lit(1)).as("df"))
@@ -310,6 +335,84 @@ final class LexIndex(
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select("query_id", "doc_id", "rnk", "score_pico")
+  }
+
+  /** The pruned live postings for a term-hash frame: bounded key-set
+    * collect → IN-pruned clustered scan (degrade to the full scan past
+    * `settings.annPruneMaxKeys` — still a broadcast candidate join, no
+    * stored-side shuffle, just no file pruning, the AnnIndex trade) →
+    * tombstone anti-join. Materialized — every caller consumes it more
+    * than once. */
+  private def prunedLivePostings(qTerms: DataFrame): DataFrame = {
+    val maxKeys = settings.annPruneMaxKeys
+    val probeKeys = qTerms.select(col("th")).distinct()
+      .limit(maxKeys + 1).collect().map(_.getLong(0))
+    val stored0 =
+      if (probeKeys.length <= maxKeys)
+        postingsTable.readWhere(col("th").isin(probeKeys.toSeq: _*))
+      else postingsTable.read()
+    Parallelism.materialize(withoutTombstoned(stored0, "doc_id"))
+  }
+
+  /** Exact PHRASE top-`k` (needs `positions = true`): each query text is
+    * one phrase — its normalized tokens in order — and a document matches
+    * where ALL phrase terms occur at consecutive positions. Returns
+    * (query_id, doc_id, rnk, n_matches): docs ranked by occurrence count
+    * (ties on doc_id), one row per matching doc only.
+    *
+    * The classic positional-intersection, expressed relationally with no
+    * UDFs: a posting's position `p` for the phrase's offset-`o` term
+    * votes for start `p − o`; a start with votes from EVERY offset is a
+    * full phrase occurrence (duplicate phrase tokens just vote from two
+    * offsets). Engine-portable — integer arithmetic and counts only.
+    *
+    * Scale shape: same IN-pruned postings scan as [[search]] (phrase
+    * terms are the probe set); the vote explode is bounded by the matched
+    * postings' tf sums, grouped per (query, doc, start) with map-side
+    * combine. Stop-word-laden phrases pay that term's postings scan — the
+    * [[refreshCommonTerms]] skip CANNOT apply here (dropping a phrase
+    * word changes phrase semantics), which is the standard positional-
+    * index trade. */
+  def phraseSearch(queries: DataFrame, idCol: String, textCol: String, k: Int,
+      excludeSelf: Boolean = false): DataFrame = {
+    require(postingsTable.exists, s"empty lexical index at $path")
+    require(storeHasPos,
+      s"phraseSearch needs a positional index — build LexIndex at $path " +
+        "with positions=true")
+    require(k >= 1, s"k must be >= 1, got $k")
+    // (query_id, off, th): offsets matter and duplicate tokens keep BOTH
+    // offset rows — no distinct here, unlike search()
+    val qTerms = Parallelism.materialize(
+      queries.select(col(idCol).as("query_id"),
+          posexplode(tokArr(textCol)).as(Seq("__off", "__tok")))
+        .select(col("query_id"), col("__off").cast("int").as("off"),
+          xxhash64(col("__tok")).as("th")))
+    // phrase length per query — one tiny frame, broadcast into the gate
+    val qLen = qTerms.groupBy(col("query_id"))
+      .agg((max(col("off")) + lit(1)).as("plen"))
+    val stored = prunedLivePostings(qTerms)
+    val joined0 = stored.join(Parallelism.maybeBroadcast(qTerms,
+      settings.probeBroadcastThresholdBytes), Seq("th"))
+    val joined = if (excludeSelf) joined0.filter(col("doc_id") =!= col("query_id")) else joined0
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("n_matches").desc, col("doc_id"))
+    joined
+      .select(col("query_id"), col("doc_id"), col("off"),
+        explode(col("pos")).as("__p"))
+      .select(col("query_id"), col("doc_id"), col("off"),
+        (col("__p") - col("off")).as("start"))
+      .filter(col("start") >= 0)
+      // one vote per (query, doc, start, offset); a start backed by every
+      // phrase offset is a full occurrence
+      .groupBy(col("query_id"), col("doc_id"), col("start"))
+      .agg(count(lit(1)).as("__votes"))
+      .join(broadcast(qLen), Seq("query_id"))
+      .filter(col("__votes") === col("plen"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("query_id", "doc_id", "rnk", "n_matches")
   }
 
   /** [[Tombstoned.purge]]'s store rewrite: drops the removed docs'

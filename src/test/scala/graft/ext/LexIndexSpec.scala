@@ -200,6 +200,76 @@ class LexIndexSpec extends SparkSpecBase {
     assert(empty.isEmpty)
   }
 
+  test("phraseSearch: positional intersection equals a brute-force sliding window") {
+    val corpus = Seq(
+      (1L, "spark shuffles data and spark shuffles state"),
+      (2L, "shuffles spark data"),
+      (3L, "the spark shuffles"),
+      (4L, "a b a b a"),
+      (5L, "b a b"),
+      (6L, "entirely unrelated prose"))
+    val idx = new LexIndex(spark, s"$root/pos", positions = true)
+    // two adds: the positional layout must hold up incrementally too
+    idx.add(corpus.take(3).toDF("doc_id", "text"), "doc_id", "text",
+      ingestToken = Some("t0"))
+    idx.add(corpus.drop(3).toDF("doc_id", "text"), "doc_id", "text",
+      ingestToken = Some("t1"))
+    def brute(phrase: String): Set[(Long, Long)] = {
+      val p = phrase.split(" ").filter(_.nonEmpty)
+      corpus.map { case (id, text) =>
+        val t = text.split(" ").filter(_.nonEmpty)
+        id -> (if (t.length < p.length) 0L
+               else t.sliding(p.length).count(_.sameElements(p)).toLong)
+      }.filter(_._2 > 0).map { case (id, n) => (id, n) }.toSet
+    }
+    def got(phrase: String): Set[(Long, Long)] =
+      idx.phraseSearch(Seq((100L, phrase)).toDF("doc_id", "text"),
+          "doc_id", "text", k = 10)
+        .select(col("doc_id"), col("n_matches")).as[(Long, Long)].collect().toSet
+    // multi-occurrence, order-sensitivity, duplicate phrase tokens
+    assert(got("spark shuffles") === brute("spark shuffles"))
+    assert(brute("spark shuffles") === Set((1L, 2L), (3L, 1L))) // pin the fixture
+    assert(got("a b a") === brute("a b a"))
+    assert(brute("a b a") === Set((4L, 2L)))
+    assert(got("b a") === brute("b a"))
+    assert(got("data and spark") === Set((1L, 1L)))
+    assert(got("spark data") === brute("spark data")) // doc 2 only
+    assert(got("data spark") === Set.empty) // never consecutive anywhere
+    // single-term phrase degenerates to term frequency
+    assert(got("spark") === Set((1L, 2L), (2L, 1L), (3L, 1L)))
+    // the BM25 path is untouched by the positional layout
+    val flat = new LexIndex(spark, s"$root/posflat")
+    flat.add(corpus.toDF("doc_id", "text"), "doc_id", "text")
+    val q = Seq((100L, "spark shuffles")).toDF("doc_id", "text")
+    assert(results(idx, q, k = 10) === results(flat, q, k = 10),
+      "positional layout must not change BM25 scores")
+    // layout guards: a mismatched reopen must refuse to WRITE a mixed
+    // store (reads that ignore pos are fine), and a flat store has no
+    // phrase path
+    intercept[IllegalArgumentException] {
+      new LexIndex(spark, s"$root/pos", positions = false)
+        .add(Seq((7L, "more text")).toDF("doc_id", "text"), "doc_id", "text")
+    }
+    intercept[IllegalArgumentException] {
+      flat.phraseSearch(q, "doc_id", "text", k = 5)
+    }
+    // crash replay holds for the positional store too
+    val crashed = new LexIndex(spark, s"$root/poscrash", positions = true)
+    crashed.add(corpus.take(3).toDF("doc_id", "text"), "doc_id", "text",
+      ingestToken = Some("t0"))
+    crashed.failpoints.arm("after-token")
+    intercept[Exception] {
+      crashed.add(corpus.drop(3).toDF("doc_id", "text"), "doc_id", "text",
+        ingestToken = Some("t1"))
+    }
+    crashed.add(corpus.drop(3).toDF("doc_id", "text"), "doc_id", "text",
+      ingestToken = Some("t1"))
+    assert(crashed.phraseSearch(Seq((100L, "a b a")).toDF("doc_id", "text"),
+        "doc_id", "text", k = 10)
+      .select(col("doc_id"), col("n_matches")).as[(Long, Long)].collect().toSet
+      === Set((4L, 2L)))
+  }
+
   test("rrfFuse: exact micro sums, rank-only, ties on neighbor_id") {
     val l1 = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("probe_id", "neighbor_id", "rnk")
     val l2 = Seq((1L, 11L, 1), (1L, 12L, 2)).toDF("probe_id", "neighbor_id", "rnk")
