@@ -10,7 +10,7 @@ package graft.ext
   * JVM cannot interfere; the production path pays a `contains` on an empty
   * set per ingest, nothing more.
   */
-private[ext] final class Failpoints {
+private[graft] final class Failpoints {
   @volatile private var armed: Set[String] = Set.empty
 
   def arm(point: String): Unit = synchronized { armed += point }

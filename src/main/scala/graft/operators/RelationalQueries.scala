@@ -891,7 +891,73 @@ object RelationalQueries {
         SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
           count(*) AS n_events, min(ts) AS session_start, max(ts) AS session_end
         FROM g GROUP BY 1, 2 ORDER BY user_id, session_id"""))
-  ) ++ Seq(statsAgg, recursiveCte, windowDistinct, unpivotCharges, medallionCdc)
+  ) ++ Seq(statsAgg, recursiveCte, windowDistinct, unpivotCharges, medallionCdc,
+    incrementalAgg)
+
+  // ---- incrementally-maintained aggregate ---------------------------------
+  // Materialized-view maintenance over the change feed (IncrementalAgg):
+  // events become a DML'd source table (overwrite, append, MERGE with
+  // deletes, DELETE WHERE), and the per-type count/sum aggregate is kept
+  // fresh by folding ONLY each commit range's change rows — O(delta) per
+  // refresh, never a source re-scan. The DuckDB oracle replays the same
+  // DML relationally and recomputes the aggregate from the FINAL state:
+  // maintained == recomputed is exactly the invariant the operator sells.
+  // Values are frozen to DECIMAL(18,6) at the source (double sums under
+  // retraction would drift by reassociation; decimal folds are exact).
+  private lazy val incrementalAgg: CatalogQuery = CatalogQuery(
+    "q52_incremental_agg",
+    (s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q52-").toString
+      implicit val st: graft.conf.GraftSettings =
+        graft.conf.GraftSettings.local(tmp).copy(changeDataFeed = true)
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value").cast("decimal(18,6)").as("value"),
+          pmod(col("event_id"), lit(3)).as("b"))
+      val src = graft.tables.GraftTable(s, s"$tmp/src")
+      val agg = graft.tables.IncrementalAgg(s, s"$tmp/agg", src,
+        Seq("event_type"), Seq("value"))
+      src.overwrite(ev.filter(col("b") === 0).drop("b"))
+      agg.refresh()
+      src.append(ev.filter(col("b") === 1).drop("b"))
+      agg.refresh()
+      // MERGE: each b=2 event lands on key event_id-2 (a b=0 key) — errors
+      // delete that key, the rest replace it with the b=2 row's content
+      src.upsert(
+        ev.filter(col("b") === 2)
+          .select(col("user_id"), (col("event_id") - 2).as("event_id"),
+            col("event_type"), col("value"),
+            when(col("event_type") === "error", lit("d"))
+              .otherwise(lit("u")).as("op")),
+        Seq("event_id"), "op")
+      agg.refresh()
+      src.delete(col("event_type") === "click" && col("value") > lit(100))
+      agg.refresh()
+      val out = agg.read()
+        .select(col("event_type"), col("cnt"),
+          col("sum_value").cast("double").as("sum_value"))
+        .orderBy(col("event_type"))
+        .localCheckpoint(true) // materialize, then drop the scratch lake
+      graft.lake.FsUtils.deletePath(s, s"file://$tmp")
+      out
+    },
+    Some("""WITH ev AS (
+        SELECT user_id, event_id, event_type,
+          CAST(value AS DECIMAL(18,6)) AS value, event_id % 3 AS b
+        FROM events),
+      b01 AS (SELECT user_id, event_id, event_type, value FROM ev WHERE b IN (0, 1)),
+      upd AS (SELECT user_id, event_id - 2 AS event_id, event_type, value,
+          CASE WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op
+        FROM ev WHERE b = 2),
+      merged AS (
+        SELECT * FROM b01 WHERE event_id NOT IN (SELECT event_id FROM upd)
+        UNION ALL
+        SELECT user_id, event_id, event_type, value FROM upd WHERE op <> 'd'),
+      fin AS (SELECT * FROM merged
+        WHERE NOT (event_type = 'click' AND value > 100))
+      SELECT event_type, count(*) AS cnt,
+        CAST(SUM(value) AS DOUBLE) AS sum_value
+      FROM fin GROUP BY event_type ORDER BY event_type"""))
 
   // ---- medallion pipeline end-to-end --------------------------------------
   // The jibaro API surface (A8→A12) exercised as ONE oracled query, not
