@@ -1,0 +1,178 @@
+package graft.tables
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.types.{DataType, DateType, DecimalType, StringType, StructType, TimestampNTZType, TimestampType}
+
+/** Catalyst `Expression` → [[PredAtom]] extraction — the analysis-time
+  * twin of `ColumnBridge.conjuncts` (which walks pre-analysis
+  * `ColumnNode`s). [[GraftFileIndex.listFiles]] receives the query's
+  * ANALYZED data filters, so the attribute/literal shapes here are the
+  * resolved classes, with literal values in Catalyst's INTERNAL
+  * representation (UTF8String, Decimal, epoch days/micros) — converted
+  * back to the external domain [[StatsPruning]] compares in. Anything
+  * unrecognized becomes [[PredOpaque]] and keeps the file: unsupported
+  * shapes cost a scan, never correctness. */
+private[tables] object ExpressionAtoms {
+
+  def conjuncts(e: Expression): Seq[PredAtom] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other     => Seq(atom(other))
+  }
+
+  private def external(v: Any, dt: DataType): Option[Any] =
+    if (v == null) None
+    else dt match {
+      case StringType => Some(v.toString)
+      case _: DecimalType =>
+        Some(v.asInstanceOf[org.apache.spark.sql.types.Decimal].toBigDecimal)
+      case DateType =>
+        Some(java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong))
+      case TimestampType | TimestampNTZType =>
+        val us = v.asInstanceOf[Long]
+        Some(java.time.Instant.ofEpochSecond(
+          Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
+      case _ => Some(v) // primitives / booleans are already external
+    }
+
+  private def cmp(op: String, a: Expression, b: Expression): PredAtom =
+    (a, b) match {
+      case (at: AttributeReference, Literal(v, dt)) =>
+        external(v, dt).map(PredCmp(op, at.name, _)).getOrElse(PredOpaque)
+      case _ => PredOpaque
+    }
+
+  private val Flip =
+    Map(">" -> "<", ">=" -> "<=", "<" -> ">", "<=" -> ">=", "=" -> "=")
+
+  private def atom(e: Expression): PredAtom = e match {
+    case EqualTo(a, b)            => first(cmp("=", a, b), cmp(Flip("="), b, a))
+    case GreaterThan(a, b)        => first(cmp(">", a, b), cmp(Flip(">"), b, a))
+    case GreaterThanOrEqual(a, b) => first(cmp(">=", a, b), cmp(Flip(">="), b, a))
+    case LessThan(a, b)           => first(cmp("<", a, b), cmp(Flip("<"), b, a))
+    case LessThanOrEqual(a, b)    => first(cmp("<=", a, b), cmp(Flip("<="), b, a))
+    case In(at: AttributeReference, list) if list.forall(_.isInstanceOf[Literal]) =>
+      val vs = list.map { case Literal(v, dt) => external(v, dt) }
+      if (vs.forall(_.isDefined)) PredIn(at.name, vs.map(_.get)) else PredOpaque
+    case InSet(at: AttributeReference, hset) =>
+      val vs = hset.toSeq.map(external(_, at.dataType))
+      if (vs.forall(_.isDefined)) PredIn(at.name, vs.map(_.get)) else PredOpaque
+    case IsNull(at: AttributeReference)    => PredNull(at.name, isNull = true)
+    case IsNotNull(at: AttributeReference) => PredNull(at.name, isNull = false)
+    case _ => PredOpaque
+  }
+
+  private def first(a: PredAtom, b: => PredAtom): PredAtom =
+    if (a != PredOpaque) a else b
+}
+
+/** [[GraftTable]] as a native Spark file-source relation — the Delta
+  * architecture: the commit log is the source of truth for BOTH the file
+  * list and the schema, handed to Spark's built-in parquet scan through a
+  * custom [[FileIndex]].
+  *
+  * What this buys over `GraftTable.read()` (mergeSchema over live files):
+  *
+  *  - **Analysis-time data skipping**: Spark calls [[listFiles]] with the
+  *    query's pushed data filters, so `readRelation().filter(p)` prunes
+  *    files by min/max/bucket stats automatically — callers no longer
+  *    need to route predicates through `readWhere` by hand, and JOINED /
+  *    subqueried predicates Catalyst derives (e.g. from constant
+  *    propagation) prune too.
+  *  - **No footer inference**: `read()`'s mergeSchema pays one footer
+  *    read per FILE per query plan; here the schema comes from the log
+  *    (Delta semantics: the table's schema IS the log's latest, missing
+  *    columns in old files read as NULL). At 100 TB that is the
+  *    difference between a driver-side JSON parse and a million object
+  *    GETs before the first task launches.
+  *  - **Honest `sizeInBytes`**: live-file bytes feed the optimizer's
+  *    broadcast decision, so a small dimension GraftTable auto-broadcasts.
+  *
+  * Each index instance PINS one snapshot (readers get snapshot isolation
+  * across an entire multi-stage query even while writers commit);
+  * [[refresh]] re-pins. File statuses come from ONE `listStatus` of the
+  * table directory at pin time — O(1) metadata calls, not O(files).
+  */
+final class GraftFileIndex(table: GraftTable) extends FileIndex {
+  import GraftFileIndex.Pinned
+
+  @volatile private var pinned: Pinned = pin()
+
+  private def pin(): Pinned = {
+    val snap = table.snapshot()
+    val root = new Path(table.path)
+    val fs = root.getFileSystem(
+      table.spark.sparkContext.hadoopConfiguration)
+    val byName: Map[String, FileStatus] =
+      if (!fs.exists(root)) Map.empty
+      else fs.listStatus(root).filter(_.isFile).map(s => s.getPath.getName -> s).toMap
+    val statuses = snap.live.map { f =>
+      // live names are table-relative; files under subdirs (none today)
+      // would miss the single listStatus — fall back per file, loudly typed
+      f -> byName.getOrElse(f, fs.getFileStatus(new Path(root, f)))
+    }.toMap
+    Pinned(snap, statuses)
+  }
+
+  override def rootPaths: Seq[Path] = Seq(new Path(table.path))
+
+  override def partitionSchema: StructType = new StructType()
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val p = pinned
+    val atoms = dataFilters.flatMap(ExpressionAtoms.conjuncts)
+    val kept = table.pruneLive(p.snap, atoms)
+    Seq(PartitionDirectory(InternalRow.empty, kept.map(p.statuses).toArray))
+  }
+
+  override def inputFiles: Array[String] =
+    pinned.snap.live.map(f => s"${table.path}/$f").toArray
+
+  override def refresh(): Unit = pinned = pin()
+
+  override def sizeInBytes: Long = pinned.statuses.values.map(_.getLen).sum
+
+  /** The pinned snapshot's version (exposed for tests/observability). */
+  def version: Long = pinned.snap.version
+
+  private[tables] def dataSchema: StructType = {
+    val sj = pinned.snap.schemaJson.getOrElse(
+      throw new IllegalStateException(s"table does not exist: ${table.path}"))
+    DataType.fromJson(sj).asInstanceOf[StructType]
+  }
+}
+
+private object GraftFileIndex {
+  final case class Pinned(snap: LogCheckpoint, statuses: Map[String, FileStatus])
+}
+
+object GraftRelation {
+
+  /** The [[GraftFileIndex]]-backed relation for `table`, pinned to the
+    * snapshot current at the call. [[GraftSource]] hands this straight to
+    * Spark's resolver for `format("graft")` reads. */
+  private[tables] def relation(table: GraftTable): HadoopFsRelation = {
+    val ss = table.spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val index = new GraftFileIndex(table)
+    HadoopFsRelation(
+      location = index,
+      partitionSchema = new StructType(),
+      dataSchema = index.dataSchema,
+      bucketSpec = None,
+      fileFormat = new ParquetFileFormat,
+      options = Map.empty)(ss)
+  }
+
+  /** Build the [[GraftFileIndex]]-backed DataFrame for `table` — see the
+    * class doc for what this buys over `read()`. The frame serves the
+    * snapshot current at the call (re-call for a fresh one). */
+  def dataFrame(table: GraftTable): DataFrame = {
+    val ss = table.spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    ss.baseRelationToDataFrame(relation(table))
+  }
+}

@@ -346,6 +346,14 @@ final class GraftTable private (
     }
   }
 
+  /** The table as a native Spark file-source relation ([[GraftRelation]]):
+    * log-schema scan with ANALYSIS-TIME data skipping — `.filter(p)` on
+    * the result prunes files by stats/bucket automatically (no manual
+    * `readWhere` routing), no per-file footer inference, and live-bytes
+    * `sizeInBytes` so small tables auto-broadcast. Serves the snapshot
+    * current at this call. */
+  def readRelation(): DataFrame = GraftRelation.dataFrame(this)
+
   /** Read with file-level data skipping: files whose min/max/null stats
     * prove `predicate` can never hold are not scanned at all. The result is
     * identical to `read().filter(predicate)` — the predicate is still
@@ -385,10 +393,16 @@ final class GraftTable private (
     prunedFilesOf(snapshot(), predicate)
 
   private def prunedFilesOf(snap: LogCheckpoint,
-      predicate: org.apache.spark.sql.Column): Seq[String] = {
+      predicate: org.apache.spark.sql.Column): Seq[String] =
+    pruneLive(snap,
+      org.apache.spark.sql.graftbridge.ColumnBridge.conjuncts(predicate))
+
+  /** The skipping core over already-extracted conjunct atoms — shared by
+    * the Column path above and [[GraftFileIndex]]'s analysis-time pruning
+    * (which receives Catalyst expressions, not Columns). */
+  private[tables] def pruneLive(snap: LogCheckpoint,
+      conjuncts: Seq[PredAtom]): Seq[String] = {
     val statsByFile = snap.stats
-    val conjuncts =
-      org.apache.spark.sql.graftbridge.ColumnBridge.conjuncts(predicate)
     val bucketFilter: String => Boolean = targetBucket(conjuncts, snap.schemaJson) match {
       case Some(b) => f => bucketOf(f).forall(_ == b) // unbucketed files kept
       case None    => _ => true
@@ -638,6 +652,47 @@ final class GraftTable private (
     }
   }
 
+  /** The table's current schema widened by `in` — new fields append (as
+    * NULLABLE: old files lack them), shared struct fields recurse, and a
+    * field missing from the INCOMING side also turns nullable (the new
+    * files lack it). Matches what parquet mergeSchema infers at read
+    * time, recorded in the log instead of re-derived from footers. Type
+    * equality is already guaranteed by [[requireCompatibleSchema]]. */
+  private def unionSchemaJson(in: org.apache.spark.sql.types.StructType): String = {
+    import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructField, StructType}
+    def mergeType(a: DataType, b: DataType): DataType = (a, b) match {
+      case (x: StructType, y: StructType) => mergeStruct(x, y)
+      case (x: ArrayType, y: ArrayType) =>
+        ArrayType(mergeType(x.elementType, y.elementType),
+          x.containsNull || y.containsNull)
+      case (x: MapType, y: MapType) =>
+        MapType(mergeType(x.keyType, y.keyType),
+          mergeType(x.valueType, y.valueType),
+          x.valueContainsNull || y.valueContainsNull)
+      case (x, _) => x
+    }
+    def mergeStruct(cur: StructType, inc: StructType): StructType = {
+      val incByName = inc.fields.map(f => f.name -> f).toMap
+      val curNames = cur.fieldNames.toSet
+      val merged = cur.fields.map { f =>
+        incByName.get(f.name) match {
+          case Some(g) => StructField(f.name, mergeType(f.dataType, g.dataType),
+            f.nullable || g.nullable, f.metadata)
+          case None => f.copy(nullable = true) // new files lack it
+        }
+      }
+      val added = inc.fields.filterNot(f => curNames.contains(f.name))
+        .map(_.copy(nullable = true)) // old files lack it
+      StructType(merged ++ added)
+    }
+    snapshot().schemaJson match {
+      case None => in.json
+      case Some(sj) =>
+        mergeStruct(org.apache.spark.sql.types.DataType.fromJson(sj)
+          .asInstanceOf[StructType], in).json
+    }
+  }
+
   private def requireCompatibleSchema(df: DataFrame): Unit = {
     val sj = snapshot().schemaJson.getOrElse(return)
     val cur = org.apache.spark.sql.types.DataType.fromJson(sj)
@@ -661,7 +716,13 @@ final class GraftTable private (
     val (add, stats) = stage(df)
     var attempt = 0
     while (true) {
-      try return nextCommit("append", dataChange = true, add, Seq.empty, df.schema.json,
+      // the recorded schema is the EVOLVED UNION (current ∪ batch), not the
+      // batch's — additive evolution must widen the log schema, never
+      // narrow it (log-schema readers — readRelation, readAt's empty
+      // path — would otherwise lose columns a narrow batch lacked).
+      // Computed inside the retry loop: a lost race may have widened it.
+      try return nextCommit("append", dataChange = true, add, Seq.empty,
+        unionSchemaJson(df.schema),
         Map("numOutputFiles" -> add.size.toString), stats)
       catch {
         case e: IllegalStateException
