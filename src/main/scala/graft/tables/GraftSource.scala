@@ -1,7 +1,10 @@
 package graft.tables
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SQLContext}
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider}
+import org.apache.spark.sql.execution.streaming.{Sink, Source}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types.StructType
 
 /** `format("graft")` — the storage layer as a REGISTERED Spark data
   * source (DSv1 provider surface, the same registration path Delta's
@@ -23,7 +26,8 @@ import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, Da
   * surface for SQL and generic readers, not a replacement API.
   */
 final class GraftSource extends RelationProvider
-    with CreatableRelationProvider with DataSourceRegister {
+    with CreatableRelationProvider with DataSourceRegister
+    with StreamSourceProvider with StreamSinkProvider {
 
   override def shortName(): String = "graft"
 
@@ -58,5 +62,39 @@ final class GraftSource extends RelationProvider
       case SaveMode.Ignore => if (!table.exists) table.overwrite(data)
     }
     createRelation(sqlContext, parameters)
+  }
+
+  // ---- streaming: readStream/writeStream format("graft") ------------------
+  // (see GraftStreamSource / GraftStreamSink for the semantics)
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    implicit val settings: graft.conf.GraftSettings =
+      graft.conf.GraftSettings.default
+    val table = GraftTable(sqlContext.sparkSession, pathOf(parameters))
+    (shortName(), schema.getOrElse(GraftStreamSource.schemaOf(table)))
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source = {
+    implicit val settings: graft.conf.GraftSettings =
+      graft.conf.GraftSettings.default
+    new GraftStreamSource(
+      GraftTable(sqlContext.sparkSession, pathOf(parameters)), parameters)
+  }
+
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: OutputMode): Sink = {
+    require(partitionColumns.isEmpty,
+      "graft sink does not partition by columns — cluster/bucket via GraftTable settings")
+    GraftStreamSink.requireAppend(outputMode)
+    implicit val settings: graft.conf.GraftSettings =
+      graft.conf.GraftSettings.default
+    new GraftStreamSink(
+      GraftTable(sqlContext.sparkSession, pathOf(parameters)),
+      GraftStreamSink.keyFrom(parameters))
   }
 }

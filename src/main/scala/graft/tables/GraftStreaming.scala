@@ -1,0 +1,124 @@
+package graft.tables
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
+import org.apache.spark.sql.graftbridge.StreamBridge
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types.{DataType, StructType}
+
+import graft.conf.GraftSettings
+
+/** Stream offsets ARE commit versions — the table's log is already a
+  * totally-ordered, replayable sequence, so the source needs no state of
+  * its own. (Deserialized offsets arrive as `SerializedOffset(json)`;
+  * every shape round-trips through `json.toLong`.) */
+private[tables] final case class GraftOffset(version: Long) extends Offset {
+  override def json: String = version.toString
+}
+
+/** `spark.readStream.format("graft")` — tail a [[GraftTable]]'s commit
+  * log as a micro-batch stream (Delta's streaming-source semantics):
+  *
+  *  - each micro-batch is the files ADDED by the commits in the offset
+  *    range — O(new data), the log is never diffed against a snapshot;
+  *  - `dataChange=false` commits (compaction, clustering) are invisible,
+  *    exactly as incremental consumers require;
+  *  - a REWRITE commit (upsert/delete/update/overwrite/restore — anything
+  *    that removed live files) fails the stream loudly unless
+  *    `.option("ignoreChanges", "true")`, which then emits the rewritten
+  *    files' rows (possibly re-delivering unchanged neighbours — the
+  *    documented Delta `ignoreChanges` contract; downstream must be
+  *    idempotent by key);
+  *  - `.option("startingVersion", v)` skips history ≤ v (default 0: the
+  *    whole existing table replays as the first batch).
+  *
+  * The schema is pinned at stream start (the log schema); files written
+  * before an additive evolution read the missing columns as NULL.
+  */
+private[tables] final class GraftStreamSource(
+    table: GraftTable,
+    options: Map[String, String])(implicit settings: GraftSettings)
+  extends Source {
+
+  private val opts = options.map { case (k, v) => k.toLowerCase -> v }
+  private val ignoreChanges = opts.get("ignorechanges").exists(_.toBoolean)
+  private val startingVersion = opts.get("startingversion").map(_.toLong).getOrElse(0L)
+
+  override val schema: StructType = GraftStreamSource.schemaOf(table)
+
+  override def getOffset: Option[Offset] = {
+    val v = table.version
+    if (v <= startingVersion) None else Some(GraftOffset(v))
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val startV = start.map(_.json.toLong).getOrElse(startingVersion)
+    val endV = end.json.toLong
+    val range = table.commits()
+      .filter(c => c.version > startV && c.version <= endV && c.dataChange)
+    val rewrites = range.filter(_.remove.nonEmpty)
+    if (rewrites.nonEmpty && !ignoreChanges)
+      throw new IllegalStateException(
+        s"streaming source found rewrite commit(s) " +
+          s"${rewrites.map(c => s"v${c.version}(${c.action})").mkString(", ")} " +
+          s"in ${table.path} — appends-only is the streaming contract; pass " +
+          "option ignoreChanges=true to stream rewritten files (rows may re-deliver)")
+    val files = range.flatMap(_.add).map(f => s"${table.path}/$f")
+    val spark = table.spark
+    val batch =
+      if (files.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema).parquet(files: _*)
+    StreamBridge.asStreamingFrame(batch)
+  }
+
+  override def stop(): Unit = ()
+}
+
+private[tables] object GraftStreamSource {
+  def schemaOf(table: GraftTable): StructType = {
+    val sj = table.currentSchemaJson.getOrElse(throw new IllegalStateException(
+      s"cannot stream from a table that does not exist yet: ${table.path}"))
+    DataType.fromJson(sj).asInstanceOf[StructType]
+  }
+}
+
+/** `writeStream.format("graft")` — each micro-batch appends as ONE commit
+  * carrying (queryKey, batchId) in its metrics, and a replayed batch id
+  * (at-least-once redelivery after a crash between the commit and the
+  * checkpoint write) is recognized from the log and skipped: the
+  * commit-log twin of the (checkpoint, txn) dance every exactly-once sink
+  * does. Append mode only — Complete/Update belong to `foreachBatch`
+  * compositions where the merge semantics are explicit. */
+private[tables] final class GraftStreamSink(
+    table: GraftTable,
+    queryKey: String)(implicit settings: GraftSettings)
+  extends Sink {
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val replayed = table.exists && table.commits().reverseIterator.exists(c =>
+      c.metrics.get(GraftStreamSink.QueryKey).contains(queryKey) &&
+        c.metrics.get(GraftStreamSink.BatchKey).exists(_.toLong >= batchId))
+    if (replayed) return
+    table.append(StreamBridge.asBatchFrame(data),
+      extraMetrics = Map(
+        GraftStreamSink.QueryKey -> queryKey,
+        GraftStreamSink.BatchKey -> batchId.toString))
+  }
+}
+
+private[tables] object GraftStreamSink {
+  val QueryKey = "streamQueryKey"
+  val BatchKey = "streamBatchId"
+
+  def keyFrom(parameters: Map[String, String]): String =
+    parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("checkpointLocation") => v
+    }.getOrElse("graft-stream-default")
+
+  def requireAppend(outputMode: OutputMode): Unit =
+    if (outputMode != OutputMode.Append()) throw new IllegalArgumentException(
+      s"graft sink supports Append output mode only (got $outputMode) — " +
+        "use foreachBatch with GraftTable.upsert/overwrite for Update/Complete")
+}

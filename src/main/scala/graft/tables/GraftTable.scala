@@ -273,6 +273,10 @@ final class GraftTable private (
     } catch { case scala.util.control.NonFatal(_) => () }
   }
 
+  /** The log's current schema JSON (None when the table does not exist):
+    * the evolved-union contract log-schema readers consume. */
+  def currentSchemaJson: Option[String] = snapshot().schemaJson
+
   /** Current version off the commit FILE NAMES — no JSON parse at all. */
   def version: Long =
     listLog()._1.lastOption.map(versionOf).getOrElse(0L)
@@ -367,21 +371,13 @@ final class GraftTable private (
     * skipped. At 100 TB a selective predicate on an append-ordered column
     * (event time, ingest date) turns an O(table) scan into O(matching
     * files) — same mechanics as Delta/Iceberg data skipping. */
-  def readWhere(predicate: org.apache.spark.sql.Column): DataFrame = {
-    val snap = snapshot()
-    val files = prunedFilesOf(snap, predicate)
-    if (files.isEmpty) {
-      val schemaJson = snap.schemaJson
-        .getOrElse(throw new IllegalStateException(s"table does not exist: $path"))
-      val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
-        .asInstanceOf[org.apache.spark.sql.types.StructType]
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    } else {
-      spark.read.option("mergeSchema", "true")
-        .parquet(files.map(f => s"$path/$f"): _*)
-        .filter(predicate)
-    }
-  }
+  def readWhere(predicate: org.apache.spark.sql.Column): DataFrame =
+    // through the native relation since round 12: the same PredAtom pruner
+    // runs at ANALYSIS time inside GraftFileIndex.listFiles (Catalyst
+    // pushes the filter down as a data filter), and the log-schema scan
+    // drops the per-query distributed footer-inference job the old
+    // mergeSchema read paid on every index probe
+    readRelation().filter(predicate)
 
   /** The live files `readWhere(predicate)` would scan (exposed for tests
     * and observability). Combines two independent pruners: per-file
@@ -711,7 +707,8 @@ final class GraftTable private (
     * snapshot — so they keep fail-fast conflict semantics. This makes
     * concurrent multi-writer APPEND safe (the common ingest case) while
     * mutation stays single-writer, like early Delta. */
-  def append(df: DataFrame): Commit = {
+  def append(df: DataFrame,
+      extraMetrics: Map[String, String] = Map.empty): Commit = {
     requireCompatibleSchema(df)
     val (add, stats) = stage(df)
     var attempt = 0
@@ -723,7 +720,7 @@ final class GraftTable private (
       // Computed inside the retry loop: a lost race may have widened it.
       try return nextCommit("append", dataChange = true, add, Seq.empty,
         unionSchemaJson(df.schema),
-        Map("numOutputFiles" -> add.size.toString), stats)
+        Map("numOutputFiles" -> add.size.toString) ++ extraMetrics, stats)
       catch {
         case e: IllegalStateException
             if e.getMessage.contains("concurrent commit") && attempt < 10 =>
