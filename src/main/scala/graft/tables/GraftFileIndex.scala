@@ -97,13 +97,14 @@ private[tables] object ExpressionAtoms {
   * [[refresh]] re-pins. File statuses come from ONE `listStatus` of the
   * table directory at pin time — O(1) metadata calls, not O(files).
   */
-final class GraftFileIndex(table: GraftTable) extends FileIndex {
+final class GraftFileIndex(table: GraftTable,
+    asOf: Long = Long.MaxValue) extends FileIndex {
   import GraftFileIndex.Pinned
 
   @volatile private var pinned: Pinned = pin()
 
   private def pin(): Pinned = {
-    val snap = table.snapshot()
+    val snap = table.snapshot(asOf)
     val root = new Path(table.path)
     val fs = root.getFileSystem(
       table.spark.sparkContext.hadoopConfiguration)
@@ -154,11 +155,13 @@ private object GraftFileIndex {
 object GraftRelation {
 
   /** The [[GraftFileIndex]]-backed relation for `table`, pinned to the
-    * snapshot current at the call. [[GraftSource]] hands this straight to
-    * Spark's resolver for `format("graft")` reads. */
-  private[tables] def relation(table: GraftTable): HadoopFsRelation = {
+    * snapshot at `asOf` (default: current). [[GraftSource]] hands this
+    * straight to Spark's resolver for `format("graft")` reads, wiring the
+    * Delta-style `versionAsOf` reader option through `asOf`. */
+  private[tables] def relation(table: GraftTable,
+      asOf: Long = Long.MaxValue): HadoopFsRelation = {
     val ss = table.spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    val index = new GraftFileIndex(table)
+    val index = new GraftFileIndex(table, asOf)
     HadoopFsRelation(
       location = index,
       partitionSchema = new StructType(),

@@ -41,9 +41,13 @@ final class GraftSource extends RelationProvider
     implicit val settings: graft.conf.GraftSettings =
       graft.conf.GraftSettings.default
     val table = GraftTable(spark, pathOf(parameters))
+    // Delta-parity time travel: .option("versionAsOf", v) pins the scan
+    val asOf = parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("versionAsOf") => v.toLong
+    }.getOrElse(Long.MaxValue)
     // the same HadoopFsRelation readRelation builds — Spark wraps it in a
     // LogicalRelation and FileSourceStrategy plans the pruned scan
-    GraftRelation.relation(table)
+    GraftRelation.relation(table, asOf)
   }
 
   override def createRelation(sqlContext: SQLContext, mode: SaveMode,

@@ -111,6 +111,18 @@ class GraftFileIndexSpec extends SparkSpecBase {
     assert(spark.read.format("graft").load(path).count() == 3)
   }
 
+  test("versionAsOf time-travels the registered source") {
+    val root = tmp()
+    implicit val st: GraftSettings = GraftSettings.local(root)
+    val path = s"$root/t"
+    val t = GraftTable(spark, path)
+    t.overwrite(Seq((1L, "a")).toDF("id", "k"))
+    t.append(Seq((2L, "b")).toDF("id", "k"))
+    assert(spark.read.format("graft").option("versionAsOf", 1).load(path)
+      .select("id").as[Long].collect().toSeq == Seq(1L))
+    assert(spark.read.format("graft").load(path).count() == 2)
+  }
+
   test("empty and missing tables behave") {
     val root = tmp()
     implicit val st: GraftSettings = GraftSettings.local(root)
