@@ -25,6 +25,16 @@ import org.apache.spark.sql.types.StructType
   * keep using [[GraftTable]] directly — the provider is the plug-in
   * surface for SQL and generic readers, not a replacement API.
   */
+/** A computed frame served through the DSv1 relation SPI (the CDF read
+  * path): no pushdown — appropriate only for bounded derived frames. */
+private[tables] final class DataFrameRelation(
+    override val sqlContext: SQLContext,
+    df: DataFrame) extends BaseRelation
+    with org.apache.spark.sql.sources.TableScan {
+  override def schema: StructType = df.schema
+  override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = df.rdd
+}
+
 final class GraftSource extends RelationProvider
     with CreatableRelationProvider with DataSourceRegister
     with StreamSourceProvider with StreamSinkProvider {
@@ -35,16 +45,26 @@ final class GraftSource extends RelationProvider
     parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft source requires a path (load(path) / option(\"path\", ...))"))
 
+  private def opt(parameters: Map[String, String], name: String): Option[String] =
+    parameters.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v }
+
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
     val spark = sqlContext.sparkSession
     implicit val settings: graft.conf.GraftSettings =
       graft.conf.GraftSettings.default
     val table = GraftTable(spark, pathOf(parameters))
+    if (opt(parameters, "readChangeFeed").exists(_.toBoolean)) {
+      // Delta-parity CDF read: rows + _change_type + _commit_version for
+      // the commit range (startingVersion, endingVersion]; both bounds
+      // optional (full feed by default). Served as a TableScan relation —
+      // a bounded version range, not a pruned 100 TB scan surface.
+      val from = opt(parameters, "startingVersion").map(_.toLong).getOrElse(0L)
+      val to = opt(parameters, "endingVersion").map(_.toLong).getOrElse(Long.MaxValue)
+      return new DataFrameRelation(sqlContext, table.readChanges(from, to))
+    }
     // Delta-parity time travel: .option("versionAsOf", v) pins the scan
-    val asOf = parameters.collectFirst {
-      case (k, v) if k.equalsIgnoreCase("versionAsOf") => v.toLong
-    }.getOrElse(Long.MaxValue)
+    val asOf = opt(parameters, "versionAsOf").map(_.toLong).getOrElse(Long.MaxValue)
     // the same HadoopFsRelation readRelation builds — Spark wraps it in a
     // LogicalRelation and FileSourceStrategy plans the pruned scan
     GraftRelation.relation(table, asOf)

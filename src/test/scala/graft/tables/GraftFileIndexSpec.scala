@@ -123,6 +123,22 @@ class GraftFileIndexSpec extends SparkSpecBase {
     assert(spark.read.format("graft").load(path).count() == 2)
   }
 
+  test("readChangeFeed serves the CDF rows through the format") {
+    val root = tmp()
+    implicit val st: GraftSettings =
+      GraftSettings.local(root).copy(changeDataFeed = true)
+    val path = s"$root/t"
+    val t = GraftTable(spark, path)
+    t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "k"))
+    t.delete(col("id") === 1L)
+    val feed = spark.read.format("graft")
+      .option("readChangeFeed", "true").option("startingVersion", "1")
+      .load(path)
+    val got = feed.select("id", "_change_type", "_commit_version")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, "delete", 2L)))
+  }
+
   test("empty and missing tables behave") {
     val root = tmp()
     implicit val st: GraftSettings = GraftSettings.local(root)
