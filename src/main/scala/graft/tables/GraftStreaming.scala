@@ -115,7 +115,11 @@ private[tables] object GraftStreamSink {
   def keyFrom(parameters: Map[String, String]): String =
     parameters.collectFirst {
       case (k, v) if k.equalsIgnoreCase("checkpointLocation") => v
-    }.getOrElse("graft-stream-default")
+    }.getOrElse(throw new IllegalArgumentException(
+      // a silent shared fallback key would make two queries writing the
+      // same table dedup each other's batch ids — refuse instead
+      "graft sink requires .option(\"checkpointLocation\", ...) — the " +
+        "location keys the exactly-once (queryKey, batchId) transaction"))
 
   def requireAppend(outputMode: OutputMode): Unit =
     if (outputMode != OutputMode.Append()) throw new IllegalArgumentException(
