@@ -81,7 +81,10 @@ object LakehouseDemo {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val root = java.nio.file.Files.createTempDirectory("graft-lakehouse-").toString
-    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    // through QueryDsl.t: it normalizes the driver's TIMESTAMP(NANOS)
+    // variants — a raw spark.read.parquet breaks on regenerated testdata
+    val events = graft.operators.QueryDsl
+      .t(spark, "/root/testdata/sf0.001", "events")
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("value").cast("decimal(18,6)").as("value"))
     val drops = Seq(
