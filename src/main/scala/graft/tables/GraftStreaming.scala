@@ -23,14 +23,18 @@ private[tables] final case class GraftOffset(version: Long) extends Offset {
   *    range — O(new data), the log is never diffed against a snapshot;
   *  - `dataChange=false` commits (compaction, clustering) are invisible,
   *    exactly as incremental consumers require;
-  *  - a REWRITE commit (upsert/delete/update/overwrite/restore — anything
-  *    that removed live files) fails the stream loudly unless
-  *    `.option("ignoreChanges", "true")`, which then emits the rewritten
-  *    files' rows (possibly re-delivering unchanged neighbours — the
-  *    documented Delta `ignoreChanges` contract; downstream must be
-  *    idempotent by key);
-  *  - `.option("startingVersion", v)` skips history ≤ v (default 0: the
-  *    whole existing table replays as the first batch).
+  *  - the FIRST batch of a fresh stream is the table's CURRENT SNAPSHOT
+  *    (Delta's default — live files at the stream's first offset, so
+  *    rewrites buried in history are irrelevant); the tail after it is
+  *    pure log commits;
+  *  - a REWRITE commit in the tailed range (upsert/delete/update/
+  *    overwrite/restore — anything that removed live files) fails the
+  *    stream loudly unless `.option("ignoreChanges", "true")`, which then
+  *    emits the rewritten files' rows (possibly re-delivering unchanged
+  *    neighbours — the documented Delta `ignoreChanges` contract;
+  *    downstream must be idempotent by key);
+  *  - `.option("startingVersion", v)` REPLACES the snapshot start with a
+  *    log replay of the commits after v (0 = full history).
   *
   * The schema is pinned at stream start (the log schema); files written
   * before an additive evolution read the missing columns as NULL.
@@ -42,34 +46,42 @@ private[tables] final class GraftStreamSource(
 
   private val opts = options.map { case (k, v) => k.toLowerCase -> v }
   private val ignoreChanges = opts.get("ignorechanges").exists(_.toBoolean)
-  private val startingVersion = opts.get("startingversion").map(_.toLong).getOrElse(0L)
+  private val startingVersion = opts.get("startingversion").map(_.toLong)
 
   override val schema: StructType = GraftStreamSource.schemaOf(table)
 
   override def getOffset: Option[Offset] = {
     val v = table.version
-    if (v <= startingVersion) None else Some(GraftOffset(v))
+    if (v <= startingVersion.getOrElse(0L)) None else Some(GraftOffset(v))
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val startV = start.map(_.json.toLong).getOrElse(startingVersion)
     val endV = end.json.toLong
-    val range = table.commits()
-      .filter(c => c.version > startV && c.version <= endV && c.dataChange)
-    val rewrites = range.filter(_.remove.nonEmpty)
-    if (rewrites.nonEmpty && !ignoreChanges)
-      throw new IllegalStateException(
-        s"streaming source found rewrite commit(s) " +
-          s"${rewrites.map(c => s"v${c.version}(${c.action})").mkString(", ")} " +
-          s"in ${table.path} — appends-only is the streaming contract; pass " +
-          "option ignoreChanges=true to stream rewritten files (rows may re-deliver)")
-    val files = range.flatMap(_.add).map(f => s"${table.path}/$f")
+    val files = (start, startingVersion) match {
+      case (None, None) =>
+        // fresh stream, no explicit start: the snapshot at the first
+        // offset IS the first batch — history rewrites are irrelevant
+        table.liveFiles(asOf = endV)
+      case (s, sv) =>
+        val startV = s.map(_.json.toLong).orElse(sv).getOrElse(0L)
+        val range = table.commits()
+          .filter(c => c.version > startV && c.version <= endV && c.dataChange)
+        val rewrites = range.filter(_.remove.nonEmpty)
+        if (rewrites.nonEmpty && !ignoreChanges)
+          throw new IllegalStateException(
+            s"streaming source found rewrite commit(s) " +
+              s"${rewrites.map(c => s"v${c.version}(${c.action})").mkString(", ")} " +
+              s"in ${table.path} — appends-only is the streaming contract; pass " +
+              "option ignoreChanges=true to stream rewritten files (rows may re-deliver)")
+        range.flatMap(_.add)
+    }
+    val paths = files.map(f => s"${table.path}/$f")
     val spark = table.spark
     val batch =
-      if (files.isEmpty)
+      if (paths.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.schema(schema).parquet(files: _*)
+      else spark.read.schema(schema).parquet(paths: _*)
     StreamBridge.asStreamingFrame(batch)
   }
 

@@ -56,24 +56,50 @@ class GraftStreamingSpec extends SparkSpecBase {
     assert(dst.version == v0 + 1)
   }
 
-  test("a rewrite commit fails the stream unless ignoreChanges") {
+  test("a fresh stream starts from the SNAPSHOT, so history rewrites don't matter") {
+    val root = tmp()
+    implicit val st: GraftSettings = GraftSettings.local(root)
+    val src = GraftTable(spark, s"$root/src")
+    src.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "k"))
+    src.delete(col("id") === 1L) // rewrite BEFORE the stream exists
+    drain(s"$root/src", s"$root/dst", s"$root/ckpt")
+    // the first batch is the live snapshot: the deleted row never flows
+    assert(GraftTable(spark, s"$root/dst").read()
+      .select("id").as[Long].collect().toSeq == Seq(2L))
+    // ...and the tail after it stays incremental
+    src.append(Seq((3L, "c")).toDF("id", "k"))
+    drain(s"$root/src", s"$root/dst", s"$root/ckpt")
+    assert(GraftTable(spark, s"$root/dst").read()
+      .select("id").as[Long].collect().sorted.toSeq == Seq(2L, 3L))
+  }
+
+  test("a rewrite commit in the TAILED range fails the stream unless ignoreChanges") {
     val root = tmp()
     implicit val st: GraftSettings = GraftSettings.local(root)
     val src = GraftTable(spark, s"$root/src")
     src.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "k"))
     src.delete(col("id") === 1L)
 
-    val e = intercept[Exception](drain(s"$root/src", s"$root/d1", s"$root/c1"))
+    // startingVersion forces log replay over the rewrite -> refusal
+    val e = intercept[Exception](drain(s"$root/src", s"$root/d1", s"$root/c1",
+      Map("startingVersion" -> "0")))
     assert(e.getMessage.contains("ignoreChanges") ||
       Option(e.getCause).exists(_.getMessage.contains("ignoreChanges")))
 
     drain(s"$root/src", s"$root/d2", s"$root/c2",
-      Map("ignoreChanges" -> "true"))
+      Map("startingVersion" -> "0", "ignoreChanges" -> "true"))
     // the documented ignoreChanges hazard: the pre-rewrite files' rows
     // re-deliver (id 1 arrives from v1's file even though v2 deleted it,
     // and surviving rows may duplicate) — downstream dedups by key
     assert(GraftTable(spark, s"$root/d2").read()
       .select("id").as[Long].collect().toSeq.distinct.sorted == Seq(1L, 2L))
+
+    // a rewrite AFTER the snapshot start refuses too (it is in the tail)
+    drain(s"$root/src", s"$root/d3", s"$root/c3")
+    src.delete(col("id") === 2L)
+    val e2 = intercept[Exception](drain(s"$root/src", s"$root/d3", s"$root/c3"))
+    assert(e2.getMessage.contains("ignoreChanges") ||
+      Option(e2.getCause).exists(_.getMessage.contains("ignoreChanges")))
   }
 
   test("startingVersion skips history") {
