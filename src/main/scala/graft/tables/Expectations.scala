@@ -118,7 +118,10 @@ object Expectations {
       else !arrays_overlap(col(ViolationsCol), array(enforced.map(lit): _*))
     val ce = countExprs(rules)
 
-    if (failNames.isEmpty && quarantine.isEmpty) {
+    // fast path also when a quarantine is configured but NO rule can ever
+    // withhold a row (warn-only): the quarantine is provably empty, so
+    // the batch must not pay the materialize + double-pass
+    if (failNames.isEmpty && (quarantine.isEmpty || enforced.isEmpty)) {
       // zero-extra-action path: counts ride the append's own job
       val obs = Observation(s"expectations-${UUID.randomUUID()}")
       table.append(

@@ -56,10 +56,11 @@ final class GraftSource extends RelationProvider
     val table = GraftTable(spark, pathOf(parameters))
     if (opt(parameters, "readChangeFeed").exists(_.toBoolean)) {
       // Delta-parity CDF read: rows + _change_type + _commit_version for
-      // the commit range (startingVersion, endingVersion]; both bounds
-      // optional (full feed by default). Served as a TableScan relation —
-      // a bounded version range, not a pruned 100 TB scan surface.
-      val from = opt(parameters, "startingVersion").map(_.toLong).getOrElse(0L)
+      // the commit range [startingVersion, endingVersion] — both bounds
+      // INCLUSIVE, the Delta convention (full feed by default). Served as
+      // a TableScan relation — a bounded version range, not a pruned
+      // 100 TB scan surface.
+      val from = opt(parameters, "startingVersion").map(_.toLong - 1L).getOrElse(0L)
       val to = opt(parameters, "endingVersion").map(_.toLong).getOrElse(Long.MaxValue)
       return new DataFrameRelation(sqlContext, table.readChanges(from, to))
     }
@@ -94,10 +95,16 @@ final class GraftSource extends RelationProvider
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
+    // a user-supplied schema would diverge from the batches getBatch
+    // builds (always the log schema) and mis-bind the streaming plan —
+    // refuse, as Delta does, rather than half-honor it
+    require(schema.isEmpty,
+      "graft streaming source manages its own schema (the table log's) — " +
+        "drop the .schema(...) call")
     implicit val settings: graft.conf.GraftSettings =
       graft.conf.GraftSettings.default
     val table = GraftTable(sqlContext.sparkSession, pathOf(parameters))
-    (shortName(), schema.getOrElse(GraftStreamSource.schemaOf(table)))
+    (shortName(), GraftStreamSource.schemaOf(table))
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,

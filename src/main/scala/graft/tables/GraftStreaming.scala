@@ -34,7 +34,8 @@ private[tables] final case class GraftOffset(version: Long) extends Offset {
   *    neighbours — the documented Delta `ignoreChanges` contract;
   *    downstream must be idempotent by key);
   *  - `.option("startingVersion", v)` REPLACES the snapshot start with a
-  *    log replay of the commits after v (0 = full history).
+  *    log replay of the commits from v on — INCLUSIVE of v itself, the
+  *    Delta convention (1 = full history).
   *
   * The schema is pinned at stream start (the log schema); files written
   * before an additive evolution read the missing columns as NULL.
@@ -52,7 +53,8 @@ private[tables] final class GraftStreamSource(
 
   override def getOffset: Option[Offset] = {
     val v = table.version
-    if (v <= startingVersion.getOrElse(0L)) None else Some(GraftOffset(v))
+    // with an inclusive startingVersion sv there is data as soon as v >= sv
+    if (v == 0L || startingVersion.exists(v < _)) None else Some(GraftOffset(v))
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
@@ -63,7 +65,9 @@ private[tables] final class GraftStreamSource(
         // offset IS the first batch — history rewrites are irrelevant
         table.liveFiles(asOf = endV)
       case (s, sv) =>
-        val startV = s.map(_.json.toLong).orElse(sv).getOrElse(0L)
+        // resumed offsets are exclusive bounds; the user-facing
+        // startingVersion is INCLUSIVE (Delta convention), so shift it
+        val startV = s.map(_.json.toLong).orElse(sv.map(_ - 1L)).getOrElse(0L)
         val range = table.commits()
           .filter(c => c.version > startV && c.version <= endV && c.dataChange)
         val rewrites = range.filter(_.remove.nonEmpty)
@@ -105,17 +109,33 @@ private[tables] object GraftStreamSource {
   * compositions where the merge semantics are explicit. */
 private[tables] final class GraftStreamSink(
     table: GraftTable,
-    queryKey: String)(implicit settings: GraftSettings)
+    fallbackKey: String)(implicit settings: GraftSettings)
   extends Sink {
 
+  /** The txn key is the STREAMING QUERY ID when available (set as a local
+    * property by the stream execution thread): it lives INSIDE the
+    * checkpoint, so deleting the checkpoint to reprocess mints a new id
+    * and the old batch-id stamps stop matching — keying on the checkpoint
+    * PATH instead would silently skip every replayed batch id after a
+    * reset. The constructor key (checkpointLocation) is only the fallback
+    * for direct harness calls outside a stream thread. */
+  private def queryKey(spark: org.apache.spark.sql.SparkSession): String =
+    Option(spark.sparkContext.getLocalProperty("sql.streaming.queryId"))
+      .getOrElse(fallbackKey)
+
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
-    val replayed = table.exists && table.commits().reverseIterator.exists(c =>
-      c.metrics.get(GraftStreamSink.QueryKey).contains(queryKey) &&
-        c.metrics.get(GraftStreamSink.BatchKey).exists(_.toLong >= batchId))
+    val key = queryKey(data.sparkSession)
+    // batch ids are monotonic per query, so only the NEWEST commit
+    // carrying our key matters — O(distance to our last commit), not
+    // O(history), per micro-batch
+    val replayed = table.exists && table.commits().reverseIterator
+      .find(_.metrics.get(GraftStreamSink.QueryKey).contains(key))
+      .flatMap(_.metrics.get(GraftStreamSink.BatchKey))
+      .exists(_.toLong >= batchId)
     if (replayed) return
     table.append(StreamBridge.asBatchFrame(data),
       extraMetrics = Map(
-        GraftStreamSink.QueryKey -> queryKey,
+        GraftStreamSink.QueryKey -> key,
         GraftStreamSink.BatchKey -> batchId.toString))
   }
 }

@@ -885,7 +885,8 @@ final class GraftTable private (
         case None => tagged(ups, "insert")
       }))
     val (add, stats) = stage(merged)
-    nextCommit("upsert", dataChange = true, add, oldFiles, merged.schema.json,
+    nextCommit("upsert", dataChange = true, add, oldFiles,
+      unionSchemaJson(merged.schema),
       Map("numOutputFiles" -> add.size.toString,
         "numRewrittenFiles" -> oldFiles.size.toString),
       stats, changes = changeFiles)
@@ -935,7 +936,7 @@ final class GraftTable private (
       else None
     val (add, stats) = stage(remaining)
     Some(nextCommit("delete", dataChange = true, add, affected,
-      remaining.schema.json,
+      unionSchemaJson(remaining.schema),
       Map("numRewrittenFiles" -> affected.size.toString,
         "numOutputFiles" -> add.size.toString), stats, changes = changeFiles))
   }
@@ -967,7 +968,7 @@ final class GraftTable private (
       else None
     val (add, stats) = stage(updated)
     Some(nextCommit("update", dataChange = true, add, affected,
-      updated.schema.json,
+      unionSchemaJson(updated.schema),
       Map("numRewrittenFiles" -> affected.size.toString,
         "numOutputFiles" -> add.size.toString), stats, changes = changeFiles))
   }
@@ -1008,7 +1009,8 @@ final class GraftTable private (
     val target = math.max(1, math.ceil(totalBytes.toDouble / settings.compactTargetBytes).toInt)
     val df = rewrite(read(), target)
     val (add, stats) = stage(df)
-    Some(nextCommit("compact", dataChange = false, add, files, df.schema.json,
+    Some(nextCommit("compact", dataChange = false, add, files,
+      unionSchemaJson(df.schema),
       Map("numOutputFiles" -> add.size.toString,
         "numRemovedFiles" -> files.size.toString,
         "numCompactedBytes" -> totalBytes.toString),

@@ -119,7 +119,12 @@ final class IncrementalAgg(
     * left: the top cursor row promises n_rows delta rows under its token. */
   private def heal(): Unit = {
     if (!appliedTable.exists) return
-    appliedTable.read().orderBy(col("to_v").desc).limit(1).collect()
+    // from_v DESC breaks the tie between a consolidate marker (from == to)
+    // and the real range ending at the same version (from < to): the
+    // marker must win, or heal would chase the range token the
+    // consolidation overwrite just absorbed
+    appliedTable.read().orderBy(col("to_v").desc, col("from_v").desc)
+      .limit(1).collect()
       .foreach { r =>
         val (token, fromV, toV, nRows) =
           (r.getAs[String]("token"), r.getAs[Long]("from_v"),
@@ -185,13 +190,20 @@ final class IncrementalAgg(
     * quiet cadence, like every store's maintenance (the
     * [[graft.ext.LexIndex]] consolidation caveat). */
   def consolidate(): Unit = {
+    import spark.implicits._
     heal()
     if (!deltasTable.exists || !appliedTable.exists) return
-    appliedTable.read().orderBy(col("to_v").desc).limit(1)
-      .collect().headOption.map(_.getAs[String]("token")).foreach { token =>
-        deltasTable.overwrite(
-          fold(deltasTable.read().drop("token")).withColumn("token", lit(token)))
-      }
+    val v = cursor
+    val token = s"consolidated-$v"
+    // the cursor row goes FIRST, with n_rows = 0: once it is the top row,
+    // heal() has nothing to re-apply — so neither a crash before the
+    // overwrite (store untouched) nor after it (store folded) can make a
+    // later heal re-append an applied range. Without this, a fully-
+    // retracted aggregate would fold to ZERO rows, the overwrite would
+    // erase the top token, and heal would re-apply that range forever.
+    appliedTable.append(Seq((token, v, v, 0L)).toDF("token", "from_v", "to_v", "n_rows"))
+    deltasTable.overwrite(
+      fold(deltasTable.read().drop("token")).withColumn("token", lit(token)))
   }
 }
 

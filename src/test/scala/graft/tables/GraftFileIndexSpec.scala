@@ -38,6 +38,11 @@ class GraftFileIndexSpec extends SparkSpecBase {
     assert(a == b)
     assert(a.map(_.getLong(0)) == Seq(1L, 2L, 3L))
     assert(a.last.isNullAt(2) && a.head.isNullAt(3)) // missing cols read NULL
+
+    // a pruned DML rewrite touches only the narrow file — the log schema
+    // must remain the union, not shrink to the rewritten file's columns
+    t.delete(col("id") === 1L)
+    assert(t.readRelation().columns.sorted.toSeq == Seq("id", "k", "v", "w"))
   }
 
   test("a filter prunes files at the physical scan and pushes into parquet") {
@@ -132,11 +137,15 @@ class GraftFileIndexSpec extends SparkSpecBase {
     t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "k"))
     t.delete(col("id") === 1L)
     val feed = spark.read.format("graft")
-      .option("readChangeFeed", "true").option("startingVersion", "1")
+      .option("readChangeFeed", "true").option("startingVersion", "2")
       .load(path)
     val got = feed.select("id", "_change_type", "_commit_version")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
     assert(got == Seq((1L, "delete", 2L)))
+    // startingVersion is INCLUSIVE (Delta convention): 1 sees v1's inserts
+    assert(spark.read.format("graft")
+      .option("readChangeFeed", "true").option("startingVersion", "1")
+      .load(path).count() == 3)
   }
 
   test("empty and missing tables behave") {

@@ -102,16 +102,21 @@ class GraftStreamingSpec extends SparkSpecBase {
       Option(e2.getCause).exists(_.getMessage.contains("ignoreChanges")))
   }
 
-  test("startingVersion skips history") {
+  test("startingVersion replays from its version INCLUSIVE (Delta convention)") {
     val root = tmp()
     implicit val st: GraftSettings = GraftSettings.local(root)
     val src = GraftTable(spark, s"$root/src")
-    src.overwrite(Seq((1L, "a")).toDF("id", "k")) // v1 — skipped
-    src.append(Seq((2L, "b")).toDF("id", "k"))    // v2
+    src.overwrite(Seq((1L, "a")).toDF("id", "k")) // v1 — before the start
+    src.append(Seq((2L, "b")).toDF("id", "k"))    // v2 — the start itself
     drain(s"$root/src", s"$root/dst", s"$root/ckpt",
-      Map("startingVersion" -> "1"))
+      Map("startingVersion" -> "2"))
     assert(GraftTable(spark, s"$root/dst").read()
       .select("id").as[Long].collect().toSeq == Seq(2L))
+    // inclusive: starting at 1 delivers v1's rows too
+    drain(s"$root/src", s"$root/dst2", s"$root/ckpt2",
+      Map("startingVersion" -> "1"))
+    assert(GraftTable(spark, s"$root/dst2").read()
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
   }
 
   test("the sink skips a replayed batch id but not a new one") {

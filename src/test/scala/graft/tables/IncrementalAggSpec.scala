@@ -128,6 +128,28 @@ class IncrementalAggSpec extends SparkSpecBase {
     assert(maintained(agg) == recompute(src))
   }
 
+  test("consolidating a fully-retracted aggregate never re-applies the range") {
+    val root = tmp()
+    implicit val st: GraftSettings =
+      GraftSettings.local(root).copy(changeDataFeed = true)
+    val src = GraftTable(spark, s"$root/src")
+    val agg = IncrementalAgg(spark, s"$root/agg", src, Seq("k"), Seq("v"))
+
+    src.overwrite(rows(("a", "x", 1.0)))
+    agg.refresh()
+    src.delete(col("k") === "x") // retract everything
+    agg.refresh()
+    assert(maintained(agg).isEmpty)
+    // the fold is empty, so the overwrite erases every delta row — the
+    // consolidate cursor row must still keep heal() from re-applying the
+    // delete range (a re-applied -1 would poison the NEXT insert of x)
+    agg.consolidate()
+    agg.refresh() // heal window: must be a no-op
+    src.append(rows(("b", "x", 5.0)))
+    agg.refresh()
+    assert(maintained(agg) == recompute(src))
+  }
+
   test("min/max maintain under insert-only feeds and refuse retraction") {
     val root = tmp()
     implicit val st: GraftSettings =
