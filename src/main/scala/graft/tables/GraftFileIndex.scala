@@ -21,7 +21,13 @@ private[tables] object ExpressionAtoms {
 
   def conjuncts(e: Expression): Seq[PredAtom] = e match {
     case And(l, r) => conjuncts(l) ++ conjuncts(r)
-    case other     => Seq(atom(other))
+    // startswith (col LIKE 'p%') desugars to its range atoms
+    case StartsWith(at: AttributeReference, Literal(p, StringType))
+        if p != null && p.toString.nonEmpty =>
+      val prefix = p.toString
+      PredCmp(">=", at.name, prefix) +:
+        PrefixBounds.upper(prefix).map(PredCmp("<", at.name, _)).toSeq
+    case other => Seq(atom(other))
   }
 
   private def external(v: Any, dt: DataType): Option[Any] =
@@ -174,8 +180,8 @@ object GraftRelation {
   /** Build the [[GraftFileIndex]]-backed DataFrame for `table` — see the
     * class doc for what this buys over `read()`. The frame serves the
     * snapshot current at the call (re-call for a fresh one). */
-  def dataFrame(table: GraftTable): DataFrame = {
+  def dataFrame(table: GraftTable, asOf: Long = Long.MaxValue): DataFrame = {
     val ss = table.spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    ss.baseRelationToDataFrame(relation(table))
+    ss.baseRelationToDataFrame(relation(table, asOf))
   }
 }

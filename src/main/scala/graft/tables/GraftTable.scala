@@ -354,9 +354,11 @@ final class GraftTable private (
     * log-schema scan with ANALYSIS-TIME data skipping — `.filter(p)` on
     * the result prunes files by stats/bucket automatically (no manual
     * `readWhere` routing), no per-file footer inference, and live-bytes
-    * `sizeInBytes` so small tables auto-broadcast. Serves the snapshot
-    * current at this call. */
-  def readRelation(): DataFrame = GraftRelation.dataFrame(this)
+    * `sizeInBytes` so small tables auto-broadcast. Serves the snapshot at
+    * `asOf` (default: current at this call) — the time-travel twin of
+    * [[readAt]] with the pruned-scan machinery. */
+  def readRelation(asOf: Long = Long.MaxValue): DataFrame =
+    GraftRelation.dataFrame(this, asOf)
 
   /** Read with file-level data skipping: files whose min/max/null stats
     * prove `predicate` can never hold are not scanned at all. The result is

@@ -12,6 +12,21 @@ final case class PredIn(col: String, values: Seq[Any]) extends PredAtom
 final case class PredNull(col: String, isNull: Boolean) extends PredAtom
 case object PredOpaque extends PredAtom
 
+/** `startswith(col, p)` desugars to range atoms for data skipping:
+  * every p-prefixed string s satisfies `s >= p` (p is its prefix) and
+  * `s < upper(p)` (they share p.init, and at p's last position s carries
+  * p.last vs upper's p.last+1 — s loses regardless of its suffix). The
+  * upper bound is omitted when incrementing the last char would leave the
+  * safely-comparable plane (near the surrogate range) — prefix pruning
+  * then degrades to the lower bound alone, still sound. The decisive
+  * shape for URL/domain-prefix scans over host-clustered web tables. */
+object PrefixBounds {
+  def upper(p: String): Option[String] =
+    if (p.nonEmpty && p.last < 0xCFFF.toChar)
+      Some(p.init + (p.last + 1).toChar)
+    else None
+}
+
 /** Evaluates whether a predicate MAY hold on a file given its column
   * min/max/null stats ([[FileStats]]) — the data-skipping decision.
   *

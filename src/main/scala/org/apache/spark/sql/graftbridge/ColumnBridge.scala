@@ -36,6 +36,16 @@ object ColumnBridge {
   private def splitAnd(n: internal.ColumnNode): Seq[graft.tables.PredAtom] = n match {
     case f: internal.UnresolvedFunction if f.functionName == "and" =>
       f.arguments.flatMap(splitAnd)
+    // startswith desugars to its range atoms (see PrefixBounds)
+    case f: internal.UnresolvedFunction
+        if f.functionName.equalsIgnoreCase("startswith") && f.arguments.length == 2 =>
+      (attrName(f.arguments(0)), litValue(f.arguments(1))) match {
+        case (Some(name), Some(p: String)) if p.nonEmpty =>
+          graft.tables.PredCmp(">=", name, p) +:
+            graft.tables.PrefixBounds.upper(p)
+              .map(graft.tables.PredCmp("<", name, _)).toSeq
+        case _ => Seq(graft.tables.PredOpaque)
+      }
     case other => Seq(atom(other))
   }
 

@@ -116,6 +116,32 @@ class GraftFileIndexSpec extends SparkSpecBase {
     assert(spark.read.format("graft").load(path).count() == 3)
   }
 
+  test("prefix predicates (startsWith / LIKE 'p%') prune files by range bounds") {
+    val root = tmp()
+    implicit val st: GraftSettings = GraftSettings.local(root)
+    val t = GraftTable(spark, s"$root/t")
+    val hosts = (0 until 400).map { i =>
+      val d = ('a' + i / 100).toChar
+      (i.toLong, s"$d${"%03d".format(i % 100)}.example.com")
+    }.toDF("id", "host")
+    t.appendClustered(hosts, Seq("host"), numFiles = 8)
+    assert(t.liveFiles().size == 8)
+
+    // native-relation path: analyzed StartsWith reaches the FileIndex
+    val q = t.readRelation().filter(col("host").startsWith("c0"))
+    val got = q.collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == (200L until 300L).toSeq)
+    assert(scanOf(q).metrics("numFiles").value < 8)
+
+    // Column path (readWhere / ColumnBridge) prunes the same way
+    assert(t.prunedFiles(col("host").startsWith("c0")).size < 8)
+    assert(t.readWhere(col("host").startsWith("c0")).count() == 100)
+
+    // a prefix ENDING at the unsafe plane drops the upper bound (lower
+    // bound only) — still correct, just less pruning
+    assert(t.readWhere(col("host").startsWith("x쿿")).count() == 0)
+  }
+
   test("versionAsOf time-travels the registered source") {
     val root = tmp()
     implicit val st: GraftSettings = GraftSettings.local(root)
