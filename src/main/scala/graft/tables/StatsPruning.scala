@@ -78,8 +78,30 @@ private[tables] object StatsPruning {
 
   private def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
     case (x: BigDecimal, y: BigDecimal) => Some(x.compare(y))
-    case (x: String, y: String)         => Some(x.compareTo(y))
+    case (x: String, y: String)         => Some(utf8Compare(x, y))
     case _                              => None
+  }
+
+  /** Unsigned lexicographic compare of the UTF-8 encodings — the order the
+    * stats were COLLECTED in: Spark's `min()`/`max()` aggregates order
+    * `StringType` by UTF8String binary comparison. `String.compareTo`
+    * orders by UTF-16 code units instead, and the two disagree beyond the
+    * BMP: supplementary code points (U+10000+) encode as surrogate pairs
+    * starting at 0xD800, sorting BEFORE [U+E000, U+FFFF] in UTF-16 but
+    * AFTER them in UTF-8 — mixing the orders lets a range predicate judge
+    * `mayHold = false` for a file that holds a matching emoji-bearing row,
+    * an UNSOUND prune. One comparator, matched to the stats writer. */
+  private def utf8Compare(x: String, y: String): Int = {
+    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val d = (a(i) & 0xFF) - (b(i) & 0xFF)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - b.length
   }
 
   /** Can any row of a file with stats `st` satisfy conjunct `p`? */

@@ -208,6 +208,40 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("string data skipping is sound beyond the BMP: prune == scan on supplementary-plane keys") {
+    // UTF-16 code units order the surrogate range (U+D800..) BEFORE
+    // [U+E000, U+FFFF]; UTF-8 binary (the order Spark collected the
+    // min/max stats in) orders supplementary code points AFTER them. The
+    // generator straddles exactly that boundary so any comparator mixing
+    // the two orders prunes a file that holds a matching row.
+    val alphabet = Vector("a", "z", "é", "中", "", "",
+      "�", new String(Character.toChars(0x1F600)),
+      new String(Character.toChars(0x10000)), new String(Character.toChars(0x10FFFF)))
+    val strGen = for {
+      n <- Gen.choose(1, 4)
+      cs <- Gen.listOfN(n, Gen.oneOf(alphabet))
+    } yield cs.mkString
+    val dataGen = Gen.listOfN(24, strGen)
+    samples(dataGen, 8).zipWithIndex.foreach { case (rows, i) =>
+      val t = graft.tables.GraftTable(spark,
+        java.nio.file.Files.createTempDirectory(s"graft-skip-utf8-$i-").toString + "/t")(
+        graft.conf.GraftSettings.default)
+      // several single-file appends -> several files with distinct stat ranges
+      rows.grouped(5).foreach(chunk =>
+        t.append(chunk.map(Tuple1(_)).toDF("s").coalesce(1)))
+      val lits = samples(strGen, 6)
+      val predicates =
+        lits.flatMap(l => Seq(col("s") > l, col("s") >= l, col("s") < l,
+          col("s") <= l, col("s") === l, col("s").startsWith(l))) :+
+          col("s").isin(lits: _*)
+      predicates.foreach { p =>
+        val expected = t.read().filter(p).collect().map(_.getString(0)).sorted
+        val got = t.readWhere(p).collect().map(_.getString(0)).sorted
+        assert(got === expected, s"predicate $p on rows=${rows.map(_.codePoints.toArray.toSeq)}")
+      }
+    }
+  }
+
   test("CDC replay: random batched op sequences converge to the sequential model") {
     // events (key, value, op) arrive in batches; within a batch only the
     // LATEST event per key applies (Dedup.latestPerKey), across batches
