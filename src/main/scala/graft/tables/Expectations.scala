@@ -109,6 +109,10 @@ object Expectations {
       s"duplicate expectation names: ${rules.map(_.name).diff(rules.map(_.name).distinct).mkString(", ")}")
     require(!df.columns.contains(ViolationsCol),
       s"input already carries a $ViolationsCol column")
+    // same reserved-name contract as ViolationsCol: the quarantine stamp
+    // must never silently overwrite a source column of the same name
+    require(batchTag.isEmpty || !df.columns.contains("_batch"),
+      "input already carries a _batch column — the quarantine batch tag would overwrite it")
     val tagged = df.withColumn(ViolationsCol, violationsArray(rules))
     val dropNames = rules.collect { case r if r.action == Action.Drop => r.name }
     val failNames = rules.collect { case r if r.action == Action.Fail => r.name }

@@ -126,6 +126,6 @@ final class GraftSource extends RelationProvider
       graft.conf.GraftSettings.default
     new GraftStreamSink(
       GraftTable(sqlContext.sparkSession, pathOf(parameters)),
-      GraftStreamSink.keyFrom(parameters))
+      GraftStreamSink.keyFrom(parameters, sqlContext.sparkSession))
   }
 }

@@ -1,6 +1,8 @@
 package graft.tables
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.connector.read.streaming
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadAllAvailable, ReadLimit, ReadMaxBytes, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
 import org.apache.spark.sql.graftbridge.StreamBridge
 import org.apache.spark.sql.streaming.OutputMode
@@ -8,12 +10,38 @@ import org.apache.spark.sql.types.{DataType, StructType}
 
 import graft.conf.GraftSettings
 
-/** Stream offsets ARE commit versions — the table's log is already a
-  * totally-ordered, replayable sequence, so the source needs no state of
-  * its own. (Deserialized offsets arrive as `SerializedOffset(json)`;
-  * every shape round-trips through `json.toLong`.) */
-private[tables] final case class GraftOffset(version: Long) extends Offset {
-  override def json: String = version.toString
+/** Stream offsets ARE positions in the commit log — the table's log is
+  * already a totally-ordered, replayable sequence, so the source needs no
+  * durable state of its own.
+  *
+  *  - `snapshotIdx < 0` ("plain"): everything through commit `version` is
+  *    delivered (including the initial snapshot, if any).
+  *  - `snapshotIdx >= 0` ("mid-snapshot"): the stream is still draining
+  *    its INITIAL SNAPSHOT (pinned at `version`) under a rate cap, and the
+  *    first `snapshotIdx` files of that snapshot's deterministic
+  *    (name-sorted) order are delivered. `(v, total)` collapses to plain
+  *    `v`, so plain/mid never ambiguously coexist at the same position.
+  *
+  * (Deserialized offsets arrive as `SerializedOffset(json)`; both shapes
+  * round-trip through [[GraftOffset.fromJson]], and a pre-admission-
+  * control checkpoint's bare `version` parses as plain — back-compat.) */
+private[tables] final case class GraftOffset(version: Long, snapshotIdx: Long = -1L)
+  extends Offset {
+  override def json: String =
+    if (snapshotIdx < 0) version.toString else s"$version:$snapshotIdx"
+}
+
+private[tables] object GraftOffset {
+  def fromJson(s: String): GraftOffset = s.split(':') match {
+    case Array(v)    => GraftOffset(v.toLong)
+    case Array(v, i) => GraftOffset(v.toLong, i.toLong)
+    case _ => throw new IllegalArgumentException(s"malformed graft offset '$s'")
+  }
+
+  def parse(o: streaming.Offset): GraftOffset = o match {
+    case g: GraftOffset => g
+    case other          => fromJson(other.json)
+  }
 }
 
 /** `spark.readStream.format("graft")` — tail a [[GraftTable]]'s commit
@@ -37,47 +65,259 @@ private[tables] final case class GraftOffset(version: Long) extends Offset {
   *    log replay of the commits from v on — INCLUSIVE of v itself, the
   *    Delta convention (1 = full history).
   *
+  * '''Admission control''' (`maxFilesPerTrigger` / `maxBytesPerTrigger`,
+  * the options Delta's source honors): without a cap, a stream resumed
+  * over a month of backlog — or a `startingVersion=1` replay of a year of
+  * commits — plans ONE micro-batch sized by the outage, the classic
+  * streaming OOM at 100 TB. With a cap, [[latestOffset]] walks commits
+  * from the engine-provided start offset and stops once the batch holds
+  * `maxFilesPerTrigger` files (or the first file crossing
+  * `maxBytesPerTrigger`) — always admitting at least one data commit per
+  * batch so an oversized commit still flows (a commit is the atomic
+  * unit). The initial snapshot is likewise drained in capped slices of
+  * its name-sorted file list via mid-snapshot offsets. Implemented
+  * through [[SupportsAdmissionControl]] (the engine hands `latestOffset`
+  * the previous end offset, so the source stays STATELESS — nothing to
+  * recover on restart) and [[SupportsTriggerAvailableNow]] (an
+  * AvailableNow drain caps its target at prepare time and then steps
+  * through capped batches until it reaches it — without the interface,
+  * the engine's wrapper would read one capped batch and stop).
+  *
   * The schema is pinned at stream start (the log schema); files written
-  * before an additive evolution read the missing columns as NULL.
+  * before an additive evolution read the missing columns as NULL, and a
+  * schema change COMMITTED MID-STREAM fails the query loudly (Delta
+  * semantics: restarting picks up the widened schema) — silently reading
+  * on with the pinned schema would project the new columns away for the
+  * life of the query.
   */
 private[tables] final class GraftStreamSource(
     table: GraftTable,
     options: Map[String, String])(implicit settings: GraftSettings)
-  extends Source {
+  extends Source with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   private val opts = options.map { case (k, v) => k.toLowerCase -> v }
   private val ignoreChanges = opts.get("ignorechanges").exists(_.toBoolean)
   private val startingVersion = opts.get("startingversion").map(_.toLong)
+  private val maxFilesOpt = opts.get("maxfilespertrigger").map(_.toInt)
+  private val maxBytesOpt = opts.get("maxbytespertrigger").map(_.toLong)
+  require(maxFilesOpt.forall(_ > 0), "maxFilesPerTrigger must be positive")
+  require(maxBytesOpt.forall(_ > 0), "maxBytesPerTrigger must be positive")
 
   override val schema: StructType = GraftStreamSource.schemaOf(table)
 
-  override def getOffset: Option[Offset] = {
-    val v = table.version
-    // with an inclusive startingVersion sv there is data as soon as v >= sv
-    if (v == 0L || startingVersion.exists(v < _)) None else Some(GraftOffset(v))
+  override def getDefaultReadLimit: ReadLimit = (maxFilesOpt, maxBytesOpt) match {
+    case (Some(f), Some(b)) =>
+      ReadLimit.compositeLimit(Array(ReadLimit.maxFiles(f), ReadLimit.maxBytes(b)))
+    case (Some(f), None) => ReadLimit.maxFiles(f)
+    case (None, Some(b)) => ReadLimit.maxBytes(b)
+    case _               => ReadLimit.allAvailable()
   }
 
-  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val endV = end.json.toLong
-    val files = (start, startingVersion) match {
-      case (None, None) =>
-        // fresh stream, no explicit start: the snapshot at the first
-        // offset IS the first batch — history rewrites are irrelevant
-        table.liveFiles(asOf = endV)
-      case (s, sv) =>
-        // resumed offsets are exclusive bounds; the user-facing
-        // startingVersion is INCLUSIVE (Delta convention), so shift it
-        val startV = s.map(_.json.toLong).orElse(sv.map(_ - 1L)).getOrElse(0L)
-        val range = table.commits()
-          .filter(c => c.version > startV && c.version <= endV && c.dataChange)
-        val rewrites = range.filter(_.remove.nonEmpty)
-        if (rewrites.nonEmpty && !ignoreChanges)
+  /** (maxFiles, maxBytes) the engine asked for this batch. `Trigger.Once`
+    * passes allAvailable — rate caps are ignored for it, like Delta. An
+    * unrecognized shape falls back to the source's own options. */
+  private def capsOf(limit: ReadLimit): (Option[Int], Option[Long]) = limit match {
+    case _: ReadAllAvailable => (None, None)
+    case f: ReadMaxFiles     => (Some(f.maxFiles), None)
+    case b: ReadMaxBytes     => (None, Some(b.maxBytes))
+    case c: CompositeReadLimit =>
+      c.getReadLimits.map(capsOf).reduce((a, b) =>
+        (a._1.orElse(b._1), a._2.orElse(b._2)))
+    case _ => (maxFilesOpt, maxBytesOpt)
+  }
+
+  /** AvailableNow drains everything available AT PREPARE TIME, across as
+    * many capped batches as that takes — the target is pinned here and
+    * [[latestOffset]] never steps past it. */
+  @volatile private var availableNowCapV: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCapV = Some(table.version)
+
+  /** The initial snapshot's file list, pinned at its version and sorted
+    * by name — a DETERMINISTIC order, so a restarted capped drain resumes
+    * at the same index it checkpointed. */
+  @volatile private var snapCache: (Long, IndexedSeq[String]) = null
+  private def snapshotFilesAt(v: Long): IndexedSeq[String] = {
+    val c = snapCache
+    if (c != null && c._1 == v) return c._2
+    val files = table.liveFiles(asOf = v).sorted.toIndexedSeq
+    snapCache = (v, files)
+    files
+  }
+
+  /** File byte sizes for `maxBytesPerTrigger`, resolved once per file
+    * driver-side and cached for the life of the source. */
+  private val sizeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def sizeOf(f: String): Long = {
+    val hit = sizeCache.get(f)
+    if (hit != null) return hit.longValue()
+    val len = graft.lake.FsUtils.fs(table.spark, table.path)
+      .getFileStatus(new org.apache.hadoop.fs.Path(table.path, f)).getLen
+    sizeCache.put(f, len)
+    len
+  }
+
+  /** Files to admit from the front of `files` under the caps: all of them
+    * uncapped; under `maxFiles` at most that many; under `maxBytes` stop
+    * once the running total reaches the cap (the crossing file is
+    * admitted — a soft cap, and never fewer than one file, so an
+    * oversized file still flows). */
+  private def admit(files: Seq[String], maxF: Option[Int], maxB: Option[Long]): Int = {
+    if (files.isEmpty) return 0
+    if (maxF.isEmpty && maxB.isEmpty) return files.size
+    val byCount = maxF.getOrElse(Int.MaxValue)
+    var n = 0
+    var bytes = 0L
+    while (n < files.size && n < byCount && maxB.forall(bytes < _)) {
+      if (maxB.isDefined) bytes += sizeOf(files(n))
+      n += 1
+    }
+    math.max(n, 1)
+  }
+
+  /** One capped step through the initial snapshot at `v0`: admit files
+    * from index `from`; reaching the end collapses to the plain offset. */
+  private def snapshotStep(v0: Long, from: Int,
+      maxF: Option[Int], maxB: Option[Long]): GraftOffset = {
+    val files = snapshotFilesAt(v0)
+    val j = from + admit(files.drop(from), maxF, maxB)
+    if (j >= files.size) GraftOffset(v0) else GraftOffset(v0, j.toLong)
+  }
+
+  /** Furthest version `w` in `(fromV, head]` whose dataChange commits fit
+    * the caps — at least one data commit always advances (a commit is the
+    * atomic admission unit; Delta caps the same way), and dataChange=false
+    * commits ride along for free. No data commits at all jumps straight
+    * to `head` (nothing to rate-limit). */
+  private def cappedTail(fromV: Long, head: Long,
+      maxF: Option[Int], maxB: Option[Long]): GraftOffset = {
+    if (maxF.isEmpty && maxB.isEmpty) return GraftOffset(head)
+    val cs = table.commits().filter(c => c.version > fromV && c.version <= head)
+    var w = fromV
+    var files = 0
+    var bytes = 0L
+    var dataCommits = 0
+    for (c <- cs) {
+      if (!c.dataChange) w = c.version
+      else {
+        val fits = dataCommits == 0 ||
+          (files + c.add.size <= maxF.getOrElse(Int.MaxValue) &&
+            maxB.forall(bytes < _))
+        if (!fits) return GraftOffset(w)
+        files += c.add.size
+        if (maxB.isDefined) bytes += c.add.map(sizeOf).sum
+        dataCommits += 1
+        w = c.version
+      }
+    }
+    GraftOffset(if (cs.isEmpty) head else w)
+  }
+
+  /** Rate-limited next offset from the engine-provided previous end
+    * (null = fresh stream). Returns the start itself when nothing new
+    * (the engine compares offsets for equality), null when the stream has
+    * no position yet and the table none to offer. */
+  override def latestOffset(startOffset: streaming.Offset, limit: ReadLimit): streaming.Offset = {
+    val (maxF, maxB) = capsOf(limit)
+    val head = availableNowCapV.fold(table.version)(math.min(_, table.version))
+    Option(startOffset).map(GraftOffset.parse) match {
+      case None =>
+        if (head == 0L || startingVersion.exists(head < _)) null
+        else startingVersion match {
+          case Some(sv) => cappedTail(sv - 1L, head, maxF, maxB)
+          case None     => snapshotStep(head, 0, maxF, maxB)
+        }
+      case Some(cur) if cur.snapshotIdx >= 0 =>
+        snapshotStep(cur.version, cur.snapshotIdx.toInt, maxF, maxB)
+      case Some(cur) =>
+        if (head <= cur.version) cur
+        else cappedTail(cur.version, head, maxF, maxB)
+    }
+  }
+
+  override def getOffset: Option[Offset] =
+    // the engine routes SupportsAdmissionControl sources exclusively
+    // through latestOffset(start, limit)
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead of getOffset")
+
+  /** dataChange commits' added files in `(fromV, toV]`, with the rewrite
+    * refusal contract (appends-only is the streaming tail's invariant). */
+  private def tailFiles(fromV: Long, toV: Long): Seq[String] = {
+    val range = table.commits()
+      .filter(c => c.version > fromV && c.version <= toV && c.dataChange)
+    val rewrites = range.filter(_.remove.nonEmpty)
+    if (rewrites.nonEmpty && !ignoreChanges)
+      throw new IllegalStateException(
+        s"streaming source found rewrite commit(s) " +
+          s"${rewrites.map(c => s"v${c.version}(${c.action})").mkString(", ")} " +
+          s"in ${table.path} — appends-only is the streaming contract; pass " +
+          "option ignoreChanges=true to stream rewritten files (rows may re-deliver)")
+    range.flatMap(_.add)
+  }
+
+  /** The table version the schema was pinned at — batches at or below it
+    * are historical and legitimately carry OLDER log schemas (read with
+    * the pinned one, missing columns as NULL — Delta's contract). */
+  private val pinVersion: Long = table.version
+
+  /** Structural shape modulo nullability/metadata: compaction's
+    * union-schema commits legitimately widen nullability (a mergeSchema
+    * read makes everything nullable), and reading with the pinned
+    * nullability stays sound — only a FIELD/TYPE change loses data. */
+  private def shapeOf(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case s: StructType =>
+        StructType(s.fields.map(f => StructField(f.name, shapeOf(f.dataType))))
+      case a: ArrayType => ArrayType(shapeOf(a.elementType))
+      case m: MapType   => MapType(shapeOf(m.keyType), shapeOf(m.valueType))
+      case other        => other
+    }
+  }
+
+  /** Fail the query loudly when the log schema EVOLVED PAST the pinned
+    * one mid-stream — Delta's streaming source does the same, so the
+    * consumer restarts and picks up the evolution instead of silently
+    * projecting the new columns away for the life of the query. */
+  private def requireUnchangedSchema(endV: Long): Unit =
+    if (endV > pinVersion)
+      table.snapshot(endV).schemaJson
+        .map(DataType.fromJson(_).asInstanceOf[StructType])
+        .filter(s => shapeOf(s) != shapeOf(schema))
+        .foreach { evolved =>
           throw new IllegalStateException(
-            s"streaming source found rewrite commit(s) " +
-              s"${rewrites.map(c => s"v${c.version}(${c.action})").mkString(", ")} " +
-              s"in ${table.path} — appends-only is the streaming contract; pass " +
-              "option ignoreChanges=true to stream rewritten files (rows may re-deliver)")
-        range.flatMap(_.add)
+            s"the schema of ${table.path} changed during the stream (pinned at " +
+              s"start: ${schema.simpleString}; log at v$endV: ${evolved.simpleString}) — " +
+              "restart the streaming query to pick up the new schema")
+        }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val e = GraftOffset.parse(end)
+    requireUnchangedSchema(e.version)
+    val files: Seq[String] = (start.map(GraftOffset.parse), e) match {
+      case (None, GraftOffset(v, idx)) if idx < 0 =>
+        startingVersion match {
+          // the user-facing startingVersion is INCLUSIVE (Delta convention)
+          case Some(sv) => tailFiles(sv - 1L, v)
+          // fresh uncapped stream: the snapshot at the first offset IS the
+          // first batch — history rewrites are irrelevant
+          case None => snapshotFilesAt(v)
+        }
+      case (None, GraftOffset(v, idx)) => // first capped slice of the snapshot
+        snapshotFilesAt(v).take(idx.toInt)
+      case (Some(GraftOffset(v0, i)), GraftOffset(v1, j)) if i >= 0 && j >= 0 =>
+        require(v0 == v1, s"mid-snapshot offsets disagree on the pinned version ($v0 vs $v1)")
+        snapshotFilesAt(v0).slice(i.toInt, j.toInt)
+      case (Some(GraftOffset(v0, i)), GraftOffset(v1, _)) if i >= 0 =>
+        // the batch that closes the snapshot drain (and any tail behind it)
+        snapshotFilesAt(v0).drop(i.toInt) ++ tailFiles(v0, v1)
+      case (Some(GraftOffset(v0, _)), GraftOffset(v1, j)) if j >= 0 =>
+        throw new IllegalStateException(
+          s"offset went backwards: plain $v0 to mid-snapshot $v1:$j")
+      case (Some(GraftOffset(v0, _)), GraftOffset(v1, _)) =>
+        tailFiles(v0, v1)
     }
     val paths = files.map(f => s"${table.path}/$f")
     val spark = table.spark
@@ -118,10 +358,18 @@ private[tables] final class GraftStreamSink(
     * and the old batch-id stamps stop matching — keying on the checkpoint
     * PATH instead would silently skip every replayed batch id after a
     * reset. The constructor key (checkpointLocation) is only the fallback
-    * for direct harness calls outside a stream thread. */
+    * for direct harness calls outside a stream thread — flagged with a
+    * warning, because a real stream silently alternating between the two
+    * keys would miss replay detection. */
   private def queryKey(spark: org.apache.spark.sql.SparkSession): String =
     Option(spark.sparkContext.getLocalProperty("sql.streaming.queryId"))
-      .getOrElse(fallbackKey)
+      .getOrElse {
+        GraftStreamSink.log.warn(
+          s"sql.streaming.queryId local property is absent — keying the " +
+            s"exactly-once txn for ${table.path} on the fallback '$fallbackKey' " +
+            "(expected only for direct addBatch calls outside a stream thread)")
+        fallbackKey
+      }
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val key = queryKey(data.sparkSession)
@@ -141,16 +389,25 @@ private[tables] final class GraftStreamSink(
 }
 
 private[tables] object GraftStreamSink {
+  private val log = org.slf4j.LoggerFactory.getLogger(classOf[GraftStreamSink])
+
   val QueryKey = "streamQueryKey"
   val BatchKey = "streamBatchId"
 
-  def keyFrom(parameters: Map[String, String]): String =
+  def keyFrom(parameters: Map[String, String],
+      session: org.apache.spark.sql.SparkSession): String =
     parameters.collectFirst {
       case (k, v) if k.equalsIgnoreCase("checkpointLocation") => v
-    }.getOrElse(throw new IllegalArgumentException(
+    }.orElse(
+      // the session-level default Delta accepts: the engine derives the
+      // real checkpoint dir under it, and in a real stream the queryId
+      // property keys the txn anyway — the fallback only has to be stable
+      session.conf.getOption("spark.sql.streaming.checkpointLocation")
+    ).getOrElse(throw new IllegalArgumentException(
       // a silent shared fallback key would make two queries writing the
       // same table dedup each other's batch ids — refuse instead
-      "graft sink requires .option(\"checkpointLocation\", ...) — the " +
+      "graft sink requires .option(\"checkpointLocation\", ...) or the " +
+        "spark.sql.streaming.checkpointLocation session default — the " +
         "location keys the exactly-once (queryKey, batchId) transaction"))
 
   def requireAppend(outputMode: OutputMode): Unit =

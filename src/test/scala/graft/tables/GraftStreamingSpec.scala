@@ -135,6 +135,73 @@ class GraftStreamingSpec extends SparkSpecBase {
     assert(t.read().count() == 3)
   }
 
+  test("maxFilesPerTrigger drains a commit backlog in capped batches, same final content") {
+    val root = tmp()
+    implicit val st: GraftSettings = GraftSettings.local(root)
+    val src = GraftTable(spark, s"$root/src")
+    // 10-commit backlog, one file per commit
+    (1L to 10L).foreach(i => src.append(Seq((i, s"k$i")).toDF("id", "k").coalesce(1)))
+
+    // fresh stream: the initial SNAPSHOT (10 files) drains 2 files/batch
+    drain(s"$root/src", s"$root/dst", s"$root/ckpt",
+      Map("maxFilesPerTrigger" -> "2"))
+    val dst = GraftTable(spark, s"$root/dst")
+    assert(dst.read().select("id").as[Long].collect().sorted.toSeq == (1L to 10L))
+    assert(dst.version >= 5, s"expected >=5 capped batches, got ${dst.version} commits")
+
+    // resumed stream over a 6-commit TAIL backlog: 2 commits/batch (the
+    // commit is the atomic admission unit) -> 3 more sink commits
+    (11L to 16L).foreach(i => src.append(Seq((i, s"k$i")).toDF("id", "k").coalesce(1)))
+    val v0 = dst.version
+    drain(s"$root/src", s"$root/dst", s"$root/ckpt",
+      Map("maxFilesPerTrigger" -> "2"))
+    assert(dst.read().select("id").as[Long].collect().sorted.toSeq == (1L to 16L))
+    assert(dst.version - v0 >= 3, s"expected >=3 capped batches, got ${dst.version - v0}")
+
+    // uncapped drain of the same source matches byte-for-byte
+    drain(s"$root/src", s"$root/flat", s"$root/ckpt-flat")
+    val flat = GraftTable(spark, s"$root/flat")
+    assert(flat.read().orderBy("id").collect().toSeq ==
+      dst.read().orderBy("id").collect().toSeq)
+  }
+
+  test("maxBytesPerTrigger admits at least one file per batch and still drains fully") {
+    val root = tmp()
+    implicit val st: GraftSettings = GraftSettings.local(root)
+    val src = GraftTable(spark, s"$root/src")
+    (1L to 4L).foreach(i => src.append(Seq((i, s"k$i")).toDF("id", "k").coalesce(1)))
+    // 1 byte per trigger: every parquet file is oversized, so each batch
+    // carries exactly the one crossing file — 4 snapshot files, >=4 batches
+    drain(s"$root/src", s"$root/dst", s"$root/ckpt",
+      Map("maxBytesPerTrigger" -> "1"))
+    val dst = GraftTable(spark, s"$root/dst")
+    assert(dst.read().select("id").as[Long].collect().sorted.toSeq == (1L to 4L))
+    assert(dst.version >= 4, s"expected >=4 byte-capped batches, got ${dst.version}")
+  }
+
+  test("a schema change committed mid-stream fails the query loudly; a restart picks it up") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val root = tmp()
+    implicit val st: GraftSettings = GraftSettings.local(root)
+    val src = GraftTable(spark, s"$root/src")
+    src.overwrite(Seq((1L, "a")).toDF("id", "k"))
+    // one LIVE source instance (= one running query): schema pinned at v1
+    val source = new GraftStreamSource(src, Map.empty)
+    val off1 = source.latestOffset(null, ReadLimit.allAvailable())
+    source.getBatch(None, GraftOffset.parse(off1)) // snapshot batch: fine
+    // additive evolution lands WHILE the query runs
+    src.append(Seq((2L, "b", 7)).toDF("id", "k", "extra"))
+    val off2 = source.latestOffset(off1, ReadLimit.allAvailable())
+    val e = intercept[IllegalStateException](
+      source.getBatch(Some(GraftOffset.parse(off1)), GraftOffset.parse(off2)))
+    assert(e.getMessage.contains("changed during the stream"))
+    // a RESTART (fresh source / fresh drain) re-pins the widened schema
+    drain(s"$root/src", s"$root/dst", s"$root/ckpt")
+    val dst = GraftTable(spark, s"$root/dst")
+    assert(dst.read().columns.toSet == Set("id", "k", "extra"))
+    assert(dst.read().count() == 2)
+  }
+
   test("compaction is invisible to the stream") {
     val root = tmp()
     implicit val st: GraftSettings = GraftSettings.local(root)
