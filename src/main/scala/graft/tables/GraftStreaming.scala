@@ -245,6 +245,7 @@ private[tables] final class GraftStreamSource(
   /** dataChange commits' added files in `(fromV, toV]`, with the rewrite
     * refusal contract (appends-only is the streaming tail's invariant). */
   private def tailFiles(fromV: Long, toV: Long): Seq[String] = {
+    table.requireLogSince(fromV, "the streaming tail")
     val range = table.commits()
       .filter(c => c.version > fromV && c.version <= toV && c.dataChange)
     val rewrites = range.filter(_.remove.nonEmpty)

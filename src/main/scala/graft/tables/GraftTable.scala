@@ -80,11 +80,14 @@ final case class LogCheckpoint(
   *   <path>/part-<uuid>-*.parquet                  // immutable data files
   * }}}
   *
-  * Concurrency: single-writer, like the reference's sequential pipelines
-  * (SURVEY.md §7 "hard parts"). Commits are made visible by an atomic
-  * rename of the version file; readers replay the log (driver-side, tiny)
-  * and read exactly the live file set — so reads never observe a partial
-  * write, and time travel is `readAt(version)`.
+  * Concurrency: commits are made visible by an atomic rename of the
+  * version file; readers replay the log (driver-side, tiny) and read
+  * exactly the live file set — so reads never observe a partial write,
+  * and time travel is `readAt(version)`. Appends retry a lost version
+  * race verbatim (they commute); rewrites (upsert/delete/update) go
+  * through Delta-style LOGICAL conflict detection ([[commitRewrite]]):
+  * disjoint concurrent writers (different buckets / provably different
+  * key ranges) land without manual retry, overlapping ones fail loudly.
   *
   * Scale: the log holds file NAMES only (KBs per commit); data files are
   * immutable parquet that Spark scans with full pushdown/pruning. Appends
@@ -210,6 +213,27 @@ final class GraftTable private (
     * parses only the latest checkpoint plus the commits after it. */
   def commits(): Seq[Commit] = listLog()._1.map(parseCommit)
 
+  /** Oldest commit version still in the log (None for an empty log).
+    * Versions are dense from 1, so a value above 1 means [[vacuumLog]]
+    * trimmed the history — the horizon below which per-commit reads
+    * (time travel, CDF, streaming replay) must fail LOUDLY. */
+  private[tables] def oldestCommitVersion: Option[Long] =
+    listLog()._1.headOption.map(versionOf)
+
+  /** Guard for consumers that replay commits in `(fromExclusive, ...]`:
+    * throws when the log no longer holds them (trimmed by [[vacuumLog]])
+    * — a silent partial replay would be wrong results, not staleness. */
+  private[tables] def requireLogSince(fromExclusive: Long, what: String): Unit =
+    oldestCommitVersion.foreach { oldest =>
+      // oldest == 1 means untrimmed: versions below 1 never existed, so a
+      // sub-1 start (e.g. startingVersion=0 = full history) is vacuous
+      if (oldest > 1 && fromExclusive + 1 < oldest)
+        throw new IllegalStateException(
+          s"$what needs commits from v${fromExclusive + 1}, but the log of " +
+            s"$path is trimmed below v$oldest (vacuumLog) — the requested " +
+            "history no longer exists")
+    }
+
   /** Replayed state at `asOf`: the newest checkpoint at or below `asOf`
     * plus only the commit files after it. With no usable checkpoint (none
     * written yet, `asOf` below the oldest one, or an unreadable file) the
@@ -228,6 +252,18 @@ final class GraftTable private (
         Some(parsed)
       } catch { case scala.util.control.NonFatal(_) => None }
     }.getOrElse(LogCheckpoint(0L, Seq.empty, None, Map.empty))
+    // trimmed-log soundness: versions are dense, so the replay from `base`
+    // to `asOf` is complete iff the first commit after base survives (or
+    // there is nothing to replay). A missing prefix would SILENTLY yield
+    // the wrong snapshot — fail loudly instead (vacuumLog's contract:
+    // history below the horizon errors, never lies).
+    val head = commitFiles.lastOption.map(versionOf).getOrElse(0L)
+    val oldest = commitFiles.headOption.map(versionOf).getOrElse(Long.MaxValue)
+    if (math.min(asOf, head) > base.version && base.version + 1 < oldest)
+      throw new IllegalStateException(
+        s"cannot reconstruct version ${math.min(asOf, head)} of $path: the log " +
+          s"is trimmed below v$oldest (vacuumLog) and no checkpoint at or below " +
+          "the requested version survives")
     val live = scala.collection.mutable.LinkedHashSet.empty[String]
     live ++= base.live
     var schemaJson = base.schemaJson
@@ -444,10 +480,12 @@ final class GraftTable private (
 
   /** Same changes grouped per commit version, for consumers that bound
     * batch sizes but must checkpoint on version boundaries. */
-  def changesByVersion(fromExclusive: Long): Seq[(Long, Seq[String])] =
+  def changesByVersion(fromExclusive: Long): Seq[(Long, Seq[String])] = {
+    requireLogSince(fromExclusive, "incremental consumption")
     commits()
       .filter(c => c.version > fromExclusive && c.dataChange)
       .map(c => c.version -> c.add.map(f => s"$path/$f"))
+  }
 
   // ---------------------------------------------------------------- write
 
@@ -548,6 +586,81 @@ final class GraftTable private (
     c
   }
 
+  /** Test seam: invoked once just before a rewrite's first commit attempt
+    * (inside [[commitRewrite]]), so specs can deterministically interleave
+    * a foreign commit into the snapshot->publish window. No-op in
+    * production. */
+  private[tables] var onBeforeRewriteCommit: () => Unit = () => ()
+
+  /** Publish a read-modify-write commit with Delta-style LOGICAL conflict
+    * detection (the multi-writer story beyond concurrent appends).
+    *
+    * A rewrite's file sets were computed against the snapshot at
+    * `baseVersion`, so the commit targets EXACTLY `baseVersion + 1` —
+    * never a re-read `version + 1`, which would silently publish over an
+    * interleaved writer (lost update: our `remove` list wouldn't cover
+    * its files, leaving both its rows and our merged output live). When
+    * another commit owns that version, the interleaved commits are
+    * examined instead of failing outright:
+    *
+    *  - one REMOVED a file this txn read -> real conflict, fail loudly
+    *    (our rewrite was computed from files that no longer exist);
+    *  - one ADDED files that `mayOverlap` says can hold rows in this
+    *    txn's scope (same buckets for a keyed upsert, stats-compatible
+    *    with the predicate for delete/update) -> real conflict (our scan
+    *    missed rows the txn semantics must cover);
+    *  - otherwise the writes are DISJOINT (different buckets, different
+    *    key ranges) and the rewrite is still valid verbatim: adopt the
+    *    new base and retry. Two CDC writers upserting different buckets
+    *    of a 100 TB table both land without manual retry.
+    *
+    * `schemaJson` is re-evaluated per attempt — an interleaved append may
+    * have widened the log schema, and a rewrite must never narrow it. */
+  private def commitRewrite(action: String, baseVersion: Long,
+      add: Seq[String], remove: Seq[String],
+      mayOverlap: Commit => Boolean,
+      schemaJson: () => String,
+      metrics: Map[String, String],
+      stats: Map[String, FileStats],
+      changes: Option[Seq[String]] = None): Commit = {
+    val readSet = remove.toSet
+    onBeforeRewriteCommit()
+    onBeforeRewriteCommit = () => ()
+    var base = baseVersion
+    var attempts = 0
+    while (attempts < 20) {
+      val now = version
+      if (now > base) {
+        val interleaved = commits().filter(c => c.version > base && c.version <= now)
+        interleaved.find(c =>
+          c.remove.exists(readSet) || (c.add.nonEmpty && mayOverlap(c)))
+          .foreach { c =>
+            val why =
+              if (c.remove.exists(readSet)) "rewrote file(s) this transaction read"
+              else "added file(s) that may hold rows in this transaction's scope"
+            throw new IllegalStateException(
+              s"concurrent ${c.action} commit v${c.version} conflicts with this " +
+                s"$action on $path: it $why — re-run against the new table state")
+          }
+        base = now // disjoint writers: the rewrite is still valid verbatim
+      } else {
+        try {
+          val c = Commit(base + 1, action, dataChange = true,
+            System.currentTimeMillis(), add, remove, schemaJson(), metrics,
+            if (stats.isEmpty) None else Some(stats), changes)
+          writeCommit(c)
+          maybeWriteCheckpoint(c.version)
+          return c
+        } catch {
+          case e: IllegalStateException if e.getMessage.contains("concurrent commit") =>
+            attempts += 1 // loop re-reads the log and validates the winner
+        }
+      }
+    }
+    throw new IllegalStateException(
+      s"$action on $path gave up after $attempts contended commit attempts")
+  }
+
   // ------------------------------------------------------ change data feed
 
   private val changesDir = "_graft_changes"
@@ -589,6 +702,7 @@ final class GraftTable private (
     * (`dataChange=false`) is invisible here, as incremental consumers
     * require. */
   def readChanges(fromExclusive: Long, toInclusive: Long = Long.MaxValue): DataFrame = {
+    requireLogSince(fromExclusive, "the change feed")
     val inRange = commits()
       .filter(c => c.version > fromExclusive && c.version <= toInclusive && c.dataChange)
     val frames = inRange.flatMap { c =>
@@ -599,7 +713,7 @@ final class GraftTable private (
       val changed: Seq[DataFrame] = c.changes match {
         case Some(files) => readFiles(files).toSeq
         case None => c.action match {
-          case "upsert" | "delete" | "update" =>
+          case "upsert" | "delete" | "update" | "merge" =>
             throw new IllegalStateException(
               s"version ${c.version} (${c.action}) has no recorded change data — " +
                 s"enable settings.changeDataFeed before running DML, or read snapshots")
@@ -704,11 +818,11 @@ final class GraftTable private (
 
   /** Appends COMMUTE, so a lost version race is retried: the staged files
     * are already in place under unique names, and re-reading the log gives
-    * the next free version. Read-modify-write commits (overwrite/upsert/
-    * compact) must NOT retry — their file sets were computed against a
-    * snapshot — so they keep fail-fast conflict semantics. This makes
-    * concurrent multi-writer APPEND safe (the common ingest case) while
-    * mutation stays single-writer, like early Delta. */
+    * the next free version. Read-modify-write commits must NOT blindly
+    * retry — their file sets were computed against a snapshot — so
+    * upsert/delete/update revalidate through [[commitRewrite]]'s logical
+    * conflict detection, while whole-table rewrites (overwrite/compact/
+    * restore) keep fail-fast semantics. */
   def append(df: DataFrame,
       extraMetrics: Map[String, String] = Map.empty): Commit = {
     requireCompatibleSchema(df)
@@ -819,7 +933,8 @@ final class GraftTable private (
     * The anti-join broadcasts the update KEYS when small — the usual CDC
     * case — so the existing table is never shuffled; at 100 TB pair this
     * with key-bucketed layout so only buckets containing updated keys are
-    * rewritten (single-writer rewrite here keeps v1 simple and correct).
+    * rewritten — and concurrent upserts to DISJOINT buckets both land
+    * without manual retry ([[commitRewrite]]'s conflict classes).
     */
   /** The distinct update-key set for the anti-join, broadcast-hinted only
     * when the update batch's optimizer size estimate fits
@@ -840,24 +955,25 @@ final class GraftTable private (
     if (!exists) {
       return overwrite(project(updates.filter(col(opCol) =!= deleteOp)))
     }
+    val snap0 = snapshot() // ONE pinned snapshot: file sets AND base version
     val updateKeys = updateKeysPlan(updates, keyCols)
     val upserted = project(updates.filter(col(opCol) =!= deleteOp))
 
     // bucket pruning: with a matching bucket spec only the buckets holding
     // updated keys are read and rewritten — O(batch), not O(table)
-    val (oldFiles, current) = bucketSpec.filter(_.keys == keyCols) match {
+    def readOf(files: Seq[String]): Option[DataFrame] =
+      if (files.isEmpty) None
+      else Some(spark.read.option("mergeSchema", "true")
+        .parquet(files.map(f => s"$path/$f"): _*))
+    val (oldFiles, current, touchedBuckets) = bucketSpec.filter(_.keys == keyCols) match {
       case Some(sp) =>
         val buckets = updates.select(bucketExpr(sp).as("b"))
           .distinct().collect().map(_.getInt(0)).toSet
         // files with no bucket in their name (legacy flat writes) are
         // always treated as affected
-        val affected = liveFiles().filter(f => bucketOf(f).forall(buckets.contains))
-        val df =
-          if (affected.isEmpty) None
-          else Some(spark.read.option("mergeSchema", "true")
-            .parquet(affected.map(f => s"$path/$f"): _*))
-        (affected, df)
-      case _ => (liveFiles(), Some(read()))
+        val affected = snap0.live.filter(f => bucketOf(f).forall(buckets.contains))
+        (affected, readOf(affected), Some(buckets))
+      case _ => (snap0.live, readOf(snap0.live), None)
     }
     // CDF: the affected-file snapshot and the update batch each feed the
     // merge AND the change-row joins — materialize once, not per consumer
@@ -887,8 +1003,17 @@ final class GraftTable private (
         case None => tagged(ups, "insert")
       }))
     val (add, stats) = stage(merged)
-    nextCommit("upsert", dataChange = true, add, oldFiles,
-      unionSchemaJson(merged.schema),
+    commitRewrite("upsert", snap0.version, add, oldFiles,
+      // a keyed upsert's scope is its key buckets: an interleaved commit
+      // adding files only in OTHER buckets cannot hold our keys (the
+      // writer hashed them the same way) — disjoint, safe to retry. An
+      // unbucketed file (legacy flat write) or an unbucketed table keeps
+      // the conservative answer: conflict.
+      mayOverlap = c => touchedBuckets match {
+        case Some(bs) => c.add.exists(f => bucketOf(f).forall(bs.contains))
+        case None     => true
+      },
+      schemaJson = () => unionSchemaJson(merged.schema),
       Map("numOutputFiles" -> add.size.toString,
         "numRewrittenFiles" -> oldFiles.size.toString),
       stats, changes = changeFiles)
@@ -922,8 +1047,17 @@ final class GraftTable private (
     * files), not O(table). Untouched files stay byte-identical (no
     * recompression, no metrics churn). Returns None when the predicate
     * provably matches nothing. */
-  def delete(predicate: org.apache.spark.sql.Column): Option[Commit] = {
-    val affected = prunedFiles(predicate)
+  def delete(predicate: org.apache.spark.sql.Column): Option[Commit] =
+    deleteImpl(predicate,
+      org.apache.spark.sql.graftbridge.ColumnBridge.conjuncts(predicate))
+
+  /** [[delete]] with pre-extracted skipping atoms — the SQL DML path
+    * extracts them from the ANALYZED Catalyst condition
+    * ([[ExpressionAtoms]]) instead of the ColumnNode tree. */
+  private[tables] def deleteImpl(predicate: org.apache.spark.sql.Column,
+      atoms: Seq[PredAtom]): Option[Commit] = {
+    val snap = snapshot() // pinned: file set AND conflict base version
+    val affected = pruneLive(snap, atoms)
     if (affected.isEmpty) return None
     val srcRaw = spark.read.option("mergeSchema", "true")
       .parquet(affected.map(f => s"$path/$f"): _*)
@@ -937,20 +1071,56 @@ final class GraftTable private (
         Some(stageChangeRows(tagged(src.filter(coalesce(predicate, lit(false))), "delete")))
       else None
     val (add, stats) = stage(remaining)
-    Some(nextCommit("delete", dataChange = true, add, affected,
-      unionSchemaJson(remaining.schema),
+    Some(commitRewrite("delete", snap.version, add, affected,
+      mayOverlap = mayMatchPredicate(atoms),
+      schemaJson = () => unionSchemaJson(remaining.schema),
       Map("numRewrittenFiles" -> affected.size.toString,
         "numOutputFiles" -> add.size.toString), stats, changes = changeFiles))
   }
+
+  /** Replace the files of the snapshot at `baseVersion` with `merged` as
+    * one `action` commit through [[commitRewrite]] — the whole-table
+    * rewrite primitive behind SQL MERGE (whose scope is the full join, so
+    * any interleaved add conflicts). */
+  private[tables] def replaceWith(action: String, baseVersion: Long,
+      removeFiles: Seq[String], merged: DataFrame,
+      metrics: Map[String, String]): Commit = {
+    val (add, stats) = stage(merged)
+    commitRewrite(action, baseVersion, add, removeFiles,
+      mayOverlap = _ => true,
+      schemaJson = () => unionSchemaJson(merged.schema),
+      metrics ++ Map("numOutputFiles" -> add.size.toString,
+        "numRewrittenFiles" -> removeFiles.size.toString),
+      stats)
+  }
+
+  /** Conflict probe for predicate-scoped rewrites: can an interleaved
+    * commit's ADDED files hold rows matching the predicate? Answered with
+    * the same stats/bucket pruner the rewrite used to pick its files — an
+    * interleaved append whose stats prove disjoint key ranges is safe to
+    * retry over; missing stats or opaque predicates stay conservative
+    * (conflict). */
+  private def mayMatchPredicate(atoms: Seq[PredAtom])(c: Commit): Boolean =
+    pruneLive(
+      LogCheckpoint(c.version, c.add, Some(c.schemaJson), c.stats.getOrElse(Map.empty)),
+      atoms).nonEmpty
 
   /** UPDATE SET: apply `assignments` to rows matching `predicate`, by the
     * same pruned rewrite as [[delete]] — only files that can contain
     * matches are touched. Rows where the predicate is NULL are unchanged
     * (SQL semantics). Returns None when no file can contain a match. */
   def update(predicate: org.apache.spark.sql.Column,
+      assignments: Map[String, org.apache.spark.sql.Column]): Option[Commit] =
+    updateImpl(predicate,
+      org.apache.spark.sql.graftbridge.ColumnBridge.conjuncts(predicate), assignments)
+
+  /** [[update]] with pre-extracted skipping atoms (see [[deleteImpl]]). */
+  private[tables] def updateImpl(predicate: org.apache.spark.sql.Column,
+      atoms: Seq[PredAtom],
       assignments: Map[String, org.apache.spark.sql.Column]): Option[Commit] = {
     require(assignments.nonEmpty, "update requires assignments")
-    val affected = prunedFiles(predicate)
+    val snap = snapshot() // pinned: file set AND conflict base version
+    val affected = pruneLive(snap, atoms)
     if (affected.isEmpty) return None
     val cond = coalesce(predicate, lit(false))
     val srcRaw = spark.read.option("mergeSchema", "true")
@@ -969,8 +1139,9 @@ final class GraftTable private (
               allowMissingColumns = true)))
       else None
     val (add, stats) = stage(updated)
-    Some(nextCommit("update", dataChange = true, add, affected,
-      unionSchemaJson(updated.schema),
+    Some(commitRewrite("update", snap.version, add, affected,
+      mayOverlap = mayMatchPredicate(atoms),
+      schemaJson = () => unionSchemaJson(updated.schema),
       Map("numRewrittenFiles" -> affected.size.toString,
         "numOutputFiles" -> add.size.toString), stats, changes = changeFiles))
   }
@@ -1079,6 +1250,63 @@ final class GraftTable private (
     val all = removable ++ agedChanges
     all.foreach(f => fs.delete(new Path(path, f), false))
     all
+  }
+
+  /** Trim the COMMIT LOG: delete commit files strictly below the newest
+    * checkpoint minus `retainVersions` (the HORIZON), plus the change-data
+    * files those commits recorded — the graft twin of Delta's
+    * `logRetentionDuration`, counted in versions (deterministic, and what
+    * actually bounds the metadata: a year-long ingest's ~100k commit files
+    * make the single log `listStatus` itself the bottleneck).
+    *
+    * Contract:
+    *  - CURRENT reads and resumed streaming tails are untouched — replay
+    *    starts at the newest checkpoint, and everything at or above
+    *    `horizon` survives;
+    *  - PER-COMMIT consumers (CDF, streaming tails, `changesSince`) keep
+    *    every start point at or above `horizon - 1`; SNAPSHOT time travel
+    *    keeps every version at or above the oldest SURVIVING checkpoint
+    *    (reconstructing an uncheckpointed version needs the dense commit
+    *    prefix, which is exactly what was trimmed). Anything below fails
+    *    LOUDLY (the [[requireLogSince]] / [[snapshot]] guards) — trimmed
+    *    history errors, it never silently lies;
+    *  - REFUSES to trim while a doomed commit's removed data files still
+    *    exist on disk: those files are only discoverable through the log
+    *    ([[vacuum]]'s accounting), so trimming first would leak them
+    *    forever. Run `vacuum()` past its retention first, then this.
+    *
+    * No-op (returns empty) until a checkpoint exists — the checkpoint IS
+    * what replaces the trimmed prefix. Returns the deleted commit file
+    * names. */
+  def vacuumLog(retainVersions: Int): Seq[String] = {
+    require(retainVersions >= 0, "retainVersions must be >= 0")
+    val (commitFiles, ckptFiles) = listLog()
+    val ckptV = ckptFiles.lastOption.map(versionOf).getOrElse(return Seq.empty)
+    val horizon = ckptV - retainVersions
+    val doomed = commitFiles.filter(versionOf(_) < horizon)
+    if (doomed.isEmpty) return Seq.empty
+    val live = liveFiles().toSet
+    val parsed = doomed.map(parseCommit)
+    val stranded = parsed.flatMap(_.remove).distinct
+      .filterNot(live)
+      .filter(f => fs.exists(new Path(path, f)))
+    if (stranded.nonEmpty)
+      throw new IllegalStateException(
+        s"cannot trim the log of $path: ${stranded.size} data file(s) removed " +
+          s"by pre-horizon commits still exist (e.g. ${stranded.take(3).mkString(", ")}) " +
+          "and would be orphaned forever — run vacuum() past its retention first")
+    // CDF below the horizon dies with its commits: the names recorded in
+    // the doomed commits would be unreadable afterwards anyway, and the
+    // readChanges guard already fails the range loudly
+    parsed.flatMap(_.changes.getOrElse(Seq.empty)).distinct
+      .foreach(f => fs.delete(new Path(path, f), false))
+    // superseded checkpoints below the horizon can no longer serve a
+    // complete replay for any version the guards allow — drop them too
+    ckptFiles.filter(versionOf(_) < horizon).foreach(p => fs.delete(p, false))
+    val names = doomed.map(_.getName)
+    doomed.foreach(p => fs.delete(p, false))
+    invalidateListing()
+    names
   }
 }
 

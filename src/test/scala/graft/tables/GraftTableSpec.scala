@@ -491,6 +491,68 @@ class GraftTableSpec extends SparkSpecBase {
     assert(!t.read().as[(Int, String)].collect().toMap.contains(7))
   }
 
+  test("concurrent upserts on DISJOINT buckets both land; overlapping ones fail loudly") {
+    val dir = Files.createTempDirectory("graft-conflict-").toString
+    val path = s"file://$dir/t"
+    val t = GraftTable(spark, path)(GraftSettings.default)
+    t.setBucketSpec(Seq("id"), numBuckets = 4)
+    t.append((1 to 50).map(i => (i, s"v$i")).toDF("id", "v"))
+    val other = GraftTable(spark, path)(GraftSettings.default)
+
+    // the writer's own bucket routing, evaluated per key
+    def bucketOf(id: Int): Int = spark.range(1)
+      .select(pmod(xxhash64(lit(id)), lit(4)).cast("int")).head().getInt(0)
+    val byBucket = (1 to 50).groupBy(bucketOf)
+    val (bA, bB) = (byBucket.keys.head, byBucket.keys.last)
+    assert(bA != bB)
+    val (idA, idA2) = (byBucket(bA).head, byBucket(bA).last)
+    val idB = byBucket(bB).head
+
+    // DISJOINT: a foreign upsert to bucket B lands inside our
+    // snapshot->publish window; our bucket-A upsert revalidates, sees the
+    // writes cannot overlap, and retries WITHOUT failing
+    val v0 = t.version
+    t.onBeforeRewriteCommit = () =>
+      other.upsert(Seq((idB, "B", "u")).toDF("id", "v", "op"), Seq("id"), "op")
+    t.upsert(Seq((idA, "A", "u")).toDF("id", "v", "op"), Seq("id"), "op")
+    assert(t.version === v0 + 2) // both landed, no manual retry
+    val got = t.read().as[(Int, String)].collect().toMap
+    assert(got.size === 50 && got(idA) === "A" && got(idB) === "B")
+
+    // OVERLAPPING: a foreign upsert to the SAME bucket rewrote files this
+    // transaction read -> loud logical conflict, nothing published
+    t.onBeforeRewriteCommit = () =>
+      other.upsert(Seq((idA2, "X", "u")).toDF("id", "v", "op"), Seq("id"), "op")
+    val e = intercept[IllegalStateException](
+      t.upsert(Seq((idA, "A2", "u")).toDF("id", "v", "op"), Seq("id"), "op"))
+    assert(e.getMessage.contains("conflicts"))
+    val after = t.read().as[(Int, String)].collect().toMap
+    assert(after(idA) === "A" && after(idA2) === "X") // the winner's state, intact
+  }
+
+  test("delete retries over a stats-disjoint interleaved append, conflicts on overlap") {
+    val dir = Files.createTempDirectory("graft-conflict-del-").toString
+    val path = s"file://$dir/t"
+    val t = GraftTable(spark, path)(GraftSettings.default)
+    t.append((1 to 10).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1))
+    val other = GraftTable(spark, path)(GraftSettings.default)
+
+    // the interleaved append's stats (min id = 100) PROVE it cannot hold
+    // rows matching id <= 10 -> disjoint, the delete retries and lands
+    t.onBeforeRewriteCommit = () =>
+      other.append(Seq((100, "x")).toDF("id", "v").coalesce(1))
+    assert(t.delete(col("id") <= 10).isDefined)
+    assert(t.read().as[(Int, String)].collect().toMap === Map(100 -> "x"))
+
+    // an interleaved append whose rows MAY match the predicate conflicts
+    t.onBeforeRewriteCommit = () =>
+      other.append(Seq((5, "y")).toDF("id", "v").coalesce(1))
+    val e = intercept[IllegalStateException](t.delete(col("id") <= 200))
+    assert(e.getMessage.contains("conflicts"))
+    // the interleaved row survives; nothing was half-deleted
+    assert(t.read().as[(Int, String)].collect().toMap === Map(100 -> "x", 5 -> "y"))
+  }
+
   test("bucket spec is immutable once declared") {
     val dir = Files.createTempDirectory("graft-bucket2-").toString
     val t = GraftTable(spark, s"file://$dir/t")(GraftSettings.default)

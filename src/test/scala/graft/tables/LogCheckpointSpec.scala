@@ -97,6 +97,71 @@ class LogCheckpointSpec extends SparkSpecBase {
       === twin.read().as[(Int, String)].collect().toSet)
   }
 
+  test("vacuumLog trims history: current reads + streaming tails survive, below-horizon reads fail LOUDLY") {
+    val root = tmp()
+    val t = GraftTable(spark, s"$root/t")(ckptSettings)
+    (1 to 12).foreach(i => t.append(Seq((i, s"v$i")).toDF("id", "v"))) // ckpts at 5, 10
+    val expect = t.read().as[(Int, String)].collect().toSet
+
+    // horizon = 10 - 2 = 8: commits 1..7 go
+    val trimmed = t.vacuumLog(retainVersions = 2)
+    assert(trimmed.map(_.take(20).toLong) === (1L to 7L))
+    assert(logFiles(t.path, "\\.json").filterNot(_.getName.contains("checkpoint"))
+      .map(_.getName.take(20).toLong) === (8L to 12L))
+    // the pre-horizon checkpoint (v5) can no longer serve a complete
+    // replay for any allowed version — dropped with its commits
+    assert(logFiles(t.path, "\\.checkpoint\\.json")
+      .map(_.getName.take(20).toLong) === Seq(10L))
+
+    // CURRENT reads are untouched (replay = checkpoint 10 + tail)
+    assert(t.version === 12)
+    assert(t.read().as[(Int, String)].collect().toSet === expect)
+    // retained PER-COMMIT history still replays (start points >= horizon-1)
+    assert(t.readChanges(8).count() === 4) // commits 9..12 survive
+    // snapshot time travel works at/above the oldest surviving checkpoint
+    assert(t.readAt(10).count() === 10)
+    assert(t.readAt(11).count() === 11)
+    // a streaming tail resumed at or above the horizon keeps working
+    // (startingVersion 9 replays commits 9..12 — all retained)
+    val q = spark.readStream.format("graft").option("startingVersion", "9")
+      .load(t.path)
+      .writeStream.format("graft")
+      .option("checkpointLocation", s"$root/ckpt-tail")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start(s"$root/tail")
+    q.awaitTermination()
+    assert(GraftTable(spark, s"$root/tail")(ckptSettings).read().count() === 4)
+
+    // ... but BELOW the reconstructable range every consumer fails
+    // loudly, never wrongly: time travel under the surviving checkpoint,
+    // CDF / streaming / incremental reads under the horizon
+    assert(intercept[IllegalStateException](t.readAt(6)).getMessage.contains("trimmed"))
+    assert(intercept[IllegalStateException](t.readAt(9)).getMessage.contains("trimmed"))
+    assert(intercept[IllegalStateException](t.readChanges(0)).getMessage.contains("trimmed"))
+    assert(intercept[IllegalStateException](t.changesByVersion(2)).getMessage.contains("trimmed"))
+    assert(intercept[IllegalStateException](
+      new GraftStreamSource(t, Map.empty)(ckptSettings)
+        .getBatch(Some(GraftOffset(3L)), GraftOffset(12L))).getMessage.contains("trimmed"))
+
+    // idempotent: nothing left below the horizon
+    assert(t.vacuumLog(retainVersions = 2).isEmpty)
+  }
+
+  test("vacuumLog refuses to orphan un-vacuumed files, then proceeds after vacuum") {
+    val root = tmp()
+    val t = GraftTable(spark, s"$root/t")(ckptSettings)
+    (1 to 4).foreach(i => t.append(Seq((i, s"v$i")).toDF("id", "v")))
+    t.delete(col("id") === 2) // v5 (checkpoint): v2's file leaves the live set
+    (1 to 6).foreach(i => t.append(Seq((100 + i, "x")).toDF("id", "v"))) // ..v11, ckpt 10
+    // the removed file still exists on disk: trimming the log would strand it
+    val e = intercept[IllegalStateException](t.vacuumLog(retainVersions = 0))
+    assert(e.getMessage.contains("vacuum"))
+    assert(t.vacuum(retentionHours = 0).nonEmpty) // GC the removed file
+    val trimmed = t.vacuumLog(retainVersions = 0)
+    assert(trimmed.nonEmpty)
+    assert(t.read().count() === 9) // 4 - 1 deleted + 6
+  }
+
   test("superseded checkpoints are pruned to the newest two") {
     val root = tmp()
     val t = GraftTable(spark, s"$root/t")(ckptSettings)
