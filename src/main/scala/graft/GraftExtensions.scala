@@ -22,6 +22,14 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // SQL DML over graft tables (DELETE / UPDATE / MERGE INTO) — post-hoc
+    // so Spark's own resolution has fully bound the conditions/assignments
+    // first. ANSI time travel (VERSION/TIMESTAMP AS OF) must intercept the
+    // UNRESOLVED relation BEFORE the main resolution batch (whose built-in
+    // relation resolver throws UNSUPPORTED_FEATURE.TIME_TRAVEL for v1
+    // tables), so it rides the hint-resolution batch, which runs first.
+    ext.injectPostHocResolutionRule(session => new graft.tables.GraftDmlRule(session))
+    ext.injectHintResolutionRule(session => new graft.tables.GraftTimeTravelRule(session))
     register(ext, "graft_from_avro", "decode Avro binary with the given schema JSON",
       args => { requireArgs(args, 2, "graft_from_avro"); FromAvro(args(0), args(1)) })
     register(ext, "graft_to_avro", "encode a struct as Avro binary with the given schema JSON",

@@ -892,7 +892,68 @@ object RelationalQueries {
           count(*) AS n_events, min(ts) AS session_start, max(ts) AS session_end
         FROM g GROUP BY 1, 2 ORDER BY user_id, session_id"""))
   ) ++ Seq(statsAgg, recursiveCte, windowDistinct, unpivotCharges, medallionCdc,
-    incrementalAgg)
+    incrementalAgg, sqlMerge)
+
+  // ---- ANSI SQL MERGE over a graft table ----------------------------------
+  // The SQL DML surface (GraftDmlRule): events seed a graft catalog table,
+  // a derived change set MERGEs in through spark.sql — matched deletes,
+  // matched updates (SET *), conditional inserts — and the final state is
+  // aggregated. The DuckDB oracle replays the same merge relationally, so
+  // hash equality gates the whole injected-rule + command path, exactly as
+  // the API upsert is gated by q51/q52. Keys are unique on both sides
+  // (event_id; changes remap b=1 rows onto event_id-1), satisfying the
+  // ANSI cardinality rule the command enforces.
+  private lazy val sqlMerge: CatalogQuery = CatalogQuery(
+    "q53_sql_merge",
+    (s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q53-").toString
+      implicit val st: graft.conf.GraftSettings = graft.conf.GraftSettings.local(tmp)
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value").cast("decimal(18,6)").as("value"),
+          pmod(col("event_id"), lit(2)).as("b"))
+      val target = graft.tables.GraftTable(s, s"$tmp/t")
+      target.overwrite(ev.filter(col("b") === 0).drop("b"))
+      s.sql("DROP TABLE IF EXISTS q53_target")
+      s.sql(s"CREATE TABLE q53_target USING graft LOCATION '${target.path}'")
+      ev.filter(col("b") === 1)
+        .select(col("user_id"), (col("event_id") - 1).as("event_id"),
+          col("event_type"), col("value"))
+        .createOrReplaceTempView("q53_changes")
+      s.sql(
+        """MERGE INTO q53_target t USING q53_changes c ON t.event_id = c.event_id
+          |WHEN MATCHED AND c.event_type = 'error' THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED AND c.event_type != 'error' THEN INSERT *
+          |""".stripMargin)
+      val out = s.table("q53_target")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value")).cast("double").as("sum_value"))
+        .orderBy(col("event_type"))
+        .localCheckpoint(true) // materialize, then drop the scratch lake
+      s.sql("DROP TABLE IF EXISTS q53_target")
+      graft.lake.FsUtils.deletePath(s, s"file://$tmp")
+      out
+    },
+    Some("""WITH ev AS (
+        SELECT user_id, event_id, event_type,
+          CAST(value AS DECIMAL(18,6)) AS value, event_id % 2 AS b
+        FROM events),
+      t0 AS (SELECT user_id, event_id, event_type, value FROM ev WHERE b = 0),
+      ch AS (SELECT user_id, event_id - 1 AS event_id, event_type, value
+        FROM ev WHERE b = 1),
+      merged AS (
+        SELECT * FROM t0 WHERE event_id NOT IN (SELECT event_id FROM ch)
+        UNION ALL
+        SELECT c.* FROM ch c JOIN t0 t ON t.event_id = c.event_id
+        WHERE c.event_type <> 'error'
+        UNION ALL
+        SELECT c.* FROM ch c
+        WHERE c.event_id NOT IN (SELECT event_id FROM t0)
+          AND c.event_type <> 'error')
+      SELECT event_type, count(*) AS cnt, CAST(sum(value) AS DOUBLE) AS sum_value
+      FROM merged GROUP BY event_type ORDER BY event_type"""))
 
   // ---- incrementally-maintained aggregate ---------------------------------
   // Materialized-view maintenance over the change feed (IncrementalAgg):

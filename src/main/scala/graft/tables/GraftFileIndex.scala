@@ -103,7 +103,7 @@ private[tables] object ExpressionAtoms {
   * [[refresh]] re-pins. File statuses come from ONE `listStatus` of the
   * table directory at pin time — O(1) metadata calls, not O(files).
   */
-final class GraftFileIndex(table: GraftTable,
+final class GraftFileIndex(private[tables] val table: GraftTable,
     asOf: Long = Long.MaxValue) extends FileIndex {
   import GraftFileIndex.Pinned
 
@@ -146,6 +146,10 @@ final class GraftFileIndex(table: GraftTable,
 
   /** The pinned snapshot's version (exposed for tests/observability). */
   def version: Long = pinned.snap.version
+
+  /** The pinned snapshot itself — the base a DML command that read this
+    * relation must validate its rewrite against. */
+  private[tables] def pinnedSnapshot: LogCheckpoint = pinned.snap
 
   private[tables] def dataSchema: StructType = {
     val sj = pinned.snap.schemaJson.getOrElse(

@@ -1,0 +1,143 @@
+package graft.tables
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.GraftExtensions
+import graft.conf.GraftSettings
+
+/** SQL DML over graft tables through the injected analyzer rules:
+  * DELETE FROM / UPDATE / MERGE INTO / VERSION AS OF — one implementation
+  * shared with the Scala API (the commands call the same GraftTable
+  * primitives), so SQL results must match the API byte-for-byte. */
+class GraftSqlDmlSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-sql-dml-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+  }
+
+  private var n = 0
+  /** A registered graft catalog table seeded with (id, v) rows 1..count. */
+  private def freshTable(count: Int): (String, GraftTable) = {
+    import spark.implicits._
+    n += 1
+    val name = s"sqldml_$n"
+    val dir = Files.createTempDirectory(s"graft-sqldml-$n-").toString
+    val t = GraftTable(spark, s"$dir/t")(GraftSettings.default)
+    t.append((1 to count).map(i => (i, s"v$i")).toDF("id", "v"))
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    spark.sql(s"CREATE TABLE $name USING graft LOCATION '${t.path}'")
+    (name, t)
+  }
+
+  test("DELETE FROM prunes and rewrites like the API delete") {
+    import spark.implicits._
+    val (name, t) = freshTable(10)
+    spark.sql(s"DELETE FROM $name WHERE id <= 3")
+    assert(spark.table(name).select("id").as[Int].collect().sorted.toSeq == (4 to 10))
+    assert(t.commits().last.action == "delete")
+    // SQL DELETE with no matches is a no-op commit-wise (pruned to zero)
+    val v = t.version
+    spark.sql(s"DELETE FROM $name WHERE id > 1000")
+    assert(t.version == v)
+  }
+
+  test("UPDATE SET applies assignments under the condition, NULL-condition rows kept") {
+    import spark.implicits._
+    val (name, t) = freshTable(5)
+    spark.sql(s"UPDATE $name SET v = concat(v, '!') WHERE id >= 4")
+    assert(spark.table(name).as[(Int, String)].collect().toMap ===
+      Map(1 -> "v1", 2 -> "v2", 3 -> "v3", 4 -> "v4!", 5 -> "v5!"))
+    assert(t.commits().last.action == "update")
+  }
+
+  test("MERGE INTO matches the API upsert byte-for-byte") {
+    import spark.implicits._
+    val (name, t) = freshTable(6)
+    // twin table driven through the Scala API with the same change batch
+    val twinDir = Files.createTempDirectory("graft-sqldml-twin-").toString
+    val twin = GraftTable(spark, s"$twinDir/t")(GraftSettings.default)
+    twin.append((1 to 6).map(i => (i, s"v$i")).toDF("id", "v"))
+    val updates = Seq((2, "TWO", "u"), (3, "x", "d"), (99, "new", "c"))
+      .toDF("id", "v", "op")
+    twin.upsert(updates, Seq("id"), "op")
+
+    updates.createOrReplaceTempView("changes")
+    spark.sql(
+      s"""MERGE INTO $name t USING changes s ON t.id = s.id
+         |WHEN MATCHED AND s.op = 'd' THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET v = s.v
+         |WHEN NOT MATCHED AND s.op != 'd' THEN INSERT (id, v) VALUES (s.id, s.v)
+         |""".stripMargin)
+    val got = spark.table(name).as[(Int, String)].collect().toSet
+    val expected = twin.read().select("id", "v").as[(Int, String)].collect().toSet
+    assert(got === expected)
+    assert(got === Set((1, "v1"), (2, "TWO"), (4, "v4"), (5, "v5"), (6, "v6"), (99, "new")))
+    assert(t.commits().last.action == "merge")
+  }
+
+  test("MERGE star actions, clause order, and NOT MATCHED BY SOURCE") {
+    import spark.implicits._
+    val (name, _) = freshTable(4)
+    Seq((1, "one"), (9, "nine")).toDF("id", "v").createOrReplaceTempView("src2")
+    spark.sql(
+      s"""MERGE INTO $name t USING src2 s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *
+         |WHEN NOT MATCHED BY SOURCE AND t.id = 4 THEN DELETE
+         |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = 'stale'
+         |""".stripMargin)
+    assert(spark.table(name).as[(Int, String)].collect().toSet ===
+      Set((1, "one"), (2, "stale"), (3, "stale"), (9, "nine")))
+  }
+
+  test("MERGE fails loudly when a target row matches multiple source rows") {
+    import spark.implicits._
+    val (name, _) = freshTable(3)
+    Seq((2, "a"), (2, "b")).toDF("id", "v").createOrReplaceTempView("dup_src")
+    val e = intercept[Exception](spark.sql(
+      s"""MERGE INTO $name t USING dup_src s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin))
+    assert(e.getMessage.contains("multiple source rows"))
+  }
+
+  test("VERSION AS OF / TIMESTAMP AS OF resolve to pinned snapshots") {
+    import spark.implicits._
+    val (name, t) = freshTable(2) // v1
+    t.append(Seq((3, "v3")).toDF("id", "v")) // v2
+    spark.sql(s"DELETE FROM $name WHERE id = 1") // v3
+    assert(spark.sql(s"SELECT id FROM $name VERSION AS OF 1")
+      .as[Int].collect().sorted.toSeq == Seq(1, 2))
+    assert(spark.sql(s"SELECT id FROM $name VERSION AS OF 2")
+      .as[Int].collect().sorted.toSeq == Seq(1, 2, 3))
+    assert(spark.table(name).select("id").as[Int].collect().sorted.toSeq == Seq(2, 3))
+    // a timestamp at/after the last commit resolves to the newest version
+    val ts = new java.sql.Timestamp(t.commits().last.timestampMs)
+    assert(spark.sql(s"SELECT id FROM $name TIMESTAMP AS OF '$ts'")
+      .as[Int].collect().sorted.toSeq == Seq(2, 3))
+  }
+
+  test("non-graft targets pass through untouched") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-sqldml-pq-").toString
+    Seq((1, "a")).toDF("id", "v").write.parquet(s"$dir/p")
+    spark.sql(s"DROP TABLE IF EXISTS plain_pq")
+    spark.sql(s"CREATE TABLE plain_pq USING parquet LOCATION '$dir/p'")
+    // Spark's own refusal, not a graft error: the rule must not have
+    // hijacked a non-graft relation
+    val e = intercept[Exception](spark.sql("DELETE FROM plain_pq WHERE id = 1"))
+    assert(!e.getMessage.contains("graft"))
+  }
+}
