@@ -100,13 +100,53 @@ final class BlockDedupIndex(
       .select("pre_version").collect().headOption.map(_.getLong(0))
   }
 
+  /** Stats-only pass with ZERO store mutation — for pipelines whose
+    * batch survivors are decided by LATER stages (near-dup, crash-replay
+    * anti-joins) and that then record claims for exactly the docs that
+    * LANDED via [[claim]]. Claims then refcount CORPUS-RESIDENT docs, so
+    * [[remove]] can always release what an erasure deletes — a doc the
+    * pipeline dropped after this pass never leaves an unreleasable ghost
+    * claim suppressing a block forever. Same per-doc result shape as
+    * [[detectAndAdd]], computed against the CURRENT store. */
+  def detect(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    run(docs, idCol, textCol, ingestToken = None, mutate = false)
+
+  /** Record +1 claim deltas for each (doc, distinct block hash) of `docs`
+    * — the [[detect]]-mode mutation step, called with the batch's FINAL
+    * corpus-resident survivors (claims mode only). `claimToken` makes a
+    * replay a no-op, the same idempotence contract as `ingestToken`. */
+  def claim(docs: DataFrame, idCol: String, textCol: String,
+      claimToken: Option[String] = None): Unit = {
+    require(trackClaims,
+      s"BlockDedupIndex at $path was built without trackClaims=true — " +
+        "the flat 8-byte store records hashes at detectAndAdd time instead")
+    val applied = claimToken.exists(t => claimsTable.exists &&
+      claimsTable.read().filter(col("token") === t).limit(1).count() > 0)
+    if (applied) return
+    val deltas = Dedup.blockRows(docs, idCol, textCol, blockWords, portable)
+      .select(col("__id"), col("__h")).distinct()
+      .groupBy(col("__h")).agg(count(lit(1)).as("d"))
+      .select(col("__h").as("h"), col("d"),
+        lit(claimToken.orNull).cast("string").as("token"))
+    if (deltas.limit(1).count() > 0) claimsTable.append(deltas)
+    claimsTable.compactIfNeeded()
+    ()
+  }
+
   /** Deduplicate `docs` against the index AND within the batch, then add
-    * the batch's new block hashes. Returns the same per-doc shape as
-    * [[Dedup.blockDedup]] (n_tokens, n_blocks, kept_blocks, kept_tokens,
-    * kept_frac, kept_md5) where "kept" means first occurrence in the
-    * batch AND never seen by any earlier batch. */
+    * the batch's new block hashes (claims mode: +1 per containing doc in
+    * THIS batch — callers that drop docs in later stages should prefer
+    * [[detect]] + [[claim]] so refcounts track corpus residency).
+    * Returns the same per-doc shape as [[Dedup.blockDedup]] (n_tokens,
+    * n_blocks, kept_blocks, kept_tokens, kept_frac, kept_md5) where
+    * "kept" means first occurrence in the batch AND never seen by any
+    * earlier batch. */
   def detectAndAdd(docs: DataFrame, idCol: String, textCol: String,
-      ingestToken: Option[String] = None): DataFrame = {
+      ingestToken: Option[String] = None): DataFrame =
+    run(docs, idCol, textCol, ingestToken, mutate = true)
+
+  private def run(docs: DataFrame, idCol: String, textCol: String,
+      ingestToken: Option[String], mutate: Boolean): DataFrame = {
     import spark.implicits._
     // the snapshot this batch's stats are computed against: a replayed
     // token re-reads the PRE-INGEST version so its own hashes (appended
@@ -152,6 +192,7 @@ final class BlockDedupIndex(
     // materialize results BEFORE mutating the index, so the returned frame
     // doesn't observe the batch's own hashes as "already indexed"
     val out = Parallelism.materialize(Dedup.blockStats(docs, idCol, textCol, flagged))
+    if (!mutate) return out // detect(): stats only, the store is untouched
     // token is recorded BEFORE the hash append: a crash between the two
     // leaves a replayable gap (token present, hashes missing) that the
     // anti-join below fills without double-inserting; the reverse order

@@ -165,8 +165,15 @@ final class CorpusIngest(
     val afterBlocks = blockIndex match {
       case None => modelKept
       case Some(bIdx) =>
-        val stats = bIdx.detectAndAdd(modelKept, idCol, textCol,
-          ingestToken = Some(s"blk-$token"))
+        // claims mode: stats only here — the claims are recorded at the
+        // END of the batch for the docs that actually LANDED (see the
+        // `claim` call below), so refcounts track corpus residency and
+        // eraseDocs can always release them. The flat 8-byte store keeps
+        // the record-at-detect shape (no erasure, so residency is moot).
+        val stats =
+          if (bIdx.tracksClaims) bIdx.detect(modelKept, idCol, textCol)
+          else bIdx.detectAndAdd(modelKept, idCol, textCol,
+            ingestToken = Some(s"blk-$token"))
         modelKept.join(
           stats.filter(col("kept_blocks") > 0).select(col(idCol)),
           Seq(idCol), "left_semi")
@@ -178,7 +185,13 @@ final class CorpusIngest(
     val dups = nearDupIndex.detectAndAdd(afterBlocks, idCol, textCol,
         ingestToken = Some(s"ndi-$token"))
       .select(col("id_new").as(idCol)).distinct()
-    val novel = afterBlocks.join(dups, Seq(idCol), "left_anti")
+    // in claims mode `novel` is consumed twice (replay anti-join + the
+    // final claim) — barrier it
+    val novel0 = afterBlocks.join(dups, Seq(idCol), "left_anti")
+    val novel =
+      if (blockIndex.exists(_.tracksClaims))
+        graft.ext.Parallelism.materialize(novel0)
+      else novel0
     // the curated append is idempotent too: a crash between this append
     // and the checkpoint commit redelivers the batch, and the index
     // stages replay to their original answers — without this anti-join
@@ -205,6 +218,16 @@ final class CorpusIngest(
     // either order converges — this order just means a searcher can never
     // retrieve a doc the corpus doesn't hold yet
     lexIndex.foreach(_.add(fresh, idCol, textCol, ingestToken = Some(s"lex-$token")))
+    // claims LAST, for `novel` (= this batch's corpus-resident docs: what
+    // was appended now plus what a crashed attempt already appended — the
+    // replay anti-join's difference is resident too, so it must claim).
+    // Ordering: a crash BEFORE this line replays to the identical `novel`
+    // (the claims store is unchanged, so detect() recomputes the original
+    // stats) and fills the gap under the token; a crash AFTER it replays
+    // into detect() seeing its own claims, which empties the batch — and
+    // every earlier stage already landed. Either way the stores converge.
+    blockIndex.filter(_.tracksClaims).foreach(
+      _.claim(novel, idCol, textCol, claimToken = Some(s"blk-$token")))
   }
 
   /** Right-to-erasure / recrawl across the assembled pipeline: delete the

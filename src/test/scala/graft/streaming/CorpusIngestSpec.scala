@@ -376,6 +376,31 @@ class CorpusIngestSpec extends SparkSpecBase {
     assert(ids(p) === Set(11L, 20L), s"got ${ids(p)}")
   }
 
+  test("blockTrackClaims: a doc dropped by near-dup leaves NO ghost claim") {
+    val root = Files.createTempDirectory("graft-ci-ghost-claims-").toString
+    implicit val settings: GraftSettings = GraftSettings.local(root)
+    val p = new CorpusIngest(spark, s"$root/p", minQuality = 0.0, minTokens = 3,
+      blockWords = 4, blockTrackClaims = true)
+    // doc 10 lands; doc 11 is its near-dup (dropped AFTER the block stage)
+    // sharing block A and bringing its own block D
+    arrive(s"$root/in", Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta")))
+    p.runOnce(s"$root/in", docSchema)
+    arrive(s"$root/in", Seq(
+      (11L, "alpha beta gamma delta epsilon zeta eta theta nu")))
+    p.runOnce(s"$root/in", docSchema)
+    assert(ids(p) === Set(10L), "near-dup must have been dropped")
+    // claims refcount CORPUS-RESIDENT docs only: erasing doc 10 releases
+    // every one of its blocks — the dropped near-dup's visit left no
+    // unreleasable +1 behind (the old over-count would keep suppressing)
+    p.eraseDocs(Seq(10L).toDF("doc_id"))
+    assert(p.blockIndex.get.indexedCount === 0,
+      "a dropped doc's claims must not survive the erasure of the only resident claimant")
+    arrive(s"$root/in", Seq((20L, "alpha beta gamma delta")))
+    p.runOnce(s"$root/in", docSchema)
+    assert(ids(p) === Set(20L), "released blocks must re-admit a recrawl")
+  }
+
   test("a redelivered batch (crash AFTER the curated append) does not duplicate docs") {
     val root = Files.createTempDirectory("graft-ci-redeliver-").toString
     implicit val settings: GraftSettings = GraftSettings.local(root)
