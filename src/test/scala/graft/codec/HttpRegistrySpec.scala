@@ -14,8 +14,16 @@ import java.net.InetSocketAddress
 class HttpRegistrySpec extends AnyFunSuite {
   private implicit val fmts: Formats = DefaultFormats
 
-  private def withServer(f: (HttpSchemaRegistry, InMemorySchemaRegistry) => Unit): Unit = {
+  /** One recorded client request: (method, path, contentType, body). */
+  private type Req = (String, String, String, String)
+
+  private def withServer(f: (HttpSchemaRegistry, InMemorySchemaRegistry) => Unit): Unit =
+    withRecordingServer((http, backing, _) => f(http, backing))
+
+  private def withRecordingServer(
+      f: (HttpSchemaRegistry, InMemorySchemaRegistry, collection.mutable.Buffer[Req]) => Unit): Unit = {
     val backing = new InMemorySchemaRegistry
+    val requests = collection.mutable.Buffer.empty[Req]
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     val Subject = "^/subjects/([^/]+)/versions$".r
     val Latest = "^/subjects/([^/]+)/versions/latest$".r
@@ -36,9 +44,12 @@ class HttpRegistrySpec extends AnyFunSuite {
       }
       override def handle(x: HttpExchange): Unit = try {
         val path = x.getRequestURI.getPath
+        val rawBody = new String(x.getRequestBody.readAllBytes(), "UTF-8")
+        requests += ((x.getRequestMethod, path,
+          Option(x.getRequestHeaders.getFirst("Content-Type")).getOrElse(""), rawBody))
         (x.getRequestMethod, path) match {
           case ("POST", Subject(subject)) =>
-            val body = JsonMethods.parse(new String(x.getRequestBody.readAllBytes(), "UTF-8"))
+            val body = JsonMethods.parse(rawBody)
             val schema = (body \ "schema").extract[String]
             val schemaType = (body \ "schemaType").extractOpt[String].getOrElse("AVRO")
             val id = backing.register(java.net.URLDecoder.decode(subject, "UTF-8"),
@@ -68,7 +79,8 @@ class HttpRegistrySpec extends AnyFunSuite {
       } catch { case e: Exception => reply(x, 500, s"""{"message":"${e.getMessage}"}""") }
     })
     server.start()
-    try f(new HttpSchemaRegistry(s"http://127.0.0.1:${server.getAddress.getPort}"), backing)
+    try f(new HttpSchemaRegistry(s"http://127.0.0.1:${server.getAddress.getPort}"),
+      backing, requests)
     finally server.stop(0)
   }
 
@@ -103,6 +115,74 @@ class HttpRegistrySpec extends AnyFunSuite {
       val got = http.getById(id).get
       assert(got.schemaType === "PROTOBUF")
       assert(got.schema === proto)
+    }
+  }
+
+  test("EXACT REST payloads (FIXTURES.md): subject naming, headers, schemaType, no references") {
+    withRecordingServer { (http, _, requests) =>
+      val keySchema =
+        """{"type":"record","name":"K","fields":[{"name":"id","type":"long"}]}"""
+      http.register("orders-key", keySchema) // TopicNameStrategy: <topic>-key
+      val (m, p, ct, body) = requests.head
+      assert(m === "POST")
+      assert(p === "/subjects/orders-key/versions")
+      assert(ct === "application/vnd.schemaregistry.v1+json")
+      // the exact JSON a live Confluent registry receives: one "schema"
+      // field holding the JSON-ESCAPED schema text — no schemaType for
+      // AVRO (pre-5.5 registries reject it), no references array
+      val escaped = JsonMethods.compact(JsonMethods.render(JString(keySchema)))
+      assert(body === s"""{"schema":$escaped}""")
+
+      requests.clear()
+      http.register("orders-value", "syntax = \"proto3\";\nmessage M { int64 id = 1; }",
+        schemaType = "PROTOBUF")
+      val pbBody = requests.head._4
+      assert(requests.head._2 === "/subjects/orders-value/versions")
+      assert(pbBody.contains(""""schemaType":"PROTOBUF""""))
+
+      requests.clear()
+      val id = http.register("orders-key", keySchema) // idempotent re-register
+      http.getById(id)
+      assert(requests.exists(_._2 === s"/schemas/ids/$id"))
+      http.latest("orders-key")
+      assert(requests.exists(_._2 === "/subjects/orders-key/versions/latest"))
+    }
+  }
+
+  test("golden wire-format bytes (FIXTURES.md): framed Avro is byte-exact and round-trips") {
+    withServer { (http, _) =>
+      val keySchema =
+        """{"type":"record","name":"K","fields":[{"name":"id","type":"long"}]}"""
+      val id = http.register("golden-key", keySchema)
+      assert(id === 1) // first registration in a fresh registry
+
+      val spark = org.apache.spark.sql.SparkSession.builder()
+        .master("local[2]").appName("golden-bytes")
+        .config("spark.ui.enabled", "false").getOrCreate()
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      def framed(v: Long, schemaId: Int): Array[Byte] =
+        Seq(v).toDF("id")
+          .select(ConfluentWireFormat.frame(
+            AvroExpressions.to_avro(struct(col("id")), keySchema), schemaId).as("b"))
+          .head().getAs[Array[Byte]]("b")
+      def hex(bs: Array[Byte]): String = bs.map(b => f"$b%02x").mkString
+
+      // FIXTURES.md §4 golden rows: magic 0x00, big-endian id, zigzag body
+      assert(hex(framed(42L, 1)) === "000000000154")
+      assert(hex(framed(-1L, 7)) === "000000000701")
+
+      // and the frame round-trips through the registry-driven decode path:
+      // extract the id, fetch the schema over HTTP, decode the payload
+      val bytes = framed(42L, id)
+      val df = Seq(bytes).toDF("framed")
+      val gotId = df.select(ConfluentWireFormat.schemaId(col("framed"))).head().getInt(0)
+      assert(gotId === id)
+      val schemaText = http.getById(gotId).get.schema
+      val back = df.select(AvroExpressions.from_avro(
+        ConfluentWireFormat.avroPayload(col("framed")), schemaText).as("rec"))
+        .select(col("rec.id")).as[Long].head()
+      assert(back === 42L)
     }
   }
 
