@@ -221,11 +221,41 @@ final case class GraftMergeCommand(merge: MergeIntoTable,
   }
 }
 
+/** `INSERT INTO` / `INSERT OVERWRITE` a graft catalog table — routed
+  * through the COMMIT PROTOCOL. Without this interception Spark's
+  * `InsertIntoHadoopFsRelationCommand` (planned for any HadoopFsRelation,
+  * which the native graft relation is) would write parquet files straight
+  * into the table directory BEHIND the log — invisible orphans on append,
+  * and overwrite mode clears the directory, log included: silent table
+  * destruction. The command's query arrives already coerced to the table
+  * schema (by-position with casts, Spark's insert contract); columns are
+  * re-labeled to the table's names before the commit. */
+final case class GraftInsertCommand(index: GraftFileIndex,
+    query: LogicalPlan, columnNames: Seq[String],
+    overwrite: Boolean) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val df = PlanBridge.ofRows(spark, query).toDF(columnNames: _*)
+    if (overwrite) index.table.overwrite(df) else index.table.append(df)
+    index.refresh()
+    Seq.empty
+  }
+}
+
 /** The analyzer rule (injected post-hoc via [[graft.GraftExtensions]])
   * that swaps Spark's resolved DML plans over graft targets for the
   * commands above. Non-graft targets pass through untouched. */
 final class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    // runs AFTER the built-in DataSourceAnalysis in the same post-hoc
+    // batch, so inserts arrive as the already-planned file-write command
+    case i: org.apache.spark.sql.execution.datasources.InsertIntoHadoopFsRelationCommand
+        if i.fileIndex.exists(_.isInstanceOf[GraftFileIndex]) =>
+      require(i.staticPartitions.isEmpty && i.partitionColumns.isEmpty,
+        "graft tables do not use hive-style partitions — cluster/bucket " +
+          "via GraftTable settings instead")
+      GraftInsertCommand(i.fileIndex.get.asInstanceOf[GraftFileIndex],
+        i.query, i.outputColumns.map(_.name),
+        overwrite = i.mode == org.apache.spark.sql.SaveMode.Overwrite)
     case d @ DeleteFromTable(target, condition) if d.resolved =>
       GraftDml.graftIndexOf(target)
         .map(GraftDeleteCommand(_, condition): LogicalPlan).getOrElse(d)

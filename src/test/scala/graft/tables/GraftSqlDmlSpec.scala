@@ -129,6 +129,30 @@ class GraftSqlDmlSpec extends AnyFunSuite {
       .as[Int].collect().sorted.toSeq == Seq(2, 3))
   }
 
+  test("INSERT INTO / INSERT OVERWRITE go through the commit protocol, never behind the log") {
+    import spark.implicits._
+    val (name, t) = freshTable(3)
+    val v0 = t.version
+    spark.sql(s"INSERT INTO $name VALUES (10, 'v10'), (11, 'v11')")
+    assert(t.version === v0 + 1 && t.commits().last.action === "append")
+    assert(spark.table(name).count() === 5)
+    // by-position coercion: alien column names + a castable literal type
+    spark.sql(s"INSERT INTO $name SELECT 12 AS a, 'v12' AS b")
+    assert(spark.table(name).select("id").as[Int].collect().sorted.toSeq ===
+      Seq(1, 2, 3, 10, 11, 12))
+    // df.write.insertInto rides the same plan
+    Seq((13, "v13")).toDF("id", "v").write.insertInto(name)
+    assert(spark.table(name).count() === 7)
+    // INSERT OVERWRITE replaces CONTENT as one commit; the log survives
+    // and the previous state stays time-travelable (the un-intercepted
+    // file-write command would have cleared the directory, log included)
+    spark.sql(s"INSERT OVERWRITE $name VALUES (99, 'only')")
+    assert(t.commits().last.action === "overwrite")
+    assert(spark.table(name).as[(Int, String)].collect().toSeq === Seq((99, "only")))
+    assert(spark.sql(s"SELECT id FROM $name VERSION AS OF ${t.version - 1}")
+      .count() === 7)
+  }
+
   test("non-graft targets pass through untouched") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-sqldml-pq-").toString
