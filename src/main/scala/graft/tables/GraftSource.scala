@@ -35,6 +35,24 @@ private[tables] final class DataFrameRelation(
   override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = df.rdd
 }
 
+object GraftSource {
+  /** Parse a `timestampAsOf` option value: ISO instant, local datetime
+    * (`yyyy-MM-dd HH:mm:ss[.S]`, interpreted in the session time zone,
+    * Delta's convention), or bare date. */
+  private[tables] def tsMillis(s: String, zone: String): Long = {
+    val zid = java.time.ZoneId.of(zone)
+    scala.util.Try(java.time.Instant.parse(s)).toOption
+      .orElse(scala.util.Try(
+        java.time.LocalDateTime.parse(s.replace(" ", "T")).atZone(zid).toInstant).toOption)
+      .orElse(scala.util.Try(
+        java.time.LocalDate.parse(s).atStartOfDay(zid).toInstant).toOption)
+      .getOrElse(throw new IllegalArgumentException(
+        s"cannot parse timestampAsOf '$s' — pass an ISO instant, " +
+          "'yyyy-MM-dd HH:mm:ss', or 'yyyy-MM-dd'"))
+      .toEpochMilli
+  }
+}
+
 final class GraftSource extends RelationProvider
     with CreatableRelationProvider with DataSourceRegister
     with StreamSourceProvider with StreamSinkProvider {
@@ -64,8 +82,14 @@ final class GraftSource extends RelationProvider
       val to = opt(parameters, "endingVersion").map(_.toLong).getOrElse(Long.MaxValue)
       return new DataFrameRelation(sqlContext, table.readChanges(from, to))
     }
-    // Delta-parity time travel: .option("versionAsOf", v) pins the scan
-    val asOf = opt(parameters, "versionAsOf").map(_.toLong).getOrElse(Long.MaxValue)
+    // Delta-parity time travel: .option("versionAsOf", v) pins the scan;
+    // .option("timestampAsOf", ts) resolves to the newest commit at or
+    // before ts (instant / local datetime / date, session time zone)
+    val asOf = opt(parameters, "versionAsOf").map(_.toLong)
+      .orElse(opt(parameters, "timestampAsOf").map(ts =>
+        table.versionAt(GraftSource.tsMillis(ts,
+          spark.sessionState.conf.sessionLocalTimeZone))))
+      .getOrElse(Long.MaxValue)
     // the same HadoopFsRelation readRelation builds — Spark wraps it in a
     // LogicalRelation and FileSourceStrategy plans the pruned scan
     GraftRelation.relation(table, asOf)

@@ -298,10 +298,7 @@ final class GraftTimeTravelRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val zone = spark.sessionState.conf.sessionLocalTimeZone
     val micros = Cast(expr, TimestampType, Some(zone)).eval(null)
     require(micros != null, s"cannot evaluate TIMESTAMP AS OF $expr")
-    val millis = micros.asInstanceOf[Long] / 1000L
-    table.commits().filter(_.timestampMs <= millis).lastOption.map(_.version)
-      .getOrElse(throw new IllegalArgumentException(
-        s"no commit at or before TIMESTAMP AS OF $expr in ${table.path}"))
+    table.versionAt(micros.asInstanceOf[Long] / 1000L)
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {

@@ -133,23 +133,27 @@ private[tables] final class GraftStreamSource(
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowCapV = Some(table.version)
 
-  /** The initial snapshot's file list, pinned at its version and sorted
-    * by name — a DETERMINISTIC order, so a restarted capped drain resumes
-    * at the same index it checkpointed. */
-  @volatile private var snapCache: (Long, IndexedSeq[String]) = null
-  private def snapshotFilesAt(v: Long): IndexedSeq[String] = {
+  /** The initial snapshot pinned at its version: file list sorted by name
+    * (a DETERMINISTIC order, so a restarted capped drain resumes at the
+    * index it checkpointed) plus the log-recorded byte sizes. */
+  @volatile private var snapCache: (Long, IndexedSeq[String], Map[String, Long]) = null
+  private def pinnedSnapshot(v: Long): (IndexedSeq[String], Map[String, Long]) = {
     val c = snapCache
-    if (c != null && c._1 == v) return c._2
-    val files = table.liveFiles(asOf = v).sorted.toIndexedSeq
-    snapCache = (v, files)
-    files
+    if (c != null && c._1 == v) return (c._2, c._3)
+    val snap = table.snapshot(v)
+    val files = snap.live.sorted.toIndexedSeq
+    val sizes = snap.stats.collect { case (f, st) if st.bytes.isDefined => f -> st.bytes.get }
+    snapCache = (v, files, sizes)
+    (files, sizes)
   }
+  private def snapshotFilesAt(v: Long): IndexedSeq[String] = pinnedSnapshot(v)._1
 
-  /** File byte sizes for `maxBytesPerTrigger`, resolved once per file
-    * driver-side and cached for the life of the source. */
+  /** File byte sizes for `maxBytesPerTrigger`: commit-recorded sizes when
+    * the log has them (zero metadata RPCs — the Delta add-file `size`
+    * shape), one cached driver-side HEAD per pre-stats file otherwise. */
   private val sizeCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
-  private def sizeOf(f: String): Long = {
+  private def sizeOf(f: String, logged: Option[Long]): Long = logged.getOrElse {
     val hit = sizeCache.get(f)
     if (hit != null) return hit.longValue()
     val len = graft.lake.FsUtils.fs(table.spark, table.path)
@@ -163,14 +167,15 @@ private[tables] final class GraftStreamSource(
     * once the running total reaches the cap (the crossing file is
     * admitted — a soft cap, and never fewer than one file, so an
     * oversized file still flows). */
-  private def admit(files: Seq[String], maxF: Option[Int], maxB: Option[Long]): Int = {
+  private def admit(files: Seq[String], sizes: Map[String, Long],
+      maxF: Option[Int], maxB: Option[Long]): Int = {
     if (files.isEmpty) return 0
     if (maxF.isEmpty && maxB.isEmpty) return files.size
     val byCount = maxF.getOrElse(Int.MaxValue)
     var n = 0
     var bytes = 0L
     while (n < files.size && n < byCount && maxB.forall(bytes < _)) {
-      if (maxB.isDefined) bytes += sizeOf(files(n))
+      if (maxB.isDefined) bytes += sizeOf(files(n), sizes.get(files(n)))
       n += 1
     }
     math.max(n, 1)
@@ -180,8 +185,8 @@ private[tables] final class GraftStreamSource(
     * from index `from`; reaching the end collapses to the plain offset. */
   private def snapshotStep(v0: Long, from: Int,
       maxF: Option[Int], maxB: Option[Long]): GraftOffset = {
-    val files = snapshotFilesAt(v0)
-    val j = from + admit(files.drop(from), maxF, maxB)
+    val (files, sizes) = pinnedSnapshot(v0)
+    val j = from + admit(files.drop(from), sizes, maxF, maxB)
     if (j >= files.size) GraftOffset(v0) else GraftOffset(v0, j.toLong)
   }
 
@@ -206,7 +211,9 @@ private[tables] final class GraftStreamSource(
             maxB.forall(bytes < _))
         if (!fits) return GraftOffset(w)
         files += c.add.size
-        if (maxB.isDefined) bytes += c.add.map(sizeOf).sum
+        if (maxB.isDefined)
+          bytes += c.add.map(f =>
+            sizeOf(f, c.stats.flatMap(_.get(f)).flatMap(_.bytes))).sum
         dataCommits += 1
         w = c.version
       }

@@ -43,8 +43,13 @@ final case class ColStats(min: Option[String], max: Option[String], nulls: Long)
   * index. At 100 TB this is the difference between scanning a table and
   * scanning the handful of files a selective predicate can touch; the
   * log stays KB-sized because stats hold two scalars per column per FILE
-  * (files are ~128 MB). Delta/Iceberg keep the identical structure. */
-final case class FileStats(rows: Long, cols: Map[String, ColStats])
+  * (files are ~128 MB). Delta/Iceberg keep the identical structure.
+  * `bytes` is the file's on-disk size, captured for free at staging time
+  * (Delta records the same `size` per add-file): byte-capped streaming
+  * admission reads it from the log instead of paying one metadata HEAD
+  * per file. None on pre-existing commits — consumers fall back. */
+final case class FileStats(rows: Long, cols: Map[String, ColStats],
+    bytes: Option[Long] = None)
 
 /** Hash-bucketed layout: rows land in `pmod(xxhash64(keys), numBuckets)`
   * and file names carry their bucket (`b<K>-...`). With a spec set, CDC
@@ -322,6 +327,15 @@ final class GraftTable private (
   /** Live data files at `asOf` (defaults to current). */
   def liveFiles(asOf: Long = Long.MaxValue): Seq[String] = snapshot(asOf).live
 
+  /** The newest version committed at or before `timestampMs` — the
+    * Delta `TIMESTAMP AS OF` convention, shared by the SQL time-travel
+    * rule and the `timestampAsOf` reader option. */
+  def versionAt(timestampMs: Long): Long =
+    commits().filter(_.timestampMs <= timestampMs).lastOption.map(_.version)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no commit at or before timestamp $timestampMs in $path " +
+          s"(earliest: ${commits().headOption.map(_.timestampMs).getOrElse(-1L)})"))
+
   /** Publish one commit file atomically with real conflict detection.
     *
     * Rename alone cannot detect a version race: POSIX rename OVERWRITES an
@@ -558,15 +572,17 @@ final class GraftTable private (
         withBlooms(df.write.mode("overwrite")).parquet(stagingDir)
     }
     val statsByStaged = collectStats(stagingDir, df)
-    val staged = FsUtils.dataFiles(spark, stagingDir).map(_.getPath)
-    val namesAndStats = staged.map { p =>
+    val staged = FsUtils.dataFiles(spark, stagingDir)
+    val namesAndStats = staged.map { st =>
+      val p = st.getPath
       val bucketPrefix = spec.flatMap { _ =>
         "graft_bucket=(\\d+)".r.findFirstMatchIn(p.getParent.getName).map(m => s"b${m.group(1)}-")
       }.getOrElse("")
       val name = s"${bucketPrefix}part-$stagingId-${p.getName.stripPrefix("part-")}"
       if (!fs.rename(p, new Path(path, name)))
         throw new IllegalStateException(s"failed to move staged file $p into $path")
-      name -> statsByStaged.get(p.getName)
+      // the staging listing already holds the length — record it for free
+      name -> statsByStaged.get(p.getName).map(_.copy(bytes = Some(st.getLen)))
     }
     fs.delete(new Path(stagingDir), true)
     (namesAndStats.map(_._1),

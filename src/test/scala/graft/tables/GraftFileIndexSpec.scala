@@ -152,6 +152,17 @@ class GraftFileIndexSpec extends SparkSpecBase {
     assert(spark.read.format("graft").option("versionAsOf", 1).load(path)
       .select("id").as[Long].collect().toSeq == Seq(1L))
     assert(spark.read.format("graft").load(path).count() == 2)
+    // timestampAsOf resolves to the newest commit at or before the instant
+    val t1 = java.time.Instant.ofEpochMilli(t.commits().head.timestampMs)
+    assert(spark.read.format("graft").option("timestampAsOf", t1.toString)
+      .load(path).select("id").as[Long].collect().toSeq == Seq(1L))
+    val t2 = java.time.Instant.ofEpochMilli(t.commits().last.timestampMs)
+    assert(spark.read.format("graft").option("timestampAsOf", t2.toString)
+      .load(path).count() == 2)
+    // before the first commit: loud, not empty
+    intercept[IllegalArgumentException](
+      spark.read.format("graft")
+        .option("timestampAsOf", t1.minusSeconds(3600).toString).load(path))
   }
 
   test("readChangeFeed serves the CDF rows through the format") {

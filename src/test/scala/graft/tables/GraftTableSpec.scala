@@ -553,6 +553,15 @@ class GraftTableSpec extends SparkSpecBase {
     assert(t.read().as[(Int, String)].collect().toMap === Map(100 -> "x", 5 -> "y"))
   }
 
+  test("commits record per-file byte sizes in their stats (Delta add-file size shape)") {
+    val t = tmpTable()
+    val c = t.append(Seq((1, "a"), (2, "b")).toDF("id", "v").coalesce(1))
+    val stats = c.stats.get
+    assert(stats.nonEmpty && stats.values.forall(_.bytes.exists(_ > 0)))
+    // and they survive the snapshot/checkpoint path
+    assert(t.snapshot().stats.values.forall(_.bytes.exists(_ > 0)))
+  }
+
   test("bucket spec is immutable once declared") {
     val dir = Files.createTempDirectory("graft-bucket2-").toString
     val t = GraftTable(spark, s"file://$dir/t")(GraftSettings.default)
