@@ -30,6 +30,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // tables), so it rides the hint-resolution batch, which runs first.
     ext.injectPostHocResolutionRule(session => new graft.tables.GraftDmlRule(session))
     ext.injectHintResolutionRule(session => new graft.tables.GraftTimeTravelRule(session))
+    // table-valued functions for PATH-based tables (no catalog entry
+    // needed — the SQL twins of GraftTable.history/readRelation):
+    //   SELECT * FROM graft_history('/lake/t')
+    //   SELECT * FROM graft_at('/lake/t', 3)   -- version optional
+    registerTable(ext, "graft_history",
+      "commit history of the graft table at the given path", args => {
+        requireArgs(args, 1, "graft_history")
+        graft.tables.GraftTable(activeSession, litString(args(0), "graft_history"))
+          .history().queryExecution.analyzed
+      })
+    registerTable(ext, "graft_at",
+      "snapshot of the graft table at the given path (and optional version)", args => {
+        require(args.nonEmpty && args.length <= 2,
+          s"graft_at expects (path[, version]), got ${args.length} arguments")
+        val table = graft.tables.GraftTable(activeSession, litString(args(0), "graft_at"))
+        val asOf = if (args.length == 2) litLong(args(1), "graft_at") else Long.MaxValue
+        table.readRelation(asOf).queryExecution.analyzed
+      })
     register(ext, "graft_from_avro", "decode Avro binary with the given schema JSON",
       args => { requireArgs(args, 2, "graft_from_avro"); FromAvro(args(0), args(1)) })
     register(ext, "graft_to_avro", "encode a struct as Avro binary with the given schema JSON",
@@ -86,6 +104,37 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def requireArgs(args: Seq[Expression], n: Int, fn: String): Unit =
     require(args.length == n, s"$fn expects $n arguments, got ${args.length}")
+
+  private def activeSession: org.apache.spark.sql.SparkSession =
+    org.apache.spark.sql.SparkSession.active
+
+  private def litString(e: Expression, fn: String): String = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v, org.apache.spark.sql.types.StringType)
+        if v != null => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a string literal, got $other")
+  }
+
+  private def litLong(e: Expression, fn: String): Long = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v, dt)
+        if v != null && Seq(org.apache.spark.sql.types.ByteType,
+          org.apache.spark.sql.types.ShortType,
+          org.apache.spark.sql.types.IntegerType,
+          org.apache.spark.sql.types.LongType).contains(dt) =>
+      v.toString.toLong
+    case other => throw new IllegalArgumentException(
+      s"$fn expects an integer literal version, got $other")
+  }
+
+  private def registerTable(
+      ext: SparkSessionExtensions,
+      name: String,
+      usage: String,
+      builder: Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit =
+    ext.injectTableFunction((
+      FunctionIdentifier(name),
+      new ExpressionInfo("graft", name, usage),
+      builder))
 
   private def register(
       ext: SparkSessionExtensions,

@@ -153,6 +153,24 @@ class GraftSqlDmlSpec extends AnyFunSuite {
       .count() === 7)
   }
 
+  test("graft_history / graft_at table functions serve path-based tables in SQL") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-sqldml-tvf-").toString
+    val t = GraftTable(spark, s"$dir/t")(GraftSettings.default)
+    t.append(Seq((1, "a")).toDF("id", "v"))
+    t.append(Seq((2, "b")).toDF("id", "v"))
+    val hist = spark.sql(s"SELECT version, operation FROM graft_history('${t.path}')")
+      .as[(Long, String)].collect().toSet
+    assert(hist === Set((1L, "append"), (2L, "append")))
+    assert(spark.sql(s"SELECT id FROM graft_at('${t.path}', 1)")
+      .as[Int].collect().toSeq === Seq(1))
+    assert(spark.sql(s"SELECT count(*) FROM graft_at('${t.path}')")
+      .as[Long].head() === 2L)
+    // pruning still applies through the TVF (native relation underneath)
+    assert(spark.sql(s"SELECT v FROM graft_at('${t.path}') WHERE id = 2")
+      .as[String].collect().toSeq === Seq("b"))
+  }
+
   test("non-graft targets pass through untouched") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-sqldml-pq-").toString
