@@ -1057,6 +1057,44 @@ final class GraftTable private (
       schemaJson, Map("restoredVersion" -> asOf.toString))
   }
 
+  /** Adopt the parquet files ALREADY in `path` as the table's first
+    * commit — Delta's `CONVERT TO DELTA`, the in-place migration path.
+    * At 100 TB this is the difference between a metadata-only adoption
+    * (one stats-collection scan, zero rewrites, files stay byte-identical
+    * where they are) and rewriting the corpus through `append`.
+    *
+    * Contract: the directory must not already be a graft table, and the
+    * files must sit DIRECTLY in `path` (the table format's flat-dir
+    * layout; a Hive-partitioned tree is refused loudly — its partition
+    * values live in dir names, which a name-keyed commit cannot carry).
+    * Stats (min/max/nulls/rows + byte sizes) are collected in the same
+    * one-scan shape as a write, so data skipping works immediately; pass
+    * `collectStats=false` to adopt metadata-only in O(listing). */
+  def convert(collectStats: Boolean = true): Commit = {
+    require(version == 0, s"$path is already a graft table (at v$version)")
+    val root = new Path(path)
+    val listed = FsUtils.dataFiles(spark, path)
+    require(listed.nonEmpty, s"nothing to convert: no data files under $path")
+    val nested = listed.filterNot(_.getPath.getParent == fs.makeQualified(root))
+    require(nested.isEmpty,
+      s"cannot convert $path: ${nested.size} file(s) in subdirectories " +
+        s"(e.g. ${nested.take(2).map(_.getPath).mkString(", ")}) — the graft " +
+        "layout is flat; read the partitioned tree and append it instead")
+    require(listed.forall(_.getPath.getName.endsWith(".parquet")),
+      s"cannot convert $path: non-parquet data files present")
+    val df = spark.read.parquet(path)
+    val sizes = listed.map(st => st.getPath.getName -> st.getLen).toMap
+    val stats =
+      if (collectStats) this.collectStats(path, df).map {
+        case (f, s) => f -> s.copy(bytes = sizes.get(f))
+      } else Map.empty[String, FileStats]
+    nextCommit("convert", dataChange = true,
+      add = listed.map(_.getPath.getName), remove = Seq.empty,
+      unionSchemaJson(df.schema),
+      Map("numConvertedFiles" -> listed.size.toString,
+        "numConvertedBytes" -> sizes.values.sum.toString), stats)
+  }
+
   /** DELETE WHERE: remove matching rows by rewriting ONLY the files that
     * can contain them — the stats/bucket pruner picks the affected files,
     * so a delete keyed on a clustered or bucketed column is O(matching
@@ -1192,9 +1230,13 @@ final class GraftTable private (
     * incremental consumers skip the rewrite. */
   private def compactWith(maxFiles: Int,
       rewrite: (DataFrame, Int) => DataFrame): Option[Commit] = {
-    val files = liveFiles()
+    val snap = snapshot()
+    val files = snap.live
     if (files.size <= maxFiles) return None
-    val totalBytes = files.map(f => fs.getFileStatus(new Path(path, f)).getLen).sum
+    // log-recorded sizes when present (zero metadata RPCs); HEAD only for
+    // files from pre-stats commits
+    val totalBytes = files.map(f => snap.stats.get(f).flatMap(_.bytes)
+      .getOrElse(fs.getFileStatus(new Path(path, f)).getLen)).sum
     val target = math.max(1, math.ceil(totalBytes.toDouble / settings.compactTargetBytes).toInt)
     val df = rewrite(read(), target)
     val (add, stats) = stage(df)
@@ -1202,6 +1244,46 @@ final class GraftTable private (
       unionSchemaJson(df.schema),
       Map("numOutputFiles" -> add.size.toString,
         "numRemovedFiles" -> files.size.toString,
+        "numCompactedBytes" -> totalBytes.toString),
+      stats))
+  }
+
+  /** Delta's OPTIMIZE: bin-pack ONLY the live files smaller than the
+    * compaction target into full-size files, leaving already-compact
+    * files untouched — at 100 TB an OPTIMIZE after a streaming ingest
+    * rewrites the small tail, never the corpus (the full-table rewrite is
+    * what `compactIfNeeded` does when the file-count threshold trips).
+    * Sizes come from the log's per-file stats; only pre-stats commits pay
+    * a metadata HEAD. With `zorderBy`, delegates to the global clustered
+    * rewrite (Delta's ZORDER also re-clusters everything — clustering is
+    * a whole-table property). `dataChange=false` either way, so
+    * incremental consumers skip it. On a bucketed table the bin-packed
+    * rows re-route through the bucket writer, preserving the layout. */
+  def optimize(zorderBy: Seq[String] = Seq.empty): Option[Commit] = {
+    if (zorderBy.nonEmpty) return compactClusteredIfNeeded(zorderBy, maxFiles = 1)
+    val snap = snapshot()
+    if (snap.live.size <= 1) return None
+    val logged = snap.stats
+    def sizeOf(f: String): Long =
+      logged.get(f).flatMap(_.bytes)
+        .getOrElse(fs.getFileStatus(new Path(path, f)).getLen)
+    val small = snap.live.filter(sizeOf(_) < settings.compactTargetBytes)
+    if (small.size <= 1) return None
+    val totalBytes = small.map(sizeOf).sum
+    val target = math.max(1, math.ceil(totalBytes.toDouble / settings.compactTargetBytes).toInt)
+    // read the small files under the LOG schema: a pre-evolution file's
+    // missing columns land as NULL, and the packed output carries the
+    // full current schema
+    val schema = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson.get)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val df = spark.read.schema(schema)
+      .parquet(small.map(f => s"$path/$f"): _*)
+      .repartition(target)
+    val (add, stats) = stage(df)
+    Some(nextCommit("compact", dataChange = false, add, small,
+      unionSchemaJson(schema),
+      Map("numOutputFiles" -> add.size.toString,
+        "numRemovedFiles" -> small.size.toString,
         "numCompactedBytes" -> totalBytes.toString),
       stats))
   }
