@@ -30,6 +30,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // tables), so it rides the hint-resolution batch, which runs first.
     ext.injectPostHocResolutionRule(session => new graft.tables.GraftDmlRule(session))
     ext.injectHintResolutionRule(session => new graft.tables.GraftTimeTravelRule(session))
+    // maintenance statements Delta adds to SQL and vanilla Spark lacks:
+    // VACUUM / OPTIMIZE [ZORDER BY] / DESCRIBE HISTORY / RESTORE ...
+    // VERSION AS OF — keyword-anchored, everything else delegates
+    ext.injectParser((_, delegate) => new graft.tables.GraftSqlParser(delegate))
     // table-valued functions for PATH-based tables (no catalog entry
     // needed — the SQL twins of GraftTable.history/readRelation):
     //   SELECT * FROM graft_history('/lake/t')

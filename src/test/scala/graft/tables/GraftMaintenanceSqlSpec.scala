@@ -1,0 +1,204 @@
+package graft.tables
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.GraftExtensions
+import graft.conf.GraftSettings
+
+/** Maintenance SQL through the injected parser: VACUUM / OPTIMIZE /
+  * DESCRIBE HISTORY / RESTORE route to the same GraftTable primitives as
+  * the Scala API; everything else must delegate to Spark's parser
+  * untouched. */
+class GraftMaintenanceSqlSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-maint-sql-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+  }
+
+  private def freshPath(): String =
+    Files.createTempDirectory("graft-maint-").toString + "/t"
+
+  test("DESCRIBE HISTORY serves the commit log for a path and a catalog table") {
+    import spark.implicits._
+    val p = freshPath()
+    val t = GraftTable(spark, p)(GraftSettings.default)
+    t.append(Seq((1, "a")).toDF("id", "v"))
+    t.append(Seq((2, "b")).toDF("id", "v"))
+    val hist = spark.sql(s"DESCRIBE HISTORY '$p'")
+    assert(hist.columns.toSeq ===
+      Seq("version", "timestamp", "operation", "dataChange", "numAddedFiles",
+        "operationMetrics", "numFiles"))
+    // newest first, like the API history()
+    assert(hist.select("version").as[Long].collect().toSeq === Seq(2L, 1L))
+    assert(hist.select("operation").as[String].collect().toSet === Set("append"))
+
+    spark.sql("DROP TABLE IF EXISTS maint_hist")
+    spark.sql(s"CREATE TABLE maint_hist USING graft LOCATION '$p'")
+    assert(spark.sql("DESC HISTORY maint_hist").count() === 2)
+    // a non-graft catalog table is refused loudly
+    spark.sql("DROP TABLE IF EXISTS maint_pq")
+    val pq = Files.createTempDirectory("graft-maint-pq-").toString
+    Seq((1, "a")).toDF("id", "v").write.mode("overwrite").parquet(s"$pq/t")
+    spark.sql(s"CREATE TABLE maint_pq USING parquet LOCATION '$pq/t'")
+    val e = intercept[Exception](spark.sql("DESCRIBE HISTORY maint_pq").collect())
+    assert(e.getMessage.contains("not a graft table"))
+  }
+
+  test("OPTIMIZE compacts to fewer files with dataChange=false, content unchanged") {
+    import spark.implicits._
+    val p = freshPath()
+    val t = GraftTable(spark, p)(GraftSettings.default)
+    (1 to 6).foreach(i => t.append(Seq((i, s"v$i")).toDF("id", "v")))
+    val before = t.read().as[(Int, String)].collect().toSet
+    val row = spark.sql(s"OPTIMIZE '$p'").collect().head
+    assert(row.getLong(0) === 6L)
+    assert(row.getLong(1) < 6L)
+    assert(t.commits().last.dataChange === false)
+    assert(t.read().as[(Int, String)].collect().toSet === before)
+    // already-one-file is a no-op (no new commit)
+    if (row.getLong(1) == 1L) {
+      val v = t.version
+      spark.sql(s"OPTIMIZE '$p'").collect()
+      assert(t.version === v)
+    }
+  }
+
+  test("OPTIMIZE ZORDER BY keeps data skipping selective after compaction") {
+    import spark.implicits._
+    val p = freshPath()
+    val t = GraftTable(spark, p)(GraftSettings.default)
+    // 8 appends each covering the FULL key range: pre-compaction pruning
+    // is useless; a clustered rewrite makes it selective again
+    (1 to 8).foreach(_ => t.append((1 to 100).map(i => (i, i.toString)).toDF("id", "v")))
+    spark.sql(s"OPTIMIZE '$p' ZORDER BY (id)").collect()
+    assert(t.commits().last.dataChange === false)
+    val files = t.liveFiles()
+    if (files.size > 1) {
+      // stats-pruned point read touches a strict subset of live files
+      val touched = t.prunedFiles(org.apache.spark.sql.functions.col("id") === 50)
+      assert(touched.size < files.size)
+    }
+    assert(t.read().count() === 800)
+  }
+
+  test("optimize bin-packs ONLY sub-target files; already-compact files are never rewritten") {
+    import spark.implicits._
+    val p = freshPath()
+    // tiny target: the seeded wide file counts as already-compact
+    val t = GraftTable(spark, p)(GraftSettings(compactTargetBytes = 8 * 1024))
+    t.append((1 to 4000).map(i => (i, "x" * 40)).toDF("id", "v").coalesce(1))
+    val bigFile = t.liveFiles().head
+    assert(t.snapshot().stats(bigFile).bytes.get >= 8 * 1024)
+    (1 to 5).foreach(i => t.append(Seq((100000 + i, "s")).toDF("id", "v")))
+    val c = t.optimize().get
+    assert(c.dataChange === false)
+    // the big file survived untouched; the 5 small ones merged
+    assert(t.liveFiles().contains(bigFile))
+    assert(!c.remove.contains(bigFile) && c.remove.size === 5)
+    assert(t.read().count() === 4005)
+    // second optimize: nothing small left to pack
+    assert(t.optimize().isEmpty)
+  }
+
+  test("RESTORE TO VERSION AS OF rolls the live set back as a new commit") {
+    import spark.implicits._
+    val p = freshPath()
+    val t = GraftTable(spark, p)(GraftSettings.default)
+    t.append(Seq((1, "a")).toDF("id", "v"))
+    t.append(Seq((2, "b")).toDF("id", "v"))
+    val row = spark.sql(s"RESTORE TABLE '$p' TO VERSION AS OF 1").collect().head
+    assert(row.getLong(0) === 1L && row.getLong(1) === 3L)
+    assert(t.read().as[(Int, String)].collect().toSeq === Seq((1, "a")))
+    assert(t.version === 3L) // history preserved, restore is a commit
+  }
+
+  test("VACUUM deletes aged non-live files; RETAIN n VERSIONS trims the log") {
+    import spark.implicits._
+    val p = freshPath()
+    val t = GraftTable(spark, p)(GraftSettings(logCheckpointInterval = 5))
+    (1 to 12).foreach(i => t.append(Seq((i, s"v$i")).toDF("id", "v")))
+    t.delete(org.apache.spark.sql.functions.col("id") <= 6)
+    val expect = t.read().as[(Int, String)].collect().toSet
+    // RETAIN 0 HOURS: everything removed by a past commit is GC-able now
+    val deleted = spark.sql(s"VACUUM '$p' RETAIN 0 HOURS").as[String].collect()
+    assert(deleted.nonEmpty)
+    assert(t.read().as[(Int, String)].collect().toSet === expect)
+    // log trim through SQL (checkpoints at 5 and 10 exist)
+    val trimmed = spark.sql(s"VACUUM '$p' RETAIN 2 VERSIONS").as[String].collect()
+    assert(trimmed.nonEmpty)
+    assert(t.read().as[(Int, String)].collect().toSet === expect)
+    // below-horizon time travel fails loudly, not wrongly
+    intercept[Exception](t.readRelation(asOf = 1))
+  }
+
+  test("CONVERT TO GRAFT adopts parquet in place: no rewrite, stats usable, provider flips") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-convert-").toString
+    (1 to 50).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartition(4).write.mode("overwrite").parquet(s"$dir/t")
+    val namesBefore = new java.io.File(s"$dir/t").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+
+    spark.sql("DROP TABLE IF EXISTS conv_pq")
+    spark.sql(s"CREATE TABLE conv_pq USING parquet LOCATION '$dir/t'")
+    val row = spark.sql("CONVERT TO GRAFT conv_pq").collect().head
+    assert(row.getLong(0) === namesBefore.size.toLong && row.getLong(1) > 0)
+
+    val t = GraftTable(spark, s"$dir/t")(GraftSettings.default)
+    assert(t.version === 1L && t.commits().head.action === "convert")
+    // files adopted in place — byte-identical, same names, no staging copies
+    assert(t.liveFiles().toSet === namesBefore)
+    assert(t.read().as[(Int, String)].collect().toSet ===
+      (1 to 50).map(i => (i, s"v$i")).toSet)
+    // stats landed: point-read pruning works immediately, bytes recorded
+    val stats = t.commits().head.stats.get
+    assert(stats.values.forall(_.bytes.exists(_ > 0)))
+    // catalog provider flipped: graft DML works on the converted table
+    spark.sql("DELETE FROM conv_pq WHERE id <= 10")
+    assert(spark.table("conv_pq").count() === 40)
+
+    // re-convert is refused; nested (partitioned) layout is refused
+    val e = intercept[Exception](spark.sql(s"CONVERT TO GRAFT '$dir/t'").collect())
+    assert(e.getMessage.contains("already a graft table"))
+    Seq((1, "a")).toDF("id", "part").write.partitionBy("part")
+      .mode("overwrite").parquet(s"$dir/nested")
+    val e2 = intercept[Exception](spark.sql(s"CONVERT TO GRAFT '$dir/nested'").collect())
+    assert(e2.getMessage.contains("flat"))
+  }
+
+  test("CONVERT TO GRAFT NO STATISTICS adopts metadata-only in O(listing)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-convert-ns-").toString
+    (1 to 10).map(i => (i, s"v$i")).toDF("id", "v")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/t")
+    spark.sql(s"CONVERT TO GRAFT '$dir/t' NO STATISTICS").collect()
+    val t = GraftTable(spark, s"$dir/t")(GraftSettings.default)
+    assert(t.commits().head.stats.isEmpty)
+    assert(t.read().count() === 10)
+  }
+
+  test("everything else delegates: vanilla SQL intact, bad graft statement errs with usage") {
+    import spark.implicits._
+    assert(spark.sql("SELECT 1 + 1 AS x").as[Int].head() === 2)
+    // identifiers merely CONTAINING the keywords are untouched
+    Seq((1, "a")).toDF("id", "optimize").createOrReplaceTempView("vacuum_stats")
+    assert(spark.sql("SELECT optimize FROM vacuum_stats").as[String].head() === "a")
+    // a table literally named "history" still DESCRIBEs through vanilla SQL
+    Seq((1, "a")).toDF("id", "v").createOrReplaceTempView("history")
+    assert(spark.sql("DESCRIBE history").count() >= 2)
+    val e = intercept[Exception](spark.sql("OPTIMIZE "))
+    assert(e.getMessage.contains("usage"))
+  }
+}
