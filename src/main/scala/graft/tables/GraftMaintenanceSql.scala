@@ -23,6 +23,7 @@ import org.apache.spark.sql.types._
   *   DESCRIBE HISTORY '/lake/t'
   *   RESTORE TABLE '/lake/t' TO VERSION AS OF 3
   *   CONVERT TO GRAFT '/lake/plain_parquet' [NO STATISTICS]
+  *   FSCK REPAIR TABLE '/lake/t' [DRY RUN]
   * }}}
   *
   * The target is a quoted path or a catalog table name (`USING graft`).
@@ -187,6 +188,17 @@ final case class GraftConvertCommand(target: Target,
   }
 }
 
+/** `FSCK REPAIR TABLE t [DRY RUN]` — [[GraftTable.repair]]: drop log
+  * references to data files missing on disk (one listing reconciliation);
+  * DRY RUN reports without committing. */
+final case class GraftFsckCommand(target: Target,
+    dryRun: Boolean) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("path", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    target.resolve(spark).repair(dryRun).map(Row(_))
+}
+
 /** The injected parser: recognizes the graft maintenance statements and
   * delegates EVERYTHING else (including all non-plan parse entry points)
   * to Spark's own parser. Regex-matched rather than a grammar — the
@@ -212,11 +224,13 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     s"""(?is)\\s*RESTORE\\s+(?:TABLE\\s+)?$T\\s+(?:TO\\s+)?VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*""".r
   private val Convert: Regex =
     s"""(?is)\\s*CONVERT\\s+TO\\s+GRAFT\\s+$T(\\s+NO\\s+STATISTICS)?\\s*;?\\s*""".r
+  private val Fsck: Regex =
+    s"""(?is)\\s*FSCK\\s+REPAIR\\s+TABLE\\s+$T(\\s+DRY\\s+RUN)?\\s*;?\\s*""".r
   // DESC[RIBE] HISTORY is deliberately absent: `DESCRIBE history` is valid
   // vanilla SQL on a table named "history", so an unmatched describe always
   // delegates; the other keywords can never start a vanilla statement
   private val Keyword: Regex =
-    """(?is)\s*(VACUUM|OPTIMIZE|RESTORE|CONVERT\s+TO\s+GRAFT)\b.*""".r
+    """(?is)\s*(VACUUM|OPTIMIZE|RESTORE|CONVERT\s+TO\s+GRAFT|FSCK)\b.*""".r
 
   private def target(s: String): Target =
     if (s.startsWith("'")) PathTarget(s.substring(1, s.length - 1))
@@ -231,12 +245,14 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case History(t)       => GraftDescribeHistoryCommand(target(t))
     case Restore(t, v)    => GraftRestoreCommand(target(t), v.toLong)
     case Convert(t, noSt) => GraftConvertCommand(target(t), withStats = noSt == null)
+    case Fsck(t, dry)     => GraftFsckCommand(target(t), dryRun = dry != null)
     case Keyword(kw)      => throw new IllegalArgumentException(
       s"cannot parse graft ${kw.toUpperCase} statement — usage: " +
         "VACUUM <t> [RETAIN n HOURS | RETAIN n VERSIONS] | " +
         "OPTIMIZE <t> [ZORDER BY (c1, c2)] | DESCRIBE HISTORY <t> | " +
         "RESTORE [TABLE] <t> [TO] VERSION AS OF n | " +
-        "CONVERT TO GRAFT <t> [NO STATISTICS]  (t = 'path' or table name)")
+        "CONVERT TO GRAFT <t> [NO STATISTICS] | " +
+        "FSCK REPAIR TABLE <t> [DRY RUN]  (t = 'path' or table name)")
     case _ => delegate.parsePlan(sqlText)
   }
 

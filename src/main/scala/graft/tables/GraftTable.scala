@@ -1248,6 +1248,27 @@ final class GraftTable private (
       stats))
   }
 
+  /** Delta's FSCK REPAIR TABLE: drop log references to live data files
+    * that no longer exist on disk (manual deletion, storage loss, a
+    * partially-vacuumed restore source) so scans stop failing on ghosts.
+    * One directory listing reconciled against the live set — never a
+    * per-file existence RPC (O(1) listings, not O(files) HEADs, the only
+    * shape that survives a million-file table). The repair is itself a
+    * versioned `dataChange=true` commit: downstream incremental consumers
+    * SEE the row loss instead of silently diverging. Returns the dropped
+    * names; `dryRun=true` (the default) only reports them. */
+  def repair(dryRun: Boolean = true): Seq[String] = {
+    val snap = snapshot()
+    val onDisk = FsUtils.dataFiles(spark, path).map(_.getPath.getName).toSet
+    val missing = snap.live.filterNot(onDisk)
+    if (missing.isEmpty || dryRun) return missing
+    nextCommit("repair", dataChange = true, add = Seq.empty, remove = missing,
+      snap.schemaJson.getOrElse(throw new IllegalStateException(
+        s"table does not exist: $path")),
+      Map("numRemovedFiles" -> missing.size.toString))
+    missing
+  }
+
   /** Delta's OPTIMIZE: bin-pack ONLY the live files smaller than the
     * compaction target into full-size files, leaving already-compact
     * files untouched — at 100 TB an OPTIMIZE after a streaming ingest

@@ -189,6 +189,29 @@ class GraftMaintenanceSqlSpec extends AnyFunSuite {
     assert(t.read().count() === 10)
   }
 
+  test("FSCK REPAIR TABLE drops log references to files missing on disk") {
+    import spark.implicits._
+    val p = freshPath()
+    val t = GraftTable(spark, p)(GraftSettings.default)
+    t.append(Seq((1, "a")).toDF("id", "v"))
+    t.append(Seq((2, "b")).toDF("id", "v"))
+    // simulate storage loss of one live file
+    val victim = t.liveFiles().head
+    new java.io.File(s"$p/$victim").delete()
+    // DRY RUN reports without committing
+    val v0 = t.version
+    val dry = spark.sql(s"FSCK REPAIR TABLE '$p' DRY RUN").as[String].collect()
+    assert(dry.toSeq === Seq(victim) && t.version === v0)
+    // the repair is a versioned dataChange commit; scans work again
+    val fixed = spark.sql(s"FSCK REPAIR TABLE '$p'").as[String].collect()
+    assert(fixed.toSeq === Seq(victim))
+    assert(t.version === v0 + 1 && t.commits().last.action === "repair")
+    assert(t.read().count() === 1)
+    // clean table: nothing to repair, no commit
+    assert(spark.sql(s"FSCK REPAIR TABLE '$p'").count() === 0)
+    assert(t.version === v0 + 1)
+  }
+
   test("everything else delegates: vanilla SQL intact, bad graft statement errs with usage") {
     import spark.implicits._
     assert(spark.sql("SELECT 1 + 1 AS x").as[Int].head() === 2)
