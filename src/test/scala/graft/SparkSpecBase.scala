@@ -3,7 +3,11 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Shared local session for specs — one per suite (lazy). */
+/** Shared local session for specs — one per suite (lazy). Installs
+  * [[GraftExtensions]] like every product session (GraftSession, Verify,
+  * Bench) does: catalog entries that exercise the SQL surface (q53's
+  * MERGE INTO) need the injected rules, and in a shared test JVM the
+  * FIRST builder to run decides the default session's shape. */
 trait SparkSpecBase extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
@@ -11,6 +15,7 @@ trait SparkSpecBase extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    .withExtensions(new GraftExtensions)
     .getOrCreate()
 
   def sf(dir: String = "sf0.001"): String = s"/root/testdata/$dir"

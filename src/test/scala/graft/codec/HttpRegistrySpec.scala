@@ -158,7 +158,8 @@ class HttpRegistrySpec extends AnyFunSuite {
 
       val spark = org.apache.spark.sql.SparkSession.builder()
         .master("local[2]").appName("golden-bytes")
-        .config("spark.ui.enabled", "false").getOrCreate()
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new graft.GraftExtensions).getOrCreate()
       import spark.implicits._
       import org.apache.spark.sql.functions._
       def framed(v: Long, schemaId: Int): Array[Byte] =
@@ -193,7 +194,8 @@ class HttpRegistrySpec extends AnyFunSuite {
       // encode with the local text, decode with the HTTP-fetched one
       val spark = org.apache.spark.sql.SparkSession.builder()
         .master("local[2]").appName("http-reg-e2e")
-        .config("spark.ui.enabled", "false").getOrCreate()
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new graft.GraftExtensions).getOrCreate()
       import spark.implicits._
       import org.apache.spark.sql.functions._
       val df = Seq(7, 11).toDF("id")
