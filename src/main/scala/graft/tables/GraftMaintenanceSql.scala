@@ -17,13 +17,17 @@ import org.apache.spark.sql.types._
   * its small-file compaction, `delta_handler.py:9-35`):
   *
   * {{{
-  *   VACUUM '/lake/t' [RETAIN 24 HOURS]        -- data-file GC
+  *   VACUUM '/lake/t' [RETAIN 24 HOURS] [DRY RUN]  -- data-file GC
   *   VACUUM '/lake/t' RETAIN 50 VERSIONS       -- commit-LOG trim (vacuumLog)
-  *   OPTIMIZE '/lake/t' [ZORDER BY (c1, c2)]   -- compaction / clustered rewrite
+  *   OPTIMIZE '/lake/t' [WHERE pred] [ZORDER BY (c1, c2)]  -- compaction / clustered rewrite
   *   DESCRIBE HISTORY '/lake/t'
+  *   DESCRIBE DETAIL '/lake/t'
   *   RESTORE TABLE '/lake/t' TO VERSION AS OF 3
+  *   RESTORE TABLE '/lake/t' TO TIMESTAMP AS OF '2026-01-01 00:00:00'
   *   CONVERT TO GRAFT '/lake/plain_parquet' [NO STATISTICS]
   *   FSCK REPAIR TABLE '/lake/t' [DRY RUN]
+  *   ALTER TABLE '/lake/t' ADD CONSTRAINT positive_qty CHECK (qty > 0)
+  *   ALTER TABLE '/lake/t' DROP CONSTRAINT [IF EXISTS] positive_qty
   * }}}
   *
   * The target is a quoted path or a catalog table name (`USING graft`).
@@ -67,15 +71,18 @@ object GraftMaintenanceSql {
 
 import GraftMaintenanceSql._
 
-/** `VACUUM t [RETAIN h HOURS]` — data-file GC past retention; returns one
-  * row per deleted file (Delta prints the touched paths the same way). */
+/** `VACUUM t [RETAIN h HOURS] [DRY RUN]` — data-file GC past retention;
+  * returns one row per deleted (or, DRY RUN, deletable) file (Delta
+  * prints the touched paths the same way). */
 final case class GraftVacuumCommand(target: Target,
-    retainHours: Option[Double]) extends LeafRunnableCommand {
+    retainHours: Option[Double],
+    dryRun: Boolean = false) extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("path", StringType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val t = target.resolve(spark)
-    retainHours.fold(t.vacuum())(t.vacuum(_)).map(Row(_))
+    t.vacuum(retainHours.getOrElse(graft.conf.GraftSettings.default.vacuumRetentionHours),
+      dryRun = dryRun).map(Row(_))
   }
 }
 
@@ -95,16 +102,58 @@ final case class GraftVacuumLogCommand(target: Target,
   * scale); ZORDER BY is the global clustered rewrite so data skipping on
   * those columns stays selective. */
 final case class GraftOptimizeCommand(target: Target,
-    zorderBy: Seq[String]) extends LeafRunnableCommand {
+    zorderBy: Seq[String],
+    where: Option[String] = None) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("numFilesBefore", LongType, nullable = false)(),
     AttributeReference("numFilesAfter", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val t = target.resolve(spark)
     val before = t.liveFiles().size.toLong
-    t.optimize(zorderBy)
+    where match {
+      case Some(predText) =>
+        require(zorderBy.isEmpty,
+          "ZORDER BY re-clusters the WHOLE table — WHERE cannot scope it")
+        // resolve the predicate against the table's own relation so the
+        // atom extractor sees bound attributes and coerced literals (the
+        // same resolved shapes GraftFileIndex prunes on at query time)
+        val analyzed = t.readRelation()
+          .filter(org.apache.spark.sql.functions.expr(predText))
+          .queryExecution.analyzed
+        val atoms = analyzed.collect {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            ExpressionAtoms.conjuncts(f.condition)
+        }.flatten
+        // a predicate no atom can prune on would silently scope NOTHING
+        // (= whole table) — refuse, like Delta refusing a non-partition
+        // WHERE, instead of quietly compacting more than the user asked
+        require(atoms.exists(_ != PredOpaque),
+          s"OPTIMIZE ... WHERE needs a stats-prunable predicate " +
+            s"(comparison / IN / IS NULL on a data column); got: $predText")
+        t.optimizeScoped(atoms)
+      case None => t.optimize(zorderBy)
+    }
     Seq(Row(before, t.liveFiles().size.toLong))
   }
+}
+
+/** `DESCRIBE DETAIL t` — Delta's one-row table summary
+  * ([[GraftTable.detail]]): format, location, timestamps, live-set
+  * size/bytes, bucket layout. Metadata-plane. */
+final case class GraftDescribeDetailCommand(target: Target)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("format", StringType, nullable = false)(),
+    AttributeReference("location", StringType, nullable = false)(),
+    AttributeReference("createdAt", TimestampType)(),
+    AttributeReference("lastModified", TimestampType)(),
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("numFiles", LongType, nullable = false)(),
+    AttributeReference("sizeInBytes", LongType, nullable = false)(),
+    AttributeReference("bucketColumns", ArrayType(StringType))(),
+    AttributeReference("numBuckets", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    target.resolve(spark).detail().collect().toSeq
 }
 
 /** `DESCRIBE HISTORY t` — the commit log as rows (the reference's
@@ -124,17 +173,34 @@ final case class GraftDescribeHistoryCommand(target: Target)
     target.resolve(spark).history().collect().toSeq
 }
 
-/** `RESTORE TABLE t TO VERSION AS OF v` — rolls the live set back as a NEW
-  * commit ([[GraftTable.restore]]; history is never rewritten). */
+/** `RESTORE TABLE t TO VERSION AS OF v` / `TO TIMESTAMP AS OF 'ts'` —
+  * rolls the live set back as a NEW commit ([[GraftTable.restore]];
+  * history is never rewritten). A timestamp restores the newest version
+  * committed at or before it ([[GraftTable.versionAt]], the Delta
+  * convention shared with the `timestampAsOf` reader option). */
 final case class GraftRestoreCommand(target: Target,
-    version: Long) extends LeafRunnableCommand {
+    version: Option[Long],
+    timestamp: Option[String] = None) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("restoredVersion", LongType, nullable = false)(),
     AttributeReference("commitVersion", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
-    val c = target.resolve(spark).restore(version)
-    Seq(Row(version, c.version))
+    val t = target.resolve(spark)
+    val v = version.getOrElse(t.versionAt(GraftRestoreCommand.parseMs(timestamp.get)))
+    val c = t.restore(v)
+    Seq(Row(v, c.version))
   }
+}
+
+object GraftRestoreCommand {
+  /** `'yyyy-MM-dd HH:mm:ss[.f]'` (JVM-local, the `java.sql.Timestamp`
+    * round-trip shape) or an ISO-8601 instant — epoch millis. */
+  private[tables] def parseMs(s: String): Long =
+    try java.sql.Timestamp.valueOf(s).getTime
+    catch {
+      case _: IllegalArgumentException =>
+        java.time.Instant.parse(s).toEpochMilli
+    }
 }
 
 /** `CONVERT TO GRAFT 'path' [NO STATISTICS]` — adopt an existing parquet
@@ -188,6 +254,32 @@ final case class GraftConvertCommand(target: Target,
   }
 }
 
+/** `ALTER TABLE t ADD CONSTRAINT name CHECK (pred)` —
+  * [[GraftTable.addConstraint]]: validates existing rows (early-exit
+  * scan), persists the predicate, enforced in-plan on every later write. */
+final case class GraftAddConstraintCommand(target: Target,
+    name: String, predicateSql: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("name", StringType, nullable = false)(),
+    AttributeReference("predicate", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    target.resolve(spark).addConstraint(name, predicateSql)
+    Seq(Row(name, predicateSql))
+  }
+}
+
+/** `ALTER TABLE t DROP CONSTRAINT [IF EXISTS] name` —
+  * [[GraftTable.dropConstraint]]. */
+final case class GraftDropConstraintCommand(target: Target,
+    name: String, ifExists: Boolean) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("name", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    target.resolve(spark).dropConstraint(name, ifExists)
+    Seq(Row(name))
+  }
+}
+
 /** `FSCK REPAIR TABLE t [DRY RUN]` — [[GraftTable.repair]]: drop log
   * references to data files missing on disk (one listing reconciliation);
   * DRY RUN reports without committing. */
@@ -213,19 +305,31 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   // target = 'quoted path' | `backticked` | bare (possibly dotted) name
   private val T = """('[^']*'|`[^`]+`|[\w.$]+)"""
   private val Vacuum: Regex =
-    s"""(?is)\\s*VACUUM\\s+$T(?:\\s+RETAIN\\s+(\\d+(?:\\.\\d+)?)\\s+HOURS)?\\s*;?\\s*""".r
+    s"""(?is)\\s*VACUUM\\s+$T(?:\\s+RETAIN\\s+(\\d+(?:\\.\\d+)?)\\s+HOURS)?(\\s+DRY\\s+RUN)?\\s*;?\\s*""".r
   private val VacuumLog: Regex =
     s"""(?is)\\s*VACUUM\\s+$T\\s+RETAIN\\s+(\\d+)\\s+VERSIONS\\s*;?\\s*""".r
   private val Optimize: Regex =
-    s"""(?is)\\s*OPTIMIZE\\s+$T(?:\\s+ZORDER\\s+BY\\s+\\(?([^();]+?)\\)?)?\\s*;?\\s*""".r
+    s"""(?is)\\s*OPTIMIZE\\s+$T(?:\\s+WHERE\\s+(.+?))?(?:\\s+ZORDER\\s+BY\\s+\\(?([^();]+?)\\)?)?\\s*;?\\s*""".r
   private val History: Regex =
     s"""(?is)\\s*DESC(?:RIBE)?\\s+HISTORY\\s+$T\\s*;?\\s*""".r
+  private val Detail: Regex =
+    s"""(?is)\\s*DESC(?:RIBE)?\\s+DETAIL\\s+$T\\s*;?\\s*""".r
   private val Restore: Regex =
     s"""(?is)\\s*RESTORE\\s+(?:TABLE\\s+)?$T\\s+(?:TO\\s+)?VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*""".r
+  private val RestoreTs: Regex =
+    s"""(?is)\\s*RESTORE\\s+(?:TABLE\\s+)?$T\\s+(?:TO\\s+)?TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)'\\s*;?\\s*""".r
   private val Convert: Regex =
     s"""(?is)\\s*CONVERT\\s+TO\\s+GRAFT\\s+$T(\\s+NO\\s+STATISTICS)?\\s*;?\\s*""".r
   private val Fsck: Regex =
     s"""(?is)\\s*FSCK\\s+REPAIR\\s+TABLE\\s+$T(\\s+DRY\\s+RUN)?\\s*;?\\s*""".r
+  // CHECK-constraint DDL (Delta's surface; vanilla Spark SQL has no CHECK
+  // constraints for v1 tables). Only these two EXACT shapes intercept —
+  // any other ALTER TABLE delegates verbatim, so vanilla column/property
+  // DDL is untouched.
+  private val AddConstraint: Regex =
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+$T\\s+ADD\\s+CONSTRAINT\\s+(\\w+)\\s+CHECK\\s*\\((.+)\\)\\s*;?\\s*""".r
+  private val DropConstraint: Regex =
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+$T\\s+DROP\\s+CONSTRAINT(\\s+IF\\s+EXISTS)?\\s+(\\w+)\\s*;?\\s*""".r
   // DESC[RIBE] HISTORY is deliberately absent: `DESCRIBE history` is valid
   // vanilla SQL on a table named "history", so an unmatched describe always
   // delegates; the other keywords can never start a vanilla statement
@@ -238,19 +342,29 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case VacuumLog(t, n)  => GraftVacuumLogCommand(target(t), n.toInt)
-    case Vacuum(t, h)     => GraftVacuumCommand(target(t), Option(h).map(_.toDouble))
-    case Optimize(t, z)   => GraftOptimizeCommand(target(t),
+    case Vacuum(t, h, dry) =>
+      GraftVacuumCommand(target(t), Option(h).map(_.toDouble), dryRun = dry != null)
+    case Optimize(t, w, z) => GraftOptimizeCommand(target(t),
       Option(z).toSeq.flatMap(_.split(',')).map(_.trim.stripPrefix("`").stripSuffix("`"))
-        .filter(_.nonEmpty))
+        .filter(_.nonEmpty),
+      Option(w).map(_.trim).filter(_.nonEmpty))
     case History(t)       => GraftDescribeHistoryCommand(target(t))
-    case Restore(t, v)    => GraftRestoreCommand(target(t), v.toLong)
+    case Detail(t)        => GraftDescribeDetailCommand(target(t))
+    case Restore(t, v)    => GraftRestoreCommand(target(t), Some(v.toLong))
+    case RestoreTs(t, ts) => GraftRestoreCommand(target(t), None, Some(ts))
     case Convert(t, noSt) => GraftConvertCommand(target(t), withStats = noSt == null)
     case Fsck(t, dry)     => GraftFsckCommand(target(t), dryRun = dry != null)
+    case AddConstraint(t, n, pred) =>
+      GraftAddConstraintCommand(target(t), n, pred.trim)
+    case DropConstraint(t, ifEx, n) =>
+      GraftDropConstraintCommand(target(t), n, ifExists = ifEx != null)
     case Keyword(kw)      => throw new IllegalArgumentException(
       s"cannot parse graft ${kw.toUpperCase} statement — usage: " +
-        "VACUUM <t> [RETAIN n HOURS | RETAIN n VERSIONS] | " +
-        "OPTIMIZE <t> [ZORDER BY (c1, c2)] | DESCRIBE HISTORY <t> | " +
+        "VACUUM <t> [RETAIN n HOURS | RETAIN n VERSIONS] [DRY RUN] | " +
+        "OPTIMIZE <t> [WHERE pred] [ZORDER BY (c1, c2)] | " +
+        "DESCRIBE HISTORY <t> | DESCRIBE DETAIL <t> | " +
         "RESTORE [TABLE] <t> [TO] VERSION AS OF n | " +
+        "RESTORE [TABLE] <t> [TO] TIMESTAMP AS OF 'ts' | " +
         "CONVERT TO GRAFT <t> [NO STATISTICS] | " +
         "FSCK REPAIR TABLE <t> [DRY RUN]  (t = 'path' or table name)")
     case _ => delegate.parsePlan(sqlText)

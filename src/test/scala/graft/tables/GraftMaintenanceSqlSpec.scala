@@ -124,6 +124,20 @@ class GraftMaintenanceSqlSpec extends AnyFunSuite {
     assert(t.version === 3L) // history preserved, restore is a commit
   }
 
+  test("RESTORE TO TIMESTAMP AS OF restores the newest version at or before it") {
+    import spark.implicits._
+    val p = freshPath()
+    val t = GraftTable(spark, p)(GraftSettings.default)
+    t.append(Seq((1, "a")).toDF("id", "v"))
+    t.append(Seq((2, "b")).toDF("id", "v"))
+    // the java.sql.Timestamp round-trip of v1's commit time targets v1
+    // exactly (same JVM zone both ways)
+    val ts = new java.sql.Timestamp(t.commits().head.timestampMs).toString
+    val row = spark.sql(s"RESTORE TABLE '$p' TO TIMESTAMP AS OF '$ts'").collect().head
+    assert(row.getLong(0) === 1L)
+    assert(t.read().as[(Int, String)].collect().toSeq === Seq((1, "a")))
+  }
+
   test("VACUUM deletes aged non-live files; RETAIN n VERSIONS trims the log") {
     import spark.implicits._
     val p = freshPath()
@@ -131,9 +145,13 @@ class GraftMaintenanceSqlSpec extends AnyFunSuite {
     (1 to 12).foreach(i => t.append(Seq((i, s"v$i")).toDF("id", "v")))
     t.delete(org.apache.spark.sql.functions.col("id") <= 6)
     val expect = t.read().as[(Int, String)].collect().toSet
+    // DRY RUN reports the GC-able set without touching disk
+    val dry = spark.sql(s"VACUUM '$p' RETAIN 0 HOURS DRY RUN").as[String].collect()
+    assert(dry.nonEmpty)
+    assert(dry.forall(f => new java.io.File(s"$p/$f").exists()))
     // RETAIN 0 HOURS: everything removed by a past commit is GC-able now
     val deleted = spark.sql(s"VACUUM '$p' RETAIN 0 HOURS").as[String].collect()
-    assert(deleted.nonEmpty)
+    assert(deleted.toSet === dry.toSet)
     assert(t.read().as[(Int, String)].collect().toSet === expect)
     // log trim through SQL (checkpoints at 5 and 10 exist)
     val trimmed = spark.sql(s"VACUUM '$p' RETAIN 2 VERSIONS").as[String].collect()
@@ -187,6 +205,97 @@ class GraftMaintenanceSqlSpec extends AnyFunSuite {
     val t = GraftTable(spark, s"$dir/t")(GraftSettings.default)
     assert(t.commits().head.stats.isEmpty)
     assert(t.read().count() === 10)
+  }
+
+  test("DESCRIBE DETAIL summarizes the table in one row; bucketed layout reported") {
+    import spark.implicits._
+    val p = freshPath()
+    val t = GraftTable(spark, p)(GraftSettings.default)
+    t.append(Seq((1, "a")).toDF("id", "v"))
+    t.append(Seq((2, "b")).toDF("id", "v"))
+    val row = spark.sql(s"DESCRIBE DETAIL '$p'").collect().head
+    assert(row.getAs[String]("format") === "graft")
+    assert(row.getAs[String]("location") === p)
+    assert(row.getAs[Long]("version") === t.version)
+    assert(row.getAs[Long]("numFiles") === t.liveFiles().size.toLong)
+    assert(row.getAs[Long]("sizeInBytes") > 0L)
+    assert(!row.getAs[java.sql.Timestamp]("lastModified")
+      .before(row.getAs[java.sql.Timestamp]("createdAt")))
+    assert(row.getAs[Seq[String]]("bucketColumns") === Seq.empty[String])
+    val p2 = freshPath()
+    val t2 = GraftTable(spark, p2)(GraftSettings.default)
+    t2.setBucketSpec(Seq("id"), 4)
+    t2.append(Seq((1, "a")).toDF("id", "v"))
+    val r2 = spark.sql(s"DESCRIBE DETAIL '$p2'").collect().head
+    assert(r2.getAs[Seq[String]]("bucketColumns") === Seq("id"))
+    assert(r2.getAs[Int]("numBuckets") === 4)
+  }
+
+  test("OPTIMIZE WHERE scopes bin-packing by file stats; out-of-scope files untouched") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val p = freshPath()
+    val t = GraftTable(spark, p)(GraftSettings.default)
+    // two small files per key range: id 1-10 in scope, id 101-110 out
+    (1 to 2).foreach(_ =>
+      t.append((1 to 10).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1)))
+    (1 to 2).foreach(_ =>
+      t.append((101 to 110).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1)))
+    val outFiles = t.prunedFiles(col("id") >= 100).toSet
+    assert(outFiles.size === 2)
+    val row = spark.sql(s"OPTIMIZE '$p' WHERE id < 50").collect().head
+    assert(row.getLong(0) === 4L && row.getLong(1) === 3L)
+    // the out-of-scope files survived under their original names
+    assert(outFiles.subsetOf(t.liveFiles().toSet))
+    assert(t.read().count() === 40)
+    assert(t.commits().last.dataChange === false)
+    // an un-prunable predicate refuses instead of silently compacting ALL
+    intercept[Exception](spark.sql(s"OPTIMIZE '$p' WHERE id % 2 = 0").collect())
+    // WHERE cannot scope the global clustered rewrite
+    intercept[Exception](
+      spark.sql(s"OPTIMIZE '$p' WHERE id < 50 ZORDER BY (id)").collect())
+  }
+
+  test("CHECK constraints: ADD validates existing rows, enforced in-plan on every write, DROP lifts") {
+    import spark.implicits._
+    val p = freshPath()
+    val t = GraftTable(spark, p)(GraftSettings.default)
+    t.append(Seq((1, 10), (2, 20)).toDF("id", "qty"))
+    // a constraint existing rows violate is refused (Delta semantics)
+    intercept[Exception](
+      spark.sql(s"ALTER TABLE '$p' ADD CONSTRAINT big CHECK (qty > 15)").collect())
+    assert(t.constraints.isEmpty)
+    // a valid constraint persists and lands as a metadata commit
+    val v0 = t.version
+    spark.sql(s"ALTER TABLE '$p' ADD CONSTRAINT positive CHECK (qty > 0)").collect()
+    assert(t.constraints === Map("positive" -> "qty > 0"))
+    assert(t.version === v0 + 1 && t.commits().last.action === "constraint")
+    assert(t.commits().last.dataChange === false)
+    // a violating append fails inside the write pass; nothing lands
+    intercept[Exception](t.append(Seq((3, -1)).toDF("id", "qty")))
+    assert(t.read().count() === 2)
+    // NULL predicate result is a violation (CHECK passes only on TRUE)
+    intercept[Exception](
+      t.append(spark.sql("SELECT 3 AS id, CAST(NULL AS INT) AS qty")))
+    assert(t.read().count() === 2)
+    // passing writes flow — including through a FRESH handle (persisted)
+    GraftTable(spark, p)(GraftSettings.default).append(Seq((3, 30)).toDF("id", "qty"))
+    assert(t.read().count() === 3)
+    // DROP lifts enforcement
+    spark.sql(s"ALTER TABLE '$p' DROP CONSTRAINT positive").collect()
+    t.append(Seq((4, -4)).toDF("id", "qty"))
+    assert(t.read().count() === 4)
+    // IF EXISTS tolerates a missing name; a plain drop refuses
+    spark.sql(s"ALTER TABLE '$p' DROP CONSTRAINT IF EXISTS ghost").collect()
+    intercept[Exception](
+      spark.sql(s"ALTER TABLE '$p' DROP CONSTRAINT ghost").collect())
+    // every other ALTER TABLE shape still delegates to vanilla Spark
+    spark.sql("DROP TABLE IF EXISTS maint_alter_plain")
+    spark.sql("CREATE TABLE maint_alter_plain (id INT) USING parquet")
+    spark.sql("ALTER TABLE maint_alter_plain SET TBLPROPERTIES ('k'='v')")
+    assert(spark.sql("SHOW TBLPROPERTIES maint_alter_plain").collect()
+      .exists(r => r.getString(0) == "k" && r.getString(1) == "v"))
+    spark.sql("DROP TABLE maint_alter_plain")
   }
 
   test("FSCK REPAIR TABLE drops log references to files missing on disk") {
