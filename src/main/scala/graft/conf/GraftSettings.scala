@@ -97,7 +97,25 @@ final case class GraftSettings(
       * from the commit log for free, so this knob only costs on rewrites.
       * Off by default (one extra write per DML batch), like Delta's
       * `enableChangeDataFeed` table property. */
-    changeDataFeed: Boolean = false
+    changeDataFeed: Boolean = false,
+    /** Delete/update via DELETION VECTORS instead of file rewrites
+      * (Delta's `enableDeletionVectors`): a DML marks the doomed row
+      * POSITIONS in a per-file sidecar bitmap and commits METADATA — the
+      * parquet data files stay byte-identical. At 100 TB, deleting 0.1%
+      * of rows scattered across the corpus otherwise rewrites nearly
+      * every touched file (~the whole table's bytes through the write
+      * path); with DVs it is one scan of the affected files plus
+      * KB-sized sidecars. Reads apply the bitmaps inside the scan
+      * ([[graft.tables.GraftParquetFileFormat]]); OPTIMIZE/compaction
+      * purge them by rewriting. Off by default, like Delta. */
+    deletionVectors: Boolean = false,
+    /** DV fallback bound: when one DML would mark more than this many
+      * positions table-wide, it falls back to the classic pruned rewrite
+      * — positions transit the driver to be merged into sidecars, and an
+      * unbounded collect is how drivers die. Delta bounds DV growth the
+      * same way (rewrites past a deleted-fraction threshold); rewriting
+      * also caps read-side bitmap memory. */
+    dvMaxDeletedRows: Long = 10L * 1000 * 1000
 ) {
   def bucketFor(layer: String): String = layer match {
     case Layer.Raw     => rawBucket
@@ -154,6 +172,8 @@ object GraftSettings {
         case "barrier_mode"                      => s.copy(barrierMode = v)
         case "collect_file_stats"                => s.copy(collectFileStats = v.toBoolean)
         case "change_data_feed"                  => s.copy(changeDataFeed = v.toBoolean)
+        case "deletion_vectors"                  => s.copy(deletionVectors = v.toBoolean)
+        case "dv_max_deleted_rows"               => s.copy(dvMaxDeletedRows = v.toLong)
         case "bloom_filter_columns" =>
           s.copy(bloomFilterColumns = v.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
         case other =>

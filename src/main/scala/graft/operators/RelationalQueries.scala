@@ -892,7 +892,7 @@ object RelationalQueries {
           count(*) AS n_events, min(ts) AS session_start, max(ts) AS session_end
         FROM g GROUP BY 1, 2 ORDER BY user_id, session_id"""))
   ) ++ Seq(statsAgg, recursiveCte, windowDistinct, unpivotCharges, medallionCdc,
-    incrementalAgg, sqlMerge)
+    incrementalAgg, sqlMerge, dvDml)
 
   // ---- ANSI SQL MERGE over a graft table ----------------------------------
   // The SQL DML surface (GraftDmlRule): events seed a graft catalog table,
@@ -954,6 +954,53 @@ object RelationalQueries {
           AND c.event_type <> 'error')
       SELECT event_type, count(*) AS cnt, CAST(sum(value) AS DOUBLE) AS sum_value
       FROM merged GROUP BY event_type ORDER BY event_type"""))
+
+  // ---- deletion-vector DML ------------------------------------------------
+  // Row-level DELETE + UPDATE through deletion vectors (GraftTable with
+  // settings.deletionVectors): the error rows are marked dead and the
+  // purchase rows re-valued WITHOUT rewriting the untouched data files —
+  // the requires pin that the commits really carried DV sidecars (a
+  // silent fallback to the rewrite path would still produce the right
+  // rows and hide the feature). The DuckDB oracle replays the same DML
+  // relationally over the raw parquet; hash equality proves the bitmaps
+  // drop/revalue EXACTLY the DML'd rows across every read path the agg
+  // plan touches.
+  private lazy val dvDml: CatalogQuery = CatalogQuery(
+    "q54_dv_dml",
+    (s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q54-").toString
+      implicit val st: graft.conf.GraftSettings =
+        graft.conf.GraftSettings.local(tmp).copy(deletionVectors = true)
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value").cast("decimal(18,6)").as("value"))
+      val tb = graft.tables.GraftTable(s, s"$tmp/t")
+      tb.overwrite(ev)
+      val del = tb.delete(col("event_type") === lit("error"))
+      require(del.exists(_.dvs.exists(_.nonEmpty)),
+        "q54: DELETE did not take the deletion-vector path")
+      val upd = tb.update(col("event_type") === lit("purchase"),
+        Map("value" -> (col("value") * 2)))
+      require(upd.exists(_.dvs.exists(_.nonEmpty)),
+        "q54: UPDATE did not take the deletion-vector path")
+      val out = tb.read()
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value")).cast("double").as("sum_value"))
+        .orderBy(col("event_type"))
+        .localCheckpoint(true) // materialize, then drop the scratch lake
+      graft.lake.FsUtils.deletePath(s, s"file://$tmp")
+      out
+    },
+    Some("""WITH ev AS (
+        SELECT event_type, CAST(value AS DECIMAL(18,6)) AS value FROM events),
+      kept AS (
+        SELECT event_type,
+          CASE WHEN event_type = 'purchase'
+            THEN CAST(value * 2 AS DECIMAL(18,6)) ELSE value END AS value
+        FROM ev WHERE event_type <> 'error')
+      SELECT event_type, count(*) AS cnt, CAST(sum(value) AS DOUBLE) AS sum_value
+      FROM kept GROUP BY event_type ORDER BY event_type"""))
 
   // ---- incrementally-maintained aggregate ---------------------------------
   // Materialized-view maintenance over the change feed (IncrementalAgg):

@@ -172,12 +172,20 @@ object GraftRelation {
       asOf: Long = Long.MaxValue): HadoopFsRelation = {
     val ss = table.spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val index = new GraftFileIndex(table, asOf)
+    // a snapshot with outstanding deletion vectors scans through the
+    // DV-applying format (bitmap probes inside the reader); the common
+    // no-DV snapshot keeps vanilla parquet — columnar batches, untouched
+    // whole-stage codegen
+    val dvs = index.pinnedSnapshot.dvFor
+    val format =
+      if (dvs.isEmpty) new ParquetFileFormat
+      else new GraftParquetFileFormat(table.path, dvs)
     HadoopFsRelation(
       location = index,
       partitionSchema = new StructType(),
       dataSchema = index.dataSchema,
       bucketSpec = None,
-      fileFormat = new ParquetFileFormat,
+      fileFormat = format,
       options = Map.empty)(ss)
   }
 

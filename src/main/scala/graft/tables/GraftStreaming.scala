@@ -136,17 +136,22 @@ private[tables] final class GraftStreamSource(
   /** The initial snapshot pinned at its version: file list sorted by name
     * (a DETERMINISTIC order, so a restarted capped drain resumes at the
     * index it checkpointed) plus the log-recorded byte sizes. */
-  @volatile private var snapCache: (Long, IndexedSeq[String], Map[String, Long]) = null
-  private def pinnedSnapshot(v: Long): (IndexedSeq[String], Map[String, Long]) = {
+  @volatile private var snapCache
+    : (Long, IndexedSeq[String], Map[String, Long], Map[String, String]) = null
+  private def pinnedSnapshot(v: Long)
+      : (IndexedSeq[String], Map[String, Long], Map[String, String]) = {
     val c = snapCache
-    if (c != null && c._1 == v) return (c._2, c._3)
+    if (c != null && c._1 == v) return (c._2, c._3, c._4)
     val snap = table.snapshot(v)
     val files = snap.live.sorted.toIndexedSeq
     val sizes = snap.stats.collect { case (f, st) if st.bytes.isDefined => f -> st.bytes.get }
-    snapCache = (v, files, sizes)
-    (files, sizes)
+    snapCache = (v, files, sizes, snap.dvFor)
+    (files, sizes, snap.dvFor)
   }
   private def snapshotFilesAt(v: Long): IndexedSeq[String] = pinnedSnapshot(v)._1
+  /** DV bindings of the pinned initial snapshot: the snapshot batch must
+    * not deliver rows already deleted at the stream's first offset. */
+  private def snapshotDvsAt(v: Long): Map[String, String] = pinnedSnapshot(v)._3
 
   /** File byte sizes for `maxBytesPerTrigger`: commit-recorded sizes when
     * the log has them (zero metadata RPCs — the Delta add-file `size`
@@ -185,7 +190,7 @@ private[tables] final class GraftStreamSource(
     * from index `from`; reaching the end collapses to the plain offset. */
   private def snapshotStep(v0: Long, from: Int,
       maxF: Option[Int], maxB: Option[Long]): GraftOffset = {
-    val (files, sizes) = pinnedSnapshot(v0)
+    val (files, sizes, _) = pinnedSnapshot(v0)
     val j = from + admit(files.drop(from), sizes, maxF, maxB)
     if (j >= files.size) GraftOffset(v0) else GraftOffset(v0, j.toLong)
   }
@@ -255,7 +260,9 @@ private[tables] final class GraftStreamSource(
     table.requireLogSince(fromV, "the streaming tail")
     val range = table.commits()
       .filter(c => c.version > fromV && c.version <= toV && c.dataChange)
-    val rewrites = range.filter(_.remove.nonEmpty)
+    // a deletion-vector rebind changes rows without moving files — the
+    // same violation of the appends-only tail contract as a rewrite
+    val rewrites = range.filter(c => c.remove.nonEmpty || c.dvs.exists(_.nonEmpty))
     if (rewrites.nonEmpty && !ignoreChanges)
       throw new IllegalStateException(
         s"streaming source found rewrite commit(s) " +
@@ -304,36 +311,50 @@ private[tables] final class GraftStreamSource(
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val e = GraftOffset.parse(end)
     requireUnchangedSchema(e.version)
-    val files: Seq[String] = (start.map(GraftOffset.parse), e) match {
-      case (None, GraftOffset(v, idx)) if idx < 0 =>
-        startingVersion match {
-          // the user-facing startingVersion is INCLUSIVE (Delta convention)
-          case Some(sv) => tailFiles(sv - 1L, v)
-          // fresh uncapped stream: the snapshot at the first offset IS the
-          // first batch — history rewrites are irrelevant
-          case None => snapshotFilesAt(v)
-        }
-      case (None, GraftOffset(v, idx)) => // first capped slice of the snapshot
-        snapshotFilesAt(v).take(idx.toInt)
-      case (Some(GraftOffset(v0, i)), GraftOffset(v1, j)) if i >= 0 && j >= 0 =>
-        require(v0 == v1, s"mid-snapshot offsets disagree on the pinned version ($v0 vs $v1)")
-        snapshotFilesAt(v0).slice(i.toInt, j.toInt)
-      case (Some(GraftOffset(v0, i)), GraftOffset(v1, _)) if i >= 0 =>
-        // the batch that closes the snapshot drain (and any tail behind it)
-        snapshotFilesAt(v0).drop(i.toInt) ++ tailFiles(v0, v1)
-      case (Some(GraftOffset(v0, _)), GraftOffset(v1, j)) if j >= 0 =>
-        throw new IllegalStateException(
-          s"offset went backwards: plain $v0 to mid-snapshot $v1:$j")
-      case (Some(GraftOffset(v0, _)), GraftOffset(v1, _)) =>
-        tailFiles(v0, v1)
-    }
+    // (files to read, snapshot version whose DV bindings apply). Tail
+    // files replay their add commits verbatim — fresh files carry no DV
+    // at commit time, and a LATER DV rebind in the tailed range already
+    // failed the stream (or the user opted into ignoreChanges, whose
+    // contract is re-delivery). Snapshot batches DO apply the pinned
+    // version's bitmaps: rows deleted before the stream started must not
+    // be delivered.
+    val (files: Seq[String], dvV: Option[Long]) =
+      (start.map(GraftOffset.parse), e) match {
+        case (None, GraftOffset(v, idx)) if idx < 0 =>
+          startingVersion match {
+            // the user-facing startingVersion is INCLUSIVE (Delta convention)
+            case Some(sv) => (tailFiles(sv - 1L, v), None)
+            // fresh uncapped stream: the snapshot at the first offset IS the
+            // first batch — history rewrites are irrelevant
+            case None => (snapshotFilesAt(v), Some(v))
+          }
+        case (None, GraftOffset(v, idx)) => // first capped slice of the snapshot
+          (snapshotFilesAt(v).take(idx.toInt), Some(v))
+        case (Some(GraftOffset(v0, i)), GraftOffset(v1, j)) if i >= 0 && j >= 0 =>
+          require(v0 == v1, s"mid-snapshot offsets disagree on the pinned version ($v0 vs $v1)")
+          (snapshotFilesAt(v0).slice(i.toInt, j.toInt), Some(v0))
+        case (Some(GraftOffset(v0, i)), GraftOffset(v1, _)) if i >= 0 =>
+          // the batch that closes the snapshot drain (and any tail behind
+          // it — tail names never collide with the snapshot's dv map)
+          (snapshotFilesAt(v0).drop(i.toInt) ++ tailFiles(v0, v1), Some(v0))
+        case (Some(GraftOffset(v0, _)), GraftOffset(v1, j)) if j >= 0 =>
+          throw new IllegalStateException(
+            s"offset went backwards: plain $v0 to mid-snapshot $v1:$j")
+        case (Some(GraftOffset(v0, _)), GraftOffset(v1, _)) =>
+          (tailFiles(v0, v1), None)
+      }
     val paths = files.map(f => s"${table.path}/$f")
     val spark = table.spark
     val batch =
       if (paths.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.schema(schema).parquet(paths: _*)
+      else {
+        val raw = spark.read.schema(schema).parquet(paths: _*)
+        dvV.map(v => DeletionVectors.filterDeleted(
+          raw, spark, table.loadDvs(snapshotDvsAt(v), files)))
+          .getOrElse(raw)
+      }
     StreamBridge.asStreamingFrame(batch)
   }
 

@@ -31,7 +31,13 @@ final case class Commit(
       * `None` = not recorded (pre-CDF commit or feature off); `Some(Nil)`
       * = recorded and the batch produced no change rows. Absent in older
       * logs — json4s decodes the missing field as None. */
-    changes: Option[Seq[String]] = None)
+    changes: Option[Seq[String]] = None,
+    /** DELETION-VECTOR rebindings: data file -> sidecar under
+      * `_graft_dv/` ([[DeletionVectors]]). An entry REPLACES the file's
+      * previous binding (a second delete writes the merged sidecar); the
+      * [[DeletionVectors.Cleared]] sentinel value clears it (restore).
+      * Absent in pre-DV logs. */
+    dvs: Option[Map[String, String]] = None)
 
 /** Per-column stats of one data file, in portable string form:
   * numerics/strings/dates as their cast-to-string value, timestamps as
@@ -74,7 +80,13 @@ final case class LogCheckpoint(
     version: Long,
     live: Seq[String],
     schemaJson: Option[String],
-    stats: Map[String, FileStats])
+    stats: Map[String, FileStats],
+    /** Live files' CURRENT deletion-vector bindings (file -> sidecar).
+      * Option so pre-DV checkpoint JSONs decode (missing field = None). */
+    dvs: Option[Map[String, String]] = None) {
+  /** The DV bindings as a plain map (empty = no deletes outstanding). */
+  def dvFor: Map[String, String] = dvs.getOrElse(Map.empty)
+}
 
 /** A versioned parquet table — the engine's stand-in for the Delta tables
   * the reference writes everything to (no delta jar in this environment).
@@ -134,6 +146,105 @@ final class GraftTable private (
         val out = fs.create(metaFile, false)
         try out.write(Serialization.write(spec).getBytes("UTF-8"))
         finally out.close()
+    }
+  }
+
+  // ---------------------------------------------------------- constraints
+
+  private val constraintsFile = new Path(logDir, "_constraints.json")
+
+  /** The persisted CHECK constraints: name → SQL predicate text. */
+  def constraints: Map[String, String] = {
+    if (!fs.exists(constraintsFile)) return Map.empty
+    val in = fs.open(constraintsFile)
+    try JsonMethods.parse(in).extract[Map[String, String]]
+    finally in.close()
+  }
+
+  /** Add a persisted CHECK constraint (Delta's `ALTER TABLE ... ADD
+    * CONSTRAINT name CHECK (pred)`): validates the EXISTING table in one
+    * early-exit scan (a constraint must already hold — Delta refuses the
+    * same way), persists the predicate in the table's metadata, and from
+    * then on EVERY write path (append, upsert, update, overwrite, SQL
+    * INSERT/MERGE, the streaming sink) enforces it in-plan via
+    * [[CheckConstraintGuard]] — per-row inside the write's own codegen
+    * stage, zero extra passes. Constraint DDL is an admin operation:
+    * single-writer, like [[setBucketSpec]]. Records a `constraint`
+    * metadata commit so `DESCRIBE HISTORY` shows when rules changed. */
+  def addConstraint(name: String, predicateSql: String): Unit = {
+    require(name.matches("\\w+"), s"constraint name '$name' must be word-shaped")
+    val cur = constraints
+    require(!cur.contains(name),
+      s"constraint $name already exists: CHECK (${cur(name)})")
+    if (exists && !readRelation()
+        .filter(!coalesce(expr(predicateSql), lit(false))).isEmpty)
+      throw new IllegalStateException(
+        s"cannot add CHECK constraint $name ($predicateSql): " +
+          s"existing rows in $path violate it")
+    writeConstraints(cur + (name -> predicateSql))
+    recordConstraintCommit("add", name, predicateSql)
+  }
+
+  /** Drop a persisted CHECK constraint. */
+  def dropConstraint(name: String, ifExists: Boolean = false): Unit = {
+    val cur = constraints
+    if (!cur.contains(name)) {
+      if (ifExists) return
+      throw new IllegalArgumentException(
+        s"no constraint named $name on $path (have: ${cur.keys.mkString(", ")})")
+    }
+    writeConstraints(cur - name)
+    recordConstraintCommit("drop", name, cur(name))
+  }
+
+  private def writeConstraints(cs: Map[String, String]): Unit = {
+    if (cs.isEmpty) { fs.delete(constraintsFile, false); return }
+    fs.mkdirs(new Path(logDir))
+    val tmp = new Path(logDir, s".constraints.${UUID.randomUUID()}.tmp")
+    val out = fs.create(tmp, false)
+    try out.write(Serialization.write(cs).getBytes("UTF-8"))
+    finally out.close()
+    // delete-then-rename (Hadoop rename refuses an existing destination on
+    // some filesystems) — fine under the single-admin-writer DDL contract
+    fs.delete(constraintsFile, false)
+    if (!fs.rename(tmp, constraintsFile)) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(s"failed to publish constraints at $path")
+    }
+  }
+
+  /** Constraint DDL on an existing table lands as a metadata commit
+    * (dataChange=false, no files) — visible in history, invisible to
+    * incremental consumers. A pre-first-commit table has no log schema to
+    * stamp, so the DDL is sidecar-only until data arrives. */
+  private def recordConstraintCommit(op: String, name: String, pred: String): Unit =
+    if (exists) {
+      var attempt = 0
+      while (attempt >= 0) {
+        try {
+          nextCommit("constraint", dataChange = false, Seq.empty, Seq.empty,
+            snapshot().schemaJson.getOrElse(Serialization.write(Map.empty[String, String])),
+            Map("op" -> op, "name" -> name, "predicate" -> pred))
+          return
+        } catch {
+          case e: IllegalStateException
+              if e.getMessage.contains("concurrent commit") && attempt < 10 =>
+            attempt += 1
+            Thread.sleep(20L * attempt)
+        }
+      }
+    }
+
+  /** Wrap `df` so every persisted CHECK constraint is enforced per row
+    * inside the write pass itself. */
+  private def withConstraintGuards(df: DataFrame): DataFrame = {
+    val cs = constraints
+    if (cs.isEmpty) df
+    else cs.toSeq.sortBy(_._1).foldLeft(df) { case (d, (n, sql)) =>
+      d.filter(org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        CheckConstraintGuard(
+          org.apache.spark.sql.graftbridge.ColumnBridge.eagerExpression(expr(sql)),
+          n, sql)))
     }
   }
 
@@ -273,6 +384,7 @@ final class GraftTable private (
     live ++= base.live
     var schemaJson = base.schemaJson
     var stats = base.stats
+    var dvs = base.dvFor
     var v = base.version
     commitFiles
       .filter(p => { val pv = versionOf(p); pv > base.version && pv <= asOf })
@@ -282,9 +394,16 @@ final class GraftTable private (
         live ++= c.add
         schemaJson = Some(c.schemaJson)
         stats = stats ++ c.stats.getOrElse(Map.empty)
+        // a removed file's DV dies with it; an entry rebinds; the Cleared
+        // sentinel unbinds (restore to a pre-delete version)
+        dvs = dvs -- c.remove
+        c.dvs.getOrElse(Map.empty).foreach { case (f, dv) =>
+          dvs = if (dv == DeletionVectors.Cleared) dvs - f else dvs + (f -> dv)
+        }
         v = c.version
       }
-    LogCheckpoint(v, live.toSeq, schemaJson, stats)
+    LogCheckpoint(v, live.toSeq, schemaJson, stats,
+      if (dvs.isEmpty) None else Some(dvs))
   }
 
   /** Persist [[snapshot]] as `<version>.checkpoint.json` when the version
@@ -298,7 +417,10 @@ final class GraftTable private (
     try {
       val snap = snapshot(version)
       val liveSet = snap.live.toSet
-      val trimmed = snap.copy(stats = snap.stats.filter { case (f, _) => liveSet(f) })
+      val trimmed = snap.copy(
+        stats = snap.stats.filter { case (f, _) => liveSet(f) },
+        dvs = Some(snap.dvFor.filter { case (f, _) => liveSet(f) })
+          .filter(_.nonEmpty))
       val name = f"$version%020d.checkpoint.json"
       val tmp = new Path(logDir, s".$name.${UUID.randomUUID()}.tmp")
       val out = fs.create(tmp, false)
@@ -396,8 +518,32 @@ final class GraftTable private (
           throw new IllegalStateException(s"table does not exist: $path")
       }
     } else {
-      spark.read.option("mergeSchema", "true").parquet(files.map(f => s"$path/$f"): _*)
+      val df = spark.read.option("mergeSchema", "true")
+        .parquet(files.map(f => s"$path/$f"): _*)
+      DeletionVectors.filterDeleted(df, spark, loadDvs(snap.dvFor, files))
     }
+  }
+
+  /** Driver-side load of the DV bitmaps bound to `files` (only entries
+    * for scanned files load — O(scanned DVs), never O(table)). Used by
+    * the plan-level apply ([[DeletionVectors.filterDeleted]]); the native
+    * relation loads lazily on executors instead. */
+  private[tables] def loadDvs(bindings: Map[String, String],
+      files: Seq[String]): Map[String, Array[Long]] =
+    if (bindings.isEmpty) Map.empty
+    else files.iterator.flatMap(f =>
+      bindings.get(f).map(dv => f -> DeletionVectors.read(fs, path, dv))).toMap
+
+  /** The rows of one data file at the given parquet row positions — the
+    * positional point-read behind DV-delta change synthesis (restore
+    * resurrections). Positions broadcast (they are bitmap-sized). */
+  private def rowsAt(file: String, positions: Array[Long]): DataFrame = {
+    import spark.implicits._
+    val posDf = positions.toSeq.toDF("__p")
+    spark.read.option("mergeSchema", "true").parquet(s"$path/$file")
+      .withColumn("__i", col("_metadata.row_index"))
+      .join(broadcast(posDf), col("__i") === col("__p"), "left_semi")
+      .drop("__i")
   }
 
   /** The table as a native Spark file-source relation ([[GraftRelation]]):
@@ -551,7 +697,12 @@ final class GraftTable private (
   /** Stage `df` as parquet files inside the table dir; returns final file
     * names plus their collected stats. With a bucket spec (and the keys
     * present), rows are hash-routed and file names carry their bucket id. */
-  private def stage(df: DataFrame): (Seq[String], Map[String, FileStats]) = {
+  private def stage(rawDf: DataFrame): (Seq[String], Map[String, FileStats]) = {
+    // the single write chokepoint: EVERY path that produces table data
+    // (append, overwrite, upsert, update, optimize, SQL DML, the
+    // streaming sink) stages here, so CHECK constraints enforced at this
+    // seam can never be bypassed
+    val df = withConstraintGuards(rawDf)
     val stagingId = UUID.randomUUID().toString
     val stagingDir = s"$path/_staging-$stagingId"
     val spec = bucketSpec.filter(_.keys.forall(df.columns.contains))
@@ -592,11 +743,13 @@ final class GraftTable private (
   private def nextCommit(action: String, dataChange: Boolean, add: Seq[String],
       remove: Seq[String], schemaJson: String, metrics: Map[String, String],
       stats: Map[String, FileStats] = Map.empty,
-      changes: Option[Seq[String]] = None): Commit = {
+      changes: Option[Seq[String]] = None,
+      dvs: Map[String, String] = Map.empty): Commit = {
     val c = Commit(version + 1, action, dataChange, System.currentTimeMillis(),
       add, remove, schemaJson, metrics,
       if (stats.isEmpty) None else Some(stats),
-      changes)
+      changes,
+      if (dvs.isEmpty) None else Some(dvs))
     writeCommit(c)
     maybeWriteCheckpoint(c.version)
     c
@@ -638,8 +791,12 @@ final class GraftTable private (
       schemaJson: () => String,
       metrics: Map[String, String],
       stats: Map[String, FileStats],
-      changes: Option[Seq[String]] = None): Commit = {
-    val readSet = remove.toSet
+      changes: Option[Seq[String]] = None,
+      dvs: Map[String, String] = Map.empty): Commit = {
+    // the read set is every file whose CONTENT this txn's outputs were
+    // computed from: the files it removes AND the files it re-binds a
+    // deletion vector onto (their surviving rows were scanned too)
+    val readSet = (remove ++ dvs.keys).toSet
     onBeforeRewriteCommit()
     onBeforeRewriteCommit = () => ()
     var base = baseVersion
@@ -649,10 +806,16 @@ final class GraftTable private (
       if (now > base) {
         val interleaved = commits().filter(c => c.version > base && c.version <= now)
         interleaved.find(c =>
-          c.remove.exists(readSet) || (c.add.nonEmpty && mayOverlap(c)))
+          c.remove.exists(readSet) ||
+            // an interleaved DV rebind on a file we read changes the rows
+            // our scan saw — same severity as a rewrite of that file
+            c.dvs.getOrElse(Map.empty).keys.exists(readSet) ||
+            (c.add.nonEmpty && mayOverlap(c)))
           .foreach { c =>
             val why =
               if (c.remove.exists(readSet)) "rewrote file(s) this transaction read"
+              else if (c.dvs.getOrElse(Map.empty).keys.exists(readSet))
+                "re-bound deletion vector(s) on file(s) this transaction read"
               else "added file(s) that may hold rows in this transaction's scope"
             throw new IllegalStateException(
               s"concurrent ${c.action} commit v${c.version} conflicts with this " +
@@ -663,7 +826,8 @@ final class GraftTable private (
         try {
           val c = Commit(base + 1, action, dataChange = true,
             System.currentTimeMillis(), add, remove, schemaJson(), metrics,
-            if (stats.isEmpty) None else Some(stats), changes)
+            if (stats.isEmpty) None else Some(stats), changes,
+            if (dvs.isEmpty) None else Some(dvs))
           writeCommit(c)
           maybeWriteCheckpoint(c.version)
           return c
@@ -721,22 +885,64 @@ final class GraftTable private (
     requireLogSince(fromExclusive, "the change feed")
     val inRange = commits()
       .filter(c => c.version > fromExclusive && c.version <= toInclusive && c.dataChange)
+    // deletion vectors bend the synthesized (file-level) changes: rows
+    // already DV-dead before a commit are not deleted AGAIN by its file
+    // removals, and a restore's re-binds resurrect/kill rows with no file
+    // motion at all. All of it is position arithmetic on the bitmaps —
+    // paid only when the log has ever carried a DV.
+    val anyDvs = inRange.exists(_.dvs.nonEmpty) ||
+      commits().exists(c => c.version <= fromExclusive && c.dvs.nonEmpty)
     val frames = inRange.flatMap { c =>
-      def readFiles(names: Seq[String]): Option[DataFrame] =
+      def readFiles(names: Seq[String],
+          dvOf: String => Option[String]): Option[DataFrame] =
         if (names.isEmpty) None
-        else Some(spark.read.option("mergeSchema", "true")
-          .parquet(names.map(n => s"$path/$n"): _*))
+        else {
+          val df = spark.read.option("mergeSchema", "true")
+            .parquet(names.map(n => s"$path/$n"): _*)
+          val dvMap = names.flatMap(f => dvOf(f).map(f -> _)).toMap
+          Some(DeletionVectors.filterDeleted(df, spark, loadDvs(dvMap, names)))
+        }
+      lazy val preDvs: Map[String, String] =
+        if (anyDvs) snapshot(c.version - 1).dvFor else Map.empty
+      val cDvs = c.dvs.getOrElse(Map.empty)
       val changed: Seq[DataFrame] = c.changes match {
-        case Some(files) => readFiles(files).toSeq
+        case Some(files) => readFiles(files, _ => None).toSeq
         case None => c.action match {
           case "upsert" | "delete" | "update" | "merge" =>
             throw new IllegalStateException(
               s"version ${c.version} (${c.action}) has no recorded change data — " +
                 s"enable settings.changeDataFeed before running DML, or read snapshots")
           case _ =>
-            // append/overwrite/restore: the file-level log IS the change set
-            readFiles(c.add).map(tagged(_, "insert")).toSeq ++
-              readFiles(c.remove).map(tagged(_, "delete")).toSeq
+            // append/overwrite/restore: the file-level log IS the change
+            // set. Added files read under THIS commit's binding (a restore
+            // can re-add a file together with its historical DV); removed
+            // files under the PRE-state binding (rows already dead don't
+            // die twice).
+            val moved =
+              readFiles(c.add, f => cDvs.get(f).filter(_ != DeletionVectors.Cleared))
+                .map(tagged(_, "insert")).toSeq ++
+                readFiles(c.remove, preDvs.get).map(tagged(_, "delete")).toSeq
+            // re-binds on files that stay live (restore only): the bitmap
+            // DELTA is the change — resurrected positions are inserts,
+            // newly-dead ones deletes
+            val stayLive = cDvs.keys.toSeq
+              .filterNot(c.add.contains).filterNot(c.remove.contains)
+            val rebindChanges = stayLive.flatMap { f =>
+              val before = preDvs.get(f)
+                .map(dv => DeletionVectors.read(fs, path, dv)).getOrElse(Array.empty[Long])
+              val after = Some(cDvs(f)).filter(_ != DeletionVectors.Cleared)
+                .map(dv => DeletionVectors.read(fs, path, dv)).getOrElse(Array.empty[Long])
+              val afterSet = after.toSet
+              val beforeSet = before.toSet
+              val resurrected = before.filterNot(afterSet)
+              val killed = after.filterNot(beforeSet)
+              Seq(
+                Some(resurrected).filter(_.nonEmpty)
+                  .map(ps => tagged(rowsAt(f, ps), "insert")),
+                Some(killed).filter(_.nonEmpty)
+                  .map(ps => tagged(rowsAt(f, ps), "delete"))).flatten
+            }
+            moved ++ rebindChanges
         }
       }
       changed.map(_.withColumn("_commit_version", lit(c.version)))
@@ -979,8 +1185,10 @@ final class GraftTable private (
     // updated keys are read and rewritten — O(batch), not O(table)
     def readOf(files: Seq[String]): Option[DataFrame] =
       if (files.isEmpty) None
-      else Some(spark.read.option("mergeSchema", "true")
-        .parquet(files.map(f => s"$path/$f"): _*))
+      else Some(DeletionVectors.filterDeleted(
+        spark.read.option("mergeSchema", "true")
+          .parquet(files.map(f => s"$path/$f"): _*),
+        spark, loadDvs(snap0.dvFor, files)))
     val (oldFiles, current, touchedBuckets) = bucketSpec.filter(_.keys == keyCols) match {
       case Some(sp) =>
         val buckets = updates.select(bucketExpr(sp).as("b"))
@@ -1051,10 +1259,30 @@ final class GraftTable private (
           s"cannot restore to $asOf: files vacuumed: ${missing.take(3).mkString(", ")}")
       case _ => ()
     }
+    // deletion vectors are part of the restored state: re-bind every
+    // target-live file whose binding DIFFERS from now (the Cleared
+    // sentinel resurrects rows deleted after asOf). Sidecars are
+    // immutable and vacuum-accounted, so the same existence check
+    // applies.
+    val curDvs = snapshot().dvFor
+    val dvEntries = target.flatMap { f =>
+      val want = snap.dvFor.get(f)
+      if (want == curDvs.get(f)) None
+      else Some(f -> want.getOrElse(DeletionVectors.Cleared))
+    }.toMap
+    dvEntries.values.filter(_ != DeletionVectors.Cleared)
+      .filterNot(dv => fs.exists(new Path(path, dv))) match {
+      case missing if missing.nonEmpty =>
+        throw new IllegalStateException(
+          s"cannot restore to $asOf: deletion vector(s) vacuumed: " +
+            missing.take(3).mkString(", "))
+      case _ => ()
+    }
     nextCommit("restore", dataChange = true,
       add = target.filterNot(current.contains),
       remove = current.filterNot(target.contains),
-      schemaJson, Map("restoredVersion" -> asOf.toString))
+      schemaJson, Map("restoredVersion" -> asOf.toString),
+      dvs = dvEntries)
   }
 
   /** Adopt the parquet files ALREADY in `path` as the table's first
@@ -1113,8 +1341,15 @@ final class GraftTable private (
     val snap = snapshot() // pinned: file set AND conflict base version
     val affected = pruneLive(snap, atoms)
     if (affected.isEmpty) return None
-    val srcRaw = spark.read.option("mergeSchema", "true")
-      .parquet(affected.map(f => s"$path/$f"): _*)
+    if (settings.deletionVectors)
+      dvMark(predicate, atoms, snap, affected, assignments = None) match {
+        case Right(commit) => return commit
+        case Left(_)       => () // over the cap: fall through to the rewrite
+      }
+    val srcRaw = DeletionVectors.filterDeleted(
+      spark.read.option("mergeSchema", "true")
+        .parquet(affected.map(f => s"$path/$f"): _*),
+      spark, loadDvs(snap.dvFor, affected))
     // CDF consumes the source twice (remaining + deleted rows)
     val src = if (settings.changeDataFeed) srcRaw.localCheckpoint(true) else srcRaw
     // SQL DELETE semantics: remove rows where the predicate is TRUE; rows
@@ -1130,6 +1365,99 @@ final class GraftTable private (
       schemaJson = () => unionSchemaJson(remaining.schema),
       Map("numRewrittenFiles" -> affected.size.toString,
         "numOutputFiles" -> add.size.toString), stats, changes = changeFiles))
+  }
+
+  /** The deletion-vector DML core, shared by [[deleteImpl]] (no
+    * `assignments`) and [[updateImpl]] (update = DV-mark the old row
+    * versions + append the new ones, Delta's DV-update shape). One scan
+    * of the affected files pairs each matched row with its parquet ROW
+    * POSITION (`_metadata.row_index` — the surviving rows of an already
+    * DV'd file keep their ORIGINAL positions, so merges are exact);
+    * positions transit the driver (bounded by `settings.dvMaxDeletedRows`
+    * — `Left` past the cap tells the caller to fall back to the pruned
+    * rewrite) and land as immutable sidecars. A file whose merged DV
+    * covers EVERY row (known from its logged rowcount) is simply REMOVED
+    * — a pure metadata drop, no sidecar, no rewrite. Data files are
+    * never touched: at 100 TB a scattered 0.1% delete is one pruned scan
+    * plus KB-sized sidecars instead of rewriting nearly every touched
+    * file. */
+  private def dvMark(predicate: org.apache.spark.sql.Column,
+      atoms: Seq[PredAtom], snap: LogCheckpoint, affected: Seq[String],
+      assignments: Option[Map[String, org.apache.spark.sql.Column]])
+      : Either[Unit, Option[Commit]] = {
+    val cond = coalesce(predicate, lit(false))
+    val raw = spark.read.option("mergeSchema", "true")
+      .parquet(affected.map(f => s"$path/$f"): _*)
+    assignments.foreach(_.keys.foreach(name =>
+      require(raw.columns.contains(name), s"unknown column '$name' in update")))
+    val src = DeletionVectors.filterDeleted(raw, spark, loadDvs(snap.dvFor, affected))
+    // metadata columns must bind BEFORE materialization (a checkpointed
+    // plan is an RDD scan with no file-source metadata to resolve)
+    val matched = src
+      .withColumn("__f", col("_metadata.file_name"))
+      .withColumn("__i", col("_metadata.row_index"))
+      .filter(cond)
+      .localCheckpoint(true) // feeds position agg + CDF + update images once
+    // cap check BEFORE positions transit the driver (it exists to protect
+    // the driver); `matched` is materialized, so the extra count is cheap
+    val totalMatched = matched.count()
+    if (totalMatched == 0) return Right(None) // nothing matched: no commit
+    val dvNow = snap.dvFor
+    val priorDeleted = affected.flatMap(dvNow.get)
+      .map(dv => DeletionVectors.read(fs, path, dv).length.toLong).sum
+    if (totalMatched + priorDeleted > settings.dvMaxDeletedRows) return Left(())
+    val perFile = matched.groupBy(col("__f"))
+      .agg(sort_array(collect_list(col("__i"))).as("__ps"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1).toArray)
+    val (deadFiles, newDvs) = perFile.foldLeft(
+      (Seq.empty[String], Map.empty[String, String])) {
+      case ((dead, dvs), (f, fresh)) =>
+        val merged = dvNow.get(f) match {
+          case Some(old) => DeletionVectors.merge(DeletionVectors.read(fs, path, old), fresh)
+          case None      => fresh
+        }
+        // fully-dead file: every logged row is marked -> drop the file
+        if (snap.stats.get(f).exists(_.rows == merged.length))
+          (dead :+ f, dvs)
+        else (dead, dvs + (f -> DeletionVectors.write(fs, path, merged)))
+    }
+    val matchedRows = matched.drop("__f", "__i")
+    val (action, add, stats, changeFiles, extraMetrics) = assignments match {
+      case None =>
+        val changes =
+          if (settings.changeDataFeed) Some(stageChangeRows(tagged(matchedRows, "delete")))
+          else None
+        ("delete", Seq.empty[String], Map.empty[String, FileStats], changes,
+          Map.empty[String, String])
+      case Some(as) =>
+        // cast to the column's existing type: UPDATE SET never changes a
+        // column's type (the classic path's when/otherwise coerces the
+        // same way), and an uncast drift would poison mergeSchema reads
+        val updated = as.foldLeft(matchedRows) { case (df, (name, value)) =>
+          df.withColumn(name, value.cast(df.schema(name).dataType))
+        }
+        val changes =
+          if (settings.changeDataFeed)
+            Some(stageChangeRows(
+              tagged(matchedRows, "update_preimage")
+                .unionByName(tagged(updated, "update_postimage"),
+                  allowMissingColumns = true)))
+          else None
+        val (a, st) = stage(updated)
+        ("update", a, st, changes, Map("numOutputFiles" -> a.size.toString))
+    }
+    Right(Some(commitRewrite(action, snap.version, add, deadFiles,
+      mayOverlap = mayMatchPredicate(atoms),
+      // a DV DML never changes the schema — re-record the CURRENT log
+      // schema (re-read per attempt: an interleaved append may widen it).
+      // Staging from a parquet read would silently flip every column
+      // nullable and break catalog tables' user-specified schema check.
+      schemaJson = () => currentSchemaJson.getOrElse(unionSchemaJson(raw.schema)),
+      Map("numDeletedRows" -> totalMatched.toString,
+        "numDeletionVectors" -> newDvs.size.toString,
+        "numRemovedFiles" -> deadFiles.size.toString) ++ extraMetrics,
+      stats, changes = changeFiles, dvs = newDvs)))
   }
 
   /** Replace the files of the snapshot at `baseVersion` with `merged` as
@@ -1176,9 +1504,16 @@ final class GraftTable private (
     val snap = snapshot() // pinned: file set AND conflict base version
     val affected = pruneLive(snap, atoms)
     if (affected.isEmpty) return None
+    if (settings.deletionVectors)
+      dvMark(predicate, atoms, snap, affected, Some(assignments)) match {
+        case Right(commit) => return commit
+        case Left(_)       => () // over the cap: fall through to the rewrite
+      }
     val cond = coalesce(predicate, lit(false))
-    val srcRaw = spark.read.option("mergeSchema", "true")
-      .parquet(affected.map(f => s"$path/$f"): _*)
+    val srcRaw = DeletionVectors.filterDeleted(
+      spark.read.option("mergeSchema", "true")
+        .parquet(affected.map(f => s"$path/$f"): _*),
+      spark, loadDvs(snap.dvFor, affected))
     // CDF consumes the source three times (rewrite + pre/postimage)
     val src = if (settings.changeDataFeed) srcRaw.localCheckpoint(true) else srcRaw
     val updated = assignments.foldLeft(src) { case (df, (name, value)) =>
@@ -1280,16 +1615,44 @@ final class GraftTable private (
     * a whole-table property). `dataChange=false` either way, so
     * incremental consumers skip it. On a bucketed table the bin-packed
     * rows re-route through the bucket writer, preserving the layout. */
-  def optimize(zorderBy: Seq[String] = Seq.empty): Option[Commit] = {
-    if (zorderBy.nonEmpty) return compactClusteredIfNeeded(zorderBy, maxFiles = 1)
+  def optimize(zorderBy: Seq[String] = Seq.empty,
+      where: Option[org.apache.spark.sql.Column] = None): Option[Commit] = {
+    if (zorderBy.nonEmpty) {
+      require(where.isEmpty,
+        "ZORDER BY re-clusters the WHOLE table (clustering is a global " +
+          "property) — WHERE cannot scope it; run the scoped bin-pack and " +
+          "the clustered rewrite as separate statements")
+      return compactClusteredIfNeeded(zorderBy, maxFiles = 1)
+    }
+    optimizeScoped(
+      where.map(org.apache.spark.sql.graftbridge.ColumnBridge.conjuncts)
+        .getOrElse(Seq.empty))
+  }
+
+  /** The bin-packing core, scoped by pre-extracted predicate atoms (the
+    * SQL `OPTIMIZE ... WHERE` entry): only small files whose stats MAY
+    * match every atom are packed. The over-approximation is sound —
+    * compaction preserves rows exactly, so packing a file the predicate
+    * would not have selected costs a rewrite, never correctness. Delta's
+    * WHERE selects partitions exactly; file stats are our partition
+    * analogue. Empty `atoms` = whole table. */
+  private[tables] def optimizeScoped(atoms: Seq[PredAtom]): Option[Commit] = {
     val snap = snapshot()
-    if (snap.live.size <= 1) return None
+    if (snap.live.size <= 1 && snap.dvFor.isEmpty) return None
+    val inScope: String => Boolean =
+      if (atoms.isEmpty) _ => true else pruneLive(snap, atoms).toSet
     val logged = snap.stats
     def sizeOf(f: String): Long =
       logged.get(f).flatMap(_.bytes)
         .getOrElse(fs.getFileStatus(new Path(path, f)).getLen)
-    val small = snap.live.filter(sizeOf(_) < settings.compactTargetBytes)
-    if (small.size <= 1) return None
+    // DV PURGE rides along (Delta's OPTIMIZE does the same): any in-scope
+    // file carrying a deletion vector is a rewrite candidate regardless of
+    // size — rewriting it materializes the surviving rows and drops the
+    // bitmap, restoring the vectorized read path for that data
+    val dvNow = snap.dvFor
+    val small = snap.live.filter(f => inScope(f) &&
+      (dvNow.contains(f) || sizeOf(f) < settings.compactTargetBytes))
+    if (small.size <= 1 && !small.exists(dvNow.contains)) return None
     val totalBytes = small.map(sizeOf).sum
     val target = math.max(1, math.ceil(totalBytes.toDouble / settings.compactTargetBytes).toInt)
     // read the small files under the LOG schema: a pre-evolution file's
@@ -1297,8 +1660,10 @@ final class GraftTable private (
     // full current schema
     val schema = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson.get)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
-    val df = spark.read.schema(schema)
-      .parquet(small.map(f => s"$path/$f"): _*)
+    val df = DeletionVectors.filterDeleted(
+      spark.read.schema(schema)
+        .parquet(small.map(f => s"$path/$f"): _*),
+      spark, loadDvs(dvNow, small))
       .repartition(target)
     val (add, stats) = stage(df)
     Some(nextCommit("compact", dataChange = false, add, small,
@@ -1319,7 +1684,17 @@ final class GraftTable private (
   def writeManifest(): Seq[String] = {
     val manifestDir = new Path(path, "_symlink_format_manifest")
     fs.mkdirs(manifestDir)
-    val live = liveFiles().map(f => fs.makeQualified(new Path(path, f)).toString)
+    val snap = snapshot()
+    // a manifest reader scans raw parquet and cannot apply bitmaps — a
+    // manifest over DV-bearing files would serve DELETED rows to every
+    // external engine. Delta's manifest generation refuses the same way;
+    // OPTIMIZE purges the DVs and re-enables it.
+    if (snap.dvFor.nonEmpty)
+      throw new IllegalStateException(
+        s"cannot write a symlink manifest for $path: ${snap.dvFor.size} live " +
+          "file(s) carry deletion vectors external readers cannot apply — " +
+          "run optimize() to purge them first")
+    val live = snap.live.map(f => fs.makeQualified(new Path(path, f)).toString)
     val tmp = new Path(manifestDir, s".manifest.${UUID.randomUUID()}.tmp")
     val out = fs.create(tmp, false)
     try out.write(live.map(_ + "\n").mkString.getBytes("UTF-8"))
@@ -1331,6 +1706,33 @@ final class GraftTable private (
       throw new IllegalStateException(s"failed to publish manifest at $dst")
     }
     live
+  }
+
+  /** One-row table summary — the graft twin of Delta's `DESCRIBE DETAIL`.
+    * Metadata-plane: everything comes from the commit log (file bytes from
+    * per-file stats; only pre-stats files pay one shared directory
+    * listing). `createdAt` is the oldest RETAINED commit — after a
+    * `vacuumLog` trim it reflects the log horizon, like Delta's after log
+    * retention. */
+  def detail(): DataFrame = {
+    import spark.implicits._
+    val cs = commits()
+    require(cs.nonEmpty, s"table does not exist: $path")
+    val snap = snapshot()
+    lazy val listed: Map[String, Long] =
+      FsUtils.dataFiles(spark, path).map(st => st.getPath.getName -> st.getLen).toMap
+    val bytes = snap.live.map(f =>
+      snap.stats.get(f).flatMap(_.bytes).orElse(listed.get(f)).getOrElse(0L)).sum
+    val spec = bucketSpec
+    Seq((
+      "graft", path,
+      new java.sql.Timestamp(cs.head.timestampMs),
+      new java.sql.Timestamp(cs.last.timestampMs),
+      snap.version, snap.live.size.toLong, bytes,
+      spec.map(_.keys).getOrElse(Seq.empty[String]),
+      spec.map(_.numBuckets).getOrElse(0)))
+      .toDF("format", "location", "createdAt", "lastModified", "version",
+        "numFiles", "sizeInBytes", "bucketColumns", "numBuckets")
   }
 
   /** History as a DataFrame (reference reads `DESCRIBE HISTORY` +
@@ -1348,7 +1750,8 @@ final class GraftTable private (
   /** GC files removed from the live set longer than `retentionHours` ago
     * (reference vacuums 768h every 25 versions, `cdc.py:264-269`).
     * Returns deleted file names. */
-  def vacuum(retentionHours: Double = settings.vacuumRetentionHours): Seq[String] = {
+  def vacuum(retentionHours: Double = settings.vacuumRetentionHours,
+      dryRun: Boolean = false): Seq[String] = {
     val cutoff = System.currentTimeMillis() - (retentionHours * 3600 * 1000).toLong
     val live = liveFiles().toSet
     // a file is GC-able when some commit removed it, it is not live now,
@@ -1366,8 +1769,27 @@ final class GraftTable private (
       .filter(_.timestampMs < cutoff)
       .flatMap(_.changes.getOrElse(Seq.empty))
       .distinct
-    val all = removable ++ agedChanges
-    all.foreach(f => fs.delete(new Path(path, f), false))
+    // DV sidecars age out when SUPERSEDED (their file re-bound, cleared,
+    // or removed) — clocked by the SUPERSEDING commit, exactly like
+    // removed data files. A restore can re-bind an old sidecar, so the
+    // current bindings always win over a recorded supersession.
+    val liveDvs = snapshot().dvFor.values.toSet
+    val bound = scala.collection.mutable.Map.empty[String, String]
+    val superseded = scala.collection.mutable.Map.empty[String, Long]
+    commits().foreach { c =>
+      c.remove.foreach(f =>
+        bound.remove(f).foreach(dv => superseded(dv) = c.timestampMs))
+      c.dvs.getOrElse(Map.empty).foreach { case (f, dv) =>
+        bound.remove(f).foreach(old => if (old != dv) superseded(old) = c.timestampMs)
+        if (dv != DeletionVectors.Cleared) bound(f) = dv
+      }
+    }
+    val agedDvs = superseded.collect {
+      case (dv, t) if t < cutoff && !liveDvs(dv) => dv
+    }.toSeq
+    val all = removable ++ agedChanges ++ agedDvs
+    // Delta's VACUUM DRY RUN: report what WOULD be deleted, touch nothing
+    if (!dryRun) all.foreach(f => fs.delete(new Path(path, f), false))
     all
   }
 
@@ -1404,14 +1826,19 @@ final class GraftTable private (
     val horizon = ckptV - retainVersions
     val doomed = commitFiles.filter(versionOf(_) < horizon)
     if (doomed.isEmpty) return Seq.empty
-    val live = liveFiles().toSet
+    val snapNow = snapshot()
+    val live = snapNow.live.toSet
     val parsed = doomed.map(parseCommit)
-    val stranded = parsed.flatMap(_.remove).distinct
-      .filterNot(live)
+    val liveDvs = snapNow.dvFor.values.toSet
+    val stranded = (parsed.flatMap(_.remove).distinct.filterNot(live) ++
+      // superseded DV sidecars referenced only by pre-horizon commits are
+      // equally log-discoverable-only — trimming first would leak them
+      parsed.flatMap(_.dvs.getOrElse(Map.empty).values).distinct
+        .filter(_ != DeletionVectors.Cleared).filterNot(liveDvs))
       .filter(f => fs.exists(new Path(path, f)))
     if (stranded.nonEmpty)
       throw new IllegalStateException(
-        s"cannot trim the log of $path: ${stranded.size} data file(s) removed " +
+        s"cannot trim the log of $path: ${stranded.size} file(s) referenced only " +
           s"by pre-horizon commits still exist (e.g. ${stranded.take(3).mkString(", ")}) " +
           "and would be orphaned forever — run vacuum() past its retention first")
     // CDF below the horizon dies with its commits: the names recorded in
