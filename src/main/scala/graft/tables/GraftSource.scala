@@ -116,6 +116,9 @@ final class GraftSource extends RelationProvider
   // ---- streaming: readStream/writeStream format("graft") ------------------
   // (see GraftStreamSource / GraftStreamSink for the semantics)
 
+  private def wantsCdf(parameters: Map[String, String]): Boolean =
+    opt(parameters, "readChangeFeed").exists(_.toBoolean)
+
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
@@ -128,7 +131,9 @@ final class GraftSource extends RelationProvider
     implicit val settings: graft.conf.GraftSettings =
       graft.conf.GraftSettings.default
     val table = GraftTable(sqlContext.sparkSession, pathOf(parameters))
-    (shortName(), GraftStreamSource.schemaOf(table))
+    val base = GraftStreamSource.schemaOf(table)
+    (shortName(),
+      if (wantsCdf(parameters)) GraftCdfStreamSource.cdfSchema(base) else base)
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
@@ -136,8 +141,9 @@ final class GraftSource extends RelationProvider
       parameters: Map[String, String]): Source = {
     implicit val settings: graft.conf.GraftSettings =
       graft.conf.GraftSettings.default
-    new GraftStreamSource(
-      GraftTable(sqlContext.sparkSession, pathOf(parameters)), parameters)
+    val table = GraftTable(sqlContext.sparkSession, pathOf(parameters))
+    if (wantsCdf(parameters)) new GraftCdfStreamSource(table, parameters)
+    else new GraftStreamSource(table, parameters)
   }
 
   override def createSink(sqlContext: SQLContext,

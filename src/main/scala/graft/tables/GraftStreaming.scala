@@ -277,20 +277,7 @@ private[tables] final class GraftStreamSource(
     * the pinned one, missing columns as NULL — Delta's contract). */
   private val pinVersion: Long = table.version
 
-  /** Structural shape modulo nullability/metadata: compaction's
-    * union-schema commits legitimately widen nullability (a mergeSchema
-    * read makes everything nullable), and reading with the pinned
-    * nullability stays sound — only a FIELD/TYPE change loses data. */
-  private def shapeOf(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType = {
-    import org.apache.spark.sql.types._
-    dt match {
-      case s: StructType =>
-        StructType(s.fields.map(f => StructField(f.name, shapeOf(f.dataType))))
-      case a: ArrayType => ArrayType(shapeOf(a.elementType))
-      case m: MapType   => MapType(shapeOf(m.keyType), shapeOf(m.valueType))
-      case other        => other
-    }
-  }
+  private def shapeOf(dt: DataType): DataType = GraftCdfStreamSource.shapeOf(dt)
 
   /** Fail the query loudly when the log schema EVOLVED PAST the pinned
     * one mid-stream — Delta's streaming source does the same, so the
@@ -366,6 +353,189 @@ private[tables] object GraftStreamSource {
     val sj = table.currentSchemaJson.getOrElse(throw new IllegalStateException(
       s"cannot stream from a table that does not exist yet: ${table.path}"))
     DataType.fromJson(sj).asInstanceOf[StructType]
+  }
+}
+
+/** `readStream.format("graft").option("readChangeFeed", "true")` — tail
+  * the table's CHANGE FEED as a micro-batch stream (Delta's streaming
+  * CDF read): each batch is `readChanges` over a commit range, rows +
+  * `_change_type` + `_commit_version`. Unlike the plain source, REWRITE
+  * commits are the point — a downstream consumer applies the
+  * insert/update/delete images incrementally instead of diffing
+  * snapshots.
+  *
+  * Offsets are plain log versions. A fresh stream POSITIONS at the
+  * current version (changes start flowing from the NEXT commit — the
+  * Delta default) or replays from `startingVersion` (inclusive).
+  * `getBatch(None, v)` is the positioning batch: EMPTY for a fresh tail,
+  * the `[startingVersion, v]` replay otherwise — both deterministic
+  * under crash-replay with a new source instance, because everything is
+  * derived from the offset and the option, never from instance state.
+  *
+  * Admission control (`maxFilesPerTrigger` / `maxBytesPerTrigger`): a
+  * commit's admission weight is the number (bytes) of files its batch
+  * must READ — recorded change files for DML commits, added+removed
+  * files for synthesized appends/overwrites/restores — and at least one
+  * dataChange commit always advances. The schema is pinned at stream
+  * start; change frames conform to it by null-filling (historical
+  * change files legitimately carry older schemas), and an evolution
+  * past the pinned shape fails loudly, like the plain source. */
+private[tables] final class GraftCdfStreamSource(
+    table: GraftTable,
+    options: Map[String, String])(implicit settings: GraftSettings)
+  extends Source with SupportsAdmissionControl with SupportsTriggerAvailableNow {
+
+  private val opts = options.map { case (k, v) => k.toLowerCase -> v }
+  private val startingVersion = opts.get("startingversion").map(_.toLong)
+  private val maxFilesOpt = opts.get("maxfilespertrigger").map(_.toInt)
+  private val maxBytesOpt = opts.get("maxbytespertrigger").map(_.toLong)
+  require(maxFilesOpt.forall(_ > 0), "maxFilesPerTrigger must be positive")
+  require(maxBytesOpt.forall(_ > 0), "maxBytesPerTrigger must be positive")
+
+  private val tableSchema: StructType = GraftStreamSource.schemaOf(table)
+  override val schema: StructType = GraftCdfStreamSource.cdfSchema(tableSchema)
+  private val pinVersion: Long = table.version
+
+  override def getDefaultReadLimit: ReadLimit = (maxFilesOpt, maxBytesOpt) match {
+    case (Some(f), Some(b)) =>
+      ReadLimit.compositeLimit(Array(ReadLimit.maxFiles(f), ReadLimit.maxBytes(b)))
+    case (Some(f), None) => ReadLimit.maxFiles(f)
+    case (None, Some(b)) => ReadLimit.maxBytes(b)
+    case _               => ReadLimit.allAvailable()
+  }
+
+  private def capsOf(limit: ReadLimit): (Option[Int], Option[Long]) = limit match {
+    case _: ReadAllAvailable => (None, None)
+    case f: ReadMaxFiles     => (Some(f.maxFiles), None)
+    case b: ReadMaxBytes     => (None, Some(b.maxBytes))
+    case c: CompositeReadLimit =>
+      c.getReadLimits.map(capsOf).reduce((a, b) =>
+        (a._1.orElse(b._1), a._2.orElse(b._2)))
+    case _ => (maxFilesOpt, maxBytesOpt)
+  }
+
+  @volatile private var availableNowCapV: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCapV = Some(table.version)
+
+  /** A commit's admission weight: the files this source must READ to
+    * serve it. Byte sizes come from logged stats when present. */
+  private def weight(c: Commit): (Int, Long) = {
+    val names = c.changes.getOrElse(c.add ++ c.remove)
+    val bytes = names.map(f =>
+      c.stats.flatMap(_.get(f)).flatMap(_.bytes).getOrElse(0L)).sum
+    (names.size, bytes)
+  }
+
+  private def cappedTail(fromV: Long, head: Long,
+      maxF: Option[Int], maxB: Option[Long]): GraftOffset = {
+    if (maxF.isEmpty && maxB.isEmpty) return GraftOffset(head)
+    val cs = table.commits().filter(c => c.version > fromV && c.version <= head)
+    var w = fromV
+    var files = 0
+    var bytes = 0L
+    var dataCommits = 0
+    for (c <- cs) {
+      if (!c.dataChange) w = c.version
+      else {
+        val (wf, wb) = weight(c)
+        val fits = dataCommits == 0 ||
+          (files + wf <= maxF.getOrElse(Int.MaxValue) && maxB.forall(bytes < _))
+        if (!fits) return GraftOffset(w)
+        files += wf; bytes += wb; dataCommits += 1
+        w = c.version
+      }
+    }
+    GraftOffset(if (cs.isEmpty) head else w)
+  }
+
+  override def latestOffset(startOffset: streaming.Offset, limit: ReadLimit): streaming.Offset = {
+    val (maxF, maxB) = capsOf(limit)
+    val head = availableNowCapV.fold(table.version)(math.min(_, table.version))
+    Option(startOffset).map(GraftOffset.parse) match {
+      case None =>
+        if (head == 0L || startingVersion.exists(head < _)) null
+        // position at sv-1 so the replay flows through CAPPED batches
+        // (the positioning batch itself is empty); a fresh tail pins at
+        // head — changes start with the next commit, Delta's default
+        else GraftOffset(startingVersion.map(_ - 1L).getOrElse(head))
+      case Some(cur) =>
+        if (head <= cur.version) cur
+        else cappedTail(cur.version, head, maxF, maxB)
+    }
+  }
+
+  override def getOffset: Option[Offset] =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead of getOffset")
+
+  /** Fail loudly when the log schema evolved past the pinned one —
+    * restarting picks up the widened CDF schema (Delta semantics). */
+  private def requireUnchangedSchema(endV: Long): Unit =
+    if (endV > pinVersion)
+      table.snapshot(endV).schemaJson
+        .map(DataType.fromJson(_).asInstanceOf[StructType])
+        .filter(s => GraftCdfStreamSource.shapeOf(s) !=
+          GraftCdfStreamSource.shapeOf(tableSchema))
+        .foreach { evolved =>
+          throw new IllegalStateException(
+            s"the schema of ${table.path} changed during the CDF stream " +
+              s"(pinned: ${tableSchema.simpleString}; log at v$endV: " +
+              s"${evolved.simpleString}) — restart the query to pick it up")
+        }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val e = GraftOffset.parse(end).version
+    requireUnchangedSchema(e)
+    val spark = table.spark
+    val from: Option[Long] = start.map(GraftOffset.parse(_).version) match {
+      case Some(v) => Some(v)
+      // positioning batch: empty for a fresh tail, the inclusive replay
+      // for startingVersion — derived from the OFFSET, so a restarted
+      // instance rebuilds the identical batch
+      case None => startingVersion.map(_ - 1L).filter(_ < e)
+    }
+    val batch = from match {
+      case None =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      case Some(f) =>
+        import org.apache.spark.sql.functions.{col, lit}
+        val changes = table.readChanges(f, e)
+        // conform to the pinned CDF schema: historical change files may
+        // lack later columns (null-fill); extras are projected away
+        changes.select(schema.fields.map { fld =>
+          if (changes.columns.contains(fld.name)) col(fld.name).cast(fld.dataType)
+          else lit(null).cast(fld.dataType).as(fld.name)
+        }.toSeq: _*)
+    }
+    StreamBridge.asStreamingFrame(batch)
+  }
+
+  override def stop(): Unit = ()
+}
+
+private[tables] object GraftCdfStreamSource {
+  def cdfSchema(tableSchema: StructType): StructType =
+    StructType(tableSchema.fields ++ Seq(
+      org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType, nullable = true),
+      org.apache.spark.sql.types.StructField("_commit_version",
+        org.apache.spark.sql.types.LongType, nullable = true)))
+
+  /** Structural shape modulo nullability/metadata: compaction's
+    * union-schema commits legitimately widen nullability (a mergeSchema
+    * read makes everything nullable), and reading with the pinned
+    * nullability stays sound — only a FIELD/TYPE change loses data. */
+  private[tables] def shapeOf(dt: DataType): DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case s: StructType =>
+        StructType(s.fields.map(f => StructField(f.name, shapeOf(f.dataType))))
+      case a: ArrayType => ArrayType(shapeOf(a.elementType))
+      case m: MapType   => MapType(shapeOf(m.keyType), shapeOf(m.valueType))
+      case other        => other
+    }
   }
 }
 

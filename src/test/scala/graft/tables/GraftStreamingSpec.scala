@@ -213,4 +213,68 @@ class GraftStreamingSpec extends SparkSpecBase {
     drain(s"$root/src", s"$root/dst", s"$root/ckpt")
     assert(GraftTable(spark, s"$root/dst").read().count() == 6)
   }
+
+  // ---- streaming CDF read (readChangeFeed) --------------------------------
+
+  private def drainCdf(src: String, out: String, ckpt: String,
+      extra: Map[String, String] = Map.empty): Unit = {
+    val q = spark.readStream.format("graft")
+      .option("readChangeFeed", "true").options(extra).load(src)
+      .writeStream.format("parquet")
+      .option("checkpointLocation", ckpt)
+      .option("path", out)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    if (q.exception.isDefined) throw q.exception.get
+  }
+
+  test("CDF stream: fresh tail delivers only post-start changes, rewrites included") {
+    val root = tmp()
+    implicit val st: GraftSettings = GraftSettings.local(root).copy(changeDataFeed = true)
+    val src = GraftTable(spark, s"$root/src")
+    src.overwrite((1L to 10L).map(i => (i, s"k$i")).toDF("id", "k")) // pre-start
+    drainCdf(s"$root/src", s"$root/out", s"$root/ckpt") // positions at head
+    // nothing delivered yet (Delta default: changes start after stream start)
+    assert(!new java.io.File(s"$root/out").exists() ||
+      spark.read.parquet(s"$root/out").isEmpty)
+    src.delete(col("id") <= 3) // v2: a REWRITE — the CDF stream's bread
+    src.append(Seq((11L, "k11")).toDF("id", "k")) // v3
+    drainCdf(s"$root/src", s"$root/out", s"$root/ckpt")
+    val got = spark.read.parquet(s"$root/out")
+    assert(got.filter(col("_change_type") === "delete")
+      .select("id").as[Long].collect().toSet === Set(1L, 2L, 3L))
+    assert(got.filter(col("_change_type") === "insert")
+      .select("id").as[Long].collect().toSet === Set(11L))
+    assert(got.select("_commit_version").as[Long].collect().toSet === Set(2L, 3L))
+  }
+
+  test("CDF stream: startingVersion replays history; caps bound each batch") {
+    val root = tmp()
+    implicit val st: GraftSettings = GraftSettings.local(root).copy(changeDataFeed = true)
+    val src = GraftTable(spark, s"$root/src")
+    (1L to 6L).foreach(i => src.append(Seq((i, s"k$i")).toDF("id", "k").coalesce(1)))
+    drainCdf(s"$root/src", s"$root/out", s"$root/ckpt",
+      Map("startingVersion" -> "1", "maxFilesPerTrigger" -> "2"))
+    val got = spark.read.parquet(s"$root/out")
+    assert(got.select("id").as[Long].collect().sorted.toSeq === (1L to 6L))
+    assert(got.select("_change_type").distinct().as[String].collect().toSeq === Seq("insert"))
+    // capped: >= 3 micro-batches committed to the sink (2 commits each)
+    val batches = new java.io.File(s"$root/ckpt/offsets").listFiles().length
+    assert(batches >= 3, s"expected >=3 capped batches, got $batches")
+  }
+
+  test("CDF stream fails loudly on a DML commit recorded without change data") {
+    val root = tmp()
+    // changeDataFeed OFF: the delete records no change rows
+    implicit val st: GraftSettings = GraftSettings.local(root)
+    val src = GraftTable(spark, s"$root/src")
+    src.overwrite((1L to 5L).map(i => (i, s"k$i")).toDF("id", "k"))
+    drainCdf(s"$root/src", s"$root/out", s"$root/ckpt")
+    src.delete(col("id") === 1L)
+    val e = intercept[Exception](drainCdf(s"$root/src", s"$root/out", s"$root/ckpt"))
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("no recorded change data")))
+  }
 }
