@@ -892,7 +892,7 @@ object RelationalQueries {
           count(*) AS n_events, min(ts) AS session_start, max(ts) AS session_end
         FROM g GROUP BY 1, 2 ORDER BY user_id, session_id"""))
   ) ++ Seq(statsAgg, recursiveCte, windowDistinct, unpivotCharges, medallionCdc,
-    incrementalAgg, sqlMerge, dvDml)
+    incrementalAgg, sqlMerge, dvDml, columnMapping)
 
   // ---- ANSI SQL MERGE over a graft table ----------------------------------
   // The SQL DML surface (GraftDmlRule): events seed a graft catalog table,
@@ -1001,6 +1001,55 @@ object RelationalQueries {
         FROM ev WHERE event_type <> 'error')
       SELECT event_type, count(*) AS cnt, CAST(sum(value) AS DOUBLE) AS sum_value
       FROM kept GROUP BY event_type ORDER BY event_type"""))
+
+  // ---- column mapping -----------------------------------------------------
+  // RENAME COLUMN as a metadata-only commit (zero files touched — the
+  // require pins it), then DML under the NEW logical name, a post-rename
+  // append (staged under the ORIGINAL physical name so both generations
+  // share one scan), and a DROP. The DuckDB oracle replays the same ops
+  // relationally over the raw parquet; hash equality proves the
+  // logical->physical mapping binds every read and write path exactly.
+  private lazy val columnMapping: CatalogQuery = CatalogQuery(
+    "q55_column_mapping",
+    (s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q55-").toString
+      implicit val st: graft.conf.GraftSettings = graft.conf.GraftSettings.local(tmp)
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value").cast("decimal(18,6)").as("value"))
+      val tb = graft.tables.GraftTable(s, s"$tmp/t")
+      tb.overwrite(ev)
+      val files0 = tb.liveFiles().toSet
+      tb.renameColumn("event_type", "etype")
+      require(tb.liveFiles().toSet == files0 && !tb.commits().last.dataChange,
+        "q55: rename must be a metadata-only commit")
+      // DML binds the NEW logical name against OLD physical files
+      tb.delete(col("etype") === lit("error"))
+      // a post-rename append writes under the original PHYSICAL name
+      tb.append(tb.read().filter(col("etype") === lit("view")))
+      // dropping an unrelated column is metadata-only and invisible below
+      tb.dropColumn("user_id")
+      require(tb.read().columns.sameElements(Array("event_id", "etype", "value")),
+        "q55: dropped column still visible")
+      val out = tb.read()
+        .groupBy(col("etype"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value")).cast("double").as("sum_value"))
+        .orderBy(col("etype"))
+        .localCheckpoint(true) // materialize, then drop the scratch lake
+      graft.lake.FsUtils.deletePath(s, s"file://$tmp")
+      out
+    },
+    Some("""WITH ev AS (
+        SELECT event_type AS etype, CAST(value AS DECIMAL(18,6)) AS value
+        FROM events),
+      kept AS (SELECT * FROM ev WHERE etype <> 'error'),
+      doubled AS (
+        SELECT * FROM kept
+        UNION ALL
+        SELECT * FROM kept WHERE etype = 'view')
+      SELECT etype, count(*) AS cnt, CAST(sum(value) AS DOUBLE) AS sum_value
+      FROM doubled GROUP BY etype ORDER BY etype"""))
 
   // ---- incrementally-maintained aggregate ---------------------------------
   // Materialized-view maintenance over the change feed (IncrementalAgg):

@@ -194,16 +194,28 @@ private[tables] final class SerializableHadoopConf(
   * restores the vectorized path. */
 private[tables] final class GraftParquetFileFormat(
     val tablePath: String,
-    val dvPaths: Map[String, String]) extends ParquetFileFormat {
+    val dvPaths: Map[String, String],
+    /** logical -> physical column renames ([[ColumnMapping]]); the rows a
+      * parquet reader returns are POSITIONAL, so asking for the physical
+      * names is the entire read-side implementation of column mapping. */
+    val nameMap: Map[String, String] = Map.empty) extends ParquetFileFormat {
 
-  require(dvPaths.nonEmpty,
-    "GraftParquetFileFormat is only for DV-bearing snapshots — use ParquetFileFormat")
+  require(dvPaths.nonEmpty || nameMap.nonEmpty,
+    "GraftParquetFileFormat is only for DV-bearing or column-mapped " +
+      "snapshots — use ParquetFileFormat")
 
   // rows must arrive one-by-one so the bitmap filter can drop them;
   // ParquetFileFormat still uses the vectorized reader underneath and
-  // hands rows off the ColumnarBatch
+  // hands rows off the ColumnarBatch. Mapping alone keeps columnar
+  // batches — only names change, not row flow.
   override def supportBatch(sparkSession: SparkSession,
-      schema: StructType): Boolean = false
+      schema: StructType): Boolean =
+    if (dvPaths.nonEmpty) false else super.supportBatch(sparkSession, schema)
+
+  private def toPhysical(s: StructType): StructType =
+    if (nameMap.isEmpty) s
+    else StructType(s.fields.map(f =>
+      f.copy(name = nameMap.getOrElse(f.name, f.name))))
 
   override def buildReaderWithPartitionValues(
       sparkSession: SparkSession,
@@ -213,18 +225,28 @@ private[tables] final class GraftParquetFileFormat(
       filters: Seq[Filter],
       options: Map[String, String],
       hadoopConf: Configuration): PartitionedFile => Iterator[InternalRow] = {
+    // column mapping: ask parquet for the PHYSICAL names (and push filters
+    // under them); the returned rows are positional, nothing to undo
+    val physData = toPhysical(dataSchema)
+    val physRequired = toPhysical(requiredSchema)
+    val physFilters =
+      if (nameMap.isEmpty) filters
+      else filters.flatMap(ColumnMapping.mapFilter(nameMap, _))
+    if (dvPaths.isEmpty)
+      return super.buildReaderWithPartitionValues(sparkSession, physData,
+        partitionSchema, physRequired, physFilters, options, hadoopConf)
     val rowIdxName = ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME
-    val haveIdx = requiredSchema.fieldNames.contains(rowIdxName)
+    val haveIdx = physRequired.fieldNames.contains(rowIdxName)
     // NULLABLE is load-bearing: the column is absent from every data file,
     // and the vectorized reader THROWS on a missing required column before
     // the row-index generator ever sees it — a missing nullable one is
     // routed through isRowIndexColumn and populated with real row indexes
     val schemaWithIdx =
-      if (haveIdx) requiredSchema
-      else StructType(requiredSchema.fields :+
+      if (haveIdx) physRequired
+      else StructType(physRequired.fields :+
         StructField(rowIdxName, LongType, nullable = true))
-    val base = super.buildReaderWithPartitionValues(sparkSession, dataSchema,
-      partitionSchema, schemaWithIdx, filters, options, hadoopConf)
+    val base = super.buildReaderWithPartitionValues(sparkSession, physData,
+      partitionSchema, schemaWithIdx, physFilters, options, hadoopConf)
     val idxOrdinal = schemaWithIdx.fieldNames.indexOf(rowIdxName)
     // the reader runs on executors: ship the conf once per executor, and
     // capture only immutable locals (never `this`)
@@ -261,13 +283,14 @@ private[tables] final class GraftParquetFileFormat(
   }
 
   // relation equality feeds plan caching/exchange reuse: two snapshots
-  // with different DV bindings must never be deduplicated into one scan
+  // with different DV bindings or mappings must never dedupe into one scan
   override def equals(other: Any): Boolean = other match {
     case g: GraftParquetFileFormat =>
-      g.tablePath == tablePath && g.dvPaths == dvPaths
+      g.tablePath == tablePath && g.dvPaths == dvPaths && g.nameMap == nameMap
     case _ => false
   }
-  override def hashCode(): Int = (tablePath, dvPaths).hashCode()
+  override def hashCode(): Int = (tablePath, dvPaths, nameMap).hashCode()
 
-  override def toString: String = s"GraftParquet(${dvPaths.size} DVs)"
+  override def toString: String =
+    s"GraftParquet(${dvPaths.size} DVs, ${nameMap.size} renames)"
 }

@@ -151,11 +151,18 @@ final class GraftFileIndex(private[tables] val table: GraftTable,
     * relation must validate its rewrite against. */
   private[tables] def pinnedSnapshot: LogCheckpoint = pinned.snap
 
-  private[tables] def dataSchema: StructType = {
+  /** The STORED schema (tombstones + physical-name metadata included). */
+  private[tables] def storedSchema: StructType = {
     val sj = pinned.snap.schemaJson.getOrElse(
       throw new IllegalStateException(s"table does not exist: ${table.path}"))
     DataType.fromJson(sj).asInstanceOf[StructType]
   }
+
+  /** What the relation exposes: logical names, mapping metadata stripped
+    * (the physical name is an implementation detail — leaking it would
+    * survive into frames users write back). */
+  private[tables] def dataSchema: StructType =
+    ColumnMapping.cleanMetadata(ColumnMapping.logicalSchema(storedSchema))
 }
 
 private object GraftFileIndex {
@@ -172,14 +179,15 @@ object GraftRelation {
       asOf: Long = Long.MaxValue): HadoopFsRelation = {
     val ss = table.spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val index = new GraftFileIndex(table, asOf)
-    // a snapshot with outstanding deletion vectors scans through the
-    // DV-applying format (bitmap probes inside the reader); the common
-    // no-DV snapshot keeps vanilla parquet — columnar batches, untouched
-    // whole-stage codegen
+    // a snapshot with outstanding deletion vectors or column renames scans
+    // through the graft format (bitmap probes / physical-name rewrite
+    // inside the reader); the common plain snapshot keeps vanilla parquet
+    // — columnar batches, untouched whole-stage codegen
     val dvs = index.pinnedSnapshot.dvFor
+    val renames = ColumnMapping.nameMap(index.storedSchema)
     val format =
-      if (dvs.isEmpty) new ParquetFileFormat
-      else new GraftParquetFileFormat(table.path, dvs)
+      if (dvs.isEmpty && renames.isEmpty) new ParquetFileFormat
+      else new GraftParquetFileFormat(table.path, dvs, renames)
     HadoopFsRelation(
       location = index,
       partitionSchema = new StructType(),

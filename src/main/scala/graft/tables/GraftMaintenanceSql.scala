@@ -280,6 +280,36 @@ final case class GraftDropConstraintCommand(target: Target,
   }
 }
 
+/** `ALTER TABLE '<path>' RENAME COLUMN a TO b` — metadata-only rename
+  * via column mapping ([[GraftTable.renameColumn]]); zero files
+  * rewritten. PATH targets only: catalog-table column DDL stays vanilla
+  * Spark's to rule on. */
+final case class GraftRenameColumnCommand(target: Target,
+    from: String, to: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("from", StringType, nullable = false)(),
+    AttributeReference("to", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    target.resolve(spark).renameColumn(from, to)
+    Seq(Row(from, to))
+  }
+}
+
+/** `ALTER TABLE '<path>' DROP COLUMN [IF EXISTS] c` — metadata-only drop
+  * (tombstone) via column mapping ([[GraftTable.dropColumn]]). */
+final case class GraftDropColumnCommand(target: Target,
+    name: String, ifExists: Boolean) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("column", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = target.resolve(spark)
+    val present = t.exists && t.read().columns.contains(name)
+    if (!present && ifExists) return Seq.empty
+    t.dropColumn(name)
+    Seq(Row(name))
+  }
+}
+
 /** `FSCK REPAIR TABLE t [DRY RUN]` — [[GraftTable.repair]]: drop log
   * references to data files missing on disk (one listing reconciliation);
   * DRY RUN reports without committing. */
@@ -330,6 +360,14 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     s"""(?is)\\s*ALTER\\s+TABLE\\s+$T\\s+ADD\\s+CONSTRAINT\\s+(\\w+)\\s+CHECK\\s*\\((.+)\\)\\s*;?\\s*""".r
   private val DropConstraint: Regex =
     s"""(?is)\\s*ALTER\\s+TABLE\\s+$T\\s+DROP\\s+CONSTRAINT(\\s+IF\\s+EXISTS)?\\s+(\\w+)\\s*;?\\s*""".r
+  // column-mapping DDL intercepts QUOTED-PATH targets only: a path is
+  // never valid vanilla ALTER TABLE syntax, so catalog-table column DDL
+  // keeps whatever semantics vanilla Spark gives it
+  private val TPath = """('[^']*')"""
+  private val RenameColumn: Regex =
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+$TPath\\s+RENAME\\s+COLUMN\\s+(\\w+)\\s+TO\\s+(\\w+)\\s*;?\\s*""".r
+  private val DropColumn: Regex =
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+$TPath\\s+DROP\\s+COLUMN(\\s+IF\\s+EXISTS)?\\s+(\\w+)\\s*;?\\s*""".r
   // DESC[RIBE] HISTORY is deliberately absent: `DESCRIBE history` is valid
   // vanilla SQL on a table named "history", so an unmatched describe always
   // delegates; the other keywords can never start a vanilla statement
@@ -358,6 +396,10 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       GraftAddConstraintCommand(target(t), n, pred.trim)
     case DropConstraint(t, ifEx, n) =>
       GraftDropConstraintCommand(target(t), n, ifExists = ifEx != null)
+    case RenameColumn(t, from, to) =>
+      GraftRenameColumnCommand(target(t), from, to)
+    case DropColumn(t, ifEx, n) =>
+      GraftDropColumnCommand(target(t), n, ifExists = ifEx != null)
     case Keyword(kw)      => throw new IllegalArgumentException(
       s"cannot parse graft ${kw.toUpperCase} statement — usage: " +
         "VACUUM <t> [RETAIN n HOURS | RETAIN n VERSIONS] [DRY RUN] | " +

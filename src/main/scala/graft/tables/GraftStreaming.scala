@@ -103,7 +103,12 @@ private[tables] final class GraftStreamSource(
   require(maxFilesOpt.forall(_ > 0), "maxFilesPerTrigger must be positive")
   require(maxBytesOpt.forall(_ > 0), "maxBytesPerTrigger must be positive")
 
-  override val schema: StructType = GraftStreamSource.schemaOf(table)
+  /** Stored schema pinned at stream start (tombstones + physical-name
+    * metadata) — batches read files under ITS physical names; physical
+    * names never change, so every historical file in range matches. */
+  private val storedSchema: StructType = GraftStreamSource.storedSchemaOf(table)
+  override val schema: StructType =
+    ColumnMapping.cleanMetadata(ColumnMapping.logicalSchema(storedSchema))
 
   override def getDefaultReadLimit: ReadLimit = (maxFilesOpt, maxBytesOpt) match {
     case (Some(f), Some(b)) =>
@@ -286,7 +291,8 @@ private[tables] final class GraftStreamSource(
   private def requireUnchangedSchema(endV: Long): Unit =
     if (endV > pinVersion)
       table.snapshot(endV).schemaJson
-        .map(DataType.fromJson(_).asInstanceOf[StructType])
+        .map(sj => ColumnMapping.logicalSchema(
+          DataType.fromJson(sj).asInstanceOf[StructType]))
         .filter(s => shapeOf(s) != shapeOf(schema))
         .foreach { evolved =>
           throw new IllegalStateException(
@@ -337,7 +343,17 @@ private[tables] final class GraftStreamSource(
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       else {
-        val raw = spark.read.schema(schema).parquet(paths: _*)
+        // column mapping: read under the pinned schema's PHYSICAL names,
+        // alias back to logical in one projection (a plain schema read
+        // when no mapping exists)
+        val raw =
+          if (ColumnMapping.active(storedSchema)) {
+            val phys = ColumnMapping.physicalSchema(storedSchema)
+            spark.read.schema(phys).parquet(paths: _*)
+              .select(phys.fields.zip(schema.fields).map { case (pf, lf) =>
+                org.apache.spark.sql.functions.col(pf.name).as(lf.name)
+              }.toSeq: _*)
+          } else spark.read.schema(schema).parquet(paths: _*)
         dvV.map(v => DeletionVectors.filterDeleted(
           raw, spark, table.loadDvs(snapshotDvsAt(v), files)))
           .getOrElse(raw)
@@ -349,7 +365,12 @@ private[tables] final class GraftStreamSource(
 }
 
 private[tables] object GraftStreamSource {
-  def schemaOf(table: GraftTable): StructType = {
+  /** The table's LOGICAL schema (what consumers see). */
+  def schemaOf(table: GraftTable): StructType =
+    ColumnMapping.cleanMetadata(ColumnMapping.logicalSchema(storedSchemaOf(table)))
+
+  /** The STORED schema — tombstones + physical metadata included. */
+  def storedSchemaOf(table: GraftTable): StructType = {
     val sj = table.currentSchemaJson.getOrElse(throw new IllegalStateException(
       s"cannot stream from a table that does not exist yet: ${table.path}"))
     DataType.fromJson(sj).asInstanceOf[StructType]

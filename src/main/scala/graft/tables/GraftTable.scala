@@ -185,6 +185,90 @@ final class GraftTable private (
     recordConstraintCommit("add", name, predicateSql)
   }
 
+  // ------------------------------------------------------- column mapping
+
+  /** RENAME COLUMN as a METADATA-ONLY commit (Delta's column mapping):
+    * the field keeps the PHYSICAL name every existing data file was
+    * written with; only the logical name changes — zero files touched,
+    * stats stay valid (they are keyed by physical name), data skipping
+    * stays selective. Refused when the column anchors a bucket layout
+    * (the layout hashed its values under this name) or appears in a
+    * persisted CHECK constraint's SQL (the predicate text would
+    * silently stop binding). Admin DDL: single-writer, like
+    * [[setBucketSpec]]. Top-level columns only. */
+  def renameColumn(from: String, to: String): Unit = {
+    require(exists, s"table does not exist: $path")
+    require(from != to, "rename to the same name is a no-op")
+    requireNotAnchored(from, "rename")
+    commitSchemaChange("rename_column", Map("from" -> from, "to" -> to)) { stored =>
+      val logical = ColumnMapping.logicalSchema(stored)
+      require(logical.fieldNames.contains(from), s"no column '$from' in $path")
+      require(!logical.fieldNames.contains(to),
+        s"column '$to' already exists in $path")
+      org.apache.spark.sql.types.StructType(stored.fields.map { f =>
+        if (!ColumnMapping.isDropped(f) && f.name == from)
+          ColumnMapping.withPhysical(f.copy(name = to), ColumnMapping.physicalName(f))
+        else f
+      })
+    }
+  }
+
+  /** DROP COLUMN as a METADATA-ONLY commit: the field becomes a
+    * TOMBSTONE — mangled logical name, `graft.dropped` marker, physical
+    * name kept CLAIMED so a later column re-using this name gets a fresh
+    * physical and can never resurrect the old bytes (the files still
+    * hold them; OPTIMIZE's rewrite sheds them, time travel below the
+    * drop still reads them). Refusals as [[renameColumn]]. */
+  def dropColumn(name: String): Unit = {
+    require(exists, s"table does not exist: $path")
+    requireNotAnchored(name, "drop")
+    commitSchemaChange("drop_column", Map("column" -> name)) { stored =>
+      val logical = ColumnMapping.logicalSchema(stored)
+      require(logical.fieldNames.contains(name), s"no column '$name' in $path")
+      require(logical.fields.length > 1,
+        s"cannot drop the only column of $path")
+      org.apache.spark.sql.types.StructType(stored.fields.map { f =>
+        if (!ColumnMapping.isDropped(f) && f.name == name) ColumnMapping.tombstone(f)
+        else f
+      })
+    }
+  }
+
+  private def requireNotAnchored(name: String, op: String): Unit = {
+    bucketSpec.foreach(sp => require(!sp.keys.contains(name),
+      s"cannot $op column '$name': it anchors the bucket layout ${sp.keys.mkString(",")}"))
+    constraints.find(_._2.matches(s"(?s).*\\b${java.util.regex.Pattern.quote(name)}\\b.*"))
+      .foreach { case (cn, pred) =>
+        throw new IllegalArgumentException(
+          s"cannot $op column '$name': CHECK constraint $cn ($pred) references it — " +
+            "drop the constraint first")
+      }
+  }
+
+  /** Publish a schema-transforming metadata commit (dataChange=false),
+    * re-reading and re-validating the CURRENT schema per attempt so an
+    * interleaved append's widening is never overwritten. */
+  private def commitSchemaChange(action: String, info: Map[String, String])(
+      transform: org.apache.spark.sql.types.StructType => org.apache.spark.sql.types.StructType): Unit = {
+    var attempt = 0
+    while (true) {
+      val stored = org.apache.spark.sql.types.DataType.fromJson(
+        snapshot().schemaJson.getOrElse(
+          throw new IllegalStateException(s"table does not exist: $path")))
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      try {
+        nextCommit(action, dataChange = false, Seq.empty, Seq.empty,
+          transform(stored).json, info)
+        return
+      } catch {
+        case e: IllegalStateException
+            if e.getMessage.contains("concurrent commit") && attempt < 10 =>
+          attempt += 1
+          Thread.sleep(20L * attempt)
+      }
+    }
+  }
+
   /** Drop a persisted CHECK constraint. */
   def dropConstraint(name: String, ifExists: Boolean = false): Unit = {
     val cur = constraints
@@ -511,16 +595,42 @@ final class GraftTable private (
       // empty table: produce an empty frame with the last known schema
       snap.schemaJson match {
         case Some(sj) =>
-          val schema = org.apache.spark.sql.types.DataType.fromJson(sj)
-            .asInstanceOf[org.apache.spark.sql.types.StructType]
+          val schema = ColumnMapping.cleanMetadata(ColumnMapping.logicalSchema(
+            org.apache.spark.sql.types.DataType.fromJson(sj)
+              .asInstanceOf[org.apache.spark.sql.types.StructType]))
           spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
         case None =>
           throw new IllegalStateException(s"table does not exist: $path")
       }
     } else {
-      val df = spark.read.option("mergeSchema", "true")
-        .parquet(files.map(f => s"$path/$f"): _*)
+      val df = readDataFiles(files, snap.schemaJson)
       DeletionVectors.filterDeleted(df, spark, loadDvs(snap.dvFor, files))
+    }
+  }
+
+  /** Read table data files presenting LOGICAL column names. With column
+    * mapping inactive (every table that never ran a rename/drop) this is
+    * the classic mergeSchema read; with mapping active the files are read
+    * under the schema's PHYSICAL names and aliased back in one projection
+    * — `_metadata` stays resolvable either way (still a file-source
+    * plan). `schemaJsonOpt` is the schema AT THE VERSION being read, so
+    * time travel and CDF synthesis see their own version's mapping. */
+  private def readDataFiles(files: Seq[String],
+      schemaJsonOpt: Option[String]): DataFrame = {
+    val stored = schemaJsonOpt.map(sj =>
+      org.apache.spark.sql.types.DataType.fromJson(sj)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    val paths = files.map(f => s"$path/$f")
+    stored.filter(ColumnMapping.active) match {
+      case Some(st) =>
+        val phys = ColumnMapping.physicalSchema(st)
+        val logical = ColumnMapping.cleanMetadata(ColumnMapping.logicalSchema(st))
+        spark.read.schema(phys).parquet(paths: _*)
+          .select(phys.fields.zip(logical.fields).map { case (pf, lf) =>
+            col(pf.name).as(lf.name)
+          }.toSeq: _*)
+      case None =>
+        spark.read.option("mergeSchema", "true").parquet(paths: _*)
     }
   }
 
@@ -537,10 +647,11 @@ final class GraftTable private (
   /** The rows of one data file at the given parquet row positions — the
     * positional point-read behind DV-delta change synthesis (restore
     * resurrections). Positions broadcast (they are bitmap-sized). */
-  private def rowsAt(file: String, positions: Array[Long]): DataFrame = {
+  private def rowsAt(file: String, positions: Array[Long],
+      schemaJsonOpt: Option[String]): DataFrame = {
     import spark.implicits._
     val posDf = positions.toSeq.toDF("__p")
-    spark.read.option("mergeSchema", "true").parquet(s"$path/$file")
+    readDataFiles(Seq(file), schemaJsonOpt)
       .withColumn("__i", col("_metadata.row_index"))
       .join(broadcast(posDf), col("__i") === col("__p"), "left_semi")
       .drop("__i")
@@ -595,9 +706,24 @@ final class GraftTable private (
     * the Column path above and [[GraftFileIndex]]'s analysis-time pruning
     * (which receives Catalyst expressions, not Columns). */
   private[tables] def pruneLive(snap: LogCheckpoint,
-      conjuncts: Seq[PredAtom]): Seq[String] = {
+      conjuncts0: Seq[PredAtom]): Seq[String] = {
+    // column mapping: stats are keyed by the PHYSICAL name the file was
+    // written with (stable across renames — which is exactly why a rename
+    // keeps data skipping selective with zero stats rewrites); predicates
+    // arrive logical, so translate the atoms
+    val renames: Map[String, String] = snap.schemaJson.map(sj =>
+      ColumnMapping.nameMap(org.apache.spark.sql.types.DataType.fromJson(sj)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])).getOrElse(Map.empty)
+    val conjuncts =
+      if (renames.isEmpty) conjuncts0
+      else conjuncts0.map {
+        case PredCmp(op, c, v) => PredCmp(op, renames.getOrElse(c, c), v)
+        case PredIn(c, vs)     => PredIn(renames.getOrElse(c, c), vs)
+        case PredNull(c, n)    => PredNull(renames.getOrElse(c, c), n)
+        case other             => other
+      }
     val statsByFile = snap.stats
-    val bucketFilter: String => Boolean = targetBucket(conjuncts, snap.schemaJson) match {
+    val bucketFilter: String => Boolean = targetBucket(conjuncts0, snap.schemaJson) match {
       case Some(b) => f => bucketOf(f).forall(_ == b) // unbucketed files kept
       case None    => _ => true
     }
@@ -702,7 +828,20 @@ final class GraftTable private (
     // (append, overwrite, upsert, update, optimize, SQL DML, the
     // streaming sink) stages here, so CHECK constraints enforced at this
     // seam can never be bypassed
-    val df = withConstraintGuards(rawDf)
+    val logical = withConstraintGuards(rawDf)
+    // column mapping: files are written under PHYSICAL names. The rename
+    // runs AFTER guards and bucket routing (both speak logical names) as
+    // one projection; the commit-side union schema assigns the identical
+    // deterministic physicals, so files and log always agree. A no-op
+    // (empty map) for every table that never ran a rename/drop.
+    val mapping = ColumnMapping.nameMap(unionSchemaStruct(logical.schema))
+      .filter { case (l, _) => logical.columns.contains(l) }
+    require(!logical.columns.exists(_.startsWith("__dropped_")),
+      "column names starting with '__dropped_' are reserved (column-mapping tombstones)")
+    def toPhysical(df: DataFrame): DataFrame =
+      if (mapping.isEmpty) df
+      else df.select(df.columns.map(c => col(c).as(mapping.getOrElse(c, c))).toSeq: _*)
+    val df = logical
     val stagingId = UUID.randomUUID().toString
     val stagingDir = s"$path/_staging-$stagingId"
     val spec = bucketSpec.filter(_.keys.forall(df.columns.contains))
@@ -712,17 +851,18 @@ final class GraftTable private (
     // complement to the min/max stats (which only prune ranges)
     def withBlooms(w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row]) =
       settings.bloomFilterColumns.filter(df.columns.contains)
-        .foldLeft(w)((w, c) => w.option(s"parquet.bloom.filter.enabled#$c", "true"))
+        .foldLeft(w)((w, c) =>
+          w.option(s"parquet.bloom.filter.enabled#${mapping.getOrElse(c, c)}", "true"))
     spec match {
       case Some(sp) =>
         require(!df.columns.contains("graft_bucket"), "column name 'graft_bucket' is reserved")
-        withBlooms(df.withColumn("graft_bucket", bucketExpr(sp))
+        withBlooms(toPhysical(df.withColumn("graft_bucket", bucketExpr(sp)))
           .repartition(col("graft_bucket"))
           .write.mode("overwrite")).partitionBy("graft_bucket").parquet(stagingDir)
       case None =>
-        withBlooms(df.write.mode("overwrite")).parquet(stagingDir)
+        withBlooms(toPhysical(df).write.mode("overwrite")).parquet(stagingDir)
     }
-    val statsByStaged = collectStats(stagingDir, df)
+    val statsByStaged = collectStats(stagingDir, toPhysical(df))
     val staged = FsUtils.dataFiles(spark, stagingDir)
     val namesAndStats = staged.map { st =>
       val p = st.getPath
@@ -893,12 +1033,18 @@ final class GraftTable private (
     val anyDvs = inRange.exists(_.dvs.nonEmpty) ||
       commits().exists(c => c.version <= fromExclusive && c.dvs.nonEmpty)
     val frames = inRange.flatMap { c =>
+      // change FILES are written from logical frames (no mapping); DATA
+      // files read under the COMMIT's schema, so synthesis sees the
+      // mapping true at that version
+      def readChangeFiles(names: Seq[String]): Option[DataFrame] =
+        if (names.isEmpty) None
+        else Some(spark.read.option("mergeSchema", "true")
+          .parquet(names.map(n => s"$path/$n"): _*))
       def readFiles(names: Seq[String],
           dvOf: String => Option[String]): Option[DataFrame] =
         if (names.isEmpty) None
         else {
-          val df = spark.read.option("mergeSchema", "true")
-            .parquet(names.map(n => s"$path/$n"): _*)
+          val df = readDataFiles(names, Some(c.schemaJson))
           val dvMap = names.flatMap(f => dvOf(f).map(f -> _)).toMap
           Some(DeletionVectors.filterDeleted(df, spark, loadDvs(dvMap, names)))
         }
@@ -906,7 +1052,7 @@ final class GraftTable private (
         if (anyDvs) snapshot(c.version - 1).dvFor else Map.empty
       val cDvs = c.dvs.getOrElse(Map.empty)
       val changed: Seq[DataFrame] = c.changes match {
-        case Some(files) => readFiles(files, _ => None).toSeq
+        case Some(files) => readChangeFiles(files).toSeq
         case None => c.action match {
           case "upsert" | "delete" | "update" | "merge" =>
             throw new IllegalStateException(
@@ -938,9 +1084,9 @@ final class GraftTable private (
               val killed = after.filterNot(beforeSet)
               Seq(
                 Some(resurrected).filter(_.nonEmpty)
-                  .map(ps => tagged(rowsAt(f, ps), "insert")),
+                  .map(ps => tagged(rowsAt(f, ps, Some(c.schemaJson)), "insert")),
                 Some(killed).filter(_.nonEmpty)
-                  .map(ps => tagged(rowsAt(f, ps), "delete"))).flatten
+                  .map(ps => tagged(rowsAt(f, ps, Some(c.schemaJson)), "delete"))).flatten
             }
             moved ++ rebindChanges
         }
@@ -992,7 +1138,11 @@ final class GraftTable private (
     * files lack it). Matches what parquet mergeSchema infers at read
     * time, recorded in the log instead of re-derived from footers. Type
     * equality is already guaranteed by [[requireCompatibleSchema]]. */
-  private def unionSchemaJson(in: org.apache.spark.sql.types.StructType): String = {
+  private def unionSchemaJson(in: org.apache.spark.sql.types.StructType): String =
+    unionSchemaStruct(in).json
+
+  private def unionSchemaStruct(
+      in: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructField, StructType}
     def mergeType(a: DataType, b: DataType): DataType = (a, b) match {
       case (x: StructType, y: StructType) => mergeStruct(x, y)
@@ -1015,15 +1165,28 @@ final class GraftTable private (
           case None => f.copy(nullable = true) // new files lack it
         }
       }
+      // a NEW column whose name is still CLAIMED as some field's physical
+      // name (dropped or renamed-away) must write under a FRESH physical
+      // name, or old files' bytes would resurrect under the new column.
+      // The fresh name is DETERMINISTIC (first free `name__mK`), so the
+      // stage-time rename and the commit-time schema agree without
+      // coordination, across retries too.
+      val claimed = ColumnMapping.claimedPhysicals(cur)
       val added = inc.fields.filterNot(f => curNames.contains(f.name))
         .map(_.copy(nullable = true)) // old files lack it
+        .map { f =>
+          if (!claimed.contains(f.name)) f
+          else ColumnMapping.withPhysical(f,
+            Iterator.from(1).map(k => s"${f.name}__m$k")
+              .find(!claimed.contains(_)).get)
+        }
       StructType(merged ++ added)
     }
     snapshot().schemaJson match {
-      case None => in.json
+      case None => in
       case Some(sj) =>
         mergeStruct(org.apache.spark.sql.types.DataType.fromJson(sj)
-          .asInstanceOf[StructType], in).json
+          .asInstanceOf[StructType], in)
     }
   }
 
@@ -1186,8 +1349,7 @@ final class GraftTable private (
     def readOf(files: Seq[String]): Option[DataFrame] =
       if (files.isEmpty) None
       else Some(DeletionVectors.filterDeleted(
-        spark.read.option("mergeSchema", "true")
-          .parquet(files.map(f => s"$path/$f"): _*),
+        readDataFiles(files, snap0.schemaJson),
         spark, loadDvs(snap0.dvFor, files)))
     val (oldFiles, current, touchedBuckets) = bucketSpec.filter(_.keys == keyCols) match {
       case Some(sp) =>
@@ -1347,8 +1509,7 @@ final class GraftTable private (
         case Left(_)       => () // over the cap: fall through to the rewrite
       }
     val srcRaw = DeletionVectors.filterDeleted(
-      spark.read.option("mergeSchema", "true")
-        .parquet(affected.map(f => s"$path/$f"): _*),
+      readDataFiles(affected, snap.schemaJson),
       spark, loadDvs(snap.dvFor, affected))
     // CDF consumes the source twice (remaining + deleted rows)
     val src = if (settings.changeDataFeed) srcRaw.localCheckpoint(true) else srcRaw
@@ -1386,8 +1547,7 @@ final class GraftTable private (
       assignments: Option[Map[String, org.apache.spark.sql.Column]])
       : Either[Unit, Option[Commit]] = {
     val cond = coalesce(predicate, lit(false))
-    val raw = spark.read.option("mergeSchema", "true")
-      .parquet(affected.map(f => s"$path/$f"): _*)
+    val raw = readDataFiles(affected, snap.schemaJson)
     assignments.foreach(_.keys.foreach(name =>
       require(raw.columns.contains(name), s"unknown column '$name' in update")))
     val src = DeletionVectors.filterDeleted(raw, spark, loadDvs(snap.dvFor, affected))
@@ -1511,8 +1671,7 @@ final class GraftTable private (
       }
     val cond = coalesce(predicate, lit(false))
     val srcRaw = DeletionVectors.filterDeleted(
-      spark.read.option("mergeSchema", "true")
-        .parquet(affected.map(f => s"$path/$f"): _*),
+      readDataFiles(affected, snap.schemaJson),
       spark, loadDvs(snap.dvFor, affected))
     // CDF consumes the source three times (rewrite + pre/postimage)
     val src = if (settings.changeDataFeed) srcRaw.localCheckpoint(true) else srcRaw
@@ -1657,17 +1816,20 @@ final class GraftTable private (
     val target = math.max(1, math.ceil(totalBytes.toDouble / settings.compactTargetBytes).toInt)
     // read the small files under the LOG schema: a pre-evolution file's
     // missing columns land as NULL, and the packed output carries the
-    // full current schema
-    val schema = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson.get)
+    // full current schema. Mapping-active snapshots route through the
+    // physical-name read; the rewrite also sheds tombstone columns'
+    // bytes (old versions still read the ORIGINAL files — time travel
+    // is untouched by a dataChange=false rewrite).
+    val stored = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson.get)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
-    val df = DeletionVectors.filterDeleted(
-      spark.read.schema(schema)
-        .parquet(small.map(f => s"$path/$f"): _*),
-      spark, loadDvs(dvNow, small))
+    val packed =
+      if (ColumnMapping.active(stored)) readDataFiles(small, snap.schemaJson)
+      else spark.read.schema(stored).parquet(small.map(f => s"$path/$f"): _*)
+    val df = DeletionVectors.filterDeleted(packed, spark, loadDvs(dvNow, small))
       .repartition(target)
     val (add, stats) = stage(df)
     Some(nextCommit("compact", dataChange = false, add, small,
-      unionSchemaJson(schema),
+      unionSchemaJson(stored),
       Map("numOutputFiles" -> add.size.toString,
         "numRemovedFiles" -> small.size.toString,
         "numCompactedBytes" -> totalBytes.toString),
