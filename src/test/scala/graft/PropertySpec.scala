@@ -588,4 +588,93 @@ class PropertySpec extends SparkSpecBase {
       assert(graft.ext.WebmDemux.blocks(webmish) != null)
     }
   }
+
+  test("deletion vectors are invisible semantics: random DML sequences match the rewrite path") {
+    // the same op sequence applied to a DV table and a classic table must
+    // converge to identical content at EVERY step — bitmaps are a storage
+    // optimization, never a semantics change
+    sealed trait Op
+    case class Append(rows: List[(Int, Int)]) extends Op
+    case class Delete(lo: Int, hi: Int) extends Op
+    case class Update(lo: Int, hi: Int, v: Int) extends Op
+    val opGen: Gen[Op] = Gen.frequency(
+      3 -> Gen.listOfN(12, Gen.zip(Gen.choose(0, 40), Gen.choose(0, 9)))
+        .map(rs => Append(rs.distinct)),
+      2 -> Gen.zip(Gen.choose(0, 40), Gen.choose(0, 12)).map { case (a, w) => Delete(a, a + w) },
+      2 -> (for {
+        a <- Gen.choose(0, 40); w <- Gen.choose(0, 12); v <- Gen.choose(100, 999)
+      } yield Update(a, a + w, v)))
+    val seqGen = Gen.listOfN(7, opGen)
+    samples(seqGen, 4).zipWithIndex.foreach { case (ops, i) =>
+      val base = java.nio.file.Files.createTempDirectory(s"graft-dvprop-$i-").toString
+      val dvT = graft.tables.GraftTable(spark, s"$base/dv")(
+        graft.conf.GraftSettings.default.copy(deletionVectors = true))
+      val rwT = graft.tables.GraftTable(spark, s"$base/rw")(
+        graft.conf.GraftSettings.default)
+      ops.foreach { op =>
+        def run(t: graft.tables.GraftTable): Unit = op match {
+          case Append(rows) if rows.nonEmpty =>
+            t.append(rows.toDF("id", "amt").coalesce(1))
+          case Append(_)    => ()
+          case Delete(a, b) => if (t.exists) t.delete(col("id") >= a && col("id") <= b)
+          case Update(a, b, v) =>
+            if (t.exists) t.update(col("id") >= a && col("id") <= b, Map("amt" -> lit(v)))
+        }
+        run(dvT); run(rwT)
+        if (dvT.exists || rwT.exists) {
+          val got = dvT.read().collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+          val want = rwT.read().collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+          assert(got === want, s"DV divergence after $op in sequence $ops")
+        }
+      }
+      // and the purge collapses to the same content
+      dvT.optimize()
+      val got = dvT.read().collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+      val want = rwT.read().collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+      assert(got === want, s"DV divergence after optimize in $ops")
+    }
+  }
+
+  test("column mapping is invisible semantics: random rename chains match a plain table") {
+    // random interleavings of appends and renames: the mapped table's
+    // content equals a plain table receiving the same rows under the
+    // final names — and data skipping stays sound throughout
+    val namePool = Vector("a", "b", "c", "d")
+    sealed trait Op
+    case class Append(rows: List[(Int, Int)]) extends Op
+    case class Rename(fromIdx: Int, toIdx: Int) extends Op
+    val opGen: Gen[Op] = Gen.frequency(
+      3 -> Gen.listOfN(10, Gen.zip(Gen.choose(0, 30), Gen.choose(0, 9))).map(Append(_)),
+      2 -> Gen.zip(Gen.choose(0, 3), Gen.choose(0, 3)).map { case (f, t) => Rename(f, t) })
+    samples(Gen.listOfN(8, opGen), 4).zipWithIndex.foreach { case (ops, i) =>
+      val base = java.nio.file.Files.createTempDirectory(s"graft-cmprop-$i-").toString
+      val t = graft.tables.GraftTable(spark, s"$base/t")(graft.conf.GraftSettings.default)
+      // the logical names of the two columns as renames land
+      var names = Vector("k", "v")
+      var rows = List.empty[(Int, Int)]
+      ops.foreach {
+        case Append(rs) if rs.nonEmpty =>
+          t.append(rs.toDF(names(0), names(1)).coalesce(1))
+          rows ++= rs
+        case Append(_) => ()
+        case Rename(f, tIdx) =>
+          val from = names(f % names.size)
+          val to = namePool(tIdx)
+          if (!names.contains(to) && t.exists) {
+            t.renameColumn(from, to)
+            names = names.map(n => if (n == from) to else n)
+          }
+      }
+      if (t.exists) {
+        assert(t.read().columns.toSeq === names)
+        val got = t.read().collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+        val want = rows.map(r => Seq[Any](r._1, r._2)).groupBy(identity).view.mapValues(_.length).toMap
+        assert(got === want, s"mapping divergence after $ops")
+        // skipping soundness under the final name
+        val p = col(names(0)) > 15
+        assert(t.readWhere(p).collect().map(_.toSeq).toSet
+          === t.read().filter(p).collect().map(_.toSeq).toSet)
+      }
+    }
+  }
 }
