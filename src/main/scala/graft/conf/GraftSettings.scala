@@ -151,36 +151,40 @@ object GraftSettings {
     val props = new java.util.Properties()
     val in = java.nio.file.Files.newInputStream(java.nio.file.Paths.get(path))
     try props.load(in) finally in.close()
-    val base = GraftSettings()
     import scala.jdk.CollectionConverters._
-    props.stringPropertyNames().asScala.foldLeft(base) { (s, key) =>
-      val v = props.getProperty(key).trim
-      key match {
-        case "protocol"                          => s.copy(protocol = v)
-        case "raw_bucket"                        => s.copy(rawBucket = v)
-        case "staged_bucket"                     => s.copy(stagedBucket = v)
-        case "curated_bucket"                    => s.copy(curatedBucket = v)
-        case "control_bucket"                    => s.copy(controlBucket = v)
-        case "max_num_files_allowed"             => s.copy(maxNumFilesAllowed = v.toInt)
-        case "compact_target_bytes"              => s.copy(compactTargetBytes = v.toLong)
-        case "vacuum_every_n_versions"           => s.copy(vacuumEveryNVersions = v.toInt)
-        case "vacuum_retention_hours"            => s.copy(vacuumRetentionHours = v.toInt)
-        case "curated_buckets"                   => s.copy(curatedBuckets = v.toInt)
-        case "upsert_broadcast_threshold_bytes"  => s.copy(upsertBroadcastThresholdBytes = v.toLong)
-        case "probe_broadcast_threshold_bytes"   => s.copy(probeBroadcastThresholdBytes = v.toLong)
-        case "ann_prune_max_keys"                => s.copy(annPruneMaxKeys = v.toInt)
-        case "barrier_mode"                      => s.copy(barrierMode = v)
-        case "collect_file_stats"                => s.copy(collectFileStats = v.toBoolean)
-        case "change_data_feed"                  => s.copy(changeDataFeed = v.toBoolean)
-        case "deletion_vectors"                  => s.copy(deletionVectors = v.toBoolean)
-        case "dv_max_deleted_rows"               => s.copy(dvMaxDeletedRows = v.toLong)
-        case "bloom_filter_columns" =>
-          s.copy(bloomFilterColumns = v.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
-        case other =>
-          throw new IllegalArgumentException(s"unknown setting '$other' in $path")
-      }
+    props.stringPropertyNames().asScala.foldLeft(GraftSettings()) { (s, key) =>
+      withSetting(s, key, props.getProperty(key).trim).getOrElse(
+        throw new IllegalArgumentException(s"unknown setting '$key' in $path"))
     }
   }
+
+  /** One settings override by snake_case key — shared by the properties
+    * file loader and per-table TBLPROPERTIES ([[graft.tables.GraftTable]]
+    * `effectiveSettings`). None = unrecognized key. */
+  def withSetting(s: GraftSettings, key: String, v: String): Option[GraftSettings] =
+    key match {
+      case "protocol"                          => Some(s.copy(protocol = v))
+      case "raw_bucket"                        => Some(s.copy(rawBucket = v))
+      case "staged_bucket"                     => Some(s.copy(stagedBucket = v))
+      case "curated_bucket"                    => Some(s.copy(curatedBucket = v))
+      case "control_bucket"                    => Some(s.copy(controlBucket = v))
+      case "max_num_files_allowed"             => Some(s.copy(maxNumFilesAllowed = v.toInt))
+      case "compact_target_bytes"              => Some(s.copy(compactTargetBytes = v.toLong))
+      case "vacuum_every_n_versions"           => Some(s.copy(vacuumEveryNVersions = v.toInt))
+      case "vacuum_retention_hours"            => Some(s.copy(vacuumRetentionHours = v.toInt))
+      case "curated_buckets"                   => Some(s.copy(curatedBuckets = v.toInt))
+      case "upsert_broadcast_threshold_bytes"  => Some(s.copy(upsertBroadcastThresholdBytes = v.toLong))
+      case "probe_broadcast_threshold_bytes"   => Some(s.copy(probeBroadcastThresholdBytes = v.toLong))
+      case "ann_prune_max_keys"                => Some(s.copy(annPruneMaxKeys = v.toInt))
+      case "barrier_mode"                      => Some(s.copy(barrierMode = v))
+      case "collect_file_stats"                => Some(s.copy(collectFileStats = v.toBoolean))
+      case "change_data_feed"                  => Some(s.copy(changeDataFeed = v.toBoolean))
+      case "deletion_vectors"                  => Some(s.copy(deletionVectors = v.toBoolean))
+      case "dv_max_deleted_rows"               => Some(s.copy(dvMaxDeletedRows = v.toLong))
+      case "bloom_filter_columns" =>
+        Some(s.copy(bloomFilterColumns = v.split(',').map(_.trim).filter(_.nonEmpty).toSeq))
+      case _ => None
+    }
 }
 
 /** The three medallion layers (reference `jibaro/datalake/path.py:17-21`). */

@@ -280,6 +280,47 @@ final case class GraftDropConstraintCommand(target: Target,
   }
 }
 
+/** `ALTER TABLE '<path>' SET TBLPROPERTIES ('k'='v', ...)` — persisted
+  * per-table properties ([[GraftTable.setProperties]]): known settings
+  * keys override the session defaults for THIS table (deletion_vectors,
+  * change_data_feed, compact_target_bytes, ...), unknown keys are
+  * free-form metadata. PATH targets only — catalog-table TBLPROPERTIES
+  * stay vanilla Spark's. */
+final case class GraftSetPropertiesCommand(target: Target,
+    props: Map[String, String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("key", StringType, nullable = false)(),
+    AttributeReference("value", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    require(props.nonEmpty,
+      "SET TBLPROPERTIES needs 'key' = 'value' pairs (single-quoted)")
+    target.resolve(spark).setProperties(props)
+    props.toSeq.sortBy(_._1).map { case (k, v) => Row(k, v) }
+  }
+}
+
+/** `ALTER TABLE '<path>' UNSET TBLPROPERTIES [IF EXISTS] ('k', ...)`. */
+final case class GraftUnsetPropertiesCommand(target: Target,
+    keys: Seq[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("key", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    target.resolve(spark).unsetProperties(keys)
+    keys.sorted.map(Row(_))
+  }
+}
+
+/** `SHOW TBLPROPERTIES '<path>'` for graft path tables. */
+final case class GraftShowPropertiesCommand(target: Target)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("key", StringType, nullable = false)(),
+    AttributeReference("value", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    target.resolve(spark).tableProperties.toSeq.sortBy(_._1)
+      .map { case (k, v) => Row(k, v) }
+}
+
 /** `ALTER TABLE '<path>' RENAME COLUMN a TO b` — metadata-only rename
   * via column mapping ([[GraftTable.renameColumn]]); zero files
   * rewritten. PATH targets only: catalog-table column DDL stays vanilla
@@ -368,6 +409,15 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     s"""(?is)\\s*ALTER\\s+TABLE\\s+$TPath\\s+RENAME\\s+COLUMN\\s+(\\w+)\\s+TO\\s+(\\w+)\\s*;?\\s*""".r
   private val DropColumn: Regex =
     s"""(?is)\\s*ALTER\\s+TABLE\\s+$TPath\\s+DROP\\s+COLUMN(\\s+IF\\s+EXISTS)?\\s+(\\w+)\\s*;?\\s*""".r
+  private val SetProps: Regex =
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+$TPath\\s+SET\\s+TBLPROPERTIES\\s*\\(([^)]*)\\)\\s*;?\\s*""".r
+  private val UnsetProps: Regex =
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+$TPath\\s+UNSET\\s+TBLPROPERTIES(?:\\s+IF\\s+EXISTS)?\\s*\\(([^)]*)\\)\\s*;?\\s*""".r
+  private val ShowProps: Regex =
+    s"""(?is)\\s*SHOW\\s+TBLPROPERTIES\\s+$TPath\\s*;?\\s*""".r
+  // 'k' = 'v' pairs / bare 'k' items inside TBLPROPERTIES(...)
+  private val PropPair: Regex = """'([^']*)'\s*=\s*'([^']*)'""".r
+  private val PropKey: Regex = """'([^']*)'""".r
   // DESC[RIBE] HISTORY is deliberately absent: `DESCRIBE history` is valid
   // vanilla SQL on a table named "history", so an unmatched describe always
   // delegates; the other keywords can never start a vanilla statement
@@ -400,6 +450,14 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       GraftRenameColumnCommand(target(t), from, to)
     case DropColumn(t, ifEx, n) =>
       GraftDropColumnCommand(target(t), n, ifExists = ifEx != null)
+    case SetProps(t, body) =>
+      GraftSetPropertiesCommand(target(t),
+        PropPair.findAllMatchIn(body).map(m => m.group(1) -> m.group(2)).toMap)
+    case UnsetProps(t, body) =>
+      GraftUnsetPropertiesCommand(target(t),
+        PropKey.findAllMatchIn(body).map(_.group(1)).toSeq)
+    case ShowProps(t) =>
+      GraftShowPropertiesCommand(target(t))
     case Keyword(kw)      => throw new IllegalArgumentException(
       s"cannot parse graft ${kw.toUpperCase} statement — usage: " +
         "VACUUM <t> [RETAIN n HOURS | RETAIN n VERSIONS] [DRY RUN] | " +

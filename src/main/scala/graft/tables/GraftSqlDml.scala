@@ -48,6 +48,22 @@ object GraftDml {
       case idx: GraftFileIndex => idx
     }
 
+  /** The catalog identifier behind a resolved DML target, when it IS a
+    * catalog table (None for path loads). A DML that creates deletion
+    * vectors or re-binds them changes state the cached relation's FILE
+    * FORMAT was built from — `index.refresh()` re-pins the file list but
+    * not the format — so the command must drop the catalog's cached plan
+    * and let the next query re-resolve with the right format. */
+  private[tables] def tableIdentOf(plan: LogicalPlan): Option[TableIdentifier] =
+    plan.collectFirst {
+      case lr: LogicalRelation if lr.catalogTable.isDefined =>
+        lr.catalogTable.get.identifier
+    }
+
+  private[tables] def refreshCatalog(spark: SparkSession,
+      ident: Option[TableIdentifier]): Unit =
+    ident.foreach(spark.sessionState.catalog.refreshTable)
+
   /** Re-target a resolved condition at a FRESH scan by name: the command
     * applies it to DataFrames it builds itself (the pruned parquet read
     * inside delete/update), whose attribute ids differ from the analyzed
@@ -70,12 +86,14 @@ object GraftDml {
   * [[GraftTable.delete]]: only files whose stats admit matching rows are
   * rewritten. */
 final case class GraftDeleteCommand(index: GraftFileIndex,
-    condition: Expression) extends LeafRunnableCommand {
+    condition: Expression,
+    catalogIdent: Option[TableIdentifier] = None) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     index.table.deleteImpl(
       GraftDml.byName(condition, "DELETE"),
       ExpressionAtoms.conjuncts(condition))
     index.refresh()
+    GraftDml.refreshCatalog(spark, catalogIdent)
     Seq.empty
   }
 }
@@ -85,7 +103,8 @@ final case class GraftDeleteCommand(index: GraftFileIndex,
   * struct-field updates are refused loudly). */
 final case class GraftUpdateCommand(index: GraftFileIndex,
     assignments: Seq[Assignment],
-    condition: Option[Expression]) extends LeafRunnableCommand {
+    condition: Option[Expression],
+    catalogIdent: Option[TableIdentifier] = None) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val assigns = assignments.map { a =>
       a.key match {
@@ -98,6 +117,7 @@ final case class GraftUpdateCommand(index: GraftFileIndex,
     val atoms = condition.map(ExpressionAtoms.conjuncts).getOrElse(Seq(PredOpaque))
     index.table.updateImpl(cond, atoms, assigns)
     index.refresh()
+    GraftDml.refreshCatalog(spark, catalogIdent)
     Seq.empty
   }
 }
@@ -120,7 +140,8 @@ final case class GraftUpdateCommand(index: GraftFileIndex,
   * The final state commits through [[GraftTable.replaceWith]] — one
   * commit, [[GraftTable]] conflict detection included. */
 final case class GraftMergeCommand(merge: MergeIntoTable,
-    index: GraftFileIndex) extends LeafRunnableCommand {
+    index: GraftFileIndex,
+    catalogIdent: Option[TableIdentifier] = None) extends LeafRunnableCommand {
 
   private val TMark = "__graft_t"
   private val SMark = "__graft_s"
@@ -217,6 +238,7 @@ final case class GraftMergeCommand(merge: MergeIntoTable,
       Map("mergeClauses" -> (merge.matchedActions.size + merge.notMatchedActions.size +
         merge.notMatchedBySourceActions.size).toString))
     index.refresh()
+    GraftDml.refreshCatalog(spark, catalogIdent)
     Seq.empty
   }
 }
@@ -258,13 +280,16 @@ final class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         overwrite = i.mode == org.apache.spark.sql.SaveMode.Overwrite)
     case d @ DeleteFromTable(target, condition) if d.resolved =>
       GraftDml.graftIndexOf(target)
-        .map(GraftDeleteCommand(_, condition): LogicalPlan).getOrElse(d)
+        .map(GraftDeleteCommand(_, condition,
+          GraftDml.tableIdentOf(target)): LogicalPlan).getOrElse(d)
     case u @ UpdateTable(target, assignments, condition) if u.resolved =>
       GraftDml.graftIndexOf(target)
-        .map(GraftUpdateCommand(_, assignments, condition): LogicalPlan).getOrElse(u)
+        .map(GraftUpdateCommand(_, assignments, condition,
+          GraftDml.tableIdentOf(target)): LogicalPlan).getOrElse(u)
     case m: MergeIntoTable if m.resolved =>
       GraftDml.graftIndexOf(m.targetTable)
-        .map(GraftMergeCommand(m, _): LogicalPlan).getOrElse(m)
+        .map(GraftMergeCommand(m, _,
+          GraftDml.tableIdentOf(m.targetTable)): LogicalPlan).getOrElse(m)
     case other => other
   }
 }

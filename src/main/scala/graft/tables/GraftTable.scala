@@ -185,6 +185,68 @@ final class GraftTable private (
     recordConstraintCommit("add", name, predicateSql)
   }
 
+  // ------------------------------------------------------ table properties
+
+  private val propertiesFile = new Path(logDir, "_properties.json")
+
+  /** Persisted per-table properties (Delta's TBLPROPERTIES model): known
+    * snake_case settings keys OVERRIDE the session [[GraftSettings]] for
+    * this table — so `deletion_vectors` / `change_data_feed` /
+    * `compact_target_bytes` travel WITH the table and every writer
+    * (API, SQL DML, the streaming sink) honors them without session
+    * coordination; unknown keys ride along as free-form metadata. */
+  def tableProperties: Map[String, String] = {
+    if (!fs.exists(propertiesFile)) return Map.empty
+    val in = fs.open(propertiesFile)
+    try JsonMethods.parse(in).extract[Map[String, String]]
+    finally in.close()
+  }
+
+  /** Set (merge) properties. Known settings keys are validated by
+    * parsing them immediately — a typo'd value fails HERE, not on some
+    * later write. Admin DDL: single-writer, like [[setBucketSpec]]. */
+  def setProperties(props: Map[String, String]): Unit = {
+    props.foreach { case (k, v) =>
+      // validation only — throws on a malformed value for a known key
+      GraftSettings.withSetting(settings, k, v)
+    }
+    writeProperties(tableProperties ++ props)
+    recordPropertiesCommit("set", props.keys.toSeq)
+  }
+
+  /** Remove properties (absent keys tolerated — Delta's UNSET shape). */
+  def unsetProperties(keys: Seq[String]): Unit = {
+    writeProperties(tableProperties -- keys)
+    recordPropertiesCommit("unset", keys)
+  }
+
+  private def writeProperties(props: Map[String, String]): Unit = {
+    if (props.isEmpty) { fs.delete(propertiesFile, false); return }
+    fs.mkdirs(new Path(logDir))
+    val tmp = new Path(logDir, s".properties.${UUID.randomUUID()}.tmp")
+    val out = fs.create(tmp, false)
+    try out.write(Serialization.write(props).getBytes("UTF-8"))
+    finally out.close()
+    fs.delete(propertiesFile, false)
+    if (!fs.rename(tmp, propertiesFile)) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(s"failed to publish properties at $path")
+    }
+  }
+
+  private def recordPropertiesCommit(op: String, keys: Seq[String]): Unit =
+    if (exists)
+      commitSchemaChange("properties",
+        Map("op" -> op, "keys" -> keys.mkString(",")))(identity)
+
+  /** The settings THIS table operates under: session settings overridden
+    * by the persisted properties. Consulted per write/maintenance call —
+    * one tiny sidecar read against a parquet write's cost. */
+  private def effectiveSettings: GraftSettings =
+    tableProperties.foldLeft(settings) { case (s, (k, v)) =>
+      GraftSettings.withSetting(s, k, v).getOrElse(s)
+    }
+
   // ------------------------------------------------------- column mapping
 
   /** RENAME COLUMN as a METADATA-ONLY commit (Delta's column mapping):
@@ -496,7 +558,7 @@ final class GraftTable private (
     * it, a transient fs error) is swallowed — readers fall back to the
     * commits themselves. */
   private def maybeWriteCheckpoint(version: Long): Unit = {
-    val interval = settings.logCheckpointInterval
+    val interval = effectiveSettings.logCheckpointInterval
     if (interval <= 0 || version % interval != 0) return
     try {
       val snap = snapshot(version)
@@ -791,7 +853,7 @@ final class GraftTable private (
     * Timestamps are stored as epoch micros — decimal strings don't order
     * lexicographically, micros compare numerically. */
   private def collectStats(stagingDir: String, df: DataFrame): Map[String, FileStats] = {
-    if (!settings.collectFileStats) return Map.empty
+    if (!effectiveSettings.collectFileStats) return Map.empty
     val statFields = df.schema.fields.filter(f => isStatType(f.dataType)).toSeq
     val data = spark.read.parquet(stagingDir)
     val aggs = statFields.flatMap { f =>
@@ -850,7 +912,7 @@ final class GraftTable private (
     // any parquet reader on equality predicates — the high-cardinality
     // complement to the min/max stats (which only prune ranges)
     def withBlooms(w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row]) =
-      settings.bloomFilterColumns.filter(df.columns.contains)
+      effectiveSettings.bloomFilterColumns.filter(df.columns.contains)
         .foldLeft(w)((w, c) =>
           w.option(s"parquet.bloom.filter.enabled#${mapping.getOrElse(c, c)}", "true"))
     spec match {
@@ -1363,8 +1425,8 @@ final class GraftTable private (
     }
     // CDF: the affected-file snapshot and the update batch each feed the
     // merge AND the change-row joins — materialize once, not per consumer
-    val snap = if (settings.changeDataFeed) current.map(_.localCheckpoint(true)) else current
-    val ups = if (settings.changeDataFeed) upserted.localCheckpoint(true) else upserted
+    val snap = if (effectiveSettings.changeDataFeed) current.map(_.localCheckpoint(true)) else current
+    val ups = if (effectiveSettings.changeDataFeed) upserted.localCheckpoint(true) else upserted
     val merged = snap match {
       case Some(df) =>
         df.join(updateKeys, keyCols, "left_anti")
@@ -1372,7 +1434,7 @@ final class GraftTable private (
       case None => ups
     }
     val changeFiles: Option[Seq[String]] =
-      if (!settings.changeDataFeed) None
+      if (!effectiveSettings.changeDataFeed) None
       else Some(stageChangeRows(snap match {
         case Some(df) =>
           val delKeys = updates.filter(col(opCol) === deleteOp)
@@ -1503,7 +1565,7 @@ final class GraftTable private (
     val snap = snapshot() // pinned: file set AND conflict base version
     val affected = pruneLive(snap, atoms)
     if (affected.isEmpty) return None
-    if (settings.deletionVectors)
+    if (effectiveSettings.deletionVectors)
       dvMark(predicate, atoms, snap, affected, assignments = None) match {
         case Right(commit) => return commit
         case Left(_)       => () // over the cap: fall through to the rewrite
@@ -1512,18 +1574,22 @@ final class GraftTable private (
       readDataFiles(affected, snap.schemaJson),
       spark, loadDvs(snap.dvFor, affected))
     // CDF consumes the source twice (remaining + deleted rows)
-    val src = if (settings.changeDataFeed) srcRaw.localCheckpoint(true) else srcRaw
+    val src = if (effectiveSettings.changeDataFeed) srcRaw.localCheckpoint(true) else srcRaw
     // SQL DELETE semantics: remove rows where the predicate is TRUE; rows
     // where it is NULL are kept (a bare !predicate would drop them)
     val remaining = src.filter(!coalesce(predicate, lit(false)))
     val changeFiles =
-      if (settings.changeDataFeed)
+      if (effectiveSettings.changeDataFeed)
         Some(stageChangeRows(tagged(src.filter(coalesce(predicate, lit(false))), "delete")))
       else None
     val (add, stats) = stage(remaining)
     Some(commitRewrite("delete", snap.version, add, affected,
       mayOverlap = mayMatchPredicate(atoms),
-      schemaJson = () => unionSchemaJson(remaining.schema),
+      // a DELETE never changes the schema: re-record the CURRENT log
+      // schema (per attempt — an interleaved append may widen it).
+      // Staging from a parquet read flips nullability, which would break
+      // catalog tables' user-specified schema equality on re-resolution.
+      schemaJson = () => currentSchemaJson.getOrElse(unionSchemaJson(remaining.schema)),
       Map("numRewrittenFiles" -> affected.size.toString,
         "numOutputFiles" -> add.size.toString), stats, changes = changeFiles))
   }
@@ -1565,7 +1631,7 @@ final class GraftTable private (
     val dvNow = snap.dvFor
     val priorDeleted = affected.flatMap(dvNow.get)
       .map(dv => DeletionVectors.read(fs, path, dv).length.toLong).sum
-    if (totalMatched + priorDeleted > settings.dvMaxDeletedRows) return Left(())
+    if (totalMatched + priorDeleted > effectiveSettings.dvMaxDeletedRows) return Left(())
     val perFile = matched.groupBy(col("__f"))
       .agg(sort_array(collect_list(col("__i"))).as("__ps"))
       .collect()
@@ -1586,7 +1652,7 @@ final class GraftTable private (
     val (action, add, stats, changeFiles, extraMetrics) = assignments match {
       case None =>
         val changes =
-          if (settings.changeDataFeed) Some(stageChangeRows(tagged(matchedRows, "delete")))
+          if (effectiveSettings.changeDataFeed) Some(stageChangeRows(tagged(matchedRows, "delete")))
           else None
         ("delete", Seq.empty[String], Map.empty[String, FileStats], changes,
           Map.empty[String, String])
@@ -1598,7 +1664,7 @@ final class GraftTable private (
           df.withColumn(name, value.cast(df.schema(name).dataType))
         }
         val changes =
-          if (settings.changeDataFeed)
+          if (effectiveSettings.changeDataFeed)
             Some(stageChangeRows(
               tagged(matchedRows, "update_preimage")
                 .unionByName(tagged(updated, "update_postimage"),
@@ -1630,7 +1696,9 @@ final class GraftTable private (
     val (add, stats) = stage(merged)
     commitRewrite(action, baseVersion, add, removeFiles,
       mayOverlap = _ => true,
-      schemaJson = () => unionSchemaJson(merged.schema),
+      // MERGE output is projected to the TARGET's columns (schema
+      // evolution is refused), so the schema is unchanged (see DELETE)
+      schemaJson = () => currentSchemaJson.getOrElse(unionSchemaJson(merged.schema)),
       metrics ++ Map("numOutputFiles" -> add.size.toString,
         "numRewrittenFiles" -> removeFiles.size.toString),
       stats)
@@ -1664,7 +1732,7 @@ final class GraftTable private (
     val snap = snapshot() // pinned: file set AND conflict base version
     val affected = pruneLive(snap, atoms)
     if (affected.isEmpty) return None
-    if (settings.deletionVectors)
+    if (effectiveSettings.deletionVectors)
       dvMark(predicate, atoms, snap, affected, Some(assignments)) match {
         case Right(commit) => return commit
         case Left(_)       => () // over the cap: fall through to the rewrite
@@ -1674,13 +1742,13 @@ final class GraftTable private (
       readDataFiles(affected, snap.schemaJson),
       spark, loadDvs(snap.dvFor, affected))
     // CDF consumes the source three times (rewrite + pre/postimage)
-    val src = if (settings.changeDataFeed) srcRaw.localCheckpoint(true) else srcRaw
+    val src = if (effectiveSettings.changeDataFeed) srcRaw.localCheckpoint(true) else srcRaw
     val updated = assignments.foldLeft(src) { case (df, (name, value)) =>
       require(df.columns.contains(name), s"unknown column '$name' in update")
       df.withColumn(name, when(cond, value).otherwise(col(name)))
     }
     val changeFiles =
-      if (settings.changeDataFeed)
+      if (effectiveSettings.changeDataFeed)
         Some(stageChangeRows(
           tagged(src.filter(cond), "update_preimage")
             .unionByName(tagged(updated.filter(cond), "update_postimage"),
@@ -1689,7 +1757,8 @@ final class GraftTable private (
     val (add, stats) = stage(updated)
     Some(commitRewrite("update", snap.version, add, affected,
       mayOverlap = mayMatchPredicate(atoms),
-      schemaJson = () => unionSchemaJson(updated.schema),
+      // UPDATE SET never changes the schema (see the DELETE note)
+      schemaJson = () => currentSchemaJson.getOrElse(unionSchemaJson(updated.schema)),
       Map("numRewrittenFiles" -> affected.size.toString,
         "numOutputFiles" -> add.size.toString), stats, changes = changeFiles))
   }
@@ -1731,7 +1800,7 @@ final class GraftTable private (
     // files from pre-stats commits
     val totalBytes = files.map(f => snap.stats.get(f).flatMap(_.bytes)
       .getOrElse(fs.getFileStatus(new Path(path, f)).getLen)).sum
-    val target = math.max(1, math.ceil(totalBytes.toDouble / settings.compactTargetBytes).toInt)
+    val target = math.max(1, math.ceil(totalBytes.toDouble / effectiveSettings.compactTargetBytes).toInt)
     val df = rewrite(read(), target)
     val (add, stats) = stage(df)
     Some(nextCommit("compact", dataChange = false, add, files,
@@ -1810,10 +1879,10 @@ final class GraftTable private (
     // bitmap, restoring the vectorized read path for that data
     val dvNow = snap.dvFor
     val small = snap.live.filter(f => inScope(f) &&
-      (dvNow.contains(f) || sizeOf(f) < settings.compactTargetBytes))
+      (dvNow.contains(f) || sizeOf(f) < effectiveSettings.compactTargetBytes))
     if (small.size <= 1 && !small.exists(dvNow.contains)) return None
     val totalBytes = small.map(sizeOf).sum
-    val target = math.max(1, math.ceil(totalBytes.toDouble / settings.compactTargetBytes).toInt)
+    val target = math.max(1, math.ceil(totalBytes.toDouble / effectiveSettings.compactTargetBytes).toInt)
     // read the small files under the LOG schema: a pre-evolution file's
     // missing columns land as NULL, and the packed output carries the
     // full current schema. Mapping-active snapshots route through the
