@@ -44,9 +44,15 @@ object LakehouseDemo {
       Expectations.Action.Warn))
 
   /** Land `batches` one by one and keep silver + gold in lockstep after
-    * each (the per-drop maintenance cadence a real pipeline runs). */
+    * each (the per-drop maintenance cadence a real pipeline runs). With
+    * `eraseUserId`, finish with the right-to-be-forgotten flow: flip
+    * silver to DELETION VECTORS via a table property (the erasure is a
+    * metadata commit — no 100 TB rewrite), fold the retraction into gold
+    * through the change feed, then purge the bitmaps with OPTIMIZE
+    * (dataChange=false: gold is untouched). */
   def run(spark: SparkSession, root: String,
-      batches: Seq[DataFrame]): Lakehouse = {
+      batches: Seq[DataFrame],
+      eraseUserId: Option[Long] = None): Lakehouse = {
     implicit val settings: GraftSettings =
       GraftSettings.local(root).copy(changeDataFeed = true)
     val bronze = GraftTable(spark, s"$root/bronze")
@@ -69,6 +75,13 @@ object LakehouseDemo {
       q.awaitTermination()
       gold.refresh() // fold ONLY this drop's change rows into the aggregate
       m
+    }
+    eraseUserId.foreach { uid =>
+      silver.setProperties(Map("deletion_vectors" -> "true"))
+      silver.delete(col("user_id") === uid) // bitmap sidecars, zero file rewrites
+      gold.refresh() // the change feed retracts the erased rows exactly
+      silver.optimize() // purge: bitmaps die, vectorized reads return
+      silver.unsetProperties(Seq("deletion_vectors"))
     }
     Lakehouse(bronze, quarantine, silver, gold, metrics)
   }

@@ -351,6 +351,23 @@ final case class GraftDropColumnCommand(target: Target,
   }
 }
 
+/** `REORG TABLE t APPLY (PURGE)` — Delta's deletion-vector purge:
+  * rewrite the files carrying DVs so the bitmaps die, rows materialize,
+  * and the vectorized read path (plus symlink manifests) return. Routed
+  * through [[GraftTable.optimize]], whose purge rule already treats every
+  * DV-bearing file as a rewrite candidate regardless of size. */
+final case class GraftReorgCommand(target: Target) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("purgedDeletionVectors", LongType, nullable = false)(),
+    AttributeReference("rewrittenFiles", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = target.resolve(spark)
+    val dvs = t.snapshot().dvFor.size.toLong
+    val c = t.optimize()
+    Seq(Row(dvs, c.map(_.remove.size.toLong).getOrElse(0L)))
+  }
+}
+
 /** `FSCK REPAIR TABLE t [DRY RUN]` — [[GraftTable.repair]]: drop log
   * references to data files missing on disk (one listing reconciliation);
   * DRY RUN reports without committing. */
@@ -415,6 +432,11 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     s"""(?is)\\s*ALTER\\s+TABLE\\s+$TPath\\s+UNSET\\s+TBLPROPERTIES(?:\\s+IF\\s+EXISTS)?\\s*\\(([^)]*)\\)\\s*;?\\s*""".r
   private val ShowProps: Regex =
     s"""(?is)\\s*SHOW\\s+TBLPROPERTIES\\s+$TPath\\s*;?\\s*""".r
+  // Delta's DV-purge statement: REORG TABLE t APPLY (PURGE) — rewrites
+  // exactly the files carrying deletion vectors (OPTIMIZE's purge rule
+  // already treats them as candidates regardless of size)
+  private val Reorg: Regex =
+    s"""(?is)\\s*REORG\\s+TABLE\\s+$T\\s+APPLY\\s*\\(\\s*PURGE\\s*\\)\\s*;?\\s*""".r
   // 'k' = 'v' pairs / bare 'k' items inside TBLPROPERTIES(...)
   private val PropPair: Regex = """'([^']*)'\s*=\s*'([^']*)'""".r
   private val PropKey: Regex = """'([^']*)'""".r
@@ -458,6 +480,7 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         PropKey.findAllMatchIn(body).map(_.group(1)).toSeq)
     case ShowProps(t) =>
       GraftShowPropertiesCommand(target(t))
+    case Reorg(t) => GraftReorgCommand(target(t))
     case Keyword(kw)      => throw new IllegalArgumentException(
       s"cannot parse graft ${kw.toUpperCase} statement — usage: " +
         "VACUUM <t> [RETAIN n HOURS | RETAIN n VERSIONS] [DRY RUN] | " +

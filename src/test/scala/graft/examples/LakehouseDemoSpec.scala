@@ -64,4 +64,34 @@ class LakehouseDemoSpec extends SparkSpecBase {
       .load(lake.silver.path)
       .filter(col("_change_type") === "insert").count() == 3)
   }
+
+  test("right-to-be-forgotten: DV erasure retracts from gold, purge restores the layout") {
+    val root = Files.createTempDirectory("graft-lakedemo-erase-").toString
+    val drop = Seq(
+      (1L, Some(10L), "click", BigDecimal(5.0)),
+      (2L, Some(10L), "purchase", BigDecimal(7.0)),
+      (3L, Some(11L), "click", BigDecimal(9.0))
+    ).toDF("event_id", "user_id", "event_type", "value")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value").cast("decimal(18,6)").as("value"))
+
+    val lake = LakehouseDemo.run(spark, root, Seq(drop), eraseUserId = Some(10L))
+
+    // the erased user is gone from silver; the purge left no bitmaps
+    assert(lake.silver.read().select("user_id").as[Long].collect().toSet == Set(11L))
+    // gold retracted EXACTLY the erased rows (change-feed folds, no rescan)
+    val gold = lake.gold.read()
+      .select(col("event_type"), col("cnt"), col("sum_value").cast("double"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    // (the fully-retracted 'purchase' key leaves the aggregate entirely)
+    assert(gold == Set(("click", 1L, 9.0)) ||
+      gold == Set(("click", 1L, 9.0), ("purchase", 0L, 0.0)))
+    // the delete commit wrote NOTHING: bitmaps for partially-hit files,
+    // pure metadata drops for fully-hit ones — never a rewrite
+    val del = lake.silver.commits().find(_.action == "delete").get
+    assert(del.add.isEmpty)
+    assert(del.dvs.exists(_.nonEmpty) || del.remove.nonEmpty)
+    // and the property round-trip left no residue
+    assert(lake.silver.tableProperties.isEmpty)
+  }
 }

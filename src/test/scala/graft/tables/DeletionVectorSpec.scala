@@ -118,6 +118,17 @@ class DeletionVectorSpec extends SparkSpecBase {
     assert(t.changesSince(t.version - 1).isEmpty)
   }
 
+  test("REORG TABLE APPLY (PURGE) is the SQL purge surface") {
+    val t = table(tmp("dv-reorg-"))
+    t.append((1 to 60).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1))
+    t.delete(col("id") <= 20)
+    assert(t.snapshot().dvFor.size === 1)
+    val row = spark.sql(s"REORG TABLE '${t.path}' APPLY (PURGE)").collect().head
+    assert(row.getLong(0) === 1L && row.getLong(1) >= 1L)
+    assert(t.snapshot().dvFor.isEmpty)
+    assert(t.read().count() === 40)
+  }
+
   test("restore to a pre-delete version resurrects rows (DV binding cleared)") {
     val t = table(tmp("dv-restore-"))
     t.append((1 to 100).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1)) // v1
