@@ -2018,7 +2018,32 @@ final class GraftTable private (
     val agedDvs = superseded.collect {
       case (dv, t) if t < cutoff && !liveDvs(dv) => dv
     }.toSeq
-    val all = removable ++ agedChanges ++ agedDvs
+    // ORPHAN sweep (Delta's vacuum semantics): files on disk that NO
+    // commit references — a lost version race's staged data files, a
+    // crashed writer's DV sidecars or change files — are invisible to the
+    // log-driven accounting above and would otherwise leak forever. Aged
+    // by file mtime; the retention window is also what protects an
+    // IN-FLIGHT writer's staged-but-uncommitted files (same contract as
+    // Delta: don't vacuum with retention below your longest write).
+    val cs = commits()
+    val referencedData = cs.flatMap(c => c.add ++ c.remove).toSet
+    val dataOrphans = FsUtils.dataFiles(spark, path)
+      .filter(st => !referencedData(st.getPath.getName) &&
+        st.getModificationTime < cutoff)
+      .map(_.getPath.getName)
+    def sideOrphans(dir: String, referenced: Set[String]): Seq[String] = {
+      val d = new Path(path, dir)
+      if (!fs.exists(d)) Seq.empty
+      else fs.listStatus(d).toSeq.filter(_.isFile)
+        .map(st => s"$dir/${st.getPath.getName}" -> st.getModificationTime)
+        .collect { case (rel, mtime) if !referenced(rel) && mtime < cutoff => rel }
+    }
+    val dvOrphans = sideOrphans(DeletionVectors.Dir,
+      cs.flatMap(_.dvs.getOrElse(Map.empty).values).toSet)
+    val changeOrphans = sideOrphans(changesDir,
+      cs.flatMap(_.changes.getOrElse(Seq.empty)).toSet)
+    val all = removable ++ agedChanges ++ agedDvs ++
+      dataOrphans ++ dvOrphans ++ changeOrphans
     // Delta's VACUUM DRY RUN: report what WOULD be deleted, touch nothing
     if (!dryRun) all.foreach(f => fs.delete(new Path(path, f), false))
     all

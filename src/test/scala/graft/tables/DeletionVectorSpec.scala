@@ -179,6 +179,24 @@ class DeletionVectorSpec extends SparkSpecBase {
     assert(t.read().count() === 48)
   }
 
+  test("vacuum sweeps unreferenced orphans: lost-race data files and crashed-writer sidecars") {
+    val t = table(tmp("dv-orphan-"))
+    t.append((1 to 20).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1))
+    val fs = new org.apache.hadoop.fs.Path(t.path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // an orphaned data file (a lost version race's staging leftover)
+    val orphan = new org.apache.hadoop.fs.Path(t.path, "part-orphan-000.parquet")
+    fs.create(orphan, false).close()
+    // an orphaned DV sidecar (a crashed writer's unpublished commit)
+    val dvOrphan = DeletionVectors.write(fs, t.path, Array(0L, 1L))
+    val gone = t.vacuum(retentionHours = 0)
+    assert(gone.contains("part-orphan-000.parquet"))
+    assert(gone.contains(dvOrphan))
+    assert(!fs.exists(orphan))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(t.path, dvOrphan)))
+    assert(t.read().count() === 20, "live files must survive the sweep")
+  }
+
   test("streaming: a DV commit in the tail fails loudly; ignoreChanges opts in") {
     val t = table(tmp("dv-stream-"))
     t.append((1 to 10).map(i => (i, s"v$i")).toDF("id", "v"))
