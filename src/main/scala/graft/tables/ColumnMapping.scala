@@ -96,8 +96,17 @@ private[tables] object ColumnMapping {
     * Unknown filter shapes are DROPPED, not passed through: a filter is
     * a pushdown HINT — Spark re-applies the full predicate above the
     * scan — so dropping costs I/O, while a wrong name returns wrong
-    * rows from the footer index. */
-  def mapFilter(m: Map[String, String], f: Filter): Option[Filter] = {
+    * rows from the footer index.
+    *
+    * POLARITY: a hint must only ever WEAKEN the real predicate. Dropping
+    * one side of an AND weakens it — but only in POSITIVE positions. The
+    * same move beneath a NOT strengthens the overall predicate
+    * (`Not(And(a, unknown))` → `Not(a)` admits fewer rows than the
+    * truth), and row-group stats would then skip groups holding matching
+    * rows. `positive` flips at every NOT; a partially-translatable AND
+    * in a negative position drops the whole subtree instead. */
+  def mapFilter(m: Map[String, String], f: Filter,
+      positive: Boolean = true): Option[Filter] = {
     def col(a: String): String = m.getOrElse(a, a)
     f match {
       case sources.EqualTo(a, v)            => Some(sources.EqualTo(col(a), v))
@@ -113,13 +122,22 @@ private[tables] object ColumnMapping {
       case sources.StringEndsWith(a, v)     => Some(sources.StringEndsWith(col(a), v))
       case sources.StringContains(a, v)     => Some(sources.StringContains(col(a), v))
       case sources.And(l, r) =>
-        (mapFilter(m, l), mapFilter(m, r)) match {
+        (mapFilter(m, l, positive), mapFilter(m, r, positive)) match {
           case (Some(a), Some(b)) => Some(sources.And(a, b))
-          case (a, b)             => a.orElse(b) // AND may weaken to one side
+          // AND may weaken to one side only where weakening is sound
+          case (a, b) if positive => a.orElse(b)
+          case _                  => None
         }
       case sources.Or(l, r) =>
-        for (a <- mapFilter(m, l); b <- mapFilter(m, r)) yield sources.Or(a, b)
-      case sources.Not(c) => mapFilter(m, c).map(sources.Not)
+        (mapFilter(m, l, positive), mapFilter(m, r, positive)) match {
+          case (Some(a), Some(b)) => Some(sources.Or(a, b))
+          // beneath a NOT an OR side-drop WEAKENS the overall hint
+          // (Not(Or(a,u)) = Not(a) AND Not(u), and Not(a) alone admits
+          // more rows) — the mirror image of the AND rule above
+          case (a, b) if !positive => a.orElse(b)
+          case _                   => None
+        }
+      case sources.Not(c) => mapFilter(m, c, !positive).map(sources.Not)
       case _ => None
     }
   }

@@ -163,6 +163,31 @@ final class GraftFileIndex(private[tables] val table: GraftTable,
     * survive into frames users write back). */
   private[tables] def dataSchema: StructType =
     ColumnMapping.cleanMetadata(ColumnMapping.logicalSchema(storedSchema))
+
+  /** This index narrowed to `keep` — the file-scoping device behind the
+    * pruned MERGE: swapping the narrowed index into the captured analyzed
+    * plan (`LogicalRelation.copy`) keeps the relation's ATTRIBUTE IDS, so
+    * the user's resolved ON/action expressions still bind, while the scan
+    * physically lists only the kept files. Stats/bucket skipping from
+    * pushed filters still applies on top (intersection). Shares this
+    * instance's pin; `refresh` is a no-op — a rewrite command holds it
+    * only for the duration of one commit attempt. */
+  private[tables] def restrictTo(keep: Set[String]): FileIndex = new FileIndex {
+    override def rootPaths: Seq[Path] = GraftFileIndex.this.rootPaths
+    override def partitionSchema: StructType = new StructType()
+    override def listFiles(partitionFilters: Seq[Expression],
+        dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+      val p = pinned
+      val atoms = dataFilters.flatMap(ExpressionAtoms.conjuncts)
+      val kept = table.pruneLive(p.snap, atoms).filter(keep)
+      Seq(PartitionDirectory(InternalRow.empty, kept.map(p.statuses).toArray))
+    }
+    override def inputFiles: Array[String] =
+      pinned.snap.live.filter(keep).map(f => s"${table.path}/$f").toArray
+    override def refresh(): Unit = ()
+    override def sizeInBytes: Long =
+      pinned.statuses.collect { case (f, st) if keep(f) => st.getLen }.sum
+  }
 }
 
 private object GraftFileIndex {

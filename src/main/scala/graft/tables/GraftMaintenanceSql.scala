@@ -66,6 +66,29 @@ object GraftMaintenanceSql {
         s"graft table ${parts.mkString(".")} has no location"))
       GraftTable(spark, loc.toString)(graft.conf.GraftSettings.default)
     }
+
+    /** Does this identifier name a graft-provider catalog table? False
+      * for missing tables and other providers — the constraint DDL uses
+      * this to hand NON-graft targets back to Spark's own plan instead
+      * of failing them (the statement shape is valid v2 SQL there). */
+    def isGraftTable(spark: SparkSession): Boolean = {
+      val catalog = spark.sessionState.catalog
+      val ident = parts match {
+        case Seq(t)     => TableIdentifier(t)
+        case Seq(db, t) => TableIdentifier(t, Some(db))
+        case _          => return false
+      }
+      catalog.tableExists(ident) &&
+        catalog.getTableMetadata(ident).provider.exists(_.equalsIgnoreCase("graft"))
+    }
+  }
+
+  /** Execute a delegate-parsed plan (analyze + run, side effects
+    * included) for a statement handed back to vanilla Spark. */
+  private[tables] def runFallback(spark: SparkSession,
+      plan: LogicalPlan): Seq[Row] = {
+    org.apache.spark.sql.graftbridge.PlanBridge.ofRows(spark, plan).collect()
+    Seq.empty
   }
 }
 
@@ -81,8 +104,9 @@ final case class GraftVacuumCommand(target: Target,
     Seq(AttributeReference("path", StringType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val t = target.resolve(spark)
-    t.vacuum(retainHours.getOrElse(graft.conf.GraftSettings.default.vacuumRetentionHours),
-      dryRun = dryRun).map(Row(_))
+    // no RETAIN clause → the TABLE's effective retention (TBLPROPERTIES
+    // override included) — vacuum(-1) resolves it inside GraftTable
+    t.vacuum(retainHours.getOrElse(-1.0), dryRun = dryRun).map(Row(_))
   }
 }
 
@@ -256,27 +280,42 @@ final case class GraftConvertCommand(target: Target,
 
 /** `ALTER TABLE t ADD CONSTRAINT name CHECK (pred)` —
   * [[GraftTable.addConstraint]]: validates existing rows (early-exit
-  * scan), persists the predicate, enforced in-plan on every later write. */
+  * scan), persists the predicate, enforced in-plan on every later write.
+  *
+  * `ALTER TABLE <ident> ...` is also valid Spark 4 v2 syntax, and the
+  * interception regex cannot see providers at parse time — so a NON-graft
+  * catalog target executes the DELEGATE's parse of the same statement
+  * (`fallback`) instead of failing, restoring vanilla semantics for
+  * v2/other-provider tables. */
 final case class GraftAddConstraintCommand(target: Target,
-    name: String, predicateSql: String) extends LeafRunnableCommand {
+    name: String, predicateSql: String,
+    fallback: Option[LogicalPlan] = None) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("name", StringType, nullable = false)(),
     AttributeReference("predicate", StringType, nullable = false)())
-  override def run(spark: SparkSession): Seq[Row] = {
-    target.resolve(spark).addConstraint(name, predicateSql)
-    Seq(Row(name, predicateSql))
+  override def run(spark: SparkSession): Seq[Row] = target match {
+    case it: IdentTarget if !it.isGraftTable(spark) && fallback.isDefined =>
+      GraftMaintenanceSql.runFallback(spark, fallback.get)
+    case _ =>
+      target.resolve(spark).addConstraint(name, predicateSql)
+      Seq(Row(name, predicateSql))
   }
 }
 
 /** `ALTER TABLE t DROP CONSTRAINT [IF EXISTS] name` —
-  * [[GraftTable.dropConstraint]]. */
+  * [[GraftTable.dropConstraint]]; non-graft catalog targets delegate,
+  * like [[GraftAddConstraintCommand]]. */
 final case class GraftDropConstraintCommand(target: Target,
-    name: String, ifExists: Boolean) extends LeafRunnableCommand {
+    name: String, ifExists: Boolean,
+    fallback: Option[LogicalPlan] = None) extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("name", StringType, nullable = false)())
-  override def run(spark: SparkSession): Seq[Row] = {
-    target.resolve(spark).dropConstraint(name, ifExists)
-    Seq(Row(name))
+  override def run(spark: SparkSession): Seq[Row] = target match {
+    case it: IdentTarget if !it.isGraftTable(spark) && fallback.isDefined =>
+      GraftMaintenanceSql.runFallback(spark, fallback.get)
+    case _ =>
+      target.resolve(spark).dropConstraint(name, ifExists)
+      Seq(Row(name))
   }
 }
 
@@ -450,6 +489,17 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     if (s.startsWith("'")) PathTarget(s.substring(1, s.length - 1))
     else IdentTarget(delegate.parseMultipartIdentifier(s))
 
+  /** The delegate's parse of the same statement, captured for CATALOG
+    * targets so the command can hand a non-graft table back to vanilla
+    * Spark at run time (providers are invisible at parse time). None for
+    * quoted paths (never valid vanilla syntax) or when the delegate
+    * cannot parse the statement either. */
+  private def identFallback(rawTarget: String,
+      sqlText: String): Option[LogicalPlan] =
+    if (rawTarget.startsWith("'")) None
+    else try Some(delegate.parsePlan(sqlText))
+    catch { case _: Exception => None }
+
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case VacuumLog(t, n)  => GraftVacuumLogCommand(target(t), n.toInt)
     case Vacuum(t, h, dry) =>
@@ -465,9 +515,11 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case Convert(t, noSt) => GraftConvertCommand(target(t), withStats = noSt == null)
     case Fsck(t, dry)     => GraftFsckCommand(target(t), dryRun = dry != null)
     case AddConstraint(t, n, pred) =>
-      GraftAddConstraintCommand(target(t), n, pred.trim)
+      GraftAddConstraintCommand(target(t), n, pred.trim,
+        identFallback(t, sqlText))
     case DropConstraint(t, ifEx, n) =>
-      GraftDropConstraintCommand(target(t), n, ifExists = ifEx != null)
+      GraftDropConstraintCommand(target(t), n, ifExists = ifEx != null,
+        fallback = identFallback(t, sqlText))
     case RenameColumn(t, from, to) =>
       GraftRenameColumnCommand(target(t), from, to)
     case DropColumn(t, ifEx, n) =>

@@ -3,7 +3,7 @@ package graft.tables
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.TableIdentifier
 import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedRelation}
-import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Cast, Expression, SubqueryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Cast, Expression, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
@@ -29,11 +29,14 @@ import org.apache.spark.sql.types.TimestampType
   *
   * Scale shape: DELETE/UPDATE extract skipping atoms from the ANALYZED
   * Catalyst condition ([[ExpressionAtoms]]) so a selective SQL DELETE
-  * rewrites O(matching files), exactly like the API path. MERGE rewrites
-  * the whole table (its scope is the full join); keyed CDC flows that
-  * need O(batch) merges use the bucketed `upsert` — the SQL MERGE is the
-  * ANSI-semantics surface, priced like Delta's un-pruned merge.
-  */
+  * rewrites O(matching files), exactly like the API path. MERGE with an
+  * equi-key ON condition file-prunes too (Delta's merge shape): the
+  * source's key min/max become skipping atoms, only files that can hold
+  * matches join and rewrite, everything else is retained untouched — a
+  * 10-row merge into a 100 TB table rewrites a handful of files, not the
+  * corpus. Non-equi merges and merges with `WHEN NOT MATCHED BY SOURCE`
+  * clauses (whose scope is genuinely every target row) fall back to the
+  * whole-table rewrite. */
 object GraftDml {
 
   /** The [[GraftFileIndex]] behind a resolved DML target, unwrapped
@@ -64,34 +67,142 @@ object GraftDml {
       ident: Option[TableIdentifier]): Unit =
     ident.foreach(spark.sessionState.catalog.refreshTable)
 
+  private[tables] def hasSubquery(e: Expression): Boolean =
+    e.exists(_.isInstanceOf[SubqueryExpression])
+
   /** Re-target a resolved condition at a FRESH scan by name: the command
     * applies it to DataFrames it builds itself (the pruned parquet read
     * inside delete/update), whose attribute ids differ from the analyzed
-    * plan's. Correlated subqueries cannot be re-bound this way — refused
-    * loudly. */
+    * plan's. Subquery conditions never take this path — they run through
+    * the captured-plan route ([[deleteFromPlan]]/[[updateFromPlan]]),
+    * which preserves attribute ids. */
   private[tables] def byName(e: Expression, op: String): Column = {
-    e.foreach {
-      case _: SubqueryExpression => throw new UnsupportedOperationException(
-        s"graft $op does not support subqueries in conditions — " +
-          "materialize the subquery into a source table and MERGE instead")
-      case _ => ()
-    }
+    require(!hasSubquery(e), s"internal: $op subquery condition must use the plan path")
     ColumnBridge.column(e.transform {
       case a: AttributeReference => UnresolvedAttribute(Seq(a.name))
     })
+  }
+
+  /** The captured analyzed plan with its graft scan narrowed to `keep` —
+    * [[GraftFileIndex.restrictTo]] swapped in via `LogicalRelation.copy`,
+    * which PRESERVES the relation's attribute ids, so every resolved
+    * condition/assignment expression still binds while the scan lists
+    * only the kept files. */
+  private[tables] def scopedTo(plan: LogicalPlan, index: GraftFileIndex,
+      keep: Set[String]): LogicalPlan = plan.transform {
+    case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] &&
+        (lr.relation.asInstanceOf[HadoopFsRelation].location eq index) =>
+      val fs = lr.relation.asInstanceOf[HadoopFsRelation]
+      lr.copy(relation = fs.copy(location = index.restrictTo(keep))(fs.sparkSession))
+  }
+
+  /** The files of the pinned snapshot that can hold rows matching `cond`,
+    * found by evaluating the ANALYZED plan itself (subqueries included)
+    * with the scan's file name attached per row. The scan self-prunes:
+    * Catalyst pushes the condition's plain conjuncts down to the graft
+    * file index, so stats/bucket skipping still applies before any I/O.
+    * Driver memory is bounded by the table's FILE count (metadata plane —
+    * the same bound Delta's merge/DML touched-file discovery carries). */
+  private def affectedFiles(spark: SparkSession, plan: LogicalPlan,
+      cond: Column): Seq[String] =
+    PlanBridge.ofRows(spark, plan)
+      .withColumn("__graft_f", col("_metadata.file_name"))
+      .filter(cond)
+      .select("__graft_f").distinct()
+      .collect().map(_.getString(0)).toSeq
+
+  /** DELETE with a subquery condition: evaluate against the captured
+    * analyzed plan (attribute ids preserved, so `IN (SELECT ...)` just
+    * runs), discover the touched files, rewrite ONLY those — the same
+    * O(matching files) shape as the atom-pruned path. */
+  private[tables] def deleteFromPlan(spark: SparkSession, index: GraftFileIndex,
+      target: LogicalPlan, condition: Expression): Unit = {
+    val table = index.table
+    val snap = index.pinnedSnapshot
+    val cond = coalesce(ColumnBridge.column(condition), lit(false))
+    val affected = affectedFiles(spark, target, cond)
+    if (affected.isEmpty) return
+    val scoped0 = PlanBridge.ofRows(spark, scopedTo(target, index, affected.toSet))
+    // CDF consumes the scoped scan twice (remaining + deleted rows)
+    val scoped =
+      if (table.effectiveSettings.changeDataFeed) scoped0.localCheckpoint(true)
+      else scoped0
+    val remaining = scoped.filter(!cond)
+    val changeFiles =
+      if (table.effectiveSettings.changeDataFeed)
+        Some(table.stageChangeRows(table.tagged(scoped.filter(cond), "delete")))
+      else None
+    table.replaceWith("delete", snap.version, affected, remaining,
+      Map.empty, atoms = ExpressionAtoms.conjuncts(condition),
+      changes = changeFiles)
+  }
+
+  /** UPDATE with subqueries in the condition or assignment values — the
+    * captured-plan twin of [[GraftTable.updateImpl]]. */
+  private[tables] def updateFromPlan(spark: SparkSession, index: GraftFileIndex,
+      target: LogicalPlan, assigns: Map[String, Expression],
+      condition: Option[Expression]): Unit = {
+    val table = index.table
+    val snap = index.pinnedSnapshot
+    val cond = condition
+      .map(e => coalesce(ColumnBridge.column(e), lit(false))).getOrElse(lit(true))
+    val affected = affectedFiles(spark, target, cond)
+    if (affected.isEmpty) return
+    val scoped0 = PlanBridge.ofRows(spark, scopedTo(target, index, affected.toSet))
+    val scoped =
+      if (table.effectiveSettings.changeDataFeed) scoped0.localCheckpoint(true)
+      else scoped0
+    val targetCols = target.output
+    def projected(rows: DataFrame, applyAssigns: Boolean): DataFrame =
+      rows.select(targetCols.map { a =>
+        assigns.get(a.name) match {
+          case Some(v) if applyAssigns =>
+            ColumnBridge.column(v).cast(a.dataType).as(a.name)
+          case _ => ColumnBridge.column(a).as(a.name)
+        }
+      }: _*)
+    val updated = scoped.select(targetCols.map { a =>
+      assigns.get(a.name) match {
+        // per-row gate, like updateImpl: scoped files hold non-matching
+        // rows too — those carry through unchanged
+        case Some(v) =>
+          when(cond, ColumnBridge.column(v).cast(a.dataType))
+            .otherwise(ColumnBridge.column(a)).as(a.name)
+        case None => ColumnBridge.column(a).as(a.name)
+      }
+    }: _*)
+    val changeFiles =
+      if (table.effectiveSettings.changeDataFeed) {
+        val matched = scoped.filter(cond)
+        Some(table.stageChangeRows(
+          table.tagged(projected(matched, applyAssigns = false), "update_preimage")
+            .unionByName(
+              table.tagged(projected(matched, applyAssigns = true), "update_postimage"),
+              allowMissingColumns = true)))
+      } else None
+    table.replaceWith("update", snap.version, affected, updated,
+      Map.empty,
+      atoms = condition.map(ExpressionAtoms.conjuncts).getOrElse(Seq(PredOpaque)),
+      changes = changeFiles)
   }
 }
 
 /** `DELETE FROM t WHERE p` — the same pruned-rewrite as
   * [[GraftTable.delete]]: only files whose stats admit matching rows are
-  * rewritten. */
+  * rewritten. Subquery conditions (`WHERE id IN (SELECT ...)`) run
+  * against the captured analyzed plan instead of being refused. */
 final case class GraftDeleteCommand(index: GraftFileIndex,
+    target: LogicalPlan,
     condition: Expression,
-    catalogIdent: Option[TableIdentifier] = None) extends LeafRunnableCommand {
+    catalogIdent: Option[TableIdentifier] = None)
+  extends LeafRunnableCommand with SupportsSubquery {
   override def run(spark: SparkSession): Seq[Row] = {
-    index.table.deleteImpl(
-      GraftDml.byName(condition, "DELETE"),
-      ExpressionAtoms.conjuncts(condition))
+    if (GraftDml.hasSubquery(condition))
+      GraftDml.deleteFromPlan(spark, index, target, condition)
+    else
+      index.table.deleteImpl(
+        GraftDml.byName(condition, "DELETE"),
+        ExpressionAtoms.conjuncts(condition))
     index.refresh()
     GraftDml.refreshCatalog(spark, catalogIdent)
     Seq.empty
@@ -100,22 +211,32 @@ final case class GraftDeleteCommand(index: GraftFileIndex,
 
 /** `UPDATE t SET c = v WHERE p` — the pruned rewrite of
   * [[GraftTable.update]]. Top-level column assignments only (nested
-  * struct-field updates are refused loudly). */
+  * struct-field updates are refused loudly); subqueries in the condition
+  * or assignment values run against the captured analyzed plan. */
 final case class GraftUpdateCommand(index: GraftFileIndex,
+    target: LogicalPlan,
     assignments: Seq[Assignment],
     condition: Option[Expression],
-    catalogIdent: Option[TableIdentifier] = None) extends LeafRunnableCommand {
+    catalogIdent: Option[TableIdentifier] = None)
+  extends LeafRunnableCommand with SupportsSubquery {
   override def run(spark: SparkSession): Seq[Row] = {
-    val assigns = assignments.map { a =>
+    val assignsE: Map[String, Expression] = assignments.map { a =>
       a.key match {
-        case k: AttributeReference => k.name -> GraftDml.byName(a.value, "UPDATE")
+        case k: AttributeReference => k.name -> a.value
         case other => throw new UnsupportedOperationException(
           s"graft UPDATE supports top-level column assignments only, got: $other")
       }
     }.toMap
-    val cond = condition.map(GraftDml.byName(_, "UPDATE")).getOrElse(lit(true))
-    val atoms = condition.map(ExpressionAtoms.conjuncts).getOrElse(Seq(PredOpaque))
-    index.table.updateImpl(cond, atoms, assigns)
+    val subq = condition.exists(GraftDml.hasSubquery) ||
+      assignsE.values.exists(GraftDml.hasSubquery)
+    if (subq)
+      GraftDml.updateFromPlan(spark, index, target, assignsE, condition)
+    else {
+      val assigns = assignsE.map { case (k, v) => k -> GraftDml.byName(v, "UPDATE") }
+      val cond = condition.map(GraftDml.byName(_, "UPDATE")).getOrElse(lit(true))
+      val atoms = condition.map(ExpressionAtoms.conjuncts).getOrElse(Seq(PredOpaque))
+      index.table.updateImpl(cond, atoms, assigns)
+    }
     index.refresh()
     GraftDml.refreshCatalog(spark, catalogIdent)
     Seq.empty
@@ -127,18 +248,33 @@ final case class GraftUpdateCommand(index: GraftFileIndex,
   *
   *  - matched actions apply FIRST-CLAUSE-WINS in declaration order
   *    (each clause's extra condition gates it); a matched target row no
-  *    clause claims is carried through unchanged;
+  *    clause claims is carried through unchanged — exactly ONCE, even
+  *    when an insert-only merge legitimately matches it to several
+  *    source rows (Delta permits multiple matches there);
   *  - `WHEN NOT MATCHED [BY TARGET]` inserts source rows the join missed;
   *  - `WHEN NOT MATCHED BY SOURCE` updates/deletes target rows with no
   *    source match;
   *  - a target row matching MULTIPLE source rows fails loudly (the ANSI
-  *    cardinality rule Delta enforces) whenever matched actions exist.
+  *    cardinality rule Delta enforces) whenever matched actions exist;
+  *  - `WITH SCHEMA EVOLUTION` widens the target with the source's new
+  *    columns (additive union, the same contract `append` implements):
+  *    update/insert rows take the source's values for the new columns,
+  *    carried-through rows read NULL.
   *
   * The captured ANALYZED target/source plans are evaluated via
   * [[PlanBridge.ofRows]], preserving attribute ids so the user's ON
   * condition and action expressions bind as-is over the full-outer join.
-  * The final state commits through [[GraftTable.replaceWith]] — one
-  * commit, [[GraftTable]] conflict detection included. */
+  *
+  * FILE PRUNING (Delta's merge shape): when the ON condition carries
+  * equi-key conjuncts (`t.k = <source expr>`) and no NOT-MATCHED-BY-SOURCE
+  * clause exists, one tiny aggregate computes the source keys' min/max,
+  * the existing stats atoms prune the target to the files that can hold
+  * matches, and ONLY those files join and rewrite — proven sound because
+  * a target row outside the pruned files can equal no source key, so it
+  * is "matched by nothing" and carrying its file through unchanged is
+  * exactly the no-clause semantics. The final state commits through
+  * [[GraftTable.replaceWith]] — one commit, conflict detection scoped by
+  * the same key-range atoms. */
 final case class GraftMergeCommand(merge: MergeIntoTable,
     index: GraftFileIndex,
     catalogIdent: Option[TableIdentifier] = None) extends LeafRunnableCommand {
@@ -147,10 +283,27 @@ final case class GraftMergeCommand(merge: MergeIntoTable,
   private val SMark = "__graft_s"
   private val TId = "__graft_tid"
 
+  /** Equi-key conjuncts of the ON condition: (bare target attribute,
+    * source-only expression). Extra conjuncts are fine (pruning with a
+    * SUBSET of the equi keys stays sound — every match still satisfies
+    * the extracted equalities); `t.k` wrapped in casts/functions is
+    * skipped (stats speak raw column values). */
+  private def equiKeys: Seq[(AttributeReference, Expression)] = {
+    val targetIds = merge.targetTable.outputSet
+    val sourceIds = merge.sourceTable.outputSet
+    def split(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) => split(l) ++ split(r)
+      case other => Seq(other)
+    }
+    split(merge.mergeCondition).collect {
+      case org.apache.spark.sql.catalyst.expressions.EqualTo(t: AttributeReference, s)
+          if targetIds.contains(t) && s.references.subsetOf(sourceIds) => (t, s)
+      case org.apache.spark.sql.catalyst.expressions.EqualTo(s, t: AttributeReference)
+          if targetIds.contains(t) && s.references.subsetOf(sourceIds) => (t, s)
+    }
+  }
+
   override def run(spark: SparkSession): Seq[Row] = {
-    if (merge.withSchemaEvolution) throw new UnsupportedOperationException(
-      "graft MERGE does not support WITH SCHEMA EVOLUTION yet — append the " +
-        "new columns first (additive evolution), then MERGE")
     val table = index.table
     val snap = index.pinnedSnapshot
     val targetCols = merge.targetTable.output
@@ -158,7 +311,52 @@ final case class GraftMergeCommand(merge: MergeIntoTable,
       require(n != TMark && n != SMark && n != TId, s"column name '$n' is reserved")
     }
 
-    val target = PlanBridge.ofRows(spark, merge.targetTable)
+    // WITH SCHEMA EVOLUTION: the source attributes absent from the target
+    // (by case-insensitive name, Spark's resolution default)
+    val evolved: Seq[Attribute] =
+      if (!merge.withSchemaEvolution) Seq.empty
+      else {
+        val existing = merge.targetTable.schema.fieldNames.map(_.toLowerCase).toSet
+        merge.sourceTable.output.filterNot(a => existing(a.name.toLowerCase))
+      }
+    evolved.foreach { a =>
+      require(a.name != TMark && a.name != SMark && a.name != TId,
+        s"evolved column name '${a.name}' is reserved")
+    }
+
+    // ---- file pruning from the ON condition's equi keys ----
+    val keys = if (merge.notMatchedBySourceActions.isEmpty) equiKeys else Seq.empty
+    val (affected: Seq[String], pruneAtoms: Seq[PredAtom]) =
+      if (keys.isEmpty) (snap.live, Seq(PredOpaque))
+      else {
+        // ONE aggregate over the source: per-key min/max. Null min ⇔ the
+        // key is all-null/empty — no target row can match it (EqualTo),
+        // so it contributes nothing; if EVERY key is null-ranged, no file
+        // holds matches at all and only inserts can apply.
+        val aggs = keys.zipWithIndex.flatMap { case ((_, s), i) =>
+          val c = ColumnBridge.column(s)
+          Seq(min(c).as(s"__mn$i"), max(c).as(s"__mx$i"))
+        }
+        val row = PlanBridge.ofRows(spark, merge.sourceTable)
+          .agg(aggs.head, aggs.tail: _*).head()
+        val atoms = keys.zipWithIndex.flatMap { case ((t, _), i) =>
+          (row.get(2 * i), row.get(2 * i + 1)) match {
+            case (mn, mx) if mn != null && mx != null =>
+              Seq(PredCmp(">=", t.name, mn), PredCmp("<=", t.name, mx))
+            case _ => Seq.empty
+          }
+        }
+        val allNullKeys = keys.nonEmpty && atoms.isEmpty
+        val files =
+          if (allNullKeys) Seq.empty[String]
+          else table.pruneLive(snap, atoms)
+        (files, if (atoms.isEmpty) Seq(PredOpaque) else atoms)
+      }
+    val scopedPlan =
+      if (affected.size == snap.live.size) merge.targetTable
+      else GraftDml.scopedTo(merge.targetTable, index, affected.toSet)
+
+    val target = PlanBridge.ofRows(spark, scopedPlan)
       .withColumn(TId, monotonically_increasing_id())
       .withColumn(TMark, lit(true))
     val source = PlanBridge.ofRows(spark, merge.sourceTable)
@@ -185,9 +383,10 @@ final case class GraftMergeCommand(merge: MergeIntoTable,
     def notPrior(prior: Seq[Option[Expression]]): Column =
       prior.foldLeft(lit(true))((acc, p) => acc && !gate(p))
 
-    /** Project a clause's output in the TARGET schema: assigned columns
-      * take their expression, the rest keep the target value (updates) or
-      * NULL (inserts). */
+    /** Project a clause's output in the (possibly evolved) TARGET schema:
+      * assigned columns take their expression, the rest keep the target
+      * value (updates) or NULL (inserts); evolved columns always read the
+      * SOURCE side (NULL on target-only rows by join construction). */
     def projected(rows: DataFrame, assigns: Seq[Assignment],
         forInsert: Boolean): DataFrame = {
       val byKey: Map[String, Expression] = assigns.map { a =>
@@ -203,8 +402,27 @@ final case class GraftMergeCommand(merge: MergeIntoTable,
           case None if forInsert => lit(null).cast(a.dataType).as(a.name)
           case None => ColumnBridge.column(a).as(a.name)
         }
-      }: _*)
+      } ++ evolved.map(a => ColumnBridge.column(a).as(a.name)): _*)
     }
+
+    /** Carried-through target rows, in the evolved schema (new columns
+      * NULL — the row is unchanged, Delta's evolution contract). The
+      * `dropDuplicates(TId)` is load-bearing for INSERT-ONLY merges:
+      * with no matched actions the ANSI cardinality check is skipped
+      * (Delta permits multiple matches there), so a target row matching
+      * N source rows appears N times in the join — it must still be
+      * written back exactly once. */
+    def carried(rows: DataFrame): DataFrame =
+      rows.dropDuplicates(TId).select(
+        targetCols.map(a => ColumnBridge.column(a).as(a.name)) ++
+          evolved.map(a => lit(null).cast(a.dataType).as(a.name)): _*)
+
+    // CDF (Delta merge parity): per claimed action — update pre/postimage
+    // pairs, insert rows, delete rows; carried-through rows record nothing
+    val cdf = table.effectiveSettings.changeDataFeed
+    val changePieces = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    def recordChange(df: DataFrame, changeType: String): Unit =
+      if (cdf) changePieces += table.tagged(df, changeType)
 
     def chain(rows: DataFrame, actions: Seq[MergeAction],
         keepUnclaimed: Boolean, forInsert: Boolean): Seq[DataFrame] = {
@@ -213,17 +431,24 @@ final case class GraftMergeCommand(merge: MergeIntoTable,
         val mine = rows.filter(gate(act.condition) && notPrior(prior))
         prior :+= act.condition
         act match {
-          case UpdateAction(_, assigns, _) => Some(projected(mine, assigns, forInsert = false))
-          case InsertAction(_, assigns)    => Some(projected(mine, assigns, forInsert = forInsert))
-          case _: DeleteAction          => None // contributes nothing
+          case UpdateAction(_, assigns, _) =>
+            val out = projected(mine, assigns, forInsert = false)
+            recordChange(carried(mine), "update_preimage")
+            recordChange(out, "update_postimage")
+            Some(out)
+          case InsertAction(_, assigns) =>
+            val out = projected(mine, assigns, forInsert = forInsert)
+            recordChange(out, "insert")
+            Some(out)
+          case _: DeleteAction =>
+            recordChange(carried(mine), "delete")
+            None // contributes nothing to the new state
           case other => throw new UnsupportedOperationException(
             s"unsupported MERGE action: $other")
         }
       }
       val leftover =
-        if (keepUnclaimed)
-          Seq(rows.filter(notPrior(prior))
-            .select(targetCols.map(a => ColumnBridge.column(a).as(a.name)): _*))
+        if (keepUnclaimed) Seq(carried(rows.filter(notPrior(prior))))
         else Seq.empty
       outs ++ leftover
     }
@@ -233,11 +458,27 @@ final case class GraftMergeCommand(merge: MergeIntoTable,
         chain(sourceOnly, merge.notMatchedActions, keepUnclaimed = false, forInsert = true) ++
         chain(targetOnly, merge.notMatchedBySourceActions, keepUnclaimed = true, forInsert = false)
     val merged = pieces.reduce(_.unionByName(_))
+    val changeFiles =
+      if (!cdf) None
+      else if (changePieces.isEmpty) Some(Seq.empty[String]) // recorded, no rows
+      else Some(table.stageChangeRows(
+        changePieces.reduce(_.unionByName(_, allowMissingColumns = true))))
 
-    table.replaceWith("merge", snap.version, snap.live, merged,
+    table.replaceWith("merge", snap.version, affected, merged,
       Map("mergeClauses" -> (merge.matchedActions.size + merge.notMatchedActions.size +
-        merge.notMatchedBySourceActions.size).toString))
+        merge.notMatchedBySourceActions.size).toString,
+        "numTargetFilesSkipped" -> (snap.live.size - affected.size).toString),
+      atoms = pruneAtoms,
+      changes = changeFiles,
+      evolveSchema = merge.withSchemaEvolution && evolved.nonEmpty)
     index.refresh()
+    // catalog tables pin their creation-time schema as the data source's
+    // userSpecifiedSchema; an evolved log schema must be mirrored into
+    // the catalog or every later re-resolution fails the equality check
+    // (Delta updates the metastore on evolution the same way)
+    if (merge.withSchemaEvolution && evolved.nonEmpty)
+      catalogIdent.foreach(id =>
+        spark.sessionState.catalog.alterTableDataSchema(id, index.dataSchema))
     GraftDml.refreshCatalog(spark, catalogIdent)
     Seq.empty
   }
@@ -280,11 +521,11 @@ final class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         overwrite = i.mode == org.apache.spark.sql.SaveMode.Overwrite)
     case d @ DeleteFromTable(target, condition) if d.resolved =>
       GraftDml.graftIndexOf(target)
-        .map(GraftDeleteCommand(_, condition,
+        .map(GraftDeleteCommand(_, target, condition,
           GraftDml.tableIdentOf(target)): LogicalPlan).getOrElse(d)
     case u @ UpdateTable(target, assignments, condition) if u.resolved =>
       GraftDml.graftIndexOf(target)
-        .map(GraftUpdateCommand(_, assignments, condition,
+        .map(GraftUpdateCommand(_, target, assignments, condition,
           GraftDml.tableIdentOf(target)): LogicalPlan).getOrElse(u)
     case m: MergeIntoTable if m.resolved =>
       GraftDml.graftIndexOf(m.targetTable)

@@ -439,12 +439,29 @@ private[tables] final class GraftCdfStreamSource(
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowCapV = Some(table.version)
 
+  /** Size memo for files whose bytes are NOT in the log (recorded change
+    * files — `c.stats` only covers added DATA files): one HEAD per file,
+    * ever, mirroring [[GraftStreamSource.sizeOf]]. Without the fallback a
+    * DML-heavy backlog weighed 0 bytes and maxBytesPerTrigger admitted it
+    * all in one micro-batch. */
+  private val sizeCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private def sizeOf(f: String, logged: Option[Long]): Long = logged.getOrElse {
+    val hit = sizeCache.get(f)
+    if (hit != null) return hit.longValue()
+    val len = graft.lake.FsUtils.fs(table.spark, table.path)
+      .getFileStatus(new org.apache.hadoop.fs.Path(table.path, f)).getLen
+    sizeCache.put(f, len)
+    len
+  }
+
   /** A commit's admission weight: the files this source must READ to
-    * serve it. Byte sizes come from logged stats when present. */
+    * serve it. Byte sizes come from logged stats when present, a cached
+    * HEAD otherwise. */
   private def weight(c: Commit): (Int, Long) = {
     val names = c.changes.getOrElse(c.add ++ c.remove)
     val bytes = names.map(f =>
-      c.stats.flatMap(_.get(f)).flatMap(_.bytes).getOrElse(0L)).sum
+      sizeOf(f, c.stats.flatMap(_.get(f)).flatMap(_.bytes))).sum
     (names.size, bytes)
   }
 
@@ -495,7 +512,12 @@ private[tables] final class GraftCdfStreamSource(
   private def requireUnchangedSchema(endV: Long): Unit =
     if (endV > pinVersion)
       table.snapshot(endV).schemaJson
-        .map(DataType.fromJson(_).asInstanceOf[StructType])
+        // compare LOGICAL schemas, like the plain source: the stored one
+        // carries __dropped_* tombstones on any table that ever ran
+        // dropColumn, and comparing those against the pinned logical
+        // schema would fail EVERY post-start commit, permanently
+        .map(sj => ColumnMapping.logicalSchema(
+          DataType.fromJson(sj).asInstanceOf[StructType]))
         .filter(s => GraftCdfStreamSource.shapeOf(s) !=
           GraftCdfStreamSource.shapeOf(tableSchema))
         .foreach { evolved =>

@@ -196,11 +196,28 @@ final class GraftTable private (
     * (API, SQL DML, the streaming sink) honors them without session
     * coordination; unknown keys ride along as free-form metadata. */
   def tableProperties: Map[String, String] = {
-    if (!fs.exists(propertiesFile)) return Map.empty
-    val in = fs.open(propertiesFile)
-    try JsonMethods.parse(in).extract[Map[String, String]]
-    finally in.close()
+    // cached per instance, keyed by table VERSION (the [[listLog]]
+    // discipline): every cross-handle properties change publishes a
+    // commit, so "version unchanged" proves the sidecar is current —
+    // and `version` itself revalidates with one existence probe. A DML
+    // consults effectiveSettings ~5x; without this each consult is an
+    // open+parse RPC against the object store. Pre-creation tables
+    // (no log yet, sidecar mutable without commits) are never cached.
+    val v = if (exists) version else -1L
+    val cached = propsCache
+    if (cached != null && v >= 0 && cached._1 == v) return cached._2
+    val fresh =
+      if (!fs.exists(propertiesFile)) Map.empty[String, String]
+      else {
+        val in = fs.open(propertiesFile)
+        try JsonMethods.parse(in).extract[Map[String, String]]
+        finally in.close()
+      }
+    if (v >= 0) propsCache = (v, fresh)
+    fresh
   }
+
+  @volatile private var propsCache: (Long, Map[String, String]) = null
 
   /** Set (merge) properties. Known settings keys are validated by
     * parsing them immediately — a typo'd value fails HERE, not on some
@@ -221,6 +238,7 @@ final class GraftTable private (
   }
 
   private def writeProperties(props: Map[String, String]): Unit = {
+    propsCache = null // own writes visible before the commit publishes
     if (props.isEmpty) { fs.delete(propertiesFile, false); return }
     fs.mkdirs(new Path(logDir))
     val tmp = new Path(logDir, s".properties.${UUID.randomUUID()}.tmp")
@@ -242,7 +260,7 @@ final class GraftTable private (
   /** The settings THIS table operates under: session settings overridden
     * by the persisted properties. Consulted per write/maintenance call —
     * one tiny sidecar read against a parquet write's cost. */
-  private def effectiveSettings: GraftSettings =
+  private[tables] def effectiveSettings: GraftSettings =
     tableProperties.foldLeft(settings) { case (s, (k, v)) =>
       GraftSettings.withSetting(s, k, v).getOrElse(s)
     }
@@ -1052,7 +1070,7 @@ final class GraftTable private (
     * Files are uniquely named, so a commit that later loses its version
     * race just orphans them — readers only follow names recorded in a
     * published [[Commit]]. */
-  private def stageChangeRows(df: DataFrame): Seq[String] = {
+  private[tables] def stageChangeRows(df: DataFrame): Seq[String] = {
     val stagingId = UUID.randomUUID().toString
     val stagingDir = s"$path/$changesDir/.stage-$stagingId"
     df.write.mode("overwrite").parquet(stagingDir)
@@ -1066,7 +1084,7 @@ final class GraftTable private (
     names
   }
 
-  private def tagged(df: DataFrame, changeType: String): DataFrame =
+  private[tables] def tagged(df: DataFrame, changeType: String): DataFrame =
     df.withColumn("_change_type", lit(changeType))
 
   /** Row-level changes between versions `(fromExclusive, toInclusive]` as
@@ -1686,22 +1704,33 @@ final class GraftTable private (
       stats, changes = changeFiles, dvs = newDvs)))
   }
 
-  /** Replace the files of the snapshot at `baseVersion` with `merged` as
-    * one `action` commit through [[commitRewrite]] — the whole-table
-    * rewrite primitive behind SQL MERGE (whose scope is the full join, so
-    * any interleaved add conflicts). */
+  /** Replace `removeFiles` of the snapshot at `baseVersion` with `merged`
+    * as one `action` commit through [[commitRewrite]] — the rewrite
+    * primitive behind SQL MERGE and the subquery DML paths.
+    *
+    *  - `atoms`: the skipping atoms that SCOPED the rewrite (the MERGE's
+    *    source-key ranges, a DELETE's condition conjuncts). They drive the
+    *    conflict probe: an interleaved append whose stats prove disjoint
+    *    keys retries safely instead of conflicting. `PredOpaque` (default)
+    *    keeps the conservative any-add-conflicts behavior.
+    *  - `evolveSchema`: commit the UNION of the current log schema and the
+    *    frame's (MERGE `WITH SCHEMA EVOLUTION` — the additive contract
+    *    [[append]] implements); default re-records the current schema. */
   private[tables] def replaceWith(action: String, baseVersion: Long,
       removeFiles: Seq[String], merged: DataFrame,
-      metrics: Map[String, String]): Commit = {
+      metrics: Map[String, String],
+      atoms: Seq[PredAtom] = Seq(PredOpaque),
+      changes: Option[Seq[String]] = None,
+      evolveSchema: Boolean = false): Commit = {
     val (add, stats) = stage(merged)
     commitRewrite(action, baseVersion, add, removeFiles,
-      mayOverlap = _ => true,
-      // MERGE output is projected to the TARGET's columns (schema
-      // evolution is refused), so the schema is unchanged (see DELETE)
-      schemaJson = () => currentSchemaJson.getOrElse(unionSchemaJson(merged.schema)),
+      mayOverlap = mayMatchPredicate(atoms),
+      schemaJson = () =>
+        if (evolveSchema) unionSchemaJson(merged.schema)
+        else currentSchemaJson.getOrElse(unionSchemaJson(merged.schema)),
       metrics ++ Map("numOutputFiles" -> add.size.toString,
         "numRewrittenFiles" -> removeFiles.size.toString),
-      stats)
+      stats, changes = changes)
   }
 
   /** Conflict probe for predicate-scoped rewrites: can an interleaved
@@ -1980,10 +2009,20 @@ final class GraftTable private (
 
   /** GC files removed from the live set longer than `retentionHours` ago
     * (reference vacuums 768h every 25 versions, `cdc.py:264-269`).
-    * Returns deleted file names. */
-  def vacuum(retentionHours: Double = settings.vacuumRetentionHours,
+    * Returns deleted file names.
+    *
+    * The default retention comes from [[effectiveSettings]], NOT the
+    * session: a table that persisted `vacuum_retention_hours` in
+    * TBLPROPERTIES declared how long ITS readers may time-travel/stream —
+    * a session-default vacuum must not GC inside that window (properties
+    * are table facts, honored identically by every operation). An
+    * explicit argument still wins, like Delta's RETAIN clause. */
+  def vacuum(retentionHours: Double = -1.0,
       dryRun: Boolean = false): Seq[String] = {
-    val cutoff = System.currentTimeMillis() - (retentionHours * 3600 * 1000).toLong
+    val retention =
+      if (retentionHours >= 0) retentionHours
+      else effectiveSettings.vacuumRetentionHours
+    val cutoff = System.currentTimeMillis() - (retention * 3600 * 1000).toLong
     val live = liveFiles().toSet
     // a file is GC-able when some commit removed it, it is not live now,
     // and the REMOVING commit is older than the cutoff

@@ -181,4 +181,34 @@ class ColumnMappingSpec extends SparkSpecBase {
     assert(!ColumnMapping.active(stored),
       "renaming back to the physical name should leave no mapping state")
   }
+
+  test("mapFilter never strengthens a hint beneath NOT (polarity soundness)") {
+    import org.apache.spark.sql.sources
+    val m = Map("logical" -> "phys")
+    val known = sources.EqualTo("logical", 1)
+    val knownMapped = sources.EqualTo("phys", 1)
+    val unknown = sources.AlwaysTrue() // shape mapFilter cannot translate
+    // positive position: AND may weaken to its translatable side
+    assert(ColumnMapping.mapFilter(m, sources.And(known, unknown))
+      === Some(knownMapped))
+    // the SAME AND beneath NOT must drop entirely: Not(And(a, u)) -> Not(a)
+    // admits FEWER rows than the truth — row-group stats would then skip
+    // groups holding matching rows (the unsound prune this pins)
+    assert(ColumnMapping.mapFilter(m, sources.Not(sources.And(known, unknown)))
+      === None)
+    // OR beneath NOT may weaken: Not(Or(a, u)) = Not(a) AND Not(u) ⊇ Not(a)
+    assert(ColumnMapping.mapFilter(m, sources.Not(sources.Or(known, unknown)))
+      === Some(sources.Not(knownMapped)))
+    // positive OR with an untranslatable side drops (both sides required)
+    assert(ColumnMapping.mapFilter(m, sources.Or(known, unknown)) === None)
+    // double negation restores positive polarity: weakening is sound again
+    assert(ColumnMapping.mapFilter(m,
+      sources.Not(sources.Not(sources.And(known, unknown))))
+      === Some(sources.Not(sources.Not(knownMapped))))
+    // fully-translatable trees map through unchanged under any polarity
+    assert(ColumnMapping.mapFilter(m, sources.Not(sources.And(known,
+      sources.GreaterThan("logical", 0))))
+      === Some(sources.Not(sources.And(knownMapped,
+        sources.GreaterThan("phys", 0)))))
+  }
 }

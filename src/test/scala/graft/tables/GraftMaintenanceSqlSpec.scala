@@ -333,4 +333,28 @@ class GraftMaintenanceSqlSpec extends AnyFunSuite {
     val e = intercept[Exception](spark.sql("OPTIMIZE "))
     assert(e.getMessage.contains("usage"))
   }
+
+  test("constraint DDL on a NON-graft catalog table hands back to Spark's own plan") {
+    spark.sql("DROP TABLE IF EXISTS mx_plain_ct")
+    spark.sql("CREATE TABLE mx_plain_ct (id INT) USING parquet")
+    // Spark 4 parses ADD/DROP CONSTRAINT itself (v2 DDL); a non-graft
+    // provider must get Spark's semantics (here: Spark's own refusal for
+    // a v1 parquet table), NEVER the graft 'is not a graft table' error
+    scala.util.Try(
+      spark.sql("ALTER TABLE mx_plain_ct ADD CONSTRAINT pos CHECK (id > 0)").collect()
+    ) match {
+      case scala.util.Failure(e) =>
+        assert(!String.valueOf(e.getMessage).contains("graft"),
+          s"graft shadowed a non-graft table's constraint DDL: ${e.getMessage}")
+      case scala.util.Success(_) => () // future Spark may simply support it
+    }
+    scala.util.Try(
+      spark.sql("ALTER TABLE mx_plain_ct DROP CONSTRAINT IF EXISTS pos").collect()
+    ) match {
+      case scala.util.Failure(e) =>
+        assert(!String.valueOf(e.getMessage).contains("graft"))
+      case scala.util.Success(_) => ()
+    }
+    spark.sql("DROP TABLE mx_plain_ct")
+  }
 }

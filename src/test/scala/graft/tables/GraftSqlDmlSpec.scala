@@ -171,6 +171,151 @@ class GraftSqlDmlSpec extends AnyFunSuite {
       .as[String].collect().toSeq === Seq("b"))
   }
 
+  test("insert-only MERGE leaves multiply-matched target rows intact (no duplication)") {
+    import spark.implicits._
+    val (name, t) = freshTable(3)
+    // id=2 matches TWO source rows: Delta permits this for insert-only
+    // merges (no cardinality violation) and the target row must survive
+    // exactly once; id=9 is unmatched and inserts
+    Seq((2, "a"), (2, "b"), (9, "nine")).toDF("id", "v")
+      .createOrReplaceTempView("ins_only_src")
+    spark.sql(
+      s"""MERGE INTO $name t USING ins_only_src s ON t.id = s.id
+         |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""".stripMargin)
+    val got = spark.table(name).as[(Int, String)].collect().toSeq
+    assert(got.size === got.toSet.size, s"duplicated rows: $got")
+    assert(got.toSet === Set((1, "v1"), (2, "v2"), (3, "v3"), (9, "nine")))
+    assert(t.commits().last.action === "merge")
+  }
+
+  test("selective MERGE file-prunes: only files that can hold matching keys rewrite") {
+    import spark.implicits._
+    val (name, t) = freshTable(400) // 4 partitions -> >=2 files, disjoint id ranges
+    val live0 = t.snapshot().live.size
+    assert(live0 >= 2, s"need a multi-file table, got $live0")
+    // keys confined to the low range: high-range files must be retained
+    Seq((1, "ONE"), (3, "THREE"), (5, "FIVE")).toDF("id", "v")
+      .createOrReplaceTempView("narrow_src")
+    spark.sql(
+      s"""MERGE INTO $name t USING narrow_src s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin)
+    val c = t.commits().last
+    assert(c.action === "merge")
+    val rewritten = c.metrics("numRewrittenFiles").toInt
+    assert(rewritten < live0,
+      s"MERGE rewrote all $live0 files — pruning did not engage")
+    assert(c.metrics("numTargetFilesSkipped").toInt === live0 - rewritten)
+    // correctness: untouched rows intact, matched rows updated
+    val got = spark.table(name).as[(Int, String)].collect().toMap
+    assert(got.size === 400)
+    assert(got(1) === "ONE" && got(3) === "THREE" && got(5) === "FIVE")
+    assert(got(2) === "v2" && got(400) === "v400")
+  }
+
+  test("MERGE with NOT MATCHED BY SOURCE scans the whole table (no unsound pruning)") {
+    import spark.implicits._
+    val (name, t) = freshTable(400)
+    val live0 = t.snapshot().live.size
+    Seq((1, "ONE")).toDF("id", "v").createOrReplaceTempView("nmbs_src")
+    spark.sql(
+      s"""MERGE INTO $name t USING nmbs_src s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET v = s.v
+         |WHEN NOT MATCHED BY SOURCE AND t.id = 400 THEN DELETE""".stripMargin)
+    val c = t.commits().last
+    assert(c.metrics("numRewrittenFiles").toInt === live0)
+    val got = spark.table(name).as[(Int, String)].collect().toMap
+    assert(got.size === 399 && got(1) === "ONE" && !got.contains(400))
+  }
+
+  test("MERGE WITH SCHEMA EVOLUTION widens the target with the source's new columns") {
+    import spark.implicits._
+    val (name, t) = freshTable(3)
+    Seq((2, "TWO", 20L), (9, "nine", 90L)).toDF("id", "v", "score")
+      .createOrReplaceTempView("evo_src")
+    spark.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO $name t USING evo_src s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET v = s.v
+         |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""".stripMargin)
+    val got = spark.table(name)
+      .select("id", "v", "score").as[(Int, String, Option[Long])]
+      .collect().toSet
+    // update/insert rows take the source's new-column values; carried
+    // rows read NULL (Delta's evolution contract)
+    assert(got === Set(
+      (1, "v1", None), (3, "v3", None),
+      (2, "TWO", Some(20L)), (9, "nine", Some(90L))))
+    // the committed log schema carries the new column
+    assert(t.read().schema.fieldNames.contains("score"))
+  }
+
+  test("DELETE FROM with an IN-subquery condition") {
+    import spark.implicits._
+    val (name, t) = freshTable(10)
+    Seq(2, 4, 6).toDF("bad_id").createOrReplaceTempView("bad_ids")
+    spark.sql(s"DELETE FROM $name WHERE id IN (SELECT bad_id FROM bad_ids)")
+    assert(spark.table(name).select("id").as[Int].collect().sorted.toSeq ===
+      Seq(1, 3, 5, 7, 8, 9, 10))
+    assert(t.commits().last.action === "delete")
+    // relational twin: anti-join leaves the same rows
+    val twin = (1 to 10).toDF("id").join(Seq(2, 4, 6).toDF("id"), Seq("id"), "left_anti")
+    assert(twin.as[Int].collect().sorted.toSeq ===
+      spark.table(name).select("id").as[Int].collect().sorted.toSeq)
+  }
+
+  test("UPDATE with a scalar subquery in condition and assignment") {
+    import spark.implicits._
+    val (name, _) = freshTable(5)
+    Seq(3).toDF("cut").createOrReplaceTempView("cutoff")
+    spark.sql(
+      s"""UPDATE $name SET v = concat('id>', (SELECT CAST(cut AS STRING) FROM cutoff))
+         |WHERE id > (SELECT cut FROM cutoff)""".stripMargin)
+    assert(spark.table(name).as[(Int, String)].collect().toMap ===
+      Map(1 -> "v1", 2 -> "v2", 3 -> "v3", 4 -> "id>3", 5 -> "id>3"))
+  }
+
+  test("subquery DELETE records CDF change rows like the atom path") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-sqldml-cdf-").toString
+    val t = GraftTable(spark, s"$dir/t")(GraftSettings.default)
+    t.append((1 to 6).map(i => (i, s"v$i")).toDF("id", "v"))
+    // as a TABLE property, so the SQL command's own handle (built from
+    // session defaults) resolves CDF=on through effectiveSettings
+    t.setProperties(Map("change_data_feed" -> "true"))
+    spark.sql(s"DROP TABLE IF EXISTS sqldml_cdf")
+    spark.sql(s"CREATE TABLE sqldml_cdf USING graft LOCATION '${t.path}'")
+    Seq(2, 5).toDF("bad").createOrReplaceTempView("cdf_bad")
+    spark.sql(s"DELETE FROM sqldml_cdf WHERE id IN (SELECT bad FROM cdf_bad)")
+    val changes = t.readChanges(1)
+      .select("id", "_change_type").as[(Int, String)].collect().toSet
+    assert(changes === Set((2, "delete"), (5, "delete")))
+  }
+
+  test("MERGE records CDF change rows (Delta merge parity)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-sqldml-mcdf-").toString
+    val t = GraftTable(spark, s"$dir/t")(GraftSettings.default)
+    t.append((1 to 5).map(i => (i, s"v$i")).toDF("id", "v"))
+    t.setProperties(Map("change_data_feed" -> "true"))
+    spark.sql(s"DROP TABLE IF EXISTS sqldml_mcdf")
+    spark.sql(s"CREATE TABLE sqldml_mcdf USING graft LOCATION '${t.path}'")
+    Seq((2, "TWO"), (4, "DEL"), (9, "nine")).toDF("id", "v")
+      .createOrReplaceTempView("mcdf_src")
+    spark.sql(
+      s"""MERGE INTO sqldml_mcdf t USING mcdf_src s ON t.id = s.id
+         |WHEN MATCHED AND s.v = 'DEL' THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET v = s.v
+         |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""".stripMargin)
+    val mergeV = t.commits().last.version
+    val ch = t.readChanges(mergeV - 1, mergeV)
+      .select("id", "v", "_change_type").as[(Int, String, String)].collect().toSet
+    assert(ch === Set(
+      (2, "v2", "update_preimage"), (2, "TWO", "update_postimage"),
+      (4, "v4", "delete"), (9, "nine", "insert")))
+    // carried-through rows (1, 3, 5) record NOTHING — a merge that merely
+    // rewrote their file must not invent changes for them
+    assert(!ch.exists(c => Set(1, 3, 5)(c._1)))
+  }
+
   test("non-graft targets pass through untouched") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-sqldml-pq-").toString

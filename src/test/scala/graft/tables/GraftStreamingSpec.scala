@@ -264,6 +264,64 @@ class GraftStreamingSpec extends SparkSpecBase {
     assert(batches >= 3, s"expected >=3 capped batches, got $batches")
   }
 
+  test("live CDF stream keeps flowing on a table that ever dropped a column") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val root = tmp()
+    implicit val st: GraftSettings = GraftSettings.local(root).copy(changeDataFeed = true)
+    val src = GraftTable(spark, s"$root/src")
+    src.overwrite((1L to 4L).map(i => (i, s"k$i", i * 10)).toDF("id", "k", "junk"))
+    src.dropColumn("junk") // tombstone lives in the STORED schema forever
+    // one LIVE source instance (= one running query), pinned post-drop
+    val source = new GraftCdfStreamSource(src, Map.empty)
+    val off1 = source.latestOffset(null, ReadLimit.allAvailable())
+    // data commits land WHILE the query runs: their log schema carries the
+    // tombstone — the source must compare LOGICAL shapes (a tombstone is
+    // not an evolution). Before the fix EVERY such getBatch threw "schema
+    // changed", permanently breaking CDF streaming for the table.
+    src.append(Seq((5L, "k5")).toDF("id", "k"))
+    src.delete(col("id") === 1L)
+    val off2 = source.latestOffset(off1, ReadLimit.allAvailable())
+    val batch = source.getBatch(Some(GraftOffset.parse(off1)), GraftOffset.parse(off2))
+    assert(batch.columns.toSet ===
+      Set("id", "k", "_change_type", "_commit_version"))
+    // a REAL evolution mid-stream still fails loudly
+    src.append(Seq((6L, "k6", true)).toDF("id", "k", "extra"))
+    val off3 = source.latestOffset(off2, ReadLimit.allAvailable())
+    val e = intercept[IllegalStateException](
+      source.getBatch(Some(GraftOffset.parse(off2)), GraftOffset.parse(off3)))
+    assert(e.getMessage.contains("changed during the CDF stream"))
+    // restart (fresh drain, full replay): the dropped-column table's
+    // whole history flows, each commit read under ITS OWN mapping
+    drainCdf(s"$root/src", s"$root/out", s"$root/ckpt",
+      Map("startingVersion" -> "1"))
+    val got = spark.read.parquet(s"$root/out")
+    assert(got.filter(col("_change_type") === "insert")
+      .select("id").as[Long].collect().toSet === Set(1L, 2L, 3L, 4L, 5L, 6L))
+    assert(got.filter(col("_change_type") === "delete")
+      .select("id").as[Long].collect().toSet === Set(1L))
+    assert(!got.columns.contains("junk"))
+  }
+
+  test("CDF maxBytesPerTrigger weighs recorded change files (HEAD fallback)") {
+    val root = tmp()
+    implicit val st: GraftSettings = GraftSettings.local(root).copy(changeDataFeed = true)
+    val src = GraftTable(spark, s"$root/src")
+    src.overwrite((1L to 40L).map(i => (i, s"k$i")).toDF("id", "k"))
+    drainCdf(s"$root/src", s"$root/out", s"$root/ckpt") // positions at head
+    // a backlog of DML commits: their weight comes ONLY from change files
+    // (c.stats holds no entries for them — the HEAD fallback must kick in,
+    // or the whole backlog lands in one micro-batch)
+    (1L to 4L).foreach(i => src.delete(col("id") === i))
+    drainCdf(s"$root/src", s"$root/out", s"$root/ckpt",
+      Map("maxBytesPerTrigger" -> "1")) // every nonzero weight overflows
+    val got = spark.read.parquet(s"$root/out")
+    assert(got.filter(col("_change_type") === "delete")
+      .select("id").as[Long].collect().toSet === Set(1L, 2L, 3L, 4L))
+    // admission control split the 4 DML commits into >= 2 micro-batches
+    val batches = new java.io.File(s"$root/ckpt/offsets").listFiles().length
+    assert(batches >= 3, s"byte-capped CDF backlog drained in $batches batches")
+  }
+
   test("CDF stream fails loudly on a DML commit recorded without change data") {
     val root = tmp()
     // changeDataFeed OFF: the delete records no change rows

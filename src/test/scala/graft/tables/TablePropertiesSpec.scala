@@ -78,6 +78,62 @@ class TablePropertiesSpec extends SparkSpecBase {
     spark.sql("DROP TABLE props_plain")
   }
 
+  test("vacuum_retention_hours table property drives vacuum's default retention") {
+    val p = tmp("props-vac-")
+    val t = GraftTable(spark, p)(GraftSettings.default) // session default: 768h
+    t.append((1 to 10).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1))
+    // the table declares ITS retention (0h — discriminating: a vacuum
+    // that fell back to the session's 768h would keep everything)
+    t.setProperties(Map("vacuum_retention_hours" -> "0"))
+    t.overwrite(Seq((99, "only")).toDF("id", "v")) // v1's file turns dead
+    val deadFile = t.commits().find(_.action == "overwrite").get.remove.head
+    Thread.sleep(5) // the removing commit must be strictly older than the cutoff
+    // API vacuum with NO argument: table property wins over session default
+    val deleted = t.vacuum()
+    assert(deleted.contains(deadFile),
+      s"vacuum ignored the table's vacuum_retention_hours property: $deleted")
+    // SQL VACUUM with no RETAIN clause honors the property the same way
+    t.overwrite(Seq((100, "again")).toDF("id", "v"))
+    val deadFile2 = t.commits().filter(_.action == "overwrite").last.remove.head
+    Thread.sleep(5)
+    val sqlDeleted = spark.sql(s"VACUUM '$p'").collect().map(_.getString(0))
+    assert(sqlDeleted.contains(deadFile2))
+    // an explicit RETAIN (argument) still overrides the property — set a
+    // huge retention, dead files survive a no-arg vacuum but fall to an
+    // explicit 0h clause
+    t.setProperties(Map("vacuum_retention_hours" -> "10000"))
+    t.overwrite(Seq((101, "x")).toDF("id", "v"))
+    val deadFile3 = t.commits().filter(_.action == "overwrite").last.remove.head
+    assert(!t.vacuum().contains(deadFile3), "property retention must protect the file")
+    Thread.sleep(5) // the removing commit must be strictly older than the cutoff
+    assert(t.vacuum(retentionHours = 0.0).contains(deadFile3))
+  }
+
+  test("tableProperties are cached per instance, invalidated by version change") {
+    val p = tmp("props-cache-")
+    val t = GraftTable(spark, p)(GraftSettings.default)
+    t.append(Seq((1, "a")).toDF("id", "v"))
+    t.setProperties(Map("owner" -> "corpus-team"))
+    assert(t.tableProperties === Map("owner" -> "corpus-team"))
+    // delete the sidecar BEHIND the handle: a cached read must not notice
+    // while the version is unchanged (this is what makes the ~5
+    // effectiveSettings consults of one DML cost ~0 extra RPCs)
+    val fs = graft.lake.FsUtils.fs(spark, t.path)
+    val sidecar = new org.apache.hadoop.fs.Path(s"${t.path}/_graft_log/_properties.json")
+    assert(fs.exists(sidecar))
+    fs.delete(sidecar, false)
+    assert(t.tableProperties === Map("owner" -> "corpus-team"),
+      "version unchanged -> the cache must serve without re-reading")
+    // a commit (version change) invalidates: the vanished sidecar shows
+    t.append(Seq((2, "b")).toDF("id", "v"))
+    assert(t.tableProperties === Map.empty)
+    // cross-handle visibility: a FOREIGN writer's setProperties publishes
+    // a commit, so this handle's next read re-validates and sees it
+    val other = GraftTable(spark, p)(GraftSettings.default)
+    other.setProperties(Map("owner" -> "other-team"))
+    assert(t.tableProperties === Map("owner" -> "other-team"))
+  }
+
   test("compact_target_bytes property scopes OPTIMIZE's bin-packing") {
     val p = tmp("props-opt-")
     val t = GraftTable(spark, p)(GraftSettings.default)
