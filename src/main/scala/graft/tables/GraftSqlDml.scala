@@ -70,6 +70,60 @@ object GraftDml {
   private[tables] def hasSubquery(e: Expression): Boolean =
     e.exists(_.isInstanceOf[SubqueryExpression])
 
+  /** A resolved assignment key decomposed to (top-level target attribute,
+    * nested field path) — `SET s.a.b = x` arrives as GetStructField
+    * chains over the attribute. */
+  private[tables] def keyPath(e: Expression,
+      op: String): (AttributeReference, List[String]) = e match {
+    case a: AttributeReference => (a, Nil)
+    case g: org.apache.spark.sql.catalyst.expressions.GetStructField =>
+      val (a, p) = keyPath(g.child, op)
+      (a, p :+ g.extractFieldName)
+    case other => throw new UnsupportedOperationException(
+      s"graft $op supports column and struct-field assignment keys only, got: $other")
+  }
+
+  private def quotedPath(path: Seq[String]): String =
+    path.map(p => "`" + p.replace("`", "``") + "`").mkString(".")
+
+  private def fieldTypeOf(dt: org.apache.spark.sql.types.DataType,
+      path: Seq[String]): Option[org.apache.spark.sql.types.DataType] = path match {
+    case Seq() => Some(dt)
+    case h +: t => dt match {
+      case s: org.apache.spark.sql.types.StructType =>
+        s.fields.find(_.name == h).map(_.dataType).flatMap(fieldTypeOf(_, t))
+      case _ => None
+    }
+  }
+
+  /** Per top-level column, the effective assignment COLUMN: a whole-column
+    * assignment takes its value; nested field assignments (Delta's
+    * `UPDATE SET s.a = x` shape) fold `withField` over the column's
+    * current value, each value cast to the field's declared type so a
+    * literal can't silently drift the struct's schema. Mixing a
+    * whole-column and a nested assignment to the same column is refused
+    * (ambiguous order — Delta refuses too). */
+  private[tables] def effectiveAssigns(assignments: Seq[Assignment], op: String,
+      base: String => Column, valueOf: Expression => Column,
+      allowNested: Boolean = true): Map[String, Column] =
+    assignments.map(a => (keyPath(a.key, op), a.value))
+      .groupBy(_._1._1.name).map { case (top, entries) =>
+        val whole = entries.filter(_._1._2.isEmpty)
+        if (whole.nonEmpty) {
+          require(entries.size == 1,
+            s"$op: conflicting whole-column and field assignments to '$top'")
+          top -> valueOf(whole.head._2)
+        } else {
+          if (!allowNested) throw new UnsupportedOperationException(
+            s"graft $op INSERT assignments must be top-level columns")
+          top -> entries.foldLeft(base(top)) { case (c, ((topAttr, path), v)) =>
+            val vc = valueOf(v)
+            val cast = fieldTypeOf(topAttr.dataType, path).map(vc.cast).getOrElse(vc)
+            c.withField(quotedPath(path), cast)
+          }
+        }
+      }
+
   /** Re-target a resolved condition at a FRESH scan by name: the command
     * applies it to DataFrames it builds itself (the pruned parquet read
     * inside delete/update), whose attribute ids differ from the analyzed
@@ -138,9 +192,11 @@ object GraftDml {
   }
 
   /** UPDATE with subqueries in the condition or assignment values — the
-    * captured-plan twin of [[GraftTable.updateImpl]]. */
+    * captured-plan twin of [[GraftTable.updateImpl]]. `assigns` maps each
+    * affected TOP-LEVEL column to its effective value column
+    * ([[effectiveAssigns]] — nested field assignments already folded). */
   private[tables] def updateFromPlan(spark: SparkSession, index: GraftFileIndex,
-      target: LogicalPlan, assigns: Map[String, Expression],
+      target: LogicalPlan, assigns: Map[String, Column],
       condition: Option[Expression]): Unit = {
     val table = index.table
     val snap = index.pinnedSnapshot
@@ -156,8 +212,7 @@ object GraftDml {
     def projected(rows: DataFrame, applyAssigns: Boolean): DataFrame =
       rows.select(targetCols.map { a =>
         assigns.get(a.name) match {
-          case Some(v) if applyAssigns =>
-            ColumnBridge.column(v).cast(a.dataType).as(a.name)
+          case Some(v) if applyAssigns => v.cast(a.dataType).as(a.name)
           case _ => ColumnBridge.column(a).as(a.name)
         }
       }: _*)
@@ -166,7 +221,7 @@ object GraftDml {
         // per-row gate, like updateImpl: scoped files hold non-matching
         // rows too — those carry through unchanged
         case Some(v) =>
-          when(cond, ColumnBridge.column(v).cast(a.dataType))
+          when(cond, v.cast(a.dataType))
             .otherwise(ColumnBridge.column(a)).as(a.name)
         case None => ColumnBridge.column(a).as(a.name)
       }
@@ -210,9 +265,10 @@ final case class GraftDeleteCommand(index: GraftFileIndex,
 }
 
 /** `UPDATE t SET c = v WHERE p` — the pruned rewrite of
-  * [[GraftTable.update]]. Top-level column assignments only (nested
-  * struct-field updates are refused loudly); subqueries in the condition
-  * or assignment values run against the captured analyzed plan. */
+  * [[GraftTable.update]]. Column and nested struct-field assignment keys
+  * (`SET s.a = x`, Delta's shape — folded through `withField`);
+  * subqueries in the condition or assignment values run against the
+  * captured analyzed plan. */
 final case class GraftUpdateCommand(index: GraftFileIndex,
     target: LogicalPlan,
     assignments: Seq[Assignment],
@@ -220,19 +276,18 @@ final case class GraftUpdateCommand(index: GraftFileIndex,
     catalogIdent: Option[TableIdentifier] = None)
   extends LeafRunnableCommand with SupportsSubquery {
   override def run(spark: SparkSession): Seq[Row] = {
-    val assignsE: Map[String, Expression] = assignments.map { a =>
-      a.key match {
-        case k: AttributeReference => k.name -> a.value
-        case other => throw new UnsupportedOperationException(
-          s"graft UPDATE supports top-level column assignments only, got: $other")
-      }
-    }.toMap
     val subq = condition.exists(GraftDml.hasSubquery) ||
-      assignsE.values.exists(GraftDml.hasSubquery)
-    if (subq)
-      GraftDml.updateFromPlan(spark, index, target, assignsE, condition)
-    else {
-      val assigns = assignsE.map { case (k, v) => k -> GraftDml.byName(v, "UPDATE") }
+      assignments.exists(a => GraftDml.hasSubquery(a.value))
+    if (subq) {
+      val attrOf = target.output.map(a => a.name -> a).toMap
+      val assigns = GraftDml.effectiveAssigns(assignments, "UPDATE",
+        base = name => ColumnBridge.column(attrOf(name)),
+        valueOf = ColumnBridge.column)
+      GraftDml.updateFromPlan(spark, index, target, assigns, condition)
+    } else {
+      val assigns = GraftDml.effectiveAssigns(assignments, "UPDATE",
+        base = name => col(name),
+        valueOf = e => GraftDml.byName(e, "UPDATE"))
       val cond = condition.map(GraftDml.byName(_, "UPDATE")).getOrElse(lit(true))
       val atoms = condition.map(ExpressionAtoms.conjuncts).getOrElse(Seq(PredOpaque))
       index.table.updateImpl(cond, atoms, assigns)
@@ -389,16 +444,16 @@ final case class GraftMergeCommand(merge: MergeIntoTable,
       * SOURCE side (NULL on target-only rows by join construction). */
     def projected(rows: DataFrame, assigns: Seq[Assignment],
         forInsert: Boolean): DataFrame = {
-      val byKey: Map[String, Expression] = assigns.map { a =>
-        a.key match {
-          case k: AttributeReference => k.name -> a.value
-          case other => throw new UnsupportedOperationException(
-            s"graft MERGE supports top-level column assignments only, got: $other")
-        }
-      }.toMap
+      // nested field keys (UPDATE SET s.a = x) fold withField over the
+      // target's current struct; INSERT keys must stay top-level (there
+      // is no current value to patch — Delta refuses the same way)
+      val byKey: Map[String, Column] = GraftDml.effectiveAssigns(assigns, "MERGE",
+        base = name => ColumnBridge.column(targetCols.find(_.name == name).get),
+        valueOf = ColumnBridge.column,
+        allowNested = !forInsert)
       rows.select(targetCols.map { a =>
         byKey.get(a.name) match {
-          case Some(v) => ColumnBridge.column(v).cast(a.dataType).as(a.name)
+          case Some(v) => v.cast(a.dataType).as(a.name)
           case None if forInsert => lit(null).cast(a.dataType).as(a.name)
           case None => ColumnBridge.column(a).as(a.name)
         }

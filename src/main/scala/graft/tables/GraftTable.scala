@@ -1431,16 +1431,26 @@ final class GraftTable private (
       else Some(DeletionVectors.filterDeleted(
         readDataFiles(files, snap0.schemaJson),
         spark, loadDvs(snap0.dvFor, files)))
-    val (oldFiles, current, touchedBuckets) = bucketSpec.filter(_.keys == keyCols) match {
-      case Some(sp) =>
-        val buckets = updates.select(bucketExpr(sp).as("b"))
-          .distinct().collect().map(_.getInt(0)).toSet
-        // files with no bucket in their name (legacy flat writes) are
-        // always treated as affected
-        val affected = snap0.live.filter(f => bucketOf(f).forall(buckets.contains))
-        (affected, readOf(affected), Some(buckets))
-      case _ => (snap0.live, readOf(snap0.live), None)
-    }
+    val (oldFiles, current, touchedBuckets, keyAtoms) =
+      bucketSpec.filter(_.keys == keyCols) match {
+        case Some(sp) =>
+          val buckets = updates.select(bucketExpr(sp).as("b"))
+            .distinct().collect().map(_.getInt(0)).toSet
+          // files with no bucket in their name (legacy flat writes) are
+          // always treated as affected
+          val affected = snap0.live.filter(f => bucketOf(f).forall(buckets.contains))
+          (affected, readOf(affected), Some(buckets), Seq(PredOpaque: PredAtom))
+        case _ =>
+          // unbucketed table: the SAME stats pruning as the SQL MERGE —
+          // one min/max aggregate over the batch's keys bounds the files
+          // that can hold matched rows (sound: a file whose key range is
+          // disjoint from the batch's can lose no row to the anti-join).
+          // Key-clustered tables get the bucketed path's O(batch) shape;
+          // uniform keys degrade to the old whole-table rewrite.
+          val atoms = keyRangeAtoms(updates, keyCols)
+          val affected = pruneLive(snap0, atoms)
+          (affected, readOf(affected), None, atoms)
+      }
     // CDF: the affected-file snapshot and the update batch each feed the
     // merge AND the change-row joins — materialize once, not per consumer
     val snap = if (effectiveSettings.changeDataFeed) current.map(_.localCheckpoint(true)) else current
@@ -1473,16 +1483,37 @@ final class GraftTable private (
       // a keyed upsert's scope is its key buckets: an interleaved commit
       // adding files only in OTHER buckets cannot hold our keys (the
       // writer hashed them the same way) — disjoint, safe to retry. An
-      // unbucketed file (legacy flat write) or an unbucketed table keeps
-      // the conservative answer: conflict.
+      // unbucketed table answers with the key-range atoms instead: an
+      // interleaved append whose stats prove disjoint keys is safe too.
       mayOverlap = c => touchedBuckets match {
         case Some(bs) => c.add.exists(f => bucketOf(f).forall(bs.contains))
-        case None     => true
+        case None     => mayMatchPredicate(keyAtoms)(c)
       },
       schemaJson = () => unionSchemaJson(merged.schema),
       Map("numOutputFiles" -> add.size.toString,
         "numRewrittenFiles" -> oldFiles.size.toString),
       stats, changes = changeFiles)
+  }
+
+  /** Data-skipping atoms bounding a keyed batch: per key column, the
+    * batch's [min, max] as range conjuncts — ONE tiny aggregate over the
+    * batch. A key whose batch values are all NULL contributes nothing
+    * (NULL equals no stored key, so it constrains no file); if no key
+    * yields a range the result degrades to [[PredOpaque]] (no pruning,
+    * conservative conflicts) rather than an unsound empty-range claim. */
+  private def keyRangeAtoms(updates: DataFrame,
+      keyCols: Seq[String]): Seq[PredAtom] = {
+    val aggs = keyCols.flatMap(k =>
+      Seq(min(col(k)).as(s"__mn_$k"), max(col(k)).as(s"__mx_$k")))
+    val row = updates.agg(aggs.head, aggs.tail: _*).head()
+    val atoms = keyCols.zipWithIndex.flatMap { case (k, i) =>
+      (row.get(2 * i), row.get(2 * i + 1)) match {
+        case (mn, mx) if mn != null && mx != null =>
+          Seq(PredCmp(">=", k, mn), PredCmp("<=", k, mx))
+        case _ => Seq.empty
+      }
+    }
+    if (atoms.isEmpty) Seq(PredOpaque) else atoms
   }
 
   /** Roll the LIVE SET back to `asOf` as a NEW commit (Delta's RESTORE):

@@ -290,6 +290,34 @@ class GraftSqlDmlSpec extends AnyFunSuite {
     assert(changes === Set((2, "delete"), (5, "delete")))
   }
 
+  test("UPDATE and MERGE assign nested struct fields (Delta's SET s.a = x)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-sqldml-nested-").toString
+    val t = GraftTable(spark, s"$dir/t")(GraftSettings.default)
+    t.append(Seq((1, "a", 10), (2, "b", 20), (3, "c", 30)).toDF("id", "nm", "qty")
+      .select(col("id"), struct(col("nm"), col("qty")).as("s")))
+    spark.sql("DROP TABLE IF EXISTS sqldml_nested")
+    spark.sql(s"CREATE TABLE sqldml_nested USING graft LOCATION '${t.path}'")
+    // nested UPDATE: only the named field changes, siblings keep values
+    spark.sql("UPDATE sqldml_nested SET s.qty = s.qty + 5 WHERE id <= 2")
+    assert(spark.table("sqldml_nested").select("id", "s.nm", "s.qty")
+      .as[(Int, String, Int)].collect().toSet ===
+      Set((1, "a", 15), (2, "b", 25), (3, "c", 30)))
+    // nested MERGE UPDATE action
+    Seq((2, "BEE"), (3, "SEA)")).toDF("id", "newnm").createOrReplaceTempView("nested_src")
+    spark.sql(
+      """MERGE INTO sqldml_nested t USING nested_src c ON t.id = c.id
+        |WHEN MATCHED THEN UPDATE SET s.nm = c.newnm""".stripMargin)
+    assert(spark.table("sqldml_nested").select("id", "s.nm", "s.qty")
+      .as[(Int, String, Int)].collect().toSet ===
+      Set((1, "a", 15), (2, "BEE", 25), (3, "SEA)", 30)))
+    // whole-column + nested assignment to the same column is ambiguous
+    val e = intercept[Exception](spark.sql(
+      "UPDATE sqldml_nested SET s = named_struct('nm', 'x', 'qty', 1), s.qty = 2"))
+    assert(e.getMessage.toLowerCase.contains("conflict")
+      || e.getMessage.toLowerCase.contains("multiple"))
+  }
+
   test("MERGE records CDF change rows (Delta merge parity)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-sqldml-mcdf-").toString

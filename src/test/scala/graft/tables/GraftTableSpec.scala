@@ -348,6 +348,26 @@ class GraftTableSpec extends SparkSpecBase {
     assert(t.delete(col("id") > 99999).isEmpty)
   }
 
+  test("unbucketed upsert prunes to files whose key range admits the batch") {
+    val t = tmpTable()
+    t.append(Seq((1, "a"), (2, "b")).toDF("id", "v").coalesce(1))
+    t.append(Seq((100, "c"), (200, "d")).toDF("id", "v").coalesce(1))
+    val before = t.liveFiles().toSet
+    // batch keys confined to the low range: the high file must be RETAINED
+    val c = t.upsert(Seq((2, "B", "u"), (3, "e", "c")).toDF("id", "v", "op"),
+      Seq("id"), "op")
+    assert(c.metrics("numRewrittenFiles") === "1",
+      s"key-range pruning did not engage: ${c.metrics}")
+    assert(t.liveFiles().toSet.intersect(before).size === 1, "high file untouched")
+    assert(t.read().as[(Int, String)].collect().toSet ===
+      Set((1, "a"), (2, "B"), (3, "e"), (100, "c"), (200, "d")))
+    // a delete lands through the same pruned shape
+    val c2 = t.upsert(Seq((200, "x", "d")).toDF("id", "v", "op"), Seq("id"), "op")
+    assert(c2.metrics("numRewrittenFiles").toInt <= 2,
+      s"delete batch rewrote everything: ${c2.metrics}")
+    assert(t.read().select("id").as[Int].collect().toSet === Set(1, 2, 3, 100))
+  }
+
   test("update rewrites only affected files, applies SET to matches only") {
     val t = tmpTable()
     t.append(Seq((1, "a", 10.0), (2, "b", 20.0)).toDF("id", "v", "amt").coalesce(1))
