@@ -318,6 +318,62 @@ class GraftSqlDmlSpec extends AnyFunSuite {
       || e.getMessage.toLowerCase.contains("multiple"))
   }
 
+  test("pruned MERGE composes with column mapping and deletion vectors") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-sqldml-compose-").toString
+    val t = GraftTable(spark, s"$dir/t")(GraftSettings.default)
+    t.append((1 to 100).map(i => (i, s"v$i")).toDF("key0", "v").coalesce(1))
+    t.append((101 to 200).map(i => (i, s"v$i")).toDF("key0", "v").coalesce(1))
+    // rename the key (metadata-only: stats stay keyed by the physical
+    // name) and DV-delete a few rows so affected files carry bitmaps
+    t.renameColumn("key0", "id")
+    t.setProperties(Map("deletion_vectors" -> "true"))
+    t.delete(col("id").isin(3, 103))
+    spark.sql("DROP TABLE IF EXISTS sqldml_compose")
+    spark.sql(s"CREATE TABLE sqldml_compose USING graft LOCATION '${t.path}'")
+    val live0 = t.snapshot().live.size
+    Seq((5, "FIVE"), (7, "SEVEN")).toDF("id", "v").createOrReplaceTempView("comp_src")
+    spark.sql(
+      """MERGE INTO sqldml_compose t USING comp_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin)
+    val c = t.commits().last
+    assert(c.action === "merge")
+    // pruning engaged THROUGH the rename: atoms on the logical name must
+    // still hit the physical-keyed stats
+    assert(c.metrics("numRewrittenFiles").toInt < live0,
+      s"rename broke merge pruning: ${c.metrics}")
+    val got = spark.table("sqldml_compose").as[(Int, String)].collect().toMap
+    assert(got.size === 198) // 200 - 2 DV-deleted
+    assert(got(5) === "FIVE" && got(7) === "SEVEN")
+    assert(!got.contains(3) && !got.contains(103), "DV-dead rows must not resurrect")
+    assert(got(102) === "v102", "retained file rows intact")
+  }
+
+  test("pruned MERGE with schema evolution null-fills retained files") {
+    import spark.implicits._
+    val (name, t) = freshTable(400) // multi-file, disjoint id ranges
+    val live0 = t.snapshot().live.size
+    assert(live0 >= 2)
+    Seq((2, "TWO", 2.5), (5, "FIVE", 5.5)).toDF("id", "v", "score")
+      .createOrReplaceTempView("evo2_src")
+    spark.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO $name t USING evo2_src s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin)
+    val c = t.commits().last
+    // narrow keys: evolution must NOT force a whole-table rewrite — only
+    // the low file rewrites under the widened schema, the retained files
+    // keep their old bytes and null-fill the new column on read
+    assert(c.metrics("numRewrittenFiles").toInt < live0,
+      s"schema evolution disabled merge pruning: ${c.metrics}")
+    val got = spark.table(name).select("id", "v", "score")
+      .as[(Int, String, Option[Double])].collect()
+    assert(got.length === 400)
+    val byId = got.map(r => r._1 -> (r._2, r._3)).toMap
+    assert(byId(2) === (("TWO", Some(2.5))))
+    assert(byId(5) === (("FIVE", Some(5.5))))
+    assert(byId(3) === (("v3", None)) && byId(400) === (("v400", None)))
+  }
+
   test("MERGE records CDF change rows (Delta merge parity)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-sqldml-mcdf-").toString
