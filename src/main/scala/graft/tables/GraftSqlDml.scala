@@ -350,11 +350,16 @@ final case class GraftMergeCommand(merge: MergeIntoTable,
       case org.apache.spark.sql.catalyst.expressions.And(l, r) => split(l) ++ split(r)
       case other => Seq(other)
     }
+    // `s.deterministic` is load-bearing: min/max of a nondeterministic
+    // source expression says nothing about the value the JOIN will
+    // re-evaluate — pruning on it could skip files holding real matches
     split(merge.mergeCondition).collect {
       case org.apache.spark.sql.catalyst.expressions.EqualTo(t: AttributeReference, s)
-          if targetIds.contains(t) && s.references.subsetOf(sourceIds) => (t, s)
+          if targetIds.contains(t) && s.references.subsetOf(sourceIds) &&
+            s.deterministic => (t, s)
       case org.apache.spark.sql.catalyst.expressions.EqualTo(s, t: AttributeReference)
-          if targetIds.contains(t) && s.references.subsetOf(sourceIds) => (t, s)
+          if targetIds.contains(t) && s.references.subsetOf(sourceIds) &&
+            s.deterministic => (t, s)
     }
   }
 
