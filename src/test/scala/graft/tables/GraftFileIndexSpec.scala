@@ -70,6 +70,32 @@ class GraftFileIndexSpec extends SparkSpecBase {
       .collect().map(_.getLong(0)).sorted.toSeq == got)
   }
 
+  test("restrictTo narrows the physical scan and composes with stats atoms") {
+    val root = tmp()
+    implicit val st: GraftSettings = GraftSettings.local(root)
+    val t = GraftTable(spark, s"$root/t")
+    t.append((0L until 100L).map(i => (i, s"r$i")).toDF("k", "s").coalesce(1))
+    t.append((100L until 200L).map(i => (i, s"r$i")).toDF("k", "s").coalesce(1))
+    val index = new GraftFileIndex(t)
+    val live = t.liveFiles()
+    assert(live.size === 2)
+    val lowFile = live.find(f =>
+      t.snapshot().stats(f).cols("k").min.exists(_.toLong < 100L)).get
+    val narrowed = index.restrictTo(Set(lowFile))
+    // the narrowed index lists ONLY the kept file
+    val listed = narrowed.listFiles(Nil, Nil).flatMap(_.files)
+    assert(listed.map(_.getPath.getName).toSet === Set(lowFile))
+    assert(narrowed.inputFiles.length === 1)
+    assert(narrowed.sizeInBytes < index.sizeInBytes)
+    // stats atoms still apply ON TOP: a filter provably outside the kept
+    // file's range lists nothing (intersection, not replacement)
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference => AR, GreaterThan, Literal}
+    val kAttr = AR("k", org.apache.spark.sql.types.LongType)()
+    val outside = narrowed.listFiles(Nil, Seq(GreaterThan(kAttr, Literal(150L))))
+    assert(outside.flatMap(_.files).isEmpty,
+      "pushed filter must still prune within the restricted set")
+  }
+
   test("each relation pins its snapshot; a new call sees new commits") {
     val root = tmp()
     implicit val st: GraftSettings = GraftSettings.local(root)

@@ -260,6 +260,13 @@ class GraftSqlDmlSpec extends AnyFunSuite {
     val twin = (1 to 10).toDF("id").join(Seq(2, 4, 6).toDF("id"), Seq("id"), "left_anti")
     assert(twin.as[Int].collect().sorted.toSeq ===
       spark.table(name).select("id").as[Int].collect().sorted.toSeq)
+    // CORRELATED EXISTS rides the same captured-plan path (Spark plans
+    // the correlation because attribute ids are preserved)
+    Seq(7, 9).toDF("eid").createOrReplaceTempView("exists_ids")
+    spark.sql(
+      s"DELETE FROM $name WHERE EXISTS (SELECT 1 FROM exists_ids e WHERE e.eid = id)")
+    assert(spark.table(name).select("id").as[Int].collect().sorted.toSeq ===
+      Seq(1, 3, 5, 8, 10))
   }
 
   test("UPDATE with a scalar subquery in condition and assignment") {
