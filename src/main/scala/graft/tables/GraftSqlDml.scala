@@ -386,6 +386,17 @@ final case class GraftMergeCommand(merge: MergeIntoTable,
 
     // ---- file pruning from the ON condition's equi keys ----
     val keys = if (merge.notMatchedBySourceActions.isEmpty) equiKeys else Seq.empty
+    // When pruning, the source is MATERIALIZED first (Delta's
+    // materializeSource): the join must see EXACTLY the rows the min/max
+    // aggregate saw — a nondeterministic source query (LIMIT without
+    // ORDER, a sampling filter) re-evaluated in the join could otherwise
+    // produce keys outside the aggregated range and match rows in files
+    // the bound retained. It also means an expensive source subquery
+    // computes once, not twice.
+    val sourceDf = {
+      val s0 = PlanBridge.ofRows(spark, merge.sourceTable)
+      if (keys.isEmpty) s0 else s0.localCheckpoint(true)
+    }
     val (affected: Seq[String], pruneAtoms: Seq[PredAtom]) =
       if (keys.isEmpty) (snap.live, Seq(PredOpaque))
       else {
@@ -397,8 +408,7 @@ final case class GraftMergeCommand(merge: MergeIntoTable,
           val c = ColumnBridge.column(s)
           Seq(min(c).as(s"__mn$i"), max(c).as(s"__mx$i"))
         }
-        val row = PlanBridge.ofRows(spark, merge.sourceTable)
-          .agg(aggs.head, aggs.tail: _*).head()
+        val row = sourceDf.agg(aggs.head, aggs.tail: _*).head()
         val atoms = keys.zipWithIndex.flatMap { case ((t, _), i) =>
           (row.get(2 * i), row.get(2 * i + 1)) match {
             case (mn, mx) if mn != null && mx != null =>
@@ -419,8 +429,7 @@ final case class GraftMergeCommand(merge: MergeIntoTable,
     val target = PlanBridge.ofRows(spark, scopedPlan)
       .withColumn(TId, monotonically_increasing_id())
       .withColumn(TMark, lit(true))
-    val source = PlanBridge.ofRows(spark, merge.sourceTable)
-      .withColumn(SMark, lit(true))
+    val source = sourceDf.withColumn(SMark, lit(true))
     val joined = target
       .join(source, ColumnBridge.column(merge.mergeCondition), "full_outer")
       .localCheckpoint(true) // consumed once per WHEN clause + leftovers

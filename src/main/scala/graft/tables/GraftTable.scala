@@ -1390,7 +1390,13 @@ final class GraftTable private (
     *  - matched  + op == deleteOp -> delete
     *
     * `updates` must hold at most one row per key (callers dedup with
-    * `Dedup.latestPerKey` first, as the reference does at cdc.py:132-142).
+    * `Dedup.latestPerKey` first, as the reference does at cdc.py:132-142)
+    * and must be DETERMINISTIC: the batch is evaluated more than once
+    * (key/bucket/range probe, anti-join, CDF joins), so a sampling filter
+    * or unordered LIMIT could present different keys to the probe and the
+    * join, defeating the file bound. CDC batches (file- or bus-backed
+    * micro-batches) satisfy this by construction; ad-hoc nondeterministic
+    * sources belong to SQL MERGE, which materializes its source first.
     *
     * Implementation: keep current rows whose key has no update (left_anti),
     * union the non-delete update images. Schema evolution: new update
