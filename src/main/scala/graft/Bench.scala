@@ -94,16 +94,16 @@ object Bench {
     val names = catalog.keys.toSeq.sorted
     // Eager post-query storage release (OUTSIDE the timed window — the
     // clock has already stopped when this runs; what it protects is the
-    // NEXT query's window). localCheckpointed frames register as
-    // persistent RDDs; without this sweep they die only when a GC cycle
-    // lets ContextCleaner process the weak refs, i.e. at an arbitrary
-    // point inside some later query's timing. Unpersist is safe here:
-    // every catalog entry builds its frames from scratch per invocation
-    // (grep: no operator caches a DataFrame across calls).
+    // NEXT query's window). Every barrier the operators materialize is
+    // registered with Parallelism; without this drain the blocks die
+    // only when a GC cycle lets ContextCleaner process the weak refs,
+    // i.e. at an arbitrary point inside some later query's timing.
+    // Releasing here is safe: every catalog entry builds its frames from
+    // scratch per invocation (no operator caches a DataFrame across
+    // calls), and the bench owns all in-flight work on the context.
     var sinceGc = 0
     def cleanup(): Unit = if (doCleanup) {
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+      graft.ext.Parallelism.releaseAll(spark)
       sinceGc += 1
       // shuffle files and broadcasts are ContextCleaner-freed only after
       // their refs are GC'd; a periodic nudge keeps ~550 executions of

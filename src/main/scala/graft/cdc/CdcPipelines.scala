@@ -138,7 +138,7 @@ object CdcPipelines {
       ConnectJsonCodec.envelopeSchema(col("key")).as("__kschema"),
       ConnectJsonCodec.envelopeSchema(col("value")).as("__vschema"),
       col("topic"), col("partition"), col("offset"), col("timestamp"),
-      col("timestampType")).localCheckpoint(true)
+      col("timestampType")).transform(graft.ext.Parallelism.checkpointTracked)
 
     // one decode slice per distinct embedded Connect schema pair — the
     // JSON analogue of the avro path's per-(keySchemaId, valueSchemaId)
@@ -440,7 +440,7 @@ object CdcPipelines {
       .drop("_change_type", "_commit_version")
       // barrier: the frame feeds BOTH the isEmpty probe and the upsert —
       // without it the whole dedup-window pipeline runs twice
-      .localCheckpoint(true)
+      .transform(graft.ext.Parallelism.checkpointTracked)
     if (!tagged.isEmpty) { replica.upsert(tagged, keyCols, "__op"); () }
   }
 

@@ -128,7 +128,7 @@ object TrainingDataDemo {
       .withColumn("__x", TextAnalysis.doubledText(col("text")))
       .withColumn("lang_pred", TextAnalysis.langidIn(col("text"), col("__x")))
       .drop("__x")
-      .localCheckpoint(true)
+      .transform(graft.ext.Parallelism.checkpointTracked)
     val quality = annotated
       .filter(col("quality_score") >= 0.3 && col("n_tokens") >= 5)
     // repetition gate: docs whose bigram stream is mostly one loop

@@ -54,18 +54,74 @@ private[graft] object Parallelism {
     if (est <= BigInt(thresholdBytes)) org.apache.spark.sql.functions.broadcast(df) else df
   }
 
+  // ---------------------------------------------------------------------
+  // Deterministic barrier cleanup.
+  //
+  // localCheckpoint blocks die only when a GC cycle lets ContextCleaner
+  // process the RDD's weak reference — so a long-lived SESSION running
+  // hundreds of operator calls accumulates tens of GiB of dead blocks
+  // until an arbitrary (historically: mid-query) major GC. Every barrier
+  // this object creates is therefore REGISTERED for release at a caller-
+  // defined point: per ingest batch ([[scoped]]), per bench query
+  // ([[releaseAll]]), per DML command ([[release]]). Registration holds
+  // only WEAK references — a caller that never releases gets exactly the
+  // old ContextCleaner-after-GC behavior, never a new leak.
+  // ---------------------------------------------------------------------
+
+  private val globalPending =
+    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.SparkContext,
+      java.util.concurrent.ConcurrentLinkedQueue[() => Unit]]()
+  // null = no active scope on this thread (register globally)
+  private val scopeLocal = new ThreadLocal[java.util.ArrayDeque[() => Unit]]
+
+  private def track(sc: org.apache.spark.SparkContext, free: () => Unit): Unit = {
+    val scope = scopeLocal.get
+    if (scope != null) scope.add(free)
+    else globalPending
+      .computeIfAbsent(sc, _ => new java.util.concurrent.ConcurrentLinkedQueue[() => Unit]())
+      .add(free)
+  }
+
+  /** Register a barrier frame's storage for deterministic release: the
+    * checkpointed RDD behind a [[materialize]]d frame's `LogicalRDD`
+    * root, or the CacheManager entry of a persist-mode frame. Weak refs
+    * only — if ContextCleaner already freed it, release is a no-op. */
+  private def registerBarrier(m: DataFrame): Unit = {
+    val sc = m.sparkSession.sparkContext
+    m.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        val ref = new java.lang.ref.WeakReference(l.rdd)
+        track(sc, () => Option(ref.get()).foreach(_.unpersist(blocking = false)))
+      case _ =>
+        val ref = new java.lang.ref.WeakReference(m)
+        track(sc, () => Option(ref.get()).foreach(_.unpersist(blocking = false)))
+    }
+  }
+
+  /** Tracked `.localCheckpoint(true)`: for results that must outlive a
+    * DELETED input (a scratch index dir, a dropped temp table) — persist
+    * would keep lineage pointing at the dead files, so these sites pin
+    * executor blocks regardless of `barrierMode`. Registered for
+    * [[release]]/[[releaseAll]] like every other barrier. */
+  def checkpointTracked(df: DataFrame): DataFrame = {
+    val m = df.localCheckpoint(true)
+    registerBarrier(m)
+    m
+  }
+
   /** Eagerly materialize a multi-consumer frame per
     * `settings.barrierMode` (see the class note above for the trade):
     * `localCheckpoint` — executor blocks, no lineage, fastest;
     * `persist` — MEMORY_AND_DISK with lineage, survives executor loss,
-    * ~2x the materialization cost (the returned frame stays registered
-    * with the CacheManager for the session's lifetime). */
+    * ~2x the materialization cost. Either way the barrier is registered
+    * for deterministic cleanup at the caller's next release point. */
   def materialize(df: DataFrame)(implicit settings: graft.conf.GraftSettings): DataFrame =
     settings.barrierMode match {
-      case "localCheckpoint" => df.localCheckpoint(true)
+      case "localCheckpoint" => checkpointTracked(df)
       case "persist" =>
         val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         p.count() // eager, like localCheckpoint(true): a barrier, not a hint
+        registerBarrier(p)
         p
       case other =>
         throw new IllegalArgumentException(
@@ -74,15 +130,54 @@ private[graft] object Parallelism {
 
   /** [[materialize]] for ITERATIVE operators replacing a frame per round
     * (k-means centroids, CC labels, MMR selections, BPE vocab): the
-    * superseded barrier is released eagerly. localCheckpoint blocks are
-    * ContextCleaner-freed once unreferenced, but persist-mode entries
-    * live in the CacheManager for the session — a 10k-iteration trainer
-    * would otherwise pin thousands of dead cached frames and evict
+    * superseded barrier is released eagerly — a 10k-iteration trainer
+    * would otherwise pin thousands of dead frames' storage and evict
     * useful blocks. `previous` must not be consumed again afterwards. */
   def rematerialize(next: DataFrame, previous: DataFrame)(
       implicit settings: graft.conf.GraftSettings): DataFrame = {
     val m = materialize(next)
-    if (settings.barrierMode == "persist") previous.unpersist(blocking = false)
+    release(previous)
     m
+  }
+
+  /** Free the storage behind ONE frame returned by [[materialize]] /
+    * [[checkpointTracked]] the moment its last consumer ran (a DML
+    * command's source, an iterative round's superseded frame). Matches
+    * the frame's plan ROOT only — a derived frame whose plan merely
+    * CONTAINS someone else's barrier is left alone (its own unpersist is
+    * a CacheManager no-op when nothing was cached). The frame must not
+    * be consumed again. */
+  def release(df: DataFrame): Unit =
+    df.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => df.unpersist(blocking = false)
+    }
+
+  /** Run `body` with every barrier it materializes ON THIS THREAD freed
+    * on exit (normal or exceptional) — the per-batch release point for
+    * ingest pipelines. Scopes nest; frames must not escape the scope.
+    * Thread-scoped registration is what makes this safe under concurrent
+    * streams sharing one context: stream A's release can never free
+    * stream B's live barriers. */
+  def scoped[A](body: => A): A = {
+    val prev = scopeLocal.get
+    val mine = new java.util.ArrayDeque[() => Unit]
+    scopeLocal.set(mine)
+    try body finally {
+      scopeLocal.set(prev)
+      mine.forEach(f => f())
+    }
+  }
+
+  /** Free every UNSCOPED barrier materialized on `spark`'s context since
+    * the last drain — the single-threaded harness release point (the
+    * bench calls it after each query's clock stops). Safe only where the
+    * caller owns all in-flight work on the context. */
+  def releaseAll(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val q = globalPending.remove(spark.sparkContext)
+    if (q != null) q.forEach(f => f())
+    // hygiene: drop queues owned by stopped contexts (test suites)
+    globalPending.keySet.removeIf(_.isStopped)
   }
 }

@@ -931,7 +931,7 @@ object RelationalQueries {
         .agg(count(lit(1)).as("cnt"),
           sum(col("value")).cast("double").as("sum_value"))
         .orderBy(col("event_type"))
-        .localCheckpoint(true) // materialize, then drop the scratch lake
+        .transform(graft.ext.Parallelism.checkpointTracked) // materialize, then drop the scratch lake
       s.sql("DROP TABLE IF EXISTS q53_target")
       graft.lake.FsUtils.deletePath(s, s"file://$tmp")
       out
@@ -988,7 +988,7 @@ object RelationalQueries {
         .agg(count(lit(1)).as("cnt"),
           sum(col("value")).cast("double").as("sum_value"))
         .orderBy(col("event_type"))
-        .localCheckpoint(true) // materialize, then drop the scratch lake
+        .transform(graft.ext.Parallelism.checkpointTracked) // materialize, then drop the scratch lake
       graft.lake.FsUtils.deletePath(s, s"file://$tmp")
       out
     },
@@ -1036,7 +1036,7 @@ object RelationalQueries {
         .agg(count(lit(1)).as("cnt"),
           sum(col("value")).cast("double").as("sum_value"))
         .orderBy(col("etype"))
-        .localCheckpoint(true) // materialize, then drop the scratch lake
+        .transform(graft.ext.Parallelism.checkpointTracked) // materialize, then drop the scratch lake
       graft.lake.FsUtils.deletePath(s, s"file://$tmp")
       out
     },
@@ -1094,7 +1094,7 @@ object RelationalQueries {
         .select(col("event_type"), col("cnt"),
           col("sum_value").cast("double").as("sum_value"))
         .orderBy(col("event_type"))
-        .localCheckpoint(true) // materialize, then drop the scratch lake
+        .transform(graft.ext.Parallelism.checkpointTracked) // materialize, then drop the scratch lake
       graft.lake.FsUtils.deletePath(s, s"file://$tmp")
       out
     },
@@ -1175,7 +1175,7 @@ object RelationalQueries {
         .select(col("user_id"), col("event_id").as("last_event_id"),
           col("event_type").as("last_event_type"), col("value").as("last_value"))
         .orderBy(col("user_id"))
-        .localCheckpoint(true) // materialize, then drop the scratch lake
+        .transform(graft.ext.Parallelism.checkpointTracked) // materialize, then drop the scratch lake
       graft.lake.FsUtils.deletePath(s, s"file://$tmp")
       out
     },

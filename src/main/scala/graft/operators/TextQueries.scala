@@ -819,7 +819,7 @@ object TextQueries {
         val tok = t(s, dir, "documents")
           .select(explode(split(TextAnalysis.normalize(col("text")), " ")).as("token"))
           .filter(length(col("token")) > 0)
-          .localCheckpoint(true) // feeds the exact counts AND the sketch
+          .transform(graft.ext.Parallelism.checkpointTracked) // feeds the exact counts AND the sketch
         val exact = tok.groupBy(col("token")).agg(count(lit(1)).as("n"))
           .withColumn("rnk", row_number().over(
             Window.orderBy(col("n").desc, col("token"))))
@@ -1041,7 +1041,7 @@ object TextQueries {
         val out2 = idx.detectAndAdd(docs.filter(col("doc_id") >= 250), "doc_id", "text")
         val out = out1.unionByName(out2)
           .orderBy(col("doc_id"))
-          .localCheckpoint(true) // materialize, then drop the scratch index
+          .transform(graft.ext.Parallelism.checkpointTracked) // materialize, then drop the scratch index
         graft.lake.FsUtils.deletePath(s, s"file://$tmp")
         out
       },
@@ -1620,7 +1620,7 @@ object TextQueries {
         val out = idx.search(docs.filter(col("doc_id") < 5), "doc_id", "text",
             k = 10, excludeSelf = true)
           .orderBy(col("query_id"), col("rnk"))
-          .localCheckpoint(true) // materialize, then drop the scratch index
+          .transform(graft.ext.Parallelism.checkpointTracked) // materialize, then drop the scratch index
         graft.lake.FsUtils.deletePath(s, s"file://$tmp")
         out
       },

@@ -219,7 +219,7 @@ object VectorQueries {
         idx.add(emb.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding")
         val out = idx.query(emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5)
           .orderBy(col("probe_id"), col("rnk"))
-          .localCheckpoint(true) // materialize, then drop the scratch index
+          .transform(graft.ext.Parallelism.checkpointTracked) // materialize, then drop the scratch index
         graft.lake.FsUtils.deletePath(s, s"file://$tmp")
         out
       },
@@ -242,7 +242,7 @@ object VectorQueries {
         val out = idx.query(emb.filter(col("vec_id") < 5), "vec_id", "embedding",
             k = 5, probePerturbations = 6)
           .orderBy(col("probe_id"), col("rnk"))
-          .localCheckpoint(true) // materialize, then drop the scratch index
+          .transform(graft.ext.Parallelism.checkpointTracked) // materialize, then drop the scratch index
         graft.lake.FsUtils.deletePath(s, s"file://$tmp")
         out
       },
@@ -282,7 +282,7 @@ object VectorQueries {
         val out = idx.query(emb.filter(col("vec_id") < 5), "vec_id", "embedding",
             k = 5, nProbe = 3)
           .orderBy(col("probe_id"), col("rnk"))
-          .localCheckpoint(true) // materialize, then drop the scratch index
+          .transform(graft.ext.Parallelism.checkpointTracked) // materialize, then drop the scratch index
         graft.lake.FsUtils.deletePath(s, s"file://$tmp")
         out
       },
@@ -544,7 +544,7 @@ object VectorQueries {
         idx.add(emb.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding")
         val out = idx.query(emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5)
           .orderBy(col("probe_id"), col("rnk"))
-          .localCheckpoint(true) // materialize, then drop the scratch index
+          .transform(graft.ext.Parallelism.checkpointTracked) // materialize, then drop the scratch index
         graft.lake.FsUtils.deletePath(s, s"file://$tmp")
         out
       },
@@ -892,7 +892,7 @@ object VectorQueries {
             k = 5, nProbe = 3,
             corpusFilter = Some(col("label").isin(1, 3, 5)))
           .orderBy(col("probe_id"), col("rnk"))
-          .localCheckpoint(true) // materialize, then drop the scratch index
+          .transform(graft.ext.Parallelism.checkpointTracked) // materialize, then drop the scratch index
         graft.lake.FsUtils.deletePath(s, s"file://$tmp")
         out
       },
@@ -935,7 +935,7 @@ object VectorQueries {
         val out = idx.query(emb.filter(col("vec_id") < 5), "vec_id", "embedding",
             k = 5, nProbe = 3)
           .orderBy(col("probe_id"), col("rnk"))
-          .localCheckpoint(true) // materialize, then drop the scratch index
+          .transform(graft.ext.Parallelism.checkpointTracked) // materialize, then drop the scratch index
         graft.lake.FsUtils.deletePath(s, s"file://$tmp")
         out
       },
@@ -960,7 +960,7 @@ object VectorQueries {
         val out = Similarity.exactRerank(shortlist, emb, probes,
             "vec_id", "embedding", k = 5)
           .orderBy(col("probe_id"), col("rnk"))
-          .localCheckpoint(true) // materialize, then drop the scratch index
+          .transform(graft.ext.Parallelism.checkpointTracked) // materialize, then drop the scratch index
         graft.lake.FsUtils.deletePath(s, s"file://$tmp")
         out
       },
@@ -1004,7 +1004,7 @@ object VectorQueries {
           .select(col("query_id").as("probe_id"), col("doc_id").as("neighbor_id"), col("rnk"))
         val out = Similarity.rrfFuse(Seq(vecTop, lexTop), k = 10)
           .orderBy(col("probe_id"), col("rnk"))
-          .localCheckpoint(true) // materialize, then drop the scratch indexes
+          .transform(graft.ext.Parallelism.checkpointTracked) // materialize, then drop the scratch indexes
         graft.lake.FsUtils.deletePath(s, s"file://$tmp")
         out
       },

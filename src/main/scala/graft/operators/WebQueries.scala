@@ -210,7 +210,7 @@ object WebQueries {
         val out = out1.unionByName(out2)
           .select(col("doc_id"), col("url_canon"))
           .orderBy(col("doc_id"))
-          .localCheckpoint(true) // materialize, then drop the scratch index
+          .transform(graft.ext.Parallelism.checkpointTracked) // materialize, then drop the scratch index
         graft.lake.FsUtils.deletePath(s, s"file://$tmp")
         out
       },
@@ -241,13 +241,13 @@ object WebQueries {
           graft.conf.GraftSettings.default.copy(collectFileStats = false)
         val idx = new graft.ext.SeenKeyIndex(s, s"file://$tmp", trackOwners = true)
         val out1 = idx.filterNovel(docs.filter(col("doc_id") < 250), "doc_id", col("k"))
-          .localCheckpoint(true)
+          .transform(graft.ext.Parallelism.checkpointTracked)
         idx.remove(out1.filter(col("doc_id") % 10 === 0).select("doc_id"), "doc_id")
         val out2 = idx.filterNovel(docs.filter(col("doc_id") >= 250), "doc_id", col("k"))
         val out = out1.unionByName(out2)
           .select(col("doc_id"), col("k"))
           .orderBy(col("doc_id"))
-          .localCheckpoint(true) // materialize, then drop the scratch index
+          .transform(graft.ext.Parallelism.checkpointTracked) // materialize, then drop the scratch index
         graft.lake.FsUtils.deletePath(s, s"file://$tmp")
         out
       },

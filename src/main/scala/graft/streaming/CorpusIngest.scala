@@ -105,8 +105,15 @@ final class CorpusIngest(
 
   /** One batch through the full pipeline (also the foreachBatch body —
     * callable directly for non-streaming backfills; pass a unique
-    * `token` per batch for at-least-once safety). */
-  def ingestBatch(batch: DataFrame, token: String): Unit = {
+    * `token` per batch for at-least-once safety). Runs under a
+    * [[graft.ext.Parallelism.scoped]] release scope: every barrier the
+    * stages materialize is freed the moment the batch completes, so a
+    * long-running ingest stream holds a bounded block footprint instead
+    * of leaking each batch's checkpoints until a GC cycle. */
+  def ingestBatch(batch: DataFrame, token: String): Unit =
+    graft.ext.Parallelism.scoped { ingestBatchImpl(batch, token) }
+
+  private def ingestBatchImpl(batch: DataFrame, token: String): Unit = {
     // crawl front end first — metadata-only rejections, no text touched:
     // blocklisted hosts dropped by a zero-shuffle literal filter, then
     // URL-level exact dedup on the canonical URL (docs without a

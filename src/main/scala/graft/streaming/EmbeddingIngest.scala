@@ -70,8 +70,15 @@ final class EmbeddingIngest(
 
   /** One batch through every enabled index (also the foreachBatch body —
     * callable directly for non-streaming backfills; pass a unique `token`
-    * per batch for at-least-once safety). */
-  def ingestBatch(batch: DataFrame, token: String): Unit = {
+    * per batch for at-least-once safety). Runs under a
+    * [[graft.ext.Parallelism.scoped]] release scope: every barrier the
+    * stages materialize is freed the moment the batch completes, so a
+    * long-running ingest stream holds a bounded block footprint instead
+    * of leaking each batch's checkpoints until a GC cycle. */
+  def ingestBatch(batch: DataFrame, token: String): Unit =
+    graft.ext.Parallelism.scoped { ingestBatchImpl(batch, token) }
+
+  private def ingestBatchImpl(batch: DataFrame, token: String): Unit = {
     // one narrow projection, materialized once: every index consumes the
     // same (id, vec) frame, and the upstream source (a join against a
     // feature store, a decode) must not re-run per index

@@ -177,9 +177,11 @@ object GraftDml {
     val affected = affectedFiles(spark, target, cond)
     if (affected.isEmpty) return
     val scoped0 = PlanBridge.ofRows(spark, scopedTo(target, index, affected.toSet))
-    // CDF consumes the scoped scan twice (remaining + deleted rows)
+    // CDF consumes the scoped scan twice (remaining + deleted rows);
+    // barrier mode per settings, like every multi-consumer frame
     val scoped =
-      if (table.effectiveSettings.changeDataFeed) scoped0.localCheckpoint(true)
+      if (table.effectiveSettings.changeDataFeed)
+        graft.ext.Parallelism.materialize(scoped0)(table.effectiveSettings)
       else scoped0
     val remaining = scoped.filter(!cond)
     val changeFiles =
@@ -189,6 +191,8 @@ object GraftDml {
     table.replaceWith("delete", snap.version, affected, remaining,
       Map.empty, atoms = ExpressionAtoms.conjuncts(condition),
       changes = changeFiles)
+    // the command's barrier is dead once the commit landed
+    if (table.effectiveSettings.changeDataFeed) graft.ext.Parallelism.release(scoped)
   }
 
   /** UPDATE with subqueries in the condition or assignment values — the
@@ -202,11 +206,17 @@ object GraftDml {
     val snap = index.pinnedSnapshot
     val cond = condition
       .map(e => coalesce(ColumnBridge.column(e), lit(false))).getOrElse(lit(true))
-    val affected = affectedFiles(spark, target, cond)
+    // No WHERE clause (subquery in an assignment value only) rewrites every
+    // row by definition — discovery would full-scan the table just to
+    // rediscover snap.live. Mirrors the keys-empty branch of MERGE.
+    val affected =
+      if (condition.isEmpty) snap.live
+      else affectedFiles(spark, target, cond)
     if (affected.isEmpty) return
     val scoped0 = PlanBridge.ofRows(spark, scopedTo(target, index, affected.toSet))
     val scoped =
-      if (table.effectiveSettings.changeDataFeed) scoped0.localCheckpoint(true)
+      if (table.effectiveSettings.changeDataFeed)
+        graft.ext.Parallelism.materialize(scoped0)(table.effectiveSettings)
       else scoped0
     val targetCols = target.output
     def projected(rows: DataFrame, applyAssigns: Boolean): DataFrame =
@@ -239,6 +249,8 @@ object GraftDml {
       Map.empty,
       atoms = condition.map(ExpressionAtoms.conjuncts).getOrElse(Seq(PredOpaque)),
       changes = changeFiles)
+    // the command's barrier is dead once the commit landed
+    if (table.effectiveSettings.changeDataFeed) graft.ext.Parallelism.release(scoped)
   }
 }
 
@@ -392,10 +404,15 @@ final case class GraftMergeCommand(merge: MergeIntoTable,
     // ORDER, a sampling filter) re-evaluated in the join could otherwise
     // produce keys outside the aggregated range and match rows in files
     // the bound retained. It also means an expensive source subquery
-    // computes once, not twice.
+    // computes once, not twice. The barrier honors `settings.barrierMode`:
+    // localCheckpoint (default, fastest) pins executor-local blocks with
+    // no lineage fallback, so a LARGE merge source (a backfill join) on a
+    // real cluster sets `barrier_mode=persist` to survive executor loss
+    // mid-merge — same knob, same trade as every ext/ operator.
+    implicit val mergeSettings: graft.conf.GraftSettings = table.effectiveSettings
     val sourceDf = {
       val s0 = PlanBridge.ofRows(spark, merge.sourceTable)
-      if (keys.isEmpty) s0 else s0.localCheckpoint(true)
+      if (keys.isEmpty) s0 else graft.ext.Parallelism.materialize(s0)
     }
     val (affected: Seq[String], pruneAtoms: Seq[PredAtom]) =
       if (keys.isEmpty) (snap.live, Seq(PredOpaque))
@@ -430,9 +447,9 @@ final case class GraftMergeCommand(merge: MergeIntoTable,
       .withColumn(TId, monotonically_increasing_id())
       .withColumn(TMark, lit(true))
     val source = sourceDf.withColumn(SMark, lit(true))
-    val joined = target
-      .join(source, ColumnBridge.column(merge.mergeCondition), "full_outer")
-      .localCheckpoint(true) // consumed once per WHEN clause + leftovers
+    // consumed once per WHEN clause + leftovers — barrierMode-switched
+    val joined = graft.ext.Parallelism.materialize(target
+      .join(source, ColumnBridge.column(merge.mergeCondition), "full_outer"))
 
     val matched = joined.filter(col(TMark) && col(SMark))
     val sourceOnly = joined.filter(col(SMark) && col(TMark).isNull)
@@ -540,6 +557,10 @@ final case class GraftMergeCommand(merge: MergeIntoTable,
       atoms = pruneAtoms,
       changes = changeFiles,
       evolveSchema = merge.withSchemaEvolution && evolved.nonEmpty)
+    // deterministic barrier cleanup: the command's materialized frames
+    // (source, joined) are dead once the commit landed
+    if (keys.nonEmpty) graft.ext.Parallelism.release(sourceDf)
+    graft.ext.Parallelism.release(joined)
     index.refresh()
     // catalog tables pin their creation-time schema as the data source's
     // userSpecifiedSchema; an evolved log schema must be mirrored into

@@ -166,8 +166,15 @@ private[tables] final class GraftStreamSource(
   private def sizeOf(f: String, logged: Option[Long]): Long = logged.getOrElse {
     val hit = sizeCache.get(f)
     if (hit != null) return hit.longValue()
-    val len = graft.lake.FsUtils.fs(table.spark, table.path)
-      .getFileStatus(new org.apache.hadoop.fs.Path(table.path, f)).getLen
+    // A lagging stream's commit may reference files vacuumed since (an
+    // overwrite's removed files, old change files). Weighing is offset
+    // arithmetic, not reading: degrade to 0 bytes (cached) and let the
+    // READ of that batch surface the real retention error, instead of
+    // failing latestOffset for commits whose serving files still exist.
+    val len = try {
+      graft.lake.FsUtils.fs(table.spark, table.path)
+        .getFileStatus(new org.apache.hadoop.fs.Path(table.path, f)).getLen
+    } catch { case _: java.io.FileNotFoundException => 0L }
     sizeCache.put(f, len)
     len
   }
@@ -449,8 +456,15 @@ private[tables] final class GraftCdfStreamSource(
   private def sizeOf(f: String, logged: Option[Long]): Long = logged.getOrElse {
     val hit = sizeCache.get(f)
     if (hit != null) return hit.longValue()
-    val len = graft.lake.FsUtils.fs(table.spark, table.path)
-      .getFileStatus(new org.apache.hadoop.fs.Path(table.path, f)).getLen
+    // A lagging stream's commit may reference files vacuumed since (an
+    // overwrite's removed files, old change files). Weighing is offset
+    // arithmetic, not reading: degrade to 0 bytes (cached) and let the
+    // READ of that batch surface the real retention error, instead of
+    // failing latestOffset for commits whose serving files still exist.
+    val len = try {
+      graft.lake.FsUtils.fs(table.spark, table.path)
+        .getFileStatus(new org.apache.hadoop.fs.Path(table.path, f)).getLen
+    } catch { case _: java.io.FileNotFoundException => 0L }
     sizeCache.put(f, len)
     len
   }

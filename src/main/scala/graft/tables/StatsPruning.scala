@@ -47,6 +47,13 @@ private[tables] object StatsPruning {
     case s: Short                => Some(("num", BigDecimal(s.toInt)))
     case i: Int                  => Some(("num", BigDecimal(i)))
     case l: Long                 => Some(("num", BigDecimal(l)))
+    // Non-finite floats have no BigDecimal image (BigDecimal(NaN) throws)
+    // and no place on the stats number line — data-derived atoms (a MERGE
+    // source's key min/max, an upsert's key range) can carry them when the
+    // batch holds NaN/Infinity keys. None = conservative keep: the atom
+    // stops pruning but the DML completes, matching pre-atom behavior.
+    case f: Float if f.isNaN || f.isInfinite  => None
+    case d: Double if d.isNaN || d.isInfinite => None
     case f: Float                => Some(("num", BigDecimal(f.toDouble)))
     case d: Double               => Some(("num", BigDecimal(d)))
     case d: BigDecimal           => Some(("num", d))

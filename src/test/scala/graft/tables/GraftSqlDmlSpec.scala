@@ -407,6 +407,68 @@ class GraftSqlDmlSpec extends AnyFunSuite {
     assert(!ch.exists(c => Set(1, 3, 5)(c._1)))
   }
 
+  test("MERGE and API upsert survive NaN/Infinity double keys (conservative keep, no crash)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-sqldml-nan-").toString
+    val t = GraftTable(spark, s"$dir/t")(GraftSettings.default)
+    t.append(Seq((1.0, "a"), (2.0, "b"), (Double.NaN, "n")).toDF("k", "v"))
+    spark.sql("DROP TABLE IF EXISTS nan_t")
+    spark.sql(s"CREATE TABLE nan_t USING graft LOCATION '${t.path}'")
+    // the source key min/max aggregate returns NaN/Infinity bounds here —
+    // pre-guard, the pruning atoms crashed litCmp (BigDecimal(NaN)) and
+    // the whole MERGE failed; the guard degrades them to conservative keep
+    Seq((Double.NaN, "NAN"), (1.0, "ONE"), (Double.PositiveInfinity, "INF"))
+      .toDF("k", "v").createOrReplaceTempView("nan_src")
+    spark.sql(
+      s"""MERGE INTO nan_t t USING nan_src s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET v = s.v
+         |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""".stripMargin)
+    // Spark orders NaN as the largest double and EqualTo(NaN, NaN) = true:
+    // NaN and 1.0 match (update), Infinity misses (insert)
+    assert(spark.table("nan_t").as[(Double, String)].collect().map(_._2).toSet ===
+      Set("ONE", "b", "NAN", "INF"))
+    // the API upsert's keyRangeAtoms hit the same litCmp path
+    val t2 = GraftTable(spark, s"$dir/t2")(GraftSettings.default)
+    t2.append(Seq((1.0, "a"), (Double.NaN, "n")).toDF("k", "v"))
+    t2.upsert(Seq((Double.NaN, "NAN2", "u"), (5.0, "FIVE", "c")).toDF("k", "v", "op"),
+      Seq("k"), "op")
+    assert(spark.read.format("graft").load(t2.path)
+      .as[(Double, String)].collect().map(_._2).toSet === Set("a", "NAN2", "FIVE"))
+  }
+
+  test("persist-mode MERGE still materializes the source and file-prunes") {
+    import spark.implicits._
+    val (name, t) = freshTable(400)
+    // the barrier honors barrierMode (Delta-style lineage-backed persist
+    // for executor-loss-tolerant big merges) without losing the pruning
+    t.setProperties(Map("barrier_mode" -> "persist"))
+    val live0 = t.snapshot().live.size
+    assert(live0 >= 2, s"need a multi-file table, got $live0")
+    Seq((1, "ONE"), (5, "FIVE")).toDF("id", "v")
+      .createOrReplaceTempView("persist_src")
+    spark.sql(
+      s"""MERGE INTO $name t USING persist_src s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin)
+    val c = t.commits().last
+    assert(c.action === "merge")
+    assert(c.metrics("numRewrittenFiles").toInt < live0,
+      s"persist-mode MERGE rewrote all $live0 files — pruning did not engage")
+    val got = spark.table(name).as[(Int, String)].collect().toMap
+    assert(got.size === 400 && got(1) === "ONE" && got(5) === "FIVE" && got(2) === "v2")
+  }
+
+  test("UPDATE with assignment-only subquery (no WHERE) skips file discovery") {
+    import spark.implicits._
+    val (name, t) = freshTable(5)
+    // rewrites every row by definition; pre-fix this ran a full discovery
+    // scan (collecting _metadata.file_name) just to rediscover snap.live
+    spark.sql(s"UPDATE $name SET v = concat(v, '_', (SELECT max(id) FROM $name))")
+    assert(spark.table(name).as[(Int, String)].collect().toMap ===
+      (1 to 5).map(i => i -> s"v${i}_5").toMap)
+    assert(t.commits().last.metrics.getOrElse("numRewrittenFiles",
+      t.snapshot().live.size.toString).toInt <= t.snapshot().live.size)
+  }
+
   test("non-graft targets pass through untouched") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-sqldml-pq-").toString
