@@ -89,6 +89,15 @@ final case class GraftSettings(
       * object store is seconds of pure metadata latency per query.
       * 0 disables (full log replay, the pre-checkpoint behavior). */
     logCheckpointInterval: Int = 20,
+    /** Read a PARQUET log checkpoint's rows with a distributed Spark job
+      * (executors decode the pages, the driver collects only compact row
+      * values — Delta's distributed checkpoint read) once the checkpoint
+      * file exceeds this many bytes; below it a driver-side columnar
+      * reader opens the one file without scheduling a job. At ~1M live
+      * files (100 TB at 128 MiB/file) the checkpoint is ~100 MB and the
+      * job path keeps the driver's cold-open cost at collect-size, not
+      * parse-size. */
+    logCheckpointDistributedReadBytes: Long = 64L * 1024 * 1024,
     /** Record row-level change data (Delta CDF-style) for DML commits —
       * upsert/delete/update write their insert/update_preimage/
       * update_postimage/delete rows under `_graft_changes/` so
@@ -177,6 +186,9 @@ object GraftSettings {
       case "probe_broadcast_threshold_bytes"   => Some(s.copy(probeBroadcastThresholdBytes = v.toLong))
       case "ann_prune_max_keys"                => Some(s.copy(annPruneMaxKeys = v.toInt))
       case "barrier_mode"                      => Some(s.copy(barrierMode = v))
+      case "log_checkpoint_interval"           => Some(s.copy(logCheckpointInterval = v.toInt))
+      case "log_checkpoint_distributed_read_bytes" =>
+        Some(s.copy(logCheckpointDistributedReadBytes = v.toLong))
       case "collect_file_stats"                => Some(s.copy(collectFileStats = v.toBoolean))
       case "change_data_feed"                  => Some(s.copy(changeDataFeed = v.toBoolean))
       case "deletion_vectors"                  => Some(s.copy(deletionVectors = v.toBoolean))

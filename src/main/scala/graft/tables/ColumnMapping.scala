@@ -2,7 +2,7 @@ package graft.tables
 
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.Filter
-import org.apache.spark.sql.types.{MetadataBuilder, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, MetadataBuilder, StructField, StructType}
 
 /** Column mapping — RENAME/DROP COLUMN as METADATA-ONLY commits (Delta's
   * name-mode column mapping): every data file keeps the PHYSICAL column
@@ -16,14 +16,18 @@ import org.apache.spark.sql.types.{MetadataBuilder, StructField, StructType}
   * name gets a fresh physical name and can never resurrect the old
   * bytes. The mapping lives INSIDE each commit's schema JSON, so time
   * travel, CDF synthesis, and the streaming source all see the mapping
-  * that was true at their version. Top-level columns only (nested
-  * renames rewrite, like pre-mapping Delta).
+  * that was true at their version. NESTED struct leaves map too
+  * (`rename/drop "s.a"` — Delta's nested column mapping): the metadata
+  * rides on the nested [[StructField]]s, every transform here recurses
+  * through struct/array/map types, and physical-name uniqueness is
+  * scoped per enclosing struct (parquet resolves names per level).
   *
   * Scan-side: [[InternalRow]]s are positional — names only matter when
   * asking parquet for columns. [[GraftParquetFileFormat]] rewrites the
-  * requested schema's names logical→physical before handing it to the
-  * parquet reader and translates pushed filters the same way; the rows
-  * that come back need no further mapping. */
+  * requested schema's names logical→physical AT EVERY LEVEL before
+  * handing it to the parquet reader and translates pushed filters the
+  * same way (dotted paths); the rows that come back need no further
+  * mapping. */
 private[tables] object ColumnMapping {
 
   val PhysicalKey = "graft.physical"
@@ -36,31 +40,113 @@ private[tables] object ColumnMapping {
   def isDropped(f: StructField): Boolean =
     f.metadata.contains(DroppedKey) && f.metadata.getBoolean(DroppedKey)
 
-  /** The user-visible schema: tombstones removed. */
+  private def mapNested(dt: DataType)(f: StructType => StructType): DataType =
+    dt match {
+      case s: StructType => f(s)
+      case a: ArrayType  => a.copy(elementType = mapNested(a.elementType)(f))
+      case m: MapType    => m.copy(valueType = mapNested(m.valueType)(f))
+      case other         => other
+    }
+
+  /** The user-visible schema: tombstones removed, at every depth. */
   def logicalSchema(stored: StructType): StructType =
-    StructType(stored.fields.filterNot(isDropped))
+    StructType(stored.fields.filterNot(isDropped).map(fl =>
+      fl.copy(dataType = mapNested(fl.dataType)(logicalSchema))))
 
-  /** The file-side schema of the live columns: physical names. */
+  /** The file-side schema of the live columns: physical names, at every
+    * depth. */
   def physicalSchema(stored: StructType): StructType =
-    StructType(stored.fields.filterNot(isDropped)
-      .map(f => f.copy(name = physicalName(f))))
+    StructType(stored.fields.filterNot(isDropped).map(fl =>
+      fl.copy(name = physicalName(fl),
+        dataType = mapNested(fl.dataType)(physicalSchema))))
 
-  /** logical -> physical, only where they differ. Empty = mapping is a
-    * no-op and every path stays on its pre-mapping fast path. */
+  /** TOP-LEVEL logical -> physical, only where they differ (the frame-
+    * rename map; nested mapping rides through [[toPhysicalFor]]'s typed
+    * casts instead of name pairs). */
   def nameMap(stored: StructType): Map[String, String] =
     stored.fields.filterNot(isDropped).flatMap { f =>
       val p = physicalName(f)
       if (p == f.name) None else Some(f.name -> p)
     }.toMap
 
-  /** Is any mapping state present (divergent physical or tombstone)? */
-  def active(stored: StructType): Boolean =
-    stored.fields.exists(f => isDropped(f) || physicalName(f) != f.name)
+  /** DOTTED logical path -> dotted physical path for every divergent
+    * leaf at any depth — the domain pushed source filters name nested
+    * attributes in. */
+  def nameMapFlat(stored: StructType): Map[String, String] = {
+    def walk(prefL: String, prefP: String, s: StructType): Seq[(String, String)] =
+      s.fields.filterNot(isDropped).flatMap { f =>
+        val lp = if (prefL.isEmpty) f.name else s"$prefL.${f.name}"
+        val pn = physicalName(f)
+        val pp = if (prefP.isEmpty) pn else s"$prefP.$pn"
+        val self = if (lp == pp) Seq.empty else Seq(lp -> pp)
+        val kids = f.dataType match {
+          case st: StructType => walk(lp, pp, st)
+          case _ => Seq.empty
+        }
+        self ++ kids
+      }
+    walk("", "", stored).toMap
+  }
 
-  /** Physical names already claimed by any field, tombstones included —
-    * a NEW column must never adopt one of these as its physical name. */
+  /** Is any mapping state present (divergent physical or tombstone) at
+    * any depth? Gates the mapped read/write paths — false keeps every
+    * table that never ran a rename/drop on its pre-mapping fast path. */
+  def active(stored: StructType): Boolean =
+    stored.fields.exists { f =>
+      isDropped(f) || physicalName(f) != f.name || (f.dataType match {
+        case s: StructType => active(s)
+        case a: ArrayType => a.elementType match {
+          case s: StructType => active(s)
+          case _ => false
+        }
+        case m: MapType => m.valueType match {
+          case s: StructType => active(s)
+          case _ => false
+        }
+        case _ => false
+      })
+    }
+
+  /** Physical names already claimed by any field IN THIS STRUCT,
+    * tombstones included — a NEW column must never adopt one of these as
+    * its physical name. (Uniqueness is per struct level: parquet
+    * resolves names within their group.) */
   def claimedPhysicals(stored: StructType): Set[String] =
     stored.fields.map(physicalName).toSet
+
+  /** Rewrite a REQUESTED type (logical names, possibly a pruned subset)
+    * to physical names by matching fields against the stored schema BY
+    * NAME at every level — field order and subset structure of the
+    * request are preserved, so positional row semantics are untouched. */
+  def toPhysicalFor(storedDt: DataType, requested: DataType): DataType =
+    (storedDt, requested) match {
+      case (s: StructType, r: StructType) =>
+        StructType(r.fields.map { rf =>
+          s.fields.find(sf => !isDropped(sf) && sf.name == rf.name) match {
+            case Some(sf) => rf.copy(name = physicalName(sf),
+              dataType = toPhysicalFor(sf.dataType, rf.dataType))
+            case None => rf // engine-added columns (row-index temp, bucket)
+          }
+        })
+      case (s: ArrayType, r: ArrayType) =>
+        r.copy(elementType = toPhysicalFor(s.elementType, r.elementType))
+      case (s: MapType, r: MapType) =>
+        r.copy(valueType = toPhysicalFor(s.valueType, r.valueType))
+      case _ => requested
+    }
+
+  /** Recursively nullable form of a type — the rename-only positional
+    * cast in the mapped read path must never TIGHTEN nullability (a cast
+    * to a NOT NULL struct field is refused by the analyzer). */
+  def relaxNullability(dt: DataType): DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      f.copy(nullable = true, dataType = relaxNullability(f.dataType))))
+    case a: ArrayType =>
+      ArrayType(relaxNullability(a.elementType), containsNull = true)
+    case m: MapType => MapType(relaxNullability(m.keyType),
+      relaxNullability(m.valueType), valueContainsNull = true)
+    case other => other
+  }
 
   def withPhysical(f: StructField, physical: String): StructField = {
     val mb = new MetadataBuilder().withMetadata(f.metadata)
@@ -84,12 +170,13 @@ private[tables] object ColumnMapping {
 
   /** Strip mapping metadata from a schema users receive (the physical
     * name is an implementation detail; leaking it would also survive
-    * into frames users write back). */
+    * into frames users write back), at every depth. */
   def cleanMetadata(s: StructType): StructType =
     StructType(s.fields.map { f =>
       val mb = new MetadataBuilder().withMetadata(f.metadata)
         .remove(PhysicalKey).remove(DroppedKey)
-      f.copy(metadata = mb.build())
+      f.copy(metadata = mb.build(),
+        dataType = mapNested(f.dataType)(cleanMetadata))
     })
 
   /** Rewrite a pushed source filter's attribute names logical→physical.

@@ -195,14 +195,20 @@ private[tables] final class SerializableHadoopConf(
 private[tables] final class GraftParquetFileFormat(
     val tablePath: String,
     val dvPaths: Map[String, String],
-    /** logical -> physical column renames ([[ColumnMapping]]); the rows a
-      * parquet reader returns are POSITIONAL, so asking for the physical
-      * names is the entire read-side implementation of column mapping. */
-    val nameMap: Map[String, String] = Map.empty) extends ParquetFileFormat {
+    /** the STORED log schema when column mapping is active — drives the
+      * logical→physical rewrite of requested schemas AT EVERY LEVEL
+      * (nested leaves included); the rows a parquet reader returns are
+      * POSITIONAL, so asking for the physical names is the entire
+      * read-side implementation of column mapping. */
+    val mappedSchema: Option[StructType] = None) extends ParquetFileFormat {
 
-  require(dvPaths.nonEmpty || nameMap.nonEmpty,
+  require(dvPaths.nonEmpty || mappedSchema.nonEmpty,
     "GraftParquetFileFormat is only for DV-bearing or column-mapped " +
       "snapshots — use ParquetFileFormat")
+
+  // pushed source filters name nested attributes with dotted paths
+  private val filterMap: Map[String, String] =
+    mappedSchema.map(ColumnMapping.nameMapFlat).getOrElse(Map.empty)
 
   // rows must arrive one-by-one so the bitmap filter can drop them;
   // ParquetFileFormat still uses the vectorized reader underneath and
@@ -212,10 +218,11 @@ private[tables] final class GraftParquetFileFormat(
       schema: StructType): Boolean =
     if (dvPaths.nonEmpty) false else super.supportBatch(sparkSession, schema)
 
-  private def toPhysical(s: StructType): StructType =
-    if (nameMap.isEmpty) s
-    else StructType(s.fields.map(f =>
-      f.copy(name = nameMap.getOrElse(f.name, f.name))))
+  private def toPhysical(s: StructType): StructType = mappedSchema match {
+    case Some(stored) =>
+      ColumnMapping.toPhysicalFor(stored, s).asInstanceOf[StructType]
+    case None => s
+  }
 
   override def buildReaderWithPartitionValues(
       sparkSession: SparkSession,
@@ -230,8 +237,8 @@ private[tables] final class GraftParquetFileFormat(
     val physData = toPhysical(dataSchema)
     val physRequired = toPhysical(requiredSchema)
     val physFilters =
-      if (nameMap.isEmpty) filters
-      else filters.flatMap(ColumnMapping.mapFilter(nameMap, _))
+      if (mappedSchema.isEmpty) filters
+      else filters.flatMap(ColumnMapping.mapFilter(filterMap, _))
     if (dvPaths.isEmpty)
       return super.buildReaderWithPartitionValues(sparkSession, physData,
         partitionSchema, physRequired, physFilters, options, hadoopConf)
@@ -286,11 +293,12 @@ private[tables] final class GraftParquetFileFormat(
   // with different DV bindings or mappings must never dedupe into one scan
   override def equals(other: Any): Boolean = other match {
     case g: GraftParquetFileFormat =>
-      g.tablePath == tablePath && g.dvPaths == dvPaths && g.nameMap == nameMap
+      g.tablePath == tablePath && g.dvPaths == dvPaths &&
+        g.mappedSchema == mappedSchema
     case _ => false
   }
-  override def hashCode(): Int = (tablePath, dvPaths, nameMap).hashCode()
+  override def hashCode(): Int = (tablePath, dvPaths, mappedSchema).hashCode()
 
   override def toString: String =
-    s"GraftParquet(${dvPaths.size} DVs, ${nameMap.size} renames)"
+    s"GraftParquet(${dvPaths.size} DVs, ${filterMap.size} renames)"
 }

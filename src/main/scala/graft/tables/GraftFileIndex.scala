@@ -204,15 +204,27 @@ object GraftRelation {
       asOf: Long = Long.MaxValue): HadoopFsRelation = {
     val ss = table.spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val index = new GraftFileIndex(table, asOf)
+    // partition-converted trees (live names under k=v/ dirs) derive the
+    // partition columns from file PATHS; the native scan reads pages only
+    // and would silently serve NULL for them — refuse loudly and point at
+    // the supported surfaces. (One overwrite/OPTIMIZE flattens the layout
+    // by materializing the columns as data, after which this relation
+    // serves the table normally.)
+    require(index.pinnedSnapshot.live.forall(!_.contains("/")),
+      s"${table.path} holds partition-converted files under k=v directories: " +
+        "the native relation (SQL catalog / format(\"graft\")) does not " +
+        "synthesize dir-derived partition columns — use GraftTable.read()/" +
+        "readWhere(), or run a one-time overwrite/OPTIMIZE to flatten")
     // a snapshot with outstanding deletion vectors or column renames scans
     // through the graft format (bitmap probes / physical-name rewrite
     // inside the reader); the common plain snapshot keeps vanilla parquet
     // — columnar batches, untouched whole-stage codegen
     val dvs = index.pinnedSnapshot.dvFor
-    val renames = ColumnMapping.nameMap(index.storedSchema)
+    val stored = index.storedSchema
     val format =
-      if (dvs.isEmpty && renames.isEmpty) new ParquetFileFormat
-      else new GraftParquetFileFormat(table.path, dvs, renames)
+      if (dvs.isEmpty && !ColumnMapping.active(stored)) new ParquetFileFormat
+      else new GraftParquetFileFormat(table.path, dvs,
+        if (ColumnMapping.active(stored)) Some(stored) else None)
     HadoopFsRelation(
       location = index,
       partitionSchema = new StructType(),

@@ -323,10 +323,16 @@ final case class GraftUpdateCommand(index: GraftFileIndex,
   *    source match;
   *  - a target row matching MULTIPLE source rows fails loudly (the ANSI
   *    cardinality rule Delta enforces) whenever matched actions exist;
-  *  - `WITH SCHEMA EVOLUTION` widens the target with the source's new
-  *    columns (additive union, the same contract `append` implements):
+  *  - `WITH SCHEMA EVOLUTION` widens the target with EVERY new source
+  *    column (additive union, the same contract `append` implements):
   *    update/insert rows take the source's values for the new columns,
-  *    carried-through rows read NULL.
+  *    carried-through rows read NULL. DOCUMENTED DIVERGENCE from Delta:
+  *    Delta evolves only columns referenced by the merge's assignments
+  *    and leaves unreferenced evolved columns NULL in explicit-list
+  *    inserts; here evolved columns always populate from the source row
+  *    for claimed update/insert rows — simpler, and consistent with this
+  *    engine's append evolution, but a Delta workload migrating explicit
+  *    column lists will see source values where Delta wrote NULL.
   *
   * The captured ANALYZED target/source plans are evaluated via
   * [[PlanBridge.ofRows]], preserving attribute ids so the user's ON

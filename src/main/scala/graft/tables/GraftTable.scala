@@ -67,15 +67,20 @@ final case class BucketSpec(keys: Seq[String], numBuckets: Int) {
 
 /** The fully-replayed table state as of `version` — what a reader needs to
   * serve CURRENT-state queries without touching any earlier commit file.
-  * Persisted as `<version>.checkpoint.json` every
-  * `settings.logCheckpointInterval` commits (Delta's checkpoint mechanism):
-  * opening a table then costs O(interval) log reads instead of O(versions),
-  * which is the difference between milliseconds and seconds of driver-side
-  * metadata latency once an ingest has committed thousands of times against
-  * an object store. `stats` is trimmed to LIVE files so the checkpoint stays
-  * proportional to the table, not its history. Commit files are never
-  * deleted, so history reads (time travel below the checkpoint, CDF, vacuum
-  * accounting) replay the raw log exactly as before. */
+  * Persisted every `settings.logCheckpointInterval` commits (Delta's
+  * checkpoint mechanism) as TWIN files: `<version>.checkpoint.parquet`
+  * (one row per live file, columnar/distributed read — the serving format,
+  * see [[ParquetCheckpoint]]) beside `<version>.checkpoint.json` (the
+  * back-compat twin older readers parse). Opening a table then costs
+  * O(interval) log reads instead of O(versions), which is the difference
+  * between milliseconds and seconds of driver-side metadata latency once
+  * an ingest has committed thousands of times against an object store —
+  * and the parquet twin keeps the COLD open linear-columnar instead of
+  * JSON-AST-shaped at ~1M live files. `stats` is trimmed to LIVE files so
+  * the checkpoint stays proportional to the table, not its history. Commit
+  * files are never deleted, so history reads (time travel below the
+  * checkpoint, CDF, vacuum accounting) replay the raw log exactly as
+  * before. */
 final case class LogCheckpoint(
     version: Long,
     live: Seq[String],
@@ -275,21 +280,29 @@ final class GraftTable private (
     * (the layout hashed its values under this name) or appears in a
     * persisted CHECK constraint's SQL (the predicate text would
     * silently stop binding). Admin DDL: single-writer, like
-    * [[setBucketSpec]]. Top-level columns only. */
+    * [[setBucketSpec]]. NESTED struct leaves rename too: `from` takes a
+    * dotted path (`"s.a"`), `to` the new leaf name within the same
+    * parent — the mapping metadata rides on the nested field and every
+    * read/write path recurses through it ([[ColumnMapping]]). */
   def renameColumn(from: String, to: String): Unit = {
     require(exists, s"table does not exist: $path")
     require(from != to, "rename to the same name is a no-op")
-    requireNotAnchored(from, "rename")
+    require(!to.contains('.'),
+      s"rename target must be a bare name (same parent), got '$to'")
+    val segs = from.split('.').toSeq
+    requireNotAnchored(segs.head, "rename")
     commitSchemaChange("rename_column", Map("from" -> from, "to" -> to)) { stored =>
-      val logical = ColumnMapping.logicalSchema(stored)
-      require(logical.fieldNames.contains(from), s"no column '$from' in $path")
-      require(!logical.fieldNames.contains(to),
-        s"column '$to' already exists in $path")
-      org.apache.spark.sql.types.StructType(stored.fields.map { f =>
-        if (!ColumnMapping.isDropped(f) && f.name == from)
-          ColumnMapping.withPhysical(f.copy(name = to), ColumnMapping.physicalName(f))
-        else f
-      })
+      transformStructAt(stored, segs.init, "rename a field") { parent =>
+        val live = parent.fields.filterNot(ColumnMapping.isDropped)
+        require(live.exists(_.name == segs.last), s"no column '$from' in $path")
+        require(!live.exists(_.name == to),
+          s"column '$to' already exists beside '$from' in $path")
+        org.apache.spark.sql.types.StructType(parent.fields.map { f =>
+          if (!ColumnMapping.isDropped(f) && f.name == segs.last)
+            ColumnMapping.withPhysical(f.copy(name = to), ColumnMapping.physicalName(f))
+          else f
+        })
+      }
     }
   }
 
@@ -301,17 +314,46 @@ final class GraftTable private (
     * drop still reads them). Refusals as [[renameColumn]]. */
   def dropColumn(name: String): Unit = {
     require(exists, s"table does not exist: $path")
-    requireNotAnchored(name, "drop")
+    val segs = name.split('.').toSeq
+    requireNotAnchored(segs.head, "drop")
     commitSchemaChange("drop_column", Map("column" -> name)) { stored =>
-      val logical = ColumnMapping.logicalSchema(stored)
-      require(logical.fieldNames.contains(name), s"no column '$name' in $path")
-      require(logical.fields.length > 1,
-        s"cannot drop the only column of $path")
-      org.apache.spark.sql.types.StructType(stored.fields.map { f =>
-        if (!ColumnMapping.isDropped(f) && f.name == name) ColumnMapping.tombstone(f)
-        else f
-      })
+      transformStructAt(stored, segs.init, "drop a field") { parent =>
+        val live = parent.fields.filterNot(ColumnMapping.isDropped)
+        require(live.exists(_.name == segs.last), s"no column '$name' in $path")
+        require(live.length > 1,
+          s"cannot drop the only column of ${if (segs.size > 1) segs.init.mkString(".") else path}")
+        org.apache.spark.sql.types.StructType(parent.fields.map { f =>
+          if (!ColumnMapping.isDropped(f) && f.name == segs.last)
+            ColumnMapping.tombstone(f)
+          else f
+        })
+      }
     }
+  }
+
+  /** Apply `f` to the struct at `parentPath` inside `stored` (the whole
+    * schema for an empty path), recursing through array/map wrappers —
+    * the shared navigation for nested rename/drop. Paths are '.'-split;
+    * column names containing literal dots are not addressable (rename
+    * them at the top level first). */
+  private def transformStructAt(stored: org.apache.spark.sql.types.StructType,
+      parentPath: Seq[String], opDesc: String)(
+      f: org.apache.spark.sql.types.StructType => org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
+    if (parentPath.isEmpty) return f(stored)
+    val head = parentPath.head
+    val idx = stored.fields.indexWhere(x => !ColumnMapping.isDropped(x) && x.name == head)
+    require(idx >= 0, s"no column '$head' in $path")
+    def rec(dt: DataType): DataType = dt match {
+      case s: StructType => transformStructAt(s, parentPath.tail, opDesc)(f)
+      case a: ArrayType  => a.copy(elementType = rec(a.elementType))
+      case m: MapType    => m.copy(valueType = rec(m.valueType))
+      case other => throw new IllegalArgumentException(
+        s"cannot $opDesc inside '$head': it is $other, not a struct")
+    }
+    val fld = stored.fields(idx)
+    StructType(stored.fields.updated(idx, fld.copy(dataType = rec(fld.dataType))))
   }
 
   private def requireNotAnchored(name: String, op: String): Unit = {
@@ -447,8 +489,11 @@ final class GraftTable private (
       if (!fs.exists(dir)) (Seq.empty[Path], Seq.empty[Path])
       else {
         val all = fs.listStatus(dir).toSeq.map(_.getPath)
+        // checkpoint twins sort (version, json, parquet) by NAME — so for
+        // one version the parquet twin lists AFTER the json one, and the
+        // newest-first reader in [[snapshot]] prefers it
         (all.filter(_.getName.matches("\\d{20}\\.json")).sortBy(_.getName),
-          all.filter(_.getName.matches("\\d{20}\\.checkpoint\\.json")).sortBy(_.getName))
+          all.filter(_.getName.matches("\\d{20}\\.checkpoint\\.(json|parquet)")).sortBy(_.getName))
       }
     listingCache = fresh
     fresh
@@ -521,17 +566,27 @@ final class GraftTable private (
     * existing. */
   private[tables] def snapshot(asOf: Long = Long.MaxValue): LogCheckpoint = {
     val (commitFiles, ckptFiles) = listLog()
-    val base = ckptFiles.filter(versionOf(_) <= asOf).lastOption.flatMap { p =>
+    // newest version first; within a version the PARQUET twin first (the
+    // columnar/distributed read — [[ParquetCheckpoint]]) with the JSON
+    // twin as per-file fallback. Any unreadable candidate just tries the
+    // next — a checkpoint is an optimization, never a correctness input.
+    val base = ckptFiles.filter(versionOf(_) <= asOf).reverseIterator.flatMap { p =>
       val cached = ckptCache
       if (cached != null && cached._1 == p.getName) Some(cached._2)
       else try {
-        val in = fs.open(p)
-        val parsed = try JsonMethods.parse(in).extract[LogCheckpoint]
-        finally in.close()
+        val parsed =
+          if (p.getName.endsWith(".parquet"))
+            ParquetCheckpoint.read(spark, fs, spark.sessionState.newHadoopConf(),
+              p, effectiveSettings.logCheckpointDistributedReadBytes)
+          else {
+            val in = fs.open(p)
+            try JsonMethods.parse(in).extract[LogCheckpoint]
+            finally in.close()
+          }
         ckptCache = (p.getName, parsed) // checkpoint files are write-once too
         Some(parsed)
       } catch { case scala.util.control.NonFatal(_) => None }
-    }.getOrElse(LogCheckpoint(0L, Seq.empty, None, Map.empty))
+    }.nextOption().getOrElse(LogCheckpoint(0L, Seq.empty, None, Map.empty))
     // trimmed-log soundness: versions are dense, so the replay from `base`
     // to `asOf` is complete iff the first commit after base survives (or
     // there is nothing to replay). A missing prefix would SILENTLY yield
@@ -585,17 +640,24 @@ final class GraftTable private (
         stats = snap.stats.filter { case (f, _) => liveSet(f) },
         dvs = Some(snap.dvFor.filter { case (f, _) => liveSet(f) })
           .filter(_.nonEmpty))
+      // BOTH formats, parquet first (it serves; JSON is the back-compat
+      // twin older readers still parse — see [[ParquetCheckpoint]])
+      ParquetCheckpoint.write(fs, spark.sessionState.newHadoopConf(), logDir,
+        f"$version%020d.checkpoint.parquet", trimmed)
       val name = f"$version%020d.checkpoint.json"
       val tmp = new Path(logDir, s".$name.${UUID.randomUUID()}.tmp")
       val out = fs.create(tmp, false)
       try out.write(Serialization.write(trimmed).getBytes("UTF-8"))
       finally out.close()
       if (!fs.rename(tmp, new Path(logDir, name))) fs.delete(tmp, false)
-      invalidateListing() // the listing gained a checkpoint file
+      invalidateListing() // the listing gained checkpoint files
       // superseded checkpoints are pure redundancy (every commit file is
-      // retained forever) — keep the newest two so a reader holding a
-      // just-taken listing never loses the file it picked, drop the rest
-      listLog()._2.dropRight(2).foreach(p => fs.delete(p, false))
+      // retained forever) — keep the newest two VERSIONS (each a
+      // json+parquet twin pair) so a reader holding a just-taken listing
+      // never loses the file it picked, drop the rest
+      val cks = listLog()._2
+      val keep = cks.map(versionOf).distinct.sorted.takeRight(2).toSet
+      cks.filterNot(p => keep(versionOf(p))).foreach(p => fs.delete(p, false))
       invalidateListing() // ...and may have lost some
     } catch { case scala.util.control.NonFatal(_) => () }
   }
@@ -627,23 +689,24 @@ final class GraftTable private (
     * Rename alone cannot detect a version race: POSIX rename OVERWRITES an
     * existing destination, so two writers renaming onto the same version
     * file would silently lose one commit. Protocol: (1) claim the version
-    * with an O_EXCL create (atomic on local fs and HDFS) — the claim is a
-    * mutex for this version; (2) under the claim, check the version file
-    * doesn't already exist (a finished writer deletes its claim, but its
-    * commit file remains forever); (3) write-then-rename so readers never
-    * see partial content. Losers throw `concurrent commit` — append
-    * retries at the next version, read-modify-write callers fail fast. */
+    * through the session's [[LogStore]] (default: an O_EXCL create,
+    * atomic on local fs and HDFS; S3-class stores plug a conditional-PUT
+    * or arbiter-backed store via `spark.graft.logStore.class` — the
+    * claim's atomicity is the ONLY storage-specific piece of the
+    * protocol); (2) under the claim, check the version file doesn't
+    * already exist (a finished writer releases its claim, but its commit
+    * file remains forever); (3) write-then-rename so readers never see
+    * partial content. Losers throw `concurrent commit` — append retries
+    * at the next version, read-modify-write callers fail fast. */
   private def writeCommit(c: Commit): Unit = {
     fs.mkdirs(new Path(logDir))
     val name = f"${c.version}%020d.json"
     val dst = new Path(logDir, name)
     def conflict() = throw new IllegalStateException(
       s"concurrent commit detected for version ${c.version} at $path")
-    val claim = new Path(logDir, s".$name.claim")
-    val claimed =
-      try { fs.create(claim, false).close(); true }
-      catch { case _: java.io.IOException => false }
-    if (!claimed) conflict()
+    val store = LogStore.forSession(spark)
+    val dir = new Path(logDir)
+    if (!store.tryClaim(fs, dir, name)) conflict()
     try {
       if (fs.exists(dst)) conflict()
       val tmp = new Path(logDir, s".$name.${UUID.randomUUID()}.tmp")
@@ -655,7 +718,7 @@ final class GraftTable private (
         conflict()
       }
     } finally {
-      fs.delete(claim, false)
+      store.release(fs, dir, name)
       // whether we published or lost the race, the log changed (or is
       // about to): drop the cached listing so the next read re-lists
       invalidateListing()
@@ -701,16 +764,52 @@ final class GraftTable private (
       org.apache.spark.sql.types.DataType.fromJson(sj)
         .asInstanceOf[org.apache.spark.sql.types.StructType])
     val paths = files.map(f => s"$path/$f")
-    stored.filter(ColumnMapping.active) match {
+    val base = stored.filter(ColumnMapping.active) match {
       case Some(st) =>
         val phys = ColumnMapping.physicalSchema(st)
         val logical = ColumnMapping.cleanMetadata(ColumnMapping.logicalSchema(st))
+        // phys and logical are the same recursion over the same stored
+        // schema, so they agree field-for-field; the positional CAST is
+        // what renames NESTED leaves back to logical (casting a struct to
+        // a same-shape struct rebinds field names) — a no-op for columns
+        // with no nested mapping
         spark.read.schema(phys).parquet(paths: _*)
           .select(phys.fields.zip(logical.fields).map { case (pf, lf) =>
-            col(pf.name).as(lf.name)
+            val c = col(pf.name)
+            // relaxed: the rename-only cast must never TIGHTEN
+            // nullability (cast to a NOT NULL struct field is refused)
+            val target = ColumnMapping.relaxNullability(lf.dataType)
+            (if (ColumnMapping.relaxNullability(pf.dataType) == target) c
+             else c.cast(target)).as(lf.name)
           }.toSeq: _*)
       case None =>
         spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    }
+    withDirPartitionColumns(base, files, stored)
+  }
+
+  /** Synthesize hive-dir partition columns for files adopted by a
+    * partitioned-tree [[convert]]: a file living under `k=v/` carries
+    * `k`'s value in its PATH, not its pages, so the column is derived
+    * from `_metadata.file_path` per row — and COALESCED with the data
+    * value, because later DML rewrites stage flat files that carry the
+    * column physically (the two layouts coexist in one table). Flat-only
+    * file sets (every table that never converted a tree) return the
+    * frame untouched — zero plan change. */
+  private def withDirPartitionColumns(df: DataFrame, files: Seq[String],
+      stored: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
+    val nested = files.find(_.contains("/")).toSeq
+    if (nested.isEmpty) return df
+    val keys = nested.head.split('/').dropRight(1).toSeq.map(_.takeWhile(_ != '='))
+    keys.foldLeft(df) { (acc, k) =>
+      val dt = stored.flatMap(_.fields.find(_.name == k).map(_.dataType))
+        .getOrElse(org.apache.spark.sql.types.StringType)
+      val raw = regexp_extract(col("_metadata.file_path"),
+        "/" + java.util.regex.Pattern.quote(k) + "=([^/]+)/", 1)
+      val v = when(raw === "" || raw === "__HIVE_DEFAULT_PARTITION__", lit(null))
+        .otherwise(url_decode(raw)).cast(dt)
+      if (acc.columns.contains(k)) acc.withColumn(k, coalesce(col(k), v))
+      else acc.withColumn(k, v)
     }
   }
 
@@ -760,13 +859,26 @@ final class GraftTable private (
     * skipped. At 100 TB a selective predicate on an append-ordered column
     * (event time, ingest date) turns an O(table) scan into O(matching
     * files) — same mechanics as Delta/Iceberg data skipping. */
-  def readWhere(predicate: org.apache.spark.sql.Column): DataFrame =
+  def readWhere(predicate: org.apache.spark.sql.Column): DataFrame = {
+    // partition-converted trees (live files under k=v dirs) derive their
+    // partition columns from file paths, which the native relation does
+    // not synthesize — prune explicitly (partition-value atoms included)
+    // and read through the path-synthesizing mergeSchema reader instead
+    val snap = snapshot()
+    if (snap.live.exists(_.contains("/"))) {
+      val files = prunedFilesOf(snap, predicate)
+      if (files.isEmpty) return readAt(snap.version).filter(predicate).limit(0)
+      return DeletionVectors.filterDeleted(
+        readDataFiles(files, snap.schemaJson), spark, loadDvs(snap.dvFor, files))
+        .filter(predicate)
+    }
     // through the native relation since round 12: the same PredAtom pruner
     // runs at ANALYSIS time inside GraftFileIndex.listFiles (Catalyst
     // pushes the filter down as a data filter), and the log-schema scan
     // drops the per-query distributed footer-inference job the old
     // mergeSchema read paid on every index probe
     readRelation().filter(predicate)
+  }
 
   /** The live files `readWhere(predicate)` would scan (exposed for tests
     * and observability). Combines two independent pruners: per-file
@@ -914,13 +1026,27 @@ final class GraftTable private (
     // one projection; the commit-side union schema assigns the identical
     // deterministic physicals, so files and log always agree. A no-op
     // (empty map) for every table that never ran a rename/drop.
-    val mapping = ColumnMapping.nameMap(unionSchemaStruct(logical.schema))
+    val storedUnion = unionSchemaStruct(logical.schema)
+    val mappingActive = ColumnMapping.active(storedUnion)
+    val mapping = ColumnMapping.nameMap(storedUnion)
       .filter { case (l, _) => logical.columns.contains(l) }
     require(!logical.columns.exists(_.startsWith("__dropped_")),
       "column names starting with '__dropped_' are reserved (column-mapping tombstones)")
     def toPhysical(df: DataFrame): DataFrame =
-      if (mapping.isEmpty) df
-      else df.select(df.columns.map(c => col(c).as(mapping.getOrElse(c, c))).toSeq: _*)
+      if (!mappingActive) df
+      else df.select(df.columns.map { c =>
+        storedUnion.fields.find(sf => !ColumnMapping.isDropped(sf) && sf.name == c) match {
+          case Some(sf) =>
+            // typed rewrite: renames NESTED leaves too (the cast target is
+            // derived from the batch's own shape, so positional semantics
+            // are exact even for partial structs); a same-type cast is
+            // eliminated by Catalyst
+            val physDt = ColumnMapping.toPhysicalFor(sf.dataType, df.schema(c).dataType)
+            val base = if (physDt == df.schema(c).dataType) col(c) else col(c).cast(physDt)
+            base.as(ColumnMapping.physicalName(sf))
+          case None => col(c) // engine-added columns (graft_bucket)
+        }
+      }.toSeq: _*)
     val df = logical
     val stagingId = UUID.randomUUID().toString
     val stagingDir = s"$path/_staging-$stagingId"
@@ -1459,8 +1585,8 @@ final class GraftTable private (
       }
     // CDF: the affected-file snapshot and the update batch each feed the
     // merge AND the change-row joins — materialize once, not per consumer
-    val snap = if (effectiveSettings.changeDataFeed) current.map(_.localCheckpoint(true)) else current
-    val ups = if (effectiveSettings.changeDataFeed) upserted.localCheckpoint(true) else upserted
+    val snap = if (effectiveSettings.changeDataFeed) current.map(graft.ext.Parallelism.materialize(_)(effectiveSettings)) else current
+    val ups = if (effectiveSettings.changeDataFeed) graft.ext.Parallelism.materialize(upserted)(effectiveSettings) else upserted
     val merged = snap match {
       case Some(df) =>
         df.join(updateKeys, keyCols, "left_anti")
@@ -1570,36 +1696,143 @@ final class GraftTable private (
     * (one stats-collection scan, zero rewrites, files stay byte-identical
     * where they are) and rewriting the corpus through `append`.
     *
-    * Contract: the directory must not already be a graft table, and the
-    * files must sit DIRECTLY in `path` (the table format's flat-dir
-    * layout; a Hive-partitioned tree is refused loudly — its partition
-    * values live in dir names, which a name-keyed commit cannot carry).
+    * Layouts: flat directories adopt as before; a HIVE-PARTITIONED tree
+    * (every nesting level `k=v` — real lakes are full of them) adopts
+    * in place too: files are recorded by their RELATIVE path, the
+    * partition columns join the schema (Spark's partition inference
+    * supplies their types), and each file's dir-derived partition VALUE
+    * becomes a min=max stats atom — so `readWhere(partCol === x)` prunes
+    * to that partition's files through the ordinary skipping machinery,
+    * no partition-specific pruning code. Reads synthesize the partition
+    * columns from the file path ([[readDataFiles]]); later DML rewrites
+    * stage flat files that carry the columns as DATA, and the two
+    * layouts coexist (path value only fills where the file lacks the
+    * column). Non-`k=v` nesting is refused loudly.
+    *
     * Stats (min/max/nulls/rows + byte sizes) are collected in the same
     * one-scan shape as a write, so data skipping works immediately; pass
-    * `collectStats=false` to adopt metadata-only in O(listing). */
+    * `collectStats=false` to adopt metadata-only in O(listing) —
+    * partition-value atoms are still recorded (they come from the
+    * listing, not a scan). */
   def convert(collectStats: Boolean = true): Commit = {
     require(version == 0, s"$path is already a graft table (at v$version)")
-    val root = new Path(path)
+    val root = fs.makeQualified(new Path(path))
     val listed = FsUtils.dataFiles(spark, path)
     require(listed.nonEmpty, s"nothing to convert: no data files under $path")
-    val nested = listed.filterNot(_.getPath.getParent == fs.makeQualified(root))
-    require(nested.isEmpty,
-      s"cannot convert $path: ${nested.size} file(s) in subdirectories " +
-        s"(e.g. ${nested.take(2).map(_.getPath).mkString(", ")}) — the graft " +
-        "layout is flat; read the partitioned tree and append it instead")
     require(listed.forall(_.getPath.getName.endsWith(".parquet")),
       s"cannot convert $path: non-parquet data files present")
+    val rootPrefix = root.toUri.getPath.stripSuffix("/") + "/"
+    def rel(st: org.apache.hadoop.fs.FileStatus): String = {
+      val p = fs.makeQualified(st.getPath).toUri.getPath
+      require(p.startsWith(rootPrefix), s"internal: $p not under $root")
+      p.stripPrefix(rootPrefix)
+    }
+    val rels = listed.map(rel)
+    // nesting must be hive-style: every dir level `k=v`, and one
+    // consistent key sequence across the whole tree (Spark's own
+    // partition-discovery invariant)
+    val partsOf: Map[String, Seq[(String, String)]] = rels.map { r =>
+      val segs = r.split('/').dropRight(1).toSeq
+      val kvs = segs.map { s =>
+        val i = s.indexOf('=')
+        require(i > 0,
+          s"cannot convert $path: subdirectory '$s' (under '$r') is not " +
+            "hive-style k=v partitioning — flatten the tree or append it instead")
+        (s.take(i), s.drop(i + 1))
+      }
+      r -> kvs
+    }.toMap
+    val keySeqs = partsOf.values.map(_.map(_._1)).toSet
+    require(keySeqs.size <= 1,
+      s"cannot convert $path: inconsistent partition levels across the tree " +
+        s"(${keySeqs.take(3).map(_.mkString("/")).mkString(" vs ")})")
+    val partKeys: Seq[String] = keySeqs.headOption.getOrElse(Seq.empty)
+    // spark.read.parquet(path) runs partition discovery, so the schema
+    // carries the partition columns WITH their inferred types
     val df = spark.read.parquet(path)
-    val sizes = listed.map(st => st.getPath.getName -> st.getLen).toMap
-    val stats =
-      if (collectStats) this.collectStats(path, df).map {
-        case (f, s) => f -> s.copy(bytes = sizes.get(f))
-      } else Map.empty[String, FileStats]
+    partKeys.foreach(k => require(df.columns.contains(k),
+      s"internal: partition column '$k' missing from inferred schema"))
+    val partTypes: Map[String, org.apache.spark.sql.types.DataType] =
+      partKeys.map(k => k -> df.schema(k).dataType).toMap
+    val sizes = listed.map(st => rel(st) -> st.getLen).toMap
+    // dir-derived partition values as per-file stats: min = max = value,
+    // nulls = 0 (a dir value holds for EVERY row of the file). Stored in
+    // the stats writer's string conventions so StatsPruning compares them
+    // in the right domain. The hive null sentinel contributes no entry —
+    // a missing column keeps the file, which is the sound degrade.
+    def partStats(r: String): Map[String, ColStats] =
+      partsOf(r).flatMap { case (k, raw) =>
+        val v = java.net.URLDecoder.decode(raw, "UTF-8")
+        partTypes(k) match {
+          case _ if v == "__HIVE_DEFAULT_PARTITION__" => None
+          // timestamp dir values carry zone/format subtleties the string
+          // stats domain can't encode faithfully — omit the atom rather
+          // than risk an unsound prune (missing column = file kept)
+          case org.apache.spark.sql.types.TimestampType |
+               org.apache.spark.sql.types.TimestampNTZType => None
+          case _ => // numerics/strings/dates compare in cast-to-string form
+            Some(k -> ColStats(Some(v), Some(v), 0L))
+        }
+      }.toMap
+    val dataStats =
+      if (collectStats) collectStatsRelative(root, df, partKeys.toSet)
+      else Map.empty[String, FileStats]
+    val stats = rels.flatMap { r =>
+      val ps = partStats(r)
+      dataStats.get(r) match {
+        case Some(st) => Some(r -> st.copy(cols = st.cols ++ ps, bytes = sizes.get(r)))
+        // NO STATISTICS on a partitioned tree still records the dir-derived
+        // atoms (they cost nothing — no scan). rows=1 is a placeholder that
+        // keeps the null-count algebra sound (every partition atom has
+        // nulls=0 < rows); flat no-stats files record nothing, as before.
+        case None if ps.nonEmpty => Some(r -> FileStats(1L, ps, bytes = sizes.get(r)))
+        case None => None
+      }
+    }.toMap
     nextCommit("convert", dataChange = true,
-      add = listed.map(_.getPath.getName), remove = Seq.empty,
+      add = rels, remove = Seq.empty,
       unionSchemaJson(df.schema),
       Map("numConvertedFiles" -> listed.size.toString,
-        "numConvertedBytes" -> sizes.values.sum.toString), stats)
+        "numConvertedBytes" -> sizes.values.sum.toString,
+        "partitionColumns" -> partKeys.mkString(",")), stats)
+  }
+
+  /** [[collectStats]] keyed by path RELATIVE to `root` instead of base
+    * name — partition dirs can repeat base file names, so a converted
+    * tree must key stats (and commits) by the relative path. Partition
+    * columns are excluded: their per-file constants come from the dir
+    * names ([[convert]]), not a scan. */
+  private def collectStatsRelative(root: Path, df: DataFrame,
+      excludeCols: Set[String]): Map[String, FileStats] = {
+    if (!effectiveSettings.collectFileStats) return Map.empty
+    val statFields = df.schema.fields
+      .filter(f => isStatType(f.dataType) && !excludeCols(f.name)).toSeq
+    val aggs = statFields.flatMap { f =>
+      val c = col(f.name)
+      val (mn, mx) = f.dataType match {
+        case org.apache.spark.sql.types.TimestampType =>
+          (unix_micros(min(c)), unix_micros(max(c)))
+        case _ => (min(c), max(c))
+      }
+      Seq(mn.cast("string").as(s"__mn_${f.name}"),
+        mx.cast("string").as(s"__mx_${f.name}"),
+        count(when(c.isNull, 1)).as(s"__nl_${f.name}"))
+    }
+    val rootPrefix = root.toUri.getPath.stripSuffix("/") + "/"
+    df.groupBy(input_file_name().as("__file"))
+      .agg(count(lit(1)).as("__rows"), aggs: _*)
+      .collect()
+      .map { r =>
+        val full = new Path(new java.net.URI(r.getString(0))).toUri.getPath
+        val relName = full.stripPrefix(rootPrefix)
+        val cols = statFields.map { f =>
+          f.name -> ColStats(
+            Option(r.getAs[String](s"__mn_${f.name}")),
+            Option(r.getAs[String](s"__mx_${f.name}")),
+            r.getAs[Long](s"__nl_${f.name}"))
+        }.toMap
+        relName -> FileStats(r.getAs[Long]("__rows"), cols)
+      }.toMap
   }
 
   /** DELETE WHERE: remove matching rows by rewriting ONLY the files that
@@ -1629,7 +1862,7 @@ final class GraftTable private (
       readDataFiles(affected, snap.schemaJson),
       spark, loadDvs(snap.dvFor, affected))
     // CDF consumes the source twice (remaining + deleted rows)
-    val src = if (effectiveSettings.changeDataFeed) srcRaw.localCheckpoint(true) else srcRaw
+    val src = if (effectiveSettings.changeDataFeed) graft.ext.Parallelism.materialize(srcRaw)(effectiveSettings) else srcRaw
     // SQL DELETE semantics: remove rows where the predicate is TRUE; rows
     // where it is NULL are kept (a bare !predicate would drop them)
     val remaining = src.filter(!coalesce(predicate, lit(false)))
@@ -1678,7 +1911,7 @@ final class GraftTable private (
       .withColumn("__f", col("_metadata.file_name"))
       .withColumn("__i", col("_metadata.row_index"))
       .filter(cond)
-      .localCheckpoint(true) // feeds position agg + CDF + update images once
+      .transform(graft.ext.Parallelism.materialize(_)(effectiveSettings)) // feeds position agg + CDF + update images once
     // cap check BEFORE positions transit the driver (it exists to protect
     // the driver); `matched` is materialized, so the extra count is cheap
     val totalMatched = matched.count()
@@ -1808,7 +2041,7 @@ final class GraftTable private (
       readDataFiles(affected, snap.schemaJson),
       spark, loadDvs(snap.dvFor, affected))
     // CDF consumes the source three times (rewrite + pre/postimage)
-    val src = if (effectiveSettings.changeDataFeed) srcRaw.localCheckpoint(true) else srcRaw
+    val src = if (effectiveSettings.changeDataFeed) graft.ext.Parallelism.materialize(srcRaw)(effectiveSettings) else srcRaw
     val updated = assignments.foldLeft(src) { case (df, (name, value)) =>
       require(df.columns.contains(name), s"unknown column '$name' in update")
       df.withColumn(name, when(cond, value).otherwise(col(name)))
@@ -2103,10 +2336,19 @@ final class GraftTable private (
     // Delta: don't vacuum with retention below your longest write).
     val cs = commits()
     val referencedData = cs.flatMap(c => c.add ++ c.remove).toSet
+    // commit names are TABLE-RELATIVE paths (a partitioned-tree convert
+    // records `k=v/part-...`), so the listing must relativize the same
+    // way — matching on base name alone would misread every adopted
+    // partition file as an orphan and delete live data
+    val qualifiedRoot = fs.makeQualified(new Path(path)).toUri.getPath
+      .stripSuffix("/") + "/"
     val dataOrphans = FsUtils.dataFiles(spark, path)
-      .filter(st => !referencedData(st.getPath.getName) &&
-        st.getModificationTime < cutoff)
-      .map(_.getPath.getName)
+      .map(st => (st, fs.makeQualified(st.getPath).toUri.getPath
+        .stripPrefix(qualifiedRoot)))
+      .filter { case (st, rel) =>
+        !referencedData(rel) && st.getModificationTime < cutoff
+      }
+      .map(_._2)
     def sideOrphans(dir: String, referenced: Set[String]): Seq[String] = {
       val d = new Path(path, dir)
       if (!fs.exists(d)) Seq.empty

@@ -182,6 +182,65 @@ class ColumnMappingSpec extends SparkSpecBase {
       "renaming back to the physical name should leave no mapping state")
   }
 
+  test("NESTED rename touches no files; reads, DML, and appends serve the new leaf name") {
+    val t = table(tmp("cm-nested-"))
+    t.append(Seq(
+      (1, ("alice", 30)), (2, ("bob", 40)), (3, ("carol", 50)))
+      .toDF("id", "s").coalesce(1))
+    val files = t.liveFiles().toSet
+    t.renameColumn("s._1", "name")
+    assert(t.liveFiles().toSet === files, "nested rename must move zero data files")
+    assert(t.read().schema("s").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq === Seq("name", "_2"))
+    assert(t.read().select(col("s.name")).as[String].collect().toSet
+      === Set("alice", "bob", "carol"))
+    assert(t.readRelation().filter(col("s.name") === "bob")
+      .select("id").as[Int].head() === 2)
+    // post-rename DML: nested assignment through the renamed leaf, then a
+    // delete filtered on it — through the SQL command path
+    spark.sql("DROP TABLE IF EXISTS cm_nested")
+    spark.sql(s"CREATE TABLE cm_nested USING graft LOCATION '${t.path}'")
+    spark.sql("UPDATE cm_nested SET s.name = 'BOB' WHERE id = 2")
+    assert(t.read().filter(col("id") === 2).select(col("s.name")).as[String].head()
+      === "BOB")
+    spark.sql("DELETE FROM cm_nested WHERE s.name = 'carol'")
+    assert(t.read().count() === 2)
+    // appends keep flowing under the new logical leaf, into the SAME
+    // physical nested column — both generations readable in one scan
+    t.append(Seq((4, ("dave", 60))).toDF("id", "s")
+      .withColumn("s", col("s").cast(t.read().schema("s").dataType)))
+    assert(t.read().filter(col("s.name") === "dave").count() === 1)
+    assert(t.read().count() === 3)
+  }
+
+  test("NESTED drop tombstones the leaf; a re-added leaf name never resurrects old bytes") {
+    val t = table(tmp("cm-nested-drop-"))
+    t.append(Seq((1, ("secret1", 10)), (2, ("secret2", 20)))
+      .toDF("id", "s").coalesce(1))
+    t.renameColumn("s._1", "note")
+    t.renameColumn("s._2", "amt")
+    val files = t.liveFiles().toSet
+    t.dropColumn("s.note")
+    assert(t.liveFiles().toSet === files, "nested drop must move zero data files")
+    assert(t.read().schema("s").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq === Seq("amt"))
+    // dropping the last live leaf of a struct is refused
+    val e = intercept[IllegalArgumentException](t.dropColumn("s.amt"))
+    assert(e.getMessage.contains("only column"))
+    // re-adding the SAME leaf name must read fresh bytes (NULL for old
+    // rows), never the tombstoned physical's old values
+    val structType = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("amt", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("note", org.apache.spark.sql.types.StringType)))
+    t.append(Seq((3, (30, "fresh"))).toDF("id", "s")
+      .withColumn("s", col("s").cast(structType)))
+    val notes = t.read().select(col("id"), col("s.note")).as[(Int, String)]
+      .collect().toMap
+    assert(notes(3) === "fresh")
+    assert(notes(1) == null && notes(2) == null,
+      s"old rows must read NULL for the re-added leaf, got $notes")
+  }
+
   test("mapFilter never strengthens a hint beneath NOT (polarity soundness)") {
     import org.apache.spark.sql.sources
     val m = Map("logical" -> "phys")

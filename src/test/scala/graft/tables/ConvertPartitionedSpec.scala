@@ -1,0 +1,135 @@
+package graft.tables
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+import graft.conf.GraftSettings
+
+/** Partitioned-tree CONVERT: a hive-layout parquet tree (`k=v` directory
+  * levels — what real lakes hold) adopts in place. Partition values
+  * become per-file min=max stats atoms, so the ordinary skipping
+  * machinery prunes `readWhere(partCol === x)` to one partition's files;
+  * reads synthesize the partition columns from file paths; later DML
+  * rewrites stage flat files carrying the columns as data, and the two
+  * layouts coexist. */
+class ConvertPartitionedSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("graft-convert-").toString
+
+  private def writeTree(dir: String): Unit =
+    (1 to 60).map(i => (i, s"v$i", if (i % 3 == 0) "eu" else "us", i % 2))
+      .toDF("id", "v", "region", "d")
+      .write.partitionBy("region", "d").parquet(dir)
+
+  test("convert adopts a two-level k=v tree; readWhere prunes to one partition's files") {
+    val dir = s"${tmp()}/t"
+    writeTree(dir)
+    val t = GraftTable(spark, dir)(GraftSettings.default)
+    val c = t.convert()
+    assert(c.metrics("partitionColumns") === "region,d")
+    assert(t.liveFiles().forall(f => f.contains("region=") && f.contains("/d=")))
+    // partition columns come back with values, types inferred (d: int)
+    val got = t.read().select("id", "region", "d").as[(Int, String, Int)].collect()
+    assert(got.length === 60)
+    assert(got.forall { case (i, r, d) => r === (if (i % 3 == 0) "eu" else "us") && d === i % 2 })
+    // partition-value atoms prune to ONE partition's files
+    val euFiles = t.prunedFiles(col("region") === "eu")
+    assert(euFiles.nonEmpty && euFiles.forall(_.startsWith("region=eu/")),
+      s"expected only region=eu files, got $euFiles")
+    assert(euFiles.size < t.liveFiles().size)
+    val slice = t.prunedFiles(col("region") === "eu" && col("d") === 1)
+    assert(slice.nonEmpty && slice.forall(_.startsWith("region=eu/d=1")))
+    // and the answers are exact
+    assert(t.readWhere(col("region") === "eu" && col("d") === 1)
+      .select("id").as[Int].collect().sorted.toSeq
+      === (1 to 60).filter(i => i % 3 == 0 && i % 2 == 1))
+    // DATA-column stats collected too (keyed by relative path)
+    assert(t.prunedFiles(col("id") === -5).isEmpty)
+  }
+
+  test("non-k=v nesting is refused loudly; flat convert unchanged") {
+    val dir = s"${tmp()}/bad"
+    Seq((1, "a")).toDF("id", "v").write.parquet(s"$dir/sub")
+    val e = intercept[IllegalArgumentException](
+      GraftTable(spark, dir)(GraftSettings.default).convert())
+    assert(e.getMessage.contains("k=v"))
+    val flat = s"${tmp()}/flat"
+    Seq((1, "a"), (2, "b")).toDF("id", "v").write.parquet(flat)
+    val t = GraftTable(spark, flat)(GraftSettings.default)
+    t.convert()
+    assert(t.read().count() === 2)
+    assert(t.liveFiles().forall(!_.contains("/")))
+  }
+
+  test("DML on a converted tree: pruned rewrite, mixed flat+nested layout reads correctly") {
+    val dir = s"${tmp()}/t"
+    writeTree(dir)
+    val t = GraftTable(spark, dir)(GraftSettings.default)
+    t.convert()
+    val live0 = t.liveFiles().size
+    // delete inside one partition: only that partition's files rewrite
+    t.delete(col("region") === "eu" && col("id") <= 10)
+    val c = t.commits().last
+    assert(c.action === "delete")
+    assert(c.remove.forall(_.startsWith("region=eu/")),
+      s"delete touched non-eu files: ${c.remove}")
+    assert(c.remove.size < live0)
+    // survivors re-staged FLAT with the partition columns as data; the
+    // nested remainder still derives them from paths — both read together
+    assert(t.liveFiles().exists(!_.contains("/")) &&
+      t.liveFiles().exists(_.contains("/")), "expected a mixed layout")
+    val got = t.read().select("id", "region", "d").as[(Int, String, Int)].collect()
+    assert(got.length === 60 - (1 to 10).count(_ % 3 == 0))
+    assert(got.forall { case (i, r, d) => r === (if (i % 3 == 0) "eu" else "us") && d === i % 2 })
+    // pruning still works across the mixed layout
+    assert(t.readWhere(col("region") === "us").count() === (1 to 60).count(_ % 3 != 0))
+  }
+
+  test("metadata-only convert (NO STATISTICS) still records partition atoms") {
+    val dir = s"${tmp()}/t"
+    writeTree(dir)
+    val t = GraftTable(spark, dir)(GraftSettings.default)
+    t.convert(collectStats = false)
+    val euFiles = t.prunedFiles(col("region") === "eu")
+    assert(euFiles.nonEmpty && euFiles.forall(_.startsWith("region=eu/")))
+    // no data stats -> data predicates keep everything (sound degrade)
+    assert(t.prunedFiles(col("id") === -5).size === t.liveFiles().size)
+    assert(t.readWhere(col("region") === "eu").count() === (1 to 60).count(_ % 3 == 0))
+  }
+
+  test("native relation refuses partition-converted tables loudly") {
+    val dir = s"${tmp()}/t"
+    writeTree(dir)
+    val t = GraftTable(spark, dir)(GraftSettings.default)
+    t.convert()
+    val e = intercept[IllegalArgumentException](t.readRelation())
+    assert(e.getMessage.contains("k=v"))
+    // a one-time overwrite flattens (partition cols become data) and the
+    // native relation serves normally again
+    t.overwrite(t.read())
+    assert(t.readRelation().count() === 60)
+    assert(t.readRelation().filter(col("region") === "eu").count()
+      === (1 to 60).count(_ % 3 == 0))
+  }
+
+  test("vacuum relativizes adopted partition files (never treats live files as orphans)") {
+    val dir = s"${tmp()}/t"
+    writeTree(dir)
+    val t = GraftTable(spark, dir)(GraftSettings.default)
+    t.convert()
+    t.delete(col("region") === "eu" && col("id") <= 10) // leaves removed nested files
+    val removed = t.vacuum(retentionHours = 0)
+    assert(removed.nonEmpty && removed.forall(_.startsWith("region=eu/")),
+      s"vacuum must GC exactly the rewritten partition's old files, got $removed")
+    // the GC'd files are really gone; every live file is still readable
+    val fs = graft.lake.FsUtils.fs(spark, t.path)
+    removed.foreach(f => assert(
+      !fs.exists(new org.apache.hadoop.fs.Path(t.path, f)), s"$f not deleted"))
+    t.liveFiles().foreach(f => assert(
+      fs.exists(new org.apache.hadoop.fs.Path(t.path, f)), s"live $f went missing"))
+    assert(t.read().count() === 60 - (1 to 10).count(_ % 3 == 0))
+  }
+}

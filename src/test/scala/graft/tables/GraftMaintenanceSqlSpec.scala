@@ -187,13 +187,20 @@ class GraftMaintenanceSqlSpec extends AnyFunSuite {
     spark.sql("DELETE FROM conv_pq WHERE id <= 10")
     assert(spark.table("conv_pq").count() === 40)
 
-    // re-convert is refused; nested (partitioned) layout is refused
+    // re-convert is refused; a hive-partitioned (k=v) tree now ADOPTS in
+    // place (ConvertPartitionedSpec covers the full contract), while
+    // non-k=v nesting is still refused loudly
     val e = intercept[Exception](spark.sql(s"CONVERT TO GRAFT '$dir/t'").collect())
     assert(e.getMessage.contains("already a graft table"))
-    Seq((1, "a")).toDF("id", "part").write.partitionBy("part")
+    Seq((1, "a"), (2, "b")).toDF("id", "part").write.partitionBy("part")
       .mode("overwrite").parquet(s"$dir/nested")
-    val e2 = intercept[Exception](spark.sql(s"CONVERT TO GRAFT '$dir/nested'").collect())
-    assert(e2.getMessage.contains("flat"))
+    spark.sql(s"CONVERT TO GRAFT '$dir/nested'").collect()
+    val tn = GraftTable(spark, s"$dir/nested")(GraftSettings.default)
+    assert(tn.read().count() === 2)
+    assert(tn.commits().head.metrics("partitionColumns") === "part")
+    Seq((1, "a")).toDF("id", "v").write.mode("overwrite").parquet(s"$dir/plainsub/sub")
+    val e2 = intercept[Exception](spark.sql(s"CONVERT TO GRAFT '$dir/plainsub'").collect())
+    assert(e2.getMessage.contains("k=v"))
   }
 
   test("CONVERT TO GRAFT NO STATISTICS adopts metadata-only in O(listing)") {

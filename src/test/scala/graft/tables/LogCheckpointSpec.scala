@@ -162,12 +162,130 @@ class LogCheckpointSpec extends SparkSpecBase {
     assert(t.read().count() === 9) // 4 - 1 deleted + 6
   }
 
+  test("parquet checkpoint twin is written beside the JSON and SERVES cold opens") {
+    val root = tmp()
+    val t = GraftTable(spark, s"$root/t")(ckptSettings)
+    (1 to 12).foreach(i => t.append(Seq((i, s"v$i")).toDF("id", "v")))
+    val expect = t.read().as[(Int, String)].collect().toSet
+    val prunedCount = t.prunedFiles(col("id") === 7).size
+    // twins at every cadence version
+    assert(logFiles(t.path, "\\.checkpoint\\.parquet").map(_.getName.take(20).toLong)
+      === Seq(5L, 10L))
+    assert(logFiles(t.path, "\\.checkpoint\\.json").map(_.getName.take(20).toLong)
+      === Seq(5L, 10L))
+    // destroy the JSON twins AND every commit at or below the newest
+    // checkpoint: a cold reader that parsed JSON or replayed the raw log
+    // could never reconstruct the state now — identical answers prove the
+    // PARQUET checkpoint is the serving path
+    logFiles(t.path, "\\.checkpoint\\.json").foreach(f => assert(f.delete()))
+    logFiles(t.path, "\\.json").filter(_.getName.take(20).toLong <= 10L)
+      .foreach(f => assert(f.delete()))
+    val cold = GraftTable(spark, s"$root/t")(ckptSettings) // fresh handle: no caches
+    assert(cold.version === 12)
+    assert(cold.read().as[(Int, String)].collect().toSet === expect)
+    assert(cold.prunedFiles(col("id") === 7).size === prunedCount,
+      "file stats must survive the parquet checkpoint round-trip")
+    assert(cold.readWhere(col("id") === 7).as[(Int, String)].collect().toSet
+      === Set((7, "v7")))
+  }
+
+  test("distributed parquet-checkpoint read (threshold 0) serves the same state") {
+    val root = tmp()
+    val t = GraftTable(spark, s"$root/t")(ckptSettings)
+    (1 to 6).foreach(i => t.append(Seq((i, s"v$i")).toDF("id", "v")))
+    // force the Spark-job read path for ANY checkpoint size — the 100 TB
+    // shape where executors decode the pages and the driver collects only
+    // compact row values
+    t.setProperties(Map("log_checkpoint_distributed_read_bytes" -> "0"))
+    logFiles(t.path, "\\.checkpoint\\.json").foreach(f => assert(f.delete()))
+    val cold = GraftTable(spark, s"$root/t")(ckptSettings)
+    assert(cold.read().as[(Int, String)].collect().toSet
+      === (1 to 6).map(i => (i, s"v$i")).toSet)
+    assert(cold.prunedFiles(col("id") === 3).size < cold.liveFiles().size)
+  }
+
+  test("parquet checkpoints round-trip deletion vectors and schema") {
+    val root = tmp()
+    val t = GraftTable(spark, s"$root/t")(
+      GraftSettings(logCheckpointInterval = 5).copy(deletionVectors = true))
+    (1 to 4).foreach(i => t.append(Seq((i, s"v$i")).toDF("id", "v")))
+    t.delete(col("id") === 2) // v5 = checkpoint; DV binding must survive it
+    logFiles(t.path, "\\.checkpoint\\.json").foreach(f => assert(f.delete()))
+    logFiles(t.path, "\\.json").filter(_.getName.take(20).toLong <= 5L)
+      .foreach(f => assert(f.delete()))
+    val cold = GraftTable(spark, s"$root/t")(GraftSettings(logCheckpointInterval = 5))
+    assert(cold.read().as[(Int, String)].collect().toSet
+      === Set((1, "v1"), (3, "v3"), (4, "v4")))
+  }
+
+  test("micro-bench: cold checkpoint parse at 10k files — parquet vs JSON") {
+    // the metadata-scale claim itself: synthesize a 10k-live-file state
+    // (stats shaped like real ones) and time the two cold parses. Not a
+    // perf ASSERTION (CI noise) — the recorded numbers live in
+    // CKPT_BENCH_r15.json; this test pins the round-trip EQUALITY of the
+    // two formats at scale and prints the timings for the record.
+    val root = tmp()
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(new org.apache.hadoop.conf.Configuration())
+    val logDir = s"$root/_graft_log"
+    fs.mkdirs(new org.apache.hadoop.fs.Path(logDir))
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    def time[A](body: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = body; (a, (System.nanoTime() - t0) / 1e6)
+    }
+    Seq(10000, 50000).foreach { n =>
+      val stats = (1 to n).map { i =>
+        f"part-$i%06d.parquet" -> FileStats(1000L,
+          Map("id" -> ColStats(Some((i * 1000).toString), Some((i * 1000 + 999).toString), 0L),
+            "v" -> ColStats(Some("a"), Some("z"), 3L)),
+          bytes = Some(128L * 1024 * 1024))
+      }.toMap
+      val snap = LogCheckpoint(n.toLong, stats.keys.toSeq.sorted,
+        Some("""{"type":"struct","fields":[]}"""), stats)
+      // write both formats exactly as maybeWriteCheckpoint does
+      val jsonPath = new org.apache.hadoop.fs.Path(logDir, s"ckpt-$n.json")
+      val out = fs.create(jsonPath, false)
+      out.write(org.json4s.jackson.Serialization.write(snap).getBytes("UTF-8"))
+      out.close()
+      ParquetCheckpoint.write(fs, fs.getConf, logDir, s"ckpt-$n.parquet", snap)
+      // min of 3: first iterations carry JIT/classload noise either way
+      var fromJson: LogCheckpoint = null
+      var fromParquet: LogCheckpoint = null
+      val jsonMs = (1 to 3).map { _ =>
+        val (r, ms) = time {
+          val in = fs.open(jsonPath)
+          try org.json4s.jackson.JsonMethods.parse(in).extract[LogCheckpoint]
+          finally in.close()
+        }
+        fromJson = r; ms
+      }.min
+      val parquetMs = (1 to 3).map { _ =>
+        val (r, ms) = time {
+          ParquetCheckpoint.read(spark, fs, fs.getConf,
+            new org.apache.hadoop.fs.Path(logDir, s"ckpt-$n.parquet"), Long.MaxValue)
+        }
+        fromParquet = r; ms
+      }.min
+      info(f"cold parse of $n-file checkpoint: json=$jsonMs%.1f ms, parquet=$parquetMs%.1f ms")
+      println(f"[ckpt-bench] files=$n json_ms=$jsonMs%.1f parquet_ms=$parquetMs%.1f " +
+        f"json_bytes=${fs.getFileStatus(jsonPath).getLen} " +
+        f"parquet_bytes=${fs.getFileStatus(new org.apache.hadoop.fs.Path(logDir, s"ckpt-$n.parquet")).getLen}")
+      assert(fromParquet.version === fromJson.version)
+      assert(fromParquet.schemaJson === fromJson.schemaJson)
+      assert(fromParquet.live === fromJson.live)
+      assert(fromParquet.stats === fromJson.stats)
+      assert(fromParquet.dvFor === fromJson.dvFor)
+    }
+  }
+
   test("superseded checkpoints are pruned to the newest two") {
     val root = tmp()
     val t = GraftTable(spark, s"$root/t")(ckptSettings)
     (1 to 17).foreach(i => t.append(Seq((i, "x")).toDF("id", "v")))
     // checkpoints were written at 5, 10, 15 -> 5 pruned when 15 landed
+    // (both twins: trim keeps the newest two VERSIONS, each a pair)
     assert(logFiles(t.path, "\\.checkpoint\\.json").map(_.getName.take(20).toLong)
+      === Seq(10L, 15L))
+    assert(logFiles(t.path, "\\.checkpoint\\.parquet").map(_.getName.take(20).toLong)
       === Seq(10L, 15L))
     // and a version between the surviving checkpoints replays 10 + tail
     assert(t.readAt(12).count() === 12)
