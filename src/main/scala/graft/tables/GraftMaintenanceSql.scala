@@ -409,7 +409,8 @@ final case class GraftReorgCommand(target: Target) extends LeafRunnableCommand {
 }
 
 /** `FSCK REPAIR TABLE t [DRY RUN]` — [[GraftTable.repair]]: drop log
-  * references to data files missing on disk (one listing reconciliation);
+  * references to data files missing on disk (one listing reconciliation)
+  * and clear a crashed writer's stale commit-claim markers;
   * DRY RUN reports without committing. */
 final case class GraftFsckCommand(target: Target,
     dryRun: Boolean) extends LeafRunnableCommand {

@@ -641,9 +641,12 @@ final class GraftTable private (
         dvs = Some(snap.dvFor.filter { case (f, _) => liveSet(f) })
           .filter(_.nonEmpty))
       // BOTH formats, parquet first (it serves; JSON is the back-compat
-      // twin older readers still parse — see [[ParquetCheckpoint]])
-      ParquetCheckpoint.write(fs, spark.sessionState.newHadoopConf(), logDir,
+      // twin older readers still parse — see [[ParquetCheckpoint]]).
+      // Its own guard: a parquet-writer failure must not also cost the
+      // JSON twin (each alone serves; both are optimizations).
+      try ParquetCheckpoint.write(fs, spark.sessionState.newHadoopConf(), logDir,
         f"$version%020d.checkpoint.parquet", trimmed)
+      catch { case scala.util.control.NonFatal(_) => () }
       val name = f"$version%020d.checkpoint.json"
       val tmp = new Path(logDir, s".$name.${UUID.randomUUID()}.tmp")
       val out = fs.create(tmp, false)
@@ -2117,18 +2120,47 @@ final class GraftTable private (
     * per-file existence RPC (O(1) listings, not O(files) HEADs, the only
     * shape that survives a million-file table). The repair is itself a
     * versioned `dataChange=true` commit: downstream incremental consumers
-    * SEE the row loss instead of silently diverging. Returns the dropped
+    * SEE the row loss instead of silently diverging. Also clears STALE
+    * commit-claim markers (a crashed writer's `.claim` older than 10
+    * minutes — claims are held for milliseconds, so age is decisive),
+    * unblocking the version a dead writer pinned. Returns the dropped
     * names; `dryRun=true` (the default) only reports them. */
   def repair(dryRun: Boolean = true): Seq[String] = {
     val snap = snapshot()
-    val onDisk = FsUtils.dataFiles(spark, path).map(_.getPath.getName).toSet
+    // relativize like vacuum: live names are table-relative paths (a
+    // partitioned-tree convert records `k=v/part-...`), so matching on
+    // base names would misread every adopted file as missing
+    val qualifiedRoot = fs.makeQualified(new Path(path)).toUri.getPath
+      .stripSuffix("/") + "/"
+    val onDisk = FsUtils.dataFiles(spark, path)
+      .map(st => fs.makeQualified(st.getPath).toUri.getPath
+        .stripPrefix(qualifiedRoot)).toSet
     val missing = snap.live.filterNot(onDisk)
-    if (missing.isEmpty || dryRun) return missing
-    nextCommit("repair", dataChange = true, add = Seq.empty, remove = missing,
-      snap.schemaJson.getOrElse(throw new IllegalStateException(
-        s"table does not exist: $path")),
-      Map("numRemovedFiles" -> missing.size.toString))
-    missing
+    // a CRASHED writer's leftovers in the log dir would otherwise live
+    // forever: its commit CLAIM blocks that version (the LogStore
+    // contract says claims must be operator-recoverable), and its
+    // write-temp files (.tmp — commit/checkpoint bodies that never got
+    // renamed) are invisible to every reader. Both are held for
+    // milliseconds in healthy writes, so age past 10 minutes is
+    // decisively stale — FSCK is the operator tool that clears them
+    val staleClaims =
+      if (!fs.exists(new Path(logDir))) Seq.empty[Path]
+      else fs.listStatus(new Path(logDir)).toSeq
+        .filter { st =>
+          val n = st.getPath.getName
+          (n.endsWith(".claim") || (n.startsWith(".") && n.endsWith(".tmp"))) &&
+            st.getModificationTime < System.currentTimeMillis() - 10 * 60 * 1000
+        }
+        .map(_.getPath)
+    val report = missing ++ staleClaims.map(p => s"_graft_log/${p.getName}")
+    if (report.isEmpty || dryRun) return report
+    staleClaims.foreach(p => fs.delete(p, false))
+    if (missing.nonEmpty)
+      nextCommit("repair", dataChange = true, add = Seq.empty, remove = missing,
+        snap.schemaJson.getOrElse(throw new IllegalStateException(
+          s"table does not exist: $path")),
+        Map("numRemovedFiles" -> missing.size.toString))
+    report
   }
 
   /** Delta's OPTIMIZE: bin-pack ONLY the live files smaller than the

@@ -115,6 +115,24 @@ class ConvertPartitionedSpec extends SparkSpecBase {
       === (1 to 60).count(_ % 3 == 0))
   }
 
+  test("FSCK repair relativizes adopted partition files (no ghost-drop of live files)") {
+    val dir = s"${tmp()}/t"
+    writeTree(dir)
+    val t = GraftTable(spark, dir)(GraftSettings.default)
+    t.convert()
+    // all live files exist: repair must report NOTHING (pre-fix, base-name
+    // matching misread every adopted partition file as missing)
+    assert(t.repair(dryRun = true).isEmpty)
+    // a genuinely missing nested file is still detected and dropped
+    val victim = t.liveFiles().find(_.startsWith("region=eu/")).get
+    graft.lake.FsUtils.fs(spark, t.path)
+      .delete(new org.apache.hadoop.fs.Path(t.path, victim), false)
+    assert(t.repair(dryRun = true) === Seq(victim))
+    t.repair(dryRun = false)
+    assert(!t.liveFiles().contains(victim))
+    assert(t.read().count() < 60)
+  }
+
   test("vacuum relativizes adopted partition files (never treats live files as orphans)") {
     val dir = s"${tmp()}/t"
     writeTree(dir)

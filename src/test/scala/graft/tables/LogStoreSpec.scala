@@ -87,6 +87,36 @@ class LogStoreSpec extends SparkSpecBase {
     } finally spark.conf.unset(LogStore.ConfKey)
   }
 
+  test("FSCK clears a crashed writer's stale claim; fresh claims are kept") {
+    val dir = Files.createTempDirectory("graft-claim-").toString
+    val t = GraftTable(spark, s"$dir/t")(GraftSettings.default)
+    t.append(Seq((1, "a")).toDF("id", "v"))
+    val fs = graft.lake.FsUtils.fs(spark, t.path)
+    val logDir = new Path(s"${t.path}/_graft_log")
+    // a crashed writer's leftover claim, artificially aged past 10 min
+    val stale = new Path(logDir, s".${"%020d".format(2)}.json.claim")
+    fs.create(stale, false).close()
+    fs.setTimes(stale, System.currentTimeMillis() - 11 * 60 * 1000, -1)
+    // a LIVE writer's fresh claim must survive (age is the staleness test)
+    val fresh = new Path(logDir, s".${"%020d".format(3)}.json.claim")
+    fs.create(fresh, false).close()
+    // a crashed writer's never-renamed write-temp, also aged stale
+    val tmpLeft = new Path(logDir, s".${"%020d".format(2)}.json.deadbeef.tmp")
+    fs.create(tmpLeft, false).close()
+    fs.setTimes(tmpLeft, System.currentTimeMillis() - 11 * 60 * 1000, -1)
+    val report = t.repair(dryRun = true)
+    assert(report.exists(_.endsWith(".claim")), s"dry run must report the stale claim: $report")
+    assert(report.exists(_.endsWith(".tmp")), s"dry run must report the stale temp: $report")
+    t.repair(dryRun = false)
+    assert(!fs.exists(stale), "stale claim must be cleared")
+    assert(!fs.exists(tmpLeft), "stale write-temp must be cleared")
+    assert(fs.exists(fresh), "fresh claim must be kept")
+    fs.delete(fresh, false)
+    // the unblocked version commits normally again
+    t.append(Seq((2, "b")).toDF("id", "v"))
+    assert(t.read().count() === 2)
+  }
+
   test("O_EXCL default under thread contention also keeps the log dense") {
     val dir = Files.createTempDirectory("graft-logstore-dflt-").toString
     val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
