@@ -384,7 +384,16 @@ final case class GraftDropColumnCommand(target: Target,
     Seq(AttributeReference("column", StringType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val t = target.resolve(spark)
-    val present = t.exists && t.read().columns.contains(name)
+    // dotted names address nested struct leaves — existence walks the path
+    def leafExists(dt: org.apache.spark.sql.types.DataType,
+        path: Seq[String]): Boolean = (dt, path) match {
+      case (_, Seq()) => true
+      case (s: org.apache.spark.sql.types.StructType, h +: rest) =>
+        s.fields.find(_.name == h).exists(f => leafExists(f.dataType, rest))
+      case _ => false
+    }
+    val present = t.exists &&
+      leafExists(t.read().schema, name.split('.').toSeq)
     if (!present && ifExists) return Seq.empty
     t.dropColumn(name)
     Seq(Row(name))
@@ -463,10 +472,11 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   // never valid vanilla ALTER TABLE syntax, so catalog-table column DDL
   // keeps whatever semantics vanilla Spark gives it
   private val TPath = """('[^']*')"""
+  // column names may be DOTTED paths (nested struct leaves: `s.a`)
   private val RenameColumn: Regex =
-    s"""(?is)\\s*ALTER\\s+TABLE\\s+$TPath\\s+RENAME\\s+COLUMN\\s+(\\w+)\\s+TO\\s+(\\w+)\\s*;?\\s*""".r
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+$TPath\\s+RENAME\\s+COLUMN\\s+(\\w+(?:\\.\\w+)*)\\s+TO\\s+(\\w+)\\s*;?\\s*""".r
   private val DropColumn: Regex =
-    s"""(?is)\\s*ALTER\\s+TABLE\\s+$TPath\\s+DROP\\s+COLUMN(\\s+IF\\s+EXISTS)?\\s+(\\w+)\\s*;?\\s*""".r
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+$TPath\\s+DROP\\s+COLUMN(\\s+IF\\s+EXISTS)?\\s+(\\w+(?:\\.\\w+)*)\\s*;?\\s*""".r
   private val SetProps: Regex =
     s"""(?is)\\s*ALTER\\s+TABLE\\s+$TPath\\s+SET\\s+TBLPROPERTIES\\s*\\(([^)]*)\\)\\s*;?\\s*""".r
   private val UnsetProps: Regex =

@@ -119,6 +119,18 @@ class ColumnMappingSpec extends SparkSpecBase {
     assert(t.read().columns.toSeq === Seq("id", "label"))
     spark.sql(s"ALTER TABLE '$p' DROP COLUMN IF EXISTS ghost") // tolerated
     intercept[Exception](spark.sql(s"ALTER TABLE '$p' DROP COLUMN ghost"))
+    // dotted paths address NESTED struct leaves through the same surface
+    import spark.implicits._
+    val p2 = tmp("cm-sql-nested-")
+    val t2 = table(p2)
+    t2.append(Seq((1, ("x", 2))).toDF("id", "s"))
+    spark.sql(s"ALTER TABLE '$p2' RENAME COLUMN s._1 TO tag")
+    assert(t2.read().select(col("s.tag")).as[String].head() === "x")
+    spark.sql(s"ALTER TABLE '$p2' DROP COLUMN IF EXISTS s.ghost") // tolerated
+    spark.sql(s"ALTER TABLE '$p2' DROP COLUMN s._2")
+    assert(t2.read().schema("s").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq
+      === Seq("tag"))
     // vanilla catalog DDL is untouched by the new shapes
     spark.sql("DROP TABLE IF EXISTS cm_plain")
     spark.sql("CREATE TABLE cm_plain (id INT) USING parquet")
