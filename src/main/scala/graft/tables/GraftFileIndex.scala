@@ -114,12 +114,22 @@ final class GraftFileIndex(private[tables] val table: GraftTable,
     val root = new Path(table.path)
     val fs = root.getFileSystem(
       table.spark.sparkContext.hadoopConfiguration)
+    val flatOnly = snap.live.forall(!_.contains("/"))
     val byName: Map[String, FileStatus] =
       if (!fs.exists(root)) Map.empty
-      else fs.listStatus(root).filter(_.isFile).map(s => s.getPath.getName -> s).toMap
+      else if (flatOnly)
+        fs.listStatus(root).filter(_.isFile).map(s => s.getPath.getName -> s).toMap
+      else {
+        // partition-converted trees: ONE recursive walk (O(dirs) listings)
+        // keyed by relative path — never a per-file getFileStatus RPC
+        val prefix = fs.makeQualified(root).toUri.getPath.stripSuffix("/") + "/"
+        graft.lake.FsUtils.dataFiles(table.spark, table.path)
+          .map(s => fs.makeQualified(s.getPath).toUri.getPath.stripPrefix(prefix) -> s)
+          .toMap
+      }
     val statuses = snap.live.map { f =>
-      // live names are table-relative; files under subdirs (none today)
-      // would miss the single listStatus — fall back per file, loudly typed
+      // a live name the listing missed (listing raced a concurrent
+      // rename) falls back per file, loudly typed
       f -> byName.getOrElse(f, fs.getFileStatus(new Path(root, f)))
     }.toMap
     Pinned(snap, statuses)

@@ -351,16 +351,23 @@ private[tables] final class GraftStreamSource(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       else {
         // column mapping: read under the pinned schema's PHYSICAL names,
-        // alias back to logical in one projection (a plain schema read
-        // when no mapping exists)
-        val raw =
+        // cast back to logical in one projection — the positional struct
+        // cast also renames NESTED leaves, same as readDataFiles (a plain
+        // schema read when no mapping exists)
+        val raw0 =
           if (ColumnMapping.active(storedSchema)) {
             val phys = ColumnMapping.physicalSchema(storedSchema)
             spark.read.schema(phys).parquet(paths: _*)
               .select(phys.fields.zip(schema.fields).map { case (pf, lf) =>
-                org.apache.spark.sql.functions.col(pf.name).as(lf.name)
+                val c = org.apache.spark.sql.functions.col(pf.name)
+                val target = ColumnMapping.relaxNullability(lf.dataType)
+                (if (ColumnMapping.relaxNullability(pf.dataType) == target) c
+                 else c.cast(target)).as(lf.name)
               }.toSeq: _*)
           } else spark.read.schema(schema).parquet(paths: _*)
+        // partition-converted trees carry partition values in file PATHS
+        val raw = GraftTable.withDirPartitionColumns(raw0, files,
+          Some(storedSchema))
         dvV.map(v => DeletionVectors.filterDeleted(
           raw, spark, table.loadDvs(snapshotDvsAt(v), files)))
           .getOrElse(raw)

@@ -291,6 +291,7 @@ final class GraftTable private (
       s"rename target must be a bare name (same parent), got '$to'")
     val segs = from.split('.').toSeq
     requireNotAnchored(segs.head, "rename")
+    requireNotDirPartition(segs.head, "rename")
     commitSchemaChange("rename_column", Map("from" -> from, "to" -> to)) { stored =>
       transformStructAt(stored, segs.init, "rename a field") { parent =>
         val live = parent.fields.filterNot(ColumnMapping.isDropped)
@@ -316,6 +317,7 @@ final class GraftTable private (
     require(exists, s"table does not exist: $path")
     val segs = name.split('.').toSeq
     requireNotAnchored(segs.head, "drop")
+    requireNotDirPartition(segs.head, "drop")
     commitSchemaChange("drop_column", Map("column" -> name)) { stored =>
       transformStructAt(stored, segs.init, "drop a field") { parent =>
         val live = parent.fields.filterNot(ColumnMapping.isDropped)
@@ -355,6 +357,19 @@ final class GraftTable private (
     val fld = stored.fields(idx)
     StructType(stored.fields.updated(idx, fld.copy(dataType = rec(fld.dataType))))
   }
+
+  /** A dir-derived partition column (partitioned-tree [[convert]]) keeps
+    * its NAME in the live file paths — a metadata-only rename can't touch
+    * those, and a drop would be undone by path synthesis re-deriving the
+    * column. Both refuse while any live file still sits under `name=`;
+    * an overwrite/OPTIMIZE flattens the layout and lifts the refusal. */
+  private def requireNotDirPartition(name: String, op: String): Unit =
+    if (exists && snapshot().live.exists(
+        _.split('/').dropRight(1).exists(_.startsWith(name + "="))))
+      throw new IllegalArgumentException(
+        s"cannot $op column '$name': live files carry it as a k=v partition " +
+          "directory (partitioned-tree convert) — flatten first " +
+          "(overwrite/OPTIMIZE), then rename/drop")
 
   private def requireNotAnchored(name: String, op: String): Unit = {
     bucketSpec.foreach(sp => require(!sp.keys.contains(name),
@@ -791,30 +806,9 @@ final class GraftTable private (
     withDirPartitionColumns(base, files, stored)
   }
 
-  /** Synthesize hive-dir partition columns for files adopted by a
-    * partitioned-tree [[convert]]: a file living under `k=v/` carries
-    * `k`'s value in its PATH, not its pages, so the column is derived
-    * from `_metadata.file_path` per row — and COALESCED with the data
-    * value, because later DML rewrites stage flat files that carry the
-    * column physically (the two layouts coexist in one table). Flat-only
-    * file sets (every table that never converted a tree) return the
-    * frame untouched — zero plan change. */
   private def withDirPartitionColumns(df: DataFrame, files: Seq[String],
-      stored: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
-    val nested = files.find(_.contains("/")).toSeq
-    if (nested.isEmpty) return df
-    val keys = nested.head.split('/').dropRight(1).toSeq.map(_.takeWhile(_ != '='))
-    keys.foldLeft(df) { (acc, k) =>
-      val dt = stored.flatMap(_.fields.find(_.name == k).map(_.dataType))
-        .getOrElse(org.apache.spark.sql.types.StringType)
-      val raw = regexp_extract(col("_metadata.file_path"),
-        "/" + java.util.regex.Pattern.quote(k) + "=([^/]+)/", 1)
-      val v = when(raw === "" || raw === "__HIVE_DEFAULT_PARTITION__", lit(null))
-        .otherwise(url_decode(raw)).cast(dt)
-      if (acc.columns.contains(k)) acc.withColumn(k, coalesce(col(k), v))
-      else acc.withColumn(k, v)
-    }
-  }
+      stored: Option[org.apache.spark.sql.types.StructType]): DataFrame =
+    GraftTable.withDirPartitionColumns(df, files, stored)
 
   /** Driver-side load of the DV bitmaps bound to `files` (only entries
     * for scanned files load — O(scanned DVs), never O(table)). Used by
@@ -2466,4 +2460,30 @@ object GraftTable {
   def apply(spark: SparkSession, path: String)(
       implicit settings: GraftSettings = GraftSettings.default): GraftTable =
     new GraftTable(spark, path, settings)
+
+  /** Synthesize hive-dir partition columns for files adopted by a
+    * partitioned-tree [[GraftTable.convert]]: a file living under `k=v/`
+    * carries `k`'s value in its PATH, not its pages, so the column is
+    * derived from `_metadata.file_path` per row — and COALESCED with the
+    * data value, because later DML rewrites stage flat files that carry
+    * the column physically (the two layouts coexist in one table).
+    * Flat-only file sets (every table that never converted a tree)
+    * return the frame untouched — zero plan change. Shared by the batch
+    * read path ([[GraftTable.readDataFiles]]) and the streaming source. */
+  private[tables] def withDirPartitionColumns(df: DataFrame, files: Seq[String],
+      stored: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
+    val nested = files.find(_.contains("/")).toSeq
+    if (nested.isEmpty) return df
+    val keys = nested.head.split('/').dropRight(1).toSeq.map(_.takeWhile(_ != '='))
+    keys.foldLeft(df) { (acc, k) =>
+      val dt = stored.flatMap(_.fields.find(_.name == k).map(_.dataType))
+        .getOrElse(org.apache.spark.sql.types.StringType)
+      val raw = regexp_extract(col("_metadata.file_path"),
+        "/" + java.util.regex.Pattern.quote(k) + "=([^/]+)/", 1)
+      val v = when(raw === "" || raw === "__HIVE_DEFAULT_PARTITION__", lit(null))
+        .otherwise(url_decode(raw)).cast(dt)
+      if (acc.columns.contains(k)) acc.withColumn(k, coalesce(col(k), v))
+      else acc.withColumn(k, v)
+    }
+  }
 }

@@ -225,6 +225,25 @@ class ColumnMappingSpec extends SparkSpecBase {
     assert(t.read().count() === 3)
   }
 
+  test("a fresh stream on a nested-renamed table serves LOGICAL nested names") {
+    val root = Files.createTempDirectory("cm-nested-stream-").toString
+    val t = table(s"$root/t")
+    t.append(Seq((1, ("a", 10)), (2, ("b", 20))).toDF("id", "s"))
+    t.renameColumn("s._1", "tag")
+    val q = spark.readStream.format("graft").load(t.path)
+      .writeStream.format("graft")
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start(s"$root/sink")
+    q.awaitTermination()
+    val sink = table(s"$root/sink")
+    assert(sink.read().schema("s").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq
+      === Seq("tag", "_2"))
+    assert(sink.read().select(col("id"), col("s.tag")).as[(Int, String)]
+      .collect().toMap === Map(1 -> "a", 2 -> "b"))
+  }
+
   test("NESTED drop tombstones the leaf; a re-added leaf name never resurrects old bytes") {
     val t = table(tmp("cm-nested-drop-"))
     t.append(Seq((1, ("secret1", 10)), (2, ("secret2", 20)))

@@ -115,6 +115,35 @@ class ConvertPartitionedSpec extends SparkSpecBase {
       === (1 to 60).count(_ % 3 == 0))
   }
 
+  test("streaming a converted table synthesizes partition columns; partition-col DDL refused") {
+    val dir = s"${tmp()}/t"
+    writeTree(dir)
+    val t = GraftTable(spark, dir)(GraftSettings.default)
+    t.convert()
+    // a fresh stream serves the snapshot — partition columns must carry
+    // their path-derived values into the sink
+    val sinkDir = s"${tmp()}/sink"
+    val q = spark.readStream.format("graft").load(t.path)
+      .writeStream.format("graft")
+      .option("checkpointLocation", s"${tmp()}/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start(sinkDir)
+    q.awaitTermination()
+    val got = GraftTable(spark, sinkDir)(GraftSettings.default)
+      .read().select("id", "region", "d").as[(Int, String, Int)].collect()
+    assert(got.length === 60)
+    assert(got.forall { case (i, r, d) => r === (if (i % 3 == 0) "eu" else "us") && d === i % 2 })
+    // renaming/dropping a dir-derived partition column would desync the
+    // path synthesis — refused until the layout is flattened
+    val e1 = intercept[IllegalArgumentException](t.renameColumn("region", "geo"))
+    assert(e1.getMessage.contains("partition"))
+    val e2 = intercept[IllegalArgumentException](t.dropColumn("region"))
+    assert(e2.getMessage.contains("partition"))
+    t.overwrite(t.read()) // flatten: columns become data
+    t.renameColumn("region", "geo") // now a plain metadata rename
+    assert(t.read().filter(col("geo") === "eu").count() === (1 to 60).count(_ % 3 == 0))
+  }
+
   test("FSCK repair relativizes adopted partition files (no ghost-drop of live files)") {
     val dir = s"${tmp()}/t"
     writeTree(dir)
