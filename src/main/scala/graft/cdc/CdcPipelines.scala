@@ -123,7 +123,12 @@ object CdcPipelines {
     * conflict with the later batch where it arrives as a real struct —
     * dropped here, the staged table's schema merge adds it with its true
     * type when it first carries data, and earlier rows read as null. */
-  private[cdc] def decodeJsonBatch(batch: DataFrame, staged: GraftTable): Unit = {
+  private[cdc] def decodeJsonBatch(batch: DataFrame, staged: GraftTable): Unit =
+    // per-batch release scope: a long-running JSON CDC stream must not
+    // accumulate each micro-batch's barrier until a GC cycle
+    graft.ext.Parallelism.scoped { decodeJsonBatchImpl(batch, staged) }
+
+  private def decodeJsonBatchImpl(batch: DataFrame, staged: GraftTable): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
     // Debezium tombstones (null value) carry no payload — drop, as the
@@ -424,7 +429,9 @@ object CdcPipelines {
     * v1 followed by a delete at v3 must end deleted, whatever order the
     * frame arrives in); inserts/postimages MERGE, deletes remove. A fresh
     * replica bootstraps from the first applied feed. */
-  def applyChangeFeed(replica: GraftTable, changes: DataFrame, keyCols: Seq[String]): Unit = {
+  def applyChangeFeed(replica: GraftTable, changes: DataFrame,
+      keyCols: Seq[String]): Unit = graft.ext.Parallelism.scoped {
+    // scoped: the barrier below is batch-local — released on exit
     val ops = changes.filter(col("_change_type") =!= "update_preimage")
     // Secondary ordering: an overwrite/restore commit synthesizes BOTH a
     // delete (for each removed file's rows) and an insert (added file's

@@ -68,18 +68,35 @@ private[graft] object Parallelism {
   // old ContextCleaner-after-GC behavior, never a new leak.
   // ---------------------------------------------------------------------
 
+  /** One registered barrier: a weak ref to the thing holding storage
+    * (checkpointed RDD / persisted frame) plus its release action. The
+    * ref doubles as the GC signal: a cleared entry means ContextCleaner
+    * already handled (or will handle) it, so registries can self-prune. */
+  private final class Tracked(target: AnyRef, release: AnyRef => Unit) {
+    private val ref = new java.lang.ref.WeakReference(target)
+    def dead: Boolean = ref.get() == null
+    def free(): Unit = { val t = ref.get(); if (t != null) release(t) }
+  }
+
   private val globalPending =
     new java.util.concurrent.ConcurrentHashMap[org.apache.spark.SparkContext,
-      java.util.concurrent.ConcurrentLinkedQueue[() => Unit]]()
+      java.util.concurrent.ConcurrentLinkedQueue[Tracked]]()
   // null = no active scope on this thread (register globally)
-  private val scopeLocal = new ThreadLocal[java.util.ArrayDeque[() => Unit]]
+  private val scopeLocal = new ThreadLocal[java.util.ArrayDeque[Tracked]]
 
-  private def track(sc: org.apache.spark.SparkContext, free: () => Unit): Unit = {
+  private def track(sc: org.apache.spark.SparkContext, t: Tracked): Unit = {
     val scope = scopeLocal.get
-    if (scope != null) scope.add(free)
-    else globalPending
-      .computeIfAbsent(sc, _ => new java.util.concurrent.ConcurrentLinkedQueue[() => Unit]())
-      .add(free)
+    if (scope != null) { scope.add(t); () }
+    else {
+      val q = globalPending.computeIfAbsent(sc,
+        _ => new java.util.concurrent.ConcurrentLinkedQueue[Tracked]())
+      q.add(t)
+      // self-prune: a long-running caller that never drains (a CDC stream
+      // outside any scope) must not grow the registry without bound —
+      // entries whose weak ref cleared are already ContextCleaner's
+      // problem, so dropping them frees nothing early
+      if (q.size > 512) q.removeIf(_.dead)
+    }
   }
 
   /** Register a barrier frame's storage for deterministic release: the
@@ -90,11 +107,11 @@ private[graft] object Parallelism {
     val sc = m.sparkSession.sparkContext
     m.queryExecution.logical match {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
-        val ref = new java.lang.ref.WeakReference(l.rdd)
-        track(sc, () => Option(ref.get()).foreach(_.unpersist(blocking = false)))
+        track(sc, new Tracked(l.rdd,
+          _.asInstanceOf[org.apache.spark.rdd.RDD[_]].unpersist(blocking = false)))
       case _ =>
-        val ref = new java.lang.ref.WeakReference(m)
-        track(sc, () => Option(ref.get()).foreach(_.unpersist(blocking = false)))
+        track(sc, new Tracked(m,
+          _.asInstanceOf[DataFrame].unpersist(blocking = false)))
     }
   }
 
@@ -162,11 +179,11 @@ private[graft] object Parallelism {
     * stream B's live barriers. */
   def scoped[A](body: => A): A = {
     val prev = scopeLocal.get
-    val mine = new java.util.ArrayDeque[() => Unit]
+    val mine = new java.util.ArrayDeque[Tracked]
     scopeLocal.set(mine)
     try body finally {
       scopeLocal.set(prev)
-      mine.forEach(f => f())
+      mine.forEach(t => t.free())
     }
   }
 
@@ -176,7 +193,7 @@ private[graft] object Parallelism {
     * caller owns all in-flight work on the context. */
   def releaseAll(spark: org.apache.spark.sql.SparkSession): Unit = {
     val q = globalPending.remove(spark.sparkContext)
-    if (q != null) q.forEach(f => f())
+    if (q != null) q.forEach(t => t.free())
     // hygiene: drop queues owned by stopped contexts (test suites)
     globalPending.keySet.removeIf(_.isStopped)
   }

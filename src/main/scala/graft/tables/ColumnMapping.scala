@@ -89,23 +89,20 @@ private[tables] object ColumnMapping {
   }
 
   /** Is any mapping state present (divergent physical or tombstone) at
-    * any depth? Gates the mapped read/write paths — false keeps every
-    * table that never ran a rename/drop on its pre-mapping fast path. */
+    * any depth — through arbitrarily nested array/map wrappers, matching
+    * exactly what [[GraftTable.transformStructAt]] can create? Gates the
+    * mapped read/write paths — false keeps every table that never ran a
+    * rename/drop on its pre-mapping fast path. */
   def active(stored: StructType): Boolean =
-    stored.fields.exists { f =>
-      isDropped(f) || physicalName(f) != f.name || (f.dataType match {
-        case s: StructType => active(s)
-        case a: ArrayType => a.elementType match {
-          case s: StructType => active(s)
-          case _ => false
-        }
-        case m: MapType => m.valueType match {
-          case s: StructType => active(s)
-          case _ => false
-        }
-        case _ => false
-      })
-    }
+    stored.fields.exists(f =>
+      isDropped(f) || physicalName(f) != f.name || activeIn(f.dataType))
+
+  private def activeIn(dt: DataType): Boolean = dt match {
+    case s: StructType => active(s)
+    case a: ArrayType  => activeIn(a.elementType)
+    case m: MapType    => activeIn(m.valueType)
+    case _             => false
+  }
 
   /** Physical names already claimed by any field IN THIS STRUCT,
     * tombstones included — a NEW column must never adopt one of these as

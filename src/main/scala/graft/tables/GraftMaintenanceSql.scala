@@ -384,12 +384,16 @@ final case class GraftDropColumnCommand(target: Target,
     Seq(AttributeReference("column", StringType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val t = target.resolve(spark)
-    // dotted names address nested struct leaves — existence walks the path
+    // dotted names address nested struct leaves — existence walks the
+    // path, recursing through array/map wrappers exactly like dropColumn
+    // itself does (IF EXISTS must never no-op on a droppable leaf)
     def leafExists(dt: org.apache.spark.sql.types.DataType,
         path: Seq[String]): Boolean = (dt, path) match {
       case (_, Seq()) => true
       case (s: org.apache.spark.sql.types.StructType, h +: rest) =>
         s.fields.find(_.name == h).exists(f => leafExists(f.dataType, rest))
+      case (a: org.apache.spark.sql.types.ArrayType, p) => leafExists(a.elementType, p)
+      case (m: org.apache.spark.sql.types.MapType, p) => leafExists(m.valueType, p)
       case _ => false
     }
     val present = t.exists &&

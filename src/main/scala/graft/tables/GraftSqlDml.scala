@@ -418,7 +418,18 @@ final case class GraftMergeCommand(merge: MergeIntoTable,
     implicit val mergeSettings: graft.conf.GraftSettings = table.effectiveSettings
     val sourceDf = {
       val s0 = PlanBridge.ofRows(spark, merge.sourceTable)
-      if (keys.isEmpty) s0 else graft.ext.Parallelism.materialize(s0)
+      if (keys.isEmpty) s0
+      else if (mergeSettings.barrierMode == "persist" &&
+          merge.sourceTable.exists(_.expressions.exists(!_.deterministic)))
+        // persist's LINEAGE is the hazard here: an executor loss would
+        // re-evaluate a nondeterministic source to different rows, with
+        // keys possibly outside the aggregated pruning bound — exactly the
+        // corruption materialization exists to prevent. Pin blocks with no
+        // lineage instead (fails loudly on executor loss, never silently
+        // merges the wrong rows); deterministic sources recompute
+        // identically and keep the lineage-backed persist.
+        graft.ext.Parallelism.checkpointTracked(s0)
+      else graft.ext.Parallelism.materialize(s0)
     }
     val (affected: Seq[String], pruneAtoms: Seq[PredAtom]) =
       if (keys.isEmpty) (snap.live, Seq(PredOpaque))

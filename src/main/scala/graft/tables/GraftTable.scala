@@ -1759,7 +1759,9 @@ final class GraftTable private (
     // a missing column keeps the file, which is the sound degrade.
     def partStats(r: String): Map[String, ColStats] =
       partsOf(r).flatMap { case (k, raw) =>
-        val v = java.net.URLDecoder.decode(raw, "UTF-8")
+        // hive path escaping is PERCENT-only ('+' is a literal); a form
+        // decoder would turn 'a+b' into 'a b' — protect '+' first
+        val v = java.net.URLDecoder.decode(raw.replace("+", "%2B"), "UTF-8")
         partTypes(k) match {
           case _ if v == "__HIVE_DEFAULT_PARTITION__" => None
           // timestamp dir values carry zone/format subtleties the string
@@ -1897,6 +1899,12 @@ final class GraftTable private (
       atoms: Seq[PredAtom], snap: LogCheckpoint, affected: Seq[String],
       assignments: Option[Map[String, org.apache.spark.sql.Column]])
       : Either[Unit, Option[Commit]] = {
+    // partition-converted trees key live files by RELATIVE path, while the
+    // per-row grouping below keys by `_metadata.file_name` (base name) —
+    // and partition dirs can REPEAT base names, so a DV here would bind to
+    // names no read looks up and could merge two files' positions into one
+    // bitmap. Fall back to the pruned rewrite (sound; it also flattens).
+    if (affected.exists(_.contains("/"))) return Left(())
     val cond = coalesce(predicate, lit(false))
     val raw = readDataFiles(affected, snap.schemaJson)
     assignments.foreach(_.keys.foreach(name =>
@@ -2475,13 +2483,26 @@ object GraftTable {
     val nested = files.find(_.contains("/")).toSeq
     if (nested.isEmpty) return df
     val keys = nested.head.split('/').dropRight(1).toSeq.map(_.takeWhile(_ != '='))
-    keys.foldLeft(df) { (acc, k) =>
+    keys.zipWithIndex.foldLeft(df) { case (acc, (k, i)) =>
       val dt = stored.flatMap(_.fields.find(_.name == k).map(_.dataType))
         .getOrElse(org.apache.spark.sql.types.StringType)
+      // END-anchored at the key's exact depth from the basename: key i of
+      // n sits (n - i) segments before the file name, so a k=v segment in
+      // the table's ROOT path can never shadow the file's own value
+      val tail = "/[^/]+" * (keys.length - 1 - i) + "/[^/]+$"
       val raw = regexp_extract(col("_metadata.file_path"),
-        "/" + java.util.regex.Pattern.quote(k) + "=([^/]+)/", 1)
+        "/" + java.util.regex.Pattern.quote(k) + "=([^/]+)" + tail, 1)
+      // TWO decode layers: `_metadata.file_path` is the URI-ENCODED
+      // rendering (SparkPath) of the on-disk name, which is itself
+      // hive-escaped — `part=x:y` lives on disk as `part=x%3Ay` and
+      // arrives here as `x%253Ay`. Each layer is percent-only ('+' is a
+      // LITERAL in both), but url_decode is a form decoder ('+' ->
+      // space) — protect '+' before each application.
+      def pctDecode(c: org.apache.spark.sql.Column) =
+        url_decode(regexp_replace(c, "\\+", "%2B"))
+      val decoded = pctDecode(pctDecode(raw))
       val v = when(raw === "" || raw === "__HIVE_DEFAULT_PARTITION__", lit(null))
-        .otherwise(url_decode(raw)).cast(dt)
+        .otherwise(decoded).cast(dt)
       if (acc.columns.contains(k)) acc.withColumn(k, coalesce(col(k), v))
       else acc.withColumn(k, v)
     }

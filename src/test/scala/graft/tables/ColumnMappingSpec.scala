@@ -225,6 +225,29 @@ class ColumnMappingSpec extends SparkSpecBase {
     assert(t.read().count() === 3)
   }
 
+  test("rename inside array<struct> engages the mapped paths (deep-wrapper active)") {
+    val t = table(tmp("cm-arr-"))
+    t.append(Seq((1, Seq(("a", 10), ("b", 20))), (2, Seq(("c", 30))))
+      .toDF("id", "s"))
+    t.renameColumn("s._1", "tag")
+    val elem = t.read().schema("s").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(elem.fieldNames.toSeq === Seq("tag", "_2"))
+    // values must come from the files' physical leaf, not read as NULL
+    // (pre-fix, active() missed metadata under an array wrapper and the
+    // read served the logical name against files that never carried it)
+    assert(t.read().selectExpr("explode(s.tag)").as[String].collect().toSet
+      === Set("a", "b", "c"))
+    assert(t.readRelation().selectExpr("explode(s.tag)").as[String].collect().toSet
+      === Set("a", "b", "c"))
+    // post-rename appends land in the SAME physical leaf
+    t.append(Seq((3, Seq(("d", 40)))).toDF("id", "s")
+      .withColumn("s", col("s").cast(t.read().schema("s").dataType)))
+    assert(t.read().selectExpr("explode(s.tag)").as[String].collect().toSet
+      === Set("a", "b", "c", "d"))
+  }
+
   test("a fresh stream on a nested-renamed table serves LOGICAL nested names") {
     val root = Files.createTempDirectory("cm-nested-stream-").toString
     val t = table(s"$root/t")

@@ -88,6 +88,46 @@ class ConvertPartitionedSpec extends SparkSpecBase {
     assert(t.readWhere(col("region") === "us").count() === (1 to 60).count(_ % 3 != 0))
   }
 
+  test("DV-mode DML on a converted tree falls back to the pruned rewrite (no base-name DVs)") {
+    val dir = s"${tmp()}/t"
+    writeTree(dir)
+    val t = GraftTable(spark, dir)(GraftSettings.default.copy(deletionVectors = true))
+    t.convert()
+    // deletion vectors key positions by base file name, which partition
+    // dirs can repeat — the DML must take the rewrite path instead
+    t.delete(col("region") === "eu" && col("id") <= 10)
+    val c = t.commits().last
+    assert(c.dvs.forall(_.isEmpty), s"expected no DV bindings, got ${c.dvs}")
+    assert(c.remove.nonEmpty && c.remove.forall(_.startsWith("region=eu/")))
+    val got = t.read().select("id", "region").as[(Int, String)].collect()
+    assert(got.length === 60 - (1 to 10).count(_ % 3 == 0))
+    assert(!got.exists { case (i, r) => r == "eu" && i <= 10 })
+    // flat files (post-rewrite) still take the DV fast path afterwards
+    t.overwrite(t.read())
+    t.delete(col("id") === 55)
+    assert(t.commits().last.dvs.exists(_.nonEmpty),
+      "flattened table should use deletion vectors again")
+    assert(t.read().count() === got.length - 1)
+  }
+
+  test("partition values with '+' and hive-escaped chars round-trip exactly") {
+    val dir = s"${tmp()}/t"
+    // 'a+b' stays literal in hive path escaping; 'x:y' escapes to x%3Ay
+    Seq((1, "a+b"), (2, "x:y"), (3, "plain"))
+      .toDF("id", "part").write.partitionBy("part").parquet(dir)
+    val t = GraftTable(spark, dir)(GraftSettings.default)
+    t.convert()
+    val got = t.read().select("id", "part").as[(Int, String)].collect().toMap
+    assert(got === Map(1 -> "a+b", 2 -> "x:y", 3 -> "plain"),
+      s"partition values corrupted: $got")
+    // the pruning atoms decode the same way — exact readWhere on both
+    assert(t.readWhere(col("part") === "a+b").select("id").as[Int].collect().toSeq
+      === Seq(1))
+    assert(t.prunedFiles(col("part") === "a+b").size === 1)
+    assert(t.readWhere(col("part") === "x:y").select("id").as[Int].collect().toSeq
+      === Seq(2))
+  }
+
   test("metadata-only convert (NO STATISTICS) still records partition atoms") {
     val dir = s"${tmp()}/t"
     writeTree(dir)
