@@ -1759,9 +1759,7 @@ final class GraftTable private (
     // a missing column keeps the file, which is the sound degrade.
     def partStats(r: String): Map[String, ColStats] =
       partsOf(r).flatMap { case (k, raw) =>
-        // hive path escaping is PERCENT-only ('+' is a literal); a form
-        // decoder would turn 'a+b' into 'a b' — protect '+' first
-        val v = java.net.URLDecoder.decode(raw.replace("+", "%2B"), "UTF-8")
+        val v = GraftTable.hiveUnescape(raw)
         partTypes(k) match {
           case _ if v == "__HIVE_DEFAULT_PARTITION__" => None
           // timestamp dir values carry zone/format subtleties the string
@@ -2468,6 +2466,14 @@ object GraftTable {
   def apply(spark: SparkSession, path: String)(
       implicit settings: GraftSettings = GraftSettings.default): GraftTable =
     new GraftTable(spark, path, settings)
+
+  /** Inverse of hive's partition-path escaping (Spark's
+    * `ExternalCatalogUtils.escapePathName`): PERCENT-only decoding —
+    * '+' is a literal in dir names, so it is protected from
+    * URLDecoder's form-decoding ('+' -> space) first. Property-pinned
+    * against Spark's own escaper in PropertySpec. */
+  private[graft] def hiveUnescape(raw: String): String =
+    java.net.URLDecoder.decode(raw.replace("+", "%2B"), "UTF-8")
 
   /** Synthesize hive-dir partition columns for files adopted by a
     * partitioned-tree [[GraftTable.convert]]: a file living under `k=v/`

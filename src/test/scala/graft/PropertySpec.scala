@@ -677,4 +677,25 @@ class PropertySpec extends SparkSpecBase {
       }
     }
   }
+
+  test("partition-value decode inverts Spark's hive path escaping on arbitrary strings") {
+    // the stats-atom side of a partitioned-tree convert must read back
+    // EXACTLY the value partitionBy wrote — escapePathName is the writer
+    // (Spark uses it for every partition dir), hiveUnescape the reader.
+    // Percent-only semantics: '+' stays literal, %XX decodes, and the
+    // escaper's own output never contains a bare misinterpretable char.
+    val tricky = Seq("a+b", "x:y", "50%", "a b", "semi;colon", "eq=ual",
+      "sla/sh", "back\\slash", "star*", "qu?est", "élève", "emoji😀",
+      "__HIVE_DEFAULT_PARTITION_", "%2B", "%", "+", " ")
+    val gen = Gen.oneOf(
+      Gen.oneOf(tricky),
+      Gen.listOfN(12, Gen.choose(' ', 'ÿ')).map(_.mkString))
+    samples(gen, 300).foreach { v =>
+      val escaped = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .escapePathName(v)
+      assert(!escaped.contains("/"), s"escaper must keep '$v' a single segment")
+      assert(graft.tables.GraftTable.hiveUnescape(escaped) === v,
+        s"round-trip broke for '$v' (escaped: '$escaped')")
+    }
+  }
 }
