@@ -50,6 +50,32 @@ class ConvertPartitionedSpec extends SparkSpecBase {
     assert(t.prunedFiles(col("id") === -5).isEmpty)
   }
 
+  test("many-partition tree (48 slices): pruning stays O(one partition)") {
+    // the 100 TB shape in miniature: a lake tree with many partition dirs
+    // must adopt in one listing + one stats scan, and a point predicate
+    // must reach exactly one slice's files — the whole reason partition
+    // values become stats atoms
+    val dir = s"${tmp()}/t"
+    // independent partition columns: all 4 x 12 = 48 combos populated
+    (0 until 960).map(i => (i, s"v$i", s"r${i % 4}", (i / 4) % 12))
+      .toDF("id", "v", "region", "d")
+      .write.partitionBy("region", "d").parquet(dir)
+    val t = GraftTable(spark, dir)(GraftSettings.default)
+    t.convert()
+    val live = t.liveFiles()
+    assert(live.size >= 48, s"expected >=48 adopted files, got ${live.size}")
+    val slice = t.prunedFiles(col("region") === "r2" && col("d") === 6)
+    assert(slice.nonEmpty && slice.forall(_.startsWith("region=r2/d=6")),
+      s"expected exactly the r2/6 slice, got $slice")
+    assert(slice.size <= live.size / 40,
+      s"pruned ${slice.size} of ${live.size} — not O(one partition)")
+    assert(t.readWhere(col("region") === "r2" && col("d") === 6)
+      .select("id").as[Int].collect().sorted.toSeq
+      === (0 until 960).filter(i => i % 4 == 2 && (i / 4) % 12 == 6))
+    // a partition-col + data-col conjunction composes both atom kinds
+    assert(t.prunedFiles(col("region") === "r2" && col("id") === -1).isEmpty)
+  }
+
   test("non-k=v nesting is refused loudly; flat convert unchanged") {
     val dir = s"${tmp()}/bad"
     Seq((1, "a")).toDF("id", "v").write.parquet(s"$dir/sub")
