@@ -6,12 +6,13 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, Cast, Coalesce, EvalMode, Literal, UnsafeProjection}
 import org.apache.spark.sql.execution.datasources.PartitionedFile
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.sources.Filter
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Deletion-vector sidecars — row-level deletes WITHOUT file rewrites
   * (Delta's deletion-vector architecture).
@@ -191,7 +192,20 @@ private[tables] final class SerializableHadoopConf(
   *
   * Row-based delivery (`supportBatch = false`) is the price on DV-bearing
   * snapshots — the same trade Delta makes; OPTIMIZE purges the DVs and
-  * restores the vectorized path. */
+  * restores the vectorized path.
+  *
+  * The same in-scan wrapper also serves PARTITION-CONVERTED trees
+  * (`dirKeys` non-empty): a file adopted from a hive `k=v/` layout
+  * carries the partition columns in its PATH, not its pages, so the
+  * reader patches each requested dir-derived column per file — page
+  * value coalesced with the path value, exactly
+  * [[GraftTable.withDirPartitionColumns]]'s semantics, because later DML
+  * rewrites stage FLAT files that carry the columns as data and the two
+  * layouts coexist in one table. The patch is one `Coalesce` projection
+  * built once per file task; flat files skip it entirely. Row-based
+  * delivery again (a per-row value cannot be patched into a shared
+  * `ColumnarBatch`); one OPTIMIZE/overwrite flattens the layout and
+  * restores vanilla vectorized scans. */
 private[tables] final class GraftParquetFileFormat(
     val tablePath: String,
     val dvPaths: Map[String, String],
@@ -200,23 +214,38 @@ private[tables] final class GraftParquetFileFormat(
       * (nested leaves included); the rows a parquet reader returns are
       * POSITIONAL, so asking for the physical names is the entire
       * read-side implementation of column mapping. */
-    val mappedSchema: Option[StructType] = None) extends ParquetFileFormat {
+    val mappedSchema: Option[StructType] = None,
+    /** dir-derived partition columns of a partition-converted tree, in
+      * DIRECTORY ORDER (depth i = key i) with their log-schema types;
+      * empty for every table that never adopted a hive tree. Partition
+      * columns can never be renamed while nested files are live (DDL
+      * refuses), so these names are identical in logical and physical
+      * space — no interaction with `mappedSchema`. */
+    val dirKeys: Seq[StructField] = Seq.empty,
+    /** the table root as a QUALIFIED URI path (no trailing slash) — what
+      * a `PartitionedFile.toPath.toUri.getPath` prefix-matches against to
+      * recover the file's relative path on executors. */
+    val rootUriPath: String = "") extends ParquetFileFormat {
 
-  require(dvPaths.nonEmpty || mappedSchema.nonEmpty,
-    "GraftParquetFileFormat is only for DV-bearing or column-mapped " +
-      "snapshots — use ParquetFileFormat")
+  require(dvPaths.nonEmpty || mappedSchema.nonEmpty || dirKeys.nonEmpty,
+    "GraftParquetFileFormat is only for DV-bearing, column-mapped, or " +
+      "partition-converted snapshots — use ParquetFileFormat")
+  require(dirKeys.isEmpty || rootUriPath.nonEmpty,
+    "dirKeys require rootUriPath to relativize file paths")
 
   // pushed source filters name nested attributes with dotted paths
   private val filterMap: Map[String, String] =
     mappedSchema.map(ColumnMapping.nameMapFlat).getOrElse(Map.empty)
 
-  // rows must arrive one-by-one so the bitmap filter can drop them;
+  // rows must arrive one-by-one so the bitmap filter can drop them (DVs)
+  // or the dir-value patch can rewrite them (converted trees);
   // ParquetFileFormat still uses the vectorized reader underneath and
   // hands rows off the ColumnarBatch. Mapping alone keeps columnar
   // batches — only names change, not row flow.
   override def supportBatch(sparkSession: SparkSession,
       schema: StructType): Boolean =
-    if (dvPaths.nonEmpty) false else super.supportBatch(sparkSession, schema)
+    if (dvPaths.nonEmpty || dirKeys.nonEmpty) false
+    else super.supportBatch(sparkSession, schema)
 
   private def toPhysical(s: StructType): StructType = mappedSchema match {
     case Some(stored) =>
@@ -239,9 +268,10 @@ private[tables] final class GraftParquetFileFormat(
     val physFilters =
       if (mappedSchema.isEmpty) filters
       else filters.flatMap(ColumnMapping.mapFilter(filterMap, _))
-    if (dvPaths.isEmpty)
+    if (dvPaths.isEmpty && dirKeys.isEmpty)
       return super.buildReaderWithPartitionValues(sparkSession, physData,
         partitionSchema, physRequired, physFilters, options, hadoopConf)
+    val needIdx = dvPaths.nonEmpty
     val rowIdxName = ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME
     val haveIdx = physRequired.fieldNames.contains(rowIdxName)
     // NULLABLE is load-bearing: the column is absent from every data file,
@@ -249,7 +279,7 @@ private[tables] final class GraftParquetFileFormat(
     // the row-index generator ever sees it — a missing nullable one is
     // routed through isRowIndexColumn and populated with real row indexes
     val schemaWithIdx =
-      if (haveIdx) physRequired
+      if (haveIdx || !needIdx) physRequired
       else StructType(physRequired.fields :+
         StructField(rowIdxName, LongType, nullable = true))
     val base = super.buildReaderWithPartitionValues(sparkSession, physData,
@@ -261,10 +291,24 @@ private[tables] final class GraftParquetFileFormat(
       new SerializableHadoopConf(hadoopConf))
     val tableP = tablePath
     val dvs = dvPaths
+    // dir-derived partition columns the query actually requested, as
+    // (dir depth, output ordinal, field) — projection-pruned queries that
+    // never touch a partition column patch nothing
+    val patchCols: Seq[(Int, Int, StructField)] =
+      dirKeys.zipWithIndex.flatMap { case (f, depth) =>
+        val ord = schemaWithIdx.fieldNames.indexOf(f.name)
+        if (ord < 0) None else Some((depth, ord, schemaWithIdx.fields(ord)))
+      }
+    val rootPrefix = rootUriPath.stripSuffix("/") + "/"
+    val nDirs = dirKeys.length
+    val keyNames = dirKeys.map(_.name).toArray
+    val tz = sparkSession.sessionState.conf.sessionLocalTimeZone
+    val stripIdx = needIdx && !haveIdx
     // partition values ride BEHIND requiredSchema in the reader's output;
     // strip only the borrowed row-index column, keeping everything else
-    val outFields = schemaWithIdx.fields.zipWithIndex.filter(_._1.name != rowIdxName)
-      .map { case (f, i) => (f, i) } ++
+    val outFields = (if (stripIdx)
+        schemaWithIdx.fields.zipWithIndex.filter(_._1.name != rowIdxName)
+      else schemaWithIdx.fields.zipWithIndex).toSeq ++
       partitionSchema.fields.zipWithIndex.map { case (f, i) =>
         (f, schemaWithIdx.length + i)
       }
@@ -272,17 +316,54 @@ private[tables] final class GraftParquetFileFormat(
     (file: PartitionedFile) => {
       val name = file.toPath.getName
       val rows = base(file)
-      val filtered = dvs.get(name) match {
-        case None => rows
-        case Some(dvName) =>
-          val positions = DvCache.get(tableP, dvName, confBc.value.conf)
-          rows.filter(r =>
-            java.util.Arrays.binarySearch(positions, r.getLong(idxOrdinal)) < 0)
-      }
-      if (haveIdx) filtered
+      val filtered =
+        if (!needIdx) rows
+        else dvs.get(name) match {
+          case None => rows
+          case Some(dvName) =>
+            val positions = DvCache.get(tableP, dvName, confBc.value.conf)
+            rows.filter(r =>
+              java.util.Arrays.binarySearch(positions, r.getLong(idxOrdinal)) < 0)
+        }
+      // dir-value patch: a file at exactly the converted tree's depth
+      // parses its `k=v` segments once; DML-staged flat files (depth 0)
+      // and unrequested columns contribute nothing. `file.toPath` already
+      // un-did the URI encoding layer, so ONE hive-unescape remains.
+      val patch: Map[Int, Any] =
+        if (patchCols.isEmpty) Map.empty
+        else {
+          val abs = file.toPath.toUri.getPath
+          if (!abs.startsWith(rootPrefix)) Map.empty
+          else {
+            val segs = abs.stripPrefix(rootPrefix).split('/')
+            if (segs.length != nDirs + 1) Map.empty
+            else patchCols.flatMap { case (depth, ord, f) =>
+              val seg = segs(depth)
+              if (!seg.startsWith(keyNames(depth) + "=")) None
+              else {
+                val raw = GraftTable.hiveUnescape(
+                  seg.substring(keyNames(depth).length + 1))
+                val v: Any =
+                  if (raw == "__HIVE_DEFAULT_PARTITION__") null
+                  else Cast(Literal(UTF8String.fromString(raw), StringType),
+                    f.dataType, Option(tz), EvalMode.LEGACY).eval(null)
+                // a null path value coalesces to the page's null anyway
+                if (v == null) None else Some(ord -> v)
+              }
+            }.toMap
+          }
+        }
+      if (patch.isEmpty && !stripIdx) filtered
       else {
         val proj = UnsafeProjection.create(outFields.map { case (f, i) =>
-          BoundReference(i, f.dataType, f.nullable)
+          patch.get(i) match {
+            // page value wins where present (mixed layouts: a flat
+            // rewrite carries the column as data) — same coalesce
+            // semantics as GraftTable.withDirPartitionColumns
+            case Some(v) => Coalesce(Seq(
+              BoundReference(i, f.dataType, f.nullable), Literal(v, f.dataType)))
+            case None => BoundReference(i, f.dataType, f.nullable)
+          }
         })
         filtered.map(proj)
       }
@@ -294,11 +375,14 @@ private[tables] final class GraftParquetFileFormat(
   override def equals(other: Any): Boolean = other match {
     case g: GraftParquetFileFormat =>
       g.tablePath == tablePath && g.dvPaths == dvPaths &&
-        g.mappedSchema == mappedSchema
+        g.mappedSchema == mappedSchema && g.dirKeys == dirKeys &&
+        g.rootUriPath == rootUriPath
     case _ => false
   }
-  override def hashCode(): Int = (tablePath, dvPaths, mappedSchema).hashCode()
+  override def hashCode(): Int =
+    (tablePath, dvPaths, mappedSchema, dirKeys, rootUriPath).hashCode()
 
   override def toString: String =
-    s"GraftParquet(${dvPaths.size} DVs, ${filterMap.size} renames)"
+    s"GraftParquet(${dvPaths.size} DVs, ${filterMap.size} renames, " +
+      s"${dirKeys.size} dir keys)"
 }

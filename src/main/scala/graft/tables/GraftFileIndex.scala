@@ -215,30 +215,46 @@ object GraftRelation {
     val ss = table.spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val index = new GraftFileIndex(table, asOf)
     // partition-converted trees (live names under k=v/ dirs) derive the
-    // partition columns from file PATHS; the native scan reads pages only
-    // and would silently serve NULL for them — refuse loudly and point at
-    // the supported surfaces. (One overwrite/OPTIMIZE flattens the layout
-    // by materializing the columns as data, after which this relation
-    // serves the table normally.)
-    require(index.pinnedSnapshot.live.forall(!_.contains("/")),
-      s"${table.path} holds partition-converted files under k=v directories: " +
-        "the native relation (SQL catalog / format(\"graft\")) does not " +
-        "synthesize dir-derived partition columns — use GraftTable.read()/" +
-        "readWhere(), or run a one-time overwrite/OPTIMIZE to flatten")
-    // a snapshot with outstanding deletion vectors or column renames scans
-    // through the graft format (bitmap probes / physical-name rewrite
-    // inside the reader); the common plain snapshot keeps vanilla parquet
-    // — columnar batches, untouched whole-stage codegen
+    // partition columns from file PATHS; the graft format patches them
+    // into each scanned row (page value coalesced with the path value, so
+    // DML-staged flat files that carry the columns as data coexist).
+    // Partition-predicate FILE pruning needs no extra machinery: convert
+    // recorded each dir value as a min=max stats atom, so listFiles'
+    // analysis-time pruner already skips foreign partitions.
+    val dataSchema = index.dataSchema
+    val dirKeys: Seq[org.apache.spark.sql.types.StructField] =
+      index.pinnedSnapshot.live.find(_.contains("/")) match {
+        case None => Seq.empty
+        case Some(sample) =>
+          sample.split('/').dropRight(1).toSeq.map(_.takeWhile(_ != '=')).map(k =>
+            dataSchema.fields.find(_.name == k)
+              .map(f => org.apache.spark.sql.types.StructField(k, f.dataType, f.nullable))
+              .getOrElse(org.apache.spark.sql.types.StructField(k, StringType)))
+      }
+    val rootUri =
+      if (dirKeys.isEmpty) ""
+      else {
+        val root = new Path(table.path)
+        root.getFileSystem(table.spark.sparkContext.hadoopConfiguration)
+          .makeQualified(root).toUri.getPath
+      }
+    // a snapshot with outstanding deletion vectors, column renames, or
+    // dir-derived partition columns scans through the graft format
+    // (bitmap probes / physical-name rewrite / path-value patch inside
+    // the reader); the common plain snapshot keeps vanilla parquet —
+    // columnar batches, untouched whole-stage codegen
     val dvs = index.pinnedSnapshot.dvFor
     val stored = index.storedSchema
     val format =
-      if (dvs.isEmpty && !ColumnMapping.active(stored)) new ParquetFileFormat
+      if (dvs.isEmpty && !ColumnMapping.active(stored) && dirKeys.isEmpty)
+        new ParquetFileFormat
       else new GraftParquetFileFormat(table.path, dvs,
-        if (ColumnMapping.active(stored)) Some(stored) else None)
+        if (ColumnMapping.active(stored)) Some(stored) else None,
+        dirKeys, rootUri)
     HadoopFsRelation(
       location = index,
       partitionSchema = new StructType(),
-      dataSchema = index.dataSchema,
+      dataSchema = dataSchema,
       bucketSpec = None,
       fileFormat = format,
       options = Map.empty)(ss)

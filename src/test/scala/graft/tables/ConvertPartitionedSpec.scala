@@ -166,19 +166,82 @@ class ConvertPartitionedSpec extends SparkSpecBase {
     assert(t.readWhere(col("region") === "eu").count() === (1 to 60).count(_ % 3 == 0))
   }
 
-  test("native relation refuses partition-converted tables loudly") {
+  private def scanOf(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.execution.FileSourceScanExec =
+    df.queryExecution.executedPlan
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }.head
+
+  test("native relation serves partition-converted trees (values, pruning, SQL)") {
     val dir = s"${tmp()}/t"
     writeTree(dir)
     val t = GraftTable(spark, dir)(GraftSettings.default)
     t.convert()
-    val e = intercept[IllegalArgumentException](t.readRelation())
-    assert(e.getMessage.contains("k=v"))
-    // a one-time overwrite flattens (partition cols become data) and the
-    // native relation serves normally again
+    // full read through format("graft"): path-derived values are exact
+    val got = spark.read.format("graft").load(t.path)
+      .select("id", "region", "d").as[(Int, String, Int)].collect()
+    assert(got.length === 60)
+    assert(got.forall { case (i, r, d) => r === (if (i % 3 == 0) "eu" else "us") && d === i % 2 })
+    // a partition predicate prunes FILES at analysis time (dir-value
+    // stats atoms) and is pushed into the scan for flat files
+    val total = t.liveFiles().size
+    val q = t.readRelation().filter(col("region") === "eu" && col("d") === 1)
+    assert(q.select("id").as[Int].collect().sorted.toSeq
+      === (1 to 60).filter(i => i % 3 == 0 && i % 2 == 1))
+    val scan = scanOf(q)
+    assert(scan.metrics("numFiles").value < total,
+      s"expected partition-pruned scan, got ${scan.metrics("numFiles").value} of $total")
+    assert(scan.metadata("PushedFilters").contains("EqualTo(region,eu)"))
+    // readWhere routes through the same native path and stays exact
+    assert(t.readWhere(col("region") === "eu" && col("d") === 1)
+      .select("id").as[Int].collect().sorted.toSeq
+      === (1 to 60).filter(i => i % 3 == 0 && i % 2 == 1))
+    // SQL over the catalog serves the same rows
+    spark.sql(s"CREATE TABLE conv_native USING graft LOCATION '${t.path}'")
+    try {
+      assert(spark.sql(
+        "SELECT sum(id) AS s FROM conv_native WHERE region = 'eu'")
+        .as[Long].head() === (1 to 60).filter(_ % 3 == 0).sum)
+    } finally spark.sql("DROP TABLE conv_native")
+    // projection that never touches a partition column patches nothing
+    assert(t.readRelation().select("id").as[Int].collect().sorted.toSeq
+      === (1 to 60))
+  }
+
+  test("native relation over a mixed flat+nested layout (post-DML) reads correctly") {
+    val dir = s"${tmp()}/t"
+    writeTree(dir)
+    val t = GraftTable(spark, dir)(GraftSettings.default)
+    t.convert()
+    t.delete(col("region") === "eu" && col("id") <= 10)
+    assert(t.liveFiles().exists(!_.contains("/")) &&
+      t.liveFiles().exists(_.contains("/")), "expected a mixed layout")
+    // flat rewrites carry the columns as DATA (page value wins), nested
+    // remainder derives them from paths — one native scan serves both
+    val got = t.readRelation().select("id", "region", "d").as[(Int, String, Int)].collect()
+    assert(got.length === 60 - (1 to 10).count(_ % 3 == 0))
+    assert(got.forall { case (i, r, d) => r === (if (i % 3 == 0) "eu" else "us") && d === i % 2 })
+    assert(t.readRelation().filter(col("region") === "us").count()
+      === (1 to 60).count(_ % 3 != 0))
+    // a one-time overwrite flattens the layout and restores the vanilla
+    // vectorized parquet format (no per-row patch projection)
     t.overwrite(t.read())
-    assert(t.readRelation().count() === 60)
-    assert(t.readRelation().filter(col("region") === "eu").count()
-      === (1 to 60).count(_ % 3 == 0))
+    val flatScan = scanOf(t.readRelation())
+    assert(flatScan.relation.fileFormat.getClass.getSimpleName === "ParquetFileFormat",
+      s"flattened table should scan vanilla parquet, got ${flatScan.relation.fileFormat}")
+    assert(t.readRelation().count() === 60 - (1 to 10).count(_ % 3 == 0))
+  }
+
+  test("native relation decodes hive-escaped partition values ('+', ':')") {
+    val dir = s"${tmp()}/t"
+    Seq((1, "a+b"), (2, "x:y"), (3, "plain"))
+      .toDF("id", "part").write.partitionBy("part").parquet(dir)
+    val t = GraftTable(spark, dir)(GraftSettings.default)
+    t.convert()
+    val got = t.readRelation().select("id", "part").as[(Int, String)].collect().toMap
+    assert(got === Map(1 -> "a+b", 2 -> "x:y", 3 -> "plain"),
+      s"partition values corrupted through the native relation: $got")
+    assert(t.readRelation().filter(col("part") === "x:y")
+      .select("id").as[Int].collect().toSeq === Seq(2))
   }
 
   test("streaming a converted table synthesizes partition columns; partition-col DDL refused") {
