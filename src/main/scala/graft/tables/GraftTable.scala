@@ -715,7 +715,17 @@ final class GraftTable private (
     * already exist (a finished writer releases its claim, but its commit
     * file remains forever); (3) write-then-rename so readers never see
     * partial content. Losers throw `concurrent commit` — append retries
-    * at the next version, read-modify-write callers fail fast. */
+    * at the next version, read-modify-write callers fail fast.
+    *
+    * Crashed-winner recovery is LEASE-based, no FSCK required: a claim
+    * older than `spark.graft.logStore.claimTtlMs` (default 10 min; claims
+    * are held for milliseconds — the post-commit checkpoint write runs
+    * AFTER release, outside the claim window) is broken and re-claimed
+    * inline. The mirror-image hazard — a slow-but-alive winner whose
+    * lease someone broke — is closed by re-verifying [[LogStore
+    * .stillHeld]] immediately before the publish rename: a usurped
+    * writer aborts with `concurrent commit` instead of renaming over the
+    * usurper's published file. */
   private def writeCommit(c: Commit): Unit = {
     fs.mkdirs(new Path(logDir))
     val name = f"${c.version}%020d.json"
@@ -724,13 +734,29 @@ final class GraftTable private (
       s"concurrent commit detected for version ${c.version} at $path")
     val store = LogStore.forSession(spark)
     val dir = new Path(logDir)
-    if (!store.tryClaim(fs, dir, name)) conflict()
+    if (!store.tryClaim(fs, dir, name)) {
+      val ttl = spark.conf.get(LogStore.ClaimTtlKey,
+        LogStore.DefaultClaimTtlMs.toString).toLong
+      val recovered = ttl > 0 &&
+        store.claimAgeMs(fs, dir, name).exists(_ > ttl) && {
+          store.breakClaim(fs, dir, name)
+          store.tryClaim(fs, dir, name)
+        }
+      if (!recovered) conflict()
+    }
     try {
       if (fs.exists(dst)) conflict()
       val tmp = new Path(logDir, s".$name.${UUID.randomUUID()}.tmp")
       val out = fs.create(tmp, false)
       try out.write(Serialization.write(c).getBytes("UTF-8"))
       finally out.close()
+      // pre-publish re-verify: if FSCK or a lease-break cleared our claim
+      // (and possibly handed the version to another writer), the rename
+      // below would OVERWRITE its commit — abort instead
+      if (!store.stillHeld(fs, dir, name)) {
+        fs.delete(tmp, false)
+        conflict()
+      }
       if (!fs.rename(tmp, dst)) {
         fs.delete(tmp, false)
         conflict()
@@ -856,26 +882,15 @@ final class GraftTable private (
     * skipped. At 100 TB a selective predicate on an append-ordered column
     * (event time, ingest date) turns an O(table) scan into O(matching
     * files) — same mechanics as Delta/Iceberg data skipping. */
-  def readWhere(predicate: org.apache.spark.sql.Column): DataFrame = {
-    // partition-converted trees (live files under k=v dirs) derive their
-    // partition columns from file paths, which the native relation does
-    // not synthesize — prune explicitly (partition-value atoms included)
-    // and read through the path-synthesizing mergeSchema reader instead
-    val snap = snapshot()
-    if (snap.live.exists(_.contains("/"))) {
-      val files = prunedFilesOf(snap, predicate)
-      if (files.isEmpty) return readAt(snap.version).filter(predicate).limit(0)
-      return DeletionVectors.filterDeleted(
-        readDataFiles(files, snap.schemaJson), spark, loadDvs(snap.dvFor, files))
-        .filter(predicate)
-    }
-    // through the native relation since round 12: the same PredAtom pruner
-    // runs at ANALYSIS time inside GraftFileIndex.listFiles (Catalyst
-    // pushes the filter down as a data filter), and the log-schema scan
-    // drops the per-query distributed footer-inference job the old
-    // mergeSchema read paid on every index probe
+  def readWhere(predicate: org.apache.spark.sql.Column): DataFrame =
+    // through the native relation since round 12 (round 16 for
+    // partition-converted trees, whose dir-derived columns the graft
+    // format now patches in-scan): the same PredAtom pruner runs at
+    // ANALYSIS time inside GraftFileIndex.listFiles — partition-value
+    // atoms included, so a partition predicate skips foreign partitions'
+    // files — and the log-schema scan drops the per-query distributed
+    // footer-inference job the old mergeSchema read paid on every probe
     readRelation().filter(predicate)
-  }
 
   /** The live files `readWhere(predicate)` would scan (exposed for tests
     * and observability). Combines two independent pruners: per-file
@@ -2122,8 +2137,11 @@ final class GraftTable private (
     * versioned `dataChange=true` commit: downstream incremental consumers
     * SEE the row loss instead of silently diverging. Also clears STALE
     * commit-claim markers (a crashed writer's `.claim` older than 10
-    * minutes — claims are held for milliseconds, so age is decisive),
-    * unblocking the version a dead writer pinned. Returns the dropped
+    * minutes — claims are held for milliseconds, so age is decisive);
+    * since the lease-based recovery in [[writeCommit]] the next writer
+    * breaks an expired claim inline anyway, so this is belt-and-braces
+    * operator hygiene, and the pre-publish `stillHeld` re-verify keeps a
+    * repair-cleared live writer from overwriting. Returns the dropped
     * names; `dryRun=true` (the default) only reports them. */
   def repair(dryRun: Boolean = true): Seq[String] = {
     val snap = snapshot()

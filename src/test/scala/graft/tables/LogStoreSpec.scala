@@ -37,6 +37,33 @@ object RacingMemoryLogStore {
   val gate = new CyclicBarrier(2)
 }
 
+/** Simulates FSCK/lease-break clearing a winner's claim between its
+  * write-temp and its publish rename: wins the claim, then reports it
+  * lost at the pre-publish re-verify. */
+final class UsurpedLogStore extends LogStore {
+  override def tryClaim(fs: FileSystem, logDir: Path, name: String): Boolean = true
+  override def release(fs: FileSystem, logDir: Path, name: String): Unit = ()
+  override def stillHeld(fs: FileSystem, logDir: Path, name: String): Boolean = false
+}
+
+/** Pins the claim-window/checkpoint ordering: at [[release]] time the
+  * version's checkpoint files must NOT exist yet (the checkpoint write
+  * runs after the claim is released, outside the window FSCK/lease
+  * recovery measures). */
+final class CheckpointOrderLogStore extends HadoopOExclLogStore {
+  override def release(fs: FileSystem, logDir: Path, name: String): Unit = {
+    val version = name.stripSuffix(".json")
+    Seq(s"$version.checkpoint.parquet", s"$version.checkpoint.json").foreach { ck =>
+      if (fs.exists(new Path(logDir, ck)))
+        CheckpointOrderLogStore.violations.add(ck)
+    }
+    super.release(fs, logDir, name)
+  }
+}
+object CheckpointOrderLogStore {
+  val violations = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+}
+
 /** The commit-claim atomicity seam ([[LogStore]], Delta's pluggable
   * LogStore): the O_EXCL default serves local fs/HDFS; object stores plug
   * a conditional-PUT/arbiter store via `spark.graft.logStore.class`. */
@@ -115,6 +142,84 @@ class LogStoreSpec extends SparkSpecBase {
     // the unblocked version commits normally again
     t.append(Seq((2, "b")).toDF("id", "v"))
     assert(t.read().count() === 2)
+  }
+
+  test("a crashed winner's expired claim is broken inline: the next writer lands WITHOUT FSCK") {
+    val dir = Files.createTempDirectory("graft-lease-").toString
+    val t = GraftTable(spark, s"$dir/t")(GraftSettings.default)
+    t.append(Seq((1, "a")).toDF("id", "v"))
+    val fs = graft.lake.FsUtils.fs(spark, t.path)
+    val logDir = new Path(s"${t.path}/_graft_log")
+    // a crashed writer's leftover claim on the NEXT version, aged past TTL
+    val stale = new Path(logDir, s".${"%020d".format(2)}.json.claim")
+    fs.create(stale, false).close()
+    fs.setTimes(stale, System.currentTimeMillis() - 11 * 60 * 1000, -1)
+    // the append must break the expired lease, re-claim, and publish —
+    // no repair() call anywhere
+    t.append(Seq((2, "b")).toDF("id", "v"))
+    assert(t.version === 2)
+    assert(t.read().count() === 2)
+    assert(!fs.exists(stale), "expired claim must be gone after recovery")
+    // a FRESH foreign claim (live writer) still blocks: conflict, not break
+    val fresh = new Path(logDir, s".${"%020d".format(3)}.json.claim")
+    fs.create(fresh, false).close()
+    val e = intercept[IllegalStateException](
+      GraftTable(spark, s"$dir/t")(GraftSettings.default)
+        .append(Seq((3, "c")).toDF("id", "v")))
+    assert(e.getMessage.contains("concurrent commit"))
+    assert(fs.exists(fresh), "a live writer's fresh claim must not be broken")
+    fs.delete(fresh, false)
+  }
+
+  test("usurped winner aborts at the pre-publish re-verify; release never deletes a foreign claim") {
+    val dir = Files.createTempDirectory("graft-usurp-").toString
+    val fs = graft.lake.FsUtils.fs(spark, dir)
+    val logDir = new Path(s"$dir/log")
+    fs.mkdirs(logDir)
+    val a = new HadoopOExclLogStore
+    val b = new HadoopOExclLogStore
+    // A wins; B (another process) breaks A's lease and re-claims
+    assert(a.tryClaim(fs, logDir, "v.json"))
+    assert(a.stillHeld(fs, logDir, "v.json"))
+    b.breakClaim(fs, logDir, "v.json")
+    assert(b.tryClaim(fs, logDir, "v.json"))
+    // A's claim is no longer in force (marker carries B's token); B's is
+    assert(!a.stillHeld(fs, logDir, "v.json"),
+      "usurped writer must see its claim as lost")
+    assert(b.stillHeld(fs, logDir, "v.json"))
+    // A's release must NOT delete B's marker
+    a.release(fs, logDir, "v.json")
+    assert(b.stillHeld(fs, logDir, "v.json"),
+      "the loser's release deleted the usurper's claim")
+    b.release(fs, logDir, "v.json")
+    assert(!fs.exists(new Path(logDir, ".v.json.claim")))
+
+    // end-to-end: a commit whose claim is usurped mid-write ABORTS with
+    // 'concurrent commit' and publishes nothing
+    spark.conf.set(LogStore.ConfKey, classOf[UsurpedLogStore].getName)
+    try {
+      val t = GraftTable(spark, s"$dir/t")(GraftSettings.default)
+      val e = intercept[IllegalStateException](
+        t.append(Seq((1, "a")).toDF("id", "v")))
+      assert(e.getMessage.contains("concurrent commit"))
+      assert(!t.exists, "an aborted commit must not publish a version file")
+    } finally spark.conf.unset(LogStore.ConfKey)
+  }
+
+  test("claim is released BEFORE the checkpoint write (FSCK can never clear a live writer mid-checkpoint)") {
+    val dir = Files.createTempDirectory("graft-ckptclaim-").toString
+    spark.conf.set(LogStore.ConfKey, classOf[CheckpointOrderLogStore].getName)
+    try {
+      // checkpoint every commit: if the parquet/json checkpoint were
+      // written INSIDE the claim window, release() would observe the
+      // checkpoint file already on disk and flag it
+      val t = GraftTable(spark, s"$dir/t")(
+        GraftSettings.default.copy(logCheckpointInterval = 1))
+      (1 to 3).foreach(i => t.append(Seq((i, s"v$i")).toDF("id", "v")))
+      assert(CheckpointOrderLogStore.violations.isEmpty,
+        s"checkpoint written under the commit claim: ${CheckpointOrderLogStore.violations}")
+      assert(t.read().count() === 3)
+    } finally spark.conf.unset(LogStore.ConfKey)
   }
 
   test("O_EXCL default under thread contention also keeps the log dense") {
