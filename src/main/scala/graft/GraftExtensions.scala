@@ -30,6 +30,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // tables), so it rides the hint-resolution batch, which runs first.
     ext.injectPostHocResolutionRule(session => new graft.tables.GraftDmlRule(session))
     ext.injectHintResolutionRule(session => new graft.tables.GraftTimeTravelRule(session))
+    // MERGE WITH SCHEMA EVOLUTION needs the star/explicit clause shape,
+    // which Spark's resolver erases — record it pre-resolution (tags
+    // survive into the resolved node GraftDmlRule intercepts)
+    ext.injectHintResolutionRule(session => new graft.tables.GraftMergeShapeRule(session))
     // maintenance statements Delta adds to SQL and vanilla Spark lacks:
     // VACUUM / OPTIMIZE [ZORDER BY] / DESCRIBE HISTORY / RESTORE ...
     // VERSION AS OF — keyword-anchored, everything else delegates

@@ -67,6 +67,25 @@ object GraftDml {
       ident: Option[TableIdentifier]): Unit =
     ident.foreach(spark.sessionState.catalog.refreshTable)
 
+  /** Pre-resolution SHAPE of a `MERGE WITH SCHEMA EVOLUTION`: which
+    * action indexes were STAR clauses (`UPDATE SET *` / `INSERT *`).
+    * Spark's resolver erases the distinction — stars expand over the
+    * target's columns — but Delta's evolution semantics need it: star
+    * clauses populate evolved columns from the source, explicit-list
+    * clauses leave them NULL, and a merge with ONLY explicit clauses
+    * evolves nothing (Delta evolves just the assignment-referenced
+    * columns, and an assignment to a not-yet-existing column cannot
+    * resolve on a v1 target at all). Recorded by [[GraftMergeShapeRule]]
+    * on the freshly parsed plan; tree tags ride the analyzer's copy
+    * chain into [[GraftMergeCommand]]. */
+  final case class MergeEvolutionShape(starMatched: Set[Int],
+      starNotMatched: Set[Int]) {
+    def anyStar: Boolean = starMatched.nonEmpty || starNotMatched.nonEmpty
+  }
+  private[tables] val EvolutionShapeTag =
+    new org.apache.spark.sql.catalyst.trees.TreeNodeTag[MergeEvolutionShape](
+      "graftMergeEvolutionShape")
+
   private[tables] def hasSubquery(e: Expression): Boolean =
     e.exists(_.isInstanceOf[SubqueryExpression])
 
@@ -323,16 +342,17 @@ final case class GraftUpdateCommand(index: GraftFileIndex,
   *    source match;
   *  - a target row matching MULTIPLE source rows fails loudly (the ANSI
   *    cardinality rule Delta enforces) whenever matched actions exist;
-  *  - `WITH SCHEMA EVOLUTION` widens the target with EVERY new source
-  *    column (additive union, the same contract `append` implements):
-  *    update/insert rows take the source's values for the new columns,
-  *    carried-through rows read NULL. DOCUMENTED DIVERGENCE from Delta:
-  *    Delta evolves only columns referenced by the merge's assignments
-  *    and leaves unreferenced evolved columns NULL in explicit-list
-  *    inserts; here evolved columns always populate from the source row
-  *    for claimed update/insert rows — simpler, and consistent with this
-  *    engine's append evolution, but a Delta workload migrating explicit
-  *    column lists will see source values where Delta wrote NULL.
+  *  - `WITH SCHEMA EVOLUTION` follows Delta's semantics (since round
+  *    16): a STAR clause (`UPDATE SET *` / `INSERT *`) widens the
+  *    target with every new source column and populates them from the
+  *    source for the rows it claims; EXPLICIT-list clauses leave
+  *    evolved columns NULL for their rows; a merge with only explicit
+  *    clauses evolves nothing (Delta evolves just assignment-referenced
+  *    columns — and an assignment to a not-yet-existing column cannot
+  *    resolve on a v1 target, the same limitation OSS Spark has);
+  *    carried-through rows read NULL. The star/explicit distinction is
+  *    recorded pre-resolution by [[GraftMergeShapeRule]] (Spark's
+  *    resolver expands stars over the target's columns, erasing it).
   *
   * The captured ANALYZED target/source plans are evaluated via
   * [[PlanBridge.ofRows]], preserving attribute ids so the user's ON
@@ -390,9 +410,16 @@ final case class GraftMergeCommand(merge: MergeIntoTable,
     }
 
     // WITH SCHEMA EVOLUTION: the source attributes absent from the target
-    // (by case-insensitive name, Spark's resolution default)
+    // (by case-insensitive name, Spark's resolution default) — but ONLY
+    // when some star clause exists (Delta's rule; an explicit-only merge
+    // evolves nothing). API-built merges carry no parse-time tag and
+    // default to star semantics, the DataFrame analogue of `*`.
+    val shape = merge.getTagValue(GraftDml.EvolutionShapeTag)
+      .getOrElse(GraftDml.MergeEvolutionShape(
+        merge.matchedActions.indices.toSet,
+        merge.notMatchedActions.indices.toSet))
     val evolved: Seq[Attribute] =
-      if (!merge.withSchemaEvolution) Seq.empty
+      if (!merge.withSchemaEvolution || !shape.anyStar) Seq.empty
       else {
         val existing = merge.targetTable.schema.fieldNames.map(_.toLowerCase).toSet
         merge.sourceTable.output.filterNot(a => existing(a.name.toLowerCase))
@@ -488,10 +515,12 @@ final case class GraftMergeCommand(merge: MergeIntoTable,
 
     /** Project a clause's output in the (possibly evolved) TARGET schema:
       * assigned columns take their expression, the rest keep the target
-      * value (updates) or NULL (inserts); evolved columns always read the
-      * SOURCE side (NULL on target-only rows by join construction). */
+      * value (updates) or NULL (inserts). Evolved columns read the SOURCE
+      * side for STAR clauses (NULL on target-only rows by join
+      * construction) and NULL for explicit-list clauses — Delta's
+      * per-action evolution values. */
     def projected(rows: DataFrame, assigns: Seq[Assignment],
-        forInsert: Boolean): DataFrame = {
+        forInsert: Boolean, evolveFromSource: Boolean): DataFrame = {
       // nested field keys (UPDATE SET s.a = x) fold withField over the
       // target's current struct; INSERT keys must stay top-level (there
       // is no current value to patch — Delta refuses the same way)
@@ -505,7 +534,9 @@ final case class GraftMergeCommand(merge: MergeIntoTable,
           case None if forInsert => lit(null).cast(a.dataType).as(a.name)
           case None => ColumnBridge.column(a).as(a.name)
         }
-      } ++ evolved.map(a => ColumnBridge.column(a).as(a.name)): _*)
+      } ++ evolved.map(a =>
+        (if (evolveFromSource) ColumnBridge.column(a)
+         else lit(null).cast(a.dataType)).as(a.name)): _*)
     }
 
     /** Carried-through target rows, in the evolved schema (new columns
@@ -528,19 +559,22 @@ final case class GraftMergeCommand(merge: MergeIntoTable,
       if (cdf) changePieces += table.tagged(df, changeType)
 
     def chain(rows: DataFrame, actions: Seq[MergeAction],
-        keepUnclaimed: Boolean, forInsert: Boolean): Seq[DataFrame] = {
+        keepUnclaimed: Boolean, forInsert: Boolean,
+        starIdx: Set[Int]): Seq[DataFrame] = {
       var prior = Seq.empty[Option[Expression]]
-      val outs = actions.flatMap { act =>
+      val outs = actions.zipWithIndex.flatMap { case (act, i) =>
         val mine = rows.filter(gate(act.condition) && notPrior(prior))
         prior :+= act.condition
         act match {
           case UpdateAction(_, assigns, _) =>
-            val out = projected(mine, assigns, forInsert = false)
+            val out = projected(mine, assigns, forInsert = false,
+              evolveFromSource = starIdx(i))
             recordChange(carried(mine), "update_preimage")
             recordChange(out, "update_postimage")
             Some(out)
           case InsertAction(_, assigns) =>
-            val out = projected(mine, assigns, forInsert = forInsert)
+            val out = projected(mine, assigns, forInsert = forInsert,
+              evolveFromSource = starIdx(i))
             recordChange(out, "insert")
             Some(out)
           case _: DeleteAction =>
@@ -557,9 +591,12 @@ final case class GraftMergeCommand(merge: MergeIntoTable,
     }
 
     val pieces =
-      chain(matched, merge.matchedActions, keepUnclaimed = true, forInsert = false) ++
-        chain(sourceOnly, merge.notMatchedActions, keepUnclaimed = false, forInsert = true) ++
-        chain(targetOnly, merge.notMatchedBySourceActions, keepUnclaimed = true, forInsert = false)
+      chain(matched, merge.matchedActions, keepUnclaimed = true,
+        forInsert = false, starIdx = shape.starMatched) ++
+        chain(sourceOnly, merge.notMatchedActions, keepUnclaimed = false,
+          forInsert = true, starIdx = shape.starNotMatched) ++
+        chain(targetOnly, merge.notMatchedBySourceActions, keepUnclaimed = true,
+          forInsert = false, starIdx = Set.empty) // no source side to evolve from
     val merged = pieces.reduce(_.unionByName(_))
     val changeFiles =
       if (!cdf) None
@@ -608,6 +645,27 @@ final case class GraftInsertCommand(index: GraftFileIndex,
     if (overwrite) index.table.overwrite(df) else index.table.append(df)
     index.refresh()
     Seq.empty
+  }
+}
+
+/** Observation-only rule on the UNRESOLVED plan (hint-resolution batch,
+  * which runs before the main resolution): records every `MERGE WITH
+  * SCHEMA EVOLUTION`'s star/explicit action shape as a tree tag before
+  * Spark's resolver expands the stars away — see
+  * [[GraftDml.MergeEvolutionShape]]. No plan rewrite. */
+final class GraftMergeShapeRule(spark: SparkSession) extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    plan.foreach {
+      case m: MergeIntoTable if m.withSchemaEvolution &&
+          m.getTagValue(GraftDml.EvolutionShapeTag).isEmpty =>
+        m.setTagValue(GraftDml.EvolutionShapeTag, GraftDml.MergeEvolutionShape(
+          m.matchedActions.zipWithIndex
+            .collect { case (_: UpdateStarAction, i) => i }.toSet,
+          m.notMatchedActions.zipWithIndex
+            .collect { case (_: InsertStarAction, i) => i }.toSet))
+      case _ => ()
+    }
+    plan
   }
 }
 

@@ -227,25 +227,60 @@ class GraftSqlDmlSpec extends AnyFunSuite {
     assert(got.size === 399 && got(1) === "ONE" && !got.contains(400))
   }
 
-  test("MERGE WITH SCHEMA EVOLUTION widens the target with the source's new columns") {
+  test("MERGE WITH SCHEMA EVOLUTION: star clauses widen the target and take source values") {
     import spark.implicits._
     val (name, t) = freshTable(3)
     Seq((2, "TWO", 20L), (9, "nine", 90L)).toDF("id", "v", "score")
       .createOrReplaceTempView("evo_src")
     spark.sql(
       s"""MERGE WITH SCHEMA EVOLUTION INTO $name t USING evo_src s ON t.id = s.id
-         |WHEN MATCHED THEN UPDATE SET v = s.v
-         |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""".stripMargin)
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
     val got = spark.table(name)
       .select("id", "v", "score").as[(Int, String, Option[Long])]
       .collect().toSet
-    // update/insert rows take the source's new-column values; carried
+    // star-claimed rows take the source's new-column values; carried
     // rows read NULL (Delta's evolution contract)
     assert(got === Set(
       (1, "v1", None), (3, "v3", None),
       (2, "TWO", Some(20L)), (9, "nine", Some(90L))))
     // the committed log schema carries the new column
     assert(t.read().schema.fieldNames.contains("score"))
+  }
+
+  test("MERGE WITH SCHEMA EVOLUTION: explicit-only merges evolve nothing; mixed clauses NULL-fill explicit rows (Delta parity)") {
+    import spark.implicits._
+    Seq((2, "TWO", 20L), (9, "nine", 90L)).toDF("id", "v", "score")
+      .createOrReplaceTempView("evo3_src")
+    // explicit-only clauses never reference `score` -> Delta evolves only
+    // assignment-referenced columns, so the schema must NOT widen at all
+    val (n1, t1) = freshTable(3)
+    spark.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO $n1 t USING evo3_src s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET v = s.v
+         |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""".stripMargin)
+    assert(!spark.table(n1).schema.fieldNames.contains("score"),
+      "explicit-only merge must not evolve unreferenced source columns")
+    assert(!t1.read().schema.fieldNames.contains("score"))
+    assert(spark.table(n1).select("id", "v").as[(Int, String)].collect().toSet
+      === Set((1, "v1"), (2, "TWO"), (3, "v3"), (9, "nine")))
+    // mixed: the star UPDATE evolves the schema and takes source values
+    // for ITS rows; the explicit-list INSERT leaves the evolved column
+    // NULL for its rows (where the old engine wrote the source value)
+    val (n2, t2) = freshTable(3)
+    spark.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO $n2 t USING evo3_src s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""".stripMargin)
+    val got = spark.table(n2)
+      .select("id", "v", "score").as[(Int, String, Option[Long])]
+      .collect().toSet
+    assert(got === Set(
+      (1, "v1", None), (3, "v3", None),
+      (2, "TWO", Some(20L)), // star update: source value
+      (9, "nine", None)), // explicit-list insert: NULL, Delta semantics
+      s"mixed-clause evolution values diverged: $got")
+    assert(t2.read().schema.fieldNames.contains("score"))
   }
 
   test("DELETE FROM with an IN-subquery condition") {
@@ -365,7 +400,7 @@ class GraftSqlDmlSpec extends AnyFunSuite {
       .createOrReplaceTempView("evo2_src")
     spark.sql(
       s"""MERGE WITH SCHEMA EVOLUTION INTO $name t USING evo2_src s ON t.id = s.id
-         |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin)
+         |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
     val c = t.commits().last
     // narrow keys: evolution must NOT force a whole-table rewrite — only
     // the low file rewrites under the widened schema, the retained files
