@@ -81,6 +81,11 @@ private[graft] object Parallelism {
   private val globalPending =
     new java.util.concurrent.ConcurrentHashMap[org.apache.spark.SparkContext,
       java.util.concurrent.ConcurrentLinkedQueue[Tracked]]()
+  // registration counter driving the self-prune cadence below:
+  // ConcurrentLinkedQueue.size() is O(n), so probing it per registration
+  // would cost a long-running unscoped caller O(n²) cumulative — an O(1)
+  // counter checked against a fixed cadence keeps track() constant-time
+  private val globalTracked = new java.util.concurrent.atomic.AtomicInteger(0)
   // null = no active scope on this thread (register globally)
   private val scopeLocal = new ThreadLocal[java.util.ArrayDeque[Tracked]]
 
@@ -94,8 +99,9 @@ private[graft] object Parallelism {
       // self-prune: a long-running caller that never drains (a CDC stream
       // outside any scope) must not grow the registry without bound —
       // entries whose weak ref cleared are already ContextCleaner's
-      // problem, so dropping them frees nothing early
-      if (q.size > 512) q.removeIf(_.dead)
+      // problem, so dropping them frees nothing early. Every 512
+      // registrations, not every size() probe (O(1) per track).
+      if (globalTracked.incrementAndGet() % 512 == 0) q.removeIf(_.dead)
     }
   }
 

@@ -341,7 +341,9 @@ private[tables] final class GraftParquetFileFormat(
               val seg = segs(depth)
               if (!seg.startsWith(keyNames(depth) + "=")) None
               else {
-                val raw = GraftTable.hiveUnescape(
+                // read path: an undecodable value degrades to the raw
+                // string (scan still serves), matching withDirPartitionColumns
+                val raw = GraftTable.hiveUnescapeOrRaw(
                   seg.substring(keyNames(depth).length + 1))
                 val v: Any =
                   if (raw == "__HIVE_DEFAULT_PARTITION__") null

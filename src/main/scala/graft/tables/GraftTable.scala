@@ -662,12 +662,18 @@ final class GraftTable private (
       try ParquetCheckpoint.write(fs, spark.sessionState.newHadoopConf(), logDir,
         f"$version%020d.checkpoint.parquet", trimmed)
       catch { case scala.util.control.NonFatal(_) => () }
-      val name = f"$version%020d.checkpoint.json"
-      val tmp = new Path(logDir, s".$name.${UUID.randomUUID()}.tmp")
-      val out = fs.create(tmp, false)
-      try out.write(Serialization.write(trimmed).getBytes("UTF-8"))
-      finally out.close()
-      if (!fs.rename(tmp, new Path(logDir, name))) fs.delete(tmp, false)
+      // the JSON twin is back-compat only and its write scales worst
+      // (8.6s vs parquet's 1.8s at 500k entries, CKPT_BENCH_r16) — past
+      // the cap the parquet twin alone serves. Both writes run AFTER the
+      // commit claim was released, so neither stretches the claim window.
+      if (trimmed.live.size <= effectiveSettings.logCheckpointJsonTwinMaxFiles) {
+        val name = f"$version%020d.checkpoint.json"
+        val tmp = new Path(logDir, s".$name.${UUID.randomUUID()}.tmp")
+        val out = fs.create(tmp, false)
+        try out.write(Serialization.write(trimmed).getBytes("UTF-8"))
+        finally out.close()
+        if (!fs.rename(tmp, new Path(logDir, name))) fs.delete(tmp, false)
+      }
       invalidateListing() // the listing gained checkpoint files
       // superseded checkpoints are pure redundancy (every commit file is
       // retained forever) — keep the newest two VERSIONS (each a
@@ -1794,9 +1800,13 @@ final class GraftTable private (
       dataStats.get(r) match {
         case Some(st) => Some(r -> st.copy(cols = st.cols ++ ps, bytes = sizes.get(r)))
         // NO STATISTICS on a partitioned tree still records the dir-derived
-        // atoms (they cost nothing — no scan). rows=1 is a placeholder that
-        // keeps the null-count algebra sound (every partition atom has
-        // nulls=0 < rows); flat no-stats files record nothing, as before.
+        // atoms (they cost nothing — no scan). rows=1 is a PLACEHOLDER, not
+        // a count: it keeps the null-count algebra sound (every partition
+        // atom has nulls=0 < rows; no atom can reach nulls==rows, so the
+        // all-null prune can't fire) but must never feed a row-count
+        // decision — the DV full-file shortcut (tryDvDelete) asserts it
+        // only ever sees flat files, whose stats are real. Flat no-stats
+        // files record nothing, as before.
         case None if ps.nonEmpty => Some(r -> FileStats(1L, ps, bytes = sizes.get(r)))
         case None => None
       }
@@ -1949,8 +1959,18 @@ final class GraftTable private (
           case Some(old) => DeletionVectors.merge(DeletionVectors.read(fs, path, old), fresh)
           case None      => fresh
         }
-        // fully-dead file: every logged row is marked -> drop the file
-        if (snap.stats.get(f).exists(_.rows == merged.length))
+        // fully-dead file: every logged row is marked -> drop the file.
+        // stats.rows must be a REAL count here: the NO STATISTICS
+        // partitioned convert records rows=1 as a placeholder (see
+        // convert()), which would mis-drop a one-marked-row file — that
+        // placeholder only ever attaches to NESTED adopted files, which
+        // the '/'-fallback above already routed away; assert it stays so
+        if (snap.stats.get(f).exists(st => st.rows == merged.length && {
+          assert(!f.contains("/"),
+            s"DV full-file shortcut reached a nested adopted file ($f) " +
+              "whose rows stat may be the convert placeholder")
+          true
+        }))
           (dead :+ f, dvs)
         else (dead, dvs + (f -> DeletionVectors.write(fs, path, merged)))
     }
@@ -2489,9 +2509,26 @@ object GraftTable {
     * `ExternalCatalogUtils.escapePathName`): PERCENT-only decoding —
     * '+' is a literal in dir names, so it is protected from
     * URLDecoder's form-decoding ('+' -> space) first. Property-pinned
-    * against Spark's own escaper in PropertySpec. */
+    * against Spark's own escaper in PropertySpec. A bare '%' not
+    * followed by two hex digits (hand-laid trees no escaper wrote)
+    * fails with the OFFENDING SEGMENT in the message — convert() is a
+    * loud-refusal surface; read paths degrade to the raw string instead
+    * ([[hiveUnescapeOrRaw]]). */
   private[graft] def hiveUnescape(raw: String): String =
-    java.net.URLDecoder.decode(raw.replace("+", "%2B"), "UTF-8")
+    try java.net.URLDecoder.decode(raw.replace("+", "%2B"), "UTF-8")
+    catch {
+      case e: IllegalArgumentException => throw new IllegalArgumentException(
+        s"cannot percent-decode partition path segment '$raw' — not " +
+          "written by Hive/Spark's path escaper (a bare '%' must be " +
+          "escaped as '%25')", e)
+    }
+
+  /** Read-time twin of [[hiveUnescape]]: an undecodable value passes
+    * through RAW (the file still serves; only its partition value is
+    * rendered undecoded) — reads must not fail on a tree convert()
+    * accepted. */
+  private[graft] def hiveUnescapeOrRaw(raw: String): String =
+    try hiveUnescape(raw) catch { case _: IllegalArgumentException => raw }
 
   /** Synthesize hive-dir partition columns for files adopted by a
     * partitioned-tree [[GraftTable.convert]]: a file living under `k=v/`
@@ -2521,9 +2558,12 @@ object GraftTable {
       // hive-escaped — `part=x:y` lives on disk as `part=x%3Ay` and
       // arrives here as `x%253Ay`. Each layer is percent-only ('+' is a
       // LITERAL in both), but url_decode is a form decoder ('+' ->
-      // space) — protect '+' before each application.
+      // space) — protect '+' before each application. try_url_decode +
+      // coalesce: an undecodable value (a bare '%' some hand-laid tree
+      // carries) passes through RAW instead of failing the whole scan —
+      // the read-time twin of hiveUnescapeOrRaw.
       def pctDecode(c: org.apache.spark.sql.Column) =
-        url_decode(regexp_replace(c, "\\+", "%2B"))
+        coalesce(try_url_decode(regexp_replace(c, "\\+", "%2B")), c)
       val decoded = pctDecode(pctDecode(raw))
       val v = when(raw === "" || raw === "__HIVE_DEFAULT_PARTITION__", lit(null))
         .otherwise(decoded).cast(dt)

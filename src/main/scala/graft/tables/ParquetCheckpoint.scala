@@ -63,6 +63,7 @@ private[tables] object ParquetCheckpoint {
 
   private val KVersion = "graft.version"
   private val KSchema = "graft.schemaJson"
+  private val KNumFiles = "graft.numFiles"
 
   /** Write `snap` (already trimmed to live files) as one parquet file at
     * `dest` — written to a temp name and renamed, like every log file, so
@@ -74,6 +75,7 @@ private[tables] object ParquetCheckpoint {
     val tmp = new Path(logDir, s".$dest.${java.util.UUID.randomUUID()}.tmp")
     val meta = new java.util.HashMap[String, String]()
     meta.put(KVersion, snap.version.toString)
+    meta.put(KNumFiles, snap.live.size.toString)
     snap.schemaJson.foreach(meta.put(KSchema, _))
     val factory = new SimpleGroupFactory(Schema)
     val writer = ExampleParquetWriter.builder(tmp)
@@ -115,10 +117,11 @@ private[tables] object ParquetCheckpoint {
       p: Path, distributedReadBytes: Long): LogCheckpoint = {
     val inputFile = HadoopInputFile.fromPath(p, conf)
     val footer = org.apache.parquet.hadoop.ParquetFileReader.open(inputFile)
-    val (version, schemaJson) =
+    val (version, schemaJson, numFiles) =
       try {
         val kv = footer.getFooter.getFileMetaData.getKeyValueMetaData
-        (kv.get(KVersion).toLong, Option(kv.get(KSchema)))
+        (kv.get(KVersion).toLong, Option(kv.get(KSchema)),
+          Option(kv.get(KNumFiles)).map(_.toLong))
       } finally footer.close()
 
     val live = Seq.newBuilder[String]
@@ -126,8 +129,18 @@ private[tables] object ParquetCheckpoint {
     var dvs = Map.empty[String, String]
 
     if (fs.getFileStatus(p).getLen >= distributedReadBytes) {
-      // executors decode the pages; the driver collects compact values
-      spark.read.parquet(p.toString).collect().foreach { r =>
+      // executors decode the pages; the driver collects compact values.
+      // ignoreCorruptFiles/ignoreMissingFiles are FORCED off: a session
+      // that sets them for data reads must not let a corrupt checkpoint
+      // silently yield fewer rows here — a short read would serve a
+      // truncated live set as if it were the table. Throwing instead
+      // routes the caller to its per-file fallback (JSON twin / commit
+      // replay); the footer row count below backstops any other
+      // silent-truncation path.
+      spark.read
+        .option("ignoreCorruptFiles", "false")
+        .option("ignoreMissingFiles", "false")
+        .parquet(p.toString).collect().foreach { r =>
         val f = r.getString(r.fieldIndex("file"))
         live += f
         val st = r.getAs[Row]("stats")
@@ -173,7 +186,16 @@ private[tables] object ParquetCheckpoint {
         }
       } finally reader.close()
     }
-    LogCheckpoint(version, live.result(), schemaJson, stats.result(),
+    val files = live.result()
+    // the checkpoint recorded its own row count at write time: any
+    // mismatch (truncated write, short read) must throw — the caller
+    // falls back to the JSON twin or full commit replay, never serves a
+    // partial live set
+    numFiles.filter(_ != files.size).foreach(expect =>
+      throw new java.io.IOException(
+        s"parquet checkpoint $p is truncated: footer says $expect live " +
+          s"files, read ${files.size}"))
+    LogCheckpoint(version, files, schemaJson, stats.result(),
       if (dvs.isEmpty) None else Some(dvs))
   }
 }

@@ -244,6 +244,37 @@ class ConvertPartitionedSpec extends SparkSpecBase {
       .select("id").as[Int].collect().toSeq === Seq(2))
   }
 
+  test("native relation round-trips the full tricky-value set written by Spark's escaper") {
+    // end-to-end twin of PropertySpec's decode-layer pin: the values go
+    // through partitionBy (escapePathName) -> disk -> PartitionedFile URI
+    // decode -> hiveUnescapeOrRaw -> Cast, and must come back EXACT —
+    // including the null sentinel (null) and a near-sentinel (literal).
+    // ASCII-only here: this container's POSIX file.encoding makes
+    // Spark's OWN partition writer throw on non-ASCII dir names
+    // (sun.nio.fs.UnixPath.encode) — the unicode decode layer is pinned
+    // in PropertySpec against escapePathName directly.
+    val tricky = Seq("a+b", "x:y", "50%", "a b", "semi;colon", "eq=ual",
+      "star*", "qu?est", "__HIVE_DEFAULT_PARTITION_",
+      "%2B", "+", "hash#tag")
+    val dir = s"${tmp()}/t"
+    val rows = tricky.zipWithIndex.map { case (v, i) => (i, v) } :+
+      (tricky.length, null.asInstanceOf[String])
+    rows.toDF("id", "part").write.partitionBy("part").parquet(dir)
+    val t = GraftTable(spark, dir)(GraftSettings.default)
+    t.convert()
+    val got = t.readRelation().select("id", "part").as[(Int, Option[String])]
+      .collect().toMap
+    tricky.zipWithIndex.foreach { case (v, i) =>
+      assert(got(i) === Some(v), s"native relation corrupted '$v': got ${got(i)}")
+    }
+    assert(got(tricky.length) === None,
+      "null partition value (hive sentinel dir) must read back as NULL")
+    // a point filter on an escaped value still prunes+answers exactly
+    assert(t.readRelation().filter(col("part") === "hash#tag")
+      .select("id").as[Int].collect().toSeq
+      === Seq(tricky.indexOf("hash#tag")))
+  }
+
   test("streaming a converted table synthesizes partition columns; partition-col DDL refused") {
     val dir = s"${tmp()}/t"
     writeTree(dir)

@@ -189,6 +189,12 @@ class DeletionVectorSpec extends SparkSpecBase {
     fs.create(orphan, false).close()
     // an orphaned DV sidecar (a crashed writer's unpublished commit)
     val dvOrphan = DeletionVectors.write(fs, t.path, Array(0L, 1L))
+    // age both strictly past the cutoff: vacuum's mtime test is STRICT
+    // (`mtime < now` at retention 0), so an orphan created in the same
+    // millisecond as the vacuum call would flake the sweep
+    fs.setTimes(orphan, System.currentTimeMillis() - 5000, -1)
+    fs.setTimes(new org.apache.hadoop.fs.Path(t.path, dvOrphan),
+      System.currentTimeMillis() - 5000, -1)
     val gone = t.vacuum(retentionHours = 0)
     assert(gone.contains("part-orphan-000.parquet"))
     assert(gone.contains(dvOrphan))
