@@ -123,15 +123,30 @@ private[tables] object DeletionVectors {
     * native relation / `format("graft")`) does NOT pay this join: it
     * filters inside the scan via [[GraftParquetFileFormat]] with O(1)
     * bitmap probes. `dvByFile` must cover exactly the files in the scan
-    * that have DVs. */
+    * that have DVs; keys are LOG names (table-relative paths).
+    * `qualifiedRoots` is the table root as qualified URI strings (every
+    * authority rendering the listing may have produced) — rows match on
+    * their table-RELATIVE path, not their basename, so on a converted
+    * tree a nested `k=v/part-X.parquet` never inherits a DV bound to a
+    * flat file that happens to share its basename. */
   def filterDeleted(df: DataFrame, spark: SparkSession,
-      dvByFile: Map[String, Array[Long]]): DataFrame = {
+      dvByFile: Map[String, Array[Long]], qualifiedRoots: Seq[String]): DataFrame = {
     if (dvByFile.isEmpty) return df
     import spark.implicits._
     val dead = dvByFile.iterator
       .flatMap { case (f, ps) => ps.iterator.map(p => (f, p)) }
       .toSeq.toDF("__dv_file", "__dv_pos")
-    df.withColumn("__dv_f", col("_metadata.file_name"))
+    // `_metadata.file_path` is the URI rendering of the scanned file;
+    // DV-bearing names are engine-generated (URL-safe ASCII), so the
+    // relative slice compares exactly. Fall back to the basename if no
+    // prefix matches (pre-fix behavior; flat tables are unambiguous).
+    val rel = qualifiedRoots.map(_.stripSuffix("/") + "/")
+      .foldLeft(col("_metadata.file_name")) { (acc, prefix) =>
+        when(col("_metadata.file_path").startsWith(prefix),
+          col("_metadata.file_path").substr(lit(prefix.length + 1), lit(Int.MaxValue)))
+          .otherwise(acc)
+      }
+    df.withColumn("__dv_f", rel)
       .withColumn("__dv_i", col("_metadata.row_index"))
       .join(dead, col("__dv_f") === col("__dv_file") && col("__dv_i") === col("__dv_pos"),
         "left_anti")
@@ -303,6 +318,11 @@ private[tables] final class GraftParquetFileFormat(
     val nDirs = dirKeys.length
     val keyNames = dirKeys.map(_.name).toArray
     val tz = sparkSession.sessionState.conf.sessionLocalTimeZone
+    // honor the session's ANSI mode like withDirPartitionColumns' .cast
+    // does — the two read surfaces must render a partition value the same
+    val castMode =
+      if (sparkSession.sessionState.conf.ansiEnabled) EvalMode.ANSI
+      else EvalMode.LEGACY
     val stripIdx = needIdx && !haveIdx
     // partition values ride BEHIND requiredSchema in the reader's output;
     // strip only the borrowed row-index column, keeping everything else
@@ -314,7 +334,16 @@ private[tables] final class GraftParquetFileFormat(
       }
 
     (file: PartitionedFile) => {
-      val name = file.toPath.getName
+      val abs = file.toPath.toUri.getPath
+      // DV bindings are keyed by the file's LOG name — its table-relative
+      // path. For flat tables that is the basename; on a converted tree a
+      // nested `k=v/part-X.parquet` must NOT inherit a DV bound to a flat
+      // file that happens to share its basename, so relativize when the
+      // root is known (rootUriPath is always set when nested files exist).
+      val name =
+        if (rootPrefix.length > 1 && abs.startsWith(rootPrefix))
+          abs.stripPrefix(rootPrefix)
+        else file.toPath.getName
       val rows = base(file)
       val filtered =
         if (!needIdx) rows
@@ -332,7 +361,6 @@ private[tables] final class GraftParquetFileFormat(
       val patch: Map[Int, Any] =
         if (patchCols.isEmpty) Map.empty
         else {
-          val abs = file.toPath.toUri.getPath
           if (!abs.startsWith(rootPrefix)) Map.empty
           else {
             val segs = abs.stripPrefix(rootPrefix).split('/')
@@ -345,10 +373,13 @@ private[tables] final class GraftParquetFileFormat(
                 // string (scan still serves), matching withDirPartitionColumns
                 val raw = GraftTable.hiveUnescapeOrRaw(
                   seg.substring(keyNames(depth).length + 1))
+                // empty value and the hive null sentinel are both NULL —
+                // exactly withDirPartitionColumns' rendering, so the same
+                // table answers the same query identically on each surface
                 val v: Any =
-                  if (raw == "__HIVE_DEFAULT_PARTITION__") null
+                  if (raw.isEmpty || raw == "__HIVE_DEFAULT_PARTITION__") null
                   else Cast(Literal(UTF8String.fromString(raw), StringType),
-                    f.dataType, Option(tz), EvalMode.LEGACY).eval(null)
+                    f.dataType, Option(tz), castMode).eval(null)
                 // a null path value coalesces to the page's null anyway
                 if (v == null) None else Some(ord -> v)
               }

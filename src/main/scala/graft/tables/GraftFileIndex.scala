@@ -226,7 +226,7 @@ object GraftRelation {
       index.pinnedSnapshot.live.find(_.contains("/")) match {
         case None => Seq.empty
         case Some(sample) =>
-          sample.split('/').dropRight(1).toSeq.map(_.takeWhile(_ != '=')).map(k =>
+          GraftTable.dirKeyNames(sample).map(k =>
             dataSchema.fields.find(_.name == k)
               .map(f => org.apache.spark.sql.types.StructField(k, f.dataType, f.nullable))
               .getOrElse(org.apache.spark.sql.types.StructField(k, StringType)))

@@ -369,7 +369,8 @@ private[tables] final class GraftStreamSource(
         val raw = GraftTable.withDirPartitionColumns(raw0, files,
           Some(storedSchema))
         dvV.map(v => DeletionVectors.filterDeleted(
-          raw, spark, table.loadDvs(snapshotDvsAt(v), files)))
+          raw, spark, table.loadDvs(snapshotDvsAt(v), files),
+          table.qualifiedRootUris))
           .getOrElse(raw)
       }
     StreamBridge.asStreamingFrame(batch)

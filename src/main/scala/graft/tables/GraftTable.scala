@@ -666,7 +666,10 @@ final class GraftTable private (
       // (8.6s vs parquet's 1.8s at 500k entries, CKPT_BENCH_r16) — past
       // the cap the parquet twin alone serves. Both writes run AFTER the
       // commit claim was released, so neither stretches the claim window.
-      if (trimmed.live.size <= effectiveSettings.logCheckpointJsonTwinMaxFiles) {
+      // cap <= 0 disables the twin outright (the documented contract) —
+      // `size <= cap` alone would still write it for an EMPTY live set
+      val twinCap = effectiveSettings.logCheckpointJsonTwinMaxFiles
+      if (twinCap > 0 && trimmed.live.size <= twinCap) {
         val name = f"$version%020d.checkpoint.json"
         val tmp = new Path(logDir, s".$name.${UUID.randomUUID()}.tmp")
         val out = fs.create(tmp, false)
@@ -743,11 +746,16 @@ final class GraftTable private (
     if (!store.tryClaim(fs, dir, name)) {
       val ttl = spark.conf.get(LogStore.ClaimTtlKey,
         LogStore.DefaultClaimTtlMs.toString).toLong
-      val recovered = ttl > 0 &&
+      // witness BEFORE age: the break is scoped to the exact claim whose
+      // expiry was observed, so a contender that broke+re-claimed between
+      // our two reads keeps its fresh claim (breakClaim compares identity)
+      val recovered = ttl > 0 && {
+        val witness = store.claimWitness(fs, dir, name)
         store.claimAgeMs(fs, dir, name).exists(_ > ttl) && {
-          store.breakClaim(fs, dir, name)
+          store.breakClaim(fs, dir, name, witness)
           store.tryClaim(fs, dir, name)
         }
+      }
       if (!recovered) conflict()
     }
     try {
@@ -763,7 +771,11 @@ final class GraftTable private (
         fs.delete(tmp, false)
         conflict()
       }
-      if (!fs.rename(tmp, dst)) {
+      // publish through the store: atomic no-overwrite (hard link on
+      // file:, HDFS-contract rename elsewhere) — even if a dual-holder
+      // window opened despite the witness-scoped break, the second
+      // publisher FAILS here instead of replacing the first's commit
+      if (!store.publish(fs, tmp, dst)) {
         fs.delete(tmp, false)
         conflict()
       }
@@ -797,7 +809,7 @@ final class GraftTable private (
       }
     } else {
       val df = readDataFiles(files, snap.schemaJson)
-      DeletionVectors.filterDeleted(df, spark, loadDvs(snap.dvFor, files))
+      DeletionVectors.filterDeleted(df, spark, loadDvs(snap.dvFor, files), qualifiedRootUris)
     }
   }
 
@@ -846,6 +858,17 @@ final class GraftTable private (
     * for scanned files load — O(scanned DVs), never O(table)). Used by
     * the plan-level apply ([[DeletionVectors.filterDeleted]]); the native
     * relation loads lazily on executors instead. */
+  /** The table root as qualified URI strings — the prefix
+    * `_metadata.file_path` carries, so [[DeletionVectors.filterDeleted]]
+    * can relativize scanned paths back to LOG names. BOTH authority
+    * renderings, because Hadoop prints a null authority as `file:/p` and
+    * an empty one as `file:///p` and the listing that fed the scan may
+    * have produced either. */
+  private[tables] lazy val qualifiedRootUris: Seq[String] = {
+    val qp = fs.makeQualified(new Path(path))
+    Seq(qp.toString, qp.toUri.toString).distinct
+  }
+
   private[tables] def loadDvs(bindings: Map[String, String],
       files: Seq[String]): Map[String, Array[Long]] =
     if (bindings.isEmpty) Map.empty
@@ -1270,7 +1293,7 @@ final class GraftTable private (
         else {
           val df = readDataFiles(names, Some(c.schemaJson))
           val dvMap = names.flatMap(f => dvOf(f).map(f -> _)).toMap
-          Some(DeletionVectors.filterDeleted(df, spark, loadDvs(dvMap, names)))
+          Some(DeletionVectors.filterDeleted(df, spark, loadDvs(dvMap, names), qualifiedRootUris))
         }
       lazy val preDvs: Map[String, String] =
         if (anyDvs) snapshot(c.version - 1).dvFor else Map.empty
@@ -1580,7 +1603,7 @@ final class GraftTable private (
       if (files.isEmpty) None
       else Some(DeletionVectors.filterDeleted(
         readDataFiles(files, snap0.schemaJson),
-        spark, loadDvs(snap0.dvFor, files)))
+        spark, loadDvs(snap0.dvFor, files), qualifiedRootUris))
     val (oldFiles, current, touchedBuckets, keyAtoms) =
       bucketSpec.filter(_.keys == keyCols) match {
         case Some(sp) =>
@@ -1882,7 +1905,7 @@ final class GraftTable private (
       }
     val srcRaw = DeletionVectors.filterDeleted(
       readDataFiles(affected, snap.schemaJson),
-      spark, loadDvs(snap.dvFor, affected))
+      spark, loadDvs(snap.dvFor, affected), qualifiedRootUris)
     // CDF consumes the source twice (remaining + deleted rows)
     val src = if (effectiveSettings.changeDataFeed) graft.ext.Parallelism.materialize(srcRaw)(effectiveSettings) else srcRaw
     // SQL DELETE semantics: remove rows where the predicate is TRUE; rows
@@ -1932,7 +1955,7 @@ final class GraftTable private (
     val raw = readDataFiles(affected, snap.schemaJson)
     assignments.foreach(_.keys.foreach(name =>
       require(raw.columns.contains(name), s"unknown column '$name' in update")))
-    val src = DeletionVectors.filterDeleted(raw, spark, loadDvs(snap.dvFor, affected))
+    val src = DeletionVectors.filterDeleted(raw, spark, loadDvs(snap.dvFor, affected), qualifiedRootUris)
     // metadata columns must bind BEFORE materialization (a checkpointed
     // plan is an RDD scan with no file-source metadata to resolve)
     val matched = src
@@ -2077,7 +2100,7 @@ final class GraftTable private (
     val cond = coalesce(predicate, lit(false))
     val srcRaw = DeletionVectors.filterDeleted(
       readDataFiles(affected, snap.schemaJson),
-      spark, loadDvs(snap.dvFor, affected))
+      spark, loadDvs(snap.dvFor, affected), qualifiedRootUris)
     // CDF consumes the source three times (rewrite + pre/postimage)
     val src = if (effectiveSettings.changeDataFeed) graft.ext.Parallelism.materialize(srcRaw)(effectiveSettings) else srcRaw
     val updated = assignments.foldLeft(src) { case (df, (name, value)) =>
@@ -2263,7 +2286,7 @@ final class GraftTable private (
     val packed =
       if (ColumnMapping.active(stored)) readDataFiles(small, snap.schemaJson)
       else spark.read.schema(stored).parquet(small.map(f => s"$path/$f"): _*)
-    val df = DeletionVectors.filterDeleted(packed, spark, loadDvs(dvNow, small))
+    val df = DeletionVectors.filterDeleted(packed, spark, loadDvs(dvNow, small), qualifiedRootUris)
       .repartition(target)
     val (add, stats) = stage(df)
     Some(nextCommit("compact", dataChange = false, add, small,
@@ -2539,11 +2562,21 @@ object GraftTable {
     * Flat-only file sets (every table that never converted a tree)
     * return the frame untouched — zero plan change. Shared by the batch
     * read path ([[GraftTable.readDataFiles]]) and the streaming source. */
+  /** Ordered hive partition KEY names from one nested live name
+    * (`k1=v1/k2=v2/file`): THE key-extraction convention every read-side
+    * consumer of an adopted tree shares — the native relation and the
+    * batch/streaming dir-column synthesis both derive keys here, so a
+    * change to the convention lands everywhere at once (convert()'s
+    * validation pass keeps its own richer k=v parse for error messages,
+    * but records names these functions re-derive identically). */
+  private[tables] def dirKeyNames(nestedName: String): Seq[String] =
+    nestedName.split('/').dropRight(1).toSeq.map(_.takeWhile(_ != '='))
+
   private[tables] def withDirPartitionColumns(df: DataFrame, files: Seq[String],
       stored: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
     val nested = files.find(_.contains("/")).toSeq
     if (nested.isEmpty) return df
-    val keys = nested.head.split('/').dropRight(1).toSeq.map(_.takeWhile(_ != '='))
+    val keys = dirKeyNames(nested.head)
     keys.zipWithIndex.foldLeft(df) { case (acc, (k, i)) =>
       val dt = stored.flatMap(_.fields.find(_.name == k).map(_.dataType))
         .getOrElse(org.apache.spark.sql.types.StringType)

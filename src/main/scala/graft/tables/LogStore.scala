@@ -55,9 +55,49 @@ trait LogStore {
     * store has no lease support (→ claims are never broken). */
   def claimAgeMs(fs: FileSystem, logDir: Path, name: String): Option[Long] = None
 
-  /** Forcibly clear a claim believed expired. Safe to race: at most one
-    * subsequent [[tryClaim]] wins regardless of how many breakers ran. */
-  def breakClaim(fs: FileSystem, logDir: Path, name: String): Unit = ()
+  /** Opaque identity of the CURRENT claim (the default store's per-winner
+    * token) — read by a breaker BEFORE it measures [[claimAgeMs]] so the
+    * break is scoped to the claim actually observed expired. `None` when
+    * no claim is visible or the store cannot identify claims. */
+  def claimWitness(fs: FileSystem, logDir: Path, name: String): Option[String] = None
+
+  /** Forcibly clear a claim believed expired. `witness` is what the
+    * breaker read via [[claimWitness]] when it observed the expiry: a
+    * store that can compare identities MUST refuse to break a claim whose
+    * identity has since changed — otherwise two contenders that both saw
+    * a crashed writer's stale claim can break EACH OTHER's fresh
+    * re-claims and both end up holding the version. Safe to race: at most
+    * one subsequent [[tryClaim]] wins regardless of how many breakers
+    * ran. */
+  def breakClaim(fs: FileSystem, logDir: Path, name: String,
+      witness: Option[String]): Unit = ()
+
+  /** Atomically publish `tmp` as `dst`, returning false when `dst`
+    * already exists — atomic even against a concurrent publisher. The
+    * last line of defense under the lease protocol: if a dual-holder
+    * window ever opens (two breakers racing a third slow writer), the
+    * second publisher must FAIL, not silently replace the first's commit.
+    * HDFS `rename` already has no-overwrite semantics; POSIX rename
+    * OVERWRITES, so on `file:` schemes the default hard-links (link(2)
+    * fails with EEXIST atomically) and unlinks the temp. */
+  def publish(fs: FileSystem, tmp: Path, dst: Path): Boolean =
+    if (fs.getScheme == "file") {
+      val t = java.nio.file.Paths.get(tmp.toUri.getPath)
+      val d = java.nio.file.Paths.get(dst.toUri.getPath)
+      try {
+        java.nio.file.Files.createLink(d, t)
+        fs.delete(tmp, false)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        // a local-looking mount without hard-link support (some FUSE/NFS):
+        // degrade to the rename path rather than failing every commit —
+        // the claim protocol above still serializes healthy writers
+        case _: UnsupportedOperationException => fs.rename(tmp, dst)
+        case _: java.nio.file.FileSystemException if !fs.exists(dst) =>
+          fs.rename(tmp, dst)
+      }
+    } else fs.rename(tmp, dst)
 
   /** Whether the claim THIS caller won via [[tryClaim]] is still in force
     * (not broken, not usurped). Consulted by the winner immediately before
@@ -98,9 +138,15 @@ class HadoopOExclLogStore extends LogStore {
     try {
       val in = fs.open(marker(logDir, name))
       try {
+        // loop to EOF: a single read() may legally return fewer bytes than
+        // the token holds, and a truncated token would make the rightful
+        // winner's stillHeld false (spurious abort) or leak the marker in
+        // release (version blocked for the whole TTL)
+        val acc = new java.io.ByteArrayOutputStream(64)
         val buf = new Array[Byte](64)
-        val n = in.read(buf)
-        Some(if (n <= 0) "" else new String(buf, 0, n, "UTF-8"))
+        var n = in.read(buf)
+        while (n > 0) { acc.write(buf, 0, n); n = in.read(buf) }
+        Some(new String(acc.toByteArray, "UTF-8"))
       } finally in.close()
     } catch { case _: java.io.IOException => None }
 
@@ -117,8 +163,18 @@ class HadoopOExclLogStore extends LogStore {
       fs.getFileStatus(marker(logDir, name)).getModificationTime)
     catch { case _: java.io.IOException => None }
 
-  override def breakClaim(fs: FileSystem, logDir: Path, name: String): Unit = {
-    fs.delete(marker(logDir, name), false); ()
+  override def claimWitness(fs: FileSystem, logDir: Path, name: String): Option[String] =
+    readToken(fs, logDir, name)
+
+  override def breakClaim(fs: FileSystem, logDir: Path, name: String,
+      witness: Option[String]): Unit = {
+    // break ONLY the claim the breaker observed expired: if the marker now
+    // carries a different token, a faster contender already broke and
+    // re-claimed — deleting ITS fresh marker would mint a second holder.
+    // (A None/None match is a harmless delete of a marker already gone.)
+    val current = readToken(fs, logDir, name)
+    if (current == witness) fs.delete(marker(logDir, name), false)
+    ()
   }
 
   override def stillHeld(fs: FileSystem, logDir: Path, name: String): Boolean =

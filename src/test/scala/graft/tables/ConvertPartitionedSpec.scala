@@ -304,6 +304,56 @@ class ConvertPartitionedSpec extends SparkSpecBase {
     assert(t.read().filter(col("geo") === "eu").count() === (1 to 60).count(_ % 3 == 0))
   }
 
+  test("a DV bound to a flat file never bleeds onto a nested file sharing its basename") {
+    // mixed-layout table where an adopted nested file and a DML-staged
+    // flat file share a BASENAME: DV bindings are keyed by LOG name
+    // (table-relative path), so the flat file's bitmap must drop rows in
+    // the flat file ONLY — on every read surface. Forged log: the engine
+    // UUID-names its own staged files, so the collision can't be driven
+    // through the public DML path, but external tools laying files into an
+    // adopted tree make it reachable.
+    val dir = s"${tmp()}/t"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(root, "region=eu"))
+    def layFile(df: org.apache.spark.sql.DataFrame, to: String): Unit = {
+      val scratch = s"${tmp()}/stage"
+      df.coalesce(1).write.parquet(scratch)
+      val part = fs.listStatus(new org.apache.hadoop.fs.Path(scratch))
+        .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+      assert(fs.rename(part, new org.apache.hadoop.fs.Path(root, to)))
+    }
+    layFile(Seq((1, "n1"), (2, "n2")).toDF("id", "v"), "region=eu/part-A.parquet")
+    layFile(Seq((10, "f1", "us"), (11, "f2", "us")).toDF("id", "v", "region"),
+      "part-A.parquet")
+    // the DV drops ROW 0 of the FLAT file only (id=10)
+    val dvName = DeletionVectors.write(fs, dir, Array(0L))
+    val schema = Seq((0, "", "")).toDF("id", "v", "region").schema.json
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    val c = Commit(1L, "convert", dataChange = true,
+      timestampMs = System.currentTimeMillis(),
+      add = Seq("region=eu/part-A.parquet", "part-A.parquet"), remove = Nil,
+      schemaJson = schema, metrics = Map.empty,
+      dvs = Some(Map("part-A.parquet" -> dvName)))
+    val logDir = new org.apache.hadoop.fs.Path(dir, "_graft_log")
+    fs.mkdirs(logDir)
+    val out = fs.create(new org.apache.hadoop.fs.Path(logDir, f"${1L}%020d.json"), false)
+    try out.write(org.json4s.jackson.Serialization.write(c).getBytes("UTF-8"))
+    finally out.close()
+
+    val t = GraftTable(spark, dir)(GraftSettings.default)
+    // plan-level read: flat row 0 (id=10) dropped, nested rows INTACT
+    assert(t.read().select("id").as[Int].collect().sorted.toSeq === Seq(1, 2, 11))
+    // native relation: same rows, and the nested partition value serves
+    val native = spark.read.format("graft").load(dir)
+    assert(native.select("id").as[Int].collect().sorted.toSeq === Seq(1, 2, 11))
+    assert(native.where(col("region") === "eu")
+      .select("id").as[Int].collect().sorted.toSeq === Seq(1, 2))
+    assert(native.where(col("region") === "us")
+      .select("id").as[Int].collect().sorted.toSeq === Seq(11))
+  }
+
   test("FSCK repair relativizes adopted partition files (no ghost-drop of live files)") {
     val dir = s"${tmp()}/t"
     writeTree(dir)

@@ -320,6 +320,20 @@ class LogCheckpointSpec extends SparkSpecBase {
     assert(t2.read().select("id").as[Int].collect().sorted.toSeq === (1 to 4))
   }
 
+  test("json twin cap 0 disables the twin outright — even for an EMPTY live set") {
+    val root = tmp()
+    val t = GraftTable(spark, s"$root/t")(
+      GraftSettings(logCheckpointInterval = 1, logCheckpointJsonTwinMaxFiles = 0L))
+    t.append(Seq((1, "a")).toDF("id", "v"))
+    // live set goes EMPTY: `size <= 0` would sneak a twin back in here
+    t.delete(col("id") === 1)
+    assert(logFiles(t.path, "\\.checkpoint\\.parquet").nonEmpty,
+      "parquet checkpoints must still write on cadence")
+    assert(logFiles(t.path, "\\.checkpoint\\.json").isEmpty,
+      "cap 0 documents 'no JSON twin ever' — empty live set included")
+    assert(t.read().count() === 0)
+  }
+
   test("superseded checkpoints are pruned to the newest two") {
     val root = tmp()
     val t = GraftTable(spark, s"$root/t")(ckptSettings)

@@ -181,7 +181,7 @@ class LogStoreSpec extends SparkSpecBase {
     // A wins; B (another process) breaks A's lease and re-claims
     assert(a.tryClaim(fs, logDir, "v.json"))
     assert(a.stillHeld(fs, logDir, "v.json"))
-    b.breakClaim(fs, logDir, "v.json")
+    b.breakClaim(fs, logDir, "v.json", b.claimWitness(fs, logDir, "v.json"))
     assert(b.tryClaim(fs, logDir, "v.json"))
     // A's claim is no longer in force (marker carries B's token); B's is
     assert(!a.stillHeld(fs, logDir, "v.json"),
@@ -204,6 +204,59 @@ class LogStoreSpec extends SparkSpecBase {
       assert(e.getMessage.contains("concurrent commit"))
       assert(!t.exists, "an aborted commit must not publish a version file")
     } finally spark.conf.unset(LogStore.ConfKey)
+  }
+
+  test("a break is scoped to the claim it observed: a racing breaker cannot delete a fresh re-claim") {
+    val dir = Files.createTempDirectory("graft-breakrace-").toString
+    val fs = graft.lake.FsUtils.fs(spark, dir)
+    val logDir = new Path(s"$dir/log")
+    fs.mkdirs(logDir)
+    val crashed = new HadoopOExclLogStore
+    val a = new HadoopOExclLogStore
+    val b = new HadoopOExclLogStore
+    // a crashed writer leaves a stale claim; A and B BOTH observe it
+    assert(crashed.tryClaim(fs, logDir, "v.json"))
+    val witnessA = a.claimWitness(fs, logDir, "v.json")
+    val witnessB = b.claimWitness(fs, logDir, "v.json")
+    // A breaks first and re-claims — A is now the rightful holder
+    a.breakClaim(fs, logDir, "v.json", witnessA)
+    assert(a.tryClaim(fs, logDir, "v.json"))
+    assert(a.stillHeld(fs, logDir, "v.json"))
+    // B's late break carries the CRASHED claim's witness: it must refuse
+    // to delete A's fresh marker (else two holders → lost commit)
+    b.breakClaim(fs, logDir, "v.json", witnessB)
+    assert(!b.tryClaim(fs, logDir, "v.json"),
+      "a late breaker deleted a fresh re-claim and became a second holder")
+    assert(a.stillHeld(fs, logDir, "v.json"),
+      "the rightful holder lost its claim to a stale-witness break")
+    a.release(fs, logDir, "v.json")
+  }
+
+  test("publish is atomic no-overwrite: the second publisher of a version fails, the first's commit survives") {
+    val dir = Files.createTempDirectory("graft-publish-").toString
+    val fs = graft.lake.FsUtils.fs(spark, dir)
+    val logDir = new Path(s"$dir/log")
+    fs.mkdirs(logDir)
+    val store = new HadoopOExclLogStore
+    def writeTmp(name: String, content: String): Path = {
+      val p = new Path(logDir, name)
+      val out = fs.create(p, false)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+      p
+    }
+    val dst = new Path(logDir, "00000000000000000002.json")
+    val first = writeTmp(".2.a.tmp", "first-commit")
+    val second = writeTmp(".2.b.tmp", "second-commit")
+    assert(store.publish(fs, first, dst))
+    // even on a local fs (where POSIX rename would silently overwrite),
+    // the second publish must FAIL and leave the first's bytes intact
+    assert(!store.publish(fs, second, dst),
+      "second publish of the same version must fail, not overwrite")
+    val in = fs.open(dst)
+    val buf = new Array[Byte](64)
+    val n = in.read(buf); in.close()
+    assert(new String(buf, 0, n, "UTF-8") === "first-commit")
+    assert(!fs.exists(first), "publish must consume the temp file")
   }
 
   test("claim is released BEFORE the checkpoint write (FSCK can never clear a live writer mid-checkpoint)") {
