@@ -138,15 +138,8 @@ private[tables] object DeletionVectors {
       .toSeq.toDF("__dv_file", "__dv_pos")
     // `_metadata.file_path` is the URI rendering of the scanned file;
     // DV-bearing names are engine-generated (URL-safe ASCII), so the
-    // relative slice compares exactly. Fall back to the basename if no
-    // prefix matches (pre-fix behavior; flat tables are unambiguous).
-    val rel = qualifiedRoots.map(_.stripSuffix("/") + "/")
-      .foldLeft(col("_metadata.file_name")) { (acc, prefix) =>
-        when(col("_metadata.file_path").startsWith(prefix),
-          col("_metadata.file_path").substr(lit(prefix.length + 1), lit(Int.MaxValue)))
-          .otherwise(acc)
-      }
-    df.withColumn("__dv_f", rel)
+    // relative slice compares exactly ([[GraftTable.relNameColumn]]).
+    df.withColumn("__dv_f", GraftTable.relNameColumn(qualifiedRoots))
       .withColumn("__dv_i", col("_metadata.row_index"))
       .join(dead, col("__dv_f") === col("__dv_file") && col("__dv_i") === col("__dv_pos"),
         "left_anti")

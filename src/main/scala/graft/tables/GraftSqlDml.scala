@@ -173,13 +173,20 @@ object GraftDml {
     * found by evaluating the ANALYZED plan itself (subqueries included)
     * with the scan's file name attached per row. The scan self-prunes:
     * Catalyst pushes the condition's plain conjuncts down to the graft
-    * file index, so stats/bucket skipping still applies before any I/O.
-    * Driver memory is bounded by the table's FILE count (metadata plane —
-    * the same bound Delta's merge/DML touched-file discovery carries). */
+    * file index, so stats/bucket skipping still applies before any I/O —
+    * which is why `cond` must be the RAW condition (a `coalesce(c,
+    * false)` wrapper is one opaque conjunct the pruner can't split, and
+    * `.filter` already treats NULL as false). Names are the files' LOG
+    * names (table-relative paths, like everything keyed off `snap.live`):
+    * converted trees' live names are nested `k=v/...` paths that a
+    * basename would never match — restrictTo would keep zero files and
+    * the DML would silently no-op. Driver memory is bounded by the
+    * table's FILE count (metadata plane — the same bound Delta's
+    * merge/DML touched-file discovery carries). */
   private def affectedFiles(spark: SparkSession, plan: LogicalPlan,
-      cond: Column): Seq[String] =
+      cond: Column, table: GraftTable): Seq[String] =
     PlanBridge.ofRows(spark, plan)
-      .withColumn("__graft_f", col("_metadata.file_name"))
+      .withColumn("__graft_f", GraftTable.relNameColumn(table.qualifiedRootUris))
       .filter(cond)
       .select("__graft_f").distinct()
       .collect().map(_.getString(0)).toSeq
@@ -192,26 +199,30 @@ object GraftDml {
       target: LogicalPlan, condition: Expression): Unit = {
     val table = index.table
     val snap = index.pinnedSnapshot
-    val cond = coalesce(ColumnBridge.column(condition), lit(false))
-    val affected = affectedFiles(spark, target, cond)
+    val condRaw = ColumnBridge.column(condition)
+    val cond = coalesce(condRaw, lit(false))
+    val affected = affectedFiles(spark, target, condRaw, table)
     if (affected.isEmpty) return
-    val scoped0 = PlanBridge.ofRows(spark, scopedTo(target, index, affected.toSet))
-    // CDF consumes the scoped scan twice (remaining + deleted rows);
-    // barrier mode per settings, like every multi-consumer frame
-    val scoped =
-      if (table.effectiveSettings.changeDataFeed)
-        graft.ext.Parallelism.materialize(scoped0)(table.effectiveSettings)
-      else scoped0
-    val remaining = scoped.filter(!cond)
-    val changeFiles =
-      if (table.effectiveSettings.changeDataFeed)
-        Some(table.stageChangeRows(table.tagged(scoped.filter(cond), "delete")))
-      else None
-    table.replaceWith("delete", snap.version, affected, remaining,
-      Map.empty, atoms = ExpressionAtoms.conjuncts(condition),
-      changes = changeFiles)
-    // the command's barrier is dead once the commit landed
-    if (table.effectiveSettings.changeDataFeed) graft.ext.Parallelism.release(scoped)
+    // scoped barrier lifecycle: the CDF materialization is freed on exit,
+    // NORMAL OR EXCEPTIONAL — a conflict thrown by replaceWith must not
+    // pin the scoped scan's blocks for the session's lifetime
+    graft.ext.Parallelism.scoped {
+      val scoped0 = PlanBridge.ofRows(spark, scopedTo(target, index, affected.toSet))
+      // CDF consumes the scoped scan twice (remaining + deleted rows);
+      // barrier mode per settings, like every multi-consumer frame
+      val scoped =
+        if (table.effectiveSettings.changeDataFeed)
+          graft.ext.Parallelism.materialize(scoped0)(table.effectiveSettings)
+        else scoped0
+      val remaining = scoped.filter(!cond)
+      val changeFiles =
+        if (table.effectiveSettings.changeDataFeed)
+          Some(table.stageChangeRows(table.tagged(scoped.filter(cond), "delete")))
+        else None
+      table.replaceWith("delete", snap.version, affected, remaining,
+        Map.empty, atoms = ExpressionAtoms.conjuncts(condition),
+        changes = changeFiles)
+    }
   }
 
   /** UPDATE with subqueries in the condition or assignment values — the
@@ -230,46 +241,47 @@ object GraftDml {
     // rediscover snap.live. Mirrors the keys-empty branch of MERGE.
     val affected =
       if (condition.isEmpty) snap.live
-      else affectedFiles(spark, target, cond)
+      else affectedFiles(spark, target, ColumnBridge.column(condition.get), table)
     if (affected.isEmpty) return
-    val scoped0 = PlanBridge.ofRows(spark, scopedTo(target, index, affected.toSet))
-    val scoped =
-      if (table.effectiveSettings.changeDataFeed)
-        graft.ext.Parallelism.materialize(scoped0)(table.effectiveSettings)
-      else scoped0
-    val targetCols = target.output
-    def projected(rows: DataFrame, applyAssigns: Boolean): DataFrame =
-      rows.select(targetCols.map { a =>
+    // scoped barrier lifecycle: freed on exit, normal or exceptional
+    graft.ext.Parallelism.scoped {
+      val scoped0 = PlanBridge.ofRows(spark, scopedTo(target, index, affected.toSet))
+      val scoped =
+        if (table.effectiveSettings.changeDataFeed)
+          graft.ext.Parallelism.materialize(scoped0)(table.effectiveSettings)
+        else scoped0
+      val targetCols = target.output
+      def projected(rows: DataFrame, applyAssigns: Boolean): DataFrame =
+        rows.select(targetCols.map { a =>
+          assigns.get(a.name) match {
+            case Some(v) if applyAssigns => v.cast(a.dataType).as(a.name)
+            case _ => ColumnBridge.column(a).as(a.name)
+          }
+        }: _*)
+      val updated = scoped.select(targetCols.map { a =>
         assigns.get(a.name) match {
-          case Some(v) if applyAssigns => v.cast(a.dataType).as(a.name)
-          case _ => ColumnBridge.column(a).as(a.name)
+          // per-row gate, like updateImpl: scoped files hold non-matching
+          // rows too — those carry through unchanged
+          case Some(v) =>
+            when(cond, v.cast(a.dataType))
+              .otherwise(ColumnBridge.column(a)).as(a.name)
+          case None => ColumnBridge.column(a).as(a.name)
         }
       }: _*)
-    val updated = scoped.select(targetCols.map { a =>
-      assigns.get(a.name) match {
-        // per-row gate, like updateImpl: scoped files hold non-matching
-        // rows too — those carry through unchanged
-        case Some(v) =>
-          when(cond, v.cast(a.dataType))
-            .otherwise(ColumnBridge.column(a)).as(a.name)
-        case None => ColumnBridge.column(a).as(a.name)
-      }
-    }: _*)
-    val changeFiles =
-      if (table.effectiveSettings.changeDataFeed) {
-        val matched = scoped.filter(cond)
-        Some(table.stageChangeRows(
-          table.tagged(projected(matched, applyAssigns = false), "update_preimage")
-            .unionByName(
-              table.tagged(projected(matched, applyAssigns = true), "update_postimage"),
-              allowMissingColumns = true)))
-      } else None
-    table.replaceWith("update", snap.version, affected, updated,
-      Map.empty,
-      atoms = condition.map(ExpressionAtoms.conjuncts).getOrElse(Seq(PredOpaque)),
-      changes = changeFiles)
-    // the command's barrier is dead once the commit landed
-    if (table.effectiveSettings.changeDataFeed) graft.ext.Parallelism.release(scoped)
+      val changeFiles =
+        if (table.effectiveSettings.changeDataFeed) {
+          val matched = scoped.filter(cond)
+          Some(table.stageChangeRows(
+            table.tagged(projected(matched, applyAssigns = false), "update_preimage")
+              .unionByName(
+                table.tagged(projected(matched, applyAssigns = true), "update_postimage"),
+                allowMissingColumns = true)))
+        } else None
+      table.replaceWith("update", snap.version, affected, updated,
+        Map.empty,
+        atoms = condition.map(ExpressionAtoms.conjuncts).getOrElse(Seq(PredOpaque)),
+        changes = changeFiles)
+    }
   }
 }
 
@@ -317,7 +329,9 @@ final case class GraftUpdateCommand(index: GraftFileIndex,
       GraftDml.updateFromPlan(spark, index, target, assigns, condition)
     } else {
       val assigns = GraftDml.effectiveAssigns(assignments, "UPDATE",
-        base = name => col(name),
+        // backtick-quoted: a column literally named `a.b` must not parse
+        // as a struct-field reference
+        base = name => col("`" + name.replace("`", "``") + "`"),
         valueOf = e => GraftDml.byName(e, "UPDATE"))
       val cond = condition.map(GraftDml.byName(_, "UPDATE")).getOrElse(lit(true))
       val atoms = condition.map(ExpressionAtoms.conjuncts).getOrElse(Seq(PredOpaque))
@@ -443,178 +457,180 @@ final case class GraftMergeCommand(merge: MergeIntoTable,
     // real cluster sets `barrier_mode=persist` to survive executor loss
     // mid-merge — same knob, same trade as every ext/ operator.
     implicit val mergeSettings: graft.conf.GraftSettings = table.effectiveSettings
-    val sourceDf = {
-      val s0 = PlanBridge.ofRows(spark, merge.sourceTable)
-      if (keys.isEmpty) s0
-      else if (mergeSettings.barrierMode == "persist" &&
-          merge.sourceTable.exists(_.expressions.exists(!_.deterministic)))
-        // persist's LINEAGE is the hazard here: an executor loss would
-        // re-evaluate a nondeterministic source to different rows, with
-        // keys possibly outside the aggregated pruning bound — exactly the
-        // corruption materialization exists to prevent. Pin blocks with no
-        // lineage instead (fails loudly on executor loss, never silently
-        // merges the wrong rows); deterministic sources recompute
-        // identically and keep the lineage-backed persist.
-        graft.ext.Parallelism.checkpointTracked(s0)
-      else graft.ext.Parallelism.materialize(s0)
-    }
-    val (affected: Seq[String], pruneAtoms: Seq[PredAtom]) =
-      if (keys.isEmpty) (snap.live, Seq(PredOpaque))
-      else {
-        // ONE aggregate over the source: per-key min/max. Null min ⇔ the
-        // key is all-null/empty — no target row can match it (EqualTo),
-        // so it contributes nothing; if EVERY key is null-ranged, no file
-        // holds matches at all and only inserts can apply.
-        val aggs = keys.zipWithIndex.flatMap { case ((_, s), i) =>
-          val c = ColumnBridge.column(s)
-          Seq(min(c).as(s"__mn$i"), max(c).as(s"__mx$i"))
+    // scoped barrier lifecycle: source + join materializations are freed
+    // on exit, NORMAL OR EXCEPTIONAL — the cardinality check or a commit
+    // conflict throwing must not pin a table-sized join's blocks for the
+    // session's lifetime (each retried merge would leak another copy)
+    graft.ext.Parallelism.scoped {
+      val sourceDf = {
+        val s0 = PlanBridge.ofRows(spark, merge.sourceTable)
+        if (keys.isEmpty) s0
+        else if (mergeSettings.barrierMode == "persist" &&
+            merge.sourceTable.exists(_.expressions.exists(!_.deterministic)))
+          // persist's LINEAGE is the hazard here: an executor loss would
+          // re-evaluate a nondeterministic source to different rows, with
+          // keys possibly outside the aggregated pruning bound — exactly the
+          // corruption materialization exists to prevent. Pin blocks with no
+          // lineage instead (fails loudly on executor loss, never silently
+          // merges the wrong rows); deterministic sources recompute
+          // identically and keep the lineage-backed persist.
+          graft.ext.Parallelism.checkpointTracked(s0)
+        else graft.ext.Parallelism.materialize(s0)
+      }
+      val (affected: Seq[String], pruneAtoms: Seq[PredAtom]) =
+        if (keys.isEmpty) (snap.live, Seq(PredOpaque))
+        else {
+          // ONE aggregate over the source: per-key min/max. Null min ⇔ the
+          // key is all-null/empty — no target row can match it (EqualTo),
+          // so it contributes nothing; if EVERY key is null-ranged, no file
+          // holds matches at all and only inserts can apply.
+          val aggs = keys.zipWithIndex.flatMap { case ((_, s), i) =>
+            val c = ColumnBridge.column(s)
+            Seq(min(c).as(s"__mn$i"), max(c).as(s"__mx$i"))
+          }
+          val row = sourceDf.agg(aggs.head, aggs.tail: _*).head()
+          val atoms = keys.zipWithIndex.flatMap { case ((t, _), i) =>
+            (row.get(2 * i), row.get(2 * i + 1)) match {
+              case (mn, mx) if mn != null && mx != null =>
+                Seq(PredCmp(">=", t.name, mn), PredCmp("<=", t.name, mx))
+              case _ => Seq.empty
+            }
+          }
+          val allNullKeys = keys.nonEmpty && atoms.isEmpty
+          val files =
+            if (allNullKeys) Seq.empty[String]
+            else table.pruneLive(snap, atoms)
+          (files, if (atoms.isEmpty) Seq(PredOpaque) else atoms)
         }
-        val row = sourceDf.agg(aggs.head, aggs.tail: _*).head()
-        val atoms = keys.zipWithIndex.flatMap { case ((t, _), i) =>
-          (row.get(2 * i), row.get(2 * i + 1)) match {
-            case (mn, mx) if mn != null && mx != null =>
-              Seq(PredCmp(">=", t.name, mn), PredCmp("<=", t.name, mx))
-            case _ => Seq.empty
+      val scopedPlan =
+        if (affected.size == snap.live.size) merge.targetTable
+        else GraftDml.scopedTo(merge.targetTable, index, affected.toSet)
+
+      val target = PlanBridge.ofRows(spark, scopedPlan)
+        .withColumn(TId, monotonically_increasing_id())
+        .withColumn(TMark, lit(true))
+      val source = sourceDf.withColumn(SMark, lit(true))
+      // consumed once per WHEN clause + leftovers — barrierMode-switched
+      val joined = graft.ext.Parallelism.materialize(target
+        .join(source, ColumnBridge.column(merge.mergeCondition), "full_outer"))
+
+      val matched = joined.filter(col(TMark) && col(SMark))
+      val sourceOnly = joined.filter(col(SMark) && col(TMark).isNull)
+      val targetOnly = joined.filter(col(TMark) && col(SMark).isNull)
+
+      // ANSI cardinality: with matched actions, a target row may match at
+      // most one source row — a silent fan-out would apply one row's update
+      // and drop the rest nondeterministically
+      if (merge.matchedActions.nonEmpty &&
+        matched.groupBy(TId).count().filter(col("count") > 1).limit(1).count() > 0)
+        throw new IllegalStateException(
+          "MERGE: a target row matched multiple source rows — deduplicate the " +
+            "source (e.g. Dedup.latestPerKey) or tighten the ON condition")
+
+      def gate(c: Option[Expression]): Column =
+        c.map(e => coalesce(ColumnBridge.column(e), lit(false))).getOrElse(lit(true))
+      def notPrior(prior: Seq[Option[Expression]]): Column =
+        prior.foldLeft(lit(true))((acc, p) => acc && !gate(p))
+
+      /** Project a clause's output in the (possibly evolved) TARGET schema:
+        * assigned columns take their expression, the rest keep the target
+        * value (updates) or NULL (inserts). Evolved columns read the SOURCE
+        * side for STAR clauses (NULL on target-only rows by join
+        * construction) and NULL for explicit-list clauses — Delta's
+        * per-action evolution values. */
+      def projected(rows: DataFrame, assigns: Seq[Assignment],
+          forInsert: Boolean, evolveFromSource: Boolean): DataFrame = {
+        // nested field keys (UPDATE SET s.a = x) fold withField over the
+        // target's current struct; INSERT keys must stay top-level (there
+        // is no current value to patch — Delta refuses the same way)
+        val byKey: Map[String, Column] = GraftDml.effectiveAssigns(assigns, "MERGE",
+          base = name => ColumnBridge.column(targetCols.find(_.name == name).get),
+          valueOf = ColumnBridge.column,
+          allowNested = !forInsert)
+        rows.select(targetCols.map { a =>
+          byKey.get(a.name) match {
+            case Some(v) => v.cast(a.dataType).as(a.name)
+            case None if forInsert => lit(null).cast(a.dataType).as(a.name)
+            case None => ColumnBridge.column(a).as(a.name)
+          }
+        } ++ evolved.map(a =>
+          (if (evolveFromSource) ColumnBridge.column(a)
+           else lit(null).cast(a.dataType)).as(a.name)): _*)
+      }
+
+      /** Carried-through target rows, in the evolved schema (new columns
+        * NULL — the row is unchanged, Delta's evolution contract). The
+        * `dropDuplicates(TId)` is load-bearing for INSERT-ONLY merges:
+        * with no matched actions the ANSI cardinality check is skipped
+        * (Delta permits multiple matches there), so a target row matching
+        * N source rows appears N times in the join — it must still be
+        * written back exactly once. */
+      def carried(rows: DataFrame): DataFrame =
+        rows.dropDuplicates(TId).select(
+          targetCols.map(a => ColumnBridge.column(a).as(a.name)) ++
+            evolved.map(a => lit(null).cast(a.dataType).as(a.name)): _*)
+
+      // CDF (Delta merge parity): per claimed action — update pre/postimage
+      // pairs, insert rows, delete rows; carried-through rows record nothing
+      val cdf = table.effectiveSettings.changeDataFeed
+      val changePieces = scala.collection.mutable.ListBuffer.empty[DataFrame]
+      def recordChange(df: DataFrame, changeType: String): Unit =
+        if (cdf) changePieces += table.tagged(df, changeType)
+
+      def chain(rows: DataFrame, actions: Seq[MergeAction],
+          keepUnclaimed: Boolean, forInsert: Boolean,
+          starIdx: Set[Int]): Seq[DataFrame] = {
+        var prior = Seq.empty[Option[Expression]]
+        val outs = actions.zipWithIndex.flatMap { case (act, i) =>
+          val mine = rows.filter(gate(act.condition) && notPrior(prior))
+          prior :+= act.condition
+          act match {
+            case UpdateAction(_, assigns, _) =>
+              val out = projected(mine, assigns, forInsert = false,
+                evolveFromSource = starIdx(i))
+              recordChange(carried(mine), "update_preimage")
+              recordChange(out, "update_postimage")
+              Some(out)
+            case InsertAction(_, assigns) =>
+              val out = projected(mine, assigns, forInsert = forInsert,
+                evolveFromSource = starIdx(i))
+              recordChange(out, "insert")
+              Some(out)
+            case _: DeleteAction =>
+              recordChange(carried(mine), "delete")
+              None // contributes nothing to the new state
+            case other => throw new UnsupportedOperationException(
+              s"unsupported MERGE action: $other")
           }
         }
-        val allNullKeys = keys.nonEmpty && atoms.isEmpty
-        val files =
-          if (allNullKeys) Seq.empty[String]
-          else table.pruneLive(snap, atoms)
-        (files, if (atoms.isEmpty) Seq(PredOpaque) else atoms)
+        val leftover =
+          if (keepUnclaimed) Seq(carried(rows.filter(notPrior(prior))))
+          else Seq.empty
+        outs ++ leftover
       }
-    val scopedPlan =
-      if (affected.size == snap.live.size) merge.targetTable
-      else GraftDml.scopedTo(merge.targetTable, index, affected.toSet)
 
-    val target = PlanBridge.ofRows(spark, scopedPlan)
-      .withColumn(TId, monotonically_increasing_id())
-      .withColumn(TMark, lit(true))
-    val source = sourceDf.withColumn(SMark, lit(true))
-    // consumed once per WHEN clause + leftovers — barrierMode-switched
-    val joined = graft.ext.Parallelism.materialize(target
-      .join(source, ColumnBridge.column(merge.mergeCondition), "full_outer"))
+      val pieces =
+        chain(matched, merge.matchedActions, keepUnclaimed = true,
+          forInsert = false, starIdx = shape.starMatched) ++
+          chain(sourceOnly, merge.notMatchedActions, keepUnclaimed = false,
+            forInsert = true, starIdx = shape.starNotMatched) ++
+          chain(targetOnly, merge.notMatchedBySourceActions, keepUnclaimed = true,
+            forInsert = false, starIdx = Set.empty) // no source side to evolve from
+      val merged = pieces.reduce(_.unionByName(_))
+      val changeFiles =
+        if (!cdf) None
+        else if (changePieces.isEmpty) Some(Seq.empty[String]) // recorded, no rows
+        else Some(table.stageChangeRows(
+          changePieces.reduce(_.unionByName(_, allowMissingColumns = true))))
 
-    val matched = joined.filter(col(TMark) && col(SMark))
-    val sourceOnly = joined.filter(col(SMark) && col(TMark).isNull)
-    val targetOnly = joined.filter(col(TMark) && col(SMark).isNull)
-
-    // ANSI cardinality: with matched actions, a target row may match at
-    // most one source row — a silent fan-out would apply one row's update
-    // and drop the rest nondeterministically
-    if (merge.matchedActions.nonEmpty &&
-      matched.groupBy(TId).count().filter(col("count") > 1).limit(1).count() > 0)
-      throw new IllegalStateException(
-        "MERGE: a target row matched multiple source rows — deduplicate the " +
-          "source (e.g. Dedup.latestPerKey) or tighten the ON condition")
-
-    def gate(c: Option[Expression]): Column =
-      c.map(e => coalesce(ColumnBridge.column(e), lit(false))).getOrElse(lit(true))
-    def notPrior(prior: Seq[Option[Expression]]): Column =
-      prior.foldLeft(lit(true))((acc, p) => acc && !gate(p))
-
-    /** Project a clause's output in the (possibly evolved) TARGET schema:
-      * assigned columns take their expression, the rest keep the target
-      * value (updates) or NULL (inserts). Evolved columns read the SOURCE
-      * side for STAR clauses (NULL on target-only rows by join
-      * construction) and NULL for explicit-list clauses — Delta's
-      * per-action evolution values. */
-    def projected(rows: DataFrame, assigns: Seq[Assignment],
-        forInsert: Boolean, evolveFromSource: Boolean): DataFrame = {
-      // nested field keys (UPDATE SET s.a = x) fold withField over the
-      // target's current struct; INSERT keys must stay top-level (there
-      // is no current value to patch — Delta refuses the same way)
-      val byKey: Map[String, Column] = GraftDml.effectiveAssigns(assigns, "MERGE",
-        base = name => ColumnBridge.column(targetCols.find(_.name == name).get),
-        valueOf = ColumnBridge.column,
-        allowNested = !forInsert)
-      rows.select(targetCols.map { a =>
-        byKey.get(a.name) match {
-          case Some(v) => v.cast(a.dataType).as(a.name)
-          case None if forInsert => lit(null).cast(a.dataType).as(a.name)
-          case None => ColumnBridge.column(a).as(a.name)
-        }
-      } ++ evolved.map(a =>
-        (if (evolveFromSource) ColumnBridge.column(a)
-         else lit(null).cast(a.dataType)).as(a.name)): _*)
-    }
-
-    /** Carried-through target rows, in the evolved schema (new columns
-      * NULL — the row is unchanged, Delta's evolution contract). The
-      * `dropDuplicates(TId)` is load-bearing for INSERT-ONLY merges:
-      * with no matched actions the ANSI cardinality check is skipped
-      * (Delta permits multiple matches there), so a target row matching
-      * N source rows appears N times in the join — it must still be
-      * written back exactly once. */
-    def carried(rows: DataFrame): DataFrame =
-      rows.dropDuplicates(TId).select(
-        targetCols.map(a => ColumnBridge.column(a).as(a.name)) ++
-          evolved.map(a => lit(null).cast(a.dataType).as(a.name)): _*)
-
-    // CDF (Delta merge parity): per claimed action — update pre/postimage
-    // pairs, insert rows, delete rows; carried-through rows record nothing
-    val cdf = table.effectiveSettings.changeDataFeed
-    val changePieces = scala.collection.mutable.ListBuffer.empty[DataFrame]
-    def recordChange(df: DataFrame, changeType: String): Unit =
-      if (cdf) changePieces += table.tagged(df, changeType)
-
-    def chain(rows: DataFrame, actions: Seq[MergeAction],
-        keepUnclaimed: Boolean, forInsert: Boolean,
-        starIdx: Set[Int]): Seq[DataFrame] = {
-      var prior = Seq.empty[Option[Expression]]
-      val outs = actions.zipWithIndex.flatMap { case (act, i) =>
-        val mine = rows.filter(gate(act.condition) && notPrior(prior))
-        prior :+= act.condition
-        act match {
-          case UpdateAction(_, assigns, _) =>
-            val out = projected(mine, assigns, forInsert = false,
-              evolveFromSource = starIdx(i))
-            recordChange(carried(mine), "update_preimage")
-            recordChange(out, "update_postimage")
-            Some(out)
-          case InsertAction(_, assigns) =>
-            val out = projected(mine, assigns, forInsert = forInsert,
-              evolveFromSource = starIdx(i))
-            recordChange(out, "insert")
-            Some(out)
-          case _: DeleteAction =>
-            recordChange(carried(mine), "delete")
-            None // contributes nothing to the new state
-          case other => throw new UnsupportedOperationException(
-            s"unsupported MERGE action: $other")
-        }
-      }
-      val leftover =
-        if (keepUnclaimed) Seq(carried(rows.filter(notPrior(prior))))
-        else Seq.empty
-      outs ++ leftover
-    }
-
-    val pieces =
-      chain(matched, merge.matchedActions, keepUnclaimed = true,
-        forInsert = false, starIdx = shape.starMatched) ++
-        chain(sourceOnly, merge.notMatchedActions, keepUnclaimed = false,
-          forInsert = true, starIdx = shape.starNotMatched) ++
-        chain(targetOnly, merge.notMatchedBySourceActions, keepUnclaimed = true,
-          forInsert = false, starIdx = Set.empty) // no source side to evolve from
-    val merged = pieces.reduce(_.unionByName(_))
-    val changeFiles =
-      if (!cdf) None
-      else if (changePieces.isEmpty) Some(Seq.empty[String]) // recorded, no rows
-      else Some(table.stageChangeRows(
-        changePieces.reduce(_.unionByName(_, allowMissingColumns = true))))
-
-    table.replaceWith("merge", snap.version, affected, merged,
-      Map("mergeClauses" -> (merge.matchedActions.size + merge.notMatchedActions.size +
-        merge.notMatchedBySourceActions.size).toString,
-        "numTargetFilesSkipped" -> (snap.live.size - affected.size).toString),
-      atoms = pruneAtoms,
-      changes = changeFiles,
-      evolveSchema = merge.withSchemaEvolution && evolved.nonEmpty)
-    // deterministic barrier cleanup: the command's materialized frames
-    // (source, joined) are dead once the commit landed
-    if (keys.nonEmpty) graft.ext.Parallelism.release(sourceDf)
-    graft.ext.Parallelism.release(joined)
+      table.replaceWith("merge", snap.version, affected, merged,
+        Map("mergeClauses" -> (merge.matchedActions.size + merge.notMatchedActions.size +
+          merge.notMatchedBySourceActions.size).toString,
+          "numTargetFilesSkipped" -> (snap.live.size - affected.size).toString),
+        atoms = pruneAtoms,
+        changes = changeFiles,
+        evolveSchema = merge.withSchemaEvolution && evolved.nonEmpty)
+    } // Parallelism.scoped — frees the source + join barriers
     index.refresh()
     // catalog tables pin their creation-time schema as the data source's
     // userSpecifiedSchema; an evolved log schema must be mirrored into

@@ -103,10 +103,17 @@ private[tables] final class GraftStreamSource(
   require(maxFilesOpt.forall(_ > 0), "maxFilesPerTrigger must be positive")
   require(maxBytesOpt.forall(_ > 0), "maxBytesPerTrigger must be positive")
 
+  /** The table version the schema is pinned at — read FIRST so the
+    * schema below comes from this exact version: a commit landing between
+    * two separate log listings would otherwise evolve the schema past the
+    * pin invisibly (requireUnchangedSchema only checks endV > pin). */
+  private val pinVersion: Long = table.version
+
   /** Stored schema pinned at stream start (tombstones + physical-name
     * metadata) — batches read files under ITS physical names; physical
     * names never change, so every historical file in range matches. */
-  private val storedSchema: StructType = GraftStreamSource.storedSchemaOf(table)
+  private val storedSchema: StructType =
+    GraftStreamSource.storedSchemaOf(table, pinVersion)
   override val schema: StructType =
     ColumnMapping.cleanMetadata(ColumnMapping.logicalSchema(storedSchema))
 
@@ -215,7 +222,7 @@ private[tables] final class GraftStreamSource(
   private def cappedTail(fromV: Long, head: Long,
       maxF: Option[Int], maxB: Option[Long]): GraftOffset = {
     if (maxF.isEmpty && maxB.isEmpty) return GraftOffset(head)
-    val cs = table.commits().filter(c => c.version > fromV && c.version <= head)
+    val cs = table.commitsInRange(fromV, head)
     var w = fromV
     var files = 0
     var bytes = 0L
@@ -270,8 +277,7 @@ private[tables] final class GraftStreamSource(
     * refusal contract (appends-only is the streaming tail's invariant). */
   private def tailFiles(fromV: Long, toV: Long): Seq[String] = {
     table.requireLogSince(fromV, "the streaming tail")
-    val range = table.commits()
-      .filter(c => c.version > fromV && c.version <= toV && c.dataChange)
+    val range = table.commitsInRange(fromV, toV).filter(_.dataChange)
     // a deletion-vector rebind changes rows without moving files — the
     // same violation of the appends-only tail contract as a rewrite
     val rewrites = range.filter(c => c.remove.nonEmpty || c.dvs.exists(_.nonEmpty))
@@ -284,10 +290,10 @@ private[tables] final class GraftStreamSource(
     range.flatMap(_.add)
   }
 
-  /** The table version the schema was pinned at — batches at or below it
-    * are historical and legitimately carry OLDER log schemas (read with
-    * the pinned one, missing columns as NULL — Delta's contract). */
-  private val pinVersion: Long = table.version
+  // pinVersion is declared ABOVE storedSchema (same-version pinning);
+  // batches at or below it are historical and legitimately carry OLDER
+  // log schemas (read with the pinned one, missing columns as NULL —
+  // Delta's contract)
 
   private def shapeOf(dt: DataType): DataType = GraftCdfStreamSource.shapeOf(dt)
 
@@ -384,9 +390,12 @@ private[tables] object GraftStreamSource {
   def schemaOf(table: GraftTable): StructType =
     ColumnMapping.cleanMetadata(ColumnMapping.logicalSchema(storedSchemaOf(table)))
 
-  /** The STORED schema — tombstones + physical metadata included. */
-  def storedSchemaOf(table: GraftTable): StructType = {
-    val sj = table.currentSchemaJson.getOrElse(throw new IllegalStateException(
+  /** The STORED schema — tombstones + physical metadata included. `asOf`
+    * pins it to a specific log version (the sources pass the version they
+    * pinned FIRST, so schema and pin can never straddle a commit). */
+  def storedSchemaOf(table: GraftTable,
+      asOf: Long = Long.MaxValue): StructType = {
+    val sj = table.snapshot(asOf).schemaJson.getOrElse(throw new IllegalStateException(
       s"cannot stream from a table that does not exist yet: ${table.path}"))
     DataType.fromJson(sj).asInstanceOf[StructType]
   }
@@ -428,9 +437,14 @@ private[tables] final class GraftCdfStreamSource(
   require(maxFilesOpt.forall(_ > 0), "maxFilesPerTrigger must be positive")
   require(maxBytesOpt.forall(_ > 0), "maxBytesPerTrigger must be positive")
 
-  private val tableSchema: StructType = GraftStreamSource.schemaOf(table)
-  override val schema: StructType = GraftCdfStreamSource.cdfSchema(tableSchema)
+  // pin FIRST, then derive the schema at that exact version — a commit
+  // landing between two separate listings would otherwise evolve the
+  // schema past the pin invisibly (requireUnchangedSchema only checks
+  // endV > pin)
   private val pinVersion: Long = table.version
+  private val tableSchema: StructType = ColumnMapping.cleanMetadata(
+    ColumnMapping.logicalSchema(GraftStreamSource.storedSchemaOf(table, pinVersion)))
+  override val schema: StructType = GraftCdfStreamSource.cdfSchema(tableSchema)
 
   override def getDefaultReadLimit: ReadLimit = (maxFilesOpt, maxBytesOpt) match {
     case (Some(f), Some(b)) =>
@@ -490,7 +504,7 @@ private[tables] final class GraftCdfStreamSource(
   private def cappedTail(fromV: Long, head: Long,
       maxF: Option[Int], maxB: Option[Long]): GraftOffset = {
     if (maxF.isEmpty && maxB.isEmpty) return GraftOffset(head)
-    val cs = table.commits().filter(c => c.version > fromV && c.version <= head)
+    val cs = table.commitsInRange(fromV, head)
     var w = fromV
     var files = 0
     var bytes = 0L
@@ -568,9 +582,12 @@ private[tables] final class GraftCdfStreamSource(
         import org.apache.spark.sql.functions.{col, lit}
         val changes = table.readChanges(f, e)
         // conform to the pinned CDF schema: historical change files may
-        // lack later columns (null-fill); extras are projected away
+        // lack later columns (null-fill); extras are projected away.
+        // Backtick-quoted lookups — a bare col("a.b") would parse a
+        // column literally named `a.b` as a struct-field reference
         changes.select(schema.fields.map { fld =>
-          if (changes.columns.contains(fld.name)) col(fld.name).cast(fld.dataType)
+          if (changes.columns.contains(fld.name))
+            col("`" + fld.name.replace("`", "``") + "`").cast(fld.dataType)
           else lit(null).cast(fld.dataType).as(fld.name)
         }.toSeq: _*)
     }
@@ -638,9 +655,10 @@ private[tables] final class GraftStreamSink(
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val key = queryKey(data.sparkSession)
     // batch ids are monotonic per query, so only the NEWEST commit
-    // carrying our key matters — O(distance to our last commit), not
-    // O(history), per micro-batch
-    val replayed = table.exists && table.commits().reverseIterator
+    // carrying our key matters — the lazy newest-first iterator stops
+    // parsing at our last commit: O(distance to it), not O(history),
+    // per micro-batch
+    val replayed = table.exists && table.commitsNewestFirst
       .find(_.metrics.get(GraftStreamSink.QueryKey).contains(key))
       .flatMap(_.metrics.get(GraftStreamSink.BatchKey))
       .exists(_.toLong >= batchId)

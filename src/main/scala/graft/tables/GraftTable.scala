@@ -553,6 +553,22 @@ final class GraftTable private (
     * parses only the latest checkpoint plus the commits after it. */
   def commits(): Seq[Commit] = listLog()._1.map(parseCommit)
 
+  /** Commits in `(fromExclusive, toInclusive]`, oldest first — file names
+    * are version-filtered BEFORE any parse, so a per-trigger consumer
+    * (the streaming sources' admission/tail reads) pays O(range) JSON
+    * parses per call, not O(history), even once the log outgrows the
+    * parse cache's bound. */
+  def commitsInRange(fromExclusive: Long, toInclusive: Long): Seq[Commit] =
+    listLog()._1.iterator.filter { p =>
+      val v = versionOf(p); v > fromExclusive && v <= toInclusive
+    }.map(parseCommit).toSeq
+
+  /** Lazily parsed commits, NEWEST first — for consumers that stop at the
+    * first hit (the streaming sink's replay probe): parsing stops the
+    * moment the caller stops pulling. */
+  def commitsNewestFirst: Iterator[Commit] =
+    listLog()._1.reverseIterator.map(parseCommit)
+
   /** Oldest commit version still in the log (None for an empty log).
     * Versions are dense from 1, so a value above 1 means [[vacuumLog]]
     * trimmed the history — the horizon below which per-commit reads
@@ -2571,6 +2587,23 @@ object GraftTable {
     * but records names these functions re-derive identically). */
   private[tables] def dirKeyNames(nestedName: String): Seq[String] =
     nestedName.split('/').dropRight(1).toSeq.map(_.takeWhile(_ != '='))
+
+  /** The scanned file's table-relative LOG name as a column, derived from
+    * `_metadata.file_path` by stripping the qualified root prefix (every
+    * authority rendering in `qualifiedRoots` — see
+    * [[GraftTable.qualifiedRootUris]]); falls back to the basename when
+    * no prefix matches. Anything keyed off `snap.live` MUST match on this,
+    * never on `_metadata.file_name`: converted trees' live names are
+    * nested `k=v/...` relative paths a basename would never equal (or,
+    * worse, would equal for the WRONG file when two partitions repeat a
+    * basename). */
+  private[tables] def relNameColumn(qualifiedRoots: Seq[String]): org.apache.spark.sql.Column =
+    qualifiedRoots.map(_.stripSuffix("/") + "/")
+      .foldLeft(col("_metadata.file_name")) { (acc, prefix) =>
+        when(col("_metadata.file_path").startsWith(prefix),
+          col("_metadata.file_path").substr(lit(prefix.length + 1), lit(Int.MaxValue)))
+          .otherwise(acc)
+      }
 
   private[tables] def withDirPartitionColumns(df: DataFrame, files: Seq[String],
       stored: Option[org.apache.spark.sql.types.StructType]): DataFrame = {

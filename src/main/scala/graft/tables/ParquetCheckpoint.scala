@@ -85,26 +85,36 @@ private[tables] object ParquetCheckpoint {
       .withExtraMetaData(meta)
       .build()
     try {
-      val dvFor = snap.dvFor
-      snap.live.foreach { f =>
-        val g = factory.newGroup()
-        g.append("file", f)
-        snap.stats.get(f).foreach { st =>
-          val sg = g.addGroup("stats")
-          sg.append("rows", st.rows)
-          st.bytes.foreach(b => sg.append("bytes", b))
-          st.cols.foreach { case (name, cs) =>
-            val cg = sg.addGroup("cols")
-            cg.append("name", name)
-            cs.min.foreach(cg.append("min", _))
-            cs.max.foreach(cg.append("max", _))
-            cg.append("nulls", cs.nulls)
+      try {
+        val dvFor = snap.dvFor
+        snap.live.foreach { f =>
+          val g = factory.newGroup()
+          g.append("file", f)
+          snap.stats.get(f).foreach { st =>
+            val sg = g.addGroup("stats")
+            sg.append("rows", st.rows)
+            st.bytes.foreach(b => sg.append("bytes", b))
+            st.cols.foreach { case (name, cs) =>
+              val cg = sg.addGroup("cols")
+              cg.append("name", name)
+              cs.min.foreach(cg.append("min", _))
+              cs.max.foreach(cg.append("max", _))
+              cg.append("nulls", cs.nulls)
+            }
           }
+          dvFor.get(f).foreach(dv => g.append("dv", dv))
+          writer.write(g)
         }
-        dvFor.get(f).foreach(dv => g.append("dv", dv))
-        writer.write(g)
-      }
-    } finally writer.close()
+      } finally writer.close()
+    } catch {
+      // checkpoint writes retry at every cadence hit: a failed attempt
+      // must not orphan its temp file in the log dir forever (no vacuum
+      // path targets foreign .tmp names)
+      case t: Throwable =>
+        try fs.delete(tmp, false)
+        catch { case scala.util.control.NonFatal(_) => () }
+        throw t
+    }
     if (!fs.rename(tmp, new Path(logDir, dest))) fs.delete(tmp, false)
   }
 

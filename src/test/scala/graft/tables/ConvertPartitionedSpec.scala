@@ -304,6 +304,28 @@ class ConvertPartitionedSpec extends SparkSpecBase {
     assert(t.read().filter(col("geo") === "eu").count() === (1 to 60).count(_ % 3 == 0))
   }
 
+  test("subquery DELETE/UPDATE on a converted tree touches the right nested files") {
+    // affectedFiles discovery must return LOG names (nested relative
+    // paths) — a basename would match nothing in snap.live and the DML
+    // would silently no-op while still recording a commit
+    val dir = s"${tmp()}/t"
+    writeTree(dir)
+    val t = GraftTable(spark, dir)(GraftSettings.default)
+    t.convert()
+    spark.sql("DROP TABLE IF EXISTS conv_subq")
+    spark.sql(s"CREATE TABLE conv_subq USING graft LOCATION '${t.path}'")
+    Seq(3, 6, 9).toDF("kill").createOrReplaceTempView("kill_ids")
+    spark.sql("DELETE FROM conv_subq WHERE id IN (SELECT kill FROM kill_ids)")
+    assert(t.read().select("id").as[Int].collect().sorted.toSeq
+      === (1 to 60).filterNot(Set(3, 6, 9)))
+    // partition values still serve on the rewritten (flat-staged) rows
+    assert(t.read().where(col("id") === 12).select("region").as[String].head === "eu")
+    spark.sql("UPDATE conv_subq SET v = 'X' WHERE id IN (SELECT kill + 1 FROM kill_ids)")
+    assert(spark.table("conv_subq").where(col("v") === "X")
+      .select("id").as[Int].collect().sorted.toSeq === Seq(4, 7, 10))
+    spark.sql("DROP TABLE conv_subq")
+  }
+
   test("a DV bound to a flat file never bleeds onto a nested file sharing its basename") {
     // mixed-layout table where an adopted nested file and a DML-staged
     // flat file share a BASENAME: DV bindings are keyed by LOG name
