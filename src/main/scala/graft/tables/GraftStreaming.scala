@@ -44,6 +44,110 @@ private[tables] object GraftOffset {
   }
 }
 
+/** Admission-control plumbing shared by the plain and CDF streaming
+  * sources — ONE implementation of rate-cap parsing, AvailableNow target
+  * pinning, byte-size memoization, and the capped commit-tail walk, so a
+  * fix to the soft/hard cap semantics can never silently apply to one
+  * source and not the other. The only per-source variation is WHICH files
+  * a commit's batch must read ([[admissionFiles]]). */
+private[tables] trait GraftSourceAdmission
+  extends SupportsAdmissionControl with SupportsTriggerAvailableNow {
+
+  protected def table: GraftTable
+  protected def maxFilesOpt: Option[Int]
+  protected def maxBytesOpt: Option[Long]
+
+  /** The files this source must READ to serve commit `c` — its admission
+    * weight. Plain source: the added data files. CDF source: recorded
+    * change files for DML commits, added+removed files for synthesized
+    * appends/overwrites/restores. */
+  protected def admissionFiles(c: Commit): Seq[String]
+
+  override def getDefaultReadLimit: ReadLimit = (maxFilesOpt, maxBytesOpt) match {
+    case (Some(f), Some(b)) =>
+      ReadLimit.compositeLimit(Array(ReadLimit.maxFiles(f), ReadLimit.maxBytes(b)))
+    case (Some(f), None) => ReadLimit.maxFiles(f)
+    case (None, Some(b)) => ReadLimit.maxBytes(b)
+    case _               => ReadLimit.allAvailable()
+  }
+
+  /** (maxFiles, maxBytes) the engine asked for this batch. `Trigger.Once`
+    * passes allAvailable — rate caps are ignored for it, like Delta. An
+    * unrecognized shape falls back to the source's own options. */
+  protected final def capsOf(limit: ReadLimit): (Option[Int], Option[Long]) = limit match {
+    case _: ReadAllAvailable => (None, None)
+    case f: ReadMaxFiles     => (Some(f.maxFiles), None)
+    case b: ReadMaxBytes     => (None, Some(b.maxBytes))
+    case c: CompositeReadLimit =>
+      c.getReadLimits.map(capsOf).reduce((a, b) =>
+        (a._1.orElse(b._1), a._2.orElse(b._2)))
+    case _ => (maxFilesOpt, maxBytesOpt)
+  }
+
+  /** AvailableNow drains everything available AT PREPARE TIME, across as
+    * many capped batches as that takes — the target is pinned here and
+    * `latestOffset` never steps past it. */
+  @volatile protected var availableNowCapV: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCapV = Some(table.version)
+
+  /** Size memo for files whose bytes are NOT in the log: one HEAD per
+    * file, ever. Without the fallback a pre-stats (or DML-change-file)
+    * backlog weighed 0 bytes and maxBytesPerTrigger admitted it all in
+    * one micro-batch. */
+  private val sizeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  protected final def sizeOf(f: String, logged: Option[Long]): Long = logged.getOrElse {
+    val hit = sizeCache.get(f)
+    if (hit != null) return hit.longValue()
+    // A lagging stream's commit may reference files vacuumed since (an
+    // overwrite's removed files, old change files). Weighing is offset
+    // arithmetic, not reading: degrade to 0 bytes (cached) and let the
+    // READ of that batch surface the real retention error, instead of
+    // failing latestOffset for commits whose serving files still exist.
+    val len = try {
+      graft.lake.FsUtils.fs(table.spark, table.path)
+        .getFileStatus(new org.apache.hadoop.fs.Path(table.path, f)).getLen
+    } catch { case _: java.io.FileNotFoundException => 0L }
+    sizeCache.put(f, len)
+    len
+  }
+
+  /** Furthest version `w` in `(fromV, head]` whose dataChange commits fit
+    * the caps — at least one data commit always advances (a commit is the
+    * atomic admission unit; Delta caps the same way), and dataChange=false
+    * commits ride along for free. No data commits at all jumps straight
+    * to `head` (nothing to rate-limit). O(range) log parses per call via
+    * [[GraftTable.commitsInRange]]; bytes are weighed only under a byte
+    * cap (no HEADs otherwise). */
+  protected final def cappedTail(fromV: Long, head: Long,
+      maxF: Option[Int], maxB: Option[Long]): GraftOffset = {
+    if (maxF.isEmpty && maxB.isEmpty) return GraftOffset(head)
+    val cs = table.commitsInRange(fromV, head)
+    var w = fromV
+    var files = 0
+    var bytes = 0L
+    var dataCommits = 0
+    for (c <- cs) {
+      if (!c.dataChange) w = c.version
+      else {
+        val names = admissionFiles(c)
+        val fits = dataCommits == 0 ||
+          (files + names.size <= maxF.getOrElse(Int.MaxValue) &&
+            maxB.forall(bytes < _))
+        if (!fits) return GraftOffset(w)
+        files += names.size
+        if (maxB.isDefined)
+          bytes += names.map(f =>
+            sizeOf(f, c.stats.flatMap(_.get(f)).flatMap(_.bytes))).sum
+        dataCommits += 1
+        w = c.version
+      }
+    }
+    GraftOffset(if (cs.isEmpty) head else w)
+  }
+}
+
 /** `spark.readStream.format("graft")` — tail a [[GraftTable]]'s commit
   * log as a micro-batch stream (Delta's streaming-source semantics):
   *
@@ -91,17 +195,20 @@ private[tables] object GraftOffset {
   * life of the query.
   */
 private[tables] final class GraftStreamSource(
-    table: GraftTable,
+    protected val table: GraftTable,
     options: Map[String, String])(implicit settings: GraftSettings)
-  extends Source with SupportsAdmissionControl with SupportsTriggerAvailableNow {
+  extends Source with GraftSourceAdmission {
 
   private val opts = options.map { case (k, v) => k.toLowerCase -> v }
   private val ignoreChanges = opts.get("ignorechanges").exists(_.toBoolean)
   private val startingVersion = opts.get("startingversion").map(_.toLong)
-  private val maxFilesOpt = opts.get("maxfilespertrigger").map(_.toInt)
-  private val maxBytesOpt = opts.get("maxbytespertrigger").map(_.toLong)
+  protected val maxFilesOpt: Option[Int] = opts.get("maxfilespertrigger").map(_.toInt)
+  protected val maxBytesOpt: Option[Long] = opts.get("maxbytespertrigger").map(_.toLong)
   require(maxFilesOpt.forall(_ > 0), "maxFilesPerTrigger must be positive")
   require(maxBytesOpt.forall(_ > 0), "maxBytesPerTrigger must be positive")
+
+  /** Admission weight: the commit's added data files. */
+  protected def admissionFiles(c: Commit): Seq[String] = c.add
 
   /** The table version the schema is pinned at — read FIRST so the
     * schema below comes from this exact version: a commit landing between
@@ -116,34 +223,6 @@ private[tables] final class GraftStreamSource(
     GraftStreamSource.storedSchemaOf(table, pinVersion)
   override val schema: StructType =
     ColumnMapping.cleanMetadata(ColumnMapping.logicalSchema(storedSchema))
-
-  override def getDefaultReadLimit: ReadLimit = (maxFilesOpt, maxBytesOpt) match {
-    case (Some(f), Some(b)) =>
-      ReadLimit.compositeLimit(Array(ReadLimit.maxFiles(f), ReadLimit.maxBytes(b)))
-    case (Some(f), None) => ReadLimit.maxFiles(f)
-    case (None, Some(b)) => ReadLimit.maxBytes(b)
-    case _               => ReadLimit.allAvailable()
-  }
-
-  /** (maxFiles, maxBytes) the engine asked for this batch. `Trigger.Once`
-    * passes allAvailable — rate caps are ignored for it, like Delta. An
-    * unrecognized shape falls back to the source's own options. */
-  private def capsOf(limit: ReadLimit): (Option[Int], Option[Long]) = limit match {
-    case _: ReadAllAvailable => (None, None)
-    case f: ReadMaxFiles     => (Some(f.maxFiles), None)
-    case b: ReadMaxBytes     => (None, Some(b.maxBytes))
-    case c: CompositeReadLimit =>
-      c.getReadLimits.map(capsOf).reduce((a, b) =>
-        (a._1.orElse(b._1), a._2.orElse(b._2)))
-    case _ => (maxFilesOpt, maxBytesOpt)
-  }
-
-  /** AvailableNow drains everything available AT PREPARE TIME, across as
-    * many capped batches as that takes — the target is pinned here and
-    * [[latestOffset]] never steps past it. */
-  @volatile private var availableNowCapV: Option[Long] = None
-  override def prepareForTriggerAvailableNow(): Unit =
-    availableNowCapV = Some(table.version)
 
   /** The initial snapshot pinned at its version: file list sorted by name
     * (a DETERMINISTIC order, so a restarted capped drain resumes at the
@@ -164,27 +243,6 @@ private[tables] final class GraftStreamSource(
   /** DV bindings of the pinned initial snapshot: the snapshot batch must
     * not deliver rows already deleted at the stream's first offset. */
   private def snapshotDvsAt(v: Long): Map[String, String] = pinnedSnapshot(v)._3
-
-  /** File byte sizes for `maxBytesPerTrigger`: commit-recorded sizes when
-    * the log has them (zero metadata RPCs — the Delta add-file `size`
-    * shape), one cached driver-side HEAD per pre-stats file otherwise. */
-  private val sizeCache =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
-  private def sizeOf(f: String, logged: Option[Long]): Long = logged.getOrElse {
-    val hit = sizeCache.get(f)
-    if (hit != null) return hit.longValue()
-    // A lagging stream's commit may reference files vacuumed since (an
-    // overwrite's removed files, old change files). Weighing is offset
-    // arithmetic, not reading: degrade to 0 bytes (cached) and let the
-    // READ of that batch surface the real retention error, instead of
-    // failing latestOffset for commits whose serving files still exist.
-    val len = try {
-      graft.lake.FsUtils.fs(table.spark, table.path)
-        .getFileStatus(new org.apache.hadoop.fs.Path(table.path, f)).getLen
-    } catch { case _: java.io.FileNotFoundException => 0L }
-    sizeCache.put(f, len)
-    len
-  }
 
   /** Files to admit from the front of `files` under the caps: all of them
     * uncapped; under `maxFiles` at most that many; under `maxBytes` stop
@@ -214,36 +272,7 @@ private[tables] final class GraftStreamSource(
     if (j >= files.size) GraftOffset(v0) else GraftOffset(v0, j.toLong)
   }
 
-  /** Furthest version `w` in `(fromV, head]` whose dataChange commits fit
-    * the caps — at least one data commit always advances (a commit is the
-    * atomic admission unit; Delta caps the same way), and dataChange=false
-    * commits ride along for free. No data commits at all jumps straight
-    * to `head` (nothing to rate-limit). */
-  private def cappedTail(fromV: Long, head: Long,
-      maxF: Option[Int], maxB: Option[Long]): GraftOffset = {
-    if (maxF.isEmpty && maxB.isEmpty) return GraftOffset(head)
-    val cs = table.commitsInRange(fromV, head)
-    var w = fromV
-    var files = 0
-    var bytes = 0L
-    var dataCommits = 0
-    for (c <- cs) {
-      if (!c.dataChange) w = c.version
-      else {
-        val fits = dataCommits == 0 ||
-          (files + c.add.size <= maxF.getOrElse(Int.MaxValue) &&
-            maxB.forall(bytes < _))
-        if (!fits) return GraftOffset(w)
-        files += c.add.size
-        if (maxB.isDefined)
-          bytes += c.add.map(f =>
-            sizeOf(f, c.stats.flatMap(_.get(f)).flatMap(_.bytes))).sum
-        dataCommits += 1
-        w = c.version
-      }
-    }
-    GraftOffset(if (cs.isEmpty) head else w)
-  }
+  // cappedTail comes from GraftSourceAdmission (admissionFiles = c.add)
 
   /** Rate-limited next offset from the engine-provided previous end
     * (null = fresh stream). Returns the start itself when nothing new
@@ -426,16 +455,24 @@ private[tables] object GraftStreamSource {
   * change files legitimately carry older schemas), and an evolution
   * past the pinned shape fails loudly, like the plain source. */
 private[tables] final class GraftCdfStreamSource(
-    table: GraftTable,
+    protected val table: GraftTable,
     options: Map[String, String])(implicit settings: GraftSettings)
-  extends Source with SupportsAdmissionControl with SupportsTriggerAvailableNow {
+  extends Source with GraftSourceAdmission {
 
   private val opts = options.map { case (k, v) => k.toLowerCase -> v }
   private val startingVersion = opts.get("startingversion").map(_.toLong)
-  private val maxFilesOpt = opts.get("maxfilespertrigger").map(_.toInt)
-  private val maxBytesOpt = opts.get("maxbytespertrigger").map(_.toLong)
+  protected val maxFilesOpt: Option[Int] = opts.get("maxfilespertrigger").map(_.toInt)
+  protected val maxBytesOpt: Option[Long] = opts.get("maxbytespertrigger").map(_.toLong)
   require(maxFilesOpt.forall(_ > 0), "maxFilesPerTrigger must be positive")
   require(maxBytesOpt.forall(_ > 0), "maxBytesPerTrigger must be positive")
+
+  /** Admission weight: the files this commit's CDF batch must read —
+    * recorded change files for DML commits (`c.stats` only covers added
+    * data files, so their bytes come from the trait's cached HEAD
+    * fallback), added+removed files for synthesized appends/overwrites/
+    * restores. */
+  protected def admissionFiles(c: Commit): Seq[String] =
+    c.changes.getOrElse(c.add ++ c.remove)
 
   // pin FIRST, then derive the schema at that exact version — a commit
   // landing between two separate listings would otherwise evolve the
@@ -446,82 +483,8 @@ private[tables] final class GraftCdfStreamSource(
     ColumnMapping.logicalSchema(GraftStreamSource.storedSchemaOf(table, pinVersion)))
   override val schema: StructType = GraftCdfStreamSource.cdfSchema(tableSchema)
 
-  override def getDefaultReadLimit: ReadLimit = (maxFilesOpt, maxBytesOpt) match {
-    case (Some(f), Some(b)) =>
-      ReadLimit.compositeLimit(Array(ReadLimit.maxFiles(f), ReadLimit.maxBytes(b)))
-    case (Some(f), None) => ReadLimit.maxFiles(f)
-    case (None, Some(b)) => ReadLimit.maxBytes(b)
-    case _               => ReadLimit.allAvailable()
-  }
-
-  private def capsOf(limit: ReadLimit): (Option[Int], Option[Long]) = limit match {
-    case _: ReadAllAvailable => (None, None)
-    case f: ReadMaxFiles     => (Some(f.maxFiles), None)
-    case b: ReadMaxBytes     => (None, Some(b.maxBytes))
-    case c: CompositeReadLimit =>
-      c.getReadLimits.map(capsOf).reduce((a, b) =>
-        (a._1.orElse(b._1), a._2.orElse(b._2)))
-    case _ => (maxFilesOpt, maxBytesOpt)
-  }
-
-  @volatile private var availableNowCapV: Option[Long] = None
-  override def prepareForTriggerAvailableNow(): Unit =
-    availableNowCapV = Some(table.version)
-
-  /** Size memo for files whose bytes are NOT in the log (recorded change
-    * files — `c.stats` only covers added DATA files): one HEAD per file,
-    * ever, mirroring [[GraftStreamSource.sizeOf]]. Without the fallback a
-    * DML-heavy backlog weighed 0 bytes and maxBytesPerTrigger admitted it
-    * all in one micro-batch. */
-  private val sizeCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
-
-  private def sizeOf(f: String, logged: Option[Long]): Long = logged.getOrElse {
-    val hit = sizeCache.get(f)
-    if (hit != null) return hit.longValue()
-    // A lagging stream's commit may reference files vacuumed since (an
-    // overwrite's removed files, old change files). Weighing is offset
-    // arithmetic, not reading: degrade to 0 bytes (cached) and let the
-    // READ of that batch surface the real retention error, instead of
-    // failing latestOffset for commits whose serving files still exist.
-    val len = try {
-      graft.lake.FsUtils.fs(table.spark, table.path)
-        .getFileStatus(new org.apache.hadoop.fs.Path(table.path, f)).getLen
-    } catch { case _: java.io.FileNotFoundException => 0L }
-    sizeCache.put(f, len)
-    len
-  }
-
-  /** A commit's admission weight: the files this source must READ to
-    * serve it. Byte sizes come from logged stats when present, a cached
-    * HEAD otherwise. */
-  private def weight(c: Commit): (Int, Long) = {
-    val names = c.changes.getOrElse(c.add ++ c.remove)
-    val bytes = names.map(f =>
-      sizeOf(f, c.stats.flatMap(_.get(f)).flatMap(_.bytes))).sum
-    (names.size, bytes)
-  }
-
-  private def cappedTail(fromV: Long, head: Long,
-      maxF: Option[Int], maxB: Option[Long]): GraftOffset = {
-    if (maxF.isEmpty && maxB.isEmpty) return GraftOffset(head)
-    val cs = table.commitsInRange(fromV, head)
-    var w = fromV
-    var files = 0
-    var bytes = 0L
-    var dataCommits = 0
-    for (c <- cs) {
-      if (!c.dataChange) w = c.version
-      else {
-        val (wf, wb) = weight(c)
-        val fits = dataCommits == 0 ||
-          (files + wf <= maxF.getOrElse(Int.MaxValue) && maxB.forall(bytes < _))
-        if (!fits) return GraftOffset(w)
-        files += wf; bytes += wb; dataCommits += 1
-        w = c.version
-      }
-    }
-    GraftOffset(if (cs.isEmpty) head else w)
-  }
+  // getDefaultReadLimit / capsOf / availableNowCapV / sizeOf / cappedTail
+  // come from GraftSourceAdmission (admissionFiles above is the weight)
 
   override def latestOffset(startOffset: streaming.Offset, limit: ReadLimit): streaming.Offset = {
     val (maxF, maxB) = capsOf(limit)

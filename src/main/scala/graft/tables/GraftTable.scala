@@ -2615,7 +2615,11 @@ object GraftTable {
         .getOrElse(org.apache.spark.sql.types.StringType)
       // END-anchored at the key's exact depth from the basename: key i of
       // n sits (n - i) segments before the file name, so a k=v segment in
-      // the table's ROOT path can never shadow the file's own value
+      // the table's ROOT path can never shadow a NESTED file's own value.
+      // (Residual edge: a FLAT staged file whose page value is NULL and
+      // whose root path's last segments literally spell this key's k=v
+      // at the matching depth would coalesce the root's value in — the
+      // native-relation path is immune via its segment-count guard.)
       val tail = "/[^/]+" * (keys.length - 1 - i) + "/[^/]+$"
       val raw = regexp_extract(col("_metadata.file_path"),
         "/" + java.util.regex.Pattern.quote(k) + "=([^/]+)" + tail, 1)
