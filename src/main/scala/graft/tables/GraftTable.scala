@@ -130,11 +130,25 @@ final class GraftTable private (
   private val metaFile = new Path(logDir, "_meta.json")
   private val BucketName = "^b(\\d+)-".r
 
-  def bucketSpec: Option[BucketSpec] = {
-    if (!fs.exists(metaFile)) return None
-    val in = fs.open(metaFile)
-    try Some(JsonMethods.parse(in).extract[BucketSpec])
-    finally in.close()
+  // bucketSpec is consulted on EVERY query plan (pruneLive) and per
+  // interleaved commit in conflict loops — without a cache each call pays
+  // an exists + open + JSON parse RPC (10-50ms on object stores). The
+  // spec is immutable once observable: setBucketSpec refuses both a
+  // change (spec already set) and a first declaration on a table with
+  // commits, so a resolved Some — or a None on an existing table — can
+  // be cached for the handle's lifetime.
+  @volatile private var bucketSpecCache: Option[Option[BucketSpec]] = None
+
+  def bucketSpec: Option[BucketSpec] = bucketSpecCache.getOrElse {
+    val v =
+      if (!fs.exists(metaFile)) None
+      else {
+        val in = fs.open(metaFile)
+        try Some(JsonMethods.parse(in).extract[BucketSpec])
+        finally in.close()
+      }
+    if (v.isDefined || exists) bucketSpecCache = Some(v)
+    v
   }
 
   /** Declare the bucketed layout. Must happen before (or agree with) the
@@ -151,6 +165,7 @@ final class GraftTable private (
         val out = fs.create(metaFile, false)
         try out.write(Serialization.write(spec).getBytes("UTF-8"))
         finally out.close()
+        bucketSpecCache = Some(Some(spec))
     }
   }
 
@@ -539,7 +554,19 @@ final class GraftTable private (
     val name = p.getName
     val hit = commitCache.get(name)
     if (hit != null) return hit
-    val in = fs.open(p)
+    val in = try fs.open(p) catch {
+      case e: java.io.FileNotFoundException =>
+        // a foreign vacuumLog trimmed a commit this handle had listed —
+        // the next-version probe can only detect ADDED files, so the
+        // stale cache must be dropped here; fail with the trim contract's
+        // loud error (a retried call re-lists and succeeds or reports the
+        // trimmed horizon)
+        invalidateListing()
+        throw new IllegalStateException(
+          s"commit file $name of $path vanished (log trimmed by a " +
+            "concurrent vacuumLog) — retry the operation against the " +
+            "re-listed log", e)
+    }
     val c = try JsonMethods.parse(in).extract[Commit]
     finally in.close()
     if (commitCache.size > 4096) commitCache.clear()
@@ -999,12 +1026,19 @@ final class GraftTable private (
     val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
     if (!spec.keys.forall(schema.fieldNames.contains)) return None
-    // evaluate the same bucket expression the writer used, on one literal row
-    val litCols = spec.keys.map(k => lit(eq(k)).cast(schema(k).dataType))
-    val b = spark.range(1)
-      .select(pmod(xxhash64(litCols: _*), lit(spec.numBuckets)).cast("int").as("b"))
-      .head().getInt(0)
-    Some(b)
+    // evaluate the same bucket expression the writer used
+    // (pmod(xxhash64(keys), n)) DRIVER-SIDE on the literals: this runs at
+    // query PLANNING time inside pruneLive, and the old spark.range(1)
+    // job paid a full job-scheduling round trip per planned query
+    import org.apache.spark.sql.catalyst.expressions.{Cast => CCast, EvalMode, Literal => CLit, Pmod, XxHash64}
+    val mode =
+      if (spark.sessionState.conf.ansiEnabled) EvalMode.ANSI else EvalMode.LEGACY
+    val tz = Option(spark.sessionState.conf.sessionLocalTimeZone)
+    val keyExprs = spec.keys.map(k =>
+      CCast(CLit(eq(k)), schema(k).dataType, tz, mode))
+    val hash = new XxHash64(keyExprs) // seed 42, identical to functions.xxhash64
+    val b = Pmod(hash, CLit(spec.numBuckets.toLong)).eval(null)
+    Some(b.asInstanceOf[Long].toInt)
   }
 
   /** Data files added by dataChange commits in versions (`fromExclusive`,
@@ -1034,15 +1068,16 @@ final class GraftTable private (
     case _                                          => false
   }
 
-  /** Per-file stats of the freshly staged batch, keyed by STAGED leaf file
-    * name. One distributed aggregation over the just-written files (tiny
-    * relative to the write itself; `settings.collectFileStats` disables).
-    * Timestamps are stored as epoch micros — decimal strings don't order
-    * lexicographically, micros compare numerically. */
-  private def collectStats(stagingDir: String, df: DataFrame): Map[String, FileStats] = {
-    if (!effectiveSettings.collectFileStats) return Map.empty
-    val statFields = df.schema.fields.filter(f => isStatType(f.dataType)).toSeq
-    val data = spark.read.parquet(stagingDir)
+  /** One distributed stats aggregation over `data`'s files: min/max/nulls
+    * per stat column + row count per file, keyed by `keyOf` applied to the
+    * raw `input_file_name` string. Timestamps are stored as epoch micros —
+    * decimal strings don't order lexicographically, micros compare
+    * numerically. The single core behind [[collectStats]] (staged files)
+    * and [[collectStatsRelative]] (convert's adopted tree) — a change to
+    * the stats conventions lands in both at once. */
+  private def collectStatsBy(data: DataFrame,
+      statFields: Seq[org.apache.spark.sql.types.StructField],
+      keyOf: String => String): Map[String, FileStats] = {
     val aggs = statFields.flatMap { f =>
       val c = col(f.name)
       val (mn, mx) = f.dataType match {
@@ -1058,15 +1093,34 @@ final class GraftTable private (
       .agg(count(lit(1)).as("__rows"), aggs: _*)
       .collect()
       .map { r =>
-        val fileName = r.getString(0).split('/').last
         val cols = statFields.map { f =>
           f.name -> ColStats(
             Option(r.getAs[String](s"__mn_${f.name}")),
             Option(r.getAs[String](s"__mx_${f.name}")),
             r.getAs[Long](s"__nl_${f.name}"))
         }.toMap
-        fileName -> FileStats(r.getAs[Long]("__rows"), cols)
+        keyOf(r.getString(0)) -> FileStats(r.getAs[Long]("__rows"), cols)
       }.toMap
+  }
+
+  /** Per-file stats of the freshly staged batch, keyed by STAGED file name
+    * QUALIFIED by its `graft_bucket=N/` dir when bucketed: one write task
+    * serves several bucket dirs (shuffle partitions ≠ buckets), so bare
+    * leaf names REPEAT across bucket dirs — a basename key would collapse
+    * different files' stats into one entry (unsound data skipping, and a
+    * wrong `rows` count could mis-fire the DV full-file drop). One
+    * distributed aggregation over the just-written files (tiny relative
+    * to the write itself; `settings.collectFileStats` disables). */
+  private def collectStats(stagingDir: String, df: DataFrame): Map[String, FileStats] = {
+    if (!effectiveSettings.collectFileStats) return Map.empty
+    val statFields = df.schema.fields.filter(f => isStatType(f.dataType)).toSeq
+    collectStatsBy(spark.read.parquet(stagingDir), statFields, { full =>
+      val segs = full.split('/')
+      val leaf = segs.last
+      if (segs.length >= 2 && segs(segs.length - 2).startsWith("graft_bucket="))
+        s"${segs(segs.length - 2)}/$leaf"
+      else leaf
+    })
   }
 
   /** Stage `df` as parquet files inside the table dir; returns final file
@@ -1135,8 +1189,14 @@ final class GraftTable private (
       val name = s"${bucketPrefix}part-$stagingId-${p.getName.stripPrefix("part-")}"
       if (!fs.rename(p, new Path(path, name)))
         throw new IllegalStateException(s"failed to move staged file $p into $path")
+      // stats are keyed bucket-dir-qualified (leaf names repeat across
+      // graft_bucket=N/ dirs — see collectStats)
+      val stagedKey =
+        if (p.getParent.getName.startsWith("graft_bucket="))
+          s"${p.getParent.getName}/${p.getName}"
+        else p.getName
       // the staging listing already holds the length — record it for free
-      name -> statsByStaged.get(p.getName).map(_.copy(bytes = Some(st.getLen)))
+      name -> statsByStaged.get(stagedKey).map(_.copy(bytes = Some(st.getLen)))
     }
     fs.delete(new Path(stagingDir), true)
     (namesAndStats.map(_._1),
@@ -1195,11 +1255,15 @@ final class GraftTable private (
       metrics: Map[String, String],
       stats: Map[String, FileStats],
       changes: Option[Seq[String]] = None,
-      dvs: Map[String, String] = Map.empty): Commit = {
+      dvs: Map[String, String] = Map.empty,
+      dataChange: Boolean = true,
+      readAlso: Set[String] = Set.empty): Commit = {
     // the read set is every file whose CONTENT this txn's outputs were
     // computed from: the files it removes AND the files it re-binds a
-    // deletion vector onto (their surviving rows were scanned too)
-    val readSet = (remove ++ dvs.keys).toSet
+    // deletion vector onto (their surviving rows were scanned too) —
+    // plus `readAlso` for whole-state ops (restore reads every current
+    // AND target file, including ones its commit doesn't move)
+    val readSet = (remove ++ dvs.keys).toSet ++ readAlso
     onBeforeRewriteCommit()
     onBeforeRewriteCommit = () => ()
     var base = baseVersion
@@ -1207,7 +1271,7 @@ final class GraftTable private (
     while (attempts < 20) {
       val now = version
       if (now > base) {
-        val interleaved = commits().filter(c => c.version > base && c.version <= now)
+        val interleaved = commitsInRange(base, now)
         interleaved.find(c =>
           c.remove.exists(readSet) ||
             // an interleaved DV rebind on a file we read changes the rows
@@ -1227,7 +1291,7 @@ final class GraftTable private (
         base = now // disjoint writers: the rewrite is still valid verbatim
       } else {
         try {
-          val c = Commit(base + 1, action, dataChange = true,
+          val c = Commit(base + 1, action, dataChange,
             System.currentTimeMillis(), add, remove, schemaJson(), metrics,
             if (stats.isEmpty) None else Some(stats), changes,
             if (dvs.isEmpty) None else Some(dvs))
@@ -1559,9 +1623,19 @@ final class GraftTable private (
   }
 
   def overwrite(df: DataFrame): Commit = {
-    val old = liveFiles()
+    // pin ONE snapshot for both the remove list and the base version, and
+    // commit through the conflict-checked path: an append interleaving
+    // with the (potentially long) stage() would otherwise survive the
+    // overwrite — its rows left live beside the new contents, a silent
+    // lost-update the remove list computed at entry can't cover. An
+    // overwrite's scope is EVERY row, so any interleaved data commit is a
+    // real conflict (Delta classifies the same way).
+    val snap = snapshot()
+    val old = snap.live
     val (add, stats) = stage(df)
-    nextCommit("overwrite", dataChange = true, add, old, df.schema.json,
+    commitRewrite("overwrite", snap.version, add, old,
+      mayOverlap = _ => true,
+      schemaJson = () => df.schema.json,
       Map("numOutputFiles" -> add.size.toString, "numRemovedFiles" -> old.size.toString),
       stats)
   }
@@ -1592,13 +1666,14 @@ final class GraftTable private (
     */
   /** The distinct update-key set for the anti-join, broadcast-hinted only
     * when the update batch's optimizer size estimate fits
-    * `settings.upsertBroadcastThresholdBytes` — a forced broadcast of a
+    * `effectiveSettings.upsertBroadcastThresholdBytes` (TBLPROPERTIES
+    * honored) — a forced broadcast of a
     * bulk backfill batch (millions of keys) would OOM the driver; above
     * the threshold Spark/AQE picks the join strategy. */
   private[tables] def updateKeysPlan(updates: DataFrame, keyCols: Seq[String]): DataFrame = {
     val keys = updates.select(keyCols.map(col): _*).distinct()
     val estBytes = updates.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (estBytes <= BigInt(settings.upsertBroadcastThresholdBytes)) broadcast(keys) else keys
+    if (estBytes <= BigInt(effectiveSettings.upsertBroadcastThresholdBytes)) broadcast(keys) else keys
   }
 
   def upsert(updates: DataFrame, keyCols: Seq[String], opCol: String,
@@ -1713,7 +1788,14 @@ final class GraftTable private (
     val snap = snapshot(asOf)
     require(snap.version > 0, s"no commit at or before version $asOf")
     val target = snap.live
-    val current = liveFiles()
+    // ONE pinned now-snapshot for the current live set, the current DV
+    // bindings AND the commit base version — and the commit goes through
+    // the conflict-checked path: a restore's scope is the whole state, so
+    // a data commit interleaving between this read and the publish is a
+    // real conflict (it would survive the "roll back"), never a silent
+    // lost-update
+    val nowSnap = snapshot()
+    val current = nowSnap.live
     val schemaJson = snap.schemaJson.get
     target.filterNot(f => fs.exists(new Path(path, f))) match {
       case missing if missing.nonEmpty =>
@@ -1726,7 +1808,7 @@ final class GraftTable private (
     // sentinel resurrects rows deleted after asOf). Sidecars are
     // immutable and vacuum-accounted, so the same existence check
     // applies.
-    val curDvs = snapshot().dvFor
+    val curDvs = nowSnap.dvFor
     val dvEntries = target.flatMap { f =>
       val want = snap.dvFor.get(f)
       if (want == curDvs.get(f)) None
@@ -1740,11 +1822,19 @@ final class GraftTable private (
             missing.take(3).mkString(", "))
       case _ => ()
     }
-    nextCommit("restore", dataChange = true,
-      add = target.filterNot(current.contains),
-      remove = current.filterNot(target.contains),
-      schemaJson, Map("restoredVersion" -> asOf.toString),
-      dvs = dvEntries)
+    // Set membership, not Seq.contains — at ~1M live files the nested
+    // contains scan is ~10^12 comparisons of driver time
+    val targetSet = target.toSet
+    val currentSet = current.toSet
+    commitRewrite("restore", nowSnap.version,
+      add = target.filterNot(currentSet),
+      remove = current.filterNot(targetSet),
+      mayOverlap = _ => true,
+      schemaJson = () => schemaJson,
+      Map("restoredVersion" -> asOf.toString),
+      stats = Map.empty,
+      dvs = dvEntries,
+      readAlso = currentSet ++ targetSet)
   }
 
   /** Adopt the parquet files ALREADY in `path` as the table's first
@@ -1868,32 +1958,9 @@ final class GraftTable private (
     if (!effectiveSettings.collectFileStats) return Map.empty
     val statFields = df.schema.fields
       .filter(f => isStatType(f.dataType) && !excludeCols(f.name)).toSeq
-    val aggs = statFields.flatMap { f =>
-      val c = col(f.name)
-      val (mn, mx) = f.dataType match {
-        case org.apache.spark.sql.types.TimestampType =>
-          (unix_micros(min(c)), unix_micros(max(c)))
-        case _ => (min(c), max(c))
-      }
-      Seq(mn.cast("string").as(s"__mn_${f.name}"),
-        mx.cast("string").as(s"__mx_${f.name}"),
-        count(when(c.isNull, 1)).as(s"__nl_${f.name}"))
-    }
     val rootPrefix = root.toUri.getPath.stripSuffix("/") + "/"
-    df.groupBy(input_file_name().as("__file"))
-      .agg(count(lit(1)).as("__rows"), aggs: _*)
-      .collect()
-      .map { r =>
-        val full = new Path(new java.net.URI(r.getString(0))).toUri.getPath
-        val relName = full.stripPrefix(rootPrefix)
-        val cols = statFields.map { f =>
-          f.name -> ColStats(
-            Option(r.getAs[String](s"__mn_${f.name}")),
-            Option(r.getAs[String](s"__mx_${f.name}")),
-            r.getAs[Long](s"__nl_${f.name}"))
-        }.toMap
-        relName -> FileStats(r.getAs[Long]("__rows"), cols)
-      }.toMap
+    collectStatsBy(df, statFields, full =>
+      new Path(new java.net.URI(full)).toUri.getPath.stripPrefix(rootPrefix))
   }
 
   /** DELETE WHERE: remove matching rows by rewriting ONLY the files that
@@ -2144,7 +2211,7 @@ final class GraftTable private (
     * ceil(totalBytes / compactTargetBytes) files with dataChange=false so
     * incremental consumers skip the rewrite. Returns the commit if run. */
   def compactIfNeeded(
-      maxFiles: Int = settings.maxNumFilesAllowed): Option[Commit] =
+      maxFiles: Int = effectiveSettings.maxNumFilesAllowed): Option[Commit] =
     compactWith(maxFiles, (df, target) => df.repartition(target))
 
   /** [[compactIfNeeded]] for range-CLUSTERED tables: rewrites through
@@ -2156,7 +2223,7 @@ final class GraftTable private (
     * for stores written with [[appendClustered]] (e.g. an ANN index's
     * bucket table maintained across thousands of ingest batches). */
   def compactClusteredIfNeeded(clusterCols: Seq[String],
-      maxFiles: Int = settings.maxNumFilesAllowed): Option[Commit] = {
+      maxFiles: Int = effectiveSettings.maxNumFilesAllowed): Option[Commit] = {
     require(clusterCols.nonEmpty, "compactClusteredIfNeeded needs cluster columns")
     compactWith(maxFiles, (df, target) =>
       df.repartitionByRange(target, clusterCols.map(col): _*)
@@ -2177,14 +2244,27 @@ final class GraftTable private (
     val totalBytes = files.map(f => snap.stats.get(f).flatMap(_.bytes)
       .getOrElse(fs.getFileStatus(new Path(path, f)).getLen)).sum
     val target = math.max(1, math.ceil(totalBytes.toDouble / effectiveSettings.compactTargetBytes).toInt)
-    val df = rewrite(read(), target)
+    // read EXACTLY the pinned file set, never a fresh snapshot: a commit
+    // landing between the pin and the read would have its rows baked into
+    // the compacted output while staying live itself — every one of its
+    // rows served twice, hidden from incremental consumers by
+    // dataChange=false. DVs of the pinned snapshot apply like any read.
+    val df = rewrite(DeletionVectors.filterDeleted(
+      readDataFiles(files, snap.schemaJson), spark,
+      loadDvs(snap.dvFor, files), qualifiedRootUris), target)
     val (add, stats) = stage(df)
-    Some(nextCommit("compact", dataChange = false, add, files,
-      unionSchemaJson(df.schema),
+    // conflict-checked commit (base = the pinned version): an interleaved
+    // rewrite/DV bind on a compacted file means our output holds rows that
+    // no longer exist — fail loudly; interleaved appends are disjoint and
+    // land the compact against the new base verbatim
+    Some(commitRewrite("compact", snap.version, add, files,
+      mayOverlap = _ => false,
+      schemaJson = () => unionSchemaJson(df.schema),
       Map("numOutputFiles" -> add.size.toString,
         "numRemovedFiles" -> files.size.toString,
         "numCompactedBytes" -> totalBytes.toString),
-      stats))
+      stats,
+      dataChange = false))
   }
 
   /** Delta's FSCK REPAIR TABLE: drop log references to live data files
@@ -2220,13 +2300,23 @@ final class GraftTable private (
     // renamed) are invisible to every reader. Both are held for
     // milliseconds in healthy writes, so age past 10 minutes is
     // decisively stale — FSCK is the operator tool that clears them
+    // staleness threshold = the SAME lease TTL writeCommit's recovery
+    // honors (spark.graft.logStore.claimTtlMs): two sources of truth for
+    // one protocol constant would let repair clear a claim the configured
+    // lease still considers live (TTL <= 0 disables lease-breaking, so
+    // repair falls back to the default window rather than never clearing)
+    val ttlMs = {
+      val configured = spark.conf.get(LogStore.ClaimTtlKey,
+        LogStore.DefaultClaimTtlMs.toString).toLong
+      if (configured > 0) configured else LogStore.DefaultClaimTtlMs
+    }
     val staleClaims =
       if (!fs.exists(new Path(logDir))) Seq.empty[Path]
       else fs.listStatus(new Path(logDir)).toSeq
         .filter { st =>
           val n = st.getPath.getName
           (n.endsWith(".claim") || (n.startsWith(".") && n.endsWith(".tmp"))) &&
-            st.getModificationTime < System.currentTimeMillis() - 10 * 60 * 1000
+            st.getModificationTime < System.currentTimeMillis() - ttlMs
         }
         .map(_.getPath)
     val report = missing ++ staleClaims.map(p => s"_graft_log/${p.getName}")
@@ -2305,12 +2395,18 @@ final class GraftTable private (
     val df = DeletionVectors.filterDeleted(packed, spark, loadDvs(dvNow, small), qualifiedRootUris)
       .repartition(target)
     val (add, stats) = stage(df)
-    Some(nextCommit("compact", dataChange = false, add, small,
-      unionSchemaJson(stored),
+    // conflict-checked like compactWith: an interleaved rewrite/DV bind on
+    // a bin-packed file would otherwise have its pre-rewrite rows
+    // resurrected by this commit (nextCommit re-reads version and removes
+    // the stale name without complaint)
+    Some(commitRewrite("compact", snap.version, add, small,
+      mayOverlap = _ => false,
+      schemaJson = () => unionSchemaJson(stored),
       Map("numOutputFiles" -> add.size.toString,
         "numRemovedFiles" -> small.size.toString,
         "numCompactedBytes" -> totalBytes.toString),
-      stats))
+      stats,
+      dataChange = false))
   }
 
   /** External-reader manifest (the reference generates Delta's
@@ -2469,10 +2565,30 @@ final class GraftTable private (
       cs.flatMap(_.dvs.getOrElse(Map.empty).values).toSet)
     val changeOrphans = sideOrphans(changesDir,
       cs.flatMap(_.changes.getOrElse(Seq.empty)).toSet)
+    // crashed writers' STAGING DIRS: `_staging-*` at the root and
+    // `.stage-*` under the changes dir are invisible to every reader
+    // (underscore/dot prefixes) and to the orphan passes above (those
+    // skip hidden paths / non-files), so a crash between the parquet
+    // write and the post-rename cleanup would leak a batch-sized
+    // directory FOREVER. Aged by dir mtime on the same retention clock
+    // that protects in-flight writers' staged files.
+    def stagingOrphans(parent: Path, prefix: String, relPrefix: String): Seq[String] =
+      if (!fs.exists(parent)) Seq.empty
+      else fs.listStatus(parent).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix) &&
+          st.getModificationTime < cutoff)
+        .map(st => s"$relPrefix${st.getPath.getName}")
+    val stagingDirs =
+      stagingOrphans(new Path(path), "_staging-", "") ++
+        stagingOrphans(new Path(path, changesDir), ".stage-", s"$changesDir/")
     val all = removable ++ agedChanges ++ agedDvs ++
-      dataOrphans ++ dvOrphans ++ changeOrphans
+      dataOrphans ++ dvOrphans ++ changeOrphans ++ stagingDirs
     // Delta's VACUUM DRY RUN: report what WOULD be deleted, touch nothing
-    if (!dryRun) all.foreach(f => fs.delete(new Path(path, f), false))
+    if (!dryRun) {
+      (removable ++ agedChanges ++ agedDvs ++ dataOrphans ++ dvOrphans ++
+        changeOrphans).foreach(f => fs.delete(new Path(path, f), false))
+      stagingDirs.foreach(d => fs.delete(new Path(path, d), true))
+    }
     all
   }
 

@@ -768,4 +768,152 @@ class GraftTableSpec extends SparkSpecBase {
     intercept[Exception](t.readChanges(1).count())
     assert(t.read().count() === 1) // live data untouched
   }
+
+  test("bucketed staging keys stats per bucket FILE — no cross-bucket collapse") {
+    // more buckets than shuffle partitions (4): one write task serves
+    // several graft_bucket=N/ staging dirs, so leaf file names REPEAT
+    // across bucket dirs — a basename-keyed stats map collapsed those
+    // files' stats into one entry (unsound data skipping)
+    val dir = Files.createTempDirectory("graft-bstats-").toString
+    val t = GraftTable(spark, s"file://$dir/t")(GraftSettings.default)
+    t.setBucketSpec(Seq("id"), 16)
+    t.append((1 to 400).map(i => (i, s"v$i")).toDF("id", "v"))
+    val stats = t.snapshot().stats
+    val live = t.liveFiles()
+    assert(live.size > 4, s"need a multi-bucket layout, got ${live.size} files")
+    assert(live.forall(stats.contains), "every staged file must carry stats")
+    live.foreach { f =>
+      val actual = spark.read.parquet(s"${t.path}/$f")
+        .agg(min(col("id")), max(col("id")), count(lit(1))).head()
+      val st = stats(f)
+      assert(st.rows === actual.getLong(2), s"row count of $f")
+      val cs = st.cols("id")
+      assert(cs.min.get.toInt === actual.getInt(0) && cs.max.get.toInt === actual.getInt(1),
+        s"stats of $f must be ITS OWN min/max, not another bucket file's")
+    }
+    assert(t.readWhere(col("id") === 7).as[(Int, String)].collect().toSeq === Seq((7, "v7")))
+  }
+
+  test("overwrite conflicts with an interleaved append instead of silently dropping it") {
+    val dir = Files.createTempDirectory("graft-ow-race-").toString
+    val path = s"file://$dir/t"
+    val t = GraftTable(spark, path)(GraftSettings.default)
+    t.append(Seq((1, "a")).toDF("id", "v"))
+    val other = GraftTable(spark, path)(GraftSettings.default)
+    // an append lands inside the overwrite's snapshot->publish window: its
+    // rows are OUTSIDE the overwrite's remove list, so publishing would
+    // leave them alive beside the new contents — a silent lost-update
+    t.onBeforeRewriteCommit = () => other.append(Seq((99, "x")).toDF("id", "v"))
+    val e = intercept[IllegalStateException](t.overwrite(Seq((2, "b")).toDF("id", "v")))
+    assert(e.getMessage.contains("conflicts"))
+    assert(GraftTable(spark, path)(GraftSettings.default).read()
+      .as[(Int, String)].collect().toMap === Map(1 -> "a", 99 -> "x"))
+  }
+
+  test("restore conflicts with an interleaved data commit (whole-state op)") {
+    val dir = Files.createTempDirectory("graft-rs-race-").toString
+    val path = s"file://$dir/t"
+    val t = GraftTable(spark, path)(GraftSettings.default)
+    t.append(Seq((1, "a")).toDF("id", "v")) // v1
+    t.append(Seq((2, "b")).toDF("id", "v")) // v2
+    val other = GraftTable(spark, path)(GraftSettings.default)
+    t.onBeforeRewriteCommit = () => other.append(Seq((50, "z")).toDF("id", "v"))
+    val e = intercept[IllegalStateException](t.restore(1))
+    assert(e.getMessage.contains("conflicts"))
+    // nothing rolled back; the interleaved append is intact
+    assert(t.read().as[(Int, String)].collect().toMap
+      === Map(1 -> "a", 2 -> "b", 50 -> "z"))
+  }
+
+  test("compaction reads its pinned snapshot and conflicts with interleaved rewrites") {
+    val dir = Files.createTempDirectory("graft-cp-race-").toString
+    val path = s"file://$dir/t"
+    val t = GraftTable(spark, path)(GraftSettings.default)
+    (1 to 5).foreach(i => t.append(Seq((i, s"v$i")).toDF("id", "v").coalesce(1)))
+    val other = GraftTable(spark, path)(GraftSettings.default)
+    // interleaved APPEND: disjoint from the pinned compact set — the
+    // compact lands against the new base and the appended rows exist ONCE
+    // (the old fresh-snapshot read would have baked them into the output
+    // while leaving their file live: every row served twice)
+    t.onBeforeRewriteCommit = () =>
+      other.append(Seq((100, "x")).toDF("id", "v").coalesce(1))
+    assert(t.compactIfNeeded(maxFiles = 2).isDefined)
+    assert(t.read().count() === 6, "an interleaved append's rows must exist exactly once")
+    assert(t.read().as[(Int, String)].collect().toMap
+      === ((1 to 5).map(i => i -> s"v$i").toMap + (100 -> "x")))
+    // interleaved DELETE that rewrote a pinned file: the compacted output
+    // holds rows that no longer exist — loud conflict, nothing resurrected
+    (101 to 104).foreach(i => t.append(Seq((i, s"v$i")).toDF("id", "v").coalesce(1)))
+    t.onBeforeRewriteCommit = () => { other.delete(col("id") === 103); () }
+    val e = intercept[IllegalStateException](t.compactIfNeeded(maxFiles = 2))
+    assert(e.getMessage.contains("conflicts"))
+    assert(!t.read().as[(Int, String)].collect().toMap.contains(103),
+      "the interleaved delete's effect must survive the failed compact")
+  }
+
+  test("vacuum sweeps crashed writers' staging directories") {
+    val t = tmpTable()
+    t.append(Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    val fs = new org.apache.hadoop.fs.Path(t.path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dead = new org.apache.hadoop.fs.Path(t.path, "_staging-deadbeef")
+    fs.mkdirs(dead)
+    val out = fs.create(new org.apache.hadoop.fs.Path(dead, "part-x.parquet"), false)
+    out.write(1); out.close()
+    val cdead = new org.apache.hadoop.fs.Path(t.path, "_graft_changes/.stage-deadbeef")
+    fs.mkdirs(cdead)
+    val old = System.currentTimeMillis() - 60 * 60 * 1000
+    fs.setTimes(dead, old, -1)
+    fs.setTimes(cdead, old, -1)
+    val report = t.vacuum(retentionHours = 0.01, dryRun = true)
+    assert(report.contains("_staging-deadbeef"), s"dry run must report the dir: $report")
+    assert(report.contains("_graft_changes/.stage-deadbeef"), s"got: $report")
+    assert(fs.exists(dead), "dry run must delete nothing")
+    t.vacuum(retentionHours = 0.01)
+    assert(!fs.exists(dead) && !fs.exists(cdead), "aged staging dirs must be GC'd")
+    assert(t.read().count() === 2, "live data untouched")
+  }
+
+  test("a foreign vacuumLog's trim fails loudly from a stale listing, then self-heals") {
+    val dir = Files.createTempDirectory("graft-trim-race-").toString
+    val path = s"file://$dir/t"
+    val writer = GraftTable(spark, path)(GraftSettings.default)
+    (1 to 3).foreach(i => writer.append(Seq((i, "x")).toDF("id", "v")))
+    val reader = GraftTable(spark, path)(GraftSettings.default)
+    assert(reader.version === 3) // populates the listing cache, parses nothing
+    // a foreign process trims v1 behind the reader's back — the
+    // next-version probe can't see deletions
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(
+      s"$path/_graft_log/${"%020d".format(1)}.json"), false))
+    val e = intercept[IllegalStateException](reader.commits())
+    assert(e.getMessage.contains("vanished"), e.getMessage)
+    // the failure dropped the stale cache: a retry serves the re-listed log
+    assert(reader.commits().map(_.version) === Seq(2L, 3L))
+  }
+
+  test("repair honors the configured claim TTL (one constant, not two)") {
+    val t = tmpTable()
+    t.append(Seq((1, "a")).toDF("id", "v"))
+    val fs = new org.apache.hadoop.fs.Path(t.path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val claim = new org.apache.hadoop.fs.Path(
+      s"${t.path}/_graft_log/.${"%020d".format(2)}.json.claim")
+    fs.create(claim, false).close()
+    // 15 minutes old: past the old hardcoded 10-minute window, INSIDE a
+    // configured 30-minute lease — repair must not clear it
+    fs.setTimes(claim, System.currentTimeMillis() - 15 * 60 * 1000, -1)
+    spark.conf.set(LogStore.ClaimTtlKey, (30L * 60 * 1000).toString)
+    try {
+      assert(!t.repair(dryRun = true).exists(_.endsWith(".claim")),
+        "a claim inside the configured lease must not be reported")
+      fs.setTimes(claim, System.currentTimeMillis() - 31 * 60 * 1000, -1)
+      assert(t.repair(dryRun = true).exists(_.endsWith(".claim")),
+        "a claim past the configured lease must be reported")
+    } finally {
+      spark.conf.unset(LogStore.ClaimTtlKey)
+      fs.delete(claim, false)
+    }
+  }
 }
