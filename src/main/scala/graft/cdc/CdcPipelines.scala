@@ -65,16 +65,21 @@ object CdcPipelines {
       batch: DataFrame,
       codec: PayloadCodec,
       registry: SchemaRegistryClient,
-      staged: GraftTable): Unit = {
+      staged: GraftTable): Unit = graft.ext.Parallelism.scoped {
+    // per-batch release scope, like decodeJsonBatch: a long-running CDC
+    // stream must not accumulate each micro-batch's barrier until GC
     // Debezium emits tombstones (null value) after deletes for log
     // compaction; they carry no envelope (the delete arrives as an op='d'
     // record) and would NPE the schema-id extraction — drop them here.
-    val withIds = batch
+    // Consumed once for the pair collect + once PER schema-pair slice:
+    // materialize, like the JSON twin (decodeJsonBatchImpl) — otherwise a
+    // 3-pair batch re-reads the raw micro-batch 4 times
+    val withIds = graft.ext.Parallelism.checkpointTracked(batch
       .filter(col("value").isNotNull)
       .withColumn("keySchemaId",
         when(col("key").isNull, lit(null).cast("int"))
           .otherwise(ConfluentWireFormat.schemaId(col("key"))))
-      .withColumn("valueSchemaId", ConfluentWireFormat.schemaId(col("value")))
+      .withColumn("valueSchemaId", ConfluentWireFormat.schemaId(col("value"))))
 
     // distinct schema pairs to the driver — one decode job per pair, so
     // each `from_avro` sees exactly one literal schema (`cdc.py:151-176`)
@@ -272,11 +277,20 @@ object CdcPipelines {
   private[cdc] def applyCdcBatch(batch: DataFrame, curated: GraftTable,
       curatedBuckets: Int = 0): Unit = {
     if (batch.isEmpty) return
+    applyCdcBatchImpl(batch, curated, curatedBuckets)
+  }
+
+  private def applyCdcBatchImpl(batch: DataFrame, curated: GraftTable,
+      curatedBuckets: Int): Unit = graft.ext.Parallelism.scoped {
     // latest event per primary key; offset desc tie-break makes the result
     // deterministic where the reference relied on timestamp alone
-    // (`cdc.py:132-142`)
-    val deduped = graft.ext.Dedup.latestPerKey(
-      batch, Seq("key"), Seq(col("timestamp").desc, col("offset").desc))
+    // (`cdc.py:132-142`). The window dedup is consumed for the pair
+    // collect AND once per schema-pair slice (then several times inside
+    // the upsert) — materialize once instead of re-running the shuffle +
+    // window per consumer; scoped, so the barrier frees per batch.
+    val deduped = graft.ext.Parallelism.checkpointTracked(
+      graft.ext.Dedup.latestPerKey(
+        batch, Seq("key"), Seq(col("timestamp").desc, col("offset").desc)))
 
     val pairs = deduped.select("keySchemaId", "valueSchemaId").distinct()
       .orderBy(asc_nulls_last("keySchemaId"), asc_nulls_last("valueSchemaId"))
@@ -479,10 +493,13 @@ object CdcPipelines {
         try new String(in.readAllBytes(), "UTF-8").trim.toLong finally in.close()
       }
     val to = table.version
-    if (to > from) {
-      val changes = table.readChanges(from, to)
-        .filter(col("_change_type") =!= "update_preimage")
-        .drop("_commit_version")
+    if (to > from) graft.ext.Parallelism.scoped {
+      // consumed twice (emptiness probe + publish): materialize once,
+      // freed at scope exit
+      val changes = graft.ext.Parallelism.checkpointTracked(
+        table.readChanges(from, to)
+          .filter(col("_change_type") =!= "update_preimage")
+          .drop("_commit_version"))
       if (!changes.isEmpty)
         dataframeToKafka(spark, changes, topic, keyColumns, registry, bus, contentType)
       // cursor advance is a single OVERWRITE rename — no delete-then-rename

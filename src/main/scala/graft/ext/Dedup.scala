@@ -79,7 +79,15 @@ object Dedup {
     * near-dup candidates. */
   def lshBands(df: DataFrame, sigCol: String, bands: Int): DataFrame = {
     val sig = col(sigCol)
-    val rowsPerBand = size(sig) / bands
+    // INTEGER rows-per-band with a loud divisibility guard: `size/bands`
+    // is a double Divide, and a fractional slice offset would silently
+    // misalign every band (overlapping slices, dropped tail positions) —
+    // the recall guarantee of banding would be gone with no error
+    val rowsPerBand = when(pmod(size(sig), lit(bands)) === 0,
+        (size(sig) / lit(bands)).cast("int"))
+      .otherwise(raise_error(concat(
+        lit(s"lshBands: signature width not divisible by bands=$bands: "),
+        size(sig).cast("string"))).cast("int"))
     df.withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
       .withColumn("band_key",
         xxhash64(slice(sig, col("band") * rowsPerBand + 1, rowsPerBand), col("band")))
@@ -188,12 +196,15 @@ object Dedup {
       portable: Boolean = false): DataFrame = {
     val pairs = minhashCandidatePairs(df, idCol, textCol, numHashes, bands, shingleSize, portable)
       .filter(col("est_jaccard") >= threshold)
+    // reserved join-key names: a bare "id" is AMBIGUOUS whenever idCol is
+    // literally "id" (the most common id column) or df carries its own
+    // "id" column beside idCol — and the trailing drop would eat it
     val repFromPairs = pairs
-      .select(col("id_b").as("id"), col("id_a").as("candidate_rep"))
-      .groupBy("id").agg(min("candidate_rep").as("rep_candidate"))
-    df.join(repFromPairs, col(idCol) === col("id"), "left")
-      .withColumn("dup_group", least(coalesce(col("rep_candidate"), col(idCol)), col(idCol)))
-      .drop("id", "rep_candidate")
+      .select(col("id_b").as("__dedup_id"), col("id_a").as("candidate_rep"))
+      .groupBy("__dedup_id").agg(min("candidate_rep").as("__rep_candidate"))
+    df.join(repFromPairs, col(idCol) === col("__dedup_id"), "left")
+      .withColumn("dup_group", least(coalesce(col("__rep_candidate"), col(idCol)), col(idCol)))
+      .drop("__dedup_id", "__rep_candidate")
   }
 
   /** Connected components over an undirected edge list by iterated
@@ -243,6 +254,13 @@ object Dedup {
       labels = updated.drop("__changed")
       i += 1
     }
+    // a silent non-converged exit would return WRONG components (one
+    // transitive group split in several) — for leakageSafeSplit that is
+    // exactly the train/eval contamination the operator exists to prevent
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge within maxIter=$maxIter rounds " +
+        "(component diameter exceeds it) — raise maxIter; returning partial " +
+        "labels would silently split components")
     labels
   }
 
@@ -263,9 +281,10 @@ object Dedup {
     val pairs = minhashCandidatePairs(df, idCol, textCol, numHashes, bands, shingleSize, portable)
       .filter(col("est_jaccard") >= threshold)
     val comps = connectedComponents(pairs, "id_a", "id_b")
-    df.join(comps, col(idCol) === col("id"), "left")
-      .withColumn("dup_group", coalesce(col("component"), col(idCol)))
-      .drop("id", "component")
+      .select(col("id").as("__cc_id"), col("component").as("__cc_component"))
+    df.join(comps, col(idCol) === col("__cc_id"), "left")
+      .withColumn("dup_group", coalesce(col("__cc_component"), col(idCol)))
+      .drop("__cc_id", "__cc_component")
   }
 
   /** Benchmark decontamination: (corpus doc, eval doc) pairs sharing word
@@ -343,7 +362,7 @@ object Dedup {
     val words = split(TextAnalysis.normalize(col(textCol)), " ")
     val base = df.select(
       col(idCol),
-      when(length(TextAnalysis.normalize(col(textCol))) === 0, lit(0L))
+      when(coalesce(length(TextAnalysis.normalize(col(textCol))), lit(0)) === 0, lit(0L))
         .otherwise(size(words).cast("long")).as("n_tokens"))
     // (id, 0-based ngram start, hash) — guarded so sequence() never sees a
     // descending range on short docs
@@ -418,7 +437,7 @@ object Dedup {
     val words = split(norm, " ")
     val base = df.select(
       col(idCol),
-      when(length(norm) === 0, lit(0L))
+      when(coalesce(length(norm), lit(0)) === 0, lit(0L))
         .otherwise(size(words).cast("long")).as("n_tokens"))
     // (id, 0-based ngram start, hash); materialized once — feeds the
     // winner vote AND the join back for loser spans
@@ -709,7 +728,7 @@ object Dedup {
     val norm = TextAnalysis.normalize(col(textCol))
     val base = df.select(
       col(idCol),
-      when(length(norm) === 0, lit(0L))
+      when(coalesce(length(norm), lit(0)) === 0, lit(0L))
         .otherwise(size(split(norm, " ")).cast("long")).as("n_tokens"))
     val perDoc = flagged
       .groupBy(col("__id"))

@@ -126,10 +126,14 @@ object Similarity {
       nTables: Int, bitsPerTable: Int): DataFrame = {
     val exploded = df.select(col(idCol).as("id"),
       posexplode(col(vecCol)).as(Seq("i", "x")))
+    // fixed-point like lshBucketRows: quantize to BIGINT before the signed
+    // sum so the bucket id is exact integer arithmetic — a double sum's
+    // rounding depends on aggregation order, so a near-zero projection
+    // could land on either side of the sign test run-to-run
     val projections = (0 until nTables * bitsPerTable).map { j =>
       val seed = (j / bitsPerTable + 1) * 1024 + (j % bitsPerTable)
-      sum(col("x").cast("double") *
-        when(xxhash64(lit(seed), col("i")).bitwiseAND(1L) === 1L, 1.0).otherwise(-1.0))
+      sum(floor(col("x").cast("double") * lit(1e9)).cast("long") *
+        when(xxhash64(lit(seed), col("i")).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
         .as(s"p$j")
     }
     exploded.groupBy("id")
@@ -165,7 +169,15 @@ object Similarity {
       bitsPerTable: Int,
       portable: Boolean = false): DataFrame = {
     val spark = df.sparkSession
-    val dim = df.select(size(col(vecCol)).as("d")).head.getInt(0)
+    // dimensionality from the first row (one LIMIT-1 job, never a full
+    // scan); vectors are assumed uniform-width, like every ANN operator
+    // here. An EMPTY frame (a drained incremental batch, an empty probe
+    // set) returns an empty bucket frame instead of crashing on head()
+    val dimRow = df.select(size(col(vecCol)).as("d")).limit(1).collect()
+    if (dimRow.isEmpty || dimRow(0).isNullAt(0))
+      return df.select(col(idCol).as("id")).limit(0)
+        .withColumn("tbl", lit(0)).withColumn("bucket", lit(0))
+    val dim = dimRow(0).getInt(0)
     val nPlanes = nTables * bitsPerTable
     val planeDim = spark.range(nPlanes.toLong).select(col("id").cast("int").as("p"))
       .crossJoin(spark.range(dim.toLong).select(col("id").cast("int").as("i")))
@@ -213,11 +225,34 @@ object Similarity {
       k: Int,
       nTables: Int = 8,
       bitsPerTable: Int = 4,
-      portable: Boolean = false): DataFrame = {
+      portable: Boolean = false): DataFrame =
+    annTopKImpl(corpus, probes, idCol, vecCol, k, nTables, bitsPerTable,
+      portable, probeFlips = Seq(0))
+
+  /** Shared core of [[annTopK]] / [[annTopKMultiprobe]] — ONE copy of the
+    * corpus hashing, candidate join, vector re-attach and per-probe top-k
+    * tail; the variants differ only in the probe-side bucket expansion
+    * (`probeFlips`: XOR masks, 0 = the exact bucket). */
+  private def annTopKImpl(
+      corpus: DataFrame,
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nTables: Int,
+      bitsPerTable: Int,
+      portable: Boolean,
+      probeFlips: Seq[Int]): DataFrame = {
     val c = lshBucketRows(corpus, idCol, vecCol, nTables, bitsPerTable, portable)
       .select(col("id").as("neighbor_id"), col("tbl"), col("bucket"))
-    val p = lshBucketRows(probes, idCol, vecCol, nTables, bitsPerTable, portable)
+    val p0 = lshBucketRows(probes, idCol, vecCol, nTables, bitsPerTable, portable)
       .select(col("id").as("probe_id"), col("tbl"), col("bucket"))
+    val p =
+      if (probeFlips == Seq(0)) p0
+      else p0
+        .withColumn("__flip", explode(array(probeFlips.map(lit): _*)))
+        .withColumn("bucket", col("bucket").bitwiseXOR(col("__flip")).cast("int"))
+        .drop("__flip")
     val pairs = c.join(broadcast(p), Seq("tbl", "bucket"))
       .filter(col("neighbor_id") =!= col("probe_id"))
       .select("probe_id", "neighbor_id")
@@ -256,36 +291,12 @@ object Similarity {
       k: Int,
       nTables: Int = 8,
       bitsPerTable: Int = 4,
-      portable: Boolean = false): DataFrame = {
-    val c = lshBucketRows(corpus, idCol, vecCol, nTables, bitsPerTable, portable)
-      .select(col("id").as("neighbor_id"), col("tbl"), col("bucket"))
+      portable: Boolean = false): DataFrame =
     // probe buckets expand to {bucket} ∪ {bucket XOR 2^b}: flip 0 keeps
     // the exact bucket, so the expansion strictly contains the
     // single-probe candidate set
-    val flips = lit(0) +: (0 until bitsPerTable).map(b => lit(1 << b))
-    val p = lshBucketRows(probes, idCol, vecCol, nTables, bitsPerTable, portable)
-      .select(col("id").as("probe_id"), col("tbl"), col("bucket"))
-      .withColumn("__flip", explode(array(flips: _*)))
-      .withColumn("bucket", col("bucket").bitwiseXOR(col("__flip")).cast("int"))
-      .drop("__flip")
-    val pairs = c.join(broadcast(p), Seq("tbl", "bucket"))
-      .filter(col("neighbor_id") =!= col("probe_id"))
-      .select("probe_id", "neighbor_id")
-      .distinct()
-    val withVecs = pairs
-      .join(broadcast(probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"),
-        selfDot(col(vecCol), portable).as("probe_sq"))), Seq("probe_id"))
-      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("neighbor_vec"),
-        selfDot(col(vecCol), portable).as("neighbor_sq")), Seq("neighbor_id"))
-    val sim = pairSim(col("probe_vec"), col("probe_sq"),
-      col("neighbor_vec"), col("neighbor_sq"), portable)
-    val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("neighbor_id"))
-    withVecs
-      .withColumn("sim", sim)
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select("probe_id", "neighbor_id", "rnk", "sim")
-  }
+    annTopKImpl(corpus, probes, idCol, vecCol, k, nTables, bitsPerTable,
+      portable, probeFlips = 0 +: (0 until bitsPerTable).map(1 << _))
 
   // ----------------------------------------------------------------- IVF
 
@@ -824,9 +835,14 @@ object Similarity {
       col(labelCol).as("neighbor_label"),
       quantizedDot(col(vecCol), col(vecCol)).as("__nq"))
     val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    // NULL-SAFE label inequality: `=!=` is null for a null label on either
+    // side, which silently drops every candidate of a weakly-labeled probe
+    // (no negatives at all, no error). With <=> a null-label probe still
+    // mines negatives from every labeled row, and two null labels count as
+    // the SAME label (not a negative pair) — the conservative choice.
     c.join(broadcast(p),
         col("neighbor_id") =!= col("probe_id") &&
-          col("neighbor_label") =!= col("__plabel"))
+          !(col("neighbor_label") <=> col("__plabel")))
       .withColumn("sim", quantizedDot(col("__pv"), col("__nv")).cast("double") /
         sqrt(col("__pq").cast("double") * col("__nq").cast("double")))
       .withColumn("rnk", row_number().over(w))

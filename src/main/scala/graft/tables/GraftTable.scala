@@ -782,8 +782,21 @@ final class GraftTable private (
     fs.mkdirs(new Path(logDir))
     val name = f"${c.version}%020d.json"
     val dst = new Path(logDir, name)
-    def conflict() = throw new IllegalStateException(
-      s"concurrent commit detected for version ${c.version} at $path")
+    def conflict() = {
+      // diagnostic payload: a retry-exhausted writer's error must say WHY
+      // the version stayed unavailable (published file vs a held/orphaned
+      // claim) — the difference between a livelock and a protocol bug
+      val state = try {
+        val marker = new Path(logDir, s".$name.claim")
+        val m =
+          if (!fs.exists(marker)) "no claim marker"
+          else s"claim marker age ${System.currentTimeMillis() -
+            fs.getFileStatus(marker).getModificationTime}ms"
+        s"(version file exists=${fs.exists(dst)}; $m)"
+      } catch { case scala.util.control.NonFatal(_) => "(state probe failed)" }
+      throw new IllegalStateException(
+        s"concurrent commit detected for version ${c.version} at $path $state")
+    }
     val store = LogStore.forSession(spark)
     val dir = new Path(logDir)
     if (!store.tryClaim(fs, dir, name)) {
@@ -1301,6 +1314,9 @@ final class GraftTable private (
         } catch {
           case e: IllegalStateException if e.getMessage.contains("concurrent commit") =>
             attempts += 1 // loop re-reads the log and validates the winner
+            // brief backoff like append's: a spin against a stalled claim
+            // holder burns all 20 attempts in milliseconds
+            Thread.sleep(math.min(250L, 20L * attempts))
         }
       }
     }
@@ -1551,11 +1567,14 @@ final class GraftTable private (
         Map("numOutputFiles" -> add.size.toString) ++ extraMetrics, stats)
       catch {
         case e: IllegalStateException
-            if e.getMessage.contains("concurrent commit") && attempt < 10 =>
+            if e.getMessage.contains("concurrent commit") && attempt < 16 =>
           attempt += 1
-          // linear backoff: the competing writer needs time to publish its
-          // version file before our re-read can see it
-          Thread.sleep(20L * attempt)
+          // linear backoff, capped: the competing writer needs time to
+          // publish its version file before our re-read can see it. The
+          // cumulative budget (~3s) must survive a LOADED machine pausing
+          // the claim holder — N writers all burning their budgets on one
+          // stalled winner was an observed flake at 1s
+          Thread.sleep(math.min(250L, 20L * attempt))
       }
     }
     throw new IllegalStateException("unreachable")

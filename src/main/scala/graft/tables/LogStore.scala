@@ -106,9 +106,11 @@ trait LogStore {
   def stillHeld(fs: FileSystem, logDir: Path, name: String): Boolean = true
 }
 
-/** Default [[LogStore]]: an O_EXCL file create of `.name.claim` — atomic
-  * on local filesystems and HDFS (`FileSystem.create(path, false)` maps
-  * to an exclusive create). NOT safe on S3A (create-no-overwrite is
+/** Default [[LogStore]]: an O_EXCL file create of `.name.claim` — NIO
+  * `createFile` (true O_CREAT|O_EXCL) on `file:` schemes, because
+  * Hadoop's LOCAL `create(path, false)` is only a check-then-act;
+  * HDFS-class filesystems keep `FileSystem.create(path, false)` (atomic
+  * at the namenode). NOT safe on S3A (create-no-overwrite is
   * check-then-put there): deploy an arbiter-backed store for S3.
   *
   * Lease support: the marker's mtime is the lease clock and its CONTENT
@@ -127,12 +129,33 @@ class HadoopOExclLogStore extends LogStore {
 
   override def tryClaim(fs: FileSystem, logDir: Path, name: String): Boolean =
     try {
-      val out = fs.create(marker(logDir, name), false) // the atomic step
-      val token = java.util.UUID.randomUUID().toString
-      try out.write(token.getBytes("UTF-8")) finally out.close()
-      tokens.put(key(logDir, name), token)
-      true
-    } catch { case _: java.io.IOException => false }
+      val m = marker(logDir, name)
+      if (fs.getScheme == "file") {
+        // Hadoop's LOCAL create(path, overwrite=false) is CHECK-THEN-ACT
+        // (an exists probe + a plain FileOutputStream — no O_EXCL), so two
+        // threads/processes could both "win"; with the pre-publish
+        // stillHeld re-verify, dual winners then abort each other and a
+        // contended version thrashes instead of progressing. NIO's
+        // createFile IS O_CREAT|O_EXCL — atomic against processes too.
+        val p = java.nio.file.Paths.get(m.toUri.getPath)
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.createFile(p) // atomic; throws if present
+        val token = java.util.UUID.randomUUID().toString
+        java.nio.file.Files.write(p, token.getBytes("UTF-8"))
+        tokens.put(key(logDir, name), token)
+        true
+      } else {
+        // HDFS-class stores: namenode create(overwrite=false) is atomic
+        val out = fs.create(m, false)
+        val token = java.util.UUID.randomUUID().toString
+        try out.write(token.getBytes("UTF-8")) finally out.close()
+        tokens.put(key(logDir, name), token)
+        true
+      }
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+      case _: java.io.IOException => false
+    }
 
   private def readToken(fs: FileSystem, logDir: Path, name: String): Option[String] =
     try {

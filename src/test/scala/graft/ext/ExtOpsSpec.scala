@@ -547,6 +547,32 @@ class ExtOpsSpec extends SparkSpecBase {
     assert(groups(2L) === 2L)
   }
 
+  test("minhashDedup works when idCol is literally 'id' (no ambiguous join)") {
+    val byId = Dedup.minhashDedup(
+      docs.withColumnRenamed("doc_id", "id"), "id", "text", threshold = 0.5)
+      .select("id", "dup_group")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byId(0L) === 0L && byId(3L) === 0L && byId(1L) === 0L && byId(2L) === 2L)
+    val cc = Dedup.minhashDedupCC(
+      docs.withColumnRenamed("doc_id", "id"), "id", "text", threshold = 0.5)
+      .select("id", "dup_group")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc(0L) === 0L && cc(2L) === 2L)
+  }
+
+  test("connectedComponents refuses to return non-converged (wrong) labels") {
+    // a pure chain of diameter 24: maxIter=3 cannot converge — silent
+    // partial labels would split one component (leakageSafeSplit's leak)
+    val chain = (0L until 24L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException](
+      Dedup.connectedComponents(chain, maxIter = 3).collect())
+    assert(e.getMessage.contains("did not converge"))
+    // with enough rounds the same chain converges to one component
+    val comps = Dedup.connectedComponents(chain, maxIter = 30)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps.values.toSet === Set(0L))
+  }
+
   test("connectedComponents: transitive closure via min-label propagation") {
     // chain 1-2-3-4 (diameter 3, needs multiple rounds), island 10-11,
     // self-contained pair 20-21
@@ -1234,6 +1260,31 @@ class ExtOpsSpec extends SparkSpecBase {
       .collect().map(x => (x.getInt(3), x.getLong(1), x.getInt(2))).sortBy(_._1)
     assert(r.map(_._2).toSeq === Seq(2L, 3L, 4L), s"got ${r.toSeq}")
     assert(r.forall(_._3 != 7), "a same-label row leaked into the negatives")
+  }
+
+  test("hardNegatives: a null-label probe still mines negatives from labeled rows") {
+    def v(s: Double) = Array.tabulate(4)(i => (s + i * 0.01).toFloat)
+    val corpus = Seq(
+      (1L, v(1.0), java.lang.Integer.valueOf(7)),
+      (2L, v(0.9), java.lang.Integer.valueOf(2)),
+      (3L, v(0.8), null.asInstanceOf[java.lang.Integer])) // null label: same-as-null, not a negative
+      .toDF("vec_id", "embedding", "label")
+    val probes = Seq((100L, v(1.0), null.asInstanceOf[java.lang.Integer]))
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.hardNegatives(corpus, probes, "vec_id", "embedding", "label", k = 5)
+      .select("neighbor_id").as[Long].collect().sorted.toSeq
+    assert(r === Seq(1L, 2L),
+      "null-label probes must mine labeled negatives; null-null is not a negative pair")
+  }
+
+  test("annTopK and lshBucketRows tolerate an EMPTY probe frame") {
+    def v(s: Double) = Array.tabulate(4)(i => (s + i * 0.01).toFloat)
+    val corpus = Seq((1L, v(1.0)), (2L, v(0.5))).toDF("vec_id", "embedding")
+    val empty = corpus.limit(0)
+    assert(Similarity.lshBucketRows(empty, "vec_id", "embedding", 4, 3).count() === 0)
+    assert(Similarity.annTopK(corpus, empty, "vec_id", "embedding", k = 3).count() === 0)
+    assert(Similarity.annTopKMultiprobe(corpus, empty, "vec_id", "embedding", k = 3)
+      .count() === 0)
   }
 
   test("knnClassify: majority of the k nearest wins; ties break low") {

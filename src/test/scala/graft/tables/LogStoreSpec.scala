@@ -20,8 +20,11 @@ import graft.conf.GraftSettings
 final class RacingMemoryLogStore extends LogStore {
   import RacingMemoryLogStore._
   override def tryClaim(fs: FileSystem, logDir: Path, name: String): Boolean = {
-    // wait briefly for a second contender; alone, time out and proceed
-    try gate.await(100, TimeUnit.MILLISECONDS)
+    // wait for a second contender; alone (the other writer finished, or
+    // its stage is slow this run), time out and proceed. The window must
+    // dwarf per-append jitter or two writers can serialize by LUCK and
+    // the collision this spec exists to manufacture never happens.
+    try gate.await(1500, TimeUnit.MILLISECONDS)
     catch { case _: Exception => gate.reset() }
     val won = claims.putIfAbsent(s"$logDir/$name", "") == null
     if (!won) collisions.incrementAndGet()
@@ -273,6 +276,32 @@ class LogStoreSpec extends SparkSpecBase {
         s"checkpoint written under the commit claim: ${CheckpointOrderLogStore.violations}")
       assert(t.read().count() === 3)
     } finally spark.conf.unset(LogStore.ConfKey)
+  }
+
+  test("tryClaim is atomic under a thread barrier: exactly one winner per claim") {
+    // Hadoop's LOCAL create(path, overwrite=false) is check-then-act (an
+    // exists probe + a plain FileOutputStream) — the default store must
+    // use a REAL O_EXCL create, or two barrier-aligned claimants can both
+    // "win" and then abort each other at the stillHeld re-verify
+    // (observed as commit thrash under contention)
+    val dir = Files.createTempDirectory("graft-claim-atomic-").toString
+    val fs = graft.lake.FsUtils.fs(spark, dir)
+    val logDir = new Path(s"$dir/log")
+    fs.mkdirs(logDir)
+    val store = new HadoopOExclLogStore
+    (1 to 50).foreach { round =>
+      val n = 4
+      val gate = new CyclicBarrier(n)
+      val wins = new AtomicInteger(0)
+      val threads = (1 to n).map(_ => new Thread(() => {
+        gate.await()
+        if (store.tryClaim(fs, logDir, s"v$round.json")) wins.incrementAndGet()
+        ()
+      }))
+      threads.foreach(_.start()); threads.foreach(_.join(10000))
+      assert(wins.get() === 1, s"round $round: ${wins.get()} claim winners")
+      store.release(fs, logDir, s"v$round.json")
+    }
   }
 
   test("O_EXCL default under thread contention also keeps the log dense") {
