@@ -168,11 +168,19 @@ object Classifier {
     if (i >= hist.length) return df // k >= total rows: everything selected
     val tBin = hist(i).getLong(0)
     val above = df.filter(bin > tBin)
-    // degenerate guard: if the distribution collapses into one bin the
-    // boundary rank IS a plain top-(k-cum) again — callers with spiky
-    // weight ranges shrink binWidth rather than silently driver-merging
+    // degenerate guard, LOUD: when most of the top-k ties into the one
+    // boundary bin, the boundary rank below IS the driver-merging
+    // orderBy.limit this path exists to avoid — shrinking binWidth fixes a
+    // spiky RANGE, but literally-equal weights cannot be split by any bin
+    // width, so fail with the diagnosis instead of silently OOMing the
+    // driver at k·partitions rows
+    val boundaryK = (k - cum).toInt
+    require(boundaryK <= math.max(exactLimitThreshold, 1 << 20),
+      s"topKByWeight: the boundary weight bin holds $boundaryK of the " +
+        s"top-$k — shrink binWidth (spiky range) or accept that " +
+        "literally-tied weights admit no cheap deterministic top-k")
     val boundary = df.filter(bin === tBin)
-      .orderBy(ord: _*).limit((k - cum).toInt)
+      .orderBy(ord: _*).limit(boundaryK)
     above.unionByName(boundary)
   }
 
@@ -220,8 +228,14 @@ object Classifier {
       .agg(sum(col("__p")).as("p_total"), sum(col("__n")).as("n_total"),
         sum(col("__u2")).as("__u2s"))
       .select(col("p_total"), col("n_total"),
-        (col("__u2s").cast("double")
-          / (lit(2L) * col("p_total") * col("n_total")).cast("double")).as("auc"))
+        // single-class input is a caller bug: 0/0 would emit NaN and a
+        // deployment gate comparing `auc > x` silently evaluates false —
+        // fail loudly like nbTrain's raise_error on the same condition
+        when(col("p_total") === 0L || col("n_total") === 0L,
+          raise_error(lit("aucExact: the scored frame holds a single " +
+            "class — AUC is undefined (0/0)")).cast("double"))
+          .otherwise(col("__u2s").cast("double")
+            / (lit(2L) * col("p_total") * col("n_total")).cast("double")).as("auc"))
   }
 
   /** Operating-point sweep for a scored corpus: per candidate threshold,
@@ -259,11 +273,12 @@ object Classifier {
   }
 
   /** Exact micro-nats → nats scale shift, emitted as DOUBLE (DECIMAL
-    * output columns hash-mismatch in the driver's canonicalizer). */
+    * output columns hash-mismatch in the driver's canonicalizer). Shares
+    * [[TextAnalysis.microToDouble]] at THIS caller's precision bounds —
+    * the conversion is portability-critical and must never drift between
+    * its two homes. */
   private def microShift(micro: Column): Column =
-    (micro.cast(org.apache.spark.sql.types.DecimalType(20, 0))
-      * expr("CAST(0.000001 AS DECIMAL(7,6))"))
-      .cast(org.apache.spark.sql.types.DecimalType(26, 6)).cast("double")
+    TextAnalysis.microToDouble(micro, 20, 26)
 
   /** DSIR importance weights over hashed unigram features.
     *
@@ -285,12 +300,18 @@ object Classifier {
     * note). One explode + one bucket groupBy for training, one explode +
     * map-side join + doc groupBy for scoring. */
   def dsirWeights(df: DataFrame, idCol: String, textCol: String,
-      targetCol: String, buckets: Int = 1024): DataFrame = {
+      targetCol: String, buckets: Int = 1024)(
+      implicit settings: graft.conf.GraftSettings = graft.conf.GraftSettings.default): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     val b = lit(buckets.toLong)
-    val tok = tokens(df, textCol, col(idCol), col(targetCol).cast("boolean").as("__t"))
-      .withColumn("bucket",
-        pmod(TextAnalysis.portableHash60(col("token")), b))
+    // materialized once, like unigramNllMicro: the tokenized corpus feeds
+    // BOTH the per-bucket training aggregate and the scoring join probe —
+    // without the barrier the full-corpus tokenize (normalize regex +
+    // explode + hash) runs twice, doubling the most expensive stage
+    val tok = Parallelism.materialize(
+      tokens(df, textCol, col(idCol), col(targetCol).cast("boolean").as("__t"))
+        .withColumn("bucket",
+          pmod(TextAnalysis.portableHash60(col("token")), b)))
     val perBucket = tok.groupBy("bucket").agg(
       sum(when(col("__t"), 1L).otherwise(0L)).as("__nt"),
       count(lit(1)).as("__nr"))

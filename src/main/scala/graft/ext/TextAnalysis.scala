@@ -42,7 +42,11 @@ object TextAnalysis {
     * re-derive this once per stopword (~20 full-text regex passes/row).
     */
   def doubledText(text: Column): Column =
-    concat(lit(" "), regexp_replace(lower(text), " ", "  "), lit(" "))
+    // EVERY whitespace char doubles to two spaces, not just ' ': tokenCount
+    // splits on \s+, so a space-only sentinel made words at newline/tab
+    // boundaries invisible to every stopword probe — multi-line text (all
+    // scraped documents) under-counted densities and mis-ID'd languages
+    concat(lit(" "), regexp_replace(lower(text), "\\s", "  "), lit(" "))
 
   /** Whole-word occurrence count against an already-doubled text (see
     * [[doubledText]]). Literal (non-regex) replace — codegen'd, no NFA. */
@@ -188,13 +192,20 @@ object TextAnalysis {
       .select(col(idCol), col("n_tokens"),
         microToNll(col("__nll_micro")).as("unigram_nll"))
 
+  /** Exact decimal micro → double scale-shift at CALLER-CHOSEN precision —
+    * the single home of the portability-critical conversion (the
+    * decimal→double cast of the same exact value rounds identically on
+    * both engines — r5 lesson). Precisions are parameters, NOT unified:
+    * each caller's recorded oracle hashes depend on its exact bounds. */
+  private[ext] def microToDouble(micro: Column, intPrec: Int, outPrec: Int): Column =
+    (micro.cast(org.apache.spark.sql.types.DecimalType(intPrec, 0))
+      * expr("CAST(0.000001 AS DECIMAL(7,6))"))
+      .cast(org.apache.spark.sql.types.DecimalType(outPrec, 6)).cast("double")
+
   /** Exact decimal scale-shift micro-nats → nats, emitted as DOUBLE. Kept
     * as a single shared expression so [[unigramNll]] and
     * [[unigramNllBand]] (and their oracles) present the identical bits. */
-  private def microToNll(micro: Column): Column =
-    (micro.cast(org.apache.spark.sql.types.DecimalType(12, 0))
-      * expr("CAST(0.000001 AS DECIMAL(7,6))"))
-      .cast(org.apache.spark.sql.types.DecimalType(18, 6)).cast("double")
+  private def microToNll(micro: Column): Column = microToDouble(micro, 12, 18)
 
   /** [[unigramNll]] with the NLL kept as INTEGER micro-nats
     * (`__nll_micro` LONG) — the exact form downstream operators filter

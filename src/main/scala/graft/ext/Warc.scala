@@ -46,13 +46,18 @@ object Warc {
   def write(records: Iterator[WarcRecord], gzipPerRecord: Boolean = true): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     records.foreach { r =>
+      // header values are CRLF-sanitized: a crawled URI containing a raw
+      // "\r\n" would otherwise inject forged header lines and shift the
+      // record framing (attacker-controlled payload bytes parsed as
+      // subsequent records — silent archive forgery)
+      def clean(v: String): String = v.replaceAll("[\r\n]", " ")
       val head = new StringBuilder()
         .append("WARC/1.0\r\n")
-        .append(s"WARC-Type: ${r.warcType}\r\n")
-      if (r.recordId.nonEmpty) head.append(s"WARC-Record-ID: ${r.recordId}\r\n")
-      if (r.targetUri.nonEmpty) head.append(s"WARC-Target-URI: ${r.targetUri}\r\n")
-      if (r.warcDate.nonEmpty) head.append(s"WARC-Date: ${r.warcDate}\r\n")
-      if (r.contentType.nonEmpty) head.append(s"Content-Type: ${r.contentType}\r\n")
+        .append(s"WARC-Type: ${clean(r.warcType)}\r\n")
+      if (r.recordId.nonEmpty) head.append(s"WARC-Record-ID: ${clean(r.recordId)}\r\n")
+      if (r.targetUri.nonEmpty) head.append(s"WARC-Target-URI: ${clean(r.targetUri)}\r\n")
+      if (r.warcDate.nonEmpty) head.append(s"WARC-Date: ${clean(r.warcDate)}\r\n")
+      if (r.contentType.nonEmpty) head.append(s"Content-Type: ${clean(r.contentType)}\r\n")
       head.append(s"Content-Length: ${r.payload.length}\r\n\r\n")
       val recordBytes = head.toString.getBytes(UTF_8) ++ r.payload ++ "\r\n\r\n".getBytes(UTF_8)
       if (gzipPerRecord) {
@@ -78,9 +83,16 @@ object Warc {
     val out = new ByteArrayOutputStream(
       math.min(bytes.length.toLong * 4, 64L * 1024 * 1024).toInt)
     val buf = new Array[Byte](64 * 1024)
+    // hard cap just under the JVM array limit: a valid archive
+    // decompressing past ~2 GB would otherwise OOM-Error the task (an
+    // Error the totality handlers below cannot catch). At the cap the
+    // tail is dropped exactly like a truncated archive — records parsed
+    // so far serve; >2 GB archives belong split upstream (Common Crawl
+    // caps members at ~1 GB compressed for exactly this reason).
+    val cap = 2000000000
     try {
       var n = in.read(buf)
-      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      while (n >= 0 && out.size() < cap) { out.write(buf, 0, n); n = in.read(buf) }
     } catch {
       // truncated/corrupt trailing member (EOF mid-stream, bad member
       // header or CRC): keep what decompressed — the parser below drops

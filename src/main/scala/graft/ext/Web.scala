@@ -115,8 +115,11 @@ object Web {
       regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1),
       "/+$", "")
     // anchor before '#': a '?' first appearing inside the fragment is NOT a
-    // query ('https://a.io/p#f?x=1' has no query string)
-    val rawQ = regexp_extract(url, "^[^#]*\\?([^#]*)", 1)
+    // query ('https://a.io/p#f?x=1' has no query string). The prefix class
+    // excludes '?' too, anchoring at the FIRST '?' — a greedy [^#]* would
+    // backtrack to the LAST one and silently truncate queries containing a
+    // literal '?' (legal per RFC 3986), colliding distinct URLs in dedup
+    val rawQ = regexp_extract(url, "^[^#?]*\\?([^#]*)", 1)
     val kept = filter(split(rawQ, "&"), p => {
       val name = lower(element_at(split(p, "="), 1))
       length(p) > lit(0) &&
@@ -210,16 +213,21 @@ object Web {
     */
   def domainCap(df: DataFrame, domainCol: String, idCol: String, cap: Int): DataFrame = {
     require(cap > 0, s"cap must be positive, got $cap")
-    val over = df.groupBy(col(domainCol)).agg(count(lit(1)).as("__n"))
-      .filter(col("__n") > cap).select(col(domainCol))
-    val under = df.join(broadcast(over), Seq(domainCol), "left_anti")
+    // NULL domains form ONE capped group like any other: the join keys
+    // below never match NULL (anti keeps, semi drops), so without the
+    // sentinel an unattributable mass of any size sailed past the cap
+    val withDom = df.withColumn("__dom",
+      coalesce(col(domainCol).cast("string"), lit("__graft_null_domain__")))
+    val over = withDom.groupBy(col("__dom")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > cap).select(col("__dom"))
+    val under = withDom.join(broadcast(over), Seq("__dom"), "left_anti")
     val h = TextAnalysis.portableHash60(
       concat_ws(":", lit("cap"), col(idCol).cast("string")))
-    val w = Window.partitionBy(col(domainCol)).orderBy(h.asc, col(idCol).asc)
-    val capped = df.join(broadcast(over), Seq(domainCol), "left_semi")
+    val w = Window.partitionBy(col("__dom")).orderBy(h.asc, col(idCol).asc)
+    val capped = withDom.join(broadcast(over), Seq("__dom"), "left_semi")
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= cap).drop("__rk")
-    under.unionByName(capped.select(under.columns.map(col).toSeq: _*))
+    under.unionByName(capped.select(under.columns.map(col).toSeq: _*)).drop("__dom")
   }
 
   /** Drop rows whose host equals, or is a subdomain of, any blocked domain

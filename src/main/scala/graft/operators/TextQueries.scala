@@ -132,7 +132,7 @@ object TextQueries {
           .drop("text")
           .orderBy(col("doc_id")),
       Some(s"""WITH base AS (
-          SELECT doc_id, text, ' ' || replace(lower(text), ' ', '  ') || ' ' AS x
+          SELECT doc_id, text, ' ' || regexp_replace(lower(text), '\\s', '  ', 'g') || ' ' AS x
           FROM documents),
         m AS (
           SELECT doc_id, text, x,
@@ -166,7 +166,7 @@ object TextQueries {
             TextAnalysis.langidIn(col("text"), col("__x")).as("lang_pred"))
           .orderBy(col("doc_id")),
       Some(s"""WITH base AS (
-          SELECT doc_id, lang, text, ' ' || replace(lower(text), ' ', '  ') || ' ' AS x
+          SELECT doc_id, lang, text, ' ' || regexp_replace(lower(text), '\\s', '  ', 'g') || ' ' AS x
           FROM documents),
         sc AS (
           SELECT doc_id, lang,
@@ -375,7 +375,7 @@ object TextQueries {
           .select(col("doc_id"), col("n_tokens"), col("quality_score"))
           .orderBy(col("doc_id")),
       Some(s"""WITH base AS (
-          SELECT doc_id, text, ' ' || replace(lower(text), ' ', '  ') || ' ' AS x
+          SELECT doc_id, text, ' ' || regexp_replace(lower(text), '\\s', '  ', 'g') || ' ' AS x
           FROM documents),
         m AS (
           SELECT doc_id,
@@ -1300,7 +1300,7 @@ object TextQueries {
             trim(regexp_replace(s, '[ \t\r\n]+', ' ', 'g')) AS text
           FROM decoded),
         base AS (
-          SELECT target_uri, text, ' ' || replace(lower(text), ' ', '  ') || ' ' AS x
+          SELECT target_uri, text, ' ' || regexp_replace(lower(text), '\\s', '  ', 'g') || ' ' AS x
           FROM extracted),
         m AS (
           SELECT target_uri,
@@ -1478,7 +1478,7 @@ object TextQueries {
           .orderBy(col("doc_id"))
       },
       Some(s"""WITH base AS (
-          SELECT doc_id, text, ' ' || replace(lower(text), ' ', '  ') || ' ' AS x
+          SELECT doc_id, text, ' ' || regexp_replace(lower(text), '\\s', '  ', 'g') || ' ' AS x
           FROM documents),
         m AS (
           SELECT doc_id,

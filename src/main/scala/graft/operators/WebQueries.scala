@@ -85,7 +85,7 @@ object WebQueries {
             regexp_replace(
               regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1),
               '/+$$', '') AS path,
-            regexp_extract(url, '^[^#]*\\?([^#]*)', 1) AS rawq
+            regexp_extract(url, '^[^#?]*\\?([^#]*)', 1) AS rawq
           FROM u),
         canon AS (
           SELECT doc_id,

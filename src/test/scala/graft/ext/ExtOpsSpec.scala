@@ -547,6 +547,46 @@ class ExtOpsSpec extends SparkSpecBase {
     assert(groups(2L) === 2L)
   }
 
+  test("stopword probes see words at newline/tab boundaries (multi-line text)") {
+    import org.apache.spark.sql.functions.{col => c}
+    val df = Seq(
+      ("nl", "der\ndie\nund\ndas\nist"), // German, newline-separated
+      ("sp", "der die und das ist"))     // same words, space-separated
+      .toDF("id", "text")
+      .select(c("id"),
+        TextAnalysis.langid(c("text")).as("lang"),
+        TextAnalysis.stopwordDensity(c("text"), "de").as("de_density"))
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getDouble(2))).toMap
+    // a space-only word-boundary sentinel made every newline-adjacent word
+    // invisible: langid fell back to 'en' and density scored 0
+    assert(df("sp") === ("de", 1.0))
+    assert(df("nl") === ("de", 1.0),
+      "newline-separated stopwords must count exactly like space-separated ones")
+  }
+
+  test("canonicalizeUrl keeps queries containing a literal '?'") {
+    import org.apache.spark.sql.functions.{col => c}
+    val r = Seq(
+      "https://a.io/s?q=what?&lang=en",
+      "https://a.io/s?q=other?&lang=en",
+      "https://a.io/p#f?x=1") // '?' only inside the fragment: no query
+      .toDF("url").select(Web.canonicalizeUrl(c("url")).as("cu"))
+      .as[String].collect().toSeq
+    assert(r(0) === "https://a.io/s?lang=en&q=what?")
+    assert(r(1) === "https://a.io/s?lang=en&q=other?",
+      "distinct multi-'?' queries must not collide on one canonical key")
+    assert(r(2) === "https://a.io/p")
+  }
+
+  test("domainCap caps the NULL-domain group like any other") {
+    val rows = (1 to 10).map(i => (i.toLong, if (i <= 8) null else "ok.io"))
+      .toDF("doc_id", "dom")
+    val capped = Web.domainCap(rows, "dom", "doc_id", cap = 3)
+    assert(capped.filter(col("dom").isNull).count() === 3,
+      "an unattributable NULL-domain mass must not bypass the cap")
+    assert(capped.filter(col("dom") === "ok.io").count() === 2)
+  }
+
   test("minhashDedup works when idCol is literally 'id' (no ambiguous join)") {
     val byId = Dedup.minhashDedup(
       docs.withColumnRenamed("doc_id", "id"), "id", "text", threshold = 0.5)
