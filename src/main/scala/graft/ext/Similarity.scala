@@ -169,12 +169,16 @@ object Similarity {
       bitsPerTable: Int,
       portable: Boolean = false): DataFrame = {
     val spark = df.sparkSession
-    // dimensionality from the first row (one LIMIT-1 job, never a full
-    // scan); vectors are assumed uniform-width, like every ANN operator
-    // here. An EMPTY frame (a drained incremental batch, an empty probe
-    // set) returns an empty bucket frame instead of crashing on head()
-    val dimRow = df.select(size(col(vecCol)).as("d")).limit(1).collect()
-    if (dimRow.isEmpty || dimRow(0).isNullAt(0))
+    // dimensionality from the first NON-NULL vector (one LIMIT-1 job,
+    // never a full scan); vectors are assumed uniform-width, like every
+    // ANN operator here. Probing an arbitrary first row would read a
+    // NULL vector's size as null and silently drop EVERY row's
+    // candidates — only a frame with no non-null vector at all (a
+    // drained incremental batch, an empty probe set) returns the empty
+    // bucket frame instead of crashing on head()
+    val dimRow = df.filter(col(vecCol).isNotNull)
+      .select(size(col(vecCol)).as("d")).limit(1).collect()
+    if (dimRow.isEmpty)
       return df.select(col(idCol).as("id")).limit(0)
         .withColumn("tbl", lit(0)).withColumn("bucket", lit(0))
     val dim = dimRow(0).getInt(0)

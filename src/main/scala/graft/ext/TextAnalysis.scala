@@ -13,15 +13,25 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** The EXPLICIT whitespace set every tokenizer/stopword probe uses, on
+    * BOTH sides of the DuckDB oracle. Never `\s`: Java regex's `\s`
+    * includes vertical tab `\x0B` while RE2's (DuckDB) excludes it, so
+    * the engine-dependent shorthand silently diverges on any document
+    * carrying a VT — the explicit class (Java's exact `\s` set, so
+    * Spark-side behavior is unchanged) is engine-identical. */
+  val WsChars: String = " \\t\\n\\x0B\\f\\r"
+  val WsClass: String = s"[$WsChars]"
+
   /** Whitespace-delimited token count (0 for empty/blank). */
   def tokenCount(text: Column): Column =
     when(length(trim(text)) === 0, lit(0))
-      .otherwise(size(split(trim(text), "\\s+")))
+      .otherwise(size(split(trim(text), WsClass + "+")))
 
   /** BPE-ish subword-budget token pattern: letter runs, short digit runs
     * (1-3, the way modern BPE vocabularies chunk numbers), punctuation
-    * runs. RE2-safe (no lookarounds) so any engine tokenizes identically. */
-  val BpeTokenPattern: String = "[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\\s]+"
+    * runs. RE2-safe (no lookarounds, explicit [[WsClass]] whitespace) so
+    * any engine tokenizes identically. */
+  val BpeTokenPattern: String = s"[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9$WsChars]+"
 
   /** Approximate LLM-token count: matches of [[BpeTokenPattern]]. A cheap,
     * deterministic stand-in for a real BPE vocabulary — counts letter runs,
@@ -43,10 +53,10 @@ object TextAnalysis {
     */
   def doubledText(text: Column): Column =
     // EVERY whitespace char doubles to two spaces, not just ' ': tokenCount
-    // splits on \s+, so a space-only sentinel made words at newline/tab
-    // boundaries invisible to every stopword probe — multi-line text (all
-    // scraped documents) under-counted densities and mis-ID'd languages
-    concat(lit(" "), regexp_replace(lower(text), "\\s", "  "), lit(" "))
+    // splits on WsClass+, so a space-only sentinel made words at newline/
+    // tab boundaries invisible to every stopword probe — multi-line text
+    // (all scraped documents) under-counted densities and mis-ID'd langs
+    concat(lit(" "), regexp_replace(lower(text), WsClass, "  "), lit(" "))
 
   /** Whole-word occurrence count against an already-doubled text (see
     * [[doubledText]]). Literal (non-regex) replace — codegen'd, no NFA. */

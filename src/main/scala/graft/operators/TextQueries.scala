@@ -132,12 +132,12 @@ object TextQueries {
           .drop("text")
           .orderBy(col("doc_id")),
       Some(s"""WITH base AS (
-          SELECT doc_id, text, ' ' || regexp_replace(lower(text), '\\s', '  ', 'g') || ' ' AS x
+          SELECT doc_id, text, ' ' || regexp_replace(lower(text), '${TextAnalysis.WsClass}', '  ', 'g') || ' ' AS x
           FROM documents),
         m AS (
           SELECT doc_id, text, x,
             CASE WHEN length(trim(text)) = 0 THEN 0
-                 ELSE CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) END AS n_tokens,
+                 ELSE CAST(len(string_split_regex(trim(text), '${TextAnalysis.WsClass}+')) AS INTEGER) END AS n_tokens,
             CASE WHEN length(text) = 0 THEN 0.0
                  ELSE CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) END AS alpha_ratio,
             CASE WHEN length(text) = 0 THEN 0.0
@@ -166,7 +166,7 @@ object TextQueries {
             TextAnalysis.langidIn(col("text"), col("__x")).as("lang_pred"))
           .orderBy(col("doc_id")),
       Some(s"""WITH base AS (
-          SELECT doc_id, lang, text, ' ' || regexp_replace(lower(text), '\\s', '  ', 'g') || ' ' AS x
+          SELECT doc_id, lang, text, ' ' || regexp_replace(lower(text), '${TextAnalysis.WsClass}', '  ', 'g') || ' ' AS x
           FROM documents),
         sc AS (
           SELECT doc_id, lang,
@@ -337,9 +337,9 @@ object TextQueries {
           .orderBy(col("doc_id")),
       Some("""WITH m AS (
           SELECT doc_id,
-            CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]+')) AS INTEGER) AS n_bpe,
+            CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9 \t\n\x0B\f\r]+')) AS INTEGER) AS n_bpe,
             CASE WHEN length(trim(text)) = 0 THEN 0
-                 ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) END AS n_words
+                 ELSE CAST(len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS INTEGER) END AS n_words
           FROM documents)
         SELECT doc_id, n_bpe, n_words,
           CAST(n_bpe AS DOUBLE) / greatest(n_words, 1) AS fertility
@@ -375,12 +375,12 @@ object TextQueries {
           .select(col("doc_id"), col("n_tokens"), col("quality_score"))
           .orderBy(col("doc_id")),
       Some(s"""WITH base AS (
-          SELECT doc_id, text, ' ' || regexp_replace(lower(text), '\\s', '  ', 'g') || ' ' AS x
+          SELECT doc_id, text, ' ' || regexp_replace(lower(text), '${TextAnalysis.WsClass}', '  ', 'g') || ' ' AS x
           FROM documents),
         m AS (
           SELECT doc_id,
             CASE WHEN length(trim(text)) = 0 THEN 0
-                 ELSE CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) END AS n_tokens,
+                 ELSE CAST(len(string_split_regex(trim(text), '${TextAnalysis.WsClass}+')) AS INTEGER) END AS n_tokens,
             CASE WHEN length(text) = 0 THEN 0.0
                  ELSE CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) END AS alpha_ratio,
             CASE WHEN length(text) = 0 THEN 0.0
@@ -521,7 +521,7 @@ object TextQueries {
       Some("""WITH m AS (
           SELECT doc_id, lang,
             CASE WHEN length(trim(text)) = 0 THEN 0
-                 ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) END AS n_tokens
+                 ELSE CAST(len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS INTEGER) END AS n_tokens
           FROM documents),
         c AS (
           SELECT doc_id, lang, n_tokens,
@@ -986,7 +986,7 @@ object TextQueries {
           SELECT source,
             md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
             CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS BIGINT)
-                 ELSE CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) END AS nt
+                 ELSE CAST(len(string_split_regex(trim(text), '${TextAnalysis.WsClass}+')) AS BIGINT) END AS nt
           FROM documents),
         a AS (
           SELECT source, count(*) AS n_docs, count(DISTINCT fp) AS n_unique,
@@ -1300,12 +1300,12 @@ object TextQueries {
             trim(regexp_replace(s, '[ \t\r\n]+', ' ', 'g')) AS text
           FROM decoded),
         base AS (
-          SELECT target_uri, text, ' ' || regexp_replace(lower(text), '\\s', '  ', 'g') || ' ' AS x
+          SELECT target_uri, text, ' ' || regexp_replace(lower(text), '${TextAnalysis.WsClass}', '  ', 'g') || ' ' AS x
           FROM extracted),
         m AS (
           SELECT target_uri,
             CASE WHEN length(trim(text)) = 0 THEN 0
-                 ELSE CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) END AS n_tokens,
+                 ELSE CAST(len(string_split_regex(trim(text), '${TextAnalysis.WsClass}+')) AS INTEGER) END AS n_tokens,
             CASE WHEN length(text) = 0 THEN 0.0
                  ELSE CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) END AS alpha_ratio,
             CASE WHEN length(text) = 0 THEN 0.0
@@ -1478,12 +1478,12 @@ object TextQueries {
           .orderBy(col("doc_id"))
       },
       Some(s"""WITH base AS (
-          SELECT doc_id, text, ' ' || regexp_replace(lower(text), '\\s', '  ', 'g') || ' ' AS x
+          SELECT doc_id, text, ' ' || regexp_replace(lower(text), '${TextAnalysis.WsClass}', '  ', 'g') || ' ' AS x
           FROM documents),
         m AS (
           SELECT doc_id,
             CASE WHEN length(trim(text)) = 0 THEN 0
-                 ELSE CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) END AS n_tokens,
+                 ELSE CAST(len(string_split_regex(trim(text), '${TextAnalysis.WsClass}+')) AS INTEGER) END AS n_tokens,
             CASE WHEN length(text) = 0 THEN 0.0
                  ELSE CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) END AS alpha_ratio,
             CASE WHEN length(text) = 0 THEN 0.0

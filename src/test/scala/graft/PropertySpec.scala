@@ -25,6 +25,18 @@ class PropertySpec extends SparkSpecBase {
     v <- Gen.alphaNumStr.map(_.take(8))
   } yield (key, seq, v))
 
+  test("WsClass is exactly Java regex \\s over all of ASCII (Spark-side behavior pinned)") {
+    // the explicit class exists because RE2's \s excludes \x0B while
+    // Java's includes it — the Spark side must keep Java-\s semantics
+    // exactly, and the oracle SQL now carries the same literal class
+    val ws = graft.ext.TextAnalysis.WsClass
+    (0 to 0x7f).foreach { c =>
+      val s = c.toChar.toString
+      assert(s.matches(ws) === s.matches("\\s"),
+        f"char 0x$c%02X diverges between WsClass and Java \\s")
+    }
+  }
+
   test("latestPerKey == self-join on per-key max ordering") {
     samples(rowGen, 10).filter(_.nonEmpty).foreach { rows =>
       {

@@ -712,6 +712,23 @@ class ExtOpsSpec extends SparkSpecBase {
     assert(recall >= 0.5, s"recall=$recall")
   }
 
+  test("lshBucketRows: a NULL vector in the FIRST row must not blank the frame") {
+    // the dimensionality probe reads one row; a null vector there used to
+    // read size() as null and return the empty bucket frame — silently
+    // dropping every non-null row's ANN candidates
+    val rows = Seq((0L, null.asInstanceOf[Array[Float]]),
+      (1L, Array(1.0f, 0.0f, 0.0f)), (2L, Array(0.0f, 1.0f, 0.0f)))
+    val df = spark.createDataFrame(rows).toDF("vec_id", "embedding")
+      .orderBy(col("vec_id")).coalesce(1) // pin the null row first
+    val buckets = Similarity.lshBucketRows(df, "vec_id", "embedding", 4, 4,
+      portable = true)
+    val ids = buckets.select("id").distinct().as[Long].collect().toSet
+    assert(ids === Set(1L, 2L), s"non-null vectors must bucket, got $ids")
+    // all-null / empty frames still take the graceful empty return
+    assert(Similarity.lshBucketRows(df.filter(col("embedding").isNull),
+      "vec_id", "embedding", 4, 4).count() === 0)
+  }
+
   test("ivfTopK recall vs brute force; cells partition the corpus") {
     val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
     val probes = emb.filter(col("vec_id") < 10)
