@@ -37,6 +37,28 @@ object GraftSession {
     "spark.sql.adaptive.enabled" -> "true",
     "spark.sql.adaptive.coalescePartitions.enabled" -> "true")
 
+  /** Guard for surfaces that CANNOT run over a Spark Connect session —
+    * anything needing the driver's SparkContext (the table/lake API's
+    * filesystem + commit-log access). Connect sessions are a separate
+    * implementation class (`org.apache.spark.sql.connect.*`) of the
+    * unified Spark 4 `SparkSession`, so the class NAME is the dispatch;
+    * without this guard the failure is an opaque
+    * "sparkContext is not supported" deep inside a read. The SQL surface
+    * (DML, maintenance statements, `graft_*` functions, `format("graft")`)
+    * works over Connect when the SERVER session carries the graft jar
+    * and `spark.sql.extensions=graft.GraftExtensions` — see the README's
+    * Connect matrix. */
+  def requireClassic(sessionClassName: String, what: String): Unit =
+    if (sessionClassName.startsWith("org.apache.spark.sql.connect."))
+      throw new UnsupportedOperationException(
+        s"$what needs a CLASSIC SparkSession and cannot run over Spark " +
+          "Connect: the client has no SparkContext. Run this code on the " +
+          "server/driver side, or use the SQL surface (DELETE/UPDATE/" +
+          "MERGE INTO, VACUUM/OPTIMIZE/..., graft_* functions, " +
+          "spark.read.format(\"graft\")) against a Connect server whose " +
+          "session was created with the graft jar and " +
+          "spark.sql.extensions=graft.GraftExtensions")
+
   /** A builder pre-wired with [[Defaults]] and the Connect/classic
     * dispatch. `remote` argument > `SPARK_REMOTE` env > classic. Call
     * `.master(...)`/`.config(...)` on the result as usual, then

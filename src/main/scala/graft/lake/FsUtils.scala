@@ -10,8 +10,11 @@ import org.apache.spark.sql.SparkSession
   */
 object FsUtils {
 
-  def fs(spark: SparkSession, path: String): FileSystem =
+  def fs(spark: SparkSession, path: String): FileSystem = {
+    graft.api.GraftSession.requireClassic(spark.getClass.getName,
+      "the graft table/lake Scala API (driver-side filesystem + commit-log access)")
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+  }
 
   def pathExists(spark: SparkSession, path: String): Boolean =
     fs(spark, path).exists(new Path(path))

@@ -37,7 +37,13 @@ final case class Commit(
       * previous binding (a second delete writes the merged sidecar); the
       * [[DeletionVectors.Cleared]] sentinel value clears it (restore).
       * Absent in pre-DV logs. */
-    dvs: Option[Map[String, String]] = None)
+    dvs: Option[Map[String, String]] = None,
+    /** Reader features this commit's CONTENT depends on (Delta's
+      * readerFeatures — see [[GraftProtocol]]). Stamped from content at
+      * write time; a reader refuses any feature it does not know before
+      * serving a row. Absent (= baseline) in pre-gate logs AND on
+      * baseline commits, so the common commit pays zero extra bytes. */
+    features: Option[Seq[String]] = None)
 
 /** Per-column stats of one data file, in portable string form:
   * numerics/strings/dates as their cast-to-string value, timestamps as
@@ -88,9 +94,16 @@ final case class LogCheckpoint(
     stats: Map[String, FileStats],
     /** Live files' CURRENT deletion-vector bindings (file -> sidecar).
       * Option so pre-DV checkpoint JSONs decode (missing field = None). */
-    dvs: Option[Map[String, String]] = None) {
+    dvs: Option[Map[String, String]] = None,
+    /** Running UNION of every reader feature the history up to `version`
+      * required ([[GraftProtocol]]) — monotone, like Delta's protocol
+      * action: a vacuumLog-trimmed table still gates foreign readers from
+      * its surviving checkpoint alone. Absent = baseline (pre-gate). */
+    features: Option[Seq[String]] = None) {
   /** The DV bindings as a plain map (empty = no deletes outstanding). */
   def dvFor: Map[String, String] = dvs.getOrElse(Map.empty)
+  /** Required reader features as a plain set (empty = baseline). */
+  def featureSet: Set[String] = features.map(_.toSet).getOrElse(Set.empty)
 }
 
 /** A versioned parquet table — the engine's stand-in for the Delta tables
@@ -140,6 +153,14 @@ final class GraftTable private (
   @volatile private var bucketSpecCache: Option[Option[BucketSpec]] = None
 
   def bucketSpec: Option[BucketSpec] = bucketSpecCache.getOrElse {
+    // Caching a None is sound only if no creator can still declare a
+    // spec, so observe `exists` BEFORE the meta probe: setBucketSpec
+    // refuses once a table has commits, so commits-at-probe-time means
+    // no spec can ever appear later. The reverse order is a TOCTOU — a
+    // concurrent creator's _meta.json write plus first commit can land
+    // between the two checks, and the handle would pin a bucketed table
+    // as unbucketed for its lifetime.
+    val hadCommits = exists
     val v =
       if (!fs.exists(metaFile)) None
       else {
@@ -147,7 +168,7 @@ final class GraftTable private (
         try Some(JsonMethods.parse(in).extract[BucketSpec])
         finally in.close()
       }
-    if (v.isDefined || exists) bucketSpecCache = Some(v)
+    if (v.isDefined || hadCommits) bucketSpecCache = Some(v)
     v
   }
 
@@ -569,6 +590,12 @@ final class GraftTable private (
     }
     val c = try JsonMethods.parse(in).extract[Commit]
     finally in.close()
+    // the protocol gate: EVERY read surface (batch, SQL, native relation,
+    // streaming, CDF, time travel, history) parses commits here, so a
+    // future-feature commit refuses before any surface serves a row.
+    // Checked before caching — a refused commit is never half-admitted.
+    GraftProtocol.requireReadable(c.features.getOrElse(Nil), path,
+      s"commit v${c.version}")
     if (commitCache.size > 4096) commitCache.clear()
     commitCache.put(name, c)
     c
@@ -641,9 +668,19 @@ final class GraftTable private (
             try JsonMethods.parse(in).extract[LogCheckpoint]
             finally in.close()
           }
+        // gate BEFORE caching/serving: a checkpoint is the only feature
+        // record that survives vacuumLog, so a trimmed future-feature
+        // table must refuse here, not fall back to an older checkpoint
+        GraftProtocol.requireReadable(parsed.featureSet, path,
+          s"checkpoint v${parsed.version}")
         ckptCache = (p.getName, parsed) // checkpoint files are write-once too
         Some(parsed)
-      } catch { case scala.util.control.NonFatal(_) => None }
+      } catch {
+        // unreadable checkpoints degrade (optimization, never correctness);
+        // an UNSUPPORTED table is a refusal, not a degrade
+        case e: UnsupportedTableFeatureException => throw e
+        case scala.util.control.NonFatal(_) => None
+      }
     }.nextOption().getOrElse(LogCheckpoint(0L, Seq.empty, None, Map.empty))
     // trimmed-log soundness: versions are dense, so the replay from `base`
     // to `asOf` is complete iff the first commit after base survives (or
@@ -662,6 +699,7 @@ final class GraftTable private (
     var schemaJson = base.schemaJson
     var stats = base.stats
     var dvs = base.dvFor
+    var feats = base.featureSet
     var v = base.version
     commitFiles
       .filter(p => { val pv = versionOf(p); pv > base.version && pv <= asOf })
@@ -677,10 +715,12 @@ final class GraftTable private (
         c.dvs.getOrElse(Map.empty).foreach { case (f, dv) =>
           dvs = if (dv == DeletionVectors.Cleared) dvs - f else dvs + (f -> dv)
         }
+        feats ++= c.features.getOrElse(Nil) // monotone union, like Delta
         v = c.version
       }
     LogCheckpoint(v, live.toSeq, schemaJson, stats,
-      if (dvs.isEmpty) None else Some(dvs))
+      if (dvs.isEmpty) None else Some(dvs),
+      if (feats.isEmpty) None else Some(feats.toSeq.sorted))
   }
 
   /** Persist [[snapshot]] as `<version>.checkpoint.json` when the version
@@ -1221,15 +1261,22 @@ final class GraftTable private (
       stats: Map[String, FileStats] = Map.empty,
       changes: Option[Seq[String]] = None,
       dvs: Map[String, String] = Map.empty): Commit = {
-    val c = Commit(version + 1, action, dataChange, System.currentTimeMillis(),
-      add, remove, schemaJson, metrics,
+    val c = stampFeatures(Commit(version + 1, action, dataChange,
+      System.currentTimeMillis(), add, remove, schemaJson, metrics,
       if (stats.isEmpty) None else Some(stats),
       changes,
-      if (dvs.isEmpty) None else Some(dvs))
+      if (dvs.isEmpty) None else Some(dvs)))
     writeCommit(c)
     maybeWriteCheckpoint(c.version)
     c
   }
+
+  /** Derive and record the commit's required reader features from its
+    * content ([[GraftProtocol.featuresOf]]) — stamped here, at the single
+    * funnel both construction sites pass through, so no write path can
+    * forget the gate. */
+  private def stampFeatures(c: Commit): Commit =
+    c.copy(features = GraftProtocol.featuresOf(c))
 
   /** Test seam: invoked once just before a rewrite's first commit attempt
     * (inside [[commitRewrite]]), so specs can deterministically interleave
@@ -1304,10 +1351,10 @@ final class GraftTable private (
         base = now // disjoint writers: the rewrite is still valid verbatim
       } else {
         try {
-          val c = Commit(base + 1, action, dataChange,
+          val c = stampFeatures(Commit(base + 1, action, dataChange,
             System.currentTimeMillis(), add, remove, schemaJson(), metrics,
             if (stats.isEmpty) None else Some(stats), changes,
-            if (dvs.isEmpty) None else Some(dvs))
+            if (dvs.isEmpty) None else Some(dvs)))
           writeCommit(c)
           maybeWriteCheckpoint(c.version)
           return c
@@ -2434,20 +2481,28 @@ final class GraftTable private (
     * `_symlink_format_manifest/` listing the absolute URI of every live
     * data file at the current version, swapped in atomically. Engines that
     * cannot replay the graft log read exactly the committed live set —
-    * never a partial write. Returns the listed paths. */
-  def writeManifest(): Seq[String] = {
+    * never a partial write. Returns the listed paths.
+    *
+    * `purgeFirst` is the DV-bearing table's route: REORG-purge the
+    * deletion vectors (an [[optimize]] pass — DV-bearing files rewrite so
+    * the bitmaps die and rows materialize), then manifest the purged
+    * state. Without it a DV-bearing table REFUSES (a manifest reader
+    * scans raw parquet and cannot apply bitmaps, so it would serve
+    * deleted rows) — same refusal as Delta's manifest generation. */
+  def writeManifest(purgeFirst: Boolean = false): Seq[String] = {
     val manifestDir = new Path(path, "_symlink_format_manifest")
     fs.mkdirs(manifestDir)
+    if (purgeFirst && snapshot().dvFor.nonEmpty) optimize()
     val snap = snapshot()
     // a manifest reader scans raw parquet and cannot apply bitmaps — a
     // manifest over DV-bearing files would serve DELETED rows to every
-    // external engine. Delta's manifest generation refuses the same way;
-    // OPTIMIZE purges the DVs and re-enables it.
+    // external engine. Delta's manifest generation refuses the same way.
     if (snap.dvFor.nonEmpty)
       throw new IllegalStateException(
         s"cannot write a symlink manifest for $path: ${snap.dvFor.size} live " +
           "file(s) carry deletion vectors external readers cannot apply — " +
-          "run optimize() to purge them first")
+          "call writeManifest(purgeFirst = true) (or run REORG TABLE ... " +
+          "APPLY (PURGE) / optimize() first)")
     val live = snap.live.map(f => fs.makeQualified(new Path(path, f)).toString)
     val tmp = new Path(manifestDir, s".manifest.${UUID.randomUUID()}.tmp")
     val out = fs.create(tmp, false)
@@ -2589,13 +2644,28 @@ final class GraftTable private (
     // (underscore/dot prefixes) and to the orphan passes above (those
     // skip hidden paths / non-files), so a crash between the parquet
     // write and the post-rename cleanup would leak a batch-sized
-    // directory FOREVER. Aged by dir mtime on the same retention clock
-    // that protects in-flight writers' staged files.
+    // directory FOREVER. Aged on the same retention clock that protects
+    // in-flight writers' staged files — but on the NEWEST mtime among
+    // the dir's recursive children, not the dir inode's own: bucketed
+    // stage() lands files in `graft_bucket=N/` subdirectories, so the
+    // root staging dir's mtime stays at creation time and the dir's own
+    // age would delete a long-running bucketed write mid-flight.
+    def newestMtime(p: Path): Long =
+      try {
+        val st = fs.getFileStatus(p)
+        if (!st.isDirectory) st.getModificationTime
+        else (st.getModificationTime +:
+          fs.listStatus(p).toSeq.map(c => newestMtime(c.getPath))).max
+      } catch {
+        // racing writer/cleaner removed it under us: report "too new" —
+        // skipping a vanishing dir this pass is always safe
+        case _: java.io.FileNotFoundException => Long.MaxValue
+      }
     def stagingOrphans(parent: Path, prefix: String, relPrefix: String): Seq[String] =
       if (!fs.exists(parent)) Seq.empty
       else fs.listStatus(parent).toSeq
         .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix) &&
-          st.getModificationTime < cutoff)
+          newestMtime(st.getPath) < cutoff)
         .map(st => s"$relPrefix${st.getPath.getName}")
     val stagingDirs =
       stagingOrphans(new Path(path), "_staging-", "") ++
@@ -2732,13 +2802,26 @@ object GraftTable {
     * nested `k=v/...` relative paths a basename would never equal (or,
     * worse, would equal for the WRONG file when two partitions repeat a
     * basename). */
-  private[tables] def relNameColumn(qualifiedRoots: Seq[String]): org.apache.spark.sql.Column =
-    qualifiedRoots.map(_.stripSuffix("/") + "/")
+  private[tables] def relNameColumn(qualifiedRoots: Seq[String]): org.apache.spark.sql.Column = {
+    // `_metadata.file_path` is the URI-ENCODED rendering of the on-disk
+    // path (SparkPath): a hive-escaped dir `k=a%20b` (value 'a b')
+    // renders here as `k=a%2520b`, while log names store the on-disk
+    // LITERAL form (convert() records toUri.getPath, which sheds the URI
+    // layer). The stripped suffix must therefore shed exactly ONE
+    // percent-decode layer before anything compares it against
+    // `snap.live` — '+' is a literal in a URI path (never form-encoded),
+    // so it is protected from url_decode's form decoding first; a suffix
+    // that is not a valid rendering (no SparkPath writes one) passes
+    // through raw, mirroring [[hiveUnescapeOrRaw]]'s read-side degrade.
+    def uriDecode(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      coalesce(try_url_decode(regexp_replace(c, "\\+", "%2B")), c)
+    uriDecode(qualifiedRoots.map(_.stripSuffix("/") + "/")
       .foldLeft(col("_metadata.file_name")) { (acc, prefix) =>
         when(col("_metadata.file_path").startsWith(prefix),
           col("_metadata.file_path").substr(lit(prefix.length + 1), lit(Int.MaxValue)))
           .otherwise(acc)
-      }
+      })
+  }
 
   private[tables] def withDirPartitionColumns(df: DataFrame, files: Seq[String],
       stored: Option[org.apache.spark.sql.types.StructType]): DataFrame = {

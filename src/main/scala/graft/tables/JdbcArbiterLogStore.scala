@@ -1,0 +1,248 @@
+package graft.tables
+
+import java.sql.{Connection, DriverManager, SQLException}
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** A DEPLOYABLE arbiter [[LogStore]] for object stores: claims are
+  * conditional INSERTs into one small relational table, keyed by
+  * `(logDir, name)`, with the lease recorded as columns — the same shape
+  * as Delta's S3DynamoDBLogStore, expressed over plain JDBC so any
+  * conditional-write-capable service a deployment already runs (Postgres,
+  * MySQL, Aurora, CockroachDB — or embedded Derby in tests) can arbitrate
+  * commits on storage that has no atomic create (S3's create-no-overwrite
+  * is check-then-put on S3A).
+  *
+  * Why a PRIMARY-KEY insert is the right primitive: exactly one concurrent
+  * INSERT of the same key can commit — the database's uniqueness guarantee
+  * IS the "at most one winner per (logDir, name)" clause of the
+  * [[LogStore]] contract, across processes and hosts, with no clock
+  * involved. The lease columns make crashed-writer recovery observable:
+  * `claimed_at_ms` is the claim clock ([[claimAgeMs]]) and `token` the
+  * claim identity ([[claimWitness]]/[[stillHeld]]), so the inline
+  * TTL-break/re-verify protocol in [[GraftTable.writeCommit]] works
+  * unchanged — and [[breakClaim]]'s conditional DELETE (`WHERE token = ?`)
+  * is witness-scoped in SQL itself, so racing breakers cannot delete each
+  * other's fresh re-claims.
+  *
+  * Configuration rides the HADOOP conf (reachable from the `fs` handle
+  * every call already carries — set via `spark.hadoop.*` like any
+  * filesystem credential):
+  *  - `graft.logStore.arbiter.jdbc.url`       (required, e.g.
+  *    `jdbc:postgresql://host/db` or `jdbc:derby:/path/db;create=true`)
+  *  - `graft.logStore.arbiter.jdbc.user` / `.password` (optional)
+  *  - `graft.logStore.arbiter.jdbc.table`     (default `graft_log_claims`)
+  *
+  * The claims table is created on first use when absent (portable DDL; a
+  * locked-down deployment can pre-create it):
+  * {{{
+  *   CREATE TABLE graft_log_claims(
+  *     claim_key     VARCHAR(80)   NOT NULL PRIMARY KEY, -- sha-256 of logDir/name
+  *     log_dir       VARCHAR(2048) NOT NULL,
+  *     name          VARCHAR(256)  NOT NULL,
+  *     token         VARCHAR(64)   NOT NULL,
+  *     claimed_at_ms BIGINT        NOT NULL
+  *   )
+  * }}}
+  * The key is a digest, not the raw pair: composite VARCHAR primary keys
+  * hit index-length limits on some engines (Derby, MySQL utf8mb4) long
+  * before a real lake path does; the raw pair is kept as plain columns for
+  * operators. The table stays tiny — one row per IN-FLIGHT claim, deleted
+  * at release — so it never needs maintenance.
+  *
+  * `publish` is inherited: once claims serialize writers, the temp-rename
+  * publish (plus the winner's pre-publish [[stillHeld]] re-verify) is the
+  * same on every store; S3A's rename-as-copy is fine under an exclusive
+  * claim. Clock caveat: lease AGE compares the database-recorded
+  * `claimed_at_ms` against the CONTENDER's clock — the TTL (default 10
+  * min) dwarfs any sane cluster skew, and the witness-scoped break keeps
+  * even a skewed breaker from deleting a fresh re-claim.
+  */
+class JdbcArbiterLogStore extends LogStore {
+  import JdbcArbiterLogStore._
+
+  // token per claim won by THIS process (same lifecycle as the O_EXCL
+  // store's map): identity for stillHeld/release
+  private val tokens =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  override def tryClaim(fs: FileSystem, logDir: Path, name: String): Boolean = {
+    val cfg = Config(fs)
+    val token = java.util.UUID.randomUUID().toString
+    val won = withConn(cfg) { c =>
+      val st = c.prepareStatement(
+        s"INSERT INTO ${cfg.table}(claim_key, log_dir, name, token, claimed_at_ms) " +
+          "VALUES (?, ?, ?, ?, ?)")
+      try {
+        st.setString(1, claimKey(logDir, name))
+        st.setString(2, logDir.toString.take(2048))
+        st.setString(3, name.take(256))
+        st.setString(4, token)
+        st.setLong(5, System.currentTimeMillis())
+        st.executeUpdate()
+        true
+      } catch {
+        // SQLState class 23 = integrity violation (duplicate key) on
+        // Derby/Postgres/MySQL alike: someone else holds the claim
+        case e: SQLException if Option(e.getSQLState).exists(_.startsWith("23")) =>
+          false
+      } finally st.close()
+    }
+    if (won) tokens.put(key(logDir, name), token)
+    won
+  }
+
+  override def release(fs: FileSystem, logDir: Path, name: String): Unit = {
+    val mine = tokens.remove(key(logDir, name))
+    // conditional DELETE: never remove a usurper's re-claim
+    if (mine != null) deleteIfToken(Config(fs), logDir, name, mine)
+  }
+
+  override def claimAgeMs(fs: FileSystem, logDir: Path, name: String): Option[Long] =
+    selectClaim(Config(fs), logDir, name)
+      .map { case (_, at) => System.currentTimeMillis() - at }
+
+  override def claimWitness(fs: FileSystem, logDir: Path, name: String): Option[String] =
+    selectClaim(Config(fs), logDir, name).map(_._1)
+
+  override def breakClaim(fs: FileSystem, logDir: Path, name: String,
+      witness: Option[String]): Unit =
+    // witness-scoped IN SQL: the DELETE commits only if the row still
+    // carries the exact token the breaker observed expired
+    witness.foreach(w => deleteIfToken(Config(fs), logDir, name, w))
+
+  override def stillHeld(fs: FileSystem, logDir: Path, name: String): Boolean =
+    tokens.get(key(logDir, name)) match {
+      case null => false
+      case mine => selectClaim(Config(fs), logDir, name).exists(_._1 == mine)
+    }
+
+  private def key(logDir: Path, name: String) = s"$logDir/$name"
+
+  private def selectClaim(cfg: Config, logDir: Path,
+      name: String): Option[(String, Long)] =
+    withConn(cfg) { c =>
+      val st = c.prepareStatement(
+        s"SELECT token, claimed_at_ms FROM ${cfg.table} WHERE claim_key = ?")
+      try {
+        st.setString(1, claimKey(logDir, name))
+        val rs = st.executeQuery()
+        try if (rs.next()) Some((rs.getString(1), rs.getLong(2))) else None
+        finally rs.close()
+      } finally st.close()
+    }
+
+  private def deleteIfToken(cfg: Config, logDir: Path, name: String,
+      token: String): Unit =
+    withConn(cfg) { c =>
+      val st = c.prepareStatement(
+        s"DELETE FROM ${cfg.table} WHERE claim_key = ? AND token = ?")
+      try {
+        st.setString(1, claimKey(logDir, name))
+        st.setString(2, token)
+        st.executeUpdate()
+        ()
+      } finally st.close()
+    }
+}
+
+object JdbcArbiterLogStore {
+  val UrlKey = "graft.logStore.arbiter.jdbc.url"
+  val UserKey = "graft.logStore.arbiter.jdbc.user"
+  val PasswordKey = "graft.logStore.arbiter.jdbc.password"
+  val TableKey = "graft.logStore.arbiter.jdbc.table"
+  val DefaultTable = "graft_log_claims"
+
+  private final case class Config(url: String, user: Option[String],
+      password: Option[String], table: String)
+  private object Config {
+    def apply(fs: FileSystem): Config = {
+      // the fs handle's conf first (per-filesystem overrides), BUT a
+      // cached FileSystem carries a conf SNAPSHOT from whenever it was
+      // first constructed — fall back to the live session's Hadoop conf
+      // (where `spark.hadoop.*` lands), since the claim protocol runs
+      // driver-side only
+      def get(k: String): Option[String] =
+        Option(fs.getConf.get(k)).filter(_.nonEmpty).orElse(
+          org.apache.spark.sql.SparkSession.getActiveSession
+            .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+            .flatMap(s => Option(s.sparkContext.hadoopConfiguration.get(k)))
+            .filter(_.nonEmpty))
+      val url = get(UrlKey).getOrElse(
+        throw new IllegalStateException(
+          s"JdbcArbiterLogStore requires $UrlKey in the Hadoop configuration " +
+            "(set spark.hadoop." + UrlKey + "=jdbc:...) — refusing to commit " +
+            "without an arbiter rather than degrading to non-atomic claims"))
+      val table = get(TableKey).getOrElse(DefaultTable)
+      require(table.matches("[A-Za-z0-9_.]+"),
+        s"$TableKey must be a plain identifier, got '$table'")
+      Config(url, get(UserKey), get(PasswordKey), table)
+    }
+  }
+
+  /** Key digest: composite VARCHAR PKs hit per-engine index-length limits
+    * (Derby ~half a page; MySQL utf8mb4 767 bytes) long before real lake
+    * URIs do — a fixed-width sha-256 hex never does, and the raw pair
+    * stays in plain columns for operators. */
+  private def claimKey(logDir: Path, name: String): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.update(s"$logDir/$name".getBytes("UTF-8"))
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  // one connection per JDBC url, shared across tables/threads in the JVM
+  // (claims are per-commit, milliseconds apart — a pool would be ceremony);
+  // every statement runs under the connection's monitor because JDBC
+  // connections are not safely concurrent
+  private val conns =
+    new java.util.concurrent.ConcurrentHashMap[String, Connection]()
+
+  private def withConn[A](cfg: Config)(body: Connection => A): A = {
+    val c = conns.compute(cfg.url, (_, cached) =>
+      if (cached != null && !cached.isClosed) cached else open(cfg))
+    c.synchronized {
+      // a dropped connection (db restart) heals on the next call: close,
+      // evict, and let the caller's retry loop re-claim
+      try body(c)
+      catch {
+        case e: SQLException if c.isClosed || !c.isValid(2) =>
+          conns.remove(cfg.url, c)
+          try c.close() catch { case _: SQLException => () }
+          throw e
+      }
+    }
+  }
+
+  private def open(cfg: Config): Connection = {
+    // embedded Derby (tests/single-node) does not ServiceLoader-register
+    // on every classpath layout; real server drivers (Postgres/MySQL) do
+    try Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+    catch { case _: ClassNotFoundException => () }
+    val c = (cfg.user, cfg.password) match {
+      case (Some(u), Some(p)) => DriverManager.getConnection(cfg.url, u, p)
+      case _ => DriverManager.getConnection(cfg.url)
+    }
+    c.setAutoCommit(true)
+    ensureTable(c, cfg.table)
+    c
+  }
+
+  private def ensureTable(c: Connection, table: String): Unit = {
+    val st = c.createStatement()
+    try st.executeUpdate(
+      s"""CREATE TABLE $table(
+         |  claim_key     VARCHAR(80)   NOT NULL PRIMARY KEY,
+         |  log_dir       VARCHAR(2048) NOT NULL,
+         |  name          VARCHAR(256)  NOT NULL,
+         |  token         VARCHAR(64)   NOT NULL,
+         |  claimed_at_ms BIGINT        NOT NULL
+         |)""".stripMargin)
+    catch {
+      // 42* = the table (or a colliding object) already exists — Derby
+      // X0Y32, Postgres 42P07, MySQL 42S01. Anything else (permissions,
+      // connectivity) must surface: a missing table would fail every claim
+      case e: SQLException
+        if Option(e.getSQLState).exists(s => s.startsWith("42") || s == "X0Y32") => ()
+    } finally st.close()
+  }
+}

@@ -85,19 +85,32 @@ trait LogStore {
       val t = java.nio.file.Paths.get(tmp.toUri.getPath)
       val d = java.nio.file.Paths.get(dst.toUri.getPath)
       try {
-        java.nio.file.Files.createLink(d, t)
+        hardLink(d, t)
         fs.delete(tmp, false)
         true
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => false
         // a local-looking mount without hard-link support (some FUSE/NFS):
         // degrade to the rename path rather than failing every commit —
-        // the claim protocol above still serializes healthy writers
-        case _: UnsupportedOperationException => fs.rename(tmp, dst)
+        // the claim protocol above still serializes healthy writers, but
+        // the exists-then-rename below is check-then-act (POSIX rename
+        // overwrites), so a dual-holder window on this mount could lose a
+        // commit: WARN the operator to back this store with an arbiter
+        case _: UnsupportedOperationException =>
+          LogStore.warnPublishDegrade(dst)
+          !fs.exists(dst) && fs.rename(tmp, dst)
         case _: java.nio.file.FileSystemException if !fs.exists(dst) =>
+          LogStore.warnPublishDegrade(dst)
           fs.rename(tmp, dst)
       }
     } else fs.rename(tmp, dst)
+
+  /** Test seam for the `file:` publish fast path: NIO `link(2)` — atomic
+    * no-overwrite (EEXIST). Overridden by specs to simulate a mount
+    * without hard-link support. */
+  protected def hardLink(link: java.nio.file.Path,
+      existing: java.nio.file.Path): Unit =
+    java.nio.file.Files.createLink(link, existing)
 
   /** Whether the claim THIS caller won via [[tryClaim]] is still in force
     * (not broken, not usurped). Consulted by the winner immediately before
@@ -209,6 +222,23 @@ class HadoopOExclLogStore extends LogStore {
 
 object LogStore {
   val ConfKey = "spark.graft.logStore.class"
+
+  private val log = org.slf4j.LoggerFactory.getLogger(classOf[LogStore])
+
+  /** Last publish-degrade warning emitted (test observability — asserting
+    * on a live log4j appender is brittle; the message text IS the
+    * contract). */
+  @volatile private[tables] var lastPublishDegradeWarning: String = _
+
+  private[tables] def warnPublishDegrade(dst: Path): Unit = {
+    val msg = s"LogStore.publish degraded to a non-atomic exists+rename for " +
+      s"$dst: this file: mount refused hard links (FUSE/NFS?), so the " +
+      "atomic no-overwrite guarantee is lost on this store — a dual-holder " +
+      "window could overwrite a commit. Back this table's log with an " +
+      s"arbiter store (e.g. $ConfKey=${classOf[JdbcArbiterLogStore].getName})."
+    lastPublishDegradeWarning = msg
+    log.warn(msg)
+  }
 
   /** Claim lease TTL in ms (default 10 min — claims are held for
     * milliseconds in healthy commits, so age past this is decisively a

@@ -64,6 +64,10 @@ private[tables] object ParquetCheckpoint {
   private val KVersion = "graft.version"
   private val KSchema = "graft.schemaJson"
   private val KNumFiles = "graft.numFiles"
+  /** Comma-joined sorted reader-feature union ([[GraftProtocol]]) — in the
+    * FOOTER because the gate must be checkable from the metadata RPC alone,
+    * before any row of the live set is decoded. */
+  private val KFeatures = "graft.features"
 
   /** Write `snap` (already trimmed to live files) as one parquet file at
     * `dest` — written to a temp name and renamed, like every log file, so
@@ -77,6 +81,8 @@ private[tables] object ParquetCheckpoint {
     meta.put(KVersion, snap.version.toString)
     meta.put(KNumFiles, snap.live.size.toString)
     snap.schemaJson.foreach(meta.put(KSchema, _))
+    snap.features.filter(_.nonEmpty)
+      .foreach(fs => meta.put(KFeatures, fs.sorted.mkString(",")))
     val factory = new SimpleGroupFactory(Schema)
     val writer = ExampleParquetWriter.builder(tmp)
       .withType(Schema)
@@ -127,12 +133,18 @@ private[tables] object ParquetCheckpoint {
       p: Path, distributedReadBytes: Long): LogCheckpoint = {
     val inputFile = HadoopInputFile.fromPath(p, conf)
     val footer = org.apache.parquet.hadoop.ParquetFileReader.open(inputFile)
-    val (version, schemaJson, numFiles) =
+    val (version, schemaJson, numFiles, features) =
       try {
         val kv = footer.getFooter.getFileMetaData.getKeyValueMetaData
         (kv.get(KVersion).toLong, Option(kv.get(KSchema)),
-          Option(kv.get(KNumFiles)).map(_.toLong))
+          Option(kv.get(KNumFiles)).map(_.toLong),
+          Option(kv.get(KFeatures)).map(_.split(',').toSeq.filter(_.nonEmpty)))
       } finally footer.close()
+    // gate on the footer ALONE — refusing an unsupported table must not
+    // first decode a million-row live set ([[GraftProtocol]]; the
+    // snapshot-level check remains as the read-surface belt)
+    GraftProtocol.requireReadable(features.getOrElse(Nil), p.toString,
+      s"checkpoint v$version (parquet footer)")
 
     val live = Seq.newBuilder[String]
     val stats = Map.newBuilder[String, FileStats]
@@ -206,6 +218,7 @@ private[tables] object ParquetCheckpoint {
         s"parquet checkpoint $p is truncated: footer says $expect live " +
           s"files, read ${files.size}"))
     LogCheckpoint(version, files, schemaJson, stats.result(),
-      if (dvs.isEmpty) None else Some(dvs))
+      if (dvs.isEmpty) None else Some(dvs),
+      features.filter(_.nonEmpty))
   }
 }

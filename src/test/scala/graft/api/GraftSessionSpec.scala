@@ -14,6 +14,22 @@ class GraftSessionSpec extends SparkSpecBase {
       Map("SPARK_REMOTE" -> "sc://cluster:15002")) === Some("sc://other:15002"))
   }
 
+  test("Connect posture: the table/lake Scala API refuses a Connect session with the remedy named") {
+    // classic sessions pass the guard (the real session class)
+    GraftSession.requireClassic(spark.getClass.getName, "the graft table API")
+    assert(spark.getClass.getName.startsWith("org.apache.spark.sql.classic."),
+      s"dispatch assumption broken: ${spark.getClass.getName}")
+    // a Connect session class refuses with a CLEAR message instead of an
+    // opaque 'sparkContext is not supported' resolution error, and names
+    // the surface that DOES work over Connect (SQL + server-side exts)
+    val e = intercept[UnsupportedOperationException](
+      GraftSession.requireClassic(
+        "org.apache.spark.sql.connect.SparkSession", "the graft table API"))
+    assert(e.getMessage.contains("Spark Connect"))
+    assert(e.getMessage.contains("spark.sql.extensions=graft.GraftExtensions"))
+    assert(e.getMessage.contains("the graft table API"))
+  }
+
   test("classic dispatch: builder without a remote lands on a usable local session") {
     // empty env ⇒ classic path; getOrCreate returns the active test session
     val s = GraftSession.builder(appName = "graft-spec", env = Map.empty)

@@ -326,6 +326,76 @@ class ConvertPartitionedSpec extends SparkSpecBase {
     spark.sql("DROP TABLE conv_subq")
   }
 
+  test("subquery DML on hive-escaped partition values (space/colon) hits the right files") {
+    // `_metadata.file_path` is the URI-ENCODED rendering of the on-disk
+    // name, while log names hold the on-disk literal. A space survives
+    // hive escaping (`part=a b` on disk) but URI-renders as `part=a%20b`;
+    // a colon hive-escapes (`part=x%3Ay` on disk) and URI-renders as
+    // `part=x%253Ay`. Either way the relative-name column must shed
+    // exactly one URI layer or affectedFiles matches NOTHING in
+    // snap.live — the DELETE would silently no-op while still recording
+    // a commit.
+    val dir = s"${tmp()}/t"
+    Seq((1, "v1", "a b"), (2, "v2", "a b"), (3, "v3", "x:y"), (4, "v4", "plain"))
+      .toDF("id", "v", "part").write.partitionBy("part").parquet(dir)
+    val t = GraftTable(spark, dir)(GraftSettings.default)
+    t.convert()
+    // the log holds the ON-DISK forms
+    assert(t.liveFiles().exists(_.startsWith("part=a b/")), t.liveFiles().toString)
+    assert(t.liveFiles().exists(_.startsWith("part=x%3Ay/")), t.liveFiles().toString)
+    spark.sql("DROP TABLE IF EXISTS conv_esc")
+    spark.sql(s"CREATE TABLE conv_esc USING graft LOCATION '${t.path}'")
+    Seq(1).toDF("kill").createOrReplaceTempView("esc_kill")
+    spark.sql("DELETE FROM conv_esc WHERE id IN (SELECT kill FROM esc_kill)")
+    assert(t.read().select("id").as[Int].collect().sorted.toSeq === Seq(2, 3, 4))
+    val c = t.commits().last
+    assert(c.remove.nonEmpty && c.remove.forall(_.startsWith("part=a b/")),
+      s"delete touched wrong files: ${c.remove}")
+    // UPDATE through a subquery against the still-nested colon partition
+    spark.sql("UPDATE conv_esc SET v = 'X' WHERE id IN (SELECT kill + 2 FROM esc_kill)")
+    assert(spark.table("conv_esc").where(col("v") === "X")
+      .select("id", "part").as[(Int, String)].collect().toSeq === Seq((3, "x:y")))
+    assert(t.commits().last.remove.forall(_.startsWith("part=x%3Ay/")))
+    spark.sql("DROP TABLE conv_esc")
+  }
+
+  test("a DV bound to a nested hive-escaped log name drops rows on every read surface") {
+    // same URI-layer trap on the DV side: the plan-level anti-join keys
+    // off the relative-name column, so an escaped partition dir must
+    // decode before comparing or the deleted rows RESURRECT silently
+    // `part=x%3Ay` is exactly what Spark's escaper writes for value
+    // 'x:y'; its URI rendering in file_path is `part=x%253Ay`
+    val dir = s"${tmp()}/t"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(root, "part=x%3Ay"))
+    val scratch = s"${tmp()}/stage"
+    Seq((1, "n1"), (2, "n2")).toDF("id", "v").coalesce(1).write.parquet(scratch)
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(scratch))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    assert(fs.rename(part, new org.apache.hadoop.fs.Path(root, "part=x%3Ay/part-A.parquet")))
+    val dvName = DeletionVectors.write(fs, dir, Array(0L)) // drops id=1
+    val schema = Seq((0, "")).toDF("id", "v").schema.json
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    val c = Commit(1L, "convert", dataChange = true,
+      timestampMs = System.currentTimeMillis(),
+      add = Seq("part=x%3Ay/part-A.parquet"), remove = Nil,
+      schemaJson = schema, metrics = Map.empty,
+      dvs = Some(Map("part=x%3Ay/part-A.parquet" -> dvName)))
+    val logDir = new org.apache.hadoop.fs.Path(dir, "_graft_log")
+    fs.mkdirs(logDir)
+    val out = fs.create(new org.apache.hadoop.fs.Path(logDir, f"${1L}%020d.json"), false)
+    try out.write(org.json4s.jackson.Serialization.write(c).getBytes("UTF-8"))
+    finally out.close()
+    val t = GraftTable(spark, dir)(GraftSettings.default)
+    assert(t.read().select("id").as[Int].collect().toSeq === Seq(2))
+    // the synthesized partition column double-decodes to the logical value
+    assert(t.read().select("part").as[String].collect().toSeq === Seq("x:y"))
+    val native = spark.read.format("graft").load(dir)
+    assert(native.select("id").as[Int].collect().toSeq === Seq(2))
+  }
+
   test("a DV bound to a flat file never bleeds onto a nested file sharing its basename") {
     // mixed-layout table where an adopted nested file and a DML-staged
     // flat file share a BASENAME: DV bindings are keyed by LOG name

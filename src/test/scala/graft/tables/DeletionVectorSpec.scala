@@ -289,6 +289,26 @@ class DeletionVectorSpec extends SparkSpecBase {
     spark.sql("DROP TABLE dv_sql_t")
   }
 
+  test("writeManifest(purgeFirst) is the DV table's external-reader route") {
+    val t = table(tmp("dv-manifest-purge-"))
+    t.append((1 to 30).map(i => (i, i * 10)).toDF("id", "amt").coalesce(1))
+    t.delete(col("id") <= 5) // DV binding, no rewrite
+    assert(t.snapshot().dvFor.nonEmpty, "precondition: a live DV")
+    // the refusal message names the remedy
+    val e = intercept[IllegalStateException](t.writeManifest())
+    assert(e.getMessage.contains("purgeFirst = true"), e.getMessage)
+    // purge-path manifest: REORG-purges, then manifests the purged state
+    val listed = t.writeManifest(purgeFirst = true)
+    assert(t.snapshot().dvFor.isEmpty, "purge must have rewritten the DVs away")
+    // an EXTERNAL engine (simulated: raw parquet over the manifest's file
+    // list, no graft log, no bitmaps) reads exactly what read() serves
+    val external = spark.read.parquet(listed: _*)
+      .select("id", "amt").as[(Int, Int)].collect().toSet
+    val internal = t.read().select("id", "amt").as[(Int, Int)].collect().toSet
+    assert(external === internal)
+    assert(external.size === 25 && !external.exists(_._1 <= 5))
+  }
+
   test("checkpointed snapshot carries DV bindings across the checkpoint horizon") {
     val t = table(tmp("dv-ckpt-"),
       dvSettings.copy(logCheckpointInterval = 5))

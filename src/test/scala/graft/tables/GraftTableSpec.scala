@@ -858,19 +858,37 @@ class GraftTableSpec extends SparkSpecBase {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dead = new org.apache.hadoop.fs.Path(t.path, "_staging-deadbeef")
     fs.mkdirs(dead)
-    val out = fs.create(new org.apache.hadoop.fs.Path(dead, "part-x.parquet"), false)
+    val deadFile = new org.apache.hadoop.fs.Path(dead, "part-x.parquet")
+    val out = fs.create(deadFile, false)
     out.write(1); out.close()
     val cdead = new org.apache.hadoop.fs.Path(t.path, "_graft_changes/.stage-deadbeef")
     fs.mkdirs(cdead)
+    // a crashed writer's WHOLE tree is old — staging age is the newest
+    // RECURSIVE mtime, not the root dir inode's (bucketed stage() writes
+    // land in graft_bucket=N/ subdirs and never touch the root's mtime)
     val old = System.currentTimeMillis() - 60 * 60 * 1000
     fs.setTimes(dead, old, -1)
+    fs.setTimes(deadFile, old, -1)
     fs.setTimes(cdead, old, -1)
+    // an IN-FLIGHT bucketed write: root staging dir is old (created at
+    // stage() start) but a bucket subdir holds a fresh file — must survive
+    val inflight = new org.apache.hadoop.fs.Path(t.path, "_staging-inflight")
+    val bucketDir = new org.apache.hadoop.fs.Path(inflight, "graft_bucket=0")
+    fs.mkdirs(bucketDir)
+    val fresh = fs.create(new org.apache.hadoop.fs.Path(bucketDir, "part-y.parquet"), false)
+    fresh.write(1); fresh.close()
+    fs.setTimes(inflight, old, -1)
+    fs.setTimes(bucketDir, old, -1)
     val report = t.vacuum(retentionHours = 0.01, dryRun = true)
     assert(report.contains("_staging-deadbeef"), s"dry run must report the dir: $report")
     assert(report.contains("_graft_changes/.stage-deadbeef"), s"got: $report")
+    assert(!report.contains("_staging-inflight"),
+      s"in-flight bucketed staging must not be reported: $report")
     assert(fs.exists(dead), "dry run must delete nothing")
     t.vacuum(retentionHours = 0.01)
     assert(!fs.exists(dead) && !fs.exists(cdead), "aged staging dirs must be GC'd")
+    assert(fs.exists(inflight),
+      "a staging dir with a fresh bucket-subdir file must survive vacuum")
     assert(t.read().count() === 2, "live data untouched")
   }
 
