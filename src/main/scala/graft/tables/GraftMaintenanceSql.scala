@@ -175,7 +175,8 @@ final case class GraftDescribeDetailCommand(target: Target)
     AttributeReference("numFiles", LongType, nullable = false)(),
     AttributeReference("sizeInBytes", LongType, nullable = false)(),
     AttributeReference("bucketColumns", ArrayType(StringType))(),
-    AttributeReference("numBuckets", IntegerType, nullable = false)())
+    AttributeReference("numBuckets", IntegerType, nullable = false)(),
+    AttributeReference("readerFeatures", ArrayType(StringType))())
   override def run(spark: SparkSession): Seq[Row] =
     target.resolve(spark).detail().collect().toSeq
 }

@@ -69,7 +69,7 @@ object GraftProtocol {
   def featuresOf(c: Commit): Option[Seq[String]] = {
     val b = Seq.newBuilder[String]
     // column_mapping sorts before dv/partition_convert: keep alphabetical
-    if (schemaHasMapping(c.schemaJson)) b += ColumnMappingFeature
+    if (schemaRequiresMapping(c.schemaJson)) b += ColumnMappingFeature
     if (c.dvs.exists(_.values.exists(_ != DeletionVectors.Cleared))) b += Dv
     if (c.add.exists(_.contains("/"))) b += PartitionConvert
     val fs = b.result()
@@ -82,7 +82,10 @@ object GraftProtocol {
   // commits share their schema
   @volatile private var lastSchemaProbe: (String, Boolean) = ("", false)
 
-  private def schemaHasMapping(schemaJson: String): Boolean = {
+  /** Does this schema JSON carry column-mapping state? Shared by the
+    * per-commit stamp and the snapshot's content-derived union (the
+    * pre-gate-history self-heal in [[GraftTable.snapshot]]). */
+  private[tables] def schemaRequiresMapping(schemaJson: String): Boolean = {
     if (schemaJson == null || schemaJson.isEmpty) return false
     val cached = lastSchemaProbe
     if (cached._1 == schemaJson) return cached._2

@@ -718,6 +718,15 @@ final class GraftTable private (
         feats ++= c.features.getOrElse(Nil) // monotone union, like Delta
         v = c.version
       }
+    // content-derived union ON TOP of the recorded sets: a PRE-GATE
+    // history (commits written before features existed) still yields a
+    // correctly-gated snapshot, so the next checkpoint write self-heals
+    // the table's gating — without this, trimming a pre-gate log would
+    // leave a checkpoint a feature-blind foreign reader happily misreads
+    if (dvs.nonEmpty) feats += GraftProtocol.Dv
+    if (live.exists(_.contains("/"))) feats += GraftProtocol.PartitionConvert
+    if (schemaJson.exists(GraftProtocol.schemaRequiresMapping))
+      feats += GraftProtocol.ColumnMappingFeature
     LogCheckpoint(v, live.toSeq, schemaJson, stats,
       if (dvs.isEmpty) None else Some(dvs),
       if (feats.isEmpty) None else Some(feats.toSeq.sorted))
@@ -2539,9 +2548,13 @@ final class GraftTable private (
       new java.sql.Timestamp(cs.last.timestampMs),
       snap.version, snap.live.size.toLong, bytes,
       spec.map(_.keys).getOrElse(Seq.empty[String]),
-      spec.map(_.numBuckets).getOrElse(0)))
+      spec.map(_.numBuckets).getOrElse(0),
+      // Delta's DESCRIBE DETAIL reports tableFeatures the same way: the
+      // operator-visible record of what a foreign reader must support
+      snap.featureSet.toSeq.sorted))
       .toDF("format", "location", "createdAt", "lastModified", "version",
-        "numFiles", "sizeInBytes", "bucketColumns", "numBuckets")
+        "numFiles", "sizeInBytes", "bucketColumns", "numBuckets",
+        "readerFeatures")
   }
 
   /** History as a DataFrame (reference reads `DESCRIBE HISTORY` +

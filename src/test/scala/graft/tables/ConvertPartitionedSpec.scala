@@ -275,6 +275,36 @@ class ConvertPartitionedSpec extends SparkSpecBase {
       === Seq(tricky.indexOf("hash#tag")))
   }
 
+  test("subquery DML sweeps the full tricky-value escaper set (every partition hit exactly)") {
+    // DML twin of the native-relation round-trip above: affectedFiles
+    // derives relative LOG names from the URI-encoded _metadata.file_path,
+    // so EVERY escaper output (%, +, #, space, ...) must decode back to
+    // the on-disk name a DELETE can match — one missed decode layer and
+    // that partition's delete silently no-ops
+    val tricky = Seq("a+b", "x:y", "50%", "a b", "semi;colon", "eq=ual",
+      "star*", "qu?est", "%2B", "+", "hash#tag")
+    val dir = s"${tmp()}/t"
+    tricky.zipWithIndex.flatMap { case (v, i) =>
+      Seq((i * 2, v), (i * 2 + 1, v)) // two rows per partition: one dies
+    }.toDF("id", "part").write.partitionBy("part").parquet(dir)
+    val t = GraftTable(spark, dir)(GraftSettings.default)
+    t.convert()
+    spark.sql("DROP TABLE IF EXISTS conv_sweep")
+    spark.sql(s"CREATE TABLE conv_sweep USING graft LOCATION '${t.path}'")
+    // kill every EVEN id via a subquery — one row in EVERY partition
+    spark.range(0, tricky.length.toLong * 2, 2).toDF("kill")
+      .createOrReplaceTempView("sweep_kill")
+    spark.sql("DELETE FROM conv_sweep WHERE id IN (SELECT kill FROM sweep_kill)")
+    val got = t.read().select("id", "part").as[(Int, String)].collect().toMap
+    tricky.zipWithIndex.foreach { case (v, i) =>
+      assert(!got.contains(i * 2), s"partition '$v': delete silently no-oped")
+      assert(got.get(i * 2 + 1) === Some(v),
+        s"partition '$v': survivor lost or value corrupted (got ${got.get(i * 2 + 1)})")
+    }
+    assert(got.size === tricky.length)
+    spark.sql("DROP TABLE conv_sweep")
+  }
+
   test("streaming a converted table synthesizes partition columns; partition-col DDL refused") {
     val dir = s"${tmp()}/t"
     writeTree(dir)

@@ -236,6 +236,15 @@ class GraftMaintenanceSqlSpec extends AnyFunSuite {
     val r2 = spark.sql(s"DESCRIBE DETAIL '$p2'").collect().head
     assert(r2.getAs[Seq[String]]("bucketColumns") === Seq("id"))
     assert(r2.getAs[Int]("numBuckets") === 4)
+    // reader features surface to operators (Delta's tableFeatures): a
+    // baseline table reports none, a DV-bearing table reports "dv"
+    assert(row.getAs[Seq[String]]("readerFeatures") === Seq.empty[String])
+    val p3 = freshPath()
+    val t3 = GraftTable(spark, p3)(GraftSettings.default.copy(deletionVectors = true))
+    t3.append((1 to 20).map(i => (i, s"v$i")).toDF("id", "v"))
+    t3.delete(org.apache.spark.sql.functions.col("id") === 3)
+    val r3 = spark.sql(s"DESCRIBE DETAIL '$p3'").collect().head
+    assert(r3.getAs[Seq[String]]("readerFeatures") === Seq("dv"))
   }
 
   test("OPTIMIZE WHERE scopes bin-packing by file stats; out-of-scope files untouched") {

@@ -132,6 +132,38 @@ class GraftProtocolSpec extends SparkSpecBase {
       && e.getMessage.contains("checkpoint v1"))
   }
 
+  test("a PRE-GATE history self-heals: content-derived features gate the next checkpoint") {
+    // a log written before feature stamping existed: DV bindings present,
+    // but no commit carries a features field. The snapshot must derive
+    // the gate from CONTENT, so the next checkpoint carries it and a
+    // trimmed table still refuses feature-blind readers.
+    val root = tmp()
+    val path = s"$root/t"
+    val t = GraftTable(spark, path)(
+      GraftSettings.default.copy(deletionVectors = true))
+    t.append((1 to 20).map(i => (i, s"v$i")).toDF("id", "v"))
+    t.delete(col("id") === 7) // stamped commit...
+    // ...then REWRITE both commits without their features fields, exactly
+    // the bytes a pre-gate binary wrote
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    t.commits().foreach { c =>
+      val stripped = c.copy(features = None)
+      val p = new org.apache.hadoop.fs.Path(
+        s"$path/_graft_log", f"${c.version}%020d.json")
+      fs.delete(p, false)
+      val out = fs.create(p, false)
+      try out.write(org.json4s.jackson.Serialization.write(stripped).getBytes("UTF-8"))
+      finally out.close()
+    }
+    val fresh = GraftTable(spark, path)(GraftSettings.default)
+    assert(fresh.commits().forall(_.features.isEmpty), "precondition: pre-gate log")
+    assert(fresh.snapshot().featureSet === Set(GraftProtocol.Dv),
+      "content-derived union must recover the dv gate from a pre-gate log")
+    assert(fresh.read().count() === 19, "and the table still reads normally")
+  }
+
   test("checkpoints persist the feature union; parquet twin round-trips it") {
     val root = tmp()
     val t = GraftTable(spark, s"$root/t")(
