@@ -335,11 +335,11 @@ object TextQueries {
           .withColumn("fertility",
             col("n_bpe").cast("double") / greatest(col("n_words"), lit(1)))
           .orderBy(col("doc_id")),
-      Some("""WITH m AS (
+      Some(s"""WITH m AS (
           SELECT doc_id,
-            CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9 \t\n\x0B\f\r]+')) AS INTEGER) AS n_bpe,
+            CAST(len(regexp_extract_all(text, '${TextAnalysis.BpeTokenPattern}')) AS INTEGER) AS n_bpe,
             CASE WHEN length(trim(text)) = 0 THEN 0
-                 ELSE CAST(len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS INTEGER) END AS n_words
+                 ELSE CAST(len(string_split_regex(trim(text), '${TextAnalysis.WsClass}+')) AS INTEGER) END AS n_words
           FROM documents)
         SELECT doc_id, n_bpe, n_words,
           CAST(n_bpe AS DOUBLE) / greatest(n_words, 1) AS fertility
@@ -518,10 +518,10 @@ object TextQueries {
             floor(col("cum_before") / 2048.0).cast("int").as("pack_id"))
           .orderBy(col("doc_id"))
       },
-      Some("""WITH m AS (
+      Some(s"""WITH m AS (
           SELECT doc_id, lang,
             CASE WHEN length(trim(text)) = 0 THEN 0
-                 ELSE CAST(len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS INTEGER) END AS n_tokens
+                 ELSE CAST(len(string_split_regex(trim(text), '${TextAnalysis.WsClass}+')) AS INTEGER) END AS n_tokens
           FROM documents),
         c AS (
           SELECT doc_id, lang, n_tokens,

@@ -406,10 +406,11 @@ final case class GraftDropColumnCommand(target: Target,
 }
 
 /** `REORG TABLE t APPLY (PURGE)` — Delta's deletion-vector purge:
-  * rewrite the files carrying DVs so the bitmaps die, rows materialize,
-  * and the vectorized read path (plus symlink manifests) return. Routed
-  * through [[GraftTable.optimize]], whose purge rule already treats every
-  * DV-bearing file as a rewrite candidate regardless of size. */
+  * rewrite EXACTLY the files carrying DVs so the bitmaps die, rows
+  * materialize, and the vectorized read path (plus symlink manifests)
+  * return ([[GraftTable.purgeDeletionVectors]]). Delta's REORG has the
+  * same scope — never the table-wide bin-pack, which would rewrite a
+  * streaming table's whole small-file tail for one DV. */
 final case class GraftReorgCommand(target: Target) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("purgedDeletionVectors", LongType, nullable = false)(),
@@ -417,7 +418,7 @@ final case class GraftReorgCommand(target: Target) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val t = target.resolve(spark)
     val dvs = t.snapshot().dvFor.size.toLong
-    val c = t.optimize()
+    val c = t.purgeDeletionVectors()
     Seq(Row(dvs, c.map(_.remove.size.toLong).getOrElse(0L)))
   }
 }

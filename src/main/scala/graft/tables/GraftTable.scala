@@ -831,23 +831,25 @@ final class GraftTable private (
     fs.mkdirs(new Path(logDir))
     val name = f"${c.version}%020d.json"
     val dst = new Path(logDir, name)
+    val store = LogStore.forSession(spark)
+    val dir = new Path(logDir)
     def conflict() = {
       // diagnostic payload: a retry-exhausted writer's error must say WHY
       // the version stayed unavailable (published file vs a held/orphaned
-      // claim) — the difference between a livelock and a protocol bug
+      // claim) — the difference between a livelock and a protocol bug.
+      // Probed THROUGH the store seam: with an arbiter store the claim
+      // lives in a database row, and a hardcoded marker-file probe would
+      // report "no claim" about the very claim that blocked the commit
       val state = try {
-        val marker = new Path(logDir, s".$name.claim")
-        val m =
-          if (!fs.exists(marker)) "no claim marker"
-          else s"claim marker age ${System.currentTimeMillis() -
-            fs.getFileStatus(marker).getModificationTime}ms"
+        val m = store.claimAgeMs(fs, dir, name) match {
+          case Some(age) => s"claim held, age ${age}ms"
+          case None      => "no visible claim"
+        }
         s"(version file exists=${fs.exists(dst)}; $m)"
       } catch { case scala.util.control.NonFatal(_) => "(state probe failed)" }
       throw new IllegalStateException(
         s"concurrent commit detected for version ${c.version} at $path $state")
     }
-    val store = LogStore.forSession(spark)
-    val dir = new Path(logDir)
     if (!store.tryClaim(fs, dir, name)) {
       val ttl = spark.conf.get(LogStore.ClaimTtlKey,
         LogStore.DefaultClaimTtlMs.toString).toLong
@@ -885,7 +887,16 @@ final class GraftTable private (
         conflict()
       }
     } finally {
-      store.release(fs, dir, name)
+      // a release failure must NEVER mask the commit's outcome: with an
+      // arbiter store this is a network call, and a DB blip after a
+      // SUCCESSFUL publish would otherwise convert the success into an
+      // exception (a retrying caller would then double-append). The claim
+      // row/marker it leaves behind recovers via the TTL break.
+      try store.release(fs, dir, name)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          LogStore.warnReleaseFailed(dir, name, e)
+      }
       // whether we published or lost the race, the log changed (or is
       // about to): drop the cached listing so the next read re-lists
       invalidateListing()
@@ -2430,6 +2441,40 @@ final class GraftTable private (
         .getOrElse(Seq.empty))
   }
 
+  /** REORG-purge: rewrite ONLY the live files carrying deletion vectors,
+    * so the bitmaps die and surviving rows materialize — Delta's
+    * `REORG TABLE ... APPLY (PURGE)` scope. Deliberately NOT the
+    * bin-packing pass: on a streaming-ingest table with thousands of
+    * small live files and one DV, a full [[optimize]] would rewrite the
+    * entire small-file tail for a purge that needs exactly one file.
+    * `dataChange = false` — logical rows are unchanged, incremental
+    * consumers skip it. None when no DV is live. */
+  def purgeDeletionVectors(): Option[Commit] = {
+    val snap = snapshot()
+    val dvNow = snap.dvFor
+    val victims = snap.live.filter(dvNow.contains)
+    if (victims.isEmpty) return None
+    val stored = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson.get)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val totalBytes = victims.map(f => snap.stats.get(f).flatMap(_.bytes)
+      .getOrElse(fs.getFileStatus(new Path(path, f)).getLen)).sum
+    val target = math.max(1,
+      math.ceil(totalBytes.toDouble / effectiveSettings.compactTargetBytes).toInt)
+    val df = DeletionVectors.filterDeleted(
+      readDataFiles(victims, snap.schemaJson), spark,
+      loadDvs(dvNow, victims), qualifiedRootUris)
+      .repartition(target)
+    val (add, stats) = stage(df)
+    Some(commitRewrite("purge", snap.version, add, victims,
+      mayOverlap = _ => false,
+      schemaJson = () => unionSchemaJson(stored),
+      Map("numOutputFiles" -> add.size.toString,
+        "numRemovedFiles" -> victims.size.toString,
+        "numPurgedDeletionVectors" -> victims.size.toString),
+      stats,
+      dataChange = false))
+  }
+
   /** The bin-packing core, scoped by pre-extracted predicate atoms (the
     * SQL `OPTIMIZE ... WHERE` entry): only small files whose stats MAY
     * match every atom are packed. The over-approximation is sound —
@@ -2464,9 +2509,19 @@ final class GraftTable private (
     // is untouched by a dataChange=false rewrite).
     val stored = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson.get)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
+    // ALWAYS the converted-tree-aware reader: nested adopted files carry
+    // their partition values in the PATH, so a pinned-schema direct read
+    // decodes them as NULL and the bin-pack would bake the loss into the
+    // packed files — silent partition-value corruption (compactWith reads
+    // the same way). Missing pre-evolution columns then normalize to the
+    // full current schema, the packed-output contract.
+    val packed0 = readDataFiles(small, snap.schemaJson)
     val packed =
-      if (ColumnMapping.active(stored)) readDataFiles(small, snap.schemaJson)
-      else spark.read.schema(stored).parquet(small.map(f => s"$path/$f"): _*)
+      if (ColumnMapping.active(stored)) packed0
+      else stored.fields.foldLeft(packed0)((df, f) =>
+        if (df.columns.contains(f.name)) df
+        else df.withColumn(f.name, lit(null).cast(f.dataType)))
+        .select(stored.fieldNames.map(col).toSeq: _*)
     val df = DeletionVectors.filterDeleted(packed, spark, loadDvs(dvNow, small), qualifiedRootUris)
       .repartition(target)
     val (add, stats) = stage(df)
@@ -2492,16 +2547,17 @@ final class GraftTable private (
     * cannot replay the graft log read exactly the committed live set —
     * never a partial write. Returns the listed paths.
     *
-    * `purgeFirst` is the DV-bearing table's route: REORG-purge the
-    * deletion vectors (an [[optimize]] pass — DV-bearing files rewrite so
-    * the bitmaps die and rows materialize), then manifest the purged
-    * state. Without it a DV-bearing table REFUSES (a manifest reader
-    * scans raw parquet and cannot apply bitmaps, so it would serve
-    * deleted rows) — same refusal as Delta's manifest generation. */
+    * `purgeFirst` is the DV-bearing table's route:
+    * [[purgeDeletionVectors]] rewrites EXACTLY the DV-bearing files (the
+    * bitmaps die, rows materialize — never the table-wide bin-pack), then
+    * the purged state manifests. Without it a DV-bearing table REFUSES
+    * (a manifest reader scans raw parquet and cannot apply bitmaps, so it
+    * would serve deleted rows) — same refusal as Delta's manifest
+    * generation. */
   def writeManifest(purgeFirst: Boolean = false): Seq[String] = {
     val manifestDir = new Path(path, "_symlink_format_manifest")
     fs.mkdirs(manifestDir)
-    if (purgeFirst && snapshot().dvFor.nonEmpty) optimize()
+    if (purgeFirst) purgeDeletionVectors()
     val snap = snapshot()
     // a manifest reader scans raw parquet and cannot apply bitmaps — a
     // manifest over DV-bearing files would serve DELETED rows to every

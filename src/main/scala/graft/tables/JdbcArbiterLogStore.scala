@@ -190,15 +190,18 @@ object JdbcArbiterLogStore {
     md.digest().map("%02x".format(_)).mkString
   }
 
-  // one connection per JDBC url, shared across tables/threads in the JVM
-  // (claims are per-commit, milliseconds apart — a pool would be ceremony);
-  // every statement runs under the connection's monitor because JDBC
-  // connections are not safely concurrent
+  // one connection per FULL config (url+user+table — keying on url alone
+  // would silently reuse whichever credentials connected first when two
+  // confs share a database), shared across tables/threads in the JVM
+  // (claims are per-commit, milliseconds apart — a pool would be
+  // ceremony); every statement runs under the connection's monitor
+  // because JDBC connections are not safely concurrent
   private val conns =
-    new java.util.concurrent.ConcurrentHashMap[String, Connection]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Option[String], String), Connection]()
 
   private def withConn[A](cfg: Config)(body: Connection => A): A = {
-    val c = conns.compute(cfg.url, (_, cached) =>
+    val key = (cfg.url, cfg.user, cfg.table)
+    val c = conns.compute(key, (_, cached) =>
       if (cached != null && !cached.isClosed) cached else open(cfg))
     c.synchronized {
       // a dropped connection (db restart) heals on the next call: close,
@@ -206,7 +209,7 @@ object JdbcArbiterLogStore {
       try body(c)
       catch {
         case e: SQLException if c.isClosed || !c.isValid(2) =>
-          conns.remove(cfg.url, c)
+          conns.remove(key, c)
           try c.close() catch { case _: SQLException => () }
           throw e
       }
@@ -238,11 +241,13 @@ object JdbcArbiterLogStore {
          |  claimed_at_ms BIGINT        NOT NULL
          |)""".stripMargin)
     catch {
-      // 42* = the table (or a colliding object) already exists — Derby
-      // X0Y32, Postgres 42P07, MySQL 42S01. Anything else (permissions,
-      // connectivity) must surface: a missing table would fail every claim
+      // ONLY duplicate-object states — Derby X0Y32, Postgres 42P07,
+      // MySQL 42S01: the table already exists, which is the expected
+      // steady state. Anything else (permissions like Postgres 42501,
+      // connectivity) must surface HERE: swallowed, the first tryClaim
+      // would fail with a misleading "relation does not exist"
       case e: SQLException
-        if Option(e.getSQLState).exists(s => s.startsWith("42") || s == "X0Y32") => ()
+        if Option(e.getSQLState).exists(Set("X0Y32", "42P07", "42S01")) => ()
     } finally st.close()
   }
 }

@@ -230,6 +230,15 @@ object LogStore {
     * contract). */
   @volatile private[tables] var lastPublishDegradeWarning: String = _
 
+  /** A post-publish release failed (store unreachable): the commit's
+    * outcome stands; the orphaned claim recovers via the TTL break. */
+  private[tables] def warnReleaseFailed(logDir: Path, name: String,
+      e: Throwable): Unit =
+    log.warn(s"LogStore.release failed for $logDir/$name after the commit " +
+      s"outcome was decided (${e.getClass.getSimpleName}: ${e.getMessage}) — " +
+      "the stale claim will recover via the claim TTL; the commit itself " +
+      "is unaffected")
+
   private[tables] def warnPublishDegrade(dst: Path): Unit = {
     val msg = s"LogStore.publish degraded to a non-atomic exists+rename for " +
       s"$dst: this file: mount refused hard links (FUSE/NFS?), so the " +

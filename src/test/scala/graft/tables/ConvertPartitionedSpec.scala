@@ -305,6 +305,28 @@ class ConvertPartitionedSpec extends SparkSpecBase {
     spark.sql("DROP TABLE conv_sweep")
   }
 
+  test("OPTIMIZE on a converted tree preserves partition values (path-carried columns)") {
+    // the bin-pack read must synthesize dir partition columns like every
+    // other read: a pinned-schema direct read of nested adopted files
+    // decodes the path-carried values as NULL and bakes the loss into the
+    // packed files — silent, unrecoverable corruption
+    val dir = s"${tmp()}/t"
+    (1 to 40).map(i => (i, s"v$i", if (i % 2 == 0) "eu" else "us"))
+      .toDF("id", "v", "region").repartition(8)
+      .write.partitionBy("region").parquet(dir)
+    val t = GraftTable(spark, dir)(GraftSettings.default)
+    t.convert()
+    assert(t.optimize().isDefined, "precondition: the bin-pack ran")
+    val got = t.read().select("id", "region").as[(Int, String)].collect().toMap
+    assert(got.size === 40)
+    got.foreach { case (i, r) =>
+      assert(r === (if (i % 2 == 0) "eu" else "us"),
+        s"id=$i partition value corrupted by optimize: $r")
+    }
+    // and the packed table still prunes on the (now data-carried) column
+    assert(t.readWhere(col("region") === "eu").count() === 20)
+  }
+
   test("streaming a converted table synthesizes partition columns; partition-col DDL refused") {
     val dir = s"${tmp()}/t"
     writeTree(dir)

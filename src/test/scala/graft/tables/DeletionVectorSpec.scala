@@ -289,6 +289,31 @@ class DeletionVectorSpec extends SparkSpecBase {
     spark.sql("DROP TABLE dv_sql_t")
   }
 
+  test("purgeDeletionVectors rewrites ONLY the DV-bearing files (REORG scope)") {
+    val t = table(tmp("dv-purge-scope-"))
+    // five small files; the DV lands on exactly one — the purge must not
+    // drag the other four through a bin-pack (a streaming table's tail
+    // can be thousands of small files; REORG is a purge, not an OPTIMIZE)
+    (1 to 5).foreach(b =>
+      t.append((1 to 10).map(i => (b * 100 + i, i * 10)).toDF("id", "amt")
+        .coalesce(1)))
+    t.delete(col("id") === 303) // one row of batch 3's file: DV, not a drop
+    val dvFiles = t.snapshot().dvFor.keySet
+    assert(dvFiles.size === 1, s"precondition: one DV binding, got $dvFiles")
+    val untouched = t.liveFiles().toSet -- dvFiles
+    val c = t.purgeDeletionVectors().get
+    assert(c.action === "purge" && !c.dataChange)
+    assert(c.remove.toSet === dvFiles,
+      s"purge must rewrite exactly the DV-bearing files, removed ${c.remove}")
+    assert(t.snapshot().dvFor.isEmpty)
+    assert(untouched.subsetOf(t.liveFiles().toSet),
+      "non-DV files must survive the purge untouched")
+    assert(t.read().count() === 49)
+    assert(t.read().filter(col("id") === 303).count() === 0)
+    // idempotent: nothing left to purge
+    assert(t.purgeDeletionVectors().isEmpty)
+  }
+
   test("writeManifest(purgeFirst) is the DV table's external-reader route") {
     val t = table(tmp("dv-manifest-purge-"))
     t.append((1 to 30).map(i => (i, i * 10)).toDF("id", "amt").coalesce(1))
