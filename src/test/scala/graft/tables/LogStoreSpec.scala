@@ -49,6 +49,14 @@ final class UsurpedLogStore extends LogStore {
   override def stillHeld(fs: FileSystem, logDir: Path, name: String): Boolean = false
 }
 
+/** Release always fails (an arbiter-store DB blip AFTER the publish):
+  * the commit's outcome must stand — masking a durable publish as an
+  * exception makes a retrying caller double-append. */
+final class ReleaseThrowsLogStore extends HadoopOExclLogStore {
+  override def release(fs: FileSystem, logDir: Path, name: String): Unit =
+    throw new RuntimeException("claims database unreachable")
+}
+
 /** Pins the claim-window/checkpoint ordering: at [[release]] time the
   * version's checkpoint files must NOT exist yet (the checkpoint write
   * runs after the claim is released, outside the window FSCK/lease
@@ -189,6 +197,22 @@ class LogStoreSpec extends SparkSpecBase {
         t.append(Seq((1, "a")).toDF("id", "v")))
       assert(e.getMessage.contains("concurrent commit"))
       assert(!t.exists, "an aborted commit must not publish a version file")
+    } finally spark.conf.unset(LogStore.ConfKey)
+  }
+
+  test("a release failure after publish never masks the commit outcome") {
+    val dir = Files.createTempDirectory("graft-release-fail-").toString
+    spark.conf.set(LogStore.ConfKey, classOf[ReleaseThrowsLogStore].getName)
+    try {
+      val t = GraftTable(spark, s"$dir/t")(GraftSettings.default)
+      // the release throws AFTER the publish rename: the append must
+      // still report success — the commit is durably in the log
+      t.append(Seq((1, "a")).toDF("id", "v"))
+      assert(t.version === 1)
+      assert(t.read().count() === 1)
+      // and the handle's own listing reflects its published commit
+      // (invalidateListing must run even when release throws)
+      assert(t.commits().map(_.version) === Seq(1L))
     } finally spark.conf.unset(LogStore.ConfKey)
   }
 
