@@ -417,9 +417,13 @@ final case class GraftReorgCommand(target: Target) extends LeafRunnableCommand {
     AttributeReference("rewrittenFiles", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val t = target.resolve(spark)
-    val dvs = t.snapshot().dvFor.size.toLong
+    // report from the COMMIT the purge actually made, not a second
+    // snapshot — an interleaved DELETE/purge between two snapshots would
+    // make the two numbers describe different table states
     val c = t.purgeDeletionVectors()
-    Seq(Row(dvs, c.map(_.remove.size.toLong).getOrElse(0L)))
+    Seq(Row(
+      c.flatMap(_.metrics.get("numPurgedDeletionVectors")).map(_.toLong).getOrElse(0L),
+      c.map(_.remove.size.toLong).getOrElse(0L)))
   }
 }
 

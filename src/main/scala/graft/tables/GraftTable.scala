@@ -2441,6 +2441,27 @@ final class GraftTable private (
         .getOrElse(Seq.empty))
   }
 
+  /** The rewrite paths' shared read: ALWAYS the converted-tree-aware
+    * reader (nested adopted files carry partition values in the PATH — a
+    * pinned-schema direct read decodes them as NULL and a rewrite bakes
+    * the loss into its output, silent corruption), then pre-evolution
+    * files' missing columns normalize to the FULL current schema in one
+    * projection (the packed-output contract; per-field withColumn would
+    * stack O(fields) Project nodes — a quadratic-analysis hotspot on wide
+    * ingest tables). Mapping-active schemas skip the normalization:
+    * [[readDataFiles]] already reconstructed their logical shape. */
+  private def readForRewrite(files: Seq[String], snap: LogCheckpoint,
+      stored: org.apache.spark.sql.types.StructType): DataFrame = {
+    val base = readDataFiles(files, snap.schemaJson)
+    if (ColumnMapping.active(stored)) base
+    else {
+      val have = base.columns.toSet
+      base.select(stored.fields.map(f =>
+        if (have(f.name)) col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)).toSeq: _*)
+    }
+  }
+
   /** REORG-purge: rewrite ONLY the live files carrying deletion vectors,
     * so the bitmaps die and surviving rows materialize — Delta's
     * `REORG TABLE ... APPLY (PURGE)` scope. Deliberately NOT the
@@ -2461,7 +2482,7 @@ final class GraftTable private (
     val target = math.max(1,
       math.ceil(totalBytes.toDouble / effectiveSettings.compactTargetBytes).toInt)
     val df = DeletionVectors.filterDeleted(
-      readDataFiles(victims, snap.schemaJson), spark,
+      readForRewrite(victims, snap, stored), spark,
       loadDvs(dvNow, victims), qualifiedRootUris)
       .repartition(target)
     val (add, stats) = stage(df)
@@ -2509,19 +2530,7 @@ final class GraftTable private (
     // is untouched by a dataChange=false rewrite).
     val stored = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson.get)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
-    // ALWAYS the converted-tree-aware reader: nested adopted files carry
-    // their partition values in the PATH, so a pinned-schema direct read
-    // decodes them as NULL and the bin-pack would bake the loss into the
-    // packed files — silent partition-value corruption (compactWith reads
-    // the same way). Missing pre-evolution columns then normalize to the
-    // full current schema, the packed-output contract.
-    val packed0 = readDataFiles(small, snap.schemaJson)
-    val packed =
-      if (ColumnMapping.active(stored)) packed0
-      else stored.fields.foldLeft(packed0)((df, f) =>
-        if (df.columns.contains(f.name)) df
-        else df.withColumn(f.name, lit(null).cast(f.dataType)))
-        .select(stored.fieldNames.map(col).toSeq: _*)
+    val packed = readForRewrite(small, snap, stored)
     val df = DeletionVectors.filterDeleted(packed, spark, loadDvs(dvNow, small), qualifiedRootUris)
       .repartition(target)
     val (add, stats) = stage(df)

@@ -231,6 +231,19 @@ object JdbcArbiterLogStore {
   }
 
   private def ensureTable(c: Connection, table: String): Unit = {
+    // existence probe FIRST (standard DatabaseMetaData, engine-agnostic):
+    // the steady state — table already there — takes no DDL at all, so no
+    // per-engine duplicate-SQLState taxonomy decides whether a reconnect
+    // works. getTables matching is case-sensitive per-engine; probe the
+    // common foldings.
+    val bare = table.split('.').last
+    val md = c.getMetaData
+    def existsAs(n: String): Boolean = {
+      val rs = md.getTables(null, null, n, Array("TABLE"))
+      try rs.next() finally rs.close()
+    }
+    if (existsAs(bare) || existsAs(bare.toUpperCase(java.util.Locale.ROOT)) ||
+      existsAs(bare.toLowerCase(java.util.Locale.ROOT))) return
     val st = c.createStatement()
     try st.executeUpdate(
       s"""CREATE TABLE $table(
@@ -241,13 +254,16 @@ object JdbcArbiterLogStore {
          |  claimed_at_ms BIGINT        NOT NULL
          |)""".stripMargin)
     catch {
-      // ONLY duplicate-object states — Derby X0Y32, Postgres 42P07,
-      // MySQL 42S01: the table already exists, which is the expected
-      // steady state. Anything else (permissions like Postgres 42501,
-      // connectivity) must surface HERE: swallowed, the first tryClaim
-      // would fail with a misleading "relation does not exist"
-      case e: SQLException
-        if Option(e.getSQLState).exists(Set("X0Y32", "42P07", "42S01")) => ()
+      // CONCURRENT-CREATION race only (two JVMs bootstrapping at once):
+      // duplicate-object states — Derby X0Y32, Postgres 42P07, MySQL
+      // 42S01, plus the generic 42000/42101 some engines report. A
+      // permission failure on a genuinely MISSING table still surfaces,
+      // because the probe above said it does not exist... unless the
+      // race created it between probe and CREATE, which is exactly this
+      // guard. Re-probe to disambiguate: swallowed only if present now.
+      case _: SQLException if existsAs(bare) ||
+        existsAs(bare.toUpperCase(java.util.Locale.ROOT)) ||
+        existsAs(bare.toLowerCase(java.util.Locale.ROOT)) => ()
     } finally st.close()
   }
 }

@@ -314,6 +314,24 @@ class DeletionVectorSpec extends SparkSpecBase {
     assert(t.purgeDeletionVectors().isEmpty)
   }
 
+  test("purge over pre-evolution victims carries the FULL current schema") {
+    // the purge reads only the DV-bearing files; a victim written before
+    // a schema evolution must still produce output files carrying the
+    // evolved columns (as NULL) — the packed-output contract every
+    // rewrite path shares (and what downstream CHECK constraints resolve
+    // against)
+    val t = table(tmp("dv-purge-evo-"))
+    t.append((1 to 10).map(i => Tuple1(i)).toDF("id").coalesce(1))
+    t.append((11 to 20).map(i => (i, s"c$i")).toDF("id", "c").coalesce(1))
+    t.delete(col("id") === 3) // DV binds to the pre-evolution file
+    val c = t.purgeDeletionVectors().get
+    val out = spark.read.parquet(c.add.map(f => s"${t.path}/$f"): _*)
+    assert(out.columns.toSet === Set("id", "c"),
+      s"purged output must carry the evolved schema, got ${out.columns.toSeq}")
+    assert(out.count() === 9 && out.filter(col("c").isNotNull).count() === 0)
+    assert(t.read().count() === 19)
+  }
+
   test("writeManifest(purgeFirst) is the DV table's external-reader route") {
     val t = table(tmp("dv-manifest-purge-"))
     t.append((1 to 30).map(i => (i, i * 10)).toDF("id", "amt").coalesce(1))
