@@ -216,6 +216,40 @@ class LogStoreSpec extends SparkSpecBase {
     } finally spark.conf.unset(LogStore.ConfKey)
   }
 
+  test("micro-bench: claim acquire/release — O_EXCL vs JDBC arbiter") {
+    // not a perf ASSERTION (CI noise): prints per-claim cost for the
+    // record — the arbiter's conditional INSERT must be commit-noise
+    // (~ms) next to the staging/commit work it guards. The pinned
+    // invariant is contract parity: both stores serve N sequential
+    // claim/release cycles with identical observable behavior.
+    val dir = Files.createTempDirectory("graft-claim-bench-").toString
+    val fs = graft.lake.FsUtils.fs(spark, dir)
+    val logDir = new Path(s"$dir/log")
+    fs.mkdirs(logDir)
+    spark.sparkContext.hadoopConfiguration.set(JdbcArbiterLogStore.UrlKey,
+      s"jdbc:derby:$dir/claimdb;create=true")
+    val stores: Seq[(String, LogStore)] = Seq(
+      "HadoopOExcl" -> new HadoopOExclLogStore,
+      "JdbcArbiter(derby)" -> new JdbcArbiterLogStore)
+    stores.foreach { case (name, s) =>
+      (1 to 10).foreach { i => // warmup (connection open, JIT)
+        assert(s.tryClaim(fs, logDir, s"w-$name-$i.json"))
+        s.release(fs, logDir, s"w-$name-$i.json")
+      }
+      val n = 200
+      val t0 = System.nanoTime()
+      (1 to n).foreach { i =>
+        assert(s.tryClaim(fs, logDir, s"b-$name-$i.json"), s"$name claim $i lost")
+        s.release(fs, logDir, s"b-$name-$i.json")
+      }
+      val msPer = (System.nanoTime() - t0) / 1e6 / n
+      info(f"[claim-bench] $name: $msPer%.3f ms per claim+release over $n cycles")
+      // a released name is claimable again — the cycle really released
+      assert(s.tryClaim(fs, logDir, s"b-$name-1.json"))
+      s.release(fs, logDir, s"b-$name-1.json")
+    }
+  }
+
   test("publish degrade on a link-less mount WARNs, naming the path and the arbiter remedy") {
     val dir = Files.createTempDirectory("graft-degrade-").toString
     val fs = graft.lake.FsUtils.fs(spark, dir)
