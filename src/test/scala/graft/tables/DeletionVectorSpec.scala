@@ -314,6 +314,21 @@ class DeletionVectorSpec extends SparkSpecBase {
     assert(t.purgeDeletionVectors().isEmpty)
   }
 
+  test("restore across a purge re-binds the historical DV; pre-delete restore resurrects") {
+    val t = table(tmp("dv-restore-purge-"))
+    t.append((1 to 20).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1)) // v1
+    t.delete(col("id") === 3) // v2: DV binds
+    assert(t.purgeDeletionVectors().isDefined) // v3: bitmap dies, rows materialize
+    assert(t.snapshot().dvFor.isEmpty && t.read().count() === 19)
+    t.restore(2) // v4: the DV-bearing state — binding must come back
+    assert(t.snapshot().dvFor.nonEmpty, "restore must re-bind the historical DV")
+    assert(t.read().count() === 19)
+    assert(t.read().filter(col("id") === 3).count() === 0)
+    t.restore(1) // v5: pre-delete — full resurrection
+    assert(t.snapshot().dvFor.isEmpty)
+    assert(t.read().count() === 20)
+  }
+
   test("purge over pre-evolution victims carries the FULL current schema") {
     // the purge reads only the DV-bearing files; a victim written before
     // a schema evolution must still produce output files carrying the
