@@ -128,6 +128,15 @@ final case class GraftSettings(
       * ([[graft.tables.GraftParquetFileFormat]]); OPTIMIZE/compaction
       * purge them by rewriting. Off by default, like Delta. */
     deletionVectors: Boolean = false,
+    /** Refuse data-changing commits that remove files or bind deletion
+      * vectors (delete/update/upsert-with-matches/overwrite/restore) —
+      * Delta's `appendOnly` table property. Appends, metadata DDL, and
+      * row-preserving rewrites (compaction/OPTIMIZE, dataChange=false)
+      * stay allowed. As a TABLE property (`append_only=true`) it also
+      * stamps the [[graft.tables.GraftProtocol.AppendOnlyFeature]] writer
+      * feature so foreign writers that cannot uphold it refuse to
+      * commit. */
+    appendOnly: Boolean = false,
     /** DV fallback bound: when one DML would mark more than this many
       * positions table-wide, it falls back to the classic pruned rewrite
       * — positions transit the driver to be merged into sidecars, and an
@@ -203,6 +212,7 @@ object GraftSettings {
         Some(s.copy(logCheckpointJsonTwinMaxFiles = v.toLong))
       case "collect_file_stats"                => Some(s.copy(collectFileStats = v.toBoolean))
       case "change_data_feed"                  => Some(s.copy(changeDataFeed = v.toBoolean))
+      case "append_only"                       => Some(s.copy(appendOnly = v.toBoolean))
       case "deletion_vectors"                  => Some(s.copy(deletionVectors = v.toBoolean))
       case "dv_max_deleted_rows"               => Some(s.copy(dvMaxDeletedRows = v.toLong))
       case "bloom_filter_columns" =>

@@ -43,7 +43,15 @@ final case class Commit(
       * write time; a reader refuses any feature it does not know before
       * serving a row. Absent (= baseline) in pre-gate logs AND on
       * baseline commits, so the common commit pays zero extra bytes. */
-    features: Option[Seq[String]] = None)
+    features: Option[Seq[String]] = None,
+    /** WRITER features the table holds its writers to as of this commit
+      * (Delta's writerFeatures — see [[GraftProtocol]]): CHECK
+      * constraints present, change-data-feed expected, append-only
+      * declared. A writer refuses to COMMIT to a table requiring a
+      * writer feature it does not uphold; reads are never gated by
+      * these. Absent (= baseline) in pre-gate logs and on baseline
+      * commits. */
+    writerFeatures: Option[Seq[String]] = None)
 
 /** Per-column stats of one data file, in portable string form:
   * numerics/strings/dates as their cast-to-string value, timestamps as
@@ -99,11 +107,18 @@ final case class LogCheckpoint(
       * required ([[GraftProtocol]]) — monotone, like Delta's protocol
       * action: a vacuumLog-trimmed table still gates foreign readers from
       * its surviving checkpoint alone. Absent = baseline (pre-gate). */
-    features: Option[Seq[String]] = None) {
+    features: Option[Seq[String]] = None,
+    /** Running UNION of every WRITER feature the history up to `version`
+      * bound the table to ([[GraftProtocol]]) — monotone, like the reader
+      * union: a vacuumLog-trimmed table still gates foreign writers from
+      * its surviving checkpoint alone. Absent = baseline (pre-gate). */
+    writerFeatures: Option[Seq[String]] = None) {
   /** The DV bindings as a plain map (empty = no deletes outstanding). */
   def dvFor: Map[String, String] = dvs.getOrElse(Map.empty)
   /** Required reader features as a plain set (empty = baseline). */
   def featureSet: Set[String] = features.map(_.toSet).getOrElse(Set.empty)
+  /** Required writer features as a plain set (empty = baseline). */
+  def writerFeatureSet: Set[String] = writerFeatures.map(_.toSet).getOrElse(Set.empty)
 }
 
 /** A versioned parquet table — the engine's stand-in for the Delta tables
@@ -194,13 +209,30 @@ final class GraftTable private (
 
   private val constraintsFile = new Path(logDir, "_constraints.json")
 
-  /** The persisted CHECK constraints: name → SQL predicate text. */
+  /** The persisted CHECK constraints: name → SQL predicate text. Cached
+    * per instance keyed by table VERSION (the [[tableProperties]]
+    * discipline): constraint DDL on an existing table always publishes a
+    * `constraint` commit, so "version unchanged" proves the sidecar is
+    * current. Every write path consults this (guards + the per-commit
+    * writer-feature stamp); without the cache each consult is an
+    * exists+open+parse RPC against the object store. Pre-creation tables
+    * (DDL is sidecar-only until data arrives) are never cached. */
   def constraints: Map[String, String] = {
-    if (!fs.exists(constraintsFile)) return Map.empty
-    val in = fs.open(constraintsFile)
-    try JsonMethods.parse(in).extract[Map[String, String]]
-    finally in.close()
+    val v = if (exists) version else -1L
+    val cached = constraintsCache
+    if (cached != null && v >= 0 && cached._1 == v) return cached._2
+    val fresh =
+      if (!fs.exists(constraintsFile)) Map.empty[String, String]
+      else {
+        val in = fs.open(constraintsFile)
+        try JsonMethods.parse(in).extract[Map[String, String]]
+        finally in.close()
+      }
+    if (v >= 0) constraintsCache = (v, fresh)
+    fresh
   }
+
+  @volatile private var constraintsCache: (Long, Map[String, String]) = null
 
   /** Add a persisted CHECK constraint (Delta's `ALTER TABLE ... ADD
     * CONSTRAINT name CHECK (pred)`): validates the EXISTING table in one
@@ -455,6 +487,7 @@ final class GraftTable private (
   }
 
   private def writeConstraints(cs: Map[String, String]): Unit = {
+    constraintsCache = null // own writes visible before the commit publishes
     if (cs.isEmpty) { fs.delete(constraintsFile, false); return }
     fs.mkdirs(new Path(logDir))
     val tmp = new Path(logDir, s".constraints.${UUID.randomUUID()}.tmp")
@@ -700,6 +733,7 @@ final class GraftTable private (
     var stats = base.stats
     var dvs = base.dvFor
     var feats = base.featureSet
+    var wfeats = base.writerFeatureSet
     var v = base.version
     commitFiles
       .filter(p => { val pv = versionOf(p); pv > base.version && pv <= asOf })
@@ -716,6 +750,11 @@ final class GraftTable private (
           dvs = if (dv == DeletionVectors.Cleared) dvs - f else dvs + (f -> dv)
         }
         feats ++= c.features.getOrElse(Nil) // monotone union, like Delta
+        wfeats ++= c.writerFeatures.getOrElse(Nil)
+        // pre-gate self-heal (content side): a commit that RECORDED change
+        // files is durable evidence CDF consumers exist, even if the
+        // commit predates writer-feature stamping
+        if (c.changes.isDefined) wfeats += GraftProtocol.ChangeDataFeedFeature
         v = c.version
       }
     // content-derived union ON TOP of the recorded sets: a PRE-GATE
@@ -729,7 +768,8 @@ final class GraftTable private (
       feats += GraftProtocol.ColumnMappingFeature
     LogCheckpoint(v, live.toSeq, schemaJson, stats,
       if (dvs.isEmpty) None else Some(dvs),
-      if (feats.isEmpty) None else Some(feats.toSeq.sorted))
+      if (feats.isEmpty) None else Some(feats.toSeq.sorted),
+      if (wfeats.isEmpty) None else Some(wfeats.toSeq.sorted))
   }
 
   /** Persist [[snapshot]] as `<version>.checkpoint.json` when the version
@@ -1260,6 +1300,15 @@ final class GraftTable private (
         "graft_bucket=(\\d+)".r.findFirstMatchIn(p.getParent.getName).map(m => s"b${m.group(1)}-")
       }.getOrElse("")
       val name = s"${bucketPrefix}part-$stagingId-${p.getName.stripPrefix("part-")}"
+      // invariant [[GraftProtocol.featuresOf]] leans on: staged writes
+      // publish FLAT basenames (bucketed files become `bN-` prefixes, not
+      // nested dirs), so "/" in a committed add name is EXCLUSIVELY the
+      // converted-tree shape and the structural partition_convert stamp
+      // stays exact. If a future layout ever nests staged names, widen the
+      // stamp derivation before relaxing this.
+      assert(!name.contains("/"),
+        s"staged add name '$name' must be flat (GraftProtocol.featuresOf " +
+          "derives partition_convert structurally from '/')")
       if (!fs.rename(p, new Path(path, name)))
         throw new IllegalStateException(s"failed to move staged file $p into $path")
       // stats are keyed bucket-dir-qualified (leaf names repeat across
@@ -1292,11 +1341,39 @@ final class GraftTable private (
   }
 
   /** Derive and record the commit's required reader features from its
-    * content ([[GraftProtocol.featuresOf]]) — stamped here, at the single
-    * funnel both construction sites pass through, so no write path can
-    * forget the gate. */
-  private def stampFeatures(c: Commit): Commit =
-    c.copy(features = GraftProtocol.featuresOf(c))
+    * content ([[GraftProtocol.featuresOf]]) and its writer features from
+    * table state + content ([[GraftProtocol.writerFeaturesOf]]) — stamped
+    * here, at the single funnel both construction sites ([[nextCommit]],
+    * [[commitRewrite]]) pass through, so no write path can forget either
+    * gate. The WRITE-side protocol gate also lives here: a table whose
+    * recorded union holds a writer feature this binary does not uphold
+    * refuses the commit (reads keep serving — [[parseCommit]]/[[snapshot]]
+    * check only the reader set), and a declared append-only table refuses
+    * any data-changing commit that removes files or binds deletion
+    * vectors (compaction/OPTIMIZE rewrites — dataChange=false, rows
+    * preserved — stay allowed, Delta's appendOnly semantics). */
+  private def stampFeatures(c: Commit): Commit = {
+    // gate BEFORE any claim is attempted: the union survives log trims via
+    // the checkpoint, so a hand-laid/future-writer table refuses here even
+    // when the commit that recorded the feature is long vacuumed
+    GraftProtocol.requireWritable(snapshot().writerFeatureSet, path,
+      "the table's commit history/checkpoint")
+    val props = tableProperties
+    def declared(k: String) = props.get(k).exists(_.equalsIgnoreCase("true"))
+    val appendOnlyDeclared = declared("append_only")
+    if ((appendOnlyDeclared || effectiveSettings.appendOnly) && c.dataChange &&
+        (c.remove.nonEmpty ||
+          c.dvs.exists(_.values.exists(_ != DeletionVectors.Cleared))))
+      throw new IllegalStateException(
+        s"table $path is append-only (append_only=true): refusing " +
+          s"'${c.action}' — it removes or rewrites rows (unset the " +
+          "property to run data-changing DML)")
+    c.copy(features = GraftProtocol.featuresOf(c),
+      writerFeatures = GraftProtocol.writerFeaturesOf(c,
+        hasCheckConstraints = constraints.nonEmpty,
+        cdfDeclared = declared("change_data_feed"),
+        appendOnlyDeclared = appendOnlyDeclared))
+  }
 
   /** Test seam: invoked once just before a rewrite's first commit attempt
     * (inside [[commitRewrite]]), so specs can deterministically interleave

@@ -41,7 +41,7 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *     log_dir       VARCHAR(2048) NOT NULL,
   *     name          VARCHAR(256)  NOT NULL,
   *     token         VARCHAR(64)   NOT NULL,
-  *     claimed_at_ms BIGINT        NOT NULL
+  *     claimed_at    TIMESTAMP     NOT NULL              -- DB server clock
   *   )
   * }}}
   * The key is a digest, not the raw pair: composite VARCHAR primary keys
@@ -53,10 +53,12 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * `publish` is inherited: once claims serialize writers, the temp-rename
   * publish (plus the winner's pre-publish [[stillHeld]] re-verify) is the
   * same on every store; S3A's rename-as-copy is fine under an exclusive
-  * claim. Clock caveat: lease AGE compares the database-recorded
-  * `claimed_at_ms` against the CONTENDER's clock — the TTL (default 10
-  * min) dwarfs any sane cluster skew, and the witness-scoped break keeps
-  * even a skewed breaker from deleting a fresh re-claim.
+  * claim. Clocks: the lease is measured ENTIRELY on the arbiter
+  * database's clock — `claimed_at` is written as the database's
+  * `CURRENT_TIMESTAMP` and [[claimAgeMs]] reads the same
+  * `CURRENT_TIMESTAMP` in the same SELECT, so client hosts need no time
+  * sync at all (a skewed contender can neither see a fresh claim as
+  * expired nor a crashed one as fresh).
   */
 class JdbcArbiterLogStore extends LogStore {
   import JdbcArbiterLogStore._
@@ -70,15 +72,16 @@ class JdbcArbiterLogStore extends LogStore {
     val cfg = Config(fs)
     val token = java.util.UUID.randomUUID().toString
     val won = withConn(cfg) { c =>
+      // claimed_at is the DATABASE's clock (CURRENT_TIMESTAMP in the SQL
+      // itself), so lease age never mixes two hosts' clocks
       val st = c.prepareStatement(
-        s"INSERT INTO ${cfg.table}(claim_key, log_dir, name, token, claimed_at_ms) " +
-          "VALUES (?, ?, ?, ?, ?)")
+        s"INSERT INTO ${cfg.table}(claim_key, log_dir, name, token, claimed_at) " +
+          "VALUES (?, ?, ?, ?, CURRENT_TIMESTAMP)")
       try {
         st.setString(1, claimKey(logDir, name))
         st.setString(2, logDir.toString.take(2048))
         st.setString(3, name.take(256))
         st.setString(4, token)
-        st.setLong(5, System.currentTimeMillis())
         st.executeUpdate()
         true
       } catch {
@@ -99,8 +102,7 @@ class JdbcArbiterLogStore extends LogStore {
   }
 
   override def claimAgeMs(fs: FileSystem, logDir: Path, name: String): Option[Long] =
-    selectClaim(Config(fs), logDir, name)
-      .map { case (_, at) => System.currentTimeMillis() - at }
+    selectClaim(Config(fs), logDir, name).map(_._2)
 
   override def claimWitness(fs: FileSystem, logDir: Path, name: String): Option[String] =
     selectClaim(Config(fs), logDir, name).map(_._1)
@@ -119,15 +121,25 @@ class JdbcArbiterLogStore extends LogStore {
 
   private def key(logDir: Path, name: String) = s"$logDir/$name"
 
+  /** The current claim's (token, ageMs). BOTH timestamps in the age come
+    * from the arbiter database's clock, read in one statement — the
+    * contender's own clock never participates, so cross-host skew cannot
+    * cause spurious lease breaks or keep a crashed claim alive. The two
+    * TIMESTAMPs convert through the same driver/calendar, so their
+    * difference is exact. */
   private def selectClaim(cfg: Config, logDir: Path,
       name: String): Option[(String, Long)] =
     withConn(cfg) { c =>
       val st = c.prepareStatement(
-        s"SELECT token, claimed_at_ms FROM ${cfg.table} WHERE claim_key = ?")
+        s"SELECT token, claimed_at, CURRENT_TIMESTAMP FROM ${cfg.table} " +
+          "WHERE claim_key = ?")
       try {
         st.setString(1, claimKey(logDir, name))
         val rs = st.executeQuery()
-        try if (rs.next()) Some((rs.getString(1), rs.getLong(2))) else None
+        try if (rs.next())
+          Some((rs.getString(1),
+            math.max(0L, rs.getTimestamp(3).getTime - rs.getTimestamp(2).getTime)))
+        else None
         finally rs.close()
       } finally st.close()
     }
@@ -235,15 +247,46 @@ object JdbcArbiterLogStore {
     // the steady state — table already there — takes no DDL at all, so no
     // per-engine duplicate-SQLState taxonomy decides whether a reconnect
     // works. getTables matching is case-sensitive per-engine; probe the
-    // common foldings.
-    val bare = table.split('.').last
+    // common foldings. Two traps in the raw API this probe must dodge:
+    //  - '_' in the default name is a single-char PATTERN WILDCARD, so an
+    //    unescaped probe matches near-names (graft-log-claims etc.) and
+    //    suppresses the CREATE — every later claim INSERT then fails;
+    //  - null catalog/schema patterns scan EVERY schema, so a same-named
+    //    table in ANOTHER schema (common in shared Postgres) would count
+    //    as "exists" while the unqualified INSERT targets the CURRENT
+    //    schema, which has no table. Scope to the connection's current
+    //    catalog/schema (or the name's own schema qualifier).
     val md = c.getMetaData
-    def existsAs(n: String): Boolean = {
-      val rs = md.getTables(null, null, n, Array("TABLE"))
+    val parts = table.split('.')
+    val bare = parts.last
+    val schemaRaw: Option[String] =
+      if (parts.length > 1) Some(parts(parts.length - 2))
+      else Option(
+        // getSchema is JDBC 4.1; a pre-4.1 driver may not implement it —
+        // fall back to the unscoped-but-escaped probe rather than fail
+        try c.getSchema
+        catch { case _: SQLException | _: AbstractMethodError => null })
+    val catalog = try c.getCatalog catch { case _: SQLException => null }
+    // escape with the ENGINE'S OWN escape string; an engine that reports
+    // none (embedded Derby returns "") cannot escape — probe unescaped
+    // there ('_' stays a wildcard, but the schema scoping above already
+    // confines any near-name false positive to the one schema the INSERT
+    // targets, and inventing an escape the engine ignores matches NOTHING,
+    // which re-CREATEs an existing table on every reconnect)
+    val esc = Option(md.getSearchStringEscape).getOrElse("")
+    def escaped(n: String): String =
+      if (esc.isEmpty) n
+      else n.replace(esc, esc + esc).replace("_", esc + "_").replace("%", esc + "%")
+    def existsScoped(fold: String => String): Boolean = {
+      val rs = md.getTables(catalog, schemaRaw.map(s => escaped(fold(s))).orNull,
+        escaped(fold(bare)), Array("TABLE"))
       try rs.next() finally rs.close()
     }
-    if (existsAs(bare) || existsAs(bare.toUpperCase(java.util.Locale.ROOT)) ||
-      existsAs(bare.toLowerCase(java.util.Locale.ROOT))) return
+    def tableExists: Boolean =
+      existsScoped(identity) ||
+        existsScoped(_.toUpperCase(java.util.Locale.ROOT)) ||
+        existsScoped(_.toLowerCase(java.util.Locale.ROOT))
+    if (tableExists) return
     val st = c.createStatement()
     try st.executeUpdate(
       s"""CREATE TABLE $table(
@@ -251,7 +294,7 @@ object JdbcArbiterLogStore {
          |  log_dir       VARCHAR(2048) NOT NULL,
          |  name          VARCHAR(256)  NOT NULL,
          |  token         VARCHAR(64)   NOT NULL,
-         |  claimed_at_ms BIGINT        NOT NULL
+         |  claimed_at    TIMESTAMP     NOT NULL
          |)""".stripMargin)
     catch {
       // CONCURRENT-CREATION race only (two JVMs bootstrapping at once):
@@ -261,9 +304,7 @@ object JdbcArbiterLogStore {
       // because the probe above said it does not exist... unless the
       // race created it between probe and CREATE, which is exactly this
       // guard. Re-probe to disambiguate: swallowed only if present now.
-      case _: SQLException if existsAs(bare) ||
-        existsAs(bare.toUpperCase(java.util.Locale.ROOT)) ||
-        existsAs(bare.toLowerCase(java.util.Locale.ROOT)) => ()
+      case _: SQLException if tableExists => ()
     } finally st.close()
   }
 }

@@ -91,15 +91,19 @@ trait LogStore {
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => false
         // a local-looking mount without hard-link support (some FUSE/NFS):
-        // degrade to the rename path rather than failing every commit —
-        // the claim protocol above still serializes healthy writers, but
-        // the exists-then-rename below is check-then-act (POSIX rename
-        // overwrites), so a dual-holder window on this mount could lose a
-        // commit: WARN the operator to back this store with an arbiter
+        // the exists-then-rename fallback is check-then-act (POSIX rename
+        // overwrites), so a dual-holder window on this mount could LOSE A
+        // COMMIT. That risk must be an operator's conscious choice, not a
+        // silent default: refuse with the arbiter-store guidance unless
+        // spark.graft.logStore.allowNonAtomicPublish=true, in which case
+        // degrade WITH a warning (the claim protocol still serializes
+        // healthy writers; only the last-line no-overwrite guard is lost)
         case _: UnsupportedOperationException =>
+          LogStore.requireDegradeOptIn(dst)
           LogStore.warnPublishDegrade(dst)
           !fs.exists(dst) && fs.rename(tmp, dst)
         case _: java.nio.file.FileSystemException if !fs.exists(dst) =>
+          LogStore.requireDegradeOptIn(dst)
           LogStore.warnPublishDegrade(dst)
           fs.rename(tmp, dst)
       }
@@ -238,6 +242,28 @@ object LogStore {
       s"outcome was decided (${e.getClass.getSimpleName}: ${e.getMessage}) — " +
       "the stale claim will recover via the claim TTL; the commit itself " +
       "is unaffected")
+
+  /** Opt-in for the hard-link-unsupported publish fallback (FUSE/NFS
+    * `file:` mounts): exists+rename is check-then-act, so a dual-holder
+    * window could overwrite a published commit — losing one writer's
+    * commit silently. Default REFUSES; the operator flips this only after
+    * accepting that window (or, better, backs the log with an arbiter
+    * store). */
+  val AllowNonAtomicPublishKey = "spark.graft.logStore.allowNonAtomicPublish"
+
+  private[tables] def requireDegradeOptIn(dst: Path): Unit = {
+    val allowed = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .exists(_.conf.get(AllowNonAtomicPublishKey, "false").toBoolean)
+    if (!allowed)
+      throw new IllegalStateException(
+        s"cannot publish $dst atomically: this file: mount refused hard " +
+          "links (FUSE/NFS?), and the exists+rename fallback could " +
+          "OVERWRITE a concurrent commit (lost-commit window). Back this " +
+          s"table's log with an arbiter store ($ConfKey=" +
+          s"${classOf[JdbcArbiterLogStore].getName}) or consciously accept " +
+          s"the window with $AllowNonAtomicPublishKey=true")
+  }
 
   private[tables] def warnPublishDegrade(dst: Path): Unit = {
     val msg = s"LogStore.publish degraded to a non-atomic exists+rename for " +

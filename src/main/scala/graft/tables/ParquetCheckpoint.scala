@@ -68,6 +68,9 @@ private[tables] object ParquetCheckpoint {
     * FOOTER because the gate must be checkable from the metadata RPC alone,
     * before any row of the live set is decoded. */
   private val KFeatures = "graft.features"
+  /** Comma-joined sorted WRITER-feature union — footer too, so a writer
+    * can check its gate from the metadata RPC. Reads never gate on it. */
+  private val KWriterFeatures = "graft.writerFeatures"
 
   /** Write `snap` (already trimmed to live files) as one parquet file at
     * `dest` — written to a temp name and renamed, like every log file, so
@@ -83,6 +86,8 @@ private[tables] object ParquetCheckpoint {
     snap.schemaJson.foreach(meta.put(KSchema, _))
     snap.features.filter(_.nonEmpty)
       .foreach(fs => meta.put(KFeatures, fs.sorted.mkString(",")))
+    snap.writerFeatures.filter(_.nonEmpty)
+      .foreach(fs => meta.put(KWriterFeatures, fs.sorted.mkString(",")))
     val factory = new SimpleGroupFactory(Schema)
     val writer = ExampleParquetWriter.builder(tmp)
       .withType(Schema)
@@ -133,12 +138,13 @@ private[tables] object ParquetCheckpoint {
       p: Path, distributedReadBytes: Long): LogCheckpoint = {
     val inputFile = HadoopInputFile.fromPath(p, conf)
     val footer = org.apache.parquet.hadoop.ParquetFileReader.open(inputFile)
-    val (version, schemaJson, numFiles, features) =
+    val (version, schemaJson, numFiles, features, writerFeatures) =
       try {
         val kv = footer.getFooter.getFileMetaData.getKeyValueMetaData
         (kv.get(KVersion).toLong, Option(kv.get(KSchema)),
           Option(kv.get(KNumFiles)).map(_.toLong),
-          Option(kv.get(KFeatures)).map(_.split(',').toSeq.filter(_.nonEmpty)))
+          Option(kv.get(KFeatures)).map(_.split(',').toSeq.filter(_.nonEmpty)),
+          Option(kv.get(KWriterFeatures)).map(_.split(',').toSeq.filter(_.nonEmpty)))
       } finally footer.close()
     // gate on the footer ALONE — refusing an unsupported table must not
     // first decode a million-row live set ([[GraftProtocol]]; the
@@ -219,6 +225,7 @@ private[tables] object ParquetCheckpoint {
           s"files, read ${files.size}"))
     LogCheckpoint(version, files, schemaJson, stats.result(),
       if (dvs.isEmpty) None else Some(dvs),
-      features.filter(_.nonEmpty))
+      features.filter(_.nonEmpty),
+      writerFeatures.filter(_.nonEmpty))
   }
 }

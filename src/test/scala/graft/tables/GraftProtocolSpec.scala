@@ -164,14 +164,182 @@ class GraftProtocolSpec extends SparkSpecBase {
     assert(fresh.read().count() === 19, "and the table still reads normally")
   }
 
+  // ------------------------------------------------------ writer features
+
+  test("commits stamp required WRITER features from table state and content") {
+    val root = tmp()
+    // baseline append: no writerFeatures field at all
+    val plain = GraftTable(spark, s"$root/plain")(GraftSettings.default)
+    plain.append(Seq((1, "a")).toDF("id", "v"))
+    assert(plain.commits().last.writerFeatures === None)
+    // a table with a persisted CHECK constraint stamps check_constraints
+    // on every subsequent commit
+    val ct = GraftTable(spark, s"$root/c")(GraftSettings.default)
+    ct.append(Seq((1, "a")).toDF("id", "v"))
+    ct.addConstraint("pos", "id > 0")
+    ct.append(Seq((2, "b")).toDF("id", "v"))
+    assert(ct.commits().last.writerFeatures
+      === Some(Seq(GraftProtocol.CheckConstraints)))
+    // a CDF DML records change files -> change_data_feed (content-derived)
+    val cdf = GraftTable(spark, s"$root/cdf")(
+      GraftSettings.default.copy(changeDataFeed = true))
+    cdf.append((1 to 5).map(i => (i, s"v$i")).toDF("id", "v"))
+    cdf.delete(col("id") === 3)
+    assert(cdf.commits().last.writerFeatures.exists(
+      _.contains(GraftProtocol.ChangeDataFeedFeature)))
+    // declared table PROPERTIES stamp even on baseline appends (the
+    // expectation must travel with the table, not the session)
+    val ao = GraftTable(spark, s"$root/ao")(GraftSettings.default)
+    ao.append(Seq((1, "a")).toDF("id", "v"))
+    ao.setProperties(Map("append_only" -> "true"))
+    ao.append(Seq((2, "b")).toDF("id", "v"))
+    assert(ao.commits().last.writerFeatures
+      === Some(Seq(GraftProtocol.AppendOnlyFeature)))
+    // and the snapshot unions them monotonically
+    assert(ao.snapshot().writerFeatureSet === Set(GraftProtocol.AppendOnlyFeature))
+  }
+
+  test("append_only refuses row-removing DML but allows appends and compaction") {
+    val root = tmp()
+    val t = GraftTable(spark, s"$root/t")(GraftSettings.default)
+    t.append((1 to 10).map(i => (i, s"v$i")).toDF("id", "v"))
+    t.setProperties(Map("append_only" -> "true"))
+    t.append(Seq((11, "k")).toDF("id", "v")) // appends stay allowed
+    def refusedAppendOnly(body: => Any): Unit = {
+      val e = intercept[IllegalStateException](body)
+      assert(e.getMessage.contains("append-only"), e.getMessage)
+    }
+    refusedAppendOnly(t.delete(col("id") === 3))
+    refusedAppendOnly(t.update(col("id") === 3, Map("v" -> lit("x"))))
+    refusedAppendOnly(t.overwrite(Seq((1, "z")).toDF("id", "v")))
+    // a row-preserving rewrite (dataChange=false) is NOT a data change:
+    // compaction/OPTIMIZE keep working (Delta's appendOnly semantics)
+    t.optimize()
+    assert(t.read().count() === 11)
+    // unsetting the property lifts the refusal (this binary-side policy;
+    // the writer-feature union stays monotone like Delta's protocol)
+    t.unsetProperties(Seq("append_only"))
+    t.delete(col("id") === 3)
+    assert(t.read().count() === 10)
+  }
+
+  test("a future WRITER feature lets every read surface serve but refuses every commit, feature named") {
+    val root = tmp()
+    val path = s"$root/t"
+    val t = GraftTable(spark, path)(GraftSettings.default)
+    t.append(Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    val schema = Seq((0, "")).toDF("id", "v").schema.json
+    // hand-laid future-writer commit: READ-compatible content, but the
+    // table now holds its writers to an invariant this binary cannot uphold
+    writeRawCommit(path, Commit(2L, "append", dataChange = true,
+      timestampMs = System.currentTimeMillis(),
+      add = Seq.empty, remove = Seq.empty, schemaJson = schema,
+      metrics = Map.empty, writerFeatures = Some(Seq("v99_row_tracking"))))
+
+    // every read surface SERVES (write-side invariants cannot be violated
+    // by serving rows)
+    val fresh = GraftTable(spark, path)(GraftSettings.default)
+    assert(fresh.read().count() === 2)
+    assert(spark.read.format("graft").load(path).count() === 2)
+    assert(fresh.history().count() === 2)
+    assert(fresh.readAt(1).count() === 2)
+
+    def assertRefused(body: => Any): Unit = {
+      val e = intercept[Exception](body)
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(_.getMessage).filter(_ != null).mkString(" | ")
+      assert(msgs.contains("v99_row_tracking") && msgs.contains("requires writer feature"),
+        s"error must NAME the writer feature, got: $msgs")
+    }
+    // every COMMIT surface refuses with the feature named
+    assertRefused(fresh.append(Seq((3, "c")).toDF("id", "v")))
+    assertRefused(fresh.delete(col("id") === 1))
+    assertRefused(fresh.upsert(Seq((1, "z", "U")).toDF("id", "v", "op"),
+      Seq("id"), "op"))
+    assertRefused(fresh.optimize()) // even row-preserving rewrites commit
+    assertRefused(fresh.addConstraint("pos", "id > 0")) // metadata DDL too
+    // SQL DML
+    spark.sql("DROP TABLE IF EXISTS proto_wgate")
+    spark.sql(s"CREATE TABLE proto_wgate USING graft LOCATION '$path'")
+    assert(spark.sql("SELECT * FROM proto_wgate").count() === 2) // reads serve
+    assertRefused(spark.sql("INSERT INTO proto_wgate VALUES (9, 'z')"))
+    assertRefused(spark.sql("DELETE FROM proto_wgate WHERE id = 1"))
+    spark.sql("DROP TABLE IF EXISTS proto_wgate")
+    // streaming sink (each micro-batch appends one commit -> same funnel)
+    assertRefused {
+      val srcTable = GraftTable(spark, s"$root/src")(GraftSettings.default)
+      srcTable.append(Seq((7, "g")).toDF("id", "v"))
+      val q = spark.readStream.format("graft").load(s"$root/src")
+        .writeStream.format("graft")
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow()).start(path)
+      q.awaitTermination()
+    }
+    // the table is byte-for-byte unchanged by all the refusals
+    assert(GraftTable(spark, path)(GraftSettings.default).version === 2L)
+    assert(fresh.read().count() === 2)
+  }
+
+  test("a future WRITER feature in a CHECKPOINT gates commits after a log trim") {
+    val root = tmp()
+    val path = s"$root/t"
+    val t = GraftTable(spark, path)(GraftSettings.default)
+    t.append(Seq((1, "a")).toDF("id", "v"))
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ck = LogCheckpoint(1L, t.liveFiles(), Some(t.read().schema.json),
+      Map.empty, writerFeatures = Some(Seq("v99_row_tracking")))
+    val out = fs.create(new org.apache.hadoop.fs.Path(
+      s"$path/_graft_log", f"${1L}%020d.checkpoint.json"), false)
+    try out.write(org.json4s.jackson.Serialization.write(ck).getBytes("UTF-8"))
+    finally out.close()
+    val fresh = GraftTable(spark, path)(GraftSettings.default)
+    assert(fresh.read().count() === 1, "reads must serve")
+    val e = intercept[UnsupportedTableFeatureException](
+      fresh.append(Seq((2, "b")).toDF("id", "v")))
+    assert(e.getMessage.contains("v99_row_tracking")
+      && e.getMessage.contains("writer feature"))
+  }
+
+  test("a pre-gate CDF history self-heals its writer union from content") {
+    // commits that RECORDED change files but carry no writerFeatures field
+    // (written before the gate existed): the snapshot derives
+    // change_data_feed from content, so the next checkpoint carries it
+    val root = tmp()
+    val path = s"$root/t"
+    val t = GraftTable(spark, path)(
+      GraftSettings.default.copy(changeDataFeed = true))
+    t.append((1 to 5).map(i => (i, s"v$i")).toDF("id", "v"))
+    t.delete(col("id") === 2)
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    t.commits().foreach { c =>
+      val stripped = c.copy(writerFeatures = None)
+      val p = new org.apache.hadoop.fs.Path(
+        s"$path/_graft_log", f"${c.version}%020d.json")
+      fs.delete(p, false)
+      val out = fs.create(p, false)
+      try out.write(org.json4s.jackson.Serialization.write(stripped).getBytes("UTF-8"))
+      finally out.close()
+    }
+    val fresh = GraftTable(spark, path)(GraftSettings.default)
+    assert(fresh.commits().forall(_.writerFeatures.isEmpty), "precondition")
+    assert(fresh.snapshot().writerFeatureSet
+      === Set(GraftProtocol.ChangeDataFeedFeature))
+  }
+
   test("checkpoints persist the feature union; parquet twin round-trips it") {
     val root = tmp()
     val t = GraftTable(spark, s"$root/t")(
-      GraftSettings(logCheckpointInterval = 2, deletionVectors = true))
+      GraftSettings(logCheckpointInterval = 2, deletionVectors = true,
+        changeDataFeed = true))
     t.append((1 to 10).map(i => (i, s"v$i")).toDF("id", "v"))
-    t.delete(col("id") === 4) // v2: DV commit -> checkpoint at cadence
+    t.delete(col("id") === 4) // v2: DV+CDF commit -> checkpoint at cadence
     val snap = t.snapshot()
     assert(snap.featureSet === Set(GraftProtocol.Dv))
+    assert(snap.writerFeatureSet === Set(GraftProtocol.ChangeDataFeedFeature))
     // the parquet twin carries it in the footer
     val fs = new org.apache.hadoop.fs.Path(t.path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -181,6 +349,7 @@ class GraftProtocolSpec extends SparkSpecBase {
     val back = ParquetCheckpoint.read(spark, fs,
       spark.sessionState.newHadoopConf(), ckpt, Long.MaxValue)
     assert(back.featureSet === Set(GraftProtocol.Dv))
+    assert(back.writerFeatureSet === Set(GraftProtocol.ChangeDataFeedFeature))
     // later baseline commits keep the union monotone
     t.append(Seq((11, "k")).toDF("id", "v"))
     assert(t.snapshot().featureSet === Set(GraftProtocol.Dv))

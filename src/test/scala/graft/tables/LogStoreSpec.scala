@@ -250,14 +250,15 @@ class LogStoreSpec extends SparkSpecBase {
     }
   }
 
-  test("publish degrade on a link-less mount WARNs, naming the path and the arbiter remedy") {
+  test("publish on a link-less mount REFUSES by default; opt-in degrades with a WARN") {
     val dir = Files.createTempDirectory("graft-degrade-").toString
     val fs = graft.lake.FsUtils.fs(spark, dir)
     val logDir = new Path(s"$dir/log")
     fs.mkdirs(logDir)
-    // a mount that refuses hard links (FUSE/NFS): the degrade must still
-    // publish (healthy writers stay serialized by the claim), but the
-    // lost atomic-no-overwrite guarantee must be WARNED with the remedy
+    // a mount that refuses hard links (FUSE/NFS): the exists+rename
+    // fallback is check-then-act (a dual-holder window could LOSE a
+    // commit), so by DEFAULT the publish must fail loudly with the
+    // arbiter remedy — an operator opts into the window consciously
     val linkless = new HadoopOExclLogStore {
       override protected def hardLink(link: java.nio.file.Path,
           existing: java.nio.file.Path): Unit =
@@ -267,19 +268,31 @@ class LogStoreSpec extends SparkSpecBase {
     val out = fs.create(tmp, false)
     try out.write("commit".getBytes("UTF-8")) finally out.close()
     val dst = new Path(logDir, "00000000000000000002.json")
-    LogStore.lastPublishDegradeWarning = null
-    assert(linkless.publish(fs, tmp, dst), "degrade path must still publish")
-    assert(fs.exists(dst))
-    val warning = LogStore.lastPublishDegradeWarning
-    assert(warning != null, "degrade must emit the operator warning")
-    assert(warning.contains(dst.toString), s"warning must name the path: $warning")
-    assert(warning.contains(classOf[JdbcArbiterLogStore].getName),
-      s"warning must recommend an arbiter store: $warning")
-    // and an existing destination still refuses (no silent overwrite)
-    val tmp2 = new Path(logDir, ".2.b.tmp")
-    val out2 = fs.create(tmp2, false)
-    try out2.write("second".getBytes("UTF-8")) finally out2.close()
-    assert(!linkless.publish(fs, tmp2, dst))
+    val refused = intercept[IllegalStateException](linkless.publish(fs, tmp, dst))
+    assert(refused.getMessage.contains(classOf[JdbcArbiterLogStore].getName),
+      s"refusal must recommend an arbiter store: ${refused.getMessage}")
+    assert(refused.getMessage.contains(LogStore.AllowNonAtomicPublishKey),
+      s"refusal must name the opt-in conf: ${refused.getMessage}")
+    assert(!fs.exists(dst), "a refused publish must not publish")
+
+    // opted in: the degrade publishes (healthy writers stay serialized by
+    // the claim), and the lost no-overwrite guarantee is WARNED
+    spark.conf.set(LogStore.AllowNonAtomicPublishKey, "true")
+    try {
+      LogStore.lastPublishDegradeWarning = null
+      assert(linkless.publish(fs, tmp, dst), "opted-in degrade must publish")
+      assert(fs.exists(dst))
+      val warning = LogStore.lastPublishDegradeWarning
+      assert(warning != null, "degrade must emit the operator warning")
+      assert(warning.contains(dst.toString), s"warning must name the path: $warning")
+      assert(warning.contains(classOf[JdbcArbiterLogStore].getName),
+        s"warning must recommend an arbiter store: $warning")
+      // and an existing destination still refuses (no silent overwrite)
+      val tmp2 = new Path(logDir, ".2.b.tmp")
+      val out2 = fs.create(tmp2, false)
+      try out2.write("second".getBytes("UTF-8")) finally out2.close()
+      assert(!linkless.publish(fs, tmp2, dst))
+    } finally spark.conf.unset(LogStore.AllowNonAtomicPublishKey)
   }
 
   test("claim is released BEFORE the checkpoint write (FSCK can never clear a live writer mid-checkpoint)") {

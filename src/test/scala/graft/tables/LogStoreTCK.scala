@@ -218,6 +218,50 @@ abstract class LogStoreTCK extends SparkSpecBase {
       } finally spark.conf.unset(LogStore.ClaimTtlKey)
     } finally spark.conf.unset(LogStore.ConfKey)
   }
+  test(s"[$shortName] end-to-end: a writer that dies BETWEEN stage and publish recovers (lease break wins the version; FSCK reaps the orphan tmp)") {
+    ready
+    val dir = tmp("graft-tck-crashpub-")
+    spark.conf.set(LogStore.ConfKey, storeClassName)
+    try {
+      val t = GraftTable(spark, s"$dir/t")(GraftSettings.default)
+      t.append(Seq((1, "a")).toDF("id", "v"))
+      val fs = fsFor(t.path)
+      val logDir = new Path(s"${t.path}/_graft_log")
+      val name = "%020d.json".format(2)
+      // the crashed writer: wins the claim, STAGES its commit body (the
+      // .tmp the publish rename would have consumed), and dies between
+      // the stillHeld re-verify and the publish — claim outstanding, tmp
+      // orphaned, version file absent
+      assert(store().tryClaim(fs, logDir, name))
+      val orphan = new Path(logDir, s".$name.deadbeef.tmp")
+      val out = fs.create(orphan, false)
+      try out.write("""{"version":2,"never":"published"}""".getBytes("UTF-8"))
+      finally out.close()
+      spark.conf.set(LogStore.ClaimTtlKey, "100")
+      try {
+        Thread.sleep(200)
+        // the next contender must break the expired lease inline,
+        // re-claim, and publish its OWN commit at that version — the dead
+        // writer's staged body must never surface as v2's content
+        t.append(Seq((2, "b")).toDF("id", "v"))
+        assert(t.version === 2)
+        assert(t.read().select("id").as[Int].collect().sorted.toSeq === Seq(1, 2))
+        assert(t.commits().last.add.nonEmpty,
+          "v2 must be the live contender's commit, not the dead writer's body")
+        // the orphan tmp is invisible to every reader; FSCK reports it in
+        // dryRun (aged past the same TTL the lease honors) and reaps it
+        assert(fs.exists(orphan), "precondition: orphan staged body present")
+        val reported = t.repair(dryRun = true)
+        assert(reported.exists(_.contains(orphan.getName)),
+          s"FSCK must report the orphan tmp: $reported")
+        t.repair(dryRun = false)
+        assert(!fs.exists(orphan), "FSCK must reap the orphan staged body")
+        // and the table keeps committing normally afterwards
+        t.append(Seq((3, "c")).toDF("id", "v"))
+        assert(t.read().count() === 3)
+      } finally spark.conf.unset(LogStore.ClaimTtlKey)
+    } finally spark.conf.unset(LogStore.ConfKey)
+  }
 }
 
 /** Certifies the O_EXCL default ([[HadoopOExclLogStore]]). */
