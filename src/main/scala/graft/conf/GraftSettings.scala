@@ -129,13 +129,14 @@ final case class GraftSettings(
       * purge them by rewriting. Off by default, like Delta. */
     deletionVectors: Boolean = false,
     /** Refuse data-changing commits that remove files or bind deletion
-      * vectors (delete/update/upsert-with-matches/overwrite/restore) —
-      * Delta's `appendOnly` table property. Appends, metadata DDL, and
-      * row-preserving rewrites (compaction/OPTIMIZE, dataChange=false)
-      * stay allowed. As a TABLE property (`append_only=true`) it also
-      * stamps the [[graft.tables.GraftProtocol.AppendOnlyFeature]] writer
-      * feature so foreign writers that cannot uphold it refuse to
-      * commit. */
+      * vectors (delete/update/upsert-with-matches/overwrite/restore —
+      * and FSCK repair's drop-missing-files commit: unset the property
+      * for the repair window) — Delta's `appendOnly` table property.
+      * Appends, metadata DDL, and row-preserving rewrites
+      * (compaction/OPTIMIZE, dataChange=false) stay allowed. As a TABLE
+      * property (`append_only=true`) it also stamps the
+      * [[graft.tables.GraftProtocol.AppendOnlyFeature]] writer feature so
+      * foreign writers that cannot uphold it refuse to commit. */
     appendOnly: Boolean = false,
     /** DV fallback bound: when one DML would mark more than this many
       * positions table-wide, it falls back to the classic pruned rewrite

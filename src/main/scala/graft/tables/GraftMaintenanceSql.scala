@@ -28,6 +28,7 @@ import org.apache.spark.sql.types._
   *   FSCK REPAIR TABLE '/lake/t' [DRY RUN]
   *   ALTER TABLE '/lake/t' ADD CONSTRAINT positive_qty CHECK (qty > 0)
   *   ALTER TABLE '/lake/t' DROP CONSTRAINT [IF EXISTS] positive_qty
+  *   ALTER TABLE '/lake/t' DROP FEATURE dv    -- protocol downgrade
   * }}}
   *
   * The target is a quoted path or a catalog table name (`USING graft`).
@@ -176,7 +177,8 @@ final case class GraftDescribeDetailCommand(target: Target)
     AttributeReference("sizeInBytes", LongType, nullable = false)(),
     AttributeReference("bucketColumns", ArrayType(StringType))(),
     AttributeReference("numBuckets", IntegerType, nullable = false)(),
-    AttributeReference("readerFeatures", ArrayType(StringType))())
+    AttributeReference("readerFeatures", ArrayType(StringType))(),
+    AttributeReference("writerFeatures", ArrayType(StringType))())
   override def run(spark: SparkSession): Seq[Row] =
     target.resolve(spark).detail().collect().toSeq
 }
@@ -318,6 +320,23 @@ final case class GraftDropConstraintCommand(target: Target,
     case _ =>
       target.resolve(spark).dropConstraint(name, ifExists)
       Seq(Row(name))
+  }
+}
+
+/** `ALTER TABLE '<path>' DROP FEATURE name` — governed protocol downgrade
+  * ([[GraftTable.dropFeature]], Delta's DROP FEATURE): removes `name`
+  * from the required reader/writer feature union once nothing current
+  * depends on it (refuses with the remedy named otherwise), so e.g. a
+  * REORG-purged table stops gating feature-blind readers. PATH targets
+  * only (protocol features are a graft-log concept). */
+final case class GraftDropFeatureCommand(target: Target, feature: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("feature", StringType, nullable = false)(),
+    AttributeReference("commitVersion", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val c = target.resolve(spark).dropFeature(feature)
+    Seq(Row(feature, c.version))
   }
 }
 
@@ -487,6 +506,10 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     s"""(?is)\\s*ALTER\\s+TABLE\\s+$TPath\\s+RENAME\\s+COLUMN\\s+(\\w+(?:\\.\\w+)*)\\s+TO\\s+(\\w+)\\s*;?\\s*""".r
   private val DropColumn: Regex =
     s"""(?is)\\s*ALTER\\s+TABLE\\s+$TPath\\s+DROP\\s+COLUMN(\\s+IF\\s+EXISTS)?\\s+(\\w+(?:\\.\\w+)*)\\s*;?\\s*""".r
+  // protocol downgrade (Delta's DROP FEATURE) — quoted-path targets only,
+  // like the other graft-log-specific DDL
+  private val DropFeature: Regex =
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+$TPath\\s+DROP\\s+FEATURE\\s+(\\w+)\\s*;?\\s*""".r
   private val SetProps: Regex =
     s"""(?is)\\s*ALTER\\s+TABLE\\s+$TPath\\s+SET\\s+TBLPROPERTIES\\s*\\(([^)]*)\\)\\s*;?\\s*""".r
   private val UnsetProps: Regex =
@@ -546,6 +569,8 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       GraftRenameColumnCommand(target(t), from, to)
     case DropColumn(t, ifEx, n) =>
       GraftDropColumnCommand(target(t), n, ifExists = ifEx != null)
+    case DropFeature(t, f) =>
+      GraftDropFeatureCommand(target(t), f)
     case SetProps(t, body) =>
       GraftSetPropertiesCommand(target(t),
         PropPair.findAllMatchIn(body).map(m => m.group(1) -> m.group(2)).toMap)

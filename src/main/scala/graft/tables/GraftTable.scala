@@ -486,6 +486,95 @@ final class GraftTable private (
     recordConstraintCommit("drop", name, cur(name))
   }
 
+  /** Governed protocol DOWNGRADE (Delta's `ALTER TABLE ... DROP FEATURE`):
+    * remove `name` from the table's required reader/writer feature union
+    * once nothing CURRENT depends on it — the exit ramp the gates need
+    * (e.g. REORG PURGE sheds every deletion vector, then `dropFeature
+    * ("dv")` lets feature-blind readers serve the table again; the
+    * manifest route documents exactly this sequence).
+    *
+    * Safety: the drop is a commit the snapshot fold SUBTRACTS at its
+    * version — later commits re-add the feature the moment content
+    * requires it again, and the content-derived self-heal re-adds it if
+    * the resulting state still depends on it, so a drop can never
+    * under-gate; refusals below make the no-op case loud. Time travel AT
+    * versions below the drop still carries the feature (those folds never
+    * reach the drop commit) — history keeps its true requirements. A
+    * PRE-DROP binary replaying the log keeps the feature in its union
+    * (it ignores the drop marker) and over-gates — the conservative-safe
+    * direction. The drop force-writes a checkpoint so cold opens start
+    * from the reduced union immediately. Admin DDL: single-writer, like
+    * [[setBucketSpec]]. */
+  def dropFeature(name: String): Commit = {
+    require(exists, s"table does not exist: $path")
+    val snap = snapshot()
+    val required = snap.featureSet ++ snap.writerFeatureSet
+    if (!required.contains(name))
+      throw new IllegalArgumentException(
+        s"table $path does not require feature '$name'" +
+          (if (required.isEmpty) " (no features required)"
+           else s" (required: ${required.toSeq.sorted.mkString(", ")})"))
+    // refuse while CURRENT content/state still depends on it, naming the
+    // remedy — a drop that the self-heal would immediately undo is a
+    // misunderstanding to surface, not a no-op to hide
+    val blocker: Option[String] = name match {
+      case GraftProtocol.Dv =>
+        Some(s"${snap.dvFor.size} live file(s) still carry deletion " +
+          "vectors — purge them first (REORG TABLE ... APPLY (PURGE))")
+          .filter(_ => snap.dvFor.nonEmpty)
+      case GraftProtocol.ColumnMappingFeature =>
+        Some("the schema still carries column-mapping state (renamed/" +
+          "dropped columns) — rewrite the table under its final names " +
+          "first (overwrite)")
+          .filter(_ => snap.schemaJson.exists(GraftProtocol.schemaRequiresMapping))
+      case GraftProtocol.PartitionConvert =>
+        Some("live files still sit in a converted k=v partition tree — " +
+          "flatten first (OPTIMIZE or overwrite)")
+          .filter(_ => snap.live.exists(_.contains("/")))
+      case GraftProtocol.CheckConstraints =>
+        Some(s"CHECK constraint(s) [${constraints.keys.toSeq.sorted.mkString(", ")}] " +
+          "are still declared — drop them first")
+          .filter(_ => constraints.nonEmpty)
+      case GraftProtocol.ChangeDataFeedFeature =>
+        Some("table property change_data_feed=true is still set — unset it first")
+          .filter(_ => tableProperties.get("change_data_feed")
+            .exists(_.equalsIgnoreCase("true")))
+      case GraftProtocol.AppendOnlyFeature =>
+        Some("table property append_only=true is still set — unset it first")
+          .filter(_ => tableProperties.get("append_only")
+            .exists(_.equalsIgnoreCase("true")))
+      case other =>
+        // unreachable for reader features (reads refuse the table first)
+        // and refused at the commit gate for writer features — but name
+        // the remedy rather than relying on those fences
+        Some(s"feature '$other' is not known to this binary — upgrade the " +
+          "graft library to manage it")
+    }
+    blocker.foreach(b => throw new IllegalStateException(
+      s"cannot drop feature '$name' from $path: $b"))
+    var attempt = 0
+    while (true) {
+      try {
+        val c = nextCommit("drop_feature", dataChange = false, Seq.empty,
+          Seq.empty, snapshot().schemaJson.getOrElse(
+            throw new IllegalStateException(s"table does not exist: $path")),
+          Map("feature" -> name))
+        // checkpoint NOW (off-cadence): cold opens and vacuumLog-trimmed
+        // tables must start from the union WITHOUT the feature — waiting
+        // for the cadence would leave the drop invisible to any reader
+        // whose fold starts from the previous checkpoint's union
+        maybeWriteCheckpoint(c.version, force = true)
+        return c
+      } catch {
+        case e: IllegalStateException
+            if e.getMessage.contains("concurrent commit") && attempt < 10 =>
+          attempt += 1
+          Thread.sleep(20L * attempt)
+      }
+    }
+    sys.error("unreachable")
+  }
+
   private def writeConstraints(cs: Map[String, String]): Unit = {
     constraintsCache = null // own writes visible before the commit publishes
     if (cs.isEmpty) { fs.delete(constraintsFile, false); return }
@@ -755,6 +844,16 @@ final class GraftTable private (
         // files is durable evidence CDF consumers exist, even if the
         // commit predates writer-feature stamping
         if (c.changes.isDefined) wfeats += GraftProtocol.ChangeDataFeedFeature
+        // a governed protocol downgrade (Delta's DROP FEATURE,
+        // [[dropFeature]]): subtract the named feature from the union
+        // accumulated SO FAR — later commits re-add it if their content
+        // requires, and the content self-heal below re-adds it if the
+        // RESULTING state still depends on it, so a drop can never
+        // under-gate. Versions BELOW the drop keep gating (their fold
+        // never reaches this commit) — time travel semantics preserved.
+        if (c.action == "drop_feature") c.metrics.get("feature").foreach { f =>
+          feats -= f; wfeats -= f
+        }
         v = c.version
       }
     // content-derived union ON TOP of the recorded sets: a PRE-GATE
@@ -773,13 +872,15 @@ final class GraftTable private (
   }
 
   /** Persist [[snapshot]] as `<version>.checkpoint.json` when the version
-    * hits the configured cadence. Best-effort: a checkpoint is an
-    * optimization, so any failure (a concurrent writer already published
-    * it, a transient fs error) is swallowed — readers fall back to the
-    * commits themselves. */
-  private def maybeWriteCheckpoint(version: Long): Unit = {
+    * hits the configured cadence (or unconditionally with `force = true` —
+    * [[dropFeature]] checkpoints its own commit so snapshots immediately
+    * start from a union WITHOUT the dropped feature). Best-effort: a
+    * checkpoint is an optimization, so any failure (a concurrent writer
+    * already published it, a transient fs error) is swallowed — readers
+    * fall back to the commits themselves. */
+  private def maybeWriteCheckpoint(version: Long, force: Boolean = false): Unit = {
     val interval = effectiveSettings.logCheckpointInterval
-    if (interval <= 0 || version % interval != 0) return
+    if (!force && (interval <= 0 || version % interval != 0)) return
     try {
       val snap = snapshot(version)
       val liveSet = snap.live.toSet
@@ -2693,10 +2794,13 @@ final class GraftTable private (
       spec.map(_.numBuckets).getOrElse(0),
       // Delta's DESCRIBE DETAIL reports tableFeatures the same way: the
       // operator-visible record of what a foreign reader must support
-      snap.featureSet.toSeq.sorted))
+      // (readerFeatures) and what a foreign writer must uphold to commit
+      // (writerFeatures)
+      snap.featureSet.toSeq.sorted,
+      snap.writerFeatureSet.toSeq.sorted))
       .toDF("format", "location", "createdAt", "lastModified", "version",
         "numFiles", "sizeInBytes", "bucketColumns", "numBuckets",
-        "readerFeatures")
+        "readerFeatures", "writerFeatures")
   }
 
   /** History as a DataFrame (reference reads `DESCRIBE HISTORY` +

@@ -365,6 +365,15 @@ class DeletionVectorSpec extends SparkSpecBase {
     val internal = t.read().select("id", "amt").as[(Int, Int)].collect().toSet
     assert(external === internal)
     assert(external.size === 25 && !external.exists(_._1 <= 5))
+    // the LAST step of the external-reader route: the purge removed every
+    // DV, so the protocol downgrade takes — a feature-blind FOREIGN graft
+    // reader (which would refuse on the dv gate) can then serve the table
+    // too, not just raw-parquet-over-manifest engines
+    assert(t.snapshot().featureSet === Set(GraftProtocol.Dv),
+      "the union stays monotone until the governed drop")
+    t.dropFeature(GraftProtocol.Dv)
+    assert(t.snapshot().featureSet === Set.empty[String])
+    assert(t.read().count() === 25, "the downgraded table still serves")
   }
 
   test("checkpointed snapshot carries DV bindings across the checkpoint horizon") {

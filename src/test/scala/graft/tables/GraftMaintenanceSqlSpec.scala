@@ -245,6 +245,13 @@ class GraftMaintenanceSqlSpec extends AnyFunSuite {
     t3.delete(org.apache.spark.sql.functions.col("id") === 3)
     val r3 = spark.sql(s"DESCRIBE DETAIL '$p3'").collect().head
     assert(r3.getAs[Seq[String]]("readerFeatures") === Seq("dv"))
+    // writer features surface the same way: a baseline table reports
+    // none; declaring append_only binds writers from the next commit on
+    assert(r3.getAs[Seq[String]]("writerFeatures") === Seq.empty[String])
+    t3.setProperties(Map("append_only" -> "true"))
+    t3.append(Seq((21, "u")).toDF("id", "v"))
+    val r4 = spark.sql(s"DESCRIBE DETAIL '$p3'").collect().head
+    assert(r4.getAs[Seq[String]]("writerFeatures") === Seq("append_only"))
   }
 
   test("OPTIMIZE WHERE scopes bin-packing by file stats; out-of-scope files untouched") {

@@ -330,6 +330,73 @@ class GraftProtocolSpec extends SparkSpecBase {
       === Set(GraftProtocol.ChangeDataFeedFeature))
   }
 
+  test("DROP FEATURE: governed downgrade once content no longer requires it") {
+    val root = tmp()
+    // reader-feature drop: dv — the REORG-purge exit ramp
+    val t = GraftTable(spark, s"$root/t")(
+      GraftSettings.default.copy(deletionVectors = true))
+    t.append((1 to 20).map(i => (i, s"v$i")).toDF("id", "v"))
+    t.delete(col("id") === 3)
+    assert(t.snapshot().featureSet === Set(GraftProtocol.Dv))
+    // refused while a live DV exists, with the remedy NAMED
+    val e = intercept[IllegalStateException](t.dropFeature(GraftProtocol.Dv))
+    assert(e.getMessage.contains("PURGE"), e.getMessage)
+    // purge the DVs; the union stays monotone until the governed drop
+    spark.sql(s"REORG TABLE '${t.path}' APPLY (PURGE)")
+    assert(t.snapshot().dvFor.isEmpty, "precondition: purged")
+    assert(t.snapshot().featureSet === Set(GraftProtocol.Dv))
+    // the SQL surface performs the drop; every operator view reflects it
+    val row = spark.sql(s"ALTER TABLE '${t.path}' DROP FEATURE dv").collect().head
+    assert(row.getString(0) === "dv")
+    assert(t.snapshot().featureSet === Set.empty[String])
+    assert(spark.sql(s"DESCRIBE DETAIL '${t.path}'").collect().head
+      .getAs[Seq[String]]("readerFeatures") === Seq.empty[String])
+    // time travel BELOW the drop still carries the feature — history keeps
+    // its true requirements (the fold never reaches the drop commit)
+    assert(t.snapshot(2L).featureSet === Set(GraftProtocol.Dv))
+    assert(t.read().count() === 19, "data intact through the downgrade")
+    // dropping a feature the table does not require is loud
+    intercept[IllegalArgumentException](t.dropFeature("dv"))
+
+    // writer-feature drop: check_constraints
+    val c = GraftTable(spark, s"$root/c")(GraftSettings.default)
+    c.append(Seq((1, "a")).toDF("id", "v"))
+    c.addConstraint("pos", "id > 0")
+    c.append(Seq((2, "b")).toDF("id", "v"))
+    assert(c.snapshot().writerFeatureSet === Set(GraftProtocol.CheckConstraints))
+    val e2 = intercept[IllegalStateException](
+      c.dropFeature(GraftProtocol.CheckConstraints))
+    assert(e2.getMessage.contains("pos"), e2.getMessage)
+    c.dropConstraint("pos")
+    c.dropFeature(GraftProtocol.CheckConstraints)
+    assert(c.snapshot().writerFeatureSet === Set.empty[String])
+    // and later baseline commits stay baseline (no resurrection)
+    c.append(Seq((3, "c")).toDF("id", "v"))
+    assert(c.commits().last.writerFeatures === None)
+    assert(c.snapshot().writerFeatureSet === Set.empty[String])
+  }
+
+  test("DROP FEATURE can never under-gate: the content self-heal re-adds a feature content still requires") {
+    // a drop that races a DV-binding DML (or a hand-laid bogus drop) must
+    // not un-gate content that needs the feature: forge the drop commit
+    // directly and assert the snapshot union re-derives dv from content
+    val root = tmp()
+    val path = s"$root/t"
+    val t = GraftTable(spark, path)(
+      GraftSettings.default.copy(deletionVectors = true))
+    t.append((1 to 20).map(i => (i, s"v$i")).toDF("id", "v"))
+    t.delete(col("id") === 3) // live DV at v2
+    writeRawCommit(path, Commit(3L, "drop_feature", dataChange = false,
+      timestampMs = System.currentTimeMillis(),
+      add = Seq.empty, remove = Seq.empty,
+      schemaJson = t.currentSchemaJson.get,
+      metrics = Map("feature" -> GraftProtocol.Dv)))
+    val fresh = GraftTable(spark, path)(GraftSettings.default)
+    assert(fresh.snapshot().featureSet === Set(GraftProtocol.Dv),
+      "content-derived self-heal must override a bogus drop")
+    assert(fresh.read().count() === 19, "and the DV still applies")
+  }
+
   test("checkpoints persist the feature union; parquet twin round-trips it") {
     val root = tmp()
     val t = GraftTable(spark, s"$root/t")(
