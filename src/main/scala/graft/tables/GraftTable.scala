@@ -865,6 +865,20 @@ final class GraftTable private (
     if (live.exists(_.contains("/"))) feats += GraftProtocol.PartitionConvert
     if (schemaJson.exists(GraftProtocol.schemaRequiresMapping))
       feats += GraftProtocol.ColumnMappingFeature
+    // STATE-derived writer self-heal — the sidecar expectations the fold
+    // cannot see (both version-cached, so this costs one RPC per version
+    // change, not per snapshot): a PRE-GATE table with declared
+    // constraints/properties writer-gates immediately, not only after its
+    // next stamped commit, and a dropFeature racing a constraint/property
+    // declaration re-gains the feature here — mirroring the dv content
+    // heal above, so neither union can ever under-claim what the current
+    // table actually requires
+    if (constraints.nonEmpty) wfeats += GraftProtocol.CheckConstraints
+    val declaredProps = tableProperties
+    if (declaredProps.get("change_data_feed").exists(_.equalsIgnoreCase("true")))
+      wfeats += GraftProtocol.ChangeDataFeedFeature
+    if (declaredProps.get("append_only").exists(_.equalsIgnoreCase("true")))
+      wfeats += GraftProtocol.AppendOnlyFeature
     LogCheckpoint(v, live.toSeq, schemaJson, stats,
       if (dvs.isEmpty) None else Some(dvs),
       if (feats.isEmpty) None else Some(feats.toSeq.sorted),
@@ -1462,7 +1476,11 @@ final class GraftTable private (
     val props = tableProperties
     def declared(k: String) = props.get(k).exists(_.equalsIgnoreCase("true"))
     val appendOnlyDeclared = declared("append_only")
-    if ((appendOnlyDeclared || effectiveSettings.appendOnly) && c.dataChange &&
+    // effectiveSettings already overlays the table properties, so the
+    // declared case is subsumed: ONE source of truth for the gate (the
+    // separate `declared` probe above exists only for the STAMP, which
+    // must bind to table-durable state, not session settings)
+    if (effectiveSettings.appendOnly && c.dataChange &&
         (c.remove.nonEmpty ||
           c.dvs.exists(_.values.exists(_ != DeletionVectors.Cleared))))
       throw new IllegalStateException(

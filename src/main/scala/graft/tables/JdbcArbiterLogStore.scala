@@ -41,7 +41,7 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *     log_dir       VARCHAR(2048) NOT NULL,
   *     name          VARCHAR(256)  NOT NULL,
   *     token         VARCHAR(64)   NOT NULL,
-  *     claimed_at    TIMESTAMP     NOT NULL              -- DB server clock
+  *     claimed_at_ms BIGINT        NOT NULL              -- epoch ms (see Clocks)
   *   )
   * }}}
   * The key is a digest, not the raw pair: composite VARCHAR primary keys
@@ -53,12 +53,20 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * `publish` is inherited: once claims serialize writers, the temp-rename
   * publish (plus the winner's pre-publish [[stillHeld]] re-verify) is the
   * same on every store; S3A's rename-as-copy is fine under an exclusive
-  * claim. Clocks: the lease is measured ENTIRELY on the arbiter
-  * database's clock — `claimed_at` is written as the database's
-  * `CURRENT_TIMESTAMP` and [[claimAgeMs]] reads the same
-  * `CURRENT_TIMESTAMP` in the same SELECT, so client hosts need no time
-  * sync at all (a skewed contender can neither see a fresh claim as
-  * expired nor a crashed one as fresh).
+  * claim. Clocks: on engines that can express "epoch milliseconds now"
+  * in SQL (Postgres/CockroachDB `EXTRACT(EPOCH ...)`, MySQL/MariaDB
+  * `UNIX_TIMESTAMP(...)` — see [[JdbcArbiterLogStore.dbNowMsExpr]]), BOTH
+  * sides of the lease age come from the ARBITER DATABASE's clock — the
+  * claim INSERT stores the database's epoch ms and the age SELECT reads
+  * `dbNow - claimed_at_ms` in the same statement — so claim hosts need
+  * no time sync and no timezone agreement (epoch ms is
+  * timezone-independent by construction; naive TIMESTAMP columns are NOT,
+  * which is why the column is a BIGINT). On engines without a portable
+  * epoch expression (embedded Derby, unknown dialects) the stored value
+  * falls back to the CLIENT's `System.currentTimeMillis()` — exact for
+  * embedded Derby (client IS the server JVM) and bounded by the 10-min
+  * TTL dwarfing sane cluster skew elsewhere, with witness-scoped breaks
+  * bounding the damage either way.
   */
 class JdbcArbiterLogStore extends LogStore {
   import JdbcArbiterLogStore._
@@ -72,16 +80,19 @@ class JdbcArbiterLogStore extends LogStore {
     val cfg = Config(fs)
     val token = java.util.UUID.randomUUID().toString
     val won = withConn(cfg) { c =>
-      // claimed_at is the DATABASE's clock (CURRENT_TIMESTAMP in the SQL
-      // itself), so lease age never mixes two hosts' clocks
+      // claimed_at_ms is the DATABASE's clock where the dialect can say
+      // "epoch ms now" in SQL (timezone-independent by construction);
+      // client-clock parameter fallback elsewhere — see the class doc
+      val nowExpr = dbNowMsExpr(c).getOrElse("?")
       val st = c.prepareStatement(
-        s"INSERT INTO ${cfg.table}(claim_key, log_dir, name, token, claimed_at) " +
-          "VALUES (?, ?, ?, ?, CURRENT_TIMESTAMP)")
+        s"INSERT INTO ${cfg.table}(claim_key, log_dir, name, token, claimed_at_ms) " +
+          s"VALUES (?, ?, ?, ?, $nowExpr)")
       try {
         st.setString(1, claimKey(logDir, name))
         st.setString(2, logDir.toString.take(2048))
         st.setString(3, name.take(256))
         st.setString(4, token)
+        if (nowExpr == "?") st.setLong(5, System.currentTimeMillis())
         st.executeUpdate()
         true
       } catch {
@@ -121,24 +132,27 @@ class JdbcArbiterLogStore extends LogStore {
 
   private def key(logDir: Path, name: String) = s"$logDir/$name"
 
-  /** The current claim's (token, ageMs). BOTH timestamps in the age come
-    * from the arbiter database's clock, read in one statement — the
-    * contender's own clock never participates, so cross-host skew cannot
-    * cause spurious lease breaks or keep a crashed claim alive. The two
-    * TIMESTAMPs convert through the same driver/calendar, so their
-    * difference is exact. */
+  /** The current claim's (token, ageMs). On epoch-capable dialects BOTH
+    * sides of the age come from the arbiter database's clock, read in one
+    * statement as plain BIGINT epoch ms — the contender's clock and BOTH
+    * sessions' timezones never participate (a naive-TIMESTAMP scheme
+    * would silently mix the writer session's and reader session's
+    * timezone renderings and corrupt the age by whole hours). Fallback
+    * dialects compare the stored client epoch against this client's
+    * clock — the r17 semantics the TTL was sized for. */
   private def selectClaim(cfg: Config, logDir: Path,
       name: String): Option[(String, Long)] =
     withConn(cfg) { c =>
+      val nowExpr = dbNowMsExpr(c).getOrElse("?")
       val st = c.prepareStatement(
-        s"SELECT token, claimed_at, CURRENT_TIMESTAMP FROM ${cfg.table} " +
+        s"SELECT token, $nowExpr - claimed_at_ms FROM ${cfg.table} " +
           "WHERE claim_key = ?")
       try {
-        st.setString(1, claimKey(logDir, name))
+        var i = 0
+        if (nowExpr == "?") { i = 1; st.setLong(1, System.currentTimeMillis()) }
+        st.setString(i + 1, claimKey(logDir, name))
         val rs = st.executeQuery()
-        try if (rs.next())
-          Some((rs.getString(1),
-            math.max(0L, rs.getTimestamp(3).getTime - rs.getTimestamp(2).getTime)))
+        try if (rs.next()) Some((rs.getString(1), math.max(0L, rs.getLong(2))))
         else None
         finally rs.close()
       } finally st.close()
@@ -190,6 +204,43 @@ object JdbcArbiterLogStore {
         s"$TableKey must be a plain identifier, got '$table'")
       Config(url, get(UserKey), get(PasswordKey), table)
     }
+  }
+
+  /** SQL expression for "the DATABASE's clock as epoch milliseconds", per
+    * dialect, or None when the dialect has no portable one (→ the caller
+    * binds the CLIENT's clock as a parameter instead). Epoch ms — not a
+    * naive TIMESTAMP — because epoch is timezone-independent by
+    * construction: a TIMESTAMP-without-time-zone column stores the WRITER
+    * session's wall rendering and is re-interpreted in the READER
+    * session's timezone, so two hosts with different session zones would
+    * read a seconds-old claim as hours old (spurious lease breaks) or a
+    * crashed claim as forever fresh. Memoized per connection (the product
+    * name probe is a driver call). */
+  private val nowExprCache =
+    new java.util.concurrent.ConcurrentHashMap[Connection, Option[String]]()
+
+  private def dbNowMsExpr(c: Connection): Option[String] = {
+    val hit = nowExprCache.get(c)
+    if (hit != null) return hit
+    val product =
+      try c.getMetaData.getDatabaseProductName
+      catch { case _: SQLException => "" }
+    val p = Option(product).getOrElse("").toLowerCase(java.util.Locale.ROOT)
+    val expr =
+      if (p.contains("postgres") || p.contains("cockroach"))
+        // timestamptz -> epoch directly; EXTRACT(EPOCH ...) never consults
+        // the session TimeZone
+        Some("CAST(EXTRACT(EPOCH FROM CURRENT_TIMESTAMP) * 1000 AS BIGINT)")
+      else if (p.contains("mysql") || p.contains("mariadb"))
+        // UNIX_TIMESTAMP inverts the session-zone rendering it was given,
+        // so the result is zone-independent epoch seconds (with ms)
+        Some("CAST(UNIX_TIMESTAMP(NOW(3)) * 1000 AS SIGNED)")
+      else None // embedded Derby (client IS the server JVM) + unknown dialects
+    // healed/evicted connections would leak entries — bound like the
+    // other protocol memos
+    if (nowExprCache.size > 16) nowExprCache.clear()
+    nowExprCache.put(c, expr)
+    expr
   }
 
   /** Key digest: composite VARCHAR PKs hit per-engine index-length limits
@@ -294,7 +345,7 @@ object JdbcArbiterLogStore {
          |  log_dir       VARCHAR(2048) NOT NULL,
          |  name          VARCHAR(256)  NOT NULL,
          |  token         VARCHAR(64)   NOT NULL,
-         |  claimed_at    TIMESTAMP     NOT NULL
+         |  claimed_at_ms BIGINT        NOT NULL
          |)""".stripMargin)
     catch {
       // CONCURRENT-CREATION race only (two JVMs bootstrapping at once):

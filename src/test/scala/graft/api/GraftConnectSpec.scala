@@ -29,6 +29,16 @@ class GraftConnectSpec extends SparkSpecBase {
   private val Port = 15002 // the service's default binding
 
   test("Connect matrix empirically: reads/SQL serve over Connect; the Scala table API refuses the client session") {
+    // the service binds its DEFAULT port (the context's SparkConf is
+    // sealed, so the binding conf cannot be set post-start): skip rather
+    // than fail/hang when something else already owns it (a developer's
+    // local Connect server, a concurrent test JVM)
+    assume(
+      try {
+        val probe = new java.net.ServerSocket(Port)
+        probe.close(); true
+      } catch { case _: java.io.IOException => false },
+      s"port $Port occupied — cannot host the in-JVM Connect server")
     val root = java.nio.file.Files.createTempDirectory("graft-connect-").toString
     val t = GraftTable(spark, s"$root/t")(GraftSettings.default)
     t.append(Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v"))

@@ -330,6 +330,38 @@ class GraftProtocolSpec extends SparkSpecBase {
       === Set(GraftProtocol.ChangeDataFeedFeature))
   }
 
+  test("a pre-gate table with declared constraints/properties writer-gates from STATE, not only from stamped commits") {
+    // a table whose commits all predate writer-feature stamping but whose
+    // sidecars declare expectations: the snapshot derives the union from
+    // STATE, so a writer-feature-aware foreign writer is gated NOW — not
+    // only after some new commit happens to re-stamp it
+    val root = tmp()
+    val path = s"$root/t"
+    val t = GraftTable(spark, path)(GraftSettings.default)
+    t.append(Seq((1, "a")).toDF("id", "v"))
+    t.addConstraint("pos", "id > 0")
+    t.setProperties(Map("append_only" -> "true"))
+    // strip writerFeatures from every commit — exactly the bytes a
+    // pre-gate binary wrote beside today's sidecars
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    t.commits().foreach { c =>
+      val stripped = c.copy(writerFeatures = None)
+      val p = new org.apache.hadoop.fs.Path(
+        s"$path/_graft_log", f"${c.version}%020d.json")
+      fs.delete(p, false)
+      val out = fs.create(p, false)
+      try out.write(org.json4s.jackson.Serialization.write(stripped).getBytes("UTF-8"))
+      finally out.close()
+    }
+    val fresh = GraftTable(spark, path)(GraftSettings.default)
+    assert(fresh.commits().forall(_.writerFeatures.isEmpty), "precondition")
+    assert(fresh.snapshot().writerFeatureSet
+      === Set(GraftProtocol.CheckConstraints, GraftProtocol.AppendOnlyFeature),
+      "state-derived self-heal must recover the writer gate from the sidecars")
+  }
+
   test("DROP FEATURE: governed downgrade once content no longer requires it") {
     val root = tmp()
     // reader-feature drop: dv — the REORG-purge exit ramp
