@@ -429,6 +429,60 @@ class GraftProtocolSpec extends SparkSpecBase {
     assert(fresh.read().count() === 19, "and the DV still applies")
   }
 
+  test("feature-union fold is checkpoint-invariant under random append/delete/purge/drop histories") {
+    // the strongest protocol invariant: checkpoints are a pure
+    // OPTIMIZATION, so the snapshot a fresh handle computes THROUGH them
+    // must byte-match the one computed by raw log replay — including the
+    // non-monotone piece (DROP FEATURE subtraction) and the self-heals.
+    // Random op sequences with a 2-commit checkpoint cadence put drops on
+    // both sides of checkpoint horizons.
+    val params = org.scalacheck.Gen.Parameters.default
+    val opGen = org.scalacheck.Gen.listOfN(8,
+      org.scalacheck.Gen.frequency(
+        4 -> org.scalacheck.Gen.const("app"),
+        3 -> org.scalacheck.Gen.const("del"),
+        2 -> org.scalacheck.Gen.const("purge"),
+        2 -> org.scalacheck.Gen.const("dropdv")))
+    val seqs = (0 until 5).flatMap(i =>
+      opGen.apply(params, org.scalacheck.rng.Seed(100L + i)))
+    seqs.zipWithIndex.foreach { case (ops, i) =>
+      val root = tmp()
+      val t = GraftTable(spark, s"$root/t$i")(
+        GraftSettings.default.copy(deletionVectors = true, logCheckpointInterval = 2))
+      var nextId = 0
+      ops.foreach {
+        case "app" =>
+          t.append(((nextId + 1) to (nextId + 3)).map(j => (j, s"v$j")).toDF("id", "v"))
+          nextId += 3
+        case "del" if t.exists && t.read().count() > 0 =>
+          val lo = t.read().agg(min(col("id"))).collect()(0).getInt(0)
+          t.delete(col("id") === lo)
+        case "purge" if t.exists =>
+          spark.sql(s"REORG TABLE '${t.path}' APPLY (PURGE)")
+        case "dropdv" if t.exists && t.snapshot().dvFor.isEmpty &&
+            t.snapshot().featureSet.contains(GraftProtocol.Dv) =>
+          t.dropFeature(GraftProtocol.Dv)
+        case _ => () // op invalid in this state — skip
+      }
+      if (t.exists) {
+        def fields(s: LogCheckpoint) =
+          (s.version, s.live.toSet, s.dvFor, s.featureSet, s.writerFeatureSet,
+            s.schemaJson)
+        val through = fields(GraftTable(spark, t.path)(GraftSettings.default).snapshot())
+        // remove EVERY checkpoint file: a fresh handle must replay the raw
+        // log to the identical state
+        val fs = new org.apache.hadoop.fs.Path(t.path)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.listStatus(new org.apache.hadoop.fs.Path(s"${t.path}/_graft_log"))
+          .filter(_.getPath.getName.contains(".checkpoint."))
+          .foreach(st => fs.delete(st.getPath, false))
+        val replayed = fields(GraftTable(spark, t.path)(GraftSettings.default).snapshot())
+        assert(through === replayed,
+          s"seq $i (${ops.mkString(",")}): checkpointed fold diverged from raw replay")
+      }
+    }
+  }
+
   test("checkpoints persist the feature union; parquet twin round-trips it") {
     val root = tmp()
     val t = GraftTable(spark, s"$root/t")(
