@@ -396,8 +396,13 @@ private[tables] final class GraftStreamSource(
               .select(phys.fields.zip(schema.fields).map { case (pf, lf) =>
                 val c = org.apache.spark.sql.functions.col(pf.name)
                 val target = ColumnMapping.relaxNullability(lf.dataType)
+                // alias with the CLEAN metadata: a bare .as(name) would
+                // propagate the scanned attribute's graft.physical keys
+                // into the stream's output (readDataFiles fixes the same
+                // leak — a consumer writing batches into a fresh table
+                // must not inherit this table's mapping state)
                 (if (ColumnMapping.relaxNullability(pf.dataType) == target) c
-                 else c.cast(target)).as(lf.name)
+                 else c.cast(target)).as(lf.name, lf.metadata)
               }.toSeq: _*)
           } else spark.read.schema(schema).parquet(paths: _*)
         // partition-converted trees carry partition values in file PATHS

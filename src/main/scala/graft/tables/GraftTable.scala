@@ -523,9 +523,16 @@ final class GraftTable private (
           "vectors — purge them first (REORG TABLE ... APPLY (PURGE))")
           .filter(_ => snap.dvFor.nonEmpty)
       case GraftProtocol.ColumnMappingFeature =>
+        // overwrite(read()) IS a working remedy: read() serves the
+        // logical view with mapping metadata STRIPPED (readDataFiles
+        // aliases with the cleaned field metadata), overwrite records the
+        // incoming schema verbatim and stages files under its names — so
+        // the rewritten table carries logical-named files and a clean
+        // schema. Old files' physical names stay correct for time travel
+        // (each version reads under ITS commit's schema).
         Some("the schema still carries column-mapping state (renamed/" +
           "dropped columns) — rewrite the table under its final names " +
-          "first (overwrite)")
+          "first (overwrite(read()))")
           .filter(_ => snap.schemaJson.exists(GraftProtocol.schemaRequiresMapping))
       case GraftProtocol.PartitionConvert =>
         Some("live files still sit in a converted k=v partition tree — " +
@@ -1112,8 +1119,14 @@ final class GraftTable private (
             // relaxed: the rename-only cast must never TIGHTEN
             // nullability (cast to a NOT NULL struct field is refused)
             val target = ColumnMapping.relaxNullability(lf.dataType)
+            // alias with the CLEANED field's metadata explicitly: a bare
+            // .as(name) propagates the scanned attribute's metadata — the
+            // phys fields carry graft.physical keys, and leaking them
+            // means a frame written back into a FRESH table inherits this
+            // table's mapping state (the exact leak cleanMetadata exists
+            // to prevent)
             (if (ColumnMapping.relaxNullability(pf.dataType) == target) c
-             else c.cast(target)).as(lf.name)
+             else c.cast(target)).as(lf.name, lf.metadata)
           }.toSeq: _*)
       case None =>
         spark.read.option("mergeSchema", "true").parquet(paths: _*)
@@ -1354,7 +1367,8 @@ final class GraftTable private (
   /** Stage `df` as parquet files inside the table dir; returns final file
     * names plus their collected stats. With a bucket spec (and the keys
     * present), rows are hash-routed and file names carry their bucket id. */
-  private def stage(rawDf: DataFrame): (Seq[String], Map[String, FileStats]) = {
+  private def stage(rawDf: DataFrame,
+      replaceSchema: Boolean = false): (Seq[String], Map[String, FileStats]) = {
     // the single write chokepoint: EVERY path that produces table data
     // (append, overwrite, upsert, update, optimize, SQL DML, the
     // streaming sink) stages here, so CHECK constraints enforced at this
@@ -1365,7 +1379,16 @@ final class GraftTable private (
     // one projection; the commit-side union schema assigns the identical
     // deterministic physicals, so files and log always agree. A no-op
     // (empty map) for every table that never ran a rename/drop.
-    val storedUnion = unionSchemaStruct(logical.schema)
+    // `replaceSchema` (overwrite): the commit RECORDS the incoming schema
+    // verbatim — the table's whole content AND schema are replaced — so
+    // staging must derive physical names from the INCOMING schema alone;
+    // uniting with the stored mapping here would write files under the
+    // OLD physical names while the commit declares the clean ones, and
+    // every later read would silently serve the physical names (this is
+    // also what lets overwrite(read()) shed column_mapping: read() serves
+    // the logical view with mapping metadata stripped).
+    val storedUnion =
+      if (replaceSchema) logical.schema else unionSchemaStruct(logical.schema)
     val mappingActive = ColumnMapping.active(storedUnion)
     val mapping = ColumnMapping.nameMap(storedUnion)
       .filter { case (l, _) => logical.columns.contains(l) }
@@ -1914,7 +1937,7 @@ final class GraftTable private (
     // real conflict (Delta classifies the same way).
     val snap = snapshot()
     val old = snap.live
-    val (add, stats) = stage(df)
+    val (add, stats) = stage(df, replaceSchema = true)
     commitRewrite("overwrite", snap.version, add, old,
       mayOverlap = _ => true,
       schemaJson = () => df.schema.json,

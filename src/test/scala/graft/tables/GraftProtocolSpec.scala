@@ -408,6 +408,65 @@ class GraftProtocolSpec extends SparkSpecBase {
     assert(c.snapshot().writerFeatureSet === Set.empty[String])
   }
 
+  test("DROP FEATURE remedies WORK: overwrite sheds column_mapping, OPTIMIZE sheds partition_convert") {
+    // a refusal that names a remedy is only honest if following the remedy
+    // actually unblocks the drop — drive both documented sequences. (The
+    // column_mapping leg also pins the metadata-leak fix: read() must NOT
+    // carry graft.physical keys in its schema, or the overwrite would
+    // re-record the mapping and the remedy could never work.)
+    val root = tmp()
+    val m = GraftTable(spark, s"$root/m")(GraftSettings.default)
+    m.append(Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    m.renameColumn("v", "w")
+    assert(m.snapshot().featureSet === Set(GraftProtocol.ColumnMappingFeature))
+    val em = intercept[IllegalStateException](
+      m.dropFeature(GraftProtocol.ColumnMappingFeature))
+    assert(em.getMessage.contains("overwrite"), em.getMessage)
+    assert(!m.read().schema.fields.exists(_.metadata.contains("graft.physical")),
+      "read() must serve the LOGICAL view with storage metadata stripped")
+    m.overwrite(m.read()) // rewrite under the final logical names
+    m.dropFeature(GraftProtocol.ColumnMappingFeature)
+    assert(m.snapshot().featureSet === Set.empty[String])
+    assert(m.read().columns.toSeq === Seq("id", "w") && m.read().count() === 2)
+    // time travel below the rewrite still reads the OLD files under the
+    // mapping true at that version
+    assert(m.readAt(2).columns.toSeq === Seq("id", "w"))
+    // regression (files/log schema divergence): overwriting a MAPPED
+    // table with a fresh user-built frame must stage under the INCOMING
+    // schema's names — before the replaceSchema fix, staging united with
+    // the stored mapping and wrote the OLD physical names while the
+    // commit declared the clean ones, so every later read silently served
+    // the physical column name
+    val fm = GraftTable(spark, s"$root/fm")(GraftSettings.default)
+    fm.append(Seq((1, "a")).toDF("id", "v"))
+    fm.renameColumn("v", "w")
+    fm.overwrite(Seq((9, "z")).toDF("id", "w")) // fresh frame, never read()
+    assert(fm.read().columns.toSeq === Seq("id", "w"),
+      "overwrite must serve the schema its commit declared")
+    assert(fm.read().select("w").as[String].collect().toSeq === Seq("z"))
+
+    // partition_convert: adopting a hive tree binds the feature; the
+    // remedy (OPTIMIZE flattens the layout) lifts it and the drop takes
+    val convDir = s"$root/conv"
+    import spark.implicits._
+    Seq((1, "x", "eu"), (2, "y", "us"), (3, "z", "eu")).toDF("id", "v", "region")
+      .write.partitionBy("region").parquet(convDir)
+    val p = GraftTable(spark, convDir)(GraftSettings.default)
+    p.convert()
+    assert(p.snapshot().featureSet === Set(GraftProtocol.PartitionConvert))
+    val ep = intercept[IllegalStateException](
+      p.dropFeature(GraftProtocol.PartitionConvert))
+    assert(ep.getMessage.contains("OPTIMIZE"), ep.getMessage)
+    p.optimize() // bin-pack flattens the adopted tree into flat files
+    assert(p.snapshot().live.forall(!_.contains("/")),
+      "precondition: OPTIMIZE must flatten the converted tree")
+    p.dropFeature(GraftProtocol.PartitionConvert)
+    assert(p.snapshot().featureSet === Set.empty[String])
+    // the dir-derived partition column survives as DATA after flattening
+    assert(p.read().select("region").as[String].collect().sorted.toSeq
+      === Seq("eu", "eu", "us"))
+  }
+
   test("DROP FEATURE can never under-gate: the content self-heal re-adds a feature content still requires") {
     // a drop that races a DV-binding DML (or a hand-laid bogus drop) must
     // not un-gate content that needs the feature: forge the drop commit
