@@ -165,6 +165,26 @@ private[tables] object ColumnMapping {
   def freshPhysical(): String =
     s"col_${java.util.UUID.randomUUID().toString.take(8)}"
 
+  /** The physical→logical projection over a scan read under `phys`: one
+    * column per field, cast to the logical type (the positional struct
+    * cast renames NESTED leaves too) and aliased with the LOGICAL field's
+    * name AND metadata — a bare `.as(name)` would propagate the scanned
+    * attribute's mapping keys into the output schema, the exact leak
+    * [[cleanMetadata]] exists to prevent. `phys` and `logical` must be
+    * the same recursion over the same stored schema (field-for-field).
+    * THE single implementation behind [[GraftTable.readDataFiles]] and
+    * the streaming source's batch read — a fix here lands in both. */
+  def logicalProjection(phys: StructType,
+      logical: StructType): Seq[org.apache.spark.sql.Column] =
+    phys.fields.zip(logical.fields).map { case (pf, lf) =>
+      val c = org.apache.spark.sql.functions.col(pf.name)
+      // relaxed: the rename-only cast must never TIGHTEN nullability
+      // (cast to a NOT NULL struct field is refused)
+      val target = relaxNullability(lf.dataType)
+      (if (relaxNullability(pf.dataType) == target) c
+       else c.cast(target)).as(lf.name, lf.metadata)
+    }.toIndexedSeq
+
   /** Strip mapping metadata from a schema users receive (the physical
     * name is an implementation detail; leaking it would also survive
     * into frames users write back), at every depth. */

@@ -217,8 +217,11 @@ private[tables] final class GraftStreamSource(
   private val pinVersion: Long = table.version
 
   /** Stored schema pinned at stream start (tombstones + physical-name
-    * metadata) — batches read files under ITS physical names; physical
-    * names never change, so every historical file in range matches. */
+    * metadata) — batches read files under ITS physical names. Metadata
+    * DDL never changes physical names, and a rewrite under NEW names
+    * (replaceSchema overwrite) fails the stream loudly via
+    * [[requireUnchangedSchema]]'s physical-layout check, so every file a
+    * batch admits matches the pin. */
   private val storedSchema: StructType =
     GraftStreamSource.storedSchemaOf(table, pinVersion)
   override val schema: StructType =
@@ -329,19 +332,37 @@ private[tables] final class GraftStreamSource(
   /** Fail the query loudly when the log schema EVOLVED PAST the pinned
     * one mid-stream — Delta's streaming source does the same, so the
     * consumer restarts and picks up the evolution instead of silently
-    * projecting the new columns away for the life of the query. */
+    * projecting the new columns away for the life of the query.
+    *
+    * The PHYSICAL layout is checked too: batches read files under the
+    * pinned schema's physical column names, which is sound only while
+    * every admitted file carries them. A rewrite under NEW physical
+    * names (`overwrite(read())` shedding column_mapping after a rename)
+    * makes one pinned read schema impossible — files from the two eras
+    * disagree on column names, and reading the new era under the old
+    * names would silently deliver NULLs. Delta's column-mapping streams
+    * refuse non-additive schema changes the same way. */
   private def requireUnchangedSchema(endV: Long): Unit =
     if (endV > pinVersion)
-      table.snapshot(endV).schemaJson
-        .map(sj => ColumnMapping.logicalSchema(
-          DataType.fromJson(sj).asInstanceOf[StructType]))
-        .filter(s => shapeOf(s) != shapeOf(schema))
-        .foreach { evolved =>
+      table.snapshot(endV).schemaJson.foreach { sj =>
+        val stored = DataType.fromJson(sj).asInstanceOf[StructType]
+        val evolved = ColumnMapping.logicalSchema(stored)
+        if (shapeOf(evolved) != shapeOf(schema))
           throw new IllegalStateException(
             s"the schema of ${table.path} changed during the stream (pinned at " +
               s"start: ${schema.simpleString}; log at v$endV: ${evolved.simpleString}) — " +
               "restart the streaming query to pick up the new schema")
-        }
+        if (shapeOf(ColumnMapping.physicalSchema(stored)) !=
+            shapeOf(ColumnMapping.physicalSchema(storedSchema)))
+          throw new IllegalStateException(
+            s"the PHYSICAL column layout of ${table.path} changed during the " +
+              s"stream (a rewrite under new names, e.g. overwrite after a " +
+              "rename/drop) — files before and after v" + endV +
+              " disagree on their parquet column names, so no single read " +
+              "schema serves both eras. Restart the streaming query with a " +
+              "FRESH checkpoint to stream the rewritten table from its " +
+              "current snapshot")
+      }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val e = GraftOffset.parse(end)
@@ -393,17 +414,7 @@ private[tables] final class GraftStreamSource(
           if (ColumnMapping.active(storedSchema)) {
             val phys = ColumnMapping.physicalSchema(storedSchema)
             spark.read.schema(phys).parquet(paths: _*)
-              .select(phys.fields.zip(schema.fields).map { case (pf, lf) =>
-                val c = org.apache.spark.sql.functions.col(pf.name)
-                val target = ColumnMapping.relaxNullability(lf.dataType)
-                // alias with the CLEAN metadata: a bare .as(name) would
-                // propagate the scanned attribute's graft.physical keys
-                // into the stream's output (readDataFiles fixes the same
-                // leak — a consumer writing batches into a fresh table
-                // must not inherit this table's mapping state)
-                (if (ColumnMapping.relaxNullability(pf.dataType) == target) c
-                 else c.cast(target)).as(lf.name, lf.metadata)
-              }.toSeq: _*)
+              .select(ColumnMapping.logicalProjection(phys, schema): _*)
           } else spark.read.schema(schema).parquet(paths: _*)
         // partition-converted trees carry partition values in file PATHS
         val raw = GraftTable.withDirPartitionColumns(raw0, files,

@@ -1109,25 +1109,10 @@ final class GraftTable private (
         val phys = ColumnMapping.physicalSchema(st)
         val logical = ColumnMapping.cleanMetadata(ColumnMapping.logicalSchema(st))
         // phys and logical are the same recursion over the same stored
-        // schema, so they agree field-for-field; the positional CAST is
-        // what renames NESTED leaves back to logical (casting a struct to
-        // a same-shape struct rebinds field names) — a no-op for columns
-        // with no nested mapping
+        // schema, so they agree field-for-field; the shared projection
+        // renames (nested leaves included) and strips mapping metadata
         spark.read.schema(phys).parquet(paths: _*)
-          .select(phys.fields.zip(logical.fields).map { case (pf, lf) =>
-            val c = col(pf.name)
-            // relaxed: the rename-only cast must never TIGHTEN
-            // nullability (cast to a NOT NULL struct field is refused)
-            val target = ColumnMapping.relaxNullability(lf.dataType)
-            // alias with the CLEANED field's metadata explicitly: a bare
-            // .as(name) propagates the scanned attribute's metadata — the
-            // phys fields carry graft.physical keys, and leaking them
-            // means a frame written back into a FRESH table inherits this
-            // table's mapping state (the exact leak cleanMetadata exists
-            // to prevent)
-            (if (ColumnMapping.relaxNullability(pf.dataType) == target) c
-             else c.cast(target)).as(lf.name, lf.metadata)
-          }.toSeq: _*)
+          .select(ColumnMapping.logicalProjection(phys, logical): _*)
       case None =>
         spark.read.option("mergeSchema", "true").parquet(paths: _*)
     }
@@ -1669,16 +1654,27 @@ final class GraftTable private (
         if (names.isEmpty) None
         else Some(spark.read.option("mergeSchema", "true")
           .parquet(names.map(n => s"$path/$n"): _*))
-      def readFiles(names: Seq[String],
-          dvOf: String => Option[String]): Option[DataFrame] =
+      // schemaJsonOpt BY-NAME: the pre-state snapshot behind the removes'
+      // binding is only computed when a commit actually removed files
+      def readFiles(names: Seq[String], dvOf: String => Option[String],
+          schemaJsonOpt: => Option[String]): Option[DataFrame] =
         if (names.isEmpty) None
         else {
-          val df = readDataFiles(names, Some(c.schemaJson))
+          val df = readDataFiles(names, schemaJsonOpt)
           val dvMap = names.flatMap(f => dvOf(f).map(f -> _)).toMap
           Some(DeletionVectors.filterDeleted(df, spark, loadDvs(dvMap, names), qualifiedRootUris))
         }
+      // the PRE-commit state: the binding the commit's REMOVED files were
+      // last live under — both their DV bitmaps and their SCHEMA. Reading
+      // removes under the commit's NEW schema would break when a commit
+      // changes schema and removes files in one step (replaceSchema
+      // overwrite shedding column mapping: the removed files' parquet
+      // columns carry the OLD physical names, and a new-schema read would
+      // serve the delete rows with the logical column NULL plus a phantom
+      // physical column).
+      lazy val preSnap: LogCheckpoint = snapshot(c.version - 1)
       lazy val preDvs: Map[String, String] =
-        if (anyDvs) snapshot(c.version - 1).dvFor else Map.empty
+        if (anyDvs) preSnap.dvFor else Map.empty
       val cDvs = c.dvs.getOrElse(Map.empty)
       val changed: Seq[DataFrame] = c.changes match {
         case Some(files) => readChangeFiles(files).toSeq
@@ -1694,9 +1690,11 @@ final class GraftTable private (
             // files under the PRE-state binding (rows already dead don't
             // die twice).
             val moved =
-              readFiles(c.add, f => cDvs.get(f).filter(_ != DeletionVectors.Cleared))
+              readFiles(c.add, f => cDvs.get(f).filter(_ != DeletionVectors.Cleared),
+                Some(c.schemaJson))
                 .map(tagged(_, "insert")).toSeq ++
-                readFiles(c.remove, preDvs.get).map(tagged(_, "delete")).toSeq
+                readFiles(c.remove, preDvs.get, preSnap.schemaJson)
+                  .map(tagged(_, "delete")).toSeq
             // re-binds on files that stay live (restore only): the bitmap
             // DELTA is the change — resurrected positions are inserts,
             // newly-dead ones deletes

@@ -422,7 +422,17 @@ class GraftProtocolSpec extends SparkSpecBase {
     val em = intercept[IllegalStateException](
       m.dropFeature(GraftProtocol.ColumnMappingFeature))
     assert(em.getMessage.contains("overwrite"), em.getMessage)
-    assert(!m.read().schema.fields.exists(_.metadata.contains("graft.physical")),
+    // recursive: mapping metadata rides on NESTED fields too — a leak
+    // that only survives on struct leaves must fail this pin as well
+    def leaks(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case s: org.apache.spark.sql.types.StructType =>
+        s.fields.exists(f => f.metadata.contains("graft.physical") ||
+          f.metadata.contains("graft.dropped") || leaks(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => leaks(a.elementType)
+      case mp: org.apache.spark.sql.types.MapType  => leaks(mp.valueType)
+      case _ => false
+    }
+    assert(!leaks(m.read().schema),
       "read() must serve the LOGICAL view with storage metadata stripped")
     m.overwrite(m.read()) // rewrite under the final logical names
     m.dropFeature(GraftProtocol.ColumnMappingFeature)
@@ -448,7 +458,6 @@ class GraftProtocolSpec extends SparkSpecBase {
     // partition_convert: adopting a hive tree binds the feature; the
     // remedy (OPTIMIZE flattens the layout) lifts it and the drop takes
     val convDir = s"$root/conv"
-    import spark.implicits._
     Seq((1, "x", "eu"), (2, "y", "us"), (3, "z", "eu")).toDF("id", "v", "region")
       .write.partitionBy("region").parquet(convDir)
     val p = GraftTable(spark, convDir)(GraftSettings.default)
@@ -465,6 +474,59 @@ class GraftProtocolSpec extends SparkSpecBase {
     // the dir-derived partition column survives as DATA after flattening
     assert(p.read().select("region").as[String].collect().sorted.toSeq
       === Seq("eu", "eu", "us"))
+  }
+
+  test("CDF across a physical-layout rewrite reads removed files under their PRE-state binding") {
+    // an overwrite that both changes the schema binding AND removes files
+    // (the overwrite(read()) remedy): the delete rows must surface under
+    // the LOGICAL names the removed files were last live under — reading
+    // them with the commit's NEW schema would serve the logical column as
+    // NULL plus a phantom physical column
+    val root = tmp()
+    val t = GraftTable(spark, s"$root/t")(GraftSettings.default)
+    t.append(Seq((1, "a"), (2, "b")).toDF("id", "v")) // v1
+    t.renameColumn("v", "w")                          // v2 (mapped: w -> phys v)
+    t.overwrite(Seq((9, "z")).toDF("id", "w"))        // v3: new era, clean names
+    val changes = t.readChanges(fromExclusive = 2)
+    assert(!changes.columns.contains("v"),
+      s"no phantom physical column may appear: ${changes.columns.toSeq}")
+    val deletes = changes.filter(col("_change_type") === "delete")
+      .select("id", "w").as[(Int, String)].collect().toSet
+    assert(deletes === Set((1, "a"), (2, "b")),
+      "deletes must carry the removed rows under their logical names")
+    val inserts = changes.filter(col("_change_type") === "insert")
+      .select("id", "w").as[(Int, String)].collect().toSet
+    assert(inserts === Set((9, "z")))
+  }
+
+  test("a mid-stream physical-layout rewrite fails the stream loudly (never NULLs)") {
+    // a running stream pins its read schema (physical names) at start;
+    // the overwrite(read()) remedy rewrites files under NEW physical
+    // names, so no single read schema serves both eras — the stream must
+    // REFUSE with the restart guidance (Delta's column-mapping streams
+    // refuse non-additive changes the same way), never deliver NULLs
+    val root = tmp()
+    val t = GraftTable(spark, s"$root/t")(GraftSettings.default)
+    t.append(Seq((1, "a")).toDF("id", "v"))
+    t.renameColumn("v", "w")
+    t.append(Seq((2, "b")).toDF("id", "w"))
+    val q = spark.readStream.format("graft")
+      .option("ignoreChanges", "true").load(t.path)
+      .writeStream.format("memory").queryName("phys_gate")
+      .option("checkpointLocation", s"$root/ckpt").start()
+    try {
+      q.processAllAvailable() // snapshot batch under the mapped pin
+      assert(spark.table("phys_gate").count() === 2)
+      t.overwrite(t.read()) // rewrite under new physical names mid-stream
+      val e = intercept[Exception](q.processAllAvailable())
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(_.getMessage).filter(_ != null).mkString(" | ")
+      assert(msgs.contains("PHYSICAL column layout"),
+        s"stream must refuse the layout change, got: $msgs")
+    } finally {
+      try q.stop() catch { case _: Exception => () }
+      spark.sql("DROP VIEW IF EXISTS phys_gate")
+    }
   }
 
   test("DROP FEATURE can never under-gate: the content self-heal re-adds a feature content still requires") {
