@@ -203,6 +203,9 @@ object GraftDml {
     val cond = coalesce(condRaw, lit(false))
     val affected = affectedFiles(spark, target, condRaw, table)
     if (affected.isEmpty) return
+    // pre-stage protocol probe: refuse a gated table before the CDF
+    // change rows (or the rewrite) stage a single byte
+    table.preWriteGate("delete", removesRows = true)
     // scoped barrier lifecycle: the CDF materialization is freed on exit,
     // NORMAL OR EXCEPTIONAL — a conflict thrown by replaceWith must not
     // pin the scoped scan's blocks for the session's lifetime
@@ -243,6 +246,8 @@ object GraftDml {
       if (condition.isEmpty) snap.live
       else affectedFiles(spark, target, ColumnBridge.column(condition.get), table)
     if (affected.isEmpty) return
+    // pre-stage protocol probe, before change rows stage (see deleteFromPlan)
+    table.preWriteGate("update", removesRows = true)
     // scoped barrier lifecycle: freed on exit, normal or exceptional
     graft.ext.Parallelism.scoped {
       val scoped0 = PlanBridge.ofRows(spark, scopedTo(target, index, affected.toSet))
@@ -502,6 +507,10 @@ final case class GraftMergeCommand(merge: MergeIntoTable,
             else table.pruneLive(snap, atoms)
           (files, if (atoms.isEmpty) Seq(PredOpaque) else atoms)
         }
+      // pre-stage protocol probe: an insert-only merge touching no stored
+      // file stays allowed on append-only (Delta permits those); any
+      // affected file will be removed/rewritten by the commit
+      table.preWriteGate("merge", removesRows = affected.nonEmpty)
       val scopedPlan =
         if (affected.size == snap.live.size) merge.targetTable
         else GraftDml.scopedTo(merge.targetTable, index, affected.toSet)

@@ -879,13 +879,19 @@ final class GraftTable private (
     // next stamped commit, and a dropFeature racing a constraint/property
     // declaration re-gains the feature here — mirroring the dv content
     // heal above, so neither union can ever under-claim what the current
-    // table actually requires
-    if (constraints.nonEmpty) wfeats += GraftProtocol.CheckConstraints
-    val declaredProps = tableProperties
-    if (declaredProps.get("change_data_feed").exists(_.equalsIgnoreCase("true")))
-      wfeats += GraftProtocol.ChangeDataFeedFeature
-    if (declaredProps.get("append_only").exists(_.equalsIgnoreCase("true")))
-      wfeats += GraftProtocol.AppendOnlyFeature
+    // table actually requires. CURRENT-version folds only: the sidecars
+    // describe the table NOW, so grafting them onto a time-travel fold
+    // would claim writer features the historical version never had (and a
+    // fresh asOf fold could disagree with the checkpoint written at that
+    // version) — history keeps its true, purely log-derived requirements.
+    if (asOf >= head) {
+      if (constraints.nonEmpty) wfeats += GraftProtocol.CheckConstraints
+      val declaredProps = tableProperties
+      if (declaredProps.get("change_data_feed").exists(_.equalsIgnoreCase("true")))
+        wfeats += GraftProtocol.ChangeDataFeedFeature
+      if (declaredProps.get("append_only").exists(_.equalsIgnoreCase("true")))
+        wfeats += GraftProtocol.AppendOnlyFeature
+    }
     LogCheckpoint(v, live.toSeq, schemaJson, stats,
       if (dvs.isEmpty) None else Some(dvs),
       if (feats.isEmpty) None else Some(feats.toSeq.sorted),
@@ -1349,11 +1355,40 @@ final class GraftTable private (
     })
   }
 
+  /** Pre-staging protocol probe (Delta checks protocol at transaction
+    * START): refuse a gated write BEFORE any parquet is staged, so a
+    * table this binary may not write never pays a full batch write just
+    * to learn the commit would refuse — at ingest rates that's a wasted
+    * table-dir write per batch plus an orphan staging dir until vacuum.
+    * `removesRows` = the operation, as scoped at its entry point, will
+    * remove files or bind non-cleared deletion vectors with
+    * dataChange=true — the exact predicate [[stampFeatures]] enforces.
+    * The funnel check there stays the AUTHORITATIVE backstop: a
+    * writer-feature commit can interleave between this probe and the
+    * commit (TOCTOU), and the funnel re-reads the snapshot. Both halves
+    * read the version-cached snapshot/properties, so the probe is free. */
+  private[tables] def preWriteGate(action: String, removesRows: Boolean): Unit = {
+    GraftProtocol.requireWritable(snapshot().writerFeatureSet, path,
+      "the table's commit history/checkpoint (pre-staging probe)")
+    if (removesRows && effectiveSettings.appendOnly)
+      throw new IllegalStateException(
+        s"table $path is append-only (append_only=true): refusing " +
+          s"'$action' — it removes or rewrites rows (unset the " +
+          "property to run data-changing DML)")
+  }
+
   /** Stage `df` as parquet files inside the table dir; returns final file
     * names plus their collected stats. With a bucket spec (and the keys
     * present), rows are hash-routed and file names carry their bucket id. */
   private def stage(rawDf: DataFrame,
       replaceSchema: Boolean = false): (Seq[String], Map[String, FileStats]) = {
+    // structural zero-bytes guarantee for the WRITER-FEATURE half: every
+    // data-producing path funnels through here (or stageChangeRows), so a
+    // feature-gated table refuses before its first staged byte even if an
+    // entry point forgot its preWriteGate. The append-only half needs the
+    // operation's remove scope and stays at the entry points.
+    GraftProtocol.requireWritable(snapshot().writerFeatureSet, path,
+      "the table's commit history/checkpoint (pre-staging probe)")
     // the single write chokepoint: EVERY path that produces table data
     // (append, overwrite, upsert, update, optimize, SQL DML, the
     // streaming sink) stages here, so CHECK constraints enforced at this
@@ -1605,6 +1640,10 @@ final class GraftTable private (
     * race just orphans them — readers only follow names recorded in a
     * published [[Commit]]. */
   private[tables] def stageChangeRows(df: DataFrame): Seq[String] = {
+    // same structural pre-probe as stage(): CDF change rows are staged
+    // BEFORE the data rewrite on several paths, so they need their own
+    GraftProtocol.requireWritable(snapshot().writerFeatureSet, path,
+      "the table's commit history/checkpoint (pre-staging probe)")
     val stagingId = UUID.randomUUID().toString
     val stagingDir = s"$path/$changesDir/.stage-$stagingId"
     df.write.mode("overwrite").parquet(stagingDir)
@@ -1935,6 +1974,10 @@ final class GraftTable private (
     // real conflict (Delta classifies the same way).
     val snap = snapshot()
     val old = snap.live
+    // an overwrite of a non-empty table removes every current row; an
+    // overwrite-as-create (no live files) stays allowed on append-only,
+    // matching the commit funnel's remove-scope predicate exactly
+    preWriteGate("overwrite", removesRows = old.nonEmpty)
     val (add, stats) = stage(df, replaceSchema = true)
     commitRewrite("overwrite", snap.version, add, old,
       mayOverlap = _ => true,
@@ -2018,6 +2061,10 @@ final class GraftTable private (
           val affected = pruneLive(snap0, atoms)
           (affected, readOf(affected), None, atoms)
       }
+    // a keyed upsert rewrites (= removes) every affected file; a batch
+    // whose keys touch no stored file is a pure insert and stays allowed
+    // on append-only — the funnel's exact remove-scope, probed pre-stage
+    preWriteGate("upsert", removesRows = oldFiles.nonEmpty)
     // CDF: the affected-file snapshot and the update batch each feed the
     // merge AND the change-row joins — materialize once, not per consumer
     val snap = if (effectiveSettings.changeDataFeed) current.map(graft.ext.Parallelism.materialize(_)(effectiveSettings)) else current
@@ -2284,6 +2331,9 @@ final class GraftTable private (
     val snap = snapshot() // pinned: file set AND conflict base version
     val affected = pruneLive(snap, atoms)
     if (affected.isEmpty) return None
+    // probed before the DV scan OR the rewrite stages anything: either
+    // shape removes rows (file drops or DV binds) when it commits at all
+    preWriteGate("delete", removesRows = true)
     if (effectiveSettings.deletionVectors)
       dvMark(predicate, atoms, snap, affected, assignments = None) match {
         case Right(commit) => return commit
@@ -2439,6 +2489,9 @@ final class GraftTable private (
       atoms: Seq[PredAtom] = Seq(PredOpaque),
       changes: Option[Seq[String]] = None,
       evolveSchema: Boolean = false): Commit = {
+    // backstop for SQL DML callers (their entry points pre-gate earlier,
+    // before CDF change rows stage — this covers any future caller)
+    preWriteGate(action, removesRows = removeFiles.nonEmpty)
     val (add, stats) = stage(merged)
     commitRewrite(action, baseVersion, add, removeFiles,
       mayOverlap = mayMatchPredicate(atoms),
@@ -2478,6 +2531,9 @@ final class GraftTable private (
     val snap = snapshot() // pinned: file set AND conflict base version
     val affected = pruneLive(snap, atoms)
     if (affected.isEmpty) return None
+    // same pre-stage probe as deleteImpl: both the DV path and the
+    // rewrite path remove/rewrite rows when they commit
+    preWriteGate("update", removesRows = true)
     if (effectiveSettings.deletionVectors)
       dvMark(predicate, atoms, snap, affected, Some(assignments)) match {
         case Right(commit) => return commit

@@ -83,7 +83,7 @@ class JdbcArbiterLogStore extends LogStore {
       // claimed_at_ms is the DATABASE's clock where the dialect can say
       // "epoch ms now" in SQL (timezone-independent by construction);
       // client-clock parameter fallback elsewhere — see the class doc
-      val nowExpr = dbNowMsExpr(c).getOrElse("?")
+      val nowExpr = dbNowMsExpr(cfg, c).getOrElse("?")
       val st = c.prepareStatement(
         s"INSERT INTO ${cfg.table}(claim_key, log_dir, name, token, claimed_at_ms) " +
           s"VALUES (?, ?, ?, ?, $nowExpr)")
@@ -143,7 +143,7 @@ class JdbcArbiterLogStore extends LogStore {
   private def selectClaim(cfg: Config, logDir: Path,
       name: String): Option[(String, Long)] =
     withConn(cfg) { c =>
-      val nowExpr = dbNowMsExpr(c).getOrElse("?")
+      val nowExpr = dbNowMsExpr(cfg, c).getOrElse("?")
       val st = c.prepareStatement(
         s"SELECT token, $nowExpr - claimed_at_ms FROM ${cfg.table} " +
           "WHERE claim_key = ?")
@@ -214,13 +214,16 @@ object JdbcArbiterLogStore {
     * session's wall rendering and is re-interpreted in the READER
     * session's timezone, so two hosts with different session zones would
     * read a seconds-old claim as hours old (spurious lease breaks) or a
-    * crashed claim as forever fresh. Memoized per connection (the product
-    * name probe is a driver call). */
+    * crashed claim as forever fresh. Memoized per database URL — the
+    * dialect is a property of the database, not the connection, so the
+    * memo never holds references to healed/closed connections and hits
+    * are stable across reconnects (the product-name probe is a driver
+    * call, paid once per URL). */
   private val nowExprCache =
-    new java.util.concurrent.ConcurrentHashMap[Connection, Option[String]]()
+    new java.util.concurrent.ConcurrentHashMap[String, Option[String]]()
 
-  private def dbNowMsExpr(c: Connection): Option[String] = {
-    val hit = nowExprCache.get(c)
+  private def dbNowMsExpr(cfg: Config, c: Connection): Option[String] = {
+    val hit = nowExprCache.get(cfg.url)
     if (hit != null) return hit
     val product =
       try c.getMetaData.getDatabaseProductName
@@ -232,14 +235,20 @@ object JdbcArbiterLogStore {
         // the session TimeZone
         Some("CAST(EXTRACT(EPOCH FROM CURRENT_TIMESTAMP) * 1000 AS BIGINT)")
       else if (p.contains("mysql") || p.contains("mariadb"))
-        // UNIX_TIMESTAMP inverts the session-zone rendering it was given,
-        // so the result is zone-independent epoch seconds (with ms)
-        Some("CAST(UNIX_TIMESTAMP(NOW(3)) * 1000 AS SIGNED)")
+        // argless UNIX_TIMESTAMP() reads the server's epoch DIRECTLY — no
+        // wall-clock rendering ever round-trips through the session time
+        // zone, so the value is unambiguous even during the DST fall-back
+        // hour (UNIX_TIMESTAMP(NOW(3)) re-inverts a rendering that is
+        // ambiguous for one hour a year — a claim's stored epoch or the
+        // age read could be off by a whole hour, exceeding the TTL and
+        // enabling a spurious lease break). Second precision is ample for
+        // a 10-minute TTL.
+        Some("CAST(UNIX_TIMESTAMP() * 1000 AS SIGNED)")
       else None // embedded Derby (client IS the server JVM) + unknown dialects
-    // healed/evicted connections would leak entries — bound like the
-    // other protocol memos
-    if (nowExprCache.size > 16) nowExprCache.clear()
-    nowExprCache.put(c, expr)
+    // URLs are config values (a handful per JVM); bound defensively anyway
+    // against pathological per-test URL churn
+    if (nowExprCache.size > 64) nowExprCache.clear()
+    nowExprCache.put(cfg.url, expr)
     expr
   }
 
