@@ -31,6 +31,13 @@ class CountingLocalFs extends RawLocalFileSystem {
     if (isLog(f)) CountingLocalFs.logHeads.incrementAndGet()
     super.getFileStatus(f)
   }
+  // RawLocalFileSystem short-circuits exists() to File.exists() without
+  // getFileStatus — on an object store an existence probe IS a HEAD, so
+  // count it as one (this is the listing cache's whole warm-path cost)
+  override def exists(f: HPath): Boolean = {
+    if (isLog(f)) CountingLocalFs.logHeads.incrementAndGet()
+    super.exists(f)
+  }
 }
 
 object CountingLocalFs {
@@ -130,7 +137,10 @@ object LogSoak {
       if (i % 200 == 0) {
         val dropped = t.repair(dryRun = true)
         assert(dropped.isEmpty, s"FSCK found ghosts mid-soak: $dropped")
-        t.vacuum()
+        // zero retention: this soak owns the table and holds no readers
+        // pinned at old versions, so removed files age out immediately —
+        // vacuumLog refuses (correctly) while pre-horizon files survive
+        t.vacuum(retentionHours = 0.0)
         t.vacuumLog(retainVersions = Retain)
       }
       if (i % 250 == 0 || i == TotalAppends) ms += measure()
@@ -150,9 +160,10 @@ object LogSoak {
           "after snapshot — the version cache is leaking")
       assert(m.warmProbeLogOpens == 0,
         s"warm version probes OPENED ${m.warmProbeLogOpens} log files")
-      assert(m.warmProbeHeadsPer10 <= 12,
+      assert(m.warmProbeHeadsPer10 >= 1 && m.warmProbeHeadsPer10 <= 12,
         s"10 warm version probes cost ${m.warmProbeHeadsPer10} HEADs — " +
-          "the listing cache is re-listing")
+          "expected ~1 per probe (0 would mean the counter lost the " +
+          "existence probe; >12 that the listing cache is re-listing)")
     }
     // the log dir is bounded by the trim horizon, not by table lifetime:
     // retained commits + checkpoint twins + sidecars
