@@ -60,8 +60,15 @@ object CompatCorpus {
       .digest(lines.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }
 
-  def observe(spark: SparkSession, lakeDir: String): Map[String, TableObs] =
-    Seq("main", "convert", "trimmed").map { name =>
+  /** Table set is discovered from the frozen lake itself, so older corpora
+    * (r18: main/convert/trimmed) and newer ones that freeze extra surfaces
+    * (r19+: appendonly) share one observer with zero per-round code. */
+  def observe(spark: SparkSession, lakeDir: String): Map[String, TableObs] = {
+    val names = Option(new java.io.File(lakeDir).listFiles())
+      .getOrElse(Array.empty).toSeq
+      .filter(_.isDirectory).map(_.getName).sorted
+    require(names.nonEmpty, s"no tables under $lakeDir")
+    names.map { name =>
       val t = GraftTable(spark, s"$lakeDir/$name")(GraftSettings.default)
       val snap = t.snapshot()
       val df = t.read()
@@ -84,6 +91,7 @@ object CompatCorpus {
         readAtRows = readAt,
         cdfByType = cdf)
     }.toMap
+  }
 
   /** Build the mini-lake. Fixed literals only — re-runnable, but the
     * POINT is to run it once per round and freeze the bytes. */
@@ -118,6 +126,15 @@ object CompatCorpus {
     val conv = GraftTable(spark, convDir)(gen)
     conv.convert()
     conv.append(Seq((5, "e", "eu")).toDF("id", "v", "region"))
+
+    // -- appendonly (r19+ corpora): a table holding its writers to the
+    //    append_only gate — the frozen commit carries the writer feature,
+    //    so every future binary must keep OBSERVING the stamp (and its
+    //    own protocol layer keeps refusing row removal on it)
+    val ao = GraftTable(spark, s"$lakeDir/appendonly")(GraftSettings.default)
+    ao.append((1 to 8).map(i => (i, i * 10)).toDF("id", "qty"))
+    ao.setProperties(Map("append_only" -> "true"))
+    ao.append(Seq((9, 90), (10, 100)).toDF("id", "qty"))
 
     // -- trimmed: checkpoint-only cold open (vacuumLog horizon) — future
     //    binaries must serve from the checkpoint AND keep refusing
