@@ -778,7 +778,8 @@ final class GraftTable private (
     * written yet, `asOf` below the oldest one, or an unreadable file) the
     * raw log replays in full — correctness never depends on a checkpoint
     * existing. */
-  private[tables] def snapshot(asOf: Long = Long.MaxValue): LogCheckpoint = {
+  private[tables] def snapshot(asOf: Long = Long.MaxValue,
+      healFromSidecars: Boolean = false): LogCheckpoint = {
     val (commitFiles, ckptFiles) = listLog()
     // newest version first; within a version the PARQUET twin first (the
     // columnar/distributed read — [[ParquetCheckpoint]]) with the JSON
@@ -884,7 +885,12 @@ final class GraftTable private (
     // would claim writer features the historical version never had (and a
     // fresh asOf fold could disagree with the checkpoint written at that
     // version) — history keeps its true, purely log-derived requirements.
-    if (asOf >= head) {
+    // `healFromSidecars` forces the heal when the CALLER knows the fold
+    // targets the version it just committed ([[maybeWriteCheckpoint]]):
+    // without it, a concurrent writer publishing asOf+1 between the commit
+    // and this listing advances `head` past asOf and a pre-gate table's
+    // checkpoint would silently under-claim its declared writer features.
+    if (healFromSidecars || asOf >= head) {
       if (constraints.nonEmpty) wfeats += GraftProtocol.CheckConstraints
       val declaredProps = tableProperties
       if (declaredProps.get("change_data_feed").exists(_.equalsIgnoreCase("true")))
@@ -909,7 +915,10 @@ final class GraftTable private (
     val interval = effectiveSettings.logCheckpointInterval
     if (!force && (interval <= 0 || version % interval != 0)) return
     try {
-      val snap = snapshot(version)
+      // the commit that triggered this checkpoint IS the current version
+      // from this writer's viewpoint — request the sidecar heal explicitly
+      // so a concurrent v+1 publish can't race it off (see [[snapshot]])
+      val snap = snapshot(version, healFromSidecars = true)
       val liveSet = snap.live.toSet
       val trimmed = snap.copy(
         stats = snap.stats.filter { case (f, _) => liveSet(f) },

@@ -179,9 +179,9 @@ object JdbcArbiterLogStore {
   val TableKey = "graft.logStore.arbiter.jdbc.table"
   val DefaultTable = "graft_log_claims"
 
-  private final case class Config(url: String, user: Option[String],
+  private[tables] final case class Config(url: String, user: Option[String],
       password: Option[String], table: String)
-  private object Config {
+  private[tables] object Config {
     def apply(fs: FileSystem): Config = {
       // the fs handle's conf first (per-filesystem overrides), BUT a
       // cached FileSystem carries a conf SNAPSHOT from whenever it was
@@ -222,12 +222,20 @@ object JdbcArbiterLogStore {
   private val nowExprCache =
     new java.util.concurrent.ConcurrentHashMap[String, Option[String]]()
 
-  private def dbNowMsExpr(cfg: Config, c: Connection): Option[String] = {
+  private[tables] def dbNowMsExpr(cfg: Config, c: Connection): Option[String] = {
     val hit = nowExprCache.get(cfg.url)
     if (hit != null) return hit
     val product =
       try c.getMetaData.getDatabaseProductName
-      catch { case _: SQLException => "" }
+      catch {
+        // A probe that THREW tells us nothing about the dialect — fall back
+        // to the client clock for THIS call only, uncached, so the next
+        // call (on a healed connection) re-probes. Caching the failure
+        // would silently downgrade a Postgres/MySQL arbiter to client-clock
+        // leases for the JVM's lifetime — the exact skew-sensitivity the
+        // DB-clock scheme exists to rule out.
+        case _: SQLException => return None
+      }
     val p = Option(product).getOrElse("").toLowerCase(java.util.Locale.ROOT)
     val expr =
       if (p.contains("postgres") || p.contains("cockroach"))

@@ -168,9 +168,13 @@ object CompatCorpusGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // guard the ROUND dir, not just the lake: a round with a surviving
+    // expectations.json but a lost lake must never be silently re-frozen
+    // against the current binary (that would certify the binary against
+    // itself instead of against the round that froze the corpus)
+    require(!Files.exists(Paths.get(outDir)),
+      s"$outDir already exists — a frozen corpus is never regenerated")
     val lake = s"$outDir/lake"
-    require(!Files.exists(Paths.get(lake)),
-      s"$lake already exists — a frozen corpus is never regenerated")
     CompatCorpus.build(spark, lake)
     CompatCorpus.writeExpectations(
       CompatCorpus.observe(spark, lake), Paths.get(outDir, "expectations.json"))

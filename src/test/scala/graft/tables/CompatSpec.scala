@@ -23,11 +23,12 @@ class CompatSpec extends SparkSpecBase {
   private val corpusRoot = new File("src/test/resources/compat")
 
   private def copyDir(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
-    Files.walk(src).forEach { p =>
+    val walk = Files.walk(src)
+    try walk.forEach { p =>
       val target = dst.resolve(src.relativize(p))
       if (Files.isDirectory(p)) Files.createDirectories(target)
       else Files.copy(p, target)
-    }
+    } finally walk.close()
   }
 
   test("the compat corpus root exists and holds at least the r18 corpus") {

@@ -21,15 +21,8 @@ class GraftPreWriteGateSpec extends SparkSpecBase {
 
   private def tmp(): String = Files.createTempDirectory("graft-pregate-").toString
 
-  private def writeRawCommit(path: String, c: Commit): Unit = {
-    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
-    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val logDir = new Path(path, "_graft_log")
-    fs.mkdirs(logDir)
-    val out = fs.create(new Path(logDir, f"${c.version}%020d.json"), false)
-    try out.write(org.json4s.jackson.Serialization.write(c).getBytes("UTF-8"))
-    finally out.close()
-  }
+  private def writeRawCommit(path: String, c: Commit): Unit =
+    RawLog.writeRawCommit(spark, path, c)
 
   /** EVERY path under the table dir — files AND directories — so even an
     * empty aborted staging dir fails the invariance check. */

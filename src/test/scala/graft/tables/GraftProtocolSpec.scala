@@ -20,17 +20,8 @@ class GraftProtocolSpec extends SparkSpecBase {
 
   private def tmp(): String = Files.createTempDirectory("graft-proto-").toString
 
-  private def writeRawCommit(path: String, c: Commit): Unit = {
-    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val logDir = new org.apache.hadoop.fs.Path(path, "_graft_log")
-    fs.mkdirs(logDir)
-    val out = fs.create(
-      new org.apache.hadoop.fs.Path(logDir, f"${c.version}%020d.json"), false)
-    try out.write(org.json4s.jackson.Serialization.write(c).getBytes("UTF-8"))
-    finally out.close()
-  }
+  private def writeRawCommit(path: String, c: Commit): Unit =
+    RawLog.writeRawCommit(spark, path, c)
 
   test("commits stamp required reader features from their content") {
     val root = tmp()
@@ -627,5 +618,41 @@ class GraftProtocolSpec extends SparkSpecBase {
     // later baseline commits keep the union monotone
     t.append(Seq((11, "k")).toDF("id", "v"))
     assert(t.snapshot().featureSet === Set(GraftProtocol.Dv))
+  }
+
+  test("the checkpoint fold heals sidecar writer gates even when head outruns its target version") {
+    val root = tmp()
+    val path = s"$root/t"
+    val t0 = GraftTable(spark, path)(GraftSettings.default)
+    t0.append(Seq((1, "a")).toDF("id", "v")) // v1
+    // PRE-GATE shape: the sidecar declares append_only but no commit ever
+    // stamped it (a table written before writer features existed)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val props = new org.apache.hadoop.fs.Path(s"$path/_graft_log", "_properties.json")
+    val out = fs.create(props, true)
+    try out.write("""{"append_only":"true"}""".getBytes("UTF-8"))
+    finally out.close()
+    // a CONCURRENT writer publishes v2 — exactly the interleave that made
+    // head outrun a checkpoint fold targeting v1
+    val schema = Seq((0, "")).toDF("id", "v").schema.json
+    writeRawCommit(path, Commit(2L, "append", dataChange = true,
+      timestampMs = System.currentTimeMillis(),
+      add = Seq.empty, remove = Seq.empty, schemaJson = schema,
+      metrics = Map.empty))
+
+    val t = GraftTable(spark, path)(GraftSettings.default)
+    // a plain time-travel fold keeps history log-derived (the r18 ADVICE
+    // contract: historical versions never inherit current-state features)
+    assert(!t.snapshot(1).writerFeatureSet.contains(GraftProtocol.AppendOnlyFeature))
+    // but the checkpoint path folds its OWN just-committed version: the
+    // forced heal must claim the declared gate even though head is now 2 —
+    // otherwise a pre-gate table's checkpoint (the only survivor after a
+    // log trim) would under-claim and a feature-blind foreign writer could
+    // commit row removals against an append-only table
+    assert(t.snapshot(1, healFromSidecars = true).writerFeatureSet
+      .contains(GraftProtocol.AppendOnlyFeature))
+    // current-version folds heal regardless, flag or not
+    assert(t.snapshot().writerFeatureSet.contains(GraftProtocol.AppendOnlyFeature))
   }
 }

@@ -90,4 +90,46 @@ class JdbcArbiterOutageSpec extends SparkSpecBase {
         .unset(JdbcArbiterLogStore.UrlKey)
     }
   }
+
+  // --- dialect probe under a transient failure ------------------------------
+
+  /** A [[java.sql.Connection]] stub whose metadata either throws (the
+    * probe ran exactly as the connection dropped) or reports a product
+    * name — only the two methods the dialect probe touches are real. */
+  private def stubConn(product: () => String): java.sql.Connection = {
+    import java.lang.reflect.{InvocationHandler, Method, Proxy}
+    val meta = Proxy.newProxyInstance(
+      getClass.getClassLoader, Array(classOf[java.sql.DatabaseMetaData]),
+      new InvocationHandler {
+        def invoke(p: Any, m: Method, a: Array[AnyRef]): AnyRef =
+          if (m.getName == "getDatabaseProductName") product()
+          else sys.error(s"unexpected metadata call ${m.getName}")
+      })
+    Proxy.newProxyInstance(
+      getClass.getClassLoader, Array(classOf[java.sql.Connection]),
+      new InvocationHandler {
+        def invoke(p: Any, m: Method, a: Array[AnyRef]): AnyRef =
+          if (m.getName == "getMetaData") meta
+          else sys.error(s"unexpected connection call ${m.getName}")
+      }).asInstanceOf[java.sql.Connection]
+  }
+
+  test("a dialect probe that throws is NOT cached — the healed connection re-probes") {
+    // unique URL per run: the memo is JVM-wide
+    val cfg = JdbcArbiterLogStore.Config(
+      s"jdbc:fakepg://probe-${System.nanoTime()}", None, None, "t")
+    val dying = stubConn(() => throw new SQLException("connection reset"))
+    val healthy = stubConn(() => "PostgreSQL")
+    // transient probe failure: client-clock fallback for THIS call only
+    assert(JdbcArbiterLogStore.dbNowMsExpr(cfg, dying).isEmpty)
+    // the healed connection must re-probe and land the DB-clock expression —
+    // a cached failure would silently downgrade Postgres leases to the
+    // client's clock for the rest of the JVM (the skew-sensitivity the
+    // epoch scheme exists to rule out)
+    val healed = JdbcArbiterLogStore.dbNowMsExpr(cfg, healthy)
+    assert(healed.exists(_.contains("EXTRACT(EPOCH")),
+      s"healed probe must yield the Postgres epoch expression, got $healed")
+    // and the SUCCESS is memoized: a later transient failure rides the hit
+    assert(JdbcArbiterLogStore.dbNowMsExpr(cfg, dying) === healed)
+  }
 }

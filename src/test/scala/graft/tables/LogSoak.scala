@@ -116,7 +116,9 @@ object LogSoak {
       CountingLocalFs.reset()
       (1 to 10).foreach(_ => cold.version)
       val (probeOpens, _, probeHeads) = CountingLocalFs.snap()
-      val files = Files.list(logDirLocal).toArray.map(_.toString)
+      val listing = Files.list(logDirLocal)
+      val files =
+        try listing.toArray.map(_.toString) finally listing.close()
       Measure(t.version, snapOpens, snapLists, readOpens,
         probeHeads, probeOpens,
         files.length,
