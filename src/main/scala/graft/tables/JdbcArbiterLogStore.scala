@@ -228,13 +228,23 @@ object JdbcArbiterLogStore {
     val product =
       try c.getMetaData.getDatabaseProductName
       catch {
-        // A probe that THREW tells us nothing about the dialect — fall back
-        // to the client clock for THIS call only, uncached, so the next
-        // call (on a healed connection) re-probes. Caching the failure
-        // would silently downgrade a Postgres/MySQL arbiter to client-clock
-        // leases for the JVM's lifetime — the exact skew-sensitivity the
-        // DB-clock scheme exists to rule out.
-        case _: SQLException => return None
+        // A probe that THREW tells us nothing about the dialect — and a
+        // client-clock fallback here would be WORSE than failing: a claim
+        // STORED under the client's clock but AGED against the database's
+        // (by a later healthy call) corrupts the lease by the full
+        // client-DB skew. So propagate — [[withConn]] evicts the dead
+        // connection and the commit fails loudly (the store's outage
+        // contract); the next call re-probes on a healed connection.
+        // Never cached, so one transient drop can't downgrade the JVM to
+        // client-clock leases; genuine fallback dialects (embedded Derby,
+        // unknown engines) answer the probe fine and fall back
+        // CONSISTENTLY on every call.
+        case e: SQLException =>
+          throw new SQLException(
+            s"cannot determine the arbiter dialect for the lease clock " +
+              s"(${cfg.url}): the DatabaseMetaData probe failed — refusing " +
+              "a client-clock fallback that could mix clock domains on a " +
+              "stored claim", e)
       }
     val p = Option(product).getOrElse("").toLowerCase(java.util.Locale.ROOT)
     val expr =

@@ -429,17 +429,12 @@ class ConvertPartitionedSpec extends SparkSpecBase {
     assert(fs.rename(part, new org.apache.hadoop.fs.Path(root, "part=x%3Ay/part-A.parquet")))
     val dvName = DeletionVectors.write(fs, dir, Array(0L)) // drops id=1
     val schema = Seq((0, "")).toDF("id", "v").schema.json
-    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
     val c = Commit(1L, "convert", dataChange = true,
       timestampMs = System.currentTimeMillis(),
       add = Seq("part=x%3Ay/part-A.parquet"), remove = Nil,
       schemaJson = schema, metrics = Map.empty,
       dvs = Some(Map("part=x%3Ay/part-A.parquet" -> dvName)))
-    val logDir = new org.apache.hadoop.fs.Path(dir, "_graft_log")
-    fs.mkdirs(logDir)
-    val out = fs.create(new org.apache.hadoop.fs.Path(logDir, f"${1L}%020d.json"), false)
-    try out.write(org.json4s.jackson.Serialization.write(c).getBytes("UTF-8"))
-    finally out.close()
+    RawLog.writeRawCommit(spark, dir, c)
     val t = GraftTable(spark, dir)(GraftSettings.default)
     assert(t.read().select("id").as[Int].collect().toSeq === Seq(2))
     // the synthesized partition column double-decodes to the logical value
@@ -474,17 +469,12 @@ class ConvertPartitionedSpec extends SparkSpecBase {
     // the DV drops ROW 0 of the FLAT file only (id=10)
     val dvName = DeletionVectors.write(fs, dir, Array(0L))
     val schema = Seq((0, "", "")).toDF("id", "v", "region").schema.json
-    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
     val c = Commit(1L, "convert", dataChange = true,
       timestampMs = System.currentTimeMillis(),
       add = Seq("region=eu/part-A.parquet", "part-A.parquet"), remove = Nil,
       schemaJson = schema, metrics = Map.empty,
       dvs = Some(Map("part-A.parquet" -> dvName)))
-    val logDir = new org.apache.hadoop.fs.Path(dir, "_graft_log")
-    fs.mkdirs(logDir)
-    val out = fs.create(new org.apache.hadoop.fs.Path(logDir, f"${1L}%020d.json"), false)
-    try out.write(org.json4s.jackson.Serialization.write(c).getBytes("UTF-8"))
-    finally out.close()
+    RawLog.writeRawCommit(spark, dir, c)
 
     val t = GraftTable(spark, dir)(GraftSettings.default)
     // plan-level read: flat row 0 (id=10) dropped, nested rows INTACT

@@ -114,18 +114,21 @@ class JdbcArbiterOutageSpec extends SparkSpecBase {
       }).asInstanceOf[java.sql.Connection]
   }
 
-  test("a dialect probe that throws is NOT cached — the healed connection re-probes") {
+  test("a dialect probe that throws propagates (never a client-clock fallback) and is NOT cached") {
     // unique URL per run: the memo is JVM-wide
     val cfg = JdbcArbiterLogStore.Config(
       s"jdbc:fakepg://probe-${System.nanoTime()}", None, None, "t")
     val dying = stubConn(() => throw new SQLException("connection reset"))
     val healthy = stubConn(() => "PostgreSQL")
-    // transient probe failure: client-clock fallback for THIS call only
-    assert(JdbcArbiterLogStore.dbNowMsExpr(cfg, dying).isEmpty)
-    // the healed connection must re-probe and land the DB-clock expression —
-    // a cached failure would silently downgrade Postgres leases to the
-    // client's clock for the rest of the JVM (the skew-sensitivity the
-    // epoch scheme exists to rule out)
+    // transient probe failure: the call fails LOUDLY — silently binding the
+    // client clock would let a claim be STORED in one clock domain and AGED
+    // in the other, corrupting the lease by the full client-DB skew
+    val e = intercept[SQLException](JdbcArbiterLogStore.dbNowMsExpr(cfg, dying))
+    assert(e.getMessage.contains("refusing a client-clock fallback"),
+      s"error must explain the refusal, got: ${e.getMessage}")
+    // the healed connection re-probes and lands the DB-clock expression —
+    // a cached failure would downgrade or dead-end Postgres leases for the
+    // rest of the JVM
     val healed = JdbcArbiterLogStore.dbNowMsExpr(cfg, healthy)
     assert(healed.exists(_.contains("EXTRACT(EPOCH")),
       s"healed probe must yield the Postgres epoch expression, got $healed")
