@@ -65,7 +65,8 @@ object CdcPipelines {
       batch: DataFrame,
       codec: PayloadCodec,
       registry: SchemaRegistryClient,
-      staged: GraftTable): Unit = graft.ext.Parallelism.scoped {
+      staged: GraftTable)(implicit s: GraftSettings): Unit =
+      graft.ext.Parallelism.scoped {
     // per-batch release scope, like decodeJsonBatch: a long-running CDC
     // stream must not accumulate each micro-batch's barrier until GC
     // Debezium emits tombstones (null value) after deletes for log
@@ -74,7 +75,7 @@ object CdcPipelines {
     // Consumed once for the pair collect + once PER schema-pair slice:
     // materialize, like the JSON twin (decodeJsonBatchImpl) — otherwise a
     // 3-pair batch re-reads the raw micro-batch 4 times
-    val withIds = graft.ext.Parallelism.checkpointTracked(batch
+    val withIds = graft.ext.Parallelism.materialize(batch
       .filter(col("value").isNotNull)
       .withColumn("keySchemaId",
         when(col("key").isNull, lit(null).cast("int"))
@@ -128,12 +129,14 @@ object CdcPipelines {
     * conflict with the later batch where it arrives as a real struct —
     * dropped here, the staged table's schema merge adds it with its true
     * type when it first carries data, and earlier rows read as null. */
-  private[cdc] def decodeJsonBatch(batch: DataFrame, staged: GraftTable): Unit =
+  private[cdc] def decodeJsonBatch(batch: DataFrame, staged: GraftTable)(
+      implicit s: GraftSettings): Unit =
     // per-batch release scope: a long-running JSON CDC stream must not
     // accumulate each micro-batch's barrier until a GC cycle
     graft.ext.Parallelism.scoped { decodeJsonBatchImpl(batch, staged) }
 
-  private def decodeJsonBatchImpl(batch: DataFrame, staged: GraftTable): Unit = {
+  private def decodeJsonBatchImpl(batch: DataFrame, staged: GraftTable)(
+      implicit s: GraftSettings): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
     // Debezium tombstones (null value) carry no payload — drop, as the
@@ -148,7 +151,7 @@ object CdcPipelines {
       ConnectJsonCodec.envelopeSchema(col("key")).as("__kschema"),
       ConnectJsonCodec.envelopeSchema(col("value")).as("__vschema"),
       col("topic"), col("partition"), col("offset"), col("timestamp"),
-      col("timestampType")).transform(graft.ext.Parallelism.checkpointTracked)
+      col("timestampType")).transform(graft.ext.Parallelism.materialize(_))
 
     // one decode slice per distinct embedded Connect schema pair — the
     // JSON analogue of the avro path's per-(keySchemaId, valueSchemaId)
@@ -275,20 +278,21 @@ object CdcPipelines {
     * or MERGE-semantics upsert (after-images upserted, before-images of
     * deletes removed). */
   private[cdc] def applyCdcBatch(batch: DataFrame, curated: GraftTable,
-      curatedBuckets: Int = 0): Unit = {
+      curatedBuckets: Int = 0)(implicit s: GraftSettings): Unit = {
     if (batch.isEmpty) return
     applyCdcBatchImpl(batch, curated, curatedBuckets)
   }
 
   private def applyCdcBatchImpl(batch: DataFrame, curated: GraftTable,
-      curatedBuckets: Int): Unit = graft.ext.Parallelism.scoped {
+      curatedBuckets: Int)(implicit s: GraftSettings): Unit =
+      graft.ext.Parallelism.scoped {
     // latest event per primary key; offset desc tie-break makes the result
     // deterministic where the reference relied on timestamp alone
     // (`cdc.py:132-142`). The window dedup is consumed for the pair
     // collect AND once per schema-pair slice (then several times inside
     // the upsert) — materialize once instead of re-running the shuffle +
     // window per consumer; scoped, so the barrier frees per batch.
-    val deduped = graft.ext.Parallelism.checkpointTracked(
+    val deduped = graft.ext.Parallelism.materialize(
       graft.ext.Dedup.latestPerKey(
         batch, Seq("key"), Seq(col("timestamp").desc, col("offset").desc)))
 
@@ -375,8 +379,10 @@ object CdcPipelines {
         case None => curated.history().limit(1)
       }
       historyTable.append(histRows)
-      // vacuum every Nth version (`cdc.py:264-269`)
-      if (curated.version % s.vacuumEveryNVersions == 0) curated.vacuum()
+      // vacuum every Nth version (`cdc.py:264-269`); <= 0 disables (the
+      // curatedBuckets convention) instead of div-by-zero AFTER the merge
+      if (s.vacuumEveryNVersions > 0 &&
+        curated.version % s.vacuumEveryNVersions == 0) curated.vacuum()
     }
   }
 
@@ -444,7 +450,9 @@ object CdcPipelines {
     * frame arrives in); inserts/postimages MERGE, deletes remove. A fresh
     * replica bootstraps from the first applied feed. */
   def applyChangeFeed(replica: GraftTable, changes: DataFrame,
-      keyCols: Seq[String]): Unit = graft.ext.Parallelism.scoped {
+      keyCols: Seq[String])(
+      implicit s: GraftSettings = GraftSettings.default): Unit =
+      graft.ext.Parallelism.scoped {
     // scoped: the barrier below is batch-local — released on exit
     val ops = changes.filter(col("_change_type") =!= "update_preimage")
     // Secondary ordering: an overwrite/restore commit synthesizes BOTH a
@@ -461,7 +469,7 @@ object CdcPipelines {
       .drop("_change_type", "_commit_version")
       // barrier: the frame feeds BOTH the isEmpty probe and the upsert —
       // without it the whole dedup-window pipeline runs twice
-      .transform(graft.ext.Parallelism.checkpointTracked)
+      .transform(graft.ext.Parallelism.materialize(_))
     if (!tagged.isEmpty) { replica.upsert(tagged, keyCols, "__op"); () }
   }
 
@@ -496,7 +504,7 @@ object CdcPipelines {
     if (to > from) graft.ext.Parallelism.scoped {
       // consumed twice (emptiness probe + publish): materialize once,
       // freed at scope exit
-      val changes = graft.ext.Parallelism.checkpointTracked(
+      val changes = graft.ext.Parallelism.materialize(
         table.readChanges(from, to)
           .filter(col("_change_type") =!= "update_preimage")
           .drop("_commit_version"))

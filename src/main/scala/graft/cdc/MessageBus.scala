@@ -58,7 +58,12 @@ final class FileMessageBus(root: String, numPartitions: Int = 1) extends Message
     require(records.columns.contains("key") && records.columns.contains("value"),
       "publish expects binary 'key' and 'value' columns")
     val path = topicPath(topic)
-    // next offset per partition (tiny: one row per partition)
+    // next offset per partition (the COLLECTED result is one row per
+    // partition; the scan behind it reads the topic's partition/offset
+    // columns — O(records) per publish, quadratic over a long publish
+    // sequence. Deliberate for a TEST DOUBLE: an offset sidecar would be a
+    // second source of truth whose loss/staleness silently collides
+    // offsets, and the real bus is Kafka, where the broker owns offsets.)
     val startByPartition: Map[Int, Long] =
       if (graft.lake.FsUtils.pathExists(spark, path))
         spark.read.schema(MessageBus.FrameSchema).parquet(path)

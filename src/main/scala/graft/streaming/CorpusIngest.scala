@@ -216,9 +216,10 @@ final class CorpusIngest(
           corpusTable.readWhere(col(idCol) >= lit(batchMin)).select(col(idCol)),
           Seq(idCol), "left_anti")
       }
-    // with the lexical stage on, the survivors feed THREE consumers
-    // (emptiness probe, corpus append, lex tokenize) — barrier it
-    val fresh = if (lexIndex.isDefined) graft.ext.Parallelism.materialize(fresh0) else fresh0
+    // the survivors ALWAYS feed at least two consumers (emptiness probe +
+    // corpus append; three with the lex tokenize) — barrier, or the replay
+    // anti-join and its pruned corpus scan execute once per consumer
+    val fresh = graft.ext.Parallelism.materialize(fresh0)
     if (!fresh.isEmpty) corpusTable.append(fresh)
     // lexical index AFTER the curated append (corpus is the source of
     // truth); its own ingest token replays idempotently, so a crash in
@@ -260,10 +261,14 @@ final class CorpusIngest(
     * files that can contain an erased id. Run with no ingest in flight
     * (the [[graft.ext.Tombstoned]] purge contract). */
   def eraseDocs(ids: DataFrame): Unit = {
-    val idRows = ids.select(col(idCol)).distinct().collect()
-    require(idRows.length <= 100000,
-      s"eraseDocs: ${idRows.length} ids — erasure is a bounded maintenance " +
-        "operation; run larger sets in chunks")
+    val distinctIds = ids.select(col(idCol)).distinct()
+    // the bound is probed BEFORE the collect (the eraseVectors discipline):
+    // guarding after would let an unbounded id frame stall or OOM the
+    // driver before the guard could name the remedy
+    require(distinctIds.limit(100001).count() <= 100000,
+      "eraseDocs: erasure is a bounded maintenance operation; " +
+        "run larger sets in chunks")
+    val idRows = distinctIds.collect()
     if (idRows.isEmpty) return
     val idVals = idRows.map(_.get(0)).toSeq
     nearDupIndex.remove(ids.select(col(idCol)), idCol)
@@ -384,8 +389,19 @@ final class CorpusIngest(
         batch.join(broadcast(fileIdx), Seq("path")).select(col("__file_idx"), col("content")),
         "__file_idx", "content")
       .filter(col("warc_type").isin("response", "conversion"))
+    // the record budget is checked PER ROW (the other two budgets are
+    // driver-side counts): archives are gzipped, so the 2 GiB binaryFile
+    // cap bounds the COMPRESSED size — millions of tiny highly-compressible
+    // records can exceed 2^25 decompressed, and an unchecked overflow would
+    // bleed into the file-index bits, silently colliding doc ids across
+    // archives (dedup winners, replay anti-joins and erase would then hit
+    // the wrong documents)
+    val recordIdx = when(col("record_idx") < lit(1L << 25), col("record_idx"))
+      .otherwise(raise_error(concat(
+        lit("runOnceWarc: record "), col("record_idx").cast("string"),
+        lit(" exceeds the 25-bit per-archive id budget — split the archive"))))
     val id = (lit(batchId) * lit(1L << 45)) +
-      (col("__file_idx").cast("long") * lit(1L << 25)) + col("record_idx")
+      (col("__file_idx").cast("long") * lit(1L << 25)) + recordIdx
     val text0 = col("payload").cast("string") // UTF-8 decode
     val text = if (htmlPayloads) TextAnalysis.htmlToText(text0) else text0
     val base = recs.select(id.as(idCol), text.as(textCol), col("target_uri"))

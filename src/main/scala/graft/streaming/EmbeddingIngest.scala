@@ -104,10 +104,13 @@ final class EmbeddingIngest(
         val intraDrops = graft.ext.Similarity.cosineNearDupPairs(
             in, idCol, vecCol, dedupCosine, annTables, annBits, portable = true)
           .select(col("id_b").as(idCol)).distinct()
-        val intra = in.join(intraDrops, Seq(idCol), "left_anti")
+        val intra0 = in.join(intraDrops, Seq(idCol), "left_anti")
         val cross =
-          if (!annIndex.hasStore) intra
+          if (!annIndex.hasStore) intra0
           else {
+            // TWO consumers (the store probe and the anti-join) — barrier,
+            // or the whole intra-batch LSH pairing pipeline executes twice
+            val intra = graft.ext.Parallelism.materialize(intra0)
             val hits = annIndex.query(intra, idCol, vecCol, k = 1,
                 excludeNeighbors = Some(in.select(col(idCol))))
               .filter(col("sim") >= dedupCosine)

@@ -37,9 +37,21 @@ object IncrementalRunner {
     try out.write(v.toString.getBytes("UTF-8"))
     finally out.close()
     val dst = new Path(checkpointPath, "version")
-    fs.delete(dst, false)
-    if (!fs.rename(tmp, dst))
-      throw new IllegalStateException(s"failed to commit checkpoint $checkpointPath")
+    // single OVERWRITE rename — no delete-then-rename window where a crash
+    // loses the mark and the next run replays the table's WHOLE history
+    // (the tableChangesToKafka cursor-advance discipline)
+    try
+      org.apache.hadoop.fs.FileContext
+        .getFileContext(fs.getUri, spark.sparkContext.hadoopConfiguration)
+        .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        // connectors without an AbstractFileSystem binding fall back to
+        // delete+rename: a small non-atomic window beats never advancing
+        fs.delete(dst, false)
+        if (!fs.rename(tmp, dst))
+          throw new IllegalStateException(s"failed to commit checkpoint $checkpointPath")
+    }
   }
 
   def deleteCheckpoint(spark: SparkSession, checkpointPath: String): Unit =

@@ -22,7 +22,11 @@ object StreamOps {
       keyCol: String,
       windowLength: String,
       slide: Option[String] = None,
-      watermark: String = "10 minutes"): DataFrame = {
+      watermark: String = "10 minutes",
+      valueCol: String = "value"): DataFrame = {
+    require(events.columns.contains(valueCol),
+      s"windowedAgg sums '$valueCol' (valueCol) — the frame has " +
+        s"[${events.columns.mkString(", ")}]")
     val withWm =
       if (events.isStreaming) events.withWatermark(tsCol, watermark) else events
     val win = slide match {
@@ -30,7 +34,7 @@ object StreamOps {
       case None    => window(col(tsCol), windowLength)
     }
     withWm.groupBy(win, col(keyCol))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("total_value"))
       .select(col("window.start").as("window_start"), col("window.end").as("window_end"),
         col(keyCol), col("n"), col("total_value"))
   }
@@ -130,22 +134,39 @@ object StreamOps {
 
   /** Per-key running aggregate with explicit state — the
     * `flatMapGroupsWithState` surface (custom state the reference keeps in
-    * Delta via foreachBatch instead; exposed natively here). */
+    * Delta via foreachBatch instead; exposed natively here). `idleTimeout`
+    * (a duration, e.g. "30 minutes") evicts a key's state after that much
+    * processing time without new events — the unbounded-state guard for
+    * high-cardinality key spaces; the key's final totals are emitted once
+    * at eviction. None = state lives for the query's lifetime. */
   def runningTotals(events: Dataset[KeyedEvent],
-      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout()): Dataset[RunningOutput] = {
+      idleTimeout: Option[String] = None): Dataset[RunningOutput] = {
     implicit val outEnc: Encoder[RunningOutput] = Encoders.product[RunningOutput]
     implicit val stateEnc: Encoder[RunningState] = Encoders.product[RunningState]
     implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    val timeout =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     events.groupByKey(_.key)
       .flatMapGroupsWithState[RunningState, RunningOutput](
         OutputMode.Append(), timeout) {
         (key: Long, rows: Iterator[KeyedEvent], state: GroupState[RunningState]) =>
-          val prev = state.getOption.getOrElse(RunningState(0L, 0.0))
-          var n = prev.n
-          var total = prev.total
-          rows.foreach { e => n += 1; total += e.value }
-          state.update(RunningState(n, total))
-          Iterator(RunningOutput(key, n, total))
+          if (state.hasTimedOut) {
+            // idle eviction: flush the final totals, then drop the state
+            val fin = state.getOption.getOrElse(RunningState(0L, 0.0))
+            state.remove()
+            Iterator(RunningOutput(key, fin.n, fin.total))
+          } else {
+            val prev = state.getOption.getOrElse(RunningState(0L, 0.0))
+            var n = prev.n
+            var total = prev.total
+            rows.foreach { e => n += 1; total += e.value }
+            state.update(RunningState(n, total))
+            // re-armed on every batch that sees the key, so only true
+            // idleness expires it
+            idleTimeout.foreach(state.setTimeoutDuration)
+            Iterator(RunningOutput(key, n, total))
+          }
       }
   }
 }
