@@ -96,16 +96,33 @@ object AvroExpressions {
       case (st: StructType, Schema.Type.RECORD) =>
         val row = value.asInstanceOf[InternalRow]
         val rec = new GenericData.Record(target)
-        val avroFields = target.getFields.asScala
         var i = 0
         while (i < st.fields.length) {
-          rec.put(i, catalystToAvro(row.get(i, st.fields(i).dataType),
-            st.fields(i).dataType, avroFields(i).schema()))
+          // match by NAME (spark-avro semantics), not position: a registry
+          // schema whose field order differs from the struct (alphabetized
+          // UIs, evolved schemas) would otherwise silently swap same-typed
+          // values between fields
+          val af = target.getField(st.fields(i).name)
+          require(af != null,
+            s"avro record '${target.getFullName}' has no field " +
+              s"'${st.fields(i).name}' — schema/frame mismatch")
+          rec.put(af.pos(), catalystToAvro(row.get(i, st.fields(i).dataType),
+            st.fields(i).dataType, af.schema()))
           i += 1
         }
         rec
       case (StringType, _)  => value.asInstanceOf[UTF8String].toString
       case (BinaryType, _)  => java.nio.ByteBuffer.wrap(value.asInstanceOf[Array[Byte]])
+      // GenericDatumWriter writes INT via a cast to java.lang.Integer — a
+      // boxed Short/Byte must widen here or every row throws
+      case (ShortType, _)   => value.asInstanceOf[Short].toInt
+      case (ByteType, _)    => value.asInstanceOf[Byte].toInt
+      // Catalyst timestamps are MICROS; a millis-logical target gets the
+      // same /1000 the decode side's *1000 mirrors — writing raw micros
+      // into a millis field would silently shift timestamps 1000x
+      case (TimestampType, Schema.Type.LONG)
+          if target.getLogicalType.isInstanceOf[LogicalTypes.TimestampMillis] =>
+        value.asInstanceOf[Long] / 1000L
       case (ArrayType(elem, _), Schema.Type.ARRAY) =>
         val arr = value.asInstanceOf[ArrayData]
         val out = new java.util.ArrayList[Any](arr.numElements())

@@ -37,6 +37,12 @@ object ProtoSchemaGen {
           val nested = s"${f.name.capitalize}Msg"
           sb.append(toProto(st, nested, indent + "  "))
           sb.append(s"$indent  $nested ${f.name} = $idx;\n")
+        // repeated message — the same mapping ProtoWire.fromStructType
+        // applies, so the rendered .proto decodes the encoder's bytes
+        case ArrayType(st: StructType, _) =>
+          val nested = s"${f.name.capitalize}Msg"
+          sb.append(toProto(st, nested, indent + "  "))
+          sb.append(s"$indent  repeated $nested ${f.name} = $idx;\n")
         case ArrayType(elem, _) =>
           sb.append(s"$indent  repeated ${scalarType(elem)} ${f.name} = $idx;\n")
         case dt =>

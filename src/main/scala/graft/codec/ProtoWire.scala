@@ -104,7 +104,10 @@ object ProtoWire {
 
   // ------------------------------------------------------------ reader
 
-  /** Positional reader over a byte range. */
+  /** Positional reader over a byte range. EVERY primitive bound-checks
+    * against `end` — a truncated or corrupt nested slice must THROW
+    * (FAILFAST), never silently continue into the PARENT message's bytes
+    * and return a plausible-but-wrong row. */
   final class Reader(buf: Array[Byte], var pos: Int, val end: Int) {
     def hasRemaining: Boolean = pos < end
 
@@ -112,6 +115,7 @@ object ProtoWire {
       var shift = 0
       var result = 0L
       while (shift < 64) {
+        if (pos >= end) throw new IllegalArgumentException("truncated varint")
         val b = buf(pos)
         pos += 1
         result |= (b & 0x7FL) << shift
@@ -122,6 +126,7 @@ object ProtoWire {
     }
 
     def readLE32(): Int = {
+      if (pos + 4 > end) throw new IllegalArgumentException("truncated fixed32")
       val v = (buf(pos) & 0xFF) | ((buf(pos + 1) & 0xFF) << 8) |
         ((buf(pos + 2) & 0xFF) << 16) | ((buf(pos + 3) & 0xFF) << 24)
       pos += 4
@@ -129,6 +134,7 @@ object ProtoWire {
     }
 
     def readLE64(): Long = {
+      if (pos + 8 > end) throw new IllegalArgumentException("truncated fixed64")
       var v = 0L
       var i = 0
       while (i < 8) { v |= (buf(pos + i) & 0xFFL) << (8 * i); i += 1 }
@@ -137,6 +143,7 @@ object ProtoWire {
     }
 
     def slice(len: Int): (Int, Int) = {
+      require(len >= 0, "negative length-delimited length")
       val start = pos
       pos += len
       require(pos <= end, "truncated length-delimited field")
@@ -150,9 +157,13 @@ object ProtoWire {
 
     def skip(wireType: Int): Unit = wireType match {
       case Varint => readVarint()
-      case I64    => pos += 8
-      case Len    => val n = readVarint().toInt; pos += n
-      case I32    => pos += 4
+      case I64    =>
+        pos += 8
+        require(pos <= end, "truncated fixed64")
+      case Len    => val n = readVarint().toInt; slice(n); ()
+      case I32    =>
+        pos += 4
+        require(pos <= end, "truncated fixed32")
       case other  => throw new IllegalArgumentException(s"unknown wire type $other")
     }
   }
@@ -162,21 +173,38 @@ object ProtoWire {
 
   // ----------------------------------------------------------- decoder
 
-  /** Decode one message occupying buf[start, end) into an InternalRow laid
-    * out per `toCatalyst(msg)`. */
-  def decodeMessage(msg: ProtoMessage, buf: Array[Byte], start: Int, end: Int): InternalRow = {
-    val n = msg.fields.size
-    val byNumber = new mutable.HashMap[Int, Int]
-    msg.fields.zipWithIndex.foreach { case (f, i) => byNumber(f.number) = i }
-
-    val values = new Array[Any](n)
-    val repeatedAcc = new Array[mutable.ArrayBuffer[Any]](n)
-    // proto3 defaults for absent fields
-    var i = 0
-    while (i < n) {
-      val f = msg.fields(i)
-      if (f.repeated) repeatedAcc(i) = new mutable.ArrayBuffer[Any]
-      else values(i) = f.tpe match {
+  /** Per-message decode PLAN: field-number lookup table, proto3 defaults
+    * template and nested decoders computed ONCE (construct once per
+    * expression/task and reuse across rows — [[FromProtobuf]] does), not
+    * per row: the per-row HashMap + default re-derivation was pure
+    * repeated allocation on a streaming decode's hot path. */
+  final class MessageDecoder(val msg: ProtoMessage) {
+    private val fieldArr: Array[ProtoField] = msg.fields.toArray
+    private val n = fieldArr.length
+    private val maxNo = if (n == 0) 0 else fieldArr.iterator.map(_.number).max
+    // dense number->index table for the common generated case (numbers are
+    // position+1); registry protos with sparse numbering fall back to a map
+    private val dense: Array[Int] =
+      if (maxNo <= 2 * n + 16) {
+        val a = Array.fill(maxNo + 1)(-1)
+        var i = 0
+        while (i < n) { a(fieldArr(i).number) = i; i += 1 }
+        a
+      } else null
+    private val sparse: Map[Int, Int] =
+      if (dense == null) fieldArr.zipWithIndex.map { case (f, i) => f.number -> i }.toMap
+      else null
+    private def indexOf(no: Int): Int =
+      if (dense != null) { if (no >= 0 && no < dense.length) dense(no) else -1 }
+      else sparse.getOrElse(no, -1)
+    private val subs: Array[MessageDecoder] = fieldArr.map {
+      _.tpe match { case ProtoMessageRef(s) => new MessageDecoder(s); case _ => null }
+    }
+    // proto3 defaults for absent fields (immutable values — safe to share
+    // across rows; repeated slots stay null and get per-row accumulators)
+    private val defaults: Array[Any] = fieldArr.map { f =>
+      if (f.repeated) null
+      else f.tpe match {
         case ProtoScalar("string") => UTF8String.EMPTY_UTF8
         case ProtoScalar("bytes")  => Array.empty[Byte]
         case ProtoScalar("bool")   => false
@@ -186,30 +214,43 @@ object ProtoWire {
         case ProtoScalar(_) => 0L
         case _: ProtoMessageRef => null
       }
-      i += 1
     }
 
-    val r = new Reader(buf, start, end)
-    while (r.hasRemaining) {
-      val tag = r.readVarint()
-      val fieldNo = (tag >>> 3).toInt
-      val wt = (tag & 7).toInt
-      byNumber.get(fieldNo) match {
-        case None => r.skip(wt)
-        case Some(idx) =>
-          val f = msg.fields(idx)
+    def decode(buf: Array[Byte], start: Int, end: Int): InternalRow = {
+      val values = defaults.clone()
+      var repeatedAcc: Array[mutable.ArrayBuffer[Any]] = null
+      var i = 0
+      while (i < n) {
+        if (fieldArr(i).repeated) {
+          if (repeatedAcc == null) repeatedAcc = new Array[mutable.ArrayBuffer[Any]](n)
+          repeatedAcc(i) = new mutable.ArrayBuffer[Any]
+        }
+        i += 1
+      }
+
+      val r = new Reader(buf, start, end)
+      while (r.hasRemaining) {
+        val tag = r.readVarint()
+        val fieldNo = (tag >>> 3).toInt
+        val wt = (tag & 7).toInt
+        val idx = indexOf(fieldNo)
+        if (idx < 0) r.skip(wt)
+        else {
+          val f = fieldArr(idx)
           f.tpe match {
-            case ProtoMessageRef(sub) =>
+            case _: ProtoMessageRef =>
               val len = r.readVarint().toInt
               val (s, e) = r.slice(len)
-              val row = decodeMessage(sub, buf, s, e)
+              val row = subs(idx).decode(buf, s, e)
               if (f.repeated) repeatedAcc(idx) += row else values(idx) = row
             case ProtoScalar(st) =>
               val expected = wireTypeOf(f.tpe)
               if (f.repeated && wt == Len && expected != Len) {
-                // packed repeated scalars
+                // packed repeated scalars; the limit must stay inside THIS
+                // message's slice or a corrupt length reads the parent
                 val len = r.readVarint().toInt
                 val limit = r.pos + len
+                require(len >= 0 && limit <= r.end, "truncated packed field")
                 while (r.pos < limit) repeatedAcc(idx) += readScalar(r, st)
               } else if (f.repeated) {
                 repeatedAcc(idx) += readScalar(r, st)
@@ -217,18 +258,29 @@ object ProtoWire {
                 values(idx) = readScalar(r, st)
               }
           }
+        }
       }
+      i = 0
+      while (i < n) {
+        if (fieldArr(i).repeated) values(i) = new GenericArrayData(repeatedAcc(i).toArray)
+        i += 1
+      }
+      InternalRow.fromSeq(values.toIndexedSeq)
     }
-    i = 0
-    while (i < n) {
-      if (msg.fields(i).repeated) values(i) = new GenericArrayData(repeatedAcc(i).toArray)
-      i += 1
-    }
-    InternalRow.fromSeq(values.toIndexedSeq)
   }
 
+  /** Decode one message occupying buf[start, end) into an InternalRow laid
+    * out per `toCatalyst(msg)`. One-shot convenience — hot paths construct
+    * a [[MessageDecoder]] once and reuse it. */
+  def decodeMessage(msg: ProtoMessage, buf: Array[Byte], start: Int, end: Int): InternalRow =
+    new MessageDecoder(msg).decode(buf, start, end)
+
   private def readScalar(r: Reader, st: String): Any = st match {
-    case "int32" | "uint32"   => r.readVarint().toInt
+    case "int32"              => r.readVarint().toInt
+    // uint32's Catalyst type is LongType (unsigned doesn't fit an Int):
+    // zero-extend — a .toInt would sign-truncate large values AND box an
+    // Integer into a LongType slot (ClassCastException downstream)
+    case "uint32"             => r.readVarint() & 0xFFFFFFFFL
     case "int64" | "uint64"   => r.readVarint()
     case "sint32"             => zigzagDecode(r.readVarint()).toInt
     case "sint64"             => zigzagDecode(r.readVarint())
@@ -305,20 +357,34 @@ object ProtoWire {
     }
   }
 
-  private def encodeRepeated(w: Writer, fieldNo: Int, arr: ArrayData, elem: DataType): Unit =
+  private def encodeRepeated(w: Writer, fieldNo: Int, arr: ArrayData, elem: DataType): Unit = {
+    // proto3 repeated fields have no null-element representation; refuse
+    // with the field named instead of an opaque NPE/unboxing error deep in
+    // the writer (decode-side arrays are containsNull=false by contract,
+    // but the encoder accepts arbitrary user frames)
+    def checkNull(j: Int): Unit =
+      if (arr.isNullAt(j)) throw new IllegalArgumentException(
+        s"proto3 repeated field $fieldNo cannot hold a null element " +
+          s"(index $j) — filter nulls before to_protobuf")
     elem match {
       case StringType =>
         var j = 0
         while (j < arr.numElements()) {
+          checkNull(j)
           w.writeLenDelimited(fieldNo, arr.getUTF8String(j).getBytes)
           j += 1
         }
       case BinaryType =>
         var j = 0
-        while (j < arr.numElements()) { w.writeLenDelimited(fieldNo, arr.getBinary(j)); j += 1 }
+        while (j < arr.numElements()) {
+          checkNull(j)
+          w.writeLenDelimited(fieldNo, arr.getBinary(j))
+          j += 1
+        }
       case st: StructType =>
         var j = 0
         while (j < arr.numElements()) {
+          checkNull(j)
           val sub = new Writer()
           encodeInto(sub, arr.getStruct(j, st.fields.length), st)
           w.writeLenDelimited(fieldNo, sub.toByteArray)
@@ -329,11 +395,13 @@ object ProtoWire {
         val packed = new Writer()
         var j = 0
         while (j < arr.numElements()) {
+          checkNull(j)
           writePackedElement(packed, arr.get(j, dt), dt)
           j += 1
         }
         w.writeLenDelimited(fieldNo, packed.toByteArray)
     }
+  }
 
   private def writePackedElement(w: Writer, v: Any, dt: DataType): Unit = dt match {
     case IntegerType | DateType => w.writeVarint(v.asInstanceOf[Int].toLong)
@@ -370,16 +438,23 @@ object ProtoWire {
 
   // ------------------------------------------------------ .proto parser
 
-  /** Parse a .proto file covering the `ProtoSchemaGen` output subset:
-    * optional `syntax`/`package` headers, `message` blocks with nested
-    * message definitions, `repeated`, scalar types. Comments (`//`) are
-    * stripped. Returns top-level messages in declaration order. */
+  /** Parse a .proto file. Covers the `ProtoSchemaGen` output subset PLUS
+    * the constructs real registry-stored schemas (Debezium and friends)
+    * routinely carry: `option`/`import`/`reserved` statements (skipped),
+    * the proto3 `optional` label (wire-identical to a plain field here),
+    * `enum` blocks (varint int32 on the wire — decoded as int32), `oneof`
+    * groups (flattened: members are ordinary optional fields on the wire)
+    * and `map<K,V>` fields (wire format IS a repeated entry message with
+    * key=1/value=2 — synthesized as exactly that). Comments (`//` and
+    * `/* */`) are stripped. Returns top-level messages in declaration
+    * order. */
   def parseProtoFile(text: String): Seq[ProtoMessage] = {
-    val stripped = text.linesIterator.map { l =>
+    val noBlock = "(?s)/\\*.*?\\*/".r.replaceAllIn(text, " ")
+    val stripped = noBlock.linesIterator.map { l =>
       val c = l.indexOf("//")
       if (c >= 0) l.substring(0, c) else l
     }.mkString("\n")
-    val tokens = "\"[^\"]*\"|[A-Za-z0-9_.]+|[{}=;]".r.findAllIn(stripped).toVector
+    val tokens = "\"[^\"]*\"|[A-Za-z0-9_.]+|[{}=;<>,]".r.findAllIn(stripped).toVector
     var pos = 0
     def peek: String = if (pos < tokens.size) tokens(pos) else ""
     def next(): String = { val t = peek; pos += 1; t }
@@ -387,32 +462,86 @@ object ProtoWire {
       val got = next()
       require(got == t, s"expected '$t' but got '$got' at token $pos")
     }
+    // `option foo = bar;` / `reserved 2, 3;` / `import "x.proto";` — skip
+    // through the terminating ';' (options may carry aggregate `{...}`
+    // bodies; balance braces)
+    def skipStatement(): Unit = {
+      var depth = 0
+      var t = next()
+      while (!(t == ";" && depth == 0) && pos <= tokens.size) {
+        t = next()
+        if (t == "{") depth += 1
+        if (t == "}") depth -= 1
+      }
+    }
 
-    def parseMessage(scope: mutable.Map[String, ProtoMessage]): ProtoMessage = {
+    def parseEnum(scope: mutable.Map[String, ProtoType]): Unit = {
+      expect("enum")
+      val name = next()
+      expect("{")
+      while (peek != "}") skipStatement() // values (and options) end in ';'
+      expect("}")
+      // proto3 enums are open int32 varints on the wire
+      scope(name) = ProtoScalar("int32")
+    }
+
+    def resolve(scope: mutable.Map[String, ProtoType], tpeName: String): ProtoType =
+      scope.get(tpeName) match {
+        case Some(t) => t
+        case None =>
+          scalarToCatalyst(tpeName) // validates
+          ProtoScalar(tpeName)
+      }
+
+    def parseMessage(scope: mutable.Map[String, ProtoType]): ProtoMessage = {
       expect("message")
       val name = next()
       expect("{")
-      val local = mutable.Map.empty[String, ProtoMessage] ++ scope
+      val local = mutable.Map.empty[String, ProtoType] ++ scope
       val fields = mutable.ArrayBuffer.empty[ProtoField]
-      while (peek != "}") {
-        if (peek == "message") {
-          val nested = parseMessage(local)
-          local(nested.name) = nested
+
+      def parseField(): Unit = {
+        val repeated = peek == "repeated"
+        if (repeated) next()
+        if (peek == "optional") next() // proto3 presence label — wire-identical
+        if (peek == "map") {
+          // map<K,V> name = N;  ==  repeated NameEntry {K key=1; V value=2}
+          next(); expect("<")
+          val kType = resolve(local, next())
+          expect(",")
+          val vType = resolve(local, next())
+          expect(">")
+          val fieldName = next()
+          expect("=")
+          val number = next().toInt
+          skipStatement() // ';' (possibly after field options '[...]'-free subset)
+          val entry = ProtoMessage(s"${fieldName.capitalize}Entry", Seq(
+            ProtoField("key", 1, kType, repeated = false),
+            ProtoField("value", 2, vType, repeated = false)))
+          fields += ProtoField(fieldName, number, ProtoMessageRef(entry), repeated = true)
         } else {
-          val repeated = peek == "repeated"
-          if (repeated) next()
           val tpeName = next()
           val fieldName = next()
           expect("=")
           val number = next().toInt
-          expect(";")
-          val tpe = local.get(tpeName) match {
-            case Some(m) => ProtoMessageRef(m)
-            case None =>
-              scalarToCatalyst(tpeName) // validates
-              ProtoScalar(tpeName)
-          }
-          fields += ProtoField(fieldName, number, tpe, repeated)
+          skipStatement() // ';'
+          fields += ProtoField(fieldName, number, resolve(local, tpeName), repeated)
+        }
+      }
+
+      while (peek != "}") {
+        peek match {
+          case "message" =>
+            val nested = parseMessage(local)
+            local(nested.name) = ProtoMessageRef(nested)
+          case "enum" => parseEnum(local)
+          case "option" | "reserved" => skipStatement()
+          case "oneof" =>
+            // members are ordinary optional fields on the wire — flatten
+            next(); next(); expect("{")
+            while (peek != "}") parseField()
+            expect("}")
+          case _ => parseField()
         }
       }
       expect("}")
@@ -420,14 +549,16 @@ object ProtoWire {
     }
 
     val top = mutable.ArrayBuffer.empty[ProtoMessage]
-    val topScope = mutable.Map.empty[String, ProtoMessage]
+    val topScope = mutable.Map.empty[String, ProtoType]
     while (pos < tokens.size) {
       peek match {
         case "syntax" => next(); expect("="); next(); expect(";")
         case "package" => next(); next(); expect(";")
+        case "option" | "import" | "reserved" => skipStatement()
+        case "enum" => parseEnum(topScope)
         case "message" =>
           val m = parseMessage(topScope)
-          topScope(m.name) = m
+          topScope(m.name) = ProtoMessageRef(m)
           top += m
         case other => throw new IllegalArgumentException(s"unexpected token '$other'")
       }

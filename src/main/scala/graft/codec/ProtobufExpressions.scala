@@ -43,13 +43,16 @@ case class FromProtobuf(data: Expression, schemaExpr: Expression,
 
   @transient private lazy val message =
     ProtoWire.messageFor(schemaExpr.eval(null).toString, messageName)
+  // the decode PLAN (field lookup, defaults, nested decoders) builds once
+  // per task and serves every row — see ProtoWire.MessageDecoder
+  @transient private lazy val decoder = new ProtoWire.MessageDecoder(message)
 
   override lazy val dataType: DataType = ProtoWire.toCatalyst(message)
   override def nullable: Boolean = data.nullable
 
   override protected def nullSafeEval(bytes: Any, schema: Any): Any = {
     val buf = bytes.asInstanceOf[Array[Byte]]
-    ProtoWire.decodeMessage(message, buf, 0, buf.length)
+    decoder.decode(buf, 0, buf.length)
   }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =

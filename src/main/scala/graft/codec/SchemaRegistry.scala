@@ -54,6 +54,14 @@ final class InMemorySchemaRegistry extends SchemaRegistryClient {
   * are resolved on the driver and enter plans as literals, so executors
   * never talk to the registry. `getById` caches: schema ids are immutable
   * in Confluent, so a decode loop never re-fetches. */
+/** Non-2xx registry answer with the status preserved: 404 means
+  * "not registered" (callers map it to None); anything else — 5xx during a
+  * rolling restart, auth failures — must PROPAGATE, not masquerade as a
+  * permanent-sounding schema-not-found. Extends IllegalStateException so
+  * pre-existing broad handlers keep working. */
+final class RegistryHttpException(val status: Int, msg: String)
+  extends IllegalStateException(msg)
+
 final class HttpSchemaRegistry(
     baseUrl: String,
     timeout: java.time.Duration = java.time.Duration.ofSeconds(10)
@@ -78,7 +86,7 @@ final class HttpSchemaRegistry(
     }).build()
     val resp = http.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
     if (resp.statusCode() / 100 != 2)
-      throw new IllegalStateException(
+      throw new RegistryHttpException(resp.statusCode(),
         s"registry $method $pathPart -> HTTP ${resp.statusCode()}: ${resp.body().take(300)}")
     JsonMethods.parse(resp.body())
   }
@@ -116,7 +124,7 @@ final class HttpSchemaRegistry(
           (resp \ "schema").extract[String])
         idCache.putIfAbsent(id, rs)
         Some(rs)
-      } catch { case _: IllegalStateException => None }
+      } catch { case e: RegistryHttpException if e.status == 404 => None }
     }
 
   override def latest(subject: String): Option[RegisteredSchema] =
@@ -128,7 +136,7 @@ final class HttpSchemaRegistry(
         (resp \ "version").extract[Int],
         (resp \ "schemaType").extractOpt[String].getOrElse("AVRO"),
         (resp \ "schema").extract[String]))
-    } catch { case _: IllegalStateException => None }
+    } catch { case e: RegistryHttpException if e.status == 404 => None }
 
   private def enc(s: String): String =
     java.net.URLEncoder.encode(s, "UTF-8").replace("+", "%20")

@@ -92,4 +92,60 @@ class CodecSpec extends SparkSpecBase {
     assert(proto.contains("repeated double scores = 3;"))
     assert(proto.contains("message MetaMsg"))
   }
+
+  test("avro encode widens Short/Byte into the schema's INT fields") {
+    val df = Seq((1.toShort, 2.toByte), (300.toShort, -5.toByte)).toDF("s", "b")
+    val packed = df.select(struct(col("s"), col("b")).as("v"))
+    val schemaJson = AvroSchemaConverter.toAvroSchema(
+      packed.schema("v").dataType, "Rec").toString
+    // GenericDatumWriter writes INT via (Integer) datum — an unwidened
+    // boxed Short/Byte threw ClassCastException on every row
+    val back = packed
+      .select(AvroExpressions.to_avro(col("v"), schemaJson).as("bin"))
+      .select(AvroExpressions.from_avro(col("bin"), schemaJson).as("v"))
+      .select(col("v.s"), col("v.b")).as[(Int, Int)].collect().toSet
+    assert(back === Set((1, 2), (300, -5)))
+  }
+
+  test("avro encode honors timestamp-millis targets (micros / 1000, mirrored by decode)") {
+    val ts = java.sql.Timestamp.valueOf("2026-01-02 03:04:05.678")
+    val df = Seq(Tuple1(ts)).toDF("t")
+    val packed = df.select(struct(col("t")).as("v"))
+    // a registry schema authored by ANOTHER producer: millis logical type
+    val millisSchema =
+      """{"type":"record","name":"Rec","fields":[
+        |  {"name":"t","type":{"type":"long","logicalType":"timestamp-millis"}}
+        |]}""".stripMargin
+    val back = packed
+      .select(AvroExpressions.to_avro(col("v"), millisSchema).as("bin"))
+      .select(AvroExpressions.from_avro(col("bin"), millisSchema).as("v"))
+      .select(col("v.t")).as[java.sql.Timestamp].head()
+    assert(back === ts)
+  }
+
+  test("avro encode maps record fields by NAME, not position") {
+    val df = Seq((7, "x")).toDF("id", "name")
+    val packed = df.select(struct(col("id"), col("name")).as("v"))
+    // target schema lists the fields in the OPPOSITE order (registry UIs
+    // alphabetize; evolved schemas append) — positional put would write
+    // id into name and vice versa
+    val reversed =
+      """{"type":"record","name":"Rec","fields":[
+        |  {"name":"name","type":"string"},{"name":"id","type":"int"}
+        |]}""".stripMargin
+    val back = packed
+      .select(AvroExpressions.to_avro(col("v"), reversed).as("bin"))
+      .select(AvroExpressions.from_avro(col("bin"), reversed).as("v"))
+      .select(col("v.id"), col("v.name")).as[(Int, String)].head()
+    assert(back === ((7, "x")))
+    // a frame field the schema lacks refuses with the field named
+    val missing =
+      """{"type":"record","name":"Rec","fields":[{"name":"id","type":"int"}]}"""
+    val e = intercept[Exception] {
+      packed.select(AvroExpressions.to_avro(col("v"), missing).as("bin")).collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).filter(_ != null).mkString(" | ")
+    assert(msgs.contains("name"), s"got: $msgs")
+  }
 }

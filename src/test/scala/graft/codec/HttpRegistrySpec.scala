@@ -205,4 +205,31 @@ class HttpRegistrySpec extends AnyFunSuite {
       assert(df.as[Int].collect().toSet === Set(7, 11))
     }
   }
+
+  test("a 5xx registry outage PROPAGATES; only 404 means schema-not-found") {
+    // missing id on a healthy registry: genuinely not registered -> None
+    withServer { (http, _) =>
+      assert(http.getById(99999).isEmpty)
+      assert(http.latest("nope-value").isEmpty)
+    }
+    // rolling-restart registry answering 503: must THROW with the status,
+    // never masquerade as a permanent-sounding "schema id not in registry"
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", new HttpHandler {
+      override def handle(x: HttpExchange): Unit = {
+        val b = """{"message":"service unavailable"}""".getBytes("UTF-8")
+        x.sendResponseHeaders(503, b.length)
+        x.getResponseBody.write(b)
+        x.close()
+      }
+    })
+    server.start()
+    try {
+      val http = new HttpSchemaRegistry(s"http://127.0.0.1:${server.getAddress.getPort}")
+      val e1 = intercept[RegistryHttpException](http.getById(1))
+      assert(e1.status === 503)
+      val e2 = intercept[RegistryHttpException](http.latest("s-value"))
+      assert(e2.status === 503)
+    } finally server.stop(0)
+  }
 }

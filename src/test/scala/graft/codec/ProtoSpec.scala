@@ -123,4 +123,114 @@ class ProtoSpec extends SparkSpecBase {
     // nested message emitted for the struct field
     assert(rec.getArray(2).numElements() === 1)
   }
+
+  test("uint32 decodes as an unsigned LONG (its declared Catalyst type)") {
+    val text = "syntax = \"proto3\";\nmessage M { uint32 n = 1; }\n"
+    val msg = ProtoWire.messageFor(text)
+    assert(ProtoWire.toCatalyst(msg)("n").dataType === LongType)
+    // 0xFFFFFFFF — one past Int.MaxValue territory; a .toInt would read -1
+    val w = new ProtoWire.Writer()
+    w.writeTag(1, ProtoWire.Varint)
+    w.writeVarint(0xFFFFFFFFL)
+    val bytes = w.toByteArray
+    val row = ProtoWire.decodeMessage(msg, bytes, 0, bytes.length)
+    assert(row.getLong(0) === 4294967295L)
+    // absent field defaults to 0L in the same slot type
+    assert(ProtoWire.decodeMessage(msg, Array.empty[Byte], 0, 0).getLong(0) === 0L)
+  }
+
+  test("truncated or corrupt bytes THROW (never silently read the parent's bytes)") {
+    val text = "syntax = \"proto3\";\nmessage M { string s = 1; int64 n = 2; }\n"
+    val msg = ProtoWire.messageFor(text)
+    // declared string length runs past the buffer
+    val w = new ProtoWire.Writer()
+    w.writeTag(1, ProtoWire.Len)
+    w.writeVarint(100L) // claims 100 bytes; only 2 follow
+    w.out.write(Array[Byte]('h', 'i'), 0, 2)
+    val b = w.toByteArray
+    intercept[Exception](ProtoWire.decodeMessage(msg, b, 0, b.length))
+    // varint cut mid-continuation
+    val t = Array[Byte](0x10, 0x80.toByte) // field 2 tag, then a dangling continuation byte
+    intercept[Exception](ProtoWire.decodeMessage(msg, t, 0, t.length))
+  }
+
+  test("null elements in a repeated field refuse with the field named") {
+    val df = Seq(Tuple1(Seq[java.lang.Integer](1, null, 3))).toDF("nums")
+    val packed = df.select(struct(col("nums")).as("v"))
+    val e = intercept[Exception] {
+      packed.select(ProtobufExpressions.to_protobuf(col("v")).as("b")).collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).filter(_ != null).mkString(" | ")
+    assert(msgs.contains("null element"), s"got: $msgs")
+  }
+
+  test("registry-style .proto text parses: options, imports, enum, optional, oneof, map") {
+    val text =
+      """syntax = "proto3";
+        |package acme.events;
+        |import "google/protobuf/timestamp.proto";
+        |option java_package = "com.acme.events";
+        |option java_multiple_files = true;
+        |
+        |enum Color {
+        |  COLOR_UNSPECIFIED = 0;
+        |  RED = 1;
+        |  GREEN = 2;
+        |}
+        |
+        |message Event {
+        |  option deprecated = false;
+        |  reserved 9, 10;
+        |  int64 id = 1;
+        |  optional string name = 2; // proto3 presence
+        |  Color color = 3;
+        |  map<string, int64> counts = 4;
+        |  oneof payload {
+        |    string text = 5;
+        |    bytes blob = 6;
+        |  }
+        |}
+        |""".stripMargin
+    val msg = ProtoWire.messageFor(text, Some("Event"))
+    assert(msg.fields.map(f => (f.name, f.number, f.repeated)) === Seq(
+      ("id", 1, false), ("name", 2, false), ("color", 3, false),
+      ("counts", 4, true), ("text", 5, false), ("blob", 6, false)))
+    // enum decodes as int32; map is a repeated key/value entry message
+    val cat = ProtoWire.toCatalyst(msg)
+    assert(cat("color").dataType === IntegerType)
+    assert(cat("counts").dataType ===
+      ArrayType(StructType(Seq(StructField("key", StringType),
+        StructField("value", LongType))), containsNull = false))
+    // wire check: enum varint + one map entry decode through the parsed shape
+    val entry = new ProtoWire.Writer()
+    entry.writeTag(1, ProtoWire.Len)
+    val kb = "a".getBytes("UTF-8"); entry.writeVarint(kb.length.toLong); entry.out.write(kb, 0, kb.length)
+    entry.writeTag(2, ProtoWire.Varint); entry.writeVarint(7L)
+    val w = new ProtoWire.Writer()
+    w.writeTag(3, ProtoWire.Varint); w.writeVarint(2L) // GREEN
+    w.writeLenDelimited(4, entry.toByteArray)
+    val b = w.toByteArray
+    val row = ProtoWire.decodeMessage(msg, b, 0, b.length)
+    assert(row.getInt(2) === 2)
+    val entries = row.getArray(3)
+    assert(entries.numElements() === 1)
+    val kv = entries.getStruct(0, 2)
+    assert(kv.getUTF8String(0).toString === "a" && kv.getLong(1) === 7L)
+  }
+
+  test("array-of-struct renders in the .proto and round-trips") {
+    val df = Seq((1L, Seq((10, "x"), (20, "y")))).toDF("id", "items")
+    val packed = df.select(struct(col("id"), col("items")).as("v"))
+    val structType = packed.schema("v").dataType.asInstanceOf[StructType]
+    // ProtoSchemaGen previously threw on array<struct> while the encoder
+    // supported it — the registration path must render what encode emits
+    val protoText = ProtoSchemaGen.protoFile(structType, "Rec")
+    val back = packed
+      .select(ProtobufExpressions.to_protobuf(col("v")).as("b"))
+      .select(ProtobufExpressions.from_protobuf(col("b"), protoText).as("v"))
+      .select("v.id", "v.items")
+      .as[(Long, Seq[(Int, String)])].collect()
+    assert(back.toSeq === Seq((1L, Seq((10, "x"), (20, "y")))))
+  }
 }
