@@ -251,10 +251,17 @@ object GraftRelation {
       else new GraftParquetFileFormat(table.path, dvs,
         if (ColumnMapping.active(stored)) Some(stored) else None,
         dirKeys, rootUri)
+    // hand-laid converted trees can record a log schema WITHOUT the
+    // dir-derived partition columns (convert() always records them, but a
+    // forged/external log may not) — widen the relation schema so those
+    // columns resolve; the format patches their path-derived values into
+    // each row exactly as it does for recorded keys
+    val relationSchema = dirKeys.filterNot(k => dataSchema.fieldNames.contains(k.name))
+      .foldLeft(dataSchema)((s, f) => s.add(f))
     HadoopFsRelation(
       location = index,
       partitionSchema = new StructType(),
-      dataSchema = dataSchema,
+      dataSchema = relationSchema,
       bucketSpec = None,
       fileFormat = format,
       options = Map.empty)(ss)

@@ -1100,7 +1100,20 @@ final class GraftTable private (
         case None =>
           throw new IllegalStateException(s"table does not exist: $path")
       }
+    } else if (snap.schemaJson.isDefined) {
+      // log-schema native relation (the readWhere/format("graft") path):
+      // the file list AND the schema come from the snapshot, so a read
+      // costs zero distributed work before the scan — the legacy
+      // mergeSchema path below paid one parallel-listing job plus one
+      // footer-merge job PER READ (at 100 TB: a million object GETs
+      // before the first task; locally: two ~0.2 s jobs per index/CDC
+      // read). DV filtering, column mapping and dir-derived partition
+      // columns are applied in-scan by [[GraftRelation]]; analysis-time
+      // stats/bucket file pruning on later filters comes free.
+      GraftRelation.dataFrame(this, asOf)
     } else {
+      // pre-schema-json stores only (no commit ever recorded a schema):
+      // footer mergeSchema is the one source of truth left
       val df = readDataFiles(files, snap.schemaJson)
       DeletionVectors.filterDeleted(df, spark, loadDvs(snap.dvFor, files), qualifiedRootUris)
     }
@@ -1349,19 +1362,44 @@ final class GraftTable private (
     * serves several bucket dirs (shuffle partitions ≠ buckets), so bare
     * leaf names REPEAT across bucket dirs — a basename key would collapse
     * different files' stats into one entry (unsound data skipping, and a
-    * wrong `rows` count could mis-fire the DV full-file drop). One
-    * distributed aggregation over the just-written files (tiny relative
-    * to the write itself; `settings.collectFileStats` disables). */
+    * wrong `rows` count could mis-fire the DV full-file drop).
+    *
+    * Stats come from the PARQUET FOOTERS the staging write just produced —
+    * a driver-side O(files) metadata read, not a distributed re-scan of
+    * the batch (the pre-r19 shape: one full read + shuffle of every staged
+    * byte per commit, purely to recompute aggregates the writer already
+    * stored). Footer min/max/null-count/row-count are exactly the values
+    * the old aggregation computed; numeric stat strings are compared
+    * VALUE-wise by [[StatsPruning.statCmp]] (BigDecimal parse), so only
+    * StringType needs byte-faithful encoding — and parquet binary stats
+    * order by unsigned UTF-8 bytes, the same order Spark's min()/max()
+    * collected in. Columns whose footer carries no usable stats (INT96
+    * timestamps, NaN-poisoned floats, oversized binary) are simply
+    * omitted — data skipping degrades to a scan for them, never to a
+    * wrong prune. Any footer-read failure falls back to the distributed
+    * aggregation (`settings.collectFileStats` disables both). */
   private def collectStats(stagingDir: String, df: DataFrame): Map[String, FileStats] = {
     if (!effectiveSettings.collectFileStats) return Map.empty
     val statFields = df.schema.fields.filter(f => isStatType(f.dataType)).toSeq
-    collectStatsBy(spark.read.parquet(stagingDir), statFields, { full =>
+    def key(full: String): String = {
       val segs = full.split('/')
       val leaf = segs.last
       if (segs.length >= 2 && segs(segs.length - 2).startsWith("graft_bucket="))
         s"${segs(segs.length - 2)}/$leaf"
       else leaf
-    })
+    }
+    try
+      FsUtils.dataFiles(spark, stagingDir).flatMap { st =>
+        FooterStats.forFile(st.getPath, spark.sparkContext.hadoopConfiguration, statFields)
+          .map(fsats => key(st.getPath.toUri.getPath) -> fsats)
+      }.toMap
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        GraftTable.log.warn(
+          s"footer stats failed for $stagingDir (${e.getMessage}); " +
+            "falling back to the distributed stats aggregation")
+        collectStatsBy(spark.read.parquet(stagingDir), statFields, key)
+    }
   }
 
   /** Pre-staging protocol probe (Delta checks protocol at transaction
@@ -3108,6 +3146,8 @@ final class GraftTable private (
 }
 
 object GraftTable {
+  private[tables] val log = org.slf4j.LoggerFactory.getLogger(classOf[GraftTable])
+
   def apply(spark: SparkSession, path: String)(
       implicit settings: GraftSettings = GraftSettings.default): GraftTable =
     new GraftTable(spark, path, settings)
