@@ -476,6 +476,10 @@ object RelationalQueries {
         val cents = t(s, dir, "lineitem")
           .select(col("l_returnflag").as("flag"),
             (dec2(col("l_extendedprice")) * 100).cast("long").as("cents"))
+        // hist feeds TWO consumers (cum + n) and is deliberately NOT
+        // materialized: it holds ~|distinct (flag, cents)| rows (hundreds of
+        // thousands), so a checkpoint write costs more than re-running the
+        // columnar scan+agg — measured r19: barrier 3.62s vs recompute 2.90s
         val hist = cents.groupBy(col("flag"), col("cents")).agg(count(lit(1)).as("c"))
         val cum = hist.withColumn("cum",
           sum(col("c")).over(Window.partitionBy(col("flag")).orderBy(col("cents"))

@@ -727,11 +727,17 @@ object VectorQueries {
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
         val probes = emb.filter(col("vec_id") < 5)
+        // truth feeds TWO consumers inside recallAtK (the hits semi-join
+        // and the per-probe n_truth count) — materialize so the brute-force
+        // corpus pass runs ONCE, the e21 discipline (the un-barriered form
+        // inlined the whole BNLJ subtree twice in the physical plan)
+        val truth = graft.ext.Parallelism.checkpointTracked(
+          Similarity.bruteForceTopK(emb, probes, "vec_id", "embedding",
+            k = 5, deterministic = true))
         Similarity.recallAtK(
             ann = Similarity.annTopK(emb, probes, "vec_id", "embedding",
               k = 5, nTables = 8, bitsPerTable = 6, portable = true),
-            truth = Similarity.bruteForceTopK(emb, probes, "vec_id", "embedding",
-              k = 5, deterministic = true),
+            truth = truth,
             k = 5)
           .orderBy(col("probe_id"))
       },
