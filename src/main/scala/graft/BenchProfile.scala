@@ -37,9 +37,15 @@ object BenchProfile {
     val starts = new ConcurrentHashMap[Int, (Long, String)]()
     val ended = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Double, String)]()
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(js: SparkListenerJobStart): Unit =
-        starts.put(js.jobId, (System.nanoTime(),
-          Option(js.properties).map(_.getProperty("spark.job.description", "")).getOrElse("")))
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        val desc = Option(js.properties)
+          .map(_.getProperty("spark.job.description", "")).getOrElse("")
+        // fall back to the result stage's call site — operators don't set
+        // job descriptions, and the call site names the action's code line
+        val site = if (desc.nonEmpty) desc
+          else js.stageInfos.lastOption.map(_.name).getOrElse("")
+        starts.put(js.jobId, (System.nanoTime(), site))
+      }
       override def onJobEnd(je: SparkListenerJobEnd): Unit = {
         val s = starts.remove(je.jobId)
         if (s != null) ended.add((je.jobId, (System.nanoTime() - s._1) / 1e9, s._2))

@@ -55,25 +55,38 @@ final class AnnIndex(
     * that query before adding (e.g. ingest-time semantic dedup). */
   def hasStore: Boolean = bucketsTable.exists
 
+  /** The store's vector width, observed once per instance: dims are
+    * immutable for the life of a store (every add requires equality
+    * against the stored width, from the first add on), so one probe
+    * answers every later add/query instead of one LIMIT-1 job each.
+    * Cleared by purge (the one path that can empty the store and so
+    * re-open the width). */
+  @volatile private var dimsCache: Option[Int] = None
+
   /** Dimensionality of the stored vectors (one row), or None on an empty
     * index. */
-  private def storedDims(): Option[Int] =
-    if (!vectorsTable.exists) None
-    else vectorsTable.read().limit(1).select(size(col("vec")))
-      .collect().headOption.map(_.getInt(0))
+  private def storedDims(): Option[Int] = dimsCache.orElse {
+    val d =
+      if (!vectorsTable.exists) None
+      else vectorsTable.read().limit(1).select(size(col("vec")))
+        .collect().headOption.map(_.getInt(0))
+    if (d.isDefined) dimsCache = d
+    d
+  }
 
   /** The LSH hyperplanes are sized from the input's own dimensionality,
     * so a batch (or probe set) whose dims differ from the store's would
     * hash against a DIFFERENT hyperplane set — incompatible buckets that
     * silently never match. Fail loudly instead (the [[IvfIndex]] /
     * [[PqIndex]] contract). */
-  /** Validates dims, returning false when `df` is EMPTY — the aggregate
-    * that sizes the vectors doubles as the emptiness probe, so callers
-    * skip a separate `isEmpty` job per ingest/query. */
-  private def checkDims(df: DataFrame, vecCol: String, what: String): Boolean = {
+  /** Validates dims, returning the validated width — or None when `df` is
+    * EMPTY — so the aggregate that sizes the vectors doubles as the
+    * emptiness probe AND feeds the hashers' `knownDims` (callers skip
+    * both a separate `isEmpty` job and the hash path's LIMIT-1 probe). */
+  private def checkDims(df: DataFrame, vecCol: String, what: String): Option[Int] = {
     val d = df.agg(min(size(col(vecCol))), max(size(col(vecCol))),
       count(lit(1)), count(col(vecCol))).head()
-    if (d.getLong(2) == 0L) return false
+    if (d.getLong(2) == 0L) return None
     // min/max skip NULLs, so an all-NULL (or partly-NULL) vector column in a
     // NON-empty frame must not masquerade as emptiness — that would silently
     // no-op the ingest / empty the query instead of failing loudly
@@ -83,7 +96,7 @@ final class AnnIndex(
       s"AnnIndex: ragged $what vectors (dims ${d.get(0)}..${d.get(1)})")
     storedDims().foreach(e => require(d.getInt(0) == e,
       s"AnnIndex: $what dims ${d.getInt(0)} != indexed dims $e"))
-    true
+    Some(d.getInt(0))
   }
 
   private def tokenApplied(token: String): Boolean =
@@ -125,11 +138,13 @@ final class AnnIndex(
     // empty batch (streaming no-op delivery, or fully tombstoned): nothing
     // to hash — and the hash derivation needs a row to size vectors. An
     // unrecorded token just re-noops on redelivery.
-    if (!checkDims(in, vecCol, "batch")) return
+    val batchDims = checkDims(in, vecCol, "batch")
+    if (batchDims.isEmpty) return
     // materialize before clustering: repartitionByRange SAMPLES its child
     // to pick range bounds, so an unmaterialized hash pipeline would run
     // twice (sample pass + write pass)
-    val hashed = Similarity.lshBucketRows(in, idCol, vecCol, nTables, bitsPerTable, portable)
+    val hashed = Similarity.lshBucketRows(in, idCol, vecCol, nTables, bitsPerTable, portable,
+        knownDims = batchDims)
       .select(col("id").as("vec_id"), col("tbl"), col("bucket"))
     val buckets0 = (if (clustered) hashed.withColumn("tb", tbExpr) else hashed)
       .transform(Parallelism.materialize(_))
@@ -164,6 +179,9 @@ final class AnnIndex(
     failpoints.hit("after-buckets")
     if (!replay || vectors.limit(1).count() > 0)
       vectorsTable.append(vectors)
+    // the store now holds this width (checkDims proved it equals any prior
+    // content): later adds/queries skip the stored-width probe
+    dimsCache = batchDims
     // store maintenance: a crawl ingesting thousands of batches would
     // otherwise accumulate unbounded small files. The buckets table
     // compacts CLUSTERED so the tb ranges stay tight and query-time
@@ -180,6 +198,9 @@ final class AnnIndex(
     * buckets rewrite re-clusters on `tb` so query-time IN-pruning
     * survives the purge (the compactClusteredIfNeeded lesson). */
   protected def purgeRewrite(removedIds: DataFrame): Unit = {
+    // a purge can empty the store entirely, re-opening the vector width
+    // for the next add — drop the per-instance width memo
+    dimsCache = None
     val rb = Parallelism.maybeBroadcast(removedIds, settings.probeBroadcastThresholdBytes)
     if (bucketsTable.exists) {
       val kept = Parallelism.materialize(
@@ -224,7 +245,8 @@ final class AnnIndex(
       s"probePerturbations=$probePerturbations outside [0, bitsPerTable=$bitsPerTable]")
     // empty probe frame: empty result, same schema (empty-in/empty-out —
     // the hash derivation itself needs at least one row to size vectors)
-    if (!checkDims(probes, vecCol, "probe"))
+    val probeDims = checkDims(probes, vecCol, "probe")
+    if (probeDims.isEmpty)
       return probes
         .select(col(idCol).as("probe_id"), col(idCol).as("neighbor_id"))
         .withColumn("rnk", lit(1)).withColumn("sim", lit(0.0))
@@ -232,7 +254,8 @@ final class AnnIndex(
     // probe batches are small by contract (they broadcast below): hashing
     // them twice (key-set collect + candidate join) beats a barrier job
     val exactBuckets = Similarity.lshBucketRows(
-        probes, idCol, vecCol, nTables, bitsPerTable, portable)
+        probes, idCol, vecCol, nTables, bitsPerTable, portable,
+        knownDims = probeDims)
       .select(col("id").as("probe_id"), col("tbl"), col("bucket"))
     // multi-probe expansion: {bucket} ∪ {bucket XOR 2^b}; flip 0 keeps the
     // exact bucket, so the expansion strictly contains the plain candidates

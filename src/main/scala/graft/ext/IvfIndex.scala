@@ -68,9 +68,15 @@ final class IvfIndex(
     centroidsTable.read().select(col("list_id"), col("cvec"))
 
   /** The trained dimensionality — one metadata-plane row off the KB-sized
-    * codebook. */
-  private def trainedDims(): Int =
-    centroids().agg(max(size(col("cvec")))).head().getInt(0)
+    * codebook, observed ONCE per instance: the codebook is immutable after
+    * train() (re-training refuses), so each later add/query skips the
+    * probe job. */
+  @volatile private var dimsCache: Option[Int] = None
+  private def trainedDims(): Int = dimsCache.getOrElse {
+    val d = centroids().agg(max(size(col("cvec")))).head().getInt(0)
+    dimsCache = Some(d)
+    d
+  }
 
   /** Mismatched or ragged vectors against the trained codebook would
     * silently corrupt cell assignments (the quantized dot iterates the

@@ -72,12 +72,15 @@ final class IvfPqIndex(
     * VALIDATING this instance's `m` against the persisted sub-codebooks
     * (max subspace + 1) — reopening with a different m would silently
     * mis-split every vector (the [[PqIndex]] guard). */
-  private def trainedDims(): Int = {
+  private def trainedDims(): Int = dimsCache.getOrElse {
     val storedM = centroids().agg(max(col("s")).cast("int")).head().getInt(0) + 1
     require(storedM == m,
       s"IvfPqIndex at $path was trained with m=$storedM, opened with m=$m")
-    coarse().agg(max(size(col("cvec")))).head().getInt(0)
+    val d = coarse().agg(max(size(col("cvec")))).head().getInt(0)
+    dimsCache = Some(d) // codebooks immutable after train(): probe once per instance
+    d
   }
+  @volatile private var dimsCache: Option[Int] = None
 
   /** Validates dims, returning false when `df` is EMPTY — the aggregate
     * that sizes the vectors doubles as the emptiness probe. NULL vectors

@@ -132,10 +132,15 @@ final class LexIndex(
     // run the normalize regex + explode on as few cores
     val base = Parallelism.materialize(
       Parallelism.widen(in).select(col(idCol).as("doc_id"), tokArr(textCol).as("__toks")))
-    // empty batch (streaming no-op delivery, or fully tombstoned): nothing
-    // to index — an unrecorded token just re-noops on redelivery
-    if (base.isEmpty) return
     val docs0 = base.select(col("doc_id"), size(col("__toks")).cast("int").as("dl"))
+    // batch stats: ONE driver-side row (metadata-plane, like every index's
+    // schema probe) — the totals store that keeps N/avgdl off the corpus.
+    // Computed FIRST so it doubles as the emptiness probe: an empty batch
+    // (streaming no-op delivery, or fully tombstoned) is a no-op without a
+    // separate isEmpty job — an unrecorded token just re-noops on
+    // redelivery.
+    val s0 = docs0.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
+    if (s0.getLong(0) == 0L) return
     // (doc_id, token, tf, dl[, pos]) in ONE aggregation: dl is functionally
     // dependent on doc_id, so carrying it through the groupBy keys is free
     // — no second shuffle to re-attach document lengths. Positional mode
@@ -157,9 +162,6 @@ final class LexIndex(
           .groupBy(col("doc_id"), col("dl"), col("__tok"))
           .agg(count(lit(1)).cast("int").as("tf"))
           .select(xxhash64(col("__tok")).as("th"), col("doc_id"), col("tf"), col("dl")))
-    // batch stats: ONE driver-side row (metadata-plane, like every index's
-    // schema probe) — the totals store that keeps N/avgdl off the corpus
-    val s0 = docs0.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
     val stats0 = Seq((ingestToken.orNull, s0.getLong(0), s0.getLong(1)))
       .toDF("token", "n_docs", "sum_dl")
     // token recorded BEFORE the appends (the shared index ordering): a

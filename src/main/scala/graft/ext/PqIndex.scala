@@ -70,14 +70,17 @@ final class PqIndex(
     * silently mis-split every vector: the (i, s) codebook join drops the
     * mismatched subspaces and corrupts codes/distances with no error.
     * One metadata-plane row off the KB-sized codebook. */
-  private def trainedDims(): Int = {
+  private def trainedDims(): Int = dimsCache.getOrElse {
     val r = centroids()
       .agg(max(col("i")).cast("int"), max(col("s")).cast("int")).head()
     val storedM = r.getInt(1) + 1
     require(storedM == m,
       s"PqIndex at $path was trained with m=$storedM, opened with m=$m")
-    r.getInt(0) + 1
+    val d = r.getInt(0) + 1
+    dimsCache = Some(d) // codebook immutable after train(): probe once per instance
+    d
   }
+  @volatile private var dimsCache: Option[Int] = None
 
   /** Ragged/mismatched vectors would silently drop dimensions from the
     * (i, s) codebook join and bias every code — fail loudly instead (the

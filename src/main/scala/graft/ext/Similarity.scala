@@ -167,7 +167,8 @@ object Similarity {
       vecCol: String,
       nTables: Int,
       bitsPerTable: Int,
-      portable: Boolean = false): DataFrame = {
+      portable: Boolean = false,
+      knownDims: Option[Int] = None): DataFrame = {
     val spark = df.sparkSession
     // dimensionality from the first NON-NULL vector (one LIMIT-1 job,
     // never a full scan); vectors are assumed uniform-width, like every
@@ -175,13 +176,18 @@ object Similarity {
     // NULL vector's size as null and silently drop EVERY row's
     // candidates — only a frame with no non-null vector at all (a
     // drained incremental batch, an empty probe set) returns the empty
-    // bucket frame instead of crashing on head()
-    val dimRow = df.filter(col(vecCol).isNotNull)
-      .select(size(col(vecCol)).as("d")).limit(1).collect()
-    if (dimRow.isEmpty)
-      return df.select(col(idCol).as("id")).limit(0)
-        .withColumn("tbl", lit(0)).withColumn("bucket", lit(0))
-    val dim = dimRow(0).getInt(0)
+    // bucket frame instead of crashing on head(). Callers that already
+    // validated the batch (AnnIndex.checkDims returns the validated
+    // width, guaranteeing non-empty/non-null) pass `knownDims` and skip
+    // the probe job.
+    val dim = knownDims.getOrElse {
+      val dimRow = df.filter(col(vecCol).isNotNull)
+        .select(size(col(vecCol)).as("d")).limit(1).collect()
+      if (dimRow.isEmpty)
+        return df.select(col(idCol).as("id")).limit(0)
+          .withColumn("tbl", lit(0)).withColumn("bucket", lit(0))
+      dimRow(0).getInt(0)
+    }
     val nPlanes = nTables * bitsPerTable
     val planeDim = spark.range(nPlanes.toLong).select(col("id").cast("int").as("p"))
       .crossJoin(spark.range(dim.toLong).select(col("id").cast("int").as("i")))

@@ -76,11 +76,18 @@ final class IncrementalAgg(
   private def maxName(c: String) = s"max_$c"
   private val dec = DecimalType(28, 6)
 
+  /** The top cursor row by (to_v, from_v) — ONE collect serves both the
+    * cursor (its to_v IS max(to_v)) and heal's promised-range check, so a
+    * refresh pays one applied-store job, not two. */
+  private def topCursorRow(): Option[(String, Long, Long, Long)] =
+    if (!appliedTable.exists) None
+    else appliedTable.read().orderBy(col("to_v").desc, col("from_v").desc)
+      .limit(1).collect().headOption
+      .map(r => (r.getAs[String]("token"), r.getAs[Long]("from_v"),
+        r.getAs[Long]("to_v"), r.getAs[Long]("n_rows")))
+
   /** Highest source version whose changes are (promised) applied. */
-  def cursor: Long =
-    if (!appliedTable.exists) 0L
-    else appliedTable.read().agg(coalesce(max(col("to_v")), lit(0L)))
-      .head().getLong(0)
+  def cursor: Long = topCursorRow().map(_._3).getOrElse(0L)
 
   /** Fold a change-shaped frame (table columns + `_change_type`) to one
     * signed delta row per touched key. Deterministic, so a healed replay
@@ -116,32 +123,29 @@ final class IncrementalAgg(
   }
 
   /** Fill the gap a crash between the cursor append and the delta append
-    * left: the top cursor row promises n_rows delta rows under its token. */
-  private def heal(): Unit = {
-    if (!appliedTable.exists) return
-    // from_v DESC breaks the tie between a consolidate marker (from == to)
-    // and the real range ending at the same version (from < to): the
-    // marker must win, or heal would chase the range token the
-    // consolidation overwrite just absorbed
-    appliedTable.read().orderBy(col("to_v").desc, col("from_v").desc)
-      .limit(1).collect()
-      .foreach { r =>
-        val (token, fromV, toV, nRows) =
-          (r.getAs[String]("token"), r.getAs[Long]("from_v"),
-            r.getAs[Long]("to_v"), r.getAs[Long]("n_rows"))
-        val missing = nRows > 0 && (!deltasTable.exists ||
-          deltasTable.read().filter(col("token") === token).limit(1).count() == 0)
-        if (missing)
-          deltasTable.append(deltaFrame(fromV, toV).withColumn("token", lit(token)))
-      }
-  }
+    * left: the top cursor row promises n_rows delta rows under its token.
+    * Takes the already-collected top row — from_v DESC in [[topCursorRow]]
+    * breaks the tie between a consolidate marker (from == to) and the real
+    * range ending at the same version (from < to): the marker must win, or
+    * heal would chase the range token the consolidation overwrite just
+    * absorbed. */
+  private def heal(top: Option[(String, Long, Long, Long)]): Unit =
+    top.foreach { case (token, fromV, toV, nRows) =>
+      val missing = nRows > 0 && (!deltasTable.exists ||
+        deltasTable.read().filter(col("token") === token).limit(1).count() == 0)
+      if (missing)
+        deltasTable.append(deltaFrame(fromV, toV).withColumn("token", lit(token)))
+    }
+
+  private def heal(): Unit = heal(topCursorRow())
 
   /** Process the source commits in (cursor, source.version] and return the
     * new cursor. Idempotent under at-least-once invocation (see the class
     * note); a refresh with nothing new is a no-op. */
   def refresh(): Long = {
-    heal()
-    val v0 = cursor
+    val top = topCursorRow()
+    heal(top)
+    val v0 = top.map(_._3).getOrElse(0L)
     val v1 = if (source.exists) source.version else 0L
     if (v1 <= v0) return v0
     // materialized: the row count below and the append must not run the
