@@ -55,23 +55,32 @@ final class AnnIndex(
     * that query before adding (e.g. ingest-time semantic dedup). */
   def hasStore: Boolean = bucketsTable.exists
 
-  /** The store's vector width, observed once per instance: dims are
-    * immutable for the life of a store (every add requires equality
-    * against the stored width, from the first add on), so one probe
-    * answers every later add/query instead of one LIMIT-1 job each.
-    * Cleared by purge (the one path that can empty the store and so
-    * re-open the width). */
-  @volatile private var dimsCache: Option[Int] = None
+  /** The store's vector width memo, KEYED TO THE VECTORS TABLE VERSION:
+    * dims are immutable while the store holds rows (every add requires
+    * equality against the stored width), but a purge — possibly through a
+    * DIFFERENT AnnIndex instance, or an external rewrite — can empty the
+    * store and re-open the width. Keying the memo to the version means a
+    * foreign store change is re-probed instead of validated against a
+    * stale width (the silent bucket-mismatch this check exists to stop);
+    * this instance's own appends refresh the memo for free (the width it
+    * just proved, at the version it just produced), so the steady state
+    * still pays zero probe jobs. */
+  @volatile private var dimsCache: Option[(Long, Int)] = None
 
   /** Dimensionality of the stored vectors (one row), or None on an empty
     * index. */
-  private def storedDims(): Option[Int] = dimsCache.orElse {
-    val d =
-      if (!vectorsTable.exists) None
-      else vectorsTable.read().limit(1).select(size(col("vec")))
-        .collect().headOption.map(_.getInt(0))
-    if (d.isDefined) dimsCache = d
-    d
+  private def storedDims(): Option[Int] = {
+    val v = vectorsTable.version
+    dimsCache match {
+      case Some((cv, d)) if cv == v => Some(d)
+      case _ =>
+        val d =
+          if (!vectorsTable.exists) None
+          else vectorsTable.read().limit(1).select(size(col("vec")))
+            .collect().headOption.map(_.getInt(0))
+        d.foreach(dd => dimsCache = Some((v, dd)))
+        d
+    }
   }
 
   /** The LSH hyperplanes are sized from the input's own dimensionality,
@@ -179,9 +188,6 @@ final class AnnIndex(
     failpoints.hit("after-buckets")
     if (!replay || vectors.limit(1).count() > 0)
       vectorsTable.append(vectors)
-    // the store now holds this width (checkDims proved it equals any prior
-    // content): later adds/queries skip the stored-width probe
-    dimsCache = batchDims
     // store maintenance: a crawl ingesting thousands of batches would
     // otherwise accumulate unbounded small files. The buckets table
     // compacts CLUSTERED so the tb ranges stay tight and query-time
@@ -190,6 +196,10 @@ final class AnnIndex(
     if (clustered) bucketsTable.compactClusteredIfNeeded(Seq("tb"))
     else bucketsTable.compactIfNeeded()
     vectorsTable.compactIfNeeded()
+    // the store now holds this width at the version maintenance settled on
+    // (checkDims proved it equals any prior content): later adds/queries
+    // skip the stored-width probe until someone else moves the store
+    dimsCache = batchDims.map(d => (vectorsTable.version, d))
   }
 
   /** [[Tombstoned.purge]]'s store rewrite: inherently touches every file

@@ -114,7 +114,12 @@ object Dedup {
       numHashes: Int = 32,
       shingleSize: Int = 3,
       portable: Boolean = false): DataFrame = {
-    val shingles = Parallelism.widen(df.select(col(idCol).as("id"), col(textCol)))
+    // per-shingle work is numHashes INDEPENDENT digests (md5-derived when
+    // portable — ~8x an xxhash64), far above widen's default amplification
+    // assumption: scale the width estimate accordingly (r20: the un-scaled
+    // width ran the d05/d08/d18/d30 family 1.5-1.9x slower)
+    val shingles = Parallelism.widen(df.select(col(idCol).as("id"), col(textCol)),
+        costFactor = numHashes * (if (portable) 8 else 1))
       .select(col("id"), explode(wordShingles(col(textCol), shingleSize)).as("sh"))
     val mins = (0 until numHashes).map { seed =>
       val h =

@@ -27,21 +27,57 @@ import org.apache.spark.sql.DataFrame
   * materialization cost) — a settings flip, no code edits. */
 private[graft] object Parallelism {
 
-  /** Repartition `df` to the session's default parallelism when its scan
-    * would otherwise run on far fewer partitions.
+  /** Bytes of (compressed, pre-explode) INPUT a widened task should own.
+    * Sized for explode-amplified per-row work: the operators behind widen
+    * fan each input byte into ~10-50 bytes of downstream work (shingle
+    * hashing, per-dimension projections, multi-regex passes — 12x was
+    * measured on the signature aggregates), so 64 KiB of input is ~1 MiB
+    * of per-task compute (~100-200ms measured on the regex-metrics chain): big enough that per-task fixed overhead
+    * (launch + scheduling + result, ~ms) stays noise, small enough that a
+    * modest single-file input still fans out. Overridable via
+    * `spark.graft.widen.bytesPerTask` (session or SparkConf). */
+  private val WidenBytesPerTaskKey = "spark.graft.widen.bytesPerTask"
+  private val WidenBytesPerTaskDefault = 64L * 1024
+
+  /** Repartition `df` for its post-explode work when its scan would
+    * otherwise run on far too few partitions — SIZE-ADAPTIVE (guide §2):
+    * the width is derived from the input's estimated bytes, clamped to
+    * the session's default parallelism, never from the core count alone.
+    * A constant `repartition(defaultParallelism)` was the r19 bench's
+    * dominant fixed cost: at local sf the same tiny frame fanned into 32
+    * one-ms tasks per job across dozens of jobs per query (and 32-block
+    * barriers), while at 8 cores the identical query ran 2-3x faster —
+    * parallelism must follow data, not machine shape. On a cluster the
+    * clamp keeps the old behavior for any real input (bytes/perTask far
+    * exceeds defaultParallelism long before 100 TB).
     *
     * Width is estimated from `inputFiles` (the already-listed file index —
     * a logical-plan inspection), NOT from `df.rdd.getNumPartitions`: the
     * latter forces full physical planning of the subtree at operator-
-    * construction time, per invocation. A file-backed frame with fewer
-    * files than half the target cores is assumed partition-starved (the
-    * single-row-group local parquet case); a derived frame (no input
-    * files) has necessarily crossed a shuffle already and is at
-    * `spark.sql.shuffle.partitions`, so it is left alone. */
-  def widen(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
+    * construction time, per invocation. A file-backed frame with at least
+    * half as many files as cores is left alone (the scan is already wide);
+    * a derived frame (no input files) has necessarily crossed a shuffle
+    * already and is at `spark.sql.shuffle.partitions`, so it is left
+    * alone. An unknown size estimate degrades to the full clamp (the old
+    * behavior), never to a serialized stage. */
+  def widen(df: DataFrame, costFactor: Int = 1): DataFrame = {
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
     val files = df.inputFiles.length
-    if (files > 0 && files * 2 < target) df.repartition(target) else df
+    if (files == 0 || files * 2 >= target) return df
+    val perTask = spark.conf.getOption(WidenBytesPerTaskKey)
+      .orElse(spark.sparkContext.getConf.getOption(WidenBytesPerTaskKey))
+      .map(_.toLong).getOrElse(WidenBytesPerTaskDefault)
+    // relation stats: the summed on-disk file size for a parquet scan — a
+    // driver-side plan inspection, no job. BigInt: the unknown-size
+    // default is ~Long.MaxValue and must clamp, not overflow. `costFactor`
+    // scales the estimate for operators whose per-byte work exceeds the
+    // default amplification assumption (minhash runs numHashes digests per
+    // shingle — r20 measured the un-scaled width 1.5-1.9x slower there).
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val want = ((bytes * math.max(1, costFactor) + (perTask - 1)) / perTask)
+      .min(BigInt(target)).max(BigInt(1)).toInt
+    if (want <= files) df else df.repartition(want)
   }
 
   /** Broadcast-hint `df` only when its optimizer size estimate fits

@@ -42,8 +42,17 @@ private[tables] object FooterStats {
       statFields: Seq[StructField]): Option[FileStats] = {
     import scala.jdk.CollectionConverters._
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
-    val (rows, merged) =
+    val (rows, merged, legacyRebase) =
       try {
+        // Spark stamps this marker when datetimeRebaseModeInWrite=LEGACY:
+        // the file's physical date/timestamp values are hybrid-calendar
+        // rebased, so decoding them as proleptic-Gregorian epoch days/micros
+        // would MIS-STATE the logical bounds for pre-1582 dates (pre-1900
+        // legacy timestamps) — an unsound prune. The distributed twin reads
+        // values back through Spark, which un-rebases; here we conservatively
+        // omit date/timestamp columns instead (kept file, never a wrong skip).
+        val legacyRebase = reader.getFooter.getFileMetaData
+          .getKeyValueMetaData.containsKey("org.apache.spark.legacyDateTime")
         val blocks = reader.getFooter.getBlocks.asScala.toSeq
         val rows = blocks.map(_.getRowCount).sum
         // merge per-column chunk statistics across row groups: same-typed
@@ -71,26 +80,32 @@ private[tables] object FooterStats {
             }
           }
         }
-        (rows, merged.toMap)
+        (rows, merged.toMap, legacyRebase)
       } finally reader.close()
     if (rows == 0L) return None
 
-    // dir-derived partition values (staged bucketed writes put
-    // `graft_bucket=N/` between staging root and leaf): min = max = value,
-    // like the distributed twin read them back through partition discovery
+    // dir-derived partition values: ONLY the engine's own staged bucketed
+    // writes put `graft_bucket=N/` between staging root and leaf, and N is
+    // always a plain non-null integer there — so synthesis is restricted to
+    // that dir name. A generic k=v parent (URL-escaped value, or Hive's
+    // __HIVE_DEFAULT_PARTITION__ null marker) must not become a trusted
+    // min=max with nulls=0: that would let an isNull prune wrongly skip the
+    // file. The null marker maps to the all-null shape instead.
     val parentDir = file.getParent.getName
     val dirValue: Map[String, String] =
       parentDir.split('=') match {
-        case Array(k, v) => Map(k -> v)
-        case _           => Map.empty
+        case Array(k @ "graft_bucket", v) => Map(k -> v)
+        case _                            => Map.empty
       }
 
     val cols = statFields.flatMap { f =>
       dirValue.get(f.name) match {
+        case Some("__HIVE_DEFAULT_PARTITION__") =>
+          Some(f.name -> ColStats(None, None, rows))
         case Some(v) => Some(f.name -> ColStats(Some(v), Some(v), 0L))
         case None =>
           merged.get(f.name).flatten match {
-            case Some((pt, st)) => colStats(f, pt, st, rows)
+            case Some((pt, st)) => colStats(f, pt, st, rows, legacyRebase)
             case None => None
           }
       }
@@ -101,11 +116,15 @@ private[tables] object FooterStats {
   /** One column's merged footer statistics → [[ColStats]], or None when
     * the stats are unusable for this Spark type. */
   private def colStats(f: StructField, pt: PrimitiveType,
-      st: Statistics[_], rows: Long): Option[(String, ColStats)] = {
+      st: Statistics[_], rows: Long, legacyRebase: Boolean): Option[(String, ColStats)] = {
     if (!st.isNumNullsSet) return None // unknown null count: can't answer isNull prunes
     val nulls = st.getNumNulls
     if (nulls == rows)
       return Some(f.name -> ColStats(None, None, nulls)) // all-null column
+    // LEGACY-rebased files carry hybrid-calendar physical date/timestamp
+    // values; their min/max would mis-state the logical bounds (see above)
+    if (legacyRebase && (f.dataType == DateType || f.dataType == TimestampType))
+      return None
     if (st.isEmpty || !st.hasNonNullValue) return None // values present but no min/max (NaN etc.)
     render(f.dataType, pt, st).map { case (mn, mx) =>
       f.name -> ColStats(Some(mn), Some(mx), nulls)

@@ -1378,6 +1378,9 @@ final class GraftTable private (
     * omitted — data skipping degrades to a scan for them, never to a
     * wrong prune. Any footer-read failure falls back to the distributed
     * aggregation (`settings.collectFileStats` disables both). */
+  // one warning per table instance when timestamp footer stats are unusable
+  @volatile private var warnedTimestampFooterStats = false
+
   private def collectStats(stagingDir: String, df: DataFrame): Map[String, FileStats] = {
     if (!effectiveSettings.collectFileStats) return Map.empty
     val statFields = df.schema.fields.filter(f => isStatType(f.dataType)).toSeq
@@ -1388,12 +1391,32 @@ final class GraftTable private (
         s"${segs(segs.length - 2)}/$leaf"
       else leaf
     }
-    try
-      FsUtils.dataFiles(spark, stagingDir).flatMap { st =>
+    try {
+      val out = FsUtils.dataFiles(spark, stagingDir).flatMap { st =>
         FooterStats.forFile(st.getPath, spark.sparkContext.hadoopConfiguration, statFields)
           .map(fsats => key(st.getPath.toUri.getPath) -> fsats)
       }.toMap
-    catch {
+      // a session built OUTSIDE GraftSession writes INT96 timestamps
+      // (Spark's default outputTimestampType), whose footers FooterStats
+      // must skip — timestamp columns then silently lose all file-skipping
+      // stats vs the distributed twin. Make the regression VISIBLE once per
+      // table instead of quietly serving unprunable scans forever.
+      if (!warnedTimestampFooterStats && out.nonEmpty) {
+        val lost = statFields.filter(f =>
+          f.dataType == org.apache.spark.sql.types.TimestampType &&
+            out.values.forall(fs => !fs.cols.contains(f.name)))
+        if (lost.nonEmpty) {
+          warnedTimestampFooterStats = true
+          GraftTable.log.warn(
+            s"timestamp column(s) ${lost.map(_.name).mkString(", ")} yielded no " +
+              s"usable footer stats in $path (likely INT96 output — Spark's " +
+              "default spark.sql.parquet.outputTimestampType); file skipping on " +
+              "these columns is disabled for this batch's files. Build the " +
+              "session through GraftSession (TIMESTAMP_MICROS) to restore it")
+        }
+      }
+      out
+    } catch {
       case scala.util.control.NonFatal(e) =>
         GraftTable.log.warn(
           s"footer stats failed for $stagingDir (${e.getMessage}); " +
